@@ -1,0 +1,294 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2 relational operator inventory demonstrated on the driver
+  * testdata (TESTDATA.md). Each entry = Spark build + DuckDB oracle SQL.
+  *
+  * Scale notes (local[32] now, 1000-executor 100 TB later):
+  *   - dimension-side joins ([[broadcast]]) never shuffle the fact table;
+  *   - per-group top-1 is a single window shuffle on the group key;
+  *   - calendar/grid builds are tiny DataFrames joined broadcast;
+  *   - all aggregations are partial-aggregated map-side by Catalyst.
+  */
+object RelationalQueries {
+
+  /** Sum doubles exactly: decimal cast → order-independent sum → double. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- A1/A5: group-by aggregation (pricing summary, TPC-H Q1-ish) -----
+    // Reference: dedup core groupby, sar_datacube_metadata.py:191-200.
+    "q1_agg" -> QueryDef.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ----- F2: date-range filter (sar_datacube_metadata.py:168-176) -----
+    "f2_date_filter" -> QueryDef.sql(
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ----- F3: numeric-range (incidence-angle) filter (…:178-183) -----
+    "f3_range_filter" -> QueryDef.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity").between(10, 20) && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ----- O1: sort by date (…:163-166) -----
+    "o1_sort" -> QueryDef.sql(
+      """SELECT o_orderkey, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    },
+
+    // ----- O2: per-group top-1 dedup (keep-max, …:185-202) -----
+    "o2_dedup_top1" -> QueryDef.sql(
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    },
+
+    // ----- O3: argmin row pick (primary raster, …:258-268) -----
+    "o3_argmin" -> QueryDef.sql(
+      "SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 1") { (s, d) =>
+      orders(s, d).select("o_orderkey", "o_orderdate").orderBy("o_orderdate", "o_orderkey").limit(1)
+    },
+
+    // ----- J1: overlap theta-semi-join vs broadcast primary (…:204-222) -----
+    "j1_overlap_semi" -> QueryDef.sql(
+      """WITH primary_row AS (
+        |  SELECT o_totalprice AS p FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 1)
+        |SELECT o_orderkey, o_totalprice FROM orders, primary_row
+        |WHERE o_totalprice >= p * 0.5 AND o_totalprice <= p * 2.0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val primary = orders(s, d).orderBy("o_orderdate", "o_orderkey").limit(1)
+        .select(col("o_totalprice").as("p"))
+      orders(s, d).crossJoin(broadcast(primary))
+        .filter(col("o_totalprice") >= col("p") * 0.5 && col("o_totalprice") <= col("p") * 2.0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ----- J2: equi-lookup join (labels↔product, labels_datacube.py:237-248) -----
+    "j2_equi_lookup" -> QueryDef.sql(
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_size") < 10)),
+          col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_name", "p_brand")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ----- J3+A3: calendar left-join resample / gap fill (…:224-256) -----
+    "a3_resample_gapfill" -> QueryDef.sql(
+      """WITH bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT g.day AS day, coalesce(d.n_orders, 0) AS n_orders, d.revenue AS revenue
+        |FROM grid g LEFT JOIN daily d USING (day)
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val grid = o.agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      grid.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("revenue"))
+        .orderBy("day")
+    },
+
+    // ----- A1: group-by + argmax (idxmax dedup core, …:191-200) -----
+    "a1_group_argmax" -> QueryDef.sql(
+      """SELECT CAST(o_orderdate AS DATE) AS day, max_by(o_totalprice, o_orderkey) AS last_price, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("max_by(o_totalprice, o_orderkey)").as("last_price"), count(lit(1)).as("n"))
+        .orderBy("day")
+    },
+
+    // ----- A2: superset-key union (attrs union, sar_datacube.py:159-188) -----
+    "a2_key_union" -> QueryDef.sql(
+      "SELECT DISTINCT source, lang FROM documents ORDER BY source, lang") { (s, d) =>
+      documents(s, d).select("source", "lang").distinct().orderBy("source", "lang")
+    },
+
+    // ----- A4: all-null column guard counts (…:127,134) -----
+    "a4_null_counts" -> QueryDef.sql(
+      "SELECT count(*) AS n_rows, count(o_orderkey) AS n_orderkey, count(o_orderdate) AS n_orderdate FROM orders") { (s, d) =>
+      orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orderkey"),
+        count(col("o_orderdate")).as("n_orderdate"))
+    },
+
+    // ----- A5: dims / distinct counts (datacube.py:62-67) -----
+    "a5_dims" -> QueryDef.sql(
+      """SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types
+        |FROM events""".stripMargin) { (s, d) =>
+      events(s, d).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+    },
+
+    // ----- M1/M2/M3: complex→amplitude/intensity/phase (analytics_IO.py:189-216) -----
+    "m123_complex_math" -> QueryDef.sql(
+      """SELECT event_id,
+        |  sqrt(value*value + CAST(user_id AS DOUBLE)*CAST(user_id AS DOUBLE)) AS amplitude,
+        |  value*value + CAST(user_id AS DOUBLE)*CAST(user_id AS DOUBLE) AS intensity,
+        |  round(atan2(CAST(user_id AS DOUBLE), value), 6) AS phase
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val u = col("user_id").cast("double")
+      events(s, d).select(
+        col("event_id"),
+        sqrt(col("value") * col("value") + u * u).as("amplitude"),
+        (col("value") * col("value") + u * u).as("intensity"),
+        round(atan2(u, col("value")), 6).as("phase"))
+        .orderBy("event_id")
+    },
+
+    // ----- M5: date parse/format (metadata_crawler.py:205-211) -----
+    "m5_date_format" -> QueryDef.sql(
+      """SELECT event_id,
+        |  strftime(make_timestamp(epoch_us(ts)), '%Y%m%d') AS acq_date,
+        |  strftime(make_timestamp(epoch_us(ts)), '%H%M%S.%f') AS acq_time
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyyMMdd").as("acq_date"),
+        date_format(col("ts"), "HHmmss.SSSSSS").as("acq_time"))
+        .orderBy("event_id")
+    },
+
+    // ----- M6: coalesce fallback chain, middle vector element (…:214-229) -----
+    "m6_mid_element" -> QueryDef.sql(
+      """SELECT vec_id, coalesce(embedding[33], CAST(label AS FLOAT)) AS mid
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        coalesce(try_element_at(col("embedding"), lit(33)), col("label").cast("float")).as("mid"))
+        .orderBy("vec_id")
+    },
+
+    // ----- M7: WKT extent polygon build (metadata_crawler.py:255-267) -----
+    "m7_wkt_extent" -> QueryDef.sql(
+      """SELECT p_partkey,
+        |  printf('POLYGON((%d 0, %d 1, 0 1, 0 0, %d 0))', p_size, p_size, p_size) AS extent_wkt
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        format_string("POLYGON((%d 0, %d 1, 0 1, 0 0, %d 0))",
+          col("p_size"), col("p_size"), col("p_size")).as("extent_wkt"))
+        .orderBy("p_partkey")
+    },
+
+    // ----- M8: string→typed extract (vector parse, analytics_IO.py:741-779) -----
+    "m8_json_extract" -> QueryDef.sql(
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
+    // ----- U1: concat layers along an axis (xr.concat, sar_datacube.py:143-150) -----
+    "u1_union_stack" -> QueryDef.sql(
+      """SELECT event_id, 'err' AS layer FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, 'buy' AS layer FROM events WHERE event_type = 'purchase'
+        |ORDER BY layer, event_id""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      e.filter(col("event_type") === "error").select(col("event_id"), lit("err").as("layer"))
+        .unionByName(
+          e.filter(col("event_type") === "purchase").select(col("event_id"), lit("buy").as("layer")))
+        .orderBy("layer", "event_id")
+    },
+
+    // ----- Q5: point lookup by key (datacube.py:99-119) -----
+    "q5_point_lookup" -> QueryDef.sql(
+      "SELECT event_id, event_type, value FROM events WHERE event_id = 421") { (s, d) =>
+      events(s, d).filter(col("event_id") === 421).select("event_id", "event_type", "value")
+    },
+
+    // ----- Q7: slice by parent key (get_product_values, datacube.py:138-175) -----
+    "q7_slice_by_key" -> QueryDef.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val mk = orders(s, d).agg(min(col("o_orderkey")).as("mk"))
+      lineitem(s, d).join(broadcast(mk), col("l_orderkey") === col("mk"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_linenumber")
+    },
+
+    // ----- Q9: ML batch/tile bucketing (Ex5 notebook surface) -----
+    "q9_ml_batch" -> QueryDef.sql(
+      """SELECT user_id // 10 AS user_bucket,
+        |  strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H') AS hour_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY user_bucket, hour_bucket""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(
+          expr("user_id div 10").as("user_bucket"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("user_bucket", "hour_bucket")
+    },
+  )
+}

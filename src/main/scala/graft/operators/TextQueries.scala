@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data-pipeline text operators over `documents`:
+  * exact + near dedup (minhash / simhash), token stats, quality scoring,
+  * language-ID heuristic, fingerprinting.
+  *
+  * Scale posture: every operator is a groupBy / equi-join on a derived
+  * key (hash, signature band) — shuffles are on small keys, never on full
+  * text; candidate generation is LSH-style (band bucket equi-join), so the
+  * quadratic all-pairs compare never materializes at 100 TB.
+  */
+object TextQueries {
+
+  /** Lower-cased whitespace tokens (Spark-side builder). */
+  private val toksExpr = "split(trim(lower(text)), '\\\\s+')"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- exact dedup: hash-groupBy, keep lowest doc_id per text hash -----
+    "dedup_exact" -> QueryDef.sql(
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    },
+
+    // ----- minhash (k=1) near-dup candidates: min 5-gram hash signature -----
+    "dedup_minhash_candidates" -> QueryDef.sql(
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    list_min([md5(substr(text, i, 5)) for i in generate_series(1, greatest(length(text)-4, 1))]) AS sig
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sig = documents(s, d).select(
+        col("doc_id"),
+        expr("array_min(transform(sequence(1, greatest(length(text)-4, 1)), i -> md5(substring(text, i, 5))))").as("sig"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("sig"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("sig"))
+      a.join(b, Seq("sig")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+    },
+
+    // ----- minhash LSH (k=8 hashes, 4 bands of 2): banded candidates -----
+    "dedup_minhash_lsh" -> QueryDef.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, [substr(text, i, 5) for i in generate_series(1, greatest(length(text)-4, 1))] AS shingles
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min([md5('0' || x) for x in shingles]) AS h0, list_min([md5('1' || x) for x in shingles]) AS h1,
+        |    list_min([md5('2' || x) for x in shingles]) AS h2, list_min([md5('3' || x) for x in shingles]) AS h3,
+        |    list_min([md5('4' || x) for x in shingles]) AS h4, list_min([md5('5' || x) for x in shingles]) AS h5,
+        |    list_min([md5('6' || x) for x in shingles]) AS h6, list_min([md5('7' || x) for x in shingles]) AS h7
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+        |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = documents(s, d).select(
+        col("doc_id"),
+        expr("transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))").as("shingles"))
+      val sig = sh.select(
+        col("doc_id") +:
+          (0 until 8).map(k =>
+            expr(s"array_min(transform(shingles, x -> md5('$k' || x)))").as(s"h$k")): _*)
+      val bands = sig.select(
+        col("doc_id"),
+        expr("posexplode(array(h0 || h1, h2 || h3, h4 || h5, h6 || h7)) AS (band, key)"))
+        .select("doc_id", "band", "key")
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
+    },
+
+    // ----- simhash near-dup (64-bit, 4×16 bands, hamming ≤ 3) — rows-only -----
+    "dedup_simhash" -> QueryDef.rowsOnly { (s, d) =>
+      val sig = documents(s, d).select(
+        col("doc_id"),
+        expr(
+          s"""aggregate(
+             |  array_distinct($toksExpr),
+             |  array_repeat(0L, 64),
+             |  (acc, t) -> zip_with(
+             |      acc,
+             |      transform(sequence(0, 63), j -> IF(((shiftright(xxhash64(t), j)) & 1) = 1, 1L, -1L)),
+             |      (a, b) -> a + b))""".stripMargin).as("votes"))
+        .select(
+          col("doc_id"),
+          expr(
+            """aggregate(
+              |  zip_with(votes, sequence(0, 63), (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
+              |  0L, (a, b) -> a | b)""".stripMargin).as("sig"))
+      val bands = sig.select(
+        col("doc_id"), col("sig"),
+        expr("posexplode(transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535L)) AS (band, key)"))
+        .select("doc_id", "sig", "band", "key")
+      val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("key"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("key"))
+      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- token counting -----
+    "text_tokens" -> QueryDef.sql(
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens, length(text) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy("doc_id")
+    },
+
+    // ----- quality scoring: token stats + stopword ratio -----
+    "text_quality" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) AS avg_token_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(toks) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (expr("aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x)").cast("double")
+            / size(col("toks"))).as("avg_token_len"),
+          (expr("size(filter(toks, x -> x IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is')))").cast("double")
+            / size(col("toks"))).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ----- language-ID heuristic: marker-token scores, argmax w/ fixed ties -----
+    "text_lang_id" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('data', 'table', 'row'))) AS s_dt,
+        |  len(list_filter(toks, x -> x IN ('spark', 'query', 'join'))) AS s_qy
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_dt AND s_en >= s_qy THEN 'en'
+        |       WHEN s_dt >= s_qy THEN 'dt' ELSE 'qy' END AS predicted_lang,
+        |  s_en, s_dt, s_qy
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("doc_id"),
+          expr("size(filter(toks, x -> x IN ('the', 'a', 'of')))").cast("long").as("s_en"),
+          expr("size(filter(toks, x -> x IN ('data', 'table', 'row')))").cast("long").as("s_dt"),
+          expr("size(filter(toks, x -> x IN ('spark', 'query', 'join')))").cast("long").as("s_qy"))
+        .select(
+          col("doc_id"),
+          when(col("s_en") >= col("s_dt") && col("s_en") >= col("s_qy"), "en")
+            .when(col("s_dt") >= col("s_qy"), "dt").otherwise("qy").as("predicted_lang"),
+          col("s_en"), col("s_dt"), col("s_qy"))
+        .orderBy("doc_id")
+    },
+
+    // ----- document fingerprint: whitespace-normalized content hash -----
+    "text_fingerprint" -> QueryDef.sql(
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ").cast("binary")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ----- multimodal plumbing: opaque binary payload + typed metadata -----
+    // Decode itself is stubbed (no image libs in-container, SURVEY brief);
+    // the Spark-side schema/derivation is real.
+    "mm_binary_meta" -> QueryDef.sql(
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  octet_length(CAST(text AS BLOB)) % 64 AS fake_width,
+        |  octet_length(CAST(text AS BLOB)) // 64 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .select(
+          col("doc_id"), col("n_bytes"),
+          (col("n_bytes") % 64).as("fake_width"),
+          expr("n_bytes div 64").as("fake_height"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -1,0 +1,32 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Session defaults shared by Verify / Bench / tests.
+  *
+  * Scale posture: shuffle partitions sized to local cores (the driver runs
+  * local[32]); AQE on so skewed joins / small post-shuffle partitions are
+  * re-planned at runtime, which is also what we'd want on a real cluster.
+  */
+object SparkUtil {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"): SparkSession.Builder =
+    configure(SparkSession.builder().master(master))
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // events.parquet stores TIMESTAMP(NANOS); read as epoch-nanos Long.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
