@@ -1,0 +1,201 @@
+package graft.core
+
+import graft.meta.{CubePlanner, MetadataCrawler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A datacube: two DataFrames plus cube-level attrs.
+  *
+  * Replaces the reference's `xr.Dataset` (icecube/bin/datacube.py:20-28):
+  *   - `layers`  — 1 row per band: band_index, band_time, the 10 supported
+  *     metadata variables (SURVEY §1.3) and the open attrs map;
+  *   - `pixels`  — long format: band_index, azimuth, range, one column per
+  *     data variable (intensity | real+imag | label), nullable;
+  *   - `attrs`   — cube-level attributes (product_type, dtype, dims).
+  *
+  * Layers stay tiny (one row per image — driver-safe to collect); pixels
+  * are never collected, only transformed/written. Point queries filter on
+  * `band_index`, which the parquet layout partitions by, so per-product
+  * reads prune to one band's files.
+  */
+final case class Cube(
+    layers: DataFrame,
+    pixels: DataFrame,
+    attrs: Map[String, String],
+) {
+  import Cube._
+
+  /** Q1: data variable names (datacube.py:41-45). */
+  def dataVariables: Seq[String] =
+    pixels.columns.filterNot(Seq("band_index", "band_time", "azimuth", "range").contains).toSeq
+
+  /** Q2: dimension sizes (datacube.py:62-67). */
+  def dimensions: Map[String, Long] = Map(
+    "Band" -> layers.count(),
+    "Azimuth" -> attrs.get("master_azimuth").map(_.toLong).getOrElse(
+      pixels.agg(max(col("azimuth"))).first() match { case r if r.isNullAt(0) => 0L; case r => r.getInt(0) + 1L }),
+    "Range" -> attrs.get("master_range").map(_.toLong).getOrElse(
+      pixels.agg(max(col("range"))).first() match { case r if r.isNullAt(0) => 0L; case r => r.getInt(0) + 1L }),
+  )
+
+  /** Q3: cube attrs (datacube.py:69-74). */
+  def cubeMetadata: Map[String, String] = attrs
+
+  /** Q4: ordered product list; error when all gaps (datacube.py:84-97). */
+  def allProducts: Seq[String] = {
+    val products = layers.orderBy("band_index")
+      .select(coalesce(col("product_file"), lit(NoneValue)))
+      .collect().map(_.getString(0)).toSeq
+    if (products.forall(_ == NoneValue)) {
+      throw new NoSuchElementException("product files metadata is missing from the cube")
+    }
+    products
+  }
+
+  /** Q5: band index of a product (datacube.py:99-119). */
+  def productIndex(productFile: String): Int = {
+    val rows = layers.filter(col("product_file") === productFile)
+      .select(col("band_index")).limit(1).collect()
+    if (rows.isEmpty) {
+      throw new NoSuchElementException(s"product_file: $productFile is missing from cube metadata")
+    }
+    rows.head.getInt(0)
+  }
+
+  /** Q6/Q8: per-product metadata with "None" fill for missing keys
+    * (datacube.py:121-136; "None" padding sar_datacube.py:171-186). */
+  def metadataByProduct(productFile: String): Map[String, String] = {
+    val idx = productIndex(productFile)
+    metadataByIndex(idx)
+  }
+
+  def metadataByIndex(bandIndex: Int): Map[String, String] = {
+    val row = layers.filter(col("band_index") === bandIndex).collect().headOption
+      .getOrElse(throw new NoSuchElementException(s"no layer at band index $bandIndex"))
+    val core = MetadataCrawler.SupportedVariables.map { v =>
+      val i = row.fieldIndex(v)
+      v -> (if (row.isNullAt(i)) NoneValue else String.valueOf(row.get(i)))
+    }.toMap
+    val open = row.getAs[Map[String, String]]("metadata") match {
+      case null => Map.empty[String, String]
+      case m    => m
+    }
+    core ++ open
+  }
+
+  /** Q8 single-key variant with "None" for gaps (sar_datacube.py:209-242). */
+  def getMetadata(key: String, bandIndex: Int): String =
+    metadataByIndex(bandIndex).getOrElse(key, NoneValue)
+
+  /** Q7: one band's pixel plane by product (datacube.py:138-158). */
+  def productValues(productFile: String): DataFrame =
+    bandValues(productIndex(productFile))
+
+  /** Q7: one band's pixel plane by index (datacube.py:160-175).
+    * band_index filter prunes to a single parquet partition on read. */
+  def bandValues(bandIndex: Int): DataFrame =
+    pixels.filter(col("band_index") === bandIndex)
+      .select(("azimuth" +: "range" +: dataVariables).map(col): _*)
+
+  /** M1-M3 derived variables for complex (SLC) cubes
+    * (analytics_IO.py:189-216, slc_datacube.py:221-255). */
+  def withAmplitude: Cube = derived("amplitude", sqrt(col("real") * col("real") + col("imag") * col("imag")))
+  def withIntensity: Cube = derived("intensity", col("real") * col("real") + col("imag") * col("imag"))
+  def withPhase: Cube = derived("phase", atan2(col("imag"), col("real")))
+
+  private def derived(name: String, c: org.apache.spark.sql.Column): Cube = {
+    require(pixels.columns.contains("real") && pixels.columns.contains("imag"),
+      s"$name requires complex (real/imag) pixel data")
+    copy(pixels = pixels.withColumn(name, c))
+  }
+
+  /** J4: merge two cubes sharing the band/azimuth/range grid
+    * (datacube.py:177-201, combine_attrs="drop_conflicts").
+    *
+    * Pixels: when both sides carry pixel data the join is a full outer on
+    * the (band_index, azimuth, range) coordinates — variable union like
+    * `xr.Dataset.merge`. Layers: joined on band_index, open-attrs maps
+    * merged with drop-conflict semantics.
+    */
+  def merge(other: Cube): Cube = {
+    val coords = Seq("band_index", "azimuth", "range")
+    val mergedPixels =
+      if (other.pixels.isEmpty) pixels
+      else if (pixels.isEmpty) other.pixels
+      else {
+        val dupVars = other.dataVariables.toSet.intersect(dataVariables.toSet)
+        val rightKeep = other.pixels.columns.filter(c => coords.contains(c) || !dupVars.contains(c))
+        pixels.drop("band_time")
+          .join(other.pixels.select(rightKeep.map(col).toSeq: _*).drop("band_time"), coords, "full_outer")
+      }
+    val rightLayerCols = Seq("band_index", "metadata") ++
+      other.layers.columns.filter(c => !layers.columns.contains(c))
+    val mergedLayers = layers
+      .join(other.layers.select(rightLayerCols.distinct.map(col): _*)
+        .withColumnRenamed("metadata", "_other_metadata"), Seq("band_index"), "left")
+      .withColumn("metadata", mergeAttrMaps(col("metadata"), col("_other_metadata")))
+      .drop("_other_metadata")
+    // drop_conflicts at cube level: keep keys that agree or exist once
+    val mergedAttrs = (attrs.keySet ++ other.attrs.keySet).flatMap { k =>
+      (attrs.get(k), other.attrs.get(k)) match {
+        case (Some(a), Some(b)) if a == b => Some(k -> a)
+        case (Some(a), None)              => Some(k -> a)
+        case (None, Some(b))              => Some(k -> b)
+        case _                            => None
+      }
+    }.toMap
+    Cube(mergedLayers, mergedPixels, mergedAttrs)
+  }
+
+  /** Dense export: materialize gap pixels for every layer on the master
+    * grid (M12 dummy layers, grd_datacube.py:93-111). Gap values follow
+    * the reference rule (tests/grd_datacube_test.py:108-122): float dtype
+    * ⇒ NaN, int dtype ⇒ 0; stored sparse as null until this call.
+    */
+  def densePixels: DataFrame = {
+    val az = dimensions("Azimuth")
+    val rg = dimensions("Range")
+    val spark = pixels.sparkSession
+    val grid = spark.range(az).select(col("id").cast("int").as("azimuth"))
+      .crossJoin(spark.range(rg).select(col("id").cast("int").as("range")))
+    val bands = broadcast(layers.select(col("band_index"), col("band_time")))
+    val full = bands.crossJoin(grid)
+    val isInt = attrs.get("dtype").exists(d => d.startsWith("int") || d.startsWith("uint"))
+    val fills = dataVariables.map { v =>
+      val c = col(v)
+      val filled = if (isInt) coalesce(c, lit(0)) else coalesce(c, lit(Double.NaN))
+      filled.as(v)
+    }
+    full.join(pixels.drop("band_time"), Seq("band_index", "azimuth", "range"), "left")
+      .select(col("band_index") +: col("band_time") +: col("azimuth") +: col("range") +: fills: _*)
+  }
+}
+
+object Cube {
+  /** Reference encodes missing metadata as the string "None"
+    * (sar_datacube.py:171-186). */
+  val NoneValue = "None"
+
+  /** Build from a fixture-layout directory (§3.1 facade path):
+    * sniff product type, crawl metadata, run the planner, attach pixels.
+    */
+  def fromDirectory(spark: SparkSession, dir: String, config: CubeConfig): Cube =
+    graft.io.CubeBuilder.fromDirectory(spark, dir, config)
+
+  def fromFiles(spark: SparkSession, metadataPaths: Seq[String], config: CubeConfig): Cube =
+    graft.io.CubeBuilder.fromFiles(spark, metadataPaths, config)
+
+  /** S12/W1: parquet cube persistence. */
+  def load(spark: SparkSession, dir: String): Cube = graft.io.CubeReader.load(spark, dir)
+
+  private[graft] def mergeAttrMaps(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // drop_conflicts: key in both with different value → dropped
+    val both = map_filter(map_zip_with(coalesce(a, map()), coalesce(b, map()),
+      (_, v1, v2) => coalesce(
+        when(v1.isNotNull && v2.isNotNull && v1 === v2, v1),
+        when(v1.isNotNull && v2.isNull, v1),
+        when(v1.isNull && v2.isNotNull, v2))),
+      (_, v) => v.isNotNull)
+    when(a.isNull && b.isNull, lit(null)).otherwise(both)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.io
+
+import graft.core.{Cube, CubeConfig}
+import graft.meta.{CubePlanner, MetadataCrawler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds cubes from the fixture-layout source (FIXTURES.md §2): per
+  * product a `<name>.json` metadata object + `<name>.parquet` pixel table
+  * (GRD: azimuth,range,intensity; SLC: azimuth,range,real,imag).
+  *
+  * Execution shape (SURVEY §3.1 steps 1-5, Spark-first):
+  *   1. driver: config + dir listing (tiny);
+  *   2. cluster: one JSON scan → layers DF; planner prunes it;
+  *   3. driver: collect the SURVIVING file list (layer cardinality — this
+  *      is the reference's metadata-before-pixels optimization: pruned
+  *      files are never opened);
+  *   4. cluster: ONE parquet scan over surviving files → pixels DF tagged
+  *      with band_index/band_time via a broadcast join. Layers are "born
+  *      distributed" — no per-layer driver loop, no xr.concat.
+  */
+object CubeBuilder {
+
+  def fromDirectory(spark: SparkSession, dir: String, config: CubeConfig): Cube = {
+    val files = MetadataCrawler.listMetadataFiles(dir)
+    require(files.nonEmpty, s"Could not find any products in $dir")
+    fromFiles(spark, files, config)
+  }
+
+  def fromFiles(spark: SparkSession, metadataPaths: Seq[String], config: CubeConfig): Cube = {
+    val productType = sniffProductType(metadataPaths)
+    val crawled = MetadataCrawler.crawlFiles(spark, metadataPaths)
+    val layers = new CubePlanner(config).plan(crawled).cache()
+
+    // master shape = first valid row by band order (get_master_shape,
+    // sar_datacube_metadata.py:258-268)
+    val shapeRow = layers.filter(col("number_of_azimuth_samples").isNotNull)
+      .orderBy("band_index")
+      .select("number_of_azimuth_samples", "number_of_range_samples")
+      .limit(1).collect()
+    val (masterAz, masterRg) =
+      if (shapeRow.isEmpty) (0, 0) else (shapeRow.head.getInt(0), shapeRow.head.getInt(1))
+
+    // SLC: mismatched layer shape is a hard error (slc_datacube.py:136-142);
+    // GRD is tolerant. Metadata-level check — no pixel scan needed.
+    if (productType == "SLC") {
+      val bad = layers.filter(col("number_of_azimuth_samples").isNotNull &&
+          (col("number_of_azimuth_samples") =!= masterAz || col("number_of_range_samples") =!= masterRg))
+        .select("product_file").limit(1).collect()
+      if (bad.nonEmpty) {
+        throw new IllegalStateException(
+          s"SLC layer ${bad.head.getString(0)} shape does not match master shape ($masterAz, $masterRg)")
+      }
+    }
+
+    // surviving non-gap files only — the planner already pruned the rest
+    val survivors = layers.filter(col("product_fpath").isNotNull)
+      .select("product_fpath").collect().map(_.getString(0))
+
+    val pixels =
+      if (survivors.isEmpty) emptyPixels(spark, productType)
+      else {
+        val raw = spark.read.parquet(survivors.toIndexedSeq: _*)
+          .withColumn("_fpath", regexp_extract(input_file_name(), "^(.*?\\.parquet)(/.*)?$", 1))
+        val bandOf = layers.select(
+          col("product_fpath").as("_fpath"), col("band_index"), col("band_time"))
+        raw.join(broadcast(bandOf), Seq("_fpath")).drop("_fpath")
+      }
+
+    val dtype = attrsDtype(pixels, productType)
+    Cube(layers, pixels, Map(
+      "product_type" -> productType,
+      "dtype" -> dtype,
+      "master_azimuth" -> masterAz.toString,
+      "master_range" -> masterRg.toString,
+    ))
+  }
+
+  /** Product-type dispatch by extension sniff (generate_cube.py:53-72):
+    * all .tif/.tiff ⇒ GRD, all .h5 ⇒ SLC, mixed ⇒ error. */
+  def sniffProductType(metadataPaths: Seq[String]): String = {
+    val exts = metadataPaths.map { p =>
+      val stem = new java.io.File(p).getName.stripSuffix(".json")
+      stem.substring(stem.lastIndexOf('.') + 1).toLowerCase
+    }.toSet
+    if (exts.subsetOf(Set("tif", "tiff"))) "GRD"
+    else if (exts == Set("h5")) "SLC"
+    else throw new IllegalArgumentException(
+      s"Folder consists of mixed or unsupported product extensions: ${exts.mkString(", ")}")
+  }
+
+  private def emptyPixels(spark: SparkSession, productType: String): DataFrame = {
+    val valueCols = if (productType == "SLC") "real DOUBLE, imag DOUBLE" else "intensity DOUBLE"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        s"azimuth INT, range INT, $valueCols, band_index INT, band_time TIMESTAMP"))
+  }
+
+  /** Pixel dtype recorded in attrs (whitelist sar_datacube.py:194-201;
+    * Spark has no unsigned ints — SURVEY §1.2 mapping). */
+  private def attrsDtype(pixels: DataFrame, productType: String): String = {
+    import org.apache.spark.sql.types._
+    val valueCol = if (productType == "SLC") "real" else "intensity"
+    pixels.schema.find(_.name == valueCol).map(_.dataType) match {
+      case Some(DoubleType) => "float64"
+      case Some(FloatType)  => "float32"
+      case Some(IntegerType) => "int32"
+      case Some(ShortType)  => "int16"
+      case Some(ByteType)   => "int8"
+      case _                => "float64"
+    }
+  }
+}
