@@ -18,6 +18,16 @@ object TextQueries {
   /** Lower-cased whitespace tokens (Spark-side builder). */
   private val toksExpr = "split(trim(lower(text)), '\\\\s+')"
 
+  /** doc_id + exploded 5-gram shingles. Explode → groupBy partial-agg is
+    * the codegen-friendly (and 100 TB-friendly) shape: no per-row arrays,
+    * map-side combine collapses each doc's shingles before any shuffle. */
+  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(text)-4, 1))")).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("shingle"))
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- exact dedup: hash-groupBy, keep lowest doc_id per text hash -----
@@ -41,9 +51,8 @@ object TextQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sig = documents(s, d).select(
-        col("doc_id"),
-        expr("array_min(transform(sequence(1, greatest(length(text)-4, 1)), i -> md5(substring(text, i, 5))))").as("sig"))
+      val sig = shingled(s, d).groupBy(col("doc_id"))
+        .agg(min(md5(col("shingle").cast("binary"))).as("sig"))
       val a = sig.select(col("doc_id").as("doc_a"), col("sig"))
       val b = sig.select(col("doc_id").as("doc_b"), col("sig"))
       a.join(b, Seq("sig")).filter(col("doc_a") < col("doc_b"))
@@ -70,13 +79,10 @@ object TextQueries {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = documents(s, d).select(
-        col("doc_id"),
-        expr("transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))").as("shingles"))
-      val sig = sh.select(
-        col("doc_id") +:
-          (0 until 8).map(k =>
-            expr(s"array_min(transform(shingles, x -> md5('$k' || x)))").as(s"h$k")): _*)
+      val hashes = (0 until 8).map(k =>
+        min(md5(concat(lit(k.toString), col("shingle")).cast("binary"))).as(s"h$k"))
+      val sig = shingled(s, d).groupBy(col("doc_id"))
+        .agg(hashes.head, hashes.tail: _*)
       val bands = sig.select(
         col("doc_id"),
         expr("posexplode(array(h0 || h1, h2 || h3, h4 || h5, h6 || h7)) AS (band, key)"))
@@ -88,23 +94,18 @@ object TextQueries {
     },
 
     // ----- simhash near-dup (64-bit, 4×16 bands, hamming ≤ 3) — rows-only -----
+    // Explode distinct tokens → one xxhash64 per token → 64 per-bit vote
+    // sums (all codegen'd, map-side combined) → signature assembly.
     "dedup_simhash" -> QueryDef.rowsOnly { (s, d) =>
-      val sig = documents(s, d).select(
-        col("doc_id"),
-        expr(
-          s"""aggregate(
-             |  array_distinct($toksExpr),
-             |  array_repeat(0L, 64),
-             |  (acc, t) -> zip_with(
-             |      acc,
-             |      transform(sequence(0, 63), j -> IF(((shiftright(xxhash64(t), j)) & 1) = 1, 1L, -1L)),
-             |      (a, b) -> a + b))""".stripMargin).as("votes"))
-        .select(
-          col("doc_id"),
-          expr(
-            """aggregate(
-              |  zip_with(votes, sequence(0, 63), (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
-              |  0L, (a, b) -> a | b)""".stripMargin).as("sig"))
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+      val votes = (0 until 64).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j"))
+      val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      val sigCol = (0 until 64).map(j =>
+        when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+      val sig = voted.select(col("doc_id"), sigCol.as("sig"))
       val bands = sig.select(
         col("doc_id"), col("sig"),
         expr("posexplode(transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535L)) AS (band, key)"))

@@ -9,24 +9,51 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * Brute-force cosine is the correctness baseline; the 100 TB scale path is
-  * the bucketed variant (`ann_lsh_topk`): random-hyperplane signs → bucket
-  * equi-join, so candidate generation is a shuffle on a small key instead of
-  * an all-pairs product. Scores are rounded to 6 decimals before ranking so
-  * JVM-vs-DuckDB float summation order can never flip a rank.
+  * the bucketed variant (`ann_lsh_bucketed`): random-hyperplane signs →
+  * bucket equi-join, so candidate generation is a shuffle on a small key
+  * instead of an all-pairs product. Scores are rounded to 6 decimals before
+  * ranking so JVM-vs-DuckDB float summation order can never flip a rank.
+  *
+  * Perf notes (measured at sf0.1, 2k×2k pairs):
+  *   - NO array HOFs (`transform`/`aggregate`/`zip_with`): they are
+  *     CodegenFallback AND get inlined by projection collapse, so the
+  *     lambda re-evaluates per element_at — ~25× slowdown. The dot product
+  *     is an explicit 64-term `element_at(...).cast(double)` sum, fully
+  *     whole-stage-codegen'd.
+  *   - all-pairs generation runs on bare ids (cheap nested-loop), vectors
+  *     attach afterwards via broadcast hash joins, so the score expression
+  *     evaluates inside a codegen stage, never inside the BNLJ condition.
   */
 object VectorQueries {
 
-  /** cosine(a, b) over double arrays, sequential fold (deterministic). */
-  private def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
-       |(sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x)) *
-       | sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))""".stripMargin)
+  val Dim = 64
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(
-      col("vec_id"),
-      expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"),
-      col("label"))
+  private def elem(a: String, i: Int): Column = element_at(col(a), i).cast("double")
+
+  /** Sequential left-fold sum — same IEEE order as an aggregate() fold. */
+  private def dot(a: String, b: String): Column =
+    (1 to Dim).map(i => elem(a, i) * elem(b, i)).reduce(_ + _)
+
+  private def norm(a: String): Column =
+    sqrt((1 to Dim).map(i => elem(a, i) * elem(a, i)).reduce(_ + _))
+
+  private def score(a: String, b: String): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** All-pairs (a < b) with both embeddings attached via broadcast hash
+    * joins, so the score evaluates in a codegen stage. (Precomputing norms
+    * as broadcast columns measured ~3× SLOWER here — the score filter then
+    * merges into the hash-join condition and breaks the codegen pipeline —
+    * so norms are computed inline in [[score]].) */
+  private def pairs(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val ids = e.select(col("vec_id"))
+    val idPairs = ids.select(col("vec_id").as("vec_a"))
+      .join(broadcast(ids.select(col("vec_id").as("vec_b"))), col("vec_a") < col("vec_b"))
+    idPairs
+      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), Seq("vec_a"))
+      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), Seq("vec_b"))
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -39,11 +66,12 @@ object VectorQueries {
         |SELECT qid, cid, score FROM s
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 3
         |ORDER BY qid, cid""".stripMargin) { (s, d) =>
-      val q = vecs(s, d).filter(col("vec_id") < 100).select(col("vec_id").as("qid"), col("v").as("qv"))
-      val c = vecs(s, d).select(col("vec_id").as("cid"), col("v").as("cv"))
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 100).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val scored = c.crossJoin(broadcast(q))
         .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), round(cosine("qv", "cv"), 6).as("score"))
+        .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select("qid", "cid", "score").orderBy("qid", "cid")
@@ -56,34 +84,33 @@ object VectorQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.9
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val a = vecs(s, d).select(col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = vecs(s, d).select(col("vec_id").as("vec_b"), col("v").as("vb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), round(cosine("va", "vb"), 6).as("score"))
+      pairs(s, d)
+        .select(col("vec_a"), col("vec_b"), score("ea", "eb").as("score"))
         .filter(col("score") > 0.9)
         .orderBy("vec_a", "vec_b")
     },
 
     // ----- LSH-bucketed ANN (scale path): hyperplane-sign buckets -----
-    // Deterministic pseudo-random hyperplanes from xxhash64(plane, dim);
-    // bucket equi-join replaces the all-pairs product. Rows-only check
-    // (bucketing uses Spark's xxhash64, not expressible in DuckDB).
+    // Deterministic pseudo-random hyperplane signs from xxhash64(plane*64
+    // + dim) — constant-folded per plane/dim. Bucket equi-join replaces
+    // the all-pairs product. Rows-only check (xxhash64 signs are not
+    // expressible in DuckDB).
     "ann_lsh_bucketed" -> QueryDef.rowsOnly { (s, d) =>
       val planes = 8
-      val v = vecs(s, d)
-      // sign bit per plane: dot(v, h_p) > 0 where h_p[i] ∈ {-1, +1} from xxhash64
-      val bucketed = v.withColumn("bucket", expr(
-        s"""aggregate(
-           |  transform(sequence(0, ${planes - 1}), p ->
-           |    IF(aggregate(
-           |         zip_with(v, transform(sequence(0, 63), i -> IF((xxhash64(p * 64 + i) & 1) = 1, 1D, -1D)),
-           |                  (x, h) -> x * h),
-           |         0D, (acc, x) -> acc + x) > 0, shiftleft(1L, p), 0L)),
-           |  0L, (a, b) -> a | b)""".stripMargin))
-      val a = bucketed.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
-      val b = bucketed.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+      val planeDot = (p: Int, v: String) =>
+        (1 to Dim).map { i =>
+          val sign = when((xxhash64(lit(p * Dim + i)) % 2) === 0, 1.0).otherwise(-1.0)
+          elem(v, i) * sign
+        }.reduce(_ + _)
+      val bucket = (v: String) => (0 until planes).map(p =>
+        when(planeDot(p, v) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+      val e = embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        bucket("embedding").as("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        bucket("embedding").as("bucket"))
       a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), round(cosine("va", "vb"), 6).as("score"))
+        .select(col("vec_a"), col("vec_b"), score("ea", "eb").as("score"))
         .filter(col("score") > 0.9)
         .orderBy("vec_a", "vec_b")
     },
