@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Map[String, QueryDef] =
     operators.RelationalQueries.defs ++
       operators.TextQueries.defs ++
-      operators.VectorQueries.defs
+      operators.VectorQueries.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The cube-planner pipeline shape: filter → dedup → calendar gap-fill.

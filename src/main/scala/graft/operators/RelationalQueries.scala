@@ -258,6 +258,50 @@ object RelationalQueries {
         .orderBy("layer", "event_id")
     },
 
+    // ----- F6: unmatched-row null-out (labels NaN-out, labels_datacube.py:139-158) -----
+    "f6_nullout_unmatched" -> QueryDef.sql(
+      """SELECT c.c_custkey,
+        |  CASE WHEN o.o_custkey IS NULL THEN NULL ELSE c.c_name END AS c_name,
+        |  CASE WHEN o.o_custkey IS NULL THEN NULL ELSE c.c_acctbal END AS c_acctbal
+        |FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val hasOrders = orders(s, d).select(col("o_custkey")).distinct()
+      customer(s, d).join(broadcast(hasOrders), col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          when(col("o_custkey").isNotNull, col("c_name")).as("c_name"),
+          when(col("o_custkey").isNotNull, col("c_acctbal")).as("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+
+    // ----- J4: variable-aligned full-outer merge (xr merge, datacube.py:177-201) -----
+    "j4_merge_outer" -> QueryDef.sql(
+      """WITH e AS (SELECT CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day, count(*) AS n_err
+        |           FROM events WHERE event_type = 'error' GROUP BY 1),
+        |p AS (SELECT CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day, count(*) AS n_buy
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(e.day, p.day) AS day, e.n_err AS n_err, p.n_buy AS n_buy
+        |FROM e FULL OUTER JOIN p ON e.day = p.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val e = ev.filter(col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n_err"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n_buy"))
+      e.join(p, Seq("day"), "full_outer").select("day", "n_err", "n_buy").orderBy("day")
+    },
+
+    // ----- M13: JSON (de)serialization replaces pickle (SURVEY §7.3) -----
+    "m13_json_parse" -> QueryDef.sql(
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy("event_id")
+    },
+
     // ----- Q5: point lookup by key (datacube.py:99-119) -----
     "q5_point_lookup" -> QueryDef.sql(
       "SELECT event_id, event_type, value FROM events WHERE event_id = 421") { (s, d) =>

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked windowed counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.windowedCounts(events, "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "error", 1.0),
+        (ts("2024-01-01 00:20:00"), "error", 2.0),
+        (ts("2024-01-01 00:30:00"), "purchase", 5.0),
+        (ts("2024-01-01 01:10:00"), "error", 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "n", "total_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+      assert(rows.contains(("2024-01-01 00:00:00.0", "error", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", "purchase", 1L, 5.0)))
+      assert(rows.contains(("2024-01-01 01:00:00.0", "error", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState per-user running totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.UserEvent]
+    val query = EventStream.userTotals(input.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventStream.UserEvent(1, ts("2024-01-01 00:00:00"), 10.0),
+        EventStream.UserEvent(1, ts("2024-01-01 00:01:00"), 5.0),
+        EventStream.UserEvent(2, ts("2024-01-01 00:02:00"), 7.0))
+      query.processAllAvailable()
+      // second batch: state carries over
+      input.addData(EventStream.UserEvent(1, ts("2024-01-01 00:05:00"), 1.0))
+      query.processAllAvailable()
+      val last = spark.table("user_totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("tot"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(last.toSeq == Seq((1L, 3L, 16.0), (2L, 1L, 7.0)))
+    } finally query.stop()
+  }
+}
