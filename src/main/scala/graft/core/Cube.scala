@@ -147,6 +147,27 @@ final case class Cube(
     Cube(mergedLayers, mergedPixels, mergedAttrs)
   }
 
+  /** Q9: ML tile/batch extraction (docs/examples/Ex5 surface): bucket the
+    * pixel grid into tileSize² tiles and collect each tile's values as an
+    * array ordered by (azimuth, range). One shuffle on the tile key; tile
+    * payloads (~tileSize² × 8 bytes) are the reference chunk analog. */
+  def tiles(tileSize: Int): DataFrame = {
+    val firstVar = dataVariables.head
+    pixels
+      .withColumn("tile_az", (col("azimuth") / tileSize).cast("int"))
+      .withColumn("tile_rg", (col("range") / tileSize).cast("int"))
+      .groupBy(col("band_index"), col("tile_az"), col("tile_rg"))
+      .agg(sort_array(collect_list(struct(col("azimuth"), col("range"), col(firstVar))))
+        .getField(firstVar).as("values"))
+  }
+
+  /** W2: metadata table export as CSV (metadata_crawler.py:232-252).
+    * Maps/arrays are stringified first (CSV writer limitation). */
+  def writeMetadataCsv(dir: String): Unit = {
+    val flat = layers.withColumn("metadata", to_json(col("metadata")))
+    flat.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+  }
+
   /** Dense export: materialize gap pixels for every layer on the master
     * grid (M12 dummy layers, grd_datacube.py:93-111). Gap values follow
     * the reference rule (tests/grd_datacube_test.py:108-122): float dtype

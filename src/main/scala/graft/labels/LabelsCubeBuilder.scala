@@ -73,6 +73,20 @@ object LabelsCubeBuilder {
     }
   }
 
+  /** F7 (unused-alternative in the reference, labels_datacube.py:160-177):
+    * keep only labelled rows plus gap rows. */
+  def pruneForLabels(layers: DataFrame, labelledProducts: Set[String]): DataFrame =
+    layers.filter(col("product_fpath").isNull ||
+      col("product_file").isin(labelledProducts.toSeq: _*))
+
+  /** F8 (unused-alternative, labels_datacube.py:179-201): collapse all
+    * gap rows to the single earliest one. */
+  def collapseGapRuns(layers: DataFrame): DataFrame = {
+    val gaps = layers.filter(col("product_fpath").isNull)
+    val firstGap = gaps.orderBy(col("band_index")).limit(1)
+    layers.filter(col("product_fpath").isNotNull).unionByName(firstGap)
+  }
+
   private def buildVector(spark: SparkSession, layers: DataFrame, entries: Seq[LabelEntry]): Cube = {
     import spark.implicits._
     // J2: labels↔product equi-lookup; dummy = empty objects list
