@@ -60,32 +60,43 @@ object TextQueries {
     },
 
     // ----- minhash LSH (k=8 hashes, 4 bands of 2): banded candidates -----
+    // One md5 per shingle → 60-bit int → 8 affine hash functions
+    // ((h%p)*(2k+3) + 31k) % p — 8× fewer md5s than hashing per-k, same
+    // minhash guarantees. Identical integer arithmetic on both engines.
     "dedup_minhash_lsh" -> QueryDef.sql(
       """WITH sh AS (
-        |  SELECT doc_id, [substr(text, i, 5) for i in generate_series(1, greatest(length(text)-4, 1))] AS shingles
+        |  SELECT doc_id,
+        |    unnest([('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT
+        |            for i in generate_series(1, greatest(length(text)-4, 1))]) AS h
         |  FROM documents),
         |sig AS (
         |  SELECT doc_id,
-        |    list_min([md5('0' || x) for x in shingles]) AS h0, list_min([md5('1' || x) for x in shingles]) AS h1,
-        |    list_min([md5('2' || x) for x in shingles]) AS h2, list_min([md5('3' || x) for x in shingles]) AS h3,
-        |    list_min([md5('4' || x) for x in shingles]) AS h4, list_min([md5('5' || x) for x in shingles]) AS h5,
-        |    list_min([md5('6' || x) for x in shingles]) AS h6, list_min([md5('7' || x) for x in shingles]) AS h7
-        |  FROM sh),
+        |    min(((h % 1000000007) * 3 + 0) % 1000000007) AS h0,
+        |    min(((h % 1000000007) * 5 + 31) % 1000000007) AS h1,
+        |    min(((h % 1000000007) * 7 + 62) % 1000000007) AS h2,
+        |    min(((h % 1000000007) * 9 + 93) % 1000000007) AS h3,
+        |    min(((h % 1000000007) * 11 + 124) % 1000000007) AS h4,
+        |    min(((h % 1000000007) * 13 + 155) % 1000000007) AS h5,
+        |    min(((h % 1000000007) * 15 + 186) % 1000000007) AS h6,
+        |    min(((h % 1000000007) * 17 + 217) % 1000000007) AS h7
+        |  FROM sh GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
-        |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
-        |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
-        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig)
+        |  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS key FROM sig
+        |  UNION ALL SELECT doc_id, 1, h2 * 1000000007 + h3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h4 * 1000000007 + h5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h6 * 1000000007 + h7 FROM sig)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val p = 1000000007L
+      val h = conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10).cast("long")
       val hashes = (0 until 8).map(k =>
-        min(md5(concat(lit(k.toString), col("shingle")).cast("binary"))).as(s"h$k"))
+        min(((h % p) * (2 * k + 3) + 31 * k) % p).as(s"h$k"))
       val sig = shingled(s, d).groupBy(col("doc_id"))
         .agg(hashes.head, hashes.tail: _*)
       val bands = sig.select(
         col("doc_id"),
-        expr("posexplode(array(h0 || h1, h2 || h3, h4 || h5, h6 || h7)) AS (band, key)"))
+        expr(s"posexplode(array(h0 * ${p}L + h1, h2 * ${p}L + h3, h4 * ${p}L + h5, h6 * ${p}L + h7)) AS (band, key)"))
         .select("doc_id", "band", "key")
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))

@@ -40,19 +40,50 @@ object VectorQueries {
   private def score(a: String, b: String): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
-  /** All-pairs (a < b) with both embeddings attached via broadcast hash
-    * joins, so the score evaluates in a codegen stage. (Precomputing norms
-    * as broadcast columns measured ~3× SLOWER here — the score filter then
-    * merges into the hash-join condition and breaks the codegen pipeline —
-    * so norms are computed inline in [[score]].) */
-  private def pairs(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val ids = e.select(col("vec_id"))
-    val idPairs = ids.select(col("vec_id").as("vec_a"))
-      .join(broadcast(ids.select(col("vec_id").as("vec_b"))), col("vec_a") < col("vec_b"))
-    idPairs
-      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), Seq("vec_a"))
-      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), Seq("vec_b"))
+  /** Brute-force all-pairs cosine ≥ threshold via block nested loop:
+    * the candidate set is broadcast as primitive arrays and each task
+    * scores its id-range against it in a tight JVM loop (the physical
+    * plan a native engine would pick for dense all-pairs; `mapPartitions`
+    * is the sanctioned escape hatch here — SURVEY §7.3 preference (d)).
+    *
+    * Numerics match the SQL oracle exactly: float→double per element,
+    * sequential i=0..63 fold, round(…,6).
+    *
+    * Scale: broadcast side must fit executor memory (~0.5 MB per 2k
+    * vectors; fine to ~10⁶ vectors). Beyond that, `ann_lsh_bucketed` is
+    * the path — bucket equi-join, no broadcast of the full corpus. */
+  private def bruteForcePairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(vecs)
+    val n = vecs.length
+    s.range(0, n, 1, s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { ai =>
+          val (ida, va) = all(ai.toInt)
+          val na = math.sqrt(selfDot(va))
+          (ai.toInt + 1 until all.length).iterator.flatMap { bi =>
+            val (idb, vb) = all(bi)
+            var dp = 0.0
+            var i = 0
+            while (i < Dim) { dp += va(i).toDouble * vb(i).toDouble; i += 1 }
+            val sc = BigDecimal(dp / (na * math.sqrt(selfDot(vb))))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (sc > threshold) Some((ida, idb, sc)) else None
+          }
+        }
+      }
+      .toDF("vec_a", "vec_b", "score")
+  }
+
+  private def selfDot(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    s
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -66,15 +97,32 @@ object VectorQueries {
         |SELECT qid, cid, score FROM s
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 3
         |ORDER BY qid, cid""".stripMargin) { (s, d) =>
-      val e = embeddings(s, d)
-      val q = e.filter(col("vec_id") < 100).select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val scored = c.crossJoin(broadcast(q))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select("qid", "cid", "score").orderBy("qid", "cid")
+      import s.implicits._
+      val vecs = embeddings(s, d).select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(vecs)
+      s.range(0, vecs.count(_._1 < 100), 1, s.sparkContext.defaultParallelism)
+        .as[Long]
+        .mapPartitions { it =>
+          val all = bc.value
+          it.flatMap { qi =>
+            val (qid, qv) = all(qi.toInt)
+            val qn = math.sqrt(selfDot(qv))
+            val scored = all.iterator.filter(_._1 != qid).map { case (cid, cv) =>
+              var dp = 0.0
+              var i = 0
+              while (i < Dim) { dp += qv(i).toDouble * cv(i).toDouble; i += 1 }
+              val sc = BigDecimal(dp / (qn * math.sqrt(selfDot(cv))))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (cid, sc)
+            }.toArray
+            // rank by (rounded score desc, cid asc) — matches the oracle window
+            scored.sortBy { case (cid, sc) => (-sc, cid) }.take(3)
+              .map { case (cid, sc) => (qid, cid, sc) }
+          }
+        }
+        .toDF("qid", "cid", "score")
+        .orderBy("qid", "cid")
     },
 
     // ----- embedding-cosine near-dup pairs (threshold on rounded score) -----
@@ -84,10 +132,7 @@ object VectorQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.9
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      pairs(s, d)
-        .select(col("vec_a"), col("vec_b"), score("ea", "eb").as("score"))
-        .filter(col("score") > 0.9)
-        .orderBy("vec_a", "vec_b")
+      bruteForcePairs(s, d, 0.9).orderBy("vec_a", "vec_b")
     },
 
     // ----- LSH-bucketed ANN (scale path): hyperplane-sign buckets -----
