@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.DotF32
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension installing graft's native Catalyst functions, so
+  * both the Column API and plain SQL can call them:
+  *
+  * ```scala
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT dot_f32(a.embedding, b.embedding) FROM ...")
+  * ```
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "dot_f32 takes exactly 2 arguments")
+        DotF32(children.head, children(1))
+      }))
+  }
+}

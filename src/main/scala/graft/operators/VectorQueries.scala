@@ -30,15 +30,13 @@ object VectorQueries {
 
   private def elem(a: String, i: Int): Column = element_at(col(a), i).cast("double")
 
-  /** Sequential left-fold sum — same IEEE order as an aggregate() fold. */
-  private def dot(a: String, b: String): Column =
-    (1 to Dim).map(i => elem(a, i) * elem(b, i)).reduce(_ + _)
-
-  private def norm(a: String): Column =
-    sqrt((1 to Dim).map(i => elem(a, i) * elem(a, i)).reduce(_ + _))
-
-  private def score(a: String, b: String): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+  /** Cosine over float arrays via the native codegen [[graft.functions.DotF32]]
+    * expression (same sequential fold order as the SQL oracle). */
+  private def score(a: String, b: String): Column = {
+    import graft.functions.DotF32.dot_f32
+    round(dot_f32(col(a), col(b)) /
+      (sqrt(dot_f32(col(a), col(a))) * sqrt(dot_f32(col(b), col(b)))), 6)
+  }
 
   /** Brute-force all-pairs cosine ≥ threshold via block nested loop:
     * the candidate set is broadcast as primitive arrays and each task

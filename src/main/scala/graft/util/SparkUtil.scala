@@ -13,6 +13,7 @@ object SparkUtil {
     configure(SparkSession.builder().master(master))
 
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
