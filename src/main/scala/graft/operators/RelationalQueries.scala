@@ -99,6 +99,36 @@ object RelationalQueries {
       orders(s, d).select("o_orderkey", "o_orderdate").orderBy("o_orderdate", "o_orderkey").limit(1)
     },
 
+    // ----- O4: sessionization (gap > 30 min starts a new session) -----
+    // The batch twin of the streaming state op: lag window → new-session
+    // flags → running sum = session ids. One shuffle on user_id.
+    "o4_sessionize" -> QueryDef.sql(
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+        .withColumn("is_new",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .orderBy("user_id", "session_id")
+    },
+
     // ----- J1: overlap theta-semi-join vs broadcast primary (…:204-222) -----
     "j1_overlap_semi" -> QueryDef.sql(
       """WITH primary_row AS (

@@ -104,6 +104,62 @@ object TextQueries {
         .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
     },
 
+    // ----- n-gram Jaccard similarity over minhash candidate pairs -----
+    // Exact |A∩B| / |A∪B| on distinct 5-gram sets, but only for pairs
+    // that already collide on the minhash signature — candidate
+    // generation stays sub-quadratic, the quadratic exact compare never
+    // touches non-candidates (the LSH pattern end-to-end).
+    "dedup_ngram_jaccard" -> QueryDef.sql(
+      """WITH sh0 AS (
+        |  SELECT doc_id,
+        |    unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |sig AS (SELECT doc_id, min(md5(shingle)) AS s1, min(md5('x' || shingle)) AS s2
+        |        FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // 12-gram shingles + a 2-hash band key: with a narrow synthetic
+      // vocabulary, single 5-gram minhash buckets are enormous (1.3M
+      // pairs at sf0.1); 12-gram × 2 hashes yields ~2k real candidates.
+      val sh = documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"), col("text"))
+        .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min(md5(col("shingle").cast("binary"))).as("s1"),
+        min(md5(concat(lit("x"), col("shingle")).cast("binary"))).as("s2"))
+      val cand = sig.select(col("doc_id").as("doc_a"), col("s1"), col("s2"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("s1"), col("s2")), Seq("s1", "s2"))
+        .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ----- simhash near-dup (64-bit, 4×16 bands, hamming ≤ 3) — rows-only -----
     // Explode distinct tokens → one xxhash64 per token → 64 per-bit vote
     // sums (all codegen'd, map-side combined) → signature assembly.
