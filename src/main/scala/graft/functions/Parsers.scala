@@ -48,4 +48,19 @@ object Parsers {
     when(wellFormed,
       transform(split(inner, ","), t => regexp_replace(trim(t), "^'|'$", "")))
   }
+
+  /** S10: KML `<coordinates>` parse (analytics_IO.py:242-265) —
+    * "lon,lat[,height] lon,lat[,height] …" → (lon, lat, height) structs.
+    * Driver-side (KML files are tiny control inputs, never data-plane). */
+  def parseKmlCoordinates(kml: String): Seq[(Double, Double, Double)] = {
+    val block = "(?s)<coordinates>(.*?)</coordinates>".r
+      .findFirstMatchIn(kml)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("no <coordinates> element found"))
+    block.trim.split("\\s+").filter(_.nonEmpty).toSeq.map { triple =>
+      val parts = triple.split(",")
+      (parts(0).toDouble, parts(1).toDouble,
+        if (parts.length > 2) parts(2).toDouble else 0.0)
+    }
+  }
 }

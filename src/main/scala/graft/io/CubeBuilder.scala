@@ -21,13 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object CubeBuilder {
 
-  def fromDirectory(spark: SparkSession, dir: String, config: CubeConfig): Cube = {
+  /** Pixel-dtype whitelist (sar_datacube.py:194-201) → Spark types
+    * (SURVEY §1.2 mapping; no unsigned ints in Spark). */
+  val DtypeWhitelist: Map[String, String] = Map(
+    "uint8" -> "smallint", "int8" -> "tinyint",
+    "uint16" -> "int", "int16" -> "smallint",
+    "float32" -> "float", "float64" -> "double")
+
+  def fromDirectory(
+      spark: SparkSession, dir: String, config: CubeConfig,
+      dtypeOverride: Option[String] = None): Cube = {
     val files = MetadataCrawler.listMetadataFiles(dir)
     require(files.nonEmpty, s"Could not find any products in $dir")
-    fromFiles(spark, files, config)
+    fromFiles(spark, files, config, dtypeOverride)
   }
 
-  def fromFiles(spark: SparkSession, metadataPaths: Seq[String], config: CubeConfig): Cube = {
+  def fromFiles(
+      spark: SparkSession, metadataPaths: Seq[String], config: CubeConfig): Cube =
+    fromFiles(spark, metadataPaths, config, None)
+
+  /** `dtypeOverride`: user-forced pixel dtype (set_xarray_dtype,
+    * sar_datacube.py:190-207); must be on the whitelist. Default =
+    * master dtype inferred from the first valid layer's schema. */
+  def fromFiles(
+      spark: SparkSession, metadataPaths: Seq[String], config: CubeConfig,
+      dtypeOverride: Option[String]): Cube = {
     val productType = sniffProductType(metadataPaths)
     val crawled = MetadataCrawler.crawlFiles(spark, metadataPaths)
     val layers = new CubePlanner(config).plan(crawled).cache()
@@ -67,8 +85,15 @@ object CubeBuilder {
         raw.join(broadcast(bandOf), Seq("_fpath")).drop("_fpath")
       }
 
-    val dtype = attrsDtype(pixels, productType)
-    Cube(layers, pixels, Map(
+    val (dtype, typedPixels) = dtypeOverride match {
+      case None => (attrsDtype(pixels, productType), pixels)
+      case Some(d) =>
+        val sparkType = DtypeWhitelist.getOrElse(d, throw new IllegalArgumentException(
+          s"dtype $d not supported; expected one of ${DtypeWhitelist.keys.mkString(", ")}"))
+        val valueCols = if (productType == "SLC") Seq("real", "imag") else Seq("intensity")
+        (d, valueCols.foldLeft(pixels)((df, c) => df.withColumn(c, col(c).cast(sparkType))))
+    }
+    Cube(layers, typedPixels, Map(
       "product_type" -> productType,
       "dtype" -> dtype,
       "master_azimuth" -> masterAz.toString,

@@ -30,6 +30,26 @@ class ParsersSpec extends SparkFunSuite {
     assert(out.getAs[collection.Seq[String]]("v") == Seq("2021-01-01", "2021-01-02"))
   }
 
+  test("S10: KML coordinates parse") {
+    val kml = """<kml><Placemark><Polygon><coordinates>
+                |  21.0,47.0,0 21.1,47.0 21.1,47.1,5.5
+                |</coordinates></Polygon></Placemark></kml>""".stripMargin
+    val pts = Parsers.parseKmlCoordinates(kml)
+    assert(pts == Seq((21.0, 47.0, 0.0), (21.1, 47.0, 0.0), (21.1, 47.1, 5.5)))
+    intercept[IllegalArgumentException] { Parsers.parseKmlCoordinates("<kml></kml>") }
+  }
+
+  test("dtype override casts pixel values and is whitelisted") {
+    val dir = graft.Fixtures.writeGrdStack(spark, tmpDir("dtypegrd"))
+    val cube = graft.io.CubeBuilder.fromDirectory(
+      spark, dir, graft.core.CubeConfig(), Some("int16"))
+    assert(cube.attrs("dtype") == "int16")
+    assert(cube.pixels.schema("intensity").dataType.typeName == "short")
+    intercept[IllegalArgumentException] {
+      graft.io.CubeBuilder.fromDirectory(spark, dir, graft.core.CubeConfig(), Some("complex128"))
+    }
+  }
+
   test("Q9 tiles + W2 csv export on a GRD cube") {
     val dir = graft.Fixtures.writeGrdStack(spark, tmpDir("tilegrd"))
     val cube = graft.core.Cube.fromDirectory(spark, dir, graft.core.CubeConfig())
