@@ -103,6 +103,18 @@ class LabelsSpec extends SparkFunSuite {
     assert(u.isNullAt(1))
   }
 
+  test("labels over a resampled cube: gaps stay None, labelled bands keep objects") {
+    val cfg = graft.core.CubeConfig.fromJsonString(
+      """{"start_date": 20210426, "end_date": 20210528, "temporal_resolution": 1}""")
+    val path = writeVectorLabels(Fixtures.grdProducts.map(_.name))
+    val merged = GenerateCube.createCube(spark, grdDir, cfg, Some(path))
+    assert(merged.dimensions("Band") == 33L)
+    val labelled = merged.layers.filter(col("objects_json").isNotNull)
+      .select("band_index").collect().map(_.getInt(0)).sorted
+    assert(labelled.toSeq == Seq(1, 2, 31)) // real layers only
+    assert(merged.getMetadata("product_file", 0) == "None")
+  }
+
   test("mixed raster+vector labels raise (labels_utils.py:34-44)") {
     val dir = tmpDir("mixedlabels")
     val json =

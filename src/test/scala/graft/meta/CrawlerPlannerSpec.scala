@@ -114,6 +114,37 @@ class CrawlerPlannerSpec extends SparkFunSuite {
     assert(planned.filter(col("product_file").endsWith("fake_far.tif")).count() == 0)
   }
 
+  test("all-null acquisition_date skips the date filter entirely (F4 …:127)") {
+    // product metadata without acquisition_end_utc → null dates; a naive
+    // filter would drop every row, the reference keeps them all
+    val nullDir = tmpDir("nulldates")
+    Fixtures.grdProducts.foreach { p =>
+      val json = Fixtures.metadataJson(p).replaceAll(""""acquisition_end_utc": "[^"]*",""", "")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$nullDir/${p.name}.json"),
+        json.getBytes("UTF-8"))
+      spark.range(1).selectExpr("0 azimuth", "0 range", "0.0 intensity")
+        .write.mode("overwrite").parquet(s"$nullDir/${p.name}.parquet")
+    }
+    val cfg = CubeConfig.fromJsonString("""{"start_date": 19800101, "end_date": 19800102}""")
+    val planned = new CubePlanner(cfg).plan(MetadataCrawler.crawlDirectory(spark, nullDir))
+    assert(planned.count() == 3) // all kept despite the out-of-range window
+  }
+
+  test("all-null incidence skips the angle filter (F4 …:134)") {
+    val nullDir = tmpDir("nullinc")
+    Fixtures.grdProducts.foreach { p =>
+      val json = Fixtures.metadataJson(p)
+        .replaceAll(""""incidence_center": [0-9.]+,""", "")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$nullDir/${p.name}.json"),
+        json.getBytes("UTF-8"))
+      spark.range(1).selectExpr("0 azimuth", "0 range", "0.0 intensity")
+        .write.mode("overwrite").parquet(s"$nullDir/${p.name}.parquet")
+    }
+    val cfg = CubeConfig.fromJsonString("""{"min_incidence_angle": 80, "max_incidence_angle": 85}""")
+    val planned = new CubePlanner(cfg).plan(MetadataCrawler.crawlDirectory(spark, nullDir))
+    assert(planned.count() == 3)
+  }
+
   test("empty plan raises (F5 …:157-161)") {
     val cfg = CubeConfig.fromJsonString("""{"start_date": 19800101, "end_date": 19800102}""")
     intercept[IllegalStateException] {
