@@ -134,19 +134,26 @@ object VectorQueries {
     },
 
     // ----- LSH-bucketed ANN (scale path): hyperplane-sign buckets -----
-    // Deterministic pseudo-random hyperplane signs from xxhash64(plane*64
-    // + dim) — constant-folded per plane/dim. Bucket equi-join replaces
-    // the all-pairs product. Rows-only check (xxhash64 signs are not
-    // expressible in DuckDB).
+    // Deterministic hyperplanes as literal ±1 sign vectors (splitmix-
+    // style bit mix, computed driver-side); each plane projection is one
+    // dot_f32 against a literal array, so the bucket expression stays
+    // small (a 512-term column tree made janino compilation the dominant
+    // cost). Bucket equi-join replaces the all-pairs product. Rows-only
+    // check (the sign vectors are not expressible in DuckDB).
     "ann_lsh_bucketed" -> QueryDef.rowsOnly { (s, d) =>
+      import graft.functions.DotF32.dot_f32
       val planes = 8
-      val planeDot = (p: Int, v: String) =>
-        (1 to Dim).map { i =>
-          val sign = when((xxhash64(lit(p * Dim + i)) % 2) === 0, 1.0).otherwise(-1.0)
-          elem(v, i) * sign
-        }.reduce(_ + _)
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val signVecs = Array.tabulate(planes)(p =>
+        Array.tabulate(Dim)(i => if ((mix(p.toLong * Dim + i) & 1L) == 0L) 1.0f else -1.0f))
       val bucket = (v: String) => (0 until planes).map(p =>
-        when(planeDot(p, v) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+        when(dot_f32(col(v), typedlit(signVecs(p))) > 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
       val e = embeddings(s, d)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         bucket("embedding").as("bucket"))
