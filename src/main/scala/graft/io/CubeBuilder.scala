@@ -71,18 +71,27 @@ object CubeBuilder {
       }
     }
 
-    // surviving non-gap files only — the planner already pruned the rest
+    // surviving non-gap files only — the planner already pruned the rest.
+    // Payload format resolved per product from the CubeSource registry
+    // (driver-side Files.exists over the layer-cardinality list).
     val survivors = layers.filter(col("product_fpath").isNotNull)
       .select("product_fpath").collect().map(_.getString(0))
+    val payloadExts = CubeSource.registry.flatMap(_.extensions)
+    val payloads = survivors.map { p =>
+      payloadExts.map(e => s"$p.$e").find(f => new java.io.File(f).exists())
+        .getOrElse(throw new IllegalStateException(s"no pixel payload found next to $p"))
+    }
 
     val pixels =
       if (survivors.isEmpty) emptyPixels(spark, productType)
       else {
-        val raw = spark.read.parquet(survivors.toIndexedSeq: _*)
-          .withColumn("_fpath", regexp_extract(input_file_name(), "^(.*?\\.parquet)(/.*)?$", 1))
+        val byms = payloads.groupBy(CubeSource.forPath)
+        val parts = byms.map { case (src, ps) => src.readPixels(spark, ps.toIndexedSeq) }
+        val raw = parts.reduce(_ unionByName _)
+          .withColumn("_ppath", regexp_replace(col("_fpath"), "\\.[A-Za-z0-9]+$", ""))
         val bandOf = layers.select(
-          col("product_fpath").as("_fpath"), col("band_index"), col("band_time"))
-        raw.join(broadcast(bandOf), Seq("_fpath")).drop("_fpath")
+          col("product_fpath").as("_ppath"), col("band_index"), col("band_time"))
+        raw.join(broadcast(bandOf), Seq("_ppath")).drop("_ppath", "_fpath")
       }
 
     val (dtype, typedPixels) = dtypeOverride match {

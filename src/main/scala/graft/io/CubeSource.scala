@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source plugin surface.
+  *
+  * The reference's extension mechanism is *source subclassing* —
+  * `SARDatacube`/`LabelsDatacube` abstract methods (sar_datacube.py:65-107;
+  * SURVEY §2.11) — not scalar-function plugins. The Spark equivalent is
+  * this trait: decode a set of product files into a long pixel DataFrame.
+  * `CubeBuilder` routes each product to the source registered for its
+  * pixel-payload extension; adding a format (real TIFF/HDF5 decoders
+  * later) is one object + one registry entry, no builder changes.
+  */
+trait CubeSource {
+  /** Payload extensions this source owns (e.g. "parquet", "csv"). */
+  def extensions: Set[String]
+
+  /** Read pixel payloads for the given files into a DataFrame with
+    * columns (azimuth INT, range INT, value columns…) plus `_fpath` =
+    * the normalized dataset path, for band tagging. Must be one
+    * distributed read per call — no per-file driver loops. */
+  def readPixels(spark: SparkSession, paths: Seq[String]): DataFrame
+}
+
+object CubeSource {
+  /** file:///a/b.parquet/part-x.parquet → /a/b.parquet */
+  private[io] def datasetPath(c: org.apache.spark.sql.Column, ext: String) =
+    regexp_replace(regexp_extract(c, s"^(.*?\\.$ext)(/.*)?$$", 1), "^file:/+", "/")
+
+  val registry: Seq[CubeSource] = Seq(ParquetPixelSource, CsvPixelSource)
+
+  def forPath(path: String): CubeSource = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    registry.find(_.extensions.contains(ext)).getOrElse(
+      throw new IllegalArgumentException(s"no CubeSource registered for .$ext ($path)"))
+  }
+}
+
+/** Fixture-layout parquet payloads (FIXTURES.md §2.1/2.2). */
+object ParquetPixelSource extends CubeSource {
+  override val extensions: Set[String] = Set("parquet")
+  override def readPixels(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+      .withColumn("_fpath", CubeSource.datasetPath(input_file_name(), "parquet"))
+}
+
+/** CSV payloads with a header row; numeric columns are cast to the
+  * canonical pixel schema. */
+object CsvPixelSource extends CubeSource {
+  override val extensions: Set[String] = Set("csv")
+  override def readPixels(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "false").csv(paths: _*)
+      .withColumn("_fpath", CubeSource.datasetPath(input_file_name(), "csv"))
+    val typed = raw.columns.filterNot(_ == "_fpath").foldLeft(raw) { (df, c) =>
+      val target = if (c == "azimuth" || c == "range") "int" else "double"
+      df.withColumn(c, col(c).cast(target))
+    }
+    typed
+  }
+}

@@ -116,7 +116,11 @@ object MetadataCrawler {
     raw.select(
       coalesce(optCol(raw, "product_file"),
         regexp_extract(col("_src"), "([^/]+)\\.json$", 1)).as("product_file"),
-      regexp_replace(col("_src"), "\\.json$", ".parquet").as("product_fpath"),
+      // raster-path analog: "<dir>/<product_file>" (strip the .json and
+      // the file: URI prefix); the pixel payload lives next to it as
+      // <product_fpath>.<ext> for any registered CubeSource extension
+      regexp_replace(regexp_replace(col("_src"), "\\.json$", ""), "^file:/+", "/")
+        .as("product_fpath"),
       incidence.as("incidence_center"),
       optCol(raw, "look_side").cast(StringType).as("look_side"),
       optCol(raw, "orbit_direction").cast(StringType).as("orbit_direction"),

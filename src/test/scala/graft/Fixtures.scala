@@ -58,7 +58,8 @@ object Fixtures {
        |}""".stripMargin
 
   /** Write a GRD or SLC stack into `dir`; returns the dir. */
-  def writeStack(spark: SparkSession, dir: String, products: Seq[Product], slc: Boolean): String = {
+  def writeStack(spark: SparkSession, dir: String, products: Seq[Product], slc: Boolean,
+      format: String = "parquet"): String = {
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
     products.zipWithIndex.foreach { case (p, idx) =>
@@ -68,7 +69,9 @@ object Fixtures {
       val df: DataFrame =
         if (slc) rows.map { case (a, r, v) => (a, r, v, -v) }.toDF("azimuth", "range", "real", "imag")
         else rows.toDF("azimuth", "range", "intensity")
-      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/${p.name}.parquet")
+      val w = df.coalesce(1).write.mode("overwrite")
+      if (format == "csv") w.option("header", "true").csv(s"$dir/${p.name}.csv")
+      else w.parquet(s"$dir/${p.name}.parquet")
     }
     dir
   }
