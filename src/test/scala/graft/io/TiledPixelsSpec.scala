@@ -22,6 +22,19 @@ class TiledPixelsSpec extends SparkFunSuite {
     assert(orig.toSeq == rt.toSeq)
   }
 
+  test("tiled cube store roundtrip through CubeWriter/CubeReader") {
+    val out = tmpDir("tiledstore")
+    CubeWriter.writeTiled(cube, out, 4)
+    val back = Cube.load(spark, out)
+    assert(back.attrs("tile_size") == "4")
+    assert(back.dimensions == cube.dimensions)
+    assert(back.pixels.count() == cube.pixels.count())
+    val v = back.productValues(Fixtures.grdProducts.head.name)
+      .filter(col("azimuth") === 7 && col("range") === 2)
+      .select("intensity").collect().head.getDouble(0)
+    assert(v == Fixtures.pixelValue(0, 7, 2))
+  }
+
   test("window read prunes tiles and trims exactly") {
     val tiled = TiledPixels.tile(cube.pixels, 4)
     val w = TiledPixels.window(tiled, 4, 2, 5, 3, 6)
