@@ -18,11 +18,19 @@ object TextQueries {
   /** Lower-cased whitespace tokens (Spark-side builder). */
   private val toksExpr = "split(trim(lower(text)), '\\\\s+')"
 
+  /** Spread a small-file scan across all cores BEFORE row-exploding
+    * work: a few-MB documents table arrives as ONE input split, which
+    * serializes the entire shingle+md5 stage onto one task (measured: the
+    * sketch queries ran no faster on 32 cores than 8). The few-MB
+    * pre-explode shuffle is free by comparison. */
+  private def spread(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** doc_id + exploded 5-gram shingles. Explode → groupBy partial-agg is
     * the codegen-friendly (and 100 TB-friendly) shape: no per-row arrays,
     * map-side combine collapses each doc's shingles before any shuffle. */
   private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
-    documents(s, d)
+    spread(documents(s, d))
       .select(col("doc_id"),
         explode(expr("sequence(1, greatest(length(text)-4, 1))")).as("i"),
         col("text"))
@@ -136,7 +144,7 @@ object TextQueries {
       // 12-gram shingles + a 2-hash band key: with a narrow synthetic
       // vocabulary, single 5-gram minhash buckets are enormous (1.3M
       // pairs at sf0.1); 12-gram × 2 hashes yields ~2k real candidates.
-      val sh = documents(s, d)
+      val sh = spread(documents(s, d))
         .select(col("doc_id"),
           explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"), col("text"))
         .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
@@ -164,7 +172,7 @@ object TextQueries {
     // Explode distinct tokens → one xxhash64 per token → 64 per-bit vote
     // sums (all codegen'd, map-side combined) → signature assembly.
     "dedup_simhash" -> QueryDef.rowsOnly { (s, d) =>
-      val toks = documents(s, d)
+      val toks = spread(documents(s, d))
         .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("t"))
         .withColumn("h", xxhash64(col("t")))
       val votes = (0 until 64).map(j =>
