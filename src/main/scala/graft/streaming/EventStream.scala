@@ -27,6 +27,42 @@ object EventStream {
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total_value: Double)
+  case class SessionState(sessionStart: Long, lastSeen: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp, n_events: Long, closed: Boolean)
+
+  /** Streaming sessionization via flatMapGroupsWithState — the streaming
+    * twin of the batch `o4_sessionize` query (gap > `gapMs` closes the
+    * session and emits it; the open session is emitted as a running
+    * update). Event-time driven off the rows themselves, so results are
+    * deterministic for a given input split. */
+  def sessionize(events: Dataset[UserEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(sess) if t - sess.lastSeen > gapMs =>
+                out ::= SessionOut(uid, new java.sql.Timestamp(sess.sessionStart), sess.n, closed = true)
+                cur = Some(SessionState(t, t, 1))
+              case Some(sess) =>
+                cur = Some(sess.copy(lastSeen = t, n = sess.n + 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          val open = cur.map(sess =>
+            SessionOut(uid, new java.sql.Timestamp(sess.sessionStart), sess.n, closed = false))
+          (out.reverse ++ open).iterator
+      }
+  }
 
   /** Custom per-key state via mapGroupsWithState: running per-user totals
     * (KeyValueGroupedDataset path). NoTimeout keeps micro-batch scheduling

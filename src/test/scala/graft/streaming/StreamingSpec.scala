@@ -36,6 +36,26 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes on gap, keeps open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.UserEvent]
+    val query = EventStream.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventStream.UserEvent(1, ts("2024-01-01 00:00:00"), 1.0),
+        EventStream.UserEvent(1, ts("2024-01-01 00:05:00"), 1.0),
+        EventStream.UserEvent(1, ts("2024-01-01 01:00:00"), 1.0)) // >10min gap → closes first
+      query.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "session_start", "n_events", "closed")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getBoolean(3)))
+      assert(rows.contains((1L, "2024-01-01 00:00:00.0", 2L, true)))  // closed session
+      assert(rows.contains((1L, "2024-01-01 01:00:00.0", 1L, false))) // open session
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
