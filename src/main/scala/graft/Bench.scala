@@ -38,7 +38,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: raw stdout (run /
+    // outputStrategy = StdoutOutput strips sbt's [info] prefix) AND a
+    // known file in the repo root.
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     spark.stop()
   }
 }

@@ -125,8 +125,17 @@ final case class Cube(
       else {
         val dupVars = other.dataVariables.toSet.intersect(dataVariables.toSet)
         val rightKeep = other.pixels.columns.filter(c => coords.contains(c) || !dupVars.contains(c))
-        pixels.drop("band_time")
+        val joined = pixels.drop("band_time")
           .join(other.pixels.select(rightKeep.map(col).toSeq: _*).drop("band_time"), coords, "full_outer")
+        // Re-attach band_time (dropped pre-join since both sides carry
+        // it): keeps the merged pixel schema identical to the unmerged
+        // branches — TiledPixels.tile / CubeWriter.writeTiled group by
+        // band_time and would otherwise fail on a merged cube. Broadcast
+        // join against the layer-cardinality table is shuffle-free.
+        if (pixels.columns.contains("band_time"))
+          joined.join(broadcast(layers.select(col("band_index"), col("band_time"))),
+            Seq("band_index"), "left")
+        else joined
       }
     val rightLayerCols = Seq("band_index", "metadata") ++
       other.layers.columns.filter(c => !layers.columns.contains(c))

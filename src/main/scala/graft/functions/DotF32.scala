@@ -45,7 +45,14 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    // Null elements contribute 0 (skipped) — identically in both the
+    // interpreted and codegen paths (getFloat on a null slot would NPE
+    // here but silently read 0.0 in generated code).
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -58,7 +65,9 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -74,11 +74,16 @@ object MetadataCrawler {
     if (df.columns.contains(name)) col(name) else lit(null)
 
   /** (lat, lon) pair at positions 3,4 of a coord vector, reversed to
-    * (lon, lat) — metadata_crawler.py:255-267 takes coord[2:] and [::-1]. */
+    * (lon, lat) — metadata_crawler.py:255-267 takes coord[2:] and [::-1].
+    * Built with `concat` (NOT concat_ws) so a missing coordinate makes the
+    * corner — and thus the whole extent — null, matching the reference's
+    * extent=NaN on any missing corner; concat_ws would silently skip the
+    * null and emit malformed WKT that Geo.parseWktPolygon throws on. */
   private def lonLat(df: DataFrame, name: String): Column =
-    concat_ws(" ",
-      element_at(optCol(df, name).cast(ArrayType(DoubleType)), 4),
-      element_at(optCol(df, name).cast(ArrayType(DoubleType)), 3))
+    concat(
+      element_at(optCol(df, name).cast(ArrayType(DoubleType)), 4).cast(StringType),
+      lit(" "),
+      element_at(optCol(df, name).cast(ArrayType(DoubleType)), 3).cast(StringType))
 
   private def project(raw: DataFrame): DataFrame = {
     val acqTs = to_timestamp(optCol(raw, "acquisition_end_utc"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
@@ -92,14 +97,15 @@ object MetadataCrawler {
       optCol(raw, "incidence_center").cast(DoubleType),
       (optCol(raw, "incidence_near").cast(DoubleType) + optCol(raw, "incidence_far").cast(DoubleType)) / 2.0)
 
-    // extent polygon [bl, br, ur, ul, bl] (metadata_crawler.py:255-267)
-    val extent = when(optCol(raw, "coord_first_near").isNotNull,
+    // extent polygon [bl, br, ur, ul, bl] (metadata_crawler.py:255-267);
+    // concat propagates null, so ANY missing corner nulls the extent.
+    val extent =
       concat(lit("POLYGON(("),
         lonLat(raw, "coord_last_near"), lit(", "),
         lonLat(raw, "coord_last_far"), lit(", "),
         lonLat(raw, "coord_first_far"), lit(", "),
         lonLat(raw, "coord_first_near"), lit(", "),
-        lonLat(raw, "coord_last_near"), lit("))")))
+        lonLat(raw, "coord_last_near"), lit("))"))
 
     // open attrs: every non-core JSON field, stringified (NumpyEncoder
     // analog, common_utils.py:126-138 — arrays/structs become JSON text).

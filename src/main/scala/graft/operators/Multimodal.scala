@@ -55,15 +55,19 @@ object Multimodal {
         val n = bytes.length
         val w = (n % 64) + 1
         val h = (n / 64) + 1
-        // fake features: mean of each of 8 byte-stripes, normalized
-        val feats = Array.tabulate(8) { k =>
-          val lo = k * n / 8
-          val hi = math.max(lo + 1, (k + 1) * n / 8)
-          var s = 0.0
-          var i = lo
-          while (i < hi) { s += (bytes(i) & 0xff); i += 1 }
-          (s / (hi - lo) / 255.0).toFloat
-        }
+        // fake features: mean of each of 8 byte-stripes, normalized.
+        // Empty payloads get zeroed features (the stripe loop would
+        // otherwise index bytes(0) on a zero-length array).
+        val feats =
+          if (n == 0) Array.fill(8)(0.0f)
+          else Array.tabulate(8) { k =>
+            val lo = k * n / 8
+            val hi = math.max(lo + 1, (k + 1) * n / 8)
+            var s = 0.0
+            var i = lo
+            while (i < hi) { s += (bytes(i) & 0xff); i += 1 }
+            (s / (hi - lo) / 255.0).toFloat
+          }
         Row(id, mt, n, w, h, 3, feats.toSeq)
       }
     }(enc)

@@ -102,27 +102,33 @@ object RelationalQueries {
     // ----- O4: sessionization (gap > 30 min starts a new session) -----
     // The batch twin of the streaming state op: lag window → new-session
     // flags → running sum = session ids. One shuffle on user_id.
+    // Gap math runs in NANOSECONDS on both engines: the events column is
+    // TIMESTAMP_NANOS, and a µs conversion rounds differently between
+    // DuckDB versions (ns-truncating vs native TIMESTAMP_NS reads), which
+    // can flip the >30 min test at gap boundaries. session_id is CAST to
+    // BIGINT because DuckDB's windowed sum(int) is HUGEINT, which breaks
+    // the driver's type-aware hash against Spark's LongType.
     "o4_sessionize" -> QueryDef.sql(
-      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      """WITH t AS (SELECT user_id, event_id, epoch_ns(ts) AS ns FROM events),
         |m AS (
-        |  SELECT user_id, event_id, us,
-        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
-        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |  SELECT user_id, event_id, ns,
+        |    CASE WHEN lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) IS NULL
+        |           OR ns - lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) > 1800000000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM t),
         |s AS (
         |  SELECT user_id, event_id,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS BIGINT) AS session_id
         |  FROM m)
         |SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
       events(s, d)
-        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+        .select(col("user_id"), col("event_id"), col("ts_ns").as("ns"))
         .withColumn("is_new",
-          when(lag(col("us"), 1).over(w).isNull ||
-            col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+          when(lag(col("ns"), 1).over(w).isNull ||
+            col("ns") - lag(col("ns"), 1).over(w) > 1800000000000L, 1L).otherwise(0L))
         .withColumn("session_id", sum(col("is_new")).over(w))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))

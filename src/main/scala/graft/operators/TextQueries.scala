@@ -160,9 +160,11 @@ object TextQueries {
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      // No broadcast hint on `sizes`: it is one row per document, i.e.
+      // unbounded at 100 TB. AQE broadcasts it at runtime when it fits.
       inter
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -124,45 +124,109 @@ object VectorQueries {
     },
 
     // ----- embedding-cosine near-dup pairs (threshold on rounded score) -----
+    // Threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    // pairwise cosine ≈ 0.51 at sf0.01), so the reference-style 0.9
+    // threshold returns an empty set and the check is vacuous. 0.4 keeps
+    // the "near-dup pair" semantics while the compared sets are non-empty.
     "dedup_embedding_cosine" -> QueryDef.sql(
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.9
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.4
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      bruteForcePairs(s, d, 0.9).orderBy("vec_a", "vec_b")
+      bruteForcePairs(s, d, 0.4).orderBy("vec_a", "vec_b")
     },
 
-    // ----- LSH-bucketed ANN (scale path): hyperplane-sign buckets -----
-    // Deterministic hyperplanes as literal ±1 sign vectors (splitmix-
-    // style bit mix, computed driver-side); each plane projection is one
-    // dot_f32 against a literal array, so the bucket expression stays
-    // small (a 512-term column tree made janino compilation the dominant
-    // cost). Bucket equi-join replaces the all-pairs product. Rows-only
-    // check (the sign vectors are not expressible in DuckDB).
-    "ann_lsh_bucketed" -> QueryDef.rowsOnly { (s, d) =>
-      import graft.functions.DotF32.dot_f32
-      val planes = 8
-      def mix(z0: Long): Long = {
-        var z = z0 + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
+    // ----- LSH-bucketed ANN (scale path): banded hyperplane buckets -----
+    // OR-construction over AND-bands (same shape as dedup_minhash_lsh):
+    // Bands × PlanesPerBand hyperplanes; a pair is a candidate when ALL
+    // plane signs of SOME band agree. A single 8-plane AND bucket (round
+    // 1) had recall ≈ (1−θ/π)^8 ≈ 0.3 at cos 0.9 — banding fixes that
+    // (LshRecallSpec asserts ≥ 0.9 on planted near-dups). Candidate
+    // generation is a (band, key) equi-join — a shuffle on a small key,
+    // never an all-pairs product, so it survives 100 TB.
+    //
+    // Full oracle: the deterministic ±1 sign vectors are baked into the
+    // generated DuckDB SQL as literal DOUBLE lists. Both engines fold
+    // float→double products sequentially (dot_f32 ≡ list_dot_product on
+    // the cast array), so bucket signs and scores are bit-identical.
+    "ann_lsh_bucketed" -> {
+      import LshPlanes._
+      val oracleBands = (0 until Bands).map { b =>
+        val key = (0 until PlanesPerBand).map { p =>
+          val lits = signVecs(b * PlanesPerBand + p).map(f => if (f > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, $key AS key FROM e"
+      }.mkString("\n  UNION ALL ")
+      QueryDef.sql(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (
+           |  $oracleBands),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+           |  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id)
+           |SELECT c.vec_a, c.vec_b,
+           |  round(list_dot_product(ea.v, eb.v) /
+           |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS score
+           |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+           |WHERE round(list_dot_product(ea.v, eb.v) /
+           |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) > 0.4
+           |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+        val e = embeddings(s, d)
+        val cand = bandedCandidates(e.select(col("vec_id"), col("embedding")))
+        val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+          .select(col("vec_a"), col("vec_b"), score("va", "vb").as("score"))
+          .filter(col("score") > 0.4)
+          .orderBy("vec_a", "vec_b")
       }
-      val signVecs = Array.tabulate(planes)(p =>
-        Array.tabulate(Dim)(i => if ((mix(p.toLong * Dim + i) & 1L) == 0L) 1.0f else -1.0f))
-      val bucket = (v: String) => (0 until planes).map(p =>
-        when(dot_f32(col(v), typedlit(signVecs(p))) > 0, lit(1L << p)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_))
-      val e = embeddings(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        bucket("embedding").as("bucket"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        bucket("embedding").as("bucket"))
-      a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), score("ea", "eb").as("score"))
-        .filter(col("score") > 0.9)
-        .orderBy("vec_a", "vec_b")
     },
   )
+}
+
+/** Deterministic random-hyperplane bank for the banded cosine LSH —
+  * shared by the query, its generated DuckDB oracle, and LshRecallSpec.
+  * Signs come from a splitmix64-style bit mix so both engines (and the
+  * spec) can reproduce them from the (plane, dim) index alone. */
+object LshPlanes {
+  val Bands = 4
+  val PlanesPerBand = 4
+  // NOT VectorQueries.Dim: defs there reads signVecs here, so a back-
+  // reference would deadlock the two objects' static initializers.
+  val Dim = 64
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Bands*PlanesPerBand literal ±1 sign vectors. */
+  val signVecs: Array[Array[Float]] = Array.tabulate(Bands * PlanesPerBand)(p =>
+    Array.tabulate(Dim)(i => if ((mix(p.toLong * Dim + i) & 1L) == 0L) 1.0f else -1.0f))
+
+  /** Distinct (vec_a, vec_b) candidate pairs colliding in ≥1 band.
+    * Input: (vec_id, embedding). Per band, the 4 plane signs form a
+    * 4-bit key; posexplode → equi-join on (band, key). Each plane
+    * projection is one dot_f32 against a literal array, so the column
+    * tree stays small (janino-friendly) and fully codegen'd. */
+  def bandedCandidates(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.DotF32.dot_f32
+    val bandKeys = (0 until Bands).map { b =>
+      (0 until PlanesPerBand).map { p =>
+        when(dot_f32(col("embedding"), typedlit(signVecs(b * PlanesPerBand + p))) > 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val bands = e
+      .withColumn("bk", array(bandKeys: _*))
+      .select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "key")))
+    val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("key"))
+    val b = bands.select(col("vec_id").as("vec_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
 }
