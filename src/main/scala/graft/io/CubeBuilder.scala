@@ -31,7 +31,13 @@ object CubeBuilder {
   def fromDirectory(
       spark: SparkSession, dir: String, config: CubeConfig,
       dtypeOverride: Option[String] = None): Cube = {
-    val files = MetadataCrawler.listMetadataFiles(dir)
+    // JSON-sidecar fixture layout when present, else real binary rasters
+    val jsons = MetadataCrawler.listMetadataFiles(dir)
+    val files =
+      if (jsons.nonEmpty) jsons
+      else Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && Set("tif", "tiff", "h5").exists(e => f.getName.toLowerCase.endsWith("." + e)))
+        .map(_.getAbsolutePath).sorted.toSeq
     require(files.nonEmpty, s"Could not find any products in $dir")
     fromFiles(spark, files, config, dtypeOverride)
   }
@@ -47,7 +53,9 @@ object CubeBuilder {
       spark: SparkSession, metadataPaths: Seq[String], config: CubeConfig,
       dtypeOverride: Option[String]): Cube = {
     val productType = sniffProductType(metadataPaths)
-    val crawled = MetadataCrawler.crawlFiles(spark, metadataPaths)
+    val crawled =
+      if (metadataPaths.forall(_.endsWith(".json"))) MetadataCrawler.crawlFiles(spark, metadataPaths)
+      else MetadataCrawler.crawlRasterFiles(spark, metadataPaths)
     val layers = new CubePlanner(config).plan(crawled).cache()
 
     // master shape = first valid row by band order (get_master_shape,
@@ -71,36 +79,56 @@ object CubeBuilder {
       }
     }
 
-    // surviving non-gap files only — the planner already pruned the rest.
-    // Payload format resolved per product from the CubeSource registry
-    // (driver-side Files.exists over the layer-cardinality list).
+    // surviving non-gap files only, in band order — the planner already
+    // pruned the rest. Payload resolution per product from the CubeSource
+    // registry (driver-side Files.exists over the layer-cardinality
+    // list): the product file itself when it IS a decodable payload
+    // (real .tif rasters), else a <product>.<ext> sidecar (fixture
+    // layout).
     val survivors = layers.filter(col("product_fpath").isNotNull)
+      .orderBy("band_index")
       .select("product_fpath").collect().map(_.getString(0))
     val payloadExts = CubeSource.registry.flatMap(_.extensions)
     val payloads = survivors.map { p =>
-      payloadExts.map(e => s"$p.$e").find(f => new java.io.File(f).exists())
+      val bareExt = p.substring(p.lastIndexOf('.') + 1).toLowerCase
+      val bare = Some(p).filter(_ => payloadExts.contains(bareExt) && new java.io.File(p).exists())
+      bare.orElse(payloadExts.map(e => s"$p.$e").find(f => new java.io.File(f).exists()))
         .getOrElse(throw new IllegalStateException(s"no pixel payload found next to $p"))
     }
 
     val pixels =
       if (survivors.isEmpty) emptyPixels(spark, productType)
       else {
+        import spark.implicits._
         val byms = payloads.groupBy(CubeSource.forPath)
         val parts = byms.map { case (src, ps) => src.readPixels(spark, ps.toIndexedSeq) }
-        val raw = parts.reduce(_ unionByName _)
-          .withColumn("_ppath", regexp_replace(col("_fpath"), "\\.[A-Za-z0-9]+$", ""))
+        // exact payload→product mapping built driver-side (payload may be
+        // the product itself or a sidecar — no suffix-stripping guesswork)
+        val payloadToProduct = payloads.zip(survivors).toSeq.toDF("_fpath", "_ppath")
         val bandOf = layers.select(
           col("product_fpath").as("_ppath"), col("band_index"), col("band_time"))
-        raw.join(broadcast(bandOf), Seq("_ppath")).drop("_ppath", "_fpath")
+        parts.reduce(_ unionByName _)
+          .join(broadcast(payloadToProduct), Seq("_fpath"))
+          .join(broadcast(bandOf), Seq("_ppath"))
+          .drop("_ppath", "_fpath")
       }
 
+    // Master dtype: user override > first payload's real header
+    // (get_master_dtype, grd_datacube.py:151-159) > value-column schema.
+    val valueCols = if (productType == "SLC") Seq("real", "imag") else Seq("intensity")
+    def castTo(d: String): (String, DataFrame) = {
+      val sparkType = DtypeWhitelist.getOrElse(d, throw new IllegalArgumentException(
+        s"dtype $d not supported; expected one of ${DtypeWhitelist.keys.mkString(", ")}"))
+      (d, valueCols.foldLeft(pixels)((df, c) => df.withColumn(c, col(c).cast(sparkType))))
+    }
+    val headerDtype = payloads.headOption.flatMap(p => CubeSource.forPath(p).masterDtype(p))
     val (dtype, typedPixels) = dtypeOverride match {
-      case None => (attrsDtype(pixels, productType), pixels)
-      case Some(d) =>
-        val sparkType = DtypeWhitelist.getOrElse(d, throw new IllegalArgumentException(
-          s"dtype $d not supported; expected one of ${DtypeWhitelist.keys.mkString(", ")}"))
-        val valueCols = if (productType == "SLC") Seq("real", "imag") else Seq("intensity")
-        (d, valueCols.foldLeft(pixels)((df, c) => df.withColumn(c, col(c).cast(sparkType))))
+      case Some(d) => castTo(d)
+      case None => headerDtype match {
+        case Some(d) if DtypeWhitelist.contains(d) => castTo(d)
+        case Some(d) => (d, pixels) // e.g. uint32: record, keep double values
+        case None    => (attrsDtype(pixels, productType), pixels)
+      }
     }
     Cube(layers, typedPixels, Map(
       "product_type" -> productType,

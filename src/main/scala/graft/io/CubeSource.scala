@@ -23,6 +23,12 @@ trait CubeSource {
     * the normalized dataset path, for band tagging. Must be one
     * distributed read per call — no per-file driver loops. */
   def readPixels(spark: SparkSession, paths: Seq[String]): DataFrame
+
+  /** Pixel dtype read from the payload's own header, when the format has
+    * one (get_master_dtype, grd_datacube.py:151-159). Fixture formats
+    * (parquet/CSV) return None — the builder falls back to schema
+    * inference. */
+  def masterDtype(path: String): Option[String] = None
 }
 
 object CubeSource {
@@ -30,7 +36,7 @@ object CubeSource {
   private[io] def datasetPath(c: org.apache.spark.sql.Column, ext: String) =
     regexp_replace(regexp_extract(c, s"^(.*?\\.$ext)(/.*)?$$", 1), "^file:/+", "/")
 
-  val registry: Seq[CubeSource] = Seq(ParquetPixelSource, CsvPixelSource)
+  val registry: Seq[CubeSource] = Seq(ParquetPixelSource, CsvPixelSource, TiffPixelSource)
 
   def forPath(path: String): CubeSource = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
@@ -45,6 +51,36 @@ object ParquetPixelSource extends CubeSource {
   override def readPixels(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
       .withColumn("_fpath", CubeSource.datasetPath(input_file_name(), "parquet"))
+}
+
+/** Real GRD rasters (S3): binary baseline TIFF decoded on executors.
+  *
+  * One `binaryFile` scan over all surviving rasters → per-file [[Tiff]]
+  * strip decode inside `flatMap` → long pixel rows. Parallelism is
+  * per-file, the same unit as the reference's per-raster dask graph
+  * (`grd_datacube.py:117-149`); at 100 TB the corpus is many files, so
+  * file-level fan-out saturates the cluster without a custom DataSource.
+  */
+object TiffPixelSource extends CubeSource {
+  override val extensions: Set[String] = Set("tif", "tiff")
+
+  override def readPixels(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (uri, bytes) =>
+        val fpath = uri.replaceFirst("^file:/+", "/")
+        val info = Tiff.fromBytes(bytes)
+        Tiff.decode(bytes, info).map { case (az, rg, v) => (az, rg, v, fpath) }
+      }
+      .toDF("azimuth", "range", "intensity", "_fpath")
+  }
+
+  /** Master dtype from the first raster's real header — a few seeks, no
+    * pixel read (get_master_dtype, grd_datacube.py:151-159). */
+  override def masterDtype(path: String): Option[String] =
+    Some(Tiff.readHeader(path).dtype)
 }
 
 /** CSV payloads with a header row; numeric columns are cast to the

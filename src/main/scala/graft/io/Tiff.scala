@@ -1,0 +1,246 @@
+package graft.io
+
+/** Minimal baseline-TIFF container codec — enough to ingest the
+  * reference's GRD rasters (uncompressed strip TIFFs with GDAL metadata,
+  * the exact shape of icecube's fixtures and products) without any
+  * native library.
+  *
+  * Scope (reference semantics, not a general TIFF library):
+  *   - pixel read: single-sample, uncompressed (Compression=1) strips,
+  *     both byte orders, {u,}int8/16/32 + float32/64
+  *     (`grd_datacube.py:117-149` via rasterio; dtype whitelist
+  *     `sar_datacube.py:194-201`)
+  *   - metadata: GDAL_METADATA tag 42112 `<Item name=…>` XML — what
+  *     rasterio `.tags()` returns (`analytics_IO.py:374-403`)
+  *   - RPC: tag 50844 (92 doubles) — what rasterio `.tags(ns="RPC")`
+  *     reads (`analytics_IO.py:876-948`)
+  *
+  * Header parsing is expressed against a positional reader so the crawler
+  * can fetch metadata with a few ~KB seeks (never the pixel payload) —
+  * the metadata-before-pixels plan stays cheap no matter the raster size.
+  */
+object Tiff {
+
+  final case class Info(
+      width: Int,
+      height: Int,
+      bitsPerSample: Int,
+      sampleFormat: Int, // 1=uint, 2=int, 3=float (TIFF SampleFormat)
+      compression: Int,
+      littleEndian: Boolean,
+      rowsPerStrip: Int,
+      stripOffsets: Array[Long],
+      stripByteCounts: Array[Long],
+      gdalXml: Option[String],
+      rpc: Option[Array[Double]]) {
+
+    /** numpy-style dtype string, the master-dtype vocabulary of
+      * `grd_datacube.py:151-159`. */
+    def dtype: String = (sampleFormat, bitsPerSample) match {
+      case (3, 32) => "float32"
+      case (3, 64) => "float64"
+      case (2, 8)  => "int8"
+      case (2, 16) => "int16"
+      case (2, 32) => "int32"
+      case (1, 8)  => "uint8"
+      case (1, 16) => "uint16"
+      case (1, 32) => "uint32"
+      case other   => throw new IllegalArgumentException(
+        s"unsupported TIFF sample format/bits: $other")
+    }
+  }
+
+  /** Positional reader: (offset, length) => bytes. */
+  type ReadAt = (Long, Int) => Array[Byte]
+
+  def fromBytes(data: Array[Byte]): Info =
+    parse((off, len) => java.util.Arrays.copyOfRange(data, off.toInt, off.toInt + len))
+
+  /** Header-only read: a handful of small seeks via RandomAccessFile —
+    * never touches the strip payload. */
+  def readHeader(path: String): Info = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      parse { (off, len) =>
+        val buf = new Array[Byte](len)
+        raf.seek(off)
+        raf.readFully(buf)
+        buf
+      }
+    } finally raf.close()
+  }
+
+  private def parse(read: ReadAt): Info = {
+    val head = read(0L, 8)
+    val le = head(0) == 'I' && head(1) == 'I'
+    require(le || (head(0) == 'M' && head(1) == 'M'),
+      "not a TIFF: bad byte-order mark")
+    def u16(b: Array[Byte], i: Int): Int =
+      if (le) ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8))
+      else (((b(i) & 0xff) << 8) | (b(i + 1) & 0xff))
+    def u32(b: Array[Byte], i: Int): Long =
+      if (le) ((b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24))
+      else (((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL))
+    require(u16(head, 2) == 42, "not a TIFF: bad magic")
+
+    val ifdOff = u32(head, 4)
+    val nTags = u16(read(ifdOff, 2), 0)
+    val entries = read(ifdOff + 2, nTags * 12)
+
+    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8)
+
+    var width, height = 0
+    var bits = 1
+    var sampleFormat = 1
+    var compression = 1
+    var samplesPerPixel = 1
+    var rowsPerStrip = Int.MaxValue
+    var stripOffsets, stripByteCounts = Array.empty[Long]
+    var gdalXml: Option[String] = None
+    var rpc: Option[Array[Double]] = None
+
+    var i = 0
+    while (i < nTags) {
+      val e = entries.slice(i * 12, i * 12 + 12)
+      val tag = u16(e, 0)
+      val typ = u16(e, 2)
+      val count = u32(e, 4).toInt
+      val byteLen = typeSize.getOrElse(typ, 0) * count
+      // value fits in the 4 inline bytes, else the 4 bytes are an offset
+      val raw: Array[Byte] =
+        if (byteLen <= 4 && byteLen > 0) e.slice(8, 8 + byteLen)
+        else if (byteLen > 0) read(u32(e, 8), byteLen)
+        else Array.empty
+      def ints: Array[Long] = typ match {
+        case 3 => Array.tabulate(count)(k => u16(raw, k * 2).toLong)
+        case 4 => Array.tabulate(count)(k => u32(raw, k * 4))
+        case _ => Array.empty
+      }
+      def firstInt: Int = ints.headOption.map(_.toInt).getOrElse(0)
+      def doubles: Array[Double] = Array.tabulate(count) { k =>
+        var bitsL = 0L
+        var j = 0
+        while (j < 8) {
+          val b = raw(k * 8 + j) & 0xffL
+          bitsL |= (if (le) b << (8 * j) else b << (8 * (7 - j)))
+          j += 1
+        }
+        java.lang.Double.longBitsToDouble(bitsL)
+      }
+      tag match {
+        case 256   => width = firstInt
+        case 257   => height = firstInt
+        case 258   => bits = firstInt
+        case 259   => compression = firstInt
+        case 273   => stripOffsets = ints
+        case 277   => samplesPerPixel = firstInt
+        case 278   => rowsPerStrip = firstInt
+        case 279   => stripByteCounts = ints
+        case 339   => sampleFormat = firstInt
+        case 42112 => gdalXml = Some(new String(raw, java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != '\u0000'))
+        case 50844 if typ == 12 && count == 92 => rpc = Some(doubles)
+        case _     => ()
+      }
+      i += 1
+    }
+    require(compression == 1,
+      s"unsupported TIFF compression $compression (baseline uncompressed only)")
+    require(samplesPerPixel == 1,
+      s"unsupported TIFF samples-per-pixel $samplesPerPixel (single-band SAR rasters only)")
+    Info(width, height, bits, sampleFormat, compression, le,
+      math.min(rowsPerStrip.toLong, height.toLong).toInt, stripOffsets, stripByteCounts, gdalXml, rpc)
+  }
+
+  /** Decode all strips of an in-memory TIFF to (azimuth, range, value)
+    * rows — azimuth = row index, range = column index, matching the
+    * reference's (Azimuth, Range) = array shape (`grd_datacube.py:139-147`).
+    * Iterator-lazy: pixels stream out of the executor without an
+    * intermediate row array. */
+  def decode(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] = {
+    val bytesPerSample = info.bitsPerSample / 8
+    info.stripOffsets.iterator.zipWithIndex.flatMap { case (off, s) =>
+      val rowStart = s * info.rowsPerStrip
+      val rows = math.min(info.rowsPerStrip, info.height - rowStart)
+      val base = off.toInt
+      for {
+        r <- Iterator.range(0, rows)
+        c <- Iterator.range(0, info.width)
+      } yield {
+        val p = base + (r.toLong * info.width + c).toInt * bytesPerSample
+        (rowStart + r, c, sampleAt(data, p, info))
+      }
+    }
+  }
+
+  private def sampleAt(d: Array[Byte], p: Int, info: Info): Double = {
+    val le = info.littleEndian
+    def u8 = d(p) & 0xff
+    def u16 = if (le) (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8)
+              else ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+    def u32: Long =
+      if (le) (d(p) & 0xffL) | ((d(p + 1) & 0xffL) << 8) | ((d(p + 2) & 0xffL) << 16) | ((d(p + 3) & 0xffL) << 24)
+      else ((d(p) & 0xffL) << 24) | ((d(p + 1) & 0xffL) << 16) | ((d(p + 2) & 0xffL) << 8) | (d(p + 3) & 0xffL)
+    def u64: Long = {
+      var bits = 0L
+      var j = 0
+      while (j < 8) {
+        val b = d(p + j) & 0xffL
+        bits |= (if (le) b << (8 * j) else b << (8 * (7 - j)))
+        j += 1
+      }
+      bits
+    }
+    (info.sampleFormat, info.bitsPerSample) match {
+      case (1, 8)  => u8.toDouble
+      case (2, 8)  => d(p).toDouble
+      case (1, 16) => u16.toDouble
+      case (2, 16) => u16.toShort.toDouble
+      case (1, 32) => u32.toDouble
+      case (2, 32) => u32.toInt.toDouble
+      case (3, 32) => java.lang.Float.intBitsToFloat(u32.toInt).toDouble
+      case (3, 64) => java.lang.Double.longBitsToDouble(u64)
+      case other   => throw new IllegalArgumentException(s"unsupported sample $other")
+    }
+  }
+
+  private val XmlEscapes = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+
+  /** GDAL_METADATA XML → ordered (key, value) pairs — the dict rasterio's
+    * `.tags()` returns (`analytics_IO.py:376-380`). */
+  def gdalItems(xml: String): Seq[(String, String)] =
+    "(?s)<Item name=\"([^\"]+)\"[^>]*>(.*?)</Item>".r
+      .findAllMatchIn(xml)
+      .map { m =>
+        val v = XmlEscapes.foldLeft(m.group(2)) { case (s, (from, to)) => s.replace(from, to) }
+        (m.group(1), v)
+      }
+      .toSeq
+
+  // --- RPC tag 50844 layout (TIFF RPCCoefficientTag: 12 scalars then
+  // 4×20 coefficient blocks) — the source of rasterio's ns="RPC" tags ---
+  private val RpcScalars = Seq(
+    "ERR_BIAS", "ERR_RAND", "LINE_OFF", "SAMP_OFF", "LAT_OFF", "LONG_OFF",
+    "HEIGHT_OFF", "LINE_SCALE", "SAMP_SCALE", "LAT_SCALE", "LONG_SCALE", "HEIGHT_SCALE")
+
+  /** M10: the 4×20 RPC matrix, rows = [az_num, az_denom, range_num,
+    * range_denom] (`analytics_IO.py:876-910`: LINE_NUM, LINE_DEN,
+    * SAMP_NUM, SAMP_DEN). */
+  def rpcMatrix(vals: Array[Double]): Array[Array[Double]] = {
+    require(vals.length == 92, s"RPC tag must hold 92 doubles, got ${vals.length}")
+    Array.tabulate(4)(r => vals.slice(12 + r * 20, 12 + (r + 1) * 20))
+  }
+
+  /** M10: the RPC scale/offset metadata under the reference's names
+    * (`analytics_IO.py:912-923`). */
+  def rpcMeta(vals: Array[Double]): Map[String, Double] = {
+    require(vals.length == 92, s"RPC tag must hold 92 doubles, got ${vals.length}")
+    val t = RpcScalars.zip(vals.take(12)).toMap
+    Map(
+      "lat_mean" -> t("LAT_OFF"), "lat_scale_factor" -> t("LAT_SCALE"),
+      "lon_mean" -> t("LONG_OFF"), "lon_scale_factor" -> t("LONG_SCALE"),
+      "height_mean" -> t("HEIGHT_OFF"), "height_scale_factor" -> t("HEIGHT_SCALE"),
+      "az_idx_mean" -> t("LINE_OFF"), "az_idx_scale_factor" -> t("LINE_SCALE"),
+      "range_idx_mean" -> t("SAMP_OFF"), "range_idx_scale_factor" -> t("SAMP_SCALE"))
+  }
+}

@@ -119,18 +119,47 @@ object LabelsCubeBuilder {
           org.apache.spark.sql.types.StructType.fromDDL(
             "azimuth INT, range INT, label DOUBLE, band_index INT, band_time TIMESTAMP"))
       } else {
-        // S9: one distributed scan over all mask files, tagged per band.
+        // S9: one distributed scan per payload format, tagged per band.
         // input_file_name() yields file:///… URIs; normalize both sides to
         // plain paths before the equi-join.
         val normalize = (c: org.apache.spark.sql.Column) => regexp_replace(c, "^file:/+", "/")
-        val raw = spark.read.parquet(maskPaths.toIndexedSeq: _*)
-          .withColumn("_mask_path",
-            normalize(regexp_extract(input_file_name(), "^(.*?\\.parquet)(/.*)?$", 1)))
+        val (pngPaths, parquetPaths) = maskPaths.partition(_.toLowerCase.endsWith(".png"))
+        val parts = Seq(
+          Option(parquetPaths).filter(_.nonEmpty).map { ps =>
+            spark.read.parquet(ps.toIndexedSeq: _*)
+              .withColumn("_mask_path",
+                normalize(regexp_extract(input_file_name(), "^(.*?\\.parquet)(/.*)?$", 1)))
+          },
+          Option(pngPaths).filter(_.nonEmpty).map(ps => readPngMasks(spark, ps.toIndexedSeq)),
+        ).flatten
+        val raw = parts.reduce(_ unionByName _)
         val bandOf = withMask.filter(col("_mask_path").isNotNull)
           .select(normalize(col("_mask_path")).as("_mask_path"),
             col("band_index"), col("band_time"))
         raw.join(broadcast(bandOf), Seq("_mask_path")).drop("_mask_path")
       }
     Cube(withMask.drop("_mask_path"), pixels, Map("product_type" -> "RASTER_LABELS"))
+  }
+
+  /** S9 real decode: PNG masks via Java ImageIO, band 1 only — the
+    * reference's `rasterio.open(mask_fpath).read(1)`
+    * (raster_labels.py:83-98). One binaryFile scan, per-file decode in
+    * flatMap on executors. */
+  private def readPngMasks(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (uri, bytes) =>
+        val fpath = uri.replaceFirst("^file:/+", "/")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"ImageIO could not decode PNG mask $fpath")
+        val raster = img.getRaster
+        for {
+          az <- Iterator.range(0, img.getHeight)
+          rg <- Iterator.range(0, img.getWidth)
+        } yield (az, rg, raster.getSample(rg, az, 0).toDouble, fpath)
+      }
+      .toDF("azimuth", "range", "label", "_mask_path")
   }
 }

@@ -30,17 +30,38 @@ object MetadataCrawler {
     "acquisition_end_utc", "number_of_azimuth_samples", "number_of_range_samples",
     "coord_first_near", "coord_first_far", "coord_last_near", "coord_last_far")
 
-  def crawlDirectory(spark: SparkSession, dir: String): DataFrame = {
-    val files = listMetadataFiles(dir)
-    require(files.nonEmpty, s"Could not find any products in $dir")
-    crawlFiles(spark, files)
+  /** S1: crawl a product directory. Dispatch: JSON-sidecar fixture layout
+    * when `.json` files are present, else real binary rasters (`.tif`).
+    * `recursive` walks subfolders too (metadata_crawler.py:128-135 /
+    * DirUtils.get_dir_files recursive variant). */
+  def crawlDirectory(spark: SparkSession, dir: String, recursive: Boolean = false): DataFrame = {
+    val jsons = listMetadataFiles(dir, recursive)
+    if (jsons.nonEmpty) crawlFiles(spark, jsons)
+    else {
+      val rasters = listFiles(dir, Set("tif", "tiff"), recursive)
+      require(rasters.nonEmpty, s"Could not find any products in $dir")
+      crawlRasterFiles(spark, rasters)
+    }
   }
 
-  def listMetadataFiles(dir: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".json"))
-      .map(_.getAbsolutePath).sorted.toSeq
+  def listMetadataFiles(dir: String): Seq[String] = listMetadataFiles(dir, recursive = false)
+
+  def listMetadataFiles(dir: String, recursive: Boolean): Seq[String] =
+    listFiles(dir, Set("json"), recursive)
+
+  /** Directory listing (common_utils.py:20-41): non-recursive by default,
+    * recursive = full subtree walk. Driver-side — the listing is
+    * file-cardinality, never pixel-cardinality. */
+  private def listFiles(dir: String, exts: Set[String], recursive: Boolean): Seq[String] = {
+    def ext(n: String) = n.substring(n.lastIndexOf('.') + 1).toLowerCase
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val children = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      children.filter(_.isFile) ++
+        (if (recursive) children.filter(_.isDirectory).flatMap(walk) else Nil)
+    }
+    walk(new java.io.File(dir))
+      .filter(f => exts.contains(ext(f.getName)))
+      .map(_.getAbsolutePath).sorted
   }
 
   /** Build from an explicit file list; validates existence and homogeneous
@@ -58,7 +79,26 @@ object MetadataCrawler {
 
     val raw = spark.read.option("multiLine", value = true).json(metadataPaths: _*)
       .withColumn("_src", input_file_name())
-    project(raw)
+    project(raw, jsonAttrs(raw),
+      regexp_replace(regexp_replace(col("_src"), "\\.json$", ""), "^file:/+", "/"))
+  }
+
+  /** S5/S7 for real rasters: distributed header-only crawl. Each task
+    * reads a raster's IFD + GDAL metadata tag with a few seeks (never the
+    * pixel strips — the metadata-before-pixels plan stays O(KB) per file
+    * at any raster size), normalizes keys (M4), coerces the GRD dtype
+    * table (analytics_IO.py:614-717), and parses the RPC tag (M10,
+    * analytics_IO.py:876-948). */
+  def crawlRasterFiles(spark: SparkSession, rasterPaths: Seq[String]): DataFrame = {
+    require(rasterPaths.nonEmpty, s"Please provide a correct input - $rasterPaths")
+    val exts = rasterPaths.map(p => p.substring(p.lastIndexOf('.') + 1).toLowerCase).distinct
+    require(exts.size == 1,
+      s"All files should have the same extensions, found: ${exts.mkString(", ")}")
+    val slices = math.min(rasterPaths.size, spark.sparkContext.defaultParallelism)
+    val rows = spark.sparkContext.parallelize(rasterPaths, math.max(1, slices))
+      .map(GrdTags.rasterRawRow)
+    val raw = spark.createDataFrame(rows, GrdTags.RawSchema)
+    project(raw, coalesce(col("_extras"), map()), col("_src"))
   }
 
   /** "ICEYE_GRD_x_fake_0.tif.json" → ".tif" */
@@ -85,7 +125,22 @@ object MetadataCrawler {
       lit(" "),
       element_at(optCol(df, name).cast(ArrayType(DoubleType)), 3).cast(StringType))
 
-  private def project(raw: DataFrame): DataFrame = {
+  /** Open attrs from the fixture-JSON layout: every non-core JSON field,
+    * stringified (NumpyEncoder analog, common_utils.py:126-138 —
+    * arrays/structs become JSON text). */
+  private def jsonAttrs(raw: DataFrame): Column = {
+    val extraFields = raw.columns.filterNot(c => CoreJsonFields.contains(c) || c == "_src").sorted
+    val attrEntries = extraFields.flatMap { f =>
+      val v = raw.schema(f).dataType match {
+        case _: StructType | _: ArrayType | _: MapType => to_json(col(f))
+        case _                                         => col(f).cast(StringType)
+      }
+      Seq(lit(f), v)
+    }
+    if (attrEntries.isEmpty) map() else map_filter(map(attrEntries: _*), (_, v) => v.isNotNull)
+  }
+
+  private def project(raw: DataFrame, attrs: Column, productFpath: Column): DataFrame = {
     val acqTs = to_timestamp(optCol(raw, "acquisition_end_utc"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
     // incidence fallback chain (metadata_crawler.py:214-229): middle element
@@ -107,26 +162,15 @@ object MetadataCrawler {
         lonLat(raw, "coord_first_near"), lit(", "),
         lonLat(raw, "coord_last_near"), lit("))"))
 
-    // open attrs: every non-core JSON field, stringified (NumpyEncoder
-    // analog, common_utils.py:126-138 — arrays/structs become JSON text).
-    val extraFields = raw.columns.filterNot(c => CoreJsonFields.contains(c) || c == "_src").sorted
-    val attrEntries = extraFields.flatMap { f =>
-      val v = raw.schema(f).dataType match {
-        case _: StructType | _: ArrayType | _: MapType => to_json(col(f))
-        case _                                         => col(f).cast(StringType)
-      }
-      Seq(lit(f), v)
-    }
-    val attrs = if (attrEntries.isEmpty) map() else map_filter(map(attrEntries: _*), (_, v) => v.isNotNull)
-
     raw.select(
+      // product_file fallback = basename of the source path
+      // (metadata_crawler.py:48-49)
       coalesce(optCol(raw, "product_file"),
-        regexp_extract(col("_src"), "([^/]+)\\.json$", 1)).as("product_file"),
-      // raster-path analog: "<dir>/<product_file>" (strip the .json and
-      // the file: URI prefix); the pixel payload lives next to it as
-      // <product_fpath>.<ext> for any registered CubeSource extension
-      regexp_replace(regexp_replace(col("_src"), "\\.json$", ""), "^file:/+", "/")
-        .as("product_fpath"),
+        regexp_extract(productFpath, "([^/]+)$", 1)).as("product_file"),
+      // fixture layout: "<dir>/<product_file>" (metadata path minus
+      // .json), pixel payload next to it as <product_fpath>.<ext>;
+      // real rasters: the raster path itself
+      productFpath.as("product_fpath"),
       incidence.as("incidence_center"),
       optCol(raw, "look_side").cast(StringType).as("look_side"),
       optCol(raw, "orbit_direction").cast(StringType).as("orbit_direction"),

@@ -81,4 +81,148 @@ object Fixtures {
 
   def writeSlcStack(spark: SparkSession, dir: String): String =
     writeStack(spark, dir, slcProducts, slc = true)
+
+  // ---------------------------------------------------------------- TIFF
+
+  /** numpy-style print of a double vector, the format GDAL_METADATA
+    * carries ("[ 0.   0.  47.  21. ]"-ish; parser is whitespace-robust). */
+  private def npVect(xs: Seq[Double]): String = xs.mkString("[ ", "  ", " ]")
+
+  def gdalXml(p: Product, coordBase: Double = 47.0): String = {
+    val items = Seq(
+      "ACQUISITION_END_UTC" -> p.acquisitionEndUtc,
+      "ACQUISITION_MODE" -> "spotlight",
+      "COORD_FIRST_NEAR" -> npVect(Seq(0, 0, coordBase, 21.0)),
+      "COORD_FIRST_FAR" -> npVect(Seq(0, 0, coordBase, 21.1)),
+      "COORD_LAST_NEAR" -> npVect(Seq(0, 0, coordBase + 0.1, 21.0)),
+      "COORD_LAST_FAR" -> npVect(Seq(0, 0, coordBase + 0.1, 21.1)),
+      "INCIDENCE_CENTER" -> p.incidenceCenter.toString,
+      "LOOK_SIDE" -> "RIGHT",
+      "NUMBER_OF_AZIMUTH_SAMPLES" -> p.az.toString,
+      "NUMBER_OF_RANGE_SAMPLES" -> p.rg.toString,
+      "ORBIT_DIRECTION" -> p.orbitDirection,
+      "POSX" -> npVect(Seq(1.5, 2.5, 3.5)),
+      "PRODUCT_FILE" -> p.name,
+      "RANGE_LOOK_BANDWIDTH" -> "88.5", // not in the expected-keys table ⇒ "None"
+      "SATELLITE_LOOK_ANGLE" -> p.satelliteLookAngle,
+    )
+    items.map { case (k, v) => s"""  <Item name="$k">$v</Item>""" }
+      .mkString("<GDALMetadata>\n", "\n", "\n</GDALMetadata>")
+  }
+
+  /** Deterministic 92-double RPC tag payload: k + 0.25. */
+  def rpcValues: Array[Double] = Array.tabulate(92)(k => k + 0.25)
+
+  /** Write one uncompressed little-endian strip TIFF (the reference
+    * fixture shape: the .tif files under tests/resources/grd_stack —
+    * strip-organized, GDAL_METADATA tag 42112, RPC tag 50844).
+    * Multi-strip on purpose (rowsPerStrip=4) so decode exercises strip
+    * boundaries. */
+  def writeTiff(path: String, p: Product, idx: Int, dtype: String = "uint16",
+      withRpc: Boolean = true): Unit = {
+    // ASCII TIFF tags carry a trailing NUL; the reader must strip it
+    val xml = gdalXml(p) + "\u0000"
+    val xmlBytes = xml.getBytes(StandardCharsets.UTF_8)
+    val (bits, sampleFormat) = dtype match {
+      case "uint16"  => (16, 1)
+      case "float32" => (32, 3)
+      case other     => throw new IllegalArgumentException(s"fixture writer: $other")
+    }
+    val bytesPerSample = bits / 8
+    val rowsPerStrip = 4
+    val nStrips = (p.az + rowsPerStrip - 1) / rowsPerStrip
+
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    case class Tag(id: Int, typ: Int, count: Int, data: Array[Byte])
+    def shortTag(id: Int, v: Int) = {
+      val b = java.nio.ByteBuffer.allocate(2).order(bo); b.putShort(v.toShort)
+      Tag(id, 3, 1, b.array())
+    }
+    def longArrTag(id: Int, vs: Seq[Long]) = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.size).order(bo); vs.foreach(v => b.putInt(v.toInt))
+      Tag(id, 4, vs.size, b.array())
+    }
+    def doubleArrTag(id: Int, vs: Seq[Double]) = {
+      val b = java.nio.ByteBuffer.allocate(8 * vs.size).order(bo); vs.foreach(b.putDouble)
+      Tag(id, 12, vs.size, b.array())
+    }
+
+    // strip payload
+    val strip = java.nio.ByteBuffer.allocate(p.az * p.rg * bytesPerSample).order(bo)
+    for { a <- 0 until p.az; r <- 0 until p.rg } {
+      val v = pixelValue(idx, a, r)
+      if (dtype == "uint16") strip.putShort(v.toInt.toShort) else strip.putFloat(v.toFloat)
+    }
+    val stripBytes = strip.array()
+    val stripLens = (0 until nStrips).map { s =>
+      math.min(rowsPerStrip, p.az - s * rowsPerStrip).toLong * p.rg * bytesPerSample
+    }
+
+    // layout: header(8) | IFD | out-of-line tag data | strips
+    val tags0 = Seq(
+      shortTag(256, p.rg), shortTag(257, p.az), shortTag(258, bits),
+      shortTag(259, 1), shortTag(262, 1),
+      longArrTag(273, Seq.fill(nStrips)(0L)), // patched below
+      shortTag(277, 1), shortTag(278, rowsPerStrip),
+      longArrTag(279, stripLens),
+      shortTag(339, sampleFormat),
+      Tag(42112, 2, xmlBytes.length, xmlBytes)) ++
+      (if (withRpc) Seq(doubleArrTag(50844, rpcValues.toSeq)) else Nil)
+
+    val ifdSize = 2 + tags0.size * 12 + 4
+    var dataOff = 8L + ifdSize
+    // assign out-of-line offsets (data > 4 bytes)
+    val withOffsets = tags0.map { t =>
+      if (t.data.length > 4) { val o = dataOff; dataOff += t.data.length; (t, Some(o)) }
+      else (t, None)
+    }
+    val stripsStart = dataOff
+    val stripOffsets = stripLens.scanLeft(stripsStart)(_ + _).dropRight(1)
+    // patch tag 273 with real strip offsets
+    val tags = withOffsets.map {
+      case (t, o) if t.id == 273 =>
+        val b = java.nio.ByteBuffer.allocate(4 * nStrips).order(bo)
+        stripOffsets.foreach(v => b.putInt(v.toInt))
+        (Tag(273, 4, nStrips, b.array()), o)
+      case other => other
+    }
+
+    val total = stripsStart + stripLens.sum
+    val buf = java.nio.ByteBuffer.allocate(total.toInt).order(bo)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    buf.putShort(tags.size.toShort)
+    tags.foreach { case (t, off) =>
+      buf.putShort(t.id.toShort).putShort(t.typ.toShort).putInt(t.count)
+      off match {
+        case Some(o) => buf.putInt(o.toInt)
+        case None    => buf.put(java.util.Arrays.copyOf(t.data, 4))
+      }
+    }
+    buf.putInt(0) // next-IFD pointer
+    tags.foreach { case (t, off) => if (off.isDefined) buf.put(t.data) }
+    buf.put(stripBytes)
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  /** Write a directory of 3 real binary GRD TIFFs (no sidecars). */
+  def writeTiffStack(dir: String, dtype: String = "uint16"): String = {
+    Files.createDirectories(Paths.get(dir))
+    grdProducts.zipWithIndex.foreach { case (p, idx) =>
+      writeTiff(s"$dir/${p.name}", p, idx, dtype)
+    }
+    dir
+  }
+
+  // ----------------------------------------------------------------- PNG
+
+  /** Write a grayscale PNG mask via ImageIO; value = (idx + azimuth + range) % 3
+    * (the reference masks are tiny class-id grids, raster_labels.py:83-98). */
+  def maskValue(idx: Int, az: Int, rg: Int): Int = (idx + az + rg) % 3
+
+  def writePngMask(path: String, idx: Int, az: Int, rg: Int): Unit = {
+    val img = new java.awt.image.BufferedImage(rg, az, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for { a <- 0 until az; r <- 0 until rg } raster.setSample(r, a, 0, maskValue(idx, a, r))
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(path))
+  }
 }

@@ -103,6 +103,32 @@ class LabelsSpec extends SparkFunSuite {
     assert(u.isNullAt(1))
   }
 
+  test("raster labels from real PNG masks (S9, raster_labels.py:83-98)") {
+    val maskDir = tmpDir("pngmasks")
+    val labelled = Fixtures.grdProducts.take(2).map(_.name)
+    val cl = new CreateLabels("raster")
+    labelled.zipWithIndex.foreach { case (pf, i) =>
+      val maskPath = s"$maskDir/mask_$i.png"
+      Fixtures.writePngMask(maskPath, i, 10, 10)
+      cl.populateLabels(pf, maskPath)
+    }
+    val path = s"$maskDir/mask_labels.json"
+    cl.writeLabelsToJson(path)
+
+    val cube = LabelsCubeBuilder.build(spark, grdDir, path, CubeConfig())
+    assert(cube.dataVariables == Seq("label"))
+    assert(cube.pixels.count() == 200)
+    // pixel-exact per product: fake_0 (mask idx 0) lands at band 1 (date
+    // sort 1,0,2); fake_1 (mask idx 1) at band 0
+    Seq((0, 1), (1, 0)).foreach { case (maskIdx, band) =>
+      val vals = cube.pixels.filter(col("band_index") === band)
+        .orderBy("azimuth", "range").select("label").collect().map(_.getDouble(0))
+      val expected = for { a <- 0 until 10; r <- 0 until 10 }
+        yield Fixtures.maskValue(maskIdx, a, r).toDouble
+      assert(vals.toSeq == expected, s"mask $maskIdx at band $band")
+    }
+  }
+
   test("labels over a resampled cube: gaps stay None, labelled bands keep objects") {
     val cfg = graft.core.CubeConfig.fromJsonString(
       """{"start_date": 20210426, "end_date": 20210528, "temporal_resolution": 1}""")
