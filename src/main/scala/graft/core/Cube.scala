@@ -177,6 +177,23 @@ final case class Cube(
     flat.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
   }
 
+  /** W2: image-id txt export (save_image_ids_as_txt,
+    * metadata_crawler.py:243-252): one comma-separated line of image
+    * numbers in band order. The id comes from the `image_number` open
+    * attr when present, else the numeric field of the ICEYE product name
+    * (ICEYE_GRD_<image_number>_…). Layer-cardinality — a driver-side
+    * write, like the reference. */
+  def writeImageIdsTxt(path: String): Unit = {
+    val ids = layers.filter(col("product_file").isNotNull && col("product_file") =!= "None")
+      .orderBy("band_index")
+      .select(coalesce(
+        element_at(col("metadata"), "image_number"),
+        regexp_extract(col("product_file"), "^ICEYE_[A-Z]+_(\\d+)_", 1)))
+      .collect().map(_.getString(0))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      ids.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Dense export: materialize gap pixels for every layer on the master
     * grid (M12 dummy layers, grd_datacube.py:93-111). Gap values follow
     * the reference rule (tests/grd_datacube_test.py:108-122): float dtype

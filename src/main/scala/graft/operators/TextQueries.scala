@@ -29,12 +29,56 @@ object TextQueries {
   /** doc_id + exploded 5-gram shingles. Explode → groupBy partial-agg is
     * the codegen-friendly (and 100 TB-friendly) shape: no per-row arrays,
     * map-side combine collapses each doc's shingles before any shuffle. */
-  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
-    spread(documents(s, d))
+  private def shingledOf(docs: org.apache.spark.sql.DataFrame) =
+    spread(docs)
       .select(col("doc_id"),
         explode(expr("sequence(1, greatest(length(text)-4, 1))")).as("i"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, i, 5)").as("shingle"))
+
+  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
+    shingledOf(documents(s, d))
+
+  private val MinhashP = 1000000007L
+
+  /** Minhash LSH band table (k=8 affine hashes over one md5 per shingle,
+    * 4 bands of 2): (doc_id, band, key). The signature computation shared
+    * by the live query and the persisted [[SignatureStore]]. */
+  def minhashBandsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = MinhashP
+    val h = conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10).cast("long")
+    val hashes = (0 until 8).map(k =>
+      min(((h % p) * (2 * k + 3) + 31 * k) % p).as(s"h$k"))
+    val sig = shingledOf(docs).groupBy(col("doc_id"))
+      .agg(hashes.head, hashes.tail: _*)
+    sig.select(
+      col("doc_id"),
+      expr(s"posexplode(array(h0 * ${p}L + h1, h2 * ${p}L + h3, h4 * ${p}L + h5, h6 * ${p}L + h7)) AS (band, key)"))
+      .select("doc_id", "band", "key")
+  }
+
+  /** 60-bit simhash signatures over md5-hashed distinct tokens:
+    * (doc_id, sig). Shared by the live query and [[SignatureStore]]. */
+  def simhashSigsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = spread(docs)
+      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("t"))
+      .withColumn("h", conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j"))
+    val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sigCol = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    voted.select(col("doc_id"), sigCol.as("sig"))
+  }
+
+  /** Distinct colliding (doc_a < doc_b) pairs from a (doc_id, band, key)
+    * table — the LSH candidate join, shared by live and stored paths. */
+  def bandedPairs(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -96,20 +140,42 @@ object TextQueries {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val p = 1000000007L
-      val h = conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10).cast("long")
-      val hashes = (0 until 8).map(k =>
-        min(((h % p) * (2 * k + 3) + 31 * k) % p).as(s"h$k"))
-      val sig = shingled(s, d).groupBy(col("doc_id"))
-        .agg(hashes.head, hashes.tail: _*)
-      val bands = sig.select(
-        col("doc_id"),
-        expr(s"posexplode(array(h0 * ${p}L + h1, h2 * ${p}L + h3, h4 * ${p}L + h5, h6 * ${p}L + h7)) AS (band, key)"))
-        .select("doc_id", "band", "key")
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
+      bandedPairs(minhashBandsOf(documents(s, d))).orderBy("doc_a", "doc_b")
+    },
+
+    // ----- minhash LSH candidates from the persisted signature store -----
+    // The 100 TB amortization: signatures are computed ONCE (a full text
+    // scan + md5) and persisted band-partitioned; every subsequent dedup
+    // run is a band-pruned parquet self-join over the tiny (doc_id, band,
+    // key) table — no re-hash of the corpus. Same oracle as the live
+    // query: the stored path must reproduce it bit-for-bit.
+    "dedup_minhash_lsh_stored" -> QueryDef.sql(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest([('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT
+        |            for i in generate_series(1, greatest(length(text)-4, 1))]) AS h
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min(((h % 1000000007) * 3 + 0) % 1000000007) AS h0,
+        |    min(((h % 1000000007) * 5 + 31) % 1000000007) AS h1,
+        |    min(((h % 1000000007) * 7 + 62) % 1000000007) AS h2,
+        |    min(((h % 1000000007) * 9 + 93) % 1000000007) AS h3,
+        |    min(((h % 1000000007) * 11 + 124) % 1000000007) AS h4,
+        |    min(((h % 1000000007) * 13 + 155) % 1000000007) AS h5,
+        |    min(((h % 1000000007) * 15 + 186) % 1000000007) AS h6,
+        |    min(((h % 1000000007) * 17 + 217) % 1000000007) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, h0 * 1000000007 + h1 AS key FROM sig
+        |  UNION ALL SELECT doc_id, 1, h2 * 1000000007 + h3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h4 * 1000000007 + h5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h6 * 1000000007 + h7 FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val stored = SignatureStore.ensureMinhashBands(s, d)
+      bandedPairs(stored).orderBy("doc_a", "doc_b")
     },
 
     // ----- n-gram Jaccard similarity over minhash candidate pairs -----
@@ -170,30 +236,51 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // ----- simhash near-dup (64-bit, 4×16 bands, hamming ≤ 3) — rows-only -----
-    // Explode distinct tokens → one xxhash64 per token → 64 per-bit vote
-    // sums (all codegen'd, map-side combined) → signature assembly.
-    "dedup_simhash" -> QueryDef.rowsOnly { (s, d) =>
-      val toks = spread(documents(s, d))
-        .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("t"))
-        .withColumn("h", xxhash64(col("t")))
-      val votes = (0 until 64).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j"))
-      val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      val sigCol = (0 until 64).map(j =>
-        when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
-      val sig = voted.select(col("doc_id"), sigCol.as("sig"))
-      val bands = sig.select(
-        col("doc_id"), col("sig"),
-        expr("posexplode(transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535L)) AS (band, key)"))
-        .select("doc_id", "sig", "band", "key")
-      val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("key"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("key"))
-      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
+    // ----- simhash near-dup (60-bit, 4×15 bands, hamming ≤ 3) -----
+    // Explode distinct tokens → one md5-derived 60-bit hash per token
+    // (the same '0x'||hex ⇄ conv() parity trick as the minhash family, so
+    // DuckDB reproduces the signatures bit-for-bit) → 60 per-bit vote
+    // sums (all codegen'd, map-side combined) → signature assembly →
+    // banded hamming join.
+    "dedup_simhash" -> {
+      val duckVotes = (0 until 60).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
+      val duckSig = (0 until 60).map(j =>
+        s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+      val duckBands = (0 until 4).map(b =>
+        s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 15}) & 32767 AS key FROM sig")
+        .mkString("\n  UNION ALL ")
+      QueryDef.sql(
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+           |  FROM documents),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+           |votes AS (
+           |  SELECT doc_id,
+           |    $duckVotes
+           |  FROM h GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $duckSig AS sig FROM votes),
+           |bands AS (
+           |  $duckBands)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+        val sig = simhashSigsOf(documents(s, d))
+        val bands = sig.select(
+          col("doc_id"), col("sig"),
+          expr("posexplode(transform(sequence(0, 3), b -> shiftright(sig, b * 15) & 32767L)) AS (band, key)"))
+          .select("doc_id", "sig", "band", "key")
+        val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("key"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("key"))
+        a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      }
     },
 
     // ----- token counting -----

@@ -30,6 +30,15 @@ class CubeSpec extends SparkFunSuite {
     assert(cube.productIndex(pf) == 1) // sorted by date: fake_1 first
   }
 
+  test("image-id txt export in band order (W2, metadata_crawler.py:243-252)") {
+    val cube = Cube.fromDirectory(spark, grdDir, CubeConfig())
+    val path = tmpDir("ids") + "/image_ids.txt"
+    cube.writeImageIdsTxt(path)
+    val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    // all three products share the ICEYE id 54549; band order 1,0,2
+    assert(txt == "54549,54549,54549")
+  }
+
   test("GRD cube: metadata accessors with None fill") {
     val cube = Cube.fromDirectory(spark, grdDir, CubeConfig())
     val md = cube.metadataByProduct(Fixtures.grdProducts.head.name)
