@@ -36,7 +36,7 @@ object CubeSource {
   private[io] def datasetPath(c: org.apache.spark.sql.Column, ext: String) =
     regexp_replace(regexp_extract(c, s"^(.*?\\.$ext)(/.*)?$$", 1), "^file:/+", "/")
 
-  val registry: Seq[CubeSource] = Seq(ParquetPixelSource, CsvPixelSource, TiffPixelSource)
+  val registry: Seq[CubeSource] = Seq(ParquetPixelSource, CsvPixelSource, TiffPixelSource, SlcH5Source)
 
   def forPath(path: String): CubeSource = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
@@ -81,6 +81,52 @@ object TiffPixelSource extends CubeSource {
     * pixel read (get_master_dtype, grd_datacube.py:151-159). */
   override def masterDtype(path: String): Option[String] =
     Some(Tiff.readHeader(path).dtype)
+}
+
+/** Real SLC rasters (S4): HDF5 `s_i`/`s_q` complex pair decoded on
+  * executors — one binaryFile scan, per-file [[Hdf5]] parse in flatMap
+  * (`slc_datacube.py:118-162`). Shape enforcement against the master
+  * shape happens at the metadata level in CubeBuilder. */
+object SlcH5Source extends CubeSource {
+  override val extensions: Set[String] = Set("h5")
+
+  override def readPixels(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (uri, bytes) =>
+        val fpath = uri.replaceFirst("^file:/+", "/")
+        val f = Hdf5.fromBytes(bytes)
+        val entries = f.rootEntries.toMap
+        val si = f.dataset("s_i", entries.getOrElse("s_i",
+          throw new IllegalArgumentException(s"no s_i dataset in $fpath")))
+        val sq = f.dataset("s_q", entries.getOrElse("s_q",
+          throw new IllegalArgumentException(s"no s_q dataset in $fpath")))
+        val re = f.readDoubles(si)
+        val im = f.readDoubles(sq)
+        require(si.dims.size == 2 && si.dims == sq.dims,
+          s"s_i/s_q must be matching 2-D datasets in $fpath")
+        val rg = si.dims(1).toInt
+        re.indices.iterator.map(i => (i / rg, i % rg, re(i), im(i), fpath))
+      }
+      .toDF("azimuth", "range", "real", "imag", "_fpath")
+  }
+
+  /** Master dtype from s_i's real datatype message — header seeks only
+    * (get_master_dtype twin, slc_datacube.py:257-277). */
+  override def masterDtype(path: String): Option[String] = {
+    val (f, raf) = Hdf5.open(path)
+    try {
+      f.rootEntries.toMap.get("s_i").map { a =>
+        f.dataset("s_i", a).dtype match {
+          case Hdf5.FixedPoint(size, signed, _) => (if (signed) "int" else "uint") + (size * 8)
+          case Hdf5.FloatPoint(size, _)         => "float" + (size * 8)
+          case t => throw new IllegalArgumentException(s"unexpected s_i dtype $t in $path")
+        }
+      }
+    } finally raf.close()
+  }
 }
 
 /** CSV payloads with a header row; numeric columns are cast to the

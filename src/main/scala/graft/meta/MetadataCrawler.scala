@@ -38,7 +38,7 @@ object MetadataCrawler {
     val jsons = listMetadataFiles(dir, recursive)
     if (jsons.nonEmpty) crawlFiles(spark, jsons)
     else {
-      val rasters = listFiles(dir, Set("tif", "tiff"), recursive)
+      val rasters = listFiles(dir, Set("tif", "tiff", "h5"), recursive)
       require(rasters.nonEmpty, s"Could not find any products in $dir")
       crawlRasterFiles(spark, rasters)
     }
@@ -95,8 +95,9 @@ object MetadataCrawler {
     require(exts.size == 1,
       s"All files should have the same extensions, found: ${exts.mkString(", ")}")
     val slices = math.min(rasterPaths.size, spark.sparkContext.defaultParallelism)
-    val rows = spark.sparkContext.parallelize(rasterPaths, math.max(1, slices))
-      .map(GrdTags.rasterRawRow)
+    val rowOf: String => org.apache.spark.sql.Row =
+      if (exts.head == "h5") SlcTags.rasterRawRow else GrdTags.rasterRawRow
+    val rows = spark.sparkContext.parallelize(rasterPaths, math.max(1, slices)).map(rowOf)
     val raw = spark.createDataFrame(rows, GrdTags.RawSchema)
     project(raw, coalesce(col("_extras"), map()), col("_src"))
   }

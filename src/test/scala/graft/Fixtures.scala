@@ -213,6 +213,186 @@ object Fixtures {
     dir
   }
 
+  // ---------------------------------------------------------------- HDF5
+
+  sealed trait H5Data
+  final case class H5F32(dims: Seq[Int], values: Array[Float]) extends H5Data
+  final case class H5F64(dims: Seq[Int], values: Array[Double]) extends H5Data
+  final case class H5I32(dims: Seq[Int], values: Array[Int]) extends H5Data
+  final case class H5Str(value: String) extends H5Data
+
+  /** Write a minimal HDF5 file: v0 superblock, one root group
+    * (single-leaf v1 B-tree + SNOD + local heap), v1 object headers,
+    * contiguous datasets (IEEE floats, int32, fixed NUL-terminated
+    * strings). The exact subset [[graft.io.Hdf5]] reads — plus the
+    * reference-fixture spec proves the reader on real h5py output. */
+  def writeH5(path: String, datasets: Seq[(String, H5Data)]): Unit = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    val sorted = datasets.sortBy(_._1)
+    val Undef = -1L
+
+    def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+    // --- local heap data segment: offset 0 reserved (empty name) ---
+    val nameOffsets = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var heapPos = 8L
+    sorted.foreach { case (n, _) =>
+      nameOffsets(n) = heapPos
+      heapPos += pad8(n.length + 1)
+    }
+    val heapDataSize = heapPos
+
+    // --- per-dataset object header + data sizes ---
+    def dtypeBody(d: H5Data): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24).order(bo)
+      d match {
+        case H5F32(_, _) =>
+          b.put((0x10 | 1).toByte).put(0x20.toByte).put(0x0f.toByte).put(0.toByte).putInt(4)
+          b.putShort(0).putShort(32).put(0.toByte).put(23.toByte).put(8.toByte)
+            .put(0.toByte).put(23.toByte).put(0.toByte).putShort(0).putInt(127)
+        case H5F64(_, _) =>
+          b.put((0x10 | 1).toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte).putInt(8)
+          b.putShort(0).putShort(64).put(0.toByte).put(52.toByte).put(11.toByte)
+            .put(0.toByte).put(52.toByte).put(0.toByte).putShort(0).putInt(1023)
+        case H5I32(_, _) =>
+          b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
+          b.putShort(0).putShort(32)
+        case H5Str(v) =>
+          b.put((0x10 | 3).toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(v.length + 1)
+      }
+      java.util.Arrays.copyOf(b.array(), pad8(b.position()))
+    }
+    def dims(d: H5Data): Seq[Int] = d match {
+      case H5F32(dm, _) => dm
+      case H5F64(dm, _) => dm
+      case H5I32(dm, _) => dm
+      case H5Str(_)     => Seq.empty
+    }
+    def dataBytes(d: H5Data): Array[Byte] = d match {
+      case H5F32(_, vs) =>
+        val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putFloat); b.array()
+      case H5F64(_, vs) =>
+        val b = java.nio.ByteBuffer.allocate(vs.length * 8).order(bo); vs.foreach(b.putDouble); b.array()
+      case H5I32(_, vs) =>
+        val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putInt); b.array()
+      case H5Str(v) => (v + "\u0000").getBytes(StandardCharsets.UTF_8)
+    }
+    def ohdrSize(d: H5Data): Int = {
+      val dspace = 8 + 8 + dims(d).size * 8
+      val dtype = 8 + dtypeBody(d).length
+      val layout = 8 + 24
+      16 + dspace + dtype + layout
+    }
+
+    // --- layout: superblock(96) | root ohdr(40) | heap hdr(32) | heap
+    // data | TREE(48) | SNOD | dataset ohdrs | data blocks ---
+    val rootOhdrAddr = 96L
+    val heapHdrAddr = rootOhdrAddr + 40
+    val heapDataAddr = heapHdrAddr + 32
+    val treeAddr = heapDataAddr + heapDataSize
+    val snodAddr = treeAddr + 48
+    val snodSize = 8 + sorted.size * 40
+    var cursor = snodAddr + snodSize
+    val ohdrAddrs = sorted.map { case (n, d) =>
+      val a = cursor; cursor += ohdrSize(d); (n, a)
+    }.toMap
+    cursor = (cursor + 7) / 8 * 8
+    val dataAddrs = sorted.map { case (n, d) =>
+      val a = cursor; cursor += pad8(dataBytes(d).length); (n, a)
+    }.toMap
+    val eof = cursor
+
+    val buf = java.nio.ByteBuffer.allocate(eof.toInt).order(bo)
+    // superblock v0
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    buf.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // versions
+    buf.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte) // shared/offsets/lengths
+    buf.putShort(32).putShort(16).putInt(0)                     // leaf K, internal K, flags
+    buf.putLong(0L).putLong(Undef).putLong(eof).putLong(Undef)  // base, free, EOF, driver
+    buf.putLong(0L).putLong(rootOhdrAddr)                       // root STE: name off, ohdr
+    buf.putInt(0).putInt(0).putLong(0L).putLong(0L)             // cache, reserved, scratch
+    // root object header: one symbol-table message
+    assert(buf.position() == rootOhdrAddr)
+    buf.put(1.toByte).put(0.toByte).putShort(1).putInt(1).putInt(24).putInt(0)
+    buf.putShort(0x11).putShort(16).putInt(0).putLong(treeAddr).putLong(heapHdrAddr)
+    // local heap
+    assert(buf.position() == heapHdrAddr)
+    buf.put("HEAP".getBytes).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putLong(heapDataSize).putLong(Undef).putLong(heapDataAddr)
+    buf.putLong(0L) // heap data: offset 0 = empty name slot
+    sorted.foreach { case (n, _) =>
+      val bytes = java.util.Arrays.copyOf(n.getBytes(StandardCharsets.UTF_8), pad8(n.length + 1))
+      buf.put(bytes)
+    }
+    // B-tree: single leaf pointing at the one SNOD
+    assert(buf.position() == treeAddr)
+    buf.put("TREE".getBytes).put(0.toByte).put(0.toByte).putShort(1)
+    buf.putLong(Undef).putLong(Undef)
+    buf.putLong(0L).putLong(snodAddr).putLong(nameOffsets(sorted.last._1))
+    // SNOD
+    assert(buf.position() == snodAddr)
+    buf.put("SNOD".getBytes).putShort(1).putShort(sorted.size.toShort)
+    sorted.foreach { case (n, _) =>
+      buf.putLong(nameOffsets(n)).putLong(ohdrAddrs(n))
+      buf.putInt(0).putInt(0).putLong(0L).putLong(0L)
+    }
+    // dataset object headers
+    sorted.foreach { case (n, d) =>
+      assert(buf.position() == ohdrAddrs(n))
+      val dspaceBody = 8 + dims(d).size * 8
+      val dtb = dtypeBody(d)
+      val msgsSize = (8 + dspaceBody) + (8 + dtb.length) + (8 + 24)
+      buf.put(1.toByte).put(0.toByte).putShort(3).putInt(1).putInt(msgsSize).putInt(0)
+      buf.putShort(0x01).putShort(dspaceBody.toShort).putInt(0) // dataspace v1
+      buf.put(1.toByte).put(dims(d).size.toByte).put(0.toByte)
+      buf.put(Array.fill[Byte](5)(0))
+      dims(d).foreach(x => buf.putLong(x.toLong))
+      buf.putShort(0x03).putShort(dtb.length.toShort).putInt(0) // datatype
+      buf.put(dtb)
+      buf.putShort(0x08).putShort(24).putInt(0)                 // layout v3 contiguous
+      buf.put(3.toByte).put(1.toByte)
+      buf.putLong(dataAddrs(n)).putLong(dataBytes(d).length.toLong)
+      buf.put(Array.fill[Byte](24 - 18)(0))
+    }
+    // data blocks
+    sorted.foreach { case (n, d) =>
+      buf.position(dataAddrs(n).toInt)
+      buf.put(dataBytes(d))
+    }
+    buf.position(eof.toInt)
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  /** Write a directory of 3 real binary SLC HDF5 files (s_i/s_q float32
+    * + metadata datasets, no sidecars). */
+  def writeH5Stack(dir: String): String = {
+    Files.createDirectories(Paths.get(dir))
+    slcProducts.zipWithIndex.foreach { case (p, idx) =>
+      val n = p.az * p.rg
+      val re = Array.tabulate(n)(i => pixelValue(idx, i / p.rg, i % p.rg).toFloat)
+      val im = re.map(v => -v)
+      writeH5(s"$dir/${p.name}", Seq(
+        "s_i" -> H5F32(Seq(p.az, p.rg), re),
+        "s_q" -> H5F32(Seq(p.az, p.rg), im),
+        "product_file" -> H5Str(p.name),
+        "acquisition_end_utc" -> H5Str(p.acquisitionEndUtc),
+        "orbit_direction" -> H5Str(p.orbitDirection),
+        "look_side" -> H5Str("RIGHT"),
+        "satellite_look_angle" -> H5Str(p.satelliteLookAngle),
+        "incidence_center" -> H5F64(Seq.empty, Array(p.incidenceCenter)),
+        "number_of_azimuth_samples" -> H5I32(Seq.empty, Array(p.az)),
+        "number_of_range_samples" -> H5I32(Seq.empty, Array(p.rg)),
+        "coord_first_near" -> H5F64(Seq(4), Array(0, 0, 47.0, 21.0)),
+        "coord_first_far" -> H5F64(Seq(4), Array(0, 0, 47.0, 21.1)),
+        "coord_last_near" -> H5F64(Seq(4), Array(0, 0, 47.1, 21.0)),
+        "coord_last_far" -> H5F64(Seq(4), Array(0, 0, 47.1, 21.1)),
+        "mean_orbit_altitude" -> H5F64(Seq.empty, Array(570000.0)),
+        "state_vector_time_utc" -> H5Str("2021-04-27T21:51:27.093640"),
+      ))
+    }
+    dir
+  }
+
   // ----------------------------------------------------------------- PNG
 
   /** Write a grayscale PNG mask via ImageIO; value = (idx + azimuth + range) % 3

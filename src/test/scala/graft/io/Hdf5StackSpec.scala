@@ -1,0 +1,127 @@
+package graft.io
+
+import graft.{Fixtures, SparkFunSuite}
+import graft.core.{Cube, CubeConfig}
+import graft.meta.{MetadataCrawler, SlcTags}
+import org.apache.spark.sql.functions._
+
+/** Real-binary SLC ingestion (S4/S6): e2e goldens over actual HDF5 files
+  * (tests/slc_datacube_test.py ported), plus a validation pass of the
+  * [[Hdf5]] reader against the reference's own h5py-written fixtures
+  * (vlen strings, multi-SNOD B-tree, RPC subgroup) when present. */
+class Hdf5StackSpec extends SparkFunSuite {
+
+  lazy val h5Dir: String = Fixtures.writeH5Stack(tmpDir("h5stack"))
+
+  test("Hdf5 codec roundtrip on own fixtures") {
+    val path = s"$h5Dir/${Fixtures.slcProducts.head.name}"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = Hdf5.fromBytes(bytes)
+    val entries = f.rootEntries.toMap
+
+    val si = f.dataset("s_i", entries("s_i"))
+    assert(si.dims == Seq(20L, 20L))
+    assert(si.dtype == Hdf5.FloatPoint(4, littleEndian = true))
+    val re = f.readDoubles(si)
+    assert(re(0) == 0.0 && re(21) == Fixtures.pixelValue(0, 1, 1))
+
+    assert(f.readString(f.dataset("product_file", entries("product_file"))) ==
+      Fixtures.slcProducts.head.name)
+    assert(f.readDoubles(f.dataset("incidence_center", entries("incidence_center")))(0) == 30.5)
+    assert(f.readDoubles(f.dataset("coord_last_far", entries("coord_last_far"))).toSeq ==
+      Seq(0.0, 0.0, 47.1, 21.1))
+  }
+
+  test("SLC HDF5 stack e2e: dims, order 1,0,2, complex pixel-exact, header dtype (S4)") {
+    val cube = Cube.fromDirectory(spark, h5Dir, CubeConfig())
+    assert(cube.dimensions == Map("Band" -> 3L, "Azimuth" -> 20L, "Range" -> 20L))
+    assert(cube.dataVariables == Seq("real", "imag"))
+    assert(cube.allProducts.map(_.split("_fake_").last) == Seq("1.h5", "0.h5", "2.h5"))
+    assert(cube.attrs("product_type") == "SLC")
+    assert(cube.attrs("dtype") == "float32")
+
+    Fixtures.slcProducts.zipWithIndex.foreach { case (p, idx) =>
+      val rows = cube.productValues(p.name).orderBy("azimuth", "range")
+        .select(col("real").cast("double"), col("imag").cast("double"))
+        .collect()
+      val ok = rows.zipWithIndex.forall { case (r, i) =>
+        val expected = Fixtures.pixelValue(idx, i / 20, i % 20)
+        // float32 storage: compare at float precision
+        r.getDouble(0) == expected.toFloat.toDouble && r.getDouble(1) == (-expected).toFloat.toDouble
+      }
+      assert(rows.length == 400 && ok, s"band $idx mismatch")
+    }
+  }
+
+  test("SLC metadata crawl from HDF5 datasets (S6)") {
+    val crawled = MetadataCrawler.crawlDirectory(spark, h5Dir)
+    val row = crawled.filter(col("product_file") === Fixtures.slcProducts.head.name)
+      .select("incidence_center", "look_side", "orbit_direction", "extent",
+        "number_of_azimuth_samples", "acquisition_date", "metadata")
+      .collect().head
+    assert(row.getDouble(0) == 30.5)
+    assert(row.getString(1) == "RIGHT")
+    assert(row.getString(2) == "ASCENDING")
+    assert(row.getString(3) == "POLYGON((21.0 47.1, 21.1 47.1, 21.1 47.0, 21.0 47.0, 21.0 47.1))")
+    assert(row.getInt(4) == 20)
+    assert(row.getString(5) == "20210428")
+    val md = row.getMap[String, String](6)
+    assert(md("satellite_look_angle") == "30")
+    assert(md("mean_orbit_altitude") == "570000.0")
+    assert(md("RPC") == "None") // no RPC subgroup in own fixtures
+  }
+
+  test("SLC shape mismatch is a hard error (slc_datacube.py:136-142)") {
+    val dir = tmpDir("h5badshape")
+    Fixtures.slcProducts.zipWithIndex.foreach { case (p, idx) =>
+      val shrunk = if (idx == 2) p.copy(az = 10, rg = 10) else p
+      val n = shrunk.az * shrunk.rg
+      val re = Array.tabulate(n)(i => Fixtures.pixelValue(idx, i / shrunk.rg, i % shrunk.rg).toFloat)
+      Fixtures.writeH5(s"$dir/${shrunk.name}", Seq(
+        "s_i" -> Fixtures.H5F32(Seq(shrunk.az, shrunk.rg), re),
+        "s_q" -> Fixtures.H5F32(Seq(shrunk.az, shrunk.rg), re.map(-_)),
+        "product_file" -> Fixtures.H5Str(shrunk.name),
+        "acquisition_end_utc" -> Fixtures.H5Str(shrunk.acquisitionEndUtc),
+        "number_of_azimuth_samples" -> Fixtures.H5I32(Seq.empty, Array(shrunk.az)),
+        "number_of_range_samples" -> Fixtures.H5I32(Seq.empty, Array(shrunk.rg)),
+      ))
+    }
+    intercept[IllegalStateException] {
+      Cube.fromDirectory(spark, dir, CubeConfig())
+    }
+  }
+
+  // --- validation against the reference's own h5py-written fixtures ---
+  private val refH5 =
+    "/root/reference/tests/resources/slc_stack/ICEYE_SLC_54549_20210427T215124_hollow_20x20pixels_fake_0.h5"
+
+  test("Hdf5 reader parses real h5py output (vlen strings, multi-SNOD, RPC group)") {
+    assume(new java.io.File(refH5).isFile, "reference fixtures not available")
+    val (f, raf) = Hdf5.open(refH5)
+    try {
+      val entries = f.rootEntries.toMap
+      assert(entries.size > 50) // 80+ metadata datasets over many SNOD leaves
+      val si = f.dataset("s_i", entries("s_i"))
+      assert(si.dims == Seq(20L, 20L) && si.dtype == Hdf5.FloatPoint(4, littleEndian = true))
+      val vals = f.readDoubles(si)
+      assert(vals.length == 400 && vals.forall(v => v >= 0.0 && v <= 1.0))
+      // vlen string via the global heap
+      val acq = f.readString(f.dataset("acquisition_end_utc", entries("acquisition_end_utc")))
+      assert(acq == "2021-04-28T21:51:30.025535")
+      // RPC subgroup
+      val rpc = f.subgroupEntries("RPC").get.toMap
+      assert(rpc.contains("LINE_NUM_COEFF") && rpc.contains("LAT_OFF"))
+      assert(f.readDoubles(f.dataset("LINE_NUM_COEFF", rpc("LINE_NUM_COEFF"))).length == 20)
+    } finally raf.close()
+  }
+
+  test("SLC crawl row from a real h5py fixture") {
+    assume(new java.io.File(refH5).isFile, "reference fixtures not available")
+    val row = SlcTags.rasterRawRow(refH5)
+    assert(row.getString(7) == "2021-04-28T21:51:30.025535") // acquisition_end_utc
+    assert(row.getInt(8) == 20 && row.getInt(9) == 20)
+    val extras = row.getMap[String, String](14)
+    assert(extras.contains("RPC_LINE_NUM_COEFF"))
+    assert(extras("satellite_look_angle").nonEmpty)
+  }
+}
