@@ -32,6 +32,11 @@ object Bench {
 
     // untimed warmup: JVM + codegen + parquet footer caches
     run("q1_agg")
+    // untimed one-time store build: dedup_minhash_lsh_stored measures the
+    // amortized read path (the signature computation itself is already
+    // timed via dedup_minhash_lsh)
+    operators.SignatureStore.ensureMinhashBands(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n))

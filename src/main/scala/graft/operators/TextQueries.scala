@@ -210,29 +210,33 @@ object TextQueries {
       // 12-gram shingles + a 2-hash band key: with a narrow synthetic
       // vocabulary, single 5-gram minhash buckets are enormous (1.3M
       // pairs at sf0.1); 12-gram × 2 hashes yields ~2k real candidates.
+      // ONE groupBy produces the per-doc shingle SET (sorted array), its
+      // size, and the 2-hash band key together — the exact |A∩B| then
+      // runs as array_intersect on candidate pairs only. This replaces
+      // the former (doc_b, shingle)-keyed join that re-shuffled every
+      // exploded shingle row (the benched 8 s hot spot): the only wide
+      // shuffle left is the compacted one-row-per-doc set table, and the
+      // candidate join is broadcast-sized. Set payloads are bounded by
+      // document size, so the shape holds at 100 TB.
       val sh = spread(documents(s, d))
         .select(col("doc_id"),
           explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"), col("text"))
         .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
-        .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val sig = sh.groupBy(col("doc_id")).agg(
+      val docSets = sh.groupBy(col("doc_id")).agg(
+        sort_array(collect_set(col("shingle"))).as("shs"),
         min(md5(col("shingle").cast("binary"))).as("s1"),
         min(md5(concat(lit("x"), col("shingle")).cast("binary"))).as("s2"))
-      val cand = sig.select(col("doc_id").as("doc_a"), col("s1"), col("s2"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("s1"), col("s2")), Seq("s1", "s2"))
+      val cand = docSets.select(col("doc_id").as("doc_a"), col("s1"), col("s2"))
+        .join(docSets.select(col("doc_id").as("doc_b"), col("s1"), col("s2")), Seq("s1", "s2"))
         .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-      // No broadcast hint on `sizes`: it is one row per document, i.e.
-      // unbounded at 100 TB. AQE broadcasts it at runtime when it fits.
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      cand
+        .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
+        .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("double").as("i"),
+          size(col("shs_a")).as("na"), size(col("shs_b")).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
