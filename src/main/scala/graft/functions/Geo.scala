@@ -63,4 +63,23 @@ object Geo {
 
   /** `st_intersects(extentA, extentB)` as a Column. */
   def stIntersects(a: Column, b: Column): Column = intersectsUdf(a, b)
+
+  /** S10 cube path: KML AOI → WKT polygon (lon lat order, matching the
+    * crawler's extent WKT). Closes the ring if the KML left it open.
+    * Driver-side: a KML is a single control polygon, never data-plane. */
+  def kmlToWkt(kml: String): String = {
+    val pts = Parsers.parseKmlCoordinates(kml).map { case (lon, lat, _) => s"$lon $lat" }
+    val ring = if (pts.head == pts.last) pts else pts :+ pts.head
+    ring.mkString("POLYGON((", ", ", "))")
+  }
+
+  /** Filter a layers/metadata table to rows whose `extent` intersects the
+    * KML AOI — the J1 overlap machinery applied to a user-supplied AOI
+    * instead of the primary raster (load_kml, analytics_IO.py:242-265,
+    * composed with the sar_datacube_metadata.py:204-222 semi-join). */
+  def filterByKmlAoi(layers: org.apache.spark.sql.DataFrame, kml: String): org.apache.spark.sql.DataFrame = {
+    val aoi = kmlToWkt(kml)
+    layers.filter(stIntersects(org.apache.spark.sql.functions.col("extent"),
+      org.apache.spark.sql.functions.lit(aoi)))
+  }
 }

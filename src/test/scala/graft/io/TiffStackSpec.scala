@@ -90,6 +90,30 @@ class TiffStackSpec extends SparkFunSuite {
     assert(v == Fixtures.pixelValue(0, 3, 7))
   }
 
+  test("DEM GeoTIFF load (S11): float heights, header shape, missing-file error") {
+    val dir = tmpDir("dem")
+    val p = Fixtures.grdProducts.head
+    val path = s"$dir/dem.tif"
+    Fixtures.writeTiff(path, p, idx = 0, dtype = "float32")
+    assert(Dem.shape(path) == (10, 10))
+    val vals = Dem.load(spark, path).orderBy("azimuth", "range")
+      .select("height").collect().map(_.getDouble(0))
+    val expected = for { a <- 0 until 10; r <- 0 until 10 } yield Fixtures.pixelValue(0, a, r)
+    assert(vals.toSeq == expected)
+    intercept[java.io.FileNotFoundException] { Dem.load(spark, s"$dir/missing.tif") }
+  }
+
+  test("KML AOI filter over crawled layers (S10 cube path)") {
+    val crawled = MetadataCrawler.crawlDirectory(spark, tifDir)
+    // AOI overlapping the fixture extents (lat 47.0-47.1, lon 21.0-21.1)
+    val hit =
+      """<kml><coordinates>20.95,47.05,0 21.05,47.05,0 21.05,47.15,0 20.95,47.15,0</coordinates></kml>"""
+    val miss =
+      """<kml><coordinates>30,30,0 31,30,0 31,31,0 30,31,0</coordinates></kml>"""
+    assert(graft.functions.Geo.filterByKmlAoi(crawled, hit).count() == 3)
+    assert(graft.functions.Geo.filterByKmlAoi(crawled, miss).count() == 0)
+  }
+
   test("recursive crawl walks nested directories (S1 recursive variant)") {
     val root = tmpDir("tifrec")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/a/b"))
