@@ -32,6 +32,9 @@ object Hdf5 {
   sealed trait Layout
   final case class Contiguous(off: Long, size: Long) extends Layout
   final case class Compact(data: Array[Byte]) extends Layout
+  /** Chunked storage: v1 chunk B-tree + per-chunk dims (without the
+    * trailing element-size entry); `deflate` from the filter pipeline. */
+  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Long], deflate: Boolean) extends Layout
 
   /** One dataset: dims (empty = scalar), element type, storage. */
   final case class Dataset(name: String, dims: Seq[Long], dtype: Dtype, layout: Layout) {
@@ -153,7 +156,20 @@ object Hdf5 {
       var dims: Seq[Long] = Seq.empty
       var dtype: Dtype = null
       var layout: Layout = null
+      var deflate = false
       messages(ohdrAddr).foreach {
+        case (0x0b, b) => // filter pipeline: detect gzip/deflate (id 1)
+          val nFilters = b(1).toInt
+          var p = 8
+          var i = 0
+          while (i < nFilters && p + 8 <= b.length) {
+            val id = u(b, p, 2).toInt
+            val nameLen = u(b, p + 2, 2).toInt
+            val nValues = u(b, p + 6, 2).toInt
+            if (id == 1) deflate = true
+            p += 8 + (nameLen + 7) / 8 * 8 + nValues * 4 + (if (nValues % 2 == 1) 4 else 0)
+            i += 1
+          }
         case (0x01, b) => // dataspace (v1)
           require(b(0) == 1, s"unsupported dataspace version ${b(0)} in $name")
           val rank = b(1).toInt
@@ -176,14 +192,39 @@ object Hdf5 {
             case 0 =>
               val sz = u(b, 2, 2).toInt
               Compact(java.util.Arrays.copyOfRange(b, 4, 4 + sz))
-            case 2 => throw new IllegalArgumentException(
-              s"chunked dataset $name not supported (contiguous/compact only)")
+            case 2 => // chunked: dimensionality(1), btree(8), dims u32 each
+              val ndims = b(2).toInt // = rank + 1 (trailing element size)
+              val chunkDims = (0 until ndims - 1).map(i => u(b, 11 + 4 * i, 4))
+              Chunked(u(b, 3, 8), chunkDims, deflate = false) // deflate patched below
             case c => throw new IllegalArgumentException(s"unsupported layout class $c in $name")
           }
         case _ => ()
       }
       require(dtype != null && layout != null, s"$name: missing datatype/layout message")
+      layout = layout match {
+        case c: Chunked => c.copy(deflate = deflate)
+        case l          => l
+      }
       Dataset(name, dims, dtype, layout)
+    }
+
+    /** Chunk B-tree (v1, node type 1) → (dataAddr, storedSize, origin). */
+    private def chunkEntries(btreeAddr: Long, rank: Int): Seq[(Long, Int, Seq[Long])] = {
+      val head = read(btreeAddr, 8)
+      require(new String(head, 0, 4) == "TREE", s"expected chunk TREE at $btreeAddr")
+      require(head(4) == 1, "expected a raw-data chunk B-tree (type 1)")
+      val level = head(5).toInt
+      val n = u(head, 6, 2).toInt
+      val keySize = 8 + 8 * (rank + 1) // size(4) + mask(4) + offsets u64 × (rank+1)
+      val body = read(btreeAddr + 24, n * (keySize + 8) + keySize)
+      (0 until n).flatMap { i =>
+        val kOff = i * (keySize + 8)
+        val storedSize = u(body, kOff, 4).toInt
+        val origin = (0 until rank).map(d => u(body, kOff + 8 + 8 * d, 8))
+        val child = u(body, kOff + keySize, 8)
+        if (level > 0) chunkEntries(child, rank)
+        else Seq((child, storedSize, origin))
+      }
     }
 
     private def rawData(ds: Dataset): Array[Byte] = ds.layout match {
@@ -191,11 +232,61 @@ object Hdf5 {
       case Contiguous(off, sz) => read(off, sz.toInt)
     }
 
-    /** Numeric dataset → doubles (row-major). */
-    def readDoubles(ds: Dataset): Array[Double] = {
-      val d = rawData(ds)
-      val n = ds.elementCount.toInt
-      ds.dtype match {
+    /** Numeric dataset → doubles (row-major), assembling chunks when the
+      * layout is chunked (inflating gzip'd chunks per the filter
+      * pipeline). */
+    def readDoubles(ds: Dataset): Array[Double] = ds.layout match {
+      case c: Chunked =>
+        val rank = ds.dims.size
+        val out = new Array[Double](ds.elementCount.toInt)
+        val elemSize = ds.dtype match {
+          case FixedPoint(s, _, _) => s
+          case FloatPoint(s, _)    => s
+          case t => throw new IllegalArgumentException(s"${ds.name}: not numeric ($t)")
+        }
+        val chunkElems = c.chunkDims.product.toInt
+        chunkEntries(c.btreeAddr, rank).foreach { case (addr, storedSize, origin) =>
+          val stored = read(addr, storedSize)
+          val raw =
+            if (!c.deflate) stored
+            else {
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(stored)
+              val buf = new Array[Byte](chunkElems * elemSize)
+              var done = 0
+              while (done < buf.length && !inf.finished())
+                done += inf.inflate(buf, done, buf.length - done)
+              inf.end()
+              buf
+            }
+          val vals = decodeNumeric(raw, chunkElems, ds.dtype, ds.name)
+          // place chunk elements (row-major within chunkDims); clip edge
+          // chunks that overhang the dataset dims
+          val strides = Array.tabulate(rank)(d => (d + 1 until rank).map(c.chunkDims(_)).product)
+          var i = 0
+          while (i < chunkElems) {
+            var rem = i.toLong
+            var linear = 0L
+            var inside = true
+            var d = 0
+            while (d < rank) {
+              val local = rem / strides(d)
+              rem = rem % strides(d)
+              val coord = origin(d) + local
+              if (coord >= ds.dims(d)) inside = false
+              linear = linear * ds.dims(d) + coord
+              d += 1
+            }
+            if (inside) out(linear.toInt) = vals(i)
+            i += 1
+          }
+        }
+        out
+      case _ => decodeNumeric(rawData(ds), ds.elementCount.toInt, ds.dtype, ds.name)
+    }
+
+    private def decodeNumeric(d: Array[Byte], n: Int, dtype: Dtype, name: String): Array[Double] = {
+      dtype match {
         case FixedPoint(size, signed, le) =>
           Array.tabulate(n) { i =>
             var v = 0L
@@ -223,7 +314,7 @@ object Hdf5 {
             val v = if (le) bits else java.lang.Long.reverseBytes(bits)
             java.lang.Double.longBitsToDouble(v)
           }
-        case t => throw new IllegalArgumentException(s"${ds.name}: not a numeric dataset ($t)")
+        case t => throw new IllegalArgumentException(s"$name: not a numeric dataset ($t)")
       }
     }
 

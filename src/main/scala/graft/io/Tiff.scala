@@ -143,8 +143,8 @@ object Tiff {
       }
       i += 1
     }
-    require(compression == 1,
-      s"unsupported TIFF compression $compression (baseline uncompressed only)")
+    require(compression == 1 || compression == 8 || compression == 32946,
+      s"unsupported TIFF compression $compression (uncompressed or deflate only)")
     require(samplesPerPixel == 1,
       s"unsupported TIFF samples-per-pixel $samplesPerPixel (single-band SAR rasters only)")
     Info(width, height, bits, sampleFormat, compression, le,
@@ -154,21 +154,32 @@ object Tiff {
   /** Decode all strips of an in-memory TIFF to (azimuth, range, value)
     * rows — azimuth = row index, range = column index, matching the
     * reference's (Azimuth, Range) = array shape (`grd_datacube.py:139-147`).
-    * Iterator-lazy: pixels stream out of the executor without an
-    * intermediate row array. */
+    * Iterator-lazy across strips: at most one (possibly inflated) strip
+    * buffer is alive at a time. */
   def decode(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] = {
     val bytesPerSample = info.bitsPerSample / 8
     info.stripOffsets.iterator.zipWithIndex.flatMap { case (off, s) =>
       val rowStart = s * info.rowsPerStrip
       val rows = math.min(info.rowsPerStrip, info.height - rowStart)
-      val base = off.toInt
+      val strip: Array[Byte] =
+        if (info.compression == 1)
+          java.util.Arrays.copyOfRange(data, off.toInt, off.toInt + rows * info.width * bytesPerSample)
+        else { // deflate (8 / 32946): zlib-inflate the strip
+          val count = info.stripByteCounts(s).toInt
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(data, off.toInt, count)
+          val out = new Array[Byte](rows * info.width * bytesPerSample)
+          var done = 0
+          while (done < out.length && !inf.finished()) done += inf.inflate(out, done, out.length - done)
+          inf.end()
+          require(done == out.length,
+            s"deflate strip $s inflated to $done of ${out.length} bytes")
+          out
+        }
       for {
         r <- Iterator.range(0, rows)
         c <- Iterator.range(0, info.width)
-      } yield {
-        val p = base + (r.toLong * info.width + c).toInt * bytesPerSample
-        (rowStart + r, c, sampleAt(data, p, info))
-      }
+      } yield (rowStart + r, c, sampleAt(strip, (r * info.width + c) * bytesPerSample, info))
     }
   }
 

@@ -119,7 +119,7 @@ object Fixtures {
     * Multi-strip on purpose (rowsPerStrip=4) so decode exercises strip
     * boundaries. */
   def writeTiff(path: String, p: Product, idx: Int, dtype: String = "uint16",
-      withRpc: Boolean = true): Unit = {
+      withRpc: Boolean = true, compression: Int = 1): Unit = {
     // ASCII TIFF tags carry a trailing NUL; the reader must strip it
     val xml = gdalXml(p) + "\u0000"
     val xmlBytes = xml.getBytes(StandardCharsets.UTF_8)
@@ -147,21 +147,34 @@ object Fixtures {
       Tag(id, 12, vs.size, b.array())
     }
 
-    // strip payload
-    val strip = java.nio.ByteBuffer.allocate(p.az * p.rg * bytesPerSample).order(bo)
-    for { a <- 0 until p.az; r <- 0 until p.rg } {
-      val v = pixelValue(idx, a, r)
-      if (dtype == "uint16") strip.putShort(v.toInt.toShort) else strip.putFloat(v.toFloat)
+    // strip payloads (per strip, optionally deflated)
+    val rawStrips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, p.az - s * rowsPerStrip)
+      val b = java.nio.ByteBuffer.allocate(rows * p.rg * bytesPerSample).order(bo)
+      for { a <- s * rowsPerStrip until s * rowsPerStrip + rows; r <- 0 until p.rg } {
+        val v = pixelValue(idx, a, r)
+        if (dtype == "uint16") b.putShort(v.toInt.toShort) else b.putFloat(v.toFloat)
+      }
+      b.array()
     }
-    val stripBytes = strip.array()
-    val stripLens = (0 until nStrips).map { s =>
-      math.min(rowsPerStrip, p.az - s * rowsPerStrip).toLong * p.rg * bytesPerSample
+    val strips: Seq[Array[Byte]] = rawStrips.map { raw =>
+      if (compression == 1) raw
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val out = new Array[Byte](raw.length * 2 + 64)
+        val n = d.deflate(out)
+        d.end()
+        java.util.Arrays.copyOf(out, n)
+      }
     }
+    val stripBytes = strips.reduce(_ ++ _)
+    val stripLens = strips.map(_.length.toLong)
 
     // layout: header(8) | IFD | out-of-line tag data | strips
     val tags0 = Seq(
       shortTag(256, p.rg), shortTag(257, p.az), shortTag(258, bits),
-      shortTag(259, 1), shortTag(262, 1),
+      shortTag(259, compression), shortTag(262, 1),
       longArrTag(273, Seq.fill(nStrips)(0L)), // patched below
       shortTag(277, 1), shortTag(278, rowsPerStrip),
       longArrTag(279, stripLens),
@@ -216,7 +229,10 @@ object Fixtures {
   // ---------------------------------------------------------------- HDF5
 
   sealed trait H5Data
-  final case class H5F32(dims: Seq[Int], values: Array[Float]) extends H5Data
+  /** chunks=(chunkAz, chunkRg) switches the layout to chunked (v1 chunk
+    * B-tree); deflate gzips each chunk (filter pipeline id 1). */
+  final case class H5F32(dims: Seq[Int], values: Array[Float],
+      chunks: Option[(Int, Int)] = None, deflate: Boolean = false) extends H5Data
   final case class H5F64(dims: Seq[Int], values: Array[Double]) extends H5Data
   final case class H5I32(dims: Seq[Int], values: Array[Int]) extends H5Data
   final case class H5Str(value: String) extends H5Data
@@ -246,7 +262,7 @@ object Fixtures {
     def dtypeBody(d: H5Data): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(24).order(bo)
       d match {
-        case H5F32(_, _) =>
+        case H5F32(_, _, _, _) =>
           b.put((0x10 | 1).toByte).put(0x20.toByte).put(0x0f.toByte).put(0.toByte).putInt(4)
           b.putShort(0).putShort(32).put(0.toByte).put(23.toByte).put(8.toByte)
             .put(0.toByte).put(23.toByte).put(0.toByte).putShort(0).putInt(127)
@@ -263,13 +279,40 @@ object Fixtures {
       java.util.Arrays.copyOf(b.array(), pad8(b.position()))
     }
     def dims(d: H5Data): Seq[Int] = d match {
-      case H5F32(dm, _) => dm
+      case H5F32(dm, _, _, _) => dm
       case H5F64(dm, _) => dm
       case H5I32(dm, _) => dm
       case H5Str(_)     => Seq.empty
     }
+    def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+      val dfl = new java.util.zip.Deflater()
+      dfl.setInput(raw); dfl.finish()
+      val out = new Array[Byte](raw.length * 2 + 64)
+      val n = dfl.deflate(out)
+      dfl.end()
+      java.util.Arrays.copyOf(out, n)
+    }
+    /** Chunked F32: (origin, stored chunk bytes); edge chunks zero-padded
+      * to full chunk size (HDF5 stores full chunks). */
+    def chunksOf(f: H5F32): Seq[(Seq[Long], Array[Byte])] = {
+      val Some((ch, cw)) = f.chunks
+      val Seq(az, rg) = f.dims
+      for {
+        c0 <- 0 until (az + ch - 1) / ch
+        c1 <- 0 until (rg + cw - 1) / cw
+      } yield {
+        val b = java.nio.ByteBuffer.allocate(ch * cw * 4).order(bo)
+        for { a <- 0 until ch; r <- 0 until cw } {
+          val ga = c0 * ch + a; val gr = c1 * cw + r
+          b.putFloat(if (ga < az && gr < rg) f.values(ga * rg + gr) else 0.0f)
+        }
+        val raw = b.array()
+        (Seq(c0.toLong * ch, c1.toLong * cw),
+          if (f.deflate) deflateBytes(raw) else raw)
+      }
+    }
     def dataBytes(d: H5Data): Array[Byte] = d match {
-      case H5F32(_, vs) =>
+      case H5F32(_, vs, _, _) =>
         val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putFloat); b.array()
       case H5F64(_, vs) =>
         val b = java.nio.ByteBuffer.allocate(vs.length * 8).order(bo); vs.foreach(b.putDouble); b.array()
@@ -277,12 +320,22 @@ object Fixtures {
         val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putInt); b.array()
       case H5Str(v) => (v + "\u0000").getBytes(StandardCharsets.UTF_8)
     }
+    def isChunked(d: H5Data): Boolean = d match {
+      case f: H5F32 => f.chunks.isDefined
+      case _        => false
+    }
     def ohdrSize(d: H5Data): Int = {
       val dspace = 8 + 8 + dims(d).size * 8
       val dtype = 8 + dtypeBody(d).length
       val layout = 8 + 24
-      16 + dspace + dtype + layout
+      val filter = d match {
+        case f: H5F32 if f.deflate => 8 + 16
+        case _                     => 0
+      }
+      16 + dspace + dtype + layout + filter
     }
+    // chunk B-tree node: header(24) + n*(key 32 + child 8) + final key 32
+    def btreeSize(nChunks: Int): Int = 24 + nChunks * 40 + 32
 
     // --- layout: superblock(96) | root ohdr(40) | heap hdr(32) | heap
     // data | TREE(48) | SNOD | dataset ohdrs | data blocks ---
@@ -297,8 +350,19 @@ object Fixtures {
       val a = cursor; cursor += ohdrSize(d); (n, a)
     }.toMap
     cursor = (cursor + 7) / 8 * 8
-    val dataAddrs = sorted.map { case (n, d) =>
+    // chunk B-trees for chunked datasets
+    val btreeAddrs = sorted.collect { case (n, f: H5F32) if f.chunks.isDefined =>
+      val a = cursor; cursor += btreeSize(chunksOf(f).size); (n, a)
+    }.toMap
+    cursor = (cursor + 7) / 8 * 8
+    val dataAddrs = sorted.filterNot(e => isChunked(e._2)).map { case (n, d) =>
       val a = cursor; cursor += pad8(dataBytes(d).length); (n, a)
+    }.toMap
+    val chunkAddrs = sorted.collect { case (n, f: H5F32) if f.chunks.isDefined =>
+      val addrs = chunksOf(f).map { case (_, bytes) =>
+        val a = cursor; cursor += pad8(bytes.length); a
+      }
+      (n, addrs)
     }.toMap
     val eof = cursor
 
@@ -341,23 +405,64 @@ object Fixtures {
       assert(buf.position() == ohdrAddrs(n))
       val dspaceBody = 8 + dims(d).size * 8
       val dtb = dtypeBody(d)
-      val msgsSize = (8 + dspaceBody) + (8 + dtb.length) + (8 + 24)
-      buf.put(1.toByte).put(0.toByte).putShort(3).putInt(1).putInt(msgsSize).putInt(0)
+      val deflated = d match { case f: H5F32 => f.deflate; case _ => false }
+      val nMsgs = 3 + (if (deflated) 1 else 0)
+      val msgsSize = (8 + dspaceBody) + (8 + dtb.length) + (8 + 24) +
+        (if (deflated) 8 + 16 else 0)
+      buf.put(1.toByte).put(0.toByte).putShort(nMsgs.toShort).putInt(1).putInt(msgsSize).putInt(0)
       buf.putShort(0x01).putShort(dspaceBody.toShort).putInt(0) // dataspace v1
       buf.put(1.toByte).put(dims(d).size.toByte).put(0.toByte)
       buf.put(Array.fill[Byte](5)(0))
       dims(d).foreach(x => buf.putLong(x.toLong))
       buf.putShort(0x03).putShort(dtb.length.toShort).putInt(0) // datatype
       buf.put(dtb)
-      buf.putShort(0x08).putShort(24).putInt(0)                 // layout v3 contiguous
-      buf.put(3.toByte).put(1.toByte)
-      buf.putLong(dataAddrs(n)).putLong(dataBytes(d).length.toLong)
-      buf.put(Array.fill[Byte](24 - 18)(0))
+      if (deflated) { // filter pipeline: gzip (id 1), no client values
+        buf.putShort(0x0b).putShort(16).putInt(0)
+        buf.put(1.toByte).put(1.toByte).put(Array.fill[Byte](6)(0))
+        buf.putShort(1).putShort(0).putShort(0).putShort(0)
+      }
+      if (isChunked(d)) {                                       // layout v3 chunked
+        val f = d.asInstanceOf[H5F32]
+        val Some((ch, cw)) = f.chunks
+        buf.putShort(0x08).putShort(24).putInt(0)
+        buf.put(3.toByte).put(2.toByte).put(3.toByte)           // ver, class, ndims+1
+        buf.putLong(btreeAddrs(n))
+        buf.putInt(ch).putInt(cw).putInt(4)                     // chunk dims + elem size
+        buf.put(Array.fill[Byte](24 - 23)(0))
+      } else {
+        buf.putShort(0x08).putShort(24).putInt(0)               // layout v3 contiguous
+        buf.put(3.toByte).put(1.toByte)
+        buf.putLong(dataAddrs(n)).putLong(dataBytes(d).length.toLong)
+        buf.put(Array.fill[Byte](24 - 18)(0))
+      }
+    }
+    // chunk B-trees (single level-0 node, type 1)
+    sorted.foreach {
+      case (n, f: H5F32) if f.chunks.isDefined =>
+        buf.position(btreeAddrs(n).toInt)
+        val cs = chunksOf(f)
+        buf.put("TREE".getBytes).put(1.toByte).put(0.toByte).putShort(cs.size.toShort)
+        buf.putLong(Undef).putLong(Undef)
+        cs.zip(chunkAddrs(n)).foreach { case ((origin, bytes), addr) =>
+          buf.putInt(bytes.length).putInt(0)                    // stored size, filter mask
+          origin.foreach(buf.putLong); buf.putLong(0L)          // offsets + elem dim 0
+          buf.putLong(addr)
+        }
+        buf.putInt(0).putInt(0).putLong(0L).putLong(0L).putLong(0L) // final key
+      case _ => ()
     }
     // data blocks
     sorted.foreach { case (n, d) =>
-      buf.position(dataAddrs(n).toInt)
-      buf.put(dataBytes(d))
+      if (isChunked(d)) {
+        val f = d.asInstanceOf[H5F32]
+        chunksOf(f).zip(chunkAddrs(n)).foreach { case ((_, bytes), addr) =>
+          buf.position(addr.toInt)
+          buf.put(bytes)
+        }
+      } else {
+        buf.position(dataAddrs(n).toInt)
+        buf.put(dataBytes(d))
+      }
     }
     buf.position(eof.toInt)
     Files.write(Paths.get(path), buf.array())

@@ -71,6 +71,39 @@ class Hdf5StackSpec extends SparkFunSuite {
     assert(md("RPC") == "None") // no RPC subgroup in own fixtures
   }
 
+  test("chunked + deflate HDF5 datasets decode pixel-exact (large-SLC layout)") {
+    val dir = tmpDir("h5chunked")
+    val p = Fixtures.slcProducts.head
+    val n = p.az * p.rg
+    val re = Array.tabulate(n)(i => Fixtures.pixelValue(0, i / p.rg, i % p.rg).toFloat)
+    // 7×6 chunks over a 20×20 grid: edge chunks overhang and must clip
+    val path = s"$dir/${p.name}"
+    Fixtures.writeH5(path, Seq(
+      "s_i" -> Fixtures.H5F32(Seq(p.az, p.rg), re, chunks = Some((7, 6))),
+      "s_q" -> Fixtures.H5F32(Seq(p.az, p.rg), re.map(-_), chunks = Some((7, 6)), deflate = true),
+      "product_file" -> Fixtures.H5Str(p.name),
+      "acquisition_end_utc" -> Fixtures.H5Str(p.acquisitionEndUtc),
+    ))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = Hdf5.fromBytes(bytes)
+    val entries = f.rootEntries.toMap
+
+    val si = f.dataset("s_i", entries("s_i"))
+    assert(si.layout.isInstanceOf[Hdf5.Chunked])
+    assert(f.readDoubles(si).toSeq == re.map(_.toDouble).toSeq)
+
+    val sq = f.dataset("s_q", entries("s_q"))
+    assert(sq.layout.asInstanceOf[Hdf5.Chunked].deflate)
+    assert(f.readDoubles(sq).toSeq == re.map(v => -v.toDouble).toSeq)
+
+    // and through the full cube build
+    val cube = Cube.fromDirectory(spark, dir, CubeConfig())
+    val v = cube.pixels.filter(col("azimuth") === 13 && col("range") === 17)
+      .select(col("real").cast("double"), col("imag").cast("double")).collect().head
+    assert(v.getDouble(0) == Fixtures.pixelValue(0, 13, 17))
+    assert(v.getDouble(1) == -Fixtures.pixelValue(0, 13, 17))
+  }
+
   test("SLC shape mismatch is a hard error (slc_datacube.py:136-142)") {
     val dir = tmpDir("h5badshape")
     Fixtures.slcProducts.zipWithIndex.foreach { case (p, idx) =>

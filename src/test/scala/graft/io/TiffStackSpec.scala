@@ -90,6 +90,19 @@ class TiffStackSpec extends SparkFunSuite {
     assert(v == Fixtures.pixelValue(0, 3, 7))
   }
 
+  test("deflate-compressed TIFF decodes pixel-exact (GDAL deflate GeoTIFFs)") {
+    val dir = tmpDir("tifdeflate")
+    val p = Fixtures.grdProducts.head
+    val path = s"$dir/${p.name}"
+    Fixtures.writeTiff(path, p, idx = 0, compression = 8)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val info = Tiff.fromBytes(bytes)
+    assert(info.compression == 8)
+    val px = Tiff.decode(bytes, info).toSeq
+    assert(px.size == 100)
+    assert(px.forall { case (az, rg, v) => v == Fixtures.pixelValue(0, az, rg) })
+  }
+
   test("DEM GeoTIFF load (S11): float heights, header shape, missing-file error") {
     val dir = tmpDir("dem")
     val p = Fixtures.grdProducts.head
