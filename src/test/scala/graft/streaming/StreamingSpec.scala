@@ -36,6 +36,44 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("file-source stream: windowed counts over a growing parquet directory") {
+    // The production path (readStream over a directory) with the same
+    // source-agnostic transform as the MemoryStream tests. Two file
+    // drops simulate micro-batch arrival; results must match the batch
+    // computation over the union.
+    val dir = tmpDir("evstream")
+    val batch1 = Seq(
+      (ts("2024-01-01 00:10:00"), "error", 1.0),
+      (ts("2024-01-01 00:20:00"), "error", 2.0))
+    val batch2 = Seq(
+      (ts("2024-01-01 00:30:00"), "purchase", 5.0),
+      (ts("2024-01-01 01:10:00"), "error", 3.0))
+    batch1.toDF("ts", "event_type", "value").coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val query = EventStream.windowedCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName("file_win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      query.processAllAvailable()
+      batch2.toDF("ts", "event_type", "value").coalesce(1)
+        .write.mode("append").parquet(dir)
+      query.processAllAvailable()
+      val rows = spark.table("file_win_counts")
+        .groupBy("window_start", "event_type") // Update mode re-emits; keep latest
+        .agg(max("n").as("n"), max("total_value").as("total_value"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "error", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", "purchase", 1L, 5.0)))
+      assert(rows.contains(("2024-01-01 01:00:00.0", "error", 1L, 3.0)))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap, keeps open session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
