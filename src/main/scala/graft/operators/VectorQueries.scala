@@ -84,6 +84,38 @@ object VectorQueries {
     s
   }
 
+  /** IVF-flat search: assign all vectors to their nearest centroid, probe
+    * each query's `nprobe` nearest buckets, rank candidates by rounded
+    * cosine. Centroid side is broadcast (bucket-count cardinality); the
+    * search itself is an equi-join on cent_id — never all-pairs. Shared
+    * by the `ann_ivf` query and IvfRecallSpec. */
+  def ivfTopK(e: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val assignRn = Window.partitionBy(col("vec_id"))
+      .orderBy(score("embedding", "cv").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(assignRn))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cent_id")
+    val probeRn = Window.partitionBy(col("qid"))
+      .orderBy(score("qv", "cv").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(probeRn))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "cent_id")
+    val cand = probes.join(assign, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+    val qv = queries.select(col("qid"), col("qv"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cve"))
+    val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    cand.join(qv, Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"), score("qv", "cve").as("score"))
+      .withColumn("rn", row_number().over(topRn))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "score")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- brute-force cosine top-k (k=3) for a query subset -----
@@ -121,6 +153,51 @@ object VectorQueries {
         }
         .toDF("qid", "cid", "score")
         .orderBy("qid", "cid")
+    },
+
+    // ----- IVF ANN (second scale path): coarse-quantizer bucket search -----
+    // Deterministic IVF-flat: the 16 lowest-id vectors are the coarse
+    // centroids (no Lloyd iterations — float averaging would diverge
+    // between engines; seeds give identical arithmetic on both sides).
+    // Every vector is assigned to its nearest centroid (16×N broadcast
+    // dots — the classic IVF build cost); a query probes its nprobe=2
+    // nearest buckets and ranks only those candidates. Scale shape: the
+    // search is an equi-join on cent_id against the assignment table —
+    // no all-pairs product, and the assignment table is the persisted
+    // artifact at 100 TB. Recall on clustered data is pinned by
+    // IvfRecallSpec.
+    "ann_ivf" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+        |probes AS (
+        |  SELECT qid, cent_id FROM (
+        |    SELECT q.qid, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM q, c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id AS cid
+        |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id <> p.qid)
+        |SELECT cand.qid, cand.cid,
+        |  round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+        |FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.cid
+        |QUALIFY row_number() OVER (PARTITION BY cand.qid ORDER BY score DESC, cid) <= 3
+        |ORDER BY qid, cid""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ivfTopK(e, centroids, queries, nprobe = 2, k = 3).orderBy("qid", "cid")
     },
 
     // ----- embedding-cosine near-dup pairs (threshold on rounded score) -----

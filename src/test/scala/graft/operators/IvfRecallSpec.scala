@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Recall of the IVF bucket search ([[VectorQueries.ivfTopK]]) on planted
+  * clustered vectors: members of the same cluster sit in the same coarse
+  * bucket, so a member's true nearest neighbour (its planted pair) must
+  * surface in the probed buckets. Guards the bucket-assignment + probe
+  * plumbing against silently returning plausible-but-wrong candidates. */
+class IvfRecallSpec extends SparkFunSuite {
+
+  private val dim = VectorQueries.Dim
+
+  private final class Rng(seed0: Long) {
+    private var s = seed0
+    def nextLong(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    def uniform(): Double = (nextLong() >>> 11) * (1.0 / (1L << 53))
+    def gaussian(): Double = (uniform() + uniform() + uniform() + uniform() - 2.0) * 1.732
+  }
+
+  test("planted cluster pairs are found in top-3 via 2-probe IVF") {
+    val rng = new Rng(0x5EED0123L)
+    val nClusters = 16
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rng.gaussian().toFloat))
+    def noisy(c: Array[Float]): Array[Float] = {
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      c.map(x => (x + 0.05 * norm / math.sqrt(dim.toDouble) * rng.gaussian()).toFloat)
+    }
+    // ids 0..15 are the centers themselves (the deterministic coarse
+    // quantizer picks the 16 lowest ids); each cluster gets a planted
+    // pair of members
+    val rows =
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) } ++
+        centers.zipWithIndex.flatMap { case (c, i) =>
+          Seq((100L + 2 * i, noisy(c)), (101L + 2 * i, noisy(c)))
+        }
+    import spark.implicits._
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    val centroids = e.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val queries = e.filter(col("vec_id") >= 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    val top = VectorQueries.ivfTopK(e, centroids, queries, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).groupMap(_._2)(_._1)
+
+    val misses = (0 until nClusters).flatMap { i =>
+      val (m1, m2) = (100L + 2 * i, 101L + 2 * i)
+      Seq((m1, m2), (m2, m1)).filterNot { case (q, want) =>
+        top.getOrElse(q, Array.empty[Long]).contains(want)
+      }
+    }
+    assert(misses.isEmpty, s"planted pairs missing from IVF top-3: $misses")
+  }
+}
