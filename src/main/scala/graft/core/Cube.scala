@@ -177,6 +177,18 @@ final case class Cube(
     flat.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
   }
 
+  /** W2: metadata table export as XLSX (save_metadata_table_as_excel_table,
+    * metadata_crawler.py:232-235) via the dependency-free [[graft.io.Xlsx]]
+    * writer. Driver-side: the table is layer-cardinality, as in the
+    * reference's pandas `to_excel`. */
+  def writeMetadataExcel(path: String): Unit = {
+    val flat = layers.withColumn("metadata", to_json(col("metadata")))
+    val header = flat.columns.toSeq
+    val rows = flat.orderBy("band_index").collect().toSeq.map(r =>
+      header.indices.map(i => Option(r.get(i)).map(String.valueOf).orNull))
+    graft.io.Xlsx.write(path, header, rows)
+  }
+
   /** W2: image-id txt export (save_image_ids_as_txt,
     * metadata_crawler.py:243-252): one comma-separated line of image
     * numbers in band order. The id comes from the `image_number` open

@@ -32,7 +32,15 @@ object Tiff {
       stripOffsets: Array[Long],
       stripByteCounts: Array[Long],
       gdalXml: Option[String],
-      rpc: Option[Array[Double]]) {
+      rpc: Option[Array[Double]],
+      // tiled organization (tags 322-325) — GDAL's other layout; empty
+      // offsets ⇒ strip-organized
+      tileWidth: Int = 0,
+      tileLength: Int = 0,
+      tileOffsets: Array[Long] = Array.empty,
+      tileByteCounts: Array[Long] = Array.empty) {
+
+    def tiled: Boolean = tileOffsets.nonEmpty
 
     /** numpy-style dtype string, the master-dtype vocabulary of
       * `grd_datacube.py:151-159`. */
@@ -96,6 +104,8 @@ object Tiff {
     var samplesPerPixel = 1
     var rowsPerStrip = Int.MaxValue
     var stripOffsets, stripByteCounts = Array.empty[Long]
+    var tileW, tileL = 0
+    var tileOffsets, tileByteCounts = Array.empty[Long]
     var gdalXml: Option[String] = None
     var rpc: Option[Array[Double]] = None
 
@@ -136,6 +146,10 @@ object Tiff {
         case 277   => samplesPerPixel = firstInt
         case 278   => rowsPerStrip = firstInt
         case 279   => stripByteCounts = ints
+        case 322   => tileW = firstInt
+        case 323   => tileL = firstInt
+        case 324   => tileOffsets = ints
+        case 325   => tileByteCounts = ints
         case 339   => sampleFormat = firstInt
         case 42112 => gdalXml = Some(new String(raw, java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != '\u0000'))
         case 50844 if typ == 12 && count == 92 => rpc = Some(doubles)
@@ -148,7 +162,8 @@ object Tiff {
     require(samplesPerPixel == 1,
       s"unsupported TIFF samples-per-pixel $samplesPerPixel (single-band SAR rasters only)")
     Info(width, height, bits, sampleFormat, compression, le,
-      math.min(rowsPerStrip.toLong, height.toLong).toInt, stripOffsets, stripByteCounts, gdalXml, rpc)
+      math.min(rowsPerStrip.toLong, height.toLong).toInt, stripOffsets, stripByteCounts, gdalXml, rpc,
+      tileW, tileL, tileOffsets, tileByteCounts)
   }
 
   /** Decode all strips of an in-memory TIFF to (azimuth, range, value)
@@ -156,7 +171,42 @@ object Tiff {
     * reference's (Azimuth, Range) = array shape (`grd_datacube.py:139-147`).
     * Iterator-lazy across strips: at most one (possibly inflated) strip
     * buffer is alive at a time. */
-  def decode(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] = {
+  def decode(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] =
+    if (info.tiled) decodeTiles(data, info) else decodeStrips(data, info)
+
+  /** Tile-organized rasters (tags 322-325): full-size tiles in row-major
+    * tile-grid order; edge tiles overhang and are clipped. */
+  private def decodeTiles(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] = {
+    val bytesPerSample = info.bitsPerSample / 8
+    val tilesAcross = (info.width + info.tileWidth - 1) / info.tileWidth
+    info.tileOffsets.iterator.zipWithIndex.flatMap { case (off, t) =>
+      val rowStart = (t / tilesAcross) * info.tileLength
+      val colStart = (t % tilesAcross) * info.tileWidth
+      val tileBytes = info.tileWidth * info.tileLength * bytesPerSample
+      val tile: Array[Byte] =
+        if (info.compression == 1)
+          java.util.Arrays.copyOfRange(data, off.toInt, off.toInt + tileBytes)
+        else inflate(data, off.toInt, info.tileByteCounts(t).toInt, tileBytes)
+      for {
+        r <- Iterator.range(0, math.min(info.tileLength, info.height - rowStart))
+        c <- Iterator.range(0, math.min(info.tileWidth, info.width - colStart))
+      } yield (rowStart + r, colStart + c,
+        sampleAt(tile, (r * info.tileWidth + c) * bytesPerSample, info))
+    }
+  }
+
+  private def inflate(data: Array[Byte], off: Int, count: Int, outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data, off, count)
+    val out = new Array[Byte](outLen)
+    var done = 0
+    while (done < out.length && !inf.finished()) done += inf.inflate(out, done, out.length - done)
+    inf.end()
+    require(done == out.length, s"deflate block inflated to $done of $outLen bytes")
+    out
+  }
+
+  private def decodeStrips(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] = {
     val bytesPerSample = info.bitsPerSample / 8
     info.stripOffsets.iterator.zipWithIndex.flatMap { case (off, s) =>
       val rowStart = s * info.rowsPerStrip
@@ -164,18 +214,8 @@ object Tiff {
       val strip: Array[Byte] =
         if (info.compression == 1)
           java.util.Arrays.copyOfRange(data, off.toInt, off.toInt + rows * info.width * bytesPerSample)
-        else { // deflate (8 / 32946): zlib-inflate the strip
-          val count = info.stripByteCounts(s).toInt
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(data, off.toInt, count)
-          val out = new Array[Byte](rows * info.width * bytesPerSample)
-          var done = 0
-          while (done < out.length && !inf.finished()) done += inf.inflate(out, done, out.length - done)
-          inf.end()
-          require(done == out.length,
-            s"deflate strip $s inflated to $done of ${out.length} bytes")
-          out
-        }
+        else // deflate (8 / 32946): zlib-inflate the strip
+          inflate(data, off.toInt, info.stripByteCounts(s).toInt, rows * info.width * bytesPerSample)
       for {
         r <- Iterator.range(0, rows)
         c <- Iterator.range(0, info.width)

@@ -119,7 +119,8 @@ object Fixtures {
     * Multi-strip on purpose (rowsPerStrip=4) so decode exercises strip
     * boundaries. */
   def writeTiff(path: String, p: Product, idx: Int, dtype: String = "uint16",
-      withRpc: Boolean = true, compression: Int = 1): Unit = {
+      withRpc: Boolean = true, compression: Int = 1,
+      tiled: Option[(Int, Int)] = None): Unit = {
     // ASCII TIFF tags carry a trailing NUL; the reader must strip it
     val xml = gdalXml(p) + "\u0000"
     val xmlBytes = xml.getBytes(StandardCharsets.UTF_8)
@@ -147,15 +148,31 @@ object Fixtures {
       Tag(id, 12, vs.size, b.array())
     }
 
-    // strip payloads (per strip, optionally deflated)
-    val rawStrips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
-      val rows = math.min(rowsPerStrip, p.az - s * rowsPerStrip)
-      val b = java.nio.ByteBuffer.allocate(rows * p.rg * bytesPerSample).order(bo)
-      for { a <- s * rowsPerStrip until s * rowsPerStrip + rows; r <- 0 until p.rg } {
-        val v = pixelValue(idx, a, r)
-        if (dtype == "uint16") b.putShort(v.toInt.toShort) else b.putFloat(v.toFloat)
+    // strip payloads (per strip, optionally deflated) — or full tiles
+    // (zero-padded edges, row-major tile grid) when `tiled` is set
+    def putVal(b: java.nio.ByteBuffer, v: Double): Unit =
+      if (dtype == "uint16") b.putShort(v.toInt.toShort) else { b.putFloat(v.toFloat); () }
+    val rawStrips: Seq[Array[Byte]] = tiled match {
+      case Some((tw, th)) =>
+        for {
+          t0 <- 0 until (p.az + th - 1) / th
+          t1 <- 0 until (p.rg + tw - 1) / tw
+        } yield {
+          val b = java.nio.ByteBuffer.allocate(tw * th * bytesPerSample).order(bo)
+          for { a <- 0 until th; r <- 0 until tw } {
+            val ga = t0 * th + a; val gr = t1 * tw + r
+            putVal(b, if (ga < p.az && gr < p.rg) pixelValue(idx, ga, gr) else 0.0)
+          }
+          b.array()
+        }
+      case None => (0 until nStrips).map { s =>
+        val rows = math.min(rowsPerStrip, p.az - s * rowsPerStrip)
+        val b = java.nio.ByteBuffer.allocate(rows * p.rg * bytesPerSample).order(bo)
+        for { a <- s * rowsPerStrip until s * rowsPerStrip + rows; r <- 0 until p.rg } {
+          putVal(b, pixelValue(idx, a, r))
+        }
+        b.array()
       }
-      b.array()
     }
     val strips: Seq[Array[Byte]] = rawStrips.map { raw =>
       if (compression == 1) raw
@@ -171,16 +188,26 @@ object Fixtures {
     val stripBytes = strips.reduce(_ ++ _)
     val stripLens = strips.map(_.length.toLong)
 
-    // layout: header(8) | IFD | out-of-line tag data | strips
-    val tags0 = Seq(
+    // layout: header(8) | IFD | out-of-line tag data | strips/tiles
+    val locationTags = tiled match {
+      case Some((tw, th)) => Seq(
+        shortTag(322, tw), shortTag(323, th),
+        longArrTag(324, Seq.fill(strips.size)(0L)), // patched below
+        longArrTag(325, stripLens))
+      case None => Seq(
+        longArrTag(273, Seq.fill(nStrips)(0L)), // patched below
+        shortTag(278, rowsPerStrip),
+        longArrTag(279, stripLens))
+    }
+    // IFD entries must be ascending by tag id
+    val tags0 = ((Seq(
       shortTag(256, p.rg), shortTag(257, p.az), shortTag(258, bits),
       shortTag(259, compression), shortTag(262, 1),
-      longArrTag(273, Seq.fill(nStrips)(0L)), // patched below
-      shortTag(277, 1), shortTag(278, rowsPerStrip),
-      longArrTag(279, stripLens),
+      shortTag(277, 1)) ++ locationTags ++ Seq(
       shortTag(339, sampleFormat),
-      Tag(42112, 2, xmlBytes.length, xmlBytes)) ++
-      (if (withRpc) Seq(doubleArrTag(50844, rpcValues.toSeq)) else Nil)
+      Tag(42112, 2, xmlBytes.length, xmlBytes))) ++
+      (if (withRpc) Seq(doubleArrTag(50844, rpcValues.toSeq)) else Nil))
+      .sortBy(_.id)
 
     val ifdSize = 2 + tags0.size * 12 + 4
     var dataOff = 8L + ifdSize
@@ -191,12 +218,12 @@ object Fixtures {
     }
     val stripsStart = dataOff
     val stripOffsets = stripLens.scanLeft(stripsStart)(_ + _).dropRight(1)
-    // patch tag 273 with real strip offsets
+    // patch tag 273/324 with real strip/tile offsets
     val tags = withOffsets.map {
-      case (t, o) if t.id == 273 =>
-        val b = java.nio.ByteBuffer.allocate(4 * nStrips).order(bo)
+      case (t, o) if t.id == 273 || t.id == 324 =>
+        val b = java.nio.ByteBuffer.allocate(4 * strips.size).order(bo)
         stripOffsets.foreach(v => b.putInt(v.toInt))
-        (Tag(273, 4, nStrips, b.array()), o)
+        (Tag(t.id, 4, strips.size, b.array()), o)
       case other => other
     }
 

@@ -30,6 +30,24 @@ class CubeSpec extends SparkFunSuite {
     assert(cube.productIndex(pf) == 1) // sorted by date: fake_1 first
   }
 
+  test("xlsx metadata export is a valid OOXML zip with all layers (W2)") {
+    val cube = Cube.fromDirectory(spark, grdDir, CubeConfig())
+    val path = tmpDir("xlsx") + "/metadata.xlsx"
+    cube.writeMetadataExcel(path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val names = zf.entries().asIterator()
+      val nameSet = Iterator.continually(names).takeWhile(_.hasNext).map(_.next().getName).toSet
+      assert(nameSet.contains("xl/worksheets/sheet1.xml") && nameSet.contains("[Content_Types].xml"))
+      val sheet = new String(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes, "UTF-8")
+      assert(sheet.contains("product_file")) // header row
+      // 3 layers + header
+      assert("<row ".r.findAllIn(sheet).size == 4)
+      assert(Fixtures.grdProducts.forall(p => sheet.contains(p.name)))
+    } finally zf.close()
+  }
+
   test("image-id txt export in band order (W2, metadata_crawler.py:243-252)") {
     val cube = Cube.fromDirectory(spark, grdDir, CubeConfig())
     val path = tmpDir("ids") + "/image_ids.txt"

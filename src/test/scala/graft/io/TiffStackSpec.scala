@@ -103,6 +103,21 @@ class TiffStackSpec extends SparkFunSuite {
     assert(px.forall { case (az, rg, v) => v == Fixtures.pixelValue(0, az, rg) })
   }
 
+  test("tile-organized TIFF decodes pixel-exact, plain and deflated (GDAL tiled GeoTIFFs)") {
+    val p = Fixtures.grdProducts.head
+    for (compression <- Seq(1, 8)) {
+      val path = s"${tmpDir("tiftiled")}/${p.name}"
+      // 4×6 tiles over a 10×10 grid: edge tiles overhang both axes
+      Fixtures.writeTiff(path, p, idx = 0, compression = compression, tiled = Some((6, 4)))
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val info = Tiff.fromBytes(bytes)
+      assert(info.tiled && info.tileWidth == 6 && info.tileLength == 4)
+      val px = Tiff.decode(bytes, info).toSeq
+      assert(px.size == 100, s"compression=$compression")
+      assert(px.forall { case (az, rg, v) => v == Fixtures.pixelValue(0, az, rg) })
+    }
+  }
+
   test("DEM GeoTIFF load (S11): float heights, header shape, missing-file error") {
     val dir = tmpDir("dem")
     val p = Fixtures.grdProducts.head
