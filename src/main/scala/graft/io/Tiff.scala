@@ -38,7 +38,8 @@ object Tiff {
       tileWidth: Int = 0,
       tileLength: Int = 0,
       tileOffsets: Array[Long] = Array.empty,
-      tileByteCounts: Array[Long] = Array.empty) {
+      tileByteCounts: Array[Long] = Array.empty,
+      predictor: Int = 1) {
 
     def tiled: Boolean = tileOffsets.nonEmpty
 
@@ -104,6 +105,7 @@ object Tiff {
     var samplesPerPixel = 1
     var rowsPerStrip = Int.MaxValue
     var stripOffsets, stripByteCounts = Array.empty[Long]
+    var predictor = 1
     var tileW, tileL = 0
     var tileOffsets, tileByteCounts = Array.empty[Long]
     var gdalXml: Option[String] = None
@@ -146,6 +148,7 @@ object Tiff {
         case 277   => samplesPerPixel = firstInt
         case 278   => rowsPerStrip = firstInt
         case 279   => stripByteCounts = ints
+        case 317   => predictor = firstInt
         case 322   => tileW = firstInt
         case 323   => tileL = firstInt
         case 324   => tileOffsets = ints
@@ -157,13 +160,15 @@ object Tiff {
       }
       i += 1
     }
-    require(compression == 1 || compression == 8 || compression == 32946,
-      s"unsupported TIFF compression $compression (uncompressed or deflate only)")
+    require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
+      s"unsupported TIFF compression $compression (uncompressed, LZW or deflate only)")
+    require(predictor == 1 || predictor == 2,
+      s"unsupported TIFF predictor $predictor (none or horizontal differencing only)")
     require(samplesPerPixel == 1,
       s"unsupported TIFF samples-per-pixel $samplesPerPixel (single-band SAR rasters only)")
     Info(width, height, bits, sampleFormat, compression, le,
       math.min(rowsPerStrip.toLong, height.toLong).toInt, stripOffsets, stripByteCounts, gdalXml, rpc,
-      tileW, tileL, tileOffsets, tileByteCounts)
+      tileW, tileL, tileOffsets, tileByteCounts, predictor)
   }
 
   /** Decode all strips of an in-memory TIFF to (azimuth, range, value)
@@ -183,16 +188,111 @@ object Tiff {
       val rowStart = (t / tilesAcross) * info.tileLength
       val colStart = (t % tilesAcross) * info.tileWidth
       val tileBytes = info.tileWidth * info.tileLength * bytesPerSample
-      val tile: Array[Byte] =
-        if (info.compression == 1)
-          java.util.Arrays.copyOfRange(data, off.toInt, off.toInt + tileBytes)
-        else inflate(data, off.toInt, info.tileByteCounts(t).toInt, tileBytes)
+      val tile = decompressBlock(data, off.toInt,
+        if (info.tileByteCounts.nonEmpty) info.tileByteCounts(t).toInt else tileBytes,
+        tileBytes, info.tileWidth, info)
       for {
         r <- Iterator.range(0, math.min(info.tileLength, info.height - rowStart))
         c <- Iterator.range(0, math.min(info.tileWidth, info.width - colStart))
       } yield (rowStart + r, colStart + c,
         sampleAt(tile, (r * info.tileWidth + c) * bytesPerSample, info))
     }
+  }
+
+  /** One strip/tile: decompress (none / LZW / deflate) then undo the
+    * horizontal predictor when tag 317 = 2. */
+  private def decompressBlock(data: Array[Byte], off: Int, count: Int,
+      outLen: Int, blockWidth: Int, info: Info): Array[Byte] = {
+    val raw = info.compression match {
+      case 1 => java.util.Arrays.copyOfRange(data, off, off + outLen)
+      case 5 => lzwDecode(data, off, count, outLen)
+      case _ => inflate(data, off, count, outLen)
+    }
+    if (info.predictor == 2) unpredictHorizontal(raw, blockWidth, info)
+    raw
+  }
+
+  /** Predictor 2 (horizontal differencing): cumulative sum across each
+    * row, per sample, in the file's byte order. Integer samples only
+    * (the TIFF float predictor is 3). */
+  private def unpredictHorizontal(d: Array[Byte], width: Int, info: Info): Unit = {
+    require(info.sampleFormat != 3, "horizontal predictor on float samples not supported")
+    val bps = info.bitsPerSample / 8
+    val rowBytes = width * bps
+    val rows = d.length / rowBytes
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var c = 1
+      while (c < width) {
+        val p = base + c * bps
+        val q = p - bps
+        var carry = 0
+        // add sample at q to sample at p, little- or big-endian
+        var j = 0
+        while (j < bps) {
+          val (pi, qi) = if (info.littleEndian) (p + j, q + j) else (p + bps - 1 - j, q + bps - 1 - j)
+          val s = (d(pi) & 0xff) + (d(qi) & 0xff) + carry
+          d(pi) = s.toByte
+          carry = s >> 8
+          j += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** TIFF-variant LZW (MSB-first codes, Clear=256, EOI=257, early
+    * change at 2^w−1). */
+  private[io] def lzwDecode(data: Array[Byte], off: Int, count: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var outPos = 0
+    var bitPos = 0L
+    val totalBits = count.toLong * 8
+    def readCode(w: Int): Int = {
+      if (bitPos + w > totalBits) return 257 // ran off the end ⇒ treat as EOI
+      var v = 0
+      var i = 0
+      while (i < w) {
+        val b = data(off + (bitPos >> 3).toInt) & 0xff
+        v = (v << 1) | ((b >> (7 - (bitPos & 7).toInt)) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done && outPos < outLen) {
+      val code = readCode(width)
+      if (code == 257) done = true
+      else if (code == 256) { next = 258; width = 9; prev = null }
+      else {
+        val entry =
+          if (code < next && table(code) != null) table(code)
+          else {
+            require(prev != null && code == next, s"corrupt LZW stream: code $code next $next")
+            prev :+ prev(0)
+          }
+        val n = math.min(entry.length, outLen - outPos)
+        System.arraycopy(entry, 0, out, outPos, n)
+        outPos += entry.length
+        if (prev != null && next < 4096) { table(next) = prev :+ entry(0); next += 1 }
+        prev = entry
+        // early change, decoder side: the reader's table is one entry
+        // behind the writer's, so the width switches at 2^w − 2 (the
+        // libtiff maxcode-1 rule)
+        if (next == (1 << width) - 2 && width < 12) width += 1
+      }
+    }
+    require(outPos >= outLen, s"LZW block decoded $outPos of $outLen bytes")
+    out
   }
 
   private def inflate(data: Array[Byte], off: Int, count: Int, outLen: Int): Array[Byte] = {
@@ -211,11 +311,10 @@ object Tiff {
     info.stripOffsets.iterator.zipWithIndex.flatMap { case (off, s) =>
       val rowStart = s * info.rowsPerStrip
       val rows = math.min(info.rowsPerStrip, info.height - rowStart)
-      val strip: Array[Byte] =
-        if (info.compression == 1)
-          java.util.Arrays.copyOfRange(data, off.toInt, off.toInt + rows * info.width * bytesPerSample)
-        else // deflate (8 / 32946): zlib-inflate the strip
-          inflate(data, off.toInt, info.stripByteCounts(s).toInt, rows * info.width * bytesPerSample)
+      val stripBytes = rows * info.width * bytesPerSample
+      val strip = decompressBlock(data, off.toInt,
+        if (info.stripByteCounts.nonEmpty) info.stripByteCounts(s).toInt else stripBytes,
+        stripBytes, info.width, info)
       for {
         r <- Iterator.range(0, rows)
         c <- Iterator.range(0, info.width)

@@ -118,9 +118,60 @@ object Fixtures {
     * strip-organized, GDAL_METADATA tag 42112, RPC tag 50844).
     * Multi-strip on purpose (rowsPerStrip=4) so decode exercises strip
     * boundaries. */
+  /** TIFF-variant LZW encoder (MSB-first, Clear=256, EOI=257, early
+    * change): spec encoder pseudocode, no Clear resets (fixture blocks
+    * stay far below the 4094-entry bound). */
+  def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var bitBuf = 0L
+    var nBits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      nBits += width
+      while (nBits >= 8) { out += ((bitBuf >> (nBits - 8)) & 0xff).toByte; nBits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = 258
+    emit(256) // Clear
+    var omega = -1
+    raw.foreach { b =>
+      val k = b & 0xff
+      if (omega < 0) omega = k
+      else dict.get((omega, k)) match {
+        case Some(c) => omega = c
+        case None =>
+          emit(omega)
+          dict((omega, k)) = next
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          omega = k
+      }
+    }
+    if (omega >= 0) emit(omega)
+    emit(257) // EOI
+    if (nBits > 0) out += ((bitBuf << (8 - nBits)) & 0xff).toByte
+    out.toArray
+  }
+
+  /** Predictor 2: horizontal differencing per row, per uint16 sample. */
+  private def diffRows(raw: Array[Byte], width: Int): Array[Byte] = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    val b = java.nio.ByteBuffer.wrap(raw.clone()).order(bo)
+    val rows = raw.length / (width * 2)
+    for (r <- 0 until rows; c <- (width - 1) until 0 by -1) {
+      val p = (r * width + c) * 2
+      val v = (b.getShort(p) - b.getShort(p - 2)).toShort
+      b.putShort(p, v)
+    }
+    b.array()
+  }
+
   def writeTiff(path: String, p: Product, idx: Int, dtype: String = "uint16",
       withRpc: Boolean = true, compression: Int = 1,
-      tiled: Option[(Int, Int)] = None): Unit = {
+      tiled: Option[(Int, Int)] = None, predictor: Int = 1): Unit = {
+    require(predictor == 1 || (predictor == 2 && dtype == "uint16"),
+      "fixture writer: predictor 2 only for uint16")
     // ASCII TIFF tags carry a trailing NUL; the reader must strip it
     val xml = gdalXml(p) + "\u0000"
     val xmlBytes = xml.getBytes(StandardCharsets.UTF_8)
@@ -174,15 +225,19 @@ object Fixtures {
         b.array()
       }
     }
-    val strips: Seq[Array[Byte]] = rawStrips.map { raw =>
-      if (compression == 1) raw
-      else {
-        val d = new java.util.zip.Deflater()
-        d.setInput(raw); d.finish()
-        val out = new Array[Byte](raw.length * 2 + 64)
-        val n = d.deflate(out)
-        d.end()
-        java.util.Arrays.copyOf(out, n)
+    val blockWidth = tiled.map(_._1).getOrElse(p.rg)
+    val strips: Seq[Array[Byte]] = rawStrips.map { raw0 =>
+      val raw = if (predictor == 2) diffRows(raw0, blockWidth) else raw0
+      compression match {
+        case 1 => raw
+        case 5 => lzwEncode(raw)
+        case _ =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val out = new Array[Byte](raw.length * 2 + 64)
+          val n = d.deflate(out)
+          d.end()
+          java.util.Arrays.copyOf(out, n)
       }
     }
     val stripBytes = strips.reduce(_ ++ _)
@@ -203,7 +258,7 @@ object Fixtures {
     val tags0 = ((Seq(
       shortTag(256, p.rg), shortTag(257, p.az), shortTag(258, bits),
       shortTag(259, compression), shortTag(262, 1),
-      shortTag(277, 1)) ++ locationTags ++ Seq(
+      shortTag(277, 1), shortTag(317, predictor)) ++ locationTags ++ Seq(
       shortTag(339, sampleFormat),
       Tag(42112, 2, xmlBytes.length, xmlBytes))) ++
       (if (withRpc) Seq(doubleArrTag(50844, rpcValues.toSeq)) else Nil))

@@ -118,6 +118,31 @@ class TiffStackSpec extends SparkFunSuite {
     }
   }
 
+  test("LZW-compressed TIFF decodes pixel-exact, with and without horizontal predictor") {
+    val p = Fixtures.grdProducts.head
+    for (predictor <- Seq(1, 2); tiled <- Seq(None, Some((6, 4)))) {
+      val path = s"${tmpDir("tiflzw")}/${p.name}"
+      Fixtures.writeTiff(path, p, idx = 2, compression = 5, tiled = tiled, predictor = predictor)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val info = Tiff.fromBytes(bytes)
+      assert(info.compression == 5 && info.predictor == predictor)
+      val px = Tiff.decode(bytes, info).toSeq
+      assert(px.size == 100, s"predictor=$predictor tiled=$tiled")
+      assert(px.forall { case (az, rg, v) => v == Fixtures.pixelValue(2, az, rg) },
+        s"predictor=$predictor tiled=$tiled")
+    }
+  }
+
+  test("LZW roundtrip crosses the 9-to-10-bit early-change boundary") {
+    // >253 dictionary additions forces the width switch on both sides;
+    // a misaligned early change corrupts everything after code 510
+    val rng = new scala.util.Random(42)
+    val raw = Array.fill(8192)(rng.nextInt(7).toByte) // repetitive → deep dict
+    val enc = Fixtures.lzwEncode(raw)
+    val dec = Tiff.lzwDecode(enc, 0, enc.length, raw.length)
+    assert(dec.toSeq == raw.toSeq)
+  }
+
   test("DEM GeoTIFF load (S11): float heights, header shape, missing-file error") {
     val dir = tmpDir("dem")
     val p = Fixtures.grdProducts.head
