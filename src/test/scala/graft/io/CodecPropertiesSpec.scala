@@ -1,0 +1,68 @@
+package graft.io
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the binary codecs: every write/read combination
+  * must roundtrip pixel-exact for arbitrary shapes — edge strips/tiles,
+  * 1-pixel rasters, all supported compressions. (The fixture writers are
+  * test-scope, but a writer/reader disagreement would invalidate every
+  * decoder spec, so the pair is pinned property-style.) Plain scalacheck
+  * generators with fixed seeds — deterministic, offline-classpath only. */
+class CodecPropertiesSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val dims = for {
+    az <- Gen.choose(1, 23)
+    rg <- Gen.choose(1, 23)
+  } yield (az, rg)
+
+  test("LZW encode/decode roundtrips arbitrary byte content") {
+    val cases = samples(Gen.zip(Gen.choose(0, 4000), Gen.choose(2, 40)), 30, 0xA11CE)
+    cases.foreach { case (n, alphabet) =>
+      val rng = new scala.util.Random(n * 31 + alphabet)
+      val raw = Array.fill(n)((rng.nextInt(alphabet) & 0xff).toByte)
+      val enc = graft.Fixtures.lzwEncode(raw)
+      val dec = Tiff.lzwDecode(enc, 0, enc.length, raw.length)
+      assert(dec.toSeq == raw.toSeq, s"n=$n alphabet=$alphabet")
+    }
+  }
+
+  test("TIFF strip/tile × compression × predictor roundtrip on random shapes") {
+    val gen = Gen.zip(dims, Gen.oneOf(1, 5, 8), Gen.oneOf(0, 1))
+    samples(gen, 25, 0xBEEF1).foreach { case ((az, rg), compression, tileFlag) =>
+      val tiled = if (tileFlag == 1) Some((5, 3)) else None
+      val p = graft.Fixtures.grdProducts.head.copy(az = az, rg = rg)
+      val dir = java.nio.file.Files.createTempDirectory("tifprop").toString
+      val path = s"$dir/${p.name}"
+      graft.Fixtures.writeTiff(path, p, idx = 1, compression = compression, tiled = tiled)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val px = Tiff.decode(bytes, Tiff.fromBytes(bytes)).toSeq
+      assert(px.size == az * rg, s"dims=($az,$rg) c=$compression tiled=$tiled")
+      assert(px.forall { case (a, r, v) => v == graft.Fixtures.pixelValue(1, a, r) },
+        s"dims=($az,$rg) c=$compression tiled=$tiled")
+    }
+  }
+
+  test("HDF5 contiguous vs chunked(+gzip) agree on random shapes") {
+    val gen = Gen.zip(dims, Gen.choose(1, 9), Gen.choose(1, 9), Gen.oneOf(false, true))
+    samples(gen, 25, 0xCAFE2).foreach { case ((az, rg), ch, cw, deflate) =>
+      val vals = Array.tabulate(az * rg)(i => (i * 7 % 1000).toFloat)
+      val dir = java.nio.file.Files.createTempDirectory("h5prop").toString
+      val path = s"$dir/x.h5"
+      graft.Fixtures.writeH5(path, Seq(
+        "contig" -> graft.Fixtures.H5F32(Seq(az, rg), vals),
+        "chunked" -> graft.Fixtures.H5F32(Seq(az, rg), vals, chunks = Some((ch, cw)), deflate = deflate)))
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val f = Hdf5.fromBytes(bytes)
+      val e = f.rootEntries.toMap
+      val a = f.readDoubles(f.dataset("contig", e("contig"))).toSeq
+      val b = f.readDoubles(f.dataset("chunked", e("chunked"))).toSeq
+      assert(a == vals.map(_.toDouble).toSeq && b == a,
+        s"dims=($az,$rg) chunk=($ch,$cw) deflate=$deflate")
+    }
+  }
+}
