@@ -130,12 +130,17 @@ final case class Cube(
         // Re-attach band_time (dropped pre-join since both sides carry
         // it): keeps the merged pixel schema identical to the unmerged
         // branches — TiledPixels.tile / CubeWriter.writeTiled group by
-        // band_time and would otherwise fail on a merged cube. Broadcast
-        // join against the layer-cardinality table is shuffle-free.
-        if (pixels.columns.contains("band_time"))
-          joined.join(broadcast(layers.select(col("band_index"), col("band_time"))),
-            Seq("band_index"), "left")
-        else joined
+        // band_time and would otherwise fail on a merged cube. The lookup
+        // unions BOTH cubes' layers so a band present only in `other`
+        // still gets its time (full-outer pixels can carry such rows).
+        // Broadcast join against the layer-cardinality table is
+        // shuffle-free.
+        if (pixels.columns.contains("band_time")) {
+          val bandTimes = layers.select(col("band_index"), col("band_time"))
+            .unionByName(other.layers.select(col("band_index"), col("band_time")))
+            .groupBy("band_index").agg(first(col("band_time"), ignoreNulls = true).as("band_time"))
+          joined.join(broadcast(bandTimes), Seq("band_index"), "left")
+        } else joined
       }
     val rightLayerCols = Seq("band_index", "metadata") ++
       other.layers.columns.filter(c => !layers.columns.contains(c))
@@ -198,9 +203,13 @@ final case class Cube(
   def writeImageIdsTxt(path: String): Unit = {
     val ids = layers.filter(col("product_file").isNotNull && col("product_file") =!= "None")
       .orderBy("band_index")
+      // regexp_extract returns "" (not null) on no match — nullif it so
+      // non-ICEYE names fall through to the full product_file instead of
+      // emitting a blank id
       .select(coalesce(
         element_at(col("metadata"), "image_number"),
-        regexp_extract(col("product_file"), "^ICEYE_[A-Z]+_(\\d+)_", 1)))
+        nullif(regexp_extract(col("product_file"), "^ICEYE_[A-Z]+_(\\d+)_", 1), lit("")),
+        col("product_file")))
       .collect().map(_.getString(0))
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       ids.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))

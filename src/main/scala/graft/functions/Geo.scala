@@ -69,6 +69,7 @@ object Geo {
     * Driver-side: a KML is a single control polygon, never data-plane. */
   def kmlToWkt(kml: String): String = {
     val pts = Parsers.parseKmlCoordinates(kml).map { case (lon, lat, _) => s"$lon $lat" }
+    require(pts.size >= 3, s"KML AOI needs at least 3 coordinates, got ${pts.size}")
     val ring = if (pts.head == pts.last) pts else pts :+ pts.head
     ring.mkString("POLYGON((", ", ", "))")
   }

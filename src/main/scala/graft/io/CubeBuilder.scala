@@ -33,11 +33,7 @@ object CubeBuilder {
       dtypeOverride: Option[String] = None): Cube = {
     // JSON-sidecar fixture layout when present, else real binary rasters
     val jsons = MetadataCrawler.listMetadataFiles(dir)
-    val files =
-      if (jsons.nonEmpty) jsons
-      else Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && Set("tif", "tiff", "h5").exists(e => f.getName.toLowerCase.endsWith("." + e)))
-        .map(_.getAbsolutePath).sorted.toSeq
+    val files = if (jsons.nonEmpty) jsons else MetadataCrawler.listRasterFiles(dir)
     require(files.nonEmpty, s"Could not find any products in $dir")
     fromFiles(spark, files, config, dtypeOverride)
   }
@@ -103,8 +99,14 @@ object CubeBuilder {
         val byms = payloads.groupBy(CubeSource.forPath)
         val parts = byms.map { case (src, ps) => src.readPixels(spark, ps.toIndexedSeq) }
         // exact payload→product mapping built driver-side (payload may be
-        // the product itself or a sidecar — no suffix-stripping guesswork)
-        val payloadToProduct = payloads.zip(survivors).toSeq.toDF("_fpath", "_ppath")
+        // the product itself or a sidecar — no suffix-stripping guesswork).
+        // The executor-side `_fpath` comes from input_file_name()/binaryFile
+        // URIs, which percent-encode special characters (space, %, #) —
+        // key the mapping on the same encoded form so the join can never
+        // silently drop pixels for such paths.
+        // (toURI appends "/" to directories — parquet datasets are dirs)
+        val encode = (p: String) => new java.io.File(p).toURI.getRawPath.stripSuffix("/")
+        val payloadToProduct = payloads.map(encode).zip(survivors).toSeq.toDF("_fpath", "_ppath")
         val bandOf = layers.select(
           col("product_fpath").as("_ppath"), col("band_index"), col("band_time"))
         parts.reduce(_ unionByName _)

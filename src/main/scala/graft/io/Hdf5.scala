@@ -254,9 +254,16 @@ object Hdf5 {
               inf.setInput(stored)
               val buf = new Array[Byte](chunkElems * elemSize)
               var done = 0
-              while (done < buf.length && !inf.finished())
-                done += inf.inflate(buf, done, buf.length - done)
+              var stalled = false
+              while (done < buf.length && !inf.finished() && !stalled) {
+                val n = inf.inflate(buf, done, buf.length - done)
+                // truncated stream: inflate()==0 forever — fail instead
+                stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
+                done += n
+              }
               inf.end()
+              require(done == buf.length,
+                s"${ds.name}: gzip'd chunk inflated to $done of ${buf.length} bytes")
               buf
             }
           val vals = decodeNumeric(raw, chunkElems, ds.dtype, ds.name)

@@ -300,7 +300,14 @@ object Tiff {
     inf.setInput(data, off, count)
     val out = new Array[Byte](outLen)
     var done = 0
-    while (done < out.length && !inf.finished()) done += inf.inflate(out, done, out.length - done)
+    var stalled = false
+    while (done < out.length && !inf.finished() && !stalled) {
+      val n = inf.inflate(out, done, out.length - done)
+      // inflate()==0 with needsInput on a truncated stream would spin
+      // forever — bail out and let the length check raise
+      stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
+      done += n
+    }
     inf.end()
     require(done == out.length, s"deflate block inflated to $done of $outLen bytes")
     out

@@ -38,7 +38,7 @@ object MetadataCrawler {
     val jsons = listMetadataFiles(dir, recursive)
     if (jsons.nonEmpty) crawlFiles(spark, jsons)
     else {
-      val rasters = listFiles(dir, Set("tif", "tiff", "h5"), recursive)
+      val rasters = listRasterFiles(dir, recursive)
       require(rasters.nonEmpty, s"Could not find any products in $dir")
       crawlRasterFiles(spark, rasters)
     }
@@ -48,6 +48,10 @@ object MetadataCrawler {
 
   def listMetadataFiles(dir: String, recursive: Boolean): Seq[String] =
     listFiles(dir, Set("json"), recursive)
+
+  /** Raster-product listing shared with CubeBuilder.fromDirectory. */
+  def listRasterFiles(dir: String, recursive: Boolean = false): Seq[String] =
+    listFiles(dir, Set("tif", "tiff", "h5"), recursive)
 
   /** Directory listing (common_utils.py:20-41): non-recursive by default,
     * recursive = full subtree walk. Driver-side — the listing is
@@ -91,12 +95,15 @@ object MetadataCrawler {
     * analytics_IO.py:876-948). */
   def crawlRasterFiles(spark: SparkSession, rasterPaths: Seq[String]): DataFrame = {
     require(rasterPaths.nonEmpty, s"Please provide a correct input - $rasterPaths")
+    // .tif and .tiff are the same format class (generate_cube.py:53-72
+    // accepts them mixed); .h5 must not mix with either
     val exts = rasterPaths.map(p => p.substring(p.lastIndexOf('.') + 1).toLowerCase).distinct
-    require(exts.size == 1,
+    val classes = exts.map { case "tiff" => "tif"; case e => e }.distinct
+    require(classes.size == 1,
       s"All files should have the same extensions, found: ${exts.mkString(", ")}")
     val slices = math.min(rasterPaths.size, spark.sparkContext.defaultParallelism)
     val rowOf: String => org.apache.spark.sql.Row =
-      if (exts.head == "h5") SlcTags.rasterRawRow else GrdTags.rasterRawRow
+      if (classes.head == "h5") SlcTags.rasterRawRow else GrdTags.rasterRawRow
     val rows = spark.sparkContext.parallelize(rasterPaths, math.max(1, slices)).map(rowOf)
     val raw = spark.createDataFrame(rows, GrdTags.RawSchema)
     project(raw, coalesce(col("_extras"), map()), col("_src"))

@@ -43,10 +43,20 @@ object SignatureStore {
   def readSimhash(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(simhashDir(base))
 
-  /** Store location for a given input dataset (cache key = the dataset
-    * path, so Verify/Bench runs against different SFs never collide). */
-  def defaultBase(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${Integer.toHexString(sfDir.hashCode)}"
+  /** Store location for a given input dataset. The cache key covers the
+    * dataset path AND a content fingerprint (names + sizes + mtimes of
+    * the documents parquet files), so regenerating data at the same path
+    * invalidates the store instead of silently serving stale
+    * signatures. */
+  def defaultBase(sfDir: String): String = {
+    val docs = new java.io.File(s"$sfDir/documents.parquet")
+    val listing = Option(docs.listFiles()).getOrElse(Array(docs))
+      .filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val fp = Integer.toHexString((sfDir + "#" + listing).hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_$fp"
+  }
 
   /** Minhash band table for `sfDir`, building the store on first use
     * (idempotent; subsequent calls are pure parquet reads). */

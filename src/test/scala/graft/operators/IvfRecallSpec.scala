@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkFunSuite
+import graft.{SparkFunSuite, TestRng}
 import org.apache.spark.sql.functions._
 
 /** Recall of the IVF bucket search ([[VectorQueries.ivfTopK]]) on planted
@@ -12,15 +12,9 @@ class IvfRecallSpec extends SparkFunSuite {
 
   private val dim = VectorQueries.Dim
 
-  private final class Rng(seed0: Long) {
-    private var s = seed0
-    def nextLong(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
-    def uniform(): Double = (nextLong() >>> 11) * (1.0 / (1L << 53))
-    def gaussian(): Double = (uniform() + uniform() + uniform() + uniform() - 2.0) * 1.732
-  }
 
   test("planted cluster pairs are found in top-3 via 2-probe IVF") {
-    val rng = new Rng(0x5EED0123L)
+    val rng = new TestRng(0x5EED0123L)
     val nClusters = 16
     val centers = Array.fill(nClusters)(Array.fill(dim)(rng.gaussian().toFloat))
     def noisy(c: Array[Float]): Array[Float] = {

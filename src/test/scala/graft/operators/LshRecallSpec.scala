@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkFunSuite
+import graft.{SparkFunSuite, TestRng}
 import org.apache.spark.sql.functions._
 
 /** Recall of the banded hyperplane LSH ([[LshPlanes.bandedCandidates]])
@@ -16,16 +16,9 @@ class LshRecallSpec extends SparkFunSuite {
 
   private val dim = LshPlanes.Dim
 
-  /** Deterministic xorshift-based pseudo-gaussian (sum of 4 uniforms). */
-  private final class Rng(seed0: Long) {
-    private var s = seed0
-    def nextLong(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
-    def uniform(): Double = (nextLong() >>> 11) * (1.0 / (1L << 53))
-    def gaussian(): Double = (uniform() + uniform() + uniform() + uniform() - 2.0) * 1.732
-  }
 
   test("banded LSH recall >= 0.9 on planted near-duplicate pairs") {
-    val rng = new Rng(0xC0FFEE42L)
+    val rng = new TestRng(0xC0FFEE42L)
     val nBase = 200
     // 200 random base vectors; each gets one near-duplicate: base + small
     // gaussian noise (relative scale ~0.15 → cosine ≈ 0.99)
@@ -62,7 +55,7 @@ class LshRecallSpec extends SparkFunSuite {
   }
 
   test("banded candidates are non-trivial and deduplicated across bands") {
-    val rng = new Rng(0xBEEF77L)
+    val rng = new TestRng(0xBEEF77L)
     val rows = (0 until 100).map { i =>
       (i.toLong, Array.fill(dim)(rng.gaussian().toFloat))
     }
