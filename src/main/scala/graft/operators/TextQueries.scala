@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data-pipeline text operators over `documents`:
@@ -95,6 +96,38 @@ object TextQueries {
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** (doc_id, cluster_id) for every document: connected components over
+    * the LSH candidate graph via iterative min-label propagation.
+    * Candidate edges come from the persisted [[SignatureStore]]; only
+    * edge-connected vertices enter the loop (isolated docs — the vast
+    * majority of a deduped corpus — keep label = self); one checkpointed
+    * pass per round carries the previous label so the convergence check
+    * needs no extra join. Shared by dedup_clusters and corpus_curation. */
+  def clusterAssignments(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d).select("doc_id")
+    val pairs = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val propagated = edges.join(labels, edges("a") === labels("doc_id"))
+        .select(col("b").as("doc_id"), col("cluster_id").as("cand"),
+          lit(null).cast("long").as("prev"))
+      val merged = labels
+        .select(col("doc_id"), col("cluster_id").as("cand"), col("cluster_id").as("prev"))
+        .unionByName(propagated)
+        .groupBy("doc_id").agg(min("cand").as("cluster_id"), min("prev").as("prev"))
+        .localCheckpoint()
+      changed = merged.filter(col("cluster_id") < col("prev")).count()
+      labels = merged.drop("prev")
+    }
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** DuckDB CTE text for the minhash band table — shared by every oracle
@@ -201,38 +234,55 @@ object TextQueries {
          |  CAST(min(r) = id AS BIGINT) AS is_canonical
          |FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
-      val docs = documents(s, d).select("doc_id")
-      // candidate edges from the persisted signature store (built once;
-      // clustering is precisely the repeated consumer the store is for)
-      val pairs = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
-      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .localCheckpoint()
-      // iterate only over edge-connected vertices — isolated docs (the
-      // vast majority of a deduped corpus) keep label = self and never
-      // enter the loop
-      var labels = edges.select(col("a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val propagated = edges.join(labels, edges("a") === labels("doc_id"))
-          .select(col("b").as("doc_id"), col("cluster_id").as("cand"),
-            lit(null).cast("long").as("prev"))
-        // one checkpointed pass yields both the new labels and (via the
-        // carried prev) the convergence check — no extra join per round
-        val merged = labels
-          .select(col("doc_id"), col("cluster_id").as("cand"), col("cluster_id").as("prev"))
-          .unionByName(propagated)
-          .groupBy("doc_id").agg(min("cand").as("cluster_id"), min("prev").as("prev"))
-          .localCheckpoint()
-        changed = merged.filter(col("cluster_id") < col("prev")).count()
-        labels = merged.drop("prev")
-      }
-      docs.join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      clusterAssignments(s, d)
         .select(col("doc_id"), col("cluster_id"),
           (col("cluster_id") === col("doc_id")).cast("long").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
+    // ----- end-to-end corpus curation: the pipeline composition -----
+    // What a training-data run actually executes: keep only canonical
+    // near-dup survivors (CC over the LSH graph), apply a quality gate
+    // (n_tokens ≥ 10), then take documents in id order until a token
+    // budget is filled. The budget prefix-sum runs on the post-filter
+    // table (doc_id + count only — tiny); at 100 TB the same selection
+    // is a two-pass prefix sum (per-partition totals broadcast as
+    // offsets), not a data-size window.
+    "corpus_curation" -> QueryDef.sql(
+      s"""WITH $MinhashBandsCte,
+         |cand AS (
+         |  $BandedPairsSelect),
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id),
+         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |toks AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+         |         FROM documents),
+         |keep AS (
+         |  SELECT c.doc_id, t.n_tokens
+         |  FROM clusters c JOIN toks t ON t.doc_id = c.doc_id
+         |  WHERE c.cluster_id = c.doc_id AND t.n_tokens >= 10),
+         |budg AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+         |  FROM keep)
+         |SELECT doc_id, n_tokens, cum_tokens FROM budg
+         |WHERE cum_tokens <= 20000
+         |ORDER BY doc_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
+      val canonical = clusterAssignments(s, d)
+        .filter(col("cluster_id") === col("doc_id")).select("doc_id")
+      val toks = documents(s, d)
+        .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"))
+      val keep = canonical.join(toks, Seq("doc_id")).filter(col("n_tokens") >= 10)
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      keep
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 20000)
+        .select("doc_id", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     },
 
