@@ -77,18 +77,31 @@ object CubeBuilder {
 
     // surviving non-gap files only, in band order — the planner already
     // pruned the rest. Payload resolution per product from the CubeSource
-    // registry (driver-side Files.exists over the layer-cardinality
-    // list): the product file itself when it IS a decodable payload
+    // registry: the product file itself when it IS a decodable payload
     // (real .tif rasters), else a <product>.<ext> sidecar (fixture
-    // layout).
+    // layout). Existence is resolved from ONE Hadoop `listStatus` per
+    // parent directory — per-survivor existence probes serialize into
+    // O(#layers) filesystem round-trips on an object store.
     val survivors = layers.filter(col("product_fpath").isNotNull)
       .orderBy("band_index")
       .select("product_fpath").collect().map(_.getString(0))
     val payloadExts = CubeSource.registry.flatMap(_.extensions)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val present: Set[String] = survivors
+      .map(p => new org.apache.hadoop.fs.Path(p).getParent)
+      .distinct
+      .flatMap { dir =>
+        val fs = dir.getFileSystem(hadoopConf)
+        if (fs.exists(dir)) fs.listStatus(dir).map(st => st.getPath.toUri.getPath)
+        else Array.empty[String]
+      }.toSet
+    // compare in scheme-less URI-path form on both sides, so survivors
+    // given as hdfs://nn/x and listed as /x still match
+    val uriPath = (p: String) => new org.apache.hadoop.fs.Path(p).toUri.getPath
     val payloads = survivors.map { p =>
       val bareExt = p.substring(p.lastIndexOf('.') + 1).toLowerCase
-      val bare = Some(p).filter(_ => payloadExts.contains(bareExt) && new java.io.File(p).exists())
-      bare.orElse(payloadExts.map(e => s"$p.$e").find(f => new java.io.File(f).exists()))
+      val bare = Some(p).filter(_ => payloadExts.contains(bareExt) && present.contains(uriPath(p)))
+      bare.orElse(payloadExts.map(e => s"$p.$e").find(f => present.contains(uriPath(f))))
         .getOrElse(throw new IllegalStateException(s"no pixel payload found next to $p"))
     }
 

@@ -90,13 +90,36 @@ object Tiff {
     def u32(b: Array[Byte], i: Int): Long =
       if (le) ((b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24))
       else (((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL))
-    require(u16(head, 2) == 42, "not a TIFF: bad magic")
+    def u64(b: Array[Byte], i: Int): Long = {
+      var v = 0L
+      var j = 0
+      while (j < 8) {
+        val x = b(i + j) & 0xffL
+        v |= (if (le) x << (8 * j) else x << (8 * (7 - j)))
+        j += 1
+      }
+      v
+    }
+    val magic = u16(head, 2)
+    require(magic == 42 || magic == 43, "not a TIFF: bad magic")
+    // BigTIFF (magic 43): 8-byte offsets everywhere — the layout real
+    // >4 GiB GRD products ship in. Same tag vocabulary; entries are 20
+    // bytes (count and value/offset widen to u64) and types 16/17 (u64/
+    // s64) appear on offset tags.
+    val big = magic == 43
 
-    val ifdOff = u32(head, 4)
-    val nTags = u16(read(ifdOff, 2), 0)
-    val entries = read(ifdOff + 2, nTags * 12)
+    val ifdOff =
+      if (big) {
+        val h2 = read(0L, 16)
+        require(u16(h2, 4) == 8 && u16(h2, 6) == 0,
+          s"BigTIFF: unsupported offset size ${u16(h2, 4)}")
+        u64(h2, 8)
+      } else u32(head, 4)
+    val entrySize = if (big) 20 else 12
+    val nTags = if (big) u64(read(ifdOff, 8), 0).toInt else u16(read(ifdOff, 2), 0)
+    val entries = read(ifdOff + (if (big) 8 else 2), nTags * entrySize)
 
-    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8)
+    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8)
 
     var width, height = 0
     var bits = 1
@@ -113,20 +136,24 @@ object Tiff {
 
     var i = 0
     while (i < nTags) {
-      val e = entries.slice(i * 12, i * 12 + 12)
+      val e = entries.slice(i * entrySize, (i + 1) * entrySize)
       val tag = u16(e, 0)
       val typ = u16(e, 2)
-      val count = u32(e, 4).toInt
+      val count = (if (big) u64(e, 4) else u32(e, 4)).toInt
       val byteLen = typeSize.getOrElse(typ, 0) * count
-      // value fits in the 4 inline bytes, else the 4 bytes are an offset
+      // value fits in the 4 (classic) / 8 (BigTIFF) inline bytes, else
+      // the inline bytes are an offset
+      val inlineCap = if (big) 8 else 4
+      val valOff = if (big) 12 else 8
       val raw: Array[Byte] =
-        if (byteLen <= 4 && byteLen > 0) e.slice(8, 8 + byteLen)
-        else if (byteLen > 0) read(u32(e, 8), byteLen)
+        if (byteLen <= inlineCap && byteLen > 0) e.slice(valOff, valOff + byteLen)
+        else if (byteLen > 0) read(if (big) u64(e, valOff) else u32(e, valOff), byteLen)
         else Array.empty
       def ints: Array[Long] = typ match {
-        case 3 => Array.tabulate(count)(k => u16(raw, k * 2).toLong)
-        case 4 => Array.tabulate(count)(k => u32(raw, k * 4))
-        case _ => Array.empty
+        case 3       => Array.tabulate(count)(k => u16(raw, k * 2).toLong)
+        case 4       => Array.tabulate(count)(k => u32(raw, k * 4))
+        case 16 | 17 => Array.tabulate(count)(k => u64(raw, k * 8))
+        case _       => Array.empty
       }
       def firstInt: Int = ints.headOption.map(_.toInt).getOrElse(0)
       def doubles: Array[Double] = Array.tabulate(count) { k =>
@@ -162,8 +189,8 @@ object Tiff {
     }
     require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
       s"unsupported TIFF compression $compression (uncompressed, LZW or deflate only)")
-    require(predictor == 1 || predictor == 2,
-      s"unsupported TIFF predictor $predictor (none or horizontal differencing only)")
+    require(predictor == 1 || predictor == 2 || predictor == 3,
+      s"unsupported TIFF predictor $predictor (none, horizontal or floating-point)")
     require(samplesPerPixel == 1,
       s"unsupported TIFF samples-per-pixel $samplesPerPixel (single-band SAR rasters only)")
     Info(width, height, bits, sampleFormat, compression, le,
@@ -209,6 +236,7 @@ object Tiff {
       case _ => inflate(data, off, count, outLen)
     }
     if (info.predictor == 2) unpredictHorizontal(raw, blockWidth, info)
+    else if (info.predictor == 3) unpredictFloatingPoint(raw, blockWidth, info)
     raw
   }
 
@@ -235,6 +263,40 @@ object Tiff {
           val s = (d(pi) & 0xff) + (d(qi) & 0xff) + carry
           d(pi) = s.toByte
           carry = s >> 8
+          j += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Predictor 3 (TIFF TechNote 3 floating-point predictor, what GDAL
+    * emits for compressed float rasters): per row, the encoder shuffles
+    * sample bytes into significance planes (plane 0 = MSB, independent
+    * of the file's byte order) and then byte-differences the row.
+    * Decode = byte-wise cumulative sum, then de-shuffle back into the
+    * file's declared byte order so [[sampleAt]] reads it unchanged. */
+  private def unpredictFloatingPoint(d: Array[Byte], width: Int, info: Info): Unit = {
+    require(info.sampleFormat == 3, "floating-point predictor on non-float samples")
+    val bps = info.bitsPerSample / 8
+    val rowBytes = width * bps
+    val rows = d.length / rowBytes
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var i = 1
+      while (i < rowBytes) {
+        d(base + i) = ((d(base + i) + d(base + i - 1)) & 0xff).toByte
+        i += 1
+      }
+      val tmp = java.util.Arrays.copyOfRange(d, base, base + rowBytes)
+      var c = 0
+      while (c < width) {
+        var j = 0
+        while (j < bps) {
+          val plane = if (info.littleEndian) bps - 1 - j else j
+          d(base + c * bps + j) = tmp(plane * width + c)
           j += 1
         }
         c += 1

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import graft.QueryDef
 import graft.util.Tables._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -10,18 +12,24 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, decoded/feature-extracted in distributed batches.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * container — SURVEY brief): [[decodeStub]] derives deterministic fake
-  * dimensions/features from the bytes. Everything Spark-side is real:
-  * the schema contract, the `mapPartitions` batch execution (the Scala
-  * analog of `mapInPandas` — one iterator per partition, streaming, no
-  * per-row JVM boundary), and the partitioning (payloads are hash-
-  * distributed by key so decode parallelism = partition count, and wide
-  * binary columns never shuffle after decode).
+  * The image decode is REAL: JDK `javax.imageio` parses the payload
+  * (PNG/JPEG/BMP/GIF — no external library) and the features are
+  * per-channel pixel means computed from the decoded raster. Payloads the
+  * decoder cannot parse fall back to the deterministic byte-stripe stub
+  * ([[decodeStub]] semantics) with null dimensions, so a corrupt payload
+  * degrades to a flagged row instead of failing the task.
+  *
+  * Execution shape: `mapPartitions` batches (the Scala analog of
+  * `mapInPandas` — one streaming iterator per partition, no per-row JVM
+  * boundary); payloads are hash-distributed by key before decode so
+  * decode parallelism = partition count, and the wide binary column never
+  * shuffles after decode.
   */
 object Multimodal {
 
-  /** Decoded-asset schema: what a real image decode would produce. */
+  /** Decoded-asset schema. `width`/`height`/`channels` are null when the
+    * payload is not a decodable image; `features` are per-channel pixel
+    * means in [0,1] (decodable) or byte-stripe means (fallback). */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("media_type", StringType),
@@ -29,7 +37,7 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
-    StructField("features", ArrayType(FloatType)),
+    StructField("features", ArrayType(DoubleType)),
   ))
 
   /** Wrap a table as a binary-asset table (payload = opaque bytes). */
@@ -39,12 +47,112 @@ object Multimodal {
       col(payloadCol).cast("binary").as("payload"),
       lit("image/fake").as("media_type"))
 
-  /** ======= DECODE STUB =======
-    * A real implementation would parse the image header and run the
-    * pixel decode here; this deterministic fake derives metadata and an
-    * 8-dim "feature vector" from the raw bytes so the pipeline shape is
-    * fully testable. One batch per partition, streaming iterator — no
-    * collect, no per-row serialization boundary. */
+  /** Deterministic RGB PNG payload for a doc id — the testdata tables
+    * carry no real media, so the pipeline synthesizes its own images
+    * with a closed-form pixel rule the DuckDB oracle can replay:
+    * width = id%13+4, height = id%11+4, pixel (x,y) channel c
+    * = (id*7 + c*31 + x + y) % 256. Encoded through the SAME ImageIO
+    * codec family the decode side parses, so the oracle checks a true
+    * encode→decode→aggregate roundtrip. */
+  def pngPayload(id: Long): Array[Byte] = {
+    val w = (id % 13 + 4).toInt
+    val h = (id % 11 + 4).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x + y) % 256).toInt
+        val g = ((id * 7 + 31 + x + y) % 256).toInt
+        val b = ((id * 7 + 62 + x + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → (doc_id, payload=deterministic PNG, media_type). The
+    * payload generation runs distributed (mapPartitions over doc ids). */
+  def pngAssets(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType))))
+    docs.select(col("doc_id").cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, pngPayload(id), "image/png")
+      }
+    }(enc)
+  }
+
+  /** REAL image decode: ImageIO header+pixel parse per payload, one
+    * streaming batch per partition. Features = per-channel means of the
+    * decoded pixels (exact integer sums, one double division — both
+    * engines reproduce it bit-for-bit). Undecodable payloads degrade to
+    * the stub features with null dimensions. */
+  def decodeImage(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    assets.select("doc_id", "payload", "media_type").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val mt = r.getString(2)
+        val img =
+          if (bytes.length == 0) null
+          else javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) {
+          Row(id, mt, bytes.length, null, null, null, stubFeatures(bytes).toSeq)
+        } else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val channels = img.getRaster.getNumBands
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h * 255L
+          val feats = Array(sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          Row(id, mt, bytes.length, w, h, channels, feats.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic byte-stripe features — the fallback for payloads that
+    * are not decodable images (and the stub decode for media kinds with
+    * no in-container codec, e.g. audio/video): mean of each of 8 byte
+    * stripes, normalized. Empty payloads get zeroed features. */
+  private def stubFeatures(bytes: Array[Byte]): Array[Double] = {
+    val n = bytes.length
+    if (n == 0) Array.fill(8)(0.0)
+    else Array.tabulate(8) { k =>
+      val lo = k * n / 8
+      val hi = math.max(lo + 1, (k + 1) * n / 8)
+      var s = 0.0
+      var i = lo
+      while (i < hi) { s += (bytes(i) & 0xff); i += 1 }
+      s / (hi - lo) / 255.0
+    }
+  }
+
+  /** Stub decode for opaque (non-image) payloads: byte-derived fake
+    * dimensions + stripe features. Kept alongside [[decodeImage]] for
+    * media kinds whose real decoder isn't available in-container
+    * (audio/video) — same schema, same batch execution shape. */
   def decodeStub(assets: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     assets.select("doc_id", "payload", "media_type").mapPartitions { it =>
@@ -55,20 +163,7 @@ object Multimodal {
         val n = bytes.length
         val w = (n % 64) + 1
         val h = (n / 64) + 1
-        // fake features: mean of each of 8 byte-stripes, normalized.
-        // Empty payloads get zeroed features (the stripe loop would
-        // otherwise index bytes(0) on a zero-length array).
-        val feats =
-          if (n == 0) Array.fill(8)(0.0f)
-          else Array.tabulate(8) { k =>
-            val lo = k * n / 8
-            val hi = math.max(lo + 1, (k + 1) * n / 8)
-            var s = 0.0
-            var i = lo
-            while (i < hi) { s += (bytes(i) & 0xff); i += 1 }
-            (s / (hi - lo) / 255.0).toFloat
-          }
-        Row(id, mt, n, w, h, 3, feats.toSeq)
+        Row(id, mt, n, w, h, 3, stubFeatures(bytes).toSeq)
       }
     }(enc)
   }
@@ -80,14 +175,39 @@ object Multimodal {
       expr(s"filter(features, (x, i) -> i % $stride = 0)"))
 
   val defs: Map[String, QueryDef] = Map(
-    // rows-only: decode stub uses JVM-side logic, not SQL-expressible
-    "mm_decode_pipeline" -> QueryDef.rowsOnly { (s, d) =>
-      val assets = asBinaryAssets(documents(s, d), "doc_id", "text")
+    // ----- real image decode pipeline, hash-checked oracle -----
+    // Spark: synthesize PNG → ImageIO decode → per-channel means.
+    // DuckDB: replay the closed-form pixel rule directly (it never sees
+    // the PNG bytes — it recomputes what a correct decode MUST yield).
+    "mm_decode_pipeline" -> QueryDef.sql(
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 4 AS width, doc_id % 11 + 4 AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    unnest(generate_series(0, width * height - 1)) AS i
+        |  FROM dims),
+        |m AS (
+        |  SELECT doc_id, width, height,
+        |    sum((doc_id * 7 + i % width + i // width) % 256) AS sr,
+        |    sum((doc_id * 7 + 31 + i % width + i // width) % 256) AS sg,
+        |    sum((doc_id * 7 + 62 + i % width + i // width) % 256) AS sb
+        |  FROM px GROUP BY doc_id, width, height)
+        |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+        |  round(CAST(sr AS DOUBLE) / (width * height * 255.0), 6) AS mean_r,
+        |  round(CAST(sg AS DOUBLE) / (width * height * 255.0), 6) AS mean_g,
+        |  round(CAST(sb AS DOUBLE) / (width * height * 255.0), 6) AS mean_b
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val assets = pngAssets(documents(s, d))
         .repartition(col("doc_id")) // decode parallelism = partition count
-      val decoded = decodeStub(assets)
-      sampleFeatures(decoded, 2)
-        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+      decodeImage(assets)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          round(element_at(col("features"), 1), 6).as("mean_r"),
+          round(element_at(col("features"), 2), 6).as("mean_g"),
+          round(element_at(col("features"), 3), 6).as("mean_b"))
         .orderBy("doc_id")
     },
   )

@@ -43,27 +43,48 @@ object SignatureStore {
   def readSimhash(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(simhashDir(base))
 
+  /** Root directory for derived signature stores. On a cluster set
+    * `spark.graft.sigstore.root` to a shared filesystem path (HDFS/S3) —
+    * every driver then resolves the same store; the local-JVM default is
+    * only right for local mode. */
+  def storeRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.sigstore.root")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
   /** Store location for a given input dataset. The cache key covers the
     * dataset path AND a content fingerprint (names + sizes + mtimes of
     * the documents parquet files), so regenerating data at the same path
-    * invalidates the store instead of silently serving stale
-    * signatures. */
-  def defaultBase(sfDir: String): String = {
-    val docs = new java.io.File(s"$sfDir/documents.parquet")
-    val listing = Option(docs.listFiles()).getOrElse(Array(docs))
-      .filter(_.isFile).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
+    * invalidates the store instead of silently serving stale signatures.
+    * All probing goes through the Hadoop FileSystem API, so the
+    * fingerprint works identically for local, HDFS and object-store
+    * paths (a `java.io.File` listing silently degenerates to a path-only
+    * key on any non-local scheme). */
+  def defaultBase(spark: SparkSession, sfDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val docs = new Path(s"$sfDir/documents.parquet")
+    val fs = docs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing =
+      if (!fs.exists(docs)) ""
+      else if (fs.getFileStatus(docs).isDirectory)
+        fs.listStatus(docs).filter(_.isFile).sortBy(_.getPath.getName)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .mkString("|")
+      else {
+        val st = fs.getFileStatus(docs)
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      }
     val fp = Integer.toHexString((sfDir + "#" + listing).hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_$fp"
+    s"${storeRoot(spark)}/graft_sigstore_$fp"
   }
 
   /** Minhash band table for `sfDir`, building the store on first use
     * (idempotent; subsequent calls are pure parquet reads). */
   def ensureMinhashBands(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = defaultBase(sfDir)
-    val marker = new java.io.File(s"${minhashDir(base)}/_SUCCESS")
-    if (!marker.exists()) write(spark, sfDir, base)
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${minhashDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) write(spark, sfDir, base)
     readMinhashBands(spark, base)
   }
 }

@@ -89,11 +89,34 @@ object TextQueries {
     agged.select(col("doc_id"), sigCol.as("sig"))
   }
 
+  /** Degenerate-bucket cap for LSH self-joins: a single hot bucket of n
+    * members emits n(n−1)/2 pairs, so ONE boilerplate signature shared by
+    * 10⁶ near-empty documents would make the band join quadratic. Buckets
+    * above the cap are dropped from candidate generation (standard
+    * production guard — such buckets are noise signatures, not near-dup
+    * evidence) and surfaced via [[oversizedBuckets]] for accounting.
+    * The cap is far above any bucket the test corpora produce (sf0.1 max
+    * observed: 335), so oracle results are unchanged on normal data. */
+  val DefaultMaxBucket = 5000
+
+  /** Accounting view: the (band, key, n) buckets the cap would drop. */
+  def oversizedBuckets(bands: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = DefaultMaxBucket): org.apache.spark.sql.DataFrame =
+    bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+
   /** Distinct colliding (doc_a < doc_b) pairs from a (doc_id, band, key)
-    * table — the LSH candidate join, shared by live and stored paths. */
-  def bandedPairs(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    * table — the LSH candidate join, shared by live and stored paths.
+    * Guarded against degenerate buckets: the map-side-combinable bucket
+    * count is tiny after aggregation, so the guard is a broadcast
+    * anti-join — no extra shuffle of the band table. */
+  def bandedPairs(bands: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = DefaultMaxBucket): org.apache.spark.sql.DataFrame = {
+    val guarded = bands.join(
+      broadcast(oversizedBuckets(bands, maxBucket).select("band", "key")),
+      Seq("band", "key"), "left_anti")
+    val a = guarded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = guarded.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -128,6 +151,38 @@ object TextQueries {
     }
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Distributed prefix sum over (doc_id, n_tokens) — the two-pass
+    * pattern that replaces a global `Window.orderBy` (which funnels every
+    * row through ONE task: the classic 100 TB scale-killer).
+    *
+    * Pass 1: range-partition by doc_id (partition p holds a contiguous
+    * doc_id range, ranges ascend with partition id), compute per-partition
+    * token totals — partition-count cardinality, collected to the driver.
+    * Pass 2: broadcast the exclusive per-partition offsets back as a map
+    * literal; each partition computes its local running sum (a window
+    * PARTITIONED by pid — no single-partition WindowExec anywhere) and
+    * adds its offset. `localCheckpoint` pins the partitioning so both
+    * passes see identical pids AND the upstream pipeline (clustering +
+    * quality gate) runs once, not twice. */
+  def cumulativeTokens(keep: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val parts = keep.sparkSession.sparkContext.defaultParallelism
+    val ranged = keep
+      .repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      totals.map { case (pid, t) => val o = acc; acc += t; pid -> o }.toMap
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+    ranged
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(local) +
+          coalesce(element_at(typedlit(offsets), col("pid")), lit(0L)))
+      .drop("pid")
   }
 
   /** DuckDB CTE text for the minhash band table — shared by every oracle
@@ -244,10 +299,10 @@ object TextQueries {
     // What a training-data run actually executes: keep only canonical
     // near-dup survivors (CC over the LSH graph), apply a quality gate
     // (n_tokens ≥ 10), then take documents in id order until a token
-    // budget is filled. The budget prefix-sum runs on the post-filter
-    // table (doc_id + count only — tiny); at 100 TB the same selection
-    // is a two-pass prefix sum (per-partition totals broadcast as
-    // offsets), not a data-size window.
+    // budget is filled. The budget prefix-sum is the two-pass distributed
+    // [[cumulativeTokens]] (per-partition totals broadcast as offsets) —
+    // NOT a global Window.orderBy, which would move the whole post-filter
+    // table (per-document cardinality at 100 TB) through one task.
     "corpus_curation" -> QueryDef.sql(
       s"""WITH $MinhashBandsCte,
          |cand AS (
@@ -278,9 +333,7 @@ object TextQueries {
       val toks = documents(s, d)
         .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"))
       val keep = canonical.join(toks, Seq("doc_id")).filter(col("n_tokens") >= 10)
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      keep
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      cumulativeTokens(keep)
         .filter(col("cum_tokens") <= 20000)
         .select("doc_id", "n_tokens", "cum_tokens")
         .orderBy("doc_id")

@@ -91,11 +91,17 @@ object VectorQueries {
     * by the `ann_ivf` query and IvfRecallSpec. */
   def ivfTopK(e: DataFrame, centroids: DataFrame, queries: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val assignRn = Window.partitionBy(col("vec_id"))
-      .orderBy(score("embedding", "cv").desc, col("cent_id"))
+    // Nearest-centroid assignment via max_by AGGREGATION, not a
+    // row_number window: the window would sort-shuffle the full
+    // 16×-amplified corpus, while the hash aggregate is map-side
+    // combinable — each task collapses its amplified slice to one row
+    // per vec_id before the (single-row-per-vector) shuffle. Tie-break
+    // matches the oracle's (score DESC, cent_id ASC) via
+    // max(struct(score, -cent_id)).
     val assign = e.crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(assignRn))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(score("embedding", "cv"), -col("cent_id"))).as("cent_id"))
       .select("vec_id", "cent_id")
     val probeRn = Window.partitionBy(col("qid"))
       .orderBy(score("qv", "cv").desc, col("cent_id"))
@@ -289,8 +295,15 @@ object LshPlanes {
     * Input: (vec_id, embedding). Per band, the 4 plane signs form a
     * 4-bit key; posexplode → equi-join on (band, key). Each plane
     * projection is one dot_f32 against a literal array, so the column
-    * tree stays small (janino-friendly) and fully codegen'd. */
-  def bandedCandidates(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * tree stays small (janino-friendly) and fully codegen'd.
+    *
+    * Guarded against degenerate buckets (same pattern as
+    * [[TextQueries.bandedPairs]]): a hot bucket — e.g. a mass of
+    * zero/constant embeddings all landing on one sign key — would make
+    * the self-join quadratic; buckets above `maxBucket` are dropped via
+    * a broadcast anti-join on the aggregated bucket counts. */
+  def bandedCandidates(e: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = graft.operators.TextQueries.DefaultMaxBucket): org.apache.spark.sql.DataFrame = {
     import graft.functions.DotF32.dot_f32
     val bandKeys = (0 until Bands).map { b =>
       (0 until PlanesPerBand).map { p =>
@@ -301,8 +314,12 @@ object LshPlanes {
     val bands = e
       .withColumn("bk", array(bandKeys: _*))
       .select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "key")))
-    val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("key"))
-    val b = bands.select(col("vec_id").as("vec_b"), col("band"), col("key"))
+    val oversized = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+    val guarded = bands.join(broadcast(oversized.select("band", "key")),
+      Seq("band", "key"), "left_anti")
+    val a = guarded.select(col("vec_id").as("vec_a"), col("band"), col("key"))
+    val b = guarded.select(col("vec_id").as("vec_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
   }

@@ -154,6 +154,24 @@ object Fixtures {
     out.toArray
   }
 
+  /** Predictor 3 (float): shuffle each row's LE float32 bytes into
+    * MSB-first significance planes, then byte-difference the row —
+    * the TechNote-3 encode (what GDAL writes for compressed floats). */
+  private def fpDiffRows(raw: Array[Byte], width: Int): Array[Byte] = {
+    val bps = 4
+    val rowBytes = width * bps
+    val rows = raw.length / rowBytes
+    val out = new Array[Byte](raw.length)
+    for (r <- 0 until rows) {
+      val base = r * rowBytes
+      for (c <- 0 until width; p <- 0 until bps)
+        out(base + p * width + c) = raw(base + c * bps + (bps - 1 - p))
+      for (i <- (rowBytes - 1) until 0 by -1)
+        out(base + i) = (out(base + i) - out(base + i - 1)).toByte
+    }
+    out
+  }
+
   /** Predictor 2: horizontal differencing per row, per uint16 sample. */
   private def diffRows(raw: Array[Byte], width: Int): Array[Byte] = {
     val bo = java.nio.ByteOrder.LITTLE_ENDIAN
@@ -169,9 +187,11 @@ object Fixtures {
 
   def writeTiff(path: String, p: Product, idx: Int, dtype: String = "uint16",
       withRpc: Boolean = true, compression: Int = 1,
-      tiled: Option[(Int, Int)] = None, predictor: Int = 1): Unit = {
-    require(predictor == 1 || (predictor == 2 && dtype == "uint16"),
-      "fixture writer: predictor 2 only for uint16")
+      tiled: Option[(Int, Int)] = None, predictor: Int = 1,
+      bigtiff: Boolean = false): Unit = {
+    require(predictor == 1 || (predictor == 2 && dtype == "uint16")
+        || (predictor == 3 && dtype == "float32"),
+      "fixture writer: predictor 2 only for uint16, predictor 3 only for float32")
     // ASCII TIFF tags carry a trailing NUL; the reader must strip it
     val xml = gdalXml(p) + "\u0000"
     val xmlBytes = xml.getBytes(StandardCharsets.UTF_8)
@@ -227,7 +247,11 @@ object Fixtures {
     }
     val blockWidth = tiled.map(_._1).getOrElse(p.rg)
     val strips: Seq[Array[Byte]] = rawStrips.map { raw0 =>
-      val raw = if (predictor == 2) diffRows(raw0, blockWidth) else raw0
+      val raw = predictor match {
+        case 2 => diffRows(raw0, blockWidth)
+        case 3 => fpDiffRows(raw0, blockWidth)
+        case _ => raw0
+      }
       compression match {
         case 1 => raw
         case 5 => lzwEncode(raw)
@@ -264,11 +288,14 @@ object Fixtures {
       (if (withRpc) Seq(doubleArrTag(50844, rpcValues.toSeq)) else Nil))
       .sortBy(_.id)
 
-    val ifdSize = 2 + tags0.size * 12 + 4
-    var dataOff = 8L + ifdSize
-    // assign out-of-line offsets (data > 4 bytes)
+    // BigTIFF: 16-byte header, u64 entry count, 20-byte entries, u64
+    // next-IFD pointer, 8-byte inline capacity
+    val ifdSize = if (bigtiff) 8 + tags0.size * 20 + 8 else 2 + tags0.size * 12 + 4
+    val inlineCap = if (bigtiff) 8 else 4
+    var dataOff = (if (bigtiff) 16L else 8L) + ifdSize
+    // assign out-of-line offsets (data > inline capacity)
     val withOffsets = tags0.map { t =>
-      if (t.data.length > 4) { val o = dataOff; dataOff += t.data.length; (t, Some(o)) }
+      if (t.data.length > inlineCap) { val o = dataOff; dataOff += t.data.length; (t, Some(o)) }
       else (t, None)
     }
     val stripsStart = dataOff
@@ -284,16 +311,29 @@ object Fixtures {
 
     val total = stripsStart + stripLens.sum
     val buf = java.nio.ByteBuffer.allocate(total.toInt).order(bo)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
-    buf.putShort(tags.size.toShort)
-    tags.foreach { case (t, off) =>
-      buf.putShort(t.id.toShort).putShort(t.typ.toShort).putInt(t.count)
-      off match {
-        case Some(o) => buf.putInt(o.toInt)
-        case None    => buf.put(java.util.Arrays.copyOf(t.data, 4))
+    if (bigtiff) {
+      buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0).putLong(16)
+      buf.putLong(tags.size.toLong)
+      tags.foreach { case (t, off) =>
+        buf.putShort(t.id.toShort).putShort(t.typ.toShort).putLong(t.count.toLong)
+        off match {
+          case Some(o) => buf.putLong(o)
+          case None    => buf.put(java.util.Arrays.copyOf(t.data, 8))
+        }
       }
+      buf.putLong(0L) // next-IFD pointer
+    } else {
+      buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      buf.putShort(tags.size.toShort)
+      tags.foreach { case (t, off) =>
+        buf.putShort(t.id.toShort).putShort(t.typ.toShort).putInt(t.count)
+        off match {
+          case Some(o) => buf.putInt(o.toInt)
+          case None    => buf.put(java.util.Arrays.copyOf(t.data, 4))
+        }
+      }
+      buf.putInt(0) // next-IFD pointer
     }
-    buf.putInt(0) // next-IFD pointer
     tags.foreach { case (t, off) => if (off.isDefined) buf.put(t.data) }
     buf.put(stripBytes)
     Files.write(Paths.get(path), buf.array())

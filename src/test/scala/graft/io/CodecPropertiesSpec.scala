@@ -47,6 +47,51 @@ class CodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF float32 predictor-3 roundtrip (strips and tiles, LZW and deflate)") {
+    val gen = Gen.zip(dims, Gen.oneOf(5, 8), Gen.oneOf(0, 1))
+    samples(gen, 20, 0xF10A7).foreach { case ((az, rg), compression, tileFlag) =>
+      val tiled = if (tileFlag == 1) Some((5, 3)) else None
+      val p = graft.Fixtures.grdProducts.head.copy(az = az, rg = rg)
+      val dir = java.nio.file.Files.createTempDirectory("tiffp3").toString
+      val path = s"$dir/${p.name}"
+      graft.Fixtures.writeTiff(path, p, idx = 1, dtype = "float32",
+        compression = compression, tiled = tiled, predictor = 3)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val info = Tiff.fromBytes(bytes)
+      assert(info.predictor == 3 && info.dtype == "float32")
+      val px = Tiff.decode(bytes, info).toSeq
+      assert(px.size == az * rg, s"dims=($az,$rg) c=$compression tiled=$tiled")
+      assert(px.forall { case (a, r, v) => v == graft.Fixtures.pixelValue(1, a, r).toFloat.toDouble },
+        s"dims=($az,$rg) c=$compression tiled=$tiled")
+    }
+  }
+
+  test("BigTIFF (magic 43) roundtrip across compression, layout, dtype and predictor") {
+    val gen = Gen.zip(dims, Gen.oneOf(1, 5, 8), Gen.oneOf(0, 1), Gen.oneOf(1, 2, 3))
+    samples(gen, 20, 0xB16B1).foreach { case ((az, rg), compression, tileFlag, predictor) =>
+      val tiled = if (tileFlag == 1) Some((5, 3)) else None
+      val dtype = if (predictor == 3) "float32" else "uint16"
+      val p = graft.Fixtures.grdProducts.head.copy(az = az, rg = rg)
+      val dir = java.nio.file.Files.createTempDirectory("bigtiff").toString
+      val path = s"$dir/${p.name}"
+      graft.Fixtures.writeTiff(path, p, idx = 1, dtype = dtype,
+        compression = compression, tiled = tiled, predictor = predictor, bigtiff = true)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val info = Tiff.fromBytes(bytes)
+      assert(info.width == rg && info.height == az)
+      // metadata survives the BigTIFF container too
+      assert(info.gdalXml.exists(_.contains("NUMBER_OF_AZIMUTH_SAMPLES")))
+      assert(info.rpc.exists(_.length == 92))
+      val expected = (a: Int, r: Int) =>
+        if (dtype == "float32") graft.Fixtures.pixelValue(1, a, r).toFloat.toDouble
+        else graft.Fixtures.pixelValue(1, a, r)
+      val px = Tiff.decode(bytes, info).toSeq
+      assert(px.size == az * rg, s"dims=($az,$rg) c=$compression tiled=$tiled p=$predictor")
+      assert(px.forall { case (a, r, v) => v == expected(a, r) },
+        s"dims=($az,$rg) c=$compression tiled=$tiled p=$predictor")
+    }
+  }
+
   test("HDF5 contiguous vs chunked(+gzip) agree on random shapes") {
     val gen = Gen.zip(dims, Gen.choose(1, 9), Gen.choose(1, 9), Gen.oneOf(false, true))
     samples(gen, 25, 0xCAFE2).foreach { case ((az, rg), ch, cw, deflate) =>

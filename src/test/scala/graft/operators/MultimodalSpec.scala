@@ -16,13 +16,41 @@ class MultimodalSpec extends SparkFunSuite {
     val r = decoded.filter(col("doc_id") === 1).collect().head
     assert(r.getAs[Int]("n_bytes") == 19)
     assert(r.getAs[Int]("width") == 20 && r.getAs[Int]("height") == 1)
-    assert(r.getAs[collection.Seq[Float]]("features").length == 8)
+    assert(r.getAs[collection.Seq[Double]]("features").length == 8)
     // determinism: same input → same features
     val again = Multimodal.decodeStub(assets).filter(col("doc_id") === 1).collect().head
-    assert(again.getAs[collection.Seq[Float]]("features") == r.getAs[collection.Seq[Float]]("features"))
+    assert(again.getAs[collection.Seq[Double]]("features") == r.getAs[collection.Seq[Double]]("features"))
 
     val sampled = Multimodal.sampleFeatures(decoded, 2)
     assert(sampled.filter(col("doc_id") === 1).collect().head
-      .getAs[collection.Seq[Float]]("features").length == 4)
+      .getAs[collection.Seq[Double]]("features").length == 4)
+  }
+
+  test("real ImageIO decode recovers exact dimensions, channels and channel means") {
+    val ids = Seq(0L, 7L, 255L, 1000L)
+    val assets = Multimodal.pngAssets(ids.toDF("doc_id"))
+    val rows = Multimodal.decodeImage(assets).collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val r = rows(id)
+      val w = (id % 13 + 4).toInt
+      val h = (id % 11 + 4).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == 3)
+      // closed-form channel means from the generation rule
+      val feats = r.getAs[collection.Seq[Double]]("features")
+      (0 until 3).foreach { c =>
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += (id * 7 + c * 31 + x + y) % 256
+        assert(feats(c) == s.toDouble / (w.toLong * h * 255L), s"doc $id channel $c")
+      }
+    }
+  }
+
+  test("undecodable payload degrades to stub features with null dimensions") {
+    val assets = Seq((9L, "not a png at all")).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeImage(
+      Multimodal.asBinaryAssets(assets, "doc_id", "text")).collect().head
+    assert(decoded.isNullAt(decoded.fieldIndex("width")))
+    assert(decoded.getAs[collection.Seq[Double]]("features").length == 8)
   }
 }
