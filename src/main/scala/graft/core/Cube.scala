@@ -256,6 +256,11 @@ object Cube {
   /** S12/W1: parquet cube persistence. */
   def load(spark: SparkSession, dir: String): Cube = graft.io.CubeReader.load(spark, dir)
 
+  /** S12 interop: read a reference-written netCDF4 cube
+    * (datacube.py:203-212 output; read-back datacube.py:30-39). */
+  def fromNetcdf(spark: SparkSession, path: String): Cube =
+    graft.io.Netcdf.readCube(spark, path)
+
   private[graft] def mergeAttrMaps(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // drop_conflicts: key in both with different value → dropped
     val both = map_filter(map_zip_with(coalesce(a, map()), coalesce(b, map()),

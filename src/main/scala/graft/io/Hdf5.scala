@@ -1,17 +1,19 @@
 package graft.io
 
 /** Minimal HDF5 reader — enough to ingest the reference's SLC products
-  * (h5py-written files: v0 superblock, v1 object headers, symbol-table
-  * groups, contiguous/compact datasets) without any native library.
+  * (h5py-written files) without any native library.
   *
   * Scope (reference semantics, `slc_datacube.py:118-219`):
+  *   - superblocks v0 (h5py default) and v2/v3 (h5py `libver='latest'`);
+  *   - object headers v1 and v2 ("OHDR", incl. continuation "OCHK"
+  *     blocks); groups via symbol tables (v1) or compact Link messages
+  *     (v2 — dense fractal-heap link storage ⇒ clear error);
   *   - root-group dataset iteration (the SLC metadata read walks all
   *     keys), subgroups one level down (the `RPC` group);
   *   - datatypes: fixed-point, IEEE float, fixed strings, and
   *     variable-length strings via the global heap (h5py stores python
   *     str as vlen);
-  *   - layouts: contiguous + compact (h5py's default for these files;
-  *     chunked ⇒ clear error).
+  *   - layouts: contiguous + compact + chunked(+gzip).
   *
   * Like [[Tiff]], parsing is expressed against a positional reader so the
   * metadata crawl touches only structure bytes and small metadata
@@ -28,6 +30,13 @@ object Hdf5 {
   final case class FloatPoint(size: Int, littleEndian: Boolean) extends Dtype
   final case class FixedString(size: Int) extends Dtype
   case object VlenString extends Dtype
+
+  /** Decoded attribute value (netCDF interop reads these). */
+  sealed trait AttrValue
+  final case class AttrStr(values: Seq[String]) extends AttrValue {
+    def first: String = values.headOption.getOrElse("")
+  }
+  final case class AttrNum(values: Seq[Double]) extends AttrValue
 
   sealed trait Layout
   final case class Contiguous(off: Long, size: Long) extends Layout
@@ -58,16 +67,74 @@ object Hdf5 {
       val head = read(0L, 56)
       require(head.take(8).sameElements(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')),
         "not an HDF5 file: bad signature")
-      require(head(8) == 0, s"unsupported HDF5 superblock version ${head(8)}")
-      require(head(13) == 8 && head(14) == 8, "only 8-byte offsets/lengths supported")
-      // root symbol-table entry directly after the 56-byte v0 superblock
-      // body: link name offset(8), object header address(8)
-      val ste = read(56L, 16)
-      addr(ste, 8)
+      head(8) match {
+        case 0 =>
+          require(head(13) == 8 && head(14) == 8, "only 8-byte offsets/lengths supported")
+          // root symbol-table entry directly after the 56-byte v0
+          // superblock body: link name offset(8), object header address(8)
+          val ste = read(56L, 16)
+          addr(ste, 8)
+        case 2 | 3 =>
+          // v2/v3 (libver='latest'): sig(8) ver(1) sizeOff(1) sizeLen(1)
+          // flags(1) base(8) ext(8) eof(8) rootOhdr(8) checksum(4)
+          require(head(9) == 8 && head(10) == 8, "only 8-byte offsets/lengths supported")
+          addr(head, 36)
+        case v => throw new IllegalArgumentException(s"unsupported HDF5 superblock version $v")
+      }
+    }
+
+    /** Object header → (msgType, body) list, following continuations.
+      * Dispatches on the v2 "OHDR" signature vs the v1 version byte. */
+    private def messages(ohdrAddr: Long): Seq[(Int, Array[Byte])] = {
+      val sig = read(ohdrAddr, 4)
+      if (sig(0) == 'O' && sig(1) == 'H' && sig(2) == 'D' && sig(3) == 'R') messagesV2(ohdrAddr)
+      else messagesV1(ohdrAddr)
+    }
+
+    /** v2 ("OHDR") object header: optional time/attr-phase fields per the
+      * flags byte, variably-sized chunk-0 length, 4-byte message headers
+      * (plus 2 creation-order bytes when flagged), "OCHK" continuation
+      * blocks, trailing checksums (not validated — structural read). */
+    private def messagesV2(ohdrAddr: Long): Seq[(Int, Array[Byte])] = {
+      val head = read(ohdrAddr, 6)
+      require(head(4) == 2, s"unsupported OHDR version ${head(4)} at $ohdrAddr")
+      val flags = head(5) & 0xff
+      var p = ohdrAddr + 6
+      if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+      if ((flags & 0x10) != 0) p += 4  // max-compact/min-dense attr phase
+      val szBytes = 1 << (flags & 0x3)
+      val chunk0Size = u(read(p, szBytes), 0, szBytes).toInt
+      p += szBytes
+      val msgHdr = if ((flags & 0x04) != 0) 6 else 4 // + creation order(2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      // (blockStart, messagesLen) — chunk 0 carries messages only (its
+      // checksum follows); continuation blocks are sig(4)+messages+cksum(4)
+      var blocks = List((p, chunk0Size))
+      while (blocks.nonEmpty) {
+        val (bOff, bSize) = blocks.head
+        blocks = blocks.tail
+        val blk = read(bOff, bSize)
+        var q = 0
+        while (q + msgHdr <= bSize) {
+          val mType = blk(q) & 0xff
+          val mSize = u(blk, q + 1, 2).toInt
+          val body = java.util.Arrays.copyOfRange(blk, q + msgHdr, q + msgHdr + mSize)
+          if (mType == 0x10) { // continuation: (addr, length incl sig+cksum)
+            val cAddr = u(body, 0, 8)
+            val cLen = u(body, 8, 8).toInt
+            val cSig = read(cAddr, 4)
+            require(cSig(0) == 'O' && cSig(1) == 'C' && cSig(2) == 'H' && cSig(3) == 'K',
+              s"expected OCHK continuation at $cAddr")
+            blocks = blocks :+ ((cAddr + 4, cLen - 8))
+          } else if (mType != 0x00) out += ((mType, body))
+          q += msgHdr + mSize
+        }
+      }
+      out.toSeq
     }
 
     /** v1 object header → (msgType, body) list, following continuations. */
-    private def messages(ohdrAddr: Long): Seq[(Int, Array[Byte])] = {
+    private def messagesV1(ohdrAddr: Long): Seq[(Int, Array[Byte])] = {
       val prefix = read(ohdrAddr, 16)
       require(prefix(0) == 1, s"unsupported object header version ${prefix(0)} at $ohdrAddr")
       val nMsgs = u(prefix, 2, 2).toInt
@@ -120,28 +187,66 @@ object Hdf5 {
       sb.toString()
     }
 
-    /** (name → object header address) for a group's object header. */
+    /** (name → object header address) for a group's object header.
+      * v1 groups: symbol-table message → B-tree → SNOD leaves.
+      * v2 groups (libver='latest'): compact Link messages in the header;
+      * dense fractal-heap storage is rejected with a clear error. */
     private def groupEntriesOf(ohdrAddr: Long): Seq[(String, Long)] = {
-      val stab = messages(ohdrAddr).collectFirst { case (0x11, b) => b }
-        .getOrElse(throw new IllegalArgumentException(s"object at $ohdrAddr is not a symbol-table group"))
-      val btree = u(stab, 0, 8)
-      val heap = u(stab, 8, 8)
-      val heapHead = read(heap, 32)
-      require(new String(heapHead, 0, 4) == "HEAP", s"expected HEAP at $heap")
-      val dataSeg = u(heapHead, 24, 8)
-      snodAddrs(btree).flatMap { sa =>
-        val sh = read(sa, 8)
-        require(new String(sh, 0, 4) == "SNOD", s"expected SNOD at $sa")
-        val n = u(sh, 6, 2).toInt
-        val entries = read(sa + 8, n * 40)
-        (0 until n).map { i =>
-          (heapName(dataSeg, u(entries, i * 40, 8)), u(entries, i * 40 + 8, 8))
-        }
+      val msgs = messages(ohdrAddr)
+      msgs.collectFirst { case (0x11, b) => b } match {
+        case Some(stab) =>
+          val btree = u(stab, 0, 8)
+          val heap = u(stab, 8, 8)
+          val heapHead = read(heap, 32)
+          require(new String(heapHead, 0, 4) == "HEAP", s"expected HEAP at $heap")
+          val dataSeg = u(heapHead, 24, 8)
+          snodAddrs(btree).flatMap { sa =>
+            val sh = read(sa, 8)
+            require(new String(sh, 0, 4) == "SNOD", s"expected SNOD at $sa")
+            val n = u(sh, 6, 2).toInt
+            val entries = read(sa + 8, n * 40)
+            (0 until n).map { i =>
+              (heapName(dataSeg, u(entries, i * 40, 8)), u(entries, i * 40 + 8, 8))
+            }
+          }
+        case None =>
+          // v2 group: Link Info (0x02) announces the storage form; links
+          // themselves are compact Link messages (0x06)
+          msgs.collectFirst { case (0x02, b) => b }.foreach { li =>
+            var q = 2 // version(1) flags(1)
+            if ((li(1) & 0x01) != 0) q += 8 // max creation index
+            require(u(li, q, 8) == Undef,
+              s"dense (fractal-heap) link storage at $ohdrAddr not supported")
+          }
+          val links = msgs.collect { case (0x06, b) => parseLink(b) }.flatten
+          require(links.nonEmpty || msgs.exists(m => m._1 == 0x02 || m._1 == 0x0a),
+            s"object at $ohdrAddr is not a group")
+          links.sortBy(_._1)
       }
+    }
+
+    /** Link message (0x06) → (name, object header address) for hard
+      * links; soft/external links are skipped. */
+    private def parseLink(b: Array[Byte]): Option[(String, Long)] = {
+      require(b(0) == 1, s"unsupported link message version ${b(0)}")
+      val flags = b(1) & 0xff
+      var p = 2
+      val linkType = if ((flags & 0x08) != 0) { val t = b(p) & 0xff; p += 1; t } else 0
+      if ((flags & 0x04) != 0) p += 8 // creation order
+      if ((flags & 0x10) != 0) p += 1 // charset
+      val lenSize = 1 << (flags & 0x3)
+      val nameLen = u(b, p, lenSize).toInt
+      p += lenSize
+      val name = new String(b, p, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+      p += nameLen
+      if (linkType == 0) Some((name, u(b, p, 8))) else None
     }
 
     /** Root-group entries (sorted by name, as stored). */
     lazy val rootEntries: Seq[(String, Long)] = groupEntriesOf(rootOhdr)
+
+    /** Attributes on the root group (netCDF global attrs live here). */
+    def rootAttributes: Seq[(String, AttrValue)] = attributes(rootOhdr)
 
     /** Entries of a subgroup named at root (e.g. "RPC"), None when the
       * object is a dataset or absent. */
@@ -149,7 +254,8 @@ object Hdf5 {
       rootEntries.collectFirst { case (`name`, a) if isGroup(a) => groupEntriesOf(a) }
 
     def isGroup(ohdrAddr: Long): Boolean =
-      messages(ohdrAddr).exists(_._1 == 0x11)
+      messages(ohdrAddr).exists(m =>
+        m._1 == 0x11 || m._1 == 0x02 || m._1 == 0x0a || m._1 == 0x06)
 
     /** Parse a dataset object header. */
     def dataset(name: String, ohdrAddr: Long): Dataset = {
@@ -170,21 +276,17 @@ object Hdf5 {
             p += 8 + (nameLen + 7) / 8 * 8 + nValues * 4 + (if (nValues % 2 == 1) 4 else 0)
             i += 1
           }
-        case (0x01, b) => // dataspace (v1)
-          require(b(0) == 1, s"unsupported dataspace version ${b(0)} in $name")
+        case (0x01, b) => // dataspace: v1 (dims at 8) or v2 (dims at 4)
           val rank = b(1).toInt
-          dims = (0 until rank).map(i => u(b, 8 + 8 * i, 8))
-        case (0x03, b) => // datatype
-          val cls = b(0) & 0x0f
-          val le = (b(1) & 0x01) == 0
-          val size = u(b, 4, 4).toInt
-          dtype = cls match {
-            case 0 => FixedPoint(size, signed = (b(1) & 0x08) != 0, littleEndian = le)
-            case 1 => FloatPoint(size, littleEndian = le)
-            case 3 => FixedString(size)
-            case 9 => VlenString // h5py str: vlen of 1-byte chars
-            case c => throw new IllegalArgumentException(s"unsupported datatype class $c in $name")
+          dims = b(0) match {
+            case 1 => (0 until rank).map(i => u(b, 8 + 8 * i, 8))
+            case 2 => (0 until rank).map(i => u(b, 4 + 8 * i, 8))
+            case v => throw new IllegalArgumentException(
+              s"unsupported dataspace version $v in $name")
           }
+        case (0x03, b) => // datatype
+          dtype = parseDtype(b, 0).getOrElse(throw new IllegalArgumentException(
+            s"unsupported datatype class ${b(0) & 0x0f} in $name"))
         case (0x08, b) => // data layout (v3)
           require(b(0) == 3, s"unsupported layout version ${b(0)} in $name")
           layout = b(1) match {
@@ -206,6 +308,94 @@ object Hdf5 {
         case l          => l
       }
       Dataset(name, dims, dtype, layout)
+    }
+
+    /** Datatype message body at `off` → Dtype; None for classes the
+      * reader has no use for (references, compounds — e.g. the
+      * REFERENCE_LIST / DIMENSION_LIST attrs netCDF4 writes). */
+    private def parseDtype(b: Array[Byte], off: Int): Option[Dtype] = {
+      val cls = b(off) & 0x0f
+      val le = (b(off + 1) & 0x01) == 0
+      val size = u(b, off + 4, 4).toInt
+      cls match {
+        case 0 => Some(FixedPoint(size, signed = (b(off + 1) & 0x08) != 0, littleEndian = le))
+        case 1 => Some(FloatPoint(size, littleEndian = le))
+        case 3 => Some(FixedString(size))
+        case 9 => // vlen: only of 1-byte chars (strings) is readable
+          val vlenType = b(off + 1) & 0x0f
+          if (vlenType == 1) Some(VlenString) else None
+        case _ => None
+      }
+    }
+
+    /** Dataspace message body at `off` → dims (v1 and v2 encodings). */
+    private def dataspaceDims(b: Array[Byte], off: Int): Seq[Long] = {
+      val rank = b(off + 1).toInt
+      b(off) match {
+        case 1 => (0 until rank).map(i => u(b, off + 8 + 8 * i, 8))
+        case 2 => (0 until rank).map(i => u(b, off + 4 + 8 * i, 8))
+        case v => throw new IllegalArgumentException(s"unsupported dataspace version $v")
+      }
+    }
+
+    /** Decoded attributes of an object header (v1 + v3 attribute message
+      * encodings). Attributes whose datatype the reader cannot represent
+      * (object references, compounds) are skipped — netCDF4 files carry
+      * DIMENSION_LIST / REFERENCE_LIST attrs of exactly that kind next to
+      * the CLASS / units / metadata strings this reader is after. */
+    def attributes(ohdrAddr: Long): Seq[(String, AttrValue)] =
+      messages(ohdrAddr).collect { case (0x0c, b) => parseAttr(b) }.flatten
+
+    private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+    private def parseAttr(b: Array[Byte]): Option[(String, AttrValue)] = {
+      val ver = b(0).toInt
+      val nameSize = u(b, 2, 2).toInt // incl NUL terminator
+      val dtSize = u(b, 4, 2).toInt
+      val dsSize = u(b, 6, 2).toInt
+      val (nameOff, dtOff, dsOff, dataOff) = ver match {
+        case 1 =>
+          val n = 8
+          val dt = n + pad8(nameSize)
+          val ds = dt + pad8(dtSize)
+          (n, dt, ds, ds + pad8(dsSize))
+        case 2 =>
+          (8, 8 + nameSize, 8 + nameSize + dtSize, 8 + nameSize + dtSize + dsSize)
+        case 3 => // + charset byte; name/dt/ds unpadded
+          (9, 9 + nameSize, 9 + nameSize + dtSize, 9 + nameSize + dtSize + dsSize)
+        case _ => return None
+      }
+      if (ver == 2 || ver == 3) {
+        val flags = b(1) & 0xff
+        if ((flags & 0x03) != 0) return None // shared datatype/dataspace
+      }
+      val nameEnd = {
+        var e = nameOff
+        while (e < nameOff + nameSize && b(e) != 0) e += 1
+        e
+      }
+      val name = new String(b, nameOff, nameEnd - nameOff, java.nio.charset.StandardCharsets.UTF_8)
+      parseDtype(b, dtOff).flatMap { dt =>
+        val n = math.max(1L, dataspaceDims(b, dsOff).product).toInt
+        val data = java.util.Arrays.copyOfRange(b, dataOff, b.length)
+        dt match {
+          case FixedString(sz) =>
+            Some(name -> AttrStr((0 until n).map { i =>
+              val s = data.slice(i * sz, (i + 1) * sz)
+              val end = s.indexWhere(_ == 0) match { case -1 => s.length; case e => e }
+              new String(s, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+            }))
+          case VlenString =>
+            Some(name -> AttrStr((0 until n).map { i =>
+              val len = u(data, i * 16, 4).toInt
+              val gcol = u(data, i * 16 + 4, 8)
+              val idx = u(data, i * 16 + 12, 4).toInt
+              readGlobalHeapObject(gcol, idx, len)
+            }))
+          case num =>
+            Some(name -> AttrNum(decodeNumeric(data, n, num, name).toSeq))
+        }
+      }
     }
 
     /** Chunk B-tree (v1, node type 1) → (dataAddr, storedSize, origin). */

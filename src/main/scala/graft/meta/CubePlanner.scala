@@ -136,13 +136,20 @@ final class CubePlanner(config: CubeConfig) {
 
   /** O1 + band coordinates: sort by acquisition date and derive
     * `band_time` (time axis, sar_datacube.py:144-150) and `band_index`.
-    * Single-partition window is fine: layer cardinality only.
-    */
+    * Global row number via the two-pass [[graft.util.Scale.rangedOffsets]]
+    * scaffold — layer cardinality is usually small, but a 10⁶-product
+    * archive should not funnel through one task either. */
   def withBandIndex(df: DataFrame): DataFrame = {
-    val w = Window.orderBy(
+    val sortExprs = Seq(
       to_date(col("acquisition_date"), "yyyyMMdd").asc_nulls_last,
       col("product_file").asc_nulls_last)
-    df.withColumn("band_time", to_timestamp(col("acquisition_date"), "yyyyMMdd"))
-      .withColumn("band_index", (row_number().over(w) - 1).cast("int"))
+    val (ranged, offsets) = graft.util.Scale.rangedOffsets(df, sortExprs, lit(1L))
+    val local = Window.partitionBy("_pid").orderBy(sortExprs: _*)
+    ranged
+      .withColumn("band_time", to_timestamp(col("acquisition_date"), "yyyyMMdd"))
+      .withColumn("band_index",
+        (row_number().over(local) - 1 +
+          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L))).cast("int"))
+      .drop("_pid")
   }
 }

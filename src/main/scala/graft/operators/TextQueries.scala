@@ -167,22 +167,14 @@ object TextQueries {
     * passes see identical pids AND the upstream pipeline (clustering +
     * quality gate) runs once, not twice. */
   def cumulativeTokens(keep: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val parts = keep.sparkSession.sparkContext.defaultParallelism
-    val ranged = keep
-      .repartitionByRange(parts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      totals.map { case (pid, t) => val o = acc; acc += t; pid -> o }.toMap
-    val local = Window.partitionBy("pid").orderBy("doc_id")
+    val (ranged, offsets) = graft.util.Scale.rangedOffsets(
+      keep, Seq(col("doc_id")), col("n_tokens"))
+    val local = Window.partitionBy("_pid").orderBy("doc_id")
     ranged
       .withColumn("cum_tokens",
         sum(col("n_tokens")).over(local) +
-          coalesce(element_at(typedlit(offsets), col("pid")), lit(0L)))
-      .drop("pid")
+          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
+      .drop("_pid")
   }
 
   /** DuckDB CTE text for the minhash band table — shared by every oracle

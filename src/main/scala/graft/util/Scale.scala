@@ -39,6 +39,29 @@ object Scale {
       partials = Seq("n" -> count(lit(1))),
       merges = Seq("n" -> (c => sum(c))))
 
+  /** Two-pass scaffold for GLOBAL ordered computations (running totals,
+    * global row numbers) without the single-partition `Window.orderBy`
+    * funnel: range-partition on the sort keys (partition ranges ascend
+    * with partition id), compute the per-partition total of `weight`
+    * (partition-count cardinality — collected to the driver), and return
+    * the ranged frame (with a `_pid` column) plus the EXCLUSIVE prefix
+    * offsets per pid. Callers apply a window PARTITIONED by `_pid` and
+    * add `element_at(typedlit(offsets), col("_pid"))`. `localCheckpoint`
+    * pins the partitioning so both passes see identical pids and the
+    * upstream pipeline runs once. */
+  def rangedOffsets(df: DataFrame, sortExprs: Seq[Column], weight: Column)
+      : (DataFrame, Map[Int, Long]) = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("_pid").agg(sum(weight).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = acc; acc += t; pid -> o }.toMap
+    (ranged, offsets)
+  }
+
   /** Broadcast-salted join for a skewed fact⋈dim join where the dim side
     * is too big to broadcast whole but a FEW keys are hot: replicate the
     * dim rows for hot keys `salts` times, salt the fact side randomly —

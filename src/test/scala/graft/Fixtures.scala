@@ -357,19 +357,107 @@ object Fixtures {
       chunks: Option[(Int, Int)] = None, deflate: Boolean = false) extends H5Data
   final case class H5F64(dims: Seq[Int], values: Array[Double]) extends H5Data
   final case class H5I32(dims: Seq[Int], values: Array[Int]) extends H5Data
+  final case class H5I64(dims: Seq[Int], values: Array[Long]) extends H5Data
   final case class H5Str(value: String) extends H5Data
+  /** Fixed-size string array (element size = longest value + NUL). */
+  final case class H5StrArr(values: Seq[String]) extends H5Data
 
   /** Write a minimal HDF5 file: v0 superblock, one root group
     * (single-leaf v1 B-tree + SNOD + local heap), v1 object headers,
     * contiguous datasets (IEEE floats, int32, fixed NUL-terminated
     * strings). The exact subset [[graft.io.Hdf5]] reads — plus the
     * reference-fixture spec proves the reader on real h5py output. */
-  def writeH5(path: String, datasets: Seq[(String, H5Data)]): Unit = {
+  private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+  private def dtypeBody(d: H5Data): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    d match {
+      case H5F32(_, _, _, _) =>
+        b.put((0x10 | 1).toByte).put(0x20.toByte).put(0x0f.toByte).put(0.toByte).putInt(4)
+        b.putShort(0).putShort(32).put(0.toByte).put(23.toByte).put(8.toByte)
+          .put(0.toByte).put(23.toByte).put(0.toByte).putShort(0).putInt(127)
+      case H5F64(_, _) =>
+        b.put((0x10 | 1).toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte).putInt(8)
+        b.putShort(0).putShort(64).put(0.toByte).put(52.toByte).put(11.toByte)
+          .put(0.toByte).put(52.toByte).put(0.toByte).putShort(0).putInt(1023)
+      case H5I32(_, _) =>
+        b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
+        b.putShort(0).putShort(32)
+      case H5I64(_, _) =>
+        b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(8)
+        b.putShort(0).putShort(64)
+      case H5Str(v) =>
+        b.put((0x10 | 3).toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(v.length + 1)
+      case H5StrArr(vs) =>
+        val sz = vs.map(_.getBytes(StandardCharsets.UTF_8).length).max + 1
+        b.put((0x10 | 3).toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(sz)
+    }
+    java.util.Arrays.copyOf(b.array(), pad8(b.position()))
+  }
+
+  private def h5dims(d: H5Data): Seq[Int] = d match {
+    case H5F32(dm, _, _, _) => dm
+    case H5F64(dm, _)  => dm
+    case H5I32(dm, _)  => dm
+    case H5I64(dm, _)  => dm
+    case H5Str(_)      => Seq.empty
+    case H5StrArr(vs)  => Seq(vs.length)
+  }
+
+  private def h5dataBytes(d: H5Data): Array[Byte] = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    d match {
+      case H5F32(_, vs, _, _) =>
+        val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putFloat); b.array()
+      case H5F64(_, vs) =>
+        val b = java.nio.ByteBuffer.allocate(vs.length * 8).order(bo); vs.foreach(b.putDouble); b.array()
+      case H5I32(_, vs) =>
+        val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putInt); b.array()
+      case H5I64(_, vs) =>
+        val b = java.nio.ByteBuffer.allocate(vs.length * 8).order(bo); vs.foreach(b.putLong); b.array()
+      case H5Str(v) => (v + "\u0000").getBytes(StandardCharsets.UTF_8)
+      case H5StrArr(vs) =>
+        val sz = vs.map(_.getBytes(StandardCharsets.UTF_8).length).max + 1
+        vs.flatMap(v => java.util.Arrays.copyOf(
+          v.getBytes(StandardCharsets.UTF_8), sz).toSeq).toArray
+    }
+  }
+
+  /** v1 attribute message body (0x0C): sizes header, "\u0000"-terminated name,
+    * datatype + dataspace message bodies (each 8-padded), raw data. */
+  private def attrMsg(name: String, d: H5Data): Array[Byte] = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    val nameBytes = (name + "\u0000").getBytes(StandardCharsets.UTF_8)
+    val dtb = dtypeBody(d)
+    val rank = h5dims(d).size
+    val dsb = {
+      val b = java.nio.ByteBuffer.allocate(8 + 8 * rank).order(bo)
+      b.put(1.toByte).put(rank.toByte).put(0.toByte)
+      b.position(8)
+      h5dims(d).foreach(x => b.putLong(x.toLong))
+      b.array()
+    }
+    val data = h5dataBytes(d)
+    val b = java.nio.ByteBuffer.allocate(pad8(
+      8 + pad8(nameBytes.length) + pad8(dtb.length) + pad8(dsb.length) + data.length)).order(bo)
+    b.put(1.toByte).put(0.toByte)
+      .putShort(nameBytes.length.toShort).putShort(dtb.length.toShort).putShort(dsb.length.toShort)
+    b.position(8)
+    b.put(java.util.Arrays.copyOf(nameBytes, pad8(nameBytes.length)))
+    b.put(java.util.Arrays.copyOf(dtb, pad8(dtb.length)))
+    b.put(java.util.Arrays.copyOf(dsb, pad8(dsb.length)))
+    b.put(data)
+    b.array()
+  }
+
+  def writeH5(path: String, datasets: Seq[(String, H5Data)],
+      attrs: Map[String, Seq[(String, H5Data)]] = Map.empty,
+      rootAttrs: Seq[(String, H5Data)] = Nil): Unit = {
     val bo = java.nio.ByteOrder.LITTLE_ENDIAN
     val sorted = datasets.sortBy(_._1)
     val Undef = -1L
-
-    def pad8(n: Int): Int = (n + 7) / 8 * 8
+    def attrMsgs(n: String): Seq[Array[Byte]] =
+      attrs.getOrElse(n, Nil).map { case (an, ad) => attrMsg(an, ad) }
 
     // --- local heap data segment: offset 0 reserved (empty name) ---
     val nameOffsets = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -381,31 +469,7 @@ object Fixtures {
     val heapDataSize = heapPos
 
     // --- per-dataset object header + data sizes ---
-    def dtypeBody(d: H5Data): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(24).order(bo)
-      d match {
-        case H5F32(_, _, _, _) =>
-          b.put((0x10 | 1).toByte).put(0x20.toByte).put(0x0f.toByte).put(0.toByte).putInt(4)
-          b.putShort(0).putShort(32).put(0.toByte).put(23.toByte).put(8.toByte)
-            .put(0.toByte).put(23.toByte).put(0.toByte).putShort(0).putInt(127)
-        case H5F64(_, _) =>
-          b.put((0x10 | 1).toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte).putInt(8)
-          b.putShort(0).putShort(64).put(0.toByte).put(52.toByte).put(11.toByte)
-            .put(0.toByte).put(52.toByte).put(0.toByte).putShort(0).putInt(1023)
-        case H5I32(_, _) =>
-          b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
-          b.putShort(0).putShort(32)
-        case H5Str(v) =>
-          b.put((0x10 | 3).toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(v.length + 1)
-      }
-      java.util.Arrays.copyOf(b.array(), pad8(b.position()))
-    }
-    def dims(d: H5Data): Seq[Int] = d match {
-      case H5F32(dm, _, _, _) => dm
-      case H5F64(dm, _) => dm
-      case H5I32(dm, _) => dm
-      case H5Str(_)     => Seq.empty
-    }
+    def dims(d: H5Data): Seq[Int] = h5dims(d)
     def deflateBytes(raw: Array[Byte]): Array[Byte] = {
       val dfl = new java.util.zip.Deflater()
       dfl.setInput(raw); dfl.finish()
@@ -433,20 +497,12 @@ object Fixtures {
           if (f.deflate) deflateBytes(raw) else raw)
       }
     }
-    def dataBytes(d: H5Data): Array[Byte] = d match {
-      case H5F32(_, vs, _, _) =>
-        val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putFloat); b.array()
-      case H5F64(_, vs) =>
-        val b = java.nio.ByteBuffer.allocate(vs.length * 8).order(bo); vs.foreach(b.putDouble); b.array()
-      case H5I32(_, vs) =>
-        val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putInt); b.array()
-      case H5Str(v) => (v + "\u0000").getBytes(StandardCharsets.UTF_8)
-    }
+    def dataBytes(d: H5Data): Array[Byte] = h5dataBytes(d)
     def isChunked(d: H5Data): Boolean = d match {
       case f: H5F32 => f.chunks.isDefined
       case _        => false
     }
-    def ohdrSize(d: H5Data): Int = {
+    def ohdrSize(n: String, d: H5Data): Int = {
       val dspace = 8 + 8 + dims(d).size * 8
       val dtype = 8 + dtypeBody(d).length
       val layout = 8 + 24
@@ -454,22 +510,23 @@ object Fixtures {
         case f: H5F32 if f.deflate => 8 + 16
         case _                     => 0
       }
-      16 + dspace + dtype + layout + filter
+      16 + dspace + dtype + layout + filter + attrMsgs(n).map(8 + _.length).sum
     }
     // chunk B-tree node: header(24) + n*(key 32 + child 8) + final key 32
     def btreeSize(nChunks: Int): Int = 24 + nChunks * 40 + 32
 
-    // --- layout: superblock(96) | root ohdr(40) | heap hdr(32) | heap
+    // --- layout: superblock(96) | root ohdr | heap hdr(32) | heap
     // data | TREE(48) | SNOD | dataset ohdrs | data blocks ---
+    val rootAttrMsgs = rootAttrs.map { case (an, ad) => attrMsg(an, ad) }
     val rootOhdrAddr = 96L
-    val heapHdrAddr = rootOhdrAddr + 40
+    val heapHdrAddr = rootOhdrAddr + 40 + rootAttrMsgs.map(8 + _.length).sum
     val heapDataAddr = heapHdrAddr + 32
     val treeAddr = heapDataAddr + heapDataSize
     val snodAddr = treeAddr + 48
     val snodSize = 8 + sorted.size * 40
     var cursor = snodAddr + snodSize
     val ohdrAddrs = sorted.map { case (n, d) =>
-      val a = cursor; cursor += ohdrSize(d); (n, a)
+      val a = cursor; cursor += ohdrSize(n, d); (n, a)
     }.toMap
     cursor = (cursor + 7) / 8 * 8
     // chunk B-trees for chunked datasets
@@ -497,10 +554,16 @@ object Fixtures {
     buf.putLong(0L).putLong(Undef).putLong(eof).putLong(Undef)  // base, free, EOF, driver
     buf.putLong(0L).putLong(rootOhdrAddr)                       // root STE: name off, ohdr
     buf.putInt(0).putInt(0).putLong(0L).putLong(0L)             // cache, reserved, scratch
-    // root object header: one symbol-table message
+    // root object header: symbol-table message + optional attributes
     assert(buf.position() == rootOhdrAddr)
-    buf.put(1.toByte).put(0.toByte).putShort(1).putInt(1).putInt(24).putInt(0)
+    val rootMsgsSize = 24 + rootAttrMsgs.map(8 + _.length).sum
+    buf.put(1.toByte).put(0.toByte).putShort((1 + rootAttrMsgs.size).toShort)
+      .putInt(1).putInt(rootMsgsSize).putInt(0)
     buf.putShort(0x11).putShort(16).putInt(0).putLong(treeAddr).putLong(heapHdrAddr)
+    rootAttrMsgs.foreach { m =>
+      buf.putShort(0x0c).putShort(m.length.toShort).putInt(0)
+      buf.put(m)
+    }
     // local heap
     assert(buf.position() == heapHdrAddr)
     buf.put("HEAP".getBytes).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
@@ -528,9 +591,10 @@ object Fixtures {
       val dspaceBody = 8 + dims(d).size * 8
       val dtb = dtypeBody(d)
       val deflated = d match { case f: H5F32 => f.deflate; case _ => false }
-      val nMsgs = 3 + (if (deflated) 1 else 0)
+      val ams = attrMsgs(n)
+      val nMsgs = 3 + (if (deflated) 1 else 0) + ams.size
       val msgsSize = (8 + dspaceBody) + (8 + dtb.length) + (8 + 24) +
-        (if (deflated) 8 + 16 else 0)
+        (if (deflated) 8 + 16 else 0) + ams.map(8 + _.length).sum
       buf.put(1.toByte).put(0.toByte).putShort(nMsgs.toShort).putInt(1).putInt(msgsSize).putInt(0)
       buf.putShort(0x01).putShort(dspaceBody.toShort).putInt(0) // dataspace v1
       buf.put(1.toByte).put(dims(d).size.toByte).put(0.toByte)
@@ -556,6 +620,10 @@ object Fixtures {
         buf.put(3.toByte).put(1.toByte)
         buf.putLong(dataAddrs(n)).putLong(dataBytes(d).length.toLong)
         buf.put(Array.fill[Byte](24 - 18)(0))
+      }
+      ams.foreach { m =>
+        buf.putShort(0x0c).putShort(m.length.toShort).putInt(0)
+        buf.put(m)
       }
     }
     // chunk B-trees (single level-0 node, type 1)
@@ -585,6 +653,106 @@ object Fixtures {
         buf.position(dataAddrs(n).toInt)
         buf.put(dataBytes(d))
       }
+    }
+    buf.position(eof.toInt)
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  /** Write the libver='latest' HDF5 layout family: v3 superblock, v2
+    * ("OHDR") object headers, groups as compact Link messages (no symbol
+    * tables), v2 dataspaces. Contiguous datasets only; checksums written
+    * as zero (the reader is structural and does not validate them).
+    * `subgroups` adds one level of named child groups (the RPC shape). */
+  def writeH5V2(path: String, datasets: Seq[(String, H5Data)],
+      subgroups: Seq[(String, Seq[(String, H5Data)])] = Nil): Unit = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    val Undef = -1L
+    val sortedRoot = datasets.sortBy(_._1)
+    val sortedSubs = subgroups.sortBy(_._1).map { case (g, ds) => (g, ds.sortBy(_._1)) }
+
+    def dsOhdrSize(d: H5Data): Int = {
+      val rank = h5dims(d).size
+      10 + (4 + 4 + 8 * rank) + (4 + dtypeBody(d).length) + (4 + 18) + 4
+    }
+    def groupOhdrSize(links: Seq[String]): Int =
+      10 + (4 + 18) + links.map(n => 4 + 3 + n.length + 8).sum + 4
+
+    // layout: superblock(48) | dataset OHDRs (root, then per-subgroup) |
+    // subgroup OHDRs | root OHDR | data blocks
+    var cursor = 48L
+    val rootDsAddrs = sortedRoot.map { case (n, d) =>
+      val a = cursor; cursor += dsOhdrSize(d); (n, a)
+    }.toMap
+    val subDsAddrs = sortedSubs.map { case (g, ds) =>
+      g -> ds.map { case (n, d) => val a = cursor; cursor += dsOhdrSize(d); (n, a) }.toMap
+    }.toMap
+    val subGroupAddrs = sortedSubs.map { case (g, ds) =>
+      val a = cursor; cursor += groupOhdrSize(ds.map(_._1)); (g, a)
+    }.toMap
+    val rootAddr = cursor
+    cursor += groupOhdrSize(sortedRoot.map(_._1) ++ sortedSubs.map(_._1))
+    cursor = pad8(cursor.toInt)
+    val allDs = sortedRoot ++ sortedSubs.flatMap { case (g, ds) =>
+      ds.map { case (n, d) => (s"$g/$n", d) } }
+    val dataAddrs = allDs.map { case (n, d) =>
+      val a = cursor; cursor += pad8(h5dataBytes(d).length); (n, a)
+    }.toMap
+    val eof = cursor
+
+    val buf = java.nio.ByteBuffer.allocate(eof.toInt).order(bo)
+    // superblock v3: sig ver so sl flags base ext eof root cksum
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    buf.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    buf.putLong(0L).putLong(Undef).putLong(eof).putLong(rootAddr).putInt(0)
+
+    def putDatasetOhdr(d: H5Data, dataAddr: Long): Unit = {
+      val rank = h5dims(d).size
+      val dtb = dtypeBody(d)
+      val msgs = (4 + 4 + 8 * rank) + (4 + dtb.length) + (4 + 18)
+      buf.put("OHDR".getBytes).put(2.toByte).put(0x02.toByte).putInt(msgs)
+      buf.put(0x01.toByte).putShort((4 + 8 * rank).toShort).put(0.toByte) // dataspace v2
+      buf.put(2.toByte).put(rank.toByte).put(0.toByte)
+        .put((if (rank == 0) 0 else 1).toByte)
+      h5dims(d).foreach(x => buf.putLong(x.toLong))
+      buf.put(0x03.toByte).putShort(dtb.length.toShort).put(0.toByte) // datatype
+      buf.put(dtb)
+      buf.put(0x08.toByte).putShort(18).put(0.toByte) // layout v3 contiguous
+      buf.put(3.toByte).put(1.toByte)
+        .putLong(dataAddr).putLong(h5dataBytes(d).length.toLong)
+      buf.putInt(0) // checksum
+    }
+    def putGroupOhdr(links: Seq[(String, Long)]): Unit = {
+      val msgs = (4 + 18) + links.map { case (n, _) => 4 + 3 + n.length + 8 }.sum
+      buf.put("OHDR".getBytes).put(2.toByte).put(0x02.toByte).putInt(msgs)
+      buf.put(0x02.toByte).putShort(18).put(0.toByte) // link info: no dense storage
+      buf.put(0.toByte).put(0.toByte).putLong(Undef).putLong(Undef)
+      links.foreach { case (n, a) =>
+        buf.put(0x06.toByte).putShort((3 + n.length + 8).toShort).put(0.toByte)
+        buf.put(1.toByte).put(0.toByte).put(n.length.toByte)
+        buf.put(n.getBytes(StandardCharsets.UTF_8))
+        buf.putLong(a)
+      }
+      buf.putInt(0) // checksum
+    }
+
+    sortedRoot.foreach { case (n, d) =>
+      assert(buf.position() == rootDsAddrs(n)); putDatasetOhdr(d, dataAddrs(n))
+    }
+    sortedSubs.foreach { case (g, ds) =>
+      ds.foreach { case (n, d) =>
+        assert(buf.position() == subDsAddrs(g)(n)); putDatasetOhdr(d, dataAddrs(s"$g/$n"))
+      }
+    }
+    sortedSubs.foreach { case (g, ds) =>
+      assert(buf.position() == subGroupAddrs(g))
+      putGroupOhdr(ds.map { case (n, _) => (n, subDsAddrs(g)(n)) })
+    }
+    assert(buf.position() == rootAddr)
+    putGroupOhdr(sortedRoot.map { case (n, _) => (n, rootDsAddrs(n)) } ++
+      sortedSubs.map { case (g, _) => (g, subGroupAddrs(g)) })
+    allDs.foreach { case (n, d) =>
+      buf.position(dataAddrs(n).toInt)
+      buf.put(h5dataBytes(d))
     }
     buf.position(eof.toInt)
     Files.write(Paths.get(path), buf.array())

@@ -32,6 +32,48 @@ class Hdf5StackSpec extends SparkFunSuite {
       Seq(0.0, 0.0, 47.1, 21.1))
   }
 
+  test("Hdf5 reader parses the libver='latest' layout family (v3 superblock, OHDR, link messages)") {
+    val p = Fixtures.slcProducts.head
+    val n = p.az * p.rg
+    val re = Array.tabulate(n)(i => Fixtures.pixelValue(0, i / p.rg, i % p.rg).toFloat)
+    val dir = tmpDir("h5v2")
+    val path = s"$dir/latest.h5"
+    Fixtures.writeH5V2(path,
+      Seq(
+        "s_i" -> Fixtures.H5F32(Seq(p.az, p.rg), re),
+        "product_file" -> Fixtures.H5Str(p.name),
+        "incidence_center" -> Fixtures.H5F64(Seq.empty, Array(30.5)),
+        "number_of_azimuth_samples" -> Fixtures.H5I32(Seq.empty, Array(p.az)),
+        "coord_last_far" -> Fixtures.H5F64(Seq(4), Array(0, 0, 47.1, 21.1))),
+      subgroups = Seq("RPC" -> Seq(
+        "LINE_NUM_COEFF" -> Fixtures.H5F64(Seq(20), Array.tabulate(20)(_ + 0.25)),
+        "LAT_OFF" -> Fixtures.H5F64(Seq.empty, Array(4.25)))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = Hdf5.fromBytes(bytes)
+    val entries = f.rootEntries.toMap
+    assert(entries.keySet == Set("s_i", "product_file", "incidence_center",
+      "number_of_azimuth_samples", "coord_last_far", "RPC"))
+
+    val si = f.dataset("s_i", entries("s_i"))
+    assert(si.dims == Seq(p.az.toLong, p.rg.toLong))
+    assert(si.dtype == Hdf5.FloatPoint(4, littleEndian = true))
+    val vals = f.readDoubles(si)
+    assert(vals(0) == 0.0 && vals(p.rg + 1) == Fixtures.pixelValue(0, 1, 1))
+
+    assert(f.readString(f.dataset("product_file", entries("product_file"))) == p.name)
+    assert(f.readDoubles(f.dataset("incidence_center", entries("incidence_center")))(0) == 30.5)
+    assert(f.readDoubles(f.dataset("number_of_azimuth_samples",
+      entries("number_of_azimuth_samples")))(0) == p.az.toDouble)
+
+    // subgroup via v2 link messages
+    assert(f.isGroup(entries("RPC")) && !f.isGroup(entries("s_i")))
+    val rpc = f.subgroupEntries("RPC").get.toMap
+    assert(rpc.keySet == Set("LINE_NUM_COEFF", "LAT_OFF"))
+    assert(f.readDoubles(f.dataset("LINE_NUM_COEFF", rpc("LINE_NUM_COEFF"))).toSeq ==
+      (0 until 20).map(_ + 0.25))
+    assert(f.readDoubles(f.dataset("LAT_OFF", rpc("LAT_OFF")))(0) == 4.25)
+  }
+
   test("SLC HDF5 stack e2e: dims, order 1,0,2, complex pixel-exact, header dtype (S4)") {
     val cube = Cube.fromDirectory(spark, h5Dir, CubeConfig())
     assert(cube.dimensions == Map("Band" -> 3L, "Azimuth" -> 20L, "Range" -> 20L))

@@ -1,0 +1,87 @@
+package graft.io
+
+import graft.{Fixtures, SparkFunSuite}
+import graft.core.Cube
+import org.apache.spark.sql.functions._
+
+/** netCDF4 cube interop (S12): the fixture reproduces the exact layout
+  * family xarray's `to_netcdf` writes for an icecube cube — HDF5
+  * container, dimension-scale coordinate datasets (CLASS attr), CF time
+  * units on the Band axis, rank-3 data variables with dict-of-lists
+  * layer attrs, global attrs on the root group. */
+class NetcdfSpec extends SparkFunSuite {
+
+  private val az = 6
+  private val rg = 5
+  private val names = Fixtures.grdProducts.map(_.name)
+
+  lazy val ncPath: String = {
+    val dir = tmpDir("nc")
+    val path = s"$dir/cube.nc"
+    val n = 3 * az * rg
+    val intensity = Array.tabulate(n) { i =>
+      val b = i / (az * rg); val a = (i % (az * rg)) / rg; val r = i % rg
+      Fixtures.pixelValue(b, a, r).toFloat
+    }
+    Fixtures.writeH5(path,
+      Seq(
+        "Band" -> Fixtures.H5I64(Seq(3), Array(1L, 0L, 30L)),
+        "Azimuth" -> Fixtures.H5I64(Seq(az), Array.tabulate(az)(_.toLong)),
+        "Range" -> Fixtures.H5I64(Seq(rg), Array.tabulate(rg)(_.toLong)),
+        "Intensity" -> Fixtures.H5F32(Seq(3, az, rg), intensity)),
+      attrs = Map(
+        "Band" -> Seq(
+          "CLASS" -> Fixtures.H5Str("DIMENSION_SCALE"),
+          "units" -> Fixtures.H5Str("days since 2021-04-27 00:00:00"),
+          "calendar" -> Fixtures.H5Str("proleptic_gregorian")),
+        "Azimuth" -> Seq("CLASS" -> Fixtures.H5Str("DIMENSION_SCALE")),
+        "Range" -> Seq("CLASS" -> Fixtures.H5Str("DIMENSION_SCALE")),
+        "Intensity" -> Seq(
+          "product_file" -> Fixtures.H5StrArr(names),
+          "orbit_direction" -> Fixtures.H5StrArr(Seq("DESCENDING", "ASCENDING", "ASCENDING")),
+          "incidence_center" -> Fixtures.H5StrArr(Seq("29.5", "30.5", "28.5")),
+          "satellite_look_angle" -> Fixtures.H5StrArr(Seq("29", "30", "28")))),
+      rootAttrs = Seq(
+        "product_type" -> Fixtures.H5Str("GRD"),
+        "dtype" -> Fixtures.H5Str("float32")))
+    path
+  }
+
+  test("netCDF cube load: dims, CF band times, cube attrs") {
+    val cube = Cube.fromNetcdf(spark, ncPath)
+    assert(cube.dimensions == Map("Band" -> 3L, "Azimuth" -> az.toLong, "Range" -> rg.toLong))
+    assert(cube.attrs("product_type") == "GRD" && cube.attrs("dtype") == "float32")
+    assert(cube.dataVariables == Seq("intensity"))
+
+    // CF decode: days [1, 0, 30] since 2021-04-27 → UTC midnights
+    val times = cube.layers.orderBy("band_index").select("band_time")
+      .collect().map(_.getTimestamp(0).toInstant.toString)
+    assert(times.toSeq == Seq("2021-04-28T00:00:00Z", "2021-04-27T00:00:00Z", "2021-05-27T00:00:00Z"))
+  }
+
+  test("netCDF cube pixels are layer-major exact") {
+    val cube = Cube.fromNetcdf(spark, ncPath)
+    (0 until 3).foreach { b =>
+      val vals = cube.pixels.filter(col("band_index") === b)
+        .orderBy("azimuth", "range").select("intensity").collect().map(_.getDouble(0))
+      assert(vals.length == az * rg)
+      val ok = vals.zipWithIndex.forall { case (v, i) =>
+        v == Fixtures.pixelValue(b, i / rg, i % rg).toFloat.toDouble
+      }
+      assert(ok, s"band $b pixel mismatch")
+    }
+  }
+
+  test("netCDF dict-of-lists variable attrs become per-layer metadata") {
+    val cube = Cube.fromNetcdf(spark, ncPath)
+    val m0 = cube.metadataByProduct(names(0))
+    assert(m0("orbit_direction") == "DESCENDING")
+    assert(m0("incidence_center") == "29.5")
+    assert(m0("satellite_look_angle") == "29")
+    val m2 = cube.metadataByProduct(names(2))
+    assert(m2("orbit_direction") == "ASCENDING" && m2("satellite_look_angle") == "28")
+    // accessor API works over the imported cube
+    assert(cube.allProducts == names)
+    assert(cube.productIndex(names(1)) == 1)
+  }
+}

@@ -52,6 +52,39 @@ class PlanAssertSpec extends SparkFunSuite {
       s"pixel-side sort-merge join would shuffle the pixel table:\n$plan")
   }
 
+  test("corpus_curation prefix sum never uses a single-partition window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.TextQueries.defs("corpus_curation").build(spark, sfDir)
+    val globalWindows = q.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"distributed prefix sum must not move all rows to one task:\n${q.queryExecution.sparkPlan}")
+    assert(q.count() > 0)
+  }
+
+  test("ann_ivf centroid assignment is a hash aggregate, not a window sort") {
+    val sfDir = "/root/testdata/sf0.001"
+    val e = graft.util.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centroids = e.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val queries = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val q = graft.operators.VectorQueries.ivfTopK(e, centroids, queries, nprobe = 2, k = 3)
+    val plan = q.queryExecution.sparkPlan
+    // windows remain only on per-query stages (partitioned by qid);
+    // the corpus-sized assignment stage must be an aggregate
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty), s"global window in IVF plan:\n$plan")
+    val hasAgg = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.exists(_.name == "vec_id") => a
+    }
+    assert(hasAgg.nonEmpty, s"expected max_by hash aggregate on vec_id:\n$plan")
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))

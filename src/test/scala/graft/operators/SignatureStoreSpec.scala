@@ -40,4 +40,24 @@ class SignatureStoreSpec extends SparkFunSuite {
     val bands2 = SignatureStore.ensureMinhashBands(spark, sfDir).count()
     assert(bands1 == bands2 && bands1 > 0)
   }
+
+  test("store works end-to-end through explicit file:-scheme URIs (Hadoop FS path)") {
+    val schemedInput = s"file://$sfDir"
+    val schemedRoot = s"file://${tmpDir("sigroot")}"
+    spark.conf.set("spark.graft.sigstore.root", schemedRoot)
+    try {
+      // fingerprint resolves through the Hadoop FileSystem (content-based,
+      // not a degenerate path-only key)
+      val base = SignatureStore.defaultBase(spark, schemedInput)
+      assert(base.startsWith(schemedRoot))
+      val viaScheme = SignatureStore.ensureMinhashBands(spark, schemedInput)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // second call must hit the store (idempotent through the scheme too)
+      val again = SignatureStore.ensureMinhashBands(spark, schemedInput)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val live = TextQueries.minhashBandsOf(Tables.documents(spark, sfDir))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaScheme == live && again == live && live.nonEmpty)
+    } finally spark.conf.unset("spark.graft.sigstore.root")
+  }
 }
