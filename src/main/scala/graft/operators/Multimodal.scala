@@ -83,6 +83,10 @@ object Multimodal {
       StructField("payload", BinaryType),
       StructField("media_type", StringType))))
     docs.select(col("doc_id").cast("long")).mapPartitions { it =>
+      // disable ImageIO's temp-FILE stream cache (one file create+delete
+      // per encode/decode otherwise — measured 20 s over 10k calls at
+      // sf0.1); in-memory streams are strictly better for small images
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
         Row(id, pngPayload(id), "image/png")
@@ -98,6 +102,7 @@ object Multimodal {
   def decodeImage(assets: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     assets.select("doc_id", "payload", "media_type").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams (see pngAssets)
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)

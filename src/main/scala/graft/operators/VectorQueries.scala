@@ -38,43 +38,44 @@ object VectorQueries {
       (sqrt(dot_f32(col(a), col(a))) * sqrt(dot_f32(col(b), col(b)))), 6)
   }
 
-  /** Brute-force all-pairs cosine ≥ threshold via block nested loop:
-    * the candidate set is broadcast as primitive arrays and each task
-    * scores its id-range against it in a tight JVM loop (the physical
-    * plan a native engine would pick for dense all-pairs; `mapPartitions`
-    * is the sanctioned escape hatch here — SURVEY §7.3 preference (d)).
+  /** Distributed exact all-pairs cosine ≥ threshold via BLOCK PAIRS: the
+    * corpus is bucketed into id-range blocks, every (bi ≤ bj) block pair
+    * becomes one task scoring its cross product in a tight JVM loop. No
+    * driver collect and no corpus-wide broadcast — the quadratic work is
+    * sharded over B(B+1)/2 tasks, each holding exactly two blocks, so
+    * the plan survives corpora that outgrow any single memory. (The
+    * former driver-collect broadcast BNLJ capped out at ~10⁶ vectors.)
     *
-    * Numerics match the SQL oracle exactly: float→double per element,
-    * sequential i=0..63 fold, round(…,6).
-    *
-    * Scale: broadcast side must fit executor memory (~0.5 MB per 2k
-    * vectors; fine to ~10⁶ vectors). Beyond that, `ann_lsh_bucketed` is
-    * the path — bucket equi-join, no broadcast of the full corpus. */
-  private def bruteForcePairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    * Numerics match the SQL oracle exactly (independent of block
+    * sharding): float→double per element, sequential i=0..63 fold,
+    * round(…,6). */
+  private def blockedAllPairs(s: SparkSession, d: String, threshold: Double,
+      blockSize: Int = 1024): DataFrame = {
     import s.implicits._
-    val vecs = embeddings(s, d).select("vec_id", "embedding")
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(vecs)
-    val n = vecs.length
-    s.range(0, n, 1, s.sparkContext.defaultParallelism)
-      .as[Long]
-      .mapPartitions { it =>
-        val all = bc.value
-        it.flatMap { ai =>
-          val (ida, va) = all(ai.toInt)
-          val na = math.sqrt(selfDot(va))
-          (ai.toInt + 1 until all.length).iterator.flatMap { bi =>
-            val (idb, vb) = all(bi)
-            var dp = 0.0
-            var i = 0
-            while (i < Dim) { dp += va(i).toDouble * vb(i).toDouble; i += 1 }
-            val sc = BigDecimal(dp / (na * math.sqrt(selfDot(vb))))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (sc > threshold) Some((ida, idb, sc)) else None
-          }
+    val blocks = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("blk", (col("vec_id") / blockSize).cast("int"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+    val pairsOfBlocks = blocks.select(col("blk").as("bi"), col("vs").as("va"))
+      .crossJoin(blocks.select(col("blk").as("bj"), col("vs").as("vb")))
+      .filter(col("bi") <= col("bj"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Int, Seq[(Long, Seq[Float])], Int, Seq[(Long, Seq[Float])])]
+    pairsOfBlocks.flatMap { case (_, va, _, vb) =>
+      val aArr = va.map { case (id, v) => (id, v.toArray) }.sortBy(_._1).toArray
+      val bArr = vb.map { case (id, v) => (id, v.toArray) }.sortBy(_._1).toArray
+      aArr.iterator.flatMap { case (ida, v1) =>
+        val na = math.sqrt(selfDot(v1))
+        bArr.iterator.filter(_._1 > ida).flatMap { case (idb, v2) =>
+          var dp = 0.0
+          var i = 0
+          while (i < Dim) { dp += v1(i).toDouble * v2(i).toDouble; i += 1 }
+          val sc = BigDecimal(dp / (na * math.sqrt(selfDot(v2))))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (sc > threshold) Some((ida, idb, sc)) else None
         }
       }
-      .toDF("vec_a", "vec_b", "score")
+    }.toDF("vec_a", "vec_b", "score")
   }
 
   private def selfDot(v: Array[Float]): Double = {
@@ -133,31 +134,23 @@ object VectorQueries {
         |SELECT qid, cid, score FROM s
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 3
         |ORDER BY qid, cid""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val vecs = embeddings(s, d).select("vec_id", "embedding")
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val bc = s.sparkContext.broadcast(vecs)
-      s.range(0, vecs.count(_._1 < 100), 1, s.sparkContext.defaultParallelism)
-        .as[Long]
-        .mapPartitions { it =>
-          val all = bc.value
-          it.flatMap { qi =>
-            val (qid, qv) = all(qi.toInt)
-            val qn = math.sqrt(selfDot(qv))
-            val scored = all.iterator.filter(_._1 != qid).map { case (cid, cv) =>
-              var dp = 0.0
-              var i = 0
-              while (i < Dim) { dp += qv(i).toDouble * cv(i).toDouble; i += 1 }
-              val sc = BigDecimal(dp / (qn * math.sqrt(selfDot(cv))))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              (cid, sc)
-            }.toArray
-            // rank by (rounded score desc, cid asc) — matches the oracle window
-            scored.sortBy { case (cid, sc) => (-sc, cid) }.take(3)
-              .map { case (cid, sc) => (qid, cid, sc) }
-          }
-        }
-        .toDF("qid", "cid", "score")
+      // Distributed brute force: the CORPUS streams through executors
+      // untouched; only the (bounded) query set is broadcast. Scoring is
+      // a codegen'd dot_f32 inside the broadcast join; top-k is a
+      // per-query window (partitioned — never a global sort). The corpus
+      // is never collected: the plan is corpus-size-independent except
+      // for the final k×queries rows.
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") <= 3)
+        .select("qid", "cid", "score")
         .orderBy("qid", "cid")
     },
 
@@ -217,7 +210,7 @@ object VectorQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.4
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      bruteForcePairs(s, d, 0.4).orderBy("vec_a", "vec_b")
+      blockedAllPairs(s, d, 0.4).orderBy("vec_a", "vec_b")
     },
 
     // ----- LSH-bucketed ANN (scale path): banded hyperplane buckets -----
