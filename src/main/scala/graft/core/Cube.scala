@@ -215,6 +215,12 @@ final case class Cube(
       ids.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** W1 interop: export this cube in the reference's own netCDF4 format
+    * (to_file, datacube.py:203-212) — readable by xarray and by
+    * [[Cube.fromNetcdf]]. Band-streamed write; parquet ([[graft.io.CubeStore]])
+    * remains the native distributed sink. */
+  def toNetcdf(path: String): Unit = graft.io.NetcdfWriter.write(this, path)
+
   /** Dense export: materialize gap pixels for every layer on the master
     * grid (M12 dummy layers, grd_datacube.py:93-111). Gap values follow
     * the reference rule (tests/grd_datacube_test.py:108-122): float dtype

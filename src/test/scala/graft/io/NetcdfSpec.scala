@@ -72,6 +72,41 @@ class NetcdfSpec extends SparkFunSuite {
     }
   }
 
+  test("toNetcdf → fromNetcdf roundtrip on a built cube (W1 interop sink)") {
+    import graft.core.CubeConfig
+    val grdDir = Fixtures.writeGrdStack(spark, tmpDir("ncrt"))
+    val cube = Cube.fromDirectory(spark, grdDir, CubeConfig())
+    val path = s"${tmpDir("ncout")}/cube.nc"
+    cube.toNetcdf(path)
+
+    val back = Cube.fromNetcdf(spark, path)
+    assert(back.dimensions == cube.dimensions)
+    assert(back.dataVariables == Seq("intensity"))
+    assert(back.attrs("product_type") == "GRD")
+
+    // band order and times preserved
+    val t1 = cube.layers.orderBy("band_index").select("band_time")
+      .collect().map(_.getTimestamp(0).toInstant)
+    val t2 = back.layers.orderBy("band_index").select("band_time")
+      .collect().map(_.getTimestamp(0).toInstant)
+    assert(t1.toSeq == t2.toSeq)
+
+    // pixel-exact per band (float64 payload — lossless for these values)
+    val orig = cube.pixels.select("band_index", "azimuth", "range", "intensity")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    val rt = back.pixels.select("band_index", "azimuth", "range", "intensity")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(rt == orig && orig.size == 300)
+
+    // layer metadata (core + open attrs) survives the dict-of-lists encode
+    val name0 = Fixtures.grdProducts.head.name
+    val m = back.metadataByProduct(name0)
+    assert(m("orbit_direction") == "ASCENDING")
+    assert(m("incidence_center") == "30.5")
+    assert(m("satellite_look_angle") == "30")
+    assert(back.productIndex(name0) == cube.productIndex(name0))
+  }
+
   test("netCDF dict-of-lists variable attrs become per-layer metadata") {
     val cube = Cube.fromNetcdf(spark, ncPath)
     val m0 = cube.metadataByProduct(names(0))
