@@ -482,6 +482,87 @@ object Hdf5 {
       case _ => decodeNumeric(rawData(ds), ds.elementCount.toInt, ds.dtype, ds.name)
     }
 
+    /** One index-0 slice (e.g. a single band plane of a (Band, Az, Rg)
+      * variable) decoded WITHOUT materializing the full dataset —
+      * contiguous/compact: a single ranged read at the plane offset;
+      * chunked: only the chunks whose index-0 range intersects the
+      * slice. This is what lets callers stream a large dataset
+      * plane-by-plane (one task per band). */
+    def readSlice0(ds: Dataset, i0: Long): Array[Double] = {
+      val rank = ds.dims.size
+      require(rank >= 1 && i0 >= 0 && i0 < ds.dims.head,
+        s"${ds.name}: slice $i0 out of range ${ds.dims}")
+      val planeElems = ds.dims.drop(1).product.max(1L).toInt
+      val elemSize = ds.dtype match {
+        case FixedPoint(s, _, _) => s
+        case FloatPoint(s, _)    => s
+        case t => throw new IllegalArgumentException(s"${ds.name}: not numeric ($t)")
+      }
+      ds.layout match {
+        case Contiguous(off, _) =>
+          decodeNumeric(read(off + i0 * planeElems * elemSize, planeElems * elemSize),
+            planeElems, ds.dtype, ds.name)
+        case Compact(d) =>
+          decodeNumeric(java.util.Arrays.copyOfRange(d,
+            (i0 * planeElems * elemSize).toInt, ((i0 + 1) * planeElems * elemSize).toInt),
+            planeElems, ds.dtype, ds.name)
+        case c: Chunked =>
+          val out = new Array[Double](planeElems)
+          val chunkElems = c.chunkDims.product.toInt
+          val strides = Array.tabulate(rank)(d => (d + 1 until rank).map(c.chunkDims(_)).product)
+          val planeStrides = Array.tabulate(rank)(d =>
+            if (d == 0) 0L else (d + 1 until rank).map(ds.dims(_)).product)
+          chunkEntries(c.btreeAddr, rank)
+            .filter { case (_, _, origin) =>
+              origin.head <= i0 && i0 < origin.head + c.chunkDims.head }
+            .foreach { case (addr, storedSize, origin) =>
+              val vals = decodeNumeric(
+                inflateChunk(addr, storedSize, chunkElems * elemSize, c.deflate, ds.name),
+                chunkElems, ds.dtype, ds.name)
+              var i = 0
+              while (i < chunkElems) {
+                var rem = i.toLong
+                var linear = 0L
+                var inside = true
+                var d = 0
+                while (d < rank) {
+                  val local = rem / strides(d)
+                  rem = rem % strides(d)
+                  val coord = origin(d) + local
+                  if (d == 0) { if (coord != i0) inside = false }
+                  else if (coord >= ds.dims(d)) inside = false
+                  if (d > 0) linear += coord * planeStrides(d)
+                  d += 1
+                }
+                if (inside) out(linear.toInt) = vals(i)
+                i += 1
+              }
+            }
+          out
+      }
+    }
+
+    private def inflateChunk(addr: Long, storedSize: Int, rawLen: Int,
+        deflate: Boolean, name: String): Array[Byte] = {
+      val stored = read(addr, storedSize)
+      if (!deflate) stored
+      else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(stored)
+        val buf = new Array[Byte](rawLen)
+        var done = 0
+        var stalled = false
+        while (done < buf.length && !inf.finished() && !stalled) {
+          val n = inf.inflate(buf, done, buf.length - done)
+          stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
+          done += n
+        }
+        inf.end()
+        require(done == buf.length, s"$name: gzip'd chunk inflated to $done of $rawLen bytes")
+        buf
+      }
+    }
+
     private def decodeNumeric(d: Array[Byte], n: Int, dtype: Dtype, name: String): Array[Double] = {
       dtype match {
         case FixedPoint(size, signed, le) =>

@@ -25,11 +25,12 @@ import org.apache.spark.sql.types._
   *     REFERENCE_LIST object references) are skipped by the attribute
   *     parser by construction.
   *
-  * Scale posture: this is an IMPORT path — the decode of one `.nc` file
-  * is inherently single-reader (like the reference's own xr.open_dataset)
-  * and the result should be persisted to the parquet [[CubeStore]] layout
-  * for distributed work. Pixel rows are parallelized immediately after
-  * decode so downstream transforms run distributed.
+  * Scale posture: structure/attrs parse on the driver (KBs); the pixel
+  * decode is DISTRIBUTED — one task per band re-opens the file (works on
+  * local and shared filesystems) and reads only its plane through
+  * [[Hdf5.File.readSlice0]], so no single process ever materializes the
+  * cube. Persist to the parquet [[CubeStore]] layout for repeated
+  * distributed work; this is the interop import.
   */
 object Netcdf {
 
@@ -97,32 +98,50 @@ object Netcdf {
           s"$path: variable $n dims ${d.dims} disagree with (${nBands}, $az, $rg)")
       }
 
-      // --- pixels: long format, layer-major decode, parallelized ---
+      // --- pixels: long format, DISTRIBUTED band-plane decode — one task
+      // per band re-opens the file (local or shared filesystem) and reads
+      // only its plane via readSlice0 (contiguous: one ranged read;
+      // chunked: intersecting chunks only). Neither the driver nor any
+      // task ever holds more than one plane per variable. ---
       val varCols = dataVars.map(_._1.toLowerCase)
-      val values: Seq[Array[Double]] = dataVars.map { case (_, d) => f.readDoubles(d) }
+      val varDs = dataVars.map(_._2)
       val pixelSchema = StructType(
         Seq(StructField("band_index", IntegerType), StructField("band_time", TimestampType),
           StructField("azimuth", IntegerType), StructField("range", IntegerType)) ++
           varCols.map(c => StructField(c, DoubleType)))
-      val plane = az * rg
-      val pixelRows: Seq[Row] = for {
-        b <- 0 until nBands
-        a <- 0 until az
-        r <- 0 until rg
-      } yield {
-        val ts = if (b < bandTimesMicros.length)
-          java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
-            bandTimesMicros(b), java.time.temporal.ChronoUnit.MICROS))
-        else null
-        Row.fromSeq(Seq(b, ts, a, r) ++ values.map { vs =>
-          val v = vs(b * plane + a.toLong.toInt * rg + r)
-          if (v.isNaN) null else v
-        })
-      }
+      val bandMicros = bandTimesMicros
+      val ncPath = path
+      val rgW = rg
+      val azW = az
       val parallelism = spark.sparkContext.defaultParallelism
-      val pixels = spark.createDataFrame(
-        spark.sparkContext.parallelize(pixelRows, math.max(1, math.min(parallelism, nBands))),
-        pixelSchema)
+      val pixelRdd = spark.sparkContext
+        .parallelize(0 until nBands, math.max(1, math.min(parallelism, nBands)))
+        .flatMap { b =>
+          val (bf, braf) = Hdf5.open(ncPath)
+          try {
+            val planes = varDs.map(d => bf.readSlice0(d, b.toLong))
+            val ts = if (b < bandMicros.length)
+              java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+                bandMicros(b), java.time.temporal.ChronoUnit.MICROS))
+            else null
+            val rows = new Array[Row](azW * rgW)
+            var a = 0
+            while (a < azW) {
+              var r = 0
+              while (r < rgW) {
+                val i = a * rgW + r
+                rows(i) = Row.fromSeq(Seq(b, ts, a, r) ++ planes.map { vs =>
+                  val v = vs(i)
+                  if (v.isNaN) null else v
+                })
+                r += 1
+              }
+              a += 1
+            }
+            rows.toSeq
+          } finally braf.close()
+        }
+      val pixels = spark.createDataFrame(pixelRdd, pixelSchema)
 
       // --- layers: per-band metadata from dict-of-lists variable attrs ---
       val metaPerBand: Seq[Map[String, String]] = (0 until nBands).map { b =>

@@ -92,7 +92,7 @@ class CodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("HDF5 contiguous vs chunked(+gzip) agree on random shapes") {
+  test("HDF5 contiguous vs chunked(+gzip) agree on random shapes, incl. slice reads") {
     val gen = Gen.zip(dims, Gen.choose(1, 9), Gen.choose(1, 9), Gen.oneOf(false, true))
     samples(gen, 25, 0xCAFE2).foreach { case ((az, rg), ch, cw, deflate) =>
       val vals = Array.tabulate(az * rg)(i => (i * 7 % 1000).toFloat)
@@ -104,10 +104,20 @@ class CodecPropertiesSpec extends AnyFunSuite {
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
       val f = Hdf5.fromBytes(bytes)
       val e = f.rootEntries.toMap
-      val a = f.readDoubles(f.dataset("contig", e("contig"))).toSeq
-      val b = f.readDoubles(f.dataset("chunked", e("chunked"))).toSeq
+      val contig = f.dataset("contig", e("contig"))
+      val chunked = f.dataset("chunked", e("chunked"))
+      val a = f.readDoubles(contig).toSeq
+      val b = f.readDoubles(chunked).toSeq
       assert(a == vals.map(_.toDouble).toSeq && b == a,
         s"dims=($az,$rg) chunk=($ch,$cw) deflate=$deflate")
+      // index-0 slice reads agree with the full read on BOTH layouts —
+      // the plane-streaming path the netCDF import uses
+      (0 until az).foreach { i =>
+        val row = a.slice(i * rg, (i + 1) * rg)
+        assert(f.readSlice0(contig, i).toSeq == row, s"contig slice $i")
+        assert(f.readSlice0(chunked, i).toSeq == row,
+          s"chunked slice $i dims=($az,$rg) chunk=($ch,$cw) deflate=$deflate")
+      }
     }
   }
 }
