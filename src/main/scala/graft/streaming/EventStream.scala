@@ -64,6 +64,36 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * `dedup_exact`/`text_fingerprint` pair: whitespace-normalized md5
+    * fingerprint → `dropDuplicatesWithinWatermark`. Dedup state holds
+    * one fingerprint per distinct document inside the watermark horizon
+    * and is evicted beyond it, so memory stays bounded under continuous
+    * ingest (exact ALL-time dedup is the batch path over the signature
+    * store; this guards the stream against near-in-time re-sends). */
+  def dedupExactStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Incremental signature maintenance — the continuous-ingest side of
+    * [[graft.operators.SignatureStore]]: each micro-batch of new
+    * documents is minhash-banded with the SAME builder the batch dedup
+    * queries use and appended to the band-partitioned store, so LSH
+    * dedup always reads current signatures and history is never
+    * re-hashed. foreachBatch + checkpointing gives per-epoch
+    * exactly-once appends. */
+  def maintainSignatures(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.operators.TextQueries.minhashBandsOf(batch)
+          .write.mode("append").partitionBy("band")
+          .parquet(graft.operators.SignatureStore.minhashDir(storeBase))
+    }
+
   /** Custom per-key state via mapGroupsWithState: running per-user totals
     * (KeyValueGroupedDataset path). NoTimeout keeps micro-batch scheduling
     * purely data-driven; with a processing-time timeout the engine

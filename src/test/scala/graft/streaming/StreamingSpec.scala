@@ -94,6 +94,52 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops in-watermark duplicates, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val query = EventStream.dedupExactStream(docs, "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox", ts("2024-01-01 00:00:00")),
+        (2L, "  THE   quick brown FOX ", ts("2024-01-01 00:05:00")), // same normalized fp
+        (3L, "something else entirely", ts("2024-01-01 00:06:00")))
+      query.processAllAvailable()
+      input.addData((4L, "the quick brown fox", ts("2024-01-01 00:10:00"))) // dup across batches
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally query.stop()
+  }
+
+  test("incremental signature maintenance appends batch-identical minhash bands") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("sigmaint")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = EventStream.maintainSignatures(docs, base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon"), (2L, "zeta eta theta iota kappa"))
+      query.processAllAvailable()
+      input.addData((3L, "lambda mu nu xi omicron pi rho"))
+      query.processAllAvailable()
+
+      val stored = graft.operators.SignatureStore.readMinhashBands(spark, base)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // identical to one batch pass over the union — continuous ingest
+      // never diverges from the batch signature builder
+      val all = Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "zeta eta theta iota kappa"), (3L, "lambda mu nu xi omicron pi rho"))
+        .toDF("doc_id", "text")
+      val batch = graft.operators.TextQueries.minhashBandsOf(all)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(stored == batch && stored.nonEmpty)
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
