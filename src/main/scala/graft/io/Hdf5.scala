@@ -277,13 +277,7 @@ object Hdf5 {
             i += 1
           }
         case (0x01, b) => // dataspace: v1 (dims at 8) or v2 (dims at 4)
-          val rank = b(1).toInt
-          dims = b(0) match {
-            case 1 => (0 until rank).map(i => u(b, 8 + 8 * i, 8))
-            case 2 => (0 until rank).map(i => u(b, 4 + 8 * i, 8))
-            case v => throw new IllegalArgumentException(
-              s"unsupported dataspace version $v in $name")
-          }
+          dims = dataspaceDims(b, 0)
         case (0x03, b) => // datatype
           dtype = parseDtype(b, 0).getOrElse(throw new IllegalArgumentException(
             s"unsupported datatype class ${b(0) & 0x0f} in $name"))

@@ -51,10 +51,23 @@ object Netcdf {
       case "nanoseconds"  => 1e-3
       case u => throw new IllegalArgumentException(s"unsupported CF time unit '$u'")
     }
-    val raw = parts(1).trim.replace(" ", "T")
-    val ldt =
+    // strip a trailing timezone designator — real CF producers write
+    // "… 00:00:00 UTC", "…Z" or "…+00:00" (netCDF-java, CDO); non-UTC
+    // offsets are folded into the epoch via OffsetDateTime
+    val noZone = parts(1).trim
+      .replaceAll("(?i)\\s*(UTC|GMT|Z)$", "")
+    val offsetMatch = "([+-]\\d{2}:?\\d{2})$".r.findFirstIn(noZone)
+    val raw = offsetMatch.map(o => noZone.dropRight(o.length).trim)
+      .getOrElse(noZone).replace(" ", "T")
+    val base =
       if (raw.contains("T")) java.time.LocalDateTime.parse(raw)
       else java.time.LocalDate.parse(raw).atStartOfDay()
+    val ldt = offsetMatch match {
+      case Some(o) =>
+        val off = java.time.ZoneOffset.of(if (o.contains(":")) o else o.take(3) + ":" + o.drop(3))
+        base.atOffset(off).withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+      case None => base
+    }
     val epochMicros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
       ldt.getNano / 1000L
     (epochMicros, perMicros)
@@ -86,10 +99,14 @@ object Netcdf {
         }
       }.getOrElse(Array.empty)
 
-      // --- data variables: rank-3 (Band, Azimuth, Range), non-scale ---
+      // --- data variables: rank-3 (Band, Azimuth, Range), non-scale.
+      // Entries that are not parseable datasets — child groups, compound/
+      // reference dtypes — are skipped, not fatal: a file with extra
+      // groups alongside the cube variables still imports. ---
       val dataVars = entries
         .filter { case (n, _) => !isScale(n) }
-        .map { case (n, a) => (n, f.dataset(n, a)) }
+        .flatMap { case (n, a) =>
+          scala.util.Try(f.dataset(n, a)).toOption.map(d => (n, d)) }
         .filter(_._2.dims.size == 3)
       require(dataVars.nonEmpty, s"$path: no rank-3 data variables found")
       val Seq(nBands, az, rg) = dataVars.head._2.dims.map(_.toInt)

@@ -104,6 +104,12 @@ object NetcdfWriter {
     b.put(java.util.Arrays.copyOf(dtb, pad8(dtb.length)))
     b.put(java.util.Arrays.copyOf(dsb, pad8(dsb.length)))
     b.put(data)
+    // the v1 header-message size field is u16 — a silent short-cast wrap
+    // would corrupt the file (e.g. a dict-of-lists attr over ~300 bands
+    // of long WKT strings); fail loudly instead
+    require(b.array().length <= 0xFFFF,
+      s"netCDF attribute '$name' message is ${b.array().length} B — exceeds the " +
+        "64 KiB HDF5 v1 message limit; shorten per-layer metadata values")
     b.array()
   }
 
@@ -123,13 +129,16 @@ object NetcdfWriter {
     val az = cube.dimensions("Azimuth").toInt
     val rg = cube.dimensions("Range").toInt
 
+    // a null band_time cannot be expressed on a CF time axis — writing a
+    // fabricated epoch would silently invent an acquisition date on
+    // read-back (the parquet store preserves the null; use it instead)
+    val badBands = layerRows.filter(r => r.isNullAt(r.fieldIndex("band_time")))
+      .map(r => r.getAs[Any]("product_file"))
+    require(badBands.isEmpty,
+      s"cannot export to netCDF: null band_time on layers ${badBands.mkString(", ")}")
     val bandMicros: Array[Long] = layerRows.map { r =>
-      val i = r.fieldIndex("band_time")
-      if (r.isNullAt(i)) 0L
-      else {
-        val ts = r.getTimestamp(i)
-        ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
-      }
+      val ts = r.getTimestamp(r.fieldIndex("band_time"))
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
     }
 
     // dict-of-lists attrs: core supported variables + open metadata keys,
@@ -272,12 +281,16 @@ object NetcdfWriter {
         raf.seek(dataAddrs(d.name))
         raf.write(dataBytes(d.headerVal))
       }
-      // data variables: one band plane at a time (bounded driver memory)
+      // data variables: one band plane at a time (bounded driver memory).
+      // pixels are persisted for the loop — nBands × nVars filtered
+      // collects over unpersisted lineage would re-run the full upstream
+      // decode per plane
+      val px = cube.pixels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       dataVars.foreach { v =>
         val base = dataAddrs(v.capitalize)
         (0 until nBands).foreach { b =>
           val plane = Array.fill(az * rg)(java.lang.Double.doubleToLongBits(Double.NaN))
-          cube.pixels.filter(col("band_index") === b)
+          px.filter(col("band_index") === b)
             .select(col("azimuth"), col("range"), col(v).cast("double"))
             .collect().foreach { r =>
               if (!r.isNullAt(2)) {
@@ -291,6 +304,9 @@ object NetcdfWriter {
           raf.write(buf.array())
         }
       }
-    } finally raf.close()
+    } finally {
+      raf.close()
+      cube.pixels.unpersist()
+    }
   }
 }

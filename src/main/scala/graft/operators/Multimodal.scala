@@ -105,7 +105,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false) // in-memory streams (see pngAssets)
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val mt = r.getString(2)
         val img =
           if (bytes.length == 0) null
@@ -115,22 +115,23 @@ object Multimodal {
         } else {
           val w = img.getWidth
           val h = img.getHeight
-          val channels = img.getRaster.getNumBands
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              x += 1
+          val raster = img.getRaster
+          val channels = raster.getNumBands
+          // per-DECODED-channel means, exact: integer sample sums over
+          // the raster (raw bit depth per band), one division — so
+          // features.length == channels for gray/RGB/RGBA alike and
+          // 16-bit samples normalize by their own full scale
+          val feats = Array.tabulate(channels) { c =>
+            val maxVal = (1L << raster.getSampleModel.getSampleSize(c)) - 1
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += raster.getSample(x, y, c); x += 1 }
+              y += 1
             }
-            y += 1
+            s.toDouble / (w.toLong * h * maxVal)
           }
-          val n = w.toLong * h * 255L
-          val feats = Array(sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
           Row(id, mt, bytes.length, w, h, channels, feats.toSeq)
         }
       }
@@ -163,7 +164,7 @@ object Multimodal {
     assets.select("doc_id", "payload", "media_type").mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val mt = r.getString(2)
         val n = bytes.length
         val w = (n % 64) + 1

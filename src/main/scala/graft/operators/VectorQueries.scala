@@ -307,9 +307,9 @@ object LshPlanes {
     val bands = e
       .withColumn("bk", array(bandKeys: _*))
       .select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "key")))
-    val oversized = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-    val guarded = bands.join(broadcast(oversized.select("band", "key")),
+    val guarded = bands.join(
+      broadcast(graft.operators.TextQueries.oversizedBuckets(bands, maxBucket)
+        .select("band", "key")),
       Seq("band", "key"), "left_anti")
     val a = guarded.select(col("vec_id").as("vec_a"), col("band"), col("key"))
     val b = guarded.select(col("vec_id").as("vec_b"), col("band"), col("key"))

@@ -81,16 +81,24 @@ object EventStream {
   /** Incremental signature maintenance — the continuous-ingest side of
     * [[graft.operators.SignatureStore]]: each micro-batch of new
     * documents is minhash-banded with the SAME builder the batch dedup
-    * queries use and appended to the band-partitioned store, so LSH
-    * dedup always reads current signatures and history is never
-    * re-hashed. foreachBatch + checkpointing gives per-epoch
-    * exactly-once appends. */
+    * queries use and appended to the store, so LSH dedup always reads
+    * current signatures and history is never re-hashed.
+    *
+    * Idempotent under epoch replay: foreachBatch is at-least-once, so a
+    * blind append would duplicate rows when a batch replays after a
+    * driver failure (duplicates would inflate bucket counts and could
+    * push a legitimate bucket over the degenerate-bucket cap). Writes
+    * are therefore keyed by `batch_id` with dynamic partition overwrite:
+    * a replayed epoch overwrites exactly its own partitions. */
   def maintainSignatures(docs: DataFrame, storeBase: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         graft.operators.TextQueries.minhashBandsOf(batch)
-          .write.mode("append").partitionBy("band")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "band")
           .parquet(graft.operators.SignatureStore.minhashDir(storeBase))
     }
 
