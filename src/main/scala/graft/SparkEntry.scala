@@ -13,6 +13,7 @@ object SparkEntry {
     operators.RelationalQueries.defs ++
       operators.TextQueries.defs ++
       operators.VectorQueries.defs ++
+      operators.CurationQueries.defs ++
       operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators — the steps between "deduped
+  * documents" and "tokens on a training cluster": benchmark
+  * decontamination, PII redaction, stratified sampling, sequence
+  * packing, and shard assignment.
+  *
+  * Scale posture: decontamination broadcasts the (always tiny) eval-set
+  * shingles against the streamed train corpus; sampling and sharding are
+  * stateless per-row hash arithmetic (no shuffle at all before the
+  * report aggregation); packing reuses the two-pass distributed prefix
+  * sum ([[TextQueries.cumulativeTokens]]) — no global-window funnel
+  * anywhere in the family.
+  *
+  * Determinism: sampling/sharding use an explicit LCG hash
+  * (`(doc_id * 1103515245 + 12345) mod 2^31`) rather than engine hash
+  * functions, so DuckDB reproduces every decision bit-for-bit. A
+  * production deployment would swap in `xxhash64` — the plan shape is
+  * identical (still a stateless projection).
+  */
+object CurationQueries {
+
+  /** Deterministic per-document sample/shuffle key, identical arithmetic
+    * on both engines. Values stay < 2^31 so ANSI-mode Spark can never
+    * overflow (doc_id bounded by 2^21 at the largest test SF; see class
+    * doc for the production variant). */
+  private val LcgSql = "((doc_id * 1103515245 + 12345) % 2147483648)"
+
+  /** Distinct 12-char shingles per document (the decontamination unit —
+    * the same 12-gram granularity the jaccard verifier uses). */
+  private def shingles12(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"),
+      explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"),
+      col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
+      .distinct()
+
+  private val Emailre = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val Phonere = "555-[0-9]{4}"
+  private val Ipre    = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII-bearing text, derived deterministically from doc_id on BOTH
+    * engines (the synthetic corpus carries no natural PII, so the
+    * redactor would otherwise be vacuously green): every 3rd doc gains
+    * an email, every 5th a phone, every 7th an IP. */
+  // single line: interpolated into stripMargin SQL, where a leading `||`
+  // would be eaten as a margin character
+  private val EnrichedSql =
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END"
+
+  private def enrichedCol = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact u"), col("doc_id").cast("string"), lit("@example.com"))).otherwise(""),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 3) % 256).cast("string"))).otherwise(""))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- benchmark decontamination: exact n-gram overlap vs an eval set -----
+    // The GPT-3-style exact-substring check: any training document sharing
+    // >= 20 distinct 12-grams with an eval/benchmark document is flagged
+    // (with the overlap count, so downstream can drop or quarantine).
+    // Eval sets are tiny relative to a 100 TB corpus (10^3..10^6 docs), so
+    // the eval shingle table BROADCASTS and the train corpus streams
+    // through a map-side hash join + partial-agg count — no shuffle of
+    // exploded train shingles, and the output is bounded by real overlaps.
+    "decontaminate_ngram" -> QueryDef.sql(
+      """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |esh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+        |  FROM evald)),
+        |tsh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+        |  FROM train))
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_shared
+        |FROM tsh t JOIN esh e ON t.shingle = e.shingle
+        |GROUP BY 1, 2 HAVING count(*) >= 20
+        |ORDER BY train_doc, eval_doc""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val esh = shingles12(docs.filter(col("doc_id") % 97 === 0))
+        .withColumnRenamed("doc_id", "eval_doc")
+      val tsh = shingles12(
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .repartition(s.sparkContext.defaultParallelism))
+        .withColumnRenamed("doc_id", "train_doc")
+      tsh.join(broadcast(esh), Seq("shingle"))
+        .groupBy(col("train_doc"), col("eval_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 20)
+        .orderBy("train_doc", "eval_doc")
+    },
+
+    // ----- PII detection + redaction: stateless codegen'd regex pass -----
+    // Counts and redacts emails / phone numbers / IPs in one projection —
+    // no shuffle, no UDF; at 100 TB this is a pure map stage pipelined
+    // into the scan. The redacted fingerprint proves the replacement text
+    // itself matches the oracle, not just the counts.
+    "pii_redact" -> QueryDef.sql(
+      s"""WITH enriched AS (
+         |  SELECT doc_id, $EnrichedSql AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$Emailre')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$Phonere')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$Ipre')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$Emailre', '<EMAIL>', 'g'), '$Ipre', '<IP>', 'g'), '$Phonere', '<PHONE>', 'g')) AS redacted_fp
+         |FROM enriched ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("t", enrichedCol)
+        .select(
+          col("doc_id"),
+          regexp_count(col("t"), lit(Emailre)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(Phonere)).cast("long").as("n_phones"),
+          regexp_count(col("t"), lit(Ipre)).cast("long").as("n_ips"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            Emailre, "<EMAIL>"), Ipre, "<IP>"), Phonere, "<PHONE>").cast("binary")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ----- stratified sampling: per-language rates, hash-deterministic -----
+    // The corpus-mixing primitive (e.g. upsample low-resource languages):
+    // keep a document iff its LCG key mod 1000 falls under its stratum's
+    // permille rate. Stateless projection + filter — pushed to the scan,
+    // zero shuffle, reproducible across runs and engines (no RNG state).
+    "sample_stratified" -> QueryDef.sql(
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |WHERE $LcgSql % 1000 <
+         |  CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 500 WHEN 'es' THEN 800
+         |            WHEN 'fr' THEN 250 WHEN 'zh' THEN 1000 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .filter(expr(s"$LcgSql % 1000") <
+          when(col("lang") === "en", 150).when(col("lang") === "de", 500)
+            .when(col("lang") === "es", 800).when(col("lang") === "fr", 250)
+            .when(col("lang") === "zh", 1000).otherwise(0))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ----- sequence packing: concat-and-chunk into fixed token blocks -----
+    // The pretraining layout step: documents concatenated in doc_id order
+    // and sliced into 512-token training sequences; each document learns
+    // its starting sequence, offset within it, and how many sequences it
+    // spans. The running token offset is [[TextQueries.cumulativeTokens]]
+    // — the two-pass distributed prefix sum, NOT a global window (the
+    // plan-shape test pins corpus_curation's identical scaffold).
+    "pack_sequences" -> QueryDef.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
+        |  FROM toks)
+        |SELECT doc_id, n_tokens,
+        |  tok_start // 512 AS seq_id,
+        |  tok_start % 512 AS seq_offset,
+        |  ((tok_start + n_tokens - 1) // 512) - (tok_start // 512) + 1 AS n_seqs_spanned
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = documents(s, d).select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      TextQueries.cumulativeTokens(toks)
+        .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          expr("tok_start div 512").as("seq_id"),
+          (col("tok_start") % 512).as("seq_offset"),
+          (expr("(tok_start + n_tokens - 1) div 512") - expr("tok_start div 512") + 1)
+            .as("n_seqs_spanned"))
+        .orderBy("doc_id")
+    },
+
+    // ----- training-shard assignment + balance report -----
+    // Deterministic global shuffle into 16 shards (hash, not round-robin,
+    // so shard membership is stable under corpus appends) and the
+    // balance report a training run checks before launch. The write path
+    // this models is `repartition(shard).sortWithinPartitions(key)` —
+    // per-doc work is a stateless projection; only the 16-row report
+    // aggregates (map-side combined).
+    "shard_shuffle" -> QueryDef.sql(
+      s"""WITH assign AS (
+         |  SELECT doc_id, $LcgSql % 16 AS shard_id,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT shard_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM assign GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), expr(s"$LcgSql % 16").as("shard_id"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard_id")
+    },
+  )
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan-shape pins for the corpus-curation family. Value
+  * correctness is hash-checked by the DuckDB oracle gate; these tests
+  * pin the invariants and the 100 TB plan shapes the oracle can't see.
+  */
+class CurationSpec extends SparkFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) = CurationQueries.defs(name).build(spark, sfDir)
+
+  test("decontaminate_ngram broadcasts the eval side (train never shuffles for the join)") {
+    val plan = q("decontaminate_ngram").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$plan")
+  }
+
+  test("pack_sequences: offsets in range, token ranges contiguous, spans consistent") {
+    val rows = q("pack_sequences").collect()
+    assert(rows.nonEmpty)
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val seqId = r.getAs[Long]("seq_id")
+      val off = r.getAs[Long]("seq_offset")
+      val span = r.getAs[Long]("n_seqs_spanned")
+      assert(off >= 0 && off < 512)
+      assert(seqId * 512 + off == expectedStart,
+        s"doc ${r.getAs[Long]("doc_id")}: packing must be gapless")
+      assert(span == (off + n - 1) / 512 + 1)
+      expectedStart += n
+    }
+  }
+
+  test("pack_sequences uses the distributed prefix sum (no single-partition window)") {
+    val globalWindows = q("pack_sequences").queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "packing must not funnel the corpus through one task")
+  }
+
+  test("sample_stratified is deterministic and respects per-stratum rates") {
+    val a = q("sample_stratified").collect().map(_.getAs[Long]("doc_id")).toSeq
+    val b = q("sample_stratified").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(a == b, "sampling must be reproducible across runs")
+    // zh samples at 1000 permille: every zh doc survives
+    val zhAll = graft.util.Tables.documents(spark, sfDir)
+      .filter(col("lang") === "zh").count()
+    val zhKept = q("sample_stratified").filter(col("lang") === "zh").count()
+    assert(zhKept == zhAll)
+  }
+
+  test("sample_stratified and shard_shuffle plans contain no shuffle before the report agg") {
+    val samplePlan = q("sample_stratified").queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation sort
+    assert(!samplePlan.contains("hashpartitioning"),
+      s"sampling is stateless per-row work — no hash shuffle expected:\n$samplePlan")
+    val shardPlan = q("shard_shuffle").queryExecution.executedPlan.toString
+    assert(shardPlan.contains("HashAggregate"),
+      s"shard report must be a map-side-combinable aggregate:\n$shardPlan")
+  }
+
+  test("shard_shuffle covers all 16 shards and accounts for every document") {
+    val rows = q("shard_shuffle").collect()
+    assert(rows.map(_.getAs[Long]("shard_id")).toSet == (0L until 16L).toSet)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.util.Tables.documents(spark, sfDir).count())
+  }
+
+  test("pii_redact counts match the planted enrichment schedule") {
+    val rows = q("pii_redact").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") == (if (id % 5 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ips") == (if (id % 7 == 0) 1L else 0L))
+    }
+    // the redaction must actually remove what detection counted
+    val docs = graft.util.Tables.documents(spark, sfDir).count()
+    assert(rows.length == docs)
+  }
+}
