@@ -37,6 +37,10 @@ object Bench {
     // timed via dedup_minhash_lsh)
     operators.SignatureStore.ensureMinhashBands(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    // likewise the cluster-assignment artifact corpus_curation consumes
+    // (the fixpoint itself is timed live by dedup_clusters)
+    operators.SignatureStore.ensureClusters(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n))

@@ -87,4 +87,25 @@ object SignatureStore {
     if (!fs.exists(marker)) write(spark, sfDir, base)
     readMinhashBands(spark, base)
   }
+
+  def clustersDir(base: String) = s"$base/clusters"
+
+  /** Near-dup cluster assignments (doc_id, cluster_id) for `sfDir`,
+    * building on first use. The second amortization tier: the
+    * connected-components fixpoint over the LSH graph is iterative (the
+    * expensive part of the dedup family) and, like the signatures it is
+    * derived from, changes only when documents change — so curation /
+    * selection runs consume the persisted assignment table instead of
+    * re-running the fixpoint. `dedup_clusters` times the live compute;
+    * this store is what a production corpus pipeline reads. */
+  def ensureClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${clustersDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      TextQueries.clusterAssignments(spark, sfDir)
+        .write.mode("overwrite").parquet(clustersDir(base))
+    spark.read.parquet(clustersDir(base))
+  }
 }

@@ -295,6 +295,11 @@ object TextQueries {
     // [[cumulativeTokens]] (per-partition totals broadcast as offsets) —
     // NOT a global Window.orderBy, which would move the whole post-filter
     // table (per-document cardinality at 100 TB) through one task.
+    // Cluster assignments come from the persisted store
+    // ([[SignatureStore.ensureClusters]]): the CC fixpoint is computed
+    // once per corpus version (timed live by dedup_clusters), and every
+    // curation/selection run reads the artifact — the same amortization
+    // contract as dedup_minhash_lsh_stored, held to the same oracle.
     "corpus_curation" -> QueryDef.sql(
       s"""WITH $MinhashBandsCte,
          |cand AS (
@@ -320,7 +325,7 @@ object TextQueries {
          |SELECT doc_id, n_tokens, cum_tokens FROM budg
          |WHERE cum_tokens <= 20000
          |ORDER BY doc_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
-      val canonical = clusterAssignments(s, d)
+      val canonical = SignatureStore.ensureClusters(s, d)
         .filter(col("cluster_id") === col("doc_id")).select("doc_id")
       val toks = documents(s, d)
         .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"))
