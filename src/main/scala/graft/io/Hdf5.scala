@@ -6,8 +6,10 @@ package graft.io
   * Scope (reference semantics, `slc_datacube.py:118-219`):
   *   - superblocks v0 (h5py default) and v2/v3 (h5py `libver='latest'`);
   *   - object headers v1 and v2 ("OHDR", incl. continuation "OCHK"
-  *     blocks); groups via symbol tables (v1) or compact Link messages
-  *     (v2 — dense fractal-heap link storage ⇒ clear error);
+  *     blocks); groups via symbol tables (v1), compact Link messages, or
+  *     dense link storage (fractal heap "FRHP"/"FHDB"/"FHIB" + v2 B-tree
+  *     "BTHD"/"BTIN"/"BTLF" name index — what libhdf5 switches to above
+  *     its max-compact link threshold);
   *   - root-group dataset iteration (the SLC metadata read walks all
   *     keys), subgroups one level down (the `RPC` group);
   *   - datatypes: fixed-point, IEEE float, fixed strings, and
@@ -210,18 +212,141 @@ object Hdf5 {
             }
           }
         case None =>
-          // v2 group: Link Info (0x02) announces the storage form; links
-          // themselves are compact Link messages (0x06)
-          msgs.collectFirst { case (0x02, b) => b }.foreach { li =>
+          // v2 group: Link Info (0x02) announces the storage form — links
+          // are either compact Link messages (0x06) in the header, or
+          // dense: link messages stored in a fractal heap, indexed by a
+          // v2 B-tree of (name-hash, heap ID) records
+          val dense = msgs.collectFirst { case (0x02, b) => b }.flatMap { li =>
             var q = 2 // version(1) flags(1)
             if ((li(1) & 0x01) != 0) q += 8 // max creation index
-            require(u(li, q, 8) == Undef,
-              s"dense (fractal-heap) link storage at $ohdrAddr not supported")
+            val fheap = addr(li, q)
+            val nameIndex = addr(li, q + 8)
+            if (fheap == Undef) None else Some(denseLinks(fheap, nameIndex))
           }
-          val links = msgs.collect { case (0x06, b) => parseLink(b) }.flatten
+          val links = dense.getOrElse(
+            msgs.collect { case (0x06, b) => parseLink(b) }.flatten)
           require(links.nonEmpty || msgs.exists(m => m._1 == 0x02 || m._1 == 0x0a),
             s"object at $ohdrAddr is not a group")
           links.sortBy(_._1)
+      }
+    }
+
+    /** Minimum bytes needed to encode `v` (≥ 1). */
+    private def bytesFor(v: Long): Int =
+      math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+
+    /** Dense group links: every (name-hash, heap ID) record of the name
+      * index v2 B-tree is resolved through the fractal heap to a Link
+      * message. Supports the layout h5py/libhdf5 write for link storage:
+      * unfiltered managed objects, root direct block or one level of
+      * root indirect block with direct children, B-tree depth ≤ 1. */
+    private def denseLinks(fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+      // --- fractal heap header ("FRHP") ---
+      val h = read(fheapAddr, 146)
+      require(new String(h, 0, 4) == "FRHP", s"expected FRHP at $fheapAddr")
+      require(h(4) == 0, s"unsupported fractal heap version ${h(4)}")
+      val ioFilterLen = u(h, 7, 2).toInt
+      require(ioFilterLen == 0, "filtered fractal heap (link storage) not supported")
+      val maxManagedObjSize = u(h, 10, 4)
+      val managedSpace = u(h, 46, 8)
+      val tableWidth = u(h, 110, 2).toInt
+      val startBlockSize = u(h, 112, 8)
+      val maxDirectSize = u(h, 120, 8)
+      val maxHeapBits = u(h, 128, 2).toInt
+      val rootBlockAddr = addr(h, 132)
+      val rootRows = u(h, 140, 2).toInt
+      val offBytes = (maxHeapBits + 7) / 8
+      val lenBytes = bytesFor(math.min(maxDirectSize, maxManagedObjSize))
+
+      // --- direct-block map: (heapOffset, size, fileAddr) ---
+      def rowSize(r: Int): Long =
+        if (r < 2) startBlockSize else startBlockSize << (r - 1)
+      val dblockHdr = 4 + 1 + 8 + offBytes // sig ver heapHdrAddr blockOffset (no checksum: flags bit1 unset in h5py link heaps is NOT guaranteed — tolerated below by never reading past objects)
+      val blocks: Seq[(Long, Long, Long)] =
+        if (rootRows == 0) Seq((0L, managedSpace, rootBlockAddr))
+        else {
+          // root indirect block ("FHIB"): children listed row-major
+          val maxDirectRows =
+            (java.lang.Long.numberOfTrailingZeros(java.lang.Long.highestOneBit(maxDirectSize))
+              - java.lang.Long.numberOfTrailingZeros(java.lang.Long.highestOneBit(startBlockSize))) + 2
+          val head = read(rootBlockAddr, 4 + 1 + 8 + offBytes + rootRows * tableWidth * 8)
+          require(new String(head, 0, 4) == "FHIB", s"expected FHIB at $rootBlockAddr")
+          var p = 4 + 1 + 8 + offBytes
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var heapOff = 0L
+          var r = 0
+          while (r < rootRows) {
+            require(r < maxDirectRows,
+              s"indirect child blocks in fractal heap at $fheapAddr not supported")
+            var c = 0
+            while (c < tableWidth) {
+              val a = addr(head, p)
+              if (a != Undef) out += ((heapOff, rowSize(r), a))
+              heapOff += rowSize(r)
+              p += 8
+              c += 1
+            }
+            r += 1
+          }
+          out.toSeq
+        }
+
+      /** Object bytes for a managed heap ID: heap offsets address the
+        * heap's linear space (block headers included), so the file
+        * position is blockAddr + (offset − blockOffset). */
+      def heapObject(id: Array[Byte]): Array[Byte] = {
+        require((id(0) & 0x30) == 0, s"non-managed fractal heap ID (flags ${id(0)})")
+        val off = u(id, 1, offBytes)
+        val len = u(id, 1 + offBytes, lenBytes).toInt
+        val blk = blocks.find { case (bo, bs, _) => off >= bo && off < bo + bs }
+          .getOrElse(throw new IllegalArgumentException(
+            s"fractal heap offset $off outside any direct block"))
+        require(off - blk._1 >= dblockHdr, s"fractal heap object at $off overlaps block header")
+        read(blk._3 + (off - blk._1), len)
+      }
+
+      // --- name-index v2 B-tree ("BTHD"): collect all records ---
+      val bt = read(btreeAddr, 38)
+      require(new String(bt, 0, 4) == "BTHD", s"expected BTHD at $btreeAddr")
+      require(bt(5) == 5 || bt(5) == 6,
+        s"expected a link-index v2 B-tree, got type ${bt(5)}")
+      val nodeSize = u(bt, 6, 4).toInt
+      val recordSize = u(bt, 10, 2).toInt
+      val depth = u(bt, 12, 2).toInt
+      val rootAddr2 = addr(bt, 16)
+      val rootNRec = u(bt, 24, 2).toInt
+      require(depth <= 1, s"v2 B-tree depth $depth not supported for link index")
+      val maxLeafRec = (nodeSize - 10) / recordSize
+      val leafNRecBytes = bytesFor(maxLeafRec.toLong)
+
+      def leafRecords(a: Long, n: Int): Seq[Array[Byte]] = {
+        val node = read(a, 6 + n * recordSize)
+        require(new String(node, 0, 4) == "BTLF", s"expected BTLF at $a")
+        (0 until n).map(i =>
+          java.util.Arrays.copyOfRange(node, 6 + i * recordSize, 6 + (i + 1) * recordSize))
+      }
+      val records: Seq[Array[Byte]] =
+        if (rootAddr2 == Undef) Seq.empty
+        else if (depth == 0) leafRecords(rootAddr2, rootNRec)
+        else {
+          // internal node ("BTIN"): records 0..N-1 then child pointers
+          // 0..N. The internal records are REAL records (separators are
+          // not repeated in leaves), so they are part of the result.
+          val childPtr = 8 + leafNRecBytes // addr + nrec (no subtree totals at depth 1)
+          val node = read(rootAddr2, 6 + rootNRec * recordSize + (rootNRec + 1) * childPtr)
+          require(new String(node, 0, 4) == "BTIN", s"expected BTIN at $rootAddr2")
+          val own = (0 until rootNRec).map(i =>
+            java.util.Arrays.copyOfRange(node, 6 + i * recordSize, 6 + (i + 1) * recordSize))
+          val kids = (0 to rootNRec).map { i =>
+            val p = 6 + rootNRec * recordSize + i * childPtr
+            (u(node, p, 8), u(node, p + 8, leafNRecBytes).toInt)
+          }
+          own ++ kids.flatMap { case (a, n) => leafRecords(a, n) }
+        }
+
+      // record: name hash(4) + heap ID (opaque here) → link message
+      records.flatMap { r =>
+        parseLink(heapObject(java.util.Arrays.copyOfRange(r, 4, recordSize)))
       }
     }
 

@@ -758,6 +758,253 @@ object Fixtures {
     Files.write(Paths.get(path), buf.array())
   }
 
+  /** Bob Jenkins lookup3 (hashlittle, init 0) over a byte string — the
+    * hash libhdf5 keys dense-link name-index B-tree records by. The
+    * reader treats the hash as opaque; the writer computes the real one
+    * so record ORDER matches what libhdf5 would produce. */
+  def lookup3(data: Array[Byte]): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + data.length
+    var b = a
+    var c = a
+    var i = 0
+    var len = data.length
+    def word(off: Int, n: Int): Int = {
+      var v = 0
+      var j = 0
+      while (j < n && off + j < data.length) { v |= (data(off + j) & 0xff) << (8 * j); j += 1 }
+      v
+    }
+    while (len > 12) {
+      a += word(i, 4); b += word(i + 4, 4); c += word(i + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(i, math.min(4, len))
+      if (len > 4) b += word(i + 4, math.min(4, len - 4))
+      if (len > 8) c += word(i + 8, len - 8)
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
+  /** Write the libver='latest' DENSE-group layout: root group links live
+    * in a fractal heap (one root direct block) indexed by a v2 B-tree
+    * (single leaf, records sorted by lookup3 name hash) — the storage
+    * libhdf5 switches to when a group exceeds its max-compact link
+    * threshold (8 by default). Contiguous datasets, zero checksums. */
+  def writeH5V2Dense(path: String, datasets: Seq[(String, H5Data)],
+      indirectRoot: Boolean = false, btreeDepth: Int = 0): Unit = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    val Undef = -1L
+    val sorted = datasets.sortBy(_._1)
+
+    def dsOhdrSize(d: H5Data): Int = {
+      val rank = h5dims(d).size
+      10 + (4 + 4 + 8 * rank) + (4 + dtypeBody(d).length) + (4 + 18) + 4
+    }
+    def linkBody(name: String, a: Long): Array[Byte] = {
+      val nb = name.getBytes(StandardCharsets.UTF_8)
+      val b = java.nio.ByteBuffer.allocate(3 + nb.length + 8).order(bo)
+      b.put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb).putLong(a)
+      b.array()
+    }
+
+    var cursor = 48L
+    val dsAddrs = sorted.map { case (n, d) =>
+      val a = cursor; cursor += dsOhdrSize(d); (n, a)
+    }.toMap
+    val rootAddr = cursor
+    cursor += 10 + (4 + 18) + 4 // OHDR prefix + link-info message + checksum
+    val fheapAddr = cursor
+    cursor += 146
+    // heap geometry: 32-bit heap offsets, managed objects ≤ 4096 B,
+    // max direct block 64 KiB → heap ID = 1 + 4 + 2 = 7 bytes
+    val links = sorted.map { case (n, _) => linkBody(n, dsAddrs(n)) }
+    val dblockHdrSize = 4 + 1 + 8 + 4
+    val tableWidth = 4
+
+    // pack links into one or more direct blocks. indirectRoot forces the
+    // grown-heap shape: 512-byte blocks under a root indirect block
+    // (rows 0 and 1 share the starting size, so every block covers a
+    // 512-wide window of heap space); otherwise one root direct block.
+    val blockSize =
+      if (indirectRoot) 512L
+      else math.max(512L,
+        java.lang.Long.highestOneBit(dblockHdrSize + links.map(_.length).sum - 1) * 2)
+    // (blockIdx, offsetInBlock) per link, sequential fill
+    val placements = {
+      var blk = 0
+      var pos = dblockHdrSize
+      links.map { lb =>
+        if (pos + lb.length > blockSize) { blk += 1; pos = dblockHdrSize }
+        val p = (blk, pos); pos += lb.length; p
+      }
+    }
+    val nBlocks = placements.last._1 + 1
+    require(indirectRoot || nBlocks == 1, "root direct block overflow")
+    val rootRows = (nBlocks + tableWidth - 1) / tableWidth
+    val heapOffsets = placements.map { case (b, p) => b * blockSize + p }
+
+    val fhibAddr = cursor
+    val fhibSize = if (indirectRoot) 4 + 1 + 8 + 4 + rootRows * tableWidth * 8 + 4 else 0
+    cursor += fhibSize
+    val dblockAddrs = (0 until nBlocks).map { i => val a = cursor; cursor += blockSize; a }
+
+    // B-tree records (hash, heapOffset, objLen), ascending unsigned hash;
+    // btreeDepth 1 splits them into ≤40-record leaves under one BTIN root
+    // with separator records between adjacent leaves
+    val recsSorted = sorted.zip(heapOffsets).zip(links).map { case (((n, _), off), lb) =>
+      (lookup3(n.getBytes(StandardCharsets.UTF_8)), off, lb.length)
+    }.sortBy { case (h, _, _) => h.toLong & 0xFFFFFFFFL }
+    val (sepRecs, leafRecsList) =
+      if (btreeDepth == 0) (Seq.empty[(Int, Long, Int)], Seq(recsSorted))
+      else {
+        val leaves = Seq.newBuilder[Seq[(Int, Long, Int)]]
+        val seps = Seq.newBuilder[(Int, Long, Int)]
+        var rest = recsSorted
+        while (rest.nonEmpty) {
+          leaves += rest.take(40); rest = rest.drop(40)
+          if (rest.nonEmpty) { seps += rest.head; rest = rest.tail }
+        }
+        (seps.result(), leaves.result())
+      }
+    val bthdAddr = cursor
+    cursor += 38
+    val btinAddr = cursor
+    if (btreeDepth == 1)
+      cursor += 6 + sepRecs.size * 11 + leafRecsList.size * (8 + 1) + 4
+    val btlfAddrs = leafRecsList.map { lr =>
+      val a = cursor; cursor += 6 + lr.size * 11 + 4; a
+    }
+    cursor = pad8(cursor.toInt)
+    val dataAddrs = sorted.map { case (n, d) =>
+      val a = cursor; cursor += pad8(h5dataBytes(d).length); (n, a)
+    }.toMap
+    val eof = cursor
+
+    val buf = java.nio.ByteBuffer.allocate(eof.toInt).order(bo)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    buf.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    buf.putLong(0L).putLong(Undef).putLong(eof).putLong(rootAddr).putInt(0)
+
+    sorted.foreach { case (n, d) =>
+      assert(buf.position() == dsAddrs(n))
+      val rank = h5dims(d).size
+      val dtb = dtypeBody(d)
+      val msgs = (4 + 4 + 8 * rank) + (4 + dtb.length) + (4 + 18)
+      buf.put("OHDR".getBytes).put(2.toByte).put(0x02.toByte).putInt(msgs)
+      buf.put(0x01.toByte).putShort((4 + 8 * rank).toShort).put(0.toByte)
+      buf.put(2.toByte).put(rank.toByte).put(0.toByte)
+        .put((if (rank == 0) 0 else 1).toByte)
+      h5dims(d).foreach(x => buf.putLong(x.toLong))
+      buf.put(0x03.toByte).putShort(dtb.length.toShort).put(0.toByte)
+      buf.put(dtb)
+      buf.put(0x08.toByte).putShort(18).put(0.toByte)
+      buf.put(3.toByte).put(1.toByte)
+        .putLong(dataAddrs(n)).putLong(h5dataBytes(d).length.toLong)
+      buf.putInt(0)
+    }
+
+    // root group OHDR: link info only — fractal heap + name index, no
+    // compact link messages
+    assert(buf.position() == rootAddr)
+    buf.put("OHDR".getBytes).put(2.toByte).put(0x02.toByte).putInt(4 + 18)
+    buf.put(0x02.toByte).putShort(18).put(0.toByte)
+    buf.put(0.toByte).put(0.toByte).putLong(fheapAddr).putLong(bthdAddr)
+    buf.putInt(0)
+
+    // fractal heap header
+    val managed = nBlocks * blockSize
+    assert(buf.position() == fheapAddr)
+    buf.put("FRHP".getBytes).put(0.toByte)
+    buf.putShort(7).putShort(0).put(0.toByte)
+    buf.putInt(4096)                                   // max managed object size
+    buf.putLong(0L).putLong(Undef)                     // huge: next id, B-tree
+    buf.putLong(0L).putLong(Undef)                     // free space, fs manager
+    buf.putLong(managed).putLong(managed)              // managed, allocated
+    buf.putLong(managed)                               // direct block iterator
+    buf.putLong(sorted.size.toLong)                    // managed object count
+    buf.putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny size+count
+    buf.putShort(tableWidth.toShort)
+    buf.putLong(blockSize).putLong(65536L)             // start/max direct size
+    buf.putShort(32)                                   // max heap size (bits)
+    if (indirectRoot) buf.putShort(rootRows.toShort).putLong(fhibAddr).putShort(rootRows.toShort)
+    else buf.putShort(0).putLong(dblockAddrs.head).putShort(0)
+    buf.putInt(0)
+
+    if (indirectRoot) {
+      assert(buf.position() == fhibAddr)
+      buf.put("FHIB".getBytes).put(0.toByte).putLong(fheapAddr).putInt(0)
+      (0 until rootRows * tableWidth).foreach { i =>
+        buf.putLong(if (i < nBlocks) dblockAddrs(i) else Undef)
+      }
+      buf.putInt(0)
+    }
+
+    // direct blocks: header + link messages back-to-back; heap offsets
+    // address the linear heap space including block headers
+    dblockAddrs.zipWithIndex.foreach { case (a, bi) =>
+      assert(buf.position() == a)
+      buf.put("FHDB".getBytes).put(0.toByte).putLong(fheapAddr)
+        .putInt((bi * blockSize).toInt)
+      links.zip(placements).foreach { case (lb, (blk, pos)) =>
+        if (blk == bi) { buf.position((a + pos).toInt); buf.put(lb) }
+      }
+      buf.position((a + blockSize).toInt)
+    }
+
+    // v2 B-tree: header, optional BTIN root (records then child
+    // pointers), leaves of (hash, heap ID) records — ascending
+    // unsigned-hash order throughout
+    def putRec(r: (Int, Long, Int)): Unit = {
+      buf.putInt(r._1)
+      buf.put(0.toByte).putInt(r._2.toInt).putShort(r._3.toShort)
+    }
+    assert(buf.position() == bthdAddr)
+    buf.put("BTHD".getBytes).put(0.toByte).put(5.toByte)
+    buf.putInt(512).putShort(11).putShort(btreeDepth.toShort)
+    buf.put(100.toByte).put(40.toByte)
+    buf.putLong(if (btreeDepth == 1) btinAddr else btlfAddrs.head)
+    buf.putShort((if (btreeDepth == 1) sepRecs.size else recsSorted.size).toShort)
+    buf.putLong(recsSorted.size.toLong)
+    buf.putInt(0)
+    assert(buf.position() == bthdAddr + 38)
+    if (btreeDepth == 1) {
+      buf.put("BTIN".getBytes).put(0.toByte).put(5.toByte)
+      sepRecs.foreach(putRec)
+      leafRecsList.zip(btlfAddrs).foreach { case (lr, a) =>
+        buf.putLong(a).put(lr.size.toByte)
+      }
+      buf.putInt(0)
+    }
+    leafRecsList.zip(btlfAddrs).foreach { case (lr, a) =>
+      assert(buf.position() == a)
+      buf.put("BTLF".getBytes).put(0.toByte).put(5.toByte)
+      lr.foreach(putRec)
+      buf.putInt(0)
+    }
+
+    sorted.foreach { case (n, d) =>
+      buf.position(dataAddrs(n).toInt)
+      buf.put(h5dataBytes(d))
+    }
+    buf.position(eof.toInt)
+    Files.write(Paths.get(path), buf.array())
+  }
+
   /** Write a directory of 3 real binary SLC HDF5 files (s_i/s_q float32
     * + metadata datasets, no sidecars). */
   def writeH5Stack(dir: String): String = {

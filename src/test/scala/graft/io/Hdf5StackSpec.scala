@@ -74,6 +74,48 @@ class Hdf5StackSpec extends SparkFunSuite {
     assert(f.readDoubles(f.dataset("LAT_OFF", rpc("LAT_OFF")))(0) == 4.25)
   }
 
+  test("Hdf5 reader parses dense link storage (fractal heap + v2 B-tree name index)") {
+    // 40 links — far past libhdf5's max-compact threshold (8), and
+    // enough that the B-tree leaf's hash-ordered records differ wildly
+    // from name order
+    val dir = tmpDir("h5dense")
+    val path = s"$dir/dense.h5"
+    val dsets: Seq[(String, Fixtures.H5Data)] =
+      (0 until 38).map(i => f"v$i%02d" -> (Fixtures.H5F64(Seq.empty, Array(i * 1.5)): Fixtures.H5Data)) ++
+        Seq(
+          "name_str" -> Fixtures.H5Str("dense-group"),
+          "arr" -> Fixtures.H5F64(Seq(5), Array.tabulate(5)(_ + 0.125)))
+    Fixtures.writeH5V2Dense(path, dsets)
+    val f = Hdf5.fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val entries = f.rootEntries
+    assert(entries.map(_._1) == dsets.map(_._1).sorted,
+      "dense links must resolve completely and sort by name")
+    val byName = entries.toMap
+    (0 until 38).foreach { i =>
+      assert(f.readDoubles(f.dataset(f"v$i%02d", byName(f"v$i%02d")))(0) == i * 1.5)
+    }
+    assert(f.readString(f.dataset("name_str", byName("name_str"))) == "dense-group")
+    assert(f.readDoubles(f.dataset("arr", byName("arr"))).toSeq ==
+      (0 until 5).map(_ + 0.125))
+  }
+
+  test("Hdf5 dense links: grown heap (FHIB root indirect) + depth-1 B-tree (BTIN) resolve") {
+    // enough links to span several 512-byte direct blocks under FHIB and
+    // to need three B-tree leaves under an internal root node
+    val dir = tmpDir("h5denseind")
+    val path = s"$dir/dense_indirect.h5"
+    val dsets: Seq[(String, Fixtures.H5Data)] =
+      (0 until 120).map(i =>
+        f"var$i%03d" -> (Fixtures.H5F64(Seq.empty, Array(i * 0.25)): Fixtures.H5Data))
+    Fixtures.writeH5V2Dense(path, dsets, indirectRoot = true, btreeDepth = 1)
+    val f = Hdf5.fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val byName = f.rootEntries.toMap
+    assert(byName.size == 120)
+    (0 until 120).foreach { i =>
+      assert(f.readDoubles(f.dataset(f"var$i%03d", byName(f"var$i%03d")))(0) == i * 0.25)
+    }
+  }
+
   test("SLC HDF5 stack e2e: dims, order 1,0,2, complex pixel-exact, header dtype (S4)") {
     val cube = Cube.fromDirectory(spark, h5Dir, CubeConfig())
     assert(cube.dimensions == Map("Band" -> 3L, "Azimuth" -> 20L, "Range" -> 20L))
