@@ -240,7 +240,27 @@ object Hdf5 {
       * message. Supports the layout h5py/libhdf5 write for link storage:
       * unfiltered managed objects, root direct block or one level of
       * root indirect block with direct children, B-tree depth ≤ 1. */
-    private def denseLinks(fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    private def denseLinks(fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] =
+      // type-5 record: name hash(4) + heap ID
+      denseObjects(fheapAddr, btreeAddr, Set(5, 6), idOffset = 4)
+        .flatMap(parseLink)
+
+    /** Dense attributes (Attribute Info message 0x15): attribute
+      * messages in a fractal heap, indexed by a type-8 v2 B-tree —
+      * libhdf5's storage once an object exceeds its max-compact
+      * attribute threshold (netCDF variables with rich per-layer
+      * metadata hit this). */
+    private def denseAttrs(fheapAddr: Long, btreeAddr: Long): Seq[(String, AttrValue)] =
+      // type-8 record: heap ID(8) + message flags(1) + creation order(4) + hash(4)
+      denseObjects(fheapAddr, btreeAddr, Set(8, 9), idOffset = 0)
+        .flatMap(parseAttr)
+
+    /** All v2 B-tree records resolved to their fractal-heap objects.
+      * `idOffset` locates the heap ID inside each record (record layouts
+      * differ per B-tree type; the ID's own size comes from the heap
+      * header, so trailing record fields are ignored). */
+    private def denseObjects(fheapAddr: Long, btreeAddr: Long,
+        btreeTypes: Set[Int], idOffset: Int): Seq[Array[Byte]] = {
       // --- fractal heap header ("FRHP") ---
       val h = read(fheapAddr, 146)
       require(new String(h, 0, 4) == "FRHP", s"expected FRHP at $fheapAddr")
@@ -308,8 +328,8 @@ object Hdf5 {
       // --- name-index v2 B-tree ("BTHD"): collect all records ---
       val bt = read(btreeAddr, 38)
       require(new String(bt, 0, 4) == "BTHD", s"expected BTHD at $btreeAddr")
-      require(bt(5) == 5 || bt(5) == 6,
-        s"expected a link-index v2 B-tree, got type ${bt(5)}")
+      require(btreeTypes.contains(bt(5).toInt),
+        s"expected a v2 B-tree of type ${btreeTypes.mkString("/")}, got ${bt(5)}")
       val nodeSize = u(bt, 6, 4).toInt
       val recordSize = u(bt, 10, 2).toInt
       val depth = u(bt, 12, 2).toInt
@@ -344,10 +364,8 @@ object Hdf5 {
           own ++ kids.flatMap { case (a, n) => leafRecords(a, n) }
         }
 
-      // record: name hash(4) + heap ID (opaque here) → link message
-      records.flatMap { r =>
-        parseLink(heapObject(java.util.Arrays.copyOfRange(r, 4, recordSize)))
-      }
+      records.map(r =>
+        heapObject(java.util.Arrays.copyOfRange(r, idOffset, recordSize)))
     }
 
     /** Link message (0x06) → (name, object header address) for hard
@@ -462,8 +480,20 @@ object Hdf5 {
       * (object references, compounds) are skipped — netCDF4 files carry
       * DIMENSION_LIST / REFERENCE_LIST attrs of exactly that kind next to
       * the CLASS / units / metadata strings this reader is after. */
-    def attributes(ohdrAddr: Long): Seq[(String, AttrValue)] =
-      messages(ohdrAddr).collect { case (0x0c, b) => parseAttr(b) }.flatten
+    def attributes(ohdrAddr: Long): Seq[(String, AttrValue)] = {
+      val msgs = messages(ohdrAddr)
+      val compact = msgs.collect { case (0x0c, b) => parseAttr(b) }.flatten
+      // Attribute Info (0x15): dense storage in a fractal heap when the
+      // object outgrew compact attribute messages
+      val dense = msgs.collectFirst { case (0x15, b) => b }.toSeq.flatMap { ai =>
+        var q = 2 // version(1) flags(1)
+        if ((ai(1) & 0x01) != 0) q += 2 // max creation index (u16)
+        val fheap = addr(ai, q)
+        val nameIndex = addr(ai, q + 8)
+        if (fheap == Undef) Seq.empty else denseAttrs(fheap, nameIndex)
+      }
+      compact ++ dense
+    }
 
     private def pad8(n: Int): Int = (n + 7) / 8 * 8
 

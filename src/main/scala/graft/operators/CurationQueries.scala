@@ -90,11 +90,18 @@ object CurationQueries {
       val docs = documents(s, d)
       val esh = shingles12(docs.filter(col("doc_id") % 97 === 0))
         .withColumnRenamed("doc_id", "eval_doc")
-      val tsh = shingles12(
-        docs.filter(col("doc_id") % 97 =!= 0)
-          .repartition(s.sparkContext.defaultParallelism))
-        .withColumnRenamed("doc_id", "train_doc")
+      // train shingles hit the broadcast join RAW (dup shingles within a
+      // doc included): the map-side join filters to eval matches first,
+      // so the distinct that guards against double-counting shuffles only
+      // the matched sliver — never the full exploded train corpus
+      val tsh = docs.filter(col("doc_id") % 97 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("train_doc"),
+          explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"),
+          col("text"))
+        .select(col("train_doc"), expr("substring(text, i, 12)").as("shingle"))
       tsh.join(broadcast(esh), Seq("shingle"))
+        .select("train_doc", "eval_doc", "shingle").distinct()
         .groupBy(col("train_doc"), col("eval_doc"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 20)

@@ -806,10 +806,14 @@ object Fixtures {
     * libhdf5 switches to when a group exceeds its max-compact link
     * threshold (8 by default). Contiguous datasets, zero checksums. */
   def writeH5V2Dense(path: String, datasets: Seq[(String, H5Data)],
-      indirectRoot: Boolean = false, btreeDepth: Int = 0): Unit = {
+      indirectRoot: Boolean = false, btreeDepth: Int = 0,
+      denseRootAttrs: Seq[(String, H5Data)] = Nil): Unit = {
     val bo = java.nio.ByteOrder.LITTLE_ENDIAN
     val Undef = -1L
     val sorted = datasets.sortBy(_._1)
+    // dense ATTRIBUTE storage (Attribute Info message): v1 attr message
+    // bodies in their own fractal heap, indexed by a type-8 v2 B-tree
+    val attrObjs = denseRootAttrs.sortBy(_._1).map { case (n, d) => (n, attrMsg(n, d)) }
 
     def dsOhdrSize(d: H5Data): Int = {
       val rank = h5dims(d).size
@@ -827,7 +831,8 @@ object Fixtures {
       val a = cursor; cursor += dsOhdrSize(d); (n, a)
     }.toMap
     val rootAddr = cursor
-    cursor += 10 + (4 + 18) + 4 // OHDR prefix + link-info message + checksum
+    // OHDR prefix + link-info (+ attr-info) message(s) + checksum
+    cursor += 10 + (4 + 18) + (if (attrObjs.nonEmpty) 4 + 18 else 0) + 4
     val fheapAddr = cursor
     cursor += 146
     // heap geometry: 32-bit heap offsets, managed objects ≤ 4096 B,
@@ -889,6 +894,18 @@ object Fixtures {
     val btlfAddrs = leafRecsList.map { lr =>
       val a = cursor; cursor += 6 + lr.size * 11 + 4; a
     }
+    // attribute heap (single direct block) + type-8 B-tree (single leaf)
+    val aDblockHdr = 4 + 1 + 8 + 4
+    val aBlockSize = math.max(512L, java.lang.Long.highestOneBit(
+      math.max(1, aDblockHdr + attrObjs.map(_._2.length).sum - 1)) * 2)
+    val aFheapAddr = cursor
+    if (attrObjs.nonEmpty) cursor += 146
+    val aDblockAddr = cursor
+    if (attrObjs.nonEmpty) cursor += aBlockSize
+    val aBthdAddr = cursor
+    if (attrObjs.nonEmpty) cursor += 38
+    val aBtlfAddr = cursor
+    if (attrObjs.nonEmpty) cursor += 6 + attrObjs.size * 17 + 4
     cursor = pad8(cursor.toInt)
     val dataAddrs = sorted.map { case (n, d) =>
       val a = cursor; cursor += pad8(h5dataBytes(d).length); (n, a)
@@ -918,12 +935,17 @@ object Fixtures {
       buf.putInt(0)
     }
 
-    // root group OHDR: link info only — fractal heap + name index, no
-    // compact link messages
+    // root group OHDR: link info (+ attr info) — fractal heaps + name
+    // indexes, no compact link/attribute messages
     assert(buf.position() == rootAddr)
-    buf.put("OHDR".getBytes).put(2.toByte).put(0x02.toByte).putInt(4 + 18)
+    buf.put("OHDR".getBytes).put(2.toByte).put(0x02.toByte)
+      .putInt(4 + 18 + (if (attrObjs.nonEmpty) 4 + 18 else 0))
     buf.put(0x02.toByte).putShort(18).put(0.toByte)
     buf.put(0.toByte).put(0.toByte).putLong(fheapAddr).putLong(bthdAddr)
+    if (attrObjs.nonEmpty) {
+      buf.put(0x15.toByte).putShort(18).put(0.toByte)
+      buf.put(0.toByte).put(0.toByte).putLong(aFheapAddr).putLong(aBthdAddr)
+    }
     buf.putInt(0)
 
     // fractal heap header
@@ -994,6 +1016,51 @@ object Fixtures {
       assert(buf.position() == a)
       buf.put("BTLF".getBytes).put(0.toByte).put(5.toByte)
       lr.foreach(putRec)
+      buf.putInt(0)
+    }
+
+    if (attrObjs.nonEmpty) {
+      // attribute fractal heap: header + one direct block
+      assert(buf.position() == aFheapAddr)
+      buf.put("FRHP".getBytes).put(0.toByte)
+      buf.putShort(7).putShort(0).put(0.toByte)
+      buf.putInt(4096)
+      buf.putLong(0L).putLong(Undef)
+      buf.putLong(0L).putLong(Undef)
+      buf.putLong(aBlockSize).putLong(aBlockSize).putLong(aBlockSize)
+      buf.putLong(attrObjs.size.toLong)
+      buf.putLong(0L).putLong(0L).putLong(0L).putLong(0L)
+      buf.putShort(4)
+      buf.putLong(aBlockSize).putLong(65536L)
+      buf.putShort(32)
+      buf.putShort(0).putLong(aDblockAddr).putShort(0)
+      buf.putInt(0)
+      assert(buf.position() == aDblockAddr)
+      buf.put("FHDB".getBytes).put(0.toByte).putLong(aFheapAddr).putInt(0)
+      val aOffsets = attrObjs.map { case (_, body) =>
+        val off = buf.position() - aDblockAddr
+        buf.put(body)
+        off
+      }
+      buf.position((aDblockAddr + aBlockSize).toInt)
+      // type-8 B-tree: heap ID(8 = 7-byte ID + pad) + flags(1) +
+      // creation order(4) + name hash(4), ascending unsigned hash
+      assert(buf.position() == aBthdAddr)
+      buf.put("BTHD".getBytes).put(0.toByte).put(8.toByte)
+      buf.putInt(512).putShort(17).putShort(0)
+      buf.put(100.toByte).put(40.toByte)
+      buf.putLong(aBtlfAddr).putShort(attrObjs.size.toShort)
+      buf.putLong(attrObjs.size.toLong)
+      buf.putInt(0)
+      assert(buf.position() == aBtlfAddr)
+      buf.put("BTLF".getBytes).put(0.toByte).put(8.toByte)
+      attrObjs.zip(aOffsets).zipWithIndex.map { case (((n, body), off), i) =>
+        (lookup3(n.getBytes(StandardCharsets.UTF_8)), off, body.length, i)
+      }.sortBy { case (h, _, _, _) => h.toLong & 0xFFFFFFFFL }
+        .foreach { case (h, off, len, order) =>
+          buf.put(0.toByte).putInt(off.toInt).putShort(len.toShort).put(0.toByte)
+          buf.put(0.toByte).putInt(order).putInt(h)
+        }
       buf.putInt(0)
     }
 

@@ -116,6 +116,29 @@ class Hdf5StackSpec extends SparkFunSuite {
     }
   }
 
+  test("Hdf5 dense ATTRIBUTE storage (Attribute Info + type-8 B-tree) resolves") {
+    // 12 attrs — past libhdf5's max-compact attribute threshold (8); the
+    // shape a netCDF variable with rich per-layer metadata produces
+    val dir = tmpDir("h5denseattr")
+    val path = s"$dir/dense_attrs.h5"
+    val attrs: Seq[(String, Fixtures.H5Data)] =
+      (0 until 10).map(i => f"meta$i%02d" -> (Fixtures.H5Str(s"value-$i"): Fixtures.H5Data)) ++
+        Seq(
+          "scale" -> Fixtures.H5F64(Seq.empty, Array(2.5)),
+          "counts" -> Fixtures.H5F64(Seq(3), Array(1.0, 2.0, 3.0)))
+    Fixtures.writeH5V2Dense(path,
+      Seq("x" -> Fixtures.H5F64(Seq.empty, Array(1.0))),
+      denseRootAttrs = attrs)
+    val f = Hdf5.fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val got = f.rootAttributes.toMap
+    assert(got.keySet == attrs.map(_._1).toSet)
+    (0 until 10).foreach { i =>
+      assert(got(f"meta$i%02d") == Hdf5.AttrStr(Seq(s"value-$i")))
+    }
+    assert(got("scale") == Hdf5.AttrNum(Seq(2.5)))
+    assert(got("counts") == Hdf5.AttrNum(Seq(1.0, 2.0, 3.0)))
+  }
+
   test("SLC HDF5 stack e2e: dims, order 1,0,2, complex pixel-exact, header dtype (S4)") {
     val cube = Cube.fromDirectory(spark, h5Dir, CubeConfig())
     assert(cube.dimensions == Map("Band" -> 3L, "Azimuth" -> 20L, "Range" -> 20L))

@@ -47,6 +47,22 @@ class NetcdfSpec extends SparkFunSuite {
     path
   }
 
+  test("CF time units: zone designators and offsets fold into the UTC epoch") {
+    val (base, perDay) = Netcdf.cfUnits("days since 2021-04-27 00:00:00")
+    assert(perDay == 86400e6)
+    // UTC/GMT/Z suffixes are identities
+    assert(Netcdf.cfUnits("days since 2021-04-27 00:00:00 UTC")._1 == base)
+    assert(Netcdf.cfUnits("days since 2021-04-27T00:00:00Z")._1 == base)
+    assert(Netcdf.cfUnits("seconds since 2021-04-27 00:00:00 GMT")._1 == base)
+    // a +02:00 producer offset shifts the epoch two hours EARLIER in UTC
+    assert(Netcdf.cfUnits("hours since 2021-04-27 00:00:00 +02:00")._1 ==
+      base - 2L * 3600 * 1000000)
+    assert(Netcdf.cfUnits("hours since 2021-04-27 00:00:00 -0330")._1 ==
+      base + (3L * 3600 + 30 * 60) * 1000000)
+    // date-only base (CDO style)
+    assert(Netcdf.cfUnits("days since 2021-04-27")._1 == base)
+  }
+
   test("netCDF cube load: dims, CF band times, cube attrs") {
     val cube = Cube.fromNetcdf(spark, ncPath)
     assert(cube.dimensions == Map("Band" -> 3L, "Azimuth" -> az.toLong, "Range" -> rg.toLong))
