@@ -370,5 +370,86 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("user_bucket", "hour_bucket")
     },
+
+    // ----- J5: as-of join (time-series lookup Spark lacks natively) -----
+    // Each purchase is matched to the latest error at-or-before it for
+    // the same user. NOT a per-row probe or inequality join: both sides
+    // union into one stream, and a running last_value(... IGNORE NULLS)
+    // per user carries the most recent error forward — ONE shuffle on
+    // user_id, linear work, the scalable as-of shape. Ties are broken
+    // deterministically (error rows sort before purchases at equal time,
+    // then by event_id), so the oracle — the identical window logic in
+    // DuckDB — reproduces it bit-for-bit. Time math is in MICROseconds
+    // (`ts_ns div 1000` ⇄ epoch_us): raw epoch_ns differs between DuckDB
+    // ns-truncating and native-ns parquet reads, while µs is exact and
+    // identical under both (same reason o4 documents, opposite choice —
+    // here the raw gap is an output column, so it must be bit-stable).
+    "j5_asof_join" -> QueryDef.sql(
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, 0 AS kind,
+        |         event_id AS err_id, epoch_us(ts) AS err_us
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id, 1, NULL, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, us, event_id, kind,
+        |    last_value(err_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY us, kind, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_id,
+        |    last_value(err_us IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY us, kind, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_us
+        |  FROM u)
+        |SELECT event_id, user_id, last_err_id, us - last_err_us AS gap_us
+        |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"), lit(0).as("kind"),
+          col("event_id").as("err_id"), expr("ts_ns div 1000").as("err_us"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"), lit(1).as("kind"),
+          lit(null).cast("long").as("err_id"), lit(null).cast("long").as("err_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      err.unionByName(pur)
+        .withColumn("last_err_id", last(col("err_id"), ignoreNulls = true).over(w))
+        .withColumn("last_err_us", last(col("err_us"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("last_err_id"),
+          (col("us") - col("last_err_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
+    // ----- J6: range (interval) join via time-bucket equi-join -----
+    // All errors within 6 h before each purchase, same user. A naive
+    // inequality join is a per-user cross product; instead both sides
+    // take a 6 h time bucket and the purchase side probes its own and
+    // the previous bucket — the join becomes an EQUI-join on
+    // (user_id, bucket) with an exact range post-filter. Each (purchase,
+    // error) pair can meet in at most one bucket (an error has exactly
+    // one), so no dedup is needed. This is the standard band-join
+    // rewrite that keeps Spark on a hash/sort-merge join at 100 TB.
+    "j6_range_join" -> QueryDef.sql(
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+        |  epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+        |FROM events p JOIN events e
+        |  ON e.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 21600000000 AND epoch_us(p.ts)
+        |ORDER BY purchase_id, error_id""".stripMargin) { (s, d) =>
+      val B = 21600000000L // 6 h in µs
+      val e = events(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), expr("ts_ns div 1000").as("ens"))
+        .withColumn("bkt", expr(s"ens div ${B}L"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), expr("ts_ns div 1000").as("pns"))
+        .withColumn("bkt", explode(array(expr(s"pns div ${B}L"), expr(s"pns div ${B}L - 1"))))
+      pur.join(err, Seq("user_id", "bkt"))
+        .filter(col("ens") >= col("pns") - B && col("ens") <= col("pns"))
+        .select(col("purchase_id"), col("error_id"), (col("pns") - col("ens")).as("gap_us"))
+        .orderBy("purchase_id", "error_id")
+    },
   )
 }

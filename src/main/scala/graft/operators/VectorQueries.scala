@@ -259,6 +259,53 @@ object VectorQueries {
           .orderBy("vec_a", "vec_b")
       }
     },
+
+    // ----- one Lloyd iteration: recompute IVF centroids at scale -----
+    // The training step behind the IVF index: assign every vector to its
+    // nearest centroid (the same broadcast + max_by aggregate shape as
+    // ann_ivf — map-side combinable, no window over the amplified
+    // corpus), then the new centroid is the per-dimension mean of its
+    // members. The mean runs as posexplode → groupBy (cent, dim) — 64×
+    // row amplification but partial-aggregated before the shuffle, which
+    // carries only 16×64 result rows. Sums go through DECIMAL so
+    // partition order can't wiggle the double accumulation; both engines
+    // then divide and round identically.
+    "kmeans_iterate" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |ex AS (
+        |  SELECT a.cent_id, p.pos, e.v[p.pos] AS x
+        |  FROM assign a JOIN e ON e.vec_id = a.vec_id
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p)
+        |SELECT cent_id, CAST(pos AS INT) AS pos,
+        |  round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mu,
+        |  count(*) AS n_assigned
+        |FROM ex GROUP BY cent_id, pos
+        |ORDER BY cent_id, pos""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val assign = e.crossJoin(broadcast(centroids))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"),
+          struct(score("embedding", "cv"), -col("cent_id"))).as("cent_id"))
+      e.join(assign, Seq("vec_id"))
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("cent_id"), col("pos0"))
+        .agg(
+          round(sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6).as("mu"),
+          count(lit(1)).as("n_assigned"))
+        .select(col("cent_id"), (col("pos0") + 1).cast("int").as("pos"),
+          col("mu"), col("n_assigned"))
+        .orderBy("cent_id", "pos")
+    },
   )
 }
 

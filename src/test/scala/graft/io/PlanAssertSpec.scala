@@ -85,6 +85,47 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(hasAgg.nonEmpty, s"expected max_by hash aggregate on vec_id:\n$plan")
   }
 
+  test("j5 as-of join is one partitioned window pass — no per-row probe join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("j5_asof_join").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"as-of must be a user-partitioned window, got:\n$plan")
+    val planStr = plan.toString
+    assert(!planStr.contains("BroadcastNestedLoopJoin") && !planStr.contains("CartesianProduct"),
+      s"as-of must not degenerate to a nested-loop join:\n$planStr")
+  }
+
+  test("j6 range join runs as an equi-join on (user, bucket), never a nested loop") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("j6_range_join").build(spark, sfDir)
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(!planStr.contains("BroadcastNestedLoopJoin") && !planStr.contains("CartesianProduct"),
+      s"band join must stay an equi-join:\n$planStr")
+    assert(planStr.contains("Join") && planStr.contains("bkt"),
+      s"expected the bucket equi-join:\n$planStr")
+  }
+
+  test("kmeans_iterate: assignment and mean are hash aggregates (no corpus-wide window)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.VectorQueries.defs("kmeans_iterate").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"global window in kmeans plan:\n$plan")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.exists(_.groupingExpressions.exists(_.name == "vec_id")),
+      s"expected max_by assignment aggregate:\n$plan")
+    assert(aggs.exists(_.groupingExpressions.exists(_.name == "pos0")),
+      s"expected per-dimension mean aggregate:\n$plan")
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
