@@ -405,19 +405,13 @@ object RelationalQueries {
         |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
       val e = events(s, d)
       val err = e.filter(col("event_type") === "error")
-        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"), lit(0).as("kind"),
-          col("event_id").as("err_id"), expr("ts_ns div 1000").as("err_us"))
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"))
       val pur = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"), lit(1).as("kind"),
-          lit(null).cast("long").as("err_id"), lit(null).cast("long").as("err_us"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      err.unionByName(pur)
-        .withColumn("last_err_id", last(col("err_id"), ignoreNulls = true).over(w))
-        .withColumn("last_err_us", last(col("err_us"), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
-        .select(col("event_id"), col("user_id"), col("last_err_id"),
-          (col("us") - col("last_err_us")).as("gap_us"))
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"))
+      TimeSeriesJoins.asofJoin(pur, err, "user_id", "us", "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("right_event_id").as("last_err_id"),
+          (col("us") - col("right_us")).as("gap_us"))
         .orderBy("event_id")
     },
 
@@ -441,14 +435,13 @@ object RelationalQueries {
       val B = 21600000000L // 6 h in µs
       val e = events(s, d)
       val err = e.filter(col("event_type") === "error")
-        .select(col("user_id"), col("event_id").as("error_id"), expr("ts_ns div 1000").as("ens"))
-        .withColumn("bkt", expr(s"ens div ${B}L"))
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"))
       val pur = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"), expr("ts_ns div 1000").as("pns"))
-        .withColumn("bkt", explode(array(expr(s"pns div ${B}L"), expr(s"pns div ${B}L - 1"))))
-      pur.join(err, Seq("user_id", "bkt"))
-        .filter(col("ens") >= col("pns") - B && col("ens") <= col("pns"))
-        .select(col("purchase_id"), col("error_id"), (col("pns") - col("ens")).as("gap_us"))
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"))
+      TimeSeriesJoins.rangeJoin(pur, err, "user_id", "us", B)
+        .select(col("event_id").as("purchase_id"),
+          col("right_event_id").as("error_id"),
+          (col("us") - col("right_us")).as("gap_us"))
         .orderBy("purchase_id", "error_id")
     },
   )
