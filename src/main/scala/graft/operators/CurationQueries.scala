@@ -32,16 +32,46 @@ object CurationQueries {
 
   /** Distinct 12-char shingles per document (the decontamination unit —
     * the same 12-gram granularity the jaccard verifier uses). */
-  private def shingles12(df: org.apache.spark.sql.DataFrame) =
+  def shingles12(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.select(col("doc_id"),
       explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"),
       col("text"))
       .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
       .distinct()
 
-  private val Emailre = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-  private val Phonere = "555-[0-9]{4}"
-  private val Ipre    = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  /** (train_doc, eval_doc, n_shared) pairs with ≥ `minShared` distinct
+    * shared 12-grams. Eval sets are tiny relative to a training corpus,
+    * so the eval shingles BROADCAST; raw train shingles stream through
+    * the map-side join FIRST, and the duplicate-guarding distinct
+    * shuffles only the matched sliver — never the exploded corpus.
+    * Shared by the batch query and the streaming ingest gate. */
+  def decontaminate(train: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame, minShared: Long): org.apache.spark.sql.DataFrame = {
+    val esh = shingles12(evalDocs).withColumnRenamed("doc_id", "eval_doc")
+    val tsh = train
+      .select(col("doc_id").as("train_doc"),
+        explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"),
+        col("text"))
+      .select(col("train_doc"), expr("substring(text, i, 12)").as("shingle"))
+    tsh.join(broadcast(esh), Seq("shingle"))
+      .select("train_doc", "eval_doc", "shingle").distinct()
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhoneRe = "555-[0-9]{4}"
+  val IpRe    = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Codegen'd PII redaction — emails, then IPs, then phone numbers. */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+
+  private val Emailre = EmailRe
+  private val Phonere = PhoneRe
+  private val Ipre    = IpRe
 
   /** PII-bearing text, derived deterministically from doc_id on BOTH
     * engines (the synthetic corpus carries no natural PII, so the
@@ -88,23 +118,11 @@ object CurationQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 20
         |ORDER BY train_doc, eval_doc""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
-      val esh = shingles12(docs.filter(col("doc_id") % 97 === 0))
-        .withColumnRenamed("doc_id", "eval_doc")
-      // train shingles hit the broadcast join RAW (dup shingles within a
-      // doc included): the map-side join filters to eval matches first,
-      // so the distinct that guards against double-counting shuffles only
-      // the matched sliver — never the full exploded train corpus
-      val tsh = docs.filter(col("doc_id") % 97 =!= 0)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id").as("train_doc"),
-          explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"),
-          col("text"))
-        .select(col("train_doc"), expr("substring(text, i, 12)").as("shingle"))
-      tsh.join(broadcast(esh), Seq("shingle"))
-        .select("train_doc", "eval_doc", "shingle").distinct()
-        .groupBy(col("train_doc"), col("eval_doc"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 20)
+      decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        docs.filter(col("doc_id") % 97 === 0),
+        minShared = 20)
         .orderBy("train_doc", "eval_doc")
     },
 
@@ -130,8 +148,7 @@ object CurationQueries {
           regexp_count(col("t"), lit(Emailre)).cast("long").as("n_emails"),
           regexp_count(col("t"), lit(Phonere)).cast("long").as("n_phones"),
           regexp_count(col("t"), lit(Ipre)).cast("long").as("n_ips"),
-          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
-            Emailre, "<EMAIL>"), Ipre, "<IP>"), Phonere, "<PHONE>").cast("binary")).as("redacted_fp"))
+          md5(redactPii(col("t")).cast("binary")).as("redacted_fp"))
         .orderBy("doc_id")
     },
 

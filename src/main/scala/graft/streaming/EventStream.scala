@@ -102,6 +102,48 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.minhashDir(storeBase))
     }
 
+  /** Streaming ingest curation — the continuous twin of the batch
+    * curation family, applied before anything stateful:
+    *
+    *   1. quality gate (`n_tokens >= minTokens`) — stateless filter;
+    *   2. PII redaction ([[graft.operators.CurationQueries.redactPii]],
+    *      same codegen regex pass as the batch `pii_redact` query);
+    *   3. benchmark decontamination against a STATIC eval-set table —
+    *      exact 12-gram overlap, eval shingles broadcast, evaluated
+    *      per micro-batch inside foreachBatch (stream-static, no state);
+    *   4. signature maintenance — the surviving documents' minhash
+    *      bands append to the [[graft.operators.SignatureStore]] so
+    *      batch LSH dedup always sees the curated stream.
+    *
+    * Both sinks are keyed by `batch_id` with dynamic partition
+    * overwrite, so an epoch replay after a driver failure overwrites
+    * exactly its own output — the pipeline is idempotent end-to-end. */
+  def curatedIngest(docs: DataFrame, evalDocs: DataFrame,
+      outBase: String, minTokens: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{CurationQueries, SignatureStore, TextQueries}
+        val gated = batch
+          .filter(size(split(trim(lower(col("text"))), "\\s+")) >= minTokens)
+        val contaminated = CurationQueries
+          .decontaminate(gated, evalDocs, minShared = 1)
+          .select(col("train_doc").as("doc_id")).distinct()
+        val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("text", CurationQueries.redactPii(col("text")))
+        val keyed = clean.withColumn("batch_id", lit(batchId))
+        keyed.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outBase/docs")
+        TextQueries.minhashBandsOf(clean)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "band")
+          .parquet(SignatureStore.minhashDir(outBase))
+    }
+
   /** Custom per-key state via mapGroupsWithState: running per-user totals
     * (KeyValueGroupedDataset path). NoTimeout keeps micro-batch scheduling
     * purely data-driven; with a processing-time timeout the engine

@@ -140,6 +140,39 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("curated ingest: gate + redact + decontaminate + signatures, per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("curated")
+    val evalDocs = Seq((9001L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = EventStream.curatedIngest(docs, evalDocs, base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData(
+        (1L, "clean document with enough tokens and mail u1@ex.com inside"),
+        (2L, "too short"), // fails the quality gate
+        (3L, "contaminated: the quick brown fox jumps over the lazy dog copy"),
+        (4L, "call 555-0199 about host 10.0.3.7 maintenance window tonight"))
+      query.processAllAvailable()
+
+      val out = spark.read.parquet(s"$base/docs")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      // gate dropped 2, decontamination dropped 3
+      assert(out.keySet == Set(1L, 4L))
+      assert(out(1L).contains("<EMAIL>") && !out(1L).contains("@"))
+      assert(out(4L).contains("<PHONE>") && out(4L).contains("<IP>")
+        && !out(4L).contains("555-0199") && !out(4L).contains("10.0.3.7"))
+
+      // signature store holds exactly the surviving documents' bands
+      val stored = graft.operators.SignatureStore.readMinhashBands(spark, base)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(stored == Set(1L, 4L))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
