@@ -60,6 +60,29 @@ object CurationQueries {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Production stratified sampling: keep each row iff
+    * `xxhash64(key, salt) mod 1000 < rates(stratum)` (permille). Same
+    * zero-shuffle plan shape as the `sample_stratified` oracle query,
+    * with a full-width engine hash instead of the LCG the DuckDB oracle
+    * can reproduce. Deterministic for a fixed salt; change the salt to
+    * draw an independent sample. Unlisted strata are dropped. */
+  def sampleStratified(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      strataCol: String, ratesPermille: Map[String, Int], salt: Long = 0L)
+      : org.apache.spark.sql.DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(0)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000)) < rate)
+  }
+
+  /** Production shard assignment: stable `xxhash64(key, salt) mod n`
+    * shard ids (membership survives corpus appends, unlike round-robin).
+    * Write with `.repartition(col("shard_id")).sortWithinPartitions(...)`
+    * for one output file per shard. */
+  def shardAssign(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      nShards: Int, salt: Long = 0L): org.apache.spark.sql.DataFrame =
+    df.withColumn("shard_id", pmod(xxhash64(col(keyCol), lit(salt)), lit(nShards)))
+
   val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   val PhoneRe = "555-[0-9]{4}"
   val IpRe    = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"

@@ -70,6 +70,39 @@ class CurationSpec extends SparkFunSuite {
     assert(total == graft.util.Tables.documents(spark, sfDir).count())
   }
 
+  test("production xxhash64 sampling: deterministic, rate-respecting, salt-independent draws") {
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val rates = Map("en" -> 0, "de" -> 1000, "es" -> 500)
+    val a = CurationQueries.sampleStratified(docs, "doc_id", "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CurationQueries.sampleStratified(docs, "doc_id", "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt must reproduce the same sample")
+    val langs = docs.filter(col("doc_id").isin(a.toSeq: _*))
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(!langs.contains("en") && langs.contains("de"), "rates 0/1000 must be exact")
+    val deAll = docs.filter(col("lang") === "de").count()
+    val deKept = docs.filter(col("lang") === "de")
+      .filter(col("doc_id").isin(a.toSeq: _*)).count()
+    assert(deKept == deAll, "permille 1000 keeps every row")
+    val other = CurationQueries.sampleStratified(docs, "doc_id", "lang", rates, salt = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != a, "a different salt draws a different sample")
+  }
+
+  test("production shardAssign covers all shards and is append-stable") {
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val full = CurationQueries.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet == (0L until 8L).toSet)
+    // append-stability: sharding a subset assigns identical ids
+    val subset = CurationQueries.shardAssign(docs.filter(col("doc_id") < 50), "doc_id", 8)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
+
   test("pii_redact counts match the planted enrichment schedule") {
     val rows = q("pii_redact").collect()
     rows.foreach { r =>
