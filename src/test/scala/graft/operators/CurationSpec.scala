@@ -70,6 +70,14 @@ class CurationSpec extends SparkFunSuite {
     assert(total == graft.util.Tables.documents(spark, sfDir).count())
   }
 
+  test("pii_redact scan prunes to the two columns it uses") {
+    val plan = q("pii_redact").queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.exists(s => s.contains("doc_id") && s.contains("text")
+      && !s.contains("lang") && !s.contains("source")),
+      s"expected a pruned 2-column read schema, got $readSchema")
+  }
+
   test("production xxhash64 sampling: deterministic, rate-respecting, salt-independent draws") {
     val docs = graft.util.Tables.documents(spark, sfDir)
     val rates = Map("en" -> 0, "de" -> 1000, "es" -> 500)
