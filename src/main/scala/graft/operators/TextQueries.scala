@@ -514,6 +514,50 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- repetition quality filter (Gopher-style): top-bigram ratio -----
+    // The "repeated boilerplate" signal LLM pipelines gate on: the share
+    // of a document's bigrams taken by its single most frequent bigram.
+    // Same explode → groupBy partial-agg shape as the sketch family — no
+    // per-row arrays survive to a shuffle; both aggregations are
+    // map-side combinable.
+    "text_repetition" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS bigram
+        |       FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS max_rep,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bg = spread(documents(s, d))
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 1)")).as("i"), col("toks"))
+        .select(col("doc_id"),
+          concat(element_at(col("toks"), col("i")), lit(" "),
+            element_at(col("toks"), col("i") + 1)).as("bigram"))
+      bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ----- blocklist filter: broadcast anti-join on the source domain -----
+    // The domain/URL blocklist step of a crawl pipeline. Blocklists are
+    // small (≤ millions of rows) next to the corpus, so the anti-join
+    // broadcasts and the corpus never shuffles.
+    "filter_blocklist" -> QueryDef.sql(
+      """SELECT doc_id, source FROM documents
+        |WHERE source NOT IN ('src3', 'src7', 'src11')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val blocklist = Seq("src3", "src7", "src11").toDF("source")
+      documents(s, d)
+        .join(broadcast(blocklist), Seq("source"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // ----- multimodal plumbing: opaque binary payload + typed metadata -----
     // Decode itself is stubbed (no image libs in-container, SURVEY brief);
     // the Spark-side schema/derivation is real.
