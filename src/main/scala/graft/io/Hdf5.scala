@@ -641,7 +641,11 @@ object Hdf5 {
       val rank = ds.dims.size
       require(rank >= 1 && i0 >= 0 && i0 < ds.dims.head,
         s"${ds.name}: slice $i0 out of range ${ds.dims}")
-      val planeElems = ds.dims.drop(1).product.max(1L).toInt
+      val planeElemsL = ds.dims.drop(1).product.max(1L)
+      require(planeElemsL <= Int.MaxValue,
+        s"${ds.name}: plane of $planeElemsL elements exceeds JVM array bounds — " +
+          "slice along a finer-grained leading dimension")
+      val planeElems = planeElemsL.toInt
       val elemSize = ds.dtype match {
         case FixedPoint(s, _, _) => s
         case FloatPoint(s, _)    => s
@@ -649,8 +653,21 @@ object Hdf5 {
       }
       ds.layout match {
         case Contiguous(off, _) =>
-          decodeNumeric(read(off + i0 * planeElems * elemSize, planeElems * elemSize),
-            planeElems, ds.dtype, ds.name)
+          // sectioned reads: plane BYTE counts routinely exceed Int range
+          // for large rasters (the whole point of plane streaming), and a
+          // single read length is Int-bounded — 64 MiB sections, Long math
+          val base = off + i0 * planeElemsL * elemSize
+          val out = new Array[Double](planeElems)
+          val sectionElems = math.max(1, (1 << 26) / elemSize)
+          var done = 0
+          while (done < planeElems) {
+            val n = math.min(sectionElems, planeElems - done)
+            val vals = decodeNumeric(read(base + done.toLong * elemSize, n * elemSize),
+              n, ds.dtype, ds.name)
+            System.arraycopy(vals, 0, out, done, n)
+            done += n
+          }
+          out
         case Compact(d) =>
           decodeNumeric(java.util.Arrays.copyOfRange(d,
             (i0 * planeElems * elemSize).toInt, ((i0 + 1) * planeElems * elemSize).toInt),

@@ -199,10 +199,13 @@ object Netcdf {
       val layers = spark.createDataFrame(
         spark.sparkContext.parallelize(layerRows, 1), layerSchema)
 
-      // --- cube attrs: root attributes + dims ---
+      // --- cube attrs: root attributes + dims. "_"-prefixed bookkeeping
+      // attrs (netCDF-C writes _NCProperties at root) are library
+      // provenance, not cube metadata — same filter as the per-variable
+      // parser, else they leak into exports and toNetcdf re-emission ---
       val rootAttrs = f.rootAttributes.collect {
-        case (k, Hdf5.AttrStr(vs)) => k -> vs.mkString(",")
-        case (k, Hdf5.AttrNum(vs)) => k -> vs.map(fmtNum).mkString(",")
+        case (k, Hdf5.AttrStr(vs)) if !k.startsWith("_") => k -> vs.mkString(",")
+        case (k, Hdf5.AttrNum(vs)) if !k.startsWith("_") => k -> vs.map(fmtNum).mkString(",")
       }.toMap
       Cube(layers, pixels, rootAttrs ++ Map(
         "master_azimuth" -> az.toString, "master_range" -> rg.toString))

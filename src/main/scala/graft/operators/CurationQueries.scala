@@ -92,9 +92,6 @@ object CurationQueries {
     regexp_replace(regexp_replace(regexp_replace(c,
       EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
 
-  private val Emailre = EmailRe
-  private val Phonere = PhoneRe
-  private val Ipre    = IpRe
 
   /** PII-bearing text, derived deterministically from doc_id on BOTH
     * engines (the synthetic corpus carries no natural PII, so the
@@ -158,19 +155,19 @@ object CurationQueries {
       s"""WITH enriched AS (
          |  SELECT doc_id, $EnrichedSql AS t FROM documents)
          |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(t, '$Emailre')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(t, '$Phonere')) AS BIGINT) AS n_phones,
-         |  CAST(len(regexp_extract_all(t, '$Ipre')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
          |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-         |    '$Emailre', '<EMAIL>', 'g'), '$Ipre', '<IP>', 'g'), '$Phonere', '<PHONE>', 'g')) AS redacted_fp
+         |    '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
          |FROM enriched ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d)
         .withColumn("t", enrichedCol)
         .select(
           col("doc_id"),
-          regexp_count(col("t"), lit(Emailre)).cast("long").as("n_emails"),
-          regexp_count(col("t"), lit(Phonere)).cast("long").as("n_phones"),
-          regexp_count(col("t"), lit(Ipre)).cast("long").as("n_ips"),
+          regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+          regexp_count(col("t"), lit(IpRe)).cast("long").as("n_ips"),
           md5(redactPii(col("t")).cast("binary")).as("redacted_fp"))
         .orderBy("doc_id")
     },

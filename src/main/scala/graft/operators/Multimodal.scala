@@ -107,9 +107,14 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val mt = r.getString(2)
+        // a recognized-but-corrupt payload (e.g. a PNG truncated mid-IDAT)
+        // makes ImageIO.read THROW rather than return null — both cases
+        // must degrade to the flagged stub row, not fail the task
         val img =
           if (bytes.length == 0) null
-          else javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+          else
+            try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException | _: RuntimeException => null }
         if (img == null) {
           Row(id, mt, bytes.length, null, null, null, stubFeatures(bytes).toSeq)
         } else {

@@ -545,10 +545,13 @@ object TextQueries {
     // ----- blocklist filter: broadcast anti-join on the source domain -----
     // The domain/URL blocklist step of a crawl pipeline. Blocklists are
     // small (≤ millions of rows) next to the corpus, so the anti-join
-    // broadcasts and the corpus never shuffles.
+    // broadcasts and the corpus never shuffles. NULL semantics are
+    // explicit on BOTH engines: an unknown source is NOT blocklisted
+    // (kept) — a bare SQL `NOT IN` would silently drop nulls while the
+    // anti-join keeps them, so the oracle spells the null case out.
     "filter_blocklist" -> QueryDef.sql(
       """SELECT doc_id, source FROM documents
-        |WHERE source NOT IN ('src3', 'src7', 'src11')
+        |WHERE source IS NULL OR source NOT IN ('src3', 'src7', 'src11')
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val blocklist = Seq("src3", "src7", "src11").toDF("source")

@@ -106,14 +106,18 @@ object EventStream {
     * curation family, applied before anything stateful:
     *
     *   1. quality gate (`n_tokens >= minTokens`) — stateless filter;
-    *   2. PII redaction ([[graft.operators.CurationQueries.redactPii]],
-    *      same codegen regex pass as the batch `pii_redact` query);
-    *   3. benchmark decontamination against a STATIC eval-set table —
-    *      exact 12-gram overlap, eval shingles broadcast, evaluated
-    *      per micro-batch inside foreachBatch (stream-static, no state);
+    *   2. benchmark decontamination against a STATIC eval-set table —
+    *      exact 12-gram overlap on the RAW text (overlap detection must
+    *      see what the eval set sees; redaction is destructive), eval
+    *      shingles broadcast, per micro-batch inside foreachBatch
+    *      (stream-static, no state);
+    *   3. PII redaction of the survivors
+    *      ([[graft.operators.CurationQueries.redactPii]], same codegen
+    *      regex pass as the batch `pii_redact` query);
     *   4. signature maintenance — the surviving documents' minhash
-    *      bands append to the [[graft.operators.SignatureStore]] so
-    *      batch LSH dedup always sees the curated stream.
+    *      bands (over the redacted text, i.e. over what is persisted)
+    *      append to the [[graft.operators.SignatureStore]] so batch LSH
+    *      dedup always sees the curated stream.
     *
     * Both sinks are keyed by `batch_id` with dynamic partition
     * overwrite, so an epoch replay after a driver failure overwrites
