@@ -43,7 +43,9 @@ class NetcdfSpec extends SparkFunSuite {
           "satellite_look_angle" -> Fixtures.H5StrArr(Seq("29", "30", "28")))),
       rootAttrs = Seq(
         "product_type" -> Fixtures.H5Str("GRD"),
-        "dtype" -> Fixtures.H5Str("float32")))
+        "dtype" -> Fixtures.H5Str("float32"),
+        // netCDF-C bookkeeping — must NOT leak into cube metadata
+        "_NCProperties" -> Fixtures.H5Str("version=2,netcdf=4.9.2,hdf5=1.12.2")))
     path
   }
 
@@ -67,6 +69,8 @@ class NetcdfSpec extends SparkFunSuite {
     val cube = Cube.fromNetcdf(spark, ncPath)
     assert(cube.dimensions == Map("Band" -> 3L, "Azimuth" -> az.toLong, "Range" -> rg.toLong))
     assert(cube.attrs("product_type") == "GRD" && cube.attrs("dtype") == "float32")
+    assert(!cube.attrs.contains("_NCProperties"),
+      "library bookkeeping attrs must not become cube metadata")
     assert(cube.dataVariables == Seq("intensity"))
 
     // CF decode: days [1, 0, 30] since 2021-04-27 → UTC midnights

@@ -53,4 +53,24 @@ class MultimodalSpec extends SparkFunSuite {
     assert(decoded.isNullAt(decoded.fieldIndex("width")))
     assert(decoded.getAs[collection.Seq[Double]]("features").length == 8)
   }
+
+  test("recognized-but-corrupt payload (truncated PNG) degrades, not fails") {
+    // a REAL png prefix so the PNG reader claims the stream, truncated
+    // mid-data so ImageIO.read throws — the contract is a flagged row
+    val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val full = baos.toByteArray
+    val truncated = java.util.Arrays.copyOf(full, full.length / 2)
+    val rows = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(7L, truncated, "image/png")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("media_type", org.apache.spark.sql.types.StringType))))
+    val decoded = Multimodal.decodeImage(rows).collect().head
+    assert(decoded.isNullAt(decoded.fieldIndex("width")),
+      "corrupt payload must degrade to the stub row")
+    assert(decoded.getAs[Int]("n_bytes") == truncated.length)
+  }
 }
