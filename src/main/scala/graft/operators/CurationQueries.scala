@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.operators.TextQueries.{BandedPairsSelect, MinhashBandsCte}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 
@@ -223,6 +224,120 @@ object CurationQueries {
           (col("tok_start") % 512).as("seq_offset"),
           (expr("(tok_start + n_tokens - 1) div 512") - expr("tok_start div 512") + 1)
             .as("n_seqs_spanned"))
+        .orderBy("doc_id")
+    },
+
+    // ----- the capstone: full curation pipeline as ONE verified query -----
+    // blocklist → quality gates (length + Gopher repetition) → benchmark
+    // decontamination → canonical near-dup survivors → stratified
+    // sampling → sequence packing: the complete documents-to-training-
+    // sequences DAG, every stage the same code the standalone queries
+    // run, hash-checked end-to-end against one composed DuckDB oracle.
+    // Cluster canonicals are chosen corpus-wide (the persisted
+    // assignment artifact); a cluster whose canonical is excluded drops
+    // entirely — conservative, since such clusters overlap eval or
+    // blocked content. Scale shape: every stage is a broadcast join,
+    // stateless filter, or map-side-combinable aggregate; the one
+    // ordered computation (packing) is the two-pass distributed prefix
+    // sum. No global window, no nested loop, no corpus-side shuffle of
+    // anything wider than (doc_id, tokens).
+    "corpus_pipeline_full" -> QueryDef.sql(
+      s"""WITH $MinhashBandsCte,
+         |cand AS (
+         |  $BandedPairsSelect),
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id),
+         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |corpus AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE (source IS NULL OR source NOT IN ('src3', 'src7', 'src11'))
+         |    AND doc_id % 97 <> 0),
+         |toks AS (
+         |  SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM corpus),
+         |bg AS (
+         |  SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk)-1)]) AS bigram
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM corpus)
+         |  WHERE len(tk) >= 2),
+         |rep AS (
+         |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+         |  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |esh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+         |  FROM evald)),
+         |tsh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+         |  FROM corpus)),
+         |contaminated AS (
+         |  SELECT DISTINCT train_doc AS doc_id FROM (
+         |    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc
+         |    FROM tsh t JOIN esh e ON t.shingle = e.shingle
+         |    GROUP BY 1, 2 HAVING count(*) >= 20)),
+         |keep AS (
+         |  SELECT c.doc_id, c.lang, t.n_tokens
+         |  FROM corpus c
+         |  JOIN toks t ON t.doc_id = c.doc_id
+         |  JOIN rep r ON r.doc_id = c.doc_id
+         |  JOIN clusters cl ON cl.doc_id = c.doc_id
+         |  WHERE t.n_tokens >= 10 AND r.rep_ratio <= 0.2
+         |    AND cl.cluster_id = c.doc_id
+         |    AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND ((c.doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
+         |      CASE c.lang WHEN 'en' THEN 150 WHEN 'de' THEN 500 WHEN 'es' THEN 800
+         |                  WHEN 'fr' THEN 250 WHEN 'zh' THEN 1000 ELSE 0 END),
+         |budg AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
+         |  FROM keep)
+         |SELECT doc_id, lang, n_tokens,
+         |  tok_start // 512 AS seq_id, tok_start % 512 AS seq_offset
+         |FROM budg ORDER BY doc_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
+      import s.implicits._
+      val docs = documents(s, d)
+      val blocklist = Seq("src3", "src7", "src11").toDF("source")
+      val corpus = docs.join(broadcast(blocklist), Seq("source"), "left_anti")
+        .filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "text", "lang")
+      val toks = corpus.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      val bg = corpus
+        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr("sequence(1, size(tk) - 1)")).as("i"), col("tk"))
+        .select(col("doc_id"),
+          concat(element_at(col("tk"), col("i")), lit(" "),
+            element_at(col("tk"), col("i") + 1)).as("bigram"))
+      val rep = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep_ratio"))
+      val contaminated = decontaminate(
+        corpus, docs.filter(col("doc_id") % 97 === 0), minShared = 20)
+        .select(col("train_doc").as("doc_id")).distinct()
+      val canon = SignatureStore.ensureClusters(s, d)
+        .filter(col("cluster_id") === col("doc_id")).select("doc_id")
+      val keep = corpus
+        .join(toks, Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .filter(col("n_tokens") >= 10 && col("rep_ratio") <= 0.2)
+        .join(canon, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(expr(s"$LcgSql % 1000") <
+          when(col("lang") === "en", 150).when(col("lang") === "de", 500)
+            .when(col("lang") === "es", 800).when(col("lang") === "fr", 250)
+            .when(col("lang") === "zh", 1000).otherwise(0))
+        .select("doc_id", "lang", "n_tokens")
+      TextQueries.cumulativeTokens(keep)
+        .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("tok_start div 512").as("seq_id"),
+          (col("tok_start") % 512).as("seq_offset"))
         .orderBy("doc_id")
     },
 

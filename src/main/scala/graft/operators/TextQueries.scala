@@ -179,7 +179,7 @@ object TextQueries {
 
   /** DuckDB CTE text for the minhash band table — shared by every oracle
     * that starts from LSH candidates (live, stored, clustering). */
-  private val MinhashBandsCte: String =
+  private[operators] val MinhashBandsCte: String =
     """sh AS (
       |  SELECT doc_id,
       |    unnest([('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT
@@ -202,7 +202,7 @@ object TextQueries {
       |  UNION ALL SELECT doc_id, 2, h4 * 1000000007 + h5 FROM sig
       |  UNION ALL SELECT doc_id, 3, h6 * 1000000007 + h7 FROM sig)""".stripMargin
 
-  private val BandedPairsSelect: String =
+  private[operators] val BandedPairsSelect: String =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 

@@ -126,6 +126,19 @@ class PlanAssertSpec extends SparkFunSuite {
       s"expected per-dimension mean aggregate:\n$plan")
   }
 
+  test("corpus_pipeline_full: no global window, no nested loop anywhere in the DAG") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.CurationQueries.defs("corpus_pipeline_full").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"global window in the pipeline plan:\n$plan")
+    val planStr = plan.toString
+    assert(!planStr.contains("BroadcastNestedLoopJoin") && !planStr.contains("CartesianProduct"),
+      s"pipeline must stay on hash/broadcast joins:\n$planStr")
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
