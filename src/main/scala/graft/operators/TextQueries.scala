@@ -24,8 +24,27 @@ object TextQueries {
     * serializes the entire shingle+md5 stage onto one task (measured: the
     * sketch queries ran no faster on 32 cores than 8). The few-MB
     * pre-explode shuffle is free by comparison. */
-  private def spread(df: org.apache.spark.sql.DataFrame) =
+  private[operators] def spread(df: org.apache.spark.sql.DataFrame) =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Max bigram count of a token-array column, computed PER ROW: sort the
+    * bigram array, then the longest equal-adjacent run is the count of the
+    * most frequent bigram. Replaces the explode → groupBy(doc, bigram) →
+    * groupBy(doc) shape, whose two shuffles carry every distinct bigram of
+    * the corpus — this is a stateless projection pipelined into the scan
+    * (per-row cost O(k log k) in document tokens, the explode shape's
+    * in-memory cost anyway). Requires size(tk) >= 2. */
+  private[operators] def maxBigramRunSql(tk: String) =
+    s"""aggregate(
+       |  sort_array(transform(sequence(1, size($tk) - 1),
+       |    i -> concat(element_at($tk, i), ' ', element_at($tk, i + 1)))),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'maxr', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
+       |    'maxr', greatest(acc.maxr,
+       |      IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
+       |  acc -> acc.maxr)""".stripMargin
 
   /** doc_id + exploded 5-gram shingles. Explode → groupBy partial-agg is
     * the codegen-friendly (and 100 TB-friendly) shape: no per-row arrays,
@@ -517,9 +536,12 @@ object TextQueries {
     // ----- repetition quality filter (Gopher-style): top-bigram ratio -----
     // The "repeated boilerplate" signal LLM pipelines gate on: the share
     // of a document's bigrams taken by its single most frequent bigram.
-    // Same explode → groupBy partial-agg shape as the sketch family — no
-    // per-row arrays survive to a shuffle; both aggregations are
-    // map-side combinable.
+    // Computed PER ROW (sorted-bigram longest-run, see maxBigramRunSql):
+    // a stateless projection pipelined into the scan — no bigram ever
+    // reaches a shuffle, vs the explode → groupBy(doc, bigram) →
+    // groupBy(doc) shape that shuffles every distinct bigram of the
+    // corpus twice. At 100 TB that is the difference between a map-only
+    // stage and the widest shuffle in the pipeline.
     "text_repetition" -> QueryDef.sql(
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS bigram
@@ -528,17 +550,15 @@ object TextQueries {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS max_rep,
         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val bg = spread(documents(s, d))
+      spread(documents(s, d))
         .withColumn("toks", expr(toksExpr))
         .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 1)")).as("i"), col("toks"))
-        .select(col("doc_id"),
-          concat(element_at(col("toks"), col("i")), lit(" "),
-            element_at(col("toks"), col("i") + 1)).as("bigram"))
-      bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"),
-          round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep_ratio"))
+        .select(
+          col("doc_id"),
+          (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+          expr(maxBigramRunSql("toks")).as("max_rep"))
+        .withColumn("rep_ratio",
+          round(col("max_rep").cast("double") / col("n_bigrams"), 6))
         .orderBy("doc_id")
     },
 
