@@ -307,16 +307,15 @@ object CurationQueries {
         .select("doc_id", "text", "lang")
       val toks = corpus.select(col("doc_id"),
         size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
-      val bg = corpus
+      // Per-row top-bigram ratio (see TextQueries.maxBigramRunSql): a
+      // stateless projection — no bigram reaches a shuffle, unlike the
+      // explode → double-groupBy shape this replaces.
+      val rep = corpus
         .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
         .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(expr("sequence(1, size(tk) - 1)")).as("i"), col("tk"))
         .select(col("doc_id"),
-          concat(element_at(col("tk"), col("i")), lit(" "),
-            element_at(col("tk"), col("i") + 1)).as("bigram"))
-      val rep = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep_ratio"))
+          round(expr(TextQueries.maxBigramRunSql("tk")).cast("double")
+            / (size(col("tk")) - 1), 6).as("rep_ratio"))
       val contaminated = decontaminate(
         corpus, docs.filter(col("doc_id") % 97 === 0), minShared = 20)
         .select(col("train_doc").as("doc_id")).distinct()
