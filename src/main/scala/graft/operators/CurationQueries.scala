@@ -45,11 +45,17 @@ object CurationQueries {
     * so the eval shingles BROADCAST; raw train shingles stream through
     * the map-side join FIRST, and the duplicate-guarding distinct
     * shuffles only the matched sliver — never the exploded corpus.
-    * Shared by the batch query and the streaming ingest gate. */
+    * Shared by the batch query and the streaming ingest gate.
+    *
+    * The train side is repartitioned to full parallelism BEFORE the
+    * shingle explode ([[TextQueries.spread]] rationale): a corpus that
+    * arrives as few input splits — or, as in `corpus_pipeline_full`,
+    * reaches here through only broadcast joins and filters — would
+    * otherwise serialize the entire explode+join onto those few tasks. */
   def decontaminate(train: org.apache.spark.sql.DataFrame,
       evalDocs: org.apache.spark.sql.DataFrame, minShared: Long): org.apache.spark.sql.DataFrame = {
     val esh = shingles12(evalDocs).withColumnRenamed("doc_id", "eval_doc")
-    val tsh = train
+    val tsh = TextQueries.spread(train)
       .select(col("doc_id").as("train_doc"),
         explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"),
         col("text"))
@@ -81,8 +87,12 @@ object CurationQueries {
     * Write with `.repartition(col("shard_id")).sortWithinPartitions(...)`
     * for one output file per shard. */
   def shardAssign(df: org.apache.spark.sql.DataFrame, keyCol: String,
-      nShards: Int, salt: Long = 0L): org.apache.spark.sql.DataFrame =
+      nShards: Int, salt: Long = 0L): org.apache.spark.sql.DataFrame = {
+    // pmod(x, 0) is DIVIDE_BY_ZERO under ANSI (a runtime task failure
+    // deep in the write job) and silent all-null shards otherwise.
+    require(nShards > 0, "nShards must be positive")
     df.withColumn("shard_id", pmod(xxhash64(col(keyCol), lit(salt)), lit(nShards)))
+  }
 
   val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   val PhoneRe = "555-[0-9]{4}"
@@ -140,8 +150,7 @@ object CurationQueries {
         |ORDER BY train_doc, eval_doc""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
       decontaminate(
-        docs.filter(col("doc_id") % 97 =!= 0)
-          .repartition(s.sparkContext.defaultParallelism),
+        docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         minShared = 20)
         .orderBy("train_doc", "eval_doc")

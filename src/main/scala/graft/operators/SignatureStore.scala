@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
 object SignatureStore {
 
   def minhashDir(base: String) = s"$base/minhash_bands"
+
+  /** Streaming appends land in a SIBLING subtree partitioned by
+    * `(batch_id, band)` — they cannot share `minhash_bands/` because its
+    * batch layout is partitioned by `band` alone, and mixing the two
+    * partition depths in one directory breaks parquet partition discovery
+    * ("Conflicting directory structures"). [[readMinhashBands]] unions
+    * both subtrees, so batch LSH dedup transparently sees stream-ingested
+    * signatures. */
+  def streamMinhashDir(base: String) = s"$base/minhash_bands_stream"
+
   def simhashDir(base: String) = s"$base/simhash"
 
   /** One full-corpus signature pass → parquet store at `base`. */
@@ -36,9 +46,22 @@ object SignatureStore {
       .write.mode("overwrite").parquet(simhashDir(base))
   }
 
-  def readMinhashBands(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(minhashDir(base))
-      .select(col("doc_id"), col("band").cast("int").as("band"), col("key"))
+  /** All stored minhash bands: the batch subtree plus, when present, the
+    * streaming-append subtree (whichever exist — a store may be purely
+    * batch-built, purely stream-built, or both). */
+  def readMinhashBands(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hc = spark.sparkContext.hadoopConfiguration
+    val parts = Seq(minhashDir(base), streamMinhashDir(base)).filter { dir =>
+      val p = new Path(dir)
+      p.getFileSystem(hc).exists(p)
+    }
+    require(parts.nonEmpty, s"no minhash band store under $base")
+    parts.map(dir =>
+      spark.read.parquet(dir)
+        .select(col("doc_id"), col("band").cast("int").as("band"), col("key")))
+      .reduce(_ unionByName _)
+  }
 
   def readSimhash(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(simhashDir(base))

@@ -27,6 +27,13 @@ object TextQueries {
   private[operators] def spread(df: org.apache.spark.sql.DataFrame) =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Whitespace-normalized md5 content fingerprint — the ONE definition
+    * shared by the batch `text_fingerprint` query and the streaming exact
+    * dedup ([[graft.streaming.EventStream.dedupExactStream]]), so a
+    * normalization tweak can never desynchronize cross-path dedup. */
+  def fingerprintCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " ").cast("binary"))
+
   /** Max bigram count of a token-array column, computed PER ROW: sort the
     * bigram array, then the longest equal-adjacent run is the count of the
     * most frequent bigram. Replaces the explode → groupBy(doc, bigram) →
@@ -529,7 +536,7 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ").cast("binary")).as("fingerprint"))
+        fingerprintCol(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     },
 

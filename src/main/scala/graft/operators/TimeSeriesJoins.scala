@@ -30,20 +30,32 @@ object TimeSeriesJoins {
     * join operator at all — the classic scalable as-of. */
   def asofJoin(left: DataFrame, right: DataFrame,
       key: String, time: String, tiebreak: String): DataFrame = {
+    require(right.columns.contains(tiebreak),
+      s"tiebreak column '$tiebreak' must exist on the RIGHT side")
+    require(left.columns.contains(key) && left.columns.contains(time) &&
+      right.columns.contains(key) && right.columns.contains(time),
+      s"both sides must carry '$key' and '$time' columns")
     val rightCols = right.columns.filterNot(_ == key).toSeq
-    val leftVals = left.columns.filterNot(Set(key, time, tiebreak)).toSeq
+    val leftVals = left.columns.filterNot(Set(key, time)).toSeq
     val rStructType = StructType(rightCols.map(c => right.schema(c)))
+    // The tiebreak is a RIGHT-side concept (ordering among right rows at
+    // equal time), so it travels in an internal `_tb` column: the left
+    // schema need not contain it, and a left column sharing its name is
+    // never consulted. Left rows carry null `_tb` — irrelevant, since at
+    // equal time `_kind` already sorts every right row before them.
     val l = left
       .withColumn("_kind", lit(1))
+      .withColumn("_tb", lit(null).cast(right.schema(tiebreak).dataType))
       .withColumn("_rrow", lit(null).cast(rStructType))
     val r = leftVals.foldLeft(
       right
         .withColumn("_kind", lit(0))
+        .withColumn("_tb", col(tiebreak))
         .withColumn("_rrow", struct(rightCols.map(col): _*))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(l.columns.map(col).toSeq: _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("_kind"), col(tiebreak))
+      .orderBy(col(time), col("_kind"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedCols = rightCols.map(c => col(s"_m.$c").as(s"right_$c"))
     l.unionByName(r)

@@ -16,11 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Watermarked tumbling-window counts per event type. State is bounded
-    * by the watermark — late events beyond 10 minutes are dropped, so
-    * state size is O(types × windows-in-flight), cluster-safe. */
-  def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    * by the watermark — late events beyond `delay` are dropped, so state
+    * size is O(types × windows-in-flight), cluster-safe. Tune `delay`
+    * with the window: a day-granularity aggregation usually tolerates
+    * hours of lateness; a minute-granularity one wants tight state. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      delay: String = "10 minutes"): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", delay)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
@@ -52,7 +55,12 @@ object EventStream {
                 out ::= SessionOut(uid, new java.sql.Timestamp(sess.sessionStart), sess.n, closed = true)
                 cur = Some(SessionState(t, t, 1))
               case Some(sess) =>
-                cur = Some(sess.copy(lastSeen = t, n = sess.n + 1))
+                // Cross-batch out-of-order events absorb without rewinding
+                // the session bounds: lastSeen must stay the MAX seen time
+                // (else a late event shrinks the gap window and splits the
+                // session) and session_start the MIN.
+                cur = Some(SessionState(
+                  math.min(sess.sessionStart, t), math.max(sess.lastSeen, t), sess.n + 1))
               case None =>
                 cur = Some(SessionState(t, t, 1))
             }
@@ -73,8 +81,7 @@ object EventStream {
     * store; this guards the stream against near-in-time re-sends). */
   def dedupExactStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fingerprint",
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ").cast("binary")))
+      .withColumn("fingerprint", graft.operators.TextQueries.fingerprintCol(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
@@ -89,7 +96,13 @@ object EventStream {
     * driver failure (duplicates would inflate bucket counts and could
     * push a legitimate bucket over the degenerate-bucket cap). Writes
     * are therefore keyed by `batch_id` with dynamic partition overwrite:
-    * a replayed epoch overwrites exactly its own partitions. */
+    * a replayed epoch overwrites exactly its own partitions.
+    *
+    * Writes land in the store's STREAM subtree
+    * ([[graft.operators.SignatureStore.streamMinhashDir]]) — the batch
+    * subtree is partitioned by `band` alone, so `(batch_id, band)` rows
+    * written into it would break partition discovery for every
+    * subsequent reader. `SignatureStore.readMinhashBands` unions both. */
   def maintainSignatures(docs: DataFrame, storeBase: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -99,7 +112,7 @@ object EventStream {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "band")
-          .parquet(graft.operators.SignatureStore.minhashDir(storeBase))
+          .parquet(graft.operators.SignatureStore.streamMinhashDir(storeBase))
     }
 
   /** Streaming ingest curation — the continuous twin of the batch
@@ -133,19 +146,25 @@ object EventStream {
         val contaminated = CurationQueries
           .decontaminate(gated, evalDocs, minShared = 1)
           .select(col("train_doc").as("doc_id")).distinct()
+        // Two sink actions share the gate→decontaminate→redact lineage;
+        // without a persist the second write re-executes it all (incl.
+        // re-shingling the eval set) — ~2× cost per micro-batch.
         val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
           .withColumn("text", CurationQueries.redactPii(col("text")))
-        val keyed = clean.withColumn("batch_id", lit(batchId))
-        keyed.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$outBase/docs")
-        TextQueries.minhashBandsOf(clean)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "band")
-          .parquet(SignatureStore.minhashDir(outBase))
+          .persist()
+        try {
+          clean.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$outBase/docs")
+          TextQueries.minhashBandsOf(clean)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "band")
+            .parquet(SignatureStore.streamMinhashDir(outBase))
+        } finally clean.unpersist()
     }
 
   /** Custom per-key state via mapGroupsWithState: running per-user totals

@@ -60,6 +60,22 @@ class TimeSeriesJoinsSpec extends SparkFunSuite {
     assert(naive.nonEmpty, "test data must actually produce matches")
   }
 
+  test("asofJoin works when the left side lacks the tiebreak column") {
+    // Regression: the tiebreak is a right-side concept, but the window
+    // used to order by the post-union column of that name — which only
+    // survived the union when the LEFT schema happened to contain it too.
+    import spark.implicits._
+    val left = Seq((1L, 20L, "x"), (1L, 4L, "y")).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, 50L, "a"), (1L, 5L, 51L, "b"), (1L, 15L, 52L, "c"))
+      .toDF("k", "t", "id", "rv")
+    val got = TimeSeriesJoins.asofJoin(left, right, "k", "t", "id")
+      .select("t", "lv", "right_id", "right_rv")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (20L, "x", Some(52L), Some("c")),
+      (4L, "y", None, None))) // no right row at or before t=4
+  }
+
   test("asofJoin carries the matched row atomically when right values are null") {
     import spark.implicits._
     // right row at t=10 has a NULL value column; a per-column

@@ -140,6 +140,59 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("streaming appends coexist with a batch-built signature store") {
+    // Regression: the batch subtree is partitioned by band alone; writing
+    // (batch_id, band) rows into the SAME directory broke partition
+    // discovery ("Conflicting directory structures") for every later
+    // reader. Streaming must land in its own subtree, with
+    // readMinhashBands unioning both.
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("sigmix")
+    val batchDocs = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    graft.operators.TextQueries.minhashBandsOf(batchDocs)
+      .write.partitionBy("band")
+      .parquet(graft.operators.SignatureStore.minhashDir(base))
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainSignatures(input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((2L, "zeta eta theta iota kappa"))
+      query.processAllAvailable()
+      val stored = graft.operators.SignatureStore.readMinhashBands(spark, base)
+      assert(stored.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L))
+    } finally query.stop()
+  }
+
+  test("sessionize absorbs a late cross-batch event without splitting the session") {
+    // Regression: absorbing a late event used to REWIND lastSeen, so a
+    // later in-gap event measured its gap against the stale minimum and
+    // wrongly closed the session.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.UserEvent]
+    val query = EventStream.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(EventStream.UserEvent(1, ts("2024-01-01 00:10:00"), 1.0))
+      query.processAllAvailable()
+      // late event: 5 min EARLIER than anything seen — absorbed
+      input.addData(EventStream.UserEvent(1, ts("2024-01-01 00:05:00"), 1.0))
+      query.processAllAvailable()
+      // 8 min after the true latest (00:10) — in-gap, must NOT close
+      input.addData(EventStream.UserEvent(1, ts("2024-01-01 00:18:00"), 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions_ooo")
+        .select("user_id", "session_start", "n_events", "closed")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getBoolean(3)))
+      assert(!rows.exists(_._4), s"no session may close: ${rows.mkString(", ")}")
+      assert(rows.contains((1L, "2024-01-01 00:05:00.0", 3L, false)),
+        "session start follows the earliest absorbed event")
+    } finally query.stop()
+  }
+
   test("curated ingest: gate + redact + decontaminate + signatures, per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("curated")
