@@ -48,19 +48,44 @@ object SignatureStore {
 
   /** All stored minhash bands: the batch subtree plus, when present, the
     * streaming-append subtree (whichever exist — a store may be purely
-    * batch-built, purely stream-built, or both). */
+    * batch-built, purely stream-built, or both).
+    *
+    * Subtrees are admitted only when they hold at least one DATA file: a
+    * micro-batch where every document was gated/deduplicated away writes
+    * a directory containing only `_SUCCESS`, and reading it would throw
+    * "Unable to infer schema", bricking the whole store.
+    *
+    * When stream rows participate, the union is deduplicated on the full
+    * row: a doc re-sent in a later micro-batch (or batch-rebuilt after
+    * streaming already signed it) would otherwise store its band rows
+    * twice, and the inflated bucket counts could push a legitimate
+    * bucket over the degenerate-bucket cap — silently dropping its
+    * candidate pairs. The batch-only path stays a pure parquet read. */
   def readMinhashBands(spark: SparkSession, base: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val hc = spark.sparkContext.hadoopConfiguration
-    val parts = Seq(minhashDir(base), streamMinhashDir(base)).filter { dir =>
+    def hasData(dir: String): Boolean = {
       val p = new Path(dir)
-      p.getFileSystem(hc).exists(p)
+      val fs = p.getFileSystem(hc)
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val name = it.next().getPath.getName
+          found = !(name.startsWith("_") || name.startsWith("."))
+        }
+        found
+      }
     }
-    require(parts.nonEmpty, s"no minhash band store under $base")
-    parts.map(dir =>
-      spark.read.parquet(dir)
-        .select(col("doc_id"), col("band").cast("int").as("band"), col("key")))
-      .reduce(_ unionByName _)
+    def read(dir: String) = spark.read.parquet(dir)
+      .select(col("doc_id"), col("band").cast("int").as("band"), col("key"))
+    val batch = Option.when(hasData(minhashDir(base)))(read(minhashDir(base)))
+    val stream = Option.when(hasData(streamMinhashDir(base)))(read(streamMinhashDir(base)))
+    require(batch.nonEmpty || stream.nonEmpty, s"no minhash band store under $base")
+    stream match {
+      case None => batch.get
+      case Some(st) => batch.map(_.unionByName(st)).getOrElse(st).distinct()
+    }
   }
 
   def readSimhash(spark: SparkSession, base: String): DataFrame =

@@ -175,8 +175,23 @@ object TextQueries {
       changed = merged.filter(col("cluster_id") < col("prev")).count()
       labels = merged.drop("prev")
     }
-    docs.join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    // Re-anchor each cluster label to its minimum CORPUS member: the
+    // signature store may hold stream-appended docs absent from
+    // `documents` (see SignatureStore.streamMinhashDir), and a min-label
+    // pointing at such a node would make the canonical filter
+    // (cluster_id = doc_id) silently drop the whole cluster. Isolated
+    // docs (the vast majority) bypass the remap entirely; the remap
+    // itself runs on the edge-connected sliver, where both the labels
+    // join side and the anchor table are broadcast-sized.
+    val connected = docs.join(labels, Seq("doc_id"))
+    val anchors = connected.groupBy(col("cluster_id").as("raw"))
+      .agg(min("doc_id").as("cluster_id"))
+    val isolated = docs.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    connected.select(col("doc_id"), col("cluster_id").as("raw"))
+      .join(anchors, Seq("raw"))
+      .select("doc_id", "cluster_id")
+      .unionByName(isolated)
   }
 
   /** Distributed prefix sum over (doc_id, n_tokens) — the two-pass

@@ -17,18 +17,16 @@ import org.apache.spark.sql.functions._
   * Perf notes (measured at sf0.1, 2k×2k pairs):
   *   - NO array HOFs (`transform`/`aggregate`/`zip_with`): they are
   *     CodegenFallback AND get inlined by projection collapse, so the
-  *     lambda re-evaluates per element_at — ~25× slowdown. The dot product
-  *     is an explicit 64-term `element_at(...).cast(double)` sum, fully
-  *     whole-stage-codegen'd.
-  *   - all-pairs generation runs on bare ids (cheap nested-loop), vectors
-  *     attach afterwards via broadcast hash joins, so the score expression
-  *     evaluates inside a codegen stage, never inside the BNLJ condition.
+  *     lambda re-evaluates per element_at — ~25× slowdown. The dot
+  *     product is the native codegen [[graft.functions.DotF32]]
+  *     expression (one fused loop in generated code).
+  *   - candidate generation runs on bare ids / small keys, vectors
+  *     attach afterwards via equi-joins, so the score expression
+  *     evaluates inside a codegen stage, never inside a join condition.
   */
 object VectorQueries {
 
   val Dim = 64
-
-  private def elem(a: String, i: Int): Column = element_at(col(a), i).cast("double")
 
   /** Cosine over float arrays via the native codegen [[graft.functions.DotF32]]
     * expression (same sequential fold order as the SQL oracle). */
@@ -52,25 +50,34 @@ object VectorQueries {
   private def blockedAllPairs(s: SparkSession, d: String, threshold: Double,
       blockSize: Int = 1024): DataFrame = {
     import s.implicits._
+    // Integral `div`, NOT `/`: Spark's `/` on a long column is double
+    // division, and the double→int cast saturates — every huge vec_id
+    // would collapse into one unbounded block.
     val blocks = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("blk", (col("vec_id") / blockSize).cast("int"))
+      .withColumn("blk", expr(s"vec_id div $blockSize"))
       .groupBy("blk")
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
     val pairsOfBlocks = blocks.select(col("blk").as("bi"), col("vs").as("va"))
       .crossJoin(blocks.select(col("blk").as("bj"), col("vs").as("vb")))
       .filter(col("bi") <= col("bj"))
       .repartition(s.sparkContext.defaultParallelism)
-      .as[(Int, Seq[(Long, Seq[Float])], Int, Seq[(Long, Seq[Float])])]
+      .as[(Long, Seq[(Long, Seq[Float])], Long, Seq[(Long, Seq[Float])])]
     pairsOfBlocks.flatMap { case (_, va, _, vb) =>
-      val aArr = va.map { case (id, v) => (id, v.toArray) }.sortBy(_._1).toArray
-      val bArr = vb.map { case (id, v) => (id, v.toArray) }.sortBy(_._1).toArray
-      aArr.iterator.flatMap { case (ida, v1) =>
-        val na = math.sqrt(selfDot(v1))
-        bArr.iterator.filter(_._1 > ida).flatMap { case (idb, v2) =>
+      // norms once per block materialization, not once per pair
+      def mat(vs: Seq[(Long, Seq[Float])]): Array[(Long, Array[Float], Double)] =
+        vs.map { case (id, v) =>
+          val arr = v.toArray
+          (id, arr, math.sqrt(selfDot(arr)))
+        }.sortBy(_._1).toArray
+      val aArr = mat(va)
+      val bArr = mat(vb)
+      aArr.iterator.flatMap { case (ida, v1, na) =>
+        bArr.iterator.filter(_._1 > ida).flatMap { case (idb, v2, nb) =>
           var dp = 0.0
           var i = 0
-          while (i < Dim) { dp += v1(i).toDouble * v2(i).toDouble; i += 1 }
-          val sc = BigDecimal(dp / (na * math.sqrt(selfDot(v2))))
+          val n = math.min(v1.length, v2.length)
+          while (i < n) { dp += v1(i).toDouble * v2(i).toDouble; i += 1 }
+          val sc = BigDecimal(dp / (na * nb))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           if (sc > threshold) Some((ida, idb, sc)) else None
         }
@@ -351,9 +358,14 @@ object LshPlanes {
           lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
     }
+    // The (vec_id, band, key) table is consumed four times (bucket-count
+    // aggregate, anti-join probe, both self-join sides); localCheckpoint
+    // materializes the corpus-wide sign projection ONCE instead of
+    // re-running the 16 dot products per consumer.
     val bands = e
       .withColumn("bk", array(bandKeys: _*))
       .select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "key")))
+      .localCheckpoint()
     val guarded = bands.join(
       broadcast(graft.operators.TextQueries.oversizedBuckets(bands, maxBucket)
         .select("band", "key")),

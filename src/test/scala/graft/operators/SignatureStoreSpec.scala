@@ -41,6 +41,78 @@ class SignatureStoreSpec extends SparkFunSuite {
     assert(bands1 == bands2 && bands1 > 0)
   }
 
+  test("a data-file-less stream subtree does not brick the store") {
+    // Regression: a micro-batch where every doc was gated away leaves
+    // minhash_bands_stream/ holding only _SUCCESS; reading it threw
+    // "Unable to infer schema" and made the healthy batch subtree
+    // unreadable too.
+    import spark.implicits._
+    val base = tmpDir("sigempty")
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    TextQueries.minhashBandsOf(docs)
+      .write.partitionBy("band").parquet(SignatureStore.minhashDir(base))
+    // empty stream write, same shape maintainSignatures produces
+    TextQueries.minhashBandsOf(docs.limit(0))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_id", "band")
+      .parquet(SignatureStore.streamMinhashDir(base))
+    val got = SignatureStore.readMinhashBands(spark, base)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
+  test("re-sent stream docs do not duplicate band rows (bucket counts stay honest)") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val base = tmpDir("sigdup")
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    TextQueries.minhashBandsOf(docs)
+      .write.partitionBy("band").parquet(SignatureStore.minhashDir(base))
+    // the same doc signed again by a stream append (different batch_id,
+    // so the replay guard can't collapse it)
+    TextQueries.minhashBandsOf(docs).withColumn("batch_id", lit(7L))
+      .write.partitionBy("batch_id", "band")
+      .parquet(SignatureStore.streamMinhashDir(base))
+    val rows = SignatureStore.readMinhashBands(spark, base).collect()
+    val live = TextQueries.minhashBandsOf(docs).count()
+    assert(rows.length == live, "union must deduplicate (doc_id, band, key)")
+  }
+
+  test("canonical selection survives a cluster whose min label is outside the corpus") {
+    // Regression scenario: stream-appended signatures introduce graph
+    // nodes absent from `documents`; if such a node is the component
+    // minimum, cluster_id must re-anchor to the min CORPUS member or the
+    // canonical filter (cluster_id = doc_id) drops the whole cluster.
+    // Exercised at the clusterAssignments level by planting a store
+    // where doc 5 (not in the corpus slice) bridges docs of the corpus.
+    import spark.implicits._
+    val base = tmpDir("sigstream_canon")
+    spark.conf.set("spark.graft.sigstore.root", base)
+    try {
+      // same text => identical minhash bands => guaranteed LSH collision
+      val batchDocs = Tables.documents(spark, sfDir)
+      val sb = SignatureStore.defaultBase(spark, sfDir)
+      // build the batch store for the corpus, then append a stream doc
+      // sharing doc 0's text signature (-5 < every corpus id)
+      SignatureStore.write(spark, sfDir, sb)
+      val firstText = batchDocs.orderBy("doc_id").limit(1)
+        .collect().head.getAs[String]("text")
+      TextQueries.minhashBandsOf(
+        Seq((-5L, firstText)).toDF("doc_id", "text"))
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+        .write.partitionBy("batch_id", "band")
+        .parquet(SignatureStore.streamMinhashDir(sb))
+      val assigns = TextQueries.clusterAssignments(spark, sfDir)
+      val ids = assigns.select("cluster_id").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(-5L), "labels must re-anchor inside the corpus")
+      // every cluster keeps exactly one canonical member
+      val clusters = assigns.groupBy("cluster_id").count().count()
+      val canonicals = assigns.filter(org.apache.spark.sql.functions
+        .col("cluster_id") === org.apache.spark.sql.functions.col("doc_id")).count()
+      assert(canonicals == clusters, "one canonical per cluster, none dropped")
+    } finally spark.conf.unset("spark.graft.sigstore.root")
+  }
+
   test("store works end-to-end through explicit file:-scheme URIs (Hadoop FS path)") {
     val schemedInput = s"file://$sfDir"
     val schemedRoot = s"file://${tmpDir("sigroot")}"
