@@ -349,6 +349,58 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ----- fixed-n stratified sampling: exactly n docs per stratum -----
+    // The budget-capped twin of sample_stratified (rates give you a
+    // FRACTION; eval-set construction and ablations want an exact COUNT
+    // per language). Deterministic: per-stratum rank over the LCG key.
+    // Scale shape: the rank filter sits directly on the window, so
+    // Spark's InferWindowGroupLimit inserts a map-side per-group top-n
+    // (WindowGroupLimitExec) BELOW the shuffle — each task forwards at
+    // most n rows per stratum and the shuffle carries O(tasks × strata
+    // × n), not the corpus. Few-strata skew therefore cannot funnel the
+    // corpus through one task (pinned by PlanAssertSpec).
+    "sample_fixed_stratum" -> QueryDef.sql(
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY $LcgSql, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 50
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      documents(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(expr(LcgSql), col("doc_id"))))
+        .filter(col("rn") <= 50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ----- vocabulary build: top-K tokens by corpus frequency -----
+    // The tokenizer-training precursor: corpus-wide token counts, keep
+    // the K most frequent, assign dense ids by rank. The count is a
+    // map-side-combinable hash aggregate over exploded tokens (the only
+    // corpus-scale stage); top-K runs as TakeOrderedAndProject (heap
+    // per partition, never a full sort), and the rank window orders the
+    // already-bounded K-row result — a constant-size single partition
+    // regardless of corpus size, which is the one place a global window
+    // is legitimate.
+    "vocab_topk" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token)
+        |SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+        |FROM c QUALIFY token_id <= 1000 ORDER BY token_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val top = documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(1000)
+      top.withColumn("token_id",
+          row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+        .orderBy("token_id")
+    },
+
     // ----- training-shard assignment + balance report -----
     // Deterministic global shuffle into 16 shards (hash, not round-robin,
     // so shard membership is stable under corpus appends) and the

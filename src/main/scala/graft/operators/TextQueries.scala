@@ -284,7 +284,12 @@ object TextQueries {
     // minhash guarantees. Identical integer arithmetic on both engines.
     "dedup_minhash_lsh" -> QueryDef.sql(
       s"WITH $MinhashBandsCte\n$BandedPairsSelect\nORDER BY doc_a, doc_b") { (s, d) =>
-      bandedPairs(minhashBandsOf(documents(s, d))).orderBy("doc_a", "doc_b")
+      // localCheckpoint: bandedPairs consumes its input multiply (bucket
+      // agg, anti-join, both join sides), and this path derives the bands
+      // from a full text re-hash — materialize that once. The stored
+      // variant reads parquet instead and needs no checkpoint.
+      bandedPairs(minhashBandsOf(documents(s, d)).localCheckpoint())
+        .orderBy("doc_a", "doc_b")
     },
 
     // ----- minhash LSH candidates from the persisted signature store -----

@@ -85,6 +85,37 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(hasAgg.nonEmpty, s"expected max_by hash aggregate on vec_id:\n$plan")
   }
 
+  test("sample_fixed_stratum gets a map-side per-group limit below the shuffle") {
+    // The rank filter directly atop the window must trigger
+    // InferWindowGroupLimit: each task then forwards at most n rows per
+    // stratum, so few-strata skew cannot funnel the corpus through the
+    // per-lang window tasks.
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.CurationQueries.defs("sample_fixed_stratum").build(spark, sfDir)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit (map-side top-n per stratum):\n$planStr")
+    assert(q.count() > 0)
+  }
+
+  test("vocab_topk bounds its global window to the K-row top-k result") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.CurationQueries.defs("vocab_topk").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    // the corpus-scale stage is the hash aggregate; a TakeOrdered caps
+    // the input of the (legitimately single-partition) rank window at K
+    val planStr = plan.toString
+    assert(planStr.contains("TakeOrderedAndProject"),
+      s"top-K must be a heap take, not a full sort:\n$planStr")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(w => w.child.find {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _ => false
+    }.nonEmpty), s"rank window must sit above the bounded top-K:\n$planStr")
+  }
+
   test("j5 as-of join is one partitioned window pass — no per-row probe join") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.RelationalQueries.defs("j5_asof_join").build(spark, sfDir)
