@@ -292,6 +292,64 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ----- incremental dedup: a new batch against the EXISTING store -----
+    // THE continuous-ingestion dedup query: which incoming documents are
+    // near-dups of the corpus already ingested? The existing corpus
+    // never re-signs (its bands come straight from the persisted
+    // SignatureStore) and old×old pairs are never formed — the banded
+    // join is new×old only, so per-ingest cost is proportional to the
+    // BATCH, not the corpus. The oracle splits documents 10%/90% to
+    // model batch vs store; the degenerate-bucket guard is computed over
+    // the union so a hot bucket on either side is capped.
+    "dedup_incremental" -> QueryDef.sql(
+      s"""WITH $MinhashBandsCte,
+         |newb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+         |oldb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0)
+         |SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+         |FROM newb n JOIN oldb o ON n.band = o.band AND n.key = o.key
+         |ORDER BY new_doc, old_doc""".stripMargin) { (s, d) =>
+      val stored = SignatureStore.ensureMinhashBands(s, d)
+      val oldb = stored.filter(col("doc_id") % 10 =!= 0)
+      val newb = minhashBandsOf(documents(s, d).filter(col("doc_id") % 10 === 0))
+      // Guard on the STORE side only: corpus bucket sizes dominate at
+      // scale, and a union-wide count would re-sign the batch text once
+      // per guard consumer (the plan pin asserts the batch scans once).
+      // A batch-side hot bucket is bounded by cap × batch size.
+      val guard = broadcast(oversizedBuckets(oldb).select("band", "key"))
+      newb.join(guard, Seq("band", "key"), "left_anti")
+        .select(col("doc_id").as("new_doc"), col("band"), col("key"))
+        .join(
+          oldb.join(guard, Seq("band", "key"), "left_anti")
+            .select(col("doc_id").as("old_doc"), col("band"), col("key")),
+          Seq("band", "key"))
+        .select("new_doc", "old_doc").distinct()
+        .orderBy("new_doc", "old_doc")
+    },
+
+    // ----- token-length histogram: log2-bucketed corpus shape report -----
+    // The budgeting/outlier view a packing run consults: documents per
+    // power-of-two length bucket with per-bucket token totals. The
+    // bucket is length(bin(n)) = floor(log2 n)+1 — pure INTEGER
+    // arithmetic, bit-identical across engines (a float log2 could
+    // waver at bucket boundaries). One map-side-combinable aggregate
+    // over a stateless projection; output is ~40 rows at any scale.
+    "tokens_histogram" -> QueryDef.sql(
+      """WITH toks AS (
+        |  SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM toks GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(size(expr(toksExpr)).cast("long").as("n"))
+        .select(length(bin(col("n"))).cast("long").as("bucket"), col("n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),
+          min("n").as("min_tokens"), max("n").as("max_tokens"))
+        .orderBy("bucket")
+    },
+
     // ----- minhash LSH candidates from the persisted signature store -----
     // The 100 TB amortization: signatures are computed ONCE (a full text
     // scan + md5) and persisted band-partitioned; every subsequent dedup

@@ -116,6 +116,24 @@ class PlanAssertSpec extends SparkFunSuite {
     }.nonEmpty), s"rank window must sit above the bounded top-K:\n$planStr")
   }
 
+  test("dedup_incremental signs only the new batch — the store side is a parquet read") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.TextQueries.defs("dedup_incremental").build(spark, sfDir)
+    // count SCAN OPERATORS in the tree (a string count would also hit
+    // the dynamic-partition-pruning subquery, which reuses the probe
+    // broadcast at runtime rather than re-scanning)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    val paths = scans(q.queryExecution.sparkPlan)
+    assert(paths.count(_.contains("documents.parquet")) == 1,
+      s"expected exactly one documents scan (the new batch); got:\n${paths.mkString("\n")}")
+    assert(paths.count(_.contains("minhash_bands")) >= 1,
+      s"store side must read persisted bands:\n${paths.mkString("\n")}")
+    assert(q.count() > 0)
+  }
+
   test("j5 as-of join is one partitioned window pass — no per-row probe join") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.RelationalQueries.defs("j5_asof_join").build(spark, sfDir)
