@@ -61,7 +61,22 @@ object SignatureStore {
     * twice, and the inflated bucket counts could push a legitimate
     * bucket over the degenerate-bucket cap — silently dropping its
     * candidate pairs. The batch-only path stays a pure parquet read. */
-  def readMinhashBands(spark: SparkSession, base: String): DataFrame = {
+  def readMinhashBands(spark: SparkSession, base: String): DataFrame =
+    tryReadMinhashBands(spark, base, excludeBatch = None)
+      .getOrElse(throw new IllegalArgumentException(s"no minhash band store under $base"))
+
+  /** Bands visible to stream epoch `batchId`: everything EXCEPT that
+    * epoch's own stream append. A replayed micro-batch probing the store
+    * for duplicates must not see its own earlier (partial or complete)
+    * append, or every one of its documents would look like a duplicate
+    * of itself and the replay would emit nothing. */
+  def readMinhashBandsExcluding(spark: SparkSession, base: String, batchId: Long): DataFrame =
+    tryReadMinhashBands(spark, base, excludeBatch = Some(batchId))
+      .getOrElse(spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0).as("band"), lit(0L).as("key")).limit(0))
+
+  private def tryReadMinhashBands(spark: SparkSession, base: String,
+      excludeBatch: Option[Long]): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val hc = spark.sparkContext.hadoopConfiguration
     def hasData(dir: String): Boolean = {
@@ -77,14 +92,19 @@ object SignatureStore {
         found
       }
     }
-    def read(dir: String) = spark.read.parquet(dir)
-      .select(col("doc_id"), col("band").cast("int").as("band"), col("key"))
-    val batch = Option.when(hasData(minhashDir(base)))(read(minhashDir(base)))
-    val stream = Option.when(hasData(streamMinhashDir(base)))(read(streamMinhashDir(base)))
-    require(batch.nonEmpty || stream.nonEmpty, s"no minhash band store under $base")
-    stream match {
-      case None => batch.get
-      case Some(st) => batch.map(_.unionByName(st)).getOrElse(st).distinct()
+    def cols(df: DataFrame) =
+      df.select(col("doc_id"), col("band").cast("int").as("band"), col("key"))
+    val batch = Option.when(hasData(minhashDir(base)))(
+      cols(spark.read.parquet(minhashDir(base))))
+    val stream = Option.when(hasData(streamMinhashDir(base))) {
+      val raw = spark.read.parquet(streamMinhashDir(base))
+      cols(excludeBatch.fold(raw)(id => raw.filter(col("batch_id") =!= id)))
+    }
+    (batch, stream) match {
+      case (None, None) => None
+      case (b, None) => b
+      case (None, s) => s.map(_.distinct())
+      case (Some(b), Some(s)) => Some(b.unionByName(s).distinct())
     }
   }
 

@@ -115,6 +115,51 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamMinhashDir(storeBase))
     }
 
+  /** Streaming incremental NEAR-dedup — the continuous twin of the batch
+    * `dedup_incremental` query: each micro-batch signs its documents
+    * once, probes the persisted band store for collisions (batch×store
+    * only — the store never re-signs and store×store pairs are never
+    * formed), drops colliding documents plus within-batch collisions
+    * (conservatively: any doc colliding with a lower-id batch doc), and
+    * appends the SURVIVORS' signatures so later batches dedup against
+    * them. Per-epoch cost is proportional to the batch.
+    *
+    * Replay-safe: the store probe excludes the current epoch's own
+    * stream append ([[graft.operators.SignatureStore.readMinhashBandsExcluding]])
+    * — a replayed batch would otherwise collide with itself and emit
+    * nothing — and both sinks are `batch_id`-keyed dynamic overwrites. */
+  def dedupIncrementalStream(docs: DataFrame, base: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{SignatureStore, TextQueries}
+        val spark = batch.sparkSession
+        // sign ONCE per epoch; the bands feed the store probe, the
+        // within-batch self-join and the survivor append
+        val bands = TextQueries.minhashBandsOf(batch).localCheckpoint()
+        val stored = SignatureStore.readMinhashBandsExcluding(spark, base, batchId)
+        val dupOfStore = bands.join(stored, Seq("band", "key"))
+          .select(bands("doc_id")).distinct()
+        val dupInBatch = TextQueries.bandedPairs(bands)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val keep = batch
+          .join(dupOfStore.unionByName(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
+          .persist()
+        try {
+          keep.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$base/docs")
+          bands.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "band")
+            .parquet(SignatureStore.streamMinhashDir(base))
+        } finally keep.unpersist()
+    }
+
   /** Streaming ingest curation — the continuous twin of the batch
     * curation family, applied before anything stateful:
     *

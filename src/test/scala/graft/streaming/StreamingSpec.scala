@@ -226,6 +226,39 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup: batch probes the store, survivors extend it") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("incdedup")
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.dedupIncrementalStream(input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      val tA = "alpha beta gamma delta epsilon zeta"
+      val tB = "one two three four five six seven"
+      // batch 0: doc 3 duplicates doc 1 within the batch
+      input.addData((1L, tA), (2L, tB), (3L, tA))
+      query.processAllAvailable()
+      // batch 1: doc 4 duplicates the STORE (doc 1, from the previous
+      // epoch); doc 5 is novel
+      input.addData((4L, tA), (5L, "lorem ipsum dolor sit amet consectetur"))
+      query.processAllAvailable()
+
+      val kept = spark.read.parquet(s"$base/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 5L))
+      // the store holds exactly the survivors' signatures
+      val stored = graft.operators.SignatureStore.readMinhashBands(spark, base)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(stored == Set(1L, 2L, 5L))
+      // replay safety: an epoch probing the store must not see its own
+      // append — excluding epoch 0 leaves only epoch 1's survivor
+      val excl = graft.operators.SignatureStore
+        .readMinhashBandsExcluding(spark, base, 0L)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(excl == Set(5L))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
