@@ -41,6 +41,21 @@ object Bench {
     // (the fixpoint itself is timed live by dedup_clusters)
     operators.SignatureStore.ensureClusters(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    // and the simhash / IVF artifacts behind the other two stored paths
+    // (their live builds are timed by dedup_simhash / ann_ivf)
+    operators.SignatureStore.ensureSimhash(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    locally {
+      val e = graft.util.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
+          org.apache.spark.sql.functions.col("embedding").as("cv"))
+      operators.SignatureStore.ensureIvfAssignments(spark, sfDir,
+        () => operators.VectorQueries.ivfAssign(e, centroids)).write
+        .format("noop").mode("overwrite").save()
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n))

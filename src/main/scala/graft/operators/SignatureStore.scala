@@ -156,6 +156,36 @@ object SignatureStore {
     readMinhashBands(spark, base)
   }
 
+  /** Simhash signature table for `sfDir`, building the store on first
+    * use (one [[write]] persists both sketch families). */
+  def ensureSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${simhashDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) write(spark, sfDir, base)
+    readSimhash(spark, base)
+  }
+
+  def ivfDir(base: String) = s"$base/ivf_assign"
+
+  /** Persisted IVF assignment table (vec_id, cent_id) for `sfDir` — the
+    * vector-side amortization: nearest-centroid assignment is the IVF
+    * build cost (16 broadcast dots × corpus) and changes only when the
+    * corpus or quantizer changes; search runs probe ONLY against this
+    * artifact. Built via the same max_by-aggregate shape `ann_ivf`
+    * times live. */
+  def ensureIvfAssignments(spark: SparkSession, sfDir: String,
+      build: () => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${ivfDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      build().write.mode("overwrite").parquet(ivfDir(base))
+    spark.read.parquet(ivfDir(base))
+  }
+
   def clustersDir(base: String) = s"$base/clusters"
 
   /** Near-dup cluster assignments (doc_id, cluster_id) for `sfDir`,

@@ -115,6 +115,43 @@ object TextQueries {
     agged.select(col("doc_id"), sigCol.as("sig"))
   }
 
+  /** Banded hamming-join candidates from a (doc_id, sig) simhash table —
+    * 4 bands × 15 bits, pairs colliding in ≥1 band kept when full-width
+    * hamming ≤ 3. Shared by the live query and the persisted-store
+    * variant so the two paths cannot diverge. */
+  def simhashPairs(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = sig.select(
+      col("doc_id"), col("sig"),
+      expr("posexplode(transform(sequence(0, 3), b -> shiftright(sig, b * 15) & 32767L)) AS (band, key)"))
+      .select("doc_id", "sig", "band", "key")
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** The simhash oracle, shared verbatim by the live and stored queries. */
+  private def SimhashOracleSql(duckVotes: String, duckSig: String, duckBands: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $duckVotes
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $duckSig AS sig FROM votes),
+       |bands AS (
+       |  $duckBands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Degenerate-bucket cap for LSH self-joins: a single hot bucket of n
     * members emits n(n−1)/2 pairs, so ONE boilerplate signature shared by
     * 10⁶ near-empty documents would make the band join quadratic. Buckets
@@ -516,36 +553,26 @@ object TextQueries {
       val duckBands = (0 until 4).map(b =>
         s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 15}) & 32767 AS key FROM sig")
         .mkString("\n  UNION ALL ")
-      QueryDef.sql(
-        s"""WITH toks AS (
-           |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
-           |  FROM documents),
-           |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
-           |votes AS (
-           |  SELECT doc_id,
-           |    $duckVotes
-           |  FROM h GROUP BY doc_id),
-           |sig AS (SELECT doc_id, $duckSig AS sig FROM votes),
-           |bands AS (
-           |  $duckBands)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-           |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-           |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-        val sig = simhashSigsOf(documents(s, d))
-        val bands = sig.select(
-          col("doc_id"), col("sig"),
-          expr("posexplode(transform(sequence(0, 3), b -> shiftright(sig, b * 15) & 32767L)) AS (band, key)"))
-          .select("doc_id", "sig", "band", "key")
-        val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("key"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("key"))
-        a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy("doc_a", "doc_b")
+      QueryDef.sql(SimhashOracleSql(duckVotes, duckSig, duckBands)) { (s, d) =>
+        simhashPairs(simhashSigsOf(documents(s, d))).orderBy("doc_a", "doc_b")
+      }
+    },
+
+    // ----- simhash candidates from the persisted signature store -----
+    // The simhash twin of dedup_minhash_lsh_stored: 60-bit signatures are
+    // computed once (SignatureStore.write persists both sketch families)
+    // and any banding scheme re-derives from `sig` without touching
+    // text. Same oracle as the live query — stored must be bit-identical.
+    "dedup_simhash_stored" -> {
+      val duckVotes = (0 until 60).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
+      val duckSig = (0 until 60).map(j =>
+        s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+      val duckBands = (0 until 4).map(b =>
+        s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 15}) & 32767 AS key FROM sig")
+        .mkString("\n  UNION ALL ")
+      QueryDef.sql(SimhashOracleSql(duckVotes, duckSig, duckBands)) { (s, d) =>
+        simhashPairs(SignatureStore.ensureSimhash(s, d)).orderBy("doc_a", "doc_b")
       }
     },
 

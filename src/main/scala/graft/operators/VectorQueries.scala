@@ -97,20 +97,29 @@ object VectorQueries {
     * cosine. Centroid side is broadcast (bucket-count cardinality); the
     * search itself is an equi-join on cent_id — never all-pairs. Shared
     * by the `ann_ivf` query and IvfRecallSpec. */
-  def ivfTopK(e: DataFrame, centroids: DataFrame, queries: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
-    // Nearest-centroid assignment via max_by AGGREGATION, not a
-    // row_number window: the window would sort-shuffle the full
-    // 16×-amplified corpus, while the hash aggregate is map-side
-    // combinable — each task collapses its amplified slice to one row
-    // per vec_id before the (single-row-per-vector) shuffle. Tie-break
-    // matches the oracle's (score DESC, cent_id ASC) via
-    // max(struct(score, -cent_id)).
-    val assign = e.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment via max_by AGGREGATION, not a
+    * row_number window: the window would sort-shuffle the full
+    * 16×-amplified corpus, while the hash aggregate is map-side
+    * combinable — each task collapses its amplified slice to one row
+    * per vec_id before the (single-row-per-vector) shuffle. Tie-break
+    * matches the oracle's (score DESC, cent_id ASC) via
+    * max(struct(score, -cent_id)). This is the IVF build cost — the
+    * persisted artifact at 100 TB ([[graft.operators.SignatureStore.ensureIvfAssignments]]). */
+  def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"),
         struct(score("embedding", "cv"), -col("cent_id"))).as("cent_id"))
       .select("vec_id", "cent_id")
+
+  def ivfTopK(e: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame =
+    ivfSearch(ivfAssign(e, centroids), e, centroids, queries, nprobe, k)
+
+  /** IVF probe+rank against an assignment table (live-built or read from
+    * the persisted store — the two must be bit-identical). */
+  def ivfSearch(assign: DataFrame, e: DataFrame, centroids: DataFrame,
+      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val probeRn = Window.partitionBy(col("qid"))
       .orderBy(score("qv", "cv").desc, col("cent_id"))
     val probes = queries.crossJoin(broadcast(centroids))
@@ -129,6 +138,34 @@ object VectorQueries {
       .filter(col("rn") <= k)
       .select("qid", "cid", "score")
   }
+
+  /** The IVF oracle, shared verbatim by the live and stored queries. */
+  private val IvfOracleSql: String =
+    """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+      |           FROM embeddings ORDER BY vec_id LIMIT 16),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+      |    FROM e, c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+      |probes AS (
+      |  SELECT qid, cent_id FROM (
+      |    SELECT q.qid, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+      |    FROM q, c) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.qid, a.vec_id AS cid
+      |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      |  WHERE a.vec_id <> p.qid)
+      |SELECT cand.qid, cand.cid,
+      |  round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+      |FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.cid
+      |QUALIFY row_number() OVER (PARTITION BY cand.qid ORDER BY score DESC, cid) <= 3
+      |ORDER BY qid, cid""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -172,38 +209,31 @@ object VectorQueries {
     // no all-pairs product, and the assignment table is the persisted
     // artifact at 100 TB. Recall on clustered data is pinned by
     // IvfRecallSpec.
-    "ann_ivf" -> QueryDef.sql(
-      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-        |           FROM embeddings ORDER BY vec_id LIMIT 16),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |assign AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT e.vec_id, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
-        |    FROM e, c) WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
-        |probes AS (
-        |  SELECT qid, cent_id FROM (
-        |    SELECT q.qid, c.cent_id,
-        |      row_number() OVER (PARTITION BY q.qid
-        |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
-        |    FROM q, c) WHERE rn <= 2),
-        |cand AS (
-        |  SELECT p.qid, a.vec_id AS cid
-        |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
-        |  WHERE a.vec_id <> p.qid)
-        |SELECT cand.qid, cand.cid,
-        |  round(list_cosine_similarity(qe.v, ce.v), 6) AS score
-        |FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.cid
-        |QUALIFY row_number() OVER (PARTITION BY cand.qid ORDER BY score DESC, cid) <= 3
-        |ORDER BY qid, cid""".stripMargin) { (s, d) =>
+    "ann_ivf" -> QueryDef.sql(IvfOracleSql) { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val centroids = e.orderBy("vec_id").limit(16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ivfTopK(e, centroids, queries, nprobe = 2, k = 3).orderBy("qid", "cid")
+    },
+
+    // ----- IVF search against the PERSISTED assignment table -----
+    // The vector-side amortization twin of dedup_minhash_lsh_stored:
+    // the 16×-corpus assignment dots are the IVF build cost, computed
+    // once and persisted; every search run is a broadcast probe +
+    // equi-join against the parquet artifact — no corpus-wide scoring.
+    // Same oracle as ann_ivf: stored must be bit-identical to live.
+    "ann_ivf_stored" -> QueryDef.sql(IvfOracleSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assign = graft.operators.SignatureStore.ensureIvfAssignments(
+        s, d, () => ivfAssign(e, centroids))
+      ivfSearch(assign, e, centroids, queries, nprobe = 2, k = 3)
+        .orderBy("qid", "cid")
     },
 
     // ----- embedding-cosine near-dup pairs (threshold on rounded score) -----
