@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   /** Lower-cased whitespace tokens (Spark-side builder). */
-  private val toksExpr = "split(trim(lower(text)), '\\\\s+')"
+  private[operators] val toksExpr = "split(trim(lower(text)), '\\\\s+')"
 
   /** Spread a small-file scan across all cores BEFORE row-exploding
     * work: a few-MB documents table arrives as ONE input split, which
@@ -574,6 +574,64 @@ object TextQueries {
       QueryDef.sql(SimhashOracleSql(duckVotes, duckSig, duckBands)) { (s, d) =>
         simhashPairs(SignatureStore.ensureSimhash(s, d)).orderBy("doc_a", "doc_b")
       }
+    },
+
+    // ----- substring-level dedup: duplicated token-8-gram spans -----
+    // The sequence-level pass document-level dedup misses ("Deduplicating
+    // Training Data Makes Language Models Better", Lee et al. 2022):
+    // boilerplate shared ACROSS otherwise-distinct documents. Every token
+    // 8-gram is hashed with its position; grams seen in >1 distinct doc
+    // mark their token coverage [pos, pos+7] as duplicated, and
+    // overlapping/adjacent coverage merges into maximal spans
+    // (gaps-and-islands over a doc-partitioned window). Scale shape: the
+    // gram table is corpus-token cardinality but every stage is keyed —
+    // distinct + count partial-aggregate on the gram hash, the flagging
+    // join is a semi-join on the same key, and the island windows
+    // partition by doc_id — no global funnel anywhere. Downstream can cut
+    // the spans out of each doc or drop heavy-overlap docs entirely.
+    "dedup_substring_spans" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i)
+        |      WHERE len(toks) >= 8),
+        |d AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram HAVING count(*) > 1),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM p),
+        |isl AS (SELECT doc_id, pos,
+        |        CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+        |      FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val t = spread(documents(s, d))
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) >= 8)
+      val g = t
+        .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 7)")).as("pos"), col("toks"))
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(8))).cast("binary")).as("gram"))
+      val dup = g.select("gram", "doc_id").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select("gram")
+      val p = g.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos")
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      p.withColumn("prev_end", max(col("pos") + 7).over(wPrev))
+        .withColumn("island",
+          sum(when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+            .otherwise(0L)).over(wRun))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min("pos").cast("long").as("span_start"),
+          (max(col("pos")) + 7).cast("long").as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .orderBy("doc_id", "span_start")
     },
 
     // ----- token counting -----

@@ -62,6 +62,28 @@ object Scale {
     (ranged, offsets)
   }
 
+  /** Distributed global row_number over `sortExprs` via [[rangedOffsets]]:
+    * range-partition on the sort keys, rank locally per partition, add the
+    * broadcast exclusive prefix offset. No single-partition WindowExec —
+    * the plan survives corpora where a global `Window.orderBy` would
+    * funnel every row through one task. Returns the ranked frame (rank is
+    * 1-based, LongType) plus the total row count (free: the per-partition
+    * totals are already on the driver). */
+  def globalRowNumber(df: DataFrame, sortExprs: Seq[Column], rankCol: String)
+      : (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val (ranged, offsets) = rangedOffsets(df, sortExprs, lit(1L))
+    val local = Window.partitionBy("_pid").orderBy(sortExprs: _*)
+    val total = ranged.groupBy("_pid").agg(count(lit(1)).as("_t"))
+      .agg(sum("_t")).collect()(0).getLong(0)
+    val ranked = ranged
+      .withColumn(rankCol,
+        row_number().over(local).cast("long") +
+          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
+      .drop("_pid")
+    (ranked, total)
+  }
+
   /** Broadcast-salted join for a skewed fact⋈dim join where the dim side
     * is too big to broadcast whole but a FEW keys are hot: replicate the
     * dim rows for hot keys `salts` times, salt the fact side randomly —
