@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotF32
+import graft.functions.{DotF32, MaxBigramRun}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "dot_f32 takes exactly 2 arguments")
         DotF32(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("max_bigram_run"),
+      new ExpressionInfo(classOf[MaxBigramRun].getName, "max_bigram_run"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "max_bigram_run takes exactly 1 argument")
+        MaxBigramRun(children.head)
       }))
   }
 }

@@ -143,7 +143,7 @@ final class CubePlanner(config: CubeConfig) {
     val sortExprs = Seq(
       to_date(col("acquisition_date"), "yyyyMMdd").asc_nulls_last,
       col("product_file").asc_nulls_last)
-    val (ranged, offsets) = graft.util.Scale.rangedOffsets(df, sortExprs, lit(1L))
+    val (ranged, offsets, _) = graft.util.Scale.rangedOffsets(df, sortExprs, lit(1L))
     val local = Window.partitionBy("_pid").orderBy(sortExprs: _*)
     ranged
       .withColumn("band_time", to_timestamp(col("acquisition_date"), "yyyyMMdd"))

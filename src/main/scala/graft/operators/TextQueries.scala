@@ -34,24 +34,16 @@ object TextQueries {
   def fingerprintCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(regexp_replace(trim(lower(c)), "\\s+", " ").cast("binary"))
 
-  /** Max bigram count of a token-array column, computed PER ROW: sort the
-    * bigram array, then the longest equal-adjacent run is the count of the
-    * most frequent bigram. Replaces the explode → groupBy(doc, bigram) →
-    * groupBy(doc) shape, whose two shuffles carry every distinct bigram of
-    * the corpus — this is a stateless projection pipelined into the scan
-    * (per-row cost O(k log k) in document tokens, the explode shape's
-    * in-memory cost anyway). Requires size(tk) >= 2. */
-  private[operators] def maxBigramRunSql(tk: String) =
-    s"""aggregate(
-       |  sort_array(transform(sequence(1, size($tk) - 1),
-       |    i -> concat(element_at($tk, i), ' ', element_at($tk, i + 1)))),
-       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'maxr', 0L),
-       |  (acc, x) -> named_struct(
-       |    'prev', x,
-       |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
-       |    'maxr', greatest(acc.maxr,
-       |      IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
-       |  acc -> acc.maxr)""".stripMargin
+  /** Max bigram count of a token-array column, computed PER ROW by the
+    * native codegen expression [[graft.functions.MaxBigramRun]]. Replaces
+    * the explode → groupBy(doc, bigram) → groupBy(doc) shape, whose two
+    * shuffles carry every distinct bigram of the corpus — this is a
+    * stateless projection pipelined into the scan (per-row cost
+    * O(k log k) in document tokens). An earlier higher-order-function
+    * formulation of the same sorted-run idea was CodegenFallback —
+    * interpreted lambda dispatch per element, ~500× slower per row. */
+  private[graft] def maxBigramRun(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MaxBigramRun.max_bigram_run(tk)
 
   /** doc_id + exploded 5-gram shingles. Explode → groupBy partial-agg is
     * the codegen-friendly (and 100 TB-friendly) shape: no per-row arrays,
@@ -124,6 +116,9 @@ object TextQueries {
       col("doc_id"), col("sig"),
       expr("posexplode(transform(sequence(0, 3), b -> shiftright(sig, b * 15) & 32767L)) AS (band, key)"))
       .select("doc_id", "sig", "band", "key")
+      // localCheckpoint: the banded self-join consumes `bands` twice — on
+      // the live path that would re-run the whole vote aggregation per side.
+      .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
@@ -245,7 +240,7 @@ object TextQueries {
     * passes see identical pids AND the upstream pipeline (clustering +
     * quality gate) runs once, not twice. */
   def cumulativeTokens(keep: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val (ranged, offsets) = graft.util.Scale.rangedOffsets(
+    val (ranged, offsets, _) = graft.util.Scale.rangedOffsets(
       keep, Seq(col("doc_id")), col("n_tokens"))
     val local = Window.partitionBy("_pid").orderBy("doc_id")
     ranged
@@ -307,8 +302,11 @@ object TextQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // localCheckpoint: the self-join consumes sig twice; without it the
+      // corpus-wide explode+md5+groupBy runs once per side.
       val sig = shingled(s, d).groupBy(col("doc_id"))
         .agg(min(md5(col("shingle").cast("binary"))).as("sig"))
+        .localCheckpoint()
       val a = sig.select(col("doc_id").as("doc_a"), col("sig"))
       val b = sig.select(col("doc_id").as("doc_b"), col("sig"))
       a.join(b, Seq("sig")).filter(col("doc_a") < col("doc_b"))
@@ -521,10 +519,15 @@ object TextQueries {
         .select(col("doc_id"),
           explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"), col("text"))
         .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
+      // localCheckpoint: docSets feeds FOUR consumers (both candidate
+      // join sides, both set-attach joins); without it the corpus-wide
+      // shingle explode + collect_set aggregation re-runs per consumer
+      // (measured: the two agg stages dominated the query at local[32]).
       val docSets = sh.groupBy(col("doc_id")).agg(
         sort_array(collect_set(col("shingle"))).as("shs"),
         min(md5(col("shingle").cast("binary"))).as("s1"),
         min(md5(concat(lit("x"), col("shingle")).cast("binary"))).as("s2"))
+        .localCheckpoint()
       val cand = docSets.select(col("doc_id").as("doc_a"), col("s1"), col("s2"))
         .join(docSets.select(col("doc_id").as("doc_b"), col("s1"), col("s2")), Seq("s1", "s2"))
         .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
@@ -611,10 +614,15 @@ object TextQueries {
       val t = spread(documents(s, d))
         .withColumn("toks", expr(toksExpr))
         .filter(size(col("toks")) >= 8)
+      // The gram table (spread + explode + md5 per token 8-gram) feeds BOTH
+      // the duplicate-gram aggregate and the flagging semi-join;
+      // localCheckpoint materializes the heaviest stage once instead of
+      // recomputing it per consumer.
       val g = t
         .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 7)")).as("pos"), col("toks"))
         .select(col("doc_id"), col("pos"),
           md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(8))).cast("binary")).as("gram"))
+        .localCheckpoint()
       val dup = g.select("gram", "doc_id").distinct()
         .groupBy("gram").agg(count(lit(1)).as("nd"))
         .filter(col("nd") > 1).select("gram")
@@ -726,7 +734,7 @@ object TextQueries {
         .select(
           col("doc_id"),
           (size(col("toks")) - 1).cast("long").as("n_bigrams"),
-          expr(maxBigramRunSql("toks")).as("max_rep"))
+          maxBigramRun(col("toks")).as("max_rep"))
         .withColumn("rep_ratio",
           round(col("max_rep").cast("double") / col("n_bigrams"), 6))
         .orderBy("doc_id")

@@ -48,7 +48,7 @@ object VectorQueries {
     * sharding): float→double per element, sequential i=0..63 fold,
     * round(…,6). */
   private def blockedAllPairs(s: SparkSession, d: String, threshold: Double,
-      blockSize: Int = 1024): DataFrame = {
+      blockSize: Int = 512): DataFrame = {
     import s.implicits._
     // Integral `div`, NOT `/`: Spark's `/` on a long column is double
     // division, and the double→int cast saturates — every huge vec_id

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev profiler: times corpus_pipeline_full (and any query passed as
+  * args) with a slow-stage listener, so a stage-level regression (like
+  * the r3→r4 local[32] blowup) can be attributed instead of guessed at.
+  * Not part of the driver contract. */
+object ProfilePipeline {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val s = graft.util.SparkUtil.local("profile")
+    import graft.operators.SignatureStore
+
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val dur = (for {st <- i.submissionTime; en <- i.completionTime} yield en - st).getOrElse(-1L)
+        if (dur > 1500) {
+          val m = i.taskMetrics
+          println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d ${dur / 1e3}%7.2f s " +
+            f"run=${m.executorRunTime / 1e3}%6.2f cpu=${m.executorCpuTime / 1e9}%6.2f " +
+            f"gc=${m.jvmGCTime / 1e3}%5.2f")
+          println("[stage-rdds] " + i.rddInfos.map(r =>
+            s"${r.name}@${r.scope.map(_.name).getOrElse("?")}").mkString(" | ").take(400))
+        }
+      }
+    })
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup + store build (mirrors Bench)
+    noop(graft.SparkEntry.queries("q1_agg")(s, d))
+    noop(SignatureStore.ensureMinhashBands(s, d))
+    noop(SignatureStore.ensureClusters(s, d))
+    noop(SignatureStore.ensureSimhash(s, d))
+
+    val names = if (args.nonEmpty) args.toSeq else Seq("corpus_pipeline_full")
+    for (n <- names; r <- 1 to 2)
+      time(s"$n #$r")(noop(graft.SparkEntry.queries(n)(s, d)))
+    s.stop()
+  }
+}

@@ -48,18 +48,21 @@ object Scale {
     * offsets per pid. Callers apply a window PARTITIONED by `_pid` and
     * add `element_at(typedlit(offsets), col("_pid"))`. `localCheckpoint`
     * pins the partitioning so both passes see identical pids and the
-    * upstream pipeline runs once. */
+    * upstream pipeline runs once. The grand total of `weight` rides along
+    * (it falls out of the per-partition totals — no extra job). */
   def rangedOffsets(df: DataFrame, sortExprs: Seq[Column], weight: Column)
-      : (DataFrame, Map[Int, Long]) = {
+      : (DataFrame, Map[Int, Long], Long) = {
     val parts = df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(parts, sortExprs: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    val totals = ranged.groupBy("_pid").agg(sum(weight).as("_t"))
+    // coalesce: a partition whose weights are all null must count as 0,
+    // not NPE on getLong.
+    val totals = ranged.groupBy("_pid").agg(coalesce(sum(weight), lit(0L)).as("_t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (pid, t) => val o = acc; acc += t; pid -> o }.toMap
-    (ranged, offsets)
+    (ranged, offsets, acc)
   }
 
   /** Distributed global row_number over `sortExprs` via [[rangedOffsets]]:
@@ -72,10 +75,8 @@ object Scale {
   def globalRowNumber(df: DataFrame, sortExprs: Seq[Column], rankCol: String)
       : (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
-    val (ranged, offsets) = rangedOffsets(df, sortExprs, lit(1L))
+    val (ranged, offsets, total) = rangedOffsets(df, sortExprs, lit(1L))
     val local = Window.partitionBy("_pid").orderBy(sortExprs: _*)
-    val total = ranged.groupBy("_pid").agg(count(lit(1)).as("_t"))
-      .agg(sum("_t")).collect()(0).getLong(0)
     val ranked = ranged
       .withColumn(rankCol,
         row_number().over(local).cast("long") +

@@ -1,13 +1,14 @@
 package graft.operators
 
 import graft.SparkFunSuite
+import graft.functions.MaxBigramRun.max_bigram_run
 import org.apache.spark.sql.functions._
 
-/** The per-row top-bigram computation behind text_repetition: the
-  * sorted-array longest-equal-run must agree exactly with naive bigram
-  * counting, and the query plan must stay a stateless projection (the
-  * point of the rewrite — at 100 TB the alternative shuffles every
-  * distinct bigram of the corpus twice). */
+/** The per-row top-bigram computation behind text_repetition: the native
+  * [[graft.functions.MaxBigramRun]] expression must agree exactly with
+  * naive bigram counting, and the query plan must stay a stateless
+  * projection (the point of the rewrite — at 100 TB the alternative
+  * shuffles every distinct bigram of the corpus twice). */
 class RepetitionSpec extends SparkFunSuite {
   import spark.implicits._
 
@@ -15,7 +16,7 @@ class RepetitionSpec extends SparkFunSuite {
     toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
       .toSeq.groupBy(identity).values.map(_.size.toLong).max
 
-  test("sorted-run max equals naive bigram counting on randomized docs") {
+  test("native max_bigram_run equals naive bigram counting on randomized docs") {
     val rng = new scala.util.Random(42)
     // small vocab forces heavy bigram collisions; tokens containing the
     // join separator exercise the same space-concat convention the
@@ -27,20 +28,38 @@ class RepetitionSpec extends SparkFunSuite {
     }
     val expected = docs.map { case (id, tk) => id -> naiveMaxCount(tk) }.toMap
     val got = docs.toDF("doc_id", "tk")
-      .select(col("doc_id"), expr(TextQueries.maxBigramRunSql("tk")).as("max_rep"))
+      .select(col("doc_id"), max_bigram_run(col("tk")).as("max_rep"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
 
-  test("degenerate docs: 2 tokens, all-equal tokens, no repeats") {
+  test("degenerate docs: 2 tokens, all-equal tokens, no repeats, too-short") {
     val docs = Seq(
       (1L, Seq("x", "y")),          // one bigram
       (2L, Seq("x", "x", "x", "x")), // "x x" three times
-      (3L, Seq("a", "b", "c", "d"))  // all distinct bigrams
+      (3L, Seq("a", "b", "c", "d")), // all distinct bigrams
+      (4L, Seq("solo")),             // no bigram possible
+      (5L, Seq.empty[String])        // empty array
     ).toDF("doc_id", "tk")
-    val got = docs.select(col("doc_id"), expr(TextQueries.maxBigramRunSql("tk")).as("m"))
+    val got = docs.select(col("doc_id"), max_bigram_run(col("tk")).as("m"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 1L))
+    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("max_bigram_run works from plain SQL and stays codegen (no Filter fallback)") {
+    val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("doc_id", "tk")
+    df.createOrReplaceTempView("mbr_docs")
+    val viaSql = spark.sql("SELECT max_bigram_run(tk) AS m FROM mbr_docs").collect()
+    assert(viaSql.head.getLong(0) == 2L)
+    // the expression must not break whole-stage codegen: a projection
+    // using it compiles into a WholeStageCodegen stage (a range source,
+    // not local rows — LocalTableScan would constant-fold the plan away)
+    val ranged = spark.range(8)
+      .select(max_bigram_run(split(concat_ws(" ", lit("a"), lit("b"), col("id")), " ")))
+    val plan = ranged.queryExecution.executedPlan
+    // "*(n)" is the WholeStageCodegen marker in the plan's simpleString
+    assert(plan.toString.contains("*(1)"), s"expected codegen:\n$plan")
+    assert(ranged.collect().forall(_.getLong(0) == 1L))
   }
 
   test("text_repetition plan is aggregate-free (no bigram reaches a shuffle)") {
