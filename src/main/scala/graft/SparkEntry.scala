@@ -14,6 +14,7 @@ object SparkEntry {
       operators.TextQueries.defs ++
       operators.VectorQueries.defs ++
       operators.CurationQueries.defs ++
+      operators.SearchQueries.defs ++
       operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

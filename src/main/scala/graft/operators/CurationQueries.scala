@@ -440,5 +440,48 @@ object CurationQueries {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("shard_id")
     },
+
+    // ----- mixture re-weighting: temperature-style source sampling -----
+    // The Pile/LLaMA-style mixture step: small sources are up-weighted
+    // relative to the largest by sampling source s at rate
+    // sqrt(tokens_s / tokens_max) (temperature T=2 on the token share),
+    // so the biggest source keeps everything and a 1% source keeps 10%
+    // relative head-room. Scale shape: the per-source token sums are one
+    // map-side-combinable aggregate (source-count cardinality), the rate
+    // table broadcasts, and the keep decision is stateless per-row LCG
+    // arithmetic — the corpus never shuffles. Cross-engine exactness:
+    // the rate chain is max/sqrt/divide/floor only (no pow, no log, no
+    // float SUM), every step a correctly-rounded IEEE op with an
+    // identical expression tree on both engines. Null-source docs are
+    // out of scope of a source mixture and excluded.
+    "mix_temperature" -> QueryDef.sql(
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS toks
+         |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+         |m AS (SELECT max(toks) AS mx FROM t),
+         |r AS (
+         |  SELECT source,
+         |    CAST(floor(1000.0 * sqrt(CAST(toks AS DOUBLE) / CAST(mx AS DOUBLE))) AS BIGINT) AS permille
+         |  FROM t, m)
+         |SELECT d.doc_id, d.source, r.permille
+         |FROM documents d JOIN r ON r.source = d.source
+         |WHERE $LcgSql % 1000 < r.permille
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val bySource = docs.filter(col("source").isNotNull)
+        .select(col("source"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("toks"))
+      val mx = bySource.agg(max("toks").as("mx"))
+      val rates = bySource.crossJoin(broadcast(mx))
+        .select(col("source"),
+          floor(lit(1000.0) * sqrt(col("toks").cast("double") / col("mx").cast("double")))
+            .cast("long").as("permille"))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(expr(s"$LcgSql % 1000") < col("permille"))
+        .select("doc_id", "source", "permille")
+        .orderBy("doc_id")
+    },
   )
 }

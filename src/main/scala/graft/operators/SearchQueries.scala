@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the `documents` corpus — the search side of a
+  * training-data pipeline (eval-set leak hunting, targeted corpus
+  * inspection, nearest-duplicate triage by content rather than sketch).
+  *
+  * Scale posture: the only corpus-scale stages are per-row projections
+  * and ONE map-side-combinable (doc, token) aggregate that is pruned to
+  * the broadcast query vocabulary BEFORE the shuffle — document
+  * frequencies, scores, and ranking all run on the matched sliver.
+  *
+  * Cross-engine exactness (the reason the scoring looks the way it
+  * does): every scalar is built from +, −, ×, ÷, floor on doubles —
+  * correctly-rounded IEEE ops with identical expression trees on both
+  * engines — then per-term contributions are scaled to integers BEFORE
+  * the summation, so float sum ORDER can never flip a rank. The idf is
+  * the log-free rational surrogate (N − df + ½)/(df + ½) (the argument
+  * of the canonical BM25 log): `ln` is a libm call whose last ULP is
+  * not contractual across engines, and a monotone weight serves the
+  * same purpose for ranking.
+  */
+object SearchQueries {
+
+  /** k1 = 1.2, b = 0.75 — the standard BM25 constants. */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- BM25 top-k: eval-set queries against the train corpus -----
+    // Query docs are the decontamination eval set (doc_id % 97 = 0, the
+    // same convention as decontaminate_ngram); each query's terms are
+    // its distinct tokens, the corpus is everything else, and the result
+    // is the k=5 highest-scoring documents per query.
+    "bm25_search" -> QueryDef.sql(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |qd AS (
+         |  SELECT doc_id AS qid, string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |qt AS (SELECT DISTINCT qid, unnest(tk) AS token FROM qd),
+         |ct AS (SELECT doc_id, unnest(tk) AS token FROM corpus),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM corpus),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(tk)) AS BIGINT) AS total
+         |  FROM corpus),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ct
+         |  WHERE token IN (SELECT token FROM qt) GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |contrib AS (
+         |  SELECT q.qid, t.doc_id,
+         |    CAST(floor(1000000.0 *
+         |      ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+         |      ((CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
+         |       (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} + $B *
+         |        (CAST(l.dl AS DOUBLE) / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+         |    ) AS BIGINT) AS c
+         |  FROM qt q
+         |  JOIN tf t ON t.token = q.token
+         |  JOIN df f ON f.token = q.token
+         |  JOIN dl l ON l.doc_id = t.doc_id, stats s),
+         |score AS (
+         |  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score
+         |  FROM contrib GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, score FROM score
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5
+         |ORDER BY qid, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val corpus = TextQueries.spread(docs.filter(col("doc_id") % 97 =!= 0))
+        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+        .select("doc_id", "tk")
+      val qt = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .distinct()
+      val ct = corpus.select(col("doc_id"), explode(col("tk")).as("token"))
+      val dl = corpus.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      val stats = corpus.agg(
+        count(lit(1)).as("n"), sum(size(col("tk"))).cast("long").as("total"))
+      // Prune corpus tokens to the (broadcast) query vocabulary BEFORE
+      // aggregating: the (doc, token) shuffle carries only terms some
+      // query mentions, not the corpus vocabulary.
+      val tf = ct.join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val tfPart = (col("tf").cast("double") * lit(K1 + 1.0)) /
+        (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) *
+          (col("dl").cast("double") / (col("total").cast("double") / col("n").cast("double")))))
+      val contrib = broadcast(qt).join(tf, Seq("token"))
+        .join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("qid"), col("doc_id"),
+          floor(lit(1000000.0) * idf * tfPart).cast("long").as("c"))
+      val topRn = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))
+      contrib.groupBy("qid", "doc_id").agg(sum("c").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") <= 5)
+        .select("qid", "doc_id", "score")
+        .orderBy("qid", "doc_id")
+    },
+  )
+}

@@ -297,6 +297,57 @@ object VectorQueries {
       }
     },
 
+    // ----- semantic dedup (SemDeDup-style): cluster, then dedup within -----
+    // Abbas et al. 2023: embedding-space near-dups are found by k-means
+    // clustering the corpus and comparing pairs ONLY within a cluster —
+    // the quadratic all-pairs product shrinks to per-cluster blocks.
+    // A vector is DROPPED when a lower-id member of its cluster is more
+    // similar than the threshold. Scale shape: assignment is the same
+    // broadcast max_by aggregate as ann_ivf; the pair generation is an
+    // equi-join on cent_id (cluster count grows with the corpus at a
+    // fixed target cluster size, so per-cluster blocks stay bounded —
+    // this is THE scalable complement to dedup_embedding_cosine's exact
+    // blocked baseline). Same deterministic centroids + rounded-cosine
+    // conventions as the rest of the vector family.
+    "dedup_semantic" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.cent_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM assign a JOIN assign b
+        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+        |SELECT DISTINCT p.vec_b AS vec_id, p.cent_id
+        |FROM pairs p
+        |JOIN e ea ON ea.vec_id = p.vec_a
+        |JOIN e eb ON eb.vec_id = p.vec_b
+        |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) > 0.4
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      // localCheckpoint: the within-cluster self-join consumes the
+      // assigned-and-armed table twice; without it the broadcast
+      // assignment aggregate would run once per side.
+      val assigned = ivfAssign(e, centroids).join(e, Seq("vec_id"))
+        .localCheckpoint()
+      val a = assigned.select(col("cent_id"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"))
+      val b = assigned.select(col("cent_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"))
+      a.join(b, Seq("cent_id")).filter(col("vec_a") < col("vec_b"))
+        .filter(score("va", "vb") > 0.4)
+        .select(col("vec_b").as("vec_id"), col("cent_id"))
+        .distinct()
+        .orderBy("vec_id")
+    },
+
     // ----- one Lloyd iteration: recompute IVF centroids at scale -----
     // The training step behind the IVF index: assign every vector to its
     // nearest centroid (the same broadcast + max_by aggregate shape as

@@ -98,22 +98,20 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
-  test("vocab_topk bounds its global window to the K-row top-k result") {
+  test("vocab_topk is windowless: heap top-K + partition-local rank") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.CurationQueries.defs("vocab_topk").build(spark, sfDir)
     val plan = q.queryExecution.sparkPlan
     // the corpus-scale stage is the hash aggregate; a TakeOrdered caps
-    // the input of the (legitimately single-partition) rank window at K
+    // the result at K, and the rank is a sort + row offset within that
+    // single bounded partition — no WindowExec anywhere in the plan
     val planStr = plan.toString
     assert(planStr.contains("TakeOrderedAndProject"),
       s"top-K must be a heap take, not a full sort:\n$planStr")
     val windows = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.forall(w => w.child.find {
-      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
-      case _ => false
-    }.nonEmpty), s"rank window must sit above the bounded top-K:\n$planStr")
+    assert(windows.isEmpty, s"rank must not need a window:\n$planStr")
   }
 
   test("dedup_incremental signs only the new batch — the store side is a parquet read") {
