@@ -80,15 +80,17 @@ object SearchQueries {
         .select(col("doc_id").as("qid"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
         .distinct()
-      val ct = corpus.select(col("doc_id"), explode(col("tk")).as("token"))
-      val dl = corpus.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      // Doc length rides WITH each token row into the tf aggregate
+      // (first() per group) — no separate corpus-wide doclen join later.
+      val ct = corpus.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("token"))
       val stats = corpus.agg(
         count(lit(1)).as("n"), sum(size(col("tk"))).cast("long").as("total"))
       // Prune corpus tokens to the (broadcast) query vocabulary BEFORE
       // aggregating: the (doc, token) shuffle carries only terms some
       // query mentions, not the corpus vocabulary.
       val tf = ct.join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5))
@@ -97,7 +99,6 @@ object SearchQueries {
           (col("dl").cast("double") / (col("total").cast("double") / col("n").cast("double")))))
       val contrib = broadcast(qt).join(tf, Seq("token"))
         .join(broadcast(df), Seq("token"))
-        .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(stats))
         .select(col("qid"), col("doc_id"),
           floor(lit(1000000.0) * idf * tfPart).cast("long").as("c"))

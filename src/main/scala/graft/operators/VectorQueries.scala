@@ -348,6 +348,51 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // ----- kNN label propagation: classify vectors by their neighbors -----
+    // The FineWeb-edu-style quality-classifier pattern: a small labeled
+    // seed set (here: the stored `label` column on the corpus side)
+    // assigns a label to each unlabeled query vector by majority vote
+    // among its k=10 nearest neighbors (rounded cosine; ties broken by
+    // count DESC, then smaller label). Scale shape: identical to
+    // ann_topk_bruteforce — the labeled corpus streams through executors,
+    // only the bounded query side broadcasts, the vote is one
+    // map-side-combinable (qid, label) aggregate over k×queries rows.
+    // Swap the candidate stage for the IVF/LSH path when the seed set
+    // outgrows brute force; the vote plumbing is unchanged.
+    "knn_classify" -> QueryDef.sql(
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id >= 100),
+        |s AS (SELECT qid, cid, label,
+        |        round(list_cosine_similarity(qv, cv), 6) AS score
+        |      FROM q, c),
+        |nn AS (SELECT qid, cid, label FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 10),
+        |votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS n
+        |          FROM nn GROUP BY qid, label)
+        |SELECT qid, label AS predicted, n AS votes FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("cid"), col("label"), col("embedding").as("cv"))
+      val nnRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val nn = corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("cid"), col("label"), score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(nnRn))
+        .filter(col("rn") <= 10)
+      nn.groupBy(col("qid"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("qid"))
+        .agg(max_by(struct(col("label").as("predicted"), col("n").as("votes")),
+          struct(col("n"), -col("label"))).as("win"))
+        .select(col("qid"), col("win.predicted").as("predicted"),
+          col("win.votes").as("votes"))
+        .orderBy("qid")
+    },
+
     // ----- one Lloyd iteration: recompute IVF centroids at scale -----
     // The training step behind the IVF index: assign every vector to its
     // nearest centroid (the same broadcast + max_by aggregate shape as

@@ -49,6 +49,34 @@ class SearchMixSemanticSpec extends SparkFunSuite {
     }
   }
 
+  test("knn_classify: predictions match a naive majority vote at spec scale") {
+    val df = VectorQueries.defs("knn_classify").build(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the labeled corpus must stream — only the bounded query side broadcasts
+    assert(plan.contains("BroadcastNestedLoop") || plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$plan")
+    val got = df.collect().map(r =>
+      r.getAs[Long]("qid") -> (r.getAs[Int]("predicted"), r.getAs[Long]("votes"))).toMap
+    val e = graft.util.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val queries = e.filter(_._1 < 100)
+    val corpus = e.filter(_._1 >= 100)
+    queries.foreach { case (qid, _, qv) =>
+      val nn = corpus.map { case (cid, lbl, cv) => (cid, lbl, cos(qv, cv)) }
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(10)
+      val (predicted, votes) = nn.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy { case (lbl, n) => (-n, lbl) }.head
+      assert(got(qid) == ((predicted, votes)), s"qid $qid: got ${got(qid)}, naive ($predicted, $votes)")
+    }
+  }
+
   test("dedup_semantic: every dropped vector has a lower-id cluster-mate above threshold") {
     val df = VectorQueries.defs("dedup_semantic").build(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
