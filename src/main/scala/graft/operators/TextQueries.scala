@@ -226,6 +226,43 @@ object TextQueries {
       .unionByName(isolated)
   }
 
+  /** Maximal duplicated-token-8-gram spans per document (Lee et al.
+    * 2022 substring dedup): every positioned 8-gram is hashed, grams
+    * seen in >1 distinct doc mark their [pos, pos+7] coverage, and
+    * overlapping/adjacent coverage merges into maximal spans
+    * (gaps-and-islands over doc-partitioned windows). Shared by the
+    * span-report query and the excision query. Scale shape: the gram
+    * table is corpus-token cardinality but every stage is keyed (gram
+    * hash or doc_id) — no global funnel; it is localCheckpoint'ed
+    * because the duplicate-gram aggregate and the flagging semi-join
+    * both consume it. */
+  def substringSpans(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = spread(docs)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 8)
+    val g = t
+      .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 7)")).as("pos"), col("toks"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(8))).cast("binary")).as("gram"))
+      .localCheckpoint()
+    val dup = g.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("gram")
+    val p = g.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos")
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+    p.withColumn("prev_end", max(col("pos") + 7).over(wPrev))
+      .withColumn("island",
+        sum(when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L)).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max(col("pos")) + 7).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
   /** Distributed prefix sum over (doc_id, n_tokens) — the two-pass
     * pattern that replaces a global `Window.orderBy` (which funnels every
     * row through ONE task: the classic 100 TB scale-killer).
@@ -611,35 +648,70 @@ object TextQueries {
         |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
         |  CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
-      val t = spread(documents(s, d))
+      substringSpans(documents(s, d)).orderBy("doc_id", "span_start")
+    },
+
+    // ----- substring excision: cut the duplicated spans back OUT -----
+    // The second half of the Lee et al. 2022 loop: given the maximal
+    // duplicated-8-gram spans, produce the CLEANED corpus — each
+    // affected document keeps only tokens outside every span, and the
+    // result is reported as (kept count, removed count, fingerprint of
+    // the cleaned text) so the oracle can hash-check the actual excision
+    // not just the span arithmetic. Scale shape: spans are the flagged
+    // sliver (per-doc cardinality only for affected docs); they
+    // aggregate to one array per doc and attach with a single equi-join
+    // on doc_id; the excision itself is a per-row array filter. Docs
+    // whose every token is removed vanish from the output (nothing left
+    // to train on) — both engines agree by construction.
+    "dedup_substring_removal" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i)
+        |      WHERE len(toks) >= 8),
+        |d AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram HAVING count(*) > 1),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM p),
+        |isl AS (SELECT doc_id, pos,
+        |        CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+        |      FROM m),
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |          FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT DISTINCT s.doc_id, p.pos
+        |        FROM spans s, LATERAL (SELECT unnest(generate_series(s.span_start, s.span_end)) AS pos) p),
+        |toksPos AS (
+        |  SELECT t.doc_id, i.i, t.toks[i.i] AS tok
+        |  FROM t JOIN (SELECT DISTINCT doc_id FROM spans) sd USING (doc_id),
+        |       LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) i),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.tok
+        |  FROM toksPos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.pos = tp.i
+        |  WHERE c.pos IS NULL)
+        |SELECT k.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(any_value(len(t.toks)) - count(*) AS BIGINT) AS n_removed,
+        |  md5(string_agg(k.tok, ' ' ORDER BY k.i)) AS cleaned_fp
+        |FROM kept k JOIN t ON t.doc_id = k.doc_id
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val spans = substringSpans(docs)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+      spread(docs)
         .withColumn("toks", expr(toksExpr))
-        .filter(size(col("toks")) >= 8)
-      // The gram table (spread + explode + md5 per token 8-gram) feeds BOTH
-      // the duplicate-gram aggregate and the flagging semi-join;
-      // localCheckpoint materializes the heaviest stage once instead of
-      // recomputing it per consumer.
-      val g = t
-        .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 7)")).as("pos"), col("toks"))
-        .select(col("doc_id"), col("pos"),
-          md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(8))).cast("binary")).as("gram"))
-        .localCheckpoint()
-      val dup = g.select("gram", "doc_id").distinct()
-        .groupBy("gram").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") > 1).select("gram")
-      val p = g.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos")
-      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy("doc_id").orderBy("pos")
-      p.withColumn("prev_end", max(col("pos") + 7).over(wPrev))
-        .withColumn("island",
-          sum(when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
-            .otherwise(0L)).over(wRun))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min("pos").cast("long").as("span_start"),
-          (max(col("pos")) + 7).cast("long").as("span_end"),
-          count(lit(1)).as("n_grams"))
-        .select("doc_id", "span_start", "span_end", "n_grams")
-        .orderBy("doc_id", "span_start")
+        .join(spans, Seq("doc_id"))
+        .withColumn("cleaned", expr(
+          """filter(toks, (t, i) ->
+            |  NOT exists(spans, sp -> i + 1 >= sp.span_start AND i + 1 <= sp.span_end))""".stripMargin))
+        .filter(size(col("cleaned")) > 0)
+        .select(col("doc_id"),
+          size(col("cleaned")).cast("long").as("n_kept"),
+          (size(col("toks")) - size(col("cleaned"))).cast("long").as("n_removed"),
+          md5(concat_ws(" ", col("cleaned")).cast("binary")).as("cleaned_fp"))
+        .orderBy("doc_id")
     },
 
     // ----- token counting -----
