@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32, MaxBigramRun}
+import graft.functions.{DotF32, MaxBigramRun, MaxNgramRun}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "max_bigram_run takes exactly 1 argument")
         MaxBigramRun(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("max_ngram_run"),
+      new ExpressionInfo(classOf[MaxNgramRun].getName, "max_ngram_run"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "max_ngram_run takes exactly 2 arguments")
+        MaxNgramRun(children.head, children(1))
       }))
   }
 }

@@ -47,27 +47,77 @@ case class MaxBigramRun(child: Expression) extends UnaryExpression {
 }
 
 object MaxBigramRun {
-  /** Shared by the interpreted and generated paths: sort the bigrams,
-    * then the longest equal-adjacent run is the max bigram count.
-    * O(n log n) in document tokens with no hash-map churn. */
-  def compute(toks: ArrayData): Long = {
-    val n = toks.numElements()
-    if (n < 2) return 0L
-    val bigrams = new java.util.ArrayList[UTF8String](n - 1)
+  /** Bigram special case of [[MaxNgramRun.compute]]. */
+  def compute(toks: ArrayData): Long = MaxNgramRun.compute(toks, 2)
+
+  /** Column-API entry point — resolves through the session function
+    * registry, so [[graft.GraftExtensions]] must be installed. */
+  def max_bigram_run(toks: Column): Column = call_function("max_bigram_run", toks)
+}
+
+/** `max_ngram_run(tokens, n)` — the count of a token array's most
+  * frequent n-gram (space-joined), the generalization behind the
+  * Gopher-style top-2/3/4-gram repetition fractions. Same codegen
+  * strategy and conventions as [[MaxBigramRun]] (which is the n=2
+  * special case): 0 when fewer than n tokens, n-grams need n adjacent
+  * non-null tokens, null array → null.
+  */
+case class MaxNgramRun(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"max_ngram_run expects (array<string>, int), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MaxNgramRun.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MaxNgramRun.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MaxNgramRun {
+  /** Shared by the interpreted and generated paths: sort the n-grams,
+    * then the longest equal-adjacent run is the max n-gram count.
+    * O(k log k) in document tokens with no hash-map churn. */
+  def compute(toks: ArrayData, n: Int): Long = {
+    val len = toks.numElements()
+    if (n < 1 || len < n) return 0L
+    val grams = new java.util.ArrayList[UTF8String](len - n + 1)
     val space = UTF8String.fromString(" ")
     var i = 0
-    while (i < n - 1) {
-      if (!toks.isNullAt(i) && !toks.isNullAt(i + 1))
-        bigrams.add(UTF8String.concat(toks.getUTF8String(i), space, toks.getUTF8String(i + 1)))
+    while (i <= len - n) {
+      var ok = true
+      var k = 0
+      while (ok && k < n) { if (toks.isNullAt(i + k)) ok = false; k += 1 }
+      if (ok) {
+        val parts = new Array[UTF8String](2 * n - 1)
+        var p = 0
+        while (p < n) {
+          parts(2 * p) = toks.getUTF8String(i + p)
+          if (p < n - 1) parts(2 * p + 1) = space
+          p += 1
+        }
+        grams.add(UTF8String.concat(parts: _*))
+      }
       i += 1
     }
-    if (bigrams.isEmpty) return 0L
-    java.util.Collections.sort(bigrams)
+    if (grams.isEmpty) return 0L
+    java.util.Collections.sort(grams)
     var best = 1L
     var run = 1L
     var j = 1
-    while (j < bigrams.size()) {
-      if (bigrams.get(j).equals(bigrams.get(j - 1))) {
+    while (j < grams.size()) {
+      if (grams.get(j).equals(grams.get(j - 1))) {
         run += 1
         if (run > best) best = run
       } else run = 1L
@@ -78,5 +128,6 @@ object MaxBigramRun {
 
   /** Column-API entry point — resolves through the session function
     * registry, so [[graft.GraftExtensions]] must be installed. */
-  def max_bigram_run(toks: Column): Column = call_function("max_bigram_run", toks)
+  def max_ngram_run(toks: Column, n: Column): Column =
+    call_function("max_ngram_run", toks, n)
 }

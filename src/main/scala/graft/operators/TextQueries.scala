@@ -812,6 +812,45 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Gopher repetition battery: top-2/3/4-gram fractions -----
+    // The full Rae et al. 2021 repetition signal set (text_repetition is
+    // the bigram member): for each n in {2,3,4}, the share of the
+    // document's n-grams taken by its single most frequent n-gram. All
+    // three run through the native codegen max_ngram_run expression in
+    // ONE stateless projection — no n-gram ever reaches a shuffle, three
+    // signals for one pass over the tokens.
+    "text_repetition_ngrams" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t WHERE len(toks) >= 4),
+        |g2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]) AS g FROM r),
+        |g3 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS g FROM r),
+        |g4 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+3], ' ') for i in generate_series(1, len(toks)-3)]) AS g FROM r),
+        |m2 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2) GROUP BY doc_id),
+        |m3 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2) GROUP BY doc_id),
+        |m4 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1,2) GROUP BY doc_id)
+        |SELECT r.doc_id, CAST(r.n_toks AS BIGINT) AS n_tokens,
+        |  round(CAST(m2.m AS DOUBLE) / (r.n_toks - 1), 6) AS rep2,
+        |  round(CAST(m3.m AS DOUBLE) / (r.n_toks - 2), 6) AS rep3,
+        |  round(CAST(m4.m AS DOUBLE) / (r.n_toks - 3), 6) AS rep4
+        |FROM r JOIN m2 ON m2.doc_id = r.doc_id
+        |JOIN m3 ON m3.doc_id = r.doc_id JOIN m4 ON m4.doc_id = r.doc_id
+        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.MaxNgramRun.max_ngram_run
+      spread(documents(s, d))
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) >= 4)
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(max_ngram_run(col("toks"), lit(2)).cast("double")
+            / (size(col("toks")) - 1), 6).as("rep2"),
+          round(max_ngram_run(col("toks"), lit(3)).cast("double")
+            / (size(col("toks")) - 2), 6).as("rep3"),
+          round(max_ngram_run(col("toks"), lit(4)).cast("double")
+            / (size(col("toks")) - 3), 6).as("rep4"))
+        .orderBy("doc_id")
+    },
+
     // ----- blocklist filter: broadcast anti-join on the source domain -----
     // The domain/URL blocklist step of a crawl pipeline. Blocklists are
     // small (≤ millions of rows) next to the corpus, so the anti-join

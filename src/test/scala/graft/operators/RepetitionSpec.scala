@@ -33,6 +33,27 @@ class RepetitionSpec extends SparkFunSuite {
     assert(got == expected)
   }
 
+  test("native max_ngram_run equals naive n-gram counting for n in 2..4") {
+    import graft.functions.MaxNgramRun.max_ngram_run
+    def naiveN(toks: Seq[String], n: Int): Long =
+      if (toks.length < n) 0L
+      else toks.sliding(n).filter(_.size == n).map(_.mkString(" "))
+        .toSeq.groupBy(identity).values.map(_.size.toLong).max
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "x y", "z")
+    val docs = (1 to 100).map { i =>
+      val len = 1 + rng.nextInt(25)
+      (i.toLong, Vector.fill(len)(vocab(rng.nextInt(vocab.size))))
+    }
+    for (n <- 2 to 4) {
+      val expected = docs.map { case (id, tk) => id -> naiveN(tk, n) }.toMap
+      val got = docs.toDF("doc_id", "tk")
+        .select(col("doc_id"), max_ngram_run(col("tk"), lit(n)).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n")
+    }
+  }
+
   test("degenerate docs: 2 tokens, all-equal tokens, no repeats, too-short") {
     val docs = Seq(
       (1L, Seq("x", "y")),          // one bigram
