@@ -41,9 +41,12 @@ object Bench {
     // (the fixpoint itself is timed live by dedup_clusters)
     operators.SignatureStore.ensureClusters(spark, sfDir).write
       .format("noop").mode("overwrite").save()
-    // and the simhash / IVF artifacts behind the other two stored paths
-    // (their live builds are timed by dedup_simhash / ann_ivf)
+    // and the simhash / span / IVF artifacts behind the other stored
+    // paths (their live builds are timed by dedup_simhash /
+    // dedup_substring_removal / ann_ivf)
     operators.SignatureStore.ensureSimhash(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    operators.SignatureStore.ensureSpans(spark, sfDir).write
       .format("noop").mode("overwrite").save()
     locally {
       val e = graft.util.Tables.embeddings(spark, sfDir)

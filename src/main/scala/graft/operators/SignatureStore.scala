@@ -186,6 +186,26 @@ object SignatureStore {
     spark.read.parquet(ivfDir(base))
   }
 
+  def spansDir(base: String) = s"$base/substring_spans"
+
+  /** Persisted duplicated-substring spans (doc_id, span_start, span_end,
+    * n_grams) for `sfDir`, building on first use. Span detection is a
+    * full-corpus positioned-8-gram hash pass — the most expensive scan in
+    * the substring family — and spans change only when documents change,
+    * so excision / reporting runs read the artifact.
+    * `dedup_substring_spans` times the live compute; the `_stored`
+    * excision query is held to the same oracle as the live one. */
+  def ensureSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${spansDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      TextQueries.substringSpans(documents(spark, sfDir))
+        .write.mode("overwrite").parquet(spansDir(base))
+    spark.read.parquet(spansDir(base))
+  }
+
   def clustersDir(base: String) = s"$base/clusters"
 
   /** Near-dup cluster assignments (doc_id, cluster_id) for `sfDir`,

@@ -263,6 +263,65 @@ object TextQueries {
       .select("doc_id", "span_start", "span_end", "n_grams")
   }
 
+  /** Excision of [[substringSpans]]-shaped spans from `docs`: keep only
+    * tokens outside every span, report (n_kept, n_removed, md5 of the
+    * cleaned text) per affected document. Shared by the live and
+    * stored removal queries so the two paths cannot diverge. */
+  def substringExcision(docs: org.apache.spark.sql.DataFrame,
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spansAgg = spans
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    spread(docs)
+      .withColumn("toks", expr(toksExpr))
+      .join(spansAgg, Seq("doc_id"))
+      .withColumn("cleaned", expr(
+        """filter(toks, (t, i) ->
+          |  NOT exists(spans, sp -> i + 1 >= sp.span_start AND i + 1 <= sp.span_end))""".stripMargin))
+      .filter(size(col("cleaned")) > 0)
+      .select(col("doc_id"),
+        size(col("cleaned")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("cleaned"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("cleaned")).cast("binary")).as("cleaned_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** The substring-excision oracle, shared verbatim by the live and
+    * stored removal queries. */
+  private val SubstringRemovalOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gram
+      |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i)
+      |      WHERE len(toks) >= 8),
+      |d AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram HAVING count(*) > 1),
+      |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+      |m AS (SELECT doc_id, pos,
+      |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM p),
+      |isl AS (SELECT doc_id, pos,
+      |        CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+      |      FROM m),
+      |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      |          FROM isl GROUP BY doc_id, island),
+      |cov AS (SELECT DISTINCT s.doc_id, p.pos
+      |        FROM spans s, LATERAL (SELECT unnest(generate_series(s.span_start, s.span_end)) AS pos) p),
+      |toksPos AS (
+      |  SELECT t.doc_id, i.i, t.toks[i.i] AS tok
+      |  FROM t JOIN (SELECT DISTINCT doc_id FROM spans) sd USING (doc_id),
+      |       LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) i),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.i, tp.tok
+      |  FROM toksPos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.pos = tp.i
+      |  WHERE c.pos IS NULL)
+      |SELECT k.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(any_value(len(t.toks)) - count(*) AS BIGINT) AS n_removed,
+      |  md5(string_agg(k.tok, ' ' ORDER BY k.i)) AS cleaned_fp
+      |FROM kept k JOIN t ON t.doc_id = k.doc_id
+      |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   /** Distributed prefix sum over (doc_id, n_tokens) — the two-pass
     * pattern that replaces a global `Window.orderBy` (which funnels every
     * row through ONE task: the classic 100 TB scale-killer).
@@ -663,55 +722,19 @@ object TextQueries {
     // on doc_id; the excision itself is a per-row array filter. Docs
     // whose every token is removed vanish from the output (nothing left
     // to train on) — both engines agree by construction.
-    "dedup_substring_removal" -> QueryDef.sql(
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gram
-        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i)
-        |      WHERE len(toks) >= 8),
-        |d AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram HAVING count(*) > 1),
-        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
-        |m AS (SELECT doc_id, pos,
-        |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |      FROM p),
-        |isl AS (SELECT doc_id, pos,
-        |        CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
-        |          OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
-        |      FROM m),
-        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
-        |          FROM isl GROUP BY doc_id, island),
-        |cov AS (SELECT DISTINCT s.doc_id, p.pos
-        |        FROM spans s, LATERAL (SELECT unnest(generate_series(s.span_start, s.span_end)) AS pos) p),
-        |toksPos AS (
-        |  SELECT t.doc_id, i.i, t.toks[i.i] AS tok
-        |  FROM t JOIN (SELECT DISTINCT doc_id FROM spans) sd USING (doc_id),
-        |       LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) i),
-        |kept AS (
-        |  SELECT tp.doc_id, tp.i, tp.tok
-        |  FROM toksPos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.pos = tp.i
-        |  WHERE c.pos IS NULL)
-        |SELECT k.doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(any_value(len(t.toks)) - count(*) AS BIGINT) AS n_removed,
-        |  md5(string_agg(k.tok, ' ' ORDER BY k.i)) AS cleaned_fp
-        |FROM kept k JOIN t ON t.doc_id = k.doc_id
-        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin) { (s, d) =>
-      val docs = documents(s, d)
-      val spans = substringSpans(docs)
-        .groupBy("doc_id")
-        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
-      spread(docs)
-        .withColumn("toks", expr(toksExpr))
-        .join(spans, Seq("doc_id"))
-        .withColumn("cleaned", expr(
-          """filter(toks, (t, i) ->
-            |  NOT exists(spans, sp -> i + 1 >= sp.span_start AND i + 1 <= sp.span_end))""".stripMargin))
-        .filter(size(col("cleaned")) > 0)
-        .select(col("doc_id"),
-          size(col("cleaned")).cast("long").as("n_kept"),
-          (size(col("toks")) - size(col("cleaned"))).cast("long").as("n_removed"),
-          md5(concat_ws(" ", col("cleaned")).cast("binary")).as("cleaned_fp"))
-        .orderBy("doc_id")
+    "dedup_substring_removal" -> QueryDef.sql(SubstringRemovalOracleSql) { (s, d) =>
+      substringExcision(documents(s, d), substringSpans(documents(s, d)))
+    },
+
+    // ----- substring excision from the PERSISTED span store -----
+    // The substring-family amortization twin of dedup_minhash_lsh_stored:
+    // span detection is the most expensive scan in the family (one
+    // positioned 8-gram hash per corpus token) and spans change only
+    // when documents change — so excision runs read the persisted
+    // (doc_id, span_start, span_end) artifact and never re-hash text.
+    // Same oracle as the live query: stored must be bit-identical.
+    "dedup_substring_removal_stored" -> QueryDef.sql(SubstringRemovalOracleSql) { (s, d) =>
+      substringExcision(documents(s, d), SignatureStore.ensureSpans(s, d))
     },
 
     // ----- token counting -----
