@@ -189,8 +189,13 @@ object TextQueries {
   def clusterAssignments(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val docs = documents(s, d).select("doc_id")
     val pairs = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+    // Pre-hash-partition the edge table on the probe key BEFORE pinning
+    // it: localCheckpoint preserves the partitioning in the logical
+    // plan, so every fixpoint round's join re-shuffles only the (much
+    // smaller) labels side — the edge table never moves again.
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .repartition(col("a"))
       .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
