@@ -61,18 +61,21 @@ object MaxBigramRun {
   * strategy and conventions as [[MaxBigramRun]] (which is the n=2
   * special case): 0 when fewer than n tokens, n-grams need n adjacent
   * non-null tokens, null array → null.
+  *
+  * `ImplicitCastInputTypes` so SQL calls with integral literals of other
+  * widths (`max_ngram_run(tk, 2L)`) coerce instead of failing analysis.
   */
 case class MaxNgramRun(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType) =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"max_ngram_run expects (array<string>, int), got ($l, $r)")
-  }
+  // return type left inferred: the declared Seq[AbstractDataType] is
+  // private[sql]; Seq[DataType] conforms.
+  override def inputTypes =
+    Seq(ArrayType(StringType, containsNull = true),
+      org.apache.spark.sql.types.IntegerType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     MaxNgramRun.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])

@@ -136,20 +136,17 @@ final class CubePlanner(config: CubeConfig) {
 
   /** O1 + band coordinates: sort by acquisition date and derive
     * `band_time` (time axis, sar_datacube.py:144-150) and `band_index`.
-    * Global row number via the two-pass [[graft.util.Scale.rangedOffsets]]
+    * Global row number via the two-pass [[graft.util.Scale.globalRowNumber]]
     * scaffold — layer cardinality is usually small, but a 10⁶-product
     * archive should not funnel through one task either. */
   def withBandIndex(df: DataFrame): DataFrame = {
     val sortExprs = Seq(
       to_date(col("acquisition_date"), "yyyyMMdd").asc_nulls_last,
       col("product_file").asc_nulls_last)
-    val (ranged, offsets, _) = graft.util.Scale.rangedOffsets(df, sortExprs, lit(1L))
-    val local = Window.partitionBy("_pid").orderBy(sortExprs: _*)
-    ranged
+    val (ranked, _) = graft.util.Scale.globalRowNumber(df, sortExprs, "_rn")
+    ranked
       .withColumn("band_time", to_timestamp(col("acquisition_date"), "yyyyMMdd"))
-      .withColumn("band_index",
-        (row_number().over(local) - 1 +
-          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L))).cast("int"))
-      .drop("_pid")
+      .withColumn("band_index", (col("_rn") - 1).cast("int"))
+      .drop("_rn")
   }
 }

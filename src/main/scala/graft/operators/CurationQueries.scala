@@ -94,6 +94,43 @@ object CurationQueries {
     df.withColumn("shard_id", pmod(xxhash64(col(keyCol), lit(salt)), lit(nShards)))
   }
 
+  /** Lee et al. 2022 substring excision composed into the packing tail
+    * of the curation pipeline: cut the persisted duplicated-span
+    * artifact out of each surviving document, drop documents the
+    * excision guts entirely, then pack the CLEANED token stream into
+    * fixed training sequences. `keep` carries (doc_id, lang, tk,
+    * n_tokens); `spans` is [[SignatureStore.ensureSpans]]-shaped.
+    * Scale shape: the span join is an equi-join on doc_id against the
+    * post-gate sliver, the excision a per-row array filter, and the
+    * running offset the two-pass [[TextQueries.cumulativeTokens]] —
+    * nothing corpus-wide moves. The cleaned fingerprint rides into the
+    * output so the oracle hash-checks the actual excised text, not just
+    * counts. The cutting branch is pinned by ExcisePackSpec on planted
+    * spans (the synthetic corpus' only boilerplate cluster dissolves at
+    * the doc-level dedup stage, so live data exercises the
+    * spans-absent branch). */
+  def excisePack(keep: org.apache.spark.sql.DataFrame,
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spansAgg = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val cleaned = keep.join(spansAgg, Seq("doc_id"), "left")
+      .withColumn("cleaned",
+        when(col("spans").isNull, col("tk")).otherwise(expr(
+          """filter(tk, (t, i) ->
+            |  NOT exists(spans, sp -> i + 1 >= sp.span_start AND i + 1 <= sp.span_end))""".stripMargin)))
+      .filter(size(col("cleaned")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(col("cleaned")).cast("long").as("n_tokens"),
+        (col("n_tokens") - size(col("cleaned"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("cleaned")).cast("binary")).as("cleaned_fp"))
+    TextQueries.cumulativeTokens(cleaned)
+      .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_removed"),
+        expr("tok_start div 512").as("seq_id"),
+        (col("tok_start") % 512).as("seq_offset"),
+        col("cleaned_fp"))
+  }
+
   val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   val PhoneRe = "555-[0-9]{4}"
   val IpRe    = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -239,17 +276,20 @@ object CurationQueries {
     // ----- the capstone: full curation pipeline as ONE verified query -----
     // blocklist → quality gates (length + Gopher repetition) → benchmark
     // decontamination → canonical near-dup survivors → stratified
-    // sampling → sequence packing: the complete documents-to-training-
-    // sequences DAG, every stage the same code the standalone queries
-    // run, hash-checked end-to-end against one composed DuckDB oracle.
-    // Cluster canonicals are chosen corpus-wide (the persisted
-    // assignment artifact); a cluster whose canonical is excluded drops
-    // entirely — conservative, since such clusters overlap eval or
-    // blocked content. Scale shape: every stage is a broadcast join,
-    // stateless filter, or map-side-combinable aggregate; the one
-    // ordered computation (packing) is the two-pass distributed prefix
-    // sum. No global window, no nested loop, no corpus-side shuffle of
-    // anything wider than (doc_id, tokens).
+    // sampling → substring excision (Lee et al. 2022, from the persisted
+    // span store) → sequence packing over the CLEANED token stream: the
+    // complete documents-to-training-sequences DAG, every stage the same
+    // code the standalone queries run, hash-checked end-to-end against
+    // one composed DuckDB oracle (the cleaned fingerprint in the output
+    // pins the excised text itself). Cluster canonicals are chosen
+    // corpus-wide (the persisted assignment artifact); a cluster whose
+    // canonical is excluded drops entirely — conservative, since such
+    // clusters overlap eval or blocked content. Scale shape: every stage
+    // is a broadcast join, stateless filter, per-row array surgery, or
+    // map-side-combinable aggregate; the one ordered computation
+    // (packing) is the two-pass distributed prefix sum. No global
+    // window, no nested loop, no corpus-side shuffle of anything wider
+    // than (doc_id, tokens).
     "corpus_pipeline_full" -> QueryDef.sql(
       s"""WITH $MinhashBandsCte,
          |cand AS (
@@ -301,12 +341,28 @@ object CurationQueries {
          |    AND ((c.doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
          |      CASE c.lang WHEN 'en' THEN 150 WHEN 'de' THEN 500 WHEN 'es' THEN 800
          |                  WHEN 'fr' THEN 250 WHEN 'zh' THEN 1000 ELSE 0 END),
+         |${TextQueries.SubstringSpanCtes},
+         |cov AS (SELECT DISTINCT s.doc_id, pp.pos
+         |        FROM spans s JOIN keep k ON k.doc_id = s.doc_id,
+         |             LATERAL (SELECT unnest(generate_series(s.span_start, s.span_end)) AS pos) pp),
+         |kt AS (SELECT k.doc_id, i.i, t.toks[i.i] AS tok
+         |       FROM keep k JOIN t ON t.doc_id = k.doc_id,
+         |            LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) i),
+         |keptToks AS (SELECT kt.doc_id, kt.i, kt.tok
+         |             FROM kt LEFT JOIN cov c ON c.doc_id = kt.doc_id AND c.pos = kt.i
+         |             WHERE c.pos IS NULL),
+         |cleaned AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clean,
+         |              md5(string_agg(tok, ' ' ORDER BY i)) AS cleaned_fp
+         |            FROM keptToks GROUP BY doc_id),
+         |keep2 AS (SELECT k.doc_id, k.lang, c.n_clean AS n_tokens,
+         |            k.n_tokens - c.n_clean AS n_removed, c.cleaned_fp
+         |          FROM keep k JOIN cleaned c USING (doc_id)),
          |budg AS (
-         |  SELECT doc_id, lang, n_tokens,
+         |  SELECT doc_id, lang, n_tokens, n_removed, cleaned_fp,
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
-         |  FROM keep)
-         |SELECT doc_id, lang, n_tokens,
-         |  tok_start // 512 AS seq_id, tok_start % 512 AS seq_offset
+         |  FROM keep2)
+         |SELECT doc_id, lang, n_tokens, n_removed,
+         |  tok_start // 512 AS seq_id, tok_start % 512 AS seq_offset, cleaned_fp
          |FROM budg ORDER BY doc_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
       import s.implicits._
       val docs = documents(s, d)
@@ -348,12 +404,8 @@ object CurationQueries {
         .filter(col("rep_ratio") <= 0.2)
         .join(canon, Seq("doc_id"), "left_semi")
         .join(contaminated, Seq("doc_id"), "left_anti")
-        .select("doc_id", "lang", "n_tokens")
-      TextQueries.cumulativeTokens(keep)
-        .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          expr("tok_start div 512").as("seq_id"),
-          (col("tok_start") % 512).as("seq_offset"))
+        .select("doc_id", "lang", "n_tokens", "tk")
+      excisePack(keep, SignatureStore.ensureSpans(s, d))
         .orderBy("doc_id")
     },
 

@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.QueryDef
 import graft.util.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyword retrieval over the `documents` corpus — the search side of a
@@ -11,7 +13,17 @@ import org.apache.spark.sql.functions._
   * Scale posture: the only corpus-scale stages are per-row projections
   * and ONE map-side-combinable (doc, token) aggregate that is pruned to
   * the broadcast query vocabulary BEFORE the shuffle — document
-  * frequencies, scores, and ranking all run on the matched sliver.
+  * frequencies, scores, and ranking all run on the matched sliver. The
+  * query set is EXPLICITLY bounded (`doc_id < 10000` on top of the
+  * eval-set residue class): a search workload is a user-supplied list of
+  * queries, not a corpus-scale slice, and the bound is what licenses the
+  * broadcast of the query-term table — an unbounded "1% of the corpus"
+  * query side would eventually hit broadcast limits.
+  *
+  * Amortization: [[SignatureStore.ensureBm25]] persists the postings
+  * ((doc_id, token, tf, dl), denormalized doc length) plus the per-doc
+  * length table, so repeated searches never re-tokenize the corpus —
+  * `bm25_search_stored` is held to the same oracle as the live query.
   *
   * Cross-engine exactness (the reason the scoring looks the way it
   * does): every scalar is built from +, −, ×, ÷, floor on doubles —
@@ -29,86 +41,148 @@ object SearchQueries {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Corpus-wide term frequencies (doc_id, token, tf, dl) — the postings
+    * build: one token explode + one map-side-combinable aggregate, the
+    * doc length riding with each token row into `first()` so no
+    * corpus-wide join denormalizes it later. This is the store's build
+    * cost; searches read the artifact. */
+  def postingsOf(docs: DataFrame): DataFrame =
+    TextQueries.spread(docs)
+      .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+
+  /** Per-document token counts (doc_id, dl) — the BM25 length norm and
+    * the corpus stats (n, avgdl) source. */
+  def doclensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("dl"))
+
+  /** Score + rank stage shared by the live and stored paths: `tf` is the
+    * vocabulary-pruned postings sliver (doc_id, token, tf, dl), `stats`
+    * one row (n, total), `qt` the bounded (qid, token) query terms.
+    * `tf` feeds BOTH the document-frequency aggregate and the
+    * contribution join, so it is pinned with `localCheckpoint` here —
+    * without it the whole postings stage runs twice (measured: the two
+    * consumers doubled bm25_search's cost in round 4). */
+  def bm25Rank(tfIn: DataFrame, stats: DataFrame, qt: DataFrame, k: Int): DataFrame = {
+    val tf = tfIn.localCheckpoint()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfPart = (col("tf").cast("double") * lit(K1 + 1.0)) /
+      (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) *
+        (col("dl").cast("double") / (col("total").cast("double") / col("n").cast("double")))))
+    val contrib = broadcast(qt).join(tf, Seq("token"))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        floor(lit(1000000.0) * idf * tfPart).cast("long").as("c"))
+    val topRn = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("qid", "doc_id").agg(sum("c").as("score"))
+      .withColumn("rn", row_number().over(topRn))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id", "score")
+      .orderBy("qid", "doc_id")
+  }
+
+  /** The bounded query-term table (qid, token): distinct tokens of the
+    * eval docs under the explicit id bound. */
+  private def queryTerms(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+      .select(col("doc_id").as("qid"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .distinct()
+
+  /** The BM25 oracle, shared verbatim by the live and stored queries. */
+  private val Bm25OracleSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |qd AS (
+       |  SELECT doc_id AS qid, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+       |qt AS (SELECT DISTINCT qid, unnest(tk) AS token FROM qd),
+       |ct AS (SELECT doc_id, unnest(tk) AS token FROM corpus),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM corpus),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(tk)) AS BIGINT) AS total
+       |  FROM corpus),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ct
+       |  WHERE token IN (SELECT token FROM qt) GROUP BY doc_id, token),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |contrib AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(floor(1000000.0 *
+       |      ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+       |      ((CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
+       |       (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} + $B *
+       |        (CAST(l.dl AS DOUBLE) / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+       |    ) AS BIGINT) AS c
+       |  FROM qt q
+       |  JOIN tf t ON t.token = q.token
+       |  JOIN df f ON f.token = q.token
+       |  JOIN dl l ON l.doc_id = t.doc_id, stats s),
+       |score AS (
+       |  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score
+       |  FROM contrib GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, score FROM score
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5
+       |ORDER BY qid, doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- BM25 top-k: eval-set queries against the train corpus -----
     // Query docs are the decontamination eval set (doc_id % 97 = 0, the
-    // same convention as decontaminate_ngram); each query's terms are
-    // its distinct tokens, the corpus is everything else, and the result
-    // is the k=5 highest-scoring documents per query.
-    "bm25_search" -> QueryDef.sql(
-      s"""WITH corpus AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
-         |  FROM documents WHERE doc_id % 97 <> 0),
-         |qd AS (
-         |  SELECT doc_id AS qid, string_split_regex(trim(lower(text)), '\\s+') AS tk
-         |  FROM documents WHERE doc_id % 97 = 0),
-         |qt AS (SELECT DISTINCT qid, unnest(tk) AS token FROM qd),
-         |ct AS (SELECT doc_id, unnest(tk) AS token FROM corpus),
-         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM corpus),
-         |stats AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(tk)) AS BIGINT) AS total
-         |  FROM corpus),
-         |tf AS (
-         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ct
-         |  WHERE token IN (SELECT token FROM qt) GROUP BY doc_id, token),
-         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
-         |contrib AS (
-         |  SELECT q.qid, t.doc_id,
-         |    CAST(floor(1000000.0 *
-         |      ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
-         |      ((CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
-         |       (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} + $B *
-         |        (CAST(l.dl AS DOUBLE) / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE))))))
-         |    ) AS BIGINT) AS c
-         |  FROM qt q
-         |  JOIN tf t ON t.token = q.token
-         |  JOIN df f ON f.token = q.token
-         |  JOIN dl l ON l.doc_id = t.doc_id, stats s),
-         |score AS (
-         |  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score
-         |  FROM contrib GROUP BY qid, doc_id)
-         |SELECT qid, doc_id, score FROM score
-         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5
-         |ORDER BY qid, doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+    // same convention as decontaminate_ngram) under the explicit query
+    // bound; each query's terms are its distinct tokens, the corpus is
+    // everything else, and the result is the k=5 highest-scoring
+    // documents per query. This LIVE path re-tokenizes the corpus (the
+    // postings build is what it times); the `_stored` twin reads the
+    // persisted artifact.
+    "bm25_search" -> QueryDef.sql(Bm25OracleSql) { (s, d) =>
       val docs = documents(s, d)
       val corpus = TextQueries.spread(docs.filter(col("doc_id") % 97 =!= 0))
         .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
         .select("doc_id", "tk")
-      val qt = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("qid"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
-        .distinct()
+      val qt = queryTerms(docs)
       // Doc length rides WITH each token row into the tf aggregate
       // (first() per group) — no separate corpus-wide doclen join later.
       val ct = corpus.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("token"))
       val stats = corpus.agg(
         count(lit(1)).as("n"), sum(size(col("tk"))).cast("long").as("total"))
-      // Prune corpus tokens to the (broadcast) query vocabulary BEFORE
-      // aggregating: the (doc, token) shuffle carries only terms some
-      // query mentions, not the corpus vocabulary.
+      // Prune corpus tokens to the (broadcast, bounded) query vocabulary
+      // BEFORE aggregating: the (doc, token) shuffle carries only terms
+      // some query mentions, not the corpus vocabulary.
       val tf = ct.join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
-      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))
-      val tfPart = (col("tf").cast("double") * lit(K1 + 1.0)) /
-        (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) *
-          (col("dl").cast("double") / (col("total").cast("double") / col("n").cast("double")))))
-      val contrib = broadcast(qt).join(tf, Seq("token"))
-        .join(broadcast(df), Seq("token"))
-        .crossJoin(broadcast(stats))
-        .select(col("qid"), col("doc_id"),
-          floor(lit(1000000.0) * idf * tfPart).cast("long").as("c"))
-      val topRn = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("doc_id"))
-      contrib.groupBy("qid", "doc_id").agg(sum("c").as("score"))
-        .withColumn("rn", row_number().over(topRn))
-        .filter(col("rn") <= 5)
-        .select("qid", "doc_id", "score")
-        .orderBy("qid", "doc_id")
+      bm25Rank(tf, stats, qt, k = 5)
+    },
+
+    // ----- BM25 from the PERSISTED postings store -----
+    // The search-family amortization twin of dedup_minhash_lsh_stored:
+    // the postings build (token explode + corpus-wide (doc, token)
+    // aggregate) is the expensive stage and changes only when documents
+    // change, so it is computed once and persisted; every search run
+    // prunes the parquet artifact to the query vocabulary and scores the
+    // sliver — corpus text is never re-tokenized. Same oracle as the
+    // live query: stored must be bit-identical.
+    "bm25_search_stored" -> QueryDef.sql(Bm25OracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val qt = queryTerms(docs)
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val stats = corpusLens.agg(
+        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
+      val tf = postings.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf", "dl")
+      bm25Rank(tf, stats, qt, k = 5)
     },
   )
 }

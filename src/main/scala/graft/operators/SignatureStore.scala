@@ -206,6 +206,32 @@ object SignatureStore {
     spark.read.parquet(spansDir(base))
   }
 
+  def bm25PostingsDir(base: String) = s"$base/bm25_postings"
+  def bm25DoclensDir(base: String) = s"$base/bm25_doclens"
+
+  /** Persisted BM25 postings ((doc_id, token, tf, dl) over ALL documents
+    * — query-set agnostic) plus the per-doc length table (doc_id, dl)
+    * the corpus stats derive from, building on first use. The postings
+    * build (token explode + corpus-wide (doc, token) aggregate) is the
+    * expensive stage of search and changes only when documents change;
+    * `bm25_search` times the live build, `bm25_search_stored` is held to
+    * the same oracle and never re-tokenizes corpus text. */
+  def ensureBm25(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${bm25PostingsDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val docs = documents(spark, sfDir)
+      SearchQueries.doclensOf(docs)
+        .write.mode("overwrite").parquet(bm25DoclensDir(base))
+      SearchQueries.postingsOf(docs)
+        .write.mode("overwrite").parquet(bm25PostingsDir(base))
+    }
+    (spark.read.parquet(bm25PostingsDir(base)),
+      spark.read.parquet(bm25DoclensDir(base)))
+  }
+
   def clustersDir(base: String) = s"$base/clusters"
 
   /** Near-dup cluster assignments (doc_id, cluster_id) for `sfDir`,

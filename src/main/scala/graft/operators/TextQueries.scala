@@ -163,6 +163,26 @@ object TextQueries {
     bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
 
+  /** Distinct colliding (doc_a < doc_b) pairs from a (doc_id, sig)
+    * single-signature table (the k=1 minhash candidate join). Guarded
+    * like [[bandedPairs]]: one boilerplate signature shared by 10⁶
+    * near-empty documents would make the self-join quadratic, so
+    * signatures with more than `maxBucket` members are dropped from
+    * candidate generation via a broadcast anti-join on the (tiny,
+    * map-side-combined) per-signature counts. The cap is far above any
+    * signature bucket the test corpora produce, so oracle results are
+    * unchanged on normal data; MegaBucketSpec plants a degenerate one. */
+  def sigSelfJoinPairs(sig: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = DefaultMaxBucket): org.apache.spark.sql.DataFrame = {
+    val hot = sig.groupBy("sig").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("sig")
+    val guarded = sig.join(broadcast(hot), Seq("sig"), "left_anti")
+    val a = guarded.select(col("doc_id").as("doc_a"), col("sig"))
+    val b = guarded.select(col("doc_id").as("doc_b"), col("sig"))
+    a.join(b, Seq("sig")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+  }
+
   /** Distinct colliding (doc_a < doc_b) pairs from a (doc_id, band, key)
     * table — the LSH candidate join, shared by live and stored paths.
     * Guarded against degenerate buckets: the map-side-combinable bucket
@@ -291,10 +311,13 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** The substring-excision oracle, shared verbatim by the live and
-    * stored removal queries. */
-  private val SubstringRemovalOracleSql: String =
-    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+  /** DuckDB CTE text computing the duplicated-8-gram spans over
+    * `documents` — the oracle twin of [[substringSpans]] / the persisted
+    * span store, shared by the removal oracles and the composed pipeline
+    * oracle. Defines CTEs `t` (doc_id, toks), and `spans`
+    * (doc_id, span_start, span_end). */
+  private[operators] val SubstringSpanCtes: String =
+    """t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
       |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gram
       |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i)
       |      WHERE len(toks) >= 8),
@@ -309,7 +332,12 @@ object TextQueries {
       |          OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
       |      FROM m),
       |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
-      |          FROM isl GROUP BY doc_id, island),
+      |          FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** The substring-excision oracle, shared verbatim by the live and
+    * stored removal queries. */
+  private val SubstringRemovalOracleSql: String =
+    s"""WITH $SubstringSpanCtes,
       |cov AS (SELECT DISTINCT s.doc_id, p.pos
       |        FROM spans s, LATERAL (SELECT unnest(generate_series(s.span_start, s.span_end)) AS pos) p),
       |toksPos AS (
@@ -403,15 +431,13 @@ object TextQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // localCheckpoint: the self-join consumes sig twice; without it the
-      // corpus-wide explode+md5+groupBy runs once per side.
+      // localCheckpoint: sigSelfJoinPairs consumes sig three times (the
+      // guard count and both join sides); without it the corpus-wide
+      // explode+md5+groupBy runs once per consumer.
       val sig = shingled(s, d).groupBy(col("doc_id"))
         .agg(min(md5(col("shingle").cast("binary"))).as("sig"))
         .localCheckpoint()
-      val a = sig.select(col("doc_id").as("doc_a"), col("sig"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("sig"))
-      a.join(b, Seq("sig")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+      sigSelfJoinPairs(sig).orderBy("doc_a", "doc_b")
     },
 
     // ----- minhash LSH (k=8 hashes, 4 bands of 2): banded candidates -----

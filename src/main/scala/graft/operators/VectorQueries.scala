@@ -139,6 +139,33 @@ object VectorQueries {
       .select("qid", "cid", "score")
   }
 
+  /** Majority vote over (qid, cid, label) neighbor rows — ties broken by
+    * count DESC then smaller label. Shared by the brute-force and IVF
+    * kNN classifiers so the vote semantics cannot diverge. */
+  def majorityVote(nn: DataFrame): DataFrame =
+    nn.groupBy(col("qid"), col("label")).agg(count(lit(1)).as("n"))
+      .groupBy(col("qid"))
+      .agg(max_by(struct(col("label").as("predicted"), col("n").as("votes")),
+        struct(col("n"), -col("label"))).as("win"))
+      .select(col("qid"), col("win.predicted").as("predicted"),
+        col("win.votes").as("votes"))
+
+  /** kNN label propagation over IVF candidates — the documented scale
+    * path for seed sets that outgrow the brute-force candidate stage:
+    * neighbors come from [[ivfSearch]] against the (persisted)
+    * assignment table, labels attach to the bounded k×queries result via
+    * a broadcast join (the labeled corpus streams, never shuffles), and
+    * the vote plumbing is [[majorityVote]] — identical to knn_classify.
+    * `assign` must cover exactly the corpus (seed) side. */
+  def ivfKnnClassify(assign: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val top = ivfSearch(assign, corpus.select("vec_id", "embedding"),
+      centroids, queries, nprobe, k)
+    val nn = corpus.select(col("vec_id").as("cid"), col("label"))
+      .join(broadcast(top), Seq("cid"))
+    majorityVote(nn)
+  }
+
   /** The IVF oracle, shared verbatim by the live and stored queries. */
   private val IvfOracleSql: String =
     """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
@@ -384,12 +411,61 @@ object VectorQueries {
         .select(col("qid"), col("cid"), col("label"), score("qv", "cv").as("score"))
         .withColumn("rn", row_number().over(nnRn))
         .filter(col("rn") <= 10)
-      nn.groupBy(col("qid"), col("label")).agg(count(lit(1)).as("n"))
-        .groupBy(col("qid"))
-        .agg(max_by(struct(col("label").as("predicted"), col("n").as("votes")),
-          struct(col("n"), -col("label"))).as("win"))
-        .select(col("qid"), col("win.predicted").as("predicted"),
-          col("win.votes").as("votes"))
+      majorityVote(nn).orderBy("qid")
+    },
+
+    // ----- kNN over IVF candidates: the big-seed-set classifier -----
+    // knn_classify's documented scale path, built: the brute-force
+    // candidate stage (corpus × queries) is replaced by the persisted
+    // IVF assignment probe — each query scores only the members of its
+    // nprobe=2 nearest coarse buckets, an equi-join on cent_id against
+    // the parquet artifact. The vote plumbing (k=10 majority, ties by
+    // count DESC then smaller label) is byte-identical to knn_classify
+    // via [[majorityVote]]. Recall on planted labeled clusters is pinned
+    // by KnnIvfRecallSpec.
+    "knn_classify_ivf" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+        |probes AS (
+        |  SELECT qid, cent_id FROM (
+        |    SELECT q.qid, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM q, c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id AS cid
+        |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id >= 100),
+        |s AS (
+        |  SELECT cand.qid, cand.cid, ce.label,
+        |    round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.cid),
+        |nn AS (SELECT qid, cid, label FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 10),
+        |votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS n
+        |          FROM nn GROUP BY qid, label)
+        |SELECT qid, label AS predicted, n AS votes FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      val ev = e.select("vec_id", "embedding")
+      val centroids = ev.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 100)
+      val assign = graft.operators.SignatureStore.ensureIvfAssignments(
+        s, d, () => ivfAssign(ev, centroids))
+        .filter(col("vec_id") >= 100)
+      ivfKnnClassify(assign, corpus, centroids, queries, nprobe = 2, k = 10)
         .orderBy("qid")
     },
 

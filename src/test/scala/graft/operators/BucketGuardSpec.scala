@@ -36,6 +36,21 @@ class BucketGuardSpec extends SparkFunSuite {
     assert(guarded == unguarded && guarded > 0)
   }
 
+  test("planted mega-bucket in the k=1 signature self-join is capped") {
+    // one boilerplate signature shared by 60 docs (1770 pairs if
+    // unguarded) + two normal near-dup pairs
+    val hot = (0 until 60).map(i => (i.toLong, "deadbeef"))
+    val normal = Seq((100L, "aa"), (101L, "aa"), (200L, "bb"), (201L, "bb"))
+    val sig = (hot ++ normal).toDF("doc_id", "sig")
+
+    val capped = TextQueries.sigSelfJoinPairs(sig, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L), (200L, 201L)))
+
+    // default cap is far above anything here: all pairs survive
+    assert(TextQueries.sigSelfJoinPairs(sig).count() == 60L * 59 / 2 + 2)
+  }
+
   test("hyperplane LSH candidates bound the blowup from constant embeddings") {
     import graft.operators.{LshPlanes => L}
     def bandKeys(v: Array[Float]): Seq[(Int, Int)] = (0 until L.Bands).map { b =>

@@ -83,6 +83,16 @@ class RepetitionSpec extends SparkFunSuite {
     assert(ranged.collect().forall(_.getLong(0) == 1L))
   }
 
+  test("max_ngram_run coerces integral literals of other widths from SQL") {
+    val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("doc_id", "tk")
+    df.createOrReplaceTempView("mnr_docs")
+    // BIGINT literal: ImplicitCastInputTypes must coerce to INT instead
+    // of failing analysis
+    val viaSql = spark.sql(
+      "SELECT max_ngram_run(tk, CAST(2 AS BIGINT)) AS m FROM mnr_docs").collect()
+    assert(viaSql.head.getLong(0) == 2L)
+  }
+
   test("text_repetition plan is aggregate-free (no bigram reaches a shuffle)") {
     val q = TextQueries.defs("text_repetition").build(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.sparkPlan
