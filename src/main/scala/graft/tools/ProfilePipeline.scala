@@ -34,6 +34,10 @@ object ProfilePipeline {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def storageMB(): Double =
+      s.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+    def dropBlocks(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 
     // warmup + store build (mirrors Bench)
     noop(graft.SparkEntry.queries("q1_agg")(s, d))
@@ -41,9 +45,27 @@ object ProfilePipeline {
     noop(SignatureStore.ensureClusters(s, d))
     noop(SignatureStore.ensureSimhash(s, d))
 
+    // SPARK_GRAFT_PROFILE_MODE=r4: replicate the round-4 bench prelude —
+    // an untimed warmup pass over EVERY query at sf0.01 whose
+    // localCheckpoint blocks are left resident, squatting in the
+    // eviction-protected storage half of unified memory during the
+    // timed runs. =clean (default): same prelude, blocks dropped.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_PROFILE_MODE", "clean")
+    if (mode == "r4" || mode == "clean") {
+      val warm = "/root/testdata/sf0.01"
+      graft.SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+        try noop(graft.SparkEntry.queries(n)(s, warm))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      if (mode == "clean") dropBlocks()
+    }
+    println(f"[profile] mode=$mode resident-checkpoint-blocks=${storageMB()}%.1f MB")
+
     val names = if (args.nonEmpty) args.toSeq else Seq("corpus_pipeline_full")
-    for (n <- names; r <- 1 to 2)
+    for (n <- names; r <- 1 to 2) {
       time(s"$n #$r")(noop(graft.SparkEntry.queries(n)(s, d)))
+      println(f"[profile]   storage after: ${storageMB()}%.1f MB")
+    }
     s.stop()
   }
 }
