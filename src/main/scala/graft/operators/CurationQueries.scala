@@ -273,6 +273,92 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ----- unigram LM quality score: CCNet-flavored frequency scoring -----
+    // The perplexity-filter stand-in that stays bit-exact across engines:
+    // instead of a trained LM's log-probs (libm `ln` is not contractual
+    // cross-engine), each token scores the INTEGER frequency bucket
+    // floor(log2 n)+1 of its corpus count (= length(bin(n)) — pure bit
+    // arithmetic), with tokens outside the top-K vocabulary scoring 0
+    // (OOV). A document's mean bucket is high when it is made of common,
+    // in-vocabulary tokens — the same signal a perplexity gate thresholds
+    // on — and the OOV ratio is the classic garbage detector. Scale
+    // shape: one map-side-combinable vocab aggregate, TakeOrdered top-K
+    // (bounded → broadcast licensed), then a stateless broadcast join +
+    // one (doc_id) aggregate; the corpus token explode runs twice but
+    // both passes are map-only projections — cheaper at 100 TB than
+    // materializing the exploded token table between them.
+    "text_lm_score" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+        |v AS (SELECT token, CAST(length(bin(n)) AS BIGINT) AS bucket FROM c
+        |      QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 20),
+        |s AS (SELECT t.doc_id, coalesce(v.bucket, 0) AS bucket
+        |      FROM tok t LEFT JOIN v USING (token))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(bucket) AS DOUBLE) / count(*), 6) AS mean_bucket,
+        |  round(CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_ratio
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = TextQueries.spread(documents(s, d))
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+        .select(col("token"), length(bin(col("n"))).cast("long").as("bucket"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .select(col("doc_id"), coalesce(col("bucket"), lit(0L)).as("bucket"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum("bucket").cast("double") / count(lit(1)), 6).as("mean_bucket"),
+          round(sum(when(col("bucket") === 0, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("oov_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ----- packing manifest: the per-sequence dataloader view -----
+    // pack_sequences answers "where does my document land"; a training
+    // dataloader needs the inverse: for each 512-token sequence, which
+    // document SEGMENTS compose it (doc, offset into the doc, offset
+    // into the sequence, segment length). One row per (sequence, doc)
+    // incidence, derived from the same two-pass distributed prefix sum —
+    // the explode is per-doc bounded (a doc spans ⌈n/512⌉+1 sequences)
+    // and every value is integer arithmetic, bit-identical across
+    // engines. Segments of one sequence sum to 512 (except the tail),
+    // which the dataloader can assert at load time.
+    "pack_manifest" -> QueryDef.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
+        |  FROM toks),
+        |x AS (
+        |  SELECT doc_id, n_tokens, tok_start,
+        |    unnest(generate_series(tok_start // 512, (tok_start + n_tokens - 1) // 512)) AS seq_id
+        |  FROM c)
+        |SELECT seq_id, doc_id,
+        |  CASE WHEN seq_id = tok_start // 512 THEN 0 ELSE seq_id * 512 - tok_start END AS doc_offset,
+        |  CASE WHEN seq_id = tok_start // 512 THEN tok_start % 512 ELSE 0 END AS seq_offset,
+        |  least((seq_id + 1) * 512, tok_start + n_tokens) - greatest(seq_id * 512, tok_start) AS n_seg_tokens
+        |FROM x ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
+      val toks = documents(s, d).select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      val c = TextQueries.cumulativeTokens(toks)
+        .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
+      c.select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        explode(sequence(expr("tok_start div 512"),
+          expr("(tok_start + n_tokens - 1) div 512"))).as("seq_id"))
+        .select(col("seq_id"), col("doc_id"),
+          when(col("seq_id") === expr("tok_start div 512"), lit(0L))
+            .otherwise(col("seq_id") * 512 - col("tok_start")).as("doc_offset"),
+          when(col("seq_id") === expr("tok_start div 512"), col("tok_start") % 512)
+            .otherwise(lit(0L)).as("seq_offset"),
+          (least((col("seq_id") + 1) * 512, col("tok_start") + col("n_tokens"))
+            - greatest(col("seq_id") * 512, col("tok_start"))).as("n_seg_tokens"))
+        .orderBy("seq_id", "doc_id")
+    },
+
     // ----- the capstone: full curation pipeline as ONE verified query -----
     // blocklist → quality gates (length + Gopher repetition) → benchmark
     // decontamination → canonical near-dup survivors → stratified

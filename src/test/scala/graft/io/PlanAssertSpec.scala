@@ -63,6 +63,31 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("bm25_search_stored scans corpus text only for the bounded query side") {
+    val sfDir = "/root/testdata/sf0.001"
+    // NOTE: bm25Rank localCheckpoints the pruned postings sliver eagerly,
+    // so the plan below is the post-checkpoint remainder — which is
+    // exactly the surface the contract governs: the stored path's only
+    // visible documents scan is the bounded query side (stats come from
+    // the doclens artifact), while the live path's stats aggregate scans
+    // documents again.
+    val stored = graft.operators.SearchQueries.defs("bm25_search_stored")
+      .build(spark, sfDir)
+    val storedPlan = stored.queryExecution.executedPlan.toString
+    val storedDocScans = "documents\\.parquet".r.findAllIn(storedPlan).size
+    assert(storedDocScans == 1,
+      s"stored path must scan documents once (query side only):\n$storedPlan")
+    assert(storedPlan.contains("bm25_doclens"),
+      s"stored stats must come from the doclens artifact:\n$storedPlan")
+    val live = graft.operators.SearchQueries.defs("bm25_search")
+      .build(spark, sfDir)
+    val livePlan = live.queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(livePlan).size >= 2,
+      s"live path re-tokenizes the corpus by design:\n$livePlan")
+    assert(stored.collect().sameElements(live.collect()),
+      "stored and live BM25 must be bit-identical")
+  }
+
   test("ann_ivf centroid assignment is a hash aggregate, not a window sort") {
     val sfDir = "/root/testdata/sf0.001"
     val e = graft.util.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
