@@ -224,9 +224,24 @@ object TextQueries {
       val propagated = edges.join(labels, edges("a") === labels("doc_id"))
         .select(col("b").as("doc_id"), col("cluster_id").as("cand"),
           lit(null).cast("long").as("prev"))
+      // Pointer jumping: also adopt the label OF my current label
+      // (labels ⋈ labels on cluster_id = doc_id). Pure edge propagation
+      // converges in O(component diameter) rounds — a chained near-dup
+      // family (SEO boilerplate mutating one shingle per page) can be
+      // thousands of hops; the jump halves the remaining distance each
+      // round, so the fixpoint closes in O(log diameter). The extra
+      // join is labels-cardinality (edge-connected docs only) — tiny
+      // next to the edge join it saves rounds of. The fixpoint (min
+      // label per component) is schedule-invariant, so the oracle's
+      // transitive closure is unchanged.
+      val jumped = labels.select(col("doc_id"), col("cluster_id").as("via"))
+        .join(labels.select(col("doc_id").as("via"), col("cluster_id").as("cand")),
+          Seq("via"))
+        .select(col("doc_id"), col("cand"), lit(null).cast("long").as("prev"))
       val merged = labels
         .select(col("doc_id"), col("cluster_id").as("cand"), col("cluster_id").as("prev"))
         .unionByName(propagated)
+        .unionByName(jumped)
         .groupBy("doc_id").agg(min("cand").as("cluster_id"), min("prev").as("prev"))
         .localCheckpoint()
       changed = merged.filter(col("cluster_id") < col("prev")).count()
