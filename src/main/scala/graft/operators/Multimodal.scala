@@ -221,5 +221,41 @@ object Multimodal {
           round(element_at(col("features"), 3), 6).as("mean_b"))
         .orderBy("doc_id")
     },
+
+    // ----- video-style frame sampling over opaque payloads -----
+    // The frame-sample plumbing of a video pipeline with the codec
+    // abstracted to fixed-size byte frames: payloads split into 32-byte
+    // frames, every 4th frame sampled, each sampled frame fingerprinted.
+    // The shape is what matters at 100 TB — a stateless per-row explode
+    // bounded by payload size (no shuffle before the per-frame
+    // projection), with the decode seam exactly where a real demuxer
+    // would slot in. Hash-checked: both engines fingerprint the same
+    // byte slices (payloads are ASCII, so char and byte offsets agree —
+    // a real container would carry binary and the Spark side already
+    // works on `binary`; the oracle slices the varchar twin).
+    "mm_frame_sample" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id, text AS payload, length(text) // 32 AS nframes
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, payload,
+        |    unnest(generate_series(0, nframes - 1)) AS frame_idx
+        |  FROM f WHERE nframes >= 1)
+        |SELECT doc_id, frame_idx,
+        |  md5(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM x WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text").as("payload"),
+          expr("length(text) div 32").cast("long").as("nframes"))
+        .filter(col("nframes") >= 1) // sequence(0,-1) would descend
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0L), col("nframes") - 1)).as("frame_idx"))
+        .filter(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(expr("substring(payload, cast(frame_idx * 32 + 1 as int), 32)")
+            .cast("binary")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
   )
 }

@@ -75,28 +75,31 @@ object SignatureStore {
       .getOrElse(spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0).as("band"), lit(0L).as("key")).limit(0))
 
+  /** Does `dir` hold at least one DATA file? (A micro-batch where every
+    * row was gated away writes only `_SUCCESS`; reading such a directory
+    * throws "Unable to infer schema".) */
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !(name.startsWith("_") || name.startsWith("."))
+      }
+      found
+    }
+  }
+
   private def tryReadMinhashBands(spark: SparkSession, base: String,
       excludeBatch: Option[Long]): Option[DataFrame] = {
-    import org.apache.hadoop.fs.Path
-    val hc = spark.sparkContext.hadoopConfiguration
-    def hasData(dir: String): Boolean = {
-      val p = new Path(dir)
-      val fs = p.getFileSystem(hc)
-      fs.exists(p) && {
-        val it = fs.listFiles(p, true)
-        var found = false
-        while (!found && it.hasNext) {
-          val name = it.next().getPath.getName
-          found = !(name.startsWith("_") || name.startsWith("."))
-        }
-        found
-      }
-    }
     def cols(df: DataFrame) =
       df.select(col("doc_id"), col("band").cast("int").as("band"), col("key"))
-    val batch = Option.when(hasData(minhashDir(base)))(
+    val batch = Option.when(hasData(spark, minhashDir(base)))(
       cols(spark.read.parquet(minhashDir(base))))
-    val stream = Option.when(hasData(streamMinhashDir(base))) {
+    val stream = Option.when(hasData(spark, streamMinhashDir(base))) {
       val raw = spark.read.parquet(streamMinhashDir(base))
       cols(excludeBatch.fold(raw)(id => raw.filter(col("batch_id") =!= id)))
     }
@@ -209,6 +212,28 @@ object SignatureStore {
   def bm25PostingsDir(base: String) = s"$base/bm25_postings"
   def bm25DoclensDir(base: String) = s"$base/bm25_doclens"
 
+  /** Streaming postings appends land in a batch_id-partitioned SIBLING
+    * subtree (same rationale as [[streamMinhashDir]]); [[readBm25]]
+    * unions both, so search transparently sees stream-ingested docs. */
+  def streamBm25Dir(base: String) = s"$base/bm25_postings_stream"
+
+  /** Stored postings + doclens at `base`: the batch subtrees plus, when
+    * present, the stream-append subtree. Stream rows deduplicate on the
+    * full row (a replayed or re-sent doc must not double its tf) and
+    * stream doclens derive from the postings rows (every doc has ≥1
+    * posting — the tokenizer never returns an empty array). */
+  def readBm25(spark: SparkSession, base: String): (DataFrame, DataFrame) = {
+    val post = spark.read.parquet(bm25PostingsDir(base))
+    val lens = spark.read.parquet(bm25DoclensDir(base))
+    if (!hasData(spark, streamBm25Dir(base))) (post, lens)
+    else {
+      val sp = spark.read.parquet(streamBm25Dir(base))
+        .select("doc_id", "token", "tf", "dl").distinct()
+      (post.unionByName(sp).distinct(),
+        lens.unionByName(sp.select(col("doc_id"), col("dl")).distinct()).distinct())
+    }
+  }
+
   /** Persisted BM25 postings ((doc_id, token, tf, dl) over ALL documents
     * — query-set agnostic) plus the per-doc length table (doc_id, dl)
     * the corpus stats derive from, building on first use. The postings
@@ -228,8 +253,7 @@ object SignatureStore {
       SearchQueries.postingsOf(docs)
         .write.mode("overwrite").parquet(bm25PostingsDir(base))
     }
-    (spark.read.parquet(bm25PostingsDir(base)),
-      spark.read.parquet(bm25DoclensDir(base)))
+    readBm25(spark, base)
   }
 
   def clustersDir(base: String) = s"$base/clusters"

@@ -115,6 +115,27 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamMinhashDir(storeBase))
     }
 
+  /** Incremental BM25 postings maintenance — the search-family twin of
+    * [[maintainSignatures]]: each micro-batch of new documents is
+    * tokenized ONCE with the same builder the stored search path uses
+    * ([[graft.operators.SearchQueries.postingsOf]]) and appended to the
+    * store's stream subtree, so `SignatureStore.readBm25` serves
+    * searches over batch + stream docs without ever re-tokenizing
+    * history. Same replay contract as the signature store: batch_id-
+    * keyed dynamic partition overwrite, so a replayed epoch overwrites
+    * exactly its own partitions instead of doubling term frequencies. */
+  def maintainPostings(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.SearchQueries.postingsOf(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamBm25Dir(storeBase))
+    }
+
   /** Streaming incremental NEAR-dedup — the continuous twin of the batch
     * `dedup_incremental` query: each micro-batch signs its documents
     * once, probes the persisted band store for collisions (batch×store

@@ -166,6 +166,35 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("incremental BM25 postings maintenance matches a batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("bm25maint")
+    val batchDocs = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    graft.operators.SearchQueries.postingsOf(batchDocs)
+      .write.parquet(graft.operators.SignatureStore.bm25PostingsDir(base))
+    graft.operators.SearchQueries.doclensOf(batchDocs)
+      .write.parquet(graft.operators.SignatureStore.bm25DoclensDir(base))
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainPostings(input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((2L, "beta gamma beta gamma"))
+      query.processAllAvailable()
+      input.addData((3L, "delta"))
+      query.processAllAvailable()
+
+      val (post, lens) = graft.operators.SignatureStore.readBm25(spark, base)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val all = Seq((1L, "alpha beta alpha"), (2L, "beta gamma beta gamma"),
+        (3L, "delta")).toDF("doc_id", "text")
+      assert(rows(post) == rows(graft.operators.SearchQueries.postingsOf(all)))
+      assert(lens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == Set((1L, 3L), (2L, 4L), (3L, 1L)))
+    } finally query.stop()
+  }
+
   test("sessionize absorbs a late cross-batch event without splitting the session") {
     // Regression: absorbing a late event used to REWIND lastSeen, so a
     // later in-gap event measured its gap against the stale minimum and
