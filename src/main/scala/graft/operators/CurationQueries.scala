@@ -315,6 +315,45 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ----- RAG chunking: overlapping token windows per document -----
+    // The embedding-pipeline precursor (chunk → embed → index): 64-token
+    // windows at stride 48 (16-token overlap so no boundary sentence is
+    // lost), each chunk fingerprinted so the downstream embedding store
+    // can key on content. Stateless per-row explode bounded by document
+    // size — a pure map stage at any scale; all window arithmetic is
+    // integer, and the fingerprint hashes the space-joined token slice
+    // identically on both engines.
+    "chunk_documents" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |x AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS k
+        |  FROM n)
+        |SELECT doc_id, k AS chunk_id,
+        |  1 + 48 * k AS tok_start,
+        |  least(48 * k + 64, n) - 48 * k AS n_chunk_tokens,
+        |  md5(array_to_string(toks[CAST(1 + 48 * k AS INT):CAST(least(48 * k + 64, n) AS INT)], ' ')) AS chunk_fp
+        |FROM x WHERE 48 * k < n
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(TextQueries.toksExpr))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L),
+            expr("(greatest(n - 64, 0L) + 47) div 48"))).as("k"))
+        .filter(col("k") * 48 < col("n"))
+        .select(col("doc_id"), col("k").as("chunk_id"),
+          (lit(1) + lit(48) * col("k")).as("tok_start"),
+          (least(col("k") * 48 + 64, col("n")) - col("k") * 48).as("n_chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (lit(1) + lit(48) * col("k")).cast("int"),
+              (least(col("k") * 48 + 64, col("n")) - col("k") * 48).cast("int")))
+            .cast("binary")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ----- packing manifest: the per-sequence dataloader view -----
     // pack_sequences answers "where does my document land"; a training
     // dataloader needs the inverse: for each 512-token sequence, which

@@ -527,6 +527,36 @@ object TextQueries {
         .orderBy("bucket")
     },
 
+    // ----- per-source length quantiles: the corpus profiling report -----
+    // What a mixture designer reads before setting rates: exact
+    // p50/p90/p99 token-count quantiles per source. Exactness is
+    // affordable at any scale because Spark's `percentile` aggregates a
+    // (value → count) map per group — the buffer is bounded by DISTINCT
+    // token counts (≤ max doc length), not rows, and it is map-side
+    // combinable. Both engines use linear interpolation (percentile ≡
+    // quantile_cont), rounded to 6 decimals. Null-source docs are out of
+    // scope of a source report (same convention as mix_temperature).
+    "text_length_quantiles" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(n, 0.5), 6) AS p50,
+        |  round(quantile_cont(n, 0.9), 6) AS p90,
+        |  round(quantile_cont(n, 0.99), 6) AS p99,
+        |  min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"), size(expr(toksExpr)).cast("long").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n, 0.99)"), 6).as("p99"),
+          min("n").as("min_tokens"), max("n").as("max_tokens"))
+        .orderBy("source")
+    },
+
     // ----- minhash LSH candidates from the persisted signature store -----
     // The 100 TB amortization: signatures are computed ONCE (a full text
     // scan + md5) and persisted band-partitioned; every subsequent dedup
