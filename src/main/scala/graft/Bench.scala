@@ -87,6 +87,11 @@ object Bench {
       operators.SignatureStore.ensureIvfAssignments(spark, sfDir,
         () => operators.VectorQueries.ivfAssign(e, centroids)).write
         .format("noop").mode("overwrite").save()
+      // LSH bucket artifact behind ann_lsh_bucketed_stored (the live
+      // sign projection is timed by ann_lsh_bucketed)
+      operators.SignatureStore.ensureLshBuckets(spark, sfDir,
+        () => operators.LshPlanes.bandsOf(e)).write
+        .format("noop").mode("overwrite").save()
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -189,6 +189,27 @@ object SignatureStore {
     spark.read.parquet(ivfDir(base))
   }
 
+  def lshBucketsDir(base: String) = s"$base/lsh_buckets"
+
+  /** Persisted hyperplane-LSH bucket table (vec_id, band, key) for
+    * `sfDir` — the vector-sketch twin of the minhash band store: the
+    * sign projection (Bands×Planes dot products per vector) is the index
+    * build cost and changes only when embeddings or the plane bank
+    * change; candidate runs read the band-partitioned artifact and
+    * never recompute a dot. Built via the same [[graft.operators.LshPlanes.bandsOf]]
+    * the live query uses, so the two paths cannot diverge. */
+  def ensureLshBuckets(spark: SparkSession, sfDir: String,
+      build: () => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${lshBucketsDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      build().write.mode("overwrite").partitionBy("band").parquet(lshBucketsDir(base))
+    spark.read.parquet(lshBucketsDir(base))
+      .select(col("vec_id"), col("band").cast("int").as("band"), col("key"))
+  }
+
   def spansDir(base: String) = s"$base/substring_spans"
 
   /** Persisted duplicated-substring spans (doc_id, span_start, span_end,

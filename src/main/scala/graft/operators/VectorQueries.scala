@@ -166,6 +166,45 @@ object VectorQueries {
     majorityVote(nn)
   }
 
+  /** Exact cosine rescoring of LSH candidate pairs above the 0.4
+    * threshold — vectors attach by id equi-joins so the score expression
+    * evaluates inside a codegen stage. Shared by the live and stored
+    * bucket paths. */
+  private def scoredLshPairs(e: DataFrame, cand: DataFrame): DataFrame = {
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), score("va", "vb").as("score"))
+      .filter(col("score") > 0.4)
+  }
+
+  /** The hyperplane-LSH oracle, shared verbatim by the live and stored
+    * queries: the deterministic ±1 sign vectors are baked in as literal
+    * DOUBLE lists. */
+  private lazy val LshOracleSql: String = {
+    import LshPlanes._
+    val oracleBands = (0 until Bands).map { b =>
+      val key = (0 until PlanesPerBand).map { p =>
+        val lits = signVecs(b * PlanesPerBand + p).map(f => if (f > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  $oracleBands),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       |  round(list_dot_product(ea.v, eb.v) /
+       |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS score
+       |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+       |WHERE round(list_dot_product(ea.v, eb.v) /
+       |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) > 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** The IVF oracle, shared verbatim by the live and stored queries. */
   private val IvfOracleSql: String =
     """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
@@ -290,38 +329,27 @@ object VectorQueries {
     // generated DuckDB SQL as literal DOUBLE lists. Both engines fold
     // float→double products sequentially (dot_f32 ≡ list_dot_product on
     // the cast array), so bucket signs and scores are bit-identical.
-    "ann_lsh_bucketed" -> {
-      import LshPlanes._
-      val oracleBands = (0 until Bands).map { b =>
-        val key = (0 until PlanesPerBand).map { p =>
-          val lits = signVecs(b * PlanesPerBand + p).map(f => if (f > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-          s"(CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1 << p} ELSE 0 END)"
-        }.mkString(" + ")
-        s"SELECT vec_id, $b AS band, $key AS key FROM e"
-      }.mkString("\n  UNION ALL ")
-      QueryDef.sql(
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |b AS (
-           |  $oracleBands),
-           |cand AS (
-           |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-           |  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id)
-           |SELECT c.vec_a, c.vec_b,
-           |  round(list_dot_product(ea.v, eb.v) /
-           |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS score
-           |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
-           |WHERE round(list_dot_product(ea.v, eb.v) /
-           |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) > 0.4
-           |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-        val e = embeddings(s, d)
-        val cand = bandedCandidates(e.select(col("vec_id"), col("embedding")))
-        val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-        val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-        cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-          .select(col("vec_a"), col("vec_b"), score("va", "vb").as("score"))
-          .filter(col("score") > 0.4)
-          .orderBy("vec_a", "vec_b")
-      }
+    "ann_lsh_bucketed" -> QueryDef.sql(LshOracleSql) { (s, d) =>
+      val e = embeddings(s, d)
+      scoredLshPairs(e,
+        LshPlanes.bandedCandidates(e.select(col("vec_id"), col("embedding"))))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ----- LSH candidates from the persisted bucket store -----
+    // The vector twin of dedup_minhash_lsh_stored: the sign projection
+    // (16 dot products × corpus) is the index build cost, persisted
+    // band-partitioned once; every search/dedup run is a guarded
+    // parquet self-join over the tiny (vec_id, band, key) table plus an
+    // id-equi-join to attach vectors for exact rescoring — the
+    // hyperplane dots never recompute. Same oracle as the live query:
+    // stored must be bit-identical.
+    "ann_lsh_bucketed_stored" -> QueryDef.sql(LshOracleSql) { (s, d) =>
+      val e = embeddings(s, d)
+      val bands = graft.operators.SignatureStore.ensureLshBuckets(
+        s, d, () => LshPlanes.bandsOf(e.select(col("vec_id"), col("embedding"))))
+      scoredLshPairs(e, LshPlanes.candidatesFromBands(bands))
+        .orderBy("vec_a", "vec_b")
     },
 
     // ----- semantic dedup (SemDeDup-style): cluster, then dedup within -----
@@ -540,19 +568,13 @@ object LshPlanes {
   val signVecs: Array[Array[Float]] = Array.tabulate(Bands * PlanesPerBand)(p =>
     Array.tabulate(Dim)(i => if ((mix(p.toLong * Dim + i) & 1L) == 0L) 1.0f else -1.0f))
 
-  /** Distinct (vec_a, vec_b) candidate pairs colliding in ≥1 band.
-    * Input: (vec_id, embedding). Per band, the 4 plane signs form a
-    * 4-bit key; posexplode → equi-join on (band, key). Each plane
-    * projection is one dot_f32 against a literal array, so the column
-    * tree stays small (janino-friendly) and fully codegen'd.
-    *
-    * Guarded against degenerate buckets (same pattern as
-    * [[TextQueries.bandedPairs]]): a hot bucket — e.g. a mass of
-    * zero/constant embeddings all landing on one sign key — would make
-    * the self-join quadratic; buckets above `maxBucket` are dropped via
-    * a broadcast anti-join on the aggregated bucket counts. */
-  def bandedCandidates(e: org.apache.spark.sql.DataFrame,
-      maxBucket: Int = graft.operators.TextQueries.DefaultMaxBucket): org.apache.spark.sql.DataFrame = {
+  /** The (vec_id, band, key) hyperplane bucket table: per band, the 4
+    * plane signs form a 4-bit key. Each plane projection is one dot_f32
+    * against a literal array, so the column tree stays small
+    * (janino-friendly) and fully codegen'd. This is the LSH index build
+    * cost — the persisted artifact at 100 TB
+    * ([[graft.operators.SignatureStore.ensureLshBuckets]]). */
+  def bandsOf(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.DotF32.dot_f32
     val bandKeys = (0 until Bands).map { b =>
       (0 until PlanesPerBand).map { p =>
@@ -560,14 +582,18 @@ object LshPlanes {
           lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
     }
-    // The (vec_id, band, key) table is consumed four times (bucket-count
-    // aggregate, anti-join probe, both self-join sides); localCheckpoint
-    // materializes the corpus-wide sign projection ONCE instead of
-    // re-running the 16 dot products per consumer.
-    val bands = e
-      .withColumn("bk", array(bandKeys: _*))
+    e.withColumn("bk", array(bandKeys: _*))
       .select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "key")))
-      .localCheckpoint()
+  }
+
+  /** Guarded candidate join over a (vec_id, band, key) table — live-built
+    * or read from the persisted store; the two must be bit-identical.
+    * A hot bucket — e.g. a mass of zero/constant embeddings all landing
+    * on one sign key — would make the self-join quadratic; buckets above
+    * `maxBucket` are dropped via a broadcast anti-join on the aggregated
+    * bucket counts (same pattern as [[TextQueries.bandedPairs]]). */
+  def candidatesFromBands(bands: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = graft.operators.TextQueries.DefaultMaxBucket): org.apache.spark.sql.DataFrame = {
     val guarded = bands.join(
       broadcast(graft.operators.TextQueries.oversizedBuckets(bands, maxBucket)
         .select("band", "key")),
@@ -577,4 +603,14 @@ object LshPlanes {
     a.join(b, Seq("band", "key")).filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
   }
+
+  /** Distinct (vec_a, vec_b) candidate pairs colliding in ≥1 band, built
+    * live from (vec_id, embedding). The (vec_id, band, key) table is
+    * consumed four times (bucket-count aggregate, anti-join probe, both
+    * self-join sides); localCheckpoint materializes the corpus-wide sign
+    * projection ONCE instead of re-running the 16 dot products per
+    * consumer. */
+  def bandedCandidates(e: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = graft.operators.TextQueries.DefaultMaxBucket): org.apache.spark.sql.DataFrame =
+    candidatesFromBands(bandsOf(e).localCheckpoint(), maxBucket)
 }

@@ -111,6 +111,58 @@ class CurationSpec extends SparkFunSuite {
     assert(subset.forall { case (id, s) => full(id) == s })
   }
 
+  test("pack_manifest tiles every sequence exactly and agrees with pack_sequences") {
+    val manifest = q("pack_manifest").collect()
+    // each sequence's segments sum to 512 tokens, except the final tail
+    val bySeq = manifest.groupBy(_.getAs[Long]("seq_id"))
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, rows) =>
+      val total = rows.map(_.getAs[Long]("n_seg_tokens")).sum
+      if (seq != lastSeq) assert(total == 512L, s"seq $seq holds $total tokens")
+      else assert(total >= 1L && total <= 512L)
+      // segments tile the sequence contiguously from offset 0
+      val sorted = rows.sortBy(_.getAs[Long]("seq_offset"))
+      assert(sorted.head.getAs[Long]("seq_offset") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("seq_offset") + a.getAs[Long]("n_seg_tokens")
+            == b.getAs[Long]("seq_offset"), s"gap in seq $seq")
+        case _ => ()
+      }
+    }
+    // each doc's FIRST segment matches its pack_sequences row
+    val packed = q("pack_sequences").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))).toMap
+    manifest.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rows) =>
+      val first = rows.minBy(_.getAs[Long]("seq_id"))
+      assert((first.getAs[Long]("seq_id"), first.getAs[Long]("seq_offset"))
+        == packed(doc), s"doc $doc manifest/pack divergence")
+      assert(first.getAs[Long]("doc_offset") == 0L)
+    }
+  }
+
+  test("chunk_documents covers every token with stride-48 windows") {
+    val docs = graft.util.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "size(split(trim(lower(text)), '\\\\s+')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = q("chunk_documents").collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val n = docs(doc).toLong
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // starts advance by the stride; sizes are 64 except a short tail
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("tok_start") == 1L + 48L * i)
+        val len = r.getAs[Long]("n_chunk_tokens")
+        assert(len == math.min(64L, n - 48L * i), s"doc $doc chunk $i len $len")
+      }
+      // full coverage: the last chunk reaches the final token
+      val last = sorted.last
+      assert(last.getAs[Long]("tok_start") + last.getAs[Long]("n_chunk_tokens") - 1 == n)
+    }
+  }
+
   test("pii_redact counts match the planted enrichment schedule") {
     val rows = q("pii_redact").collect()
     rows.foreach { r =>
