@@ -88,6 +88,21 @@ class PlanAssertSpec extends SparkFunSuite {
       "stored and live BM25 must be bit-identical")
   }
 
+  test("chunk_documents and mm_frame_sample stay map-only (no join, no aggregate)") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (n <- Seq("chunk_documents", "mm_frame_sample")) {
+      val plan = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.sparkPlan
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(aggs.isEmpty && joins.isEmpty,
+        s"$n must be a pure map stage (explode + projection):\n$plan")
+    }
+  }
+
   test("ann_ivf centroid assignment is a hash aggregate, not a window sort") {
     val sfDir = "/root/testdata/sf0.001"
     val e = graft.util.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
