@@ -135,6 +135,29 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // ----- O5: tumbling-window event aggregation (batch twin of the -----
+    // streaming windowedCounts): hourly buckets per event_type with
+    // DECIMAL-exact value sums. The bucket is pure integer division on
+    // epoch nanos (ns → µs → hour) — no timestamp truncation function
+    // whose DST/locale behavior could diverge between engines — and the
+    // whole query is one map-side-combinable aggregate over a pruned
+    // 3-column scan: the canonical 100 TB event-rollup shape.
+    "o5_event_windows" -> QueryDef.sql(
+      """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(expr("(ts_ns div 1000) div 3600000000").as("hour_bucket"),
+          col("event_type"), col("value"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(38,12)")).cast("double"), 6)
+            .as("total_value"))
+        .orderBy("hour_bucket", "event_type")
+    },
+
     // ----- J1: overlap theta-semi-join vs broadcast primary (…:204-222) -----
     "j1_overlap_semi" -> QueryDef.sql(
       """WITH primary_row AS (
