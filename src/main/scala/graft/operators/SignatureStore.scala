@@ -238,20 +238,29 @@ object SignatureStore {
     * unions both, so search transparently sees stream-ingested docs. */
   def streamBm25Dir(base: String) = s"$base/bm25_postings_stream"
 
-  /** Stored postings + doclens at `base`: the batch subtrees plus, when
-    * present, the stream-append subtree. Stream rows deduplicate on the
-    * full row (a replayed or re-sent doc must not double its tf) and
-    * stream doclens derive from the postings rows (every doc has ≥1
-    * posting — the tokenizer never returns an empty array). */
+  /** Stored postings + doclens at `base`: the batch subtrees and/or the
+    * stream-append subtree (a store may be purely batch-built, purely
+    * stream-built, or both — same contract as [[readMinhashBands]]).
+    * Stream rows deduplicate on the full row (a replayed or re-sent doc
+    * must not double its tf) and stream doclens derive from the postings
+    * rows (every doc has ≥1 posting — the tokenizer never returns an
+    * empty array). */
   def readBm25(spark: SparkSession, base: String): (DataFrame, DataFrame) = {
-    val post = spark.read.parquet(bm25PostingsDir(base))
-    val lens = spark.read.parquet(bm25DoclensDir(base))
-    if (!hasData(spark, streamBm25Dir(base))) (post, lens)
-    else {
+    val batch = Option.when(hasData(spark, bm25PostingsDir(base)))(
+      (spark.read.parquet(bm25PostingsDir(base)),
+        spark.read.parquet(bm25DoclensDir(base))))
+    val stream = Option.when(hasData(spark, streamBm25Dir(base))) {
       val sp = spark.read.parquet(streamBm25Dir(base))
         .select("doc_id", "token", "tf", "dl").distinct()
-      (post.unionByName(sp).distinct(),
-        lens.unionByName(sp.select(col("doc_id"), col("dl")).distinct()).distinct())
+      (sp, sp.select(col("doc_id"), col("dl")).distinct())
+    }
+    (batch, stream) match {
+      case (Some((bp, bl)), Some((sp, sl))) =>
+        (bp.unionByName(sp).distinct(), bl.unionByName(sl).distinct())
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no bm25 postings store under $base")
     }
   }
 

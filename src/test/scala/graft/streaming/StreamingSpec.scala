@@ -166,6 +166,22 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("a purely stream-built postings store reads without a batch subtree") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("bm25streamonly")
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainPostings(input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((7L, "omega psi omega"))
+      query.processAllAvailable()
+      val (post, lens) = graft.operators.SignatureStore.readBm25(spark, base)
+      assert(post.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        == Set((7L, "omega", 2L), (7L, "psi", 1L)))
+      assert(lens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((7L, 3L)))
+    } finally query.stop()
+  }
+
   test("incremental BM25 postings maintenance matches a batch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("bm25maint")
