@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32, MaxBigramRun, MaxNgramRun}
+import graft.functions.{DotF32, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,6 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "max_bigram_run takes exactly 1 argument")
         MaxBigramRun(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "minhash_sigs takes exactly 1 argument")
+        MinhashSigs(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("min_shingle_md5"),
+      new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "min_shingle_md5 takes exactly 1 argument")
+        MinShingleMd5(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("max_ngram_run"),

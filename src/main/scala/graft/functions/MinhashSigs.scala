@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `minhash_sigs(text)` — the k=8 minhash signature of a document's
+  * 5-char shingle set, computed PER ROW as a native codegen expression:
+  * one md5 per shingle, the leading 60 bits fed through 8 affine hash
+  * functions `((h mod p)·(2k+3) + 31k) mod p`, minimum per k.
+  *
+  * This replaces the explode(positions) → substring → md5 → groupBy(doc)
+  * 8-way-min shape: same arithmetic, same oracle
+  * ([[graft.operators.TextQueries.MinhashBandsCte]]), but a stateless
+  * projection pipelined into the scan — no row amplification (one
+  * shingle row per corpus CHARACTER) and no aggregate before the band
+  * table. Shingle positions are 1..max(chars−4, 1) with the final
+  * shingles clipped at the text end, exactly like
+  * `substring(text, i, 5)`; empty text hashes the empty shingle, like
+  * the SQL path. Null text → null (UnaryExpression default).
+  */
+case class MinhashSigs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"minhash_sigs expects string, got $dt")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    MinhashSigs.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.MinhashSigs.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSigs {
+  /** Same modulus as the SQL oracle. */
+  val P = 1000000007L
+
+  /** Leading 60 bits of an md5 digest — the integer value of the first
+    * 15 hex characters, i.e. `conv(substring(md5(x), 1, 15), 16, 10)`. */
+  private def head60(digest: Array[Byte]): Long = {
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (digest(b) & 0xFFL); b += 1 }
+    (h << 4) | ((digest(7) & 0xFF) >>> 4)
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = math.max(text.numChars() - 4, 1)
+    val mins = Array.fill(8)(Long.MaxValue)
+    var i = 1
+    while (i <= n) {
+      md.reset()
+      val h = head60(md.digest(text.substringSQL(i, 5).getBytes))
+      val hm = h % P
+      var k = 0
+      while (k < 8) {
+        val v = (hm * (2 * k + 3) + 31 * k) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column-API entry point — resolves through the session function
+    * registry, so [[graft.GraftExtensions]] must be installed. */
+  def minhash_sigs(text: Column): Column = call_function("minhash_sigs", text)
+}
+
+/** `min_shingle_md5(text)` — the k=1 minhash: the lexicographic minimum
+  * of the 5-char shingles' md5 hex strings (≡ unsigned minimum of the
+  * 128-bit digests), matching `list_min([md5(substr(text, i, 5)) …])`.
+  * Same per-row replacement of the explode → groupBy(min) shape as
+  * [[MinhashSigs]]; shares its shingle-position conventions.
+  */
+case class MinShingleMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"min_shingle_md5 expects string, got $dt")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    MinShingleMd5.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.MinShingleMd5.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinShingleMd5 {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Unsigned byte-array compare (≡ lexicographic compare of the hex
+    * encodings — every digest is exactly 16 bytes / 32 hex chars). */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xFF
+      val bi = b(i) & 0xFF
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  def compute(text: UTF8String): UTF8String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = math.max(text.numChars() - 4, 1)
+    var min: Array[Byte] = null
+    var i = 1
+    while (i <= n) {
+      md.reset()
+      val d = md.digest(text.substringSQL(i, 5).getBytes)
+      if (min == null || lessThan(d, min)) min = d
+      i += 1
+    }
+    val out = new Array[Char](32)
+    var b = 0
+    while (b < 16) {
+      out(2 * b) = HexDigits((min(b) & 0xFF) >>> 4)
+      out(2 * b + 1) = HexDigits(min(b) & 0x0F)
+      b += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  /** Column-API entry point — resolves through the session function
+    * registry, so [[graft.GraftExtensions]] must be installed. */
+  def min_shingle_md5(text: Column): Column = call_function("min_shingle_md5", text)
+}

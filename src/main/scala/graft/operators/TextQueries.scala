@@ -45,34 +45,27 @@ object TextQueries {
   private[graft] def maxBigramRun(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.MaxBigramRun.max_bigram_run(tk)
 
-  /** doc_id + exploded 5-gram shingles. Explode → groupBy partial-agg is
-    * the codegen-friendly (and 100 TB-friendly) shape: no per-row arrays,
-    * map-side combine collapses each doc's shingles before any shuffle. */
-  private def shingledOf(docs: org.apache.spark.sql.DataFrame) =
-    spread(docs)
-      .select(col("doc_id"),
-        explode(expr("sequence(1, greatest(length(text)-4, 1))")).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 5)").as("shingle"))
-
-  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
-    shingledOf(documents(s, d))
-
   private val MinhashP = 1000000007L
 
   /** Minhash LSH band table (k=8 affine hashes over one md5 per shingle,
     * 4 bands of 2): (doc_id, band, key). The signature computation shared
-    * by the live query and the persisted [[SignatureStore]]. */
+    * by the live query and the persisted [[SignatureStore]].
+    *
+    * The signature is the native codegen
+    * [[graft.functions.MinhashSigs]] expression — one per-row loop over
+    * the shingles, pipelined into the scan. The former
+    * explode → md5 → groupBy(8-way min) shape amplified the corpus to
+    * one row per CHARACTER and hash-aggregated it back; same md5/affine
+    * arithmetic (and the same DuckDB oracle), zero row amplification. */
   def minhashBandsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = MinhashP
-    val h = conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10).cast("long")
-    val hashes = (0 until 8).map(k =>
-      min(((h % p) * (2 * k + 3) + 31 * k) % p).as(s"h$k"))
-    val sig = shingledOf(docs).groupBy(col("doc_id"))
-      .agg(hashes.head, hashes.tail: _*)
-    sig.select(
-      col("doc_id"),
-      expr(s"posexplode(array(h0 * ${p}L + h1, h2 * ${p}L + h3, h4 * ${p}L + h5, h6 * ${p}L + h7)) AS (band, key)"))
+    spread(docs)
+      .select(col("doc_id"),
+        graft.functions.MinhashSigs.minhash_sigs(col("text")).as("hs"))
+      .select(
+        col("doc_id"),
+        expr(s"posexplode(array(hs[0] * ${p}L + hs[1], hs[2] * ${p}L + hs[3], " +
+          s"hs[4] * ${p}L + hs[5], hs[6] * ${p}L + hs[7])) AS (band, key)"))
       .select("doc_id", "band", "key")
   }
 
@@ -446,11 +439,14 @@ object TextQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // localCheckpoint: sigSelfJoinPairs consumes sig three times (the
-      // guard count and both join sides); without it the corpus-wide
-      // explode+md5+groupBy runs once per consumer.
-      val sig = shingled(s, d).groupBy(col("doc_id"))
-        .agg(min(md5(col("shingle").cast("binary"))).as("sig"))
+      // Per-row native signature (min_shingle_md5) — a stateless
+      // projection, no shingle explode/aggregate. localCheckpoint:
+      // sigSelfJoinPairs consumes sig three times (the guard count and
+      // both join sides); without it the corpus-wide md5 loop runs once
+      // per consumer.
+      val sig = spread(documents(s, d))
+        .select(col("doc_id"),
+          graft.functions.MinShingleMd5.min_shingle_md5(col("text")).as("sig"))
         .localCheckpoint()
       sigSelfJoinPairs(sig).orderBy("doc_a", "doc_b")
     },

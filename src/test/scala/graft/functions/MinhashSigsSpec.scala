@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkFunSuite
+import graft.functions.MinShingleMd5.min_shingle_md5
+import graft.functions.MinhashSigs.minhash_sigs
+import org.apache.spark.sql.functions._
+
+/** The native per-row minhash expressions against the explode → groupBy
+  * formulation they replaced: identical signatures on the real corpus
+  * and on multi-byte text (shingles are CHAR-based, like
+  * `substring(text, i, 5)`). */
+class MinhashSigsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val p = 1000000007L
+
+  private def naiveSigs(docs: org.apache.spark.sql.DataFrame) = {
+    val h = conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10).cast("long")
+    val hashes = (0 until 8).map(k => min(((h % p) * (2 * k + 3) + 31 * k) % p).as(s"h$k"))
+    docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(text)-4, 1))")).as("i"), col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("shingle"))
+      .groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
+      .select(col("doc_id"), array((0 until 8).map(k => col(s"h$k")): _*).as("hs"))
+  }
+
+  private def sigMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+
+  test("minhash_sigs equals the explode+groupBy formulation on the real corpus") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = sigMap(docs.select(col("doc_id"), minhash_sigs(col("text")).as("hs")))
+    val naive = sigMap(naiveSigs(docs))
+    assert(fast.nonEmpty && fast == naive)
+  }
+
+  test("min_shingle_md5 equals the explode+groupBy min on the real corpus") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = docs.select(col("doc_id"), min_shingle_md5(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val naive = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(text)-4, 1))")).as("i"), col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("shingle"))
+      .groupBy("doc_id").agg(min(md5(col("shingle").cast("binary"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fast.nonEmpty && fast == naive)
+  }
+
+  test("multi-byte and short texts: char-based shingles match substring semantics") {
+    val docs = Seq(
+      (1L, "héllo wörld ünïcode ßtring"),
+      (2L, "ab"),            // shorter than a shingle → one clipped shingle
+      (3L, ""),              // empty → md5 of the empty shingle
+      (4L, "日本語のテキストです")
+    ).toDF("doc_id", "text")
+    assert(sigMap(docs.select(col("doc_id"), minhash_sigs(col("text")).as("hs")))
+      == sigMap(naiveSigs(docs)))
+  }
+
+  test("minhash_sigs stays inside whole-stage codegen") {
+    val ranged = spark.range(4)
+      .select(minhash_sigs(concat_ws(" ", lit("doc"), col("id"))))
+    val plan = ranged.queryExecution.executedPlan
+    assert(plan.toString.contains("*(1)"), s"expected codegen:\n$plan")
+    assert(ranged.collect().length == 4)
+  }
+}
