@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs}
+import graft.functions.{DotF32, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs, SimhashSig}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "min_shingle_md5 takes exactly 1 argument")
         MinShingleMd5(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "simhash_sig takes exactly 1 argument")
+        SimhashSig(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("max_ngram_run"),

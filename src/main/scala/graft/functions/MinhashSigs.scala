@@ -147,3 +147,69 @@ object MinShingleMd5 {
     * registry, so [[graft.GraftExtensions]] must be installed. */
   def min_shingle_md5(text: Column): Column = call_function("min_shingle_md5", text)
 }
+
+/** `simhash_sig(tokens)` — the 60-bit simhash of a token array, computed
+  * PER ROW: tokens dedupe in-row, each distinct token contributes its
+  * md5's leading 60 bits to per-bit one-counts, and signature bit j is
+  * set when 2·ones_j > n (vote_j = 2·ones_j − n > 0). Identical
+  * signatures to the former explode(array_distinct) → 21-packed-column
+  * vote aggregate (and to the DuckDB oracle's 60 explicit sums), but a
+  * stateless projection: no per-token row amplification and no wide
+  * hash-aggregate, and the packed accumulator's 2^20-tokens-per-field
+  * capacity caveat disappears (plain int counters per row). Null array
+  * → null; null elements are skipped (split output never contains
+  * them on the query paths). */
+case class SimhashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"simhash_sig expects array<string>, got $dt")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SimhashSig.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimhashSig.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+  def compute(toks: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[UTF8String]()
+    val ones = new Array[Int](60)
+    var n = 0
+    val len = toks.numElements()
+    var i = 0
+    while (i < len) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        if (seen.add(t)) {
+          n += 1
+          md.reset()
+          val d = md.digest(t.getBytes)
+          var h = 0L
+          var b = 0
+          while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+          h = (h << 4) | ((d(7) & 0xFF) >>> 4)
+          var j = 0
+          while (j < 60) { if (((h >>> j) & 1L) == 1L) ones(j) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (2 * ones(j) > n) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  /** Column-API entry point — resolves through the session function
+    * registry, so [[graft.GraftExtensions]] must be installed. */
+  def simhash_sig(toks: Column): Column = call_function("simhash_sig", toks)
+}

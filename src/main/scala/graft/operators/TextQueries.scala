@@ -72,33 +72,18 @@ object TextQueries {
   /** 60-bit simhash signatures over md5-hashed distinct tokens:
     * (doc_id, sig). Shared by the live query and [[SignatureStore]].
     *
-    * The per-bit one-counts are packed 3-per-accumulator (20-bit fields):
-    * 21 agg columns instead of 61 — the generated hash-aggregate is ~3×
-    * smaller, which matters because janino compile time of the wide agg
-    * was the dominant cost at bench scale. vote_j = 2·ones_j − n, so
-    * sig bit j = (2·ones_j > n) — identical signatures to the unpacked
-    * formulation (and to the DuckDB oracle's 60 explicit sums). Field
-    * capacity 2^20−1 distinct tokens per document; beyond that a doc is
-    * ~6 MB+ of text and belongs upstream of a splitter. */
-  def simhashSigsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = spread(docs)
-      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("t"))
-      .withColumn("h", conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
-    val packs = (0 until 20).map { g =>
-      (0 until 3).map { k =>
-        shiftleft(shiftright(col("h"), g * 3 + k).bitwiseAND(1), 20 * k)
-      }.reduce(_ + _)
-    }
-    val aggs = sum(packs.head).as("p0") +:
-      (packs.tail.zipWithIndex.map { case (p, i) => sum(p).as(s"p${i + 1}") } :+
-        count(lit(1)).as("n"))
-    val agged = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val sigCol = (0 until 60).map { j =>
-      val ones = shiftright(col(s"p${j / 3}"), 20 * (j % 3)).bitwiseAND(0xFFFFF)
-      when(ones * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agged.select(col("doc_id"), sigCol.as("sig"))
-  }
+    * The signature is the native codegen
+    * [[graft.functions.SimhashSig]] expression — tokens dedupe and vote
+    * inside one per-row loop pipelined into the scan. This replaces two
+    * earlier generations of the aggregate shape (explode(distinct
+    * tokens) → 61 vote sums, then the 21-packed-column variant built to
+    * tame janino compile times): same signatures, same oracle, but no
+    * per-token row amplification, no wide hash-aggregate, and no packed
+    * 2^20-tokens-per-field capacity caveat. */
+  def simhashSigsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spread(docs)
+      .select(col("doc_id"),
+        graft.functions.SimhashSig.simhash_sig(expr(toksExpr)).as("sig"))
 
   /** Banded hamming-join candidates from a (doc_id, sig) simhash table —
     * 4 bands × 15 bits, pairs colliding in ≥1 band kept when full-width

@@ -59,6 +59,31 @@ class MinhashSigsSpec extends SparkFunSuite {
       == sigMap(naiveSigs(docs)))
   }
 
+  test("simhash_sig equals the explode+vote-aggregate formulation") {
+    import graft.functions.SimhashSig.simhash_sig
+    val real = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val edge = Seq((90001L, "héllo wörld héllo"), (90002L, ""), (90003L, "one"))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(real, edge)) {
+      val toksExpr = "split(trim(lower(text)), '\\\\s+')"
+      val toks = docs
+        .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("t"))
+        .withColumn("h",
+          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
+      val votes = (0 until 60).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"o$j")) :+ count(lit(1)).as("n")
+      val sigCol = (0 until 60).map(j =>
+        when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val naive = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sigCol.as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = docs
+        .select(col("doc_id"), simhash_sig(expr(toksExpr)).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast.nonEmpty && fast == naive)
+    }
+  }
+
   test("minhash_sigs stays inside whole-stage codegen") {
     val ranged = spark.range(4)
       .select(minhash_sigs(concat_ws(" ", lit("doc"), col("id"))))
