@@ -158,6 +158,61 @@ object RelationalQueries {
         .orderBy("hour_bucket", "event_type")
     },
 
+    // ----- A6: ordered funnel (signup → click → purchase) per user -----
+    // The classic product-analytics rollup at event scale: each stage's
+    // first-occurrence time must come strictly AFTER the previous
+    // stage's. Scale shape: three conditional min-aggregates over
+    // event_type-pruned scans (the predicate reaches the parquet
+    // reader), each map-side combinable; every join is on user_id
+    // against user-cardinality stage tables (broadcast-able — they
+    // shrink at every stage). Times are epoch MICROSECONDS on both
+    // engines (this DuckDB build reads TIMESTAMP(NANOS) at µs
+    // precision, so ns-side values would disagree in the last 3
+    // digits; both engines compare the same µs values, so the strict
+    // inequalities agree).
+    "a6_funnel" -> QueryDef.sql(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+        |      FROM events e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.signup_us
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        |      GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+        |            WHEN c.click_us IS NOT NULL THEN 2
+        |            WHEN s.signup_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  s.signup_us, c.click_us, p.purchase_us
+        |FROM u LEFT JOIN s ON s.user_id = u.user_id
+        |LEFT JOIN c ON c.user_id = u.user_id
+        |LEFT JOIN p ON p.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin) { (s0, d) =>
+      val e = events(s0, d).select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("signup_us"))
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, Seq("user_id")).filter(col("us") > col("signup_us"))
+        .groupBy("user_id").agg(min("us").as("click_us"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, Seq("user_id")).filter(col("us") > col("click_us"))
+        .groupBy("user_id").agg(min("us").as("purchase_us"))
+      e.select("user_id").distinct()
+        .join(su, Seq("user_id"), "left")
+        .join(cl, Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("purchase_us").isNotNull, 3L)
+            .when(col("click_us").isNotNull, 2L)
+            .when(col("signup_us").isNotNull, 1L).otherwise(0L).as("stage"),
+          col("signup_us"), col("click_us"), col("purchase_us"))
+        .orderBy("user_id")
+    },
+
     // ----- J1: overlap theta-semi-join vs broadcast primary (…:204-222) -----
     "j1_overlap_semi" -> QueryDef.sql(
       """WITH primary_row AS (
