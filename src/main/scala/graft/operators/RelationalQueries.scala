@@ -213,6 +213,35 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- A7: retention cohort matrix -----
+    // Users cohorted by first-activity day; the matrix counts distinct
+    // users active at each day offset from their cohort. Scale shape:
+    // one min-aggregate (cohort assignment), one distinct over
+    // (user, day) — both map-side combinable on user-keyed shuffles —
+    // and a join on user_id against the user-cardinality cohort table;
+    // output is bounded by days², independent of event volume. Day
+    // buckets are integer division on epoch micros (both engines read
+    // the same µs values, see a6_funnel).
+    "a7_retention" -> QueryDef.sql(
+      """WITH first AS (
+        |  SELECT user_id, min(epoch_us(ts)) // 86400000000 AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events)
+        |SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+        |  count(*) AS n_active
+        |FROM act a JOIN first f ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+        .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.distinct()
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // ----- J1: overlap theta-semi-join vs broadcast primary (…:204-222) -----
     "j1_overlap_semi" -> QueryDef.sql(
       """WITH primary_row AS (
