@@ -213,6 +213,53 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- J7: star join across the full dimension hierarchy -----
+    // TPC-H Q5 shape: fact tables (lineitem ⋈ orders) against four
+    // broadcast dimensions (customer, supplier, nation, region) with a
+    // region predicate and a date window. The 100 TB plan: every
+    // dimension side broadcasts (region/nation are constant-size,
+    // supplier/customer grow sublinearly and prune before the join), so
+    // the only shuffle is lineitem ⋈ orders on the order key — the fact
+    // tables never move for a dimension. Revenue sums through DECIMAL
+    // for order-independence.
+    "j7_star_join" -> QueryDef.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val asiaNations = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = supplier(s, d)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cust = customer(s, d).select("c_custkey", "c_nationkey")
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name")
+    },
+
     // ----- A7: retention cohort matrix -----
     // Users cohorted by first-activity day; the matrix counts distinct
     // users active at each day offset from their cohort. Scale shape:
