@@ -88,6 +88,25 @@ class PlanAssertSpec extends SparkFunSuite {
       "stored and live BM25 must be bit-identical")
   }
 
+  test("j7_star_join broadcasts every dimension; only the fact join shuffles") {
+    val sfDir = "/root/testdata/sf0.001"
+    val plan = graft.SparkEntry.queries("j7_star_join")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val broadcasts = joins.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    // 5 joins total (region→nation, nation→supplier, orders⋈lineitem,
+    // customer, supplier); the four dimension joins must broadcast (at
+    // tiny SF the planner may legitimately broadcast the fact join too)
+    assert(joins.length == 5, s"expected 5 joins:\n$plan")
+    assert(broadcasts >= 4,
+      s"dimension joins must broadcast (got $broadcasts of ${joins.length}):\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"no cartesian product anywhere:\n$plan")
+  }
+
   test("chunk_documents and mm_frame_sample stay map-only (no join, no aggregate)") {
     val sfDir = "/root/testdata/sf0.001"
     for (n <- Seq("chunk_documents", "mm_frame_sample")) {
