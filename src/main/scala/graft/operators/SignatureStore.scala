@@ -172,6 +172,29 @@ object SignatureStore {
 
   def ivfDir(base: String) = s"$base/ivf_assign"
 
+  /** Streaming IVF-assignment appends land in a batch_id-partitioned
+    * SIBLING subtree (same contract as [[streamMinhashDir]] /
+    * [[streamBm25Dir]]); [[readIvfAssignments]] unions both, so probes
+    * transparently see stream-ingested vectors. */
+  def streamIvfDir(base: String) = s"$base/ivf_assign_stream"
+
+  /** Stored IVF assignments at `base`: batch and/or stream subtrees,
+    * stream rows deduplicated on the full row (a replayed epoch must not
+    * assign a vector twice). */
+  def readIvfAssignments(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, ivfDir(base)))(
+      spark.read.parquet(ivfDir(base)).select("vec_id", "cent_id"))
+    val stream = Option.when(hasData(spark, streamIvfDir(base)))(
+      spark.read.parquet(streamIvfDir(base)).select("vec_id", "cent_id").distinct())
+    (batch, stream) match {
+      case (Some(b), Some(s)) => b.unionByName(s).distinct()
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no IVF assignment store under $base")
+    }
+  }
+
   /** Persisted IVF assignment table (vec_id, cent_id) for `sfDir` — the
     * vector-side amortization: nearest-centroid assignment is the IVF
     * build cost (16 broadcast dots × corpus) and changes only when the
@@ -186,7 +209,7 @@ object SignatureStore {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))
       build().write.mode("overwrite").parquet(ivfDir(base))
-    spark.read.parquet(ivfDir(base))
+    readIvfAssignments(spark, base)
   }
 
   def lshBucketsDir(base: String) = s"$base/lsh_buckets"

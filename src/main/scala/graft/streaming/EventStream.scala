@@ -136,6 +136,28 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamBm25Dir(storeBase))
     }
 
+  /** Incremental IVF-assignment maintenance — the vector-index twin of
+    * [[maintainSignatures]] / [[maintainPostings]]: each micro-batch of
+    * new vectors is assigned to its nearest coarse centroid with the
+    * SAME max_by-aggregate builder the batch index uses
+    * ([[graft.operators.VectorQueries.ivfAssign]], against a FIXED
+    * centroid table — re-quantizing is a batch rebuild, not an append)
+    * and appended to the store's stream subtree, so IVF probes serve
+    * batch + stream vectors without re-scoring history. Same replay
+    * contract: batch_id-keyed dynamic partition overwrite. */
+  def maintainIvfAssignments(vecs: DataFrame, storeBase: String,
+      centroids: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.VectorQueries.ivfAssign(batch, centroids)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamIvfDir(storeBase))
+    }
+
   /** Streaming incremental NEAR-dedup — the continuous twin of the batch
     * `dedup_incremental` query: each micro-batch signs its documents
     * once, probes the persisted band store for collisions (batch×store

@@ -166,6 +166,31 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("incremental IVF assignment maintenance matches a batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("ivfmaint")
+    // fixed 2-centroid quantizer: unit vectors along dims 0 and 1
+    val dim = graft.operators.VectorQueries.Dim
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    val centroids = Seq((0L, unit(0)), (1L, unit(1))).toDF("cent_id", "cv")
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = EventStream.maintainIvfAssignments(
+      input.toDF().toDF("vec_id", "embedding"), base, centroids)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((10L, unit(0)), (11L, unit(1)))
+      query.processAllAvailable()
+      input.addData((12L, unit(1)))
+      query.processAllAvailable()
+
+      val stored = graft.operators.SignatureStore.readIvfAssignments(spark, base)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stored == Map(10L -> 0L, 11L -> 1L, 12L -> 1L))
+    } finally query.stop()
+  }
+
   test("a purely stream-built postings store reads without a batch subtree") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("bm25streamonly")
