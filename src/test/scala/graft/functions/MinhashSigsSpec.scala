@@ -84,6 +84,40 @@ class MinhashSigsSpec extends SparkFunSuite {
     }
   }
 
+  test("randomized texts: expressions equal naive formulations") {
+    // deterministic pseudo-random docs over a mixed alphabet (spaces,
+    // repeats, multi-byte chars) — hardens the per-row loops beyond the
+    // fixed corpus' character distribution
+    val rng = new java.util.Random(0xD1CE5EEDL)
+    val alphabet = "ab c déф 語x  y".toCharArray
+    val docs = (0 until 60).map { i =>
+      val n = rng.nextInt(40)
+      val sb = new StringBuilder
+      (0 until n).foreach(_ => sb.append(alphabet(rng.nextInt(alphabet.length))))
+      (i.toLong, sb.toString)
+    }.toDF("doc_id", "text")
+
+    assert(sigMap(docs.select(col("doc_id"), minhash_sigs(col("text")).as("hs")))
+      == sigMap(naiveSigs(docs)))
+
+    import graft.functions.SimhashSig.simhash_sig
+    val toksExpr = "split(trim(lower(text)), '\\\\s+')"
+    val toks = docs
+      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("t"))
+      .withColumn("h",
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"o$j")) :+ count(lit(1)).as("n")
+    val sigCol = (0 until 60).map(j =>
+      when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val naiveSim = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sigCol.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fastSim = docs.select(col("doc_id"), simhash_sig(expr(toksExpr)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastSim == naiveSim)
+  }
+
   test("minhash_sigs stays inside whole-stage codegen") {
     val ranged = spark.range(4)
       .select(minhash_sigs(concat_ws(" ", lit("doc"), col("id"))))
