@@ -805,6 +805,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- BPE-ish token counting: letter runs / digit runs / symbols -----
+    // The second tokenizer the brief calls for beside whitespace
+    // splitting: a GPT-2-flavored pre-tokenization where letter runs,
+    // digit runs, and individual non-alphanumeric symbols each count as
+    // one token — the unit BPE merges start from, and the count a token
+    // budget should be estimated in (whitespace undercounts punctuated
+    // text). The pattern uses only character classes RE2 (DuckDB) and
+    // java.util.regex agree on; stateless projection, zero shuffle.
+    "text_tokens_bpe" -> QueryDef.sql(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("n_bpe_tokens"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ----- quality scoring: token stats + stopword ratio -----
     "text_quality" -> QueryDef.sql(
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
