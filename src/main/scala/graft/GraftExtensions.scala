@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs, SimhashSig}
+import graft.functions.{DotF32, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs, RollingHash, SimhashSig}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "simhash_sig takes exactly 1 argument")
         SimhashSig(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "rolling_hash takes exactly 1 argument")
+        RollingHash(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("max_ngram_run"),

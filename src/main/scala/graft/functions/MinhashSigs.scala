@@ -213,3 +213,51 @@ object SimhashSig {
     * registry, so [[graft.GraftExtensions]] must be installed. */
   def simhash_sig(toks: Column): Column = call_function("simhash_sig", toks)
 }
+
+/** `rolling_hash(text)` — Rabin–Karp polynomial rolling hash over the
+  * text's code points: h = fold(h·B + cp mod M) with B = 257 and
+  * M = 2³¹−1, so `acc·B + cp < 2⁴⁰` never overflows int64 on either
+  * engine. The incremental-fingerprint primitive (content-addressed
+  * chunking, delta detection) next to the md5 content fingerprint;
+  * matches DuckDB `list_reduce([unicode(c) …], (acc, x) ->
+  * (acc*257 + x) % 2147483647)`. Empty text → 0; null → null.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"rolling_hash expects string, got $dt")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    RollingHash.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.RollingHash.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val B = 257L
+  val M = 2147483647L
+
+  def compute(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * B + cp) % M
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Column-API entry point — resolves through the session function
+    * registry, so [[graft.GraftExtensions]] must be installed. */
+  def rolling_hash(text: Column): Column = call_function("rolling_hash", text)
+}

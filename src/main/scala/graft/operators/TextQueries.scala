@@ -884,6 +884,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- rolling-hash fingerprint: the Rabin–Karp polynomial hash -----
+    // The incremental-fingerprint primitive beside the md5 content hash
+    // (content-defined chunking, delta detection, cheap equality
+    // pre-filter): h = fold(h·257 + codepoint mod 2³¹−1) over the
+    // normalized text, as the native codegen `rolling_hash` expression —
+    // a stateless projection. The oracle folds the same recurrence with
+    // list_reduce; B·M bounds keep every intermediate in int64 on both
+    // engines.
+    "text_rolling_fingerprint" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(s) = 0 THEN 0
+        |       ELSE list_reduce([CAST(unicode(s[i]) AS BIGINT)
+        |                         for i in generate_series(1, length(s))],
+        |                        (acc, x) -> (acc * 257 + x) % 2147483647)
+        |  END AS rolling_fp,
+        |  CAST(length(s) AS BIGINT) AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("s", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .select(col("doc_id"),
+          graft.functions.RollingHash.rolling_hash(col("s")).as("rolling_fp"),
+          length(col("s")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ----- repetition quality filter (Gopher-style): top-bigram ratio -----
     // The "repeated boilerplate" signal LLM pipelines gate on: the share
     // of a document's bigrams taken by its single most frequent bigram.
