@@ -239,19 +239,20 @@ object Multimodal {
         |  FROM documents),
         |x AS (
         |  SELECT doc_id, payload,
-        |    unnest(generate_series(0, nframes - 1)) AS frame_idx
+        |    unnest(generate_series(0, nframes - 1, 4)) AS frame_idx
         |  FROM f WHERE nframes >= 1)
         |SELECT doc_id, frame_idx,
         |  md5(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
-        |FROM x WHERE frame_idx % 4 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"), col("text").as("payload"),
           expr("length(text) div 32").cast("long").as("nframes"))
         .filter(col("nframes") >= 1) // sequence(0,-1) would descend
+        // stride directly in the sequence: only sampled indices ever
+        // materialize (a GB-scale payload would otherwise build the
+        // full frame-index array per row before the filter)
         .select(col("doc_id"), col("payload"),
-          explode(sequence(lit(0L), col("nframes") - 1)).as("frame_idx"))
-        .filter(col("frame_idx") % 4 === 0)
+          explode(sequence(lit(0L), col("nframes") - 1, lit(4L))).as("frame_idx"))
         .select(col("doc_id"), col("frame_idx"),
           md5(expr("substring(payload, cast(frame_idx * 32 + 1 as int), 32)")
             .cast("binary")).as("frame_md5"))
