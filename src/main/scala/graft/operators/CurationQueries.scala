@@ -42,7 +42,10 @@ object CurationQueries {
 
   /** (train_doc, eval_doc, n_shared) pairs with ≥ `minShared` distinct
     * shared 12-grams. Eval sets are tiny relative to a training corpus,
-    * so the eval shingles BROADCAST; raw train shingles stream through
+    * so the eval shingles BROADCAST — which makes a bounded `evalDocs` a
+    * CONTRACT, not an assumption: callers must pass a fixed-size eval
+    * side (decontaminate_ngram bounds its modeled one with an explicit
+    * id cap) or the broadcast grows with the corpus; raw train shingles stream through
     * the map-side join FIRST, and the duplicate-guarding distinct
     * shuffles only the matched sliver — never the exploded corpus.
     * Shared by the batch query and the streaming ingest gate.
@@ -173,7 +176,7 @@ object CurationQueries {
     // through a map-side hash join + partial-agg count — no shuffle of
     // exploded train shingles, and the output is bounded by real overlaps.
     "decontaminate_ngram" -> QueryDef.sql(
-      """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
         |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
         |esh AS (SELECT DISTINCT doc_id, shingle FROM (
         |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
@@ -185,10 +188,16 @@ object CurationQueries {
         |FROM tsh t JOIN esh e ON t.shingle = e.shingle
         |GROUP BY 1, 2 HAVING count(*) >= 20
         |ORDER BY train_doc, eval_doc""".stripMargin) { (s, d) =>
+      // The modeled eval set carries an explicit id bound (like bm25's
+      // query set, SearchQueries.queryTerms): real eval/benchmark sets
+      // are FIXED-size, so the modeled one must not grow with the
+      // corpus — the bound is what keeps decontaminate's eval-shingle
+      // broadcast legitimate at 100 TB. No-op at test scale (all
+      // doc_ids < 10000), so the oracle rows are unchanged.
       val docs = documents(s, d)
       decontaminate(
         docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000),
         minShared = 20)
         .orderBy("train_doc", "eval_doc")
     },
@@ -625,7 +634,9 @@ object CurationQueries {
     // so the biggest source keeps everything and a 1% source keeps 10%
     // relative head-room. Scale shape: the per-source token sums are one
     // map-side-combinable aggregate (source-count cardinality), the rate
-    // table broadcasts, and the keep decision is stateless per-row LCG
+    // table broadcasts — legitimately: its cardinality is the mixture's
+    // stratum taxonomy (sources/domains being weighted), a curated list
+    // that does not grow with corpus rows — and the keep decision is stateless per-row LCG
     // arithmetic — the corpus never shuffles. Cross-engine exactness:
     // the rate chain is max/sqrt/divide/floor only (no pow, no log, no
     // float SUM), every step a correctly-rounded IEEE op with an

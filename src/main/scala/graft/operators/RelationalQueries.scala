@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.util.Tables
 import graft.util.Tables._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -141,7 +142,9 @@ object RelationalQueries {
     // epoch nanos (ns → µs → hour) — no timestamp truncation function
     // whose DST/locale behavior could diverge between engines — and the
     // whole query is one map-side-combinable aggregate over a pruned
-    // 3-column scan: the canonical 100 TB event-rollup shape.
+    // 3-column scan: the canonical 100 TB event-rollup shape. The ns→µs
+    // step uses floor semantics (Tables.epochUsFloorSql) so pre-1970
+    // timestamps bucket identically to DuckDB's epoch_us.
     "o5_event_windows" -> QueryDef.sql(
       """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
         |  count(*) AS n,
@@ -149,7 +152,7 @@ object RelationalQueries {
         |FROM events GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       events(s, d)
-        .select(expr("(ts_ns div 1000) div 3600000000").as("hour_bucket"),
+        .select(expr(s"(${Tables.epochUsFloorSql}) div 3600000000").as("hour_bucket"),
           col("event_type"), col("value"))
         .groupBy("hour_bucket", "event_type")
         .agg(count(lit(1)).as("n"),
@@ -192,7 +195,7 @@ object RelationalQueries {
         |LEFT JOIN p ON p.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin) { (s0, d) =>
       val e = events(s0, d).select(col("user_id"), col("event_type"),
-        expr("ts_ns div 1000").as("us"))
+        expr(Tables.epochUsFloorSql).as("us"))
       val su = e.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min("us").as("signup_us"))
       val cl = e.filter(col("event_type") === "click")
@@ -215,13 +218,14 @@ object RelationalQueries {
 
     // ----- J7: star join across the full dimension hierarchy -----
     // TPC-H Q5 shape: fact tables (lineitem ⋈ orders) against four
-    // broadcast dimensions (customer, supplier, nation, region) with a
-    // region predicate and a date window. The 100 TB plan: every
-    // dimension side broadcasts (region/nation are constant-size,
-    // supplier/customer grow sublinearly and prune before the join), so
-    // the only shuffle is lineitem ⋈ orders on the order key — the fact
-    // tables never move for a dimension. Revenue sums through DECIMAL
-    // for order-independence.
+    // dimensions (customer, supplier, nation, region) with a region
+    // predicate and a date window. Hint policy: region/nation are
+    // CONSTANT-size (5 / 25 rows) so they carry explicit broadcast
+    // hints; customer and supplier grow LINEARLY with scale (TPC-H:
+    // 150k/10k × SF), so their joins carry no hint — AQE broadcasts
+    // them while their runtime size is small and switches to a shuffled
+    // join when it isn't, instead of a forced multi-GB broadcast at
+    // 100×. Revenue sums through DECIMAL for order-independence.
     "j7_star_join" -> QueryDef.sql(
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
@@ -239,7 +243,7 @@ object RelationalQueries {
           col("n_regionkey") === col("r_regionkey"))
         .select("n_nationkey", "n_name")
       val supp = supplier(s, d)
-        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey")) // ≤25 rows: bounded
         .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
       val cust = customer(s, d).select("c_custkey", "c_nationkey")
       val ord = orders(s, d)
@@ -249,8 +253,8 @@ object RelationalQueries {
       lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
@@ -280,7 +284,8 @@ object RelationalQueries {
         |FROM act a JOIN first f ON f.user_id = a.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val e = events(s, d)
-        .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .select(col("user_id"),
+          expr(s"(${Tables.epochUsFloorSql}) div 86400000000").as("day"))
       val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
       e.distinct()
         .join(first, Seq("user_id"))
@@ -310,8 +315,10 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      // No hint: the filtered part side is a constant FRACTION of a
+      // linearly-growing table — AQE broadcasts it while small.
       lineitem(s, d)
-        .join(broadcast(part(s, d).filter(col("p_size") < 10)),
+        .join(part(s, d).filter(col("p_size") < 10),
           col("l_partkey") === col("p_partkey"))
         .select("l_orderkey", "l_linenumber", "p_name", "p_brand")
         .orderBy("l_orderkey", "l_linenumber")
@@ -456,8 +463,12 @@ object RelationalQueries {
         |FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
         |  ON c.c_custkey = o.o_custkey
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // No broadcast hint: the distinct-custkey side is FACT-DERIVED and
+      // grows linearly with scale (TPC-H: 150k×SF) — a forced broadcast
+      // is a driver OOM at 100×. AQE picks broadcast when the runtime
+      // size is actually small and a shuffled join when it isn't.
       val hasOrders = orders(s, d).select(col("o_custkey")).distinct()
-      customer(s, d).join(broadcast(hasOrders), col("c_custkey") === col("o_custkey"), "left")
+      customer(s, d).join(hasOrders, col("c_custkey") === col("o_custkey"), "left")
         .select(
           col("c_custkey"),
           when(col("o_custkey").isNotNull, col("c_name")).as("c_name"),

@@ -178,16 +178,29 @@ object SignatureStore {
     * transparently see stream-ingested vectors. */
   def streamIvfDir(base: String) = s"$base/ivf_assign_stream"
 
-  /** Stored IVF assignments at `base`: batch and/or stream subtrees,
-    * stream rows deduplicated on the full row (a replayed epoch must not
-    * assign a vector twice). */
+  /** Stored IVF assignments at `base`: batch and/or stream subtrees with
+    * LATEST-WINS versioning per vec_id — a vector re-sent in a later
+    * stream batch (or present in both subtrees) keeps exactly ONE
+    * assignment row, its most recent one. Full-row distinct alone would
+    * keep both a stale and a fresh (vec_id, cent_id) row, letting one
+    * neighbor double-vote in downstream probes. The version resolve is a
+    * map-side-combinable max-struct aggregate over the (small) stream
+    * subtree plus an anti-join pruning re-assigned vectors from the
+    * batch side; the pure-batch path stays a bare parquet read (a batch
+    * build assigns each vector exactly once). */
   def readIvfAssignments(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, ivfDir(base)))(
       spark.read.parquet(ivfDir(base)).select("vec_id", "cent_id"))
-    val stream = Option.when(hasData(spark, streamIvfDir(base)))(
-      spark.read.parquet(streamIvfDir(base)).select("vec_id", "cent_id").distinct())
+    val stream = Option.when(hasData(spark, streamIvfDir(base))) {
+      spark.read.parquet(streamIvfDir(base))
+        .select(col("vec_id"), col("cent_id"), col("batch_id").cast("long").as("batch_id"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("batch_id"), col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("m.cent_id").as("cent_id"))
+    }
     (batch, stream) match {
-      case (Some(b), Some(s)) => b.unionByName(s).distinct()
+      case (Some(b), Some(s)) =>
+        b.join(s.select("vec_id"), Seq("vec_id"), "left_anti").unionByName(s)
       case (Some(b), None) => b
       case (None, Some(s)) => s
       case (None, None) =>
@@ -264,22 +277,36 @@ object SignatureStore {
   /** Stored postings + doclens at `base`: the batch subtrees and/or the
     * stream-append subtree (a store may be purely batch-built, purely
     * stream-built, or both — same contract as [[readMinhashBands]]).
-    * Stream rows deduplicate on the full row (a replayed or re-sent doc
-    * must not double its tf) and stream doclens derive from the postings
-    * rows (every doc has ≥1 posting — the tokenizer never returns an
-    * empty array). */
+    * Doc versions resolve LATEST-WINS keyed on doc_id: a doc re-ingested
+    * with CHANGED text keeps only its newest batch's (token, tf, dl)
+    * rows and one doclens row — full-row distinct alone would retain
+    * both versions and inflate tf/df and the corpus stats. Byte-identical
+    * replays were already idempotent (dynamic partition overwrite of the
+    * batch_id partition); this extends the contract to content changes.
+    * The version resolve is one max aggregate on doc_id (tiny next to
+    * the postings themselves) + a semi-join; stream doclens derive from
+    * the postings rows (every doc has ≥1 posting — the tokenizer never
+    * returns an empty array). */
   def readBm25(spark: SparkSession, base: String): (DataFrame, DataFrame) = {
     val batch = Option.when(hasData(spark, bm25PostingsDir(base)))(
       (spark.read.parquet(bm25PostingsDir(base)),
         spark.read.parquet(bm25DoclensDir(base))))
     val stream = Option.when(hasData(spark, streamBm25Dir(base))) {
-      val sp = spark.read.parquet(streamBm25Dir(base))
+      val raw = spark.read.parquet(streamBm25Dir(base))
+        .select(col("doc_id"), col("token"), col("tf"), col("dl"),
+          col("batch_id").cast("long").as("batch_id"))
+      val latest = raw.groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+      val sp = raw.join(latest, Seq("doc_id", "batch_id"))
         .select("doc_id", "token", "tf", "dl").distinct()
       (sp, sp.select(col("doc_id"), col("dl")).distinct())
     }
     (batch, stream) match {
       case (Some((bp, bl)), Some((sp, sl))) =>
-        (bp.unionByName(sp).distinct(), bl.unionByName(sl).distinct())
+        // A stream-ingested version supersedes the batch rows of the
+        // same doc (anti-join prune), so tf/df/n never double-count.
+        val streamDocs = sp.select("doc_id").distinct()
+        (bp.join(streamDocs, Seq("doc_id"), "left_anti").unionByName(sp),
+          bl.join(streamDocs, Seq("doc_id"), "left_anti").unionByName(sl))
       case (Some(b), None) => b
       case (None, Some(s)) => s
       case (None, None) =>

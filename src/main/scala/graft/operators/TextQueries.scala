@@ -23,9 +23,18 @@ object TextQueries {
     * work: a few-MB documents table arrives as ONE input split, which
     * serializes the entire shingle+md5 stage onto one task (measured: the
     * sketch queries ran no faster on 32 cores than 8). The few-MB
-    * pre-explode shuffle is free by comparison. */
-  private[operators] def spread(df: org.apache.spark.sql.DataFrame) =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * pre-explode shuffle is free by comparison.
+    *
+    * CONDITIONAL: a 100 TB scan already arrives as thousands of splits —
+    * repartitioning there would inject a pointless corpus-wide exchange
+    * of raw text ahead of every sketch stage. The widen only fires when
+    * the input has fewer partitions than the cluster has slots
+    * (SpreadSpec pins the no-Exchange plan for the many-split case).
+    * `.rdd.getNumPartitions` only plans the query — no job runs. */
+  private[operators] def spread(df: org.apache.spark.sql.DataFrame) = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
 
   /** Whitespace-normalized md5 content fingerprint — the ONE definition
     * shared by the batch `text_fingerprint` query and the streaming exact
@@ -59,7 +68,10 @@ object TextQueries {
     * arithmetic (and the same DuckDB oracle), zero row amplification. */
   def minhashBandsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = MinhashP
-    spread(docs)
+    // null text has no shingles ⇒ no bands (the pre-native explode shape
+    // dropped such docs; keeping them would plant null-key rows in the
+    // persisted band store and diverge from the oracle's unnest).
+    spread(docs.filter(col("text").isNotNull))
       .select(col("doc_id"),
         graft.functions.MinhashSigs.minhash_sigs(col("text")).as("hs"))
       .select(
@@ -81,7 +93,9 @@ object TextQueries {
     * per-token row amplification, no wide hash-aggregate, and no packed
     * 2^20-tokens-per-field capacity caveat. */
   def simhashSigsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    spread(docs)
+    // null text ⇒ no tokens ⇒ no signature row (matches the pre-native
+    // explode(distinct tokens) shape, which emitted nothing for nulls).
+    spread(docs.filter(col("text").isNotNull))
       .select(col("doc_id"),
         graft.functions.SimhashSig.simhash_sig(expr(toksExpr)).as("sig"))
 
@@ -429,7 +443,7 @@ object TextQueries {
       // sigSelfJoinPairs consumes sig three times (the guard count and
       // both join sides); without it the corpus-wide md5 loop runs once
       // per consumer.
-      val sig = spread(documents(s, d))
+      val sig = spread(documents(s, d).filter(col("text").isNotNull))
         .select(col("doc_id"),
           graft.functions.MinShingleMd5.min_shingle_md5(col("text")).as("sig"))
         .localCheckpoint()
@@ -811,16 +825,19 @@ object TextQueries {
     // digit runs, and individual non-alphanumeric symbols each count as
     // one token — the unit BPE merges start from, and the count a token
     // budget should be estimated in (whitespace undercounts punctuated
-    // text). The pattern uses only character classes RE2 (DuckDB) and
-    // java.util.regex agree on; stateless projection, zero shuffle.
+    // text). The whitespace class is spelled out ([ \t\n\r\f]) instead of
+    // \s because the engines' shorthands disagree on one character: Java
+    // counts \x0B (vertical tab) as \s, RE2 (DuckDB) does not — with the
+    // explicit class both engines tokenize a vertical tab as a symbol.
+    // Stateless projection, zero shuffle.
     "text_tokens_bpe" -> QueryDef.sql(
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]')) AS BIGINT) AS n_bpe_tokens,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"))
           .cast("long").as("n_bpe_tokens"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"))
         .orderBy("doc_id")
@@ -1000,8 +1017,8 @@ object TextQueries {
     },
 
     // ----- multimodal plumbing: opaque binary payload + typed metadata -----
-    // Decode itself is stubbed (no image libs in-container, SURVEY brief);
-    // the Spark-side schema/derivation is real.
+    // Metadata derivation over the opaque payload only — real pixel
+    // decode (ImageIO) lives in mm_decode_pipeline / Multimodal.scala.
     "mm_binary_meta" -> QueryDef.sql(
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  octet_length(CAST(text AS BLOB)) % 64 AS fake_width,

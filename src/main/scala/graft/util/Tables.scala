@@ -22,16 +22,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Floor-division ns→µs over the `ts_ns` column, matching DuckDB's
+    * `epoch_us(TIMESTAMP_NS)` for EVERY input. The engines' default
+    * operators disagree only below the epoch: DuckDB `epoch_us` floors
+    * (verified: −500 ns → −1 µs) while Spark `div` truncates toward zero
+    * (−500 ns → 0 µs), so a pre-1970 sub-µs timestamp lands in different
+    * hour/day buckets. `pmod` is non-negative, so `x − pmod(x, 1000)` is
+    * an exact multiple of 1000 and the `div` is a true floor. Downstream
+    * bucket divisions need no adjustment: DuckDB integer `//` truncates
+    * toward zero exactly like Spark `div` (verified: −7 // 3 = −2), so
+    * once the µs values agree the buckets agree. */
+  val epochUsFloorSql = "(ts_ns - pmod(ts_ns, 1000)) div 1000"
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
     * natively; `spark.sql.legacy.parquet.nanosAsLong` (set in
     * [[SparkUtil.configure]]) turns the column into epoch-nanos Long.
-    * Expose a micros-precision `ts` (matching DuckDB's epoch_us) plus the
-    * raw nanos.
+    * Expose a micros-precision `ts` (matching DuckDB's epoch_us exactly,
+    * floor semantics — see [[epochUsFloorSql]]) plus the raw nanos.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts", timestamp_micros(expr(epochUsFloorSql)))
   }
 }
