@@ -21,8 +21,42 @@ import org.apache.spark.sql.SparkSession
   * `spark.memory.storageFraction` is eviction-protected), forcing later
   * queries' aggregates to spill — measured as the round-4 vector-family
   * slowdown.
+  *
+  * SELF-DIAGNOSIS: the bench attaches a SparkListener and reports, for
+  * the best run of each query, summed task CPU time, input bytes read,
+  * and JVM GC time alongside the wall clock (`"diag"`, aligned with the
+  * sorted keys of `"queries"` to keep the stdout line inside the
+  * driver's tail budget; legend in `"diag_legend"`). An inflated run
+  * now carries its own explanation: wall ≫ task-CPU on a trivial scan
+  * plan is environment (I/O stall / CPU contention / scheduling), not
+  * the query — the round-5 artifact's 15-30× filter-family multiples
+  * were exactly that shape, but unprovable from the artifact alone.
+  * Snapshots are taken behind a listener-bus drain barrier
+  * ([[org.apache.spark.GraftBusDrain]]) so async task-end events can't
+  * leak across query boundaries.
   */
 object Bench {
+
+  /** Per-task counters summed over one timed run (reset between runs). */
+  private final class DiagListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val inBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        inBytes.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def reset(): Unit = { cpuNs.set(0); gcMs.set(0); inBytes.set(0) }
+  }
+
+  /** (wall sec, task-cpu sec, input MB, gc ms) for one run. */
+  private final case class RunStats(wall: Double, cpu: Double, mb: Double, gc: Long)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,7 +73,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
-    def run(name: String): Double = {
+    val diag = new DiagListener
+    spark.sparkContext.addSparkListener(diag)
+    def drainBus(): Unit =
+      try org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException => () }
+
+    def run(name: String): RunStats = {
+      drainBus(); diag.reset()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -48,8 +89,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      val st = RunStats(t, diag.cpuNs.get / 1e9, diag.inBytes.get / 1e6, diag.gcMs.get)
       dropCheckpointBlocks()
-      t
+      st
     }
 
     // untimed warmup: JVM + codegen + parquet footer caches
@@ -129,22 +172,37 @@ object Bench {
 
     // Best-of-2: the min discards one-off JIT/first-touch/GC hiccups
     // that a single sample can't distinguish from a real regression.
+    // The diag triple travels with the BEST run (same run the wall
+    // number describes — mixing runs would fabricate impossible ratios).
     val results = names.map { n =>
       val a = run(n)
       val b = run(n)
-      n -> math.min(a, b)
+      n -> (if (a.wall <= b.wall) a else b)
     }
     // Millisecond precision keeps the line short: the driver captures a
     // bounded stdout tail, and 60+ full-precision doubles overflowed it
-    // in round 3 (parsed=null). ~1.9 KB now fits with room to spare.
+    // in round 3 (parsed=null). Queries + name-free aligned diag arrays
+    // ≈ 3.3 KB — the diag repeats no query names precisely to stay
+    // inside that budget.
     // Locale.ROOT: f"%.3f" uses the default locale, whose decimal comma
     // on non-English systems would silently produce invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.wall) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","method":"best-of-2"}"""
+    val diags = results.map { case (_, v) =>
+      s"[${fmt2(v.cpu)},${math.round(v.mb)},${v.gc}]"
+    }.mkString("[", ",", "]")
+    val total = results.map(_._2.wall).sum
+    val totalCpu = results.map(_._2.cpu).sum
+    val totalMb = results.map(_._2.mb).sum
+    val totalGc = results.map(_._2.gc).sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""diag":$diags,"diag_legend":"[task_cpu_sec,input_mb,gc_ms] aligned with sorted queries keys","""" +
+      s"""task_cpu_sec":${fmt(totalCpu)},"input_mb":${math.round(totalMb)},"gc_ms":$totalGc,""" +
+      s""""sf":"$sfDir","method":"best-of-2"}"""
     // Belt and braces for the driver's parser: raw stdout (run /
     // outputStrategy = StdoutOutput strips sbt's [info] prefix) AND a
     // known file in the repo root.

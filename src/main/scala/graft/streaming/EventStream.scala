@@ -158,6 +158,88 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamIvfDir(storeBase))
     }
 
+  /** Streaming event-rollup maintenance — the events-analytics twin of
+    * [[maintainSignatures]] / [[maintainPostings]]: the watermarked
+    * [[windowedCounts]] UPDATE stream lands in a batch_id-partitioned
+    * store with dynamic partition overwrite, so a replayed epoch
+    * overwrites exactly its own partitions and the persisted rollup is
+    * replay-idempotent. [[readWindowCounts]] resolves the newest row per
+    * (window, event_type) — the same latest-wins versioning the
+    * signature/postings/IVF stores use — so batch consumers read the
+    * rollup the batch `o5_event_windows` query would compute, without
+    * rescanning the event history. */
+  def maintainWindowCounts(events: DataFrame, storeDir: String,
+      window_ : String = "1 hour", delay: String = "10 minutes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    windowedCounts(events, window_, delay)
+      .writeStream.outputMode("update").foreachBatch {
+        (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(storeDir)
+      }
+
+  /** Latest state per (window_start, event_type) from a
+    * [[maintainWindowCounts]] store: UPDATE mode re-emits a window every
+    * time it changes, so the store holds one row per (window, type,
+    * touching epoch) and the newest epoch's row is the current rollup.
+    * One map-side-combinable max-struct aggregate — no window function,
+    * no shuffle of anything bigger than the rollup itself. */
+  def readWindowCounts(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy("window_start", "event_type")
+      .agg(max(struct(col("batch_id").cast("long").as("batch_id"),
+        col("n"), col("total_value"))).as("m"))
+      .select(col("window_start"), col("event_type"),
+        col("m.n").as("n"), col("m.total_value").as("total_value"))
+
+  case class StageEvent(user_id: Long, event_type: String, us: Long)
+  case class FunnelState(signups: List[Long], clicks: List[Long], purchases: List[Long])
+  case class FunnelOut(user_id: Long, stage: Long,
+      signup_us: Option[Long], click_us: Option[Long], purchase_us: Option[Long])
+
+  /** Streaming ordered funnel — the streaming twin of the batch
+    * `a6_funnel` query, with the SAME strictly-after chaining: a user's
+    * click time is the earliest click AFTER their earliest signup, the
+    * purchase the earliest purchase AFTER that click. Because a LATE
+    * signup can lower the anchor and thereby change which click/purchase
+    * qualify, the state keeps the per-stage time lists (not just the
+    * current mins) and re-chains on every update — that is what makes
+    * the result identical to the batch computation under ANY arrival
+    * order (StreamingSpec replays out-of-order and asserts equality).
+    * State is O(funnel events per user); production deployments bound it
+    * by session/funnel horizon (evict times beyond the watermark) the
+    * same way the dedup state is watermark-bounded. */
+  def funnelStages(events: Dataset[StageEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil))
+          val evs = rows.toSeq
+          def merged(old: List[Long], t: String): List[Long] =
+            (old ++ evs.filter(_.event_type == t).map(_.us)).sorted
+          val st = FunnelState(
+            merged(prev.signups, "signup"),
+            merged(prev.clicks, "click"),
+            merged(prev.purchases, "purchase"))
+          state.update(st)
+          val signup = st.signups.headOption
+          val click = signup.flatMap(s => st.clicks.find(_ > s))
+          val purchase = click.flatMap(c => st.purchases.find(_ > c))
+          val stage: Long =
+            if (purchase.isDefined) 3L
+            else if (click.isDefined) 2L
+            else if (signup.isDefined) 1L else 0L
+          Iterator.single(FunnelOut(uid, stage, signup, click, purchase))
+      }
+  }
+
   /** Streaming incremental NEAR-dedup — the continuous twin of the batch
     * `dedup_incremental` query: each micro-batch signs its documents
     * once, probes the persisted band store for collisions (batch×store

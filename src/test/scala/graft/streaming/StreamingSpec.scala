@@ -329,6 +329,211 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("window-rollup maintenance: out-of-order replayed stream reads back ≡ batch aggregation") {
+    // The events-analytics store twin (VERDICT r5 #4): the watermarked
+    // UPDATE stream lands batch_id-keyed, late (in-watermark) events
+    // re-emit their window, and readWindowCounts resolves latest-wins —
+    // the result must equal the one-shot batch aggregation of the union.
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("winmaint") + "/rollup"
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.maintainWindowCounts(events, store, "1 hour", "1 day")
+      .option("checkpointLocation", s"$store/_ckpt").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "error", 1.0),
+        (ts("2024-01-01 01:10:00"), "purchase", 2.0))
+      query.processAllAvailable()
+      // out-of-order: a LATE hour-0 error (its window was already
+      // written in epoch 0 — the store now holds two generations)
+      input.addData(
+        (ts("2024-01-01 00:20:00"), "error", 2.0),
+        (ts("2024-01-01 01:20:00"), "error", 3.0))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 00:05:00"), "purchase", 7.0))
+      query.processAllAvailable()
+
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val stored = key(EventStream.readWindowCounts(spark, store)
+        .select("window_start", "event_type", "n", "total_value"))
+      val all = Seq(
+        (ts("2024-01-01 00:10:00"), "error", 1.0),
+        (ts("2024-01-01 01:10:00"), "purchase", 2.0),
+        (ts("2024-01-01 00:20:00"), "error", 2.0),
+        (ts("2024-01-01 01:20:00"), "error", 3.0),
+        (ts("2024-01-01 00:05:00"), "purchase", 7.0)).toDF("ts", "event_type", "value")
+      val batch = key(all
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value")))
+      assert(stored == batch && stored.size == 4, s"stored=$stored batch=$batch")
+    } finally query.stop()
+  }
+
+  test("streaming funnel ≡ batch funnel under out-of-order replay") {
+    // The juicy case: the ANCHOR arrives last. User 3 completes a slow
+    // funnel (500→600→650), then a late batch delivers an EARLIER
+    // signup+click+purchase — the strictly-after chain must re-anchor
+    // to (100,150,200), which only works if the state re-chains from
+    // the per-stage time lists instead of keeping running mins.
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.StageEvent
+    val input = MemoryStream[StageEvent]
+    val query = EventStream.funnelStages(input.toDS())
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        StageEvent(1, "click", 200L), StageEvent(1, "purchase", 300L),
+        StageEvent(2, "click", 50L), StageEvent(2, "purchase", 150L),
+        StageEvent(3, "signup", 500L), StageEvent(3, "click", 600L),
+        StageEvent(3, "purchase", 650L))
+      query.processAllAvailable()
+      // late arrivals: user 1's missing signup; user 2's signup AFTER
+      // their only click (click never qualifies → stage stays 1);
+      // user 3's earlier full funnel
+      input.addData(
+        StageEvent(1, "signup", 100L), StageEvent(2, "signup", 100L),
+        StageEvent(3, "signup", 100L), StageEvent(3, "click", 150L),
+        StageEvent(3, "purchase", 200L))
+      query.processAllAvailable()
+
+      val rows = spark.table("funnel_ooo")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      // stage is monotone non-decreasing and the signup anchor monotone
+      // non-increasing, so each user's FINAL state is the max-stage row
+      // with the smallest signup anchor.
+      val finalByUser = rows.groupBy(_._1).map { case (u, rs) =>
+        val maxStage = rs.map(_._2).max
+        u -> rs.filter(_._2 == maxStage).minBy(_._3.getOrElse(Long.MaxValue))
+      }
+      // batch semantics (a6_funnel): earliest signup, earliest click
+      // strictly after it, earliest purchase strictly after that
+      assert(finalByUser(1L) == ((1L, 3L, Some(100L), Some(200L), Some(300L))))
+      assert(finalByUser(2L) == ((2L, 1L, Some(100L), None, None)))
+      assert(finalByUser(3L) == ((3L, 3L, Some(100L), Some(150L), Some(200L))))
+    } finally query.stop()
+  }
+
+  test("streaming sessions ≡ batch sessionize under out-of-order replay") {
+    // Closes the batch↔stream loop for o4_sessionize: the final closed +
+    // open session set must equal the batch lag-window computation over
+    // the union, with a late in-session event replayed across batches.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.UserEvent]
+    val query = EventStream.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_eq")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(EventStream.UserEvent(1, ts("2024-01-01 00:10:00"), 1.0))
+      query.processAllAvailable()
+      // late 00:05 (absorbed into the open session), then 00:18 (in-gap
+      // of the true latest 00:10)
+      input.addData(
+        EventStream.UserEvent(1, ts("2024-01-01 00:05:00"), 1.0),
+        EventStream.UserEvent(1, ts("2024-01-01 00:18:00"), 1.0))
+      query.processAllAvailable()
+      // 22 min after 00:18 → closes [00:05..00:18], opens a new session
+      input.addData(EventStream.UserEvent(1, ts("2024-01-01 00:40:00"), 1.0))
+      query.processAllAvailable()
+
+      val emitted = spark.table("sessions_eq")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getBoolean(3)))
+      val closed = emitted.filter(_._4).map(r => (r._1, r._2, r._3)).toSet
+      // Update mode re-emits the open session as it grows, so the sink
+      // holds stale partials; the CURRENT open session is the latest-
+      // starting open emission (sessions only move forward in time
+      // here), at its largest event count.
+      val open = emitted.filter(!_._4).groupBy(_._1).map { case (u, rs) =>
+        val start = rs.map(_._2).max
+        (u, start, rs.filter(_._2 == start).map(_._3).max)
+      }.toSet
+
+      // batch twin: the o4 lag-window formula over the union
+      val all = Seq(
+        (1L, ts("2024-01-01 00:10:00")), (1L, ts("2024-01-01 00:05:00")),
+        (1L, ts("2024-01-01 00:18:00")), (1L, ts("2024-01-01 00:40:00")))
+        .toDF("user_id", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val batchSessions = all
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("is_new", when(col("prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 600L, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum("is_new").over(w))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+      assert(closed == Set((1L, "2024-01-01 00:05:00.0", 3L)))
+      assert((closed ++ open) == batchSessions,
+        s"stream=${closed ++ open} batch=$batchSessions")
+    } finally query.stop()
+  }
+
+  test("a doc re-sent with changed text supersedes its batch postings (latest wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("bm25resend")
+    val batchDocs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    graft.operators.SearchQueries.postingsOf(batchDocs)
+      .write.parquet(graft.operators.SignatureStore.bm25PostingsDir(base))
+    graft.operators.SearchQueries.doclensOf(batchDocs)
+      .write.parquet(graft.operators.SignatureStore.bm25DoclensDir(base))
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainPostings(input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((1L, "delta")) // doc 1 re-ingested with CHANGED text
+      query.processAllAvailable()
+      input.addData((1L, "delta epsilon")) // …and changed again
+      query.processAllAvailable()
+
+      val (post, lens) = graft.operators.SignatureStore.readBm25(spark, base)
+      // only the NEWEST version's rows survive: no stale alpha/beta tf,
+      // no doubled doclens, corpus stats see n=2 docs
+      assert(post.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        == Set((1L, "delta", 1L), (1L, "epsilon", 1L), (2L, "gamma", 1L)))
+      assert(lens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == Set((1L, 2L), (2L, 1L)))
+    } finally query.stop()
+  }
+
+  test("a re-assigned vector keeps exactly one IVF assignment row (latest wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("ivfresend")
+    val dim = graft.operators.VectorQueries.Dim
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    val centroids = Seq((0L, unit(0)), (1L, unit(1))).toDF("cent_id", "cv")
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = EventStream.maintainIvfAssignments(
+      input.toDF().toDF("vec_id", "embedding"), base, centroids)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((10L, unit(0)))
+      query.processAllAvailable()
+      input.addData((10L, unit(1))) // vector re-sent nearer the OTHER centroid
+      query.processAllAvailable()
+
+      val stored = graft.operators.SignatureStore.readIvfAssignments(spark, base)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // one row, the later batch's assignment — a stale duplicate would
+      // let this vector double-vote in knn_classify_ivf probes
+      assert(stored.toSeq == Seq((10L, 1L)))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
