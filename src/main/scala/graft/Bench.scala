@@ -135,6 +135,11 @@ object Bench {
       operators.SignatureStore.ensureLshBuckets(spark, sfDir,
         () => operators.LshPlanes.bandsOf(e)).write
         .format("noop").mode("overwrite").save()
+      // int8 artifact behind ann_ivf_q8, so the query times the
+      // quantized SEARCH path, not the one-time quantization build
+      operators.SignatureStore.ensureQuantizedVectors(spark, sfDir,
+        () => operators.VectorQueries.quantizeInt8(e)).write
+        .format("noop").mode("overwrite").save()
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

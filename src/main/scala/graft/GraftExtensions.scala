@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs, RollingHash, SimhashSig}
+import graft.functions.{DotF32, DotI8, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs, RollingHash, SimhashSig}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "dot_f32 takes exactly 2 arguments")
         DotF32(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotI8].getName, "dot_i8"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "dot_i8 takes exactly 2 arguments")
+        DotI8(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("max_bigram_run"),

@@ -225,6 +225,53 @@ object SignatureStore {
     readIvfAssignments(spark, base)
   }
 
+  def q8Dir(base: String) = s"$base/q8_vectors"
+
+  /** Streaming quantized-vector appends land in a batch_id-partitioned
+    * SIBLING subtree (same contract as [[streamIvfDir]]);
+    * [[readQuantizedVectors]] unions both. */
+  def streamQ8Dir(base: String) = s"$base/q8_vectors_stream"
+
+  /** Stored int8 codes at `base`: batch and/or stream subtrees with
+    * LATEST-WINS versioning per vec_id (same contract as
+    * [[readIvfAssignments]] — a re-sent vector keeps one code row). */
+  def readQuantizedVectors(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, q8Dir(base)))(
+      spark.read.parquet(q8Dir(base)).select("vec_id", "q"))
+    val stream = Option.when(hasData(spark, streamQ8Dir(base))) {
+      spark.read.parquet(streamQ8Dir(base))
+        .select(col("vec_id"), col("q"), col("batch_id").cast("long").as("batch_id"))
+        .groupBy("vec_id")
+        .agg(max_by(col("q"), col("batch_id")).as("q"))
+    }
+    (batch, stream) match {
+      case (Some(b), Some(s)) =>
+        b.join(s.select("vec_id"), Seq("vec_id"), "left_anti").unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no quantized-vector store under $base")
+    }
+  }
+
+  /** Persisted int8-quantized vector table (vec_id, q array<tinyint>)
+    * for `sfDir` — the rescore-read amortization: at 100 TB the cost of
+    * a stored-vector search is READING vectors to score candidates, and
+    * the quantized artifact is 4× smaller than the floats. Quantization
+    * ([[VectorQueries.quantizeInt8]]) changes only when embeddings
+    * change; `ann_ivf_q8` ranks candidates against this artifact and
+    * touches full floats only for its per-query shortlist. */
+  def ensureQuantizedVectors(spark: SparkSession, sfDir: String,
+      build: () => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${q8Dir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      build().write.mode("overwrite").parquet(q8Dir(base))
+    readQuantizedVectors(spark, base)
+  }
+
   def lshBucketsDir(base: String) = s"$base/lsh_buckets"
 
   /** Persisted hyperplane-LSH bucket table (vec_id, band, key) for

@@ -139,6 +139,80 @@ object VectorQueries {
       .select("qid", "cid", "score")
   }
 
+  /** Int8 scalar quantization of the embedding column: per-vector
+    * symmetric scale (q_i = floor(x_i · 127 / max|x| + 0.5)), stored as
+    * `array<tinyint>` — 4× smaller than the float vectors, which is the
+    * point: at 100 TB the candidate-scoring READ is the dominant cost of
+    * a stored-vector search, and the quantized artifact cuts it 4× while
+    * the exact float rescore touches only the per-query shortlist.
+    * The formula is floor-based (never `round`) so both engines compute
+    * identical codes — round() half-way ties are engine-defined, floor
+    * is exact — and the whole expression tree is mirrored verbatim in
+    * the `ann_ivf_q8` oracle. HOFs are fine HERE (store build is the
+    * one-time amortized cost); the hot search path scores with the
+    * native codegen [[graft.functions.DotI8]]. */
+  def quantizeInt8(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))").as("mx"),
+        col("embedding"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CASE WHEN mx = 0D THEN CAST(0 AS TINYINT) " +
+          "ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0D / mx + 0.5D) AS TINYINT) END)").as("q"))
+
+  /** Quantized cosine over int8 codes: the integer dot is EXACT
+    * ([[graft.functions.DotI8]]), so unlike float dots the ranking has
+    * zero summation-order sensitivity — the DuckDB oracle reproduces it
+    * bit-for-bit from the same codes. */
+  private def qscore(a: String, b: String): Column = {
+    import graft.functions.DotI8.dot_i8
+    round(dot_i8(col(a), col(b)).cast("double") /
+      (sqrt(dot_i8(col(a), col(a)).cast("double")) *
+        sqrt(dot_i8(col(b), col(b)).cast("double"))), 6)
+  }
+
+  /** IVF probe + QUANTIZED shortlist + exact rescore — the
+    * scalar-quantized search path over the persisted artifacts: probes
+    * come from the assignment store (identical to [[ivfSearch]]),
+    * candidates rank by int8 cosine against the 4×-smaller quantized
+    * store down to `shortlist` per query, and only that shortlist
+    * touches the full float vectors for the exact final top-k. Scale
+    * shape: the corpus-cardinality stages read ONLY (vec_id, cent_id)
+    * and (vec_id, q int8) — full floats attach to shortlist×queries
+    * rows, never to the candidate stream. Deterministic end to end
+    * (integer shortlist scores, rounded exact rescore, id tie-breaks),
+    * so the oracle stays exact; recall vs the unquantized path is
+    * pinned by Q8RecallSpec. */
+  def ivfSearchQuantized(assign: DataFrame, q8: DataFrame, e: DataFrame,
+      centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val probeRn = Window.partitionBy(col("qid"))
+      .orderBy(score("qv", "cv").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(probeRn))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "cent_id")
+    val cand = probes.join(assign, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+    val qq = q8.select(col("vec_id").as("qid"), col("q").as("qa"))
+    val cq = q8.select(col("vec_id").as("cid"), col("q").as("qb"))
+    val shortRn = Window.partitionBy(col("qid")).orderBy(col("q_score").desc, col("cid"))
+    val short = cand.join(qq, Seq("qid")).join(cq, Seq("cid"))
+      .select(col("qid"), col("cid"), qscore("qa", "qb").as("q_score"))
+      .withColumn("rn", row_number().over(shortRn))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "cid")
+    val qv = queries.select(col("qid"), col("qv"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cve"))
+    val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    short.join(qv, Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"), score("qv", "cve").as("score"))
+      .withColumn("rn", row_number().over(topRn))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "score")
+  }
+
   /** Majority vote over (qid, cid, label) neighbor rows — ties broken by
     * count DESC then smaller label. Shared by the brute-force and IVF
     * kNN classifiers so the vote semantics cannot diverge. */
@@ -233,6 +307,55 @@ object VectorQueries {
       |QUALIFY row_number() OVER (PARTITION BY cand.qid ORDER BY score DESC, cid) <= 3
       |ORDER BY qid, cid""".stripMargin
 
+  /** The quantized-IVF oracle: same assignment/probe/candidate chain as
+    * [[IvfOracleSql]], then an int8 shortlist (rank by quantized cosine
+    * over the SAME floor-quantized codes Spark stores) and an exact
+    * rescore of the shortlist — every stage integer- or
+    * rounding-deterministic, so stored-path results hash-match. */
+  private val Q8OracleSql: String =
+    """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+      |           FROM embeddings ORDER BY vec_id LIMIT 16),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(t.v, x -> CASE WHEN t.mx = 0 THEN 0
+      |      ELSE CAST(floor(x * 127.0 / t.mx + 0.5) AS INTEGER) END) AS q
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) AS mx FROM e) t),
+      |assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+      |    FROM e, c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+      |probes AS (
+      |  SELECT qid, cent_id FROM (
+      |    SELECT q.qid, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+      |    FROM q, c) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.qid, a.vec_id AS cid
+      |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      |  WHERE a.vec_id <> p.qid),
+      |short AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT cand.qid, cand.cid,
+      |      row_number() OVER (PARTITION BY cand.qid ORDER BY
+      |        round(list_dot_product(qa.q::DOUBLE[], qb.q::DOUBLE[]) /
+      |          (sqrt(list_dot_product(qa.q::DOUBLE[], qa.q::DOUBLE[])) *
+      |           sqrt(list_dot_product(qb.q::DOUBLE[], qb.q::DOUBLE[]))), 6) DESC,
+      |        cand.cid) AS rn
+      |    FROM cand JOIN q8 qa ON qa.vec_id = cand.qid
+      |              JOIN q8 qb ON qb.vec_id = cand.cid)
+      |  WHERE rn <= 8)
+      |SELECT short.qid, short.cid,
+      |  round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+      |FROM short JOIN e qe ON qe.vec_id = short.qid JOIN e ce ON ce.vec_id = short.cid
+      |QUALIFY row_number() OVER (PARTITION BY short.qid ORDER BY score DESC, cid) <= 3
+      |ORDER BY qid, cid""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- brute-force cosine top-k (k=3) for a query subset -----
@@ -299,6 +422,30 @@ object VectorQueries {
       val assign = graft.operators.SignatureStore.ensureIvfAssignments(
         s, d, () => ivfAssign(e, centroids))
       ivfSearch(assign, e, centroids, queries, nprobe = 2, k = 3)
+        .orderBy("qid", "cid")
+    },
+
+    // ----- scalar-quantized IVF: int8 shortlist + exact rescore -----
+    // The third tier of the stored-vector path (VERDICT r5 #5): the IVF
+    // store answers WHICH bucket, the int8 store (4× smaller than the
+    // floats) ranks the bucket's candidates, and only the per-query
+    // shortlist (8 rows/query) touches full float vectors for the final
+    // exact top-3. At 100 TB this cuts the search-time vector read 4×;
+    // recall vs the unquantized path is pinned ≥ 0.9 by Q8RecallSpec,
+    // and the oracle is exact because every stage is integer- or
+    // rounding-deterministic.
+    "ann_ivf_q8" -> QueryDef.sql(Q8OracleSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assign = graft.operators.SignatureStore.ensureIvfAssignments(
+        s, d, () => ivfAssign(e, centroids))
+      val q8 = graft.operators.SignatureStore.ensureQuantizedVectors(
+        s, d, () => quantizeInt8(e))
+      ivfSearchQuantized(assign, q8, e, centroids, queries,
+        nprobe = 2, shortlist = 8, k = 3)
         .orderBy("qid", "cid")
     },
 

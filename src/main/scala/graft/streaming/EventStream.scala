@@ -158,6 +158,27 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamIvfDir(storeBase))
     }
 
+  /** Incremental int8-code maintenance — the quantized-store twin of
+    * [[maintainIvfAssignments]]: each micro-batch of new vectors is
+    * quantized with the SAME builder the batch store uses
+    * ([[graft.operators.VectorQueries.quantizeInt8]]) and appended to
+    * the store's stream subtree, so the quantized search path covers
+    * batch + stream vectors without re-reading float history. Same
+    * replay contract: batch_id-keyed dynamic partition overwrite;
+    * `SignatureStore.readQuantizedVectors` resolves re-sent vectors
+    * latest-wins. */
+  def maintainQuantizedVectors(vecs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.VectorQueries.quantizeInt8(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamQ8Dir(storeBase))
+    }
+
   /** Streaming event-rollup maintenance — the events-analytics twin of
     * [[maintainSignatures]] / [[maintainPostings]]: the watermarked
     * [[windowedCounts]] UPDATE stream lands in a batch_id-partitioned

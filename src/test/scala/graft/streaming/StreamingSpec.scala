@@ -534,6 +534,33 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("incremental quantized-vector maintenance matches the batch quantizer, latest wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("q8maint")
+    val dim = graft.operators.VectorQueries.Dim
+    def vec(seed: Float): Seq[Float] = Seq.tabulate(dim)(i => seed * (i + 1) / dim)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = EventStream.maintainQuantizedVectors(
+      input.toDF().toDF("vec_id", "embedding"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((10L, vec(1.0f)), (11L, vec(-0.5f)))
+      query.processAllAvailable()
+      input.addData((10L, vec(2.0f))) // re-sent with CHANGED embedding
+      query.processAllAvailable()
+
+      val stored = graft.operators.SignatureStore.readQuantizedVectors(spark, base)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+      // codes equal the batch quantizer over the FINAL corpus state
+      val expect = graft.operators.VectorQueries.quantizeInt8(
+        Seq((10L, vec(2.0f)), (11L, vec(-0.5f))).toDF("vec_id", "embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+      assert(stored.keySet == Set(10L, 11L))
+      assert(stored == expect, "one latest-wins code row per vector")
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
