@@ -139,4 +139,42 @@ class NetcdfSpec extends SparkFunSuite {
     assert(cube.allProducts == names)
     assert(cube.productIndex(names(1)) == 1)
   }
+
+  test("golden netCDF-4 conventions file (independent byte generator) imports exactly") {
+    // The checked-in golden (tools/make_netcdf_golden.py, stdlib-only,
+    // written from the PUBLIC HDF5/netCDF-4 specs — shares no code with
+    // graft's reader or writer) carries the full convention surface a
+    // netcdf4-python/xarray writer produces and the Scala fixture writer
+    // does not: DIMENSION_LIST vlen-of-object-reference attrs (backed by
+    // a real global heap), REFERENCE_LIST compound attrs, the phantom-
+    // dimension NAME string, _FillValue, and _NCProperties. The reader
+    // must skip the bookkeeping gracefully and decode everything else.
+    val url = getClass.getResource("/golden/netcdf4_conventions.nc")
+    assert(url != null, "golden resource missing")
+    val cube = Netcdf.readCube(spark, new java.io.File(url.toURI).getAbsolutePath)
+
+    assert(cube.attrs("master_azimuth") == "3" && cube.attrs("master_range") == "4")
+    assert(cube.attrs("title") == "graft golden cube")
+    assert(!cube.attrs.contains("_NCProperties"), "library provenance must not leak")
+
+    val px = cube.pixels.collect()
+    assert(px.length == 24)
+    val byKey = px.map(r => ((r.getInt(0), r.getInt(2), r.getInt(3)), r)).toMap
+    // intensity = b*100 + a*10 + r, NaN planted at (1,2,3) → null
+    assert(byKey((0, 0, 0)).getDouble(4) == 0.0)
+    assert(byKey((1, 2, 2)).getDouble(4) == 122.0)
+    assert(byKey((0, 1, 3)).getDouble(4) == 13.0)
+    assert(byKey((1, 2, 3)).isNullAt(4), "fill NaN must import as null")
+
+    // CF band times: days since 2020-01-01 → [0, 5]
+    val times = cube.layers.orderBy("band_index")
+      .select("band_time").collect().map(_.getTimestamp(0).toInstant.toString)
+    assert(times.toSeq == Seq("2020-01-01T00:00:00Z", "2020-01-06T00:00:00Z"))
+
+    // per-layer metadata from the dict-of-lists variable attrs
+    val layers = cube.layers.orderBy("band_index")
+      .select("look_side", "incidence_center").collect()
+    assert(layers.map(_.getString(0)).toSeq == Seq("LEFT", "RIGHT"))
+    assert(layers.map(_.getDouble(1)).toSeq == Seq(21.5, 30.25))
+  }
 }
