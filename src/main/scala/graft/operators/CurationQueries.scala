@@ -50,11 +50,12 @@ object CurationQueries {
     * shuffles only the matched sliver — never the exploded corpus.
     * Shared by the batch query and the streaming ingest gate.
     *
-    * The train side is repartitioned to full parallelism BEFORE the
-    * shingle explode ([[TextQueries.spread]] rationale): a corpus that
-    * arrives as few input splits — or, as in `corpus_pipeline_full`,
-    * reaches here through only broadcast joins and filters — would
-    * otherwise serialize the entire explode+join onto those few tasks. */
+    * The train side is widened to full parallelism BEFORE the shingle
+    * explode when it arrives under-split ([[TextQueries.spread]] — a
+    * conditional no-op on many-split inputs): a corpus that arrives as
+    * few input splits — or, as in `corpus_pipeline_full`, reaches here
+    * through only broadcast joins and filters — would otherwise
+    * serialize the entire explode+join onto those few tasks. */
   def decontaminate(train: org.apache.spark.sql.DataFrame,
       evalDocs: org.apache.spark.sql.DataFrame, minShared: Long): org.apache.spark.sql.DataFrame = {
     val esh = shingles12(evalDocs).withColumnRenamed("doc_id", "eval_doc")

@@ -11,7 +11,12 @@ import org.apache.spark.sql.types.DecimalType
   * testdata (TESTDATA.md). Each entry = Spark build + DuckDB oracle SQL.
   *
   * Scale notes (local[32] now, 1000-executor 100 TB later):
-  *   - dimension-side joins ([[broadcast]]) never shuffle the fact table;
+  *   - dimension-side joins never shuffle the fact table. Hint policy:
+  *     only CONSTANT-size sides (region/nation, 1-row aggregates,
+  *     calendar grids, literal lists) carry explicit [[broadcast]]
+  *     hints; fact-derived or linearly-growing sides (customer,
+  *     supplier, filtered part, distinct fact keys) are left to AQE,
+  *     which broadcasts them while small and shuffles at scale;
   *   - per-group top-1 is a single window shuffle on the group key;
   *   - calendar/grid builds are tiny DataFrames joined broadcast;
   *   - all aggregations are partial-aggregated map-side by Catalyst.
