@@ -603,6 +603,105 @@ object CurationQueries {
         .orderBy("token_id")
     },
 
+    // ----- BPE merge-candidate pair counts (tokenizer-training step) -----
+    // The other tokenizer-training precursor beside vocab_topk: the
+    // weighted adjacent-character-pair frequencies over the word
+    // vocabulary — exactly the statistic the first BPE merge maximizes
+    // (Sennrich et al. 2016). Scale shape: the corpus collapses to its
+    // WORD VOCABULARY first (map-side-combinable count — vocab grows
+    // sublinearly in corpus size, Heaps' law), the pair explode is
+    // vocab-cardinality × word length, and the top-20 merge candidates
+    // come off a TakeOrderedAndProject heap — no global sort, nothing
+    // corpus-cardinality past the first aggregate. Iterating merges
+    // re-runs this over the re-segmented vocab (driver loop, vocab-sized
+    // — not modeled here; the per-iteration statistic is the operator).
+    "bpe_pair_counts" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS n FROM w WHERE length(word) >= 2 GROUP BY word),
+        |p AS (
+        |  SELECT unnest([substr(word, i, 2) for i in generate_series(1, length(word)-1)]) AS pair, n
+        |  FROM wc),
+        |agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM p GROUP BY pair)
+        |SELECT pair, n_pair FROM agg
+        |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .select(
+          explode(expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"),
+          col("n"))
+        .groupBy("pair").agg(sum("n").as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair")).limit(20)
+    },
+
+    // ----- fuzzy decontamination: minhash bands vs the eval set -----
+    // The sketch-based sibling of decontaminate_ngram: exact 12-gram
+    // overlap misses PARAPHRASED contamination (token swaps, light
+    // rewording), while a banded minhash collision flags near-duplicate
+    // eval docs at far lower cost than shingle intersection. Scale
+    // shape: the train side reads the PERSISTED signature store (no
+    // text re-hash — the same artifact every dedup query amortizes);
+    // the eval side is id-bounded (same cap as decontaminate_ngram /
+    // bm25), so its bands BROADCAST and the join is map-side; output is
+    // bounded by real collisions. A degenerate train bucket multiplies
+    // only into the bounded eval side (linear, never quadratic), so the
+    // self-join bucket guard is not needed here.
+    "decontaminate_fuzzy" -> QueryDef.sql(
+      s"""WITH ${graft.operators.TextQueries.MinhashBandsCte}
+         |SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+         |FROM bands t JOIN bands e ON t.band = e.band AND t.key = e.key
+         |WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0 AND e.doc_id < 10000
+         |ORDER BY train_doc, eval_doc""".stripMargin) { (s, d) =>
+      val bands = graft.operators.SignatureStore.ensureMinhashBands(s, d)
+      val evalB = bands
+        .filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select(col("doc_id").as("eval_doc"), col("band"), col("key"))
+      val trainB = bands.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("band"), col("key"))
+      trainB.join(broadcast(evalB), Seq("band", "key"))
+        .select("train_doc", "eval_doc").distinct()
+        .orderBy("train_doc", "eval_doc")
+    },
+
+    // ----- length-bucketed batching report (padding efficiency) -----
+    // The alternative to concat-packing (pack_sequences): batch docs of
+    // similar length together and pad to the bucket cap — simpler
+    // dataloaders, but the padding is wasted compute, and THIS report
+    // (docs / tokens / capacity / padding fraction per power-of-two
+    // bucket) is what decides whether the waste is acceptable. Bucket
+    // caps are exact integer arithmetic on both engines
+    // (2^length(bin(n-1)) = next power of two, clamped to ≥ 64); the
+    // whole query is one stateless projection + a map-side-combinable
+    // aggregate over ≤ log₂(max_len) output rows.
+    "pack_length_buckets" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    greatest(64, CAST(power(2, length(bin(n - 1))) AS BIGINT)) AS bucket
+        |  FROM t)
+        |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) * bucket AS capacity,
+        |  round(1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * bucket), 6) AS padding_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        .withColumn("bucket",
+          greatest(lit(64L), pow(lit(2.0), length(bin(col("n") - 1))).cast("long")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          (col("n_docs") * col("bucket")).as("capacity"),
+          round(lit(1.0) - col("n_tokens").cast("double") /
+            (col("n_docs") * col("bucket")), 6).as("padding_frac"))
+        .orderBy("bucket")
+    },
+
     // ----- training-shard assignment + balance report -----
     // Deterministic global shuffle into 16 shards (hash, not round-robin,
     // so shard membership is stable under corpus appends) and the

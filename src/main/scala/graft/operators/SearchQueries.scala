@@ -97,8 +97,9 @@ object SearchQueries {
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
       .distinct()
 
-  /** The BM25 oracle, shared verbatim by the live and stored queries. */
-  private val Bm25OracleSql: String =
+  /** The BM25 CTE chain (through `score`), shared by the BM25 oracle
+    * and the hybrid-fusion oracle. */
+  private val Bm25CteChain: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
        |  FROM documents WHERE doc_id % 97 <> 0),
@@ -129,9 +130,45 @@ object SearchQueries {
        |  JOIN dl l ON l.doc_id = t.doc_id, stats s),
        |score AS (
        |  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score
-       |  FROM contrib GROUP BY qid, doc_id)
+       |  FROM contrib GROUP BY qid, doc_id)""".stripMargin
+
+  /** The BM25 oracle, shared verbatim by the live and stored queries. */
+  private val Bm25OracleSql: String =
+    s"""$Bm25CteChain
        |SELECT qid, doc_id, score FROM score
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5
+       |ORDER BY qid, doc_id""".stripMargin
+
+  /** The hybrid RRF oracle: the BM25 chain plus a vector leg over the
+    * embeddings of the same doc-id space, fused 1/(60+rank). */
+  private val HybridOracleSql: String =
+    s"""$Bm25CteChain,
+       |btop AS (
+       |  SELECT qid, doc_id, r FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |    FROM score) WHERE r <= 5),
+       |qv AS (
+       |  SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qv
+       |  FROM embeddings e JOIN (SELECT DISTINCT qid FROM qt) q ON q.qid = e.vec_id),
+       |cvv AS (
+       |  SELECT e.vec_id AS doc_id, e.embedding::DOUBLE[] AS cv
+       |  FROM embeddings e JOIN dl ON dl.doc_id = e.vec_id),
+       |vtop AS (
+       |  SELECT qid, doc_id, r FROM (
+       |    SELECT q.qid, c.doc_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.doc_id) AS r
+       |    FROM qv q, cvv c) WHERE r <= 5),
+       |fused AS (
+       |  SELECT coalesce(b.qid, v.qid) AS qid,
+       |    coalesce(b.doc_id, v.doc_id) AS doc_id,
+       |    round(coalesce(round(1.0 / (60 + b.r), 6), 0) +
+       |          coalesce(round(1.0 / (60 + v.r), 6), 0), 6) AS rrf
+       |  FROM btop b FULL OUTER JOIN vtop v
+       |    ON b.qid = v.qid AND b.doc_id = v.doc_id)
+       |SELECT qid, doc_id, rrf FROM fused
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) <= 5
        |ORDER BY qid, doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
@@ -183,6 +220,59 @@ object SearchQueries {
         .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
         .select("doc_id", "token", "tf", "dl")
       bm25Rank(tf, stats, qt, k = 5)
+    },
+
+    // ----- hybrid search: BM25 ⊕ embedding cosine via RRF fusion -----
+    // The modern retrieval composition: keyword and vector legs each
+    // produce a top-5 per query, fused by reciprocal-rank fusion
+    // (Cormack et al. 2009: Σ 1/(60+rank)) — the standard way to merge
+    // rankings whose raw scores are incommensurable. Both legs read
+    // PERSISTED artifacts (BM25 postings store; embeddings by id
+    // equi-join against the bounded corpus doc set) and the fusion
+    // operates on 2×5×queries rank rows — nothing corpus-scale happens
+    // after the legs. Cross-engine exactness: ranks are integers, each
+    // RRF term rounds to 6 decimals before the two-term sum (fixed
+    // addition order via coalesce), ties break on doc_id.
+    "hybrid_search_rrf" -> QueryDef.sql(HybridOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val qt = queryTerms(docs)
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val stats = corpusLens.agg(
+        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
+      val tf = postings.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf", "dl")
+      val bmRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      val btop = bm25Rank(tf, stats, qt, k = 5)
+        .withColumn("r_b", row_number().over(bmRn)).select("qid", "doc_id", "r_b")
+
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val evalIds = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select("doc_id")
+      val qv = e.join(broadcast(evalIds), e("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cv = e.join(corpusLens.select("doc_id"), e("vec_id") === col("doc_id"), "left_semi")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+      import graft.functions.DotF32.dot_f32
+      val cos = round(dot_f32(col("qv"), col("cv")) /
+        (sqrt(dot_f32(col("qv"), col("qv"))) * sqrt(dot_f32(col("cv"), col("cv")))), 6)
+      val vRn = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id"))
+      val vtop = cv.crossJoin(broadcast(qv))
+        .select(col("qid"), col("doc_id"), cos.as("vscore"))
+        .withColumn("r_v", row_number().over(vRn))
+        .filter(col("r_v") <= 5).select("qid", "doc_id", "r_v")
+
+      val fuseRn = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+      btop.join(vtop, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          round(
+            coalesce(round(lit(1.0) / (lit(60) + col("r_b")), 6), lit(0.0)) +
+              coalesce(round(lit(1.0) / (lit(60) + col("r_v")), 6), lit(0.0)), 6).as("rrf"))
+        .withColumn("rn", row_number().over(fuseRn))
+        .filter(col("rn") <= 5)
+        .select("qid", "doc_id", "rrf")
+        .orderBy("qid", "doc_id")
     },
   )
 }
