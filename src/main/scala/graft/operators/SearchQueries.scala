@@ -139,6 +139,36 @@ object SearchQueries {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5
        |ORDER BY qid, doc_id""".stripMargin
 
+  /** Hard-negative oracle: vector-similar docs (top-10) minus the
+    * keyword-relevant set (BM25 top-5), top-3 survivors per query. */
+  private val HardNegOracleSql: String =
+    s"""$Bm25CteChain,
+       |btop AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |    FROM score) WHERE r <= 5),
+       |qv AS (
+       |  SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qv
+       |  FROM embeddings e JOIN (SELECT DISTINCT qid FROM qt) q ON q.qid = e.vec_id),
+       |cvv AS (
+       |  SELECT e.vec_id AS doc_id, e.embedding::DOUBLE[] AS cv
+       |  FROM embeddings e JOIN dl ON dl.doc_id = e.vec_id),
+       |vtop AS (
+       |  SELECT qid, doc_id, vscore FROM (
+       |    SELECT q.qid, c.doc_id,
+       |      round(list_cosine_similarity(q.qv, c.cv), 6) AS vscore,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.doc_id) AS r
+       |    FROM qv q, cvv c) WHERE r <= 10),
+       |neg AS (
+       |  SELECT v.qid, v.doc_id, v.vscore FROM vtop v
+       |  LEFT JOIN btop b ON b.qid = v.qid AND b.doc_id = v.doc_id
+       |  WHERE b.doc_id IS NULL)
+       |SELECT qid, doc_id, vscore FROM neg
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY vscore DESC, doc_id) <= 3
+       |ORDER BY qid, doc_id""".stripMargin
+
   /** The hybrid RRF oracle: the BM25 chain plus a vector leg over the
     * embeddings of the same doc-id space, fused 1/(60+rank). */
   private val HybridOracleSql: String =
@@ -272,6 +302,50 @@ object SearchQueries {
         .withColumn("rn", row_number().over(fuseRn))
         .filter(col("rn") <= 5)
         .select("qid", "doc_id", "rrf")
+        .orderBy("qid", "doc_id")
+    },
+
+    // ----- hard-negative mining for retrieval-model training -----
+    // The contrastive-training data op (DPR/Contriever recipe):
+    // embedding-SIMILAR documents that are NOT keyword-relevant make
+    // the hardest negatives — semantically close enough to confuse the
+    // model, lexically unrelated to the query. Vector top-10 per query
+    // anti-joined against the BM25 top-5 (the positives/near-positives),
+    // top-3 survivors emitted with their cosine. Both legs read
+    // persisted artifacts; the anti-join runs on 10×queries rank rows.
+    "mine_hard_negatives" -> QueryDef.sql(HardNegOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val qt = queryTerms(docs)
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val stats = corpusLens.agg(
+        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
+      val tf = postings.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf", "dl")
+      val btop = bm25Rank(tf, stats, qt, k = 5).select("qid", "doc_id")
+
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val evalIds = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select("doc_id")
+      val qv = e.join(broadcast(evalIds), e("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cv = e.join(corpusLens.select("doc_id"), e("vec_id") === col("doc_id"), "left_semi")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+      import graft.functions.DotF32.dot_f32
+      val cos = round(dot_f32(col("qv"), col("cv")) /
+        (sqrt(dot_f32(col("qv"), col("qv"))) * sqrt(dot_f32(col("cv"), col("cv")))), 6)
+      val vRn = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id"))
+      val vtop = cv.crossJoin(broadcast(qv))
+        .select(col("qid"), col("doc_id"), cos.as("vscore"))
+        .withColumn("r", row_number().over(vRn))
+        .filter(col("r") <= 10).select("qid", "doc_id", "vscore")
+
+      val negRn = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id"))
+      vtop.join(btop, Seq("qid", "doc_id"), "left_anti")
+        .withColumn("rn", row_number().over(negRn))
+        .filter(col("rn") <= 3)
+        .select("qid", "doc_id", "vscore")
         .orderBy("qid", "doc_id")
     },
   )
