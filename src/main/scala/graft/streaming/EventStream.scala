@@ -261,6 +261,71 @@ object EventStream {
       }
   }
 
+  case class DayEvent(user_id: Long, day: Long)
+  case class RetState(cohort: Long, days: List[Long])
+  case class RetPair(user_id: Long, day: Long, cohort_day: Long)
+
+  /** Streaming retention pairs — the streaming twin of `a7_retention`'s
+    * input relation: one (user, active-day, cohort-day) row per distinct
+    * (user, day), where cohort = the user's EARLIEST day. The subtle
+    * out-of-order case: a LATE event from an earlier day LOWERS the
+    * cohort, which re-dates every previously emitted offset — so on a
+    * cohort change the state re-emits ALL seen days under the new
+    * cohort, and the store reader resolves (user, day) latest-wins.
+    * That is what makes the read-side rollup equal the batch matrix
+    * under ANY arrival order (StreamingSpec replays out-of-order and
+    * asserts equality). State is O(distinct active days per user);
+    * production bounds it by the retention horizon (evict days older
+    * than the matrix goes back). */
+  def retentionPairs(events: Dataset[DayEvent]): Dataset[RetPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetPair](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[RetState]) =>
+          val prev = state.getOption.getOrElse(RetState(Long.MaxValue, Nil))
+          val newDays = rows.map(_.day).toSet -- prev.days
+          if (newDays.isEmpty) Iterator.empty
+          else {
+            val all = (prev.days ++ newDays).distinct.sorted
+            val cohort = all.head
+            state.update(RetState(cohort, all))
+            val emit = if (cohort < prev.cohort) all else newDays.toList.sorted
+            emit.iterator.map(d => RetPair(uid, d, cohort))
+          }
+      }
+  }
+
+  /** Persist [[retentionPairs]] batch_id-keyed (same replay contract as
+    * every other maintain* sink); [[readRetention]] resolves (user, day)
+    * latest-wins — a cohort re-date supersedes the stale rows — and
+    * rolls the matrix up exactly like the batch `a7_retention` query. */
+  def maintainRetention(events: Dataset[DayEvent], storeDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[RetPair] =
+    retentionPairs(events).writeStream.outputMode("update").foreachBatch {
+      (batch: Dataset[RetPair], batchId: Long) =>
+        batch.toDF()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+    }
+
+  /** The retention matrix from a [[maintainRetention]] store:
+    * latest-wins per (user, day), then the same (cohort, offset) count
+    * the batch query computes — map-side-combinable aggregates only. */
+  def readRetention(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy("user_id", "day")
+      .agg(max(struct(col("batch_id").cast("long").as("batch_id"),
+        col("cohort_day"))).as("m"))
+      .select(col("user_id"), col("day"), col("m.cohort_day").as("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+
   /** Streaming incremental NEAR-dedup — the continuous twin of the batch
     * `dedup_incremental` query: each micro-batch signs its documents
     * once, probes the persisted band store for collisions (batch×store

@@ -534,6 +534,46 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("streaming retention ≡ batch matrix under an out-of-order cohort re-date") {
+    // The hard case for incremental retention: a LATE event from an
+    // EARLIER day lowers user 1's cohort, re-dating every offset
+    // already emitted — the state re-emits all days under the new
+    // cohort and latest-wins supersedes the stale rows.
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("retmaint") + "/pairs"
+    val input = MemoryStream[EventStream.DayEvent]
+    val query = EventStream.maintainRetention(input.toDS(), store)
+      .option("checkpointLocation", s"$store/_ckpt").start()
+    try {
+      input.addData(
+        EventStream.DayEvent(1, 10), EventStream.DayEvent(1, 12),
+        EventStream.DayEvent(2, 20))
+      query.processAllAvailable()
+      // u1's late day 5: cohort 10 → 5 (all offsets re-date)
+      input.addData(
+        EventStream.DayEvent(1, 5), EventStream.DayEvent(2, 21))
+      query.processAllAvailable()
+      // duplicates emit nothing; u2 adds day 25
+      input.addData(
+        EventStream.DayEvent(1, 12), EventStream.DayEvent(2, 20),
+        EventStream.DayEvent(2, 25))
+      query.processAllAvailable()
+
+      val matrix = EventStream.readRetention(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch twin (a7_retention formula) over the union
+      val all = Seq((1L, 10L), (1L, 12L), (2L, 20L), (1L, 5L), (2L, 21L),
+        (1L, 12L), (2L, 20L), (2L, 25L)).toDF("user_id", "day")
+      val first = all.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val batch = all.distinct().join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(matrix == batch, s"stream=$matrix batch=$batch")
+      assert(!matrix.exists(_._1 == 10L), "stale cohort-10 rows must be superseded")
+    } finally query.stop()
+  }
+
   test("incremental quantized-vector maintenance matches the batch quantizer, latest wins") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("q8maint")
