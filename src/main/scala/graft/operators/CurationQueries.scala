@@ -166,6 +166,32 @@ object CurationQueries {
       concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
         lit("."), ((col("doc_id") * 3) % 256).cast("string"))).otherwise(""))
 
+  /** The unigram-LM bucket chain shared by `text_lm_score` and
+    * `split_ccnet_terciles`: every token scored by its corpus-frequency
+    * bucket (floor(log2 n)+1 over a broadcast top-20 vocabulary, 0 =
+    * OOV). Ends at CTE `s` = (doc_id, bucket) per token. */
+  private val LmBucketsCte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+      |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      |v AS (SELECT token, CAST(length(bin(n)) AS BIGINT) AS bucket FROM c
+      |      QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 20),
+      |s AS (SELECT t.doc_id, coalesce(v.bucket, 0) AS bucket
+      |      FROM tok t LEFT JOIN v USING (token))""".stripMargin
+
+  /** Spark twin of [[LmBucketsCte]]: per-token (doc_id, bucket). */
+  private def tokenBuckets(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = TextQueries.spread(documents(s, d))
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .select(col("token"), length(bin(col("n"))).cast("long").as("bucket"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), coalesce(col("bucket"), lit(0L)).as("bucket"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- benchmark decontamination: exact n-gram overlap vs an eval set -----
@@ -298,30 +324,65 @@ object CurationQueries {
     // both passes are map-only projections — cheaper at 100 TB than
     // materializing the exploded token table between them.
     "text_lm_score" -> QueryDef.sql(
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
-        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
-        |v AS (SELECT token, CAST(length(bin(n)) AS BIGINT) AS bucket FROM c
-        |      QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 20),
-        |s AS (SELECT t.doc_id, coalesce(v.bucket, 0) AS bucket
-        |      FROM tok t LEFT JOIN v USING (token))
+      s"""WITH $LmBucketsCte
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(bucket) AS DOUBLE) / count(*), 6) AS mean_bucket,
         |  round(CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_ratio
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tok = TextQueries.spread(documents(s, d))
-        .select(col("doc_id"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
-      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("token")).limit(20)
-        .select(col("token"), length(bin(col("n"))).cast("long").as("bucket"))
-      tok.join(broadcast(vocab), Seq("token"), "left")
-        .select(col("doc_id"), coalesce(col("bucket"), lit(0L)).as("bucket"))
+      tokenBuckets(s, d)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(sum("bucket").cast("double") / count(lit(1)), 6).as("mean_bucket"),
           round(sum(when(col("bucket") === 0, 1L).otherwise(0L)).cast("double")
             / count(lit(1)), 6).as("oov_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ----- CCNet head/middle/tail split by per-source LM-score terciles -----
+    // The CCNet curation move (Wenzek et al. 2019): within each source,
+    // rank documents by LM quality and split into thirds — train on
+    // head+middle, inspect/drop the tail. Cutoffs are per-source
+    // interpolated terciles via the percentile AGGREGATE (Spark
+    // `percentile` ≡ DuckDB `quantile_cont`, identical interpolation):
+    // an aggregate, not a per-source global sort — at 100 TB a sort
+    // within 10 source partitions would funnel the corpus through 10
+    // tasks, while the agg buffer is bounded by DISTINCT score values
+    // and combines map-side. Cutoffs stay UNROUNDED: both engines
+    // derive identical doubles from identical rounded-6 inputs, so the
+    // tercile comparisons agree exactly. */
+    "split_ccnet_terciles" -> QueryDef.sql(
+      s"""WITH $LmBucketsCte,
+        |lm AS (
+        |  SELECT doc_id, round(CAST(sum(bucket) AS DOUBLE) / count(*), 6) AS lm_score
+        |  FROM s GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.source, lm.lm_score
+        |  FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+        |  WHERE d.source IS NOT NULL),
+        |cut AS (
+        |  SELECT source, quantile_cont(lm_score, 1.0/3) AS p33,
+        |    quantile_cont(lm_score, 2.0/3) AS p66
+        |  FROM scored GROUP BY source)
+        |SELECT sc.doc_id, sc.source, sc.lm_score,
+        |  CASE WHEN sc.lm_score > c.p66 THEN 'head'
+        |       WHEN sc.lm_score > c.p33 THEN 'middle'
+        |       ELSE 'tail' END AS bucket_label
+        |FROM scored sc JOIN cut c ON c.source = sc.source
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val lm = tokenBuckets(s, d)
+        .groupBy("doc_id")
+        .agg(round(sum("bucket").cast("double") / count(lit(1)), 6).as("lm_score"))
+      val scored = documents(s, d).filter(col("source").isNotNull)
+        .select("doc_id", "source")
+        .join(lm, Seq("doc_id"))
+      val cut = scored.groupBy("source").agg(
+        expr("percentile(lm_score, 1.0D/3)").as("p33"),
+        expr("percentile(lm_score, 2.0D/3)").as("p66"))
+      scored.join(broadcast(cut), Seq("source")) // stratum-cardinality side
+        .select(col("doc_id"), col("source"), col("lm_score"),
+          when(col("lm_score") > col("p66"), "head")
+            .when(col("lm_score") > col("p33"), "middle")
+            .otherwise("tail").as("bucket_label"))
         .orderBy("doc_id")
     },
 
@@ -631,6 +692,68 @@ object CurationQueries {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .select(
           explode(expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"),
+          col("n"))
+        .groupBy("pair").agg(sum("n").as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair")).limit(20)
+    },
+
+    // ----- BPE: apply the top merge, emit the next iteration's counts -----
+    // One FULL BPE training iteration on top of bpe_pair_counts: pick
+    // the argmax pair, apply it greedily left-to-right across the word
+    // vocabulary (replace() has exactly BPE's non-overlapping greedy
+    // semantics on both engines), and recount symbol pairs over the
+    // re-segmented vocab — the statistic the SECOND merge maximizes.
+    // Merged symbols are single sentinel chars internally (chr(1) —
+    // absent from lowercased text) and spelled back out in the output
+    // ("pair+symbol"). Scale shape: everything after the corpus→vocab
+    // collapse is vocab-cardinality; the top merge is a 1-row broadcast.
+    // Full BPE training is K repetitions of exactly this step over the
+    // (small) persisted segmented-vocab artifact — a driver loop like
+    // kmeans_iterate's, not a new operator shape.
+    "bpe_apply_top_merge" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS n FROM w WHERE length(word) >= 2 GROUP BY word),
+        |p AS (
+        |  SELECT unnest([substr(word, i, 2) for i in generate_series(1, length(word)-1)]) AS pair, n
+        |  FROM wc),
+        |agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM p GROUP BY pair),
+        |top AS (SELECT pair AS mp FROM agg ORDER BY n_pair DESC, pair LIMIT 1),
+        |seg AS (SELECT replace(word, (SELECT mp FROM top), chr(1)) AS sw, n FROM wc),
+        |p2 AS (
+        |  SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS rp, n
+        |  FROM seg WHERE length(sw) >= 2),
+        |ex AS (
+        |  SELECT concat(
+        |    CASE WHEN substr(rp, 1, 1) = chr(1) THEN (SELECT mp FROM top) ELSE substr(rp, 1, 1) END,
+        |    '+',
+        |    CASE WHEN substr(rp, 2, 1) = chr(1) THEN (SELECT mp FROM top) ELSE substr(rp, 2, 1) END) AS pair,
+        |    n
+        |  FROM p2)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM ex GROUP BY pair
+        |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      val words = documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val top = words
+        .select(
+          explode(expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"),
+          col("n"))
+        .groupBy("pair").agg(sum("n").as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair")).limit(1)
+        .select(col("pair").as("mp"))
+      words.crossJoin(broadcast(top))
+        .select(expr("replace(word, mp, char(1))").as("sw"), col("n"), col("mp"))
+        .filter(length(col("sw")) >= 2)
+        .select(
+          explode(expr("transform(sequence(1, length(sw)-1), i -> substring(sw, i, 2))")).as("rp"),
+          col("n"), col("mp"))
+        .select(
+          concat(
+            expr("CASE WHEN substring(rp, 1, 1) = char(1) THEN mp ELSE substring(rp, 1, 1) END"),
+            lit("+"),
+            expr("CASE WHEN substring(rp, 2, 1) = char(1) THEN mp ELSE substring(rp, 2, 1) END")).as("pair"),
           col("n"))
         .groupBy("pair").agg(sum("n").as("n_pair"))
         .orderBy(col("n_pair").desc, col("pair")).limit(20)
