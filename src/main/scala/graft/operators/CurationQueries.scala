@@ -825,6 +825,27 @@ object CurationQueries {
         .orderBy("bucket")
     },
 
+    // ----- seeded global training-order shuffle -----
+    // The epoch-shuffle every training run needs: a DETERMINISTIC
+    // pseudo-random permutation of the corpus (LCG key — reproducible
+    // across engines and re-runs; reshuffle = new seed) materialized as
+    // an explicit (doc_id, position) table a dataloader can range-read.
+    // Scale shape: the rank is the two-pass distributed global
+    // row_number (`Scale.globalRowNumber` — range-partition on the key,
+    // rank locally, add broadcast prefix offsets), NEVER a
+    // single-partition Window.orderBy: at 100 TB a global-sort window
+    // funnels every row through one task, while this plan's widest
+    // stage is an ordinary range exchange.
+    "shuffle_order" -> QueryDef.sql(
+      s"""WITH k AS (SELECT doc_id, $LcgSql AS k FROM documents)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS position
+         |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val keyed = documents(s, d).select(col("doc_id"), expr(LcgSql).as("k"))
+      val (ranked, _) = graft.util.Scale.globalRowNumber(
+        keyed, Seq(col("k"), col("doc_id")), "position")
+      ranked.select("doc_id", "position").orderBy("doc_id")
+    },
+
     // ----- training-shard assignment + balance report -----
     // Deterministic global shuffle into 16 shards (hash, not round-robin,
     // so shard membership is stable under corpus appends) and the

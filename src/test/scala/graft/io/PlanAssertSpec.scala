@@ -63,6 +63,19 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("shuffle_order global permutation never uses a single-partition window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.CurationQueries.defs("shuffle_order").build(spark, sfDir)
+    val globalWindows = q.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"the epoch shuffle must not funnel the corpus through one task:\n${q.queryExecution.sparkPlan}")
+    // the permutation is a bijection onto 1..N
+    val positions = q.select("position").collect().map(_.getLong(0)).sorted
+    assert(positions.toSeq == (1L to positions.length).toSeq)
+  }
+
   test("bm25_search_stored scans corpus text only for the bounded query side") {
     val sfDir = "/root/testdata/sf0.001"
     // NOTE: bm25Rank localCheckpoints the pruned postings sliver eagerly,
