@@ -915,5 +915,174 @@ object CurationQueries {
         .select("doc_id", "source", "permille")
         .orderBy("doc_id")
     },
+
+    // ----- mixture re-weighting: fractional-epoch UPSAMPLING -----
+    // The other half of mixture design (mix_temperature keeps a subset;
+    // this one REPEATS): small high-value sources are repeated
+    // sqrt(tokens_max / tokens_s) epochs, capped at 4 (past ~4 epochs
+    // repetition stops helping — Muennighoff et al. 2023), so the largest
+    // source runs exactly once and a 1% source about 4 times. Fractional
+    // epochs are materialized deterministically: every doc gets
+    // floor(epochs) copies plus one more iff its LCG draw lands under
+    // the fractional part — reproducible across engines/re-runs, no
+    // sampling. Scale shape: the epoch table is stratum-cardinality
+    // (broadcast legitimately); the explode is per-row bounded by the
+    // epoch cap (≤4 copies), a stateless map stage — the corpus never
+    // shuffles. The rate chain is max/sqrt/divide/floor only — every
+    // step correctly rounded IEEE with identical trees on both engines.
+    "upsample_epochs" -> QueryDef.sql(
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS toks
+         |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+         |m AS (SELECT max(toks) AS mx FROM t),
+         |r AS (
+         |  SELECT source,
+         |    CAST(floor(1000.0 * least(sqrt(CAST(mx AS DOUBLE) / CAST(toks AS DOUBLE)), 4.0)) AS BIGINT) AS permille
+         |  FROM t, m),
+         |c AS (
+         |  SELECT d.doc_id, d.source, r.permille,
+         |    r.permille // 1000 +
+         |      CASE WHEN $LcgSql % 1000 < r.permille % 1000 THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents d JOIN r ON r.source = d.source)
+         |SELECT doc_id, CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx,
+         |  source, permille
+         |FROM c ORDER BY doc_id, copy_idx""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val bySource = docs.filter(col("source").isNotNull)
+        .select(col("source"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("toks"))
+      val mx = bySource.agg(max("toks").as("mx"))
+      val rates = bySource.crossJoin(broadcast(mx))
+        .select(col("source"),
+          floor(lit(1000.0) *
+            least(sqrt(col("mx").cast("double") / col("toks").cast("double")), lit(4.0)))
+            .cast("long").as("permille"))
+      docs.join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"), col("permille"),
+          (expr("permille div 1000") +
+            when(expr(s"$LcgSql % 1000") < col("permille") % 1000, 1L).otherwise(0L))
+            .as("n_copies"))
+        // permille >= 1000 (the largest source is exactly 1.0 epochs), so
+        // n_copies >= 1 and the sequence can never descend.
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"),
+          col("source"), col("permille"))
+        .orderBy("doc_id", "copy_idx")
+    },
+
+    // ----- balanced K-way batch assembly (LPT round-robin) -----
+    // Variable-length batching without packing: rank docs by descending
+    // token count and deal them round-robin into K=32 bins (the
+    // longest-processing-time greedy heuristic's cheap cousin — within
+    // ~1 max-doc of perfectly balanced), then report per-bin load so the
+    // training launcher can assert balance. Scale shape: the rank is the
+    // two-pass distributed global row_number (`Scale.globalRowNumber` —
+    // a range exchange, never a single-partition Window.orderBy), the
+    // report is one map-side-combinable aggregate at K cardinality.
+    "pack_balanced_bins" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS rk FROM t)
+        |SELECT CAST((rk - 1) % 32 AS BIGINT) AS bin_id, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens, min(n) AS min_doc, max(n) AS max_doc
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val t = documents(s, d).select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+      val (ranked, _) = graft.util.Scale.globalRowNumber(
+        t, Seq(col("n").desc, col("doc_id")), "rk")
+      ranked.select(((col("rk") - 1) % 32).as("bin_id"), col("n"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          min("n").as("min_doc"), max("n").as("max_doc"))
+        .orderBy("bin_id")
+    },
+
+    // ----- deterministic train/val/test split -----
+    // The 98/1/1 holdout every training corpus ships with, keyed on the
+    // same LCG family as the samplers: membership is a pure function of
+    // doc_id (reproducible across engines, runs, and corpus re-orders —
+    // appending docs never moves an existing doc between splits). The
+    // report carries count/token/min/max/sum-of-ids per split as the
+    // membership checksum — NO per-split id concatenation, which would
+    // funnel each split's entire membership through one reducer at
+    // 100 TB. Stateless projection + one stratum-cardinality aggregate.
+    "split_train_val" -> QueryDef.sql(
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $LcgSql % 100 < 98 THEN 'train'
+         |         WHEN $LcgSql % 100 < 99 THEN 'val' ELSE 'test' END AS split,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM a GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          when(expr(s"$LcgSql % 100") < 98, "train")
+            .when(expr(s"$LcgSql % 100") < 99, "val")
+            .otherwise("test").as("split"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("split")
+    },
+
+    // ----- dataset card: the one-row release-audit summary -----
+    // What goes in the dataset card every corpus release publishes:
+    // volume, exact-dup rate, stratum counts, and a language-diversity
+    // index. Diversity is GINI impurity (1 − Σ pᵢ²), not entropy — the
+    // p² sum is exact integer arithmetic (Σ cᵢ²/n²) with ONE double
+    // divide at the end, while entropy's ln() is libm-dependent and not
+    // correctly rounded across engines. Scale shape: exact global
+    // distincts are the point of a release audit (each is a partial-
+    // aggregated hash shuffle); everything else is one pass, output is
+    // one row.
+    "dataset_card" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, md5(text) AS fp,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |tot AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT fp) AS n_distinct, count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM tok),
+        |lg AS (SELECT lang, count(*) AS c FROM tok GROUP BY lang),
+        |g AS (SELECT CAST(sum(c * c) AS BIGINT) AS ss FROM lg)
+        |SELECT n_docs, n_tokens, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+        |  n_sources, n_langs,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
+        |  round(1.0 - CAST(ss AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS lang_gini
+        |FROM tot, g""".stripMargin) { (s, d) =>
+      val tok = documents(s, d).select(
+        col("lang"), col("source"),
+        md5(col("text").cast("binary")).as("fp"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+      val tot = tok.agg(
+        count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      val g = tok.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("ss"))
+      tot.crossJoin(g)
+        .select(col("n_docs"), col("n_tokens"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"), 6)
+            .as("dup_rate"),
+          col("n_sources"), col("n_langs"),
+          round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 6)
+            .as("mean_tokens"),
+          round(lit(1.0) - col("ss").cast("double") /
+            (col("n_docs").cast("double") * col("n_docs").cast("double")), 6)
+            .as("lang_gini"))
+    },
   )
 }

@@ -299,6 +299,71 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // ----- O6: event-type transition matrix (Markov rollup) -----
+    // Product-analytics "what happens next": for every consecutive event
+    // pair within a user's ns-ordered stream, count (src → dst)
+    // transitions and the per-src transition probability. Scale shape:
+    // ONE user-keyed shuffle for the lead() window (each user's events
+    // are a bounded group), then a map-side-combinable count over
+    // event-type² cardinality — the output is taxonomy-sized however big
+    // the corpus. Ordering ties break on event_id (deterministic); the
+    // probability divide is two exact BIGINTs → one correctly-rounded
+    // double op, identical on both engines.
+    "o6_transitions" -> QueryDef.sql(
+      """WITH t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events),
+        |p AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS dst
+        |  FROM t),
+        |c AS (
+        |  SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p_next
+        |FROM c ORDER BY src, dst""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      val counts = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns").as("ns"))
+        .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("p_next",
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("src")).cast("double"), 6))
+        .orderBy("src", "dst")
+    },
+
+    // ----- O7: top-k 3-step event paths -----
+    // The path-explorer query behind every "top user journeys" panel:
+    // each user's ns-ordered stream yields one candidate per position
+    // (two leads), paths are counted and only the global top 20 survive.
+    // Scale shape: the same single user-keyed window shuffle as O6, a
+    // map-side-combinable count on path strings (event_type³ bounded),
+    // and a TakeOrderedAndProject top-k — no global sort materializes.
+    // Tiebreak on the path string keeps the cut deterministic.
+    "o7_top_paths" -> QueryDef.sql(
+      """WITH t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events),
+        |p AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS e3
+        |  FROM t)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns").as("ns"))
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+
     // ----- J1: overlap theta-semi-join vs broadcast primary (…:204-222) -----
     "j1_overlap_semi" -> QueryDef.sql(
       """WITH primary_row AS (

@@ -429,6 +429,64 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- line-level dedup with document reassembly (RefinedWeb-style) -----
+    // CCNet/RefinedWeb drop duplicated LINES (boilerplate headers, nav
+    // bars) while keeping the documents: split each doc into 10-token
+    // lines, keep only the globally FIRST occurrence of each distinct
+    // line (first = lowest (doc_id, line_idx) — deterministic, no
+    // sampling), and reassemble what survives per document. Scale shape:
+    // two hash shuffles (line content for the first-occurrence window,
+    // doc_id for reassembly), both on derived keys; the window partitions
+    // by line hash so no task sees more than one line-group — never a
+    // global sort. Reassembly hashes the surviving text so the artifact
+    // stays narrow.
+    "dedup_lines" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |x AS (
+        |  SELECT doc_id, toks, n, unnest(generate_series(0, (n - 1) // 10)) AS k FROM n),
+        |lines AS (
+        |  SELECT doc_id, k AS line_idx,
+        |    array_to_string(toks[CAST(1 + 10 * k AS INT):CAST(least(10 * k + 10, n) AS INT)], ' ') AS line
+        |  FROM x),
+        |keep AS (
+        |  SELECT doc_id, line_idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |  FROM lines)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped,
+        |  md5(coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE rn = 1), '')) AS clean_fp
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val lines = spread(documents(s, d))
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), expr("(n - 1) div 10"))).as("k"))
+        .select(col("doc_id"), col("k").as("line_idx"),
+          concat_ws(" ", slice(col("toks"),
+            (lit(1) + lit(10) * col("k")).cast("int"),
+            (least(col("k") * 10 + 10, col("n")) - col("k") * 10).cast("int"))).as("line"))
+      val keep = lines.withColumn("rn",
+        row_number().over(Window.partitionBy("line").orderBy("doc_id", "line_idx")))
+      keep.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          // collect_list skips the nulls `when` leaves on dropped lines;
+          // array_sort on (line_idx, line) structs restores text order.
+          md5(concat_ws(" ",
+            transform(
+              array_sort(collect_list(when(col("rn") === 1,
+                struct(col("line_idx"), col("line"))))),
+              x => x.getField("line"))).cast("binary")).as("clean_fp"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          (col("n_lines") - col("n_kept")).as("n_dropped"), col("clean_fp"))
+        .orderBy("doc_id")
+    },
+
     // ----- minhash (k=1) near-dup candidates: min 5-gram hash signature -----
     "dedup_minhash_candidates" -> QueryDef.sql(
       """WITH sig AS (
@@ -1004,6 +1062,186 @@ object TextQueries {
     // explicit on BOTH engines: an unknown source is NOT blocklisted
     // (kept) — a bare SQL `NOT IN` would silently drop nulls while the
     // anti-join keeps them, so the oracle spells the null case out.
+    // ----- collocation mining: top-k bigrams by lift -----
+    // The tokenizer-eval / phrase-mining statistic: how much more often
+    // do adjacent words co-occur than independence predicts. Lift
+    // p(ab)/(p(a)p(b)) is computed as (n_ab/M)/((n_a/N)*(n_b/N)) — four
+    // exact BIGINT counts, each divide a single correctly-rounded IEEE
+    // op with an identical tree on both engines (NO log: PMI's ln() is
+    // libm-dependent; ranking by lift ranks identically). Scale shape:
+    // the bigram explode is per-row bounded and its count map-side
+    // combines to vocab² (Heaps-law sublinear); unigram lookups are
+    // equi-joins on the vocab-cardinality side (AQE decides — not a
+    // forced broadcast, vocab grows with the corpus); one-row totals
+    // broadcast legitimately; min-count ≥ 5 then TakeOrderedAndProject
+    // top-20 with (w1, w2) tiebreak.
+    "bigram_lift" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |bg AS (
+        |  SELECT toks[CAST(k AS INT)] AS w1, toks[CAST(k + 1 AS INT)] AS w2
+        |  FROM (SELECT doc_id, toks, n, unnest(generate_series(1, n - 1)) AS k FROM n WHERE n > 1)),
+        |uni AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM uni),
+        |bgc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+        |btot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS mm FROM bgc)
+        |SELECT b.w1, b.w2, b.c_ab,
+        |  round((CAST(b.c_ab AS DOUBLE) / CAST(btot.mm AS DOUBLE)) /
+        |    ((CAST(u1.c AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+        |     (CAST(u2.c AS DOUBLE) / CAST(tot.nn AS DOUBLE))), 6) AS lift
+        |FROM bgc b
+        |JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2, tot, btot
+        |WHERE b.c_ab >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val t = spread(documents(s, d))
+        .withColumn("toks", expr(toksExpr))
+        .localCheckpoint() // two consumers: bigram and unigram counts
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // three consumers: two join sides + the total
+      val tot = uni.agg(sum("c").cast("long").as("nn"))
+      val bgc = t
+        .select(col("toks"), size(col("toks")).cast("long").as("n"))
+        .filter(col("n") > 1)
+        .select(col("toks"), explode(sequence(lit(1L), col("n") - 1)).as("k"))
+        .select(element_at(col("toks"), col("k").cast("int")).as("w1"),
+          element_at(col("toks"), (col("k") + 1).cast("int")).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .localCheckpoint() // two consumers: the join and the bigram total
+      // btot must sum over ALL bigrams (pre-filter would change p(ab))…
+      val btot = t
+        .select((size(col("toks")) - 1).cast("long").as("m"))
+        .filter(col("m") > 0)
+        .agg(sum("m").as("mm"))
+      bgc
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          round((col("c_ab").cast("double") / col("mm").cast("double")) /
+            ((col("c1").cast("double") / col("nn").cast("double")) *
+             (col("c2").cast("double") / col("nn").cast("double"))), 6).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
+    // ----- near-dup cluster-size histogram -----
+    // The dedup QA chart: how big do near-dup clusters get (a fat tail
+    // means boilerplate or a crawler loop). Cluster assignments come
+    // from the persisted store ([[SignatureStore.ensureClusters]] — the
+    // CC fixpoint never recomputes); sizes are one map-side-combinable
+    // count, buckets are log2 via length(bin(sz)) — pure integer
+    // arithmetic, engine-exact at boundaries (same trick as
+    // tokens_histogram); output is ~log₂(max cluster) rows.
+    "cluster_size_histogram" -> QueryDef.sql(
+      s"""WITH $MinhashBandsCte,
+         |cand AS (
+         |  $BandedPairsSelect),
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id)
+         |SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs, min(sz) AS min_sz, max(sz) AS max_sz
+         |FROM sz GROUP BY 1
+         |ORDER BY 1""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
+      SignatureStore.ensureClusters(s, d)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy(length(bin(col("sz"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+          min("sz").as("min_sz"), max("sz").as("max_sz"))
+        .orderBy("bucket")
+    },
+
+    // ----- cross-source duplication matrix -----
+    // WHERE near-duplication comes from: LSH candidate pairs rolled up
+    // by normalized (source, source) — the report that catches a mirror
+    // site or a double-crawled dump before training. Scale shape: pairs
+    // come from the persisted band store (no text re-hash, guarded
+    // banded join — never quadratic); the two doc_id → source lookups
+    // are id-equi-joins against a corpus-growing side, deliberately NOT
+    // broadcast (AQE decides); the rollup is map-side combinable at
+    // source² cardinality. least/greatest normalizes the pair so the
+    // matrix is upper-triangular regardless of doc-id order.
+    "dup_source_matrix" -> QueryDef.sql(
+      s"""WITH $MinhashBandsCte,
+         |p AS (
+         |$BandedPairsSelect)
+         |SELECT least(coalesce(da.source, '(none)'), coalesce(db.source, '(none)')) AS source_a,
+         |  greatest(coalesce(da.source, '(none)'), coalesce(db.source, '(none)')) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM p JOIN documents da ON da.doc_id = p.doc_a
+         |       JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val pairs = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val src = documents(s, d)
+        .select(col("doc_id"), coalesce(col("source"), lit("(none)")).as("src"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("src").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("src").as("sb")), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // ----- corpus charset report: per-(lang, source) char-class mix -----
+    // The QA table a corpus build checks before tokenizer training:
+    // which strata carry markup junk, digit-heavy boilerplate, or
+    // unexpected scripts. Char-class counts come from length deltas
+    // around a global regexp_replace — the classes are explicit ASCII
+    // ranges ([A-Za-z], [0-9], [ \t\n\r\f]) on which Java regex and RE2
+    // agree (\s and \w would NOT: they disagree on \x0B and unicode
+    // word chars). Scale shape: stateless per-row projection, one
+    // map-side-combinable aggregate at stratum cardinality — the classic
+    // 100 TB profiling scan; all counts are exact BIGINTs, the ratio one
+    // correctly-rounded double divide.
+    "charset_report" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT lang, source,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS n_space
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  sum(n_chars) AS n_chars, sum(n_alpha) AS n_alpha,
+        |  sum(n_digit) AS n_digit, sum(n_space) AS n_space,
+        |  sum(n_chars) - sum(n_alpha) - sum(n_digit) - sum(n_space) AS n_other,
+        |  round(CAST(sum(n_alpha) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6) AS alpha_frac
+        |FROM c GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("long").as("n_alpha"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[ \t\n\r\f]", ""))).cast("long").as("n_space"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"), sum("n_alpha").as("n_alpha"),
+          sum("n_digit").as("n_digit"), sum("n_space").as("n_space"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+          col("n_alpha"), col("n_digit"), col("n_space"),
+          (col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space")).as("n_other"),
+          round(col("n_alpha").cast("double") / col("n_chars").cast("double"), 6)
+            .as("alpha_frac"))
+        .orderBy("lang", "source")
+    },
+
     "filter_blocklist" -> QueryDef.sql(
       """SELECT doc_id, source FROM documents
         |WHERE source IS NULL OR source NOT IN ('src3', 'src7', 'src11')

@@ -690,6 +690,53 @@ object VectorQueries {
           col("mu"), col("n_assigned"))
         .orderBy("cent_id", "pos")
     },
+
+    // ----- chunk → document embedding: mean-pool + L2 normalize -----
+    // The aggregation step of every chunked-embedding pipeline (chunk
+    // vectors in, one unit-norm document vector out, here 4 chunks per
+    // doc via vec_id div 4). Exactness: component means are
+    // DECIMAL(38,18) sums (order-free) divided once and rounded; the
+    // squared-norm re-enters DECIMAL so the 64-term sum is order-free
+    // too; sqrt and the final divide are single correctly-rounded IEEE
+    // ops — round(,6) then absorbs the ≤1e-17 decimal-conversion tail
+    // (same chain kmeans_iterate pins). Scale shape: posexplode is
+    // per-row bounded by the dim; both aggregates and the join hash on
+    // gid, so after the first exchange everything is co-partitioned; the
+    // norm side is group-cardinality and NOT broadcast — it grows with
+    // the corpus, AQE decides.
+    "embed_doc_pool" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id // 4 AS gid, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (
+        |  SELECT gid, p.pos, v[p.pos] AS x
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p),
+        |mu AS (
+        |  SELECT gid, CAST(pos AS INT) AS pos, count(*) AS n_chunks,
+        |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mu
+        |  FROM x GROUP BY gid, pos),
+        |nrm AS (
+        |  SELECT gid, sqrt(CAST(sum(CAST(mu * mu AS DECIMAL(38,18))) AS DOUBLE)) AS norm
+        |  FROM mu GROUP BY gid)
+        |SELECT m.gid, m.pos, m.n_chunks, m.mu, round(m.mu / n.norm, 6) AS unit
+        |FROM mu m JOIN nrm n ON n.gid = m.gid
+        |ORDER BY m.gid, m.pos""".stripMargin) { (s, d) =>
+      val mu = embeddings(s, d)
+        .select(expr("vec_id div 4").as("gid"),
+          posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy("gid", "pos0")
+        .agg(count(lit(1)).as("n_chunks"),
+          round(sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+            .as("mu"))
+        .select(col("gid"), (col("pos0") + 1).cast("int").as("pos"),
+          col("n_chunks"), col("mu"))
+        .localCheckpoint() // two consumers: the norm aggregate and the join
+      val nrm = mu.groupBy("gid")
+        .agg(sqrt(sum((col("mu") * col("mu")).cast("decimal(38,18)")).cast("double"))
+          .as("norm"))
+      mu.join(nrm, Seq("gid"))
+        .select(col("gid"), col("pos"), col("n_chunks"), col("mu"),
+          round(col("mu") / col("norm"), 6).as("unit"))
+        .orderBy("gid", "pos")
+    },
   )
 }
 
