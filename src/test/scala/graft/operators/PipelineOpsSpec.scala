@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan pins for the round-6 pipeline operators: line-level
+  * dedup, balanced bins, upsampling, splits, pooling, collocations.
+  */
+class PipelineOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def globalWindows(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+
+  test("dedup_lines: planted duplicate lines drop everywhere but their first occurrence") {
+    val lineA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val lineB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val lineC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val lineD = (1 to 10).map(i => s"d$i").mkString(" ")
+    val dir = tmpDir("linededup")
+    Seq(
+      (1L, s"$lineA $lineB", "en", "src1", 0L), // first occurrence of A and B
+      (2L, s"$lineA $lineC", "en", "src1", 0L), // A is a cross-doc duplicate
+      (3L, s"$lineD $lineD", "en", "src1", 0L)  // D duplicates within one doc
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val rows = TextQueries.defs("dedup_lines").build(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rows(1L) == ((2L, 2L, 0L, md5Hex(s"$lineA $lineB"))))
+    assert(rows(2L) == ((2L, 1L, 1L, md5Hex(lineC))))
+    assert(rows(3L) == ((2L, 1L, 1L, md5Hex(lineD))))
+  }
+
+  test("dedup_lines: first-occurrence window partitions by line — never global") {
+    val q = TextQueries.defs("dedup_lines").build(spark, sfDir)
+    assert(globalWindows(q).isEmpty,
+      s"line dedup must not funnel all lines through one task:\n${q.queryExecution.sparkPlan}")
+  }
+
+  test("pack_balanced_bins: distributed rank (no global window) and ±1-doc balance") {
+    val q = CurationQueries.defs("pack_balanced_bins").build(spark, sfDir)
+    assert(globalWindows(q).isEmpty,
+      s"bin ranking must not use a single-partition window:\n${q.queryExecution.sparkPlan}")
+    val docCounts = q.select("n_docs").collect().map(_.getLong(0))
+    assert(docCounts.length == 32)
+    // round-robin dealing can never leave bins more than one doc apart
+    assert(docCounts.max - docCounts.min <= 1,
+      s"round-robin bins must be ±1 doc balanced, got ${docCounts.mkString(",")}")
+  }
+
+  test("upsample_epochs: every doc keeps 1..4 contiguous copies; the largest source exactly 1") {
+    val q = CurationQueries.defs("upsample_epochs").build(spark, sfDir)
+      .groupBy("doc_id", "source", "permille")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx"))
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val (n, mx, permille) = (r.getLong(3), r.getLong(4), r.getLong(2))
+      assert(n >= 1 && n <= 4, s"copies out of the 1..4 epoch cap: $r")
+      assert(mx == n - 1, s"copy_idx must be contiguous 0..n-1: $r")
+      if (permille == 1000L) assert(n == 1, s"the largest source runs exactly once: $r")
+    }
+    assert(q.exists(_.getLong(2) == 1000L), "some source must be the largest (1.0 epochs)")
+  }
+
+  test("split_train_val: the three splits partition the corpus") {
+    val rows = CurationQueries.defs("split_train_val").build(spark, sfDir).collect()
+    val total = graft.util.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    assert(rows.map(_.getLong(1)).sum == total)
+    // 98/1/1: train dominates
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > byName("val") * 10 && byName("train") > byName("test") * 10)
+  }
+
+  test("embed_doc_pool: pooled vectors are unit-norm after rounding") {
+    val norms = VectorQueries.defs("embed_doc_pool").build(spark, sfDir)
+      .groupBy("gid").agg(sum(col("unit") * col("unit")).as("sq"), max("n_chunks").as("nc"))
+      .collect()
+    assert(norms.nonEmpty)
+    norms.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 0.01, s"unit norm broken: $r")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 4)
+    }
+  }
+
+  test("top-k queries stay heap-bounded: o7_top_paths and bigram_lift use TakeOrderedAndProject") {
+    for (name <- Seq("o7_top_paths" -> RelationalQueries.defs, "bigram_lift" -> TextQueries.defs)) {
+      val q = name._2(name._1).build(spark, sfDir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"${name._1} must take its top-k via a bounded heap, not a global sort:\n$plan")
+    }
+  }
+
+  test("dataset_card: dup rate and Gini agree with first principles at sf0.001") {
+    val row = CurationQueries.defs("dataset_card").build(spark, sfDir).collect().head
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val nDistinct = docs.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(row.getLong(0) == n && row.getLong(2) == nDistinct)
+    val gini = {
+      val cs = docs.groupBy("lang").count().collect().map(_.getLong(1))
+      1.0 - cs.map(c => c.toDouble * c).sum / (n.toDouble * n)
+    }
+    assert(math.abs(row.getDouble(7) - gini) < 1e-5, s"gini mismatch: $row vs $gini")
+  }
+}
