@@ -383,6 +383,61 @@ object SignatureStore {
     readBm25(spark, base)
   }
 
+  def linesDir(base: String) = s"$base/line_registry"
+
+  /** Streaming appends land in a sibling subtree (same rationale as
+    * [[streamMinhashDir]]: the stream writer partitions by `batch_id`,
+    * and mixing partition depths breaks parquet discovery). */
+  def streamLinesDir(base: String) = s"$base/line_registry_stream"
+
+  /** The first-occurrence line registry — (line_fp, first_doc,
+    * first_idx), md5 only, never text — unioned across the batch build
+    * and stream appends, resolved FIRST-WINS: the owner of a line is the
+    * global minimum (first_doc, first_idx) over every candidate row, so
+    * the result is independent of micro-batch arrival order (a replayed
+    * or late batch can only propose the same or a later owner, and a
+    * late batch carrying a LOWER doc_id correctly takes ownership).
+    * Contrast with the bm25/IVF stores, which resolve LATEST-wins:
+    * supersession direction follows the semantic (newest content version
+    * there, earliest occurrence here). */
+  def readLineRegistry(spark: SparkSession, base: String): DataFrame = {
+    def resolve(df: DataFrame) =
+      df.groupBy("line_fp")
+        .agg(min(struct(col("first_doc"), col("first_idx"))).as("o"))
+        .select(col("line_fp"), col("o.first_doc").as("first_doc"),
+          col("o.first_idx").as("first_idx"))
+    val batch = Option.when(hasData(spark, linesDir(base)))(
+      spark.read.parquet(linesDir(base))
+        .select("line_fp", "first_doc", "first_idx"))
+    val stream = Option.when(hasData(spark, streamLinesDir(base)))(
+      spark.read.parquet(streamLinesDir(base))
+        .select("line_fp", "first_doc", "first_idx"))
+    (batch, stream) match {
+      case (Some(b), Some(s)) => resolve(b.unionByName(s))
+      case (Some(b), None) => b // the batch build is already one-row-per-line
+      case (None, Some(s)) => resolve(s)
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no line registry under $base")
+    }
+  }
+
+  /** First-occurrence line registry for `sfDir`, building on first use.
+    * The corpus-wide line window (the expensive stage of line dedup —
+    * every 10-token line of every document shuffles once) runs once per
+    * corpus version; `dedup_lines` times the live window,
+    * `dedup_lines_stored` re-splits its documents map-side and
+    * equi-joins this artifact, held to the same oracle. */
+  def ensureLineRegistry(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${linesDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      TextQueries.lineRegistryOf(TextQueries.linesOf(documents(spark, sfDir)))
+        .write.mode("overwrite").parquet(linesDir(base))
+    readLineRegistry(spark, base)
+  }
+
   def clustersDir(base: String) = s"$base/clusters"
 
   /** Near-dup cluster assignments (doc_id, cluster_id) for `sfDir`,

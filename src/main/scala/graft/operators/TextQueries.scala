@@ -139,6 +139,58 @@ object TextQueries {
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** (doc_id, line_idx, line): fixed 10-token "lines" of a document —
+    * the RefinedWeb/CCNet line-dedup unit. Pure map stage (explode is
+    * per-row bounded by document size); shared by the live
+    * `dedup_lines` query, the persisted line registry
+    * ([[SignatureStore.ensureLineRegistry]]), and the streaming
+    * maintenance path so none of them can diverge. */
+  def linesOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spread(docs)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), expr("(n - 1) div 10"))).as("k"))
+      .select(col("doc_id"), col("k").as("line_idx"),
+        concat_ws(" ", slice(col("toks"),
+          (lit(1) + lit(10) * col("k")).cast("int"),
+          (least(col("k") * 10 + 10, col("n")) - col("k") * 10).cast("int"))).as("line"))
+
+  /** First-occurrence line registry from a (doc_id, line_idx, line)
+    * table: (line_fp, first_doc, first_idx) — one row per distinct line,
+    * owner = lowest (doc_id, line_idx). The window partitions by line
+    * fingerprint (hash shuffle, no global sort); only the md5 is stored,
+    * never the text. */
+  def lineRegistryOf(lines: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lines
+      .select(md5(col("line").cast("binary")).as("line_fp"),
+        col("doc_id"), col("line_idx"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("line_fp").orderBy("doc_id", "line_idx")))
+      .filter(col("rn") === 1)
+      .select(col("line_fp"), col("doc_id").as("first_doc"),
+        col("line_idx").as("first_idx"))
+
+  /** Per-document reassembly over kept-flagged lines — the tail of both
+    * dedup_lines paths: counts + the fingerprint of the surviving text
+    * restored to line order. collect_list skips the nulls `when` leaves
+    * on dropped lines; array_sort on (line_idx, line) structs restores
+    * text order. */
+  private[operators] def reassembleKeptLines(
+      flagged: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    flagged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("line_idx"), col("line"))))),
+            x => x.getField("line"))).cast("binary")).as("clean_fp"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"), col("clean_fp"))
+      .orderBy("doc_id")
+
   /** Degenerate-bucket cap for LSH self-joins: a single hot bucket of n
     * members emits n(n−1)/2 pairs, so ONE boilerplate signature shared by
     * 10⁶ near-empty documents would make the band join quadratic. Buckets
@@ -415,6 +467,30 @@ object TextQueries {
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
+  /** The line-dedup oracle, shared verbatim by the live and stored
+    * queries — the stored path must be bit-identical to the live window
+    * semantics this SQL defines. */
+  private val DedupLinesOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+      |x AS (
+      |  SELECT doc_id, toks, n, unnest(generate_series(0, (n - 1) // 10)) AS k FROM n),
+      |lines AS (
+      |  SELECT doc_id, k AS line_idx,
+      |    array_to_string(toks[CAST(1 + 10 * k AS INT):CAST(least(10 * k + 10, n) AS INT)], ' ') AS line
+      |  FROM x),
+      |keep AS (
+      |  SELECT doc_id, line_idx, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+      |  FROM lines)
+      |SELECT doc_id,
+      |  count(*) AS n_lines,
+      |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+      |  count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped,
+      |  md5(coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE rn = 1), '')) AS clean_fp
+      |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- exact dedup: hash-groupBy, keep lowest doc_id per text hash -----
@@ -440,51 +516,34 @@ object TextQueries {
     // by line hash so no task sees more than one line-group — never a
     // global sort. Reassembly hashes the surviving text so the artifact
     // stays narrow.
-    "dedup_lines" -> QueryDef.sql(
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
-        |x AS (
-        |  SELECT doc_id, toks, n, unnest(generate_series(0, (n - 1) // 10)) AS k FROM n),
-        |lines AS (
-        |  SELECT doc_id, k AS line_idx,
-        |    array_to_string(toks[CAST(1 + 10 * k AS INT):CAST(least(10 * k + 10, n) AS INT)], ' ') AS line
-        |  FROM x),
-        |keep AS (
-        |  SELECT doc_id, line_idx, line,
-        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
-        |  FROM lines)
-        |SELECT doc_id,
-        |  count(*) AS n_lines,
-        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
-        |  count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped,
-        |  md5(coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE rn = 1), '')) AS clean_fp
-        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val lines = spread(documents(s, d))
-        .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
-        .select(col("doc_id"), col("toks"), col("n"),
-          explode(sequence(lit(0L), expr("(n - 1) div 10"))).as("k"))
-        .select(col("doc_id"), col("k").as("line_idx"),
-          concat_ws(" ", slice(col("toks"),
-            (lit(1) + lit(10) * col("k")).cast("int"),
-            (least(col("k") * 10 + 10, col("n")) - col("k") * 10).cast("int"))).as("line"))
-      val keep = lines.withColumn("rn",
-        row_number().over(Window.partitionBy("line").orderBy("doc_id", "line_idx")))
-      keep.groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_lines"),
-          count(when(col("rn") === 1, 1)).as("n_kept"),
-          // collect_list skips the nulls `when` leaves on dropped lines;
-          // array_sort on (line_idx, line) structs restores text order.
-          md5(concat_ws(" ",
-            transform(
-              array_sort(collect_list(when(col("rn") === 1,
-                struct(col("line_idx"), col("line"))))),
-              x => x.getField("line"))).cast("binary")).as("clean_fp"))
-        .select(col("doc_id"), col("n_lines"), col("n_kept"),
-          (col("n_lines") - col("n_kept")).as("n_dropped"), col("clean_fp"))
-        .orderBy("doc_id")
+    "dedup_lines" -> QueryDef.sql(DedupLinesOracle) { (s, d) =>
+      val lines = linesOf(documents(s, d))
+      val flagged = lines
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("line").orderBy("doc_id", "line_idx")))
+        .withColumn("kept", col("rn") === 1)
+      reassembleKeptLines(flagged)
+    },
+
+    // ----- line dedup from the persisted registry -----
+    // The store twin: the first-occurrence registry
+    // ([[SignatureStore.ensureLineRegistry]] — (line_fp, first_doc,
+    // first_idx), md5 only, never text) is computed once per corpus
+    // version; dedup runs re-split their documents (a pure map stage)
+    // and equi-join the registry on the fingerprint — NO window over
+    // the corpus-wide line table ever re-runs. Same oracle as the live
+    // query: the two paths are bit-identical by construction (the
+    // registry is built by the same lineRegistryOf the live window
+    // semantics define). Registry side is distinct-line cardinality —
+    // corpus-growing, deliberately not broadcast.
+    "dedup_lines_stored" -> QueryDef.sql(DedupLinesOracle) { (s, d) =>
+      val reg = SignatureStore.ensureLineRegistry(s, d)
+      val flagged = linesOf(documents(s, d))
+        .withColumn("line_fp", md5(col("line").cast("binary")))
+        .join(reg, Seq("line_fp"))
+        .withColumn("kept",
+          col("doc_id") === col("first_doc") && col("line_idx") === col("first_idx"))
+      reassembleKeptLines(flagged)
     },
 
     // ----- minhash (k=1) near-dup candidates: min 5-gram hash signature -----

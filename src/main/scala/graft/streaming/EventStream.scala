@@ -136,6 +136,31 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamBm25Dir(storeBase))
     }
 
+  /** Incremental line-registry maintenance — the line-dedup twin of
+    * [[maintainPostings]]: each micro-batch of new documents is split
+    * into 10-token lines with the SAME builder the batch registry uses
+    * ([[graft.operators.TextQueries.linesOf]] → lineRegistryOf), and its
+    * per-batch first occurrences are appended to the registry's stream
+    * subtree. The read side ([[graft.operators.SignatureStore
+    * .readLineRegistry]]) resolves ownership FIRST-WINS (global minimum
+    * (first_doc, first_idx) across every appended candidate), so the
+    * resolved registry is independent of micro-batch arrival order —
+    * out-of-order and replayed batches converge to the batch-computed
+    * registry. Same replay contract as every store: batch_id-keyed
+    * dynamic partition overwrite. */
+  def maintainLineRegistry(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextQueries.lineRegistryOf(
+          graft.operators.TextQueries.linesOf(batch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamLinesDir(storeBase))
+    }
+
   /** Incremental IVF-assignment maintenance — the vector-index twin of
     * [[maintainSignatures]] / [[maintainPostings]]: each micro-batch of
     * new vectors is assigned to its nearest coarse centroid with the

@@ -47,6 +47,20 @@ class PipelineOpsSpec extends SparkFunSuite {
       s"line dedup must not funnel all lines through one task:\n${q.queryExecution.sparkPlan}")
   }
 
+  test("dedup_lines_stored: bit-identical to live, and never re-runs the corpus-line window") {
+    val live = TextQueries.defs("dedup_lines").build(spark, sfDir)
+    val stored = TextQueries.defs("dedup_lines_stored").build(spark, sfDir)
+    assert(stored.collect().sameElements(live.collect()),
+      "stored and live line dedup must be bit-identical")
+    // the stored path is registry-join only — the corpus-wide
+    // first-occurrence window lives exclusively in the registry build
+    val windows = stored.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"stored path must not re-window the line table:\n${stored.queryExecution.sparkPlan}")
+  }
+
   test("pack_balanced_bins: distributed rank (no global window) and ±1-doc balance") {
     val q = CurationQueries.defs("pack_balanced_bins").build(spark, sfDir)
     assert(globalWindows(q).isEmpty,

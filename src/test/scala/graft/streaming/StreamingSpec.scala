@@ -236,6 +236,44 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("line-registry maintenance converges to the batch registry under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("linereg")
+    def tokens(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    // batch build: docs 5 and 6 own lines X and Y
+    val batchDocs = Seq((5L, tokens("x")), (6L, tokens("y"))).toDF("doc_id", "text")
+    graft.operators.TextQueries.lineRegistryOf(
+      graft.operators.TextQueries.linesOf(batchDocs))
+      .write.parquet(graft.operators.SignatureStore.linesDir(base))
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainLineRegistry(
+      input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      // a new line arrives first…
+      input.addData((10L, tokens("z")))
+      query.processAllAvailable()
+      // …then a LATE batch carrying line X under a LOWER doc_id: the
+      // first-wins resolution must move ownership from doc 5 to doc 2
+      input.addData((2L, tokens("x")))
+      query.processAllAvailable()
+      // …and a later re-occurrence of Y cannot steal ownership from doc 6
+      input.addData((20L, tokens("y"))); query.processAllAvailable()
+
+      val resolved = graft.operators.SignatureStore.readLineRegistry(spark, base)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val all = Seq((5L, tokens("x")), (6L, tokens("y")),
+        (10L, tokens("z")), (2L, tokens("x")), (20L, tokens("y")))
+        .toDF("doc_id", "text")
+      val batchTruth = graft.operators.TextQueries.lineRegistryOf(
+        graft.operators.TextQueries.linesOf(all))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(resolved == batchTruth)
+      assert(resolved.map(t => (t._2, t._3)) == Set((2L, 0L), (6L, 0L), (10L, 0L)))
+    } finally query.stop()
+  }
+
   test("sessionize absorbs a late cross-batch event without splitting the session") {
     // Regression: absorbing a late event used to REWIND lastSeen, so a
     // later in-gap event measured its gap against the stale minimum and
