@@ -326,15 +326,17 @@ object CurationQueries {
     "text_lm_score" -> QueryDef.sql(
       s"""WITH $LmBucketsCte
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(bucket) AS DOUBLE) / count(*), 6) AS mean_bucket,
-        |  round(CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_ratio
+        |  (1000000 * sum(bucket)) // count(*) AS mean_bucket_ppm,
+        |  (1000000 * sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)) // count(*) AS oov_ppm
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       tokenBuckets(s, d)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-          round(sum("bucket").cast("double") / count(lit(1)), 6).as("mean_bucket"),
-          round(sum(when(col("bucket") === 0, 1L).otherwise(0L)).cast("double")
-            / count(lit(1)), 6).as("oov_ratio"))
+          sum("bucket").as("sb"),
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("so"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(1000000L * sb) div n_tokens").as("mean_bucket_ppm"),
+          expr("(1000000L * so) div n_tokens").as("oov_ppm"))
         .orderBy("doc_id")
     },
 
@@ -347,13 +349,14 @@ object CurationQueries {
     // an aggregate, not a per-source global sort — at 100 TB a sort
     // within 10 source partitions would funnel the corpus through 10
     // tasks, while the agg buffer is bounded by DISTINCT score values
-    // and combines map-side. Cutoffs stay UNROUNDED: both engines
-    // derive identical doubles from identical rounded-6 inputs, so the
+    // and combines map-side. Scores are exact ppm BIGINTs (same integer
+    // division as text_lm_score); cutoffs stay UNROUNDED: both engines
+    // derive identical doubles from identical integer inputs, so the
     // tercile comparisons agree exactly. */
     "split_ccnet_terciles" -> QueryDef.sql(
       s"""WITH $LmBucketsCte,
         |lm AS (
-        |  SELECT doc_id, round(CAST(sum(bucket) AS DOUBLE) / count(*), 6) AS lm_score
+        |  SELECT doc_id, (1000000 * sum(bucket)) // count(*) AS lm_score
         |  FROM s GROUP BY doc_id),
         |scored AS (
         |  SELECT d.doc_id, d.source, lm.lm_score
@@ -371,7 +374,8 @@ object CurationQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val lm = tokenBuckets(s, d)
         .groupBy("doc_id")
-        .agg(round(sum("bucket").cast("double") / count(lit(1)), 6).as("lm_score"))
+        .agg(sum("bucket").as("sb"), count(lit(1)).as("nt"))
+        .select(col("doc_id"), expr("(1000000L * sb) div nt").as("lm_score"))
       val scored = documents(s, d).filter(col("source").isNotNull)
         .select("doc_id", "source")
         .join(lm, Seq("doc_id"))
@@ -510,7 +514,7 @@ object CurationQueries {
          |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM corpus)
          |  WHERE len(tk) >= 2),
          |rep AS (
-         |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+         |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep, CAST(sum(c) AS BIGINT) AS n_bg
          |  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
          |  GROUP BY doc_id),
          |evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
@@ -531,7 +535,7 @@ object CurationQueries {
          |  JOIN toks t ON t.doc_id = c.doc_id
          |  JOIN rep r ON r.doc_id = c.doc_id
          |  JOIN clusters cl ON cl.doc_id = c.doc_id
-         |  WHERE t.n_tokens >= 10 AND r.rep_ratio <= 0.2
+         |  WHERE t.n_tokens >= 10 AND 5 * r.max_rep <= r.n_bg
          |    AND cl.cluster_id = c.doc_id
          |    AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
          |    AND ((c.doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
@@ -594,10 +598,10 @@ object CurationQueries {
         .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
         .withColumn("n_tokens", size(col("tk")).cast("long"))
         .filter(col("n_tokens") >= 10)
-        .withColumn("rep_ratio",
-          round(TextQueries.maxBigramRun(col("tk")).cast("double")
-            / (size(col("tk")) - 1), 6))
-        .filter(col("rep_ratio") <= 0.2)
+        // pure-integer repetition gate (max/n ≤ 1/5 ⟺ 5·max ≤ n):
+        // no rounded double ever enters a membership decision
+        .filter(lit(5L) * TextQueries.maxBigramRun(col("tk"))
+          <= (size(col("tk")) - 1).cast("long"))
         .join(canon, Seq("doc_id"), "left_semi")
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "n_tokens", "tk")
@@ -809,7 +813,7 @@ object CurationQueries {
         |  FROM t)
         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
         |  count(*) * bucket AS capacity,
-        |  round(1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * bucket), 6) AS padding_frac
+        |  (1000000 * (count(*) * bucket - sum(n))) // (count(*) * bucket) AS padding_ppm
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"),
@@ -820,8 +824,8 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
         .select(col("bucket"), col("n_docs"), col("n_tokens"),
           (col("n_docs") * col("bucket")).as("capacity"),
-          round(lit(1.0) - col("n_tokens").cast("double") /
-            (col("n_docs") * col("bucket")), 6).as("padding_frac"))
+          expr("(1000000L * (n_docs * bucket - n_tokens)) div (n_docs * bucket)")
+            .as("padding_ppm"))
         .orderBy("bucket")
     },
 
@@ -1038,9 +1042,10 @@ object CurationQueries {
     // What goes in the dataset card every corpus release publishes:
     // volume, exact-dup rate, stratum counts, and a language-diversity
     // index. Diversity is GINI impurity (1 − Σ pᵢ²), not entropy — the
-    // p² sum is exact integer arithmetic (Σ cᵢ²/n²) with ONE double
-    // divide at the end, while entropy's ln() is libm-dependent and not
-    // correctly rounded across engines. Scale shape: exact global
+    // p² sum is exact integer arithmetic (Σ cᵢ²/n²) shipped as truncated
+    // ppm (no float op anywhere in the row), while entropy's ln() is
+    // libm-dependent and not correctly rounded across engines. Scale
+    // shape: exact global
     // distincts are the point of a release audit (each is a partial-
     // aggregated hash shuffle); everything else is one pass, output is
     // one row.
@@ -1057,10 +1062,11 @@ object CurationQueries {
         |lg AS (SELECT lang, count(*) AS c FROM tok GROUP BY lang),
         |g AS (SELECT CAST(sum(c * c) AS BIGINT) AS ss FROM lg)
         |SELECT n_docs, n_tokens, n_distinct,
-        |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+        |  (1000000 * (n_docs - n_distinct)) // n_docs AS dup_rate_ppm,
         |  n_sources, n_langs,
-        |  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
-        |  round(1.0 - CAST(ss AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS lang_gini
+        |  (1000 * n_tokens) // n_docs AS mean_tokens_milli,
+        |  CAST((CAST(1000000 AS HUGEINT) * (CAST(n_docs AS HUGEINT) * n_docs - ss)) //
+        |    (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS lang_gini_ppm
         |FROM tot, g""".stripMargin) { (s, d) =>
       val tok = documents(s, d).select(
         col("lang"), col("source"),
@@ -1075,14 +1081,13 @@ object CurationQueries {
         .agg(sum(col("c") * col("c")).as("ss"))
       tot.crossJoin(g)
         .select(col("n_docs"), col("n_tokens"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"), 6)
-            .as("dup_rate"),
+          expr("(1000000L * (n_docs - n_distinct)) div n_docs").as("dup_rate_ppm"),
           col("n_sources"), col("n_langs"),
-          round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 6)
-            .as("mean_tokens"),
-          round(lit(1.0) - col("ss").cast("double") /
-            (col("n_docs").cast("double") * col("n_docs").cast("double")), 6)
-            .as("lang_gini"))
+          expr("(1000L * n_tokens) div n_docs").as("mean_tokens_milli"),
+          // DECIMAL(38,0) ≡ DuckDB HUGEINT at these magnitudes (n_docs²·1e6
+          // stays exact below ~3e9 docs; widen the decimal before that)
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - ss)) div " +
+            "(CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)").as("lang_gini_ppm"))
     },
   )
 }

@@ -123,9 +123,12 @@ object Multimodal {
           val raster = img.getRaster
           val channels = raster.getNumBands
           // per-DECODED-channel means, exact: integer sample sums over
-          // the raster (raw bit depth per band), one division — so
-          // features.length == channels for gray/RGB/RGBA alike and
-          // 16-bit samples normalize by their own full scale
+          // the raster (raw bit depth per band), shipped as truncated
+          // ppm of the full scale — features hold exact integer values
+          // (cast to double only for the shared schema), so downstream
+          // comparisons never depend on float rounding; features.length
+          // == channels for gray/RGB/RGBA alike and 16-bit samples
+          // normalize by their own full scale
           val feats = Array.tabulate(channels) { c =>
             val maxVal = (1L << raster.getSampleModel.getSampleSize(c)) - 1
             var s = 0L
@@ -135,7 +138,7 @@ object Multimodal {
               while (x < w) { s += raster.getSample(x, y, c); x += 1 }
               y += 1
             }
-            s.toDouble / (w.toLong * h * maxVal)
+            ((1000000L * s) / (w.toLong * h * maxVal)).toDouble
           }
           Row(id, mt, bytes.length, w, h, channels, feats.toSeq)
         }
@@ -146,17 +149,19 @@ object Multimodal {
   /** Deterministic byte-stripe features — the fallback for payloads that
     * are not decodable images (and the stub decode for media kinds with
     * no in-container codec, e.g. audio/video): mean of each of 8 byte
-    * stripes, normalized. Empty payloads get zeroed features. */
+    * stripes, as truncated ppm of full scale (same exact-integer
+    * convention as the real decode). Empty payloads get zeroed
+    * features. */
   private def stubFeatures(bytes: Array[Byte]): Array[Double] = {
     val n = bytes.length
     if (n == 0) Array.fill(8)(0.0)
     else Array.tabulate(8) { k =>
       val lo = k * n / 8
       val hi = math.max(lo + 1, (k + 1) * n / 8)
-      var s = 0.0
+      var s = 0L
       var i = lo
       while (i < hi) { s += (bytes(i) & 0xff); i += 1 }
-      s / (hi - lo) / 255.0
+      ((1000000L * s) / ((hi - lo).toLong * 255L)).toDouble
     }
   }
 
@@ -205,9 +210,9 @@ object Multimodal {
         |    sum((doc_id * 7 + 62 + i % width + i // width) % 256) AS sb
         |  FROM px GROUP BY doc_id, width, height)
         |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
-        |  round(CAST(sr AS DOUBLE) / (width * height * 255.0), 6) AS mean_r,
-        |  round(CAST(sg AS DOUBLE) / (width * height * 255.0), 6) AS mean_g,
-        |  round(CAST(sb AS DOUBLE) / (width * height * 255.0), 6) AS mean_b
+        |  (1000000 * sr) // (width * height * 255) AS mean_r_ppm,
+        |  (1000000 * sg) // (width * height * 255) AS mean_g_ppm,
+        |  (1000000 * sb) // (width * height * 255) AS mean_b_ppm
         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
       val assets = pngAssets(documents(s, d))
         .repartition(col("doc_id")) // decode parallelism = partition count
@@ -216,9 +221,9 @@ object Multimodal {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"),
-          round(element_at(col("features"), 1), 6).as("mean_r"),
-          round(element_at(col("features"), 2), 6).as("mean_g"),
-          round(element_at(col("features"), 3), 6).as("mean_b"))
+          element_at(col("features"), 1).cast("long").as("mean_r_ppm"),
+          element_at(col("features"), 2).cast("long").as("mean_g_ppm"),
+          element_at(col("features"), 3).cast("long").as("mean_b_ppm"))
         .orderBy("doc_id")
     },
 

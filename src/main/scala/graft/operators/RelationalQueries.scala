@@ -153,7 +153,7 @@ object RelationalQueries {
     "o5_event_windows" -> QueryDef.sql(
       """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
         |  count(*) AS n,
-        |  round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS total_value
+        |  CAST(floor(sum(CAST(value AS DECIMAL(38,12))) * 1000000) AS BIGINT) AS total_value_x1e6
         |FROM events GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       events(s, d)
@@ -161,8 +161,10 @@ object RelationalQueries {
           col("event_type"), col("value"))
         .groupBy("hour_bucket", "event_type")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(38,12)")).cast("double"), 6)
-            .as("total_value"))
+          // DECIMAL sum is order-free exact; ×1e6 is an exact scale
+          // shift, floor exact — no double ever enters the emitted cell
+          floor(sum(col("value").cast("decimal(38,12)")) * lit(1000000)).cast("long")
+            .as("total_value_x1e6"))
         .orderBy("hour_bucket", "event_type")
     },
 
@@ -307,8 +309,8 @@ object RelationalQueries {
     // are a bounded group), then a map-side-combinable count over
     // event-type² cardinality — the output is taxonomy-sized however big
     // the corpus. Ordering ties break on event_id (deterministic); the
-    // probability divide is two exact BIGINTs → one correctly-rounded
-    // double op, identical on both engines.
+    // probability ships as exact truncated ppm (two BIGINTs, integer
+    // division — no float op in the emitted row).
     "o6_transitions" -> QueryDef.sql(
       """WITH t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events),
         |p AS (
@@ -318,7 +320,7 @@ object RelationalQueries {
         |c AS (
         |  SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
         |SELECT src, dst, n,
-        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p_next
+        |  (1000000 * n) // sum(n) OVER (PARTITION BY src) AS p_next_ppm
         |FROM c ORDER BY src, dst""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
       val counts = events(s, d)
@@ -327,9 +329,9 @@ object RelationalQueries {
         .filter(col("dst").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("n"))
       counts
-        .withColumn("p_next",
-          round(col("n").cast("double") /
-            sum(col("n")).over(Window.partitionBy("src")).cast("double"), 6))
+        .withColumn("src_total", sum(col("n")).over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("n"),
+          expr("(1000000L * n) div src_total").as("p_next_ppm"))
         .orderBy("src", "dst")
     },
 

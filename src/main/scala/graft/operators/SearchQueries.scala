@@ -193,12 +193,12 @@ object SearchQueries {
        |fused AS (
        |  SELECT coalesce(b.qid, v.qid) AS qid,
        |    coalesce(b.doc_id, v.doc_id) AS doc_id,
-       |    round(coalesce(round(1.0 / (60 + b.r), 6), 0) +
-       |          coalesce(round(1.0 / (60 + v.r), 6), 0), 6) AS rrf
+       |    coalesce(1000000 // (60 + b.r), 0) +
+       |      coalesce(1000000 // (60 + v.r), 0) AS rrf_x1e6
        |  FROM btop b FULL OUTER JOIN vtop v
        |    ON b.qid = v.qid AND b.doc_id = v.doc_id)
-       |SELECT qid, doc_id, rrf FROM fused
-       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) <= 5
+       |SELECT qid, doc_id, rrf_x1e6 FROM fused
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf_x1e6 DESC, doc_id) <= 5
        |ORDER BY qid, doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
@@ -260,9 +260,9 @@ object SearchQueries {
     // PERSISTED artifacts (BM25 postings store; embeddings by id
     // equi-join against the bounded corpus doc set) and the fusion
     // operates on 2×5×queries rank rows — nothing corpus-scale happens
-    // after the legs. Cross-engine exactness: ranks are integers, each
-    // RRF term rounds to 6 decimals before the two-term sum (fixed
-    // addition order via coalesce), ties break on doc_id.
+    // after the legs. Cross-engine exactness: ranks are integers and the
+    // fused score is the exact integer Σ floor(1e6/(60+rank)) — no float
+    // op anywhere in the emitted value; ties break on doc_id.
     "hybrid_search_rrf" -> QueryDef.sql(HybridOracleSql) { (s, d) =>
       val docs = documents(s, d)
       val (postings, doclens) = SignatureStore.ensureBm25(s, d)
@@ -293,15 +293,14 @@ object SearchQueries {
         .withColumn("r_v", row_number().over(vRn))
         .filter(col("r_v") <= 5).select("qid", "doc_id", "r_v")
 
-      val fuseRn = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+      val fuseRn = Window.partitionBy(col("qid")).orderBy(col("rrf_x1e6").desc, col("doc_id"))
       btop.join(vtop, Seq("qid", "doc_id"), "full_outer")
         .select(col("qid"), col("doc_id"),
-          round(
-            coalesce(round(lit(1.0) / (lit(60) + col("r_b")), 6), lit(0.0)) +
-              coalesce(round(lit(1.0) / (lit(60) + col("r_v")), 6), lit(0.0)), 6).as("rrf"))
+          (coalesce(expr("1000000L div (60 + r_b)"), lit(0L)) +
+            coalesce(expr("1000000L div (60 + r_v)"), lit(0L))).as("rrf_x1e6"))
         .withColumn("rn", row_number().over(fuseRn))
         .filter(col("rn") <= 5)
-        .select("qid", "doc_id", "rrf")
+        .select("qid", "doc_id", "rrf_x1e6")
         .orderBy("qid", "doc_id")
     },
 

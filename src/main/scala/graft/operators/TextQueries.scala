@@ -783,7 +783,7 @@ object TextQueries {
         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         |  GROUP BY c.doc_a, c.doc_b)
         |SELECT i.doc_a, i.doc_b,
-        |  round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+        |  (1000000 * i.i) // (sa.n + sb.n - i.i) AS jaccard_ppm
         |FROM inter i
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -819,10 +819,10 @@ object TextQueries {
         .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
         .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("double").as("i"),
-          size(col("shs_a")).as("na"), size(col("shs_b")).as("nb"))
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("i"),
+          size(col("shs_a")).cast("long").as("na"), size(col("shs_b")).cast("long").as("nb"))
         .select(col("doc_a"), col("doc_b"),
-          round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+          expr("(1000000L * i) div (na + nb - i)").as("jaccard_ppm"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1061,7 +1061,7 @@ object TextQueries {
         |       FROM t WHERE len(toks) >= 2),
         |c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS max_rep,
-        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+        |  (1000000 * max(c)) // sum(c) AS rep_ppm
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       spread(documents(s, d))
         .withColumn("toks", expr(toksExpr))
@@ -1070,8 +1070,8 @@ object TextQueries {
           col("doc_id"),
           (size(col("toks")) - 1).cast("long").as("n_bigrams"),
           maxBigramRun(col("toks")).as("max_rep"))
-        .withColumn("rep_ratio",
-          round(col("max_rep").cast("double") / col("n_bigrams"), 6))
+        .withColumn("rep_ppm",
+          expr("(1000000L * max_rep) div n_bigrams"))
         .orderBy("doc_id")
     },
 
@@ -1092,9 +1092,9 @@ object TextQueries {
         |m3 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2) GROUP BY doc_id),
         |m4 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1,2) GROUP BY doc_id)
         |SELECT r.doc_id, CAST(r.n_toks AS BIGINT) AS n_tokens,
-        |  round(CAST(m2.m AS DOUBLE) / (r.n_toks - 1), 6) AS rep2,
-        |  round(CAST(m3.m AS DOUBLE) / (r.n_toks - 2), 6) AS rep3,
-        |  round(CAST(m4.m AS DOUBLE) / (r.n_toks - 3), 6) AS rep4
+        |  (1000000 * m2.m) // (r.n_toks - 1) AS rep2_ppm,
+        |  (1000000 * m3.m) // (r.n_toks - 2) AS rep3_ppm,
+        |  (1000000 * m4.m) // (r.n_toks - 3) AS rep4_ppm
         |FROM r JOIN m2 ON m2.doc_id = r.doc_id
         |JOIN m3 ON m3.doc_id = r.doc_id JOIN m4 ON m4.doc_id = r.doc_id
         |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
@@ -1105,12 +1105,13 @@ object TextQueries {
         .select(
           col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
-          round(max_ngram_run(col("toks"), lit(2)).cast("double")
-            / (size(col("toks")) - 1), 6).as("rep2"),
-          round(max_ngram_run(col("toks"), lit(3)).cast("double")
-            / (size(col("toks")) - 2), 6).as("rep3"),
-          round(max_ngram_run(col("toks"), lit(4)).cast("double")
-            / (size(col("toks")) - 3), 6).as("rep4"))
+          max_ngram_run(col("toks"), lit(2)).as("m2"),
+          max_ngram_run(col("toks"), lit(3)).as("m3"),
+          max_ngram_run(col("toks"), lit(4)).as("m4"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(1000000L * m2) div (n_tokens - 1)").as("rep2_ppm"),
+          expr("(1000000L * m3) div (n_tokens - 2)").as("rep3_ppm"),
+          expr("(1000000L * m4) div (n_tokens - 3)").as("rep4_ppm"))
         .orderBy("doc_id")
     },
 
@@ -1124,10 +1125,11 @@ object TextQueries {
     // ----- collocation mining: top-k bigrams by lift -----
     // The tokenizer-eval / phrase-mining statistic: how much more often
     // do adjacent words co-occur than independence predicts. Lift
-    // p(ab)/(p(a)p(b)) is computed as (n_ab/M)/((n_a/N)*(n_b/N)) — four
-    // exact BIGINT counts, each divide a single correctly-rounded IEEE
-    // op with an identical tree on both engines (NO log: PMI's ln() is
-    // libm-dependent; ranking by lift ranks identically). Scale shape:
+    // p(ab)/(p(a)p(b)) = n_ab·N²/(M·n_a·n_b) ships as the exact
+    // truncated ppm integer (HUGEINT / DECIMAL(38,0) — four BIGINT
+    // counts, zero float ops, so no rounding tie can diverge; NO log:
+    // PMI's ln() is libm-dependent; ranking by lift ranks identically).
+    // Scale shape:
     // the bigram explode is per-row bounded and its count map-side
     // combines to vocab² (Heaps-law sublinear); unigram lookups are
     // equi-joins on the vocab-cardinality side (AQE decides — not a
@@ -1148,13 +1150,12 @@ object TextQueries {
         |bgc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
         |btot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS mm FROM bgc)
         |SELECT b.w1, b.w2, b.c_ab,
-        |  round((CAST(b.c_ab AS DOUBLE) / CAST(btot.mm AS DOUBLE)) /
-        |    ((CAST(u1.c AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
-        |     (CAST(u2.c AS DOUBLE) / CAST(tot.nn AS DOUBLE))), 6) AS lift
+        |  CAST((CAST(1000000 AS HUGEINT) * b.c_ab * tot.nn * tot.nn) //
+        |    (CAST(btot.mm AS HUGEINT) * u1.c * u2.c) AS BIGINT) AS lift_ppm
         |FROM bgc b
         |JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2, tot, btot
         |WHERE b.c_ab >= 5
-        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
       val t = spread(documents(s, d))
         .withColumn("toks", expr(toksExpr))
         .localCheckpoint() // two consumers: bigram and unigram counts
@@ -1181,10 +1182,12 @@ object TextQueries {
         .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
         .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
         .select(col("w1"), col("w2"), col("c_ab"),
-          round((col("c_ab").cast("double") / col("mm").cast("double")) /
-            ((col("c1").cast("double") / col("nn").cast("double")) *
-             (col("c2").cast("double") / col("nn").cast("double"))), 6).as("lift"))
-        .orderBy(col("lift").desc, col("w1"), col("w2"))
+          // exact integer lift: c_ab·nn²·1e6 / (mm·c1·c2) in DECIMAL(38,0)
+          // (≡ DuckDB HUGEINT at these magnitudes), truncated — no double
+          // enters the emitted value
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * c_ab * nn * nn) div " +
+            "(CAST(mm AS DECIMAL(38,0)) * c1 * c2) AS BIGINT)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
         .limit(20)
     },
 
@@ -1263,8 +1266,9 @@ object TextQueries {
     // agree (\s and \w would NOT: they disagree on \x0B and unicode
     // word chars). Scale shape: stateless per-row projection, one
     // map-side-combinable aggregate at stratum cardinality — the classic
-    // 100 TB profiling scan; all counts are exact BIGINTs, the ratio one
-    // correctly-rounded double divide.
+    // 100 TB profiling scan; every output cell is an exact BIGINT — the
+    // ratio ships as floor(1e6 * alpha / chars) parts-per-million so no
+    // engine's double-rounding tie-break can enter the hash.
     "charset_report" -> QueryDef.sql(
       """WITH c AS (
         |  SELECT lang, source,
@@ -1277,7 +1281,7 @@ object TextQueries {
         |  sum(n_chars) AS n_chars, sum(n_alpha) AS n_alpha,
         |  sum(n_digit) AS n_digit, sum(n_space) AS n_space,
         |  sum(n_chars) - sum(n_alpha) - sum(n_digit) - sum(n_space) AS n_other,
-        |  round(CAST(sum(n_alpha) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6) AS alpha_frac
+        |  (1000000 * sum(n_alpha)) // sum(n_chars) AS alpha_ppm
         |FROM c GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin) { (s, d) =>
       documents(s, d)
@@ -1296,8 +1300,7 @@ object TextQueries {
         .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
           col("n_alpha"), col("n_digit"), col("n_space"),
           (col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space")).as("n_other"),
-          round(col("n_alpha").cast("double") / col("n_chars").cast("double"), 6)
-            .as("alpha_frac"))
+          expr("(1000000L * n_alpha) div n_chars").as("alpha_ppm"))
         .orderBy("lang", "source")
     },
 

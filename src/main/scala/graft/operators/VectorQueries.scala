@@ -652,8 +652,10 @@ object VectorQueries {
     // members. The mean runs as posexplode → groupBy (cent, dim) — 64×
     // row amplification but partial-aggregated before the shuffle, which
     // carries only 16×64 result rows. Sums go through DECIMAL so
-    // partition order can't wiggle the double accumulation; both engines
-    // then divide and round identically.
+    // partition order can't wiggle the double accumulation; the mean
+    // ships as floor(1e6·s/n) of an identical IEEE chain — floor of the
+    // same double is deterministic on both engines, with none of
+    // round()'s engine-defined half-way behavior.
     "kmeans_iterate" -> QueryDef.sql(
       """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
         |           FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -669,7 +671,7 @@ object VectorQueries {
         |  FROM assign a JOIN e ON e.vec_id = a.vec_id
         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p)
         |SELECT cent_id, CAST(pos AS INT) AS pos,
-        |  round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mu,
+        |  CAST(floor((CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS mu_x1e6,
         |  count(*) AS n_assigned
         |FROM ex GROUP BY cent_id, pos
         |ORDER BY cent_id, pos""".stripMargin) { (s, d) =>
@@ -684,10 +686,15 @@ object VectorQueries {
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
         .groupBy(col("cent_id"), col("pos0"))
         .agg(
-          round(sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6).as("mu"),
+          // identical IEEE chain on both engines (exact decimal sum →
+          // correctly-rounded double → one divide → one multiply), then
+          // floor: deterministic with NO tie-break — unlike round(,6),
+          // whose half-way behavior is engine-defined
+          floor((sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+            * lit(1000000.0)).as("mu_x1e6"),
           count(lit(1)).as("n_assigned"))
         .select(col("cent_id"), (col("pos0") + 1).cast("int").as("pos"),
-          col("mu"), col("n_assigned"))
+          col("mu_x1e6"), col("n_assigned"))
         .orderBy("cent_id", "pos")
     },
 
@@ -695,11 +702,12 @@ object VectorQueries {
     // The aggregation step of every chunked-embedding pipeline (chunk
     // vectors in, one unit-norm document vector out, here 4 chunks per
     // doc via vec_id div 4). Exactness: component means are
-    // DECIMAL(38,18) sums (order-free) divided once and rounded; the
-    // squared-norm re-enters DECIMAL so the 64-term sum is order-free
-    // too; sqrt and the final divide are single correctly-rounded IEEE
-    // ops — round(,6) then absorbs the ≤1e-17 decimal-conversion tail
-    // (same chain kmeans_iterate pins). Scale shape: posexplode is
+    // DECIMAL(38,18) sums (order-free) floored to scaled BIGINTs; the
+    // squared norm is then pure integer arithmetic, and sqrt + the final
+    // divide are single correctly-rounded IEEE ops on identical inputs,
+    // floored again — every emitted cell is a BIGINT both engines derive
+    // bit-identically (same chain kmeans_iterate pins). Scale shape:
+    // posexplode is
     // per-row bounded by the dim; both aggregates and the join hash on
     // gid, so after the first exchange everything is co-partitioned; the
     // norm side is group-cardinality and NOT broadcast — it grows with
@@ -711,12 +719,13 @@ object VectorQueries {
         |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p),
         |mu AS (
         |  SELECT gid, CAST(pos AS INT) AS pos, count(*) AS n_chunks,
-        |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mu
+        |    CAST(floor((CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS mu_x1e6
         |  FROM x GROUP BY gid, pos),
         |nrm AS (
-        |  SELECT gid, sqrt(CAST(sum(CAST(mu * mu AS DECIMAL(38,18))) AS DOUBLE)) AS norm
+        |  SELECT gid, sqrt(CAST(sum(mu_x1e6 * mu_x1e6) AS DOUBLE)) AS norm
         |  FROM mu GROUP BY gid)
-        |SELECT m.gid, m.pos, m.n_chunks, m.mu, round(m.mu / n.norm, 6) AS unit
+        |SELECT m.gid, m.pos, m.n_chunks, m.mu_x1e6,
+        |  CAST(floor((CAST(m.mu_x1e6 AS DOUBLE) / n.norm) * 1000000.0) AS BIGINT) AS unit_x1e6
         |FROM mu m JOIN nrm n ON n.gid = m.gid
         |ORDER BY m.gid, m.pos""".stripMargin) { (s, d) =>
       val mu = embeddings(s, d)
@@ -724,17 +733,23 @@ object VectorQueries {
           posexplode(col("embedding")).as(Seq("pos0", "x")))
         .groupBy("gid", "pos0")
         .agg(count(lit(1)).as("n_chunks"),
-          round(sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
-            .as("mu"))
+          // same floor-not-round rationale as kmeans_iterate: both
+          // engines floor an identical IEEE double — zero tie surface
+          floor((sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+            * lit(1000000.0)).as("mu_x1e6"))
         .select(col("gid"), (col("pos0") + 1).cast("int").as("pos"),
-          col("n_chunks"), col("mu"))
+          col("n_chunks"), col("mu_x1e6"))
         .localCheckpoint() // two consumers: the norm aggregate and the join
+      // the scaled means are exact BIGINTs, so the squared-norm sum is
+      // pure integer arithmetic (≤64·(1e7)² ≪ 2^63) — order-free without
+      // the DECIMAL detour, and unit = mu_x1e6/sqrt(ss) since the 1e6
+      // scales cancel
       val nrm = mu.groupBy("gid")
-        .agg(sqrt(sum((col("mu") * col("mu")).cast("decimal(38,18)")).cast("double"))
-          .as("norm"))
+        .agg(sqrt(sum(col("mu_x1e6") * col("mu_x1e6")).cast("double")).as("norm"))
       mu.join(nrm, Seq("gid"))
-        .select(col("gid"), col("pos"), col("n_chunks"), col("mu"),
-          round(col("mu") / col("norm"), 6).as("unit"))
+        .select(col("gid"), col("pos"), col("n_chunks"), col("mu_x1e6"),
+          floor((col("mu_x1e6").cast("double") / col("norm")) * lit(1000000.0))
+            .as("unit_x1e6"))
         .orderBy("gid", "pos")
     },
   )

@@ -41,7 +41,8 @@ class MultimodalSpec extends SparkFunSuite {
       (0 until 3).foreach { c =>
         var s = 0L
         for (y <- 0 until h; x <- 0 until w) s += (id * 7 + c * 31 + x + y) % 256
-        assert(feats(c) == s.toDouble / (w.toLong * h * 255L), s"doc $id channel $c")
+        assert(feats(c) == ((1000000L * s) / (w.toLong * h * 255L)).toDouble,
+          s"doc $id channel $c")
       }
     }
   }

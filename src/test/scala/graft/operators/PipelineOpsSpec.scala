@@ -97,9 +97,12 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(byName("train") > byName("val") * 10 && byName("train") > byName("test") * 10)
   }
 
-  test("embed_doc_pool: pooled vectors are unit-norm after rounding") {
+  test("embed_doc_pool: pooled vectors are unit-norm after ppm truncation") {
+    // unit_x1e6 is the unit-vector component ×1e6, so Σ(unit/1e6)² ≈ 1
     val norms = VectorQueries.defs("embed_doc_pool").build(spark, sfDir)
-      .groupBy("gid").agg(sum(col("unit") * col("unit")).as("sq"), max("n_chunks").as("nc"))
+      .groupBy("gid").agg(
+        sum((col("unit_x1e6") / 1e6) * (col("unit_x1e6") / 1e6)).as("sq"),
+        max("n_chunks").as("nc"))
       .collect()
     assert(norms.nonEmpty)
     norms.foreach { r =>
@@ -127,6 +130,6 @@ class PipelineOpsSpec extends SparkFunSuite {
       val cs = docs.groupBy("lang").count().collect().map(_.getLong(1))
       1.0 - cs.map(c => c.toDouble * c).sum / (n.toDouble * n)
     }
-    assert(math.abs(row.getDouble(7) - gini) < 1e-5, s"gini mismatch: $row vs $gini")
+    assert(math.abs(row.getLong(7) / 1e6 - gini) < 1e-5, s"gini mismatch: $row vs $gini")
   }
 }
