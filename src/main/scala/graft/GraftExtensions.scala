@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32, DotI8, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs, RollingHash, SimhashSig}
+import graft.functions.{DotF32, DotI8, MaxBigramRun, MaxNgramRun, MinShingleMd5, MinhashSigs, RollingHash, ShingleHashes, SimhashSig}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "rolling_hash takes exactly 1 argument")
         RollingHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "shingle_hashes takes exactly 2 arguments")
+        ShingleHashes(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("max_ngram_run"),

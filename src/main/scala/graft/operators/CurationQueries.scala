@@ -31,24 +31,35 @@ object CurationQueries {
     * doc for the production variant). */
   private val LcgSql = "((doc_id * 1103515245 + 12345) % 2147483648)"
 
-  /** Distinct 12-char shingles per document (the decontamination unit —
-    * the same 12-gram granularity the jaccard verifier uses). */
+  /** Distinct 12-gram hashes per document, via the native
+    * [[graft.functions.ShingleHashes]] expression (the decontamination
+    * unit — the same 12-gram granularity the jaccard verifier uses).
+    * The expression dedupes IN-ROW, so the output is already
+    * (doc_id, h)-distinct with no aggregate. */
   def shingles12(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.select(col("doc_id"),
-      explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"),
-      col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
-      .distinct()
+      explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), lit(12))).as("h"))
 
   /** (train_doc, eval_doc, n_shared) pairs with ≥ `minShared` distinct
-    * shared 12-grams. Eval sets are tiny relative to a training corpus,
-    * so the eval shingles BROADCAST — which makes a bounded `evalDocs` a
-    * CONTRACT, not an assumption: callers must pass a fixed-size eval
-    * side (decontaminate_ngram bounds its modeled one with an explicit
-    * id cap) or the broadcast grows with the corpus; raw train shingles stream through
-    * the map-side join FIRST, and the duplicate-guarding distinct
-    * shuffles only the matched sliver — never the exploded corpus.
+    * shared 12-gram hashes. Eval sets are tiny relative to a training
+    * corpus, so the eval hashes BROADCAST — which makes a bounded
+    * `evalDocs` a CONTRACT, not an assumption: callers must pass a
+    * fixed-size eval side (decontaminate_ngram bounds its modeled one
+    * with an explicit id cap) or the broadcast grows with the corpus.
     * Shared by the batch query and the streaming ingest gate.
+    *
+    * Both sides hash per-row through the codegen'd `shingle_hashes`
+    * (distinct sorted 60-bit hashes — no 12-char string is ever
+    * allocated, and the former post-join `distinct()` disappears
+    * because in-row dedup makes each (doc, h) unique by construction).
+    * The pair count therefore partial-aggregates map-side and the only
+    * shuffle carries (train_doc, eval_doc, partial count) — bounded by
+    * real overlapping pairs, never the exploded corpus. This replaced
+    * the explode→substring→join→distinct shape whose matched sliver at
+    * a boilerplate-heavy ~78% shingle match rate WAS most of the
+    * corpus: 17 task-CPU s → ~4 s at sf0.1 (and the r6 artifact's 60 s
+    * reading was that cost further amplified by driver-heap GC, see
+    * NOTES_r7).
     *
     * The train side is widened to full parallelism BEFORE the shingle
     * explode when it arrives under-split ([[TextQueries.spread]] — a
@@ -59,13 +70,9 @@ object CurationQueries {
   def decontaminate(train: org.apache.spark.sql.DataFrame,
       evalDocs: org.apache.spark.sql.DataFrame, minShared: Long): org.apache.spark.sql.DataFrame = {
     val esh = shingles12(evalDocs).withColumnRenamed("doc_id", "eval_doc")
-    val tsh = TextQueries.spread(train)
-      .select(col("doc_id").as("train_doc"),
-        explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"),
-        col("text"))
-      .select(col("train_doc"), expr("substring(text, i, 12)").as("shingle"))
-    tsh.join(broadcast(esh), Seq("shingle"))
-      .select("train_doc", "eval_doc", "shingle").distinct()
+    val tsh = shingles12(TextQueries.spread(train))
+      .withColumnRenamed("doc_id", "train_doc")
+    tsh.join(broadcast(esh), Seq("h"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -198,21 +205,27 @@ object CurationQueries {
     // The GPT-3-style exact-substring check: any training document sharing
     // >= 20 distinct 12-grams with an eval/benchmark document is flagged
     // (with the overlap count, so downstream can drop or quarantine).
-    // Eval sets are tiny relative to a 100 TB corpus (10^3..10^6 docs), so
-    // the eval shingle table BROADCASTS and the train corpus streams
-    // through a map-side hash join + partial-agg count — no shuffle of
-    // exploded train shingles, and the output is bounded by real overlaps.
+    // Overlap is counted on md5-head-60-bit shingle HASHES (the minhash
+    // family's convention) computed identically on both engines — a
+    // collision is part of the spec, and at 2^-60 per pair it never
+    // fires at any real corpus size. Eval sets are tiny relative to a
+    // 100 TB corpus (10^3..10^6 docs), so the eval hash table BROADCASTS
+    // and the train corpus streams through a map-side hash join +
+    // partial-agg count — no shuffle of exploded train shingles, and the
+    // output is bounded by real overlaps.
     "decontaminate_ngram" -> QueryDef.sql(
       """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
         |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
-        |esh AS (SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+        |esh AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+        |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
         |  FROM evald)),
-        |tsh AS (SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+        |tsh AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+        |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
         |  FROM train))
         |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_shared
-        |FROM tsh t JOIN esh e ON t.shingle = e.shingle
+        |FROM tsh t JOIN esh e ON t.h = e.h
         |GROUP BY 1, 2 HAVING count(*) >= 20
         |ORDER BY train_doc, eval_doc""".stripMargin) { (s, d) =>
       // The modeled eval set carries an explicit id bound (like bm25's
@@ -518,16 +531,18 @@ object CurationQueries {
          |  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
          |  GROUP BY doc_id),
          |evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-         |esh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+         |esh AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+         |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
          |  FROM evald)),
-         |tsh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+         |tsh AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+         |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
          |  FROM corpus)),
          |contaminated AS (
          |  SELECT DISTINCT train_doc AS doc_id FROM (
          |    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc
-         |    FROM tsh t JOIN esh e ON t.shingle = e.shingle
+         |    FROM tsh t JOIN esh e ON t.h = e.h
          |    GROUP BY 1, 2 HAVING count(*) >= 20)),
          |keep AS (
          |  SELECT c.doc_id, c.lang, t.n_tokens
