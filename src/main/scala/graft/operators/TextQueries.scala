@@ -511,16 +511,20 @@ object TextQueries {
     // lines, keep only the globally FIRST occurrence of each distinct
     // line (first = lowest (doc_id, line_idx) — deterministic, no
     // sampling), and reassemble what survives per document. Scale shape:
-    // two hash shuffles (line content for the first-occurrence window,
-    // doc_id for reassembly), both on derived keys; the window partitions
-    // by line hash so no task sees more than one line-group — never a
-    // global sort. Reassembly hashes the surviving text so the artifact
-    // stays narrow.
+    // two hash shuffles (32-byte line FINGERPRINT for the first-
+    // occurrence window — the stored registry's key, so the shuffle
+    // never carries the corpus text; doc_id for reassembly); the window
+    // partitions by line_fp so no task sees more than one line-group —
+    // never a global sort. Identical lines hash identically, so md5
+    // partitioning groups exactly like raw-line partitioning (the
+    // oracle partitions by the string and agrees). Reassembly hashes
+    // the surviving text so the artifact stays narrow.
     "dedup_lines" -> QueryDef.sql(DedupLinesOracle) { (s, d) =>
       val lines = linesOf(documents(s, d))
       val flagged = lines
+        .withColumn("line_fp", md5(col("line").cast("binary")))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("line").orderBy("doc_id", "line_idx")))
+          Window.partitionBy("line_fp").orderBy("doc_id", "line_idx")))
         .withColumn("kept", col("rn") === 1)
       reassembleKeptLines(flagged)
     },

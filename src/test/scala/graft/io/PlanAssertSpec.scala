@@ -76,6 +76,23 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(positions.toSeq == (1L to positions.length).toSeq)
   }
 
+  test("dedup_lines first-occurrence window shuffles the 32-byte fingerprint, not line text") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.TextQueries.defs("dedup_lines").build(spark, sfDir)
+    val windows = q.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "dedup_lines must use a window for first occurrence")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.map(_.toString).mkString(",")
+      assert(keys.contains("line_fp"),
+        s"the window must partition by the md5 fingerprint, got: $keys")
+      assert(!keys.matches(".*\\bline#.*"),
+        s"the window must NOT shuffle the raw line string, got: $keys")
+    }
+    assert(q.count() > 0)
+  }
+
   test("bm25_search_stored scans corpus text only for the bounded query side") {
     val sfDir = "/root/testdata/sf0.001"
     // NOTE: bm25Rank localCheckpoints the pruned postings sliver eagerly,
