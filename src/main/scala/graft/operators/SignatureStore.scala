@@ -294,23 +294,65 @@ object SignatureStore {
   }
 
   def spansDir(base: String) = s"$base/substring_spans"
+  def spanGramsDir(base: String) = s"$base/span_grams"
+
+  /** Streaming gram appends land in a batch_id-partitioned sibling
+    * subtree (same layout rationale as [[streamMinhashDir]]). */
+  def streamSpanGramsDir(base: String) = s"$base/span_grams_stream"
+
+  /** Spans from the store at `base`. Batch-only stores read the
+    * precomputed span artifact directly (tiny — spans only). When
+    * STREAM gram appends exist, spans are re-derived over the unioned
+    * positioned-gram fingerprint table ([[TextQueries.spansFromGrams]]),
+    * because duplication is a CORPUS-WIDE property: a streamed document
+    * can create duplication inside a batch-era document, so per-batch
+    * span computation would silently miss cross-population duplicates.
+    * The re-derivation never rescans text — the gram table (md5 only)
+    * is the amortization artifact, and the dup-detect + island pass is
+    * keyed on fingerprints/doc_id throughout. Re-sent docs resolve
+    * LATEST-WINS (newest batch's grams replace older versions — same
+    * contract as the bm25/q8 stores). */
+  def readSpans(spark: SparkSession, base: String): DataFrame = {
+    val hasStream = hasData(spark, streamSpanGramsDir(base))
+    if (!hasStream) spark.read.parquet(spansDir(base))
+    else {
+      val batch = Option.when(hasData(spark, spanGramsDir(base)))(
+        spark.read.parquet(spanGramsDir(base))
+          .select(col("doc_id"), col("pos"), col("gram"),
+            lit(-1L).as("batch_id")))
+      val stream = spark.read.parquet(streamSpanGramsDir(base))
+        .select(col("doc_id"), col("pos"), col("gram"),
+          col("batch_id").cast("long").as("batch_id"))
+      val all = batch.fold(stream)(_.unionByName(stream))
+      val latest = all.groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+      TextQueries.spansFromGrams(
+        all.join(latest, Seq("doc_id", "batch_id")).select("doc_id", "pos", "gram"))
+    }
+  }
 
   /** Persisted duplicated-substring spans (doc_id, span_start, span_end,
     * n_grams) for `sfDir`, building on first use. Span detection is a
     * full-corpus positioned-8-gram hash pass — the most expensive scan in
     * the substring family — and spans change only when documents change,
-    * so excision / reporting runs read the artifact.
-    * `dedup_substring_spans` times the live compute; the `_stored`
-    * excision query is held to the same oracle as the live one. */
+    * so excision / reporting runs read the artifact. The build ALSO
+    * persists the positioned-gram fingerprint table: it is the input the
+    * streaming twin ([[graft.streaming.EventStream.maintainSpanGrams]])
+    * appends to, and what makes stream-era re-derivation exact without a
+    * text rescan. `dedup_substring_spans` times the live compute; the
+    * `_stored` excision query is held to the same oracle as the live
+    * one. */
   def ensureSpans(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${spansDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
-      TextQueries.substringSpans(documents(spark, sfDir))
+    if (!fs.exists(marker)) {
+      val g = TextQueries.positionedGrams8(documents(spark, sfDir)).localCheckpoint()
+      g.write.mode("overwrite").parquet(spanGramsDir(base))
+      TextQueries.spansFromGrams(g)
         .write.mode("overwrite").parquet(spansDir(base))
-    spark.read.parquet(spansDir(base))
+    }
+    readSpans(spark, base)
   }
 
   def bm25PostingsDir(base: String) = s"$base/bm25_postings"

@@ -310,25 +310,24 @@ object TextQueries {
       .unionByName(isolated)
   }
 
-  /** Maximal duplicated-token-8-gram spans per document (Lee et al.
-    * 2022 substring dedup): every positioned 8-gram is hashed, grams
-    * seen in >1 distinct doc mark their [pos, pos+7] coverage, and
-    * overlapping/adjacent coverage merges into maximal spans
-    * (gaps-and-islands over doc-partitioned windows). Shared by the
-    * span-report query and the excision query. Scale shape: the gram
-    * table is corpus-token cardinality but every stage is keyed (gram
-    * hash or doc_id) — no global funnel; it is localCheckpoint'ed
-    * because the duplicate-gram aggregate and the flagging semi-join
-    * both consume it. */
-  def substringSpans(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val t = spread(docs)
+  /** Positioned 8-gram fingerprints (doc_id, pos, gram-md5) — the text
+    * scan stage of substring dedup, and the artifact the span store's
+    * STREAMING twin persists (md5 only, never text). One row per token
+    * position; a pure map stage pipelined into the scan. */
+  def positionedGrams8(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spread(docs)
       .withColumn("toks", expr(toksExpr))
       .filter(size(col("toks")) >= 8)
-    val g = t
       .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 7)")).as("pos"), col("toks"))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(8))).cast("binary")).as("gram"))
-      .localCheckpoint()
+
+  /** Span assembly over a [[positionedGrams8]]-shaped table: grams seen
+    * in >1 distinct doc mark their [pos, pos+7] coverage, and
+    * overlapping/adjacent coverage merges into maximal spans
+    * (gaps-and-islands over doc-partitioned windows). Every stage is
+    * keyed (gram hash or doc_id) — no global funnel. */
+  def spansFromGrams(g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dup = g.select("gram", "doc_id").distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1).select("gram")
@@ -346,6 +345,16 @@ object TextQueries {
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
   }
+
+  /** Maximal duplicated-token-8-gram spans per document (Lee et al.
+    * 2022 substring dedup): [[positionedGrams8]] → [[spansFromGrams]].
+    * Shared by the span-report query and the excision query. Scale
+    * shape: the gram table is corpus-token cardinality but every stage
+    * is keyed — no global funnel; it is localCheckpoint'ed because the
+    * duplicate-gram aggregate and the flagging semi-join both consume
+    * it. */
+  def substringSpans(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spansFromGrams(positionedGrams8(docs).localCheckpoint())
 
   /** Excision of [[substringSpans]]-shaped spans from `docs`: keep only
     * tokens outside every span, report (n_kept, n_removed, md5 of the

@@ -161,6 +161,31 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamLinesDir(storeBase))
     }
 
+  /** Incremental span-store maintenance — the substring-dedup twin of
+    * [[maintainLineRegistry]]: each micro-batch of new documents is
+    * scanned ONCE into positioned 8-gram fingerprints with the SAME
+    * builder the batch store uses
+    * ([[graft.operators.TextQueries.positionedGrams8]] — md5 only,
+    * never text) and appended to the gram subtree. Spans themselves are
+    * NOT computed per batch: duplication is a corpus-wide property (a
+    * streamed doc can create duplication inside a batch-era doc), so
+    * the read side ([[graft.operators.SignatureStore.readSpans]])
+    * re-derives spans over the unioned gram table — exact by
+    * construction, text never rescanned. Same replay contract as every
+    * store: batch_id-keyed dynamic partition overwrite; re-sent docs
+    * resolve latest-wins at read. */
+  def maintainSpanGrams(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextQueries.positionedGrams8(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamSpanGramsDir(storeBase))
+    }
+
   /** Incremental IVF-assignment maintenance — the vector-index twin of
     * [[maintainSignatures]] / [[maintainPostings]]: each micro-batch of
     * new vectors is assigned to its nearest coarse centroid with the

@@ -274,6 +274,49 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("span-store maintenance: stream grams create cross-population spans, latest-wins re-ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("spanstore")
+    def tokens(p: String, n: Int = 12) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // batch build: two docs with NO duplication — batch spans are empty
+    val batchDocs = Seq((1L, tokens("a")), (2L, tokens("b"))).toDF("doc_id", "text")
+    val g = graft.operators.TextQueries.positionedGrams8(batchDocs)
+    g.write.parquet(graft.operators.SignatureStore.spanGramsDir(base))
+    graft.operators.TextQueries.spansFromGrams(g)
+      .write.parquet(graft.operators.SignatureStore.spansDir(base))
+    assert(graft.operators.SignatureStore.readSpans(spark, base).count() == 0)
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainSpanGrams(
+      input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      // a streamed doc repeats batch doc 1's text: duplication now exists
+      // ACROSS the batch/stream populations — per-batch span computation
+      // would miss it, the gram-table re-derivation must not
+      input.addData((30L, tokens("a")))
+      query.processAllAvailable()
+      def spanSet() = graft.operators.SignatureStore.readSpans(spark, base)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val crossPop = spanSet()
+      assert(crossPop.map(_._1) == Set(1L, 30L),
+        s"both the batch-era and the streamed copy must carry spans: $crossPop")
+      // exactness: identical to a full batch recompute over the union
+      val truth = graft.operators.TextQueries.substringSpans(
+        Seq((1L, tokens("a")), (2L, tokens("b")), (30L, tokens("a")))
+          .toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(crossPop == truth)
+
+      // doc 30 re-ingested with fresh text: latest-wins drops its old
+      // grams, so the duplication (and every span) disappears again
+      input.addData((30L, tokens("c")))
+      query.processAllAvailable()
+      assert(spanSet().isEmpty,
+        "a re-ingested doc's old grams must not keep phantom spans alive")
+    } finally query.stop()
+  }
+
   test("sessionize absorbs a late cross-batch event without splitting the session") {
     // Regression: absorbing a late event used to REWIND lastSeen, so a
     // later in-gap event measured its gap against the stale minimum and
