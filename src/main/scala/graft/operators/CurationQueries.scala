@@ -778,6 +778,105 @@ object CurationQueries {
         .orderBy(col("n_pair").desc, col("pair")).limit(20)
     },
 
+    // ----- BPE: full K=3 training driver loop -----
+    // K repetitions of bpe_apply_top_merge's step, as its comment
+    // promises: each iteration picks the argmax symbol pair over the
+    // CURRENT segmented word vocabulary, replaces it with a fresh
+    // sentinel char (chr(k) — absent from lowercased text), and
+    // re-counts. Output is the learned merge table: rank, the merge
+    // spelled back out to base characters, and its count at pick time.
+    // Scale shape: the corpus collapses to its word vocabulary ONCE
+    // (Heaps'-law sublinear, map-side-combinable count); each iteration
+    // is a vocab-cardinality pair count whose argmax is a 1-ROW driver
+    // collect (the only driver traffic — same bounded pattern as
+    // kmeans_iterate's 16-row centroid side), and the re-segmented
+    // vocab is localCheckpoint'ed so iteration k+1 reads a materialized
+    // artifact instead of re-running k stacked replaces over the
+    // lineage. K is a constant; nothing corpus-cardinality ever leaves
+    // the executors after the first aggregate.
+    "bpe_train_k3" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+        |wc0 AS (SELECT word AS sw, count(*) AS n FROM w WHERE length(word) >= 2 GROUP BY word),
+        |a1 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
+        |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
+        |    FROM wc0 WHERE length(sw) >= 2) GROUP BY pair),
+        |t1 AS (SELECT pair AS mp, n_pair FROM a1 ORDER BY n_pair DESC, pair LIMIT 1),
+        |wc1 AS (SELECT replace(sw, (SELECT mp FROM t1), chr(1)) AS sw, n FROM wc0),
+        |a2 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
+        |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
+        |    FROM wc1 WHERE length(sw) >= 2) GROUP BY pair),
+        |t2 AS (SELECT pair AS mp, n_pair FROM a2 ORDER BY n_pair DESC, pair LIMIT 1),
+        |wc2 AS (SELECT replace(sw, (SELECT mp FROM t2), chr(2)) AS sw, n FROM wc1),
+        |a3 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
+        |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
+        |    FROM wc2 WHERE length(sw) >= 2) GROUP BY pair),
+        |t3 AS (SELECT pair AS mp, n_pair FROM a3 ORDER BY n_pair DESC, pair LIMIT 1),
+        |m AS (
+        |  SELECT 1 AS merge_rank, (SELECT mp FROM t1) AS raw, (SELECT n_pair FROM t1) AS n_pair
+        |  UNION ALL
+        |  SELECT 2, (SELECT mp FROM t2), (SELECT n_pair FROM t2)
+        |  UNION ALL
+        |  SELECT 3, (SELECT mp FROM t3), (SELECT n_pair FROM t3))
+        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
+        |  concat(
+        |    CASE substr(raw, 1, 1)
+        |      WHEN chr(2) THEN replace((SELECT mp FROM t2), chr(1), (SELECT mp FROM t1))
+        |      WHEN chr(1) THEN (SELECT mp FROM t1)
+        |      ELSE substr(raw, 1, 1) END,
+        |    '+',
+        |    CASE substr(raw, 2, 1)
+        |      WHEN chr(2) THEN replace((SELECT mp FROM t2), chr(1), (SELECT mp FROM t1))
+        |      WHEN chr(1) THEN (SELECT mp FROM t1)
+        |      ELSE substr(raw, 2, 1) END) AS pair,
+        |  n_pair
+        |FROM m ORDER BY merge_rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      var vocab = documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("sw"))
+        .filter(length(col("sw")) >= 2)
+        .groupBy("sw").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (k <- 1 to 3) {
+        // argmax pair over the current segmented vocab — a 1-row collect
+        val top = vocab.filter(length(col("sw")) >= 2)
+          .select(
+            explode(expr("transform(sequence(1, length(sw)-1), i -> substring(sw, i, 2))")).as("pair"),
+            col("n"))
+          .groupBy("pair").agg(sum("n").as("n_pair"))
+          .orderBy(col("n_pair").desc, col("pair")).limit(1)
+          .collect()(0)
+        merges += ((k.toLong, top.getString(0), top.getLong(1)))
+        if (k < 3)
+          // replace() is exactly BPE's greedy left-to-right
+          // non-overlapping application on both engines
+          vocab = vocab
+            .select(
+              org.apache.spark.sql.functions.replace(
+                col("sw"), lit(merges.last._2), lit(k.toChar.toString)).as("sw"),
+              col("n"))
+            .localCheckpoint()
+      }
+      // spell the learned merges back to base characters (driver-side:
+      // three 2-char strings). chr(2)'s expansion may itself contain
+      // chr(1); chr(1)'s never contains a sentinel (picked first).
+      val mp1 = merges(0)._2
+      val mp2Spelled = merges(1)._2.replace("\u0001", mp1)
+      def spell(c: Char): String = c match {
+        case '\u0001' => mp1
+        case '\u0002' => mp2Spelled
+        case other    => other.toString
+      }
+      merges.toSeq
+        .map { case (k, mp, np) => (k, spell(mp(0)) + "+" + spell(mp(1)), np) }
+        .toDF("merge_rank", "pair", "n_pair")
+        .orderBy("merge_rank")
+    },
+
     // ----- fuzzy decontamination: minhash bands vs the eval set -----
     // The sketch-based sibling of decontaminate_ngram: exact 12-gram
     // overlap misses PARAPHRASED contamination (token swaps, light

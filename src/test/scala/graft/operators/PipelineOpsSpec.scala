@@ -61,6 +61,21 @@ class PipelineOpsSpec extends SparkFunSuite {
       s"stored path must not re-window the line table:\n${stored.queryExecution.sparkPlan}")
   }
 
+  test("bpe_train_k3: three merges on a hand-computable vocabulary") {
+    // vocab: aaab×3, ab×2.
+    //   iter1 pairs: aa 6 (two positions × 3), ab 3+2=5  → merge a+a
+    //   iter2 over {␁ab×3, ab×2}: ab 5, ␁a 3            → merge a+b
+    //   iter3 over {␁␂×3, ␂×2}: (␁,␂) 3                 → merge aa+ab
+    // rank 3 exercises BOTH sentinel expansions (␁→"aa", ␂→"ab")
+    val dir = tmpDir("bpek3")
+    Seq((1L, "aaab aaab aaab ab ab", "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = CurationQueries.defs("bpe_train_k3").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a+a", 6L), (2L, "a+b", 5L), (3L, "aa+ab", 3L)))
+  }
+
   test("pack_balanced_bins: distributed rank (no global window) and ±1-doc balance") {
     val q = CurationQueries.defs("pack_balanced_bins").build(spark, sfDir)
     assert(globalWindows(q).isEmpty,
