@@ -27,6 +27,45 @@ object RelationalQueries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Per-event (e1, lead1, lead2) over each user's ns-ordered stream —
+    * the ONE user-keyed window shuffle `o6_transitions` / `o7_top_paths`
+    * share, and the input of the persisted transition store
+    * ([[SignatureStore.ensureEventTransitions]]). Null leads are KEPT:
+    * stream-final positions carry them, and the counted artifact needs
+    * them so both marginals are exact — o6 (pairs) sums over e3, o7
+    * (triples) drops null-lead rows. */
+  def eventTriples(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns").as("ns"))
+      .select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+  }
+
+  private val O6Sql =
+    """WITH t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events),
+      |p AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS dst
+      |  FROM t),
+      |c AS (
+      |  SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, n,
+      |  (1000000 * n) // sum(n) OVER (PARTITION BY src) AS p_next_ppm
+      |FROM c ORDER BY src, dst""".stripMargin
+
+  private val O7Sql =
+    """WITH t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events),
+      |p AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS e3
+      |  FROM t)
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- A1/A5: group-by aggregation (pricing summary, TPC-H Q1-ish) -----
@@ -311,23 +350,32 @@ object RelationalQueries {
     // the corpus. Ordering ties break on event_id (deterministic); the
     // probability ships as exact truncated ppm (two BIGINTs, integer
     // division — no float op in the emitted row).
-    "o6_transitions" -> QueryDef.sql(
-      """WITH t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events),
-        |p AS (
-        |  SELECT event_type AS src,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS dst
-        |  FROM t),
-        |c AS (
-        |  SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
-        |SELECT src, dst, n,
-        |  (1000000 * n) // sum(n) OVER (PARTITION BY src) AS p_next_ppm
-        |FROM c ORDER BY src, dst""".stripMargin) { (s, d) =>
+    "o6_transitions" -> QueryDef.sql(O6Sql) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
       val counts = events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns").as("ns"))
         .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
         .filter(col("dst").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("src_total", sum(col("n")).over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("n"),
+          expr("(1000000L * n) div src_total").as("p_next_ppm"))
+        .orderBy("src", "dst")
+    },
+
+    // ----- O6 stored: transition matrix served from the event store -----
+    // Same oracle as o6_transitions; reads the persisted counted triple
+    // table instead of re-running the per-user lead window over the raw
+    // events table. The pair marginal sums over e3 (null e3 rows are the
+    // stream-tail pairs — kept in the artifact precisely so this
+    // marginal is exact). Every stage here is event-type² bounded; the
+    // only remaining window partitions by src (taxonomy-sized groups).
+    "o6_transitions_stored" -> QueryDef.sql(O6Sql) { (s, d) =>
+      val counts = SignatureStore.ensureEventTransitions(s, d)
+        .filter(col("e2").isNotNull)
+        .select(col("e1").as("src"), col("e2").as("dst"), col("n"))
+        .groupBy("src", "dst").agg(sum("n").as("n"))
       counts
         .withColumn("src_total", sum(col("n")).over(Window.partitionBy("src")))
         .select(col("src"), col("dst"), col("n"),
@@ -343,25 +391,25 @@ object RelationalQueries {
     // map-side-combinable count on path strings (event_type³ bounded),
     // and a TakeOrderedAndProject top-k — no global sort materializes.
     // Tiebreak on the path string keeps the cut deterministic.
-    "o7_top_paths" -> QueryDef.sql(
-      """WITH t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events),
-        |p AS (
-        |  SELECT event_type AS e1,
-        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS e2,
-        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS e3
-        |  FROM t)
-        |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
-        |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
-      events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns").as("ns"))
-        .select(col("event_type").as("e1"),
-          lead(col("event_type"), 1).over(w).as("e2"),
-          lead(col("event_type"), 2).over(w).as("e3"))
+    "o7_top_paths" -> QueryDef.sql(O7Sql) { (s, d) =>
+      eventTriples(s, d)
         .filter(col("e2").isNotNull && col("e3").isNotNull)
         .select(concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+
+    // ----- O7 stored: top paths served from the event store -----
+    // Same oracle as o7_top_paths; the triple filter + path count run
+    // over the taxonomy³-bounded counted artifact — the raw events table
+    // and its user-keyed window are never touched after the store build.
+    "o7_top_paths_stored" -> QueryDef.sql(O7Sql) { (s, d) =>
+      SignatureStore.ensureEventTransitions(s, d)
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"),
+          col("n"))
+        .groupBy("path").agg(sum("n").as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     },

@@ -355,6 +355,31 @@ object SignatureStore {
     readSpans(spark, base)
   }
 
+  def eventTransitionsDir(base: String) = s"$base/event_transitions"
+
+  /** Persisted counted event-transition triples (e1, e2, e3, n) for
+    * `sfDir`, building on first use. The build runs the user-keyed lead
+    * window ONCE — the only expensive shuffle `o6_transitions` /
+    * `o7_top_paths` contain — and collapses to event-type³ cardinality,
+    * taxonomy-bounded however big the corpus. Null e2/e3 rows (stream
+    * tails) are kept so every marginal is recoverable exactly: the
+    * transition matrix sums over e3, the path query drops null-lead
+    * rows. Same amortization contract as the rollup store
+    * ([[graft.streaming.EventStream]] `maintainWindowCounts`): serve the
+    * taxonomy-sized analytics from the artifact, never re-shuffle the
+    * corpus. */
+  def ensureEventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${eventTransitionsDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      RelationalQueries.eventTriples(spark, sfDir)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(eventTransitionsDir(base))
+    spark.read.parquet(eventTransitionsDir(base))
+  }
+
   def bm25PostingsDir(base: String) = s"$base/bm25_postings"
   def bm25DoclensDir(base: String) = s"$base/bm25_doclens"
 

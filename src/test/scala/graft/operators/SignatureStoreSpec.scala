@@ -41,6 +41,30 @@ class SignatureStoreSpec extends SparkFunSuite {
     assert(bands1 == bands2 && bands1 > 0)
   }
 
+  test("event-transition store serves o6/o7 bit-identically and never rescans events") {
+    for (name <- Seq("o6_transitions", "o7_top_paths")) {
+      val live = RelationalQueries.defs(name).build(spark, sfDir)
+      val stored = RelationalQueries.defs(name + "_stored").build(spark, sfDir)
+      assert(stored.collect().sameElements(live.collect()),
+        s"$name stored twin must be bit-identical to live")
+      // the user-keyed lead window runs ONLY in the store build; the
+      // stored plan reads the taxonomy-bounded artifact and must carry
+      // neither a user_id window nor a raw events scan
+      val plan = stored.queryExecution.sparkPlan
+      val userWindows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.exists(_.toString.contains("user_id")) => w
+      }
+      assert(userWindows.isEmpty, s"$name stored plan re-windows users:\n$plan")
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.forall(
+        _.metadata.get("Location").forall(_.contains("event_transitions"))),
+        s"$name stored plan must scan only the transition artifact:\n$plan")
+    }
+  }
+
   test("a data-file-less stream subtree does not brick the store") {
     // Regression: a micro-batch where every doc was gated away leaves
     // minhash_bands_stream/ holding only _SUCCESS; reading it threw
