@@ -127,6 +127,14 @@ object Bench {
       .format("noop").mode("overwrite").save()
     operators.SignatureStore.ensureSpans(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    // line registry behind dedup_lines_stored (live build timed by
+    // dedup_lines) and the counted-triple artifact behind
+    // o6_transitions_stored / o7_top_paths_stored (the user-keyed
+    // window is timed live by o6/o7)
+    operators.SignatureStore.ensureLineRegistry(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    operators.SignatureStore.ensureEventTransitions(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
     // bm25 postings artifact behind bm25_search_stored (the live build is
     // timed by bm25_search)
     locally {

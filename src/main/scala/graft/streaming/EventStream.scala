@@ -267,6 +267,79 @@ object EventStream {
       .select(col("window_start"), col("event_type"),
         col("m.n").as("n"), col("m.total_value").as("total_value"))
 
+  case class TransEvent(user_id: Long, event_id: Long, event_type: String, ns: Long)
+  case class TransState(events: List[(Long, Long, String)])
+  case class TransOut(user_id: Long, e1: String, e2: Option[String], e3: Option[String], n: Long)
+
+  /** Streaming per-user transition triples — the streaming twin of the
+    * batch transition store
+    * ([[graft.operators.SignatureStore.ensureEventTransitions]]): each
+    * update emits the user's complete CURRENT (e1, lead1, lead2) counts,
+    * null leads kept, so the rolled-up store serves both the transition
+    * matrix (sum over e3) and top-paths (drop null leads) with the exact
+    * batch semantics. A LATE event lands BETWEEN two already-adjacent
+    * events and splits their pair, so state keeps the user's full
+    * (ns, event_id, type) list and re-chains on every update — the same
+    * re-chain-from-state discipline as [[funnelStages]], and what makes
+    * the result identical to the batch computation under ANY arrival
+    * order. Re-sent events dedup on (ns, event_id, type) before
+    * chaining, so epoch replay cannot double-count. State is O(events
+    * per user); production deployments bound it by horizon (evict
+    * beyond the watermark) as with the funnel state. */
+  def transitionTriples(events: Dataset[TransEvent]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[TransState]) =>
+          val all = (state.getOption.map(_.events).getOrElse(Nil) ++
+            rows.map(e => (e.ns, e.event_id, e.event_type)).toList)
+            .distinct.sortBy(t => (t._1, t._2))
+          state.update(TransState(all))
+          val types = all.map(_._3)
+          types.zipWithIndex
+            .map { case (t, i) => (t, types.lift(i + 1), types.lift(i + 2)) }
+            .groupBy(identity)
+            .map { case ((a, b, c), g) => TransOut(uid, a, b, c, g.size.toLong) }
+            .iterator
+      }
+  }
+
+  /** Incremental transition-store maintenance — the events-family twin
+    * of [[maintainWindowCounts]]: UPDATE-mode re-emissions of
+    * [[transitionTriples]] land batch_id-keyed in `storeDir`; a user's
+    * newest emission supersedes all older ones at read
+    * ([[readTransitionCounts]]), so a triple the user's corrected
+    * history no longer contains disappears instead of lingering. Same
+    * replay contract as every store: dynamic partition overwrite means
+    * a replayed epoch overwrites exactly its own partitions. */
+  def maintainTransitions(events: Dataset[TransEvent], storeDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    transitionTriples(events).toDF()
+      .writeStream.outputMode("update").foreachBatch {
+        (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(storeDir)
+      }
+
+  /** Corpus-wide counted triples (e1, e2, e3, n) from a
+    * [[maintainTransitions]] store — the same shape
+    * `ensureEventTransitions` persists, so the o6/o7 marginals read
+    * identically off either. Latest-wins PER USER (not per triple):
+    * only the user's newest emission contributes, then users sum. */
+  def readTransitionCounts(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val t = spark.read.parquet(storeDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val latest = t.groupBy("user_id").agg(max("batch_id").as("batch_id"))
+    t.join(latest, Seq("user_id", "batch_id"))
+      .groupBy("e1", "e2", "e3").agg(sum("n").as("n"))
+  }
+
   case class StageEvent(user_id: Long, event_type: String, us: Long)
   case class FunnelState(signups: List[Long], clicks: List[Long], purchases: List[Long])
   case class FunnelOut(user_id: Long, stage: Long,

@@ -317,6 +317,56 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("transition-store maintenance ≡ batch triples under late adjacency-splitting arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val dir = tmpDir("transstore")
+    val input = MemoryStream[EventStream.TransEvent]
+    val query = EventStream.maintainTransitions(input.toDS(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      def counts() = EventStream.readTransitionCounts(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))) -> r.getLong(3))
+        .toMap
+      def batchTruth(evs: Seq[EventStream.TransEvent]) = {
+        import spark.implicits._
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+        evs.toDF()
+          .select(col("event_type").as("e1"),
+            lead(col("event_type"), 1).over(w).as("e2"),
+            lead(col("event_type"), 2).over(w).as("e3"))
+          .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))) -> r.getLong(3))
+          .toMap
+      }
+      // user 1 arrives OUT OF ORDER across batches; user 2 in one batch
+      val b1 = Seq(
+        EventStream.TransEvent(1L, 10L, "view", 1000L),
+        EventStream.TransEvent(1L, 30L, "purchase", 3000L),
+        EventStream.TransEvent(2L, 40L, "signup", 500L))
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      assert(counts() == batchTruth(b1))
+
+      // the LATE event lands BETWEEN view and purchase: the (view,
+      // purchase) adjacency must split into (view, click) + (click,
+      // purchase), and every stale triple row must stop counting
+      val late = EventStream.TransEvent(1L, 20L, "click", 2000L)
+      input.addData(late)
+      query.processAllAvailable()
+      assert(counts() == batchTruth(b1 :+ late))
+      assert(!counts().contains(("view", Some("purchase"), None)),
+        "the split pair must not survive in the rolled-up store")
+
+      // an exact re-send must not double-count anything
+      input.addData(late)
+      query.processAllAvailable()
+      assert(counts() == batchTruth(b1 :+ late))
+    } finally query.stop()
+  }
+
   test("sessionize absorbs a late cross-batch event without splitting the session") {
     // Regression: absorbing a late event used to REWIND lastSeen, so a
     // later in-gap event measured its gap against the stale minimum and
