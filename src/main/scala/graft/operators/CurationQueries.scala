@@ -199,6 +199,70 @@ object CurationQueries {
       .select(col("doc_id"), coalesce(col("bucket"), lit(0L)).as("bucket"))
   }
 
+  /** The K=3 BPE training iterations as DuckDB CTEs (shared by
+    * `bpe_train_k3` and `bpe_encode`): wc0 is the length≥2 word
+    * vocabulary; each iteration k picks the argmax adjacent-symbol pair
+    * (tk) over the current segmentation and sentinel-replaces it
+    * (chr(k)) to produce the next (wck). */
+  private val BpeTrainCtes: String =
+    """w AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+      |wc0 AS (SELECT word AS sw, count(*) AS n FROM w WHERE length(word) >= 2 GROUP BY word),
+      |a1 AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
+      |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
+      |    FROM wc0 WHERE length(sw) >= 2) GROUP BY pair),
+      |t1 AS (SELECT pair AS mp, n_pair FROM a1 ORDER BY n_pair DESC, pair LIMIT 1),
+      |wc1 AS (SELECT replace(sw, (SELECT mp FROM t1), chr(1)) AS sw, n FROM wc0),
+      |a2 AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
+      |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
+      |    FROM wc1 WHERE length(sw) >= 2) GROUP BY pair),
+      |t2 AS (SELECT pair AS mp, n_pair FROM a2 ORDER BY n_pair DESC, pair LIMIT 1),
+      |wc2 AS (SELECT replace(sw, (SELECT mp FROM t2), chr(2)) AS sw, n FROM wc1),
+      |a3 AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
+      |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
+      |    FROM wc2 WHERE length(sw) >= 2) GROUP BY pair),
+      |t3 AS (SELECT pair AS mp, n_pair FROM a3 ORDER BY n_pair DESC, pair LIMIT 1)""".stripMargin
+
+  /** The K-merge BPE training driver loop shared by `bpe_train_k3` and
+    * `bpe_encode`: each iteration's argmax pair is a 1-ROW collect (the
+    * only driver traffic), and the re-segmented vocab is
+    * localCheckpoint'ed so iteration k+1 reads a materialized artifact
+    * instead of k stacked replaces over the lineage. Returns
+    * (rank, raw merge pair — may contain earlier chr(k) sentinels,
+    * pick-time count). */
+  def bpeTrainMerges(s: org.apache.spark.sql.SparkSession, d: String, kMax: Int)
+      : Seq[(Long, String, Long)] = {
+    var vocab = documents(s, d)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("sw"))
+      .filter(length(col("sw")) >= 2)
+      .groupBy("sw").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (k <- 1 to kMax) {
+      val top = vocab.filter(length(col("sw")) >= 2)
+        .select(
+          explode(expr("transform(sequence(1, length(sw)-1), i -> substring(sw, i, 2))")).as("pair"),
+          col("n"))
+        .groupBy("pair").agg(sum("n").as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair")).limit(1)
+        .collect()(0)
+      merges += ((k.toLong, top.getString(0), top.getLong(1)))
+      if (k < kMax)
+        // replace() is exactly BPE's greedy left-to-right
+        // non-overlapping application on both engines
+        vocab = vocab
+          .select(
+            org.apache.spark.sql.functions.replace(
+              col("sw"), lit(merges.last._2), lit(k.toChar.toString)).as("sw"),
+            col("n"))
+          .localCheckpoint()
+    }
+    merges.toSeq
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- benchmark decontamination: exact n-gram overlap vs an eval set -----
@@ -795,26 +859,7 @@ object CurationQueries {
     // lineage. K is a constant; nothing corpus-cardinality ever leaves
     // the executors after the first aggregate.
     "bpe_train_k3" -> QueryDef.sql(
-      """WITH w AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
-        |wc0 AS (SELECT word AS sw, count(*) AS n FROM w WHERE length(word) >= 2 GROUP BY word),
-        |a1 AS (
-        |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
-        |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
-        |    FROM wc0 WHERE length(sw) >= 2) GROUP BY pair),
-        |t1 AS (SELECT pair AS mp, n_pair FROM a1 ORDER BY n_pair DESC, pair LIMIT 1),
-        |wc1 AS (SELECT replace(sw, (SELECT mp FROM t1), chr(1)) AS sw, n FROM wc0),
-        |a2 AS (
-        |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
-        |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
-        |    FROM wc1 WHERE length(sw) >= 2) GROUP BY pair),
-        |t2 AS (SELECT pair AS mp, n_pair FROM a2 ORDER BY n_pair DESC, pair LIMIT 1),
-        |wc2 AS (SELECT replace(sw, (SELECT mp FROM t2), chr(2)) AS sw, n FROM wc1),
-        |a3 AS (
-        |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM (
-        |    SELECT unnest([substr(sw, i, 2) for i in generate_series(1, length(sw)-1)]) AS pair, n
-        |    FROM wc2 WHERE length(sw) >= 2) GROUP BY pair),
-        |t3 AS (SELECT pair AS mp, n_pair FROM a3 ORDER BY n_pair DESC, pair LIMIT 1),
+      s"""WITH $BpeTrainCtes,
         |m AS (
         |  SELECT 1 AS merge_rank, (SELECT mp FROM t1) AS raw, (SELECT n_pair FROM t1) AS n_pair
         |  UNION ALL
@@ -835,32 +880,7 @@ object CurationQueries {
         |  n_pair
         |FROM m ORDER BY merge_rank""".stripMargin) { (s, d) =>
       import s.implicits._
-      var vocab = documents(s, d)
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("sw"))
-        .filter(length(col("sw")) >= 2)
-        .groupBy("sw").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      for (k <- 1 to 3) {
-        // argmax pair over the current segmented vocab — a 1-row collect
-        val top = vocab.filter(length(col("sw")) >= 2)
-          .select(
-            explode(expr("transform(sequence(1, length(sw)-1), i -> substring(sw, i, 2))")).as("pair"),
-            col("n"))
-          .groupBy("pair").agg(sum("n").as("n_pair"))
-          .orderBy(col("n_pair").desc, col("pair")).limit(1)
-          .collect()(0)
-        merges += ((k.toLong, top.getString(0), top.getLong(1)))
-        if (k < 3)
-          // replace() is exactly BPE's greedy left-to-right
-          // non-overlapping application on both engines
-          vocab = vocab
-            .select(
-              org.apache.spark.sql.functions.replace(
-                col("sw"), lit(merges.last._2), lit(k.toChar.toString)).as("sw"),
-              col("n"))
-            .localCheckpoint()
-      }
+      val merges = bpeTrainMerges(s, d, 3)
       // spell the learned merges back to base characters (driver-side:
       // three 2-char strings). chr(2)'s expansion may itself contain
       // chr(1); chr(1)'s never contains a sentinel (picked first).
@@ -871,10 +891,48 @@ object CurationQueries {
         case '\u0002' => mp2Spelled
         case other    => other.toString
       }
-      merges.toSeq
+      merges
         .map { case (k, mp, np) => (k, spell(mp(0)) + "+" + spell(mp(1)), np) }
         .toDF("merge_rank", "pair", "n_pair")
         .orderBy("merge_rank")
+    },
+
+    // ----- BPE: encode documents with the learned merges -----
+    // The tokenizer APPLY step: re-train the K=3 merge table (same
+    // driver loop as bpe_train_k3), apply the merges in learned order
+    // to each document's normalized text, and report per-document
+    // symbol counts before/after — the compression statistic a
+    // tokenizer run is judged by. Applying replace() to the WHOLE
+    // normalized text is exact: merge pairs never contain whitespace,
+    // so no match can span a word boundary, and later merges may
+    // contain earlier sentinels exactly as in vocab space. Scale
+    // shape: training traffic is the loop's three 1-row collects;
+    // encoding is a stateless per-row projection (three literal
+    // replaces + two lengths) pipelined into the scan.
+    "bpe_encode" -> QueryDef.sql(
+      s"""WITH $BpeTrainCtes,
+        |enc AS (
+        |  SELECT doc_id, trim(lower(text)) AS t,
+        |    replace(replace(replace(trim(lower(text)),
+        |      (SELECT mp FROM t1), chr(1)),
+        |      (SELECT mp FROM t2), chr(2)),
+        |      (SELECT mp FROM t3), chr(3)) AS seg
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(seg, '\\s+', '', 'g')) AS BIGINT) AS n_symbols
+        |FROM enc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val merges = bpeTrainMerges(s, d, 3)
+      val t = trim(lower(col("text")))
+      val seg = merges.foldLeft(t) { case (c, (k, mp, _)) =>
+        org.apache.spark.sql.functions.replace(c, lit(mp), lit(k.toInt.toChar.toString))
+      }
+      documents(s, d)
+        .select(col("doc_id"), t.as("t"), seg.as("seg"))
+        .select(col("doc_id"),
+          length(regexp_replace(col("t"), "\\s+", "")).cast("long").as("n_chars"),
+          length(regexp_replace(col("seg"), "\\s+", "")).cast("long").as("n_symbols"))
+        .orderBy("doc_id")
     },
 
     // ----- fuzzy decontamination: minhash bands vs the eval set -----
