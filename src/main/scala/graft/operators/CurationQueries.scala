@@ -1210,6 +1210,56 @@ object CurationQueries {
         .orderBy("split")
     },
 
+    // ----- DSIR-style hashed importance weights for targeted sampling -----
+    // Data Selection via Importance Resampling (Xie et al. 2023) adapted
+    // to integer arithmetic: score every raw document by how much its
+    // token distribution resembles a TARGET slice (here lang='en'),
+    // using hashed features — each token is bucketed by md5 into a FIXED
+    // 1024-slot table (the same '0x'||hex ⇄ conv() parity trick as the
+    // minhash family), and per-bucket target/raw frequencies are
+    // compressed to integer log₂ buckets (length(bin(n)) =
+    // ⌊log₂ n⌋ + 1, the text_lm_score discipline). A document's weight
+    // is Σ_tokens (bucket_target − bucket_raw) — the log-likelihood
+    // ratio of DSIR at log₂ granularity, exact in int64, order-free,
+    // no engine-defined rounding anywhere. Scale shape: both frequency
+    // tables are EXACTLY ≤1024 rows by construction (broadcast is
+    // unconditionally safe — bounded by the hash range, not the
+    // corpus); the token stream joins them map-side and the only
+    // shuffle is the per-document partial-aggregated sum.
+    "importance_weights" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tb AS (SELECT doc_id, lang,
+        |         ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS b FROM tok),
+        |rc AS (SELECT b, CAST(length(bin(count(*))) AS BIGINT) AS b_raw FROM tb GROUP BY b),
+        |tc AS (SELECT b, CAST(length(bin(count(*))) AS BIGINT) AS b_tgt
+        |       FROM tb WHERE lang = 'en' GROUP BY b),
+        |sc AS (SELECT t.doc_id, coalesce(tc.b_tgt, 0) - rc.b_raw AS s
+        |       FROM tb t JOIN rc USING (b) LEFT JOIN tc USING (b))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(s) AS BIGINT) AS dsir_weight
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // localCheckpoint: the bucketed token stream feeds both frequency
+      // tables and the scoring join — materialize the explode+md5 once.
+      val tb = TextQueries.spread(documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+            .cast("long") % 1024).as("b"))
+        .localCheckpoint()
+      val rc = tb.groupBy("b").agg(length(bin(count(lit(1)))).cast("long").as("b_raw"))
+      val tc = tb.filter(col("lang") === "en")
+        .groupBy("b").agg(length(bin(count(lit(1)))).cast("long").as("b_tgt"))
+      tb.join(broadcast(rc), Seq("b"))
+        .join(broadcast(tc), Seq("b"), "left")
+        .select(col("doc_id"), (coalesce(col("b_tgt"), lit(0L)) - col("b_raw")).as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"), sum("s").cast("long").as("dsir_weight"))
+        .orderBy("doc_id")
+    },
+
     // ----- dataset card: the one-row release-audit summary -----
     // What goes in the dataset card every corpus release publishes:
     // volume, exact-dup rate, stratum counts, and a language-diversity

@@ -723,6 +723,52 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- quality-aware canonical selection per near-dup cluster -----
+    // The refinement every production dedup ships after min-id
+    // canonicalization (Lee et al. 2022 keep one-per-cluster): keep the
+    // BEST document of each cluster — here longest-by-tokens, doc_id
+    // tiebreak — not the arbitrary smallest id. Cluster assignments come
+    // from the persisted store ([[SignatureStore.ensureClusters]], the
+    // fixpoint is never recomputed); the pick is a keyed window
+    // (cluster-cardinality partitions — bounded clique sizes, never a
+    // global sort), so the whole query is one store read + one
+    // token-count scan + one keyed shuffle.
+    "dedup_keep_best" -> QueryDef.sql(
+      s"""WITH $MinhashBandsCte,
+         |cand AS (
+         |  $BandedPairsSelect),
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id),
+         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |toks AS (SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |pick AS (
+         |  SELECT c.cluster_id, c.doc_id, t.n_tokens,
+         |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY t.n_tokens DESC, c.doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
+         |  FROM clusters c JOIN toks t ON t.doc_id = c.doc_id)
+         |SELECT cluster_id, doc_id AS kept_doc_id, n_tokens AS kept_n_tokens, cluster_size
+         |FROM pick WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("cluster_id")
+      val assigned = graft.operators.SignatureStore.ensureClusters(s, d)
+        .join(toks, Seq("doc_id"))
+      assigned
+        .withColumn("rn", row_number().over(w.orderBy(col("n_tokens").desc, col("doc_id"))))
+        .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+          col("n_tokens").as("kept_n_tokens"), col("cluster_size"))
+        .orderBy("cluster_id")
+    },
+
     // ----- end-to-end corpus curation: the pipeline composition -----
     // What a training-data run actually executes: keep only canonical
     // near-dup survivors (CC over the LSH graph), apply a quality gate
@@ -990,6 +1036,68 @@ object TextQueries {
             / size(col("toks"))).as("avg_token_len"),
           (expr("size(filter(toks, x -> x IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is')))").cast("double")
             / size(col("toks"))).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ----- Gopher rule battery: the full document-quality gate -----
+    // The Rae et al. 2021 (Gopher, §A1.1) quality-filter rule set as ONE
+    // per-document projection: word count in range, mean word length in
+    // [3,10], ≥2 stopwords, ≥80% alphabetic tokens, top-bigram share
+    // ≤20% — each rule an INTEGER comparison (3·n ≤ Σlen, 5·alpha ≥ 4·n,
+    // 5·max_rep ≤ n_bigrams), so no ratio is ever emitted or compared in
+    // double and no engine-defined rounding tie can exist. Spark computes
+    // the repetition member per row with the native codegen
+    // max_bigram_run (the oracle's explode→groupBy is DuckDB-only): the
+    // whole battery is a stateless map-only stage — at 100 TB the gate
+    // runs in the scan, nothing shuffles.
+    "gopher_rules" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |st AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS sum_token_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is'))) AS BIGINT) AS n_stop,
+        |  CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS n_alpha
+        |FROM t),
+        |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS bigram
+        |       FROM t WHERE len(toks) >= 2),
+        |mx AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep
+        |       FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id),
+        |r AS (SELECT s.doc_id, s.n_tokens, s.sum_token_len, s.n_stop, s.n_alpha,
+        |  coalesce(m.max_rep, 0) AS max_rep,
+        |  CAST(s.n_tokens BETWEEN 20 AND 80 AS BIGINT) AS r_wordcount,
+        |  CAST(3 * s.n_tokens <= s.sum_token_len AND s.sum_token_len <= 10 * s.n_tokens AS BIGINT) AS r_meanlen,
+        |  CAST(s.n_stop >= 2 AS BIGINT) AS r_stopwords,
+        |  CAST(5 * s.n_alpha >= 4 * s.n_tokens AS BIGINT) AS r_alpha,
+        |  CAST(s.n_tokens < 2 OR 5 * coalesce(m.max_rep, 0) <= s.n_tokens - 1 AS BIGINT) AS r_repetition
+        |FROM st s LEFT JOIN mx m USING (doc_id))
+        |SELECT doc_id, n_tokens, sum_token_len, n_stop, n_alpha, max_rep,
+        |  r_wordcount, r_meanlen, r_stopwords, r_alpha, r_repetition,
+        |  r_wordcount * r_meanlen * r_stopwords * r_alpha * r_repetition AS keep
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      spread(documents(s, d))
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr("aggregate(transform(toks, x -> length(x)), 0L, (acc, x) -> acc + x)")
+            .as("sum_token_len"),
+          expr("size(filter(toks, x -> x IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is')))")
+            .cast("long").as("n_stop"),
+          expr("size(filter(toks, x -> x rlike '^[a-z]+$'))").cast("long").as("n_alpha"),
+          when(size(col("toks")) >= 2, maxBigramRun(col("toks"))).otherwise(0L).as("max_rep"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("sum_token_len"), col("n_stop"),
+          col("n_alpha"), col("max_rep"),
+          (col("n_tokens") >= 20 && col("n_tokens") <= 80).cast("long").as("r_wordcount"),
+          (lit(3) * col("n_tokens") <= col("sum_token_len") &&
+            col("sum_token_len") <= lit(10) * col("n_tokens")).cast("long").as("r_meanlen"),
+          (col("n_stop") >= 2).cast("long").as("r_stopwords"),
+          (lit(5) * col("n_alpha") >= lit(4) * col("n_tokens")).cast("long").as("r_alpha"),
+          (col("n_tokens") < 2 ||
+            lit(5) * col("max_rep") <= col("n_tokens") - 1).cast("long").as("r_repetition"))
+        .withColumn("keep",
+          col("r_wordcount") * col("r_meanlen") * col("r_stopwords") *
+            col("r_alpha") * col("r_repetition"))
         .orderBy("doc_id")
     },
 

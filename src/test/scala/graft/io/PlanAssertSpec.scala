@@ -275,6 +275,54 @@ class PlanAssertSpec extends SparkFunSuite {
       s"pipeline must stay on hash/broadcast joins:\n$planStr")
   }
 
+  test("gopher_rules is a pure map stage: the whole rule battery runs in the scan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.TextQueries.defs("gopher_rules").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(aggs.isEmpty && joins.isEmpty,
+      s"all five rules must be per-row projections (no shuffle before the sort):\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("importance_weights joins its 1024-slot frequency tables by broadcast only") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.CurationQueries.defs("importance_weights").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"the bounded bucket tables must broadcast — the token stream never shuffles by token:\n$plan")
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"no global window in the scoring plan:\n$plan")
+  }
+
+  test("dedup_keep_best picks per cluster with a keyed window over the persisted store") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.TextQueries.defs("dedup_keep_best").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"the argmax must be cluster-keyed, never a global sort:\n$plan")
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans(plan).exists(_.contains("clusters")),
+      s"cluster assignments must come from the persisted store:\n${scans(plan).mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
