@@ -964,6 +964,75 @@ object CurationQueries {
         .orderBy("train_doc", "eval_doc")
     },
 
+    // ----- decontamination report: per-source contamination rates -----
+    // The audit a release ships next to its decontamination pass: per
+    // source, how many train documents the exact 12-gram check and the
+    // fuzzy minhash check each flag, as counts and ppm rates — the view
+    // that localizes a leaking crawl source (one source spiking means a
+    // mirrored benchmark dump, corpus-wide rates mean template overlap).
+    // Both flag sets are exactly the gate queries' semantics (shared
+    // `decontaminate` helper; band store, never a text re-hash); the
+    // flags attach by doc_id equi-join and the rollup is
+    // source-cardinality. Rates are integer ppm — no double divide.
+    "decontamination_report" -> QueryDef.sql(
+      s"""WITH ${graft.operators.TextQueries.MinhashBandsCte},
+         |evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+         |trn AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         |esh AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+         |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+         |  FROM evald)),
+         |tsh AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+         |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+         |  FROM trn)),
+         |ex AS (SELECT DISTINCT train_doc FROM (
+         |  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc
+         |  FROM tsh t JOIN esh e ON t.h = e.h
+         |  GROUP BY 1, 2 HAVING count(*) >= 20)),
+         |fz AS (SELECT DISTINCT t.doc_id AS train_doc
+         |  FROM bands t JOIN bands e ON t.band = e.band AND t.key = e.key
+         |  WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0 AND e.doc_id < 10000),
+         |base AS (SELECT doc_id, source FROM documents
+         |         WHERE doc_id % 97 <> 0 AND source IS NOT NULL)
+         |SELECT b.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ex.train_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN fz.train_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+         |  (1000000 * sum(CASE WHEN ex.train_doc IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS exact_ppm,
+         |  (1000000 * sum(CASE WHEN fz.train_doc IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS fuzzy_ppm
+         |FROM base b
+         |LEFT JOIN ex ON ex.train_doc = b.doc_id
+         |LEFT JOIN fz ON fz.train_doc = b.doc_id
+         |GROUP BY b.source ORDER BY b.source""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val evalD = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val exact = decontaminate(train, evalD, minShared = 20)
+        .select(col("train_doc")).distinct()
+      val bands = graft.operators.SignatureStore.ensureMinhashBands(s, d)
+      // eval band side is bounded by the FIXED eval set → broadcast
+      val evalB = bands.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select(col("band"), col("key"))
+      val fuzzy = bands.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("band"), col("key"))
+        .join(broadcast(evalB), Seq("band", "key"))
+        .select("train_doc").distinct()
+      train.filter(col("source").isNotNull).select(col("doc_id"), col("source"))
+        .join(exact.withColumnRenamed("train_doc", "doc_id")
+          .withColumn("is_ex", lit(1L)), Seq("doc_id"), "left")
+        .join(fuzzy.withColumnRenamed("train_doc", "doc_id")
+          .withColumn("is_fz", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_ex"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("is_fz"), lit(0L))).as("n_fuzzy"))
+        .select(col("source"), col("n_docs"), col("n_exact"), col("n_fuzzy"),
+          expr("(1000000L * n_exact) div n_docs").as("exact_ppm"),
+          expr("(1000000L * n_fuzzy) div n_docs").as("fuzzy_ppm"))
+        .orderBy("source")
+    },
+
     // ----- length-bucketed batching report (padding efficiency) -----
     // The alternative to concat-packing (pack_sequences): batch docs of
     // similar length together and pad to the bucket cap — simpler

@@ -476,6 +476,74 @@ object TextQueries {
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
+  /** The exact-Jaccard-over-candidates statement (12-gram sets, 2-hash
+    * candidate key), shared by `dedup_ngram_jaccard` (raw pairs) and
+    * `lsh_jaccard_calibration` (the precision histogram over the same
+    * pairs). */
+  private val NgramJaccardBase: String =
+    """WITH sh0 AS (
+      |  SELECT doc_id,
+      |    unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |sig AS (SELECT doc_id, min(md5(shingle)) AS s1, min(md5('x' || shingle)) AS s2
+      |        FROM sh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT i.doc_a, i.doc_b,
+      |  (1000000 * i.i) // (sa.n + sb.n - i.i) AS jaccard_ppm
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin
+
+  /** Spark side of [[NgramJaccardBase]]: (doc_a, doc_b, jaccard_ppm). */
+  private def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    // 12-gram shingles + a 2-hash band key: with a narrow synthetic
+    // vocabulary, single 5-gram minhash buckets are enormous (1.3M
+    // pairs at sf0.1); 12-gram × 2 hashes yields ~2k real candidates.
+    // ONE groupBy produces the per-doc shingle SET (sorted array), its
+    // size, and the 2-hash band key together — the exact |A∩B| then
+    // runs as array_intersect on candidate pairs only. This replaces
+    // the former (doc_b, shingle)-keyed join that re-shuffled every
+    // exploded shingle row (the benched 8 s hot spot): the only wide
+    // shuffle left is the compacted one-row-per-doc set table, and the
+    // candidate join is broadcast-sized. Set payloads are bounded by
+    // document size, so the shape holds at 100 TB.
+    val sh = spread(documents(s, d))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"), col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
+    // localCheckpoint: docSets feeds FOUR consumers (both candidate
+    // join sides, both set-attach joins); without it the corpus-wide
+    // shingle explode + collect_set aggregation re-runs per consumer
+    // (measured: the two agg stages dominated the query at local[32]).
+    val docSets = sh.groupBy(col("doc_id")).agg(
+      sort_array(collect_set(col("shingle"))).as("shs"),
+      min(md5(col("shingle").cast("binary"))).as("s1"),
+      min(md5(concat(lit("x"), col("shingle")).cast("binary"))).as("s2"))
+      .localCheckpoint()
+    val cand = docSets.select(col("doc_id").as("doc_a"), col("s1"), col("s2"))
+      .join(docSets.select(col("doc_id").as("doc_b"), col("s1"), col("s2")), Seq("s1", "s2"))
+      .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("i"),
+        size(col("shs_a")).cast("long").as("na"), size(col("shs_b")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(1000000L * i) div (na + nb - i)").as("jaccard_ppm"))
+  }
+
   /** The line-dedup oracle, shared verbatim by the live and stored
     * queries — the stored path must be bit-identical to the live window
     * semantics this SQL defines. */
@@ -652,6 +720,50 @@ object TextQueries {
         .orderBy("bucket")
     },
 
+    // ----- vocabulary-growth curve (Heaps' law profile) -----
+    // How fast does the type vocabulary grow as the corpus is ingested
+    // in doc_id order? Per ingestion decile: BIGRAM types whose FIRST
+    // occurrence falls in that decile, plus the cumulative vocabulary —
+    // the curve that sizes tokenizer vocabularies and predicts how much
+    // new text still adds new types (bigram types, because Heaps'
+    // sublinearity only shows above the base-vocabulary saturation
+    // point; unigrams saturate in the first slice of any real corpus).
+    // First occurrence is a min-aggregate per type (map-side combinable,
+    // vocab-cardinality output); the decile histogram and its running
+    // sum act on ≤10 rows — that window is bounded by construction,
+    // never corpus-cardinality.
+    "vocab_growth" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS g
+        |       FROM t WHERE len(toks) >= 2),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM bg GROUP BY g),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |d AS (SELECT (10 * first_doc) // n_docs AS decile FROM f CROSS JOIN n),
+        |h AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_types FROM d GROUP BY decile)
+        |SELECT CAST(decile AS BIGINT) AS decile, new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab
+        |FROM h ORDER BY decile""".stripMargin) { (s, d) =>
+      val bg = spread(documents(s, d))
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("g"))
+      val first = bg.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val nDocs = documents(s, d).select(count(lit(1)).as("n_docs"))
+      val hist = first.crossJoin(broadcast(nDocs))
+        .select(expr("(10 * first_doc) div n_docs").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_types"))
+      // ≤10 rows from here on: the unpartitioned running sum is bounded
+      // by construction, not corpus-dependent.
+      hist
+        .withColumn("cum_vocab",
+          sum("new_types").over(Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile").cast("long").as("decile"), col("new_types"),
+          col("cum_vocab").cast("long").as("cum_vocab"))
+        .orderBy("decile")
+    },
+
     // ----- per-source length quantiles: the corpus profiling report -----
     // What a mixture designer reads before setting rates: exact
     // p50/p90/p99 token-count quantiles per source. Exactness is
@@ -824,65 +936,30 @@ object TextQueries {
     // generation stays sub-quadratic, the quadratic exact compare never
     // touches non-candidates (the LSH pattern end-to-end).
     "dedup_ngram_jaccard" -> QueryDef.sql(
-      """WITH sh0 AS (
-        |  SELECT doc_id,
-        |    unnest([substr(text, i, 12) for i in generate_series(1, greatest(length(text)-11, 1))]) AS shingle
-        |  FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |sig AS (SELECT doc_id, min(md5(shingle)) AS s1, min(md5('x' || shingle)) AS s2
-        |        FROM sh GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sig a JOIN sig b ON a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-        |  FROM cand c
-        |  JOIN sh a ON a.doc_id = c.doc_a
-        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        |  GROUP BY c.doc_a, c.doc_b)
-        |SELECT i.doc_a, i.doc_b,
-        |  (1000000 * i.i) // (sa.n + sb.n - i.i) AS jaccard_ppm
-        |FROM inter i
-        |JOIN sizes sa ON sa.doc_id = i.doc_a
-        |JOIN sizes sb ON sb.doc_id = i.doc_b
-        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // 12-gram shingles + a 2-hash band key: with a narrow synthetic
-      // vocabulary, single 5-gram minhash buckets are enormous (1.3M
-      // pairs at sf0.1); 12-gram × 2 hashes yields ~2k real candidates.
-      // ONE groupBy produces the per-doc shingle SET (sorted array), its
-      // size, and the 2-hash band key together — the exact |A∩B| then
-      // runs as array_intersect on candidate pairs only. This replaces
-      // the former (doc_b, shingle)-keyed join that re-shuffled every
-      // exploded shingle row (the benched 8 s hot spot): the only wide
-      // shuffle left is the compacted one-row-per-doc set table, and the
-      // candidate join is broadcast-sized. Set payloads are bounded by
-      // document size, so the shape holds at 100 TB.
-      val sh = spread(documents(s, d))
-        .select(col("doc_id"),
-          explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"), col("text"))
-        .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
-      // localCheckpoint: docSets feeds FOUR consumers (both candidate
-      // join sides, both set-attach joins); without it the corpus-wide
-      // shingle explode + collect_set aggregation re-runs per consumer
-      // (measured: the two agg stages dominated the query at local[32]).
-      val docSets = sh.groupBy(col("doc_id")).agg(
-        sort_array(collect_set(col("shingle"))).as("shs"),
-        min(md5(col("shingle").cast("binary"))).as("s1"),
-        min(md5(concat(lit("x"), col("shingle")).cast("binary"))).as("s2"))
-        .localCheckpoint()
-      val cand = docSets.select(col("doc_id").as("doc_a"), col("s1"), col("s2"))
-        .join(docSets.select(col("doc_id").as("doc_b"), col("s1"), col("s2")), Seq("s1", "s2"))
-        .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
-      cand
-        .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
-        .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("i"),
-          size(col("shs_a")).cast("long").as("na"), size(col("shs_b")).cast("long").as("nb"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("(1000000L * i) div (na + nb - i)").as("jaccard_ppm"))
-        .orderBy("doc_a", "doc_b")
+      s"$NgramJaccardBase\nORDER BY doc_a, doc_b") { (s, d) =>
+      ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // ----- LSH precision calibration: exact-Jaccard histogram -----
+    // The dedup-QA companion of cluster_size_histogram: over the SAME
+    // candidate pairs the sketch emits, how similar are the documents
+    // REALLY? Decile histogram of exact 12-gram Jaccard (ppm) — a
+    // left-heavy histogram means the banding scheme wastes exact-compare
+    // work on dissimilar pairs (add hashes / widen bands); a right-heavy
+    // one means it is safe to tighten. Output is ≤ 11 rows whatever the
+    // corpus; all arithmetic is the shared integer-ppm chain.
+    "lsh_jaccard_calibration" -> QueryDef.sql(
+      s"""WITH j AS (
+         |$NgramJaccardBase)
+         |SELECT jaccard_ppm // 100000 AS decile, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(min(jaccard_ppm) AS BIGINT) AS min_ppm, CAST(max(jaccard_ppm) AS BIGINT) AS max_ppm
+         |FROM j GROUP BY 1 ORDER BY decile""".stripMargin) { (s, d) =>
+      ngramJaccardPairs(s, d)
+        .select(expr("jaccard_ppm div 100000L").as("decile"), col("jaccard_ppm"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("jaccard_ppm").as("min_ppm"), max("jaccard_ppm").as("max_ppm"))
+        .orderBy("decile")
     },
 
     // ----- simhash near-dup (60-bit, 4×15 bands, hamming ≤ 3) -----
