@@ -1096,6 +1096,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- tokenizer fertility by language -----
+    // The tokenizer-fairness audit (Rust et al. 2021 "fertility"):
+    // BPE-ish tokens per whitespace word, per language — a language
+    // whose fertility runs high pays more sequence length for the same
+    // content, which skews both training mixture and inference cost.
+    // Ratio emitted as integer ppm over per-lang BIGINT sums (no double
+    // divide); stateless projection + lang-cardinality aggregate.
+    "tokenizer_fertility" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]')) AS BIGINT) AS bpe
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens, CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  (1000000 * sum(bpe)) // sum(ws) AS fertility_ppm
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .filter(col("lang").isNotNull)
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"))
+            .cast("long").as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          expr("(1000000L * bpe_tokens) div ws_tokens").as("fertility_ppm"))
+        .orderBy("lang")
+    },
+
     // ----- quality scoring: token stats + stopword ratio -----
     "text_quality" -> QueryDef.sql(
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)

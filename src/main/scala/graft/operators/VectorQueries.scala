@@ -358,6 +358,34 @@ object VectorQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ----- embedding norm audit: log2 histogram of squared norms -----
+    // The sanity gate an embedding pipeline runs before indexing:
+    // zero/collapsed vectors (failed encodes) and exploding norms
+    // (un-normalized checkpoints) both surface as outlier buckets here,
+    // and ANN cosine quality silently degrades on either. Squared norm
+    // is the codegen'd `dot_f32(e, e)` (sequential double fold ≡ DuckDB
+    // list_dot_product — the family's established bit-parity), scaled
+    // and FLOORED to an exact BIGINT (floor has no tie surface; a
+    // straight CAST would round half-even in DuckDB but truncate in
+    // Spark), then log2-bucketed with pure integer arithmetic. One
+    // stateless projection + one bounded aggregate (≤64 buckets).
+    "embedding_norm_audit" -> QueryDef.sql(
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    CAST(floor(1000000 * list_dot_product(embedding, embedding)) AS BIGINT) AS sn
+        |  FROM embeddings)
+        |SELECT CAST(length(bin(sn + 1)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs, min(sn) AS min_sn, max(sn) AS max_sn
+        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.functions.DotF32.dot_f32
+      embeddings(s, d)
+        .select(col("vec_id"),
+          floor(dot_f32(col("embedding"), col("embedding")) * 1000000).cast("long").as("sn"))
+        .groupBy(length(bin(col("sn") + 1)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vecs"), min("sn").as("min_sn"), max("sn").as("max_sn"))
+        .orderBy("bucket")
+    },
+
     // ----- brute-force cosine top-k (k=3) for a query subset -----
     "ann_topk_bruteforce" -> QueryDef.sql(
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
