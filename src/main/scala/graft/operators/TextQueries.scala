@@ -627,6 +627,60 @@ object TextQueries {
       reassembleKeptLines(flagged)
     },
 
+    // ----- boilerplate line report: corpus-recurring lines, per source -----
+    // The CCNet/RefinedWeb boilerplate audit: a line occurring in ≥3
+    // DISTINCT documents corpus-wide is template text (nav bars, footers,
+    // license blurbs), not content — dedup_lines removes the copies, this
+    // query measures how much of each source IS template before deciding
+    // to strip. Boilerplate is defined corpus-wide (site templates cross
+    // the source partition) and attributed per source. Scale shape: the
+    // same linesOf map stage as the dedup family (recomputed, not
+    // checkpointed — a stateless projection is cheaper than materializing
+    // a corpus-sized line table twice), one fp-keyed count shuffle, and
+    // an fp equi-join of the occurrence scan against the threshold-
+    // filtered fp set — the duplicated-lines sliver, corpus-growing, so
+    // deliberately NOT broadcast. Only md5 fingerprints shuffle.
+    "boilerplate_report" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |x AS (SELECT doc_id, toks, n, unnest(generate_series(0, (n - 1) // 10)) AS k FROM n),
+        |lines AS (
+        |  SELECT doc_id, k AS line_idx,
+        |    array_to_string(toks[CAST(1 + 10 * k AS INT):CAST(least(10 * k + 10, n) AS INT)], ' ') AS line
+        |  FROM x),
+        |lf AS (SELECT doc_id, md5(line) AS fp FROM lines),
+        |c AS (SELECT fp, count(*) AS n_docs FROM (SELECT DISTINCT doc_id, fp FROM lf) GROUP BY fp),
+        |b AS (SELECT fp FROM c WHERE n_docs >= 3),
+        |occ AS (SELECT s.source, lf.doc_id, lf.fp, (lf.fp IN (SELECT fp FROM b)) AS is_b
+        |        FROM lf JOIN documents s USING (doc_id))
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_line_occurrences,
+        |  CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_boilerplate_hits,
+        |  CAST(count(DISTINCT doc_id) FILTER (WHERE is_b) AS BIGINT) AS docs_affected,
+        |  (1000000 * count(*) FILTER (WHERE is_b)) // count(*) AS boilerplate_ppm
+        |FROM occ GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val lineFps = linesOf(docs)
+        .select(col("doc_id"), md5(col("line").cast("binary")).as("fp"))
+      val boiler = lineFps.distinct()
+        .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .select(col("fp"), lit(true).as("is_b"))
+      lineFps
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .join(boiler, Seq("fp"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_line_occurrences"),
+          count(when(col("is_b"), 1)).as("n_boilerplate_hits"),
+          count_distinct(when(col("is_b"), col("doc_id"))).as("docs_affected"))
+        .select(col("source"), col("n_line_occurrences"), col("n_boilerplate_hits"),
+          col("docs_affected"),
+          expr("(1000000L * n_boilerplate_hits) div n_line_occurrences").as("boilerplate_ppm"))
+        .orderBy("source")
+    },
+
     // ----- minhash (k=1) near-dup candidates: min 5-gram hash signature -----
     "dedup_minhash_candidates" -> QueryDef.sql(
       """WITH sig AS (

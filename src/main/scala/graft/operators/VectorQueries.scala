@@ -453,6 +453,45 @@ object VectorQueries {
         .orderBy("qid", "cid")
     },
 
+    // ----- IVF index-balance audit: cell occupancy + share -----
+    // The index-health check run before trusting IVF recall numbers: a
+    // cell holding a large share of the corpus means probes scan far more
+    // candidates than nlist/nprobe predicts (recall is fine, latency
+    // isn't), and near-empty cells mean wasted centroids — both call for
+    // re-training the coarse quantizer. Reads the PERSISTED assignment
+    // artifact (never re-derives the 16×-corpus assignment dots), one
+    // centroid-bounded aggregate (≤16 rows); the total for the share
+    // ratio comes from a broadcast 1-row re-aggregate of the eagerly
+    // localCheckpoint'ed occupancy table, not a single-partition window.
+    // Share emitted as integer ppm (exact on both engines).
+    "ivf_occupancy" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |occ AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs FROM assign GROUP BY cent_id)
+        |SELECT cent_id, n_vecs,
+        |  (1000000 * n_vecs) // (SELECT CAST(sum(n_vecs) AS BIGINT) FROM occ) AS share_ppm
+        |FROM occ ORDER BY cent_id""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val assign = graft.operators.SignatureStore.ensureIvfAssignments(
+        s, d, () => ivfAssign(e, centroids))
+      val occ = assign.groupBy("cent_id")
+        .agg(count(lit(1)).as("n_vecs"))
+        .localCheckpoint(true)
+      occ.crossJoin(broadcast(occ.agg(sum("n_vecs").as("total"))))
+        .select(col("cent_id"), col("n_vecs"),
+          expr("(1000000L * n_vecs) div total").as("share_ppm"))
+        .orderBy("cent_id")
+    },
+
     // ----- scalar-quantized IVF: int8 shortlist + exact rescore -----
     // The third tier of the stored-vector path (VERDICT r5 #5): the IVF
     // store answers WHICH bucket, the int8 store (4× smaller than the
