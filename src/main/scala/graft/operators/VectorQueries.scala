@@ -819,6 +819,57 @@ object VectorQueries {
             .as("unit_x1e6"))
         .orderBy("gid", "pos")
     },
+
+    // ----- semantic outliers: docs far from their source's centroid -----
+    // The SemDeDup/clustering-era curation probe: a document whose
+    // embedding sits far from its source's mean embedding is the likely
+    // mislabel / scraper noise / off-topic page — the bottom-k per source
+    // is the human-review queue. Centroid parity is embed_doc_pool's
+    // exact-DECIMAL sum → floor-scaled BIGINT per (source, pos); the
+    // scaled means (< 2^24) are then exactly representable as f32, so the
+    // doc↔centroid cosine rides the family's established round-6
+    // `dot_f32 ≡ list_cosine_similarity` parity. Scale shape: one
+    // (source, pos)-keyed aggregate (taxonomy×dim-bounded), centroid
+    // table broadcast (source-bounded by construction), scoring is a
+    // stateless map over the corpus, per-source bottom-k via a hash-
+    // partitioned window with an integer doc_id tie-break.
+    "semantic_outliers" -> QueryDef.sql(
+      """WITH de AS (
+        |  SELECT e.vec_id AS doc_id, s.source, e.embedding::DOUBLE[] AS v
+        |  FROM embeddings e JOIN documents s ON s.doc_id = e.vec_id),
+        |x AS (SELECT doc_id, source, p.pos, v[p.pos] AS x
+        |      FROM de CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p),
+        |mu AS (SELECT source, pos,
+        |    CAST(floor((CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS mu_x1e6
+        |  FROM x GROUP BY source, pos),
+        |cent AS (SELECT source, list(CAST(mu_x1e6 AS DOUBLE) ORDER BY pos) AS cv
+        |         FROM mu GROUP BY source),
+        |sc AS (SELECT de.source, de.doc_id,
+        |    round(list_cosine_similarity(de.v, c.cv), 6) AS cos_sim
+        |  FROM de JOIN cent c ON c.source = de.source)
+        |SELECT source, doc_id, cos_sim FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY cos_sim, doc_id) <= 5
+        |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val de = embeddings(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("source"), col("embedding"))
+      val mu = de
+        .select(col("source"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy("source", "pos0")
+        .agg(floor((sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+          * lit(1000000.0)).as("mu_x1e6"))
+      val cent = mu.groupBy("source")
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("mu_x1e6")))),
+          x => x.getField("mu_x1e6").cast("float")).as("cv"))
+      de.join(broadcast(cent), Seq("source"))
+        .select(col("source"), col("doc_id"), score("embedding", "cv").as("cos_sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("cos_sim"), col("doc_id"))))
+        .filter(col("rn") <= 5)
+        .select("source", "doc_id", "cos_sim")
+        .orderBy("source", "doc_id")
+    },
   )
 }
 
