@@ -1200,6 +1200,61 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- length↔quality rank correlation (Spearman, per source) -----
+    // The confound check run before trusting any quality classifier: if
+    // the quality signal is mostly a length proxy (|ρ| high), filtering
+    // on it silently reshapes the length distribution. Spearman over
+    // deterministic ranks: both rank assignments are row_number with a
+    // doc_id tie-break (not average ranks — engine-identical by
+    // construction), so Σd² is an exact integer and
+    // ρ = 1 − 6Σd²/(n(n²−1)) ships as an exact truncated scaled integer
+    // via the bigram_lift DECIMAL(38,0)/HUGEINT chain — zero float ops.
+    // Scale shape: one stateless quality projection, two source-keyed
+    // rank windows (hash-partitioned, never global), one
+    // source-cardinality aggregate; Σd² accumulates in DECIMAL so a
+    // billion-doc source cannot overflow the sum.
+    "length_quality_spearman" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    (1000000 * CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |       x -> x IN ('the','a','an','of','to','and','in','is'))) AS BIGINT))
+        |      // CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS q_ppm
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r_len,
+        |    row_number() OVER (PARTITION BY source ORDER BY q_ppm, doc_id) AS r_q
+        |  FROM t),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        sum((r_len - r_q) * (r_len - r_q)) AS sum_d2
+        |      FROM r GROUP BY source)
+        |SELECT source, n,
+        |  1000000 - CAST((CAST(6000000 AS HUGEINT) * sum_d2) //
+        |    (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT) AS rho_x1e6
+        |FROM a WHERE n > 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val t = documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          expr("(1000000L * size(filter(toks, x -> x IN " +
+            "('the','a','an','of','to','and','in','is')))) div size(toks)").as("q_ppm"))
+      t.select(col("source"), col("doc_id"),
+          row_number().over(
+            Window.partitionBy("source").orderBy("n_chars", "doc_id")).as("r_len"),
+          row_number().over(
+            Window.partitionBy("source").orderBy("q_ppm", "doc_id")).as("r_q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST((CAST(r_len AS BIGINT) - r_q) * (CAST(r_len AS BIGINT) - r_q) " +
+            "AS DECIMAL(38,0))")).as("sum_d2"))
+        .filter(col("n") > 1)
+        .select(col("source"), col("n"),
+          expr("1000000L - CAST((CAST(6000000 AS DECIMAL(38,0)) * sum_d2) div " +
+            "(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)) AS BIGINT)")
+            .as("rho_x1e6"))
+        .orderBy("source")
+    },
+
     // ----- Gopher rule battery: the full document-quality gate -----
     // The Rae et al. 2021 (Gopher, §A1.1) quality-filter rule set as ONE
     // per-document projection: word count in range, mean word length in

@@ -870,6 +870,70 @@ object VectorQueries {
         .select("source", "doc_id", "cos_sim")
         .orderBy("source", "doc_id")
     },
+
+    // ----- label-noise audit: smallest own-vs-nearest-other margin -----
+    // The confident-learning probe (Northcutt et al. 2021) over the
+    // labeled seed set the kNN classifier trains on: a vector whose
+    // cosine to its OWN label centroid barely beats (or loses to) the
+    // nearest OTHER centroid is the likely annotation error — the
+    // bottom-20 margins are the relabel-review queue. Same centroid
+    // parity as semantic_outliers (exact-DECIMAL means → floor-scaled
+    // BIGINTs, exactly representable as f32); scoring is a 10×-bounded
+    // broadcast cross join (label taxonomy, not corpus); the
+    // nearest-other pick is a vec_id-keyed window with a label
+    // tie-break; the global bottom-20 is TakeOrderedAndProject on the
+    // (margin, vec_id) key — no single-partition sort. The margin is a
+    // difference of two round-6 doubles: both engines subtract
+    // identical operands, so the emission is bit-deterministic.
+    "label_noise_audit" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, p.pos, v[p.pos] AS x
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p),
+        |mu AS (SELECT label, pos,
+        |    CAST(floor((CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS mu_x1e6
+        |  FROM x GROUP BY label, pos),
+        |cent AS (SELECT label AS clabel, list(CAST(mu_x1e6 AS DOUBLE) ORDER BY pos) AS cv
+        |         FROM mu GROUP BY label),
+        |sc AS (SELECT e.vec_id, e.label, c.clabel,
+        |    round(list_cosine_similarity(e.v, c.cv), 6) AS cs
+        |  FROM e CROSS JOIN cent c),
+        |own AS (SELECT vec_id, label, cs AS own_cos FROM sc WHERE clabel = label),
+        |oth AS (SELECT vec_id, clabel AS nearest_other, cs AS other_cos FROM (
+        |    SELECT vec_id, clabel, cs,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, clabel) AS rn
+        |    FROM sc WHERE clabel <> label) WHERE rn = 1)
+        |SELECT o.vec_id, o.label, t.nearest_other, o.own_cos, t.other_cos,
+        |  o.own_cos - t.other_cos AS margin
+        |FROM own o JOIN oth t USING (vec_id)
+        |ORDER BY margin, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      val mu = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy("label", "pos0")
+        .agg(floor((sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+          * lit(1000000.0)).as("mu_x1e6"))
+      val cent = mu.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("mu_x1e6")))),
+          x => x.getField("mu_x1e6").cast("float")).as("cv"))
+        .select(col("label").as("clabel"), col("cv"))
+      val sc = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          score("embedding", "cv").as("cs"))
+      val own = sc.filter(col("clabel") === col("label"))
+        .select(col("vec_id"), col("label"), col("cs").as("own_cos"))
+      val oth = sc.filter(col("clabel") =!= col("label"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cs").desc, col("clabel"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("clabel").as("nearest_other"),
+          col("cs").as("other_cos"))
+      own.join(oth, Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("nearest_other"),
+          col("own_cos"), col("other_cos"),
+          (col("own_cos") - col("other_cos")).as("margin"))
+        .orderBy(col("margin"), col("vec_id"))
+        .limit(20)
+    },
   )
 }
 
