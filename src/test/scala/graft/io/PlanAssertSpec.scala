@@ -323,6 +323,56 @@ class PlanAssertSpec extends SparkFunSuite {
       s"cluster assignments must come from the persisted store:\n${scans(plan).mkString("\n")}")
   }
 
+  test("semantic_outliers and label_noise_audit: broadcast-only joins, keyed windows") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (name <- Seq("semantic_outliers", "label_noise_audit")) {
+      val q = graft.operators.VectorQueries.defs(name).build(spark, sfDir)
+      val plan = q.queryExecution.sparkPlan
+      // the corpus-sided own⋈nearest-other join keys on vec_id (a
+      // co-partitioned id join — sort-merge is the right call at scale);
+      // every OTHER join carries a taxonomy-bounded centroid side and
+      // must broadcast
+      val badSortMerge = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if !j.leftKeys.exists(_.references.exists(_.name == "vec_id")) => j
+      }
+      assert(badSortMerge.isEmpty,
+        s"$name: the centroid side is taxonomy-bounded — those joins must broadcast:\n$plan")
+      val globalWindows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$name: the bottom-k must be keyed (or TakeOrdered), never a global window:\n$plan")
+    }
+  }
+
+  test("length_quality_spearman ranks with source-keyed windows only") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.TextQueries.defs("length_quality_spearman").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"both rank windows must partition by source — never a global sort:\n$plan")
+  }
+
+  test("boilerplate_report shuffles fingerprints only and never broadcasts the fp set") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.TextQueries.defs("boilerplate_report").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"no global window in the report plan:\n$plan")
+    // the raw `line` string must never be a shuffle key — only its md5
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.outputPartitioning.toString
+    }
+    assert(exchanges.forall(!_.contains("line#")),
+      s"shuffle keys must be fingerprints, not line text: ${exchanges.mkString(" | ")}")
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
