@@ -1161,6 +1161,58 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ----- token-budget apportionment: exact largest-remainder quotas -----
+    // The planning step between mixture design and the dataloader: split
+    // a fixed training budget (1M tokens here; the constant is the knob)
+    // across sources proportionally WITHOUT rounding drift — quotas sum
+    // to the budget exactly, guaranteed by Hamilton's largest-remainder
+    // method: base = floor(B·t/T) per source, then the B−Σbase leftover
+    // units (< n_sources by construction) go to the largest remainders.
+    // Every step is exact integer arithmetic (DECIMAL(38,0) ≡ HUGEINT
+    // products, div/mod — no float anywhere, no tie surface; remainder
+    // ranks tie-break by source). Scale shape: one map-side-combined
+    // token sum, then everything acts on the source-cardinality table —
+    // the ranking window is bounded by the source taxonomy, never the
+    // corpus.
+    "token_budget_apportion" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM t),
+        |q AS (SELECT source, tokens,
+        |    CAST((CAST(1000000 AS HUGEINT) * tokens) // tot.tt AS BIGINT) AS base,
+        |    CAST((CAST(1000000 AS HUGEINT) * tokens) % tot.tt AS BIGINT) AS rem
+        |  FROM t, tot),
+        |s AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM q),
+        |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+        |SELECT source, tokens,
+        |  base + CASE WHEN rk <= s.leftover THEN 1 ELSE 0 END AS quota
+        |FROM r, s ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d)
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("tokens"))
+        .localCheckpoint() // two consumers: the total and the quota rows
+      val tot = t.agg(sum("tokens").cast("long").as("tt"))
+      val q = t.crossJoin(broadcast(tot))
+        .select(col("source"), col("tokens"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tokens) div tt AS BIGINT)").as("base"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tokens) % tt AS BIGINT)").as("rem"))
+        .localCheckpoint() // two consumers: the leftover sum and the ranking
+      val leftover = q.agg((lit(1000000L) - sum("base")).as("leftover"))
+      // source-taxonomy-bounded window (≤ thousands of rows at any
+      // corpus size) — a global ORDER BY here is safe by construction
+      q.withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .crossJoin(broadcast(leftover))
+        .select(col("source"), col("tokens"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+        .orderBy("source")
+    },
+
     // ----- mixture re-weighting: fractional-epoch UPSAMPLING -----
     // The other half of mixture design (mix_temperature keeps a subset;
     // this one REPEATS): small high-value sources are repeated
