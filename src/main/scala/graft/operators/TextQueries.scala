@@ -1115,6 +1115,48 @@ object TextQueries {
       substringExcision(documents(s, d), SignatureStore.ensureSpans(s, d))
     },
 
+    // ----- duplicated-span length histogram -----
+    // The Lee et al. 2022 analysis figure: how LONG are the duplicated
+    // substrings (log₂ buckets of span token length)? Short spans near
+    // the 8-token detection floor are idioms and quotes; a fat long-span
+    // tail is wholesale page duplication that exact-doc dedup missed —
+    // the distribution decides whether excision or whole-doc dropping is
+    // the right remedy. Reads the PERSISTED span store (the per-corpus-
+    // token 8-gram scan never re-runs); one map-side-combinable
+    // aggregate over the flagged sliver; output bounded by
+    // log₂(longest doc), all arithmetic integer.
+    "span_length_histogram" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-7)) AS i)
+        |      WHERE len(toks) >= 8),
+        |d AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram HAVING count(*) > 1),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM p),
+        |isl AS (SELECT doc_id, pos,
+        |        CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+        |      FROM m),
+        |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |         CAST(max(pos) + 7 AS BIGINT) AS span_end
+        |       FROM isl GROUP BY doc_id, island)
+        |SELECT CAST(length(bin(span_end - span_start + 1)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS tokens_covered,
+        |  CAST(min(span_end - span_start + 1) AS BIGINT) AS min_len,
+        |  CAST(max(span_end - span_start + 1) AS BIGINT) AS max_len
+        |FROM sp GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      SignatureStore.ensureSpans(s, d)
+        .select((col("span_end") - col("span_start") + 1).as("len"))
+        .groupBy(length(bin(col("len"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_spans"), sum("len").as("tokens_covered"),
+          min("len").as("min_len"), max("len").as("max_len"))
+        .orderBy("bucket")
+    },
+
     // ----- token counting -----
     "text_tokens" -> QueryDef.sql(
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens, length(text) AS n_chars_actual
