@@ -13,6 +13,7 @@ object SparkEntry {
     operators.RelationalQueries.defs ++
       operators.TextQueries.defs ++
       operators.VectorQueries.defs ++
+      operators.PqQueries.defs ++
       operators.CurationQueries.defs ++
       operators.SearchQueries.defs ++
       operators.Multimodal.defs

@@ -1,0 +1,280 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the fourth tier of the stored-vector
+  * search path (brute → LSH → IVF → int8 → PQ), after Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search" (TPAMI 2011).
+  *
+  * The 64-dim embedding splits into M=8 subvectors of 8 dims; each
+  * subspace learns K=16 codewords by Lloyd iterations, and a vector is
+  * stored as 8 one-byte codes — 32× smaller than the float vector (the
+  * int8 store is only 4×). Search is asymmetric distance computation
+  * (ADC): a query computes one 8×16 distance table against the codebook,
+  * candidates are ranked by summing 8 table entries per vector, and only
+  * the per-query shortlist touches full floats for the exact final top-k.
+  *
+  * Determinism (the whole pipeline is oracle-exact, no float k-means):
+  *   - coordinates enter training as `floor(x · 1024)` scaled BIGINTs —
+  *     ×2^10 is exponent arithmetic on the float→double value, so the
+  *     product is exact and floor of an exact double is engine-independent;
+  *   - assignment is integer squared-L2 argmin (tie → smaller code);
+  *   - the centroid update is exact integer floor division
+  *     (`(sx - ((sx % n + n) % n)) / n` — sign-safe in both engines,
+  *     unlike bare integer division on negative sums);
+  *   - ADC distances are BIGINT sums; the only float op is the exact
+  *     rescore of the shortlist, the same rounded cosine every other ANN
+  *     query emits.
+  *
+  * Scale shape: training shuffles only (m, code, sp) aggregates (8·16·8
+  * = 1024 rows); the codebook broadcasts everywhere (fixed 1024 rows);
+  * the candidate stage reads ONLY the packed code table — one byte per
+  * subspace per vector — and full floats attach to shortlist×queries
+  * rows, never to the candidate stream. The query-side distance table
+  * (queries × 128 rows) is bounded by the same contract that bounds
+  * ivfSearch's probe table.
+  *
+  * Reference anchor: the reference's similarity tooling stops at exact
+  * search (icecube has no ANN); this family is part of the
+  * beyond-reference training-data-pipeline surface, sharing conventions
+  * with [[VectorQueries]] (same seed rule as the IVF centroids, same
+  * query split, same rescore emission).
+  */
+object PqQueries {
+
+  val M = 8            // subspaces
+  val SubDim = 8       // dims per subspace
+  val K = 16           // codewords per subspace
+  val Iters = 2        // Lloyd iterations
+  val Shortlist = 32   // ADC candidates kept per query for exact rescore
+  val TopK = 5
+
+  /** Exploded scaled-integer subvectors: (vec_id, m, sp, xi) with
+    * xi = floor(x·1024) — exact on both engines (see object doc). */
+  def scaledSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"),
+        expr(s"pos0 div $SubDim").as("m"), (col("pos0") % SubDim).as("sp"),
+        floor(col("x").cast("double") * lit(1024.0)).cast("long").as("xi"))
+
+  /** Init codewords from the K smallest vec_ids (the same seed rule the
+    * IVF centroids use), code = 1..K in vec_id order. The window is over
+    * the 16-row LIMIT result — bounded, not a corpus-wide sort. */
+  def initCodebook(e: DataFrame, sub: DataFrame): DataFrame = {
+    val seeds = e.select("vec_id").orderBy("vec_id").limit(K)
+      .withColumn("code", row_number().over(Window.orderBy("vec_id")))
+    sub.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("m"), col("code"), col("sp"), col("xi").as("ci"))
+  }
+
+  /** Per-(vector, subspace) argmin codeword by integer squared L2.
+    * Same aggregate shape as [[VectorQueries.ivfAssign]]: broadcast the
+    * 1024-row codebook, partial-aggregate the K×-amplified stream before
+    * any shuffle, tie-break to the smaller code. Doubles as the PQ
+    * ENCODER when called with the trained codebook. */
+  def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m", "sp"))
+      .groupBy(col("vec_id"), col("m"), col("code"))
+      .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci"))).as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+
+  /** Lloyd update in scaled-int space: new coordinate = floor(mean) via
+    * sign-safe exact integer floor division; a codeword that lost all
+    * members keeps its previous coordinates (left join + coalesce), so
+    * the codebook never shrinks. */
+  def pqUpdate(sub: DataFrame, assign: DataFrame, prev: DataFrame): DataFrame = {
+    val upd = sub.join(assign, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("code"), col("sp"))
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      .select(col("m"), col("code"), col("sp"),
+        expr("(sx - (((sx % n) + n) % n)) div n").as("ci2"))
+    prev.join(upd, Seq("m", "code", "sp"), "left")
+      .select(col("m"), col("code"), col("sp"),
+        coalesce(col("ci2"), col("ci")).as("ci"))
+  }
+
+  /** Driver-loop trainer (the kmeans_iterate / BPE pattern): each
+    * iteration's 1024-row codebook is eagerly localCheckpoint'ed so the
+    * plan doesn't grow with iterations; the exploded subvector view is
+    * re-derived from the scan each pass (a stateless projection — not
+    * worth materializing corpus×64 rows). */
+  def trainCodebook(e: DataFrame): DataFrame = {
+    val sub = scaledSub(e)
+    var cb = initCodebook(e, sub).localCheckpoint(true)
+    for (_ <- 1 to Iters)
+      cb = pqUpdate(sub, pqAssign(sub, cb), cb).localCheckpoint(true)
+    cb
+  }
+
+  /** Pack long-form codes to one `array<tinyint>` per vector (m-ordered)
+    * — the stored artifact: 8 bytes per vector, 32× under the floats. */
+  def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
+        "s -> CAST(s.code AS TINYINT))").as("codes"))
+
+  /** Unpack a stored code array back to (vec_id, m, code) long form —
+    * the element position IS the subspace (arrays packed m-ordered). */
+  def unpackCodes(packed: DataFrame): DataFrame =
+    packed.select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("code").cast("int").as("code"))
+
+  /** ADC search: per-query distance table (queries×M×K rows, broadcast —
+    * bounded by the query-set contract) joins the code table on
+    * (m, code); the candidate stage therefore moves one byte of code per
+    * subspace per corpus vector and ZERO float data. Shortlist by exact
+    * BIGINT ADC distance (tie → smaller cid), then the usual exact
+    * rounded-cosine rescore over shortlist×queries rows only. */
+  def adcSearch(codes: DataFrame, e: DataFrame, cb: DataFrame,
+      queries: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    val qsub = scaledSub(queries.select(col("qid").as("vec_id"), col("qv").as("embedding")))
+      .withColumnRenamed("vec_id", "qid")
+    val dt = qsub.join(broadcast(cb), Seq("m", "sp"))
+      .groupBy(col("qid"), col("m"), col("code"))
+      .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci"))).as("dt"))
+    val adc = codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+    val shortRn = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val short = adc.withColumn("rn", row_number().over(shortRn))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("vec_id").as("cid"))
+    val qv = queries.select(col("qid"), col("qv"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cve"))
+    val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    short.join(qv, Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"), VectorQueries.score("qv", "cve").as("score"))
+      .withColumn("rn", row_number().over(topRn))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "score")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared training CTE chain, mirrored 1:1 from the Spark helpers:
+    * scaled subvectors → seed codebook → Iters × (assign, update). */
+  private def assignCte(name: String, cb: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT t.vec_id, t.m, t.code,
+       |      row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY t.dist, t.code) AS rn
+       |    FROM (SELECT s.vec_id, s.m, c.code, sum((s.xi-c.ci)*(s.xi-c.ci)) AS dist
+       |          FROM sub s JOIN $cb c ON c.m = s.m AND c.sp = s.sp
+       |          GROUP BY s.vec_id, s.m, c.code) t) WHERE rn = 1)""".stripMargin
+
+  private def updateCte(uname: String, cname: String, assign: String, prev: String): String =
+    s"""$uname AS (
+       |  SELECT a.m, a.code, s.sp, sum(s.xi) AS sx, count(*) AS n
+       |  FROM $assign a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+       |  GROUP BY a.m, a.code, s.sp),
+       |$cname AS (
+       |  SELECT p.m, p.code, p.sp,
+       |    COALESCE((u.sx - (((u.sx % u.n) + u.n) % u.n)) // u.n, p.ci) AS ci
+       |  FROM $prev p LEFT JOIN $uname u
+       |    ON u.m = p.m AND u.code = p.code AND u.sp = p.sp)""".stripMargin
+
+  private lazy val TrainCtes: String = {
+    val base =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, (p.pos-1)//$SubDim AS m, (p.pos-1)%$SubDim AS sp,
+         |    CAST(floor(v[p.pos]*1024.0) AS BIGINT) AS xi
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(1,${M * SubDim})) AS pos) p),
+         |seeds AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)),
+         |cb0 AS (SELECT s.m, d.code, s.sp, s.xi AS ci
+         |        FROM sub s JOIN seeds d ON d.vec_id = s.vec_id)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      assignCte(s"a$i", s"cb${i - 1}") + ",\n" + updateCte(s"u$i", s"cb$i", s"a$i", s"cb${i - 1}")
+    }
+    (base +: iters).mkString(",\n")
+  }
+
+  private lazy val CodebookOracleSql: String =
+    s"""WITH $TrainCtes
+       |SELECT CAST(m AS INT) AS m, code, CAST(sp AS INT) AS sp, CAST(ci AS BIGINT) AS ci
+       |FROM cb$Iters ORDER BY m, code, sp""".stripMargin
+
+  /** Shared by ann_pq_adc and ann_pq_stored — the stored path must be
+    * bit-identical to the live one. */
+  private lazy val AdcOracleSql: String =
+    s"""WITH $TrainCtes,
+       |${assignCte("codes", s"cb$Iters")},
+       |qd AS (
+       |  SELECT s.vec_id AS qid, s.m, c.code, sum((s.xi-c.ci)*(s.xi-c.ci)) AS dt
+       |  FROM sub s JOIN cb$Iters c ON c.m = s.m AND c.sp = s.sp
+       |  WHERE s.vec_id < 100
+       |  GROUP BY s.vec_id, s.m, c.code),
+       |adc AS (
+       |  SELECT q.qid, k.vec_id AS cid, sum(q.dt) AS adist
+       |  FROM codes k JOIN qd q ON q.m = k.m AND q.code = k.code
+       |  WHERE k.vec_id <> q.qid
+       |  GROUP BY q.qid, k.vec_id),
+       |short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+       |    FROM adc) WHERE rn <= $Shortlist),
+       |resc AS (
+       |  SELECT s.qid, s.cid, round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+       |  FROM short s JOIN e qe ON qe.vec_id = s.qid JOIN e ce ON ce.vec_id = s.cid)
+       |SELECT qid, cid, score FROM (
+       |  SELECT qid, cid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM resc) WHERE rn <= $TopK
+       |ORDER BY qid, cid""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ----- PQ codebook training: M×K codewords by integer Lloyd -----
+    // The train step of the 32×-compressed vector store. Output is the
+    // full trained codebook (1024 rows); the oracle replays both Lloyd
+    // iterations in unrolled SQL over the same scaled integers, so every
+    // coordinate is hash-checked exactly.
+    "pq_codebook" -> QueryDef.sql(CodebookOracleSql) { (s, d) =>
+      trainCodebook(embeddings(s, d).select("vec_id", "embedding"))
+        .select(col("m").cast("int").as("m"), col("code"),
+          col("sp").cast("int").as("sp"), col("ci"))
+        .orderBy("m", "code", "sp")
+    },
+
+    // ----- PQ ADC search: 8-byte codes + table lookups + exact rescore -----
+    // The search half: candidates rank by summed BIGINT table entries
+    // (no float touches the corpus-cardinality stream), shortlist gets
+    // the exact rounded-cosine rescore. Recall vs brute force is pinned
+    // by PqRecallSpec; exactness of every emitted cell by this oracle.
+    "ann_pq_adc" -> QueryDef.sql(AdcOracleSql) { (s, d) =>
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cb = trainCodebook(e)
+      adcSearch(pqAssign(scaledSub(e), cb), e, cb, queries, Shortlist, TopK)
+        .orderBy("qid", "cid")
+    },
+
+    // ----- PQ search from the persisted codebook + packed-code store -----
+    // The amortized path: training and encoding run once
+    // ([[graft.operators.SignatureStore.ensurePqStore]]); every search
+    // reads the 8-byte-per-vector packed artifact and the 1024-row
+    // codebook — no Lloyd pass, no corpus-wide float read. Same oracle:
+    // stored must be bit-identical to live.
+    "ann_pq_stored" -> QueryDef.sql(AdcOracleSql) { (s, d) =>
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val (cb, codes) = SignatureStore.ensurePqStore(s, d,
+        () => trainCodebook(e),
+        cbStored => packCodes(pqAssign(scaledSub(e), cbStored)))
+      adcSearch(codes, e, cb, queries, Shortlist, TopK)
+        .orderBy("qid", "cid")
+    },
+  )
+}

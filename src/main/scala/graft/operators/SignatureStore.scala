@@ -293,6 +293,63 @@ object SignatureStore {
       .select(col("vec_id"), col("band").cast("int").as("band"), col("key"))
   }
 
+  def pqCodebookDir(base: String) = s"$base/pq_codebook"
+  def pqCodesDir(base: String) = s"$base/pq_codes"
+
+  /** Streaming PQ-code appends land in a batch_id-partitioned sibling
+    * subtree (same contract as [[streamQ8Dir]]). */
+  def streamPqDir(base: String) = s"$base/pq_codes_stream"
+
+  /** The trained PQ codebook (m, code, sp, ci) — fixed M·K·SubDim rows,
+    * broadcast by every consumer. */
+  def readPqCodebook(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(pqCodebookDir(base)).select("m", "code", "sp", "ci")
+
+  /** Stored PQ codes at `base`, UNPACKED to (vec_id, m, code) long form
+    * for the ADC join. Batch and/or stream subtrees with latest-wins
+    * versioning per vec_id (same contract as [[readQuantizedVectors]] —
+    * a re-sent vector keeps one packed code row). */
+  def readPqCodes(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, pqCodesDir(base)))(
+      spark.read.parquet(pqCodesDir(base)).select("vec_id", "codes"))
+    val stream = Option.when(hasData(spark, streamPqDir(base))) {
+      spark.read.parquet(streamPqDir(base))
+        .select(col("vec_id"), col("codes"), col("batch_id").cast("long").as("batch_id"))
+        .groupBy("vec_id")
+        .agg(max_by(col("codes"), col("batch_id")).as("codes"))
+    }
+    val packed = (batch, stream) match {
+      case (Some(b), Some(s)) =>
+        b.join(s.select("vec_id"), Seq("vec_id"), "left_anti").unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no PQ code store under $base")
+    }
+    PqQueries.unpackCodes(packed)
+  }
+
+  /** Persisted PQ artifacts for `sfDir`: the trained codebook plus the
+    * packed 8-byte-per-vector code table. Training (the Lloyd driver
+    * loop) and encoding (one codebook-broadcast pass over the corpus)
+    * run ONCE; `encode` receives the codebook AS READ BACK from parquet
+    * so the stored path encodes against exactly the artifact later
+    * searches will broadcast. Returns (codebook, codes-long-form). */
+  def ensurePqStore(spark: SparkSession, sfDir: String,
+      buildCodebook: () => DataFrame,
+      encode: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${pqCodesDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      buildCodebook().write.mode("overwrite").parquet(pqCodebookDir(base))
+      encode(readPqCodebook(spark, base))
+        .write.mode("overwrite").parquet(pqCodesDir(base))
+    }
+    (readPqCodebook(spark, base), readPqCodes(spark, base))
+  }
+
   def spansDir(base: String) = s"$base/substring_spans"
   def spanGramsDir(base: String) = s"$base/span_grams"
 

@@ -30,7 +30,7 @@ object VectorQueries {
 
   /** Cosine over float arrays via the native codegen [[graft.functions.DotF32]]
     * expression (same sequential fold order as the SQL oracle). */
-  private def score(a: String, b: String): Column = {
+  private[operators] def score(a: String, b: String): Column = {
     import graft.functions.DotF32.dot_f32
     round(dot_f32(col(a), col(b)) /
       (sqrt(dot_f32(col(a), col(a))) * sqrt(dot_f32(col(b), col(b)))), 6)

@@ -229,6 +229,28 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamQ8Dir(storeBase))
     }
 
+  /** Incremental PQ-code maintenance — the product-quantized twin of
+    * [[maintainQuantizedVectors]]: each micro-batch of new vectors is
+    * ENCODED against the frozen trained codebook (the standard PQ
+    * serving posture — the coarse quantizer retrains offline, not per
+    * batch) with the same assign+pack builders the batch store uses, and
+    * the packed 8-byte rows append to the store's stream subtree.
+    * `SignatureStore.readPqCodes` resolves re-sent vectors latest-wins
+    * and unpacks for the ADC join. */
+  def maintainPqCodes(vecs: DataFrame, storeBase: String, codebook: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.PqQueries.packCodes(
+          graft.operators.PqQueries.pqAssign(
+            graft.operators.PqQueries.scaledSub(batch), codebook))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamPqDir(storeBase))
+    }
+
   /** Streaming event-rollup maintenance — the events-analytics twin of
     * [[maintainSignatures]] / [[maintainPostings]]: the watermarked
     * [[windowedCounts]] UPDATE stream lands in a batch_id-partitioned

@@ -34,16 +34,31 @@ object Tables {
     * once the µs values agree the buckets agree. */
   val epochUsFloorSql = "(ts_ns - pmod(ts_ns, 1000)) div 1000"
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
-    * natively; `spark.sql.legacy.parquet.nanosAsLong` (set in
-    * [[SparkUtil.configure]]) turns the column into epoch-nanos Long.
-    * Expose a micros-precision `ts` (matching DuckDB's epoch_us exactly,
-    * floor semantics — see [[epochUsFloorSql]]) plus the raw nanos.
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * testdata generations, and this reader adapts to both so every
+    * consumer sees the same two columns — `ts` (micros-precision
+    * TimestampType, matching DuckDB's epoch_us exactly) and `ts_ns`
+    * (epoch-nanos Long, matching DuckDB's epoch_ns exactly):
+    *
+    *   - TIMESTAMP(NANOS): Spark cannot read it natively;
+    *     `spark.sql.legacy.parquet.nanosAsLong` (set in
+    *     [[SparkUtil.configure]]) turns the column into epoch-nanos
+    *     Long, and `ts` floors to micros (see [[epochUsFloorSql]]).
+    *   - TIMESTAMP(MICROS): read as timestamp (NTZ when the writer
+    *     didn't adjust to UTC — the session timezone is pinned UTC, so
+    *     the NTZ→instant cast is value-preserving); `ts_ns` is the
+    *     exact ×1000 widening, which is precisely what DuckDB's
+    *     epoch_ns returns for a micros value.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr(epochUsFloorSql)))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr(epochUsFloorSql)))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }

@@ -191,6 +191,43 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("streaming PQ-code maintenance matches a batch encode against the same codebook") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("pqmaint")
+    // planted corpus trains the codebook; the batch store encodes half of
+    // it, the stream encodes the other half — the unioned read must equal
+    // one batch encode of everything (same frozen codebook both paths)
+    val rng = new graft.TestRng(0xBADC0DEL)
+    val dim = graft.operators.VectorQueries.Dim
+    val all = (0L until 40L).map(i => (i, Seq.fill(dim)(rng.gaussian().toFloat)))
+    val e = all.toDF("vec_id", "embedding")
+    val cb = graft.operators.PqQueries.trainCodebook(e)
+    val allCodes = graft.operators.PqQueries.packCodes(
+      graft.operators.PqQueries.pqAssign(graft.operators.PqQueries.scaledSub(e), cb))
+
+    val batchHalf = e.filter(col("vec_id") < 20)
+    graft.operators.PqQueries.packCodes(
+      graft.operators.PqQueries.pqAssign(
+        graft.operators.PqQueries.scaledSub(batchHalf), cb))
+      .write.parquet(graft.operators.SignatureStore.pqCodesDir(base))
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = EventStream.maintainPqCodes(
+      input.toDF().toDF("vec_id", "embedding"), base, cb)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData(all.filter(_._1 >= 20).take(10): _*)
+      query.processAllAvailable()
+      input.addData(all.filter(_._1 >= 30): _*)
+      query.processAllAvailable()
+
+      val stored = graft.operators.SignatureStore.readPqCodes(spark, base)
+      val want = graft.operators.PqQueries.unpackCodes(allCodes)
+      assert(stored.exceptAll(want).count() == 0 && want.exceptAll(stored).count() == 0,
+        "stream+batch PQ store diverged from a full batch encode")
+    } finally query.stop()
+  }
+
   test("a purely stream-built postings store reads without a batch subtree") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("bm25streamonly")
