@@ -14,6 +14,8 @@ object SparkEntry {
       operators.TextQueries.defs ++
       operators.VectorQueries.defs ++
       operators.PqQueries.defs ++
+      operators.RerankQueries.defs ++
+      operators.DriftQueries.defs ++
       operators.CurationQueries.defs ++
       operators.SearchQueries.defs ++
       operators.Multimodal.defs

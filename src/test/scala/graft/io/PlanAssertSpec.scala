@@ -373,6 +373,80 @@ class PlanAssertSpec extends SparkFunSuite {
       s"shuffle keys must be fingerprints, not line text: ${exchanges.mkString(" | ")}")
   }
 
+  test("ann_pq_adc: codebook/table joins broadcast; no sort-merge on the (m, code) keys") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.PqQueries.defs("ann_pq_adc").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    // the ADC candidate join (codes ⋈ query distance table on m, code)
+    // must be a broadcast hash join: the corpus-cardinality code stream
+    // never shuffles on the 128-key (m, code) space
+    assert(bhj.exists(j => j.leftKeys.map(_.toString).mkString(",").contains("m#")
+      || j.rightKeys.map(_.toString).mkString(",").contains("m#")),
+      s"expected the (m, code) joins to broadcast:\n$plan")
+    val smjOnCode = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.map(_.toString).exists(_.startsWith("m#")) => j
+    }
+    assert(smjOnCode.isEmpty,
+      s"a sort-merge join on (m, code) would shuffle the code table onto 128 keys:\n$plan")
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"shortlist/top-k windows must be qid-keyed:\n$plan")
+  }
+
+  test("mmr_rerank shortlist broadcasts the query side, never a cartesian product") {
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.operators.RerankQueries
+    val e = graft.util.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < RerankQueries.NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cand = RerankQueries.bruteShortlist(e, queries)
+    val plan = cand.queryExecution.sparkPlan
+    assert(plan.toString.contains("BroadcastNestedLoopJoin"),
+      s"the bounded query set must broadcast over the streaming corpus:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"a cartesian product would shuffle the corpus against itself:\n$plan")
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"shortlist top-N must be qid-keyed:\n$plan")
+  }
+
+  test("key_skew_report is two bare aggregates: no join, no window, exact bounds hold") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.DriftQueries.defs("key_skew_report").build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"the skew rollup must not join anything:\n$plan")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no window — the rollup is map-side-combinable aggregation:\n$plan")
+    // max ≥ mean ⇒ skew_x1e6 ≥ 1e6 (floor can land exactly on 1e6);
+    // a single key can at most own the whole type ⇒ share ≤ 1e6
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(5) >= 999999L && r.getLong(4) <= 1000000L),
+      rows.mkString("; "))
+  }
+
+  test("source_length_drift emits a bounded grid with tv2 in [0, 2e6]") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.DriftQueries.defs("source_length_drift").build(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 2000000L),
+      rows.mkString("; "))
+    val globalWindows = q.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
