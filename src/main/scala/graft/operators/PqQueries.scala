@@ -156,6 +156,51 @@ object PqQueries {
       .select("qid", "cid", "score")
   }
 
+  /** IVF-PQ search — the combined index (the FAISS `IVFx,PQy` shape and
+    * the architecture behind every billion-scale ANN deployment): the
+    * IVF assignment store prunes the search space to `nprobe` cells,
+    * the PQ code store ranks ONLY those cells' members by ADC, and the
+    * exact rescore touches shortlist×queries float rows. Per-query work
+    * drops from N·M table adds (flat ADC) to (N/nlist)·nprobe·M, and
+    * the candidate stage reads one byte per subspace per probed vector.
+    * Both component artifacts already have batch/stored/streaming
+    * maintenance — this search composes the two stores, it builds
+    * nothing. */
+  def ivfPqSearch(assign: DataFrame, codes: DataFrame, e: DataFrame,
+      cb: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val probeRn = Window.partitionBy(col("qid"))
+      .orderBy(VectorQueries.score("qv", "cv").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(probeRn))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "cent_id")
+    val cand = probes.join(assign, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+    val qsub = scaledSub(queries.select(col("qid").as("vec_id"), col("qv").as("embedding")))
+      .withColumnRenamed("vec_id", "qid")
+    val dt = qsub.join(broadcast(cb), Seq("m", "sp"))
+      .groupBy(col("qid"), col("m"), col("code"))
+      .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci"))).as("dt"))
+    val adc = cand.join(codes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(broadcast(dt), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("dt")).as("adist"))
+    val shortRn = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    val short = adc.withColumn("rn", row_number().over(shortRn))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "cid")
+    val qv = queries.select(col("qid"), col("qv"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cve"))
+    val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    short.join(qv, Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"), VectorQueries.score("qv", "cve").as("score"))
+      .withColumn("rn", row_number().over(topRn))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "score")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared training CTE chain, mirrored 1:1 from the Spark helpers:
@@ -230,6 +275,54 @@ object PqQueries {
        |  FROM resc) WHERE rn <= $TopK
        |ORDER BY qid, cid""".stripMargin
 
+  /** IVF-PQ oracle: the IVF probe/candidate chain (verbatim from the
+    * ann_ivf oracle) composed with the PQ training CTEs and the ADC
+    * ranking restricted to the probed cells. nprobe=2, shortlist=16,
+    * k=3 — the same probe/k conventions as the other IVF queries. */
+  private lazy val IvfPqOracleSql: String =
+    s"""WITH $TrainCtes,
+       |${assignCte("codes", s"cb$Iters")},
+       |c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+       |      FROM embeddings ORDER BY vec_id LIMIT 16),
+       |ivfassign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+       |probes AS (
+       |  SELECT qid, cent_id FROM (
+       |    SELECT q.qid, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+       |    FROM q, c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probes p JOIN ivfassign a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.qid),
+       |qd AS (
+       |  SELECT s.vec_id AS qid, s.m, c.code, sum((s.xi-c.ci)*(s.xi-c.ci)) AS dt
+       |  FROM sub s JOIN cb$Iters c ON c.m = s.m AND c.sp = s.sp
+       |  WHERE s.vec_id < 100
+       |  GROUP BY s.vec_id, s.m, c.code),
+       |adc AS (
+       |  SELECT t.qid, t.cid, sum(d.dt) AS adist
+       |  FROM cand t JOIN codes k ON k.vec_id = t.cid
+       |  JOIN qd d ON d.qid = t.qid AND d.m = k.m AND d.code = k.code
+       |  GROUP BY t.qid, t.cid),
+       |short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+       |    FROM adc) WHERE rn <= 16),
+       |resc AS (
+       |  SELECT s.qid, s.cid, round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+       |  FROM short s JOIN e qe ON qe.vec_id = s.qid JOIN e ce ON ce.vec_id = s.cid)
+       |SELECT qid, cid, score FROM (
+       |  SELECT qid, cid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM resc) WHERE rn <= 3
+       |ORDER BY qid, cid""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def defs: Map[String, QueryDef] = Map(
@@ -274,6 +367,28 @@ object PqQueries {
         () => trainCodebook(e),
         cbStored => packCodes(pqAssign(scaledSub(e), cbStored)))
       adcSearch(codes, e, cb, queries, Shortlist, TopK)
+        .orderBy("qid", "cid")
+    },
+
+    // ----- IVF-PQ: cell pruning × code compression, both from stores -----
+    // The production-shape search: the IVF assignment artifact answers
+    // WHICH cells, the PQ code artifact ranks those cells' members at
+    // one byte per subspace, and full floats attach only to the
+    // per-query shortlist. Composes the two persisted indexes without
+    // building anything; both have streaming maintenance twins.
+    "ann_ivfpq" -> QueryDef.sql(IvfPqOracleSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assign = SignatureStore.ensureIvfAssignments(
+        s, d, () => VectorQueries.ivfAssign(e, centroids))
+      val (cb, codes) = SignatureStore.ensurePqStore(s, d,
+        () => trainCodebook(e),
+        cbStored => packCodes(pqAssign(scaledSub(e), cbStored)))
+      ivfPqSearch(assign, codes, e, cb, centroids, queries,
+        nprobe = 2, shortlist = 16, k = 3)
         .orderBy("qid", "cid")
     },
   )

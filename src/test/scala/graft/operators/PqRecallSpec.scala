@@ -56,6 +56,32 @@ class PqRecallSpec extends SparkFunSuite {
     assert(back.exceptAll(codes).count() == 0 && codes.exceptAll(back).count() == 0)
   }
 
+  test("IVF-PQ agrees with the exact (unquantized) IVF search at >= 0.9") {
+    val e = fixture()
+    val nClusters = 16
+    val centroids = e.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") % 6 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val assign = VectorQueries.ivfAssign(e, centroids)
+    val cb = PqQueries.trainCodebook(e)
+    val codes = PqQueries.pqAssign(PqQueries.scaledSub(e), cb)
+
+    def topMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+
+    val exact = topMap(VectorQueries.ivfSearch(
+      assign, e, centroids, queries, nprobe = 2, k = 3))
+    val pq = topMap(PqQueries.ivfPqSearch(
+      assign, codes, e, cb, centroids, queries, nprobe = 2, shortlist = 16, k = 3))
+    val (hit, want) = exact.foldLeft((0, 0)) { case ((h, w), (qid, ids)) =>
+      (h + ids.count(pq.getOrElse(qid, Set.empty).contains), w + ids.size)
+    }
+    assert(want > 0 && hit.toDouble / want >= 0.9,
+      s"IVF-PQ recall vs exact IVF = $hit/$want")
+  }
+
   test("ADC shortlist + exact rescore reaches >= 0.9 recall vs exact brute force") {
     val e = fixture()
     val queries = e.filter(col("vec_id") >= 100 && col("vec_id") % 6 === 0)
