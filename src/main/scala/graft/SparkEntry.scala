@@ -16,6 +16,7 @@ object SparkEntry {
       operators.PqQueries.defs ++
       operators.RerankQueries.defs ++
       operators.DriftQueries.defs ++
+      operators.SketchQueries.defs ++
       operators.CurationQueries.defs ++
       operators.SearchQueries.defs ++
       operators.Multimodal.defs

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Constant-space sketches for corpus-scale cardinality and membership —
+  * the two estimators a 100 TB pipeline reaches for when the exact
+  * structure (a distinct-set, a hash join side) no longer fits anywhere:
+  *
+  *   - KMV (k-minimum-values, Bar-Yossef et al. 2002): distinct-count
+  *     estimation from the k smallest hash values. Unlike HyperLogLog
+  *     (whose register layout is engine-implementation-defined — Spark's
+  *     approx_count_distinct can never hash-match an oracle), KMV is
+  *     exactly reproducible: the k-th smallest md5-derived 60-bit value
+  *     is a deterministic function of the input set, and the estimator
+  *     `(k−1)·2⁶⁰ / h₍ₖ₎` is one exact integer floor division.
+  *   - Bloom filter (two-probe, 4096-bit): membership pre-filter whose
+  *     size is CONSTANT in the member count — the decontamination gate
+  *     broadcasts ≤128 packed words instead of every eval shingle hash, at the
+  *     price of auditable false positives (never false negatives; the
+  *     query emits the exact verdict beside the sketch verdict so the FP
+  *     rate is visible in the result).
+  *
+  * Both sketches run on the same 60-bit `('0x' || substr(md5(…),1,15))`
+  * hash parity trick the minhash/simhash families use, so every emitted
+  * cell is hash-checked against DuckDB.
+  */
+object SketchQueries {
+
+  val KmvK = 64
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ----- KMV distinct-token estimate per source, with exact audit -----
+    // est = (k−1)·2⁶⁰ // h₍ₖ₎ over DECIMAL(38,0)/HUGEINT (the product
+    // exceeds int64); a source with fewer than k distinct tokens is
+    // exact by definition (its sketch IS the set). The rank window runs
+    // over the DISTINCT (source, hash) table — vocabulary-cardinality
+    // (Heaps-sublinear), source-keyed, never the raw token stream; at
+    // true scale the same k-smallest reduces via a bounded per-partition
+    // heap, which this plan's map-side distinct already approximates.
+    // The exact count rides along to make the estimator's error visible
+    // (err_ppm) — the audit a sketch deployment graduates on.
+    "kmv_distinct_tokens" -> QueryDef.sql(
+      s"""WITH toks AS (
+         |  SELECT source, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+         |  FROM documents),
+         |h AS (SELECT DISTINCT source, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+         |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM h),
+         |kth AS (SELECT source, h AS kth FROM rk WHERE rk = $KmvK),
+         |exact AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY source),
+         |est AS (
+         |  SELECT e.source, e.n_exact, k.kth,
+         |    CASE WHEN k.kth IS NULL THEN e.n_exact
+         |         ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // k.kth AS BIGINT)
+         |    END AS n_est
+         |  FROM exact e LEFT JOIN kth k ON k.source = e.source)
+         |SELECT source, n_exact, kth, n_est,
+         |  (1000000 * abs(n_est - n_exact)) // n_exact AS err_ppm
+         |FROM est ORDER BY source""".stripMargin) { (s, d) =>
+      val h = documents(s, d)
+        .select(col("source"), explode(array_distinct(expr(TextQueries.toksExpr))).as("t"))
+        .select(col("source"),
+          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val rkW = Window.partitionBy(col("source")).orderBy(col("h"))
+      val kth = h.withColumn("rk", row_number().over(rkW))
+        .filter(col("rk") === KmvK)
+        .select(col("source"), col("h").as("kth"))
+      val exact = h.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      exact.join(kth, Seq("source"), "left")
+        .select(col("source"), col("n_exact"), col("kth"),
+          expr(s"CASE WHEN kth IS NULL THEN n_exact ELSE CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) " +
+            "* CAST(1152921504606846976 AS DECIMAL(38,0))) div kth AS BIGINT) END").as("n_est"))
+        .select(col("source"), col("n_exact"), col("kth"), col("n_est"),
+          expr("(1000000 * abs(n_est - n_exact)) div n_exact").as("err_ppm"))
+        .orderBy("source")
+    },
+
+    // ----- Bloom-gated decontamination: constant-size filter broadcast -----
+    // The scale variant of decontaminate_ngram's gate: instead of
+    // broadcasting every eval 12-gram hash, build a 4096-bit two-probe
+    // Bloom filter (≤128 32-bit-packed words — constant in the eval-set
+    // size; 32 bits per BIGINT word because DuckDB range-checks signed
+    // shifts at bit 63 while Spark wraps), broadcast
+    // THAT, and count per train doc the shingles whose both probe bits
+    // are set. Same ≥20 threshold and eval split as the exact query;
+    // every exact contamination survives (a shared shingle is in the
+    // filter by construction — no false negatives), and the emitted
+    // exact_hit column makes the false-positive surplus auditable row by
+    // row. Probe joins are broadcast hash joins on the word id.
+    "bloom_decontaminate" -> QueryDef.sql(
+      """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |esh AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+        |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+        |  FROM evald)),
+        |tsh AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+        |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+        |  FROM train)),
+        |bloom AS (
+        |  SELECT w, bit_or(b) AS bits FROM (
+        |    SELECT (h % 4096) // 32 AS w, (1::BIGINT << CAST(h % 32 AS INT)) AS b FROM esh
+        |    UNION ALL
+        |    SELECT ((h // 4096) % 4096) // 32 AS w,
+        |           (1::BIGINT << CAST((h // 4096) % 32 AS INT)) AS b FROM esh)
+        |  GROUP BY w),
+        |hits AS (
+        |  SELECT t.doc_id
+        |  FROM tsh t
+        |  JOIN bloom f1 ON f1.w = (t.h % 4096) // 32
+        |  JOIN bloom f2 ON f2.w = ((t.h // 4096) % 4096) // 32
+        |  WHERE (f1.bits & (1::BIGINT << CAST(t.h % 32 AS INT))) <> 0
+        |    AND (f2.bits & (1::BIGINT << CAST((t.h // 4096) % 32 AS INT))) <> 0),
+        |cand AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+        |         FROM hits GROUP BY doc_id HAVING count(*) >= 20),
+        |exact AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT t.doc_id, e.doc_id AS ed FROM tsh t JOIN esh e ON t.h = e.h
+        |  GROUP BY t.doc_id, e.doc_id HAVING count(*) >= 20))
+        |SELECT c.doc_id, c.n_bloom_hits, (x.doc_id IS NOT NULL) AS exact_hit
+        |FROM cand c LEFT JOIN exact x ON x.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.ShingleHashes.shingle_hashes
+      val docs = documents(s, d)
+      val evald = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      def sh(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), explode(shingle_hashes(col("text"), lit(12))).as("h"))
+      val esh = sh(evald)
+      // constant-size filter: ≤128 words regardless of eval size
+      val bloom = esh.select(expr("(h % 4096) div 32").as("w"),
+          expr("shiftleft(1L, CAST(h % 32 AS INT))").as("b"))
+        .unionByName(esh.select(expr("((h div 4096) % 4096) div 32").as("w"),
+          expr("shiftleft(1L, CAST((h div 4096) % 32 AS INT))").as("b")))
+        .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+        .localCheckpoint(true)
+      val tsh = sh(TextQueries.spread(train))
+      val f1 = bloom.select(col("w").as("w1"), col("bits").as("bits1"))
+      val f2 = bloom.select(col("w").as("w2"), col("bits").as("bits2"))
+      val cand = tsh
+        .withColumn("w1", expr("(h % 4096) div 32"))
+        .withColumn("w2", expr("((h div 4096) % 4096) div 32"))
+        .join(broadcast(f1), Seq("w1"))
+        .join(broadcast(f2), Seq("w2"))
+        .filter(expr("(bits1 & shiftleft(1L, CAST(h % 32 AS INT))) <> 0") &&
+          expr("(bits2 & shiftleft(1L, CAST((h div 4096) % 32 AS INT))) <> 0"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bloom_hits"))
+        .filter(col("n_bloom_hits") >= 20)
+      val exact = CurationQueries.decontaminate(train, evald, minShared = 20)
+        .select(col("train_doc").as("doc_id")).distinct()
+        .withColumn("x", lit(true))
+      cand.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bloom_hits"),
+          coalesce(col("x"), lit(false)).as("exact_hit"))
+        .orderBy("doc_id")
+    },
+  )
+}
