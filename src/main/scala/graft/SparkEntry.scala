@@ -17,6 +17,7 @@ object SparkEntry {
       operators.RerankQueries.defs ++
       operators.DriftQueries.defs ++
       operators.SketchQueries.defs ++
+      operators.GraphQueries.defs ++
       operators.CurationQueries.defs ++
       operators.SearchQueries.defs ++
       operators.Multimodal.defs
