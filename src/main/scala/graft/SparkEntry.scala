@@ -18,6 +18,7 @@ object SparkEntry {
       operators.DriftQueries.defs ++
       operators.SketchQueries.defs ++
       operators.GraphQueries.defs ++
+      operators.LayoutQueries.defs ++
       operators.CurationQueries.defs ++
       operators.SearchQueries.defs ++
       operators.Multimodal.defs

@@ -80,6 +80,61 @@ object SketchQueries {
         .orderBy("source")
     },
 
+    // ----- count-min sketch: constant-space frequency estimation -----
+    // The heavy-hitter counter (Cormode & Muthukrishnan 2005) for token
+    // streams whose exact per-token counts no longer fit: a 4×1024
+    // integer table (CONSTANT in corpus size, map-side-combinable —
+    // each task folds its slice into 4096 cells before any shuffle);
+    // est(t) = min over rows of the salted-hash cell, which only ever
+    // OVERcounts. The audit query estimates every token whose exact
+    // count ≥ 200 and emits exact beside estimate with the overcount in
+    // ppm — the one-sided error envelope made visible (the exact side
+    // exists here only to grade the sketch; production reads the 4096
+    // cells alone).
+    "count_min_tokens" -> QueryDef.sql(
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |slots AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT t, CAST(count(*) AS BIGINT) AS n_exact
+        |          FROM toks GROUP BY t HAVING count(*) >= 200),
+        |est AS (
+        |  SELECT e.t, e.n_exact, min(s.n) AS n_est
+        |  FROM exact e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+        |  JOIN slots s ON s.j = js.j
+        |    AND s.slot = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '#' || e.t), 1, 15))::BIGINT % 1024
+        |  GROUP BY e.t, e.n_exact)
+        |SELECT t AS token, n_exact, n_est,
+        |  (1000000 * (n_est - n_exact)) // n_exact AS over_ppm
+        |FROM est ORDER BY token""".stripMargin) { (s, d) =>
+      val toks = documents(s, d)
+        .select(explode(expr(TextQueries.toksExpr)).as("t"))
+      val js = (0 to 3).map(lit(_))
+      val slotOf = (j: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =>
+        pmod(conv(substring(md5(concat(j.cast("string"), lit("#"), t).cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(1024L))
+      // 4 salted rows per token, folded map-side into ≤4096 cells
+      val slots = toks.select(explode(array(js: _*)).as("j"), col("t"))
+        .select(col("j"), slotOf(col("j"), col("t")).as("slot"))
+        .groupBy("j", "slot").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // the sketch artifact: constant 4×1024
+      val exact = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+        .filter(col("n_exact") >= 200)
+      exact.select(col("t"), col("n_exact"), explode(array(js: _*)).as("j"))
+        .withColumn("slot", slotOf(col("j"), col("t")))
+        .join(broadcast(slots), Seq("j", "slot"))
+        .groupBy(col("t"), col("n_exact"))
+        .agg(min("n").as("n_est"))
+        .select(col("t").as("token"), col("n_exact"), col("n_est"),
+          expr("(1000000 * (n_est - n_exact)) div n_exact").as("over_ppm"))
+        .orderBy("token")
+    },
+
     // ----- Bloom-gated decontamination: constant-size filter broadcast -----
     // The scale variant of decontaminate_ngram's gate: instead of
     // broadcasting every eval 12-gram hash, build a 4096-bit two-probe
