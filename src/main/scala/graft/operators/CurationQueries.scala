@@ -29,7 +29,7 @@ object CurationQueries {
     * on both engines. Values stay < 2^31 so ANSI-mode Spark can never
     * overflow (doc_id bounded by 2^21 at the largest test SF; see class
     * doc for the production variant). */
-  private val LcgSql = "((doc_id * 1103515245 + 12345) % 2147483648)"
+  private[operators] val LcgSql = "((doc_id * 1103515245 + 12345) % 2147483648)"
 
   /** Distinct 12-gram hashes per document, via the native
     * [[graft.functions.ShingleHashes]] expression (the decontamination

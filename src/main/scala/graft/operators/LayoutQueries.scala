@@ -34,6 +34,33 @@ object LayoutQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // ----- length-curriculum training order -----
+    // The Shortformer-style sequence-length curriculum: training reads
+    // documents in phase order (short sequences first — phases are
+    // 64-token-wide length bands, capped at 3) with a deterministic LCG
+    // shuffle INSIDE each phase, so early optimization sees cheap short
+    // batches while order within a phase stays unbiased. The global
+    // position is the two-pass distributed prefix-sum row number
+    // (`Scale.globalRowNumber`) — never a single-partition window —
+    // over (phase, shuffle key, doc_id); the same infrastructure as
+    // shuffle_order, composed with curriculum semantics.
+    "curriculum_order" -> QueryDef.sql(
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) // 64, 3) AS phase,
+         |    ${CurationQueries.LcgSql} AS k
+         |  FROM documents)
+         |SELECT doc_id, phase,
+         |  CAST(row_number() OVER (ORDER BY phase, k, doc_id) AS BIGINT) AS position
+         |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val keyed = documents(s, d).select(col("doc_id"),
+        least(expr(s"CAST(size(${TextQueries.toksExpr}) AS BIGINT) div 64"), lit(3L)).as("phase"),
+        expr(CurationQueries.LcgSql).as("k"))
+      val (ranked, _) = graft.util.Scale.globalRowNumber(
+        keyed, Seq(col("phase"), col("k"), col("doc_id")), "position")
+      ranked.select("doc_id", "phase", "position").orderBy("doc_id")
+    },
+
     // ----- Z-order bucket layout + its pruning statistics -----
     // x = stream hour offset (capped at 15), y = user shard (mod 16);
     // z interleaves their bits. The min/max spans in the output are
