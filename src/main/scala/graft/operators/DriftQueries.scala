@@ -65,6 +65,56 @@ object DriftQueries {
         .orderBy("source")
     },
 
+    // ----- near-dup leakage across the train/val/test boundary -----
+    // The integrity audit a split ships with: a held-out document whose
+    // near-duplicate sits in train is evaluation leakage the exact-match
+    // decontaminator cannot see (the texts differ, the content doesn't).
+    // Exactly the split rule split_train_val emits, joined against the
+    // PERSISTED cluster store (the CC fixpoint is never recomputed);
+    // one cluster-keyed aggregate counts train members, one equi-join
+    // attaches them to held-out docs. Output is bounded by the held-out
+    // split size.
+    "split_leakage_audit" -> QueryDef.sql(
+      s"""WITH ${TextQueries.MinhashBandsCte},
+         |cand AS (
+         |  ${TextQueries.BandedPairsSelect}),
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id),
+         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${CurationQueries.LcgSql} % 100 < 98 THEN 'train'
+         |         WHEN ${CurationQueries.LcgSql} % 100 < 99 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |j AS (SELECT c.doc_id, s.split, c.cluster_id
+         |      FROM clusters c JOIN sp s ON s.doc_id = c.doc_id),
+         |tr AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_train
+         |       FROM j WHERE split = 'train' GROUP BY cluster_id)
+         |SELECT j.doc_id, j.split, j.cluster_id, tr.n_train AS n_train_mates
+         |FROM j JOIN tr ON tr.cluster_id = j.cluster_id
+         |WHERE j.split <> 'train'
+         |ORDER BY j.doc_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
+      import CurationQueries.LcgSql
+      val sp = documents(s, d).select(col("doc_id"),
+        when(expr(s"$LcgSql % 100") < 98, "train")
+          .when(expr(s"$LcgSql % 100") < 99, "val")
+          .otherwise("test").as("split"))
+      val j = SignatureStore.ensureClusters(s, d).select("doc_id", "cluster_id")
+        .join(sp, Seq("doc_id"))
+      val tr = j.filter(col("split") === "train")
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_train"))
+      j.filter(col("split") =!= "train")
+        .join(tr, Seq("cluster_id"))
+        .select(col("doc_id"), col("split"), col("cluster_id"),
+          col("n_train").as("n_train_mates"))
+        .orderBy("doc_id")
+    },
+
     // ----- per-event-type key skew: the salting/AQE decision input -----
     // For each event type: how concentrated is the per-user key
     // distribution that every user-keyed shuffle (sessionize, funnel,
