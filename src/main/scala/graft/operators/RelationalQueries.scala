@@ -310,6 +310,46 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // ----- TPC-H Q3 shape: unshipped-order revenue top-k -----
+    // The classic segment × date-window star probe (adapted to this
+    // schema's columns): customers in one market segment, orders placed
+    // before the cutoff, line items shipped after it, top-10 orders by
+    // exact DECIMAL revenue. Scale shape: both date filters reach the
+    // scans as pushed predicates; the joins carry NO broadcast hints —
+    // customer and orders grow with scale, so forcing either side would
+    // repeat the r5 fact-side-broadcast mistake; AQE broadcasts
+    // whichever filtered side is small at runtime. The top-10 is
+    // TakeOrderedAndProject — a per-partition heap, never a global sort.
+    "q3_unshipped_topk" -> QueryDef.sql(
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // ----- A7: retention cohort matrix -----
     // Users cohorted by first-activity day; the matrix counts distinct
     // users active at each day offset from their cohort. Scale shape:
