@@ -447,6 +447,18 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(globalWindows.isEmpty)
   }
 
+  test("q3_unshipped_topk: heap-bounded top-k, date filters pushed to the scans") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("q3_unshipped_topk").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be a per-partition heap, not a global sort:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThan(l_shipdate") || plan.contains("l_shipdate")),
+      s"the shipdate predicate must reach the lineitem scan:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
