@@ -65,6 +65,62 @@ object DriftQueries {
         .orderBy("source")
     },
 
+    // ----- robust hourly anomaly detection: median ± k·MAD -----
+    // The monitoring gate over the event stream: per event type, hourly
+    // counts compared against the type's MEDIAN hour with the median
+    // absolute deviation as the scale — robust statistics, because a
+    // traffic spike inflates a mean/stddev gate enough to hide itself
+    // but moves a median/MAD gate almost not at all. Both medians are
+    // lower-medians picked by rank (pure integer — no interpolation, no
+    // engine-defined quantile), windows are event_type-keyed over
+    // hour-cardinality rows (bounded by stream duration, never event
+    // rows); flagged hours are |c − med| > 3·MAD. Output is the anomaly
+    // list a pager would receive.
+    "event_anomaly_mad" -> QueryDef.sql(
+      """WITH hc AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, hr, c,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY c, hr) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM hc),
+        |med AS (SELECT event_type, c AS med FROM r WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT h.event_type, h.hr, h.c, m.med, abs(h.c - m.med) AS ad
+        |        FROM hc h JOIN med m ON m.event_type = h.event_type),
+        |r2 AS (SELECT event_type, hr, c, med, ad,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ad, hr) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM dev),
+        |mad AS (SELECT event_type, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.hr AS hour_bucket, d.c AS n_events, d.med, md.mad,
+        |  d.ad AS deviation
+        |FROM dev d JOIN mad md ON md.event_type = d.event_type
+        |WHERE d.ad > 3 * md.mad
+        |ORDER BY d.event_type, hour_bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hc = events(s, d)
+        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // hour-cardinality, consumed four times
+      val w = Window.partitionBy("event_type")
+      def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
+          outCol: String): org.apache.spark.sql.DataFrame =
+        df.withColumn("rn", row_number().over(w.orderBy(col(valueCol), col("hr"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col(valueCol).as(outCol))
+      val med = lowerMedian(hc, "c", "med")
+      val dev = hc.join(med, Seq("event_type"))
+        .withColumn("ad", abs(col("c") - col("med")))
+      val mad = lowerMedian(dev.select("event_type", "hr", "ad"), "ad", "mad")
+      dev.join(mad, Seq("event_type"))
+        .filter(col("ad") > lit(3) * col("mad"))
+        .select(col("event_type"), col("hr").as("hour_bucket"),
+          col("c").as("n_events"), col("med"), col("mad"), col("ad").as("deviation"))
+        .orderBy("event_type", "hour_bucket")
+    },
+
     // ----- near-dup leakage across the train/val/test boundary -----
     // The integrity audit a split ships with: a held-out document whose
     // near-duplicate sits in train is evaluation leakage the exact-match
