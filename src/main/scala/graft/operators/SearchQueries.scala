@@ -75,11 +75,19 @@ object SearchQueries {
     val tfPart = (col("tf").cast("double") * lit(K1 + 1.0)) /
       (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) *
         (col("dl").cast("double") / (col("total").cast("double") / col("n").cast("double")))))
-    val contrib = broadcast(qt).join(tf, Seq("token"))
-      .join(broadcast(df), Seq("token"))
+    // Score each (doc, token) ONCE, before the query join: the floored
+    // contribution depends only on (tf, dl, df, stats), so evaluating it
+    // on the tf table and joining the precomputed integer saves the
+    // double math × (queries sharing the term) — on a degenerate
+    // small-vocabulary corpus (every query term in every doc) that
+    // factor is the whole query count. Bit-identical results: the same
+    // per-row value is summed, only earlier.
+    val scored = tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(stats))
-      .select(col("qid"), col("doc_id"),
+      .select(col("token"), col("doc_id"),
         floor(lit(1000000.0) * idf * tfPart).cast("long").as("c"))
+    val contrib = broadcast(qt).join(scored, Seq("token"))
+      .select(col("qid"), col("doc_id"), col("c"))
     val topRn = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
     contrib.groupBy("qid", "doc_id").agg(sum("c").as("score"))
