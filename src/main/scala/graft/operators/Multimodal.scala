@@ -190,7 +190,96 @@ object Multimodal {
     decoded.withColumn("features",
       expr(s"filter(features, (x, i) -> i % $stride = 0)"))
 
+  /** Deterministic PCM16-LE mono payload for a doc id — the audio twin
+    * of [[pngPayload]]: 2048 samples, sample i =
+    * ((id·31 + i·7) % 4096) − 2048, with every third 256-sample block
+    * silenced — so VAD has real structure to find and the DuckDB
+    * oracle can replay the closed-form rule without ever seeing the
+    * bytes. */
+  def pcmPayload(id: Long): Array[Byte] = {
+    val n = 2048
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / 256) % 3 == 0) 0
+        else (((id * 31 + i.toLong * 7) % 4096) - 2048).toInt
+      out(2 * i) = (v & 0xff).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** documents → (doc_id, payload=PCM16-LE bytes, media_type). */
+  def pcmAssets(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType))))
+    docs.select(col("doc_id").cast("long")).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), pcmPayload(r.getLong(0)), "audio/pcm16") }
+    }(enc)
+  }
+
+  /** REAL audio parse: little-endian signed 16-bit samples from the
+    * binary payload, windowed energy per fixed-size frame — the
+    * voice-activity-detection primitive. Exact integer sums (energy =
+    * Σ v² as BIGINT), one output row per window, stateless per payload
+    * — at 100 TB this is a pure map stage bounded by payload size. */
+  def decodePcmWindows(assets: DataFrame, window: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("win", LongType),
+      StructField("n_samples", LongType),
+      StructField("energy", LongType),
+      StructField("active", BooleanType))))
+    assets.select("doc_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val n = bytes.length / 2
+        (0 until (n + window - 1) / window).iterator.map { w =>
+          val lo = w * window
+          val hi = math.min(lo + window, n)
+          var e = 0L
+          var i = lo
+          while (i < hi) {
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            e += v * v
+            i += 1
+          }
+          Row(id, w.toLong, (hi - lo).toLong, e, e > 0L)
+        }
+      }
+    }(enc)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ----- audio windowed-energy VAD over PCM16 payloads -----
+    // The audio leg of the multimodal surface: synthesize PCM16-LE
+    // payloads (closed-form samples, every third 256-sample block
+    // silent), parse the BYTES back (real little-endian int16 decode,
+    // sign bit and all), and emit per-window exact integer energy with
+    // the voice-activity flag. The oracle replays the sample rule
+    // directly — it checks what a correct byte-parse MUST yield, the
+    // same encode→decode→aggregate contract as mm_decode_pipeline.
+    "mm_audio_vad" -> QueryDef.sql(
+      """WITH i AS (
+        |  SELECT doc_id, unnest(generate_series(0, 2047)) AS i
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, i // 256 AS win,
+        |    CASE WHEN (i // 256) % 3 = 0 THEN 0
+        |         ELSE ((doc_id * 31 + i * 7) % 4096) - 2048 END AS v
+        |  FROM i)
+        |SELECT doc_id, win, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy, (sum(v * v) > 0) AS active
+        |FROM s GROUP BY doc_id, win
+        |ORDER BY doc_id, win""".stripMargin) { (s, d) =>
+      val assets = pcmAssets(documents(s, d)).repartition(col("doc_id"))
+      decodePcmWindows(assets, 256).orderBy("doc_id", "win")
+    },
     // ----- real image decode pipeline, hash-checked oracle -----
     // Spark: synthesize PNG → ImageIO decode → per-channel means.
     // DuckDB: replay the closed-form pixel rule directly (it never sees

@@ -74,4 +74,24 @@ class MultimodalSpec extends SparkFunSuite {
       "corrupt payload must degrade to the stub row")
     assert(decoded.getAs[Int]("n_bytes") == truncated.length)
   }
+
+  test("PCM16 VAD roundtrip: every third window silent, energies match a direct recompute") {
+    import spark.implicits._
+    val docs = Seq(3L, 44L, 1000L).toDF("doc_id")
+    val rows = Multimodal.decodePcmWindows(Multimodal.pcmAssets(docs), 256)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows.size == 3 * 8) // 2048 samples / 256-sample windows
+    for (((id, win), (n, energy, active)) <- rows) {
+      assert(n == 256L)
+      // recompute from the closed-form rule the payload encodes
+      val want = (win * 256 until win * 256 + 256).map { i =>
+        val v = if ((i / 256) % 3 == 0) 0L else ((id * 31 + i * 7) % 4096) - 2048
+        v * v
+      }.sum
+      assert(energy == want, s"doc $id window $win: byte-parse energy $energy != $want")
+      assert(active == (energy > 0))
+      if (win % 3 == 0) assert(!active, s"window $win must be silent")
+    }
+  }
 }
