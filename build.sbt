@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in GC (32 concurrent tasks churning UTF8String/agg buffers); the
   // bench/verify host has far more RAM than this.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 141 queries × (warmup + 2 timed runs) of whole-stage-codegen classes
+  // overflow the default 240 MB JIT code cache mid-run; when it fills,
+  // HotSpot DISABLES the compiler and later (alphabetically) queries run
+  // their codegen'd projections INTERPRETED — measured in round 7 as
+  // CPU-real ×5-31 inflation on trivial scalar queries (m5/m8/m7/m6/q1)
+  // that a fresh-JVM probe could not reproduce on identical plans.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -403,8 +403,8 @@ object CurationQueries {
     "text_lm_score" -> QueryDef.sql(
       s"""WITH $LmBucketsCte
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  (1000000 * sum(bucket)) // count(*) AS mean_bucket_ppm,
-        |  (1000000 * sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)) // count(*) AS oov_ppm
+        |  CAST((1000000 * sum(bucket)) // count(*) AS BIGINT) AS mean_bucket_ppm,
+        |  CAST((1000000 * sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS oov_ppm
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       tokenBuckets(s, d)
         .groupBy("doc_id")
@@ -433,7 +433,7 @@ object CurationQueries {
     "split_ccnet_terciles" -> QueryDef.sql(
       s"""WITH $LmBucketsCte,
         |lm AS (
-        |  SELECT doc_id, (1000000 * sum(bucket)) // count(*) AS lm_score
+        |  SELECT doc_id, CAST((1000000 * sum(bucket)) // count(*) AS BIGINT) AS lm_score
         |  FROM s GROUP BY doc_id),
         |scored AS (
         |  SELECT d.doc_id, d.source, lm.lm_score
@@ -999,8 +999,8 @@ object CurationQueries {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN ex.train_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
          |  CAST(sum(CASE WHEN fz.train_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
-         |  (1000000 * sum(CASE WHEN ex.train_doc IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS exact_ppm,
-         |  (1000000 * sum(CASE WHEN fz.train_doc IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS fuzzy_ppm
+         |  CAST((1000000 * sum(CASE WHEN ex.train_doc IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS exact_ppm,
+         |  CAST((1000000 * sum(CASE WHEN fz.train_doc IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS fuzzy_ppm
          |FROM base b
          |LEFT JOIN ex ON ex.train_doc = b.doc_id
          |LEFT JOIN fz ON fz.train_doc = b.doc_id
@@ -1054,7 +1054,7 @@ object CurationQueries {
         |  FROM t)
         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
         |  count(*) * bucket AS capacity,
-        |  (1000000 * (count(*) * bucket - sum(n))) // (count(*) * bucket) AS padding_ppm
+        |  CAST((1000000 * (count(*) * bucket - sum(n))) // (count(*) * bucket) AS BIGINT) AS padding_ppm
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"),

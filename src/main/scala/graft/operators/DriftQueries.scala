@@ -100,7 +100,10 @@ object DriftQueries {
         |ORDER BY d.event_type, hour_bucket""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val hc = events(s, d)
-        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+        // sign-safe floor division (Spark `div` truncates toward zero,
+        // the DuckDB oracle's `//` floors — they differ on pre-1970 ts)
+        .select(col("event_type"),
+          expr("(ts_ns - pmod(ts_ns, 3600000000000)) div 3600000000000").as("hr"))
         .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
         .localCheckpoint(true) // hour-cardinality, consumed four times
       val w = Window.partitionBy("event_type")
@@ -186,8 +189,8 @@ object DriftQueries {
         |SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(max(n) AS BIGINT) AS max_user_events,
-        |  (1000000 * max(n)) // sum(n) AS top_share_ppm,
-        |  (1000000 * max(n) * count(*)) // sum(n) AS skew_x1e6
+        |  CAST((1000000 * max(n)) // sum(n) AS BIGINT) AS top_share_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * max(n) * count(*)) // sum(n) AS BIGINT) AS skew_x1e6
         |FROM uc GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       events(s, d)
         .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
@@ -196,7 +199,11 @@ object DriftQueries {
           max("n").as("max_user_events"))
         .select(col("event_type"), col("total"), col("n_users"), col("max_user_events"),
           expr("(1000000 * max_user_events) div total").as("top_share_ppm"),
-          expr("(1000000 * max_user_events * n_users) div total").as("skew_x1e6"))
+          // 1e6·max·users can pass int64 at production cardinalities —
+          // widen the product to DECIMAL(38,0) (≡ DuckDB HUGEINT), then
+          // the truncated quotient fits BIGINT again by construction.
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * max_user_events * n_users) div total AS BIGINT)")
+            .as("skew_x1e6"))
         .orderBy("event_type")
     },
   )

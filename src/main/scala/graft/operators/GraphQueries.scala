@@ -36,7 +36,7 @@ object GraphQueries {
   private lazy val PageRankOracleSql: String = {
     val iters = (1 to Iters).map { k =>
       s"""p$k AS (
-         |  SELECT e.b AS v, (150000000000 // nn.n) + sum(((85 * p.p) // 100) // d.deg) AS p
+         |  SELECT e.b AS v, CAST((150000000000 // nn.n) + sum(((85 * p.p) // 100) // d.deg) AS BIGINT) AS p
          |  FROM edges e JOIN p${k - 1} p ON p.v = e.a JOIN deg d ON d.a = e.a
          |  CROSS JOIN nn
          |  GROUP BY e.b, nn.n)""".stripMargin

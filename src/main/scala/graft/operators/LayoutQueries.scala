@@ -71,13 +71,17 @@ object LayoutQueries {
     "zorder_layout" -> QueryDef.sql(
       s"""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hr, user_id FROM events),
          |m AS (SELECT min(hr) AS h0 FROM e),
-         |xy AS (SELECT least(hr - m.h0, 15) AS x, user_id % 16 AS y
+         |xy AS (SELECT least(hr - m.h0, 15) AS x, ((user_id % 16) + 16) % 16 AS y
          |       FROM e CROSS JOIN m),
          |zb AS (SELECT ($zDuck) AS z, x, y FROM xy)
          |SELECT z, CAST(count(*) AS BIGINT) AS n_events,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM zb GROUP BY z ORDER BY z""".stripMargin) { (s, d) =>
-      val e = events(s, d).select(expr("ts_ns div 3600000000000").as("hr"), col("user_id"))
+      // sign-safe floor (matches DuckDB `//` on pre-1970 ts); pmod on the
+      // Spark side ≡ the oracle's ((user_id % 16) + 16) % 16 for all signs.
+      val e = events(s, d).select(
+        expr("(ts_ns - pmod(ts_ns, 3600000000000)) div 3600000000000").as("hr"),
+        col("user_id"))
       val m = e.agg(min("hr").as("h0"))
       e.crossJoin(broadcast(m))
         .select(least(col("hr") - col("h0"), lit(15L)).as("x"),

@@ -299,9 +299,9 @@ object Multimodal {
         |    sum((doc_id * 7 + 62 + i % width + i // width) % 256) AS sb
         |  FROM px GROUP BY doc_id, width, height)
         |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
-        |  (1000000 * sr) // (width * height * 255) AS mean_r_ppm,
-        |  (1000000 * sg) // (width * height * 255) AS mean_g_ppm,
-        |  (1000000 * sb) // (width * height * 255) AS mean_b_ppm
+        |  CAST((1000000 * sr) // (width * height * 255) AS BIGINT) AS mean_r_ppm,
+        |  CAST((1000000 * sg) // (width * height * 255) AS BIGINT) AS mean_g_ppm,
+        |  CAST((1000000 * sb) // (width * height * 255) AS BIGINT) AS mean_b_ppm
         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
       val assets = pngAssets(documents(s, d))
         .repartition(col("doc_id")) // decode parallelism = partition count

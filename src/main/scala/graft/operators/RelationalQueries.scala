@@ -52,7 +52,7 @@ object RelationalQueries {
       |c AS (
       |  SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
       |SELECT src, dst, n,
-      |  (1000000 * n) // sum(n) OVER (PARTITION BY src) AS p_next_ppm
+      |  CAST((1000000 * n) // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_next_ppm
       |FROM c ORDER BY src, dst""".stripMargin
 
   private val O7Sql =

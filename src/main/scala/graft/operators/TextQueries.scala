@@ -1163,7 +1163,7 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_actual"))
         .orderBy("doc_id")
     },
@@ -1207,7 +1207,7 @@ object TextQueries {
         |  FROM documents WHERE lang IS NOT NULL)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(ws) AS BIGINT) AS ws_tokens, CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
-        |  (1000000 * sum(bpe)) // sum(ws) AS fertility_ppm
+        |  CAST((1000000 * sum(bpe)) // sum(ws) AS BIGINT) AS fertility_ppm
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       documents(s, d)
         .filter(col("lang").isNotNull)
@@ -1440,7 +1440,7 @@ object TextQueries {
         |       FROM t WHERE len(toks) >= 2),
         |c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS max_rep,
-        |  (1000000 * max(c)) // sum(c) AS rep_ppm
+        |  CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS rep_ppm
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       spread(documents(s, d))
         .withColumn("toks", expr(toksExpr))
@@ -1657,10 +1657,10 @@ object TextQueries {
         |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS n_space
         |  FROM documents)
         |SELECT lang, source, count(*) AS n_docs,
-        |  sum(n_chars) AS n_chars, sum(n_alpha) AS n_alpha,
-        |  sum(n_digit) AS n_digit, sum(n_space) AS n_space,
-        |  sum(n_chars) - sum(n_alpha) - sum(n_digit) - sum(n_space) AS n_other,
-        |  (1000000 * sum(n_alpha)) // sum(n_chars) AS alpha_ppm
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars, CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+        |  CAST(sum(n_digit) AS BIGINT) AS n_digit, CAST(sum(n_space) AS BIGINT) AS n_space,
+        |  CAST(sum(n_chars) - sum(n_alpha) - sum(n_digit) - sum(n_space) AS BIGINT) AS n_other,
+        |  CAST((1000000 * sum(n_alpha)) // sum(n_chars) AS BIGINT) AS alpha_ppm
         |FROM c GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin) { (s, d) =>
       documents(s, d)

@@ -34,6 +34,22 @@ def canon(rows, cols):
     return [c for c in sorted(cols)], out
 
 
+def type_mismatches(spark_rel, duck_rel):
+    """The driver's hash is type-sensitive: a DuckDB HUGEINT column vs a
+    Spark BIGINT column hash-mismatches even when every value is equal
+    (round-7 root cause: sum(BIGINT) widens to HUGEINT and // preserves
+    it).  Compare per-column type names after the same sort-by-name the
+    value compare uses and flag any widening the stringified value
+    compare below cannot see."""
+    s = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+    d = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
+    bad = []
+    for c in sorted(set(s) & set(d)):
+        if s[c] != d[c]:
+            bad.append(f"{c}: spark={s[c]} duck={d[c]}")
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -43,8 +59,9 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
             duck_rel = con.sql(sql)
+            t_bad = type_mismatches(spark_rel, duck_rel)
+            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
             d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -52,6 +69,9 @@ def main(sf_dir, out_dir):
             continue
         if s_cols != d_cols:
             print(f"FAIL {name}: columns {s_cols} vs {d_cols}")
+            n_fail += 1
+        elif t_bad:
+            print(f"FAIL {name}: column-type widening — " + "; ".join(t_bad))
             n_fail += 1
         elif s_rows != d_rows:
             n_fail += 1
