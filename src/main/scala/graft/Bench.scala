@@ -135,6 +135,10 @@ object Bench {
       .format("noop").mode("overwrite").save()
     operators.SignatureStore.ensureEventTransitions(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    // phrase-bigram registry behind phrase_search_stored (the live
+    // positional pass is timed by phrase_search)
+    operators.SignatureStore.ensurePhraseBigrams(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
     // bm25 postings artifact behind bm25_search_stored (the live build is
     // timed by bm25_search)
     locally {
@@ -226,9 +230,25 @@ object Bench {
     val totalCpu = results.map(_._2.cpu).sum
     val totalMb = results.map(_._2.mb).sum
     val totalGc = results.map(_._2.gc).sum
+    // Corpus fingerprint: cross-round per-query comparisons are only
+    // meaningful on the same generated corpus (the round-7 testdata
+    // regeneration changed overlap-family costs 1.6×); these three
+    // numbers let a later reader see a data change in the artifact
+    // itself instead of inferring it from cost shifts.
+    val fp = {
+      import org.apache.spark.sql.functions._
+      val docs = graft.util.Tables.documents(spark, sfDir)
+      val distinctTokens = docs
+        .select(explode_outer(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .agg(countDistinct(col("t"))).first().getLong(0)
+      val nDocs = docs.count()
+      val maxBucket = operators.SignatureStore.ensureMinhashBands(spark, sfDir)
+        .groupBy("band", "key").count().agg(max("count")).first().getLong(0)
+      s""""corpus_fp":{"n_docs":$nDocs,"distinct_tokens":$distinctTokens,"max_band_bucket":$maxBucket}"""
+    }
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""diag":$diags,"diag_legend":"[task_cpu_sec,input_mb,gc_ms] aligned with sorted queries keys","""" +
-      s"""task_cpu_sec":${fmt(totalCpu)},"input_mb":${math.round(totalMb)},"gc_ms":$totalGc,""" +
+      s"""task_cpu_sec":${fmt(totalCpu)},"input_mb":${math.round(totalMb)},"gc_ms":$totalGc,$fp,""" +
       s""""sf":"$sfDir","method":"best-of-2"}"""
     // Belt and braces for the driver's parser: raw stdout (run /
     // outputStrategy = StdoutOutput strips sbt's [info] prefix) AND a

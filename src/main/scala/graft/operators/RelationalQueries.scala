@@ -350,6 +350,48 @@ object RelationalQueries {
         .limit(10)
     },
 
+    // ----- TPC-H Q10 shape: returned-item customer report -----
+    // The second multi-join star probe (beside q3): fact table filtered
+    // on two pushed predicates (quarter date window on orders, R flag on
+    // lineitem), a two-hop dimension chain customer→nation, group at
+    // customer cardinality, top-20 by revenue. Like q3 the joins carry
+    // NO broadcast hints — nation is trivially broadcastable and AQE
+    // must find that on its own (pinned by PlanAssertSpec); customer and
+    // orders grow with scale so neither may be forced. The top-20 is
+    // TakeOrderedAndProject, never a global sort.
+    "q10_returned_topk" -> QueryDef.sql(
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .join(nation(s, d).select("n_nationkey", "n_name"),
+          col("c_nationkey") === col("n_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // ----- A7: retention cohort matrix -----
     // Users cohorted by first-activity day; the matrix counts distinct
     // users active at each day offset from their cohort. Scale shape:

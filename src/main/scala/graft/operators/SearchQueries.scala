@@ -97,6 +97,40 @@ object SearchQueries {
       .orderBy("qid", "doc_id")
   }
 
+  /** Per-document DISTINCT adjacent bigrams (doc_id, bigram) — one
+    * map-side positional pass, deduped per doc before any shuffle; the
+    * build stage of the phrase-bigram store and the live side of
+    * `phrase_search`. */
+  def bigramsOf(docs: DataFrame): DataFrame =
+    TextQueries.spread(docs)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(tk)-1), " +
+          "i -> concat(tk[i-1], ' ', tk[i])))")).as("bigram"))
+
+  /** Phrase probe shared by the live and stored paths: `bg` is the
+    * per-doc distinct bigram table (live pass or store read), `phrases`
+    * the bounded broadcast query set. */
+  def phraseRank(bg: DataFrame, phrases: DataFrame, k: Int): DataFrame = {
+    val rn = Window.partitionBy(col("qid")).orderBy(col("doc_id"))
+    bg.join(broadcast(phrases), Seq("bigram"))
+      .select("qid", "doc_id")
+      .withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id")
+      .orderBy("qid", "doc_id")
+  }
+
+  /** The bounded phrase table (qid, bigram): each eval query's first
+    * two tokens. */
+  private def queryPhrases(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+      .select(col("doc_id").as("qid"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("qid"),
+        concat_ws(" ", element_at(col("tk"), 1), element_at(col("tk"), 2)).as("bigram"))
+
   /** The bounded query-term table (qid, token): distinct tokens of the
     * eval docs under the explicit id bound. */
   private def queryTerms(docs: DataFrame): DataFrame =
@@ -209,6 +243,28 @@ object SearchQueries {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf_x1e6 DESC, doc_id) <= 5
        |ORDER BY qid, doc_id""".stripMargin
 
+  /** The phrase-search oracle, shared verbatim by the live and stored
+    * queries. */
+  private val PhraseOracleSql: String =
+    """WITH qd AS (
+      |  SELECT doc_id AS qid, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+      |ph AS (
+      |  SELECT qid, tk[1] || ' ' || tk[2] AS phrase FROM qd WHERE len(tk) >= 2),
+      |corpus AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |bg0 AS (
+      |  SELECT doc_id,
+      |    unnest([tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk)-1)]) AS bigram
+      |  FROM corpus WHERE len(tk) >= 2),
+      |bg AS (SELECT DISTINCT doc_id, bigram FROM bg0)
+      |SELECT qid, doc_id FROM (
+      |  SELECT p.qid, b.doc_id,
+      |    row_number() OVER (PARTITION BY p.qid ORDER BY b.doc_id) AS rn
+      |  FROM ph p JOIN bg b ON b.bigram = p.phrase) WHERE rn <= 10
+      |ORDER BY qid, doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- BM25 top-k: eval-set queries against the train corpus -----
@@ -258,6 +314,41 @@ object SearchQueries {
         .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
         .select("doc_id", "token", "tf", "dl")
       bm25Rank(tf, stats, qt, k = 5)
+    },
+
+    // ----- exact phrase search: positional adjacency match -----
+    // The inverted-index phrase query (the `"..."` operator of every
+    // search engine): each eval query's first two tokens form a phrase,
+    // and a corpus document matches iff the two tokens occur ADJACENT in
+    // order — bag-of-words search cannot express this. Scale shape: the
+    // corpus side makes ONE positional pass (bigrams derive map-side
+    // from the token array, deduped per doc before any join); the
+    // bounded phrase set broadcasts, so matching is a broadcast
+    // equi-join on the bigram string — never a corpus×queries product,
+    // and the per-query result caps at a top-10 window. The fused
+    // bigram key IS the positional index at phrase length 2: adjacency
+    // persists in the key, so no (doc, pos+1) self-join runs at query
+    // time (the `_stored` twin probes the persisted registry).
+    "phrase_search" -> QueryDef.sql(PhraseOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      phraseRank(bigramsOf(docs.filter(col("doc_id") % 97 =!= 0)),
+        queryPhrases(docs), k = 10)
+    },
+
+    // ----- phrase search from the persisted bigram registry -----
+    // The amortization twin: the corpus positional pass runs once
+    // ([[SignatureStore.ensurePhraseBigrams]], over ALL docs — the
+    // artifact is corpus-neutral) and every phrase query probes the
+    // (doc_id, bigram) parquet with a broadcast equi-join — text is
+    // never re-tokenized. The store also takes streaming appends
+    // (`EventStream.maintainPhraseBigrams`, latest-wins per doc), so
+    // stream-ingested documents become phrase-searchable without a
+    // batch rebuild. Same oracle as live: stored must be bit-identical.
+    "phrase_search_stored" -> QueryDef.sql(PhraseOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val bg = SignatureStore.ensurePhraseBigrams(s, d)
+        .filter(col("doc_id") % 97 =!= 0)
+      phraseRank(bg, queryPhrases(docs), k = 10)
     },
 
     // ----- hybrid search: BM25 ⊕ embedding cosine via RRF fusion -----

@@ -434,7 +434,92 @@ object SignatureStore {
       RelationalQueries.eventTriples(spark, sfDir)
         .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(eventTransitionsDir(base))
-    spark.read.parquet(eventTransitionsDir(base))
+    readEventTransitions(spark, base)
+  }
+
+  /** Streaming transition emissions land batch_id-partitioned in a
+    * sibling subtree (same layout rationale as [[streamMinhashDir]]),
+    * written by [[graft.streaming.EventStream]] `maintainTransitions`. */
+  def streamEventTransitionsDir(base: String) = s"$base/event_transitions_stream"
+
+  /** Counted triples (e1, e2, e3, n) unioned across the batch build and
+    * the streaming store, so o6/o7 stored reads transparently see
+    * stream-ingested users. The stream side resolves LATEST-wins per
+    * user first (`readTransitionCounts` — a corrected history replaces
+    * every older emission), then the two sides SUM: a user's stream
+    * lives in exactly one subtree (the same source-disjointness contract
+    * as doc_id in the bm25/minhash stores), so addition is exact. Both
+    * inputs are taxonomy-bounded (event-type³), so the union aggregate
+    * shuffles nothing corpus-sized. */
+  def readEventTransitions(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, eventTransitionsDir(base)))(
+      spark.read.parquet(eventTransitionsDir(base)).select("e1", "e2", "e3", "n"))
+    val stream = Option.when(hasData(spark, streamEventTransitionsDir(base)))(
+      graft.streaming.EventStream
+        .readTransitionCounts(spark, streamEventTransitionsDir(base))
+        .select("e1", "e2", "e3", "n"))
+    (batch, stream) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+        .groupBy("e1", "e2", "e3").agg(sum("n").as("n"))
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no event-transition store under $base")
+    }
+  }
+
+  def phraseBigramsDir(base: String) = s"$base/phrase_bigrams"
+
+  /** Streaming bigram appends land batch_id-partitioned in a sibling
+    * subtree (same layout rationale as [[streamMinhashDir]]). */
+  def streamPhraseBigramsDir(base: String) = s"$base/phrase_bigrams_stream"
+
+  /** Per-document DISTINCT adjacent-bigram registry (doc_id, bigram) —
+    * the fused-key positional index behind `phrase_search_stored`:
+    * phrase membership at bigram length needs only adjacency, so the
+    * (token, next-token) pair persists as ONE join key and a phrase
+    * probe is a broadcast equi-join, no position self-join at read
+    * time. Version resolution follows [[readBm25]]: stream rows resolve
+    * LATEST-WINS per doc (a re-ingested doc's newest batch replaces its
+    * bigram set), then stream docs supersede their batch rows via
+    * anti-join. The artifact is positional-index-sized (≈ one row per
+    * distinct adjacent pair per doc — the honest cost of phrase search
+    * everywhere), but it is written once and probed by broadcast joins. */
+  def readPhraseBigrams(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, phraseBigramsDir(base)))(
+      spark.read.parquet(phraseBigramsDir(base)).select("doc_id", "bigram"))
+    val stream = Option.when(hasData(spark, streamPhraseBigramsDir(base))) {
+      val raw = spark.read.parquet(streamPhraseBigramsDir(base))
+        .select(col("doc_id"), col("bigram"), col("batch_id").cast("long").as("batch_id"))
+      val latest = raw.groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+      raw.join(latest, Seq("doc_id", "batch_id"))
+        .select("doc_id", "bigram").distinct()
+    }
+    (batch, stream) match {
+      case (Some(b), Some(s)) =>
+        val streamDocs = s.select("doc_id").distinct()
+        b.join(streamDocs, Seq("doc_id"), "left_anti").unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no phrase-bigram store under $base")
+    }
+  }
+
+  /** Bigram registry for `sfDir`, building on first use over ALL
+    * documents (consumers filter to their corpus slice). The positional
+    * pass over text runs once per corpus version; `phrase_search` times
+    * the live pass, `phrase_search_stored` probes this artifact, held to
+    * the same oracle. */
+  def ensurePhraseBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${phraseBigramsDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      SearchQueries.bigramsOf(documents(spark, sfDir))
+        .write.mode("overwrite").parquet(phraseBigramsDir(base))
+    readPhraseBigrams(spark, base)
   }
 
   def bm25PostingsDir(base: String) = s"$base/bm25_postings"

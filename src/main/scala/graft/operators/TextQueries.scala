@@ -504,8 +504,23 @@ object TextQueries {
       |JOIN sizes sa ON sa.doc_id = i.doc_a
       |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin
 
-  /** Spark side of [[NgramJaccardBase]]: (doc_a, doc_b, jaccard_ppm). */
-  private def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String)
+  /** Containment oracle: same candidate/intersection CTEs, but the
+    * emission is Broder's asymmetric containment |A∩B|/|smaller| next
+    * to the symmetric Jaccard. */
+  private val NgramContainmentSql: String =
+    NgramJaccardBase.replace(
+      """|SELECT i.doc_a, i.doc_b,
+         |  (1000000 * i.i) // (sa.n + sb.n - i.i) AS jaccard_ppm""".stripMargin,
+      """|SELECT i.doc_a, i.doc_b,
+         |  (1000000 * i.i) // (sa.n + sb.n - i.i) AS jaccard_ppm,
+         |  (1000000 * i.i) // least(sa.n, sb.n) AS cont_ppm,
+         |  CAST(least(sa.n, sb.n) AS BIGINT) AS n_small""".stripMargin) +
+      "\nWHERE (1000000 * i.i) // least(sa.n, sb.n) >= 800000"
+
+  /** Spark side of the [[NgramJaccardBase]] candidate chain:
+    * (doc_a, doc_b, i, na, nb) — exact intersection and set sizes per
+    * candidate pair, shared by the Jaccard and containment emissions. */
+  private def ngramPairStats(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     // 12-gram shingles + a 2-hash band key: with a narrow synthetic
     // vocabulary, single 5-gram minhash buckets are enormous (1.3M
@@ -540,9 +555,13 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("i"),
         size(col("shs_a")).cast("long").as("na"), size(col("shs_b")).cast("long").as("nb"))
+  }
+
+  private def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    ngramPairStats(s, d)
       .select(col("doc_a"), col("doc_b"),
         expr("(1000000L * i) div (na + nb - i)").as("jaccard_ppm"))
-  }
 
   /** The line-dedup oracle, shared verbatim by the live and stored
     * queries — the stored path must be bit-identical to the live window
@@ -992,6 +1011,27 @@ object TextQueries {
     "dedup_ngram_jaccard" -> QueryDef.sql(
       s"$NgramJaccardBase\nORDER BY doc_a, doc_b") { (s, d) =>
       ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // ----- asymmetric containment dedup (Broder 1997's second measure) -----
+    // The case symmetric Jaccard structurally misses: a short document
+    // wholly CONTAINED in a much longer one (a quoted article inside a
+    // mirror page, a README pasted into a bundle) scores
+    // jaccard ≈ |small|/|large| — arbitrarily low — while containment
+    // |A∩B|/|smaller| is ≈ 1. Emitted per candidate pair at the ≥ 0.8
+    // gate a curation run would excise at, beside the Jaccard so the
+    // asymmetry is visible. Same candidate chain and set table as the
+    // Jaccard query (ONE compacted per-doc set shuffle, candidate join
+    // broadcast-sized), so the extra signal costs one projection.
+    "dedup_containment" -> QueryDef.sql(
+      s"$NgramContainmentSql\nORDER BY doc_a, doc_b") { (s, d) =>
+      ngramPairStats(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          expr("(1000000L * i) div (na + nb - i)").as("jaccard_ppm"),
+          expr("(1000000L * i) div least(na, nb)").as("cont_ppm"),
+          least(col("na"), col("nb")).as("n_small"))
+        .filter(col("cont_ppm") >= 800000)
+        .orderBy("doc_a", "doc_b")
     },
 
     // ----- LSH precision calibration: exact-Jaccard histogram -----

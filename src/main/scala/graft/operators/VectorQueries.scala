@@ -415,6 +415,77 @@ object VectorQueries {
         .orderBy("qid", "cid")
     },
 
+    // ----- ANN recall audit: IVF tier vs brute-force ground truth -----
+    // The recall report a vector deployment ships with its index config:
+    // per query, how many of the TRUE cosine top-10 the nprobe=2 IVF
+    // search returns. The spec suite pins recall thresholds
+    // (IvfRecallSpec); THIS emits the measurement itself as an
+    // oracle-checked table, so the audit that justifies an index setting
+    // is reproducible query-for-query. Both legs are the exact chains of
+    // ann_topk_bruteforce / ann_ivf at k=10; the comparison is a
+    // 10×queries-row join — nothing corpus-scale happens after the legs.
+    // All-integer emissions (count and // — no sum, no HUGEINT).
+    "ann_recall_report" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+        |brute AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, e.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rn
+        |    FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cent_id FROM (
+        |    SELECT q.qid, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM q, c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id AS cid
+        |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id <> p.qid),
+        |ivf AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT cand.qid, cand.cid,
+        |      row_number() OVER (PARTITION BY cand.qid
+        |        ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC, cand.cid) AS rn
+        |    FROM cand JOIN e qe ON qe.vec_id = cand.qid
+        |    JOIN e ce ON ce.vec_id = cand.cid) WHERE rn <= 10)
+        |SELECT b.qid, CAST(count(i.cid) AS BIGINT) AS n_hits,
+        |  (1000000 * count(i.cid)) // 10 AS recall_ppm
+        |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val brute = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") <= 10)
+        .select("qid", "cid")
+      val ivf = ivfTopK(e, centroids, queries, nprobe = 2, k = 10)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          expr("(1000000L * n_hits) div 10").as("recall_ppm"))
+        .orderBy("qid")
+    },
+
     // ----- IVF ANN (second scale path): coarse-quantizer bucket search -----
     // Deterministic IVF-flat: the 16 lowest-id vectors are the coarse
     // centroids (no Lloyd iterations — float averaging would diverge

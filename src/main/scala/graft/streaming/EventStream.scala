@@ -136,6 +136,28 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamBm25Dir(storeBase))
     }
 
+  /** Incremental phrase-bigram maintenance — the phrase-search twin of
+    * [[maintainPostings]]: each micro-batch of new documents runs the
+    * SAME one-pass positional bigram builder the batch store uses
+    * ([[graft.operators.SearchQueries.bigramsOf]]) and appends its
+    * per-doc distinct bigrams batch_id-keyed to the registry's stream
+    * subtree. The read side ([[graft.operators.SignatureStore
+    * .readPhraseBigrams]]) resolves LATEST-WINS per doc and supersedes
+    * batch rows, so a re-ingested document's phrases reflect only its
+    * newest text and replayed epochs overwrite exactly their own
+    * partitions. */
+  def maintainPhraseBigrams(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.SearchQueries.bigramsOf(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamPhraseBigramsDir(storeBase))
+    }
+
   /** Incremental line-registry maintenance — the line-dedup twin of
     * [[maintainPostings]]: each micro-batch of new documents is split
     * into 10-token lines with the SAME builder the batch registry uses

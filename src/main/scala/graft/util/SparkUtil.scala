@@ -18,6 +18,14 @@ object SparkUtil {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // parallelismFirst stays at its TRUE default deliberately: an r8
+    // experiment with `parallelismFirst=false` cut latency-bound walls
+    // (ann_pq_stored 2.2→1.3 s) but coalesced the CPU-dense mid-size
+    // shuffles of the dedup/ann families onto 1-2 cores (advisory
+    // 64 MB ≫ their shuffle bytes, yet their CPU is seconds) — net
+    // +17 s wall / +70 s skew across the bench. Byte-based coalescing
+    // only works when bytes predict CPU; these operators are
+    // hash/array-heavy per byte, so parallelism must win.
     // events.parquet stores TIMESTAMP(NANOS); read as epoch-nanos Long.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 

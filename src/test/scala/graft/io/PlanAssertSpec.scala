@@ -459,6 +459,24 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("q10_returned_topk: heap top-k, pushed predicates, no forced broadcasts") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("q10_returned_topk").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a per-partition heap, not a global sort:\n$plan")
+    assert(plan.contains("l_returnflag"),
+      s"the returnflag predicate must reach the lineitem scan:\n$plan")
+    assert(plan.contains("o_orderdate"),
+      s"the date-window predicate must reach the orders scan:\n$plan")
+    // the logical plan must carry no broadcast hints: scale sides are
+    // AQE's runtime call, not the query author's
+    val logical = q.queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      s"q10 must not force any broadcast:\n$logical")
+    assert(q.count() > 0)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))

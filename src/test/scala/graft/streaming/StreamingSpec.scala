@@ -404,6 +404,74 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("phrase-bigram store: stream appends supersede batch rows latest-wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.SignatureStore
+    val base = tmpDir("phrasestore")
+    // batch subtree for docs 1 and 2
+    Seq((1L, "alpha beta gamma"), (2L, "delta echo"))
+      .toDF("doc_id", "text")
+      .transform(graft.operators.SearchQueries.bigramsOf)
+      .write.parquet(SignatureStore.phraseBigramsDir(base))
+    // stream: doc 2 re-ingested with CHANGED text, doc 3 new; then doc 2
+    // corrected again in a later epoch (latest must win)
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainPhraseBigrams(
+      input.toDS().toDF("doc_id", "text"),
+      SignatureStore.streamPhraseBigramsDir(base))
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((2L, "zeta eta"), (3L, "theta iota kappa"))
+      query.processAllAvailable()
+      input.addData((2L, "mu nu"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = SignatureStore.readPhraseBigrams(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "alpha beta"), (1L, "beta gamma"),      // batch, untouched
+      (2L, "mu nu"),                               // ONLY the newest version
+      (3L, "theta iota"), (3L, "iota kappa")))
+  }
+
+  test("transition store read unions the batch build with stream appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.SignatureStore
+    val base = tmpDir("transunion")
+    // batch subtree: pre-aggregated triples, as ensureEventTransitions writes
+    Seq(("view", Some("click"), None: Option[String], 3L),
+      ("view", None: Option[String], None: Option[String], 1L))
+      .toDF("e1", "e2", "e3", "n")
+      .write.parquet(SignatureStore.eventTransitionsDir(base))
+    // stream subtree: per-user emissions via the real maintenance writer,
+    // including a superseded older emission for user 7
+    val input = MemoryStream[EventStream.TransEvent]
+    val query = EventStream.maintainTransitions(
+      input.toDS(), SignatureStore.streamEventTransitionsDir(base))
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData(EventStream.TransEvent(7L, 1L, "view", 100L))
+      query.processAllAvailable()
+      input.addData(EventStream.TransEvent(7L, 2L, "click", 200L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = SignatureStore.readEventTransitions(spark, base)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))) -> r.getLong(3))
+      .toMap
+    // user 7's current history is view->click: (view, click, None) joins the
+    // batch count 3 -> 4; the stale single-event (view, None, None) emission
+    // must NOT survive into the union (latest-wins before summing)
+    assert(got(("view", Some("click"), None)) == 4L)
+    assert(got(("view", None, None)) == 1L, "only the batch tail row remains")
+    assert(got(("click", None, None)) == 1L)
+    // batch-only and stream-only reads also serve
+    assert(SignatureStore.readEventTransitions(
+      spark, base).columns.toSeq == Seq("e1", "e2", "e3", "n"))
+  }
+
   test("sessionize absorbs a late cross-batch event without splitting the session") {
     // Regression: absorbing a late event used to REWIND lastSeen, so a
     // later in-gap event measured its gap against the stale minimum and
