@@ -146,6 +146,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL-decode perceptual fingerprint: ImageIO-parsed pixels → 16-bit
+    * average-hash over a 4×4 grid. Block of pixel (x,y) is
+    * (4y/h)·4 + 4x/w (forward integer map — a valid 16-cell partition
+    * for any w,h ≥ 4 without float boundaries); a block's bit is set
+    * iff its gray mean exceeds the image mean, compared CROSS-MULTIPLIED
+    * (sum_b·N > total·n_b) so no division ever rounds. Gray is the
+    * integer (r+g+b)/3 of the DECODED channels — PNG is lossless, so
+    * the oracle's closed-form replay matches bit-for-bit. Undecodable
+    * payloads drop (flatMap None) rather than fake a fingerprint. */
+  def imagePhash(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType), StructField("phash", LongType))))
+    assets.select("doc_id", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams (see pngAssets)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val img =
+          if (bytes.length == 0) null
+          else
+            try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val s = new Array[Long](16)
+          val n = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              val b = (4 * y / h) * 4 + (4 * x / w)
+              s(b) += gray; n(b) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var t = 0L; var np = 0L
+          var i = 0
+          while (i < 16) { t += s(i); np += n(i); i += 1 }
+          var ph = 0L
+          i = 0
+          while (i < 16) { if (s(i) * np > t * n(i)) ph |= (1L << i); i += 1 }
+          Some(Row(id, ph))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic byte-stripe features — the fallback for payloads that
     * are not decodable images (and the stub decode for media kinds with
     * no in-container codec, e.g. audio/video): mean of each of 8 byte
@@ -254,6 +306,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** Windowed-energy audio fingerprint from a real PCM16-LE parse: the
+    * audio twin of [[imagePhash]] — bit w set iff window w's exact
+    * integer energy, cross-multiplied against the payload total, exceeds
+    * the mean. Empty payloads drop. */
+  def audioFingerprint(assets: DataFrame, window: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType), StructField("ahash", LongType))))
+    assets.select("doc_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val n = bytes.length / 2
+        if (n == 0) None
+        else {
+          val nw = (n + window - 1) / window
+          val e = new Array[Long](nw)
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            e(i / window) += v * v
+            i += 1
+          }
+          var tot = 0L
+          var w = 0
+          while (w < nw) { tot += e(w); w += 1 }
+          var ph = 0L
+          w = 0
+          while (w < nw) { if (e(w) * nw > tot) ph |= (1L << w); w += 1 }
+          Some(Row(id, ph))
+        }
+      }
+    }(enc)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- audio windowed-energy VAD over PCM16 payloads -----
@@ -279,6 +365,41 @@ object Multimodal {
         |ORDER BY doc_id, win""".stripMargin) { (s, d) =>
       val assets = pcmAssets(documents(s, d)).repartition(col("doc_id"))
       decodePcmWindows(assets, 256).orderBy("doc_id", "win")
+    },
+
+    // ----- audio near-dup fingerprinting: windowed-energy hash -----
+    // The audio member of the dedup family (the image twin is
+    // mm_image_phash): parse PCM16-LE bytes, 8 window energies, bit w
+    // set iff energy_w · n_windows > total (cross-multiplied — no
+    // division rounds), bucket size per fingerprint. Re-encodes of the
+    // same signal share the hash; byte-md5 does not. One mapPartitions
+    // parse; only (doc_id, ahash) shuffles.
+    "mm_audio_fingerprint" -> QueryDef.sql(
+      """WITH i AS (
+        |  SELECT doc_id, unnest(generate_series(0, 2047)) AS i
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, i // 256 AS w,
+        |    CASE WHEN (i // 256) % 3 = 0 THEN 0
+        |         ELSE ((doc_id * 31 + i * 7) % 4096) - 2048 END AS v
+        |  FROM i),
+        |e AS (SELECT doc_id, w, sum(v * v) AS energy FROM s GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(energy) AS tot, count(*) AS nw FROM e GROUP BY doc_id),
+        |ph AS (
+        |  SELECT e.doc_id,
+        |    CAST(sum(CASE WHEN e.energy * t.nw > t.tot THEN 1::BIGINT << e.w ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM e JOIN t ON t.doc_id = e.doc_id
+        |  GROUP BY e.doc_id)
+        |SELECT doc_id, ahash,
+        |  CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+        |FROM ph ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val assets = pcmAssets(documents(s, d)).repartition(col("doc_id"))
+      audioFingerprint(assets, 256)
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("ahash")).cast("long"))
+        .select("doc_id", "ahash", "n_same")
+        .orderBy("doc_id")
     },
     // ----- real image decode pipeline, hash-checked oracle -----
     // Spark: synthesize PNG → ImageIO decode → per-channel means.
@@ -313,6 +434,51 @@ object Multimodal {
           element_at(col("features"), 1).cast("long").as("mean_r_ppm"),
           element_at(col("features"), 2).cast("long").as("mean_g_ppm"),
           element_at(col("features"), 3).cast("long").as("mean_b_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // ----- image near-dup fingerprinting: perceptual average-hash -----
+    // The multimodal member of the dedup family: a 16-bit aHash over a
+    // 4×4 gray grid from REAL ImageIO-decoded pixels (the hash two
+    // re-encodes of the same picture share, which byte-exact md5 does
+    // not), plus each hash's bucket size — the image analog of
+    // cluster_size_histogram's dup signal. The DuckDB oracle never sees
+    // a PNG: it replays the closed-form pixel rule and must land on the
+    // identical 16 bits, checking the whole encode→decode→hash pipeline.
+    // Scale shape: decode + hash are one mapPartitions pass; only the
+    // 8-byte (doc_id, phash) rows shuffle for the bucket-size window.
+    "mm_image_phash" -> QueryDef.sql(
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM dims),
+        |g AS (
+        |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+        |    (((doc_id * 7 + i % w + i // w) % 256)
+        |     + ((doc_id * 7 + 31 + i % w + i // w) % 256)
+        |     + ((doc_id * 7 + 62 + i % w + i // w) % 256)) // 3 AS gray
+        |  FROM px),
+        |bsum AS (
+        |  SELECT doc_id, ((4 * y) // h) * 4 + (4 * x) // w AS b,
+        |    sum(gray) AS s, count(*) AS n
+        |  FROM g GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(s) AS t, sum(n) AS np FROM bsum GROUP BY doc_id),
+        |ph AS (
+        |  SELECT b.doc_id,
+        |    CAST(sum(CASE WHEN b.s * t.np > t.t * b.n THEN 1::BIGINT << b.b ELSE 0 END) AS BIGINT) AS phash
+        |  FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, phash,
+        |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+        |FROM ph ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val assets = pngAssets(documents(s, d)).repartition(col("doc_id"))
+      imagePhash(assets)
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
+        .select("doc_id", "phash", "n_same")
         .orderBy("doc_id")
     },
 

@@ -459,6 +459,22 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("phrase_search_stored probes the bigram registry, never re-tokenizes corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val stored = graft.operators.SearchQueries.defs("phrase_search_stored")
+      .build(spark, sfDir)
+    val plan = stored.queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans == 1,
+      s"stored path must scan documents once (the bounded phrase side only):\n$plan")
+    assert(plan.contains("phrase_bigrams"),
+      s"corpus bigrams must come from the persisted registry:\n$plan")
+    val live = graft.operators.SearchQueries.defs("phrase_search").build(spark, sfDir)
+    val livePlan = live.queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(livePlan).size >= 2,
+      s"live path runs the positional pass over corpus text by design:\n$livePlan")
+  }
+
   test("q10_returned_topk: heap top-k, pushed predicates, no forced broadcasts") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.RelationalQueries.defs("q10_returned_topk").build(spark, sfDir)

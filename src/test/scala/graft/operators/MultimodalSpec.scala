@@ -75,6 +75,63 @@ class MultimodalSpec extends SparkFunSuite {
     assert(decoded.getAs[Int]("n_bytes") == truncated.length)
   }
 
+  test("imagePhash is invariant under lossless re-encoding (PNG vs BMP)") {
+    // The property that makes a PERCEPTUAL hash a dedup signal where
+    // byte-md5 is not: two different losslessly-encoded files of the
+    // same picture must share the fingerprint.
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("media_type", org.apache.spark.sql.types.StringType)))
+    def reEncode(png: Array[Byte], fmt: String): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val ids = Seq(5L, 123L, 4077L)
+    val rows = ids.flatMap { id =>
+      val png = Multimodal.pngPayload(id)
+      Seq(org.apache.spark.sql.Row(id, png, "image/png"),
+        org.apache.spark.sql.Row(id + 100000L, reEncode(png, "bmp"), "image/bmp"))
+    }
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = Multimodal.imagePhash(assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- ids) {
+      assert(got.contains(id) && got.contains(id + 100000L))
+      assert(got(id) == got(id + 100000L),
+        s"doc $id: PNG phash ${got(id)} != BMP re-encode phash ${got(id + 100000L)}")
+      // the raw bytes DO differ — md5-style identity would miss the dup
+      assert(!java.util.Arrays.equals(Multimodal.pngPayload(id),
+        reEncode(Multimodal.pngPayload(id), "bmp")))
+    }
+  }
+
+  test("audioFingerprint: silent windows never set bits; empty payloads drop") {
+    import spark.implicits._
+    val docs = Seq(3L, 44L, 1000L).toDF("doc_id")
+    val fp = Multimodal.audioFingerprint(Multimodal.pcmAssets(docs), 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.size == 3)
+    for ((id, h) <- fp) {
+      // windows 0, 3, 6 are silent by the payload rule — their energy is
+      // 0, which can never exceed the positive mean
+      assert((h & ((1L << 0) | (1L << 3) | (1L << 6))) == 0L,
+        s"doc $id: silent-window bit set in $h")
+      assert(h != 0L, s"doc $id: active windows must set at least one bit")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, Array.emptyByteArray))), schema)
+    assert(Multimodal.audioFingerprint(empty, 256).count() == 0L)
+  }
+
   test("PCM16 VAD roundtrip: every third window silent, energies match a direct recompute") {
     import spark.implicits._
     val docs = Seq(3L, 44L, 1000L).toDF("doc_id")
