@@ -747,6 +747,45 @@ object CurationQueries {
         .orderBy("token_id")
     },
 
+    // ----- vocabulary-size sweep: coverage per candidate K -----
+    // The audit run before fixing a tokenizer's vocab size: what share
+    // of corpus token OCCURRENCES the top-K types cover, for a sweep of
+    // K — the elbow of this curve is where vocab growth stops paying.
+    // Scale shape: the corpus collapses to its vocabulary first
+    // (map-side-combinable count, Heaps-sublinear), the rank runs on
+    // the vocab-cardinality table, and the sweep is a broadcast cross
+    // join against 4 constant rows. All-integer ppm emissions.
+    "bpe_vocab_coverage" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+        |r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |k AS (SELECT CAST(unnest([4, 8, 16, 32]) AS BIGINT) AS vocab_k)
+        |SELECT k.vocab_k,
+        |  CAST(sum(CASE WHEN r.rk <= k.vocab_k THEN r.n ELSE 0 END) AS BIGINT) AS covered,
+        |  t.total,
+        |  CAST((1000000 * sum(CASE WHEN r.rk <= k.vocab_k THEN r.n ELSE 0 END)) // t.total AS BIGINT) AS coverage_ppm
+        |FROM k, r, t GROUP BY k.vocab_k, t.total
+        |ORDER BY vocab_k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val c = documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      // rank without a WindowExec: the vocab table is Heaps-bounded, so
+      // the one-partition sort + row offset is the vocab_topk trick
+      val r = c.coalesce(1).sortWithinPartitions(col("n").desc, col("token"))
+        .withColumn("rk", (monotonically_increasing_id() + 1).cast("long"))
+      val t = c.agg(sum("n").as("total"))
+      val ks = Seq(4L, 8L, 16L, 32L).toDF("vocab_k")
+      r.crossJoin(broadcast(ks)).crossJoin(broadcast(t))
+        .groupBy("vocab_k", "total")
+        .agg(sum(when(col("rk") <= col("vocab_k"), col("n")).otherwise(0L)).as("covered"))
+        .select(col("vocab_k"), col("covered"), col("total"),
+          expr("(1000000L * covered) div total").as("coverage_ppm"))
+        .orderBy("vocab_k")
+    },
+
     // ----- BPE merge-candidate pair counts (tokenizer-training step) -----
     // The other tokenizer-training precursor beside vocab_topk: the
     // weighted adjacent-character-pair frequencies over the word
@@ -1031,6 +1070,44 @@ object CurationQueries {
           expr("(1000000L * n_exact) div n_docs").as("exact_ppm"),
           expr("(1000000L * n_fuzzy) div n_docs").as("fuzzy_ppm"))
         .orderBy("source")
+    },
+
+    // ----- decontamination triage: the most-leaked eval documents -----
+    // The companion view to the per-source decontamination_report: rank
+    // EVAL documents by how many train documents the exact 12-gram
+    // check flags against them. The top of this list localizes a leak —
+    // one eval doc matched by hundreds of train docs is a benchmark
+    // mirrored into the crawl; the overlap magnitude (max_shared) tells
+    // template overlap from verbatim dumps. Same shingle chain and
+    // broadcast-eval join as the gate query; rollup is eval-cardinality
+    // and the top-10 is a TakeOrdered heap.
+    "decontamination_top_eval" -> QueryDef.sql(
+      """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+        |trn AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |esh AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+        |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+        |  FROM evald)),
+        |tsh AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+        |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+        |  FROM trn)),
+        |pr AS (
+        |  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_shared
+        |  FROM tsh t JOIN esh e ON t.h = e.h
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT eval_doc, CAST(count(*) AS BIGINT) AS n_train_flagged,
+        |  CAST(max(n_shared) AS BIGINT) AS max_shared
+        |FROM pr GROUP BY eval_doc
+        |ORDER BY n_train_flagged DESC, eval_doc LIMIT 10""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val evalD = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      decontaminate(train, evalD, minShared = 20)
+        .groupBy("eval_doc")
+        .agg(count(lit(1)).as("n_train_flagged"), max("n_shared").as("max_shared"))
+        .orderBy(col("n_train_flagged").desc, col("eval_doc"))
+        .limit(10)
     },
 
     // ----- length-bucketed batching report (padding efficiency) -----

@@ -170,22 +170,7 @@ object Multimodal {
             catch { case _: java.io.IOException | _: RuntimeException => null }
         if (img == null) None
         else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val s = new Array[Long](16)
-          val n = new Array[Long](16)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-              val b = (4 * y / h) * 4 + (4 * x / w)
-              s(b) += gray; n(b) += 1
-              x += 1
-            }
-            y += 1
-          }
+          val (s, n) = grayBlockSums(img, 4)
           var t = 0L; var np = 0L
           var i = 0
           while (i < 16) { t += s(i); np += n(i); i += 1 }
@@ -193,6 +178,62 @@ object Multimodal {
           i = 0
           while (i < 16) { if (s(i) * np > t * n(i)) ph |= (1L << i); i += 1 }
           Some(Row(id, ph))
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-block gray sums/counts over a grid×grid partition of a decoded
+    * image — the shared kernel of [[imagePhash]] (hash bits) and
+    * [[imageResize]] (box-filter downscale). */
+  private def grayBlockSums(img: java.awt.image.BufferedImage, grid: Int)
+      : (Array[Long], Array[Long]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = new Array[Long](grid * grid)
+    val n = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        val b = (grid * y / h) * grid + (grid * x / w)
+        s(b) += gray; n(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (s, n)
+  }
+
+  /** REAL image resize: ImageIO decode → grid×grid box-filter downscale
+    * (area averaging — INTER_AREA semantics), each output pixel the
+    * FLOORED integer mean of its source block, so the closed-form
+    * oracle reproduces every cell exactly. Long-format output
+    * (doc_id, by, bx, gray) — one row per output pixel. */
+  def imageResize(assets: DataFrame, grid: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("by", LongType),
+      StructField("bx", LongType),
+      StructField("gray", LongType))))
+    assets.select("doc_id", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val img =
+          if (bytes.length == 0) null
+          else
+            try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img == null) Iterator.empty
+        else {
+          val (s, n) = grayBlockSums(img, grid)
+          (0 until grid * grid).iterator.filter(n(_) > 0L).map { b =>
+            Row(id, (b / grid).toLong, (b % grid).toLong, s(b) / n(b))
+          }
         }
       }
     }(enc)
@@ -480,6 +521,36 @@ object Multimodal {
           count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
         .select("doc_id", "phash", "n_same")
         .orderBy("doc_id")
+    },
+
+    // ----- real image resize: 4×4 box-filter downscale -----
+    // The resize stage of an image-training pipeline (area averaging —
+    // what INTER_AREA does), from REAL decoded pixels to a long-format
+    // (doc_id, by, bx, gray) thumbnail: every output pixel is the exact
+    // FLOORED integer mean of its source block, so the oracle's
+    // closed-form replay checks each cell. Blocks partition by the
+    // forward map (4y/h, 4x/w) — no float boundary ever computed. One
+    // mapPartitions pass; output is 16 rows per image regardless of
+    // input size — the bounded-output property that makes thumbnailing
+    // at 100 TB a pure map stage.
+    "mm_image_resize" -> QueryDef.sql(
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM dims),
+        |g AS (
+        |  SELECT doc_id, (4 * (i // w)) // h AS by, (4 * (i % w)) // w AS bx,
+        |    (((doc_id * 7 + i % w + i // w) % 256)
+        |     + ((doc_id * 7 + 31 + i % w + i // w) % 256)
+        |     + ((doc_id * 7 + 62 + i % w + i // w) % 256)) // 3 AS gray
+        |  FROM px)
+        |SELECT doc_id, by, bx, CAST(sum(gray) // count(*) AS BIGINT) AS gray
+        |FROM g GROUP BY doc_id, by, bx
+        |ORDER BY doc_id, by, bx""".stripMargin) { (s, d) =>
+      val assets = pngAssets(documents(s, d)).repartition(col("doc_id"))
+      imageResize(assets, 4).orderBy("doc_id", "by", "bx")
     },
 
     // ----- video-style frame sampling over opaque payloads -----

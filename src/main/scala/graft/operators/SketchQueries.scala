@@ -91,6 +91,52 @@ object SketchQueries {
     // ppm — the one-sided error envelope made visible (the exact side
     // exists here only to grade the sketch; production reads the 4096
     // cells alone).
+    // ----- KMV mergeability: the distributive-aggregation law, checked -----
+    // WHY a sketch earns its place at 100 TB: per-stratum sketches
+    // union-merge into the global sketch WITHOUT touching the data
+    // again. For KMV the law is exact — the union of per-source
+    // k-smallest sets contains the global k smallest (each source
+    // retained ITS k smallest, so nothing globally small can be
+    // missing) — and this query CHECKS it: the k-th min re-derived from
+    // the ≤ 64·sources merged sketch rows must equal the k-th min of
+    // the full distinct-hash table, bit for bit (merge_exact = 1).
+    // Scale shape: both k-th mins are TakeOrdered per-partition heaps
+    // (never a global sort); the merge side touches only sketch rows —
+    // the exact pattern a per-shard → global cardinality rollup runs.
+    "kmv_merge_shingles" -> QueryDef.sql(
+      s"""WITH hs AS (SELECT DISTINCT source, h FROM (
+         |  SELECT source, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+         |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+         |  FROM documents WHERE source IS NOT NULL)),
+         |sk AS (SELECT source, h FROM (
+         |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |  FROM hs) WHERE rk <= $KmvK),
+         |mk AS (SELECT max(h) AS merged_kth FROM (SELECT DISTINCT h FROM sk ORDER BY h LIMIT $KmvK)),
+         |gk AS (SELECT max(h) AS direct_kth FROM (SELECT DISTINCT h FROM hs ORDER BY h LIMIT $KmvK))
+         |SELECT m.merged_kth, g.direct_kth,
+         |  CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // m.merged_kth AS BIGINT) AS merged_est,
+         |  CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // g.direct_kth AS BIGINT) AS direct_est,
+         |  CAST(m.merged_kth = g.direct_kth AS BIGINT) AS merge_exact
+         |FROM mk m, gk g""".stripMargin) { (s, d) =>
+      import graft.functions.ShingleHashes.shingle_hashes
+      val hs = documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"), explode(shingle_hashes(col("text"), lit(12))).as("h"))
+        .distinct()
+      val skW = Window.partitionBy(col("source")).orderBy(col("h"))
+      val sk = hs.withColumn("rk", row_number().over(skW))
+        .filter(col("rk") <= KmvK).select("source", "h")
+      def kthMin(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.select("h").distinct().orderBy("h").limit(KmvK)
+          .agg(max("h").as(out))
+      val estSql = s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) " +
+        "* CAST(1152921504606846976 AS DECIMAL(38,0))) div %s AS BIGINT)"
+      kthMin(sk, "merged_kth").crossJoin(kthMin(hs, "direct_kth"))
+        .select(col("merged_kth"), col("direct_kth"),
+          expr(estSql.format("merged_kth")).as("merged_est"),
+          expr(estSql.format("direct_kth")).as("direct_est"),
+          (col("merged_kth") === col("direct_kth")).cast("long").as("merge_exact"))
+    },
+
     "count_min_tokens" -> QueryDef.sql(
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

@@ -493,6 +493,17 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("kmv_merge_shingles: both k-th mins are TakeOrdered heaps, not global sorts") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.SketchQueries.defs("kmv_merge_shingles").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"merged and direct k-th mins must both be per-partition heaps:\n$plan")
+    val row = q.collect().head
+    assert(row.getAs[Long]("merge_exact") == 1L,
+      "the KMV merge law must hold bit-for-bit on real data")
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
