@@ -1427,6 +1427,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- language-ID confusion matrix vs the labeled column -----
+    // The audit any classifier gate ships with: predicted × true label
+    // counts (the full confusion matrix, taxonomy-bounded output) —
+    // before a language filter reshapes a corpus, this table says WHICH
+    // languages it silently eats. Same stateless scoring projection as
+    // text_lang_id; one bounded-cardinality aggregate.
+    "langid_confusion" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents WHERE lang IS NOT NULL),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('data', 'table', 'row'))) AS s_dt,
+        |  len(list_filter(toks, x -> x IN ('spark', 'query', 'join'))) AS s_qy
+        |FROM t)
+        |SELECT lang,
+        |  CASE WHEN s_en >= s_dt AND s_en >= s_qy THEN 'en'
+        |       WHEN s_dt >= s_qy THEN 'dt' ELSE 'qy' END AS predicted_lang,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .filter(col("lang").isNotNull)
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("lang"),
+          expr("size(filter(toks, x -> x IN ('the', 'a', 'of')))").cast("long").as("s_en"),
+          expr("size(filter(toks, x -> x IN ('data', 'table', 'row')))").cast("long").as("s_dt"),
+          expr("size(filter(toks, x -> x IN ('spark', 'query', 'join')))").cast("long").as("s_qy"))
+        .select(
+          col("lang"),
+          when(col("s_en") >= col("s_dt") && col("s_en") >= col("s_qy"), "en")
+            .when(col("s_dt") >= col("s_qy"), "dt").otherwise("qy").as("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted_lang")
+    },
+
     // ----- document fingerprint: whitespace-normalized content hash -----
     "text_fingerprint" -> QueryDef.sql(
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
