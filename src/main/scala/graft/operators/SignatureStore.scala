@@ -522,6 +522,66 @@ object SignatureStore {
     readPhraseBigrams(spark, base)
   }
 
+  /** Store compaction: fold the stream-append subtree into the batch
+    * subtree. Long-running ingestion accumulates one batch_id partition
+    * per micro-batch; every read then pays the partition listing and the
+    * latest-wins resolve. Compaction runs the SAME resolve the reader
+    * uses, seals the result as the new batch build, and drops the stream
+    * subtree — post-compaction reads are a single partition-free parquet
+    * scan, and the resolve cost is paid once instead of per query.
+    *
+    * Safe for DOC-KEYED stores (phrase bigrams, bm25, minhash, lines):
+    * their readers supersede batch rows whenever a NEWER stream version
+    * of the same key appears, so sealing today's resolved state does not
+    * change tomorrow's supersession semantics. NOT offered for the
+    * event-transition store — its stream side resolves latest-wins on a
+    * USER dimension the aggregated batch shape no longer carries, so
+    * compacting would silently freeze per-user history.
+    *
+    * Compaction is a BARRIER operation: run it between ingestion
+    * sessions, after the streaming query's checkpoint has committed its
+    * offsets. The sealed batch no longer carries batch_id, so the
+    * replay-exclusion contract ([[readMinhashBandsExcluding]]) cannot
+    * subtract a PRE-compaction epoch from a post-compaction store —
+    * exactly the "sealed segments don't replay" rule every
+    * log-compacted store (Kafka, LSM trees) lives by.
+    *
+    * Write protocol: resolved state lands in a `_compact_tmp` sibling
+    * first (the resolve READS the dirs being replaced — overwriting in
+    * place would consume its own output), then batch+stream are swapped
+    * out and the tmp renamed in. */
+  private def compactInto(spark: SparkSession, batchDir: String,
+      streamDir: String, resolved: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = s"${batchDir}_compact_tmp"
+    resolved.write.mode("overwrite").parquet(tmp)
+    val fs = new Path(batchDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(batchDir), true)
+    fs.delete(new Path(streamDir), true)
+    require(fs.rename(new Path(tmp), new Path(batchDir)),
+      s"compaction rename $tmp -> $batchDir failed")
+  }
+
+  /** Compact the phrase-bigram store at `base` (no-op without stream
+    * appends). Post-condition: [[readPhraseBigrams]] serves the same
+    * rows from the batch subtree alone. */
+  def compactPhraseBigrams(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamPhraseBigramsDir(base)))
+      compactInto(spark, phraseBigramsDir(base), streamPhraseBigramsDir(base),
+        readPhraseBigrams(spark, base))
+
+  /** Compact the minhash band store (union-distinct resolve). */
+  def compactMinhashBands(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamMinhashDir(base)))
+      compactInto(spark, minhashDir(base), streamMinhashDir(base),
+        readMinhashBands(spark, base))
+
+  /** Compact the line registry (first-wins resolve). */
+  def compactLineRegistry(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamLinesDir(base)))
+      compactInto(spark, linesDir(base), streamLinesDir(base),
+        readLineRegistry(spark, base))
+
   def bm25PostingsDir(base: String) = s"$base/bm25_postings"
   def bm25DoclensDir(base: String) = s"$base/bm25_doclens"
 

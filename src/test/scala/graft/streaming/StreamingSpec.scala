@@ -435,6 +435,54 @@ class StreamingSpec extends SparkFunSuite {
       (3L, "theta iota"), (3L, "iota kappa")))
   }
 
+  test("phrase-store compaction seals the resolved state and drops the stream subtree") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.SignatureStore
+    val base = tmpDir("phrasecompact")
+    Seq((1L, "alpha beta gamma"), (2L, "delta echo"))
+      .toDF("doc_id", "text")
+      .transform(graft.operators.SearchQueries.bigramsOf)
+      .write.parquet(SignatureStore.phraseBigramsDir(base))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainPhraseBigrams(
+      input.toDS().toDF("doc_id", "text"),
+      SignatureStore.streamPhraseBigramsDir(base))
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((2L, "zeta eta"), (3L, "theta iota"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val before = SignatureStore.readPhraseBigrams(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    SignatureStore.compactPhraseBigrams(spark, base)
+    // identical rows, now from the batch subtree alone
+    val after = SignatureStore.readPhraseBigrams(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      SignatureStore.streamPhraseBigramsDir(base))),
+      "compaction must drop the stream subtree")
+    // a compacted store keeps taking appends: a NEW stream version of a
+    // sealed doc still supersedes its batch rows
+    val input2 = MemoryStream[(Long, String)]
+    val query2 = EventStream.maintainPhraseBigrams(
+      input2.toDS().toDF("doc_id", "text"),
+      SignatureStore.streamPhraseBigramsDir(base))
+      .option("checkpointLocation", s"$base/_ckpt2").start()
+    try {
+      input2.addData((2L, "mu nu"))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val resumed = SignatureStore.readPhraseBigrams(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(resumed == Set(
+      (1L, "alpha beta"), (1L, "beta gamma"),
+      (2L, "mu nu"),
+      (3L, "theta iota")))
+  }
+
   test("transition store read unions the batch build with stream appends") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
