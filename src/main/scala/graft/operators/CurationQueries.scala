@@ -306,6 +306,41 @@ object CurationQueries {
         .orderBy("train_doc", "eval_doc")
     },
 
+    // ----- k-anonymity audit over the release's quasi-identifiers -----
+    // The privacy report a corpus release ships beside the PII pass:
+    // documents grouped by their quasi-identifier tuple (lang, source,
+    // length bucket — the attributes an adversary can match against
+    // external data); the release's k-anonymity IS the smallest group
+    // size, and every document in a group under the k=5 threshold is a
+    // re-identification risk the release either generalizes or drops.
+    // One map-side-combinable aggregate to quasi-identifier cardinality,
+    // then a one-row rollup; all-integer emissions.
+    "pii_k_anonymity" -> QueryDef.sql(
+      """WITH q AS (
+        |  SELECT lang, source, length(text) // 100 AS len_bucket
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM q GROUP BY 1, 2, 3)
+        |SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS at_risk_docs,
+        |  CAST((1000000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END)) // sum(n) AS BIGINT) AS at_risk_ppm
+        |FROM g""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("lang"), col("source"),
+          expr("length(text) div 100").as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("n"))
+        .agg(min("n").as("k_anonymity"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("small_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("at_risk_docs"),
+          expr("CAST((1000000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END)) div sum(n) AS BIGINT)")
+            .as("at_risk_ppm"))
+    },
+
     // ----- PII detection + redaction: stateless codegen'd regex pass -----
     // Counts and redacts emails / phone numbers / IPs in one projection —
     // no shuffle, no UDF; at 100 TB this is a pure map stage pipelined

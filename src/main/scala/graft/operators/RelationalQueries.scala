@@ -262,6 +262,88 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- J8: salted join for skewed keys -----
+    // THE manual skew remedy (what AQE's skew-join does adaptively,
+    // spelled out): the fact side of a user-keyed join concentrates on
+    // hot users (key_skew_report measures exactly this), so a plain
+    // hash join funnels the hottest key through one task. Salting
+    // splits it: the DIMENSION side replicates ×8 (one copy per salt),
+    // the fact side derives a DETERMINISTIC salt from its unique id,
+    // and the join key becomes (user_id, salt) — the hot key's rows now
+    // land in 8 partitions instead of 1. Same rows out as the unsalted
+    // join (the oracle IS the plain join); the ×8 dim replication is
+    // the price, bounded because dims are the small side by
+    // construction. Deterministic salt (pmod of event_id), never
+    // rand() — replays and retries stay stable.
+    "j8_salted_skew_join" -> QueryDef.sql(
+      """WITH dim AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS user_total
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.user_total
+        |FROM events e JOIN dim d ON d.user_id = e.user_id
+        |ORDER BY e.event_id""".stripMargin) { (s0, d) =>
+      import s0.implicits._
+      val ev = events(s0, d)
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+      val dimSalted = dim.crossJoin(broadcast((0 until 8).toDF("salt")))
+      ev.select(col("event_id"), col("user_id"))
+        .withColumn("salt", pmod(col("event_id"), lit(8)).cast("int"))
+        .join(dimSalted, Seq("user_id", "salt"))
+        .select("event_id", "user_id", "user_total")
+        .orderBy("event_id")
+    },
+
+    // ----- funnel drop-off report: per-stage conversion -----
+    // The rollup every funnel analysis actually ships: users reaching
+    // each stage and the stage-over-stage conversion rate — where the
+    // funnel leaks. Same strictly-after chaining as a6_funnel (each
+    // stage's CTE shrinks the previous); the report is four one-row
+    // aggregates + a 4-row lag window — nothing user-cardinality leaves
+    // the aggregates.
+    "a6_funnel_dropoff" -> QueryDef.sql(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+        |      FROM events e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.signup_us
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        |      GROUP BY e.user_id),
+        |counts AS (
+        |  SELECT CAST(0 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users FROM u
+        |  UNION ALL SELECT 1, count(*) FROM s
+        |  UNION ALL SELECT 2, count(*) FROM c
+        |  UNION ALL SELECT 3, count(*) FROM p)
+        |SELECT stage, n_users,
+        |  CAST((1000000 * n_users) // lag(n_users) OVER (ORDER BY stage) AS BIGINT) AS conv_prev_ppm
+        |FROM counts ORDER BY stage""".stripMargin) { (s0, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s0, d).select(col("user_id"), col("event_type"),
+        expr(Tables.epochUsFloorSql).as("us"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("signup_us"))
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, Seq("user_id")).filter(col("us") > col("signup_us"))
+        .groupBy("user_id").agg(min("us").as("click_us"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, Seq("user_id")).filter(col("us") > col("click_us"))
+        .groupBy("user_id").agg(min("us").as("purchase_us"))
+      def stageCount(df: org.apache.spark.sql.DataFrame, stage: Long) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
+      val counts = stageCount(e.select("user_id").distinct(), 0L)
+        .unionByName(stageCount(su, 1L))
+        .unionByName(stageCount(cl, 2L))
+        .unionByName(stageCount(pu, 3L))
+      // the lag window covers exactly 4 rows — bounded by construction
+      counts
+        .withColumn("conv_prev_ppm",
+          expr("CAST((1000000 * n_users) div lag(n_users) OVER (ORDER BY stage) AS BIGINT)"))
+        .orderBy("stage")
+    },
+
     // ----- J7: star join across the full dimension hierarchy -----
     // TPC-H Q5 shape: fact tables (lineitem ⋈ orders) against four
     // dimensions (customer, supplier, nation, region) with a region
