@@ -119,14 +119,16 @@ object SketchQueries {
          |  CAST(m.merged_kth = g.direct_kth AS BIGINT) AS merge_exact
          |FROM mk m, gk g""".stripMargin) { (s, d) =>
       import graft.functions.ShingleHashes.shingle_hashes
-      // localCheckpoint: hs feeds BOTH the per-source sketches and the
-      // direct global k-th min — without it the corpus-wide shingle
-      // explode + distinct runs twice (measured: the un-pinned plan was
-      // the slowest query of the 152-query bench at 2.9 s).
+      // hs feeds BOTH the per-source sketches and the direct global
+      // k-th min, but needs no explicit pin: the distinct's exchange is
+      // an identical subtree under both consumers, so Spark reuses it
+      // (ReusedExchange) and the corpus-wide shingle explode runs once.
+      // (Measured: a localCheckpoint here changed nothing — 2.9 s vs
+      // 3.1 s, within run noise; the 5.9 s task-CPU is the one genuine
+      // explode+distinct over the corpus, the audit's priced-in cost.)
       val hs = documents(s, d).filter(col("source").isNotNull)
         .select(col("source"), explode(shingle_hashes(col("text"), lit(12))).as("h"))
         .distinct()
-        .localCheckpoint()
       val skW = Window.partitionBy(col("source")).orderBy(col("h"))
       val sk = hs.withColumn("rk", row_number().over(skW))
         .filter(col("rk") <= KmvK).select("source", "h")
