@@ -337,8 +337,8 @@ object CurationQueries {
           count(lit(1)).as("n_groups"),
           sum(when(col("n") < 5, 1L).otherwise(0L)).as("small_groups"),
           sum(when(col("n") < 5, col("n")).otherwise(0L)).as("at_risk_docs"),
-          expr("CAST((1000000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END)) div sum(n) AS BIGINT)")
-            .as("at_risk_ppm"))
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(CASE WHEN n < 5 THEN n ELSE 0 END)) " +
+            "div sum(n) AS BIGINT)").as("at_risk_ppm"))
     },
 
     // ----- PII detection + redaction: stateless codegen'd regex pass -----
@@ -817,7 +817,10 @@ object CurationQueries {
         .groupBy("vocab_k", "total")
         .agg(sum(when(col("rk") <= col("vocab_k"), col("n")).otherwise(0L)).as("covered"))
         .select(col("vocab_k"), col("covered"), col("total"),
-          expr("(1000000L * covered) div total").as("coverage_ppm"))
+          // corpus token occurrences reach 1e13+ at 100 TB; 1e6× passes
+          // int64 — DECIMAL(38,0) intermediate, BIGINT quotient
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * covered) div total AS BIGINT)")
+            .as("coverage_ppm"))
         .orderBy("vocab_k")
     },
 
@@ -1166,7 +1169,8 @@ object CurationQueries {
         |  FROM t)
         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
         |  count(*) * bucket AS capacity,
-        |  CAST((1000000 * (count(*) * bucket - sum(n))) // (count(*) * bucket) AS BIGINT) AS padding_ppm
+        |  CAST((CAST(1000000 AS HUGEINT) * (CAST(count(*) AS HUGEINT) * bucket - sum(n)))
+        |       // (CAST(count(*) AS HUGEINT) * bucket) AS BIGINT) AS padding_ppm
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"),
@@ -1177,7 +1181,9 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
         .select(col("bucket"), col("n_docs"), col("n_tokens"),
           (col("n_docs") * col("bucket")).as("capacity"),
-          expr("(1000000L * (n_docs * bucket - n_tokens)) div (n_docs * bucket)")
+          // bucket capacity (docs×cap) is token-scale — widen as above
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(n_docs AS DECIMAL(38,0)) * bucket - n_tokens)) " +
+            "div (CAST(n_docs AS DECIMAL(38,0)) * bucket) AS BIGINT)")
             .as("padding_ppm"))
         .orderBy("bucket")
     },

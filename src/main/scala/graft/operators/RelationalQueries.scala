@@ -52,7 +52,7 @@ object RelationalQueries {
       |c AS (
       |  SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
       |SELECT src, dst, n,
-      |  CAST((1000000 * n) // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_next_ppm
+      |  CAST((CAST(1000000 AS HUGEINT) * n) // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_next_ppm
       |FROM c ORDER BY src, dst""".stripMargin
 
   private val O7Sql =
@@ -524,7 +524,10 @@ object RelationalQueries {
       counts
         .withColumn("src_total", sum(col("n")).over(Window.partitionBy("src")))
         .select(col("src"), col("dst"), col("n"),
-          expr("(1000000L * n) div src_total").as("p_next_ppm"))
+          // transition counts are event-scale (1e13+ at 100 TB); 1e6x
+          // passes int64 - DECIMAL(38,0) intermediate, BIGINT quotient
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n) div src_total AS BIGINT)")
+            .as("p_next_ppm"))
         .orderBy("src", "dst")
     },
 
@@ -543,7 +546,10 @@ object RelationalQueries {
       counts
         .withColumn("src_total", sum(col("n")).over(Window.partitionBy("src")))
         .select(col("src"), col("dst"), col("n"),
-          expr("(1000000L * n) div src_total").as("p_next_ppm"))
+          // transition counts are event-scale (1e13+ at 100 TB); 1e6x
+          // passes int64 - DECIMAL(38,0) intermediate, BIGINT quotient
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n) div src_total AS BIGINT)")
+            .as("p_next_ppm"))
         .orderBy("src", "dst")
     },
 

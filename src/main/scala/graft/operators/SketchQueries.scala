@@ -58,7 +58,7 @@ object SketchQueries {
          |    END AS n_est
          |  FROM exact e LEFT JOIN kth k ON k.source = e.source)
          |SELECT source, n_exact, kth, n_est,
-         |  (1000000 * abs(n_est - n_exact)) // n_exact AS err_ppm
+         |  CAST((CAST(1000000 AS HUGEINT) * abs(n_est - n_exact)) // n_exact AS BIGINT) AS err_ppm
          |FROM est ORDER BY source""".stripMargin) { (s, d) =>
       val h = documents(s, d)
         .select(col("source"), explode(array_distinct(expr(TextQueries.toksExpr))).as("t"))
@@ -76,7 +76,10 @@ object SketchQueries {
           expr(s"CASE WHEN kth IS NULL THEN n_exact ELSE CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) " +
             "* CAST(1152921504606846976 AS DECIMAL(38,0))) div kth AS BIGINT) END").as("n_est"))
         .select(col("source"), col("n_exact"), col("kth"), col("n_est"),
-          expr("(1000000 * abs(n_est - n_exact)) div n_exact").as("err_ppm"))
+          // estimator error at 1e13-cardinality strata passes int64 when
+          // ×1e6 — DECIMAL(38,0) intermediate, BIGINT quotient
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(n_est - n_exact)) div n_exact AS BIGINT)")
+            .as("err_ppm"))
         .orderBy("source")
     },
 
@@ -163,7 +166,7 @@ object SketchQueries {
         |    AND s.slot = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '#' || e.t), 1, 15))::BIGINT % 1024
         |  GROUP BY e.t, e.n_exact)
         |SELECT t AS token, n_exact, n_est,
-        |  (1000000 * (n_est - n_exact)) // n_exact AS over_ppm
+        |  CAST((CAST(1000000 AS HUGEINT) * (n_est - n_exact)) // n_exact AS BIGINT) AS over_ppm
         |FROM est ORDER BY token""".stripMargin) { (s, d) =>
       val toks = documents(s, d)
         .select(explode(expr(TextQueries.toksExpr)).as("t"))
@@ -184,7 +187,9 @@ object SketchQueries {
         .groupBy(col("t"), col("n_exact"))
         .agg(min("n").as("n_est"))
         .select(col("t").as("token"), col("n_exact"), col("n_est"),
-          expr("(1000000 * (n_est - n_exact)) div n_exact").as("over_ppm"))
+          // overcount magnitudes are token-scale — widen as in err_ppm
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_est - n_exact)) div n_exact AS BIGINT)")
+            .as("over_ppm"))
         .orderBy("token")
     },
 

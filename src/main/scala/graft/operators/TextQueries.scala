@@ -677,7 +677,7 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_line_occurrences,
         |  CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_boilerplate_hits,
         |  CAST(count(DISTINCT doc_id) FILTER (WHERE is_b) AS BIGINT) AS docs_affected,
-        |  (1000000 * count(*) FILTER (WHERE is_b)) // count(*) AS boilerplate_ppm
+        |  CAST((CAST(1000000 AS HUGEINT) * count(*) FILTER (WHERE is_b)) // count(*) AS BIGINT) AS boilerplate_ppm
         |FROM occ GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
       val lineFps = linesOf(docs)
@@ -696,7 +696,9 @@ object TextQueries {
           count_distinct(when(col("is_b"), col("doc_id"))).as("docs_affected"))
         .select(col("source"), col("n_line_occurrences"), col("n_boilerplate_hits"),
           col("docs_affected"),
-          expr("(1000000L * n_boilerplate_hits) div n_line_occurrences").as("boilerplate_ppm"))
+          // corpus-wide line-occurrence counts — widen (see alpha_ppm)
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_boilerplate_hits) " +
+            "div n_line_occurrences AS BIGINT)").as("boilerplate_ppm"))
         .orderBy("source")
     },
 
@@ -1258,7 +1260,10 @@ object TextQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"))
         .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
-          expr("(1000000L * bpe_tokens) div ws_tokens").as("fertility_ppm"))
+          // per-lang token sums reach 1e13+ at 100 TB — widen (see
+          // charset_report alpha_ppm)
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * bpe_tokens) div ws_tokens AS BIGINT)")
+            .as("fertility_ppm"))
         .orderBy("lang")
     },
 
@@ -1755,7 +1760,11 @@ object TextQueries {
         .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
           col("n_alpha"), col("n_digit"), col("n_space"),
           (col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space")).as("n_other"),
-          expr("(1000000L * n_alpha) div n_chars").as("alpha_ppm"))
+          // 1e6 × a corpus-scale char sum passes int64 at ~9.2e12 chars
+          // — far below a 100 TB corpus. DECIMAL(38,0) ≡ the oracle's
+          // HUGEINT intermediate; the truncated ppm refits BIGINT.
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_alpha) div n_chars AS BIGINT)")
+            .as("alpha_ppm"))
         .orderBy("lang", "source")
     },
 
