@@ -100,10 +100,14 @@ object DriftQueries {
         |ORDER BY d.event_type, hour_bucket""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val hc = events(s, d)
-        // sign-safe floor division (Spark `div` truncates toward zero,
-        // the DuckDB oracle's `//` floors — they differ on pre-1970 ts)
+        // hour bucket derived from FLOORED µs then truncating div —
+        // exactly the oracle's epoch_us(ts) // 3600000000 for every
+        // sign and precision (duck `//` truncates like Spark `div`,
+        // verified −7//3 = −2; only the ns→µs step floors, which
+        // epochUsFloorSql reproduces). A pmod-floor on the HOUR div
+        // here would instead diverge from the oracle below the epoch.
         .select(col("event_type"),
-          expr("(ts_ns - pmod(ts_ns, 3600000000000)) div 3600000000000").as("hr"))
+          expr(s"(${graft.util.Tables.epochUsFloorSql}) div 3600000000").as("hr"))
         .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
         .localCheckpoint(true) // hour-cardinality, consumed four times
       val w = Window.partitionBy("event_type")

@@ -77,10 +77,12 @@ object LayoutQueries {
          |SELECT z, CAST(count(*) AS BIGINT) AS n_events,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM zb GROUP BY z ORDER BY z""".stripMargin) { (s, d) =>
-      // sign-safe floor (matches DuckDB `//` on pre-1970 ts); pmod on the
-      // Spark side ≡ the oracle's ((user_id % 16) + 16) % 16 for all signs.
+      // hour from floored µs + truncating div ≡ the oracle's
+      // epoch_us(ts) // 3600000000 for every sign/precision (see
+      // event_anomaly_mad); pmod on the Spark side ≡ the oracle's
+      // ((user_id % 16) + 16) % 16 for all signs.
       val e = events(s, d).select(
-        expr("(ts_ns - pmod(ts_ns, 3600000000000)) div 3600000000000").as("hr"),
+        expr(s"(${graft.util.Tables.epochUsFloorSql}) div 3600000000").as("hr"),
         col("user_id"))
       val m = e.agg(min("hr").as("h0"))
       e.crossJoin(broadcast(m))

@@ -835,7 +835,8 @@ object RelationalQueries {
     // deterministically (error rows sort before purchases at equal time,
     // then by event_id), so the oracle — the identical window logic in
     // DuckDB — reproduces it bit-for-bit. Time math is in MICROseconds
-    // (`ts_ns div 1000` ⇄ epoch_us): raw epoch_ns differs between DuckDB
+    // (`epochUsFloorSql` ⇄ epoch_us — both FLOOR ns→µs, so they agree
+    // below the epoch too): raw epoch_ns differs between DuckDB
     // ns-truncating and native-ns parquet reads, while µs is exact and
     // identical under both (same reason o4 documents, opposite choice —
     // here the raw gap is an output column, so it must be bit-stable).
@@ -860,9 +861,9 @@ object RelationalQueries {
         |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
       val e = events(s, d)
       val err = e.filter(col("event_type") === "error")
-        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"))
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("us"), col("event_id"))
       val pur = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"))
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("us"), col("event_id"))
       TimeSeriesJoins.asofJoin(pur, err, "user_id", "us", "event_id")
         .select(col("event_id"), col("user_id"),
           col("right_event_id").as("last_err_id"),
@@ -890,9 +891,9 @@ object RelationalQueries {
       val B = 21600000000L // 6 h in µs
       val e = events(s, d)
       val err = e.filter(col("event_type") === "error")
-        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"))
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("us"), col("event_id"))
       val pur = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts_ns div 1000").as("us"), col("event_id"))
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("us"), col("event_id"))
       TimeSeriesJoins.rangeJoin(pur, err, "user_id", "us", B)
         .select(col("event_id").as("purchase_id"),
           col("right_event_id").as("error_id"),
