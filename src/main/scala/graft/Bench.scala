@@ -139,6 +139,10 @@ object Bench {
     // positional pass is timed by phrase_search)
     operators.SignatureStore.ensurePhraseBigrams(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    // image fingerprints behind mm_image_phash_stored (the live
+    // decode+hash is timed by mm_image_phash)
+    operators.SignatureStore.ensureImagePhash(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
     // bm25 postings artifact behind bm25_search_stored (the live build is
     // timed by bm25_search)
     locally {

@@ -381,6 +381,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** The image-fingerprint oracle (closed-form pixel replay), shared
+    * verbatim by the live and stored queries. */
+  private val ImagePhashOracleSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+      |  FROM dims),
+      |g AS (
+      |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+      |    (((doc_id * 7 + i % w + i // w) % 256)
+      |     + ((doc_id * 7 + 31 + i % w + i // w) % 256)
+      |     + ((doc_id * 7 + 62 + i % w + i // w) % 256)) // 3 AS gray
+      |  FROM px),
+      |bsum AS (
+      |  SELECT doc_id, ((4 * y) // h) * 4 + (4 * x) // w AS b,
+      |    sum(gray) AS s, count(*) AS n
+      |  FROM g GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(s) AS t, sum(n) AS np FROM bsum GROUP BY doc_id),
+      |ph AS (
+      |  SELECT b.doc_id,
+      |    CAST(sum(CASE WHEN b.s * t.np > t.t * b.n THEN 1::BIGINT << b.b ELSE 0 END) AS BIGINT) AS phash
+      |  FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, phash,
+      |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+      |FROM ph ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- audio windowed-energy VAD over PCM16 payloads -----
@@ -488,35 +517,26 @@ object Multimodal {
     // identical 16 bits, checking the whole encode→decode→hash pipeline.
     // Scale shape: decode + hash are one mapPartitions pass; only the
     // 8-byte (doc_id, phash) rows shuffle for the bucket-size window.
-    "mm_image_phash" -> QueryDef.sql(
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
-        |  FROM dims),
-        |g AS (
-        |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
-        |    (((doc_id * 7 + i % w + i // w) % 256)
-        |     + ((doc_id * 7 + 31 + i % w + i // w) % 256)
-        |     + ((doc_id * 7 + 62 + i % w + i // w) % 256)) // 3 AS gray
-        |  FROM px),
-        |bsum AS (
-        |  SELECT doc_id, ((4 * y) // h) * 4 + (4 * x) // w AS b,
-        |    sum(gray) AS s, count(*) AS n
-        |  FROM g GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, sum(s) AS t, sum(n) AS np FROM bsum GROUP BY doc_id),
-        |ph AS (
-        |  SELECT b.doc_id,
-        |    CAST(sum(CASE WHEN b.s * t.np > t.t * b.n THEN 1::BIGINT << b.b ELSE 0 END) AS BIGINT) AS phash
-        |  FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
-        |  GROUP BY b.doc_id)
-        |SELECT doc_id, phash,
-        |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
-        |FROM ph ORDER BY doc_id""".stripMargin) { (s, d) =>
+    "mm_image_phash" -> QueryDef.sql(ImagePhashOracleSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val assets = pngAssets(documents(s, d)).repartition(col("doc_id"))
       imagePhash(assets)
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
+        .select("doc_id", "phash", "n_same")
+        .orderBy("doc_id")
+    },
+
+    // ----- image fingerprints from the persisted store -----
+    // The amortization twin (and the ELEVENTH store family — the first
+    // multimodal one): decode+hash run once per image version
+    // ([[SignatureStore.ensureImagePhash]]); every dedup/audit run reads
+    // 16 bytes per image instead of re-decoding pixels, and
+    // stream-ingested images join via `EventStream.maintainImagePhash`
+    // (latest-wins per doc). Same oracle: stored must be bit-identical.
+    "mm_image_phash_stored" -> QueryDef.sql(ImagePhashOracleSql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      SignatureStore.ensureImagePhash(s, d)
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
         .select("doc_id", "phash", "n_same")

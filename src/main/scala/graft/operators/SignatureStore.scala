@@ -582,6 +582,61 @@ object SignatureStore {
       compactInto(spark, linesDir(base), streamLinesDir(base),
         readLineRegistry(spark, base))
 
+  def imagePhashDir(base: String) = s"$base/image_phash"
+
+  /** Streaming fingerprint appends, batch_id-partitioned (same layout
+    * rationale as [[streamMinhashDir]]). */
+  def streamImagePhashDir(base: String) = s"$base/image_phash_stream"
+
+  /** Persisted image fingerprints (doc_id, phash) — the multimodal
+    * member of the store layer: decode+hash runs once per image version
+    * (the expensive stage: a full ImageIO decode per payload), and every
+    * dedup/audit run reads 16 bytes per image instead of re-decoding
+    * pixels. Stream rows resolve LATEST-WINS per doc (a re-ingested
+    * image's newest epoch replaces its fingerprint), then stream docs
+    * supersede their batch rows — the [[readBm25]] contract. */
+  def readImagePhash(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, imagePhashDir(base)))(
+      spark.read.parquet(imagePhashDir(base)).select("doc_id", "phash"))
+    val stream = Option.when(hasData(spark, streamImagePhashDir(base))) {
+      val raw = spark.read.parquet(streamImagePhashDir(base))
+        .select(col("doc_id"), col("phash"), col("batch_id").cast("long").as("batch_id"))
+      val latest = raw.groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+      raw.join(latest, Seq("doc_id", "batch_id"))
+        .select("doc_id", "phash").distinct()
+    }
+    (batch, stream) match {
+      case (Some(b), Some(s)) =>
+        val streamDocs = s.select("doc_id").distinct()
+        b.join(streamDocs, Seq("doc_id"), "left_anti").unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no image-phash store under $base")
+    }
+  }
+
+  /** Image fingerprints for `sfDir`, building (decode + hash over the
+    * synthesized PNG payloads) on first use. `mm_image_phash` times the
+    * live decode; `mm_image_phash_stored` reads this artifact, held to
+    * the same oracle. */
+  def ensureImagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${imagePhashDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      Multimodal.imagePhash(Multimodal.pngAssets(documents(spark, sfDir)))
+        .write.mode("overwrite").parquet(imagePhashDir(base))
+    readImagePhash(spark, base)
+  }
+
+  /** Compact the image-phash store (latest-wins resolve). */
+  def compactImagePhash(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamImagePhashDir(base)))
+      compactInto(spark, imagePhashDir(base), streamImagePhashDir(base),
+        readImagePhash(spark, base))
+
   def bm25PostingsDir(base: String) = s"$base/bm25_postings"
   def bm25DoclensDir(base: String) = s"$base/bm25_doclens"
 

@@ -601,6 +601,33 @@ object VectorQueries {
       blockedAllPairs(s, d, 0.4).orderBy("vec_a", "vec_b")
     },
 
+    // ----- cosine-threshold calibration: the dedup-gate sweep -----
+    // The vector twin of lsh_jaccard_calibration: before fixing the
+    // semantic-dedup gate, the histogram of candidate-pair cosines by
+    // 0.05 band says where the threshold actually bites — a mass just
+    // under a proposed cutoff means tiny threshold moves swing the
+    // excision volume. Scores are the exact rounded doubles of the
+    // dedup query, bucketed as scaled-integer ppm (round(score·1e6) is
+    // integral by construction — no double ever meets a bucket edge).
+    // Output ≤ 15 rows whatever the corpus.
+    "cosine_threshold_sweep" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.3),
+        |b AS (SELECT CAST(round(score * 1000000) AS BIGINT) AS sppm FROM p)
+        |SELECT sppm // 50000 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  min(sppm) AS min_ppm, max(sppm) AS max_ppm
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      blockedAllPairs(s, d, 0.3)
+        .select(round(col("score") * 1000000).cast("long").as("sppm"))
+        .select(expr("sppm div 50000").as("bucket"), col("sppm"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("sppm").as("min_ppm"), max("sppm").as("max_ppm"))
+        .orderBy("bucket")
+    },
+
     // ----- LSH-bucketed ANN (scale path): banded hyperplane buckets -----
     // OR-construction over AND-bands (same shape as dedup_minhash_lsh):
     // Bands × PlanesPerBand hyperplanes; a pair is a candidate when ALL

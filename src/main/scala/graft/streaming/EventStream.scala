@@ -158,6 +158,26 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamPhraseBigramsDir(storeBase))
     }
 
+  /** Incremental image-fingerprint maintenance — the multimodal twin of
+    * [[maintainPostings]]: each micro-batch of (doc_id, payload) binary
+    * assets runs the SAME real decode+hash the batch store uses
+    * ([[graft.operators.Multimodal.imagePhash]]) and appends its
+    * fingerprints batch_id-keyed. The read side resolves LATEST-WINS per
+    * doc, so a re-ingested image (new payload, same id) replaces its
+    * fingerprint instead of duplicating it; undecodable payloads drop in
+    * the decoder and never write a row. */
+  def maintainImagePhash(assets: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    assets.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Multimodal.imagePhash(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamImagePhashDir(storeBase))
+    }
+
   /** Incremental line-registry maintenance — the line-dedup twin of
     * [[maintainPostings]]: each micro-batch of new documents is split
     * into 10-token lines with the SAME builder the batch registry uses

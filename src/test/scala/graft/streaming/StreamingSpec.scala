@@ -483,6 +483,39 @@ class StreamingSpec extends SparkFunSuite {
       (3L, "theta iota")))
   }
 
+  test("image-phash store: a re-ingested image's newest fingerprint wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Multimodal, SignatureStore}
+    val base = tmpDir("phashstore")
+    // batch subtree: real decode+hash of two synthesized images
+    Multimodal.imagePhash(
+      Multimodal.pngAssets(Seq(10L, 11L).toDF("doc_id")))
+      .write.parquet(SignatureStore.imagePhashDir(base))
+    val batchHash10 = SignatureStore.readImagePhash(spark, base)
+      .filter(col("doc_id") === 10L).collect().head.getLong(1)
+    // stream: doc 10 re-ingested with a DIFFERENT picture (payload of id
+    // 999), doc 12 new — both through the real maintenance writer
+    val input = MemoryStream[Long]
+    val assets = input.toDS().toDF("img_src").select(
+      when(col("img_src") === 999L, lit(10L)).otherwise(col("img_src")).as("doc_id"),
+      udf((id: Long) => Multimodal.pngPayload(id)).apply(col("img_src")).as("payload"))
+    val query = EventStream.maintainImagePhash(
+      assets, SignatureStore.streamImagePhashDir(base))
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData(999L, 12L)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = SignatureStore.readImagePhash(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    // doc 10 now carries the fingerprint of the NEW picture, not the old
+    val want999 = Multimodal.imagePhash(
+      Multimodal.pngAssets(Seq(999L).toDF("doc_id"))).collect().head.getLong(1)
+    assert(got(10L) == want999 && got(10L) != batchHash10)
+  }
+
   test("transition store read unions the batch build with stream appends") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
