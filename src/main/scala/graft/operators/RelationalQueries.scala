@@ -262,6 +262,86 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- TPC-H Q18 shape: large-volume orders (agg-filter semi-join) -----
+    // The third star probe's missing JOIN SHAPE: a fact-side aggregate
+    // (per-order quantity sum) acts as the FILTER for the join chain —
+    // the "IN (SELECT … GROUP BY … HAVING …)" pattern. Scale shape: the
+    // HAVING aggregate is map-side-combinable and its survivors are a
+    // small fraction of orders, so the downstream joins run on the
+    // filtered sliver; the quantity sum goes through DECIMAL (exact,
+    // order-free) and the top-20 is a TakeOrdered heap. No broadcast
+    // hints — the survivor set's size is AQE's runtime call.
+    "q18_big_orders" -> QueryDef.sql(
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+        |SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val big = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("qty_dec"))
+        .filter(col("qty_dec") > 250)
+        .select(col("l_orderkey"), col("qty_dec").cast("double").as("total_qty"))
+      big.join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ----- TPC-H Q22 shape: anti-join against recent activity -----
+    // The remaining star-probe join shape: a scalar-per-group threshold
+    // (above-average balance within the segment) composed with an
+    // ANTI-join (no orders in the window) and a segment rollup — the
+    // "valuable but dormant customers" report. Scale shape: the
+    // threshold table is segment-cardinality (broadcast), the recent
+    // actives list is a date-pruned distinct at customer cardinality,
+    // and the anti-join is the plan's only wide operation. The segment
+    // average divides an exact DECIMAL sum by a count with the
+    // identical expression tree on both engines, so the > comparison
+    // can never straddle engines.
+    "q22_dormant_customers" -> QueryDef.sql(
+      """WITH pos AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0),
+        |seg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM pos GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+        |cand AS (
+        |  SELECT p.c_mktsegment, p.c_acctbal
+        |  FROM pos p
+        |  JOIN seg s ON s.c_mktsegment = p.c_mktsegment
+        |  LEFT JOIN active a ON a.o_custkey = p.c_custkey
+        |  WHERE p.c_acctbal > s.avg_bal AND a.o_custkey IS NULL)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |FROM cand GROUP BY 1 ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val pos = customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+      val seg = pos.groupBy("c_mktsegment")
+        .agg((sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double") / count(lit(1))).as("avg_bal"))
+      val active = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      pos.join(broadcast(seg), Seq("c_mktsegment")) // segment-cardinality side
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(active, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("c_mktsegment")
+    },
+
     // ----- J8: salted join for skewed keys -----
     // THE manual skew remedy (what AQE's skew-join does adaptively,
     // spelled out): the fact side of a user-keyed join concentrates on
