@@ -306,6 +306,70 @@ object CurationQueries {
         .orderBy("train_doc", "eval_doc")
     },
 
+    // ----- multi-granularity corpus rollup (GROUPING SETS) -----
+    // The dataset-card table at every granularity in ONE pass: per
+    // (lang, source), per lang, and the grand total, via ROLLUP — the
+    // engine computes all three levels from one scan with map-side
+    // partial aggregation instead of three queries (at 100 TB, one scan
+    // vs three is the whole cost). grouping() flags disambiguate a REAL
+    // null lang/source from a rolled-up level — the classic rollup trap
+    // (this corpus HAS null-lang docs, so coalesce-to-'ALL' would merge
+    // them with the rollup rows and double-count). NULLS FIRST pinned
+    // on both engines (their default null sort orders differ).
+    "corpus_rollup" -> QueryDef.sql(
+      """SELECT lang, source,
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+        |  CAST(grouping(source) AS BIGINT) AS g_src,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY g_lang, g_src, lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("lang"), col("source"), length(col("text")).cast("long").as("len"))
+        .rollup("lang", "source")
+        .agg(grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_src"),
+          count(lit(1)).as("n_docs"),
+          sum("len").as("n_chars"))
+        .select("lang", "source", "g_lang", "g_src", "n_docs", "n_chars")
+        .orderBy(col("g_lang"), col("g_src"),
+          col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+
+    // ----- source × language pivot (wide-format mixture table) -----
+    // The human-facing twin of the long-format mixture reports: one row
+    // per source, one column per language — the table a data card
+    // actually prints. Spark side uses the native `pivot` API with an
+    // EXPLICIT value list (an implicit list would add a distinct-scan
+    // job AND make the schema data-dependent — a silently breaking
+    // contract at 100 TB when a new lang appears); the oracle is the
+    // equivalent conditional aggregation. coalesce-to-0 because pivot
+    // emits null for empty cells while count-CASE emits 0; null-lang
+    // docs fall outside every listed column by design (they are the
+    // `other` residual).
+    "source_lang_pivot" -> QueryDef.sql(
+      """SELECT source,
+        |  count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+        |  count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+        |  count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+        |  count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+        |  count(CASE WHEN lang = 'zh' THEN 1 END) AS zh,
+        |  count(CASE WHEN lang IS NULL THEN 1 END) AS other
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val counts = documents(s, d)
+        .filter(col("source").isNotNull)
+        .groupBy("source")
+        .pivot("lang", langs ++ Seq(null))
+        .agg(count(lit(1)))
+      val renamed = counts.withColumnRenamed("null", "other")
+      renamed.select(col("source") +:
+        (langs :+ "other").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("source")
+    },
+
     // ----- k-anonymity audit over the release's quasi-identifiers -----
     // The privacy report a corpus release ships beside the PII pass:
     // documents grouped by their quasi-identifier tuple (lang, source,
