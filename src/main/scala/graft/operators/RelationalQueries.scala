@@ -262,6 +262,31 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- O9: rolling 1-hour activity count (RANGE window frame) -----
+    // The sliding-window rate signal behind throttles and burst
+    // detection: per event, how many events its user produced in the
+    // PRECEDING hour including this one — a RANGE frame over µs (value
+    // range, not row count: gaps and bursts size the frame, unlike the
+    // ROWS frames every other window here uses). Deterministic under
+    // timestamp ties by construction: a RANGE frame includes ALL peers
+    // of the current µs value, so intra-tie order cannot change any
+    // count. One user-keyed shuffle.
+    "o9_rolling_count" -> QueryDef.sql(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+        |FROM e ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr(Tables.epochUsFloorSql).as("us"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .select("event_id", "user_id", "n_last_hour")
+        .orderBy("event_id")
+    },
+
     // ----- TPC-H Q18 shape: large-volume orders (agg-filter semi-join) -----
     // The third star probe's missing JOIN SHAPE: a fact-side aggregate
     // (per-order quantity sum) acts as the FILTER for the join chain —
