@@ -1005,5 +1005,170 @@ object RelationalQueries {
           (col("us") - col("right_us")).as("gap_us"))
         .orderBy("purchase_id", "error_id")
     },
+
+    // ----- TPC-H Q2 shape: per-group minimum join-back, decorrelated -----
+    // "For each part, the cheapest supplier" — the correlated scalar
+    // subquery (cost = MIN(cost) WHERE partkey = outer.partkey) that
+    // Q2 makes every optimizer decorrelate. The oracle keeps the
+    // textbook aggregate-then-join-back form; the Spark build shows the
+    // DECORRELATED plan a Spark engineer would write: after the
+    // (part, supplier) cost aggregate, a min-over-partition WINDOW
+    // replaces the self-join — one shuffle on l_partkey instead of an
+    // aggregate + join pair, same rows out (ties: every supplier at the
+    // minimum survives, so no arbitrary pick exists). Unit cost is
+    // floored to integer ppm so no double-equality comparison ever
+    // straddles engines. nation is the only hinted broadcast (constant
+    // cardinality); supplier is AQE's call.
+    "q2_min_cost_supplier" -> QueryDef.sql(
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(floor(1000000 * l_extendedprice / l_quantity) AS BIGINT)) AS cost_ppm
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(cost_ppm) AS min_cost FROM supply GROUP BY 1)
+        |SELECT s.l_partkey AS p_partkey, s.l_suppkey AS s_suppkey,
+        |  sup.s_name, n.n_name, s.cost_ppm AS min_cost_ppm
+        |FROM supply s
+        |JOIN best b ON b.l_partkey = s.l_partkey AND s.cost_ppm = b.min_cost
+        |JOIN supplier sup ON sup.s_suppkey = s.l_suppkey
+        |JOIN nation n ON n.n_nationkey = sup.s_nationkey
+        |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin) { (s, d) =>
+      val supply = lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(floor(lit(1000000) * col("l_extendedprice") / col("l_quantity")))
+          .as("cost_ppm"))
+      val wMin = Window.partitionBy(col("l_partkey"))
+      supply
+        .withColumn("min_cost", min(col("cost_ppm")).over(wMin))
+        .filter(col("cost_ppm") === col("min_cost"))
+        .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("cost_ppm").as("min_cost_ppm"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    },
+
+    // ----- TPC-H Q11 shape: group share vs a global scalar threshold -----
+    // "Parts whose lineitem value exceeds 1.5× the average part's" — the
+    // HAVING-vs-scalar-subquery shape: a keyed aggregate compared
+    // against a ONE-ROW aggregate of itself. The threshold is RELATIVE
+    // (2·v·n_parts > 3·total ⇔ v > 1.5·mean) because any absolute share
+    // cutoff degenerates as the key count grows — at sf0.01 the top
+    // part holds 899 ppm of the book, at sf0.1 only 95 ppm, and at
+    // 100 TB effectively 0; the mean-relative form selects the same
+    // kind of tail at every scale. Scale shape: the per-part aggregate
+    // is the only fact-cardinality shuffle; the total derives from it
+    // (not from a second fact scan) and joins back as a hinted 1-row
+    // broadcast. Both sides of the > are exact DECIMAL·integer products
+    // (never a double ratio), so the survivor set cannot differ across
+    // engines.
+    "q11_value_concentration" -> QueryDef.sql(
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(v) AS t, CAST(count(*) AS BIGINT) AS np FROM pv)
+        |SELECT pv.l_partkey AS p_partkey, CAST(pv.v AS DOUBLE) AS part_value
+        |FROM pv CROSS JOIN tot
+        |WHERE CAST(pv.v AS DECIMAL(38,4)) * 2 * tot.np > CAST(tot.t AS DECIMAL(38,4)) * 3
+        |ORDER BY part_value DESC, p_partkey""".stripMargin) { (s, d) =>
+      val pv = lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("v"))
+      val tot = pv.agg(sum(col("v")).as("t"), count(lit(1)).as("np"))
+      pv.crossJoin(broadcast(tot)) // 1-row scalar side
+        .filter(col("v").cast(DecimalType(38, 4)) * 2 * col("np") >
+          col("t").cast(DecimalType(38, 4)) * 3)
+        .select(col("l_partkey").as("p_partkey"),
+          col("v").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    },
+
+    // ----- TPC-H Q16 shape: anti-join + COUNT(DISTINCT) rollup -----
+    // "How many distinct non-blocklisted suppliers can ship each
+    // (brand, size)" — supplier variety, the procurement-risk report.
+    // The supply relation is derived (DISTINCT part/supplier pairs from
+    // the fact table — this schema has no partsupp), the blocklist
+    // (negative-balance suppliers) is removed with a LEFT ANTI join
+    // before the dimension join, and the rollup is COUNT(DISTINCT) —
+    // which Spark executes as the two-stage expand/partial-agg plan, so
+    // the distinct never concentrates on one task. The blocklist is
+    // supplier-cardinality: left to AQE (broadcast while small).
+    "q16_supplier_variety" -> QueryDef.sql(
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+        |ok AS (
+        |  SELECT s.l_partkey, s.l_suppkey FROM supply s
+        |  LEFT JOIN bad b ON b.s_suppkey = s.l_suppkey
+        |  WHERE b.s_suppkey IS NULL)
+        |SELECT p.p_brand, p.p_size, CAST(count(DISTINCT o.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ok o JOIN part p ON p.p_partkey = o.l_partkey
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin) { (s, d) =>
+      val supply = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      val bad = supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+      supply
+        .join(bad, col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .join(part(s, d), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+
+    // ----- O10: ranking-function parity (ntile / rank / dense_rank) -----
+    // The three rank flavors every report layer leans on, pinned for
+    // cross-engine agreement under TIES: ntile gets a total order
+    // (price, then key — without the tiebreak its bucket boundaries are
+    // engine-defined), while rank/dense_rank deliberately order by a
+    // COARSE band (price div 10k) so tie groups exist and the gap /
+    // no-gap semantics are both exercised. Windows partition by
+    // o_orderpriority — bounded skew now; at 100 TB a global quantile
+    // would be approx_percentile, not a single-partition window (that
+    // non-scalable shape is exactly what this probe avoids).
+    "o10_window_ranks" -> QueryDef.sql(
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile,
+        |  CAST(rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT)) AS BIGINT) AS band_rank,
+        |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT)) AS BIGINT) AS band_dense
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val wQ = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val band = floor(col("o_totalprice") / 10000).cast("long")
+      val wB = Window.partitionBy(col("o_orderpriority")).orderBy(band)
+      orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(wQ).cast("long").as("price_quartile"),
+          rank().over(wB).cast("long").as("band_rank"),
+          dense_rank().over(wB).cast("long").as("band_dense"))
+        .orderBy("o_orderkey")
+    },
+
+    // ----- A8: weekly cohort retention matrix -----
+    // The full (cohort week × age) matrix behind every retention curve:
+    // users keyed to the week of their first event, then counted
+    // distinct in each later week at their week-offset. a7_retention is
+    // one slice of this; the matrix is the deliverable analysts plot.
+    // Scale shape: both the first-event aggregate and the cohort join
+    // are user-keyed — the join reuses the aggregate's hash
+    // partitioning (ReusedExchange), so the matrix costs ONE
+    // fact-cardinality shuffle; the output is weeks² — constant.
+    "a8_cohort_matrix" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT c.cohort_wk, e.wk - c.cohort_wk AS age_wk,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON c.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_wk, age_wk""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+        .select(col("user_id"),
+          expr(s"(${Tables.epochUsFloorSql}) div 604800000000").as("wk"))
+      val cohort = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_wk", "age_wk")
+    },
   )
 }

@@ -504,6 +504,66 @@ class PlanAssertSpec extends SparkFunSuite {
       "the KMV merge law must hold bit-for-bit on real data")
   }
 
+  test("q2_min_cost_supplier decorrelates to one window pass over one fact scan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("q2_min_cost_supplier")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the textbook form re-joins the supply aggregate against its own
+    // min — two fact-derived shuffles and a join; the decorrelated form
+    // must read lineitem ONCE and take the per-part min as a window
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"Q2 shape must not rescan the fact table for the min:\n$plan")
+    val windows = q.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected exactly one keyed window (the per-part min):\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("q11_value_concentration derives the total from the aggregate, not a rescan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("q11_value_concentration")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 2,
+      s"the global total must fold from the per-part aggregate:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row scalar side must broadcast:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("q16_supplier_variety: anti-join blocklist + two-stage distinct count") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("q16_supplier_variety")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"the supplier blocklist must be a left-anti join:\n$plan")
+    // COUNT(DISTINCT) must run as the partial-distinct aggregate pair,
+    // never a single-task collapse
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"count-distinct must partial-aggregate:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("o10/a8: every ranking and cohort window is keyed (no global window)") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (name <- Seq("o10_window_ranks", "a8_cohort_matrix")) {
+      val q = graft.operators.RelationalQueries.defs(name).build(spark, sfDir)
+      val globalWindows = q.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty, s"$name must not use a single-partition window")
+      assert(q.count() > 0, name)
+    }
+    // cohort ages are non-negative by construction (first week is min)
+    val m = graft.operators.RelationalQueries.defs("a8_cohort_matrix")
+      .build(spark, sfDir).collect()
+    assert(m.forall(_.getAs[Long]("age_wk") >= 0L))
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
