@@ -356,6 +356,60 @@ object VectorQueries {
       |QUALIFY row_number() OVER (PARTITION BY short.qid ORDER BY score DESC, cid) <= 3
       |ORDER BY qid, cid""".stripMargin
 
+  /** Oracle for `ann_nprobe_sweep`: the `ann_recall_report` CTE chain
+    * with the probe rank parameterized, one block per operating point,
+    * UNION ALL'd. Every emission is count/`//` over BIGINT operands —
+    * no sum of unbounded values, so no HUGEINT widening. */
+  private lazy val NprobeSweepSql: String = {
+    val shared =
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+        |brute AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, e.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rn
+        |    FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT q.qid, c.cent_id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS prn
+        |  FROM q, c)""".stripMargin
+    val points = Seq(1, 2, 4).map { np =>
+      s"""cand$np AS (
+         |  SELECT p.qid, a.vec_id AS cid
+         |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+         |  WHERE p.prn <= $np AND a.vec_id <> p.qid),
+         |ivf$np AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT cand.qid, cand.cid,
+         |      row_number() OVER (PARTITION BY cand.qid
+         |        ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC, cand.cid) AS rn
+         |    FROM cand$np cand JOIN e qe ON qe.vec_id = cand.qid
+         |    JOIN e ce ON ce.vec_id = cand.cid) WHERE rn <= 10),
+         |pt$np AS (
+         |  SELECT CAST($np AS BIGINT) AS nprobe, h.n_queries, h.sum_hits,
+         |    CAST((1000000 * h.sum_hits) // (10 * h.n_queries) AS BIGINT) AS recall_ppm,
+         |    cc.n_candidates
+         |  FROM (SELECT CAST(count(DISTINCT b.qid) AS BIGINT) AS n_queries,
+         |               CAST(count(i.cid) AS BIGINT) AS sum_hits
+         |        FROM brute b LEFT JOIN ivf$np i ON i.qid = b.qid AND i.cid = b.cid) h
+         |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand$np) cc)""".stripMargin
+    }
+    s"""$shared,
+       |${points.mkString(",\n")}
+       |SELECT * FROM pt1 UNION ALL SELECT * FROM pt2 UNION ALL SELECT * FROM pt4
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- embedding norm audit: log2 histogram of squared norms -----
@@ -484,6 +538,105 @@ object VectorQueries {
         .select(col("qid"), col("n_hits"),
           expr("(1000000L * n_hits) div 10").as("recall_ppm"))
         .orderBy("qid")
+    },
+
+    // ----- IVF nprobe calibration sweep: the recall/cost curve -----
+    // `ann_recall_report` measures ONE operating point (nprobe=2); the
+    // sweep measures the CURVE an index is tuned from — for nprobe ∈
+    // {1, 2, 4}: mean recall@10 vs ground truth and the candidate-set
+    // size the probe pays for it. This is the deliverable that decides
+    // the production nprobe: recall climbs with probed cells, candidate
+    // cost climbs linearly, and the knee is data-dependent. Scale
+    // shape: brute-force ground truth is computed ONCE and shared by
+    // all three points; each point's candidate stream is
+    // probes⋈assignment (corpus-cardinality rows but only (qid, cid)
+    // ids — no floats); the emissions are per-nprobe one-row
+    // aggregates. Everything is count/`//` arithmetic — no sum of
+    // unbounded operands, no HUGEINT by construction (the 1e6·hits
+    // numerator caps at 1e6·10·queries).
+    "ann_nprobe_sweep" -> QueryDef.sql(NprobeSweepSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val q2 = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val bruteTop = e.select(col("vec_id").as("cid"), col("embedding").as("cve"))
+        .crossJoin(broadcast(q2))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), score("qv", "cve").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") <= 10)
+        .select("qid", "cid")
+      val assign = ivfAssign(e, centroids)
+      val probeRn = Window.partitionBy(col("qid"))
+        .orderBy(score("qv", "cv").desc, col("cent_id"))
+      val rankedProbes = q2.crossJoin(broadcast(centroids))
+        .withColumn("prn", row_number().over(probeRn))
+        .select("qid", "cent_id", "prn")
+      val points = Seq(1, 2, 4).map { np =>
+        val cand = rankedProbes.filter(col("prn") <= np)
+          .join(assign, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val ivf = ivfSearch(assign, e, centroids, q2, np, 10)
+          .select(col("qid"), col("cid"), lit(1L).as("hit"))
+        bruteTop.join(ivf, Seq("qid", "cid"), "left")
+          .agg(countDistinct(col("qid")).as("n_queries"),
+            count(col("hit")).as("sum_hits"))
+          .crossJoin(nCand)
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+            col("sum_hits"),
+            expr("(1000000L * sum_hits) div (10 * n_queries)").as("recall_ppm"),
+            col("n_candidates"))
+      }
+      points.reduce(_ unionByName _).orderBy("nprobe")
+    },
+
+    // ----- Per-dimension embedding moment statistics -----
+    // The column-profile audit for a vector corpus: count, mean,
+    // variance, min, max per embedding dimension — what catches a dead
+    // dimension (zero variance), a mis-scaled encoder (one dim's range
+    // off by 1000×), or train/serve feature drift. Values floor-scale
+    // to ×1e6 integers first, so the moments are EXACT and the engines
+    // agree bit-for-bit. Why this shape matters at 100 TB: sum and
+    // sum-of-squares are DISTRIBUTIVE — every shard computes its own
+    // (n, Σq, Σq²) and the global stats fold from shard partials (the
+    // same law kmv_merge_shingles pins for sketches), which is why this
+    // is one map-side-combinable aggregate and not a quantile pass.
+    // Σq² needs >64 bits at corpus scale (q ≤ 5e6 ⇒ q² ~ 2.5e13; 10¹⁰
+    // rows overflow int64), so both engines widen through
+    // DECIMAL(38,0)/HUGEINT and the per-dim quotients refit BIGINT.
+    "embedding_dim_stats" -> QueryDef.sql(
+      s"""WITH dims AS (SELECT CAST(i AS BIGINT) AS dim FROM range(${Dim}) t(i)),
+         |q AS (
+         |  SELECT d.dim,
+         |    CAST(floor(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+         |  FROM embeddings e CROSS JOIN dims d)
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(qv AS HUGEINT)) // count(*) AS BIGINT) AS mean_q,
+         |  CAST((count(*) * sum(CAST(qv AS HUGEINT) * qv)
+         |        - sum(CAST(qv AS HUGEINT)) * sum(CAST(qv AS HUGEINT)))
+         |       // (count(*) * count(*)) AS BIGINT) AS var_q,
+         |  min(qv) AS min_q, max(qv) AS max_q
+         |FROM q GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000000).as("qv"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qv").cast(DecimalType(38, 0))).as("sq"),
+          sum((col("qv") * col("qv")).cast(DecimalType(38, 0))).as("sq2"),
+          min(col("qv")).as("min_q"), max(col("qv")).as("max_q"))
+        .select(col("dim"), col("n"),
+          expr("CAST(sq div n AS BIGINT)").as("mean_q"),
+          expr("CAST((n * sq2 - sq * sq) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("var_q"),
+          col("min_q"), col("max_q"))
+        .orderBy("dim")
     },
 
     // ----- IVF ANN (second scale path): coarse-quantizer bucket search -----

@@ -47,4 +47,35 @@ class IvfRecallSpec extends SparkFunSuite {
     }
     assert(misses.isEmpty, s"planted pairs missing from IVF top-3: $misses")
   }
+
+  test("nprobe sweep: recall is monotone in probed cells, candidate cost grows") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = VectorQueries.defs("ann_nprobe_sweep").build(spark, sfDir)
+      .orderBy("nprobe").collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    // probing a superset of cells can only add candidates, so recall@10
+    // against the same ground truth is non-decreasing and the candidate
+    // count strictly grows (every query gains at least one new cell's
+    // members on this data)
+    val recalls = rows.map(_.getAs[Long]("recall_ppm")).toSeq
+    assert(recalls == recalls.sorted, s"recall must not drop with nprobe: $recalls")
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    assert(cands == cands.sorted && cands.distinct == cands,
+      s"candidate cost must grow with nprobe: $cands")
+    assert(rows.forall(r => r.getAs[Long]("recall_ppm") >= 0 &&
+      r.getAs[Long]("recall_ppm") <= 1000000L))
+  }
+
+  test("embedding_dim_stats moments are internally consistent per dimension") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = VectorQueries.defs("embedding_dim_stats").build(spark, sfDir).collect()
+    assert(rows.length == VectorQueries.Dim)
+    rows.foreach { r =>
+      val (n, mean, v, mn, mx) = (r.getAs[Long]("n"), r.getAs[Long]("mean_q"),
+        r.getAs[Long]("var_q"), r.getAs[Long]("min_q"), r.getAs[Long]("max_q"))
+      assert(n > 0)
+      assert(v >= 0L, s"variance must be non-negative (dim ${r.getAs[Long]("dim")})")
+      assert(mn <= mean && mean <= mx, s"mean outside [min,max]: $mn $mean $mx")
+    }
+  }
 }
