@@ -33,6 +33,11 @@ object GraphQueries {
 
   val Iters = 3
 
+  /** Nodes above this candidate-graph degree are excluded from triangle
+    * enumeration — they are boilerplate-shaped hubs (the substring
+    * family's territory), and the cap is what bounds the wedge join. */
+  val TriDegreeCap = 24
+
   private lazy val PageRankOracleSql: String = {
     val iters = (1 to Iters).map { k =>
       s"""p$k AS (
@@ -86,5 +91,86 @@ object GraphQueries {
         .select(col("v").as("doc_id"), col("deg"), col("p").as("pr_x1e12"))
         .orderBy("doc_id")
     },
+
+    // ----- Triangle count + local clustering coefficient -----
+    // The third graph lens on the dup-candidate graph: CC says which
+    // docs form a family, PageRank says who its center is, triangles
+    // say how DENSE the family is — a high clustering coefficient
+    // separates a true mirror clique (everything matches everything)
+    // from a hub-and-spoke chain of borderline matches, which decides
+    // whether a cluster can be collapsed to one canonical or needs
+    // pairwise review. Enumeration is the oriented edge-iterator join
+    // (a<b<c, each triangle counted exactly once); the DEGREE CAP is
+    // what makes it production-viable: per-node fanout of the e1⋈e2
+    // wedge join is bounded by the cap, so the join stays ≤ cap·|E|
+    // rows even on the power-law graphs where uncapped triangle
+    // counting is quadratic — the same guard philosophy as the
+    // oversized-bucket anti-join (hub nodes are boilerplate-shaped
+    // and get excised by the substring family instead). Edges are
+    // pinned once; everything downstream is id-arithmetic.
+    "dup_graph_triangles" -> QueryDef.sql(TriangleOracleSql) { (s, d) =>
+      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      triangleStats(pairs).orderBy("doc_id")
+    },
   )
+
+  /** Per-node triangle count + clustering coefficient over an oriented
+    * (doc_a < doc_b) distinct pair table, degree-capped (see
+    * [[TriDegreeCap]]); exposed for property tests on planted graphs. */
+  def triangleStats(pairs0: org.apache.spark.sql.DataFrame,
+      cap: Int = TriDegreeCap): org.apache.spark.sql.DataFrame = {
+    val pairs = pairs0.localCheckpoint()
+    val deg0 = pairs.select(col("doc_a").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val keep = deg0.filter(col("d") <= cap).select("v")
+    val e = pairs
+      .join(keep.withColumnRenamed("v", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(keep.withColumnRenamed("v", "doc_b"), Seq("doc_b"), "left_semi")
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val degc = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    val pern = tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    degc.join(pern, Seq("v"), "left")
+      .filter(col("deg") >= 2)
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        expr("CAST((2000000L * n_triangles) div (deg * (deg - 1)) AS BIGINT)"))
+  }
+
+  private lazy val TriangleOracleSql: String = (
+      s"""WITH ${TextQueries.MinhashBandsCte},
+         |pairs AS (${TextQueries.BandedPairsSelect}),
+         |deg0 AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs)
+         |  GROUP BY v),
+         |keep AS (SELECT v FROM deg0 WHERE d <= $TriDegreeCap),
+         |e AS (
+         |  SELECT p.doc_a AS a, p.doc_b AS b FROM pairs p
+         |  JOIN keep k1 ON k1.v = p.doc_a JOIN keep k2 ON k2.v = p.doc_b),
+         |degc AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+         |tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pern AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+         |    UNION ALL SELECT c AS v FROM tri) GROUP BY v)
+         |SELECT d.v AS doc_id, d.deg,
+         |  COALESCE(p.n_tri, 0) AS n_triangles,
+         |  CAST((2000000 * COALESCE(p.n_tri, 0)) // (d.deg * (d.deg - 1)) AS BIGINT)
+         |    AS clustering_ppm
+         |FROM degc d LEFT JOIN pern p ON p.v = d.v
+         |WHERE d.deg >= 2 ORDER BY doc_id""".stripMargin)
 }
