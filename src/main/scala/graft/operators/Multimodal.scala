@@ -609,5 +609,79 @@ object Multimodal {
             .cast("binary")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
     },
+
+    // ----- shot-boundary detection over the frame stream -----
+    // The temporal-difference stage of a video pipeline: per
+    // consecutive-frame pair, the L1 difference energy (sum of absolute
+    // per-position code deltas over the 32-byte frame), and a boundary
+    // flag where a pair's energy exceeds 1.25× its own video's mean —
+    // the cut detector every keyframe-selection / scene-dedup pass
+    // starts from, thresholded RELATIVE per video because absolute
+    // energies depend on the codec. Shape: the lead frame comes from
+    // ONE doc-keyed window (never a self-join on idx+1), the 32-way
+    // position explode is a bounded narrow stage (a native Expression
+    // would fuse it ShingleHashes-style if this became the hot path),
+    // and the per-doc mean joins back from the pair aggregate itself.
+    // All-integer, so both engines land on identical flags.
+    "mm_shot_boundaries" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id, text AS payload, length(text) // 32 AS nframes
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, nframes - 1)) AS idx, payload
+        |  FROM f WHERE nframes >= 2),
+        |fx AS (
+        |  SELECT doc_id, idx,
+        |    substring(payload, CAST(idx * 32 + 1 AS INT), 32) AS frame,
+        |    lead(substring(payload, CAST(idx * 32 + 1 AS INT), 32))
+        |      OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
+        |  FROM fr),
+        |pairs AS (
+        |  SELECT doc_id, idx,
+        |    CAST((SELECT sum(abs(ord(substring(fx.frame, p.p, 1))
+        |                       - ord(substring(fx.nxt, p.p, 1))))
+        |          FROM generate_series(1, 32) p(p)) AS BIGINT) AS diff_l1
+        |  FROM fx WHERE nxt IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, CAST(sum(diff_l1) AS HUGEINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM pairs GROUP BY doc_id)
+        |SELECT p.doc_id, p.idx AS frame_idx, p.diff_l1,
+        |  CAST(CASE WHEN CAST(p.diff_l1 AS HUGEINT) * 4 * m.np > 5 * m.s
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+        |FROM pairs p JOIN m ON m.doc_id = p.doc_id
+        |ORDER BY p.doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val frames = documents(s, d)
+        .select(col("doc_id"), col("text").as("payload"),
+          expr("length(text) div 32").cast("long").as("nframes"))
+        .filter(col("nframes") >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("nframes") - 1)).as("idx"),
+          col("payload"))
+        .select(col("doc_id"), col("idx"),
+          expr("substring(payload, cast(idx * 32 + 1 as int), 32)").as("frame"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val pairs = frames
+        .withColumn("nxt", lead(col("frame"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("idx"),
+          explode(sequence(lit(1), lit(32))).as("p"),
+          col("frame"), col("nxt"))
+        .select(col("doc_id"), col("idx"),
+          abs(ascii(expr("substring(frame, p, 1)"))
+            - ascii(expr("substring(nxt, p, 1)"))).cast("long").as("delta"))
+        .groupBy(col("doc_id"), col("idx"))
+        .agg(sum(col("delta")).as("diff_l1"))
+      val m = pairs.groupBy("doc_id")
+        .agg(sum(col("diff_l1").cast(DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("np"))
+      pairs.join(m, Seq("doc_id"))
+        .select(col("doc_id"), col("idx").as("frame_idx"), col("diff_l1"),
+          when(col("diff_l1").cast(DecimalType(38, 0)) * 4 * col("np") >
+            col("s") * 5, 1L).otherwise(0L).as("is_boundary"))
+        .orderBy("doc_id", "frame_idx")
+    },
   )
 }

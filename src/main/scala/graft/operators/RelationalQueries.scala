@@ -1144,6 +1144,36 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- O11: deterministic ordered list aggregation -----
+    // Assemble each user's full event sequence as one delimited string —
+    // the "collect the group into a sequence" operator behind session
+    // replays, path exports, and prompt assembly. The cross-engine trap
+    // this pins: Spark's collect_list is ARRIVAL-ordered (whatever order
+    // partitions happen to deliver — nondeterministic under retries or
+    // AQE), so the deterministic idiom is collect structs with the sort
+    // key FIRST, array_sort (lexicographic on struct fields), then
+    // project the payload — matching SQL's string_agg(... ORDER BY).
+    // (event_id ties-breaks equal timestamps; event_type rides last so
+    // it never influences the order.) One user-keyed shuffle; per-group
+    // state is the user's own event list, bounded by the heaviest user.
+    "o11_user_path_agg" -> QueryDef.sql(
+      """SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY epoch_ns(ts), event_id) AS path,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts_ns"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type")),
+            ">").as("path"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
     // ----- A8: weekly cohort retention matrix -----
     // The full (cohort week × age) matrix behind every retention curve:
     // users keyed to the week of their first event, then counted
