@@ -243,6 +243,57 @@ object SearchQueries {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf_x1e6 DESC, doc_id) <= 5
        |ORDER BY qid, doc_id""".stripMargin
 
+  /** PRF oracle: the round-1 chain, feedback-term selection, and a
+    * second scoring pass over the expanded vocabulary (same contrib
+    * formula with the round-2 tables substituted). */
+  private val PrfOracleSql: String =
+    s"""$Bm25CteChain,
+       |btop AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |    FROM score) WHERE r <= 5),
+       |fbd AS (
+       |  SELECT b.qid, c.token, CAST(count(DISTINCT c.doc_id) AS BIGINT) AS nfb
+       |  FROM btop b JOIN ct c ON c.doc_id = b.doc_id
+       |  GROUP BY b.qid, c.token),
+       |cand AS (
+       |  SELECT f.qid, f.token, f.nfb FROM fbd f
+       |  LEFT JOIN qt q ON q.qid = f.qid AND q.token = f.token
+       |  WHERE q.token IS NULL),
+       |gdf AS (
+       |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS gdf FROM ct
+       |  WHERE token IN (SELECT DISTINCT token FROM cand) GROUP BY token),
+       |expn AS (
+       |  SELECT qid, token FROM (
+       |    SELECT c.qid, c.token,
+       |      row_number() OVER (PARTITION BY c.qid
+       |        ORDER BY c.nfb DESC, g.gdf ASC, c.token) AS r
+       |    FROM cand c JOIN gdf g ON g.token = c.token) WHERE r <= 2),
+       |qt2 AS (SELECT qid, token FROM qt UNION ALL SELECT qid, token FROM expn),
+       |tf2 AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ct
+       |  WHERE token IN (SELECT DISTINCT token FROM qt2) GROUP BY doc_id, token),
+       |df2 AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY token),
+       |contrib2 AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(floor(1000000.0 *
+       |      ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+       |      ((CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
+       |       (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} + $B *
+       |        (CAST(l.dl AS DOUBLE) / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+       |    ) AS BIGINT) AS c
+       |  FROM qt2 q
+       |  JOIN tf2 t ON t.token = q.token
+       |  JOIN df2 f ON f.token = q.token
+       |  JOIN dl l ON l.doc_id = t.doc_id, stats s),
+       |score2 AS (
+       |  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score
+       |  FROM contrib2 GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, score FROM score2
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5
+       |ORDER BY qid, doc_id""".stripMargin
+
   /** The phrase-search oracle, shared verbatim by the live and stored
     * queries. */
   private val PhraseOracleSql: String =
@@ -445,6 +496,62 @@ object SearchQueries {
         .filter(col("rn") <= 3)
         .select("qid", "doc_id", "vscore")
         .orderBy("qid", "doc_id")
+    },
+
+    // ----- pseudo-relevance-feedback query expansion (two-round BM25) -----
+    // Rocchio-style PRF: round 1 retrieves each query's top-5, the
+    // feedback docs nominate expansion terms (ranked by how many
+    // feedback docs contain the term, rarer-globally first, original
+    // query terms excluded), the top-2 join the query, and round 2
+    // re-ranks with the expanded vocabulary — the classic fix for
+    // vocabulary mismatch between query and corpus. Scale shape: BOTH
+    // rounds read the persisted postings store pruned to their (still
+    // bounded) vocabulary — corpus text is never touched; the feedback
+    // term extraction probes the store by the ≤5·queries feedback doc
+    // ids; candidate/global-df tables are vocabulary-bounded. Term
+    // selection is all-integer with full tie-breaks, so the expanded
+    // query set — and therefore every round-2 score — is deterministic
+    // cross-engine.
+    "bm25_prf_expansion" -> QueryDef.sql(PrfOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      // the bounded query-term table feeds FOUR consumers (round-1
+      // vocab prune + rank, candidate anti-join, round-2 union) — pin
+      // it once so the eval slice of documents is scanned exactly once
+      val qt = queryTerms(docs).localCheckpoint()
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val stats = corpusLens.agg(
+        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
+      val corpusPostings = postings.filter(col("doc_id") % 97 =!= 0)
+
+      val tf1 = corpusPostings
+        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf", "dl")
+      val btop = bm25Rank(tf1, stats, qt, k = 5).select("qid", "doc_id")
+
+      // feedback-doc term profile: postings rows of the ≤5·queries docs
+      val fbd = corpusPostings.select("doc_id", "token")
+        .join(broadcast(btop), Seq("doc_id"))
+        .groupBy("qid", "token")
+        .agg(countDistinct(col("doc_id")).as("nfb"))
+      val cand = fbd.join(qt, Seq("qid", "token"), "left_anti")
+      val gdf = corpusPostings
+        .join(broadcast(cand.select("token").distinct()), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("gdf"))
+      val expRn = Window.partitionBy(col("qid"))
+        .orderBy(col("nfb").desc, col("gdf").asc, col("token"))
+      val expansion = cand.join(gdf, Seq("token"))
+        .withColumn("r", row_number().over(expRn))
+        .filter(col("r") <= 2)
+        .select("qid", "token")
+      // pinning the expanded query set severs round 2's plan from the
+      // whole round-1 retrieval subtree (round 2 re-executes nothing)
+      val qt2 = qt.unionByName(expansion).localCheckpoint()
+
+      val tf2 = corpusPostings
+        .join(broadcast(qt2.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf", "dl")
+      bm25Rank(tf2, stats, qt2, k = 5)
     },
   )
 }

@@ -504,6 +504,25 @@ class PlanAssertSpec extends SparkFunSuite {
       "the KMV merge law must hold bit-for-bit on real data")
   }
 
+  test("bm25_prf_expansion: both rounds read the postings store, corpus text untouched") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.SearchQueries.defs("bm25_prf_expansion").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the bounded query side AND the pruned postings slivers are pinned
+    // during build (bm25Rank checkpoints eagerly), so the final plan
+    // touches NO document text at all; the postings artifact's on-disk
+    // presence proves both rounds read the store, not the corpus
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans == 0,
+      s"PRF's final plan must not rescan documents (query side is pinned):\n$plan")
+    val base = graft.operators.SignatureStore.defaultBase(spark, sfDir)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${graft.operators.SignatureStore.bm25PostingsDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker), "the postings artifact must exist after the build")
+    assert(q.count() > 0)
+  }
+
   test("q2_min_cost_supplier decorrelates to one window pass over one fact scan") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.RelationalQueries.defs("q2_min_cost_supplier")
