@@ -272,5 +272,80 @@ object SketchQueries {
           coalesce(col("x"), lit(false)).as("exact_hit"))
         .orderBy("doc_id")
     },
+
+    // ----- rolling 7-day distinct users via KMV sketch union -----
+    // The SLIDING-WINDOW face of sketch mergeability: per-day KMV
+    // sketches (64 rows/day, built once) union across each trailing
+    // 7-day window and re-derive the k-th min — the weekly-active-users
+    // series WITHOUT a per-window pass over raw events. This is the
+    // operational win `kmv_merge_shingles` proves the law for: count
+    // distinct does not slide (each window would rescan its events; at
+    // 100 TB that is 7× the daily volume per day of output), while
+    // sketch rows DO — the window join touches 64·7 rows per output
+    // day. Merged hashes dedupe before ranking (the same user's hash
+    // appears in several days' sketches). KMV's union-closure makes the
+    // windowed sketch EXACTLY the sketch of the windowed union — no
+    // approximation stacking. The exact distinct rides along as the
+    // grading audit (it is the expensive leg on purpose); day grid and
+    // sketch tables are time-bounded, so the non-equi window join is a
+    // broadcast over constant rows.
+    "kmv_rolling_users" -> QueryDef.sql(
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |dh AS (SELECT DISTINCT day, h FROM e),
+         |sk AS (
+         |  SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+         |    FROM dh) WHERE rk <= $KmvK),
+         |grid AS (SELECT DISTINCT day AS wday FROM dh),
+         |merged AS (
+         |  SELECT DISTINCT g.wday, s.h FROM grid g
+         |  JOIN sk s ON s.day BETWEEN g.wday - 6 AND g.wday),
+         |kth AS (
+         |  SELECT wday, h AS kth FROM (
+         |    SELECT wday, h, row_number() OVER (PARTITION BY wday ORDER BY h) AS rk
+         |    FROM merged) WHERE rk = $KmvK),
+         |ex AS (
+         |  SELECT g.wday, CAST(count(DISTINCT d.h) AS BIGINT) AS n_exact
+         |  FROM grid g JOIN dh d ON d.day BETWEEN g.wday - 6 AND g.wday
+         |  GROUP BY g.wday),
+         |est AS (
+         |  SELECT x.wday, x.n_exact, k.kth,
+         |    CASE WHEN k.kth IS NULL THEN x.n_exact
+         |         ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // k.kth AS BIGINT)
+         |    END AS n_est
+         |  FROM ex x LEFT JOIN kth k ON k.wday = x.wday)
+         |SELECT wday, n_exact, kth, n_est,
+         |  CAST((CAST(1000000 AS HUGEINT) * abs(n_est - n_exact)) // n_exact AS BIGINT) AS err_ppm
+         |FROM est ORDER BY wday""".stripMargin) { (s, d) =>
+      val dh = events(s, d)
+        .select(expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"),
+          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val rkW = Window.partitionBy(col("day")).orderBy(col("h"))
+      val sk = dh.withColumn("rk", row_number().over(rkW))
+        .filter(col("rk") <= KmvK).select("day", "h")
+      val grid = dh.select(col("day").as("wday")).distinct()
+      val merged = sk.join(broadcast(grid),
+          col("day").between(col("wday") - 6, col("wday")))
+        .select("wday", "h").distinct()
+      val kthW = Window.partitionBy(col("wday")).orderBy(col("h"))
+      val kth = merged.withColumn("rk", row_number().over(kthW))
+        .filter(col("rk") === KmvK).select(col("wday"), col("h").as("kth"))
+      val ex = dh.join(broadcast(grid),
+          col("day").between(col("wday") - 6, col("wday")))
+        .groupBy("wday").agg(countDistinct(col("h")).as("n_exact"))
+      ex.join(kth, Seq("wday"), "left")
+        .select(col("wday"), col("n_exact"), col("kth"),
+          expr(s"CASE WHEN kth IS NULL THEN n_exact ELSE CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) " +
+            "* CAST(1152921504606846976 AS DECIMAL(38,0))) div kth AS BIGINT) END").as("n_est"))
+        .select(col("wday"), col("n_exact"), col("kth"), col("n_est"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(n_est - n_exact)) div n_exact AS BIGINT)")
+            .as("err_ppm"))
+        .orderBy("wday")
+    },
   )
 }
