@@ -582,6 +582,33 @@ object SignatureStore {
       compactInto(spark, linesDir(base), streamLinesDir(base),
         readLineRegistry(spark, base))
 
+  /** Compact the BM25 store — the TWO-TABLE variant of the seal: the
+    * postings and doclens artifacts share one stream subtree, so both
+    * resolves must materialize BEFORE any directory is touched (swapping
+    * postings first would delete the stream rows the doclens resolve
+    * still needs). Swap order puts the postings marker last: a crash
+    * window can leave both tmp dirs or doclens-only swapped, never a
+    * postings marker over a stale doclens; a crash before the stream
+    * delete is idempotent (stream docs supersede their own compacted
+    * rows with identical values). */
+  def compactBm25(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamBm25Dir(base))) {
+      import org.apache.hadoop.fs.Path
+      val (p, l) = readBm25(spark, base)
+      val tmpP = s"${bm25PostingsDir(base)}_compact_tmp"
+      val tmpL = s"${bm25DoclensDir(base)}_compact_tmp"
+      p.write.mode("overwrite").parquet(tmpP)
+      l.write.mode("overwrite").parquet(tmpL)
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(bm25DoclensDir(base)), true)
+      require(fs.rename(new Path(tmpL), new Path(bm25DoclensDir(base))),
+        s"compaction rename $tmpL failed")
+      fs.delete(new Path(bm25PostingsDir(base)), true)
+      require(fs.rename(new Path(tmpP), new Path(bm25PostingsDir(base))),
+        s"compaction rename $tmpP failed")
+      fs.delete(new Path(streamBm25Dir(base)), true)
+    }
+
   def imagePhashDir(base: String) = s"$base/image_phash"
 
   /** Streaming fingerprint appends, batch_id-partitioned (same layout

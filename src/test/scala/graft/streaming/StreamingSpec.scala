@@ -273,6 +273,51 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("bm25-store compaction seals postings AND doclens consistently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{SearchQueries, SignatureStore}
+    val base = tmpDir("bm25compact")
+    val batchDocs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    SearchQueries.postingsOf(batchDocs)
+      .write.parquet(SignatureStore.bm25PostingsDir(base))
+    SearchQueries.doclensOf(batchDocs)
+      .write.parquet(SignatureStore.bm25DoclensDir(base))
+    // stream: doc 2 re-ingested with new text, doc 3 new
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainPostings(input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((2L, "delta epsilon"), (3L, "zeta"))
+      query.processAllAvailable()
+    } finally query.stop()
+    def snap() = {
+      val (p, l) = SignatureStore.readBm25(spark, base)
+      (p.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet,
+        l.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val before = snap()
+    SignatureStore.compactBm25(spark, base)
+    assert(snap() == before, "compaction must not change what readBm25 serves")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamBm25Dir(base))),
+      "compaction must drop the stream subtree")
+    // doclens stayed consistent with postings: doc 2's superseding
+    // length (2) survived the seal, its batch length (1) did not
+    assert(before._2 == Set((1L, 3L), (2L, 2L), (3L, 1L)))
+    // the sealed store keeps taking appends and supersession still holds
+    val input2 = MemoryStream[(Long, String)]
+    val query2 = EventStream.maintainPostings(input2.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt2").start()
+    try {
+      input2.addData((3L, "eta theta eta"))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val (pAfter, lAfter) = snap()
+    assert(pAfter.filter(_._1 == 3L) == Set((3L, "eta", 2L, 3L), (3L, "theta", 1L, 3L)))
+    assert(lAfter == Set((1L, 3L), (2L, 2L), (3L, 3L)))
+  }
+
   test("line-registry maintenance converges to the batch registry under out-of-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("linereg")
