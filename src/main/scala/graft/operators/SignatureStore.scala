@@ -609,6 +609,56 @@ object SignatureStore {
       fs.delete(new Path(streamBm25Dir(base)), true)
     }
 
+  def dailyKmvDir(base: String) = s"$base/daily_kmv"
+
+  /** Streaming sketch appends, batch_id-partitioned (layout rationale of
+    * [[streamMinhashDir]]). */
+  def streamDailyKmvDir(base: String) = s"$base/daily_kmv_stream"
+
+  /** Per-day KMV user sketch (day, h) — the events-table store family.
+    * Unlike the document stores there is NO supersession resolve:
+    * events are immutable facts, so batch and stream rows simply union,
+    * duplicates vanish in the distinct, and the k-min re-rank at read
+    * time is exact by KMV's union-closure (the k smallest of a union of
+    * per-part k-smallest sets IS the union's k smallest). */
+  def readDailyKmv(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, dailyKmvDir(base)))(
+      spark.read.parquet(dailyKmvDir(base)).select("day", "h"))
+    val stream = Option.when(hasData(spark, streamDailyKmvDir(base)))(
+      spark.read.parquet(streamDailyKmvDir(base)).select("day", "h"))
+    val all = (batch, stream) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no daily kmv store under $base")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("h"))
+    all.distinct()
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= SketchQueries.KmvK)
+      .select("day", "h")
+  }
+
+  /** Build-on-first-use for the per-day sketch store. */
+  def ensureDailyKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${dailyKmvDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      SketchQueries.dailyUserSketch(graft.util.Tables.events(spark, sfDir))
+        .write.mode("overwrite").parquet(dailyKmvDir(base))
+    readDailyKmv(spark, base)
+  }
+
+  /** Compact the daily-sketch store (union + k-min re-rank resolve). */
+  def compactDailyKmv(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamDailyKmvDir(base)))
+      compactInto(spark, dailyKmvDir(base), streamDailyKmvDir(base),
+        readDailyKmv(spark, base))
+
   def imagePhashDir(base: String) = s"$base/image_phash"
 
   /** Streaming fingerprint appends, batch_id-partitioned (same layout

@@ -31,6 +31,88 @@ object SketchQueries {
 
   val KmvK = 64
 
+  /** Per-day k-min user-hash sketch rows (day, h) — the build kernel
+    * shared by the live rolling query, the batch store build
+    * ([[SignatureStore.ensureDailyKmv]]), and every stream epoch
+    * ([[graft.streaming.EventStream.maintainDailyKmv]]). Input needs
+    * (user_id, ts_ns). KMV's union-closure is what makes the store
+    * maintenance trivially correct: the k smallest of a union of
+    * per-part k-smallest sets IS the k smallest of the union, so
+    * appending each epoch's sketch rows and re-ranking at read time
+    * loses nothing, and replayed/duplicated events are absorbed by the
+    * (day, h) distinct. */
+  def dailyUserSketch(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dh = ev.select(
+      expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"),
+      conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("day")).orderBy(col("h"))
+    dh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KmvK)
+      .select("day", "h")
+  }
+
+  /** Oracle for the rolling weekly-distinct series, shared verbatim by
+    * the live and stored twins (the store must be bit-identical to the
+    * live per-day sketch). */
+  private val RollingKmvSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM events),
+       |dh AS (SELECT DISTINCT day, h FROM e),
+       |sk AS (
+       |  SELECT day, h FROM (
+       |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+       |    FROM dh) WHERE rk <= $KmvK),
+       |grid AS (SELECT DISTINCT day AS wday FROM dh),
+       |merged AS (
+       |  SELECT DISTINCT g.wday, s.h FROM grid g
+       |  JOIN sk s ON s.day BETWEEN g.wday - 6 AND g.wday),
+       |kth AS (
+       |  SELECT wday, h AS kth FROM (
+       |    SELECT wday, h, row_number() OVER (PARTITION BY wday ORDER BY h) AS rk
+       |    FROM merged) WHERE rk = $KmvK),
+       |ex AS (
+       |  SELECT g.wday, CAST(count(DISTINCT d.h) AS BIGINT) AS n_exact
+       |  FROM grid g JOIN dh d ON d.day BETWEEN g.wday - 6 AND g.wday
+       |  GROUP BY g.wday),
+       |est AS (
+       |  SELECT x.wday, x.n_exact, k.kth,
+       |    CASE WHEN k.kth IS NULL THEN x.n_exact
+       |         ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // k.kth AS BIGINT)
+       |    END AS n_est
+       |  FROM ex x LEFT JOIN kth k ON k.wday = x.wday)
+       |SELECT wday, n_exact, kth, n_est,
+       |  CAST((CAST(1000000 AS HUGEINT) * abs(n_est - n_exact)) // n_exact AS BIGINT) AS err_ppm
+       |FROM est ORDER BY wday""".stripMargin
+
+  /** The window/estimate stage shared by the live and stored rolling
+    * queries: `sk` is the per-day sketch (live kernel or store read),
+    * `dh` the full distinct (day, hash) table for the exact audit. */
+  private def rollingEstimate(sk: org.apache.spark.sql.DataFrame,
+      dh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grid = dh.select(col("day").as("wday")).distinct()
+    val merged = sk.join(broadcast(grid),
+        col("day").between(col("wday") - 6, col("wday")))
+      .select("wday", "h").distinct()
+    val kthW = Window.partitionBy(col("wday")).orderBy(col("h"))
+    val kth = merged.withColumn("rk", row_number().over(kthW))
+      .filter(col("rk") === KmvK).select(col("wday"), col("h").as("kth"))
+    val ex = dh.join(broadcast(grid),
+        col("day").between(col("wday") - 6, col("wday")))
+      .groupBy("wday").agg(countDistinct(col("h")).as("n_exact"))
+    ex.join(kth, Seq("wday"), "left")
+      .select(col("wday"), col("n_exact"), col("kth"),
+        expr(s"CASE WHEN kth IS NULL THEN n_exact ELSE CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) " +
+          "* CAST(1152921504606846976 AS DECIMAL(38,0))) div kth AS BIGINT) END").as("n_est"))
+      .select(col("wday"), col("n_exact"), col("kth"), col("n_est"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(n_est - n_exact)) div n_exact AS BIGINT)")
+          .as("err_ppm"))
+      .orderBy("wday")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ----- KMV distinct-token estimate per source, with exact audit -----
@@ -289,63 +371,34 @@ object SketchQueries {
     // grading audit (it is the expensive leg on purpose); day grid and
     // sketch tables are time-bounded, so the non-equi window join is a
     // broadcast over constant rows.
-    "kmv_rolling_users" -> QueryDef.sql(
-      s"""WITH e AS (
-         |  SELECT epoch_us(ts) // 86400000000 AS day,
-         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
-         |  FROM events),
-         |dh AS (SELECT DISTINCT day, h FROM e),
-         |sk AS (
-         |  SELECT day, h FROM (
-         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
-         |    FROM dh) WHERE rk <= $KmvK),
-         |grid AS (SELECT DISTINCT day AS wday FROM dh),
-         |merged AS (
-         |  SELECT DISTINCT g.wday, s.h FROM grid g
-         |  JOIN sk s ON s.day BETWEEN g.wday - 6 AND g.wday),
-         |kth AS (
-         |  SELECT wday, h AS kth FROM (
-         |    SELECT wday, h, row_number() OVER (PARTITION BY wday ORDER BY h) AS rk
-         |    FROM merged) WHERE rk = $KmvK),
-         |ex AS (
-         |  SELECT g.wday, CAST(count(DISTINCT d.h) AS BIGINT) AS n_exact
-         |  FROM grid g JOIN dh d ON d.day BETWEEN g.wday - 6 AND g.wday
-         |  GROUP BY g.wday),
-         |est AS (
-         |  SELECT x.wday, x.n_exact, k.kth,
-         |    CASE WHEN k.kth IS NULL THEN x.n_exact
-         |         ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // k.kth AS BIGINT)
-         |    END AS n_est
-         |  FROM ex x LEFT JOIN kth k ON k.wday = x.wday)
-         |SELECT wday, n_exact, kth, n_est,
-         |  CAST((CAST(1000000 AS HUGEINT) * abs(n_est - n_exact)) // n_exact AS BIGINT) AS err_ppm
-         |FROM est ORDER BY wday""".stripMargin) { (s, d) =>
+    "kmv_rolling_users" -> QueryDef.sql(RollingKmvSql) { (s, d) =>
+      val ev = events(s, d)
+      val dh = ev.select(
+        expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .distinct()
+      rollingEstimate(dailyUserSketch(ev), dh)
+    },
+
+    // ----- rolling series from the PERSISTED per-day sketch store -----
+    // The amortization twin (the TWELFTH store family, and the first
+    // events-table one): per-day sketches persist once
+    // ([[SignatureStore.ensureDailyKmv]]) and every rolling report
+    // reads 64 rows/day from parquet — raw events feed only the exact
+    // audit leg here (production drops that leg and touches no events
+    // at all). Streaming epochs append their own day sketches
+    // (`maintainDailyKmv`) and union-closure makes the read-side re-rank
+    // exact, so the store needs no supersession logic — events are
+    // immutable facts, duplicates vanish in the (day, h) distinct.
+    // Same oracle as the live twin: stored must be bit-identical.
+    "kmv_rolling_users_stored" -> QueryDef.sql(RollingKmvSql) { (s, d) =>
       val dh = events(s, d)
         .select(expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"),
           conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
             .cast("long").as("h"))
         .distinct()
-      val rkW = Window.partitionBy(col("day")).orderBy(col("h"))
-      val sk = dh.withColumn("rk", row_number().over(rkW))
-        .filter(col("rk") <= KmvK).select("day", "h")
-      val grid = dh.select(col("day").as("wday")).distinct()
-      val merged = sk.join(broadcast(grid),
-          col("day").between(col("wday") - 6, col("wday")))
-        .select("wday", "h").distinct()
-      val kthW = Window.partitionBy(col("wday")).orderBy(col("h"))
-      val kth = merged.withColumn("rk", row_number().over(kthW))
-        .filter(col("rk") === KmvK).select(col("wday"), col("h").as("kth"))
-      val ex = dh.join(broadcast(grid),
-          col("day").between(col("wday") - 6, col("wday")))
-        .groupBy("wday").agg(countDistinct(col("h")).as("n_exact"))
-      ex.join(kth, Seq("wday"), "left")
-        .select(col("wday"), col("n_exact"), col("kth"),
-          expr(s"CASE WHEN kth IS NULL THEN n_exact ELSE CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) " +
-            "* CAST(1152921504606846976 AS DECIMAL(38,0))) div kth AS BIGINT) END").as("n_est"))
-        .select(col("wday"), col("n_exact"), col("kth"), col("n_est"),
-          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(n_est - n_exact)) div n_exact AS BIGINT)")
-            .as("err_ppm"))
-        .orderBy("wday")
+      rollingEstimate(SignatureStore.ensureDailyKmv(s, d), dh)
     },
   )
 }

@@ -136,6 +136,25 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamBm25Dir(storeBase))
     }
 
+  /** Incremental per-day KMV sketch maintenance — the events-table store
+    * twin: each micro-batch of events (user_id, ts_ns) contributes its
+    * own per-day k-min rows, appended batch_id-keyed. No supersession is
+    * needed on the read side ([[graft.operators.SignatureStore
+    * .readDailyKmv]]): KMV union-closure makes the re-rank over
+    * batch ∪ stream rows exactly the sketch of all events ever seen,
+    * and replayed epochs overwrite their own partitions. */
+  def maintainDailyKmv(events: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchQueries.dailyUserSketch(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamDailyKmvDir(storeBase))
+    }
+
   /** Incremental phrase-bigram maintenance — the phrase-search twin of
     * [[maintainPostings]]: each micro-batch of new documents runs the
     * SAME one-pass positional bigram builder the batch store uses

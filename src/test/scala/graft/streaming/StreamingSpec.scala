@@ -273,6 +273,47 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("daily-KMV store: stream epochs merge by union-closure, compaction seals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{SignatureStore, SketchQueries}
+    val base = tmpDir("dailykmv")
+    val dayUs = 86400000000L
+    def ev(user: Long, day: Long) = (user, day * dayUs * 1000L + user)
+    // batch subtree: day 0 users 1-80, day 1 users 1-10
+    val batchEvents = ((1L to 80L).map(ev(_, 0L)) ++ (1L to 10L).map(ev(_, 1L)))
+      .toDF("user_id", "ts_ns")
+    SketchQueries.dailyUserSketch(batchEvents)
+      .write.parquet(SignatureStore.dailyKmvDir(base))
+    // stream: day 0 users 60-150 (overlapping 60-80 — duplicates across
+    // batch and stream), day 1 users 11-20
+    val input = MemoryStream[(Long, Long)]
+    val query = EventStream.maintainDailyKmv(
+      input.toDF().toDF("user_id", "ts_ns"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((60L to 150L).map(ev(_, 0L)): _*)
+      query.processAllAvailable()
+      input.addData((11L to 20L).map(ev(_, 1L)): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // union-closure: the store read must equal a from-scratch sketch of
+    // ALL events ever seen
+    val allEvents = ((1L to 80L).map(ev(_, 0L)) ++ (60L to 150L).map(ev(_, 0L)) ++
+      (1L to 20L).map(ev(_, 1L))).toDF("user_id", "ts_ns")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows(SketchQueries.dailyUserSketch(allEvents))
+    assert(rows(SignatureStore.readDailyKmv(spark, base)) == want)
+    // day 1 has < k distinct users: its sketch IS the 20-user set
+    assert(want.count(_._1 == 1L) == 20)
+    SignatureStore.compactDailyKmv(spark, base)
+    assert(rows(SignatureStore.readDailyKmv(spark, base)) == want,
+      "compaction must not change the served sketch")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamDailyKmvDir(base))))
+  }
+
   test("bm25-store compaction seals postings AND doclens consistently") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
