@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.operators.TextQueries.{BandedPairsSelect, MinhashBandsCte}
 import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-corpus curation operators — the steps between "deduped
@@ -1103,6 +1104,97 @@ object CurationQueries {
       trainB.join(broadcast(evalB), Seq("band", "key"))
         .select("train_doc", "eval_doc").distinct()
         .orderBy("train_doc", "eval_doc")
+    },
+
+    // ----- EXACT-threshold set-similarity decontamination -----
+    // The guarantee the minhash gate cannot give: `decontaminate_fuzzy`
+    // is probabilistic (an unlucky 0.8-Jaccard pair can miss every
+    // band), while prefix filtering (AllPairs / PPJoin, Bayardo et al.
+    // 2007) finds EVERY train doc with token-set Jaccard ≥ 0.8 against
+    // an eval doc — zero false negatives, which is the property a
+    // benchmark-leak audit actually wants. The trick: order each train
+    // doc's tokens by GLOBAL rarity and index only its first
+    // n − ⌈0.8n⌉ + 1 (the prefix); any pair at J ≥ 0.8 that also
+    // passes the length filter (5·min ≥ 4·max — below it J < 0.8 is
+    // impossible) MUST share a token inside the train doc's prefix
+    // (> ⌈0.8n⌉ − 1 common tokens cannot all hide in a suffix that
+    // small), so probing the prefix index with the full eval token
+    // sets is exhaustive. Exact Jaccard then verifies candidates only.
+    // Scale shape: the index carries ~the rarest fifth of each train
+    // doc's distinct tokens; the probe side is the bounded eval set;
+    // verification is candidate-cardinality. On a Zipfian vocabulary
+    // the rare-token prefixes scatter into tiny buckets (the filter's
+    // whole point); THIS 31-token corpus is its worst case and the
+    // probe-side bound is what keeps it linear here. Top-20 per eval
+    // doc by similarity caps the output.
+    "decontaminate_setsim" -> QueryDef.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS t
+        |  FROM documents),
+        |qt AS (SELECT doc_id AS qid, t FROM toks WHERE doc_id % 97 = 0 AND doc_id < 10000),
+        |ct AS (SELECT doc_id, t FROM toks WHERE doc_id % 97 <> 0),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM ct GROUP BY t),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+        |rk AS (
+        |  SELECT c.doc_id, c.t, s.n,
+        |    row_number() OVER (PARTITION BY c.doc_id ORDER BY d.df, c.t) AS r
+        |  FROM ct c JOIN df d ON d.t = c.t JOIN sz s ON s.doc_id = c.doc_id),
+        |pre AS (SELECT doc_id, t, n FROM rk WHERE r <= n - ((4 * n + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT q.qid, p.doc_id
+        |  FROM qt q JOIN pre p ON p.t = q.t
+        |  JOIN sz sq ON sq.doc_id = q.qid
+        |  WHERE 5 * LEAST(sq.n, p.n) >= 4 * GREATEST(sq.n, p.n)),
+        |inter AS (
+        |  SELECT c.qid, c.doc_id, CAST(count(*) AS BIGINT) AS ni
+        |  FROM cand c
+        |  JOIN qt a ON a.qid = c.qid
+        |  JOIN ct b ON b.doc_id = c.doc_id AND b.t = a.t
+        |  GROUP BY c.qid, c.doc_id),
+        |j AS (
+        |  SELECT i.qid, i.doc_id, i.ni, sa.n + sb.n - i.ni AS nu
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.qid JOIN sz sb ON sb.doc_id = i.doc_id)
+        |SELECT qid, doc_id, CAST((1000000 * ni) // nu AS BIGINT) AS jacc_ppm
+        |FROM j WHERE 5 * ni >= 4 * nu
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY (1000000 * ni) // nu DESC, doc_id) <= 20
+        |ORDER BY qid, doc_id""".stripMargin) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(expr(graft.operators.TextQueries.toksExpr))).as("t"))
+      val qt = toks.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select(col("doc_id").as("qid"), col("t"))
+        .localCheckpoint() // bounded probe side, used by cand AND verify
+      val ct = toks.filter(col("doc_id") % 97 =!= 0)
+      val df = ct.groupBy("t").agg(count(lit(1)).as("df"))
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val rkW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+      val pre = ct.join(df, Seq("t")).join(sz, Seq("doc_id"))
+        .withColumn("r", row_number().over(rkW))
+        .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("t"), col("n"))
+      val szq = sz.select(col("doc_id").as("qid"), col("n").as("nq"))
+      val cand = qt.join(pre, Seq("t"))
+        .join(broadcast(szq), Seq("qid"))
+        .filter(least(col("nq"), col("n")) * 5 >= greatest(col("nq"), col("n")) * 4)
+        .select("qid", "doc_id").distinct()
+      val inter = cand
+        .join(qt.select(col("qid"), col("t")), Seq("qid"))
+        .join(ct.select(col("doc_id"), col("t")), Seq("doc_id", "t"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
+      val topW = Window.partitionBy(col("qid"))
+        .orderBy(col("jacc_ppm").desc, col("doc_id"))
+      inter
+        .join(broadcast(szq), Seq("qid"))
+        .join(sz, Seq("doc_id"))
+        .select(col("qid"), col("doc_id"), col("ni"),
+          (col("nq") + col("n") - col("ni")).as("nu"))
+        .filter(col("ni") * 5 >= col("nu") * 4)
+        .withColumn("jacc_ppm", expr("CAST((1000000L * ni) div nu AS BIGINT)"))
+        .withColumn("rn", row_number().over(topW))
+        .filter(col("rn") <= 20)
+        .select("qid", "doc_id", "jacc_ppm")
+        .orderBy("qid", "doc_id")
     },
 
     // ----- decontamination report: per-source contamination rates -----

@@ -18,6 +18,35 @@ class CurationSpec extends SparkFunSuite {
       s"eval shingles must broadcast:\n$plan")
   }
 
+  test("decontaminate_setsim finds EVERY >= 0.8-Jaccard pair brute force finds") {
+    import org.apache.spark.sql.functions._
+    // brute force: full eval x corpus token-set Jaccard, no filtering
+    val toks = graft.util.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(split(trim(lower(col("text"))), "\\s+")).as("ts"))
+    val ev = toks.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+      .select(col("doc_id").as("qid"), col("ts").as("qts"))
+    val tr = toks.filter(col("doc_id") % 97 =!= 0)
+    val brute = tr.crossJoin(ev)
+      .select(col("qid"), col("doc_id"),
+        size(array_intersect(col("qts"), col("ts"))).cast("long").as("ni"),
+        (size(col("qts")) + size(col("ts"))).cast("long").as("nsum"))
+      .withColumn("nu", col("nsum") - col("ni"))
+      .filter(col("ni") * 5 >= col("nu") * 4)
+      .select(col("qid"), col("doc_id"),
+        expr("CAST((1000000L * ni) div nu AS BIGINT)").as("jacc_ppm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("jacc_ppm").desc, col("doc_id"))
+    val bruteTop = brute.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20).select("qid", "doc_id", "jacc_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = q("decontaminate_setsim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteTop,
+      s"prefix filtering must be exhaustive: missing=${bruteTop -- got} extra=${got -- bruteTop}")
+    assert(got.nonEmpty)
+  }
+
   test("pack_sequences: offsets in range, token ranges contiguous, spans consistent") {
     val rows = q("pack_sequences").collect()
     assert(rows.nonEmpty)
