@@ -1174,6 +1174,134 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- TPC-H Q7 shape: disjunctive cross-dimension predicate -----
+    // Bilateral trade volume between two nations by ship year — the
+    // join shape Q7 exists to test: the predicate couples TWO dimension
+    // chains disjunctively ((A,B) OR (B,A)), so neither side alone can
+    // evaluate it. The scale move the build spells out: push the
+    // disjunction's ENVELOPE (each nation ∈ {A, B}) onto each dimension
+    // chain first — both chains prune to 2-nation slivers before any
+    // fact row joins — and apply the exact disjunction once both names
+    // are in scope. Revenue goes through DECIMAL; the year comes from
+    // EXTRACT on both engines. nation is the only hinted broadcast.
+    "q7_nation_volume" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)) AS vol
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(vol) AS DOUBLE) AS revenue
+        |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(nation(s, d).filter(col("n_name").isin(pair: _*)))
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = broadcast(nation(s, d).filter(col("n_name").isin(pair: _*)))
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      val supp = supplier(s, d).join(n1, col("nk1") === col("s_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val cust = customer(s, d).join(n2, col("nk2") === col("c_nationkey"))
+        .select("c_custkey", "cust_nation")
+      lineitem(s, d)
+        .join(supp, col("s_suppkey") === col("l_suppkey"))
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6)).as("vol"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("vol")).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ----- J9: null-safe equality join parity -----
+    // The NULL-key join trap pinned cross-engine: standard `=` drops
+    // NULL keys from every join (a NULL-segment row silently vanishes
+    // from an enrichment join — a real data-loss bug in cleaning
+    // pipelines), while Spark's `<=>` and SQL's IS NOT DISTINCT FROM
+    // match NULL to NULL. The probe groups customers by a NULLABLE
+    // segment through a null-safe left join and counts every group
+    // including the NULL one. Second trap pinned in the same query:
+    // default null ORDERING differs (Spark ASC puts nulls FIRST,
+    // DuckDB puts them LAST), so the sort is explicit NULLS FIRST.
+    "j9_null_safe_join" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_custkey FROM customer),
+        |d AS (SELECT DISTINCT seg FROM c)
+        |SELECT d.seg, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+        |FROM d LEFT JOIN c ON c.seg IS NOT DISTINCT FROM d.seg
+        |GROUP BY d.seg ORDER BY d.seg NULLS FIRST""".stripMargin) { (s, d) =>
+      val c = customer(s, d)
+        .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+          col("c_custkey"))
+      val dim = c.select(col("seg").as("dseg")).distinct()
+      dim.join(c, col("dseg") <=> col("seg"), "left")
+        .groupBy(col("dseg").as("seg"))
+        .agg(count(col("c_custkey")).as("n_customers"))
+        .orderBy(col("seg").asc_nulls_first)
+    },
+
+    // ----- corpus snapshot diff: the ingestion-delta audit -----
+    // What changed between two corpus snapshots — the diff every
+    // re-crawl / re-ingest ships before promoting a new snapshot:
+    // added, removed, changed (same id, different content fingerprint),
+    // unchanged, rolled up per source. Snapshots are simulated from the
+    // one table (A drops id%11=0, B drops id%13=0 and re-writes id%17=0
+    // docs — an upstream edit); the OPERATOR is the real thing: a
+    // full-outer join on doc_id comparing 16-byte fingerprints — never
+    // text — with the status derived from null-ness and fp equality.
+    // Scale shape: both sides reduce to (id, fp, source) projections at
+    // the scan, the join is the only wide op, and the rollup is
+    // taxonomy-bounded.
+    "corpus_snapshot_diff" -> QueryDef.sql(
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS fp, source FROM documents WHERE doc_id % 11 <> 0),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END) AS fp,
+        |    source
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |j AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.fp <> b.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val a = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("a_id"), md5(col("text").cast("binary")).as("a_fp"),
+          col("source").as("a_src"))
+      val b = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id").as("b_id"),
+          md5(when(col("doc_id") % 17 === 0, upper(col("text")))
+            .otherwise(col("text")).cast("binary")).as("b_fp"),
+          col("source").as("b_src"))
+      a.join(b, col("a_id") === col("b_id"), "full_outer")
+        .select(coalesce(col("a_src"), col("b_src")).as("source"),
+          when(col("a_id").isNull, "added")
+            .when(col("b_id").isNull, "removed")
+            .when(col("a_fp") =!= col("b_fp"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
+    },
+
     // ----- A8: weekly cohort retention matrix -----
     // The full (cohort week × age) matrix behind every retention curve:
     // users keyed to the week of their first event, then counted
