@@ -1226,6 +1226,86 @@ object RelationalQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // ----- TPC-H Q14 shape: conditional-aggregate ratio -----
+    // Promo revenue share in one ship month — the CASE-inside-SUM
+    // pattern (one pass computes both the filtered and the total
+    // aggregate; a WHERE would need two scans or a self-join). The
+    // share divides two DOUBLE casts of exact DECIMAL sums: identical
+    // operands on both engines, one IEEE divide, floor to ppm — so the
+    // ratio is emission-exact without a decimal-division type rabbit
+    // hole. Date window pushes to the lineitem scan; part is a
+    // projection-only dimension join.
+    "q14_promo_share" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)) AS rev,
+        |    p.p_type = 'PROMO' AS is_promo
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00')
+        |SELECT
+        |  CAST(sum(CASE WHEN is_promo THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  CAST(floor(1000000.0 * CAST(sum(CASE WHEN is_promo THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |       / CAST(sum(rev) AS DOUBLE)) AS BIGINT) AS promo_share_ppm
+        |FROM t""".stripMargin) { (s, d) =>
+      val t = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(part(s, d), col("p_partkey") === col("l_partkey"))
+        .select((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6)).as("rev"),
+          (col("p_type") === "PROMO").as("is_promo"))
+      t.agg(
+        sum(when(col("is_promo"), col("rev"))
+          .otherwise(lit(0).cast(DecimalType(18, 6)))).as("promo_dec"),
+        sum(col("rev")).as("total_dec"))
+        .select(col("promo_dec").cast("double").as("promo_revenue"),
+          col("total_dec").cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          floor(lit(1000000.0) * col("promo_revenue") / col("total_revenue"))
+            .cast("long").as("promo_share_ppm"))
+    },
+
+    // ----- TPC-H Q19 shape: disjunction of conjunctive range bands -----
+    // The OR-of-ANDs predicate Q19 exists to test: three brand-specific
+    // (size, quantity) bands OR'd together, spanning BOTH join sides.
+    // What the optimizer must do (and the plan is graded on): push the
+    // disjunction's per-side ENVELOPE down — brand ∈ {…} and the size
+    // union reach the part scan, the quantity union reaches the
+    // lineitem scan — then apply the exact OR above the join; without
+    // the envelopes the join runs on the full fact table. Catalyst
+    // derives these from the OR via In/Range inference; the build
+    // states them explicitly so the contract survives optimizer
+    // changes.
+    "q19_banded_revenue" -> QueryDef.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND p.p_size BETWEEN 1 AND 30
+        |  AND l.l_quantity BETWEEN 1 AND 40
+        |  AND ((p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20)
+        |    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20 AND l.l_quantity BETWEEN 10 AND 30)
+        |    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 20 AND 40))""".stripMargin) { (s, d) =>
+      val p = part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 30))
+      val band =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(20, 40))
+      lineitem(s, d)
+        .filter(col("l_quantity").between(1, 40))
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .filter(band)
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+    },
+
     // ----- J9: null-safe equality join parity -----
     // The NULL-key join trap pinned cross-engine: standard `=` drops
     // NULL keys from every join (a NULL-segment row silently vanishes

@@ -567,6 +567,18 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("q19_banded_revenue: disjunction envelopes reach BOTH scans") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("q19_banded_revenue")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("l_quantity"),
+      s"the quantity envelope must reach the lineitem scan:\n$plan")
+    assert(plan.contains("p_brand") && plan.contains("p_size"),
+      s"the brand/size envelopes must reach the part scan:\n$plan")
+    assert(q.count() == 1)
+  }
+
   test("o10/a8: every ranking and cohort window is keyed (no global window)") {
     val sfDir = "/root/testdata/sf0.001"
     for (name <- Seq("o10_window_ranks", "a8_cohort_matrix")) {
