@@ -1333,6 +1333,55 @@ object RelationalQueries {
         .orderBy(col("seg").asc_nulls_first)
     },
 
+    // ----- O12: inter-arrival gap percentiles per event type -----
+    // The arrival-process profile behind rate limits, session-timeout
+    // choices (o4's 30-min gap is exactly a quantile of THIS
+    // distribution), and anomaly baselines: per event type, exact
+    // p50/p90/p99 of the gap between a user's consecutive events of
+    // that type. Percentiles are EXACT rank selections (value at rank
+    // ⌈q·n⌉, the repo's lower-median convention) — rank ties on equal
+    // gap values cannot change the selected VALUE, so no interpolation
+    // and no cross-engine quantile-definition drift. Two type-keyed
+    // window passes (lag, then rank) and a constant-size rollup.
+    "o12_gap_percentiles" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY event_type, user_id
+        |                       ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, gap,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap) AS r,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM gg)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  max(CASE WHEN r = (n + 1) // 2 THEN gap END) AS p50_us,
+        |  max(CASE WHEN r = (9 * n + 9) // 10 THEN gap END) AS p90_us,
+        |  max(CASE WHEN r = (99 * n + 99) // 100 THEN gap END) AS p99_us
+        |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val lagW = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gg = events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr(Tables.epochUsFloorSql).as("us"), col("event_id"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(lagW))
+        .filter(col("gap").isNotNull)
+        .select("event_type", "gap")
+      val rkW = Window.partitionBy(col("event_type")).orderBy(col("gap"))
+      val cntW = Window.partitionBy(col("event_type"))
+      gg.withColumn("r", row_number().over(rkW))
+        .withColumn("n", count(lit(1)).over(cntW))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_gaps"),
+          max(when(col("r") === expr("(n + 1) div 2"), col("gap"))).as("p50_us"),
+          max(when(col("r") === expr("(9 * n + 9) div 10"), col("gap"))).as("p90_us"),
+          max(when(col("r") === expr("(99 * n + 99) div 100"), col("gap"))).as("p99_us"))
+        .orderBy("event_type")
+    },
+
     // ----- corpus snapshot diff: the ingestion-delta audit -----
     // What changed between two corpus snapshots — the diff every
     // re-crawl / re-ingest ships before promoting a new snapshot:
