@@ -1306,6 +1306,113 @@ object RelationalQueries {
             .as("revenue"))
     },
 
+    // ----- TPC-H Q13 shape: left-join count distribution -----
+    // "How many customers placed 0, 1, 2, … orders" — the histogram of
+    // group sizes with ZERO-preservation: the left join keeps
+    // order-less customers, count(o_orderkey) (not count(*)) makes
+    // their count 0, and the second aggregate buckets customers by it.
+    // Two aggregates, one join, both customer-keyed — the distribution
+    // report every account/usage dashboard is built on (the relational
+    // twin of cluster_size_histogram's zero-truncated doc version).
+    "q13_order_count_dist" -> QueryDef.sql(
+      """WITH co AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ----- TPC-H Q17 shape: correlated per-group average, decorrelated -----
+    // Small-quantity-order revenue for one brand: lineitems below 0.2×
+    // their part's average quantity — the correlated scalar-AVG
+    // subquery. The Spark build decorrelates like q2: restrict to the
+    // brand's parts (a part-level semi-join — the filter must NOT drop
+    // lineitem rows from the average's denominator), then ONE window
+    // over l_partkey carries (Σqty, n) and the 0.2×avg comparison is
+    // the integer-cross-multiplied 5·qty·n < Σqty — no division, no
+    // average materialized, exact DECIMAL. Output is the Q17 scalar:
+    // qualifying revenue / 7 (one IEEE divide of identical operands).
+    "q17_small_qty_revenue" -> QueryDef.sql(
+      """WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        |li AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN pb ON pb.p_partkey = l.l_partkey),
+        |pa AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM li JOIN pa ON pa.l_partkey = li.l_partkey
+        |WHERE CAST(li.l_quantity AS DECIMAL(18,4)) * 5 * pa.cnt < pa.sq""".stripMargin) { (s, d) =>
+      val pb = part(s, d).filter(col("p_brand") === "Brand#1").select("p_partkey")
+      val li = lineitem(s, d)
+        .join(pb, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val w = Window.partitionBy(col("l_partkey"))
+      li.withColumn("sq", sum(col("l_quantity").cast(DecimalType(18, 4))).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("l_quantity").cast(DecimalType(18, 4)) * 5 * col("cnt") < col("sq"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double") /
+            lit(7.0)).cast("double").as("avg_yearly"))
+    },
+
+    // ----- TPC-H Q21 shape: EXISTS + NOT EXISTS polarity pair -----
+    // "Suppliers solely responsible for a failed multi-supplier order":
+    // the flagged (returnflag = R) supplier must share the order with
+    // ANOTHER supplier (EXISTS, same order, different supplier) while
+    // NO other supplier of that order is also flagged (NOT EXISTS) —
+    // the two-polarity correlated pattern Q21 exists to test. Spark
+    // executes each polarity as its join: LEFT SEMI for the EXISTS,
+    // LEFT ANTI for the NOT EXISTS, both on the order key with the
+    // supplier inequality as the join residual — never a per-row
+    // subquery. Per-(order, supplier) participation dedupes BEFORE the
+    // polarity joins so multiplicities can't inflate the wait counts.
+    "q21_sole_blame" -> QueryDef.sql(
+      """WITH part_of AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |flagged AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |blamed AS (
+        |  SELECT f.l_orderkey, f.l_suppkey FROM flagged f
+        |  WHERE EXISTS (SELECT 1 FROM part_of o
+        |                WHERE o.l_orderkey = f.l_orderkey
+        |                  AND o.l_suppkey <> f.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM flagged g
+        |                    WHERE g.l_orderkey = f.l_orderkey
+        |                      AND g.l_suppkey <> f.l_suppkey))
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
+      val partOf = lineitem(s, d).select("l_orderkey", "l_suppkey").distinct()
+      val flagged = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = partOf
+        .select(col("l_orderkey").as("o_ok"), col("l_suppkey").as("o_supp"))
+      val flaggedOthers = flagged
+        .select(col("l_orderkey").as("g_ok"), col("l_suppkey").as("g_supp"))
+      val blamed = flagged
+        .join(others, col("l_orderkey") === col("o_ok") &&
+          col("l_suppkey") =!= col("o_supp"), "left_semi")
+        .join(flaggedOthers, col("l_orderkey") === col("g_ok") &&
+          col("l_suppkey") =!= col("g_supp"), "left_anti")
+      blamed.join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
     // ----- J9: null-safe equality join parity -----
     // The NULL-key join trap pinned cross-engine: standard `=` drops
     // NULL keys from every join (a NULL-segment row silently vanishes
