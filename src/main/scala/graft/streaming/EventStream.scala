@@ -28,6 +28,34 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `j6_range_join`: every error a user produced in the `windowSec`
+    * seconds BEFORE each purchase, with both inputs unbounded. The
+    * required mechanics this function pins: BOTH streams carry
+    * watermarks (`delay`), and the join condition bounds the two event
+    * times against each other — together they let the engine expel
+    * buffered error rows once no future purchase can reach back to them
+    * (without the time bound the error-side state grows forever; the
+    * watermark alone is not enough for stream-stream joins). State per
+    * key is therefore O(events inside one window span), independent of
+    * stream length. Inputs: two streaming DataFrames with (user_id, ts,
+    * event_id) columns. */
+  def intervalJoinPurchaseErrors(purchases: DataFrame, errors: DataFrame,
+      windowSec: Long = 21600L, delay: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val e = errors.withWatermark("ts", delay)
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+    p.join(e,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("e_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("error_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total_value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, n: Long)

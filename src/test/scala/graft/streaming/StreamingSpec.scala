@@ -36,6 +36,52 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val eIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStream.intervalJoinPurchaseErrors(
+      pIn.toDF().toDF("user_id", "ts", "event_id"),
+      eIn.toDF().toDF("user_id", "ts", "event_id"))
+    val query = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: errors at 00:10 and 05:50 before a purchase at 06:00 —
+      // only the 05:50 error is within 6 h of... both are (00:10 is
+      // 5h50m before). An error at 07:00 is AFTER the purchase (no
+      // match); user 2's error must not leak to user 1.
+      eIn.addData(
+        (1L, ts("2024-01-01 00:10:00"), 100L),
+        (1L, ts("2024-01-01 05:50:00"), 101L),
+        (1L, ts("2024-01-01 07:00:00"), 102L),
+        (2L, ts("2024-01-01 05:55:00"), 200L))
+      pIn.addData((1L, ts("2024-01-01 06:00:00"), 500L))
+      query.processAllAvailable()
+      val got = spark.table("sj_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (500L, 100L, 21000000000L), // 5 h 50 m in µs
+        (500L, 101L, 600000000L))) // 10 min in µs
+      // the batch twin on the same rows must agree row-for-row
+      import spark.implicits._
+      val err = Seq((1L, ts("2024-01-01 00:10:00"), 100L),
+        (1L, ts("2024-01-01 05:50:00"), 101L),
+        (1L, ts("2024-01-01 07:00:00"), 102L),
+        (2L, ts("2024-01-01 05:55:00"), 200L))
+        .toDF("user_id", "tsv", "event_id")
+        .select(col("user_id"), org.apache.spark.sql.functions.unix_micros(col("tsv")).as("us"), col("event_id"))
+      val pur = Seq((1L, ts("2024-01-01 06:00:00"), 500L))
+        .toDF("user_id", "tsv", "event_id")
+        .select(col("user_id"), org.apache.spark.sql.functions.unix_micros(col("tsv")).as("us"), col("event_id"))
+      val batch = graft.operators.TimeSeriesJoins
+        .rangeJoin(pur, err, "user_id", "us", 21600000000L)
+        .select(col("event_id"), col("right_event_id"),
+          (col("us") - col("right_us")).as("gap_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == got, "stream-stream interval join diverged from the batch range join")
+    } finally query.stop()
+  }
+
   test("file-source stream: windowed counts over a growing parquet directory") {
     // The production path (readStream over a directory) with the same
     // source-agnostic transform as the MemoryStream tests. Two file
