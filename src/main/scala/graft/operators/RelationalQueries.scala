@@ -1306,6 +1306,63 @@ object RelationalQueries {
             .as("revenue"))
     },
 
+    // ----- TPC-H Q4 shape: EXISTS semi-join + priority rollup -----
+    // Orders in a quarter with at least one flagged (returned) item,
+    // counted per priority — the plain correlated-EXISTS shape: the
+    // subquery becomes a LEFT SEMI join (first match wins, no
+    // multiplicity to dedup), the date window pushes to the orders
+    // scan, the flag pushes to the lineitem scan, and the rollup is
+    // priority-cardinality.
+    "q4_priority_exists" -> QueryDef.sql(
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val flagged = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .join(flagged, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ----- TPC-H Q15 shape: max-of-aggregate join-back -----
+    // The quarter's top supplier(s) by revenue — the VIEW + scalar-max
+    // shape: aggregate once, take the 1-row max OF the aggregate, join
+    // it back by equality. The equality compares two DECIMALs produced
+    // by the same sum — exact, so ties (all suppliers at the max)
+    // surface identically on both engines; the max row broadcasts.
+    "q15_top_supplier" -> QueryDef.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(r) AS m FROM rev)
+        |SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN mx ON rev.r = mx.m
+        |JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("r"))
+      val mx = rev.agg(max(col("r")).as("m"))
+      rev.join(broadcast(mx), col("r") === col("m")) // 1-row scalar side
+        .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("r").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
     // ----- TPC-H Q13 shape: left-join count distribution -----
     // "How many customers placed 0, 1, 2, … orders" — the histogram of
     // group sizes with ZERO-preservation: the left join keeps
