@@ -20,6 +20,31 @@ class PipelineOpsSpec extends SparkFunSuite {
       case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
     }
 
+  test("observe(): per-stage pipeline counters ride the single pass (no recount scans)") {
+    // The production-observability pattern for a 100 TB curation run:
+    // counting survivors after each gate with separate .count() actions
+    // would rescan the pipeline once per stage, so stage counters are
+    // attached with Dataset.observe — they accumulate DURING the one
+    // real action and read back from the executed plan afterwards.
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    val ingest = docs.observe("ingest", count(lit(1)).as("n"),
+      sum(col("n_chars")).as("chars"))
+    val gated = ingest.filter(col("n_chars") >= 100)
+      .observe("gated", count(lit(1)).as("n"))
+    val out = gated.filter(col("lang") === "en")
+    // the ONE action; both observers fill during it. (count() would
+    // build its own QueryExecution — the metrics live on the plan that
+    // actually ran, so the action must execute THIS dataset's plan.)
+    val nOut = out.collect().length.toLong
+    val metrics = out.queryExecution.observedMetrics
+    val nIngest = metrics("ingest").getAs[Long]("n")
+    val nGated = metrics("gated").getAs[Long]("n")
+    assert(nIngest == docs.count())
+    assert(nGated == docs.filter(col("n_chars") >= 100).count())
+    assert(nIngest >= nGated && nGated >= nOut)
+    assert(metrics("ingest").getAs[Long]("chars") > 0L)
+  }
+
   test("dedup_lines: planted duplicate lines drop everywhere but their first occurrence") {
     val lineA = (1 to 10).map(i => s"a$i").mkString(" ")
     val lineB = (1 to 10).map(i => s"b$i").mkString(" ")
