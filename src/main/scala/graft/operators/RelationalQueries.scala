@@ -1195,14 +1195,14 @@ object RelationalQueries {
         |  JOIN orders o ON o.o_orderkey = l.l_orderkey
         |  JOIN customer c ON c.c_custkey = o.o_custkey
         |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
-        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |  WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |    AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')))
         |SELECT supp_nation, cust_nation, l_year,
         |  CAST(sum(vol) AS DOUBLE) AS revenue
         |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
-      val pair = Seq("NATION_1", "NATION_2")
+      val pair = Seq("NATION_18", "NATION_19")
       val n1 = broadcast(nation(s, d).filter(col("n_name").isin(pair: _*)))
         .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
       val n2 = broadcast(nation(s, d).filter(col("n_name").isin(pair: _*)))
@@ -1215,8 +1215,8 @@ object RelationalQueries {
         .join(supp, col("s_suppkey") === col("l_suppkey"))
         .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
         .join(cust, col("c_custkey") === col("o_custkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
         .select(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
