@@ -1306,6 +1306,50 @@ object RelationalQueries {
             .as("revenue"))
     },
 
+    // ----- TPC-H Q5 shape: cyclic join constraint (local suppliers) -----
+    // Revenue from orders where the supplier sits in the CUSTOMER'S
+    // nation, rolled up per nation of one region — Q5's signature is
+    // the CYCLE in the join graph: supplier joins the fact on
+    // s_suppkey AND the customer's dimension key (s_nationkey =
+    // c_nationkey), so the "local" constraint is a second equi-column
+    // on an existing join, not a new shuffle. Region/nation prune
+    // before anything fact-sized joins; the date window pushes to
+    // orders; revenue is DECIMAL-exact with name tiebreak on the
+    // double sort.
+    "q5_local_supplier_volume" -> QueryDef.sql(
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = customer(s, d)
+        .join(broadcast(asiaNations), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      lineitem(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .join(supplier(s, d), col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // ----- TPC-H Q4 shape: EXISTS semi-join + priority rollup -----
     // Orders in a quarter with at least one flagged (returned) item,
     // counted per priority — the plain correlated-EXISTS shape: the
