@@ -469,6 +469,45 @@ object VectorQueries {
         .orderBy("qid", "cid")
     },
 
+    // ----- FILTERED vector search: metadata predicate + top-k -----
+    // The vector-DB "filtered search" feature: each query's top-5 among
+    // vectors sharing its OWN label (same-class retrieval — the shape
+    // behind "more like this, same category" and per-tenant search).
+    // The decisive design point at scale is WHERE the predicate runs:
+    // post-filtering a plain top-k starves results when the filter is
+    // selective (a top-5 drawn from everything may contain zero
+    // same-label rows), so the predicate joins the candidate stream
+    // BEFORE ranking — here the label equi-join IS the candidate
+    // generator, exact by construction, and the scored stream is
+    // corpus/|labels|-sized per query instead of corpus-sized. An IVF
+    // variant would push the same predicate into the cell-member scan
+    // (assignments join labels before scoring) at the cost of extra
+    // probes to survive the thinning — the exact-filter form is the
+    // recall oracle that variant would be graded against.
+    "ann_filtered_topk" -> QueryDef.sql(
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label
+        |           FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label FROM embeddings),
+        |s AS (SELECT q.qid, c.cid, round(list_cosine_similarity(q.qv, c.cv), 6) AS score
+        |      FROM q JOIN c ON c.label = q.label AND c.cid <> q.qid)
+        |SELECT qid, cid, score FROM s
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 5
+        |ORDER BY qid, cid""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("label"))
+        .join(broadcast(queries), col("label") === col("qlabel") &&
+          col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") <= 5)
+        .select("qid", "cid", "score")
+        .orderBy("qid", "cid")
+    },
+
     // ----- ANN recall audit: IVF tier vs brute-force ground truth -----
     // The recall report a vector deployment ships with its index config:
     // per query, how many of the TRUE cosine top-10 the nprobe=2 IVF
