@@ -1350,6 +1350,67 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // ----- TPC-H Q8 shape: grouped market-share ratio -----
+    // One nation's share of a region's yearly revenue — Q14's
+    // CASE-inside-SUM ratio GROUPED by year (the share must divide two
+    // aggregates of the SAME group, which the single-pass conditional
+    // form gives for free; computing the slice and the total in
+    // separate queries would double the join work and still need a
+    // join-back). Customer side restricts the market (the region);
+    // supplier side tags the contender rows. Shares are ppm integers
+    // floored from DOUBLE casts of identical DECIMAL sums.
+    "q8_market_share" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)) AS vol,
+        |    ns.n_name = 'NATION_18' AS is_contender
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = nc.n_regionkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'ASIA')
+        |SELECT l_year,
+        |  CAST(sum(CASE WHEN is_contender THEN vol ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(vol) AS DOUBLE) AS market_revenue,
+        |  CAST(floor(1000000.0 * CAST(sum(CASE WHEN is_contender THEN vol ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |       / CAST(sum(vol) AS DOUBLE)) AS BIGINT) AS share_ppm
+        |FROM t GROUP BY l_year ORDER BY l_year""".stripMargin) { (s, d) =>
+      val asiaCust = customer(s, d)
+        .join(broadcast(nation(s, d)
+            .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+              col("r_regionkey") === col("n_regionkey"))
+            .select(col("n_nationkey"))),
+          col("n_nationkey") === col("c_nationkey"))
+        .select("c_custkey")
+      val supp = supplier(s, d)
+        .join(broadcast(nation(s, d)
+            .select(col("n_nationkey").as("snk"), col("n_name"))),
+          col("snk") === col("s_nationkey"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_18").as("is_contender"))
+      val t = lineitem(s, d)
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(asiaCust, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(supp, col("s_suppkey") === col("l_suppkey"))
+        .select(year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6)).as("vol"),
+          col("is_contender"))
+      t.groupBy("l_year")
+        .agg(sum(when(col("is_contender"), col("vol"))
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("nat_dec"),
+          sum(col("vol")).as("mkt_dec"))
+        .select(col("l_year"),
+          col("nat_dec").cast("double").as("nation_revenue"),
+          col("mkt_dec").cast("double").as("market_revenue"))
+        .select(col("l_year"), col("nation_revenue"), col("market_revenue"),
+          floor(lit(1000000.0) * col("nation_revenue") / col("market_revenue"))
+            .cast("long").as("share_ppm"))
+        .orderBy("l_year")
+    },
+
     // ----- TPC-H Q4 shape: EXISTS semi-join + priority rollup -----
     // Orders in a quarter with at least one flagged (returned) item,
     // counted per priority — the plain correlated-EXISTS shape: the
