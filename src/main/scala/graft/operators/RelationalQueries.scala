@@ -1350,6 +1350,67 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // ----- TPC-H Q6 shape: pure scan-aggregate with banded predicates -----
+    // The forecasting-revenue staple: no join at all — three banded
+    // predicates and one sum, the query whose entire cost IS the scan.
+    // Its job in the suite: pin that all three predicates reach
+    // PushedFilters (a scan that filters post-read does 10× the I/O at
+    // 100 TB) and that the arithmetic goes through DECIMAL.
+    "q6_banded_revenue" -> QueryDef.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 25""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 25)
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))
+    },
+
+    // ----- O13: gaps-and-islands (longest activity streak) -----
+    // The streak report (DAU quality, habit metrics): per user, the
+    // longest run of CONSECUTIVE active days. The gaps-and-islands
+    // trick: over a user's distinct active days in order, day −
+    // row_number() is CONSTANT within a consecutive run and jumps at
+    // every gap — so that difference IS the island id, and the streak
+    // report is one more aggregate over (user, island). Two user-keyed
+    // shuffles (distinct, window), output user-cardinality. All
+    // integers.
+    "o13_longest_streak" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks, max(len) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val days = events(s, d)
+        .select(col("user_id"),
+          expr(s"(${Tables.epochUsFloorSql}) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).cast("long").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    },
+
     // ----- TPC-H Q8 shape: grouped market-share ratio -----
     // One nation's share of a region's yearly revenue — Q14's
     // CASE-inside-SUM ratio GROUPED by year (the share must divide two
