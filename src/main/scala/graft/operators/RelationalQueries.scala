@@ -1787,5 +1787,198 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_wk", "age_wk")
     },
+
+    // ----- TPC-H Q12 shape: join + conditional priority counts -----
+    // The shipping-mode priority report re-expressed on this schema
+    // (testdata carries no l_shipmode/commitdate, so the grouping key is
+    // the return flag and the window is a ship-year): ONE orders join,
+    // the date window pushed to the lineitem scan, and the classic
+    // CASE-inside-SUM pair that splits one pass's counts by the OTHER
+    // table's priority class. Output is flag-cardinality; the join is
+    // the only shuffle and AQE may broadcast the filtered fact side at
+    // small SF while shuffling at scale.
+    "q12_priority_lines" -> QueryDef.sql(
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).cast("long").as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // ----- TPC-H Q9 shape: product-type profit by nation × year -----
+    // The deepest join tree in the suite (lineitem ⋈ part ⋈ supplier ⋈
+    // nation ⋈ orders — five tables, no partsupp in this testdata so
+    // the unit cost term is retailprice-derived): profit per
+    // supplier-nation per order year for one part family. The name
+    // filter prunes part BEFORE the join (AQE sees the shrunken side),
+    // nation is a pinned broadcast, and the two fact-fact joins shuffle
+    // on their own keys; output is nations × years. DECIMAL profit so
+    // the sum is order-independent.
+    "q9_product_profit" -> QueryDef.sql(
+      """SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |                - p.p_retailprice * 0.1 * l.l_quantity
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(part(s, d).filter(col("p_name").like("%red%"))
+          .select("p_partkey", "p_retailprice"),
+          col("p_partkey") === col("l_partkey"))
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("p_retailprice") * lit(0.1) * col("l_quantity"), 6).as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+
+    // ----- TPC-H Q20 shape: nested semi-join + correlated share threshold -----
+    // The "dominant stockists" probe (Q20's part-supplier promotion
+    // shape without partsupp: shipped quantity stands in for availqty):
+    // suppliers holding >20% of a part family's shipped volume, counted
+    // per supplier. The oracle keeps the textbook correlated scalar
+    // subquery (per-part total re-queried per row); the Spark build
+    // decorrelates it into ONE window over the same (supp, part)
+    // aggregate — no join-back, no second scan. The share test is
+    // 5·qty > total in DECIMAL (whole-number quantities ⇒ exact; no
+    // double boundary straddles engines); 20% stays populated at every
+    // SF while a strict-majority cut empties as supplier counts grow.
+    "q20_dominant_stockists" -> QueryDef.sql(
+      """WITH sp AS (
+        |  SELECT l.l_suppkey, l.l_partkey,
+        |    CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS qty
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_name LIKE 'small%'
+        |  GROUP BY 1, 2)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM supplier s JOIN sp ON sp.l_suppkey = s.s_suppkey
+        |WHERE 5 * sp.qty > (SELECT CAST(sum(x.qty) AS DECIMAL(18,4)) FROM sp x
+        |                    WHERE x.l_partkey = sp.l_partkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sp = lineitem(s, d)
+        .join(part(s, d).filter(col("p_name").like("small%")).select("p_partkey"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).as("qty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      sp.withColumn("tot", sum(col("qty")).over(w).cast(DecimalType(18, 4)))
+        .filter(lit(5) * col("qty") > col("tot"))
+        .join(supplier(s, d).select("s_suppkey", "s_name"),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("s_name")
+    },
+
+    // ----- A9: last-touch attribution -----
+    // Every purchase credits the event that IMMEDIATELY preceded it in
+    // the same user's stream (the marketing last-touch model; first
+    // events of a stream credit 'direct'). One lag() over the o6 window
+    // (user-keyed, ns-ordered — sub-µs ties must order identically on
+    // both engines, so the ordering key is ns, the o6 choice) and a
+    // touch-cardinality rollup; purchase value goes through DECIMAL so
+    // the attributed-revenue sums are order-independent.
+    "a9_attribution" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ns FROM events),
+        |p AS (
+        |  SELECT event_type, value,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS prev
+        |  FROM t)
+        |SELECT coalesce(prev, 'direct') AS touch,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+        |FROM p WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          col("ts_ns"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("prev"), lit("direct")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value"), 6).as("attributed_value"))
+        .orderBy("touch")
+    },
+
+    // ----- J10: interval-OVERLAP join without an equi key -----
+    // j6 is point-in-range WITH a user key; this is the harder shape —
+    // two GLOBAL interval sets (every error opens a 2-min incident
+    // window, every purchase a ±2-min sensitivity window, users
+    // irrelevant) joined on interval overlap. With no equi key at all a
+    // naive plan is a nested-loop cross product; the scalable rewrite
+    // manufactures one: each interval EXPLODES to the 10-min time
+    // buckets it touches (≤2 here — span/bucket is bounded by
+    // construction), the join runs as an equi-join on the bucket with
+    // the exact overlap predicate as a residual, and pairs that meet in
+    // two shared buckets dedupe with one DISTINCT. The oracle keeps the
+    // textbook theta join. Output is an overlap-count histogram
+    // (zero-overlap purchases kept via left join) — constant
+    // cardinality.
+    "j10_interval_overlap" -> QueryDef.sql(
+      """WITH a AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) AS sa,
+        |         epoch_us(ts) + 120000000 AS ea
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT event_id AS pur_id, epoch_us(ts) - 120000000 AS sb,
+        |         epoch_us(ts) + 120000000 AS eb
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT b.pur_id, CAST(count(a.err_id) AS BIGINT) AS n
+        |  FROM b LEFT JOIN a ON a.sa <= b.eb AND b.sb <= a.ea
+        |  GROUP BY 1)
+        |SELECT n AS n_overlaps, CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          expr(Tables.epochUsFloorSql).as("sa"),
+          (expr(Tables.epochUsFloorSql) + 120000000L).as("ea"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"),
+          (expr(Tables.epochUsFloorSql) - 120000000L).as("sb"),
+          (expr(Tables.epochUsFloorSql) + 120000000L).as("eb"))
+      val errX = err.withColumn("bucket",
+        explode(expr("sequence(sa div 600000000, ea div 600000000)")))
+      val purX = pur.withColumn("bucket",
+        explode(expr("sequence(sb div 600000000, eb div 600000000)")))
+      val pairs = purX.join(errX,
+          purX("bucket") === errX("bucket") &&
+            col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .select(col("pur_id"), col("err_id")).distinct()
+      pur.select(col("pur_id"))
+        .join(pairs, Seq("pur_id"), "left")
+        .groupBy(col("pur_id"))
+        .agg(count(col("err_id")).as("n"))
+        .groupBy(col("n").as("n_overlaps"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("n_overlaps")
+    },
   )
 }

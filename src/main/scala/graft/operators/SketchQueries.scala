@@ -400,5 +400,69 @@ object SketchQueries {
         .distinct()
       rollingEstimate(SignatureStore.ensureDailyKmv(s, d), dh)
     },
+
+    // ----- fixed-bin quantile sketch (+ exact audit) -----
+    // The third sketch family: percentiles from a 256-bin equi-width
+    // histogram (bin = len // 64, capped). Exact rank-selection
+    // (o12/text_length_quantiles) needs a total ORDER over the data —
+    // at 100 TB that is the one shuffle nobody can afford, while the
+    // histogram is a distributive 256-key aggregate: per-shard bins ADD
+    // (the same mergeability law as KMV union / Σq moments), so
+    // per-day/per-source rollups compose to global percentiles for
+    // free. The estimate is the bin UPPER EDGE (a one-sided ≤64-char
+    // error bound by construction); the exact o12-style rank select
+    // rides along so the error is an emitted fact, not a promise.
+    "quantile_binned_sketch" -> QueryDef.sql(
+      """WITH b AS (
+        |  SELECT least(n_chars // 64, 255) AS bin, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT bin, n, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER () AS BIGINT) AS total FROM b),
+        |pcts AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
+        |sel AS (
+        |  SELECT p.pct, min(c.bin) AS qbin, max(c.total) AS total
+        |  FROM c JOIN pcts p ON 100 * c.cum >= p.pct * c.total
+        |  GROUP BY 1),
+        |rk AS (
+        |  SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS r
+        |  FROM documents),
+        |ex AS (
+        |  SELECT p.pct, max(rk.n_chars) AS exact_len
+        |  FROM rk JOIN pcts p ON rk.r = (p.pct * (SELECT max(total) FROM sel) + 99) // 100
+        |  GROUP BY 1)
+        |SELECT s.pct, s.total, s.qbin,
+        |  64 * s.qbin + 63 AS est_len_hi, e.exact_len,
+        |  64 * s.qbin + 63 - e.exact_len AS err_chars
+        |FROM sel s JOIN ex e ON e.pct = s.pct ORDER BY s.pct""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = documents(s, d)
+      val bins = docs
+        .groupBy(least(expr("n_chars div 64"), lit(255L)).as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val c = bins
+        .withColumn("cum", sum(col("n")).over(
+          Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(
+          Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val pcts = Seq(50L, 90L, 99L).toDF("pct")
+      val sel = c.join(broadcast(pcts),
+          lit(100) * col("cum") >= col("pct") * col("total"))
+        .groupBy("pct")
+        .agg(min(col("bin")).as("qbin"), max(col("total")).as("total"))
+      val rk = docs
+        .select(col("n_chars"),
+          row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("r"))
+      val ex = rk.join(broadcast(sel.select(col("pct"), col("total"))),
+          col("r") === expr("(pct * total + 99) div 100"))
+        .groupBy("pct").agg(max(col("n_chars")).as("exact_len"))
+      sel.join(ex, Seq("pct"))
+        .select(col("pct"), col("total"), col("qbin"),
+          (lit(64) * col("qbin") + 63).as("est_len_hi"),
+          col("exact_len"),
+          (lit(64) * col("qbin") + 63 - col("exact_len")).as("err_chars"))
+        .orderBy("pct")
+    },
   )
 }

@@ -1796,5 +1796,64 @@ object TextQueries {
           expr("n_bytes div 64").as("fake_height"))
         .orderBy("doc_id")
     },
+
+    // ----- content-defined chunking (CDC over tokens) -----
+    // chunk_documents cuts at FIXED offsets, so one inserted token
+    // shifts every later boundary and breaks chunk-level dedup. CDC
+    // cuts where the CONTENT says to — a token whose 60-bit hash ≡ 0
+    // (mod 8) closes its chunk — so boundaries re-synchronize right
+    // after any edit and shared regions re-produce identical chunks
+    // wherever they sit (the rsync/LBFS law; expected chunk length 8
+    // tokens here). One positional explode + one doc-keyed window (the
+    // boundary-count prefix sum IS the chunk id) + one chunk-level
+    // aggregate; the deliverable is the chunk-length × dedup histogram
+    // — n_distinct < n_chunks is chunk-granular duplication the
+    // doc-level families can't see. Chunk fingerprints use the o11
+    // sort-key-first ordered-agg trick so both engines agg in pos
+    // order.
+    "chunk_cdc" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |x AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+        |h AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 = 0
+        |         THEN 1 ELSE 0 END AS bnd
+        |  FROM x),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
+        |  FROM h),
+        |ch AS (
+        |  SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS len,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+        |  FROM c GROUP BY 1, 2)
+        |SELECT len, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_chunks
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
+          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = toks
+        .withColumn("bnd", when(col("h") % 8 === 0, 1L).otherwise(0L))
+        .withColumn("chunk", coalesce(sum(col("bnd")).over(w), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk"))
+        .agg(count(lit(1)).as("len"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")),
+            " ").cast("binary")).as("fp"))
+      chunks.groupBy("len")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("fp")).as("n_distinct_chunks"))
+        .orderBy("len")
+    },
   )
 }

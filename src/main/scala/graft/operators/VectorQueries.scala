@@ -1224,6 +1224,95 @@ object VectorQueries {
         .orderBy(col("margin"), col("vec_id"))
         .limit(20)
     },
+
+    // ----- PCA: top principal component by power iteration -----
+    // The dimensionality-reduction primitive (whitening, drift
+    // projection, 2-D corpus maps): the leading eigenvector of the
+    // sample covariance, found by two power-iteration steps from the
+    // all-ones start. The 100 TB shape is the whole point — the ONLY
+    // corpus-cardinality pass is the covariance build, and it is one
+    // flat-map + a D²-key partial aggregate (each row emits its own
+    // centered outer product via nested transform(); no self-join, no
+    // shuffle of vector rows, same distributive-moment law as
+    // embedding_dim_stats). Everything after runs on the D×D matrix:
+    // matrix-vector products are D²-row joins against a broadcast
+    // D-row vector. Probe truncates to the leading 16 dims (the method
+    // is D-agnostic; D² stays the only memory term). All arithmetic is
+    // scaled-integer — qv = floor(1000·x), covariance normalized by n
+    // (entries ≤1e6 ⇒ every later product fits BIGINT at any corpus
+    // size), vectors rescaled to max|v|=1000 per step — so the oracle
+    // lands on identical integers; the eigenvalue estimate is the step-2
+    // growth factor.
+    "embedding_pca_power" -> QueryDef.sql(
+      """WITH dims AS (SELECT CAST(unnest(generate_series(1, 16)) AS BIGINT) AS pos),
+        |q AS (
+        |  SELECT e.vec_id, d.pos,
+        |    CAST(floor(CAST(e.embedding[d.pos] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+        |  FROM embeddings e CROSS JOIN dims d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM embeddings),
+        |m AS (
+        |  SELECT pos, CAST(sum(CAST(qv AS HUGEINT)) // (SELECT nv FROM n) AS BIGINT) AS mi
+        |  FROM q GROUP BY 1),
+        |cv AS (
+        |  SELECT q.vec_id, q.pos, q.qv - m.mi AS c FROM q JOIN m USING (pos)),
+        |cov AS (
+        |  SELECT a.pos AS i, b.pos AS j,
+        |    CAST(sum(CAST(a.c AS HUGEINT) * b.c) // (SELECT nv FROM n) AS BIGINT) AS c
+        |  FROM cv a JOIN cv b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |w1 AS (SELECT i, CAST(sum(CAST(c AS HUGEINT)) AS BIGINT) AS w FROM cov GROUP BY 1),
+        |s1 AS (SELECT max(abs(w)) AS s FROM w1),
+        |v1 AS (SELECT i AS j, CAST((1000 * w) // (SELECT s FROM s1) AS BIGINT) AS v FROM w1),
+        |w2 AS (
+        |  SELECT cov.i, CAST(sum(CAST(cov.c AS HUGEINT) * v1.v) AS BIGINT) AS w
+        |  FROM cov JOIN v1 ON v1.j = cov.j GROUP BY 1),
+        |s2 AS (SELECT max(abs(w)) AS s FROM w2)
+        |SELECT w2.i AS pos,
+        |  CAST((1000 * w2.w) // (SELECT s FROM s2) AS BIGINT) AS pc1_milli,
+        |  dg.c AS var_q,
+        |  CAST((SELECT s FROM s2) // 1000 AS BIGINT) AS lambda_q
+        |FROM w2 JOIN (SELECT i, c FROM cov WHERE i = j) dg ON dg.i = w2.i
+        |ORDER BY pos""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val D = 16
+      val e = embeddings(s, d)
+      // per-dim means of the floor-quantized leading D dims
+      val q = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .filter(col("pos0") < D)
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          floor(col("x").cast("double") * 1000.0).cast("long").as("qv"))
+      val m = q.groupBy("pos")
+        .agg(sum(col("qv").cast(DecimalType(38, 0))).as("sq"), count(lit(1)).as("n"))
+        .select(col("pos"), expr("CAST(sq div n AS BIGINT)").as("mi"))
+      val mArr = m.orderBy("pos").agg(collect_list(col("mi")).as("marr"))
+      // covariance: one corpus pass — each row flat-maps its centered
+      // outer product (D² struct rows) straight into a partial agg
+      val cov = e.select(expr(s"transform(slice(embedding, 1, $D), " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("qarr"))
+        .crossJoin(broadcast(mArr))
+        .select(explode(expr(s"flatten(transform(sequence(0, ${D - 1}), i -> " +
+          s"transform(sequence(0, ${D - 1}), j -> struct(" +
+          "CAST(i + 1 AS BIGINT) AS i, CAST(j + 1 AS BIGINT) AS j, " +
+          "(qarr[i] - marr[i]) * (qarr[j] - marr[j]) AS p))))")))
+        .select(col("col.i").as("i"), col("col.j").as("j"), col("col.p").as("p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p").cast(DecimalType(38, 0))).as("sp"), count(lit(1)).as("n"))
+        .select(col("i"), col("j"), expr("CAST(sp div n AS BIGINT)").as("c"))
+      // two power-iteration steps on the D×D matrix (constant-size work)
+      val w1 = cov.groupBy("i").agg(sum(col("c")).cast("long").as("w"))
+      val s1 = w1.agg(max(abs(col("w"))).as("s"))
+      val v1 = w1.crossJoin(broadcast(s1))
+        .select(col("i").as("j"), expr("(1000 * w) div s").as("v"))
+      val w2 = cov.join(broadcast(v1), Seq("j"))
+        .groupBy("i").agg(sum(col("c") * col("v")).cast("long").as("w"))
+      val s2 = w2.agg(max(abs(col("w"))).as("s"))
+      val diag = cov.filter(col("i") === col("j")).select(col("i"), col("c").as("var_q"))
+      w2.crossJoin(broadcast(s2))
+        .select(col("i").as("pos"), expr("(1000 * w) div s").as("pc1_milli"),
+          expr("CAST(s div 1000 AS BIGINT)").as("lambda_q"))
+        .join(broadcast(diag.withColumnRenamed("i", "pos")), Seq("pos"))
+        .select(col("pos"), col("pc1_milli"), col("var_q"), col("lambda_q"))
+        .orderBy("pos")
+    },
   )
 }
 

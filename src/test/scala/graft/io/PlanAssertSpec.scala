@@ -595,6 +595,39 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(m.forall(_.getAs[Long]("age_wk") >= 0L))
   }
 
+  test("j10 interval-overlap join runs bucketed — no nested loop, no cartesian") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("j10_interval_overlap")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the no-equi-key overlap join must run on the manufactured bucket key:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("q20 decorrelates the per-part total: one lineitem scan, no join-back") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("q20_dominant_stockists")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"the correlated threshold must be a window, not a re-scan:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("embedding_pca_power: covariance is join-free; iterations never sort-merge") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.VectorQueries.defs("embedding_pca_power")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"every join is D-row sized and must broadcast:\n$plan")
+    val rows = q.collect()
+    assert(rows.length == 16)
+    // the reported direction is max-normalized: some |component| = 1000
+    assert(rows.map(r => math.abs(r.getAs[Long]("pc1_milli"))).max == 1000L)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
