@@ -16,6 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // band joins with no equi key become bucketed equi-joins (the
+    // nested-loop trap every naive time-window join falls into)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),

@@ -1980,5 +1980,180 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_purchases"))
         .orderBy("n_overlaps")
     },
+
+    // ----- J11: the NAIVE band join, made scalable by the optimizer -----
+    // j6/j10 hand-write the bucketed rewrite; this query deliberately
+    // does NOT — it declares the global (no user key) band join the way
+    // an analyst would, `err.us BETWEEN pur.us − 2min AND pur.us`, and
+    // relies on the injected [[graft.plans.BandJoinRewrite]] rule to
+    // turn the would-be nested loop into the bucketed equi-join
+    // (PlanAssertSpec pins that the executed plan carries the bucket
+    // key and no BNLJ). Errors in the 2 min before each purchase,
+    // any user; zero-match purchases kept; constant-size histogram out.
+    "j11_band_join_auto" -> QueryDef.sql(
+      """WITH a AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) AS aus
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT event_id AS pur_id, epoch_us(ts) AS bus
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT b.pur_id, CAST(count(a.err_id) AS BIGINT) AS n
+        |  FROM b LEFT JOIN a ON a.aus >= b.bus - 120000000 AND a.aus <= b.bus
+        |  GROUP BY 1)
+        |SELECT n AS n_recent_errors, CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), expr(Tables.epochUsFloorSql).as("aus"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), expr(Tables.epochUsFloorSql).as("bus"))
+      val pairs = err.join(pur,
+        col("aus") >= col("bus") - 120000000L && col("aus") <= col("bus"))
+      pur.select(col("pur_id"))
+        .join(pairs.select("pur_id", "err_id"), Seq("pur_id"), "left")
+        .groupBy(col("pur_id"))
+        .agg(count(col("err_id")).as("n"))
+        .groupBy(col("n").as("n_recent_errors"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("n_recent_errors")
+    },
+
+    // ----- J12: co-located join over BUCKETED tables (zero-shuffle) -----
+    // The ingest-time layout move the brief names: both event rollups
+    // are written `bucketBy(8, user_id).sortBy(user_id)`
+    // ([[graft.io.BucketedTables]]), so the per-user aggregate on each
+    // side AND the join between them run with NO hash-partitioning
+    // Exchange at all — the bucketed scans ARE the co-located
+    // partitions (BucketedJoinSpec pins the Exchange-free plan). At
+    // 100 TB this turns every user-keyed query from
+    // shuffle-the-fact-table into a local merge. The oracle recomputes
+    // both rollups from raw events — bucketing must never change a
+    // value, only the plan.
+    "j12_bucketed_join" -> QueryDef.sql(
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n_events, sum(CAST(value AS DECIMAL(18,6))) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days,
+        |    CAST(sum(n_events) AS BIGINT) AS total_events,
+        |    CAST(sum(day_value) AS DOUBLE) AS total_value
+        |  FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM (SELECT user_id, event_type FROM events GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT d.user_id, d.n_active_days, d.total_events, d.total_value,
+        |  t.n_types
+        |FROM d JOIN t ON t.user_id = d.user_id
+        |ORDER BY d.user_id""".stripMargin) { (s, d) =>
+      val daily = s.table(graft.io.BucketedTables.dailyTable(s, d))
+      val byType = s.table(graft.io.BucketedTables.typeTable(s, d))
+      val dAgg = daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n_active_days"),
+          sum(col("n_events")).cast("long").as("total_events"),
+          sum(col("day_value")).cast("double").as("total_value"))
+      val tAgg = byType.groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"))
+      dAgg.join(tAgg, Seq("user_id"))
+        .select("user_id", "n_active_days", "total_events", "total_value", "n_types")
+        .orderBy("user_id")
+    },
+
+    // ----- A10: RFM segmentation (recency / frequency / monetary) -----
+    // The classic customer-base triage, in a shape that survives 1e9
+    // users: per-user metrics go LONG (3 rows per user), the tercile
+    // cutoffs come from binned CDFs over a METRIC-KEYED window (256-row
+    // partitions — never a global ntile, which would sort every user on
+    // one task), and scores join back from the 3-row broadcast cutoff
+    // table. Monetary floors through DECIMAL to an exact integer;
+    // recency inverts (smaller = better). Output is the ≤27-cell
+    // segment matrix with its value mass.
+    "a10_rfm_segments" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS val,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS maxday FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST((SELECT maxday FROM mx) - max(day) AS BIGINT) AS rec,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS freq,
+        |    CAST(floor(sum(CASE WHEN event_type = 'purchase' THEN val
+        |                       ELSE CAST(0 AS DECIMAL(18,6)) END)) AS BIGINT) AS mon
+        |  FROM ev GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, 'r' AS metric, rec AS bin FROM u
+        |  UNION ALL SELECT user_id, 'f', least(freq, 255) FROM u
+        |  UNION ALL SELECT user_id, 'm', least(mon // 64, 255) FROM u),
+        |h AS (SELECT metric, bin, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+        |c AS (
+        |  SELECT metric, bin,
+        |    CAST(sum(n) OVER (PARTITION BY metric ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY metric) AS BIGINT) AS total
+        |  FROM h),
+        |cut AS (
+        |  SELECT metric,
+        |    min(CASE WHEN 3 * cum >= total THEN bin END) AS c1,
+        |    min(CASE WHEN 3 * cum >= 2 * total THEN bin END) AS c2
+        |  FROM c GROUP BY 1),
+        |sc AS (
+        |  SELECT m.user_id, m.metric,
+        |    CAST(1 + CASE WHEN m.bin > t.c1 THEN 1 ELSE 0 END
+        |           + CASE WHEN m.bin > t.c2 THEN 1 ELSE 0 END AS BIGINT) AS t
+        |  FROM m JOIN cut t ON t.metric = m.metric),
+        |wide AS (
+        |  SELECT u.user_id,
+        |    4 - max(CASE WHEN sc.metric = 'r' THEN sc.t END) AS r_score,
+        |    max(CASE WHEN sc.metric = 'f' THEN sc.t END) AS f_score,
+        |    max(CASE WHEN sc.metric = 'm' THEN sc.t END) AS m_score,
+        |    max(u.mon) AS mon
+        |  FROM sc JOIN u ON u.user_id = sc.user_id GROUP BY 1)
+        |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(mon) AS BIGINT) AS monetary_q
+        |FROM wide GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          col("value").cast(DecimalType(18, 6)).as("val"),
+          expr(s"(${Tables.epochUsFloorSql}) div 86400000000").as("day"))
+      val mx = ev.agg(max(col("day")).as("maxday"))
+      val u = ev.groupBy("user_id")
+        .agg(max(col("day")).as("uday"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("freq"),
+          floor(sum(when(col("event_type") === "purchase", col("val"))
+            .otherwise(lit(0).cast(DecimalType(18, 6))))).cast("long").as("mon"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("maxday") - col("uday")).as("rec"),
+          col("freq"), col("mon"))
+      val m = u.select(col("user_id"), lit("r").as("metric"), col("rec").as("bin"))
+        .unionAll(u.select(col("user_id"), lit("f").as("metric"),
+          least(col("freq"), lit(255L)).as("bin")))
+        .unionAll(u.select(col("user_id"), lit("m").as("metric"),
+          least(expr("mon div 64"), lit(255L)).as("bin")))
+      val wCum = Window.partitionBy(col("metric")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("metric"))
+      val c = m.groupBy("metric", "bin").agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("total", sum(col("n")).over(wTot))
+      val cut = c.groupBy("metric")
+        .agg(min(when(lit(3) * col("cum") >= col("total"), col("bin"))).as("c1"),
+          min(when(lit(3) * col("cum") >= lit(2) * col("total"), col("bin"))).as("c2"))
+      val sc = m.join(broadcast(cut), Seq("metric"))
+        .select(col("user_id"), col("metric"),
+          (lit(1L) + when(col("bin") > col("c1"), 1L).otherwise(0L)
+            + when(col("bin") > col("c2"), 1L).otherwise(0L)).as("t"))
+      val wide = sc.join(u.select(col("user_id"), col("mon")), Seq("user_id"))
+        .groupBy("user_id")
+        .agg((lit(4L) - max(when(col("metric") === "r", col("t")))).as("r_score"),
+          max(when(col("metric") === "f", col("t"))).as("f_score"),
+          max(when(col("metric") === "m", col("t"))).as("m_score"),
+          max(col("mon")).as("mon"))
+      wide.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"), sum(col("mon")).cast("long").as("monetary_q"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
   )
 }

@@ -628,6 +628,18 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(rows.map(r => math.abs(r.getAs[Long]("pc1_milli"))).max == 1000L)
   }
 
+  test("j11 naive band join is auto-rewritten onto the bucket key by the rule") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("j11_band_join_auto")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("band_bucket"),
+      s"BandJoinRewrite must have fired on the declarative form:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"the naive band join must not plan a nested loop:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))

@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule ([[BandJoinRewrite]], registered by
+  * GraftExtensions) must turn a naive no-equi-key band join into a
+  * bucketed equi-join — same rows, no nested loop.
+  */
+class BandJoinRewriteSpec extends SparkFunSuite {
+
+  private def pts(vals: Long*) = {
+    import spark.implicits._
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "pt")
+  }
+  private def refs(vals: Long*) = {
+    import spark.implicits._
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rt")
+  }
+
+  /** Brute-force expected (pid, rid) pairs for pt ∈ [rt − c, rt]. */
+  private def expected(p: Seq[Long], r: Seq[Long], c: Long): Set[(Long, Long)] =
+    (for {
+      (pv, pi) <- p.zipWithIndex
+      (rv, ri) <- r.zipWithIndex
+      if pv >= rv - c && pv <= rv
+    } yield (pi.toLong, ri.toLong)).toSet
+
+  test("naive band join plans as an equi-join on the bucket, not a nested loop") {
+    val p = pts(0L, 5L, 99L, 100L, 101L, 250L)
+    val r = refs(100L, 107L, 300L)
+    val q = p.join(r, col("pt") >= col("rt") - 100L && col("pt") <= col("rt"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"band join must be rewritten to a bucketed equi-join:\n$plan")
+    assert(plan.contains("band_bucket"), s"expected the bucket key in the plan:\n$plan")
+    val got = q.select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected(Seq(0L, 5L, 99L, 100L, 101L, 250L), Seq(100L, 107L, 300L), 100L))
+  }
+
+  test("boundary and negative values survive the truncating bucket math") {
+    val pv = Seq(-150L, -100L, -99L, -1L, 0L, 1L, 49L, 50L, 51L, 200L)
+    val rv = Seq(-100L, 0L, 50L, 200L)
+    val q = pts(pv: _*).join(refs(rv: _*),
+      col("pt") >= col("rt") - 50L && col("pt") <= col("rt"))
+    val got = q.select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected(pv, rv, 50L))
+    assert(!q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+  }
+
+  test("a join that already has an equi key is left alone") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "pt")
+    val b = Seq((1L, 12L), (2L, 200L)).toDF("kk", "rt")
+    val q = a.join(b, col("k") === col("kk") &&
+      col("pt") >= col("rt") - 5L && col("pt") <= col("rt"))
+    assert(!q.queryExecution.executedPlan.toString.contains("band_bucket"),
+      "rule must not fire when a hash key already exists")
+    assert(q.count() == 1)
+  }
+
+  test("reversed operand spellings of the same band are recognized") {
+    // b − c <= a (lower bound flipped) and b >= a (upper bound flipped)
+    val p = pts(10L, 60L, 120L)
+    val r = refs(100L)
+    val q = p.join(r, col("rt") - 50L <= col("pt") && col("rt") >= col("pt"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("band_bucket"), s"normalized forms must match:\n$plan")
+    val got = q.select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 0L)))
+  }
+}
