@@ -2155,5 +2155,76 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"), sum(col("mon")).cast("long").as("monetary_q"))
         .orderBy("r_score", "f_score", "m_score")
     },
+
+    // ----- O13: grouped top-k via a typed Aggregator (bounded buffer) -----
+    // The UDAF surface (§2.11), used where it genuinely beats the
+    // built-ins: `row_number() <= k` must shuffle and sort EVERY row of
+    // a group on one task, while [[graft.functions.TopKAgg]] partial-
+    // aggregates — each map task reduces its slice to ≤ k rows per group
+    // BEFORE the exchange, so a 10^9-row group ships k rows per task,
+    // not 10^9 to one. The oracle is the window form; the plan spec pins
+    // partial ObjectHashAggregate with no Window/Sort-all.
+    "o13_grouped_topk_agg" -> QueryDef.sql(
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.{ScoredId, TopKAgg}
+      val agg = new TopKAgg(3)
+      events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => ScoredId(t._2, t._3))
+        .agg(agg.toColumn.name("top"))
+        .toDF("event_type", "top")
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("event_id"), col("col.v").as("value"))
+        .orderBy("event_type", "rnk")
+    },
+
+    // ----- A11: last-touch attribution (as-of credit assignment) -----
+    // Each purchase credits the user's immediately preceding
+    // non-purchase event ('(direct)' when none) — the marketing-funnel
+    // attribution shape, and the per-row form of the as-of join: ONE
+    // user-keyed window (ordered by the total (us, event_id) key)
+    // carries the running last-seen touch via `last(..., ignoreNulls)`
+    // over an unbounded-preceding frame; no self-join, no re-shuffle —
+    // then a taxonomy-bounded rollup with exact DECIMAL value mass.
+    "a11_last_touch_attribution" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |tagged AS (
+        |  SELECT event_type, value,
+        |    coalesce(last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      '(direct)') AS touch
+        |  FROM ev)
+        |SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY touch ORDER BY touch""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          expr(Tables.epochUsFloorSql).as("us"))
+        .withColumn("touch", coalesce(
+          last(when(col("event_type") =!= "purchase", col("event_type")), true).over(w),
+          lit("(direct)")))
+        .filter(col("event_type") === "purchase")
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+        .orderBy("touch")
+    },
   )
 }

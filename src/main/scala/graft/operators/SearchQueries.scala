@@ -316,6 +316,27 @@ object SearchQueries {
       |  FROM ph p JOIN bg b ON b.bigram = p.phrase) WHERE rn <= 10
       |ORDER BY qid, doc_id""".stripMargin
 
+  /** The conjunctive-search oracle, shared by the live and stored
+    * queries: per-(qid, doc) distinct-match counts vs the query's term
+    * count. */
+  private val BoolOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |qd AS (
+      |  SELECT doc_id AS qid, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+      |qt AS (SELECT DISTINCT qid, unnest(tk) AS token FROM qd),
+      |qs AS (SELECT qid, CAST(count(*) AS BIGINT) AS m FROM qt GROUP BY 1),
+      |ct AS (SELECT DISTINCT doc_id, unnest(tk) AS token FROM corpus),
+      |hit AS (
+      |  SELECT q.qid, c.doc_id, CAST(count(*) AS BIGINT) AS nm
+      |  FROM qt q JOIN ct c ON c.token = q.token GROUP BY 1, 2)
+      |SELECT qid, doc_id FROM hit JOIN qs USING (qid)
+      |WHERE nm = m
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY doc_id) <= 10
+      |ORDER BY qid, doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- BM25 top-k: eval-set queries against the train corpus -----
@@ -553,5 +574,49 @@ object SearchQueries {
         .select("doc_id", "token", "tf", "dl")
       bm25Rank(tf2, stats, qt2, k = 5)
     },
+
+    // ----- boolean conjunctive search (AND of all query terms) -----
+    // The third retrieval mode beside ranked (BM25) and positional
+    // (phrase): a document qualifies iff it contains EVERY query term —
+    // the inverted-index intersection. Relational form: the postings
+    // sliver pruned to the broadcast query vocabulary, counted per
+    // (qid, doc), and matched against each query's term count m — the
+    // COUNT(*) = m group filter IS the k-way list intersection, and it
+    // runs as one map-side-combinable aggregate over the pruned sliver
+    // (never an m-way self-join). Top-10 doc ids per query cap the
+    // output. The `_stored` twin intersects the persisted postings
+    // without re-tokenizing; both share one oracle.
+    "bool_search_and" -> QueryDef.sql(BoolOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val qt = queryTerms(docs)
+      val ct = TextQueries.spread(docs.filter(col("doc_id") % 97 =!= 0))
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("token"))
+      boolRank(ct, qt, k = 10)
+    },
+    "bool_search_and_stored" -> QueryDef.sql(BoolOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, _) = SignatureStore.ensureBm25(s, d)
+      boolRank(postings.filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "token"), queryTerms(docs), k = 10)
+    },
   )
+
+  /** Conjunctive-match stage shared by the live and stored paths: `ct`
+    * is the DISTINCT (doc_id, token) table (live explode or postings
+    * read — postings rows are distinct per (doc, token) by
+    * construction), `qt` the bounded (qid, token) query-term table. */
+  private def boolRank(ct: DataFrame, qt: DataFrame, k: Int): DataFrame = {
+    val qtP = qt.localCheckpoint() // feeds both m and the match join
+    val m = qtP.groupBy("qid").agg(count(lit(1)).as("m"))
+    val rn = Window.partitionBy(col("qid")).orderBy(col("doc_id"))
+    broadcast(qtP).join(ct, Seq("token"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("nm"))
+      .join(broadcast(m), Seq("qid"))
+      .filter(col("nm") === col("m"))
+      .withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id")
+      .orderBy("qid", "doc_id")
+  }
 }

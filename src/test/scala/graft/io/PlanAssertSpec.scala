@@ -640,6 +640,35 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("o13 grouped top-k partial-aggregates below the exchange (no window, no global sort)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("o13_grouped_topk_agg")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the typed Aggregator plans as ObjectHashAggregate/SortAggregate
+    // pairs (partial + final): each map task reduces to <= k rows per
+    // group before the exchange
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected a typed-aggregate pair:\n$plan")
+    assert(!plan.contains("Window"),
+      s"grouped top-k must not fall back to a window sort:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("bool_search_and_stored intersects the postings artifact, never re-tokenizing corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.SearchQueries.defs("bool_search_and_stored")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("bm25_postings"),
+      s"stored conjunctive search must read the postings store:\n$plan")
+    // exactly one documents scan (the bounded query side); the corpus
+    // text is served by the artifact
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans <= 1, s"expected <=1 documents scan, got $docScans:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
