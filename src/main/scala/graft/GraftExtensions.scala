@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // band joins with no equi key become bucketed equi-joins (the
     // nested-loop trap every naive time-window join falls into)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    // plans the custom AsofJoin logical node (graft.plans.Asof.join)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),

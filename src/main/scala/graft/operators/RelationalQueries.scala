@@ -2226,5 +2226,41 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
         .orderBy("touch")
     },
+
+    // ----- J13: NATIVE as-of join (custom logical + strategy + exec) -----
+    // The whole-operator extension point ([[graft.plans.AsofJoin]]):
+    // each purchase looks up the latest error at-or-before it for the
+    // same user, executed by AsofJoinExec — one SMJ-shaped exchange pair
+    // and a single merge pass, no window over the unioned stream (j5's
+    // encoding) and no bucket explode (j6/j11's). The right side is
+    // pre-aggregated unique-per-(user, time) — the determinism contract
+    // both engines need — and aliased so the self-derived sides share no
+    // attribute ids. Oracle: DuckDB's own ASOF LEFT JOIN.
+    "j13_asof_join_native" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT event_id AS pur_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS eus, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.pur_id, e.err_id, p.pus - e.eus AS lag_us
+        |FROM p ASOF LEFT JOIN e
+        |  ON p.user_id = e.user_id AND p.pus >= e.eus
+        |ORDER BY pur_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          expr(Tables.epochUsFloorSql).as("pus"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("eus"), col("event_id"))
+        .groupBy(col("user_id"), col("eus"))
+        .agg(max(col("event_id")).as("err_id"))
+        .select(col("user_id").as("r_user"), col("eus"), col("err_id"))
+      graft.plans.Asof.join(pur, err,
+          leftKeys = Seq("user_id"), rightKeys = Seq("r_user"),
+          leftTimeCol = "pus", rightTimeCol = "eus")
+        .select(col("pur_id"), col("err_id"), (col("pus") - col("eus")).as("lag_us"))
+        .orderBy("pur_id")
+    },
   )
 }
