@@ -2262,5 +2262,46 @@ object RelationalQueries {
         .select(col("pur_id"), col("err_id"), (col("pus") - col("eus")).as("lag_us"))
         .orderBy("pur_id")
     },
+
+    // ----- J14: variable-width interval-dimension join (broadcast) -----
+    // The complementary case to j6/j10/j11: OVERLAPPING campaign windows
+    // of data-derived width (each event can land in up to 2), so the
+    // fixed-width bucket rewrite does not apply — and does not need to:
+    // an interval DIMENSION is constant-size (8 rows here; hundreds in
+    // production), so the right plan is a broadcast nested loop against
+    // it, pinned by spec. The fact table never shuffles for the join;
+    // the only exchange is the final per-campaign aggregate. Window
+    // edges are pure integer arithmetic from the corpus's own (min, max)
+    // day so both engines derive identical intervals.
+    "j14_campaign_windows" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS val,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |camp AS (
+        |  SELECT g.cid, d0 + g.cid * ((d1 - d0 + 8) // 8) AS w0,
+        |    d0 + g.cid * ((d1 - d0 + 8) // 8) + 2 * ((d1 - d0 + 8) // 8) - 1 AS w1
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS cid) g, mm)
+        |SELECT c.cid, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(e.val) AS DOUBLE) AS total_value
+        |FROM ev e JOIN camp c ON e.day >= c.w0 AND e.day <= c.w1
+        |GROUP BY c.cid ORDER BY c.cid""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("value").cast(DecimalType(18, 4)).as("val"),
+          expr(s"(${Tables.epochUsFloorSql}) div 86400000000").as("day"))
+      val mm = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val camp = mm.select(explode(sequence(lit(0L), lit(7L))).as("cid"),
+          expr("(d1 - d0 + 8) div 8").as("stride"), col("d0"))
+        .select(col("cid"), (col("d0") + col("cid") * col("stride")).as("w0"),
+          (col("d0") + col("cid") * col("stride") + lit(2) * col("stride") - 1).as("w1"))
+      ev.join(broadcast(camp), col("day") >= col("w0") && col("day") <= col("w1"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("val")).cast("double").as("total_value"))
+        .orderBy("cid")
+    },
   )
 }

@@ -35,6 +35,16 @@ import org.apache.spark.sql.types.LongType
   * add work), and the rewritten join carries a bucket equality, so the
   * rule cannot fire twice (it is fixed-point safe inside the operator
   * optimization batch). Injected by [[graft.GraftExtensions]].
+  *
+  * No size guard, deliberately: even when one side would fit a
+  * broadcast, the BNLJ alternative compares every probe row against
+  * EVERY broadcast row — at the 10 MB threshold that is ~10^5
+  * comparisons per probe row, quadratic the moment the "small" side
+  * grows — while the bucketed equi-join costs one extra exchange of the
+  * small side and then hashes. Constant-size interval DIMS (a handful
+  * of variable-width windows, e.g. `j14_campaign_windows`) don't match
+  * this rule's fixed-width `b − C .. b` pattern and correctly stay on
+  * the broadcast nested loop.
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
