@@ -86,7 +86,12 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-  /** Find `a >= b − c` and `a <= b` conjuncts over the same (a, b). */
+  /** Find a width-`c` band between cross-side Long expressions, in
+    * either spelling:
+    *   - trailing window: `a >= b − c` ∧ `a <= b`  → Band(a, b, c)
+    *   - forward window:  `a >= b` ∧ `a <= b + c`  — equivalent to
+    *     `b ∈ [a − c, a]`, i.e. Band(b, a, c) with the roles swapped.
+    * Both reduce to the same rewrite; only the detection differs. */
   private def findBand(conjuncts: Seq[Expression],
       left: LogicalPlan, right: LogicalPlan): Option[Band] = {
     // normalize every inequality to (smaller, larger)
@@ -95,11 +100,19 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(x, y) => Some((y, x))
       case _ => None
     }
-    val lowers = les.collect { // b − c <= a
+    def longs(a: Expression, b: Expression) =
+      a.dataType == LongType && b.dataType == LongType
+    val trailing = les.collect { // b − c <= a, pairs with a <= b
       case (Subtract(b, Literal(c: Long, LongType), _), a)
-        if c > 0 && a.dataType == LongType && b.dataType == LongType => (a, b, c)
+        if c > 0 && longs(a, b) => (a, b, c)
     }
-    lowers.collectFirst(Function.unlift { case (a, b, c) =>
+    val forward = les.collect { // a <= b + c, pairs with b <= a: Band(b, a, c)
+      case (a, Add(b, Literal(c: Long, LongType), _))
+        if c > 0 && longs(a, b) => (b, a, c)
+      case (a, Add(Literal(c: Long, LongType), b, _))
+        if c > 0 && longs(a, b) => (b, a, c)
+    }
+    (trailing ++ forward).collectFirst(Function.unlift { case (a, b, c) =>
       val uppered = les.exists { case (x, y) => x.semanticEquals(a) && y.semanticEquals(b) }
       val sides = (sideOf(a, left, right), sideOf(b, left, right))
       sides match {

@@ -59,6 +59,24 @@ class BandJoinRewriteSpec extends SparkFunSuite {
     assert(q.count() == 1)
   }
 
+  test("forward windows (a BETWEEN b AND b + c) are rewritten too") {
+    val pv = Seq(0L, 5L, 49L, 50L, 51L, 120L, -30L)
+    val rv = Seq(0L, 100L, -50L)
+    // pt in [rt, rt + 50]: the forward spelling, Band roles swapped
+    val q = pts(pv: _*).join(refs(rv: _*),
+      col("pt") >= col("rt") && col("pt") <= col("rt") + 50L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("band_bucket"), s"forward window must rewrite:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+    val got = q.select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      (p, pi) <- pv.zipWithIndex
+      (r, ri) <- rv.zipWithIndex
+      if p >= r && p <= r + 50L
+    } yield (pi.toLong, ri.toLong)).toSet
+    assert(got == want)
+  }
+
   test("reversed operand spellings of the same band are recognized") {
     // b − c <= a (lower bound flipped) and b >= a (upper bound flipped)
     val p = pts(10L, 60L, 120L)
