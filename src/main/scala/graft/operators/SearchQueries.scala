@@ -337,6 +337,39 @@ object SearchQueries {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY doc_id) <= 10
       |ORDER BY qid, doc_id""".stripMargin
 
+  /** More-like-this oracle: seed tf·idf vectors against the corpus
+    * postings, per-term contributions floored to integers pre-sum. */
+  private val MltOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |qd AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+      |seeds AS (
+      |  SELECT doc_id AS qid, token, CAST(count(*) AS BIGINT) AS tfq
+      |  FROM (SELECT doc_id, unnest(tk) AS token FROM qd) GROUP BY 1, 2),
+      |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS token FROM corpus)
+      |  WHERE token IN (SELECT DISTINCT token FROM seeds) GROUP BY 1, 2),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT s.qid, t.doc_id,
+      |    CAST(floor((CAST(s.tfq AS DOUBLE) * (CAST(t.tf AS DOUBLE) *
+      |      ((CAST(n.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+      |       (CAST(f.df AS DOUBLE) + 0.5)))) * 1000.0) AS BIGINT) AS c
+      |  FROM seeds s
+      |  JOIN tf t ON t.token = s.token
+      |  JOIN df f ON f.token = s.token, n1 n),
+      |score AS (
+      |  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score
+      |  FROM contrib GROUP BY 1, 2)
+      |SELECT qid, doc_id, score FROM score
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5
+      |ORDER BY qid, doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- BM25 top-k: eval-set queries against the train corpus -----
@@ -599,6 +632,45 @@ object SearchQueries {
       val (postings, _) = SignatureStore.ensureBm25(s, d)
       boolRank(postings.filter(col("doc_id") % 97 =!= 0)
         .select("doc_id", "token"), queryTerms(docs), k = 10)
+    },
+
+    // ----- more-like-this: TF-IDF doc-to-doc retrieval from seeds -----
+    // The fourth retrieval mode: the QUERY is a whole document (its
+    // tf·idf term vector), not a term list — content-based "find
+    // similar" for dup triage and corpus expansion. Both the seed
+    // vectors and the corpus sliver come from the persisted postings
+    // store (zero re-tokenization); the seed side is bounded and
+    // broadcasts, the corpus postings prune to the seed vocabulary
+    // before the join, and per-term contributions floor to integers
+    // before summation (the BM25 exactness idiom: one double expression
+    // tree, identical on both engines, then order-free integer sums).
+    // idf is the log-free rational surrogate shared with BM25.
+    "more_like_this" -> QueryDef.sql(MltOracleSql) { (s, d) =>
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val seeds = postings.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select(col("doc_id").as("qid"), col("token"), col("tf").as("tfq"))
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val n1 = corpusLens.agg(count(lit(1)).as("n"))
+      val tf = postings.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(seeds.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf")
+        .localCheckpoint() // feeds df AND the contribution join
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val scored = tf.join(broadcast(df), Seq("token"))
+        .crossJoin(broadcast(n1))
+        .select(col("token"), col("doc_id"),
+          (col("tf").cast("double") * idf).as("wd"))
+      val contrib = broadcast(seeds).join(scored, Seq("token"))
+        .select(col("qid"), col("doc_id"),
+          floor(col("tfq").cast("double") * col("wd") * lit(1000.0)).cast("long").as("c"))
+      val rn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      contrib.groupBy("qid", "doc_id").agg(sum("c").as("score"))
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") <= 5)
+        .select("qid", "doc_id", "score")
+        .orderBy("qid", "doc_id")
     },
   )
 
