@@ -946,6 +946,60 @@ object VectorQueries {
       majorityVote(nn).orderBy("qid")
     },
 
+    // ----- active learning: margin-based labeling-batch selection -----
+    // The loop that decides WHAT to label next: per query, the kNN vote
+    // margin (top-1 votes − top-2 votes; k when unanimous) measures the
+    // classifier's confidence, and the B = 20 lowest-margin queries form
+    // the next annotation batch (uncertainty sampling, Lewis & Gale
+    // 1994). Rides the knn_classify chain unchanged through the vote
+    // table; the margin is one more keyed window over the ≤ |labels|
+    // rows per query, and the batch pick is a global TakeOrdered over
+    // queries-cardinality rows — nothing corpus-scale after the kNN.
+    "al_margin_sampling" -> QueryDef.sql(
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id >= 100),
+        |s AS (SELECT qid, cid, label,
+        |        round(list_cosine_similarity(qv, cv), 6) AS score
+        |      FROM q, c),
+        |nn AS (SELECT qid, cid, label FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 10),
+        |votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS n
+        |          FROM nn GROUP BY qid, label),
+        |ranked AS (
+        |  SELECT qid, label, n,
+        |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS r
+        |  FROM votes),
+        |m AS (
+        |  SELECT qid,
+        |    max(CASE WHEN r = 1 THEN label END) AS predicted,
+        |    CAST(max(CASE WHEN r = 1 THEN n END)
+        |      - coalesce(max(CASE WHEN r = 2 THEN n END), 0) AS BIGINT) AS margin
+        |  FROM ranked GROUP BY qid)
+        |SELECT qid, predicted, margin FROM m
+        |ORDER BY margin, qid LIMIT 20""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("cid"), col("label"), col("embedding").as("cv"))
+      val nnRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val nn = corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("cid"), col("label"), score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(nnRn))
+        .filter(col("rn") <= 10)
+      val votes = nn.groupBy(col("qid"), col("label")).agg(count(lit(1)).as("n"))
+      val rw = Window.partitionBy(col("qid")).orderBy(col("n").desc, col("label"))
+      votes.withColumn("r", row_number().over(rw))
+        .groupBy("qid")
+        .agg(max(when(col("r") === 1, col("label"))).as("predicted"),
+          (max(when(col("r") === 1, col("n")))
+            - coalesce(max(when(col("r") === 2, col("n"))), lit(0L))).as("margin"))
+        .orderBy(col("margin"), col("qid"))
+        .limit(20)
+    },
+
     // ----- kNN over IVF candidates: the big-seed-set classifier -----
     // knn_classify's documented scale path, built: the brute-force
     // candidate stage (corpus × queries) is replaced by the persisted
