@@ -383,7 +383,9 @@ object Multimodal {
 
   /** The image-fingerprint oracle (closed-form pixel replay), shared
     * verbatim by the live and stored queries. */
-  private val ImagePhashOracleSql: String =
+  /** The closed-form phash derivation (through `ph`), shared by the
+    * fingerprint oracles and the near-dup pairing oracle. */
+  private val ImagePhashChain: String =
     """WITH dims AS (
       |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
       |  FROM documents),
@@ -405,7 +407,10 @@ object Multimodal {
       |  SELECT b.doc_id,
       |    CAST(sum(CASE WHEN b.s * t.np > t.t * b.n THEN 1::BIGINT << b.b ELSE 0 END) AS BIGINT) AS phash
       |  FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
-      |  GROUP BY b.doc_id)
+      |  GROUP BY b.doc_id)""".stripMargin
+
+  private val ImagePhashOracleSql: String =
+    s"""$ImagePhashChain
       |SELECT doc_id, phash,
       |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
       |FROM ph ORDER BY doc_id""".stripMargin
@@ -541,6 +546,60 @@ object Multimodal {
           count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
         .select("doc_id", "phash", "n_same")
         .orderBy("doc_id")
+    },
+
+    // ----- phash near-dup pairing: hamming ≤ 2 via nibble banding -----
+    // The pairing stage on top of the fingerprint: re-encoded /
+    // slightly-retouched copies land a few bits apart, so near-dup
+    // detection is a hamming ball, not equality. Scale design: docs
+    // group to their DISTINCT phash first (≤ 2^16 groups by
+    // construction — the corpus-cardinality never enters the pairing),
+    // then the 16-bit space bands into 4 nibbles and hamming ≤ 2 < 4
+    // guarantees ≥ 2 identical nibbles (pigeonhole), so an equi-join on
+    // (band, nibble) over distinct hashes finds every qualifying pair;
+    // exact bit_count(xor) verifies. Output rows are hash pairs with
+    // their doc-pair mass — identical-phash duplicates are the n_same
+    // column of mm_image_phash, deliberately not re-emitted here.
+    "mm_phash_neardup" -> QueryDef.sql(
+      s"""$ImagePhashChain,
+        |hp AS (SELECT phash, CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY 1),
+        |bands AS (
+        |  SELECT phash, n, g.b, (phash >> (4 * g.b)) & 15 AS nib
+        |  FROM hp, (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |cand AS (
+        |  SELECT DISTINCT a.phash AS phash_a, b.phash AS phash_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.nib = b.nib AND a.phash < b.phash),
+        |near AS (
+        |  SELECT c.phash_a, c.phash_b,
+        |    CAST(bit_count(xor(c.phash_a, c.phash_b)) AS BIGINT) AS hamming
+        |  FROM cand c WHERE bit_count(xor(c.phash_a, c.phash_b)) <= 2)
+        |SELECT nr.phash_a, nr.phash_b, nr.hamming,
+        |  CAST(ha.n * hb.n AS BIGINT) AS pair_mass
+        |FROM near nr
+        |JOIN hp ha ON ha.phash = nr.phash_a
+        |JOIN hp hb ON hb.phash = nr.phash_b
+        |ORDER BY nr.phash_a, nr.phash_b""".stripMargin) { (s, d) =>
+      val hp = SignatureStore.ensureImagePhash(s, d)
+        .groupBy("phash").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // bounded (<= 2^16 rows); feeds bands + both mass joins
+      val bands = hp.select(col("phash"), col("n"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("nib", expr("shiftright(phash, 4 * b) % 16"))
+      val a = bands.select(col("phash").as("phash_a"), col("b"), col("nib"))
+      val bb = bands.select(col("phash").as("phash_b"), col("b"), col("nib"))
+      val cand = a.join(bb, Seq("b", "nib"))
+        .filter(col("phash_a") < col("phash_b"))
+        .select("phash_a", "phash_b").distinct()
+      cand
+        .withColumn("hamming",
+          expr("bit_count(phash_a ^ phash_b)").cast("long"))
+        .filter(col("hamming") <= 2)
+        .join(hp.select(col("phash").as("phash_a"), col("n").as("na")), Seq("phash_a"))
+        .join(hp.select(col("phash").as("phash_b"), col("n").as("nb")), Seq("phash_b"))
+        .select(col("phash_a"), col("phash_b"), col("hamming"),
+          (col("na") * col("nb")).as("pair_mass"))
+        .orderBy("phash_a", "phash_b")
     },
 
     // ----- real image resize: 4×4 box-filter downscale -----
