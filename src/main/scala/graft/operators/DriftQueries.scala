@@ -210,5 +210,73 @@ object DriftQueries {
             .as("skew_x1e6"))
         .orderBy("event_type")
     },
+
+    // ----- seasonal-naive forecast baseline + holdout error -----
+    // The monitoring yardstick every traffic model is judged against:
+    // the first half of the corpus's day range profiles each
+    // (event_type, hour-of-day) as an average daily count, the second
+    // half scores it — per-cell forecast and mean absolute error, all
+    // in exact ×1e6 integers (numerators BIGINT-bounded: 1e6 · per-cell
+    // counts). Two map-side-combinable aggregates over one stateless
+    // projection; the half-boundary derives from the data's own
+    // (min, max) day so both engines split identically. Output is the
+    // bounded types × 24 grid.
+    "forecast_seasonal_baseline" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod
+        |  FROM events),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |sp AS (SELECT d0, d1, (d0 + d1) // 2 AS mid,
+        |         (d0 + d1) // 2 - d0 + 1 AS n1, d1 - (d0 + d1) // 2 AS n2
+        |       FROM mm),
+        |h1 AS (
+        |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS c1
+        |  FROM ev, sp WHERE day <= sp.mid GROUP BY 1, 2),
+        |h2d AS (
+        |  SELECT event_type, hod, day, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev, sp WHERE day > sp.mid GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT h1.event_type, h1.hod,
+        |    CAST(1000000 * h1.c1 // sp.n1 AS BIGINT) AS forecast_x1e6
+        |  FROM h1, sp),
+        |err AS (
+        |  SELECT f.event_type, f.hod, f.forecast_x1e6,
+        |    sum(CAST(abs(1000000 * h.c - f.forecast_x1e6) AS HUGEINT)) AS tot_ae,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM f JOIN h2d h ON h.event_type = f.event_type AND h.hod = f.hod
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, hod, forecast_x1e6,
+        |  CAST(tot_ae // nd AS BIGINT) AS mae_x1e6
+        |FROM err ORDER BY event_type, hod""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val ev = events(s, d)
+        .select(col("event_type"),
+          expr(s"($us) div 86400000000").as("day"),
+          expr(s"(($us) div 3600000000) % 24").as("hod"))
+      val mm = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val sp = mm.select(expr("(d0 + d1) div 2").as("mid"),
+        expr("(d0 + d1) div 2 - d0 + 1").as("n1"))
+      val h1 = ev.crossJoin(broadcast(sp))
+        .filter(col("day") <= col("mid"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("c1"), first("n1").as("n1"))
+      val f = h1.select(col("event_type"), col("hod"),
+        expr("1000000 * c1 div n1").as("forecast_x1e6"))
+      val h2d = ev.crossJoin(broadcast(sp))
+        .filter(col("day") > col("mid"))
+        .groupBy("event_type", "hod", "day")
+        .agg(count(lit(1)).as("c"))
+      f.join(h2d, Seq("event_type", "hod"))
+        .groupBy("event_type", "hod", "forecast_x1e6")
+        // corpus-scale numerator (1e6 · per-cell daily counts summed over
+        // days) widens through DECIMAL(38,0) / HUGEINT per the
+        // production-overflow sweep; the quotient refits BIGINT
+        .agg(sum(expr("CAST(abs(1000000 * c - forecast_x1e6) AS DECIMAL(38,0))"))
+          .as("tot_ae"), count(lit(1)).as("nd"))
+        .select(col("event_type"), col("hod"), col("forecast_x1e6"),
+          expr("CAST(tot_ae div nd AS BIGINT)").as("mae_x1e6"))
+        .orderBy("event_type", "hod")
+    },
   )
 }
