@@ -278,5 +278,60 @@ object DriftQueries {
           expr("CAST(tot_ae div nd AS BIGINT)").as("mae_x1e6"))
         .orderBy("event_type", "hod")
     },
+
+    // ----- churn training-set construction (point-in-time features) -----
+    // The supervised-learning counterpart of the forecast baseline:
+    // users active in the first half of the day range get features
+    // computed ONLY from that half (activity counts, distinct active
+    // days, exact DECIMAL spend, recency-at-cutoff) and a label from
+    // the second half (churned = zero later events) — the
+    // point-in-time discipline that prevents label leakage, enforced
+    // here by conditional aggregation inside ONE user-keyed pass rather
+    // than a second scan. Output is one labeled feature row per
+    // qualifying user.
+    "fe_churn_labels" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,4)) AS val,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN day <= mid AND event_type = 'purchase'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |    CAST(count(DISTINCT CASE WHEN day <= mid THEN day END) AS BIGINT)
+        |      AS n_active_days,
+        |    CAST(sum(CASE WHEN day <= mid THEN val
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS total_value,
+        |    CAST(mid - max(CASE WHEN day <= mid THEN day END) AS BIGINT) AS recency,
+        |    CAST(CASE WHEN sum(CASE WHEN day > mid THEN 1 ELSE 0 END) = 0
+        |         THEN 1 ELSE 0 END AS BIGINT) AS churned
+        |  FROM ev, mm GROUP BY user_id, mid)
+        |SELECT * FROM u WHERE n_events > 0 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("val"),
+          expr(s"($us) div 86400000000").as("day"))
+      val mm = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      ev.crossJoin(broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("n_events"),
+          sum(when(col("day") <= col("mid") && col("event_type") === "purchase",
+            1L).otherwise(0L)).as("n_purchases"),
+          countDistinct(when(col("day") <= col("mid"), col("day")))
+            .as("n_active_days"),
+          sum(when(col("day") <= col("mid"), col("val"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            .as("total_value"),
+          (first(col("mid")) - max(when(col("day") <= col("mid"), col("day"))))
+            .as("recency"),
+          when(sum(when(col("day") > col("mid"), 1L).otherwise(0L)) === 0, 1L)
+            .otherwise(0L).as("churned"))
+        .filter(col("n_events") > 0)
+        .orderBy("user_id")
+    },
   )
 }
