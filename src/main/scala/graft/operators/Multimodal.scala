@@ -415,6 +415,136 @@ object Multimodal {
       |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
       |FROM ph ORDER BY doc_id""".stripMargin
 
+  /** The frame-pair L1-energy derivation (through `pairs`), shared by
+    * the shot-boundary and keyframe oracles. */
+  private val FrameDiffChain: String =
+    """WITH f AS (
+      |  SELECT doc_id, text AS payload, length(text) // 32 AS nframes
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, unnest(generate_series(0, nframes - 1)) AS idx, payload
+      |  FROM f WHERE nframes >= 2),
+      |fx AS (
+      |  SELECT doc_id, idx,
+      |    substring(payload, CAST(idx * 32 + 1 AS INT), 32) AS frame,
+      |    lead(substring(payload, CAST(idx * 32 + 1 AS INT), 32))
+      |      OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
+      |  FROM fr),
+      |pairs AS (
+      |  SELECT doc_id, idx,
+      |    CAST((SELECT sum(abs(ord(substring(fx.frame, p.p, 1))
+      |                       - ord(substring(fx.nxt, p.p, 1))))
+      |          FROM generate_series(1, 32) p(p)) AS BIGINT) AS diff_l1
+      |  FROM fx WHERE nxt IS NOT NULL),
+      |m AS (
+      |  SELECT doc_id, CAST(sum(diff_l1) AS HUGEINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS np
+      |  FROM pairs GROUP BY doc_id)""".stripMargin
+
+  /** Shared verbatim by `mm_shot_boundaries` and its stored twin. */
+  private val ShotBoundariesOracleSql: String =
+    s"""$FrameDiffChain
+      |SELECT p.doc_id, p.idx AS frame_idx, p.diff_l1,
+      |  CAST(CASE WHEN CAST(p.diff_l1 AS HUGEINT) * 4 * m.np > 5 * m.s
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+      |FROM pairs p JOIN m ON m.doc_id = p.doc_id
+      |ORDER BY p.doc_id, frame_idx""".stripMargin
+
+  /** Shared verbatim by `mm_keyframe_pick` and its stored twin. */
+  private val KeyframeOracleSql: String =
+    s"""$FrameDiffChain,
+      |b AS (
+      |  SELECT p.doc_id, p.idx, p.diff_l1,
+      |    CASE WHEN CAST(p.diff_l1 AS HUGEINT) * 4 * m.np > 5 * m.s
+      |         THEN 1 ELSE 0 END AS cut
+      |  FROM pairs p JOIN m ON m.doc_id = p.doc_id),
+      |sg AS (
+      |  SELECT doc_id, idx, diff_l1,
+      |    CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shot
+      |  FROM b)
+      |SELECT doc_id, shot, CAST(idx AS BIGINT) AS keyframe_idx,
+      |  diff_l1 AS energy,
+      |  CAST(count(*) OVER (PARTITION BY doc_id, shot) AS BIGINT) AS n_pairs
+      |FROM sg
+      |QUALIFY row_number() OVER (PARTITION BY doc_id, shot
+      |  ORDER BY diff_l1 DESC, idx) = 1
+      |ORDER BY doc_id, shot""".stripMargin
+
+  /** Per-video frame-pair motion energy (doc_id, idx, diff_l1) — the
+    * shared kernel of `mm_shot_boundaries` / `mm_keyframe_pick`, and the
+    * build stage of the frame-diff store
+    * ([[SignatureStore.ensureFrameDiffs]]): the per-frame-pair L1
+    * difference is the expensive corpus pass (32 byte deltas per pair),
+    * changes only when videos change, and every cut/keyframe/segment
+    * consumer downstream is pair-cardinality. One doc-keyed shuffle. */
+  def frameDiffs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = docs
+      .select(col("doc_id"), col("text").as("payload"),
+        expr("length(text) div 32").cast("long").as("nframes"))
+      .filter(col("nframes") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nframes") - 1)).as("idx"),
+        col("payload"))
+      .select(col("doc_id"), col("idx"),
+        expr("substring(payload, cast(idx * 32 + 1 as int), 32)").as("frame"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    frames
+      .withColumn("nxt", lead(col("frame"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("idx"),
+        explode(sequence(lit(1), lit(32))).as("p"),
+        col("frame"), col("nxt"))
+      .select(col("doc_id"), col("idx"),
+        abs(ascii(expr("substring(frame, p, 1)"))
+          - ascii(expr("substring(nxt, p, 1)"))).cast("long").as("delta"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("delta")).as("diff_l1"))
+  }
+
+  /** Cut-flag stage shared by the live and stored boundary queries:
+    * `pairs` is the (doc_id, idx, diff_l1) table (live kernel or store
+    * read); a pair is a cut when its energy exceeds 1.25× the video's
+    * own mean (codec-relative threshold, cross-multiplied integers). */
+  def shotBoundaryReport(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val m = pairs.groupBy("doc_id")
+      .agg(sum(col("diff_l1").cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("np"))
+    pairs.join(m, Seq("doc_id"))
+      .select(col("doc_id"), col("idx").as("frame_idx"), col("diff_l1"),
+        when(col("diff_l1").cast(DecimalType(38, 0)) * 4 * col("np") >
+          col("s") * 5, 1L).otherwise(0L).as("is_boundary"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Shot segmentation + per-shot argmax keyframe, shared by the live
+    * and stored keyframe queries. All three windows ride one doc-keyed
+    * shuffle. */
+  def keyframeReport(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val m = pairs.groupBy("doc_id")
+      .agg(sum(col("diff_l1").cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("np"))
+    val cutW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segW = Window.partitionBy(col("doc_id"), col("shot"))
+    val rnW = segW.orderBy(col("diff_l1").desc, col("idx"))
+    pairs.join(m, Seq("doc_id"))
+      .select(col("doc_id"), col("idx"), col("diff_l1"),
+        when(col("diff_l1").cast(DecimalType(38, 0)) * 4 * col("np") >
+          col("s") * 5, 1L).otherwise(0L).as("cut"))
+      .withColumn("shot", coalesce(sum(col("cut")).over(cutW), lit(0L)))
+      .withColumn("n_pairs", count(lit(1)).over(segW))
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("shot"), col("idx").as("keyframe_idx"),
+        col("diff_l1").as("energy"), col("n_pairs"))
+      .orderBy("doc_id", "shot")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- audio windowed-energy VAD over PCM16 payloads -----
@@ -682,65 +812,8 @@ object Multimodal {
     // would fuse it ShingleHashes-style if this became the hot path),
     // and the per-doc mean joins back from the pair aggregate itself.
     // All-integer, so both engines land on identical flags.
-    "mm_shot_boundaries" -> QueryDef.sql(
-      """WITH f AS (
-        |  SELECT doc_id, text AS payload, length(text) // 32 AS nframes
-        |  FROM documents),
-        |fr AS (
-        |  SELECT doc_id, unnest(generate_series(0, nframes - 1)) AS idx, payload
-        |  FROM f WHERE nframes >= 2),
-        |fx AS (
-        |  SELECT doc_id, idx,
-        |    substring(payload, CAST(idx * 32 + 1 AS INT), 32) AS frame,
-        |    lead(substring(payload, CAST(idx * 32 + 1 AS INT), 32))
-        |      OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
-        |  FROM fr),
-        |pairs AS (
-        |  SELECT doc_id, idx,
-        |    CAST((SELECT sum(abs(ord(substring(fx.frame, p.p, 1))
-        |                       - ord(substring(fx.nxt, p.p, 1))))
-        |          FROM generate_series(1, 32) p(p)) AS BIGINT) AS diff_l1
-        |  FROM fx WHERE nxt IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id, CAST(sum(diff_l1) AS HUGEINT) AS s,
-        |    CAST(count(*) AS BIGINT) AS np
-        |  FROM pairs GROUP BY doc_id)
-        |SELECT p.doc_id, p.idx AS frame_idx, p.diff_l1,
-        |  CAST(CASE WHEN CAST(p.diff_l1 AS HUGEINT) * 4 * m.np > 5 * m.s
-        |       THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
-        |FROM pairs p JOIN m ON m.doc_id = p.doc_id
-        |ORDER BY p.doc_id, frame_idx""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
-      val frames = documents(s, d)
-        .select(col("doc_id"), col("text").as("payload"),
-          expr("length(text) div 32").cast("long").as("nframes"))
-        .filter(col("nframes") >= 2)
-        .select(col("doc_id"),
-          explode(sequence(lit(0L), col("nframes") - 1)).as("idx"),
-          col("payload"))
-        .select(col("doc_id"), col("idx"),
-          expr("substring(payload, cast(idx * 32 + 1 as int), 32)").as("frame"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-      val pairs = frames
-        .withColumn("nxt", lead(col("frame"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), col("idx"),
-          explode(sequence(lit(1), lit(32))).as("p"),
-          col("frame"), col("nxt"))
-        .select(col("doc_id"), col("idx"),
-          abs(ascii(expr("substring(frame, p, 1)"))
-            - ascii(expr("substring(nxt, p, 1)"))).cast("long").as("delta"))
-        .groupBy(col("doc_id"), col("idx"))
-        .agg(sum(col("delta")).as("diff_l1"))
-      val m = pairs.groupBy("doc_id")
-        .agg(sum(col("diff_l1").cast(DecimalType(38, 0))).as("s"),
-          count(lit(1)).as("np"))
-      pairs.join(m, Seq("doc_id"))
-        .select(col("doc_id"), col("idx").as("frame_idx"), col("diff_l1"),
-          when(col("diff_l1").cast(DecimalType(38, 0)) * 4 * col("np") >
-            col("s") * 5, 1L).otherwise(0L).as("is_boundary"))
-        .orderBy("doc_id", "frame_idx")
+    "mm_shot_boundaries" -> QueryDef.sql(ShotBoundariesOracleSql) { (s, d) =>
+      shotBoundaryReport(frameDiffs(documents(s, d)))
     },
 
     // ----- keyframe selection: one representative frame per shot -----
@@ -753,87 +826,23 @@ object Multimodal {
     // embedding. Shares the frame-pair kernel with mm_shot_boundaries;
     // the shot window rides the SAME (doc, idx) partitioning as the
     // lead() window, so the whole chain is one doc-keyed shuffle.
-    "mm_keyframe_pick" -> QueryDef.sql(
-      """WITH f AS (
-        |  SELECT doc_id, text AS payload, length(text) // 32 AS nframes
-        |  FROM documents),
-        |fr AS (
-        |  SELECT doc_id, unnest(generate_series(0, nframes - 1)) AS idx, payload
-        |  FROM f WHERE nframes >= 2),
-        |fx AS (
-        |  SELECT doc_id, idx,
-        |    substring(payload, CAST(idx * 32 + 1 AS INT), 32) AS frame,
-        |    lead(substring(payload, CAST(idx * 32 + 1 AS INT), 32))
-        |      OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
-        |  FROM fr),
-        |pairs AS (
-        |  SELECT doc_id, idx,
-        |    CAST((SELECT sum(abs(ord(substring(fx.frame, p.p, 1))
-        |                       - ord(substring(fx.nxt, p.p, 1))))
-        |          FROM generate_series(1, 32) p(p)) AS BIGINT) AS diff_l1
-        |  FROM fx WHERE nxt IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id, CAST(sum(diff_l1) AS HUGEINT) AS s,
-        |    CAST(count(*) AS BIGINT) AS np
-        |  FROM pairs GROUP BY doc_id),
-        |b AS (
-        |  SELECT p.doc_id, p.idx, p.diff_l1,
-        |    CASE WHEN CAST(p.diff_l1 AS HUGEINT) * 4 * m.np > 5 * m.s
-        |         THEN 1 ELSE 0 END AS cut
-        |  FROM pairs p JOIN m ON m.doc_id = p.doc_id),
-        |sg AS (
-        |  SELECT doc_id, idx, diff_l1,
-        |    CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY idx
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shot
-        |  FROM b)
-        |SELECT doc_id, shot, CAST(idx AS BIGINT) AS keyframe_idx,
-        |  diff_l1 AS energy,
-        |  CAST(count(*) OVER (PARTITION BY doc_id, shot) AS BIGINT) AS n_pairs
-        |FROM sg
-        |QUALIFY row_number() OVER (PARTITION BY doc_id, shot
-        |  ORDER BY diff_l1 DESC, idx) = 1
-        |ORDER BY doc_id, shot""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
-      val frames = documents(s, d)
-        .select(col("doc_id"), col("text").as("payload"),
-          expr("length(text) div 32").cast("long").as("nframes"))
-        .filter(col("nframes") >= 2)
-        .select(col("doc_id"),
-          explode(sequence(lit(0L), col("nframes") - 1)).as("idx"),
-          col("payload"))
-        .select(col("doc_id"), col("idx"),
-          expr("substring(payload, cast(idx * 32 + 1 as int), 32)").as("frame"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-      val pairs = frames
-        .withColumn("nxt", lead(col("frame"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), col("idx"),
-          explode(sequence(lit(1), lit(32))).as("p"),
-          col("frame"), col("nxt"))
-        .select(col("doc_id"), col("idx"),
-          abs(ascii(expr("substring(frame, p, 1)"))
-            - ascii(expr("substring(nxt, p, 1)"))).cast("long").as("delta"))
-        .groupBy(col("doc_id"), col("idx"))
-        .agg(sum(col("delta")).as("diff_l1"))
-      val m = pairs.groupBy("doc_id")
-        .agg(sum(col("diff_l1").cast(DecimalType(38, 0))).as("s"),
-          count(lit(1)).as("np"))
-      val cutW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val segW = Window.partitionBy(col("doc_id"), col("shot"))
-      val rnW = segW.orderBy(col("diff_l1").desc, col("idx"))
-      pairs.join(m, Seq("doc_id"))
-        .select(col("doc_id"), col("idx"), col("diff_l1"),
-          when(col("diff_l1").cast(DecimalType(38, 0)) * 4 * col("np") >
-            col("s") * 5, 1L).otherwise(0L).as("cut"))
-        .withColumn("shot", coalesce(sum(col("cut")).over(cutW), lit(0L)))
-        .withColumn("n_pairs", count(lit(1)).over(segW))
-        .withColumn("rn", row_number().over(rnW))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("shot"), col("idx").as("keyframe_idx"),
-          col("diff_l1").as("energy"), col("n_pairs"))
-        .orderBy("doc_id", "shot")
+    "mm_keyframe_pick" -> QueryDef.sql(KeyframeOracleSql) { (s, d) =>
+      keyframeReport(frameDiffs(documents(s, d)))
+    },
+
+    // ----- shot boundaries / keyframes from the FRAME-DIFF store -----
+    // The amortization twins: the frame-pair kernel (the expensive
+    // corpus pass — 32 byte deltas per consecutive-frame pair) persists
+    // once ([[SignatureStore.ensureFrameDiffs]], with streaming
+    // maintenance and latest-wins supersession like every doc-keyed
+    // store), and the cut/segment/keyframe consumers read
+    // pair-cardinality rows. Same oracles as the live queries: stored
+    // must be bit-identical.
+    "mm_shot_boundaries_stored" -> QueryDef.sql(ShotBoundariesOracleSql) { (s, d) =>
+      shotBoundaryReport(SignatureStore.ensureFrameDiffs(s, d))
+    },
+    "mm_keyframe_pick_stored" -> QueryDef.sql(KeyframeOracleSql) { (s, d) =>
+      keyframeReport(SignatureStore.ensureFrameDiffs(s, d))
     },
   )
 }

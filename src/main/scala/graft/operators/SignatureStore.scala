@@ -714,6 +714,64 @@ object SignatureStore {
       compactInto(spark, imagePhashDir(base), streamImagePhashDir(base),
         readImagePhash(spark, base))
 
+  def frameDiffDir(base: String) = s"$base/frame_diffs"
+
+  /** Streaming frame-diff appends, batch_id-partitioned (same layout
+    * rationale as [[streamMinhashDir]]). */
+  def streamFrameDiffDir(base: String) = s"$base/frame_diffs_stream"
+
+  /** Persisted per-video frame-pair energies (doc_id, idx, diff_l1) —
+    * the video member of the store layer: the pair kernel (32 byte
+    * deltas per consecutive-frame pair, the expensive corpus pass) runs
+    * once per video version, and every cut/segment/keyframe consumer
+    * reads pair-cardinality rows. Stream rows resolve LATEST-WINS per
+    * doc (a re-ingested video's newest epoch replaces its WHOLE pair
+    * set — pair rows are per-version atomic, a shorter re-upload must
+    * not leave stale high-idx rows), then stream docs supersede their
+    * batch rows — the [[readImagePhash]] contract. */
+  def readFrameDiffs(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, frameDiffDir(base)))(
+      spark.read.parquet(frameDiffDir(base)).select("doc_id", "idx", "diff_l1"))
+    val stream = Option.when(hasData(spark, streamFrameDiffDir(base))) {
+      val raw = spark.read.parquet(streamFrameDiffDir(base))
+        .select(col("doc_id"), col("idx"), col("diff_l1"),
+          col("batch_id").cast("long").as("batch_id"))
+      val latest = raw.groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+      raw.join(latest, Seq("doc_id", "batch_id"))
+        .select("doc_id", "idx", "diff_l1").distinct()
+    }
+    (batch, stream) match {
+      case (Some(b), Some(s)) =>
+        val streamDocs = s.select("doc_id").distinct()
+        b.join(streamDocs, Seq("doc_id"), "left_anti").unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no frame-diff store under $base")
+    }
+  }
+
+  /** Frame-pair energies for `sfDir`, building on first use.
+    * `mm_shot_boundaries` / `mm_keyframe_pick` time the live kernel;
+    * their `_stored` twins read this artifact, held to the same
+    * oracles. */
+  def ensureFrameDiffs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${frameDiffDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      Multimodal.frameDiffs(documents(spark, sfDir))
+        .write.mode("overwrite").parquet(frameDiffDir(base))
+    readFrameDiffs(spark, base)
+  }
+
+  /** Compact the frame-diff store (latest-wins resolve). */
+  def compactFrameDiffs(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamFrameDiffDir(base)))
+      compactInto(spark, frameDiffDir(base), streamFrameDiffDir(base),
+        readFrameDiffs(spark, base))
+
   def bm25PostingsDir(base: String) = s"$base/bm25_postings"
   def bm25DoclensDir(base: String) = s"$base/bm25_doclens"
 

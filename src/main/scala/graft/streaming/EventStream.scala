@@ -225,6 +225,25 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamImagePhashDir(storeBase))
     }
 
+  /** Incremental frame-diff maintenance — the video twin of
+    * [[maintainImagePhash]]: each micro-batch of (doc_id, text) video
+    * documents runs the SAME pair kernel the batch store uses
+    * ([[graft.operators.Multimodal.frameDiffs]]) and appends
+    * batch_id-keyed; the read side resolves latest-wins PER DOC, so a
+    * re-ingested video's newest epoch replaces its whole pair set.
+    * Replays are idempotent (dynamic partition overwrite). */
+  def maintainFrameDiffs(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Multimodal.frameDiffs(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamFrameDiffDir(storeBase))
+    }
+
   /** Incremental line-registry maintenance — the line-dedup twin of
     * [[maintainPostings]]: each micro-batch of new documents is split
     * into 10-token lines with the SAME builder the batch registry uses

@@ -702,6 +702,18 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() == 2)
   }
 
+  test("mm_keyframe_pick_stored reads the frame-diff artifact, never re-deriving pairs") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.Multimodal.defs("mm_keyframe_pick_stored")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("frame_diffs"),
+      s"stored keyframe pick must read the frame-diff store:\n$plan")
+    assert(!plan.toLowerCase.contains("documents.parquet"),
+      s"the stored twin must not touch document text:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))

@@ -615,6 +615,41 @@ class StreamingSpec extends SparkFunSuite {
       (3L, "theta iota")))
   }
 
+  test("frame-diff store: a re-ingested video's newest pair set replaces the whole old one") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Multimodal, SignatureStore}
+    val base = tmpDir("framediffstore")
+    def vid(seed: Char, frames: Int): String =
+      (0 until frames * 32).map(i => (('a' + (i * (seed - 'a' + 1)) % 20).toChar)).mkString
+    // batch subtree: docs 1 (3 frames) and 2 (4 frames → pair idx up to 2)
+    Multimodal.frameDiffs(Seq((1L, vid('b', 3)), (2L, vid('c', 4)))
+      .toDF("doc_id", "text"))
+      .write.parquet(SignatureStore.frameDiffDir(base))
+    // stream: doc 2 re-ingested SHORTER (3 frames → pairs 0,1 only), doc 3 new
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainFrameDiffs(
+      input.toDS().toDF("doc_id", "text"),
+      SignatureStore.streamFrameDiffDir(base))
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((2L, vid('d', 3)), (3L, vid('e', 2)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = SignatureStore.readFrameDiffs(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 2's stale idx=2 pair from the longer old version must be GONE
+    assert(got == Set((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L), (3L, 0L)),
+      s"got $got")
+    // and doc 2's kept pairs carry the NEW version's energies
+    val newDiffs = Multimodal.frameDiffs(Seq((2L, vid('d', 3))).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val stored = SignatureStore.readFrameDiffs(spark, base)
+      .filter(col("doc_id") === 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(stored == newDiffs)
+  }
+
   test("image-phash store: a re-ingested image's newest fingerprint wins") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
