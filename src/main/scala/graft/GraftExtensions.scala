@@ -78,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("frame_pair_diffs"),
+      new ExpressionInfo(classOf[graft.functions.FramePairDiffs].getName, "frame_pair_diffs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "frame_pair_diffs takes exactly 1 argument")
+        graft.functions.FramePairDiffs(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("max_ngram_run"),
       new ExpressionInfo(classOf[MaxNgramRun].getName, "max_ngram_run"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -474,34 +474,21 @@ object Multimodal {
   /** Per-video frame-pair motion energy (doc_id, idx, diff_l1) — the
     * shared kernel of `mm_shot_boundaries` / `mm_keyframe_pick`, and the
     * build stage of the frame-diff store
-    * ([[SignatureStore.ensureFrameDiffs]]): the per-frame-pair L1
-    * difference is the expensive corpus pass (32 byte deltas per pair),
-    * changes only when videos change, and every cut/keyframe/segment
-    * consumer downstream is pair-cardinality. One doc-keyed shuffle. */
-  def frameDiffs(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val frames = docs
-      .select(col("doc_id"), col("text").as("payload"),
-        expr("length(text) div 32").cast("long").as("nframes"))
-      .filter(col("nframes") >= 2)
+    * ([[SignatureStore.ensureFrameDiffs]]). Computed by the native
+    * [[graft.functions.FramePairDiffs]] codegen expression: one
+    * sequential codepoint pass per payload, emitted as a STATELESS MAP
+    * (scan → generate) — the relational encoding this replaced needed a
+    * doc-keyed lead() window, a 32-way position explode, and a
+    * (doc, idx) re-aggregate: three corpus-scale stages and one full
+    * shuffle for the same rows (PlanAssertSpec pins the window-free,
+    * exchange-free shape). */
+  def frameDiffs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
-        explode(sequence(lit(0L), col("nframes") - 1)).as("idx"),
-        col("payload"))
-      .select(col("doc_id"), col("idx"),
-        expr("substring(payload, cast(idx * 32 + 1 as int), 32)").as("frame"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    frames
-      .withColumn("nxt", lead(col("frame"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), col("idx"),
-        explode(sequence(lit(1), lit(32))).as("p"),
-        col("frame"), col("nxt"))
-      .select(col("doc_id"), col("idx"),
-        abs(ascii(expr("substring(frame, p, 1)"))
-          - ascii(expr("substring(nxt, p, 1)"))).cast("long").as("delta"))
-      .groupBy(col("doc_id"), col("idx"))
-      .agg(sum(col("delta")).as("diff_l1"))
-  }
+        explode(graft.functions.FramePairDiffs.frame_pair_diffs(col("text"))).as("pk"))
+      .select(col("doc_id"),
+        expr("pk div 4294967296").as("idx"),
+        expr("pk % 4294967296").as("diff_l1"))
 
   /** Cut-flag stage shared by the live and stored boundary queries:
     * `pairs` is the (doc_id, idx, diff_l1) table (live kernel or store
