@@ -1468,6 +1468,76 @@ object TextQueries {
         .orderBy("lang", "predicted_lang")
     },
 
+    // ----- mixed-language segmentation: per-line langid spans -----
+    // Document-level language ID hides code-switching; this runs the
+    // SAME scoring heuristic per 10-token line and collapses contiguous
+    // same-prediction runs into spans (gaps-and-islands: line_idx minus
+    // the per-(doc, lang) dense rank is the island key), emitting only
+    // documents with ≥ 2 spans — the mixed-language docs a monolingual
+    // filter would silently mangle. Line slices come straight off the
+    // token array (no re-tokenization per line); both windows ride one
+    // doc-keyed shuffle.
+    "langid_line_spans" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, unnest(generate_series(0, (len(toks) - 1) // 10)) AS k, toks
+        |  FROM t),
+        |sl AS (
+        |  SELECT doc_id, k,
+        |    list_slice(toks, k * 10 + 1, least(k * 10 + 10, len(toks))) AS lt
+        |  FROM ln),
+        |sc AS (
+        |  SELECT doc_id, k,
+        |    len(list_filter(lt, x -> x IN ('the', 'a', 'of'))) AS s_en,
+        |    len(list_filter(lt, x -> x IN ('data', 'table', 'row'))) AS s_dt,
+        |    len(list_filter(lt, x -> x IN ('spark', 'query', 'join'))) AS s_qy
+        |  FROM sl),
+        |pr AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN s_en >= s_dt AND s_en >= s_qy THEN 'en'
+        |         WHEN s_dt >= s_qy THEN 'dt' ELSE 'qy' END AS lang
+        |  FROM sc),
+        |g AS (
+        |  SELECT doc_id, k, lang,
+        |    k - (row_number() OVER (PARTITION BY doc_id, lang ORDER BY k) - 1) AS grp
+        |  FROM pr),
+        |sp AS (
+        |  SELECT doc_id, lang, grp, CAST(min(k) AS BIGINT) AS span_start,
+        |    CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM g GROUP BY 1, 2, 3),
+        |ns AS (SELECT *, count(*) OVER (PARTITION BY doc_id) AS nspans FROM sp)
+        |SELECT doc_id, span_start, lang, n_lines FROM ns WHERE nspans >= 2
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lines = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), expr("(n - 1) div 10"))).as("k"))
+        .select(col("doc_id"), col("k"),
+          slice(col("toks"), (lit(1) + lit(10) * col("k")).cast("int"),
+            (least(col("k") * 10 + 10, col("n")) - col("k") * 10).cast("int")).as("lt"))
+      val pred = lines.select(col("doc_id"), col("k"),
+          expr("size(filter(lt, x -> x IN ('the', 'a', 'of')))").as("s_en"),
+          expr("size(filter(lt, x -> x IN ('data', 'table', 'row')))").as("s_dt"),
+          expr("size(filter(lt, x -> x IN ('spark', 'query', 'join')))").as("s_qy"))
+        .select(col("doc_id"), col("k"),
+          when(col("s_en") >= col("s_dt") && col("s_en") >= col("s_qy"), "en")
+            .when(col("s_dt") >= col("s_qy"), "dt").otherwise("qy").as("lang"))
+      val wIsl = Window.partitionBy(col("doc_id"), col("lang")).orderBy(col("k"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      pred
+        .withColumn("grp", col("k") - (row_number().over(wIsl) - 1))
+        .groupBy("doc_id", "lang", "grp")
+        .agg(min(col("k")).as("span_start"), count(lit(1)).as("n_lines"))
+        .withColumn("nspans", count(lit(1)).over(wDoc))
+        .filter(col("nspans") >= 2)
+        .select("doc_id", "span_start", "lang", "n_lines")
+        .orderBy("doc_id", "span_start")
+    },
+
     // ----- document fingerprint: whitespace-normalized content hash -----
     "text_fingerprint" -> QueryDef.sql(
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
