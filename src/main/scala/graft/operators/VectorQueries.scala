@@ -579,6 +579,79 @@ object VectorQueries {
         .orderBy("qid")
     },
 
+    // ----- MRR: where does the TRUE nearest neighbor rank? -----
+    // Recall@10 says whether the truth is somewhere in the list; MRR
+    // says where — the metric that matches one-answer retrieval UX
+    // (rank 1 vs rank 9 is the difference users feel). Ground truth is
+    // the brute top-1; its rank inside the IVF nprobe=2 top-10 becomes
+    // reciprocal-rank in exact ppm (1e6 // rank, 0 on a miss) — an
+    // integer surrogate with the same ordering as the float metric and
+    // none of the cross-engine division hazards. The re-rank window
+    // runs on the 10×queries bounded result, nothing corpus-scale.
+    "ann_mrr_report" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+        |truth AS (
+        |  SELECT qid, cid AS truth_cid FROM (
+        |    SELECT q.qid, e.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rn
+        |    FROM q, e WHERE e.vec_id <> q.qid) WHERE rn = 1),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cent_id FROM (
+        |    SELECT q.qid, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+        |    FROM q, c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id AS cid
+        |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id <> p.qid),
+        |ivf AS (
+        |  SELECT qid, cid, rn FROM (
+        |    SELECT cand.qid, cand.cid,
+        |      row_number() OVER (PARTITION BY cand.qid
+        |        ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC, cand.cid) AS rn
+        |    FROM cand JOIN e qe ON qe.vec_id = cand.qid
+        |    JOIN e ce ON ce.vec_id = cand.cid) WHERE rn <= 10)
+        |SELECT t.qid, t.truth_cid,
+        |  CAST(coalesce(i.rn, 0) AS BIGINT) AS truth_rank,
+        |  CAST(CASE WHEN i.rn IS NULL THEN 0 ELSE 1000000 // i.rn END AS BIGINT) AS rr_ppm
+        |FROM truth t LEFT JOIN ivf i ON i.qid = t.qid AND i.cid = t.truth_cid
+        |ORDER BY t.qid""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val truth = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid").as("truth_cid"))
+      val ivfRanked = ivfTopK(e, centroids, queries, nprobe = 2, k = 10)
+        .withColumn("rn", row_number().over(topRn))
+        .select("qid", "cid", "rn")
+      truth.join(ivfRanked.withColumnRenamed("cid", "truth_cid"),
+          Seq("qid", "truth_cid"), "left")
+        .select(col("qid"), col("truth_cid"),
+          coalesce(col("rn"), lit(0L)).cast("long").as("truth_rank"),
+          when(col("rn").isNull, 0L)
+            .otherwise(expr("1000000 div rn")).as("rr_ppm"))
+        .orderBy("qid")
+    },
+
     // ----- IVF nprobe calibration sweep: the recall/cost curve -----
     // `ann_recall_report` measures ONE operating point (nprobe=2); the
     // sweep measures the CURVE an index is tuned from — for nprobe ∈
