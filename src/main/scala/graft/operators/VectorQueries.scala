@@ -652,6 +652,65 @@ object VectorQueries {
         .orderBy("qid")
     },
 
+    // ----- coreset selection: greedy k-center over the embeddings -----
+    // Diverse-subset selection for training-data curation (Sener &
+    // Savarese 2018): greedily pick the vector FARTHEST from everything
+    // selected so far — equivalently, the one with the SMALLEST maximum
+    // cosine to any chosen center (tie → smaller id). The loop is the
+    // repo's bounded-driver-iteration pattern (bpe_train, pagerank): k−1
+    // rounds, each collecting exactly ONE row and folding one broadcast
+    // cosine into the running max — the corpus is scanned, never
+    // collected. Seed = min vec_id (deterministic). Output: the k = 4
+    // selections in order with their max-cosine at selection time (the
+    // shrinking coverage radius, round-6 double; null for the seed).
+    "coreset_kcenter" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s1 AS (SELECT min(vec_id) AS id FROM e),
+        |sv1 AS (SELECT e.v FROM e, s1 WHERE e.vec_id = s1.id),
+        |d1 AS (SELECT e.vec_id, round(list_cosine_similarity(e.v, sv1.v), 6) AS mc, e.v
+        |       FROM e, sv1, s1 WHERE e.vec_id <> s1.id),
+        |s2 AS (SELECT vec_id AS id, mc FROM d1 ORDER BY mc, vec_id LIMIT 1),
+        |sv2 AS (SELECT d1.v FROM d1, s2 WHERE d1.vec_id = s2.id),
+        |d2 AS (SELECT d1.vec_id,
+        |         greatest(d1.mc, round(list_cosine_similarity(d1.v, sv2.v), 6)) AS mc, d1.v
+        |       FROM d1, sv2, s2 WHERE d1.vec_id <> s2.id),
+        |s3 AS (SELECT vec_id AS id, mc FROM d2 ORDER BY mc, vec_id LIMIT 1),
+        |sv3 AS (SELECT d2.v FROM d2, s3 WHERE d2.vec_id = s3.id),
+        |d3 AS (SELECT d2.vec_id,
+        |         greatest(d2.mc, round(list_cosine_similarity(d2.v, sv3.v), 6)) AS mc, d2.v
+        |       FROM d2, sv3, s3 WHERE d2.vec_id <> s3.id),
+        |s4 AS (SELECT vec_id AS id, mc FROM d3 ORDER BY mc, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS sel_order, s1.id AS vec_id,
+        |  CAST(NULL AS DOUBLE) AS sel_mc FROM s1
+        |UNION ALL SELECT 2, id, mc FROM s2
+        |UNION ALL SELECT 3, id, mc FROM s3
+        |UNION ALL SELECT 4, id, mc FROM s4
+        |ORDER BY sel_order""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val seedId = e.agg(min("vec_id")).as[Long].head()
+      def centerVec(id: Long) =
+        broadcast(e.filter(col("vec_id") === id)
+          .select(col("embedding").as("sv")))
+      var mc = e.filter(col("vec_id") =!= seedId)
+        .crossJoin(centerVec(seedId))
+        .select(col("vec_id"), col("embedding"), score("embedding", "sv").as("mc"))
+      var picks = List((1L, seedId, Option.empty[Double]))
+      for (i <- 2 to 4) {
+        val (id, m) = mc.orderBy(col("mc"), col("vec_id")).limit(1)
+          .select(col("vec_id"), col("mc")).as[(Long, Double)].head()
+        picks = (i.toLong, id, Some(m)) :: picks
+        if (i < 4)
+          mc = mc.filter(col("vec_id") =!= id)
+            .crossJoin(centerVec(id))
+            .select(col("vec_id"), col("embedding"),
+              greatest(col("mc"), score("embedding", "sv")).as("mc"))
+      }
+      picks.reverse.toDF("sel_order", "vec_id", "sel_mc")
+        .select(col("sel_order"), col("vec_id"), col("sel_mc").cast("double"))
+        .orderBy("sel_order")
+    },
+
     // ----- IVF nprobe calibration sweep: the recall/cost curve -----
     // `ann_recall_report` measures ONE operating point (nprobe=2); the
     // sweep measures the CURVE an index is tuned from — for nprobe ∈
