@@ -910,6 +910,63 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- contrastive training-pair construction from the clusters -----
+    // The dataset an embedding model trains on: (anchor, positive) from
+    // each multi-member near-dup cluster (the two smallest ids — true
+    // semantic pairs the sketch already found), and a DETERMINISTIC
+    // negative via an LCG probe into the id domain, kept only when it
+    // lands on an existing doc in a DIFFERENT cluster (collisions drop;
+    // no retry loop — a scan-resistant rule beats a per-row lookup
+    // chain). Every join is an equi-join: clusters read from the
+    // persisted store, the negative resolves by one id join, nothing
+    // pairwise ever materializes beyond the cluster pairs themselves.
+    "contrastive_pairs" -> QueryDef.sql(
+      s"""WITH $MinhashBandsCte,
+         |cand AS (
+         |  $BandedPairsSelect),
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id),
+         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |rr AS (
+         |  SELECT doc_id, cluster_id,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+         |  FROM clusters),
+         |p AS (
+         |  SELECT a.cluster_id, a.doc_id AS anchor, b.doc_id AS positive
+         |  FROM rr a JOIN rr b ON b.cluster_id = a.cluster_id
+         |    AND b.rn = a.rn + 1),
+         |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+         |n0 AS (SELECT p.*, (p.anchor * 48271 + 7) % mx.m AS cand_id FROM p, mx)
+         |SELECT n0.anchor, n0.positive, c.doc_id AS negative, n0.cluster_id
+         |FROM n0 JOIN clusters c
+         |  ON c.doc_id = n0.cand_id AND c.cluster_id <> n0.cluster_id
+         |ORDER BY anchor""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val clusters = SignatureStore.ensureClusters(s, d)
+        .select("doc_id", "cluster_id")
+      val rn = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+      val ranked = clusters.withColumn("rn", row_number().over(rn))
+      val pairs = ranked
+        .select(col("cluster_id"), col("rn"), col("doc_id").as("anchor"))
+        .join(ranked.select(col("cluster_id"), (col("rn") - 1).as("rn"),
+          col("doc_id").as("positive")), Seq("cluster_id", "rn"))
+        .select("cluster_id", "anchor", "positive")
+      val mx = documents(s, d).agg((max(col("doc_id")) + 1).as("m"))
+      pairs.crossJoin(broadcast(mx))
+        .withColumn("cand_id", (col("anchor") * 48271L + 7L) % col("m"))
+        .join(clusters.select(col("doc_id").as("cand_id"),
+          col("cluster_id").as("neg_cluster")), Seq("cand_id"))
+        .filter(col("neg_cluster") =!= col("cluster_id"))
+        .select(col("anchor"), col("positive"), col("cand_id").as("negative"),
+          col("cluster_id"))
+        .orderBy("anchor")
+    },
+
     // ----- quality-aware canonical selection per near-dup cluster -----
     // The refinement every production dedup ships after min-id
     // canonicalization (Lee et al. 2022 keep one-per-cluster): keep the
