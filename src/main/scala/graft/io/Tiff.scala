@@ -206,23 +206,45 @@ object Tiff {
   def decode(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] =
     if (info.tiled) decodeTiles(data, info) else decodeStrips(data, info)
 
+  /** Row-bounded decode: only strips/tiles whose row range intersects
+    * [rowLo, rowHi] are DECOMPRESSED at all — the block-pruning hook the
+    * DataSource V2 scan ([[GraftTiffSource]]) pushes azimuth predicates
+    * into. Blocks are the TIFF's own IO unit, so this is the binary
+    * analog of parquet row-group pruning. Emitted rows are exactly
+    * `decode(...)` filtered to the bounds. */
+  def decodeRows(data: Array[Byte], info: Info, rowLo: Int, rowHi: Int): Iterator[(Int, Int, Double)] = {
+    val it =
+      if (info.tiled) decodeTiles(data, info, rowLo, rowHi)
+      else decodeStrips(data, info, rowLo, rowHi)
+    it.filter { case (az, _, _) => az >= rowLo && az <= rowHi }
+  }
+
+  /** Decompressed-block counter (single-JVM test instrumentation), so
+    * the DSv2 spec can prove predicate pushdown skips block IO rather
+    * than just filtering rows after decode. */
+  val blocksDecompressed = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Tile-organized rasters (tags 322-325): full-size tiles in row-major
     * tile-grid order; edge tiles overhang and are clipped. */
-  private def decodeTiles(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] = {
+  private def decodeTiles(data: Array[Byte], info: Info,
+      rowLo: Int = 0, rowHi: Int = Int.MaxValue): Iterator[(Int, Int, Double)] = {
     val bytesPerSample = info.bitsPerSample / 8
     val tilesAcross = (info.width + info.tileWidth - 1) / info.tileWidth
     info.tileOffsets.iterator.zipWithIndex.flatMap { case (off, t) =>
       val rowStart = (t / tilesAcross) * info.tileLength
-      val colStart = (t % tilesAcross) * info.tileWidth
-      val tileBytes = info.tileWidth * info.tileLength * bytesPerSample
-      val tile = decompressBlock(data, off.toInt,
-        if (info.tileByteCounts.nonEmpty) info.tileByteCounts(t).toInt else tileBytes,
-        tileBytes, info.tileWidth, info)
-      for {
-        r <- Iterator.range(0, math.min(info.tileLength, info.height - rowStart))
-        c <- Iterator.range(0, math.min(info.tileWidth, info.width - colStart))
-      } yield (rowStart + r, colStart + c,
-        sampleAt(tile, (r * info.tileWidth + c) * bytesPerSample, info))
+      if (rowStart > rowHi || rowStart + info.tileLength - 1 < rowLo) Iterator.empty
+      else {
+        val colStart = (t % tilesAcross) * info.tileWidth
+        val tileBytes = info.tileWidth * info.tileLength * bytesPerSample
+        val tile = decompressBlock(data, off.toInt,
+          if (info.tileByteCounts.nonEmpty) info.tileByteCounts(t).toInt else tileBytes,
+          tileBytes, info.tileWidth, info)
+        for {
+          r <- Iterator.range(0, math.min(info.tileLength, info.height - rowStart))
+          c <- Iterator.range(0, math.min(info.tileWidth, info.width - colStart))
+        } yield (rowStart + r, colStart + c,
+          sampleAt(tile, (r * info.tileWidth + c) * bytesPerSample, info))
+      }
     }
   }
 
@@ -230,6 +252,7 @@ object Tiff {
     * horizontal predictor when tag 317 = 2. */
   private def decompressBlock(data: Array[Byte], off: Int, count: Int,
       outLen: Int, blockWidth: Int, info: Info): Array[Byte] = {
+    blocksDecompressed.incrementAndGet()
     val raw = info.compression match {
       case 1 => java.util.Arrays.copyOfRange(data, off, off + outLen)
       case 5 => lzwDecode(data, off, count, outLen)
@@ -375,19 +398,23 @@ object Tiff {
     out
   }
 
-  private def decodeStrips(data: Array[Byte], info: Info): Iterator[(Int, Int, Double)] = {
+  private def decodeStrips(data: Array[Byte], info: Info,
+      rowLo: Int = 0, rowHi: Int = Int.MaxValue): Iterator[(Int, Int, Double)] = {
     val bytesPerSample = info.bitsPerSample / 8
     info.stripOffsets.iterator.zipWithIndex.flatMap { case (off, s) =>
       val rowStart = s * info.rowsPerStrip
-      val rows = math.min(info.rowsPerStrip, info.height - rowStart)
-      val stripBytes = rows * info.width * bytesPerSample
-      val strip = decompressBlock(data, off.toInt,
-        if (info.stripByteCounts.nonEmpty) info.stripByteCounts(s).toInt else stripBytes,
-        stripBytes, info.width, info)
-      for {
-        r <- Iterator.range(0, rows)
-        c <- Iterator.range(0, info.width)
-      } yield (rowStart + r, c, sampleAt(strip, (r * info.width + c) * bytesPerSample, info))
+      if (rowStart > rowHi || rowStart + info.rowsPerStrip - 1 < rowLo) Iterator.empty
+      else {
+        val rows = math.min(info.rowsPerStrip, info.height - rowStart)
+        val stripBytes = rows * info.width * bytesPerSample
+        val strip = decompressBlock(data, off.toInt,
+          if (info.stripByteCounts.nonEmpty) info.stripByteCounts(s).toInt else stripBytes,
+          stripBytes, info.width, info)
+        for {
+          r <- Iterator.range(0, rows)
+          c <- Iterator.range(0, info.width)
+        } yield (rowStart + r, c, sampleAt(strip, (r * info.width + c) * bytesPerSample, info))
+      }
     }
   }
 
