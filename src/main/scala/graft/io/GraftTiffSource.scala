@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -90,12 +91,28 @@ class GraftTiffTable(path: String) extends Table with SupportsRead {
 }
 
 class GraftTiffScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = GraftTiffSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var rowLo: Int = 0
   private var rowHi: Int = Int.MaxValue
+  private var countPushed = false
+
+  /** Bare `count(*)` answers from the HEADER (width × height — a few
+    * seeks, zero pixel decode): the most extreme form of pushdown the
+    * format allows. Partial pushdown only — each file contributes one
+    * count row and Spark sums; Spark offers the aggregate here only
+    * when no residual filter sits above the scan, so pushed counts can
+    * never disagree with a filtered plan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -126,7 +143,35 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftTiffScan(path, required, pushed, rowLo, rowHi)
+  override def build(): Scan =
+    if (countPushed) new GraftTiffCountScan(path)
+    else new GraftTiffScan(path, required, pushed, rowLo, rowHi)
+}
+
+/** Header-only scan serving a pushed `count(*)`: one row per raster
+  * carrying width × height; no payload byte is ever read. */
+class GraftTiffCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-tiff $path, PushedAggregates: [COUNT(*)]"
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftTiffSource.listRasters(path)
+      .map(f => GraftTiffPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val file = partition.asInstanceOf[GraftTiffPartition].file
+          private var served = false
+          override def next(): Boolean = !served && { served = true; true }
+          override def get(): InternalRow = {
+            val info = Tiff.readHeader(file.replaceFirst("^file:/*", "/"))
+            InternalRow(info.width.toLong * info.height)
+          }
+          override def close(): Unit = ()
+        }
+    }
 }
 
 class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],

@@ -39,8 +39,9 @@ class GraftTiffDsv2Spec extends SparkFunSuite {
   }
 
   test("a narrow azimuth bound decompresses fewer blocks (IO pruning, not row filtering)") {
+    // both sides filtered so neither takes the count(*) header-only path
     Tiff.blocksDecompressed.set(0)
-    v2.count()
+    v2.filter(col("azimuth") >= 0).count()
     val full = Tiff.blocksDecompressed.get()
     Tiff.blocksDecompressed.set(0)
     v2.filter(col("azimuth") === 0).count()
@@ -48,6 +49,16 @@ class GraftTiffDsv2Spec extends SparkFunSuite {
     assert(full > 0)
     assert(pruned < full,
       s"azimuth=0 should touch fewer blocks than the full scan ($pruned vs $full)")
+  }
+
+  test("bare count(*) answers from headers alone: zero blocks decompressed") {
+    val want = TiffPixelSource.readPixels(spark,
+      GraftTiffSource.listRasters(grdDir)).count()
+    Tiff.blocksDecompressed.set(0)
+    val got = v2.count()
+    assert(got == want && got > 0)
+    assert(Tiff.blocksDecompressed.get() == 0,
+      "a pushed count(*) must not decode any pixel block")
   }
 
   test("column pruning narrows the scan's read schema") {
