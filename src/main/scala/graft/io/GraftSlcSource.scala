@@ -1,0 +1,207 @@
+package graft.io
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for SLC HDF5 stacks — the complex-pair sibling of
+  * [[GraftTiffSource]]: `spark.read.format("graft-slc").load(dir)` →
+  * `(path, azimuth, range, real, imag)`.
+  *
+  * Same connector story, different binary format, different pruning
+  * unit: azimuth predicates push into [[Hdf5]]'s `readDoublesRows`,
+  * where a CONTIGUOUS dataset becomes one ranged read of the row span
+  * (a strict byte-range skip) and a CHUNKED dataset skips every chunk
+  * whose dim-0 range misses the bound (the chunk B-tree carries chunk
+  * origins, so pruning needs no data read at all) — proven by the
+  * [[Hdf5.blocksRead]] counter. Bare `count(*)` answers from the
+  * dataspace dims (superblock + object-header walk, zero data bytes).
+  */
+class GraftSlcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-slc"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSlcSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftSlcTable(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-slc requires a load path")))
+}
+
+object GraftSlcSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("azimuth", IntegerType, nullable = false),
+    StructField("range", IntegerType, nullable = false),
+    StructField("real", DoubleType, nullable = false),
+    StructField("imag", DoubleType, nullable = false)))
+
+  def listRasters(pathStr: String): Seq[String] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files = if (st.isFile) Seq(st) else fs.listStatus(p).toSeq.filter(_.isFile)
+    files.map(_.getPath)
+      .filter(_.getName.toLowerCase.endsWith(".h5"))
+      .map(_.toString).sorted
+  }
+
+  private[io] def localPath(file: String): String =
+    file.replaceFirst("^file:/*", "/")
+}
+
+class GraftSlcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-slc $path"
+  override def schema(): StructType = GraftSlcSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSlcScanBuilder(path)
+}
+
+class GraftSlcScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  private var required: StructType = GraftSlcSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var rowLo: Int = 0
+  private var rowHi: Int = Int.MaxValue
+  private var countPushed = false
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("azimuth", _: Number) => true
+      case GreaterThan("azimuth", _: Number) => true
+      case LessThanOrEqual("azimuth", _: Number) => true
+      case LessThan("azimuth", _: Number) => true
+      case EqualTo("azimuth", _: Number) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual(_, v: Number) => rowLo = math.max(rowLo, v.intValue())
+      case GreaterThan(_, v: Number) => rowLo = math.max(rowLo, v.intValue() + 1)
+      case LessThanOrEqual(_, v: Number) => rowHi = math.min(rowHi, v.intValue())
+      case LessThan(_, v: Number) => rowHi = math.min(rowHi, v.intValue() - 1)
+      case EqualTo(_, v: Number) =>
+        rowLo = math.max(rowLo, v.intValue()); rowHi = math.min(rowHi, v.intValue())
+      case _ =>
+    }
+    pushed = accepted
+    rejected ++ accepted // Spark re-applies: pruning stays IO-only
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan =
+    if (countPushed) new GraftSlcCountScan(path)
+    else new GraftSlcScan(path, required, pushed, rowLo, rowHi)
+}
+
+class GraftSlcScan(path: String, required: StructType, pushed: Array[Filter],
+    rowLo: Int, rowHi: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-slc $path, PushedFilters: [${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftSlcSource.listRasters(path)
+      .map(f => GraftSlcPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSlcReaderFactory(required.fieldNames, rowLo, rowHi)
+}
+
+case class GraftSlcPartition(file: String) extends InputPartition
+
+class GraftSlcReaderFactory(fields: Array[String], rowLo: Int, rowHi: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftSlcReader(partition.asInstanceOf[GraftSlcPartition].file,
+      fields, rowLo, rowHi)
+}
+
+/** Per-file reader: header walk, then the row-bounded decode of the
+  * s_i/s_q pair. */
+class GraftSlcReader(file: String, fields: Array[String], rowLo: Int, rowHi: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val local = GraftSlcSource.localPath(file)
+  private val pathUtf8 = UTF8String.fromString(local)
+
+  private val (lo, rg, re, im) = {
+    val (f, raf) = Hdf5.open(local)
+    try {
+      val entries = f.rootEntries.toMap
+      val si = f.dataset("s_i", entries("s_i"))
+      val sq = f.dataset("s_q", entries("s_q"))
+      require(si.dims.size == 2 && si.dims == sq.dims,
+        s"s_i/s_q must be matching 2-D datasets in $local")
+      val az = si.dims.head.toInt
+      val l = math.max(rowLo, 0)
+      val h = math.min(rowHi, az - 1)
+      if (l > h) (0, si.dims(1).toInt, Array.emptyDoubleArray, Array.emptyDoubleArray)
+      else (l, si.dims(1).toInt,
+        f.readDoublesRows(si, l, h), f.readDoublesRows(sq, l, h))
+    } finally raf.close()
+  }
+
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < re.length }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(fields.toSeq.map {
+      case "path" => pathUtf8
+      case "azimuth" => lo + i / rg
+      case "range" => i % rg
+      case "real" => re(i)
+      case "imag" => im(i)
+    })
+  override def close(): Unit = ()
+}
+
+/** Header-only scan serving a pushed `count(*)`: dataspace dims. */
+class GraftSlcCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-slc $path, PushedAggregates: [COUNT(*)]"
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftSlcSource.listRasters(path)
+      .map(f => GraftSlcPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val file = partition.asInstanceOf[GraftSlcPartition].file
+          private var served = false
+          override def next(): Boolean = !served && { served = true; true }
+          override def get(): InternalRow = {
+            val (f, raf) = Hdf5.open(GraftSlcSource.localPath(file))
+            try {
+              val si = f.dataset("s_i", f.rootEntries.toMap.apply("s_i"))
+              InternalRow(si.dims.product)
+            } finally raf.close()
+          }
+          override def close(): Unit = ()
+        }
+    }
+}

@@ -23,6 +23,11 @@ package graft.io
   */
 object Hdf5 {
 
+  /** Data-block read counter (single-JVM test instrumentation): the
+    * DSv2 spec proves azimuth pushdown skips chunk/section IO rather
+    * than filtering rows after decode. */
+  val blocksRead = new java.util.concurrent.atomic.AtomicLong(0)
+
   type ReadAt = (Long, Int) => Array[Byte]
 
   private val Undef = -1L // 0xFFFF… addresses
@@ -571,6 +576,79 @@ object Hdf5 {
       case Contiguous(off, sz) => read(off, sz.toInt)
     }
 
+    private def inflateChunk(stored: Array[Byte], outLen: Int, name: String): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(stored)
+      val buf = new Array[Byte](outLen)
+      var done = 0
+      var stalled = false
+      while (done < buf.length && !inf.finished() && !stalled) {
+        val n = inf.inflate(buf, done, buf.length - done)
+        // truncated stream: inflate()==0 forever — fail instead
+        stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
+        done += n
+      }
+      inf.end()
+      require(done == buf.length,
+        s"$name: gzip'd chunk inflated to $done of ${buf.length} bytes")
+      buf
+    }
+
+    /** Row-bounded 2-D read: only the rows [rowLo, rowHi] materialize.
+      * Contiguous layout becomes ONE ranged read of the row span;
+      * chunked layout skips every chunk whose dim-0 range misses the
+      * bound — the HDF5 analog of [[Tiff.decodeRows]]'s strip pruning,
+      * and the hook the `graft-slc` DataSource V2 pushes azimuth
+      * predicates into. Returns (hi − lo + 1) · rg doubles, row-major
+      * from rowLo. */
+    def readDoublesRows(ds: Dataset, rowLo0: Int, rowHi0: Int): Array[Double] = {
+      require(ds.dims.size == 2, s"${ds.name}: readDoublesRows needs a 2-D dataset")
+      val az = ds.dims.head.toInt
+      val rg = ds.dims(1).toInt
+      val lo = math.max(rowLo0, 0)
+      val hi = math.min(rowHi0, az - 1)
+      if (lo > hi) return Array.emptyDoubleArray
+      val elemSize = ds.dtype match {
+        case FixedPoint(s, _, _) => s
+        case FloatPoint(s, _)    => s
+        case t => throw new IllegalArgumentException(s"${ds.name}: not numeric ($t)")
+      }
+      ds.layout match {
+        case Contiguous(off, _) =>
+          Hdf5.blocksRead.incrementAndGet()
+          val n = (hi - lo + 1) * rg
+          decodeNumeric(read(off + lo.toLong * rg * elemSize, n * elemSize),
+            n, ds.dtype, ds.name)
+        case Compact(d) =>
+          Hdf5.blocksRead.incrementAndGet()
+          val all = decodeNumeric(d, ds.elementCount.toInt, ds.dtype, ds.name)
+          java.util.Arrays.copyOfRange(all, lo * rg, (hi + 1) * rg)
+        case c: Chunked =>
+          val out = new Array[Double]((hi - lo + 1) * rg)
+          val chunkElems = c.chunkDims.product.toInt
+          val c0 = c.chunkDims.head
+          chunkEntries(c.btreeAddr, 2).foreach { case (addr, storedSize, origin) =>
+            val o0 = origin.head
+            if (o0 <= hi && o0 + c0 - 1 >= lo) {
+              Hdf5.blocksRead.incrementAndGet()
+              val stored = read(addr, storedSize)
+              val raw = if (!c.deflate) stored
+                else inflateChunk(stored, chunkElems * elemSize, ds.name)
+              val vals = decodeNumeric(raw, chunkElems, ds.dtype, ds.name)
+              var i = 0
+              while (i < chunkElems) {
+                val r = o0 + i / c.chunkDims(1)
+                val col = origin(1) + i % c.chunkDims(1)
+                if (r >= lo && r <= hi && col < rg)
+                  out(((r - lo) * rg + col).toInt) = vals(i)
+                i += 1
+              }
+            }
+          }
+          out
+      }
+    }
+
     /** Numeric dataset → doubles (row-major), assembling chunks when the
       * layout is chunked (inflating gzip'd chunks per the filter
       * pipeline). */
@@ -588,23 +666,7 @@ object Hdf5 {
           val stored = read(addr, storedSize)
           val raw =
             if (!c.deflate) stored
-            else {
-              val inf = new java.util.zip.Inflater()
-              inf.setInput(stored)
-              val buf = new Array[Byte](chunkElems * elemSize)
-              var done = 0
-              var stalled = false
-              while (done < buf.length && !inf.finished() && !stalled) {
-                val n = inf.inflate(buf, done, buf.length - done)
-                // truncated stream: inflate()==0 forever — fail instead
-                stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
-                done += n
-              }
-              inf.end()
-              require(done == buf.length,
-                s"${ds.name}: gzip'd chunk inflated to $done of ${buf.length} bytes")
-              buf
-            }
+            else inflateChunk(stored, chunkElems * elemSize, ds.name)
           val vals = decodeNumeric(raw, chunkElems, ds.dtype, ds.name)
           // place chunk elements (row-major within chunkDims); clip edge
           // chunks that overhang the dataset dims
