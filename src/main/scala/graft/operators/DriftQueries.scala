@@ -279,6 +279,43 @@ object DriftQueries {
         .orderBy("event_type", "hod")
     },
 
+    // ----- hierarchical rollup (GROUPING SETS surface) -----
+    // The one aggregation shape the registry hadn't shown: a single
+    // pass emitting EVERY level of the (event_type, day-of-week)
+    // hierarchy — leaf cells, per-type subtotals, and the grand total —
+    // via ROLLUP, with grouping() flags disambiguating a real NULL
+    // group from a subtotal row (the classic reporting-cube trap).
+    // One shuffle for all levels (Catalyst expands the grouping sets
+    // map-side); exact DECIMAL value mass.
+    "a13_rollup_activity" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    CAST(value AS DECIMAL(18,4)) AS val
+        |  FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |  CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+        |  CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(val) AS DOUBLE) AS total_value
+        |FROM ev GROUP BY ROLLUP (event_type, dow)
+        |ORDER BY gid, event_type, dow""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      events(s, d)
+        .select(col("event_type"),
+          expr(s"((($us) div 86400000000) + 4) % 7").as("dow"),
+          col("value").cast("decimal(18,4)").as("val"))
+        .rollup("event_type", "dow")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("val")).cast("double").as("total_value"),
+          (grouping(col("event_type")) * 2 + grouping(col("dow")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("dow"), lit(-1L)).cast("long").as("dow"),
+          col("gid"), col("n_events"), col("total_value"))
+        .orderBy("gid", "event_type", "dow")
+    },
+
     // ----- churn training-set construction (point-in-time features) -----
     // The supervised-learning counterpart of the forecast baseline:
     // users active in the first half of the day range get features
