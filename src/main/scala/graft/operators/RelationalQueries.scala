@@ -2263,6 +2263,31 @@ object RelationalQueries {
         .orderBy("pur_id")
     },
 
+    // ----- U3: INTERSECT / EXCEPT set semantics on user cohorts -----
+    // The two §2.7 set operators not exercised by the union family,
+    // with their DEDUPLICATING set semantics intact (Spark
+    // intersect/except ≡ SQL INTERSECT/EXCEPT — both dedupe, unlike
+    // UNION ALL): purchasers who also errored vs purchasers who never
+    // did. Both plan as hash aggregates + one semi/anti-shaped join on
+    // the user key — no row-multiplying join can sneak in.
+    "u3_set_ops" -> QueryDef.sql(
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'both' AS kind, user_id
+        |FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT 'purchase_only', user_id
+        |FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        |ORDER BY kind, user_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase").select("user_id")
+      val e = ev.filter(col("event_type") === "error").select("user_id")
+      p.intersect(e).select(lit("both").as("kind"), col("user_id"))
+        .unionByName(p.except(e)
+          .select(lit("purchase_only").as("kind"), col("user_id")))
+        .orderBy("kind", "user_id")
+    },
+
     // ----- J14: variable-width interval-dimension join (broadcast) -----
     // The complementary case to j6/j10/j11: OVERLAPPING campaign windows
     // of data-derived width (each event can land in up to 2), so the
