@@ -2263,6 +2263,42 @@ object RelationalQueries {
         .orderBy("pur_id")
     },
 
+    // ----- J15: forward as-of join (next event at-or-after) -----
+    // The mirrored strategy of j13 through the SAME native operator
+    // (`forward = true`): each purchase looks up the NEXT error
+    // at-or-after it for the same user — time-to-failure analysis, the
+    // other direction every as-of implementation ships
+    // (polars strategy='forward'). One SMJ-shaped exchange pair, one
+    // merge pass that PEEKS at the first qualifying right row instead
+    // of consuming candidates. Oracle: DuckDB ASOF LEFT JOIN with the
+    // inequality flipped.
+    "j15_asof_join_forward" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT event_id AS pur_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS eus, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.pur_id, e.err_id, e.eus - p.pus AS wait_us
+        |FROM p ASOF LEFT JOIN e
+        |  ON p.user_id = e.user_id AND p.pus <= e.eus
+        |ORDER BY pur_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          expr(Tables.epochUsFloorSql).as("pus"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("eus"), col("event_id"))
+        .groupBy(col("user_id"), col("eus"))
+        .agg(max(col("event_id")).as("err_id"))
+        .select(col("user_id").as("r_user"), col("eus"), col("err_id"))
+      graft.plans.Asof.join(pur, err,
+          leftKeys = Seq("user_id"), rightKeys = Seq("r_user"),
+          leftTimeCol = "pus", rightTimeCol = "eus", forward = true)
+        .select(col("pur_id"), col("err_id"), (col("eus") - col("pus")).as("wait_us"))
+        .orderBy("pur_id")
+    },
+
     // ----- U3: INTERSECT / EXCEPT set semantics on user cohorts -----
     // The two §2.7 set operators not exercised by the union family,
     // with their DEDUPLICATING set semantics intact (Spark

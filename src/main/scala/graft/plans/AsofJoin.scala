@@ -31,8 +31,13 @@ import org.apache.spark.sql.types.LongType
   *
   * Semantics are LEFT OUTER (unmatched left rows carry nulls), matching
   * DuckDB `ASOF LEFT JOIN` with `l.t >= r.t`, which is the oracle in
-  * `j13_asof_join_native`. Right rows with null time never match; a null
-  * left time matches nothing. Times must be LongType (epoch-µs in this
+  * `j13_asof_join_native`. `forward = true` flips the strategy (polars
+  * `strategy='forward'`): the SMALLEST right time ≥ the left time —
+  * DuckDB oracles it with `l.t <= r.t` (`j15_asof_join_forward`). The
+  * merge differs only in consumption: backward consumes candidates and
+  * keeps the last, forward peeks at the first qualifying row without
+  * consuming it. Right rows with null time never match; a null left
+  * time matches nothing. Times must be LongType (epoch-µs in this
   * repo); keys may be any binary-stable types.
   *
   * Determinism contract: callers must make the right side UNIQUE per
@@ -46,7 +51,8 @@ case class AsofJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -60,8 +66,8 @@ case class AsofJoin(
   * [[graft.GraftExtensions]]. */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, fwd) =>
+      AsofJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -71,6 +77,7 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -108,6 +115,7 @@ case class AsofJoinExec(
     val rKeys = rightKeys
     val lT = leftTime
     val rT = rightTime
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -139,7 +147,8 @@ case class AsofJoinExec(
             matchKey = null
           }
           val ltv = lTime.eval(l)
-          if (ltv != null) {
+          if (ltv != null && !fwd) {
+            // BACKWARD: largest rt <= lt — consume candidates, keep last
             val lt = ltv.asInstanceOf[Long]
             var scan = true
             while (scan && rRow != null) {
@@ -151,17 +160,45 @@ case class AsofJoinExec(
                 val rtv = rTime.eval(rRow)
                 if (rtv == null) advanceRight() // null time never matches
                 else if (rtv.asInstanceOf[Long] <= lt) {
-                  // a newer (still ≤ lt) candidate supersedes the old one
+                  // a newer (still <= lt) candidate supersedes the old one
                   matchRow = rRow.copy()
                   matchKey = lk.copy()
                   advanceRight()
                 } else scan = false // right time beyond this left row
               }
             }
+          } else if (ltv != null) {
+            // FORWARD: smallest rt >= lt — advance PAST stale rows and
+            // PEEK at the candidate without consuming it (later left
+            // rows of the same key may need the same right row; for
+            // ascending left times the needed row only moves forward)
+            val lt = ltv.asInstanceOf[Long]
+            var scan = true
+            while (scan && rRow != null) {
+              val rk = rKeyProj(rRow)
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0) advanceRight()
+              else if (cmp > 0) scan = false
+              else {
+                val rtv = rTime.eval(rRow)
+                if (rtv == null) advanceRight() // nulls sort first; never match
+                else if (rtv.asInstanceOf[Long] < lt) advanceRight()
+                else scan = false // rRow IS the candidate
+              }
+            }
           }
           numOutputRows += 1
-          if (matchRow != null && matchKey == lk) joined(l, matchRow)
-          else joined(l, nullRight)
+          if (!fwd) {
+            if (matchRow != null && matchKey == lk) joined(l, matchRow)
+            else joined(l, nullRight)
+          } else {
+            val hit = ltv != null && rRow != null &&
+              keyOrd.compare(rKeyProj(rRow), lk) == 0 && {
+                val rtv = rTime.eval(rRow)
+                rtv != null && rtv.asInstanceOf[Long] >= ltv.asInstanceOf[Long]
+              }
+            if (hit) joined(l, rRow) else joined(l, nullRight)
+          }
         }
       }
     }
@@ -178,7 +215,8 @@ object Asof {
     * from the same scan. */
   def join(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      forward: Boolean = false): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     val shared = lp.outputSet.intersect(rp.outputSet)
@@ -191,6 +229,6 @@ object Asof {
     GraftSqlBridge.ofRows(left.sparkSession, AsofJoin(
       lp, rp,
       leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-      attr(lp, leftTimeCol), attr(rp, rightTimeCol)))
+      attr(lp, leftTimeCol), attr(rp, rightTimeCol), forward))
   }
 }
