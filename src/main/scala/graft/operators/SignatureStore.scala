@@ -772,6 +772,41 @@ object SignatureStore {
       compactInto(spark, frameDiffDir(base), streamFrameDiffDir(base),
         readFrameDiffs(spark, base))
 
+  /** Compact the IVF assignment store (latest-wins per vec_id). */
+  def compactIvfAssignments(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamIvfDir(base)))
+      compactInto(spark, ivfDir(base), streamIvfDir(base),
+        readIvfAssignments(spark, base))
+
+  /** Compact the int8-quantized vector store (latest-wins per vec_id). */
+  def compactQuantizedVectors(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamQ8Dir(base)))
+      compactInto(spark, q8Dir(base), streamQ8Dir(base),
+        readQuantizedVectors(spark, base))
+
+  /** Compact the PQ code store (latest-wins per vec_id; the codebook
+    * artifact is immutable and untouched). Unlike the other seals this
+    * cannot reuse the reader verbatim: [[readPqCodes]] returns the
+    * UNPACKED per-subspace rows, while the batch subtree stores the
+    * packed 8-byte codes — so the resolve here runs on the PACKED
+    * form (the same latest-wins rule, before unpacking). */
+  def compactPqCodes(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamPqDir(base))) {
+      val batch = Option.when(hasData(spark, pqCodesDir(base)))(
+        spark.read.parquet(pqCodesDir(base)).select("vec_id", "codes"))
+      val stream = spark.read.parquet(streamPqDir(base))
+        .select(col("vec_id"), col("codes"), col("batch_id").cast("long").as("batch_id"))
+        .groupBy("vec_id")
+        .agg(max_by(col("codes"), col("batch_id")).as("codes"))
+      val resolved = batch match {
+        case Some(b) =>
+          b.join(stream.select("vec_id"), Seq("vec_id"), "left_anti")
+            .unionByName(stream)
+        case None => stream
+      }
+      compactInto(spark, pqCodesDir(base), streamPqDir(base), resolved)
+    }
+
   def bm25PostingsDir(base: String) = s"$base/bm25_postings"
   def bm25DoclensDir(base: String) = s"$base/bm25_doclens"
 

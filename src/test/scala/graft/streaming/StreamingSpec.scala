@@ -650,6 +650,57 @@ class StreamingSpec extends SparkFunSuite {
     assert(stored == newDiffs)
   }
 
+  test("IVF-assignment store compaction seals latest-wins and keeps taking appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{SignatureStore, VectorQueries}
+    val base = tmpDir("ivfcompact")
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == seed % 8) 1f else 0f)
+    val centroids = Seq(0L, 1L).map(id => (id, vec(id.toInt)))
+      .toDF("cent_id", "cv")
+    // batch subtree: vectors 10, 11 assigned by the real assigner
+    VectorQueries.ivfAssign(
+        Seq((10L, vec(0)), (11L, vec(1))).toDF("vec_id", "embedding"), centroids)
+      .write.parquet(SignatureStore.ivfDir(base))
+    // stream: vector 11 re-sent pointing at the OTHER centroid, 12 new
+    val input = MemoryStream[(Long, Int)]
+    val query = EventStream.maintainIvfAssignments(
+      input.toDS().toDF("vec_id", "seed")
+        .select(col("vec_id"), udf((s: Int) => vec(s)).apply(col("seed")).as("embedding")),
+      SignatureStore.streamIvfDir(base), centroids)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((11L, 0), (12L, 1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val before = SignatureStore.readIvfAssignments(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(10L -> 0L, 11L -> 0L, 12L -> 1L),
+      s"stream row must supersede 11's batch assignment: $before")
+    SignatureStore.compactIvfAssignments(spark, base)
+    val after = SignatureStore.readIvfAssignments(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamIvfDir(base))),
+      "compaction must drop the stream subtree")
+    // a compacted store keeps taking appends
+    val input2 = MemoryStream[(Long, Int)]
+    val query2 = EventStream.maintainIvfAssignments(
+      input2.toDS().toDF("vec_id", "seed")
+        .select(col("vec_id"), udf((s: Int) => vec(s)).apply(col("seed")).as("embedding")),
+      SignatureStore.streamIvfDir(base), centroids)
+      .option("checkpointLocation", s"$base/_ckpt2").start()
+    try {
+      input2.addData((10L, 1))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val resumed = SignatureStore.readIvfAssignments(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == Map(10L -> 1L, 11L -> 0L, 12L -> 1L))
+  }
+
   test("image-phash store: a re-ingested image's newest fingerprint wins") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
