@@ -48,9 +48,12 @@ import org.apache.spark.sql.types.LongType
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** A detected `a BETWEEN b − c AND b` band: `a` evaluable on one
-    * child, `b` on the other, `c` a positive Long literal. */
-  private case class Band(a: Expression, b: Expression, c: Long)
+  /** A detected band between cross-side Long expressions: `a` lands in
+    * `[b + loOff, b + hiOff]` with bucket width `w` (positive Long
+    * literal). Trailing/forward windows use (−c, 0); symmetric
+    * `abs(a − b) <= c` uses (−c, +c). */
+  private case class Band(a: Expression, b: Expression, w: Long,
+      loOff: Long, hiOff: Long)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -112,18 +115,30 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case (a, Add(Literal(c: Long, LongType), b, _))
         if c > 0 && longs(a, b) => (b, a, c)
     }
-    (trailing ++ forward).collectFirst(Function.unlift { case (a, b, c) =>
-      val uppered = les.exists { case (x, y) => x.semanticEquals(a) && y.semanticEquals(b) }
-      val sides = (sideOf(a, left, right), sideOf(b, left, right))
-      sides match {
-        case (Some(sa), Some(sb)) if sa != sb && uppered => Some(Band(a, b, c))
-        case _ => None
-      }
+    val windowed = (trailing ++ forward).collectFirst(Function.unlift {
+      case (a: Expression, b: Expression, c: Long) =>
+        val uppered = les.exists { case (x, y) => x.semanticEquals(a) && y.semanticEquals(b) }
+        val sides = (sideOf(a, left, right), sideOf(b, left, right))
+        sides match {
+          case (Some(sa), Some(sb)) if sa != sb && uppered => Some(Band(a, b, c, -c, 0))
+          case _ => None
+        }
     })
+    // symmetric spelling: abs(a − b) <= c is one self-contained conjunct
+    lazy val symmetric = les.collectFirst(Function.unlift {
+      case (Abs(Subtract(x, y, _), _), Literal(c: Long, LongType))
+          if c > 0 && longs(x, y) =>
+        (sideOf(x, left, right), sideOf(y, left, right)) match {
+          case (Some(sx), Some(sy)) if sx != sy => Some(Band(x, y, c, -c, c))
+          case _ => None
+        }
+      case _ => None
+    })
+    windowed.orElse(symmetric)
   }
 
   private def rewrite(j: Join, band: Band, hint: JoinHint): LogicalPlan = {
-    val Band(a, b, c) = band
+    val Band(a, b, c, loOff, hiOff) = band
     val w = Literal(c, LongType)
     val aOnLeft = a.references.subsetOf(j.left.outputSet)
     val (aChild, bChild) = if (aOnLeft) (j.left, j.right) else (j.right, j.left)
@@ -135,8 +150,8 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // Sequence is TimeZoneAwareExpression: it resolves only with an
     // explicit zone, even over Longs
     val seq = new Sequence(
-      IntegralDivide(Subtract(b, Literal(c, LongType)), w),
-      IntegralDivide(b, w),
+      IntegralDivide(Add(b, Literal(loOff, LongType)), w),
+      IntegralDivide(Add(b, Literal(hiOff, LongType)), w),
       Some(Literal(1L, LongType)),
       Some(conf.sessionLocalTimeZone))
     val bPlan = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,

@@ -77,6 +77,22 @@ class BandJoinRewriteSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("the symmetric spelling abs(a - b) <= c is rewritten too") {
+    val pv = Seq(-120L, -51L, -50L, 0L, 49L, 50L, 51L, 149L, 150L, 151L, 300L)
+    val rv = Seq(-100L, 0L, 100L, 250L)
+    val q = pts(pv: _*).join(refs(rv: _*), abs(col("pt") - col("rt")) <= 50L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("band_bucket"), s"abs band must rewrite:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+    val got = q.select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      (p, pi) <- pv.zipWithIndex
+      (r, ri) <- rv.zipWithIndex
+      if math.abs(p - r) <= 50L
+    } yield (pi.toLong, ri.toLong)).toSet
+    assert(got == want)
+  }
+
   test("reversed operand spellings of the same band are recognized") {
     // b − c <= a (lower bound flipped) and b >= a (upper bound flipped)
     val p = pts(10L, 60L, 120L)
