@@ -2263,6 +2263,41 @@ object RelationalQueries {
         .orderBy("pur_id")
     },
 
+    // ----- J16: the naive SYMMETRIC band join, auto-rewritten -----
+    // j11's sibling for the third band spelling: errors within ±1 min
+    // of each purchase (either direction, any user), declared as the
+    // analyst would write it — `abs(aus − bus) <= 60s` — and relied on
+    // [[graft.plans.BandJoinRewrite]] to bucket it (≤ 3 buckets on the
+    // purchase side; plan-pinned BNLJ-free). Constant-size histogram
+    // out.
+    "j16_abs_band_auto" -> QueryDef.sql(
+      """WITH a AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) AS aus
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT event_id AS pur_id, epoch_us(ts) AS bus
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT b.pur_id, CAST(count(a.err_id) AS BIGINT) AS n
+        |  FROM b LEFT JOIN a ON abs(a.aus - b.bus) <= 60000000
+        |  GROUP BY 1)
+        |SELECT n AS n_nearby_errors, CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), expr(Tables.epochUsFloorSql).as("aus"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), expr(Tables.epochUsFloorSql).as("bus"))
+      val pairs = err.join(pur, abs(col("aus") - col("bus")) <= 60000000L)
+      pur.select(col("pur_id"))
+        .join(pairs.select("pur_id", "err_id"), Seq("pur_id"), "left")
+        .groupBy(col("pur_id"))
+        .agg(count(col("err_id")).as("n"))
+        .groupBy(col("n").as("n_nearby_errors"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("n_nearby_errors")
+    },
+
     // ----- J15: forward as-of join (next event at-or-after) -----
     // The mirrored strategy of j13 through the SAME native operator
     // (`forward = true`): each purchase looks up the NEXT error

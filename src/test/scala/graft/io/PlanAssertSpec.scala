@@ -640,6 +640,18 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("j16 naive abs-band join is auto-rewritten onto the bucket key") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("j16_abs_band_auto")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("band_bucket"),
+      s"the symmetric spelling must rewrite:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"no nested loop allowed:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("o13 grouped top-k partial-aggregates below the exchange (no window, no global sort)") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.RelationalQueries.defs("o13_grouped_topk_agg")
