@@ -112,6 +112,15 @@ class AsofJoinSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("empty sides degrade correctly (all-null matches / empty output)") {
+    val noRight = run(Seq((1L, 5L, "a")), Seq.empty)
+    assert(noRight == Set((1L, 5L, "a", null, null)))
+    val noLeft = run(Seq.empty, Seq((1L, 5L, "r")))
+    assert(noLeft.isEmpty)
+    val fwdNoRight = runFwd(Seq((1L, 5L, "a")), Seq.empty)
+    assert(fwdNoRight == Set((1L, 5L, "a", null, null)))
+  }
+
   test("plans as AsofJoinExec with SMJ-shaped exchanges, no window, no nested loop") {
     val l = (1L to 100L).map(i => (i % 7, i, s"l$i")).toDF("k", "t", "lv")
     val r = (1L to 50L).map(i => (i % 7, i * 2, s"r$i")).toDF("rk", "rt", "rv")
