@@ -279,6 +279,49 @@ object DriftQueries {
         .orderBy("event_type", "hod")
     },
 
+    // ----- trailing self-baseline deviation (rolling monitor) -----
+    // The third monitoring shape beside the global-median MAD and the
+    // split-half forecast: each (event_type, day) is judged against its
+    // OWN trailing week — a RANGE frame over the day value (not rows:
+    // gap days must not stretch the window), flagged when the count
+    // departs ±15% from the trailing mean (20·c·nw vs 23·sw / 17·sw),
+    // compared cross-multiplied so no division ever rounds. Warm-up days
+    // (< 3 trailing points) are excluded; output is bounded by
+    // flagged (type, day) cells.
+    "o14_rolling_baseline" -> QueryDef.sql(
+      """WITH dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sw,
+        |    CAST(count(c) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS nw
+        |  FROM dc)
+        |SELECT event_type, day, c, sw, nw,
+        |  CAST(CASE WHEN 20 * c * nw > 23 * sw THEN 1 ELSE -1 END AS BIGINT) AS direction
+        |FROM w WHERE nw >= 3 AND (20 * c * nw > 23 * sw OR 20 * c * nw < 17 * sw)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val us = graft.util.Tables.epochUsFloorSql
+      val dc = events(s, d)
+        .select(col("event_type"), expr(s"($us) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-7, -1)
+      dc.withColumn("sw", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("nw", count(col("c")).over(w))
+        .filter(col("nw") >= 3 &&
+          (lit(20) * col("c") * col("nw") > lit(23) * col("sw") ||
+            lit(20) * col("c") * col("nw") < lit(17) * col("sw")))
+        .select(col("event_type"), col("day"), col("c"), col("sw"), col("nw"),
+          when(lit(20) * col("c") * col("nw") > lit(23) * col("sw"), 1L)
+            .otherwise(-1L).as("direction"))
+        .orderBy("event_type", "day")
+    },
+
     // ----- hierarchical rollup (GROUPING SETS surface) -----
     // The one aggregation shape the registry hadn't shown: a single
     // pass emitting EVERY level of the (event_type, day-of-week)
