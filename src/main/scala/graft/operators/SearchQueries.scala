@@ -634,6 +634,53 @@ object SearchQueries {
         .select("doc_id", "token"), queryTerms(docs), k = 10)
     },
 
+    // ----- keyword extraction: top TF-IDF terms per document -----
+    // The tagging/labeling face of the postings artifact: each
+    // document's 3 most characteristic terms (tf·idf, the log-free
+    // rational surrogate; ties to the lexicographically smaller token),
+    // as integer-floored weights both engines reproduce. Everything is
+    // served by the store — one token-keyed df aggregate, one broadcast
+    // stats row, one doc-keyed top-3 window; text is never
+    // re-tokenized. The per-doc keyword table is the input of faceted
+    // browse, topic drill-down, and weak-label construction.
+    "text_keywords" -> QueryDef.sql(
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS token FROM corpus) GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT t.doc_id, t.token,
+        |    CAST(floor((CAST(t.tf AS DOUBLE) *
+        |      ((CAST(n.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+        |       (CAST(f.df AS DOUBLE) + 0.5))) * 1000.0) AS BIGINT) AS weight
+        |  FROM tf t JOIN df f ON f.token = t.token, n1 n)
+        |SELECT doc_id, token, weight FROM w
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY weight DESC, token) <= 3
+        |ORDER BY doc_id, token""".stripMargin) { (s, d) =>
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val n1 = doclens.agg(count(lit(1)).as("n"))
+      val tf = postings.select("doc_id", "token", "tf").localCheckpoint()
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val rn = Window.partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("token"))
+      tf.join(broadcast(df), Seq("token"))
+        .crossJoin(broadcast(n1))
+        .select(col("doc_id"), col("token"),
+          floor(col("tf").cast("double") * idf * lit(1000.0)).cast("long")
+            .as("weight"))
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "token", "weight")
+        .orderBy("doc_id", "token")
+    },
+
     // ----- more-like-this: TF-IDF doc-to-doc retrieval from seeds -----
     // The fourth retrieval mode: the QUERY is a whole document (its
     // tf·idf term vector), not a term list — content-based "find
