@@ -279,6 +279,58 @@ object DriftQueries {
         .orderBy("event_type", "hod")
     },
 
+    // ----- market-basket association: event-type pairs per user-day -----
+    // Co-occurrence mining on the event stream (the Apriori first
+    // stage, at taxonomy scale): a basket is a user-day's DISTINCT
+    // event types, and every type pair gets support and lift in exact
+    // ppm — lift > 1e6 means the pair co-occurs more than independent
+    // baskets would. Baskets aggregate map-side; the pair explode is
+    // per-basket bounded (≤ C(5,2) here, ≤ C(|taxonomy|,2) ever); the
+    // output is taxonomy-pair bounded. The production sibling of
+    // bigram_lift, over behavior instead of text.
+    "basket_type_lift" -> QueryDef.sql(
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+        |  FROM events GROUP BY 1, 2, 3),
+        |nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n
+        |       FROM b),
+        |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |pr AS (
+        |  SELECT x.user_id, x.day, x.event_type AS ta, y.event_type AS tb
+        |  FROM b x JOIN b y ON y.user_id = x.user_id AND y.day = x.day
+        |    AND x.event_type < y.event_type),
+        |pc AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS cp FROM pr GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, p.cp,
+        |  CAST(1000000 * p.cp // nb.n AS BIGINT) AS support_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * p.cp * nb.n) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+        |FROM pc p
+        |JOIN tc ca ON ca.event_type = p.ta
+        |JOIN tc cb ON cb.event_type = p.tb, nb
+        |ORDER BY ta, tb""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val b = events(s, d)
+        .select(col("user_id"), expr(s"($us) div 86400000000").as("day"),
+          col("event_type"))
+        .distinct()
+        .localCheckpoint() // basket-cardinality; feeds nb, tc, and the pair join
+      val nb = b.select("user_id", "day").distinct().agg(count(lit(1)).as("n"))
+      val tc = b.groupBy("event_type").agg(count(lit(1)).as("c"))
+      val pairs = b.select(col("user_id"), col("day"), col("event_type").as("ta"))
+        .join(b.select(col("user_id"), col("day"), col("event_type").as("tb")),
+          Seq("user_id", "day"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("cp"))
+      pairs
+        .join(broadcast(tc.select(col("event_type").as("ta"), col("c").as("ca"))), Seq("ta"))
+        .join(broadcast(tc.select(col("event_type").as("tb"), col("c").as("cb"))), Seq("tb"))
+        .crossJoin(broadcast(nb))
+        .select(col("ta"), col("tb"), col("cp"),
+          expr("CAST(1000000 * cp div n AS BIGINT)").as("support_ppm"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cp * n) div (ca * cb) AS BIGINT)")
+            .as("lift_ppm"))
+        .orderBy("ta", "tb")
+    },
+
     // ----- trailing self-baseline deviation (rolling monitor) -----
     // The third monitoring shape beside the global-median MAD and the
     // split-half forecast: each (event_type, day) is judged against its
