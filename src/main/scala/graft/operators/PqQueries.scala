@@ -248,9 +248,10 @@ object PqQueries {
        |SELECT CAST(m AS INT) AS m, code, CAST(sp AS INT) AS sp, CAST(ci AS BIGINT) AS ci
        |FROM cb$Iters ORDER BY m, code, sp""".stripMargin
 
-  /** Shared by ann_pq_adc and ann_pq_stored — the stored path must be
-    * bit-identical to the live one. */
-  private lazy val AdcOracleSql: String =
+  /** The ADC retrieval chain through `resc` (training, code assignment,
+    * per-query distance tables, shortlist, exact rescore) — shared by
+    * the two search oracles and the recall report. */
+  private lazy val AdcChain: String =
     s"""WITH $TrainCtes,
        |${assignCte("codes", s"cb$Iters")},
        |qd AS (
@@ -269,11 +270,36 @@ object PqQueries {
        |    FROM adc) WHERE rn <= $Shortlist),
        |resc AS (
        |  SELECT s.qid, s.cid, round(list_cosine_similarity(qe.v, ce.v), 6) AS score
-       |  FROM short s JOIN e qe ON qe.vec_id = s.qid JOIN e ce ON ce.vec_id = s.cid)
+       |  FROM short s JOIN e qe ON qe.vec_id = s.qid JOIN e ce ON ce.vec_id = s.cid)"""
+      .stripMargin
+
+  /** Shared by ann_pq_adc and ann_pq_stored — the stored path must be
+    * bit-identical to the live one. */
+  private lazy val AdcOracleSql: String =
+    s"""$AdcChain
        |SELECT qid, cid, score FROM (
        |  SELECT qid, cid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
        |  FROM resc) WHERE rn <= $TopK
        |ORDER BY qid, cid""".stripMargin
+
+  /** PQ recall vs brute-force ground truth at the same k. */
+  private lazy val PqRecallOracleSql: String =
+    s"""$AdcChain,
+       |pqtop AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |    FROM resc) WHERE rn <= $TopK),
+       |brute AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rn
+       |    FROM e q, e c WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id)
+       |  WHERE rn <= $TopK)
+       |SELECT b.qid, CAST(count(p.cid) AS BIGINT) AS n_hits,
+       |  CAST((1000000 * count(p.cid)) // $TopK AS BIGINT) AS recall_ppm
+       |FROM brute b LEFT JOIN pqtop p ON p.qid = b.qid AND p.cid = b.cid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
   /** IVF-PQ oracle: the IVF probe/candidate chain (verbatim from the
     * ann_ivf oracle) composed with the PQ training CTEs and the ADC
@@ -368,6 +394,41 @@ object PqQueries {
         cbStored => packCodes(pqAssign(scaledSub(e), cbStored)))
       adcSearch(codes, e, cb, queries, Shortlist, TopK)
         .orderBy("qid", "cid")
+    },
+
+    // ----- PQ recall report: the measurement behind PqRecallSpec -----
+    // Per-query recall@k of the stored PQ tier against brute-force
+    // ground truth, as an oracle-checked deliverable (the IVF tier has
+    // ann_recall_report / ann_mrr_report; this closes the eval story
+    // for the compressed tier). Both legs are existing chains — the
+    // stored ADC search and the broadcast brute top-k — and the
+    // comparison is a k×queries-row join; emissions are count/`//`
+    // only.
+    "ann_pq_recall" -> QueryDef.sql(PqRecallOracleSql) { (s, d) =>
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val (cb, codes) = SignatureStore.ensurePqStore(s, d,
+        () => trainCodebook(e),
+        cbStored => packCodes(pqAssign(scaledSub(e), cbStored)))
+      val pqtop = adcSearch(codes, e, cb, queries, Shortlist, TopK)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      val topRn = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      val brute = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          VectorQueries.score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") <= TopK)
+        .select("qid", "cid")
+      brute.join(pqtop.select("qid", "cid", "hit"), Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          expr(s"CAST((1000000 * n_hits) div $TopK AS BIGINT)").as("recall_ppm"))
+        .orderBy("qid")
     },
 
     // ----- IVF-PQ: cell pruning × code compression, both from stores -----
