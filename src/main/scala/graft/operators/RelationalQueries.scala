@@ -180,6 +180,54 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // ----- session feature table (the feature-engineering face of O4) -----
+    // What a ranking/propensity model actually consumes: one row per
+    // session with duration, breadth (distinct types), conversion flag,
+    // and exact DECIMAL value mass — derived in the SAME single
+    // user-keyed window pass as o4_sessionize (the gaps-and-islands
+    // session id) plus one session-keyed aggregate. No second scan, no
+    // join back to raw events.
+    "fe_session_features" -> QueryDef.sql(
+      """WITH t AS (SELECT user_id, event_id, event_type,
+        |             CAST(value AS DECIMAL(18,4)) AS val, epoch_ns(ts) AS ns
+        |           FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, event_type, val, ns,
+        |    CASE WHEN lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) IS NULL
+        |           OR ns - lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) > 1800000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, val, ns,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(ns) - min(ns) AS BIGINT) AS duration_ns,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS has_purchase,
+        |  CAST(sum(val) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value").cast(DecimalType(18, 4)).as("val"), col("ts_ns").as("ns"))
+        .withColumn("is_new",
+          when(lag(col("ns"), 1).over(w).isNull ||
+            col("ns") - lag(col("ns"), 1).over(w) > 1800000000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ns")) - min(col("ns"))).as("duration_ns"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("has_purchase"),
+          sum(col("val")).cast("double").as("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+
     // ----- O5: tumbling-window event aggregation (batch twin of the -----
     // streaming windowedCounts): hourly buckets per event_type with
     // DECIMAL-exact value sums. The bucket is pure integer division on
