@@ -349,12 +349,37 @@ object VectorQueries {
       |        cand.cid) AS rn
       |    FROM cand JOIN q8 qa ON qa.vec_id = cand.qid
       |              JOIN q8 qb ON qb.vec_id = cand.cid)
-      |  WHERE rn <= 8)
-      |SELECT short.qid, short.cid,
-      |  round(list_cosine_similarity(qe.v, ce.v), 6) AS score
-      |FROM short JOIN e qe ON qe.vec_id = short.qid JOIN e ce ON ce.vec_id = short.cid
-      |QUALIFY row_number() OVER (PARTITION BY short.qid ORDER BY score DESC, cid) <= 3
+      |  WHERE rn <= 8),
+      |rsc AS (
+      |  SELECT short.qid, short.cid,
+      |    round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+      |  FROM short JOIN e qe ON qe.vec_id = short.qid
+      |  JOIN e ce ON ce.vec_id = short.cid)
+      |SELECT qid, cid, score FROM rsc
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 3
       |ORDER BY qid, cid""".stripMargin
+
+  /** q8-tier recall vs brute ground truth at the same k = 3: the
+    * Q8 chain re-used through `rsc`, compared per query. */
+  private lazy val Q8RecallSql: String = {
+    val chain = Q8OracleSql
+      .substring(0, Q8OracleSql.indexOf("SELECT qid, cid, score FROM rsc"))
+      .trim.stripSuffix(")") + "),\n" // re-open: chain ends at rsc's close
+    s"""${chain}q8top AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, cid) AS rn FROM rsc) WHERE rn <= 3),
+      |brute AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.qid, e2.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY round(list_cosine_similarity(q.qv, e2.v), 6) DESC, e2.vec_id) AS rn
+      |    FROM q, e e2 WHERE e2.vec_id <> q.qid) WHERE rn <= 3)
+      |SELECT b.qid, CAST(count(t.cid) AS BIGINT) AS n_hits,
+      |  CAST((1000000 * count(t.cid)) // 3 AS BIGINT) AS recall_ppm
+      |FROM brute b LEFT JOIN q8top t ON t.qid = b.qid AND t.cid = b.cid
+      |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+  }
 
   /** Oracle for `ann_nprobe_sweep`: the `ann_recall_report` CTE chain
     * with the probe rank parameterized, one block per operating point,
@@ -909,6 +934,41 @@ object VectorQueries {
       ivfSearchQuantized(assign, q8, e, centroids, queries,
         nprobe = 2, shortlist = 8, k = 3)
         .orderBy("qid", "cid")
+    },
+
+    // ----- q8-tier recall report: the eval for the int8 tier -----
+    // Completes the per-tier eval symmetry (IVF: ann_recall_report /
+    // ann_mrr_report; PQ: ann_pq_recall): per-query recall@3 of the
+    // quantized IVF search against brute-force ground truth, as an
+    // oracle-checked table. Both legs are existing chains; count/`//`
+    // emissions only.
+    "ann_q8_recall" -> QueryDef.sql(Q8RecallSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assign = graft.operators.SignatureStore.ensureIvfAssignments(
+        s, d, () => ivfAssign(e, centroids))
+      val q8 = graft.operators.SignatureStore.ensureQuantizedVectors(
+        s, d, () => quantizeInt8(e))
+      val q8top = ivfSearchQuantized(assign, q8, e, centroids, queries,
+          nprobe = 2, shortlist = 8, k = 3)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val brute = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") <= 3)
+        .select("qid", "cid")
+      brute.join(q8top, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          expr("CAST((1000000 * n_hits) div 3 AS BIGINT)").as("recall_ppm"))
+        .orderBy("qid")
     },
 
     // ----- embedding-cosine near-dup pairs (threshold on rounded score) -----
