@@ -81,7 +81,7 @@ class GraftSlcScanBuilder(path: String) extends ScanBuilder
   private var countPushed = false
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = agg.groupByExpressions.isEmpty &&
+    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head.isInstanceOf[CountStar]
     if (ok) countPushed = true
@@ -114,7 +114,9 @@ class GraftSlcScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    if (countPushed) new GraftSlcCountScan(path)
+    // defensive re-check of pushed.isEmpty: header counts are only
+    // valid when no filter survives (see GraftTiffScanBuilder.build)
+    if (countPushed && pushed.isEmpty) new GraftSlcCountScan(path)
     else new GraftSlcScan(path, required, pushed, rowLo, rowHi)
 }
 

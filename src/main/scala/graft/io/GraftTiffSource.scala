@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -98,20 +99,40 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
   private var pushed: Array[Filter] = Array.empty
   private var rowLo: Int = 0
   private var rowHi: Int = Int.MaxValue
-  private var countPushed = false
+  private var pushedAggs: Seq[TiffHeaderAgg] = Nil
 
-  /** Bare `count(*)` answers from the HEADER (width × height — a few
-    * seeks, zero pixel decode): the most extreme form of pushdown the
-    * format allows. Partial pushdown only — each file contributes one
-    * count row and Spark sums; Spark offers the aggregate here only
-    * when no residual filter sits above the scan, so pushed counts can
-    * never disagree with a filtered plan. */
+  /** Bare `count(*)` and `min/max(azimuth|range)` answer from the
+    * HEADER (width × height — a few seeks, zero pixel decode): the most
+    * extreme form of pushdown the format allows. The coordinate columns
+    * are header-derivable by construction — azimuth spans 0..height-1
+    * and range 0..width-1 for every decoded row. Partial pushdown only —
+    * each file contributes one stats row and Spark folds (sum of
+    * counts, min of mins, …). Spark offers the aggregate here only when
+    * no residual filter sits above the scan; `pushed.isEmpty` is ALSO
+    * re-checked in [[build]] so a future pushdown-ordering change in
+    * Spark cannot produce wrong stats. */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
-    if (ok) countPushed = true
-    ok
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return false
+    def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(TiffHeaderAgg.Count)
+      case m: Min => col(m.column).collect {
+        case "azimuth" => TiffHeaderAgg.MinAzimuth
+        case "range" => TiffHeaderAgg.MinRange
+      }
+      case m: Max => col(m.column).collect {
+        case "azimuth" => TiffHeaderAgg.MaxAzimuth
+        case "range" => TiffHeaderAgg.MaxRange
+      }
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) { pushedAggs = specs.flatten; true }
+    else false
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -144,21 +165,64 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    if (countPushed) new GraftTiffCountScan(path)
+    // defensive: stats from headers are only valid with zero pushed
+    // filters (today Spark never offers aggregates over a filtered V2
+    // scan since every filter here stays residual, but that ordering is
+    // a Spark-version behavior, not our invariant)
+    if (pushedAggs.nonEmpty && pushed.isEmpty) new GraftTiffStatsScan(path, pushedAggs)
     else new GraftTiffScan(path, required, pushed, rowLo, rowHi)
 }
 
-/** Header-only scan serving a pushed `count(*)`: one row per raster
-  * carrying width × height; no payload byte is ever read. */
-class GraftTiffCountScan(path: String) extends Scan with Batch {
+/** A header-answerable aggregate over the TIFF pixel table. */
+sealed trait TiffHeaderAgg extends Serializable {
+  def name: String
+  def dataType: DataType
+  def nullable: Boolean
+  /** The per-file partial value (null = no rows in this file). */
+  def eval(info: Tiff.Info): Any
+}
+
+object TiffHeaderAgg {
+  case object Count extends TiffHeaderAgg {
+    val name = "count(*)"; val dataType: DataType = LongType; val nullable = false
+    def eval(info: Tiff.Info): Any = info.width.toLong * info.height
+  }
+  case object MinAzimuth extends TiffHeaderAgg {
+    val name = "min(azimuth)"; val dataType: DataType = IntegerType; val nullable = true
+    def eval(info: Tiff.Info): Any =
+      if (info.width > 0 && info.height > 0) 0 else null
+  }
+  case object MaxAzimuth extends TiffHeaderAgg {
+    val name = "max(azimuth)"; val dataType: DataType = IntegerType; val nullable = true
+    def eval(info: Tiff.Info): Any =
+      if (info.width > 0 && info.height > 0) info.height - 1 else null
+  }
+  case object MinRange extends TiffHeaderAgg {
+    val name = "min(range)"; val dataType: DataType = IntegerType; val nullable = true
+    def eval(info: Tiff.Info): Any =
+      if (info.width > 0 && info.height > 0) 0 else null
+  }
+  case object MaxRange extends TiffHeaderAgg {
+    val name = "max(range)"; val dataType: DataType = IntegerType; val nullable = true
+    def eval(info: Tiff.Info): Any =
+      if (info.width > 0 && info.height > 0) info.width - 1 else null
+  }
+}
+
+/** Header-only scan serving pushed aggregates: one row per raster with
+  * one column per aggregate, all derived from width × height; no
+  * payload byte is ever read. */
+class GraftTiffStatsScan(path: String, aggs: Seq[TiffHeaderAgg]) extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    StructType(aggs.map(a => StructField(a.name, a.dataType, a.nullable)))
   override def toBatch: Batch = this
-  override def description(): String = s"graft-tiff $path, PushedAggregates: [COUNT(*)]"
+  override def description(): String =
+    s"graft-tiff $path, PushedAggregates: [${aggs.map(_.name).mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     GraftTiffSource.listRasters(path)
       .map(f => GraftTiffPartition(f): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val theAggs = aggs
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
@@ -167,11 +231,12 @@ class GraftTiffCountScan(path: String) extends Scan with Batch {
           override def next(): Boolean = !served && { served = true; true }
           override def get(): InternalRow = {
             val info = Tiff.readHeader(file.replaceFirst("^file:/*", "/"))
-            InternalRow(info.width.toLong * info.height)
+            InternalRow.fromSeq(theAggs.map(_.eval(info)))
           }
           override def close(): Unit = ()
         }
     }
+  }
 }
 
 class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
@@ -187,21 +252,25 @@ class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
       .map(f => GraftTiffPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTiffReaderFactory(required.fieldNames, rowLo, rowHi)
+    new GraftTiffReaderFactory(required.fieldNames, rowLo, rowHi,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 case class GraftTiffPartition(file: String) extends InputPartition
 
-class GraftTiffReaderFactory(fields: Array[String], rowLo: Int, rowHi: Int)
+class GraftTiffReaderFactory(fields: Array[String], rowLo: Int, rowHi: Int,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftTiffReader(partition.asInstanceOf[GraftTiffPartition].file,
-      fields, rowLo, rowHi)
+      fields, rowLo, rowHi, conf.value)
 }
 
 /** Per-file reader: one payload read, then the row-bounded block decode.
   * The value column decodes only when the projection asks for it. */
-class GraftTiffReader(file: String, fields: Array[String], rowLo: Int, rowHi: Int)
+class GraftTiffReader(file: String, fields: Array[String], rowLo: Int, rowHi: Int,
+    hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val pathUtf8 = UTF8String.fromString(
@@ -209,9 +278,14 @@ class GraftTiffReader(file: String, fields: Array[String], rowLo: Int, rowHi: In
 
   private val iter: Iterator[(Int, Int, Double)] = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
+    // the session's Hadoop conf, serialized through the factory — a
+    // bare `new Configuration()` would drop fs settings/credentials on
+    // non-default filesystems
+    val fs = p.getFileSystem(hadoopConf)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue,
+      s"$file is $len bytes; the single-allocation GRD decoder caps at 2 GB/file")
+    val bytes = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
     Tiff.decodeRows(bytes, Tiff.fromBytes(bytes), rowLo, rowHi)

@@ -659,6 +659,54 @@ object SignatureStore {
       compactInto(spark, dailyKmvDir(base), streamDailyKmvDir(base),
         readDailyKmv(spark, base))
 
+  def countMinDir(base: String) = s"$base/count_min"
+
+  /** Streaming cell appends, batch_id-partitioned (same layout
+    * rationale as [[streamMinhashDir]]). */
+  def streamCountMinDir(base: String) = s"$base/count_min_stream"
+
+  /** Merged count-min cells (j, slot, n) — the sketch member whose
+    * merge law is ADDITION, not latest-wins or union: every cell is a
+    * sum of token-occurrence counts, so batch cells plus each stream
+    * epoch's cells simply ADD per (j, slot) — the additive sibling of
+    * [[readDailyKmv]]'s KMV union-closure, at CONSTANT read cost (each
+    * part contributes ≤4096 rows regardless of corpus size). Like the
+    * daily-KMV store, this treats appended documents as immutable
+    * facts: re-ingesting a doc adds its occurrences again (an
+    * append-only counter sketch has no per-doc identity to resolve). */
+  def readCountMin(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, countMinDir(base)))(
+      spark.read.parquet(countMinDir(base)).select("j", "slot", "n"))
+    val stream = Option.when(hasData(spark, streamCountMinDir(base)))(
+      spark.read.parquet(streamCountMinDir(base)).select("j", "slot", "n"))
+    val all = (batch, stream) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no count-min store under $base")
+    }
+    all.groupBy("j", "slot").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+  }
+
+  /** Build-on-first-use for the count-min cell store. */
+  def ensureCountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${countMinDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      SketchQueries.countMinCells(SketchQueries.tokenVocab(documents(spark, sfDir)))
+        .write.mode("overwrite").parquet(countMinDir(base))
+    readCountMin(spark, base)
+  }
+
+  /** Compact the count-min store (cell-sum resolve). */
+  def compactCountMin(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamCountMinDir(base)))
+      compactInto(spark, countMinDir(base), streamCountMinDir(base),
+        readCountMin(spark, base))
+
   def imagePhashDir(base: String) = s"$base/image_phash"
 
   /** Streaming fingerprint appends, batch_id-partitioned (same layout

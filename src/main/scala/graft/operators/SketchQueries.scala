@@ -53,6 +53,86 @@ object SketchQueries {
       .select("day", "h")
   }
 
+  /** Count-min geometry: 4 salted rows × 1024 slots (Cormode &
+    * Muthukrishnan 2005). Each cell is a SUM of token-occurrence counts,
+    * which makes the sketch mergeable by construction: cells ADD across
+    * per-source builds and across stream epochs — the additive sibling
+    * of KMV's union-closure. */
+  val CmDepth = 4
+  val CmWidth = 1024L
+
+  /** Slot of token `t` under salt `j` — the md5-60-bit parity trick the
+    * whole sketch family uses, so DuckDB replays every cell exactly. */
+  def cmSlotOf(j: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(j.cast("string"), lit("#"), t).cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(CmWidth))
+
+  /** Per-token-TYPE exact counts — the ONE corpus pass of the count-min
+    * build. Vocabulary cardinality is Heaps-sublinear in corpus size, so
+    * everything downstream of this fold is sketch-scale work: each token
+    * type contributes cnt (not 1, cnt times) to one cell per salt. */
+  def tokenVocab(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(expr(TextQueries.toksExpr)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+
+  /** The 4×1024 cell table from vocabulary counts (j, slot, n) — the
+    * build kernel shared by the live query, the batch store
+    * ([[SignatureStore.ensureCountMin]]) and every stream epoch
+    * ([[graft.streaming.EventStream.maintainCountMin]]). */
+  def countMinCells(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val js = (0 until CmDepth).map(lit(_))
+    vocab.select(explode(array(js: _*)).as("j"), col("t"), col("cnt"))
+      .select(col("j"), cmSlotOf(col("j"), col("t")).as("slot"), col("cnt"))
+      .groupBy("j", "slot").agg(sum("cnt").as("n"))
+  }
+
+  /** The estimate-vs-exact audit report shared by the live and stored
+    * count-min queries: `cells` is the 4×1024 table (fresh build or
+    * store read), `vocab` the exact token counts; heavy hitters
+    * (n_exact ≥ 200) probe every salt and take the min cell. */
+  private[graft] def countMinReport(cells: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val js = (0 until CmDepth).map(lit(_))
+    vocab.filter(col("cnt") >= 200)
+      .select(col("t"), col("cnt").as("n_exact"), explode(array(js: _*)).as("j"))
+      .withColumn("slot", cmSlotOf(col("j"), col("t")))
+      .join(broadcast(cells), Seq("j", "slot"))
+      .groupBy(col("t"), col("n_exact"))
+      .agg(min("n").as("n_est"))
+      .select(col("t").as("token"), col("n_exact"), col("n_est"),
+        // overcount magnitudes are token-scale — widen as in err_ppm
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_est - n_exact)) div n_exact AS BIGINT)")
+          .as("over_ppm"))
+      .orderBy("token")
+  }
+
+  /** Oracle for the count-min audit report, shared verbatim by the live
+    * and stored twins (the store must be cell-for-cell what a fresh
+    * build produces). The oracle folds the vocabulary first too — same
+    * single-pass shape, provably identical cells (linearity). */
+  private val CountMinSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |  FROM documents),
+      |v AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+      |slots AS (
+      |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+      |  GROUP BY 1, 2),
+      |exact AS (SELECT t, cnt AS n_exact FROM v WHERE cnt >= 200),
+      |est AS (
+      |  SELECT e.t, e.n_exact, min(s.n) AS n_est
+      |  FROM exact e
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+      |  JOIN slots s ON s.j = js.j
+      |    AND s.slot = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '#' || e.t), 1, 15))::BIGINT % 1024
+      |  GROUP BY e.t, e.n_exact)
+      |SELECT t AS token, n_exact, n_est,
+      |  CAST((CAST(1000000 AS HUGEINT) * (n_est - n_exact)) // n_exact AS BIGINT) AS over_ppm
+      |FROM est ORDER BY token""".stripMargin
+
   /** Oracle for the rolling weekly-distinct series, shared verbatim by
     * the live and stored twins (the store must be bit-identical to the
     * live per-day sketch). */
@@ -229,50 +309,83 @@ object SketchQueries {
           (col("merged_kth") === col("direct_kth")).cast("long").as("merge_exact"))
     },
 
-    "count_min_tokens" -> QueryDef.sql(
+    // The build is ONE corpus pass: fold the vocabulary (token-type →
+    // count, Heaps-sublinear), then derive all 4 salted cell rows per
+    // token TYPE weighted by its count — the cells are linear in the
+    // counts, so the per-type fold is exactly the per-occurrence sketch.
+    // (The previous shape exploded the corpus token stream twice: once
+    // for the cells, once for the exact audit — the slowest query in
+    // the official r8 artifact at 8.72 s.)
+    "count_min_tokens" -> QueryDef.sql(CountMinSql) { (s, d) =>
+      // one corpus explode, pinned: both the cells and the audit read
+      // the checkpointed vocab, never the corpus again
+      val vocab = tokenVocab(documents(s, d)).localCheckpoint(true)
+      countMinReport(countMinCells(vocab), vocab)
+    },
+
+    // Stored twin: the 4×1024 cell table is the 14th store family —
+    // built once, maintained by additive stream epochs
+    // (EventStream.maintainCountMin), compacted by summing. The exact
+    // audit leg still folds the corpus vocabulary (that's the audit's
+    // job — the STORE's value is that estimate-serving never touches
+    // the corpus). Same oracle as the live build: the store must be
+    // cell-for-cell what a fresh build produces.
+    "count_min_tokens_stored" -> QueryDef.sql(CountMinSql) { (s, d) =>
+      val cells = SignatureStore.ensureCountMin(s, d)
+      countMinReport(cells, tokenVocab(documents(s, d)))
+    },
+
+    // Mergeability law, checked like kmv_merge_shingles checks KMV's
+    // union-closure: per-source sketches SUMMED cell-by-cell must equal
+    // the global sketch — count-min cells are sums, so merging is
+    // addition. This is the law the stream maintenance and compaction
+    // rest on; merge_exact is emitted per cell, not promised.
+    "count_min_merge_sources" -> QueryDef.sql(
       """WITH toks AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-        |  FROM documents),
-        |slots AS (
-        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
-        |  GROUP BY 1, 2),
-        |exact AS (SELECT t, CAST(count(*) AS BIGINT) AS n_exact
-        |          FROM toks GROUP BY t HAVING count(*) >= 200),
-        |est AS (
-        |  SELECT e.t, e.n_exact, min(s.n) AS n_est
-        |  FROM exact e
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |v AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+        |cells_s AS (
+        |  SELECT source, j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+        |  GROUP BY 1, 2, 3),
+        |merged AS (SELECT j, slot, CAST(sum(n) AS BIGINT) AS n_merged
+        |           FROM cells_s GROUP BY 1, 2),
+        |gtot AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(sum(cnt) AS BIGINT) AS n_global
+        |  FROM (SELECT t, CAST(sum(cnt) AS BIGINT) AS cnt FROM v GROUP BY 1)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
-        |  JOIN slots s ON s.j = js.j
-        |    AND s.slot = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '#' || e.t), 1, 15))::BIGINT % 1024
-        |  GROUP BY e.t, e.n_exact)
-        |SELECT t AS token, n_exact, n_est,
-        |  CAST((CAST(1000000 AS HUGEINT) * (n_est - n_exact)) // n_exact AS BIGINT) AS over_ppm
-        |FROM est ORDER BY token""".stripMargin) { (s, d) =>
-      val toks = documents(s, d)
-        .select(explode(expr(TextQueries.toksExpr)).as("t"))
-      val js = (0 to 3).map(lit(_))
-      val slotOf = (j: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =>
-        pmod(conv(substring(md5(concat(j.cast("string"), lit("#"), t).cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(1024L))
-      // 4 salted rows per token, folded map-side into ≤4096 cells
-      val slots = toks.select(explode(array(js: _*)).as("j"), col("t"))
-        .select(col("j"), slotOf(col("j"), col("t")).as("slot"))
-        .groupBy("j", "slot").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // the sketch artifact: constant 4×1024
-      val exact = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
-        .filter(col("n_exact") >= 200)
-      exact.select(col("t"), col("n_exact"), explode(array(js: _*)).as("j"))
-        .withColumn("slot", slotOf(col("j"), col("t")))
-        .join(broadcast(slots), Seq("j", "slot"))
-        .groupBy(col("t"), col("n_exact"))
-        .agg(min("n").as("n_est"))
-        .select(col("t").as("token"), col("n_exact"), col("n_est"),
-          // overcount magnitudes are token-scale — widen as in err_ppm
-          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_est - n_exact)) div n_exact AS BIGINT)")
-            .as("over_ppm"))
-        .orderBy("token")
+        |  GROUP BY 1, 2)
+        |SELECT g.j, g.slot, g.n_global, m.n_merged,
+        |  CAST(g.n_global = m.n_merged AS BIGINT) AS merge_exact
+        |FROM gtot g JOIN merged m ON m.j = g.j AND m.slot = g.slot
+        |ORDER BY g.j, g.slot""".stripMargin) { (s, d) =>
+      // one corpus pass here too: the per-(source, token) fold feeds
+      // both the per-source sketches and (re-folded) the global one
+      val sv = documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"), explode(expr(TextQueries.toksExpr)).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val js = (0 until CmDepth).map(lit(_))
+      // per-source sketches materialized as real cell tables FIRST,
+      // then summed — the actual merge operation, not an algebraic
+      // shortcut through one big fold
+      val perSource = sv.select(col("source"), explode(array(js: _*)).as("j"),
+          col("t"), col("cnt"))
+        .select(col("source"), col("j"), cmSlotOf(col("j"), col("t")).as("slot"), col("cnt"))
+        .groupBy("source", "j", "slot").agg(sum("cnt").as("n"))
+      val merged = perSource.groupBy("j", "slot").agg(sum("n").as("n_merged"))
+      val glob = countMinCells(sv.groupBy("t").agg(sum("cnt").as("cnt")))
+        .withColumnRenamed("n", "n_global")
+      glob.join(merged, Seq("j", "slot"))
+        .select(col("j").cast("long").as("j"), col("slot"), col("n_global"),
+          col("n_merged"),
+          (col("n_global") === col("n_merged")).cast("long").as("merge_exact"))
+        .orderBy("j", "slot")
     },
 
     // ----- Bloom-gated decontamination: constant-size filter broadcast -----

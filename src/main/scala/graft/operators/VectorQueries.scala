@@ -1529,7 +1529,12 @@ object VectorQueries {
       val m = q.groupBy("pos")
         .agg(sum(col("qv").cast(DecimalType(38, 0))).as("sq"), count(lit(1)).as("n"))
         .select(col("pos"), expr("CAST(sq div n AS BIGINT)").as("mi"))
-      val mArr = m.orderBy("pos").agg(collect_list(col("mi")).as("marr"))
+      // sort-key-first: collect_list after orderBy does NOT guarantee
+      // order under partial-aggregate merge — carry pos in the element
+      // and sort the collected array instead (same idiom as the
+      // centroid assembly above)
+      val mArr = m.agg(collect_list(struct(col("pos"), col("mi"))).as("mp"))
+        .select(expr("transform(array_sort(mp), e -> e.mi)").as("marr"))
       // covariance: one corpus pass — each row flat-maps its centered
       // outer product (D² struct rows) straight into a partial agg
       val cov = e.select(expr(s"transform(slice(embedding, 1, $D), " +

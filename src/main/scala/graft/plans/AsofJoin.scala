@@ -146,8 +146,16 @@ case class AsofJoinExec(
             matchRow = null
             matchKey = null
           }
+          // SQL-equality semantics: a null join key matches nothing
+          // (DuckDB ASOF and SortMergeJoinExec both skip null keys) —
+          // emit null-right without scanning, so a null left key can
+          // never pair with a null right key via the natural ordering
+          // (where NULL compares equal to NULL)
+          val lkNull = lk.anyNull
           val ltv = lTime.eval(l)
-          if (ltv != null && !fwd) {
+          if (lkNull) {
+            // no-op: fall through to the null-right emit below
+          } else if (ltv != null && !fwd) {
             // BACKWARD: largest rt <= lt — consume candidates, keep last
             val lt = ltv.asInstanceOf[Long]
             var scan = true
@@ -189,10 +197,10 @@ case class AsofJoinExec(
           }
           numOutputRows += 1
           if (!fwd) {
-            if (matchRow != null && matchKey == lk) joined(l, matchRow)
+            if (!lkNull && matchRow != null && matchKey == lk) joined(l, matchRow)
             else joined(l, nullRight)
           } else {
-            val hit = ltv != null && rRow != null &&
+            val hit = !lkNull && ltv != null && rRow != null &&
               keyOrd.compare(rKeyProj(rRow), lk) == 0 && {
                 val rtv = rTime.eval(rRow)
                 rtv != null && rtv.asInstanceOf[Long] >= ltv.asInstanceOf[Long]

@@ -212,12 +212,18 @@ object EventStream {
     * fingerprints batch_id-keyed. The read side resolves LATEST-WINS per
     * doc, so a re-ingested image (new payload, same id) replaces its
     * fingerprint instead of duplicating it; undecodable payloads drop in
-    * the decoder and never write a row. */
+    * the decoder and never write a row. A doc appearing TWICE in the
+    * same micro-batch resolves here, before the kernel: one payload per
+    * doc survives (hash-tiebreak — arbitrary but deterministic given
+    * batch content, so replays stay idempotent), since batch_id alone
+    * cannot order rows within a batch. */
   def maintainImagePhash(assets: DataFrame, storeBase: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     assets.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.Multimodal.imagePhash(batch)
+        graft.operators.Multimodal.imagePhash(
+          batch.groupBy("doc_id")
+            .agg(max_by(col("payload"), xxhash64(col("payload"))).as("payload")))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -231,17 +237,47 @@ object EventStream {
     * ([[graft.operators.Multimodal.frameDiffs]]) and appends
     * batch_id-keyed; the read side resolves latest-wins PER DOC, so a
     * re-ingested video's newest epoch replaces its whole pair set.
-    * Replays are idempotent (dynamic partition overwrite). */
+    * Replays are idempotent (dynamic partition overwrite). A doc
+    * appearing TWICE in one micro-batch resolves here before the
+    * kernel (hash-tiebreak, deterministic given batch content) —
+    * otherwise conflicting (idx, diff_l1) row SETS from both versions
+    * would survive the read side's per-doc latest-wins, which can only
+    * discriminate across batches. */
   def maintainFrameDiffs(docs: DataFrame, storeBase: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.Multimodal.frameDiffs(batch)
+        graft.operators.Multimodal.frameDiffs(
+          batch.groupBy("doc_id")
+            .agg(max_by(col("text"), xxhash64(col("text"))).as("text")))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(graft.operators.SignatureStore.streamFrameDiffDir(storeBase))
+    }
+
+  /** Incremental count-min maintenance — the ADDITIVE member of the
+    * store layer: each micro-batch of (doc_id, text) documents folds its
+    * own vocabulary and appends its 4×1024 cell table batch_id-keyed;
+    * the read side ([[graft.operators.SignatureStore.readCountMin]])
+    * SUMS cells per (j, slot) across batch + every epoch — count-min is
+    * mergeable by construction (cells are sums), the same law
+    * `count_min_merge_sources` proves per-source. Replays are idempotent
+    * (dynamic partition overwrite rewrites the epoch's own cells);
+    * appended docs are immutable facts — re-ingesting a doc adds its
+    * occurrences again, as any append-only counter does. */
+  def maintainCountMin(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchQueries.countMinCells(
+            graft.operators.SketchQueries.tokenVocab(batch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamCountMinDir(storeBase))
     }
 
   /** Incremental line-registry maintenance — the line-dedup twin of

@@ -726,6 +726,23 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("count_min_tokens is ONE corpus pass: the vocab fold scans documents, nothing after does") {
+    val sfDir = "/root/testdata/sf0.001"
+    // the vocab fold is the single corpus pass…
+    val vocab = graft.operators.SketchQueries.tokenVocab(
+      graft.util.Tables.documents(spark, sfDir))
+    val vocabPlan = vocab.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(vocabPlan).size == 1,
+      s"the vocab fold reads the corpus exactly once:\n$vocabPlan")
+    // …and the full query's final plan reads NO parquet at all: the
+    // cells and the exact audit both consume the checkpointed vocab
+    val q = graft.operators.SketchQueries.defs("count_min_tokens").build(spark, sfDir)
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(!finalPlan.contains("FileScan parquet"),
+      s"post-vocab stages must never re-read the corpus:\n$finalPlan")
+    assert(q.count() > 0)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))

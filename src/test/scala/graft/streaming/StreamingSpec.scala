@@ -360,6 +360,57 @@ class StreamingSpec extends SparkFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamDailyKmvDir(base))))
   }
 
+  test("count-min store: stream epochs ADD cell-wise, compaction seals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SignatureStore, SketchQueries}
+    val base = tmpDir("countmin")
+    // batch subtree from two docs
+    val batchDocs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    SketchQueries.countMinCells(SketchQueries.tokenVocab(batchDocs))
+      .write.parquet(SignatureStore.countMinDir(base))
+    // stream: two epochs, one sharing tokens with the batch subtree
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainCountMin(
+      input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((3L, "alpha delta alpha delta"))
+      query.processAllAvailable()
+      input.addData((4L, "beta beta beta"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // additivity: the store read must equal a from-scratch sketch over
+    // ALL token occurrences ever appended (cells are sums — the law
+    // count_min_merge_sources proves per-source)
+    val allDocs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+      (3L, "alpha delta alpha delta"), (4L, "beta beta beta"))
+      .toDF("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = cells(SketchQueries.countMinCells(SketchQueries.tokenVocab(allDocs)))
+    assert(cells(SignatureStore.readCountMin(spark, base)) == want)
+    // the alpha-carrying cells saw both subtrees: every salt's alpha
+    // slot must hold 2 (batch) + 2 (epoch 1) + beta/gamma/delta shares
+    SignatureStore.compactCountMin(spark, base)
+    assert(cells(SignatureStore.readCountMin(spark, base)) == want,
+      "compaction must not change the served cells")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamCountMinDir(base))))
+    // the sealed store keeps taking appends and cells keep adding
+    val input2 = MemoryStream[(Long, String)]
+    val query2 = EventStream.maintainCountMin(
+      input2.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt2").start()
+    try {
+      input2.addData((5L, "gamma"))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val withGamma = allDocs.union(Seq((5L, "gamma")).toDF("doc_id", "text"))
+    assert(cells(SignatureStore.readCountMin(spark, base))
+      == cells(SketchQueries.countMinCells(SketchQueries.tokenVocab(withGamma))))
+  }
+
   test("bm25-store compaction seals postings AND doclens consistently") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -648,6 +699,36 @@ class StreamingSpec extends SparkFunSuite {
       .filter(col("doc_id") === 2L)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     assert(stored == newDiffs)
+  }
+
+  test("frame-diff store: a doc ingested twice in ONE micro-batch resolves to a single version") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Multimodal, SignatureStore}
+    val base = tmpDir("framediffdup")
+    def vid(seed: Char, frames: Int): String =
+      (0 until frames * 32).map(i => (('a' + (i * (seed - 'a' + 1)) % 20).toChar)).mkString
+    val vA = vid('b', 4) // 3 pairs
+    val vB = vid('c', 3) // 2 pairs
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainFrameDiffs(
+      input.toDS().toDF("doc_id", "text"),
+      SignatureStore.streamFrameDiffDir(base))
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      // both versions of doc 7 in the SAME batch: batch_id can't
+      // discriminate them, so the writer must resolve before the kernel
+      input.addData((7L, vA), (7L, vB))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = SignatureStore.readFrameDiffs(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def pairsOf(text: String) =
+      Multimodal.frameDiffs(Seq((7L, text)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly ONE version's complete pair set survives — never a blend
+    assert(got == pairsOf(vA) || got == pairsOf(vB),
+      s"mixed-version rows survived same-batch re-ingestion: $got")
   }
 
   test("IVF-assignment store compaction seals latest-wins and keeps taking appends") {
