@@ -2348,7 +2348,7 @@ object RelationalQueries {
 
     // ----- J15: forward as-of join (next event at-or-after) -----
     // The mirrored strategy of j13 through the SAME native operator
-    // (`forward = true`): each purchase looks up the NEXT error
+    // (`strategy = "forward"`): each purchase looks up the NEXT error
     // at-or-after it for the same user — time-to-failure analysis, the
     // other direction every as-of implementation ships
     // (polars strategy='forward'). One SMJ-shaped exchange pair, one
@@ -2377,9 +2377,97 @@ object RelationalQueries {
         .select(col("user_id").as("r_user"), col("eus"), col("err_id"))
       graft.plans.Asof.join(pur, err,
           leftKeys = Seq("user_id"), rightKeys = Seq("r_user"),
-          leftTimeCol = "pus", rightTimeCol = "eus", forward = true)
+          leftTimeCol = "pus", rightTimeCol = "eus", strategy = "forward")
         .select(col("pur_id"), col("err_id"), (col("eus") - col("pus")).as("wait_us"))
         .orderBy("pur_id")
+    },
+
+    // ----- J17: as-of join with a match tolerance -----
+    // polars `tolerance=`: the backward lookup only matches within Δ
+    // (here 1 hour) — a stale last-error loses its meaning for
+    // attribution. In the native exec this is ONE extra comparison on
+    // the candidate's distance, same exchange shape as j13. Oracle:
+    // DuckDB ASOF picks the LARGEST eus ≤ pus, so if THAT row is out
+    // of tolerance no earlier row can be in it — nulling the
+    // out-of-tolerance match post-join is exactly the native
+    // semantics.
+    "j17_asof_tolerance" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT event_id AS pur_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS eus, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT p.pur_id, e.err_id, p.pus - e.eus AS lag_us
+        |  FROM p ASOF LEFT JOIN e
+        |    ON p.user_id = e.user_id AND p.pus >= e.eus)
+        |SELECT pur_id,
+        |  CASE WHEN lag_us <= 3600000000 THEN err_id END AS err_id,
+        |  CASE WHEN lag_us <= 3600000000 THEN lag_us END AS lag_us
+        |FROM a ORDER BY pur_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          expr(Tables.epochUsFloorSql).as("pus"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("eus"), col("event_id"))
+        .groupBy(col("user_id"), col("eus"))
+        .agg(max(col("event_id")).as("err_id"))
+        .select(col("user_id").as("r_user"), col("eus"), col("err_id"))
+      graft.plans.Asof.join(pur, err,
+          leftKeys = Seq("user_id"), rightKeys = Seq("r_user"),
+          leftTimeCol = "pus", rightTimeCol = "eus",
+          tolerance = Some(3600000000L))
+        .select(col("pur_id"), col("err_id"), (col("pus") - col("eus")).as("lag_us"))
+        .orderBy("pur_id")
+    },
+
+    // ----- J18: skewed big-big join served by AQE, not manual salt -----
+    // j8's sibling closing the skew story: j8 salts BY HAND (the only
+    // option for aggregates); for JOINS, AQE's skew-join does the same
+    // split at runtime with zero query-side ceremony. Half the fact
+    // rows land on one hot key (event_id%2=0 → user 0 — a planted
+    // celebrity key), and the dim side is the per-key rollup of the
+    // SAME skewed stream, so both sides are fact-derived: neither may
+    // carry a broadcast hint at 100 TB. SHUFFLE_MERGE pins the
+    // big-big plan AQE's OptimizeSkewedJoin operates on; AqeJoinSpec
+    // pins the runtime split (skew=true in the final adaptive plan)
+    // under production-shaped thresholds, with these same oracle rows.
+    // The `pad` payload column rides THROUGH the shuffle (it is in the
+    // output, so column pruning cannot drop it): at 100 TB the fact
+    // rows' real payloads provide the bytes that make a hot key a hot
+    // PARTITION; at fixture scale the pad stands in for them so the
+    // skew is byte-visible to AQE's detector, not just row-visible.
+    "j18_aqe_skew_join" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS skew_user,
+        |    repeat('x', CASE WHEN event_id % 2 = 0 THEN 400 ELSE 4 END) AS pad
+        |  FROM events),
+        |dim AS (SELECT skew_user, CAST(count(*) AS BIGINT) AS n_events
+        |        FROM e GROUP BY 1)
+        |SELECT e.event_id, e.skew_user, e.pad, d.n_events
+        |FROM e JOIN dim d ON d.skew_user = e.skew_user
+        |ORDER BY e.event_id""".stripMargin) { (s0, d) =>
+      // spread matters twice here: skew splitting is per-MAP-chunk, so
+      // a single-split fixture scan (one map task) makes the hot reduce
+      // partition physically unsplittable — at 100 TB the scan arrives
+      // as thousands of map tasks and the spread is a no-op
+      val e = TextQueries.spread(events(s0, d)).select(col("event_id"),
+        when(pmod(col("event_id"), lit(2)) === 0, lit(0L))
+          .otherwise(col("user_id")).as("skew_user"),
+        expr("repeat('x', CASE WHEN event_id % 2 = 0 THEN 400 ELSE 4 END)").as("pad"))
+      // the dim is MATERIALIZED before the join (at scale it would be a
+      // store read): the join then exchanges BOTH sides for itself —
+      // the Sort←Shuffle shape OptimizeSkewedJoin pattern-matches. An
+      // unmaterialized dim would reuse its aggregate's exchange and sit
+      // as Sort←HashAggregate←Shuffle, which AQE's skew rule skips.
+      val dim = e.groupBy("skew_user").agg(count(lit(1)).as("n_events"))
+        .localCheckpoint(true)
+      e.join(dim.hint("SHUFFLE_MERGE"), Seq("skew_user"))
+        .select("event_id", "skew_user", "pad", "n_events")
+        .orderBy("event_id")
     },
 
     // ----- U3: INTERSECT / EXCEPT set semantics on user cohorts -----

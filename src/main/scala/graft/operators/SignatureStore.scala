@@ -707,6 +707,53 @@ object SignatureStore {
       compactInto(spark, countMinDir(base), streamCountMinDir(base),
         readCountMin(spark, base))
 
+  def quantileBinsDir(base: String) = s"$base/quantile_bins"
+
+  /** Streaming bin appends, batch_id-partitioned (same layout rationale
+    * as [[streamMinhashDir]]). */
+  def streamQuantileBinsDir(base: String) = s"$base/quantile_bins_stream"
+
+  /** Merged per-source length-histogram bins (source, bin, n) — the
+    * second ADDITIVE store member (see [[readCountMin]]): bins are
+    * counts, so batch rows plus each stream epoch's rows SUM per
+    * (source, bin) at ≤256·|sources| read cost regardless of corpus
+    * size. Appended documents are immutable facts — re-ingesting a doc
+    * counts its length again (additive sketches carry no per-doc
+    * identity). Any rollup is a further sum: global percentiles fold
+    * over sources, per-source ones filter first. */
+  def readQuantileBins(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, quantileBinsDir(base)))(
+      spark.read.parquet(quantileBinsDir(base)).select("source", "bin", "n"))
+    val stream = Option.when(hasData(spark, streamQuantileBinsDir(base)))(
+      spark.read.parquet(streamQuantileBinsDir(base)).select("source", "bin", "n"))
+    val all = (batch, stream) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no quantile-bin store under $base")
+    }
+    all.groupBy("source", "bin").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+  }
+
+  /** Build-on-first-use for the per-source quantile-bin store. */
+  def ensureQuantileBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${quantileBinsDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      SketchQueries.sourceLengthBins(documents(spark, sfDir))
+        .write.mode("overwrite").parquet(quantileBinsDir(base))
+    readQuantileBins(spark, base)
+  }
+
+  /** Compact the quantile-bin store (bin-sum resolve). */
+  def compactQuantileBins(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamQuantileBinsDir(base)))
+      compactInto(spark, quantileBinsDir(base), streamQuantileBinsDir(base),
+        readQuantileBins(spark, base))
+
   def imagePhashDir(base: String) = s"$base/image_phash"
 
   /** Streaming fingerprint appends, batch_id-partitioned (same layout

@@ -133,6 +133,34 @@ object SketchQueries {
       |  CAST((CAST(1000000 AS HUGEINT) * (n_est - n_exact)) // n_exact AS BIGINT) AS over_ppm
       |FROM est ORDER BY token""".stripMargin
 
+  /** Oracle for the binned-quantile report, shared verbatim by the live
+    * and stored twins (per-source stored bins summed must be bin-for-bin
+    * the global one-pass histogram — the ADD law). */
+  private val BinnedQuantileSql: String =
+    """WITH b AS (
+      |  SELECT least(n_chars // 64, 255) AS bin, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1),
+      |c AS (
+      |  SELECT bin, n, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER () AS BIGINT) AS total FROM b),
+      |pcts AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
+      |sel AS (
+      |  SELECT p.pct, min(c.bin) AS qbin, max(c.total) AS total
+      |  FROM c JOIN pcts p ON 100 * c.cum >= p.pct * c.total
+      |  GROUP BY 1),
+      |rk AS (
+      |  SELECT n_chars,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS r
+      |  FROM documents),
+      |ex AS (
+      |  SELECT p.pct, max(rk.n_chars) AS exact_len
+      |  FROM rk JOIN pcts p ON rk.r = (p.pct * (SELECT max(total) FROM sel) + 99) // 100
+      |  GROUP BY 1)
+      |SELECT s.pct, s.total, s.qbin,
+      |  64 * s.qbin + 63 AS est_len_hi, e.exact_len,
+      |  64 * s.qbin + 63 - e.exact_len AS err_chars
+      |FROM sel s JOIN ex e ON e.pct = s.pct ORDER BY s.pct""".stripMargin
+
   /** Oracle for the rolling weekly-distinct series, shared verbatim by
     * the live and stored twins (the store must be bit-identical to the
     * live per-day sketch). */
@@ -525,57 +553,65 @@ object SketchQueries {
     // free. The estimate is the bin UPPER EDGE (a one-sided ≤64-char
     // error bound by construction); the exact o12-style rank select
     // rides along so the error is an emitted fact, not a promise.
-    "quantile_binned_sketch" -> QueryDef.sql(
-      """WITH b AS (
-        |  SELECT least(n_chars // 64, 255) AS bin, CAST(count(*) AS BIGINT) AS n
-        |  FROM documents GROUP BY 1),
-        |c AS (
-        |  SELECT bin, n, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
-        |    CAST(sum(n) OVER () AS BIGINT) AS total FROM b),
-        |pcts AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
-        |sel AS (
-        |  SELECT p.pct, min(c.bin) AS qbin, max(c.total) AS total
-        |  FROM c JOIN pcts p ON 100 * c.cum >= p.pct * c.total
-        |  GROUP BY 1),
-        |rk AS (
-        |  SELECT n_chars,
-        |    row_number() OVER (ORDER BY n_chars, doc_id) AS r
-        |  FROM documents),
-        |ex AS (
-        |  SELECT p.pct, max(rk.n_chars) AS exact_len
-        |  FROM rk JOIN pcts p ON rk.r = (p.pct * (SELECT max(total) FROM sel) + 99) // 100
-        |  GROUP BY 1)
-        |SELECT s.pct, s.total, s.qbin,
-        |  64 * s.qbin + 63 AS est_len_hi, e.exact_len,
-        |  64 * s.qbin + 63 - e.exact_len AS err_chars
-        |FROM sel s JOIN ex e ON e.pct = s.pct ORDER BY s.pct""".stripMargin) { (s, d) =>
-      import s.implicits._
+    "quantile_binned_sketch" -> QueryDef.sql(BinnedQuantileSql) { (s, d) =>
       val docs = documents(s, d)
-      val bins = docs
-        .groupBy(least(expr("n_chars div 64"), lit(255L)).as("bin"))
-        .agg(count(lit(1)).as("n"))
-      val c = bins
-        .withColumn("cum", sum(col("n")).over(
-          Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum(col("n")).over(
-          Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      val pcts = Seq(50L, 90L, 99L).toDF("pct")
-      val sel = c.join(broadcast(pcts),
-          lit(100) * col("cum") >= col("pct") * col("total"))
-        .groupBy("pct")
-        .agg(min(col("bin")).as("qbin"), max(col("total")).as("total"))
-      val rk = docs
-        .select(col("n_chars"),
-          row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("r"))
-      val ex = rk.join(broadcast(sel.select(col("pct"), col("total"))),
-          col("r") === expr("(pct * total + 99) div 100"))
-        .groupBy("pct").agg(max(col("n_chars")).as("exact_len"))
-      sel.join(ex, Seq("pct"))
-        .select(col("pct"), col("total"), col("qbin"),
-          (lit(64) * col("qbin") + 63).as("est_len_hi"),
-          col("exact_len"),
-          (lit(64) * col("qbin") + 63 - col("exact_len")).as("err_chars"))
-        .orderBy("pct")
+      binnedQuantileReport(
+        docs.groupBy(least(expr("n_chars div 64"), lit(255L)).as("bin"))
+          .agg(count(lit(1)).as("n")),
+        docs)
+    },
+
+    // Stored twin: per-source bin rows are the 15th store family — the
+    // second ADDITIVE one (cells SUM, like count-min): a stream epoch
+    // appends its own per-source histogram and the read side folds.
+    // Global percentiles come from the store's bins summed across
+    // sources — the bins-ADD mergeability law IS the hash equality
+    // with the live oracle, which bins the corpus in one global pass.
+    // The exact audit leg still ranks the corpus (the audit's job).
+    "quantile_binned_stored" -> QueryDef.sql(BinnedQuantileSql) { (s, d) =>
+      val bins = SignatureStore.ensureQuantileBins(s, d)
+        .groupBy("bin").agg(sum("n").as("n"))
+      binnedQuantileReport(bins, documents(s, d))
     },
   )
+
+  /** Per-source 256-bin length histogram (source, bin, n) — the build
+    * kernel shared by the store build
+    * ([[SignatureStore.ensureQuantileBins]]) and every stream epoch
+    * ([[graft.streaming.EventStream.maintainQuantileBins]]). Bins ADD
+    * across sources and epochs (distributive aggregate), so any rollup
+    * — global, per-source, per-epoch-range — is a sum of stored rows. */
+  def sourceLengthBins(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.groupBy(col("source"), least(expr("n_chars div 64"), lit(255L)).as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Percentile selection + exact audit shared by the live and stored
+    * binned-quantile queries: `bins` is the global (bin, n) histogram
+    * (fresh fold or store read), `docs` feeds the exact audit rank. */
+  private[graft] def binnedQuantileReport(bins: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val c = bins
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pcts = Seq(50L, 90L, 99L).toDF("pct")
+    val sel = c.join(broadcast(pcts),
+        lit(100) * col("cum") >= col("pct") * col("total"))
+      .groupBy("pct")
+      .agg(min(col("bin")).as("qbin"), max(col("total")).as("total"))
+    val rk = docs
+      .select(col("n_chars"),
+        row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("r"))
+    val ex = rk.join(broadcast(sel.select(col("pct"), col("total"))),
+        col("r") === expr("(pct * total + 99) div 100"))
+      .groupBy("pct").agg(max(col("n_chars")).as("exact_len"))
+    sel.join(ex, Seq("pct"))
+      .select(col("pct"), col("total"), col("qbin"),
+        (lit(64) * col("qbin") + 63).as("est_len_hi"),
+        col("exact_len"),
+        (lit(64) * col("qbin") + 63 - col("exact_len")).as("err_chars"))
+      .orderBy("pct")
+  }
 }

@@ -31,14 +31,30 @@ import org.apache.spark.sql.types.LongType
   *
   * Semantics are LEFT OUTER (unmatched left rows carry nulls), matching
   * DuckDB `ASOF LEFT JOIN` with `l.t >= r.t`, which is the oracle in
-  * `j13_asof_join_native`. `forward = true` flips the strategy (polars
-  * `strategy='forward'`): the SMALLEST right time ≥ the left time —
-  * DuckDB oracles it with `l.t <= r.t` (`j15_asof_join_forward`). The
-  * merge differs only in consumption: backward consumes candidates and
-  * keeps the last, forward peeks at the first qualifying row without
-  * consuming it. Right rows with null time never match; a null left
-  * time matches nothing. Times must be LongType (epoch-µs in this
-  * repo); keys may be any binary-stable types.
+  * `j13_asof_join_native`. Strategies (polars `merge_asof` surface):
+  *
+  *   - `"backward"` (default): LARGEST right time ≤ left time;
+  *   - `"forward"`: SMALLEST right time ≥ left time — DuckDB oracles it
+  *     with `l.t <= r.t` (`j15_asof_join_forward`). The merge differs
+  *     only in consumption: backward consumes candidates and keeps the
+  *     last, forward peeks at the first qualifying row without
+  *     consuming it;
+  *   - `"nearest"`: whichever of the backward/forward candidates is
+  *     closest in absolute time distance; an exact tie prefers the
+  *     BACKWARD row (deterministic — polars leaves ties
+  *     vendor-defined, so the choice is pinned here and in
+  *     AsofJoinSpec, not oracled against DuckDB, which has no nearest).
+  *
+  * `tolerance` (match only within Δ, polars `tolerance=`) composes with
+  * every strategy as one extra comparison on the candidate's distance:
+  * backward requires `lt − rt ≤ Δ`, forward `rt − lt ≤ Δ`, nearest
+  * `|rt − lt| ≤ Δ` — oracled in `j17_asof_tolerance` by a DuckDB ASOF
+  * join with the out-of-tolerance matches nulled out.
+  *
+  * Right rows with null time never match; a null left time matches
+  * nothing; a null join key matches nothing (SQL equality). Times must
+  * be LongType (epoch-µs in this repo); keys may be any binary-stable
+  * types.
   *
   * Determinism contract: callers must make the right side UNIQUE per
   * (key, time) — with duplicates, "the" latest row at a timestamp is
@@ -52,7 +68,12 @@ case class AsofJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean = false) extends BinaryNode {
+    strategy: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryNode {
+
+  require(Seq("backward", "forward", "nearest").contains(strategy),
+    s"unknown as-of strategy '$strategy'")
+  require(tolerance.forall(_ >= 0L), "as-of tolerance must be ≥ 0")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -66,8 +87,8 @@ case class AsofJoin(
   * [[graft.GraftExtensions]]. */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, fwd) =>
-      AsofJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, strat, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, strat, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +98,8 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean,
+    strategy: String,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -115,7 +137,12 @@ case class AsofJoinExec(
     val rKeys = rightKeys
     val lT = leftTime
     val rT = rightTime
-    val fwd = forward
+    // backward and nearest both CONSUME right rows with rt <= lt (the
+    // nearest forward candidate is then the unconsumed peek); forward
+    // only peeks
+    val consuming = strategy != "forward"
+    val wantFwd = strategy != "backward"
+    val tol = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -133,9 +160,10 @@ case class AsofJoinExec(
         private def advanceRight(): Unit =
           rRow = if (ri.hasNext) ri.next() else null
 
-        // the as-of candidate for the CURRENT left key group
+        // the backward as-of candidate for the CURRENT left key group
         private var matchRow: InternalRow = null
         private var matchKey: UnsafeRow = null
+        private var matchTime: Long = 0L
 
         override def hasNext: Boolean = li.hasNext
 
@@ -153,10 +181,9 @@ case class AsofJoinExec(
           // (where NULL compares equal to NULL)
           val lkNull = lk.anyNull
           val ltv = lTime.eval(l)
-          if (lkNull) {
-            // no-op: fall through to the null-right emit below
-          } else if (ltv != null && !fwd) {
-            // BACKWARD: largest rt <= lt — consume candidates, keep last
+          if (!lkNull && ltv != null && consuming) {
+            // BACKWARD/NEAREST: consume rows with rt <= lt, keep last;
+            // stop at the first rt > lt (which stays as the fwd peek)
             val lt = ltv.asInstanceOf[Long]
             var scan = true
             while (scan && rRow != null) {
@@ -171,11 +198,12 @@ case class AsofJoinExec(
                   // a newer (still <= lt) candidate supersedes the old one
                   matchRow = rRow.copy()
                   matchKey = lk.copy()
+                  matchTime = rtv.asInstanceOf[Long]
                   advanceRight()
                 } else scan = false // right time beyond this left row
               }
             }
-          } else if (ltv != null) {
+          } else if (!lkNull && ltv != null) {
             // FORWARD: smallest rt >= lt — advance PAST stale rows and
             // PEEK at the candidate without consuming it (later left
             // rows of the same key may need the same right row; for
@@ -196,17 +224,28 @@ case class AsofJoinExec(
             }
           }
           numOutputRows += 1
-          if (!fwd) {
-            if (!lkNull && matchRow != null && matchKey == lk) joined(l, matchRow)
-            else joined(l, nullRight)
-          } else {
-            val hit = !lkNull && ltv != null && rRow != null &&
-              keyOrd.compare(rKeyProj(rRow), lk) == 0 && {
-                val rtv = rTime.eval(rRow)
-                rtv != null && rtv.asInstanceOf[Long] >= ltv.asInstanceOf[Long]
-              }
-            if (hit) joined(l, rRow) else joined(l, nullRight)
-          }
+          // distances of the two candidates (Long.MaxValue = absent),
+          // tolerance applied symmetrically; nearest ties prefer backward
+          val lt = if (ltv == null) 0L else ltv.asInstanceOf[Long]
+          val backDist: Long =
+            if (!lkNull && ltv != null && consuming &&
+                matchRow != null && matchKey == lk) {
+              val d = lt - matchTime
+              if (d <= tol) d else Long.MaxValue
+            } else Long.MaxValue
+          val fwdDist: Long =
+            if (!lkNull && ltv != null && wantFwd && rRow != null &&
+                keyOrd.compare(rKeyProj(rRow), lk) == 0) {
+              val rtv = rTime.eval(rRow)
+              if (rtv != null && rtv.asInstanceOf[Long] >= lt) {
+                val d = rtv.asInstanceOf[Long] - lt
+                if (d <= tol) d else Long.MaxValue
+              } else Long.MaxValue
+            } else Long.MaxValue
+          if (backDist == Long.MaxValue && fwdDist == Long.MaxValue)
+            joined(l, nullRight)
+          else if (backDist <= fwdDist) joined(l, matchRow)
+          else joined(l, rRow)
         }
       }
     }
@@ -217,14 +256,16 @@ case class AsofJoinExec(
 object Asof {
 
   /** Left as-of join `left` to `right` on equal `leftKeys`/`rightKeys`
-    * picking the right row with the largest `rightTimeCol` ≤
-    * `leftTimeCol`. The two sides must not share output attributes —
-    * alias the right side's columns (fresh exprIds) when both derive
-    * from the same scan. */
+    * picking the right row whose `rightTimeCol` is as-of
+    * `leftTimeCol` under `strategy` ("backward" | "forward" |
+    * "nearest"), optionally within `tolerance` time units. The two
+    * sides must not share output attributes — alias the right side's
+    * columns (fresh exprIds) when both derive from the same scan. */
   def join(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      forward: Boolean = false): DataFrame = {
+      strategy: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     val shared = lp.outputSet.intersect(rp.outputSet)
@@ -237,6 +278,6 @@ object Asof {
     GraftSqlBridge.ofRows(left.sparkSession, AsofJoin(
       lp, rp,
       leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-      attr(lp, leftTimeCol), attr(rp, rightTimeCol), forward))
+      attr(lp, leftTimeCol), attr(rp, rightTimeCol), strategy, tolerance))
   }
 }

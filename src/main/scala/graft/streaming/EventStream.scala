@@ -280,6 +280,26 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamCountMinDir(storeBase))
     }
 
+  /** Incremental quantile-bin maintenance — the second additive store
+    * member (see [[maintainCountMin]]): each micro-batch of
+    * (doc_id, source, n_chars) documents folds its own per-source
+    * 256-bin length histogram and appends it batch_id-keyed; the read
+    * side SUMS bins per (source, bin) across batch + epochs — the
+    * distributive-aggregate ADD law `quantile_binned_stored`'s oracle
+    * hash-checks. Replays are idempotent (dynamic partition overwrite);
+    * appended docs are immutable facts. */
+  def maintainQuantileBins(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchQueries.sourceLengthBins(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamQuantileBinsDir(storeBase))
+    }
+
   /** Incremental line-registry maintenance — the line-dedup twin of
     * [[maintainPostings]]: each micro-batch of new documents is split
     * into 10-token lines with the SAME builder the batch registry uses

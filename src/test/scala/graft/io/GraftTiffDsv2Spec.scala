@@ -61,6 +61,38 @@ class GraftTiffDsv2Spec extends SparkFunSuite {
       "a pushed count(*) must not decode any pixel block")
   }
 
+  test("min/max(azimuth|range) answer from headers alone: zero blocks decompressed") {
+    // azimuth spans 0..height-1 and range 0..width-1 by construction,
+    // so the extrema are header-derivable exactly like count(*)
+    val want = TiffPixelSource.readPixels(spark,
+        GraftTiffSource.listRasters(grdDir))
+      .agg(min("azimuth"), max("azimuth"), min("range"), max("range"))
+      .collect().head.toSeq
+    Tiff.blocksDecompressed.set(0)
+    val q = v2.agg(min("azimuth"), max("azimuth"), min("range"), max("range"))
+    val plan = q.queryExecution.executedPlan.toString
+    val got = q.collect().head.toSeq
+    assert(got == want, s"pushed stats $got != exact $want")
+    assert(Tiff.blocksDecompressed.get() == 0,
+      "pushed min/max must not decode any pixel block")
+    assert(plan.contains("PushedAggregates") || !plan.contains("FileScan"),
+      s"expected the header-stats scan in the plan:\n$plan")
+  }
+
+  test("min/max does NOT push under a residual filter (defensive gate)") {
+    // with an azimuth filter pushed, the builder must fall back to the
+    // full scan — header extrema would be wrong for the filtered rows
+    val want = TiffPixelSource.readPixels(spark,
+        GraftTiffSource.listRasters(grdDir))
+      .filter(col("azimuth") >= 2)
+      .agg(min("azimuth").as("a"), max("range").as("b"))
+      .collect().head.toSeq
+    val got = v2.filter(col("azimuth") >= 2)
+      .agg(min("azimuth").as("a"), max("range").as("b"))
+      .collect().head.toSeq
+    assert(got == want, s"filtered stats must come from real rows: $got != $want")
+  }
+
   test("column pruning narrows the scan's read schema") {
     val q = v2.select("azimuth", "range")
     val plan = q.queryExecution.executedPlan.toString

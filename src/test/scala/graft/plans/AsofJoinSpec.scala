@@ -66,7 +66,7 @@ class AsofJoinSpec extends SparkFunSuite {
   private def runFwd(left: Seq[(Long, Long, String)], right: Seq[(Long, Long, String)]) = {
     val l = left.toDF("k", "t", "lv")
     val r = right.toDF("rk", "rt", "rv")
-    Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt", forward = true)
+    Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt", strategy = "forward")
       .select("k", "t", "lv", "rt", "rv")
       .collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getString(2),
@@ -110,6 +110,97 @@ class AsofJoinSpec extends SparkFunSuite {
       }
     }.toSet
     assert(got == want)
+  }
+
+  private def runWith(left: Seq[(Long, Long, String)], right: Seq[(Long, Long, String)],
+      strategy: String, tolerance: Option[Long]) = {
+    val l = left.toDF("k", "t", "lv")
+    val r = right.toDF("rk", "rt", "rv")
+    Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt", strategy, tolerance)
+      .select("k", "t", "lv", "rt", "rv")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getString(2),
+        if (row.isNullAt(3)) null else java.lang.Long.valueOf(row.getLong(3)),
+        row.getString(4)))
+      .toSet
+  }
+
+  test("tolerance: an in-range match survives, an out-of-range one nulls out") {
+    val got = runWith(
+      left = Seq((1L, 100L, "a"), (1L, 200L, "b")),
+      right = Seq((1L, 95L, "near"), (1L, 120L, "stale")),
+      strategy = "backward", tolerance = Some(10L))
+    assert(got == Set(
+      (1L, 100L, "a", java.lang.Long.valueOf(95L), "near"),
+      // the as-of row for t=200 is rt=120 (dist 80 > 10): NO fallback
+      // to an even-older row — tolerance nulls, it does not search on
+      (1L, 200L, "b", null, null)))
+  }
+
+  test("tolerance agrees with the brute-force rule on random data (backward AND forward)") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(400)((rnd.nextInt(15).toLong, rnd.nextInt(800).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, s"l$i") }
+    val right = Seq.fill(250)((rnd.nextInt(15).toLong, rnd.nextInt(800).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, s"r$i") }
+    val byKey = right.groupBy(_._1)
+    val tol = 25L
+    val wantBack = left.map { case (k, t, lv) =>
+      byKey.getOrElse(k, Nil).filter(_._2 <= t).sortBy(_._2).lastOption
+        .filter { case (_, rt, _) => t - rt <= tol } match {
+        case Some((_, rt, rv)) => (k, t, lv, java.lang.Long.valueOf(rt), rv)
+        case None => (k, t, lv, null, null)
+      }
+    }.toSet
+    assert(runWith(left, right, "backward", Some(tol)) == wantBack)
+    val wantFwd = left.map { case (k, t, lv) =>
+      byKey.getOrElse(k, Nil).filter(_._2 >= t).sortBy(_._2).headOption
+        .filter { case (_, rt, _) => rt - t <= tol } match {
+        case Some((_, rt, rv)) => (k, t, lv, java.lang.Long.valueOf(rt), rv)
+        case None => (k, t, lv, null, null)
+      }
+    }.toSet
+    assert(runWith(left, right, "forward", Some(tol)) == wantFwd)
+  }
+
+  test("nearest picks the absolute-closest row; exact ties prefer backward") {
+    // DuckDB has no nearest strategy, so the semantics are pinned HERE
+    // (spec, not oracle): closest wins, equidistance goes backward.
+    val got = runWith(
+      left = Seq((1L, 10L, "a"), (1L, 18L, "b"), (1L, 25L, "c")),
+      right = Seq((1L, 6L, "r6"), (1L, 20L, "r20"), (1L, 30L, "r30")),
+      strategy = "nearest", tolerance = None)
+    assert(got == Set(
+      (1L, 10L, "a", java.lang.Long.valueOf(6L), "r6"), // 4 back vs 10 fwd
+      (1L, 18L, "b", java.lang.Long.valueOf(20L), "r20"), // 12 back vs 2 fwd
+      (1L, 25L, "c", java.lang.Long.valueOf(20L), "r20"))) // tie 5/5 → backward
+  }
+
+  test("nearest agrees with the brute-force rule on random data, with and without tolerance") {
+    val rnd = new scala.util.Random(1234)
+    val left = Seq.fill(400)((rnd.nextInt(12).toLong, rnd.nextInt(600).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, s"l$i") }
+    val right = Seq.fill(250)((rnd.nextInt(12).toLong, rnd.nextInt(600).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, s"r$i") }
+    val byKey = right.groupBy(_._1)
+    def want(tol: Long) = left.map { case (k, t, lv) =>
+      val cands = byKey.getOrElse(k, Nil)
+      val back = cands.filter(_._2 <= t).sortBy(_._2).lastOption
+        .filter { case (_, rt, _) => t - rt <= tol }
+      val fwd = cands.filter(_._2 >= t).sortBy(_._2).headOption
+        .filter { case (_, rt, _) => rt - t <= tol }
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (t - b._2 <= f._2 - t) Some(b) else Some(f) // tie → backward
+        case (b, f) => b.orElse(f)
+      }
+      pick match {
+        case Some((_, rt, rv)) => (k, t, lv, java.lang.Long.valueOf(rt), rv)
+        case None => (k, t, lv, null, null)
+      }
+    }.toSet
+    assert(runWith(left, right, "nearest", None) == want(Long.MaxValue))
+    assert(runWith(left, right, "nearest", Some(30L)) == want(30L))
   }
 
   test("empty sides degrade correctly (all-null matches / empty output)") {

@@ -411,6 +411,39 @@ class StreamingSpec extends SparkFunSuite {
       == cells(SketchQueries.countMinCells(SketchQueries.tokenVocab(withGamma))))
   }
 
+  test("quantile-bin store: stream epochs ADD per-source bins, compaction seals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SignatureStore, SketchQueries}
+    val base = tmpDir("qbins")
+    val batchDocs = Seq((1L, "web", 10L), (2L, "web", 100L), (3L, "book", 200L))
+      .toDF("doc_id", "source", "n_chars")
+    SketchQueries.sourceLengthBins(batchDocs)
+      .write.parquet(SignatureStore.quantileBinsDir(base))
+    val input = MemoryStream[(Long, String, Long)]
+    val query = EventStream.maintainQuantileBins(
+      input.toDF().toDF("doc_id", "source", "n_chars"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((4L, "web", 70L)) // bin 1, same cell as doc 2 — must ADD to n=2
+      query.processAllAvailable()
+      input.addData((5L, "book", 20000L)) // caps at bin 255
+      query.processAllAvailable()
+    } finally query.stop()
+    val allDocs = Seq((1L, "web", 10L), (2L, "web", 100L), (3L, "book", 200L),
+      (4L, "web", 70L), (5L, "book", 20000L)).toDF("doc_id", "source", "n_chars")
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = bins(SketchQueries.sourceLengthBins(allDocs))
+    assert(bins(SignatureStore.readQuantileBins(spark, base)) == want)
+    assert(want.contains(("book", 255L, 1L))) // the cap bin arrived via stream
+    assert(want.contains(("web", 1L, 2L))) // batch doc 2 + stream doc 4 summed
+    SignatureStore.compactQuantileBins(spark, base)
+    assert(bins(SignatureStore.readQuantileBins(spark, base)) == want,
+      "compaction must not change the served bins")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamQuantileBinsDir(base))))
+  }
+
   test("bm25-store compaction seals postings AND doclens consistently") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
