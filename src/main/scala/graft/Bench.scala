@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   * timed twice and the BEST of the two runs is reported, after an
   * untimed warm-up pass at a strictly smaller scale factor — JIT /
   * first-touch / codegen-cache noise masqueraded as a 4.7× per-query
-  * regression in round 4. Between timed runs every persisted RDD
+  * regression in round 4. Best-of-2 still cannot defend against HOST
+  * contention inflating both runs of one query, so a trailing
+  * per-query per-SF median (bench_history_<sf>.tsv, last 9 runs) arms an outlier
+  * tripwire: wall > 3× median triggers a third run, and the artifact
+  * records `reruns` + `rerun_queries` so a contention window either
+  * self-corrects or ships visibly flagged. Between timed runs every persisted RDD
   * (`localCheckpoint` blocks) is dropped: leftover blocks from earlier
   * queries occupy the storage half of unified memory (storage below
   * `spark.memory.storageFraction` is eviction-protected), forcing later
@@ -205,26 +210,69 @@ object Bench {
       dropCheckpointBlocks()
     }
 
-    // Best-of-2: the min discards one-off JIT/first-touch/GC hiccups
-    // that a single sample can't distinguish from a real regression.
-    // The diag triple travels with the BEST run (same run the wall
-    // number describes — mixing runs would fabricate impossible ratios).
-    val results = names.map { n =>
-      val a = run(n)
-      val b = run(n)
-      n -> (if (a.wall <= b.wall) a else b)
-    }
-    // Millisecond precision keeps the line short: the driver captures a
-    // bounded stdout tail, and 60+ full-precision doubles overflowed it
-    // in round 3 (parsed=null). Queries + name-free aligned diag arrays
-    // ≈ 3.3 KB — the diag repeats no query names precisely to stay
-    // inside that budget.
+    // Trailing per-query history (bench_history.tsv: name then recent
+    // best walls): best-of-2 cannot defend against a loaded HOST
+    // inflating both runs of one query — the r8 official artifact
+    // carried a 4.69 s dup_graph_pagerank that every committed run
+    // priced at 1.4-1.8 s. Any query whose best-of-2 wall exceeds 3×
+    // its trailing median triggers a third run and the artifact records
+    // which queries self-corrected (`reruns`/`rerun_queries`), so a
+    // contention outlier either heals or ships with its own flag.
     // Locale.ROOT: f"%.3f" uses the default locale, whose decimal comma
     // on non-English systems would silently produce invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    // per-SF history: walls are only comparable within one scale factor
+    val histPath = java.nio.file.Paths.get(
+      "bench_history_" + java.nio.file.Paths.get(sfDir).getFileName + ".tsv")
+    val history: Map[String, Seq[Double]] =
+      if (java.nio.file.Files.exists(histPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(histPath)).asScala
+          .map(_.split("\\s+").toSeq)
+          .collect { case name +: vals if vals.nonEmpty =>
+            name -> vals.flatMap(_.toDoubleOption)
+          }.toMap
+      else Map.empty
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
+
+    // Best-of-2: the min discards one-off JIT/first-touch/GC hiccups
+    // that a single sample can't distinguish from a real regression.
+    // The diag triple travels with the BEST run (same run the wall
+    // number describes — mixing runs would fabricate impossible ratios).
+    val rerunNames = scala.collection.mutable.ListBuffer.empty[String]
+    val results = names.map { n =>
+      val a = run(n)
+      val b = run(n)
+      var best = if (a.wall <= b.wall) a else b
+      val med = history.get(n).filter(_.size >= 3).map(median)
+      if (med.exists(m => best.wall > 3 * m)) {
+        rerunNames += n
+        val c = run(n)
+        if (c.wall < best.wall) best = c
+      }
+      n -> best
+    }
+    // roll the history forward with this run's final walls (trailing 9)
+    locally {
+      val byName = results.toMap
+      val lines = names.map { n =>
+        val walls = (history.getOrElse(n, Nil) :+ byName(n).wall).takeRight(9)
+        (n +: walls.map(fmt)).mkString(" ")
+      }
+      java.nio.file.Files.writeString(histPath, lines.mkString("", "\n", "\n"))
+    }
+    // Millisecond precision keeps the line short: the driver captures a
+    // bounded stdout tail, and 60+ full-precision doubles overflowed it
+    // in round 3 (parsed=null). Queries + name-free aligned diag arrays
+    // ≈ 3.3 KB — the diag repeats no query names precisely to stay
+    // inside that budget.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.wall) }
       .mkString("{", ",", "}")
     val diags = results.map { case (_, v) =>
@@ -250,10 +298,12 @@ object Bench {
         .groupBy("band", "key").count().agg(max("count")).first().getLong(0)
       s""""corpus_fp":{"n_docs":$nDocs,"distinct_tokens":$distinctTokens,"max_band_bucket":$maxBucket}"""
     }
+    val rerunsJson = rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""diag":$diags,"diag_legend":"[task_cpu_sec,input_mb,gc_ms] aligned with sorted queries keys","""" +
       s"""task_cpu_sec":${fmt(totalCpu)},"input_mb":${math.round(totalMb)},"gc_ms":$totalGc,$fp,""" +
-      s""""sf":"$sfDir","method":"best-of-2"}"""
+      s""""reruns":${rerunNames.size},"rerun_queries":$rerunsJson,""" +
+      s""""sf":"$sfDir","method":"best-of-2 + third run when wall > 3x trailing median (bench_history_<sf>.tsv)"}"""
     // Belt and braces for the driver's parser: raw stdout (run /
     // outputStrategy = StdoutOutput strips sbt's [info] prefix) AND a
     // known file in the repo root.

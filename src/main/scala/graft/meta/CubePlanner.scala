@@ -77,20 +77,25 @@ final class CubePlanner(config: CubeConfig) {
 
   /** J1: spatial-overlap semi-join against the earliest raster's extent
     * (…:204-222). Primary row is broadcast; intersection is the convex
-    * quad SAT test ([[Geo.stIntersects]]). */
+    * quad SAT test ([[Geo.stIntersects]]).
+    *
+    * The reference's no-secondary warning rides as a `Dataset.observe`
+    * counter instead of an eager count(): the row count accumulates
+    * DURING whatever action eventually consumes the filtered layers and
+    * a per-session QueryExecutionListener emits the warning — zero extra
+    * jobs on the build path (CubePlannerSpec pins the job count). One
+    * overlap filter per query tree (observe names must be unique in a
+    * plan) — true for every planner pipeline, which applies J1 once. */
   def selectOverlappingRasters(df: DataFrame): DataFrame = {
     val primary = df
       .orderBy(col("acquisition_date").cast("long").asc_nulls_last, col("product_file"))
       .limit(1)
       .select(col("extent").as("_primary_extent"))
-    val kept = df.crossJoin(broadcast(primary))
+    CubePlanner.registerOverlapWarnListener(df.sparkSession)
+    df.crossJoin(broadcast(primary))
       .filter(Geo.stIntersects(col("extent"), col("_primary_extent")))
       .drop("_primary_extent")
-    if (kept.count() == 1) {
-      System.err.println("[graft] warning: No secondary raster(s) found with current " +
-        "configuration that has space overlap with primary raster")
-    }
-    kept
+      .observe(CubePlanner.OverlapMetric, count(lit(1)).as("n_kept"))
   }
 
   /** A3/J3: temporal resample + gap fill (…:224-256).
@@ -149,4 +154,36 @@ final class CubePlanner(config: CubeConfig) {
       .withColumn("band_index", (col("_rn") - 1).cast("int"))
       .drop("_rn")
   }
+}
+
+object CubePlanner {
+
+  /** Name of the observed overlap-filter metric (unique per plan). */
+  val OverlapMetric = "graft_overlap_filter"
+
+  // weak-keyed so a retired SparkSession is not pinned by the registry
+  private val overlapSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean])
+
+  /** One listener per session: reads the [[OverlapMetric]] observation
+    * after any action over a plan that contains the overlap filter and
+    * emits the reference's warning when only the primary raster
+    * survived — the zero-extra-job spelling of the eager `count()`. */
+  private[meta] def registerOverlapWarnListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (overlapSessions.put(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.get(OverlapMetric).foreach { row =>
+            if (row.getLong(row.fieldIndex("n_kept")) == 1L)
+              System.err.println("[graft] warning: No secondary raster(s) found with " +
+                "current configuration that has space overlap with primary raster")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
 }

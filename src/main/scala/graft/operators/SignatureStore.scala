@@ -412,6 +412,44 @@ object SignatureStore {
     readSpans(spark, base)
   }
 
+  /** Compact the span-gram store — the second two-table seal (see
+    * [[compactBm25]]): the latest-wins positioned-gram table AND the
+    * spans re-derived from it must both materialize into tmp dirs
+    * BEFORE any directory is swapped. Swap order grams→spans→stream:
+    * while the stream subtree exists, [[readSpans]] re-derives from
+    * (grams ∪ stream) with latest-wins, and re-resolving already-sealed
+    * stream rows is value-idempotent — so every crash window serves the
+    * same spans; after the stream delete, reads hit the sealed spans
+    * directly. */
+  def compactSpans(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamSpanGramsDir(base))) {
+      import org.apache.hadoop.fs.Path
+      val batch = Option.when(hasData(spark, spanGramsDir(base)))(
+        spark.read.parquet(spanGramsDir(base))
+          .select(col("doc_id"), col("pos"), col("gram"), lit(-1L).as("batch_id")))
+      val stream = spark.read.parquet(streamSpanGramsDir(base))
+        .select(col("doc_id"), col("pos"), col("gram"),
+          col("batch_id").cast("long").as("batch_id"))
+      val all = batch.fold(stream)(_.unionByName(stream))
+      val latest = all.groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+      val resolved = all.join(latest, Seq("doc_id", "batch_id"))
+        .select("doc_id", "pos", "gram")
+      val tmpG = s"${spanGramsDir(base)}_compact_tmp"
+      val tmpS = s"${spansDir(base)}_compact_tmp"
+      resolved.write.mode("overwrite").parquet(tmpG)
+      TextQueries.spansFromGrams(spark.read.parquet(tmpG))
+        .write.mode("overwrite").parquet(tmpS)
+      val fs = new Path(spanGramsDir(base))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(spanGramsDir(base)), true)
+      require(fs.rename(new Path(tmpG), new Path(spanGramsDir(base))),
+        s"compaction rename $tmpG failed")
+      fs.delete(new Path(spansDir(base)), true)
+      require(fs.rename(new Path(tmpS), new Path(spansDir(base))),
+        s"compaction rename $tmpS failed")
+      fs.delete(new Path(streamSpanGramsDir(base)), true)
+    }
+
   def eventTransitionsDir(base: String) = s"$base/event_transitions"
 
   /** Persisted counted event-transition triples (e1, e2, e3, n) for
@@ -450,7 +488,16 @@ object SignatureStore {
     * lives in exactly one subtree (the same source-disjointness contract
     * as doc_id in the bm25/minhash stores), so addition is exact. Both
     * inputs are taxonomy-bounded (event-type³), so the union aggregate
-    * shuffles nothing corpus-sized. */
+    * shuffles nothing corpus-sized.
+    *
+    * DELIBERATELY NOT COMPACTED (the one store family without a
+    * `compact*`): the batch shape (e1, e2, e3, n) has dropped the USER
+    * dimension the stream side's latest-wins-per-user resolve needs —
+    * folding stream triples into the batch table would freeze each
+    * user's history at seal time, and a later corrected re-emission
+    * could no longer supersede it. The stream subtree must stay
+    * user-keyed for supersession to work; its listing cost is
+    * taxonomy-bounded anyway. */
   def readEventTransitions(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, eventTransitionsDir(base)))(
       spark.read.parquet(eventTransitionsDir(base)).select("e1", "e2", "e3", "n"))

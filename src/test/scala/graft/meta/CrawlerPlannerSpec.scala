@@ -114,6 +114,32 @@ class CrawlerPlannerSpec extends SparkFunSuite {
     assert(planned.filter(col("product_file").endsWith("fake_far.tif")).count() == 0)
   }
 
+  test("J1 warning rides Dataset.observe: zero jobs at build time, fires on the consuming action") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val layers = MetadataCrawler.crawlDirectory(spark, grdDir)
+      .localCheckpoint(true) // materialize inputs so only J1's own jobs count
+    spark.sparkContext.addSparkListener(l)
+    try {
+      org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
+      jobs.set(0)
+      val kept = new CubePlanner(CubeConfig.fromJsonString("""{"space_overlap": true}"""))
+        .selectOverlappingRasters(layers)
+      org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
+      assert(jobs.get() == 0,
+        "building the overlap filter must not run any job (the old eager count did)")
+      // the observed metric fills during the consuming action (collect
+      // runs the dataset's OWN QueryExecution, whose observedMetrics we
+      // read back; a write would plan a fresh one)
+      assert(kept.collect().length == 3)
+      val m = kept.queryExecution.observedMetrics(CubePlanner.OverlapMetric)
+      assert(m.getLong(m.fieldIndex("n_kept")) == 3L)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("all-null acquisition_date skips the date filter entirely (F4 …:127)") {
     // product metadata without acquisition_end_utc → null dates; a naive
     // filter would drop every row, the reference keeps them all

@@ -567,6 +567,26 @@ class StreamingSpec extends SparkFunSuite {
       query.processAllAvailable()
       assert(spanSet().isEmpty,
         "a re-ingested doc's old grams must not keep phantom spans alive")
+
+      // bring the duplication back, then SEAL: compaction must serve
+      // identical spans from the batch subtree alone (two-table swap)
+      input.addData((31L, tokens("a")))
+      query.processAllAvailable()
+      val before = spanSet()
+      assert(before.nonEmpty)
+      graft.operators.SignatureStore.compactSpans(spark, base)
+      assert(spanSet() == before,
+        "compaction must not change the served spans")
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        graft.operators.SignatureStore.streamSpanGramsDir(base))),
+        "compaction must drop the stream subtree")
+      // the sealed grams stay live: a post-seal re-ingest of doc 31
+      // still supersedes its sealed grams and the spans vanish again
+      input.addData((31L, tokens("d")))
+      query.processAllAvailable()
+      assert(spanSet().isEmpty,
+        "post-seal supersession must still work against sealed grams")
     } finally query.stop()
   }
 
