@@ -406,6 +406,34 @@ object CurationQueries {
             "div sum(n) AS BIGINT)").as("at_risk_ppm"))
     },
 
+    // ----- l-diversity audit: the companion invariant to k-anonymity -----
+    // k-anonymity bounds GROUP SIZE; l-diversity bounds what a group
+    // LEAKS: a quasi-identifier group where every member shares one
+    // sensitive value discloses that value even at k ≥ 5 (the classic
+    // homogeneity attack k-anonymity misses). QI = (lang, source),
+    // sensitive = the 256-char length bucket; per group the audit emits
+    // the member count, the distinct-sensitive count l, and the l < 3
+    // flag. Taxonomy-bounded output (|lang|×|source| rows), one hash
+    // aggregate — the same zero-risk plan shape as pii_k_anonymity.
+    "pii_l_diversity" -> QueryDef.sql(
+      """WITH q AS (
+        |  SELECT lang, source, n_chars // 256 AS sens
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT sens) AS BIGINT) AS l_distinct,
+        |  CAST(count(DISTINCT sens) < 3 AS BIGINT) AS homogeneity_risk
+        |FROM q GROUP BY 1, 2 ORDER BY lang, source""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("lang"), col("source"), expr("n_chars div 256").as("sens"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("sens")).as("l_distinct"))
+        .select(col("lang"), col("source"), col("n_docs"), col("l_distinct"),
+          (col("l_distinct") < 3).cast("long").as("homogeneity_risk"))
+        .orderBy("lang", "source")
+    },
+
     // ----- PII detection + redaction: stateless codegen'd regex pass -----
     // Counts and redacts emails / phone numbers / IPs in one projection —
     // no shuffle, no UDF; at 100 TB this is a pure map stage pipelined
@@ -450,6 +478,52 @@ object CurationQueries {
             .when(col("lang") === "es", 800).when(col("lang") === "fr", 250)
             .when(col("lang") === "zh", 1000).otherwise(0))
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ----- weighted sampling without randomness: systematic selection -----
+    // Weight-proportional sampling (select ~64 docs with probability ∝
+    // n_chars) via SYSTEMATIC selection over the weight prefix sum: lay
+    // all documents on the cumulative-weight axis, drop k evenly-spaced
+    // probes (stride = total/k, first at stride/2), and a doc is picked
+    // once per probe inside its weight interval — a heavy doc can take
+    // several probes (`picks` carries the multiplicity), Σpicks = k
+    // exactly. Exponential-key A-ES would need ln() whose last-ulp
+    // differences across engines could flip selections; the systematic
+    // spelling is INTEGER-EXACT end to end, and the prefix sum is the
+    // two-pass distributed scaffold (no global window), so the plan
+    // holds at 100 TB.
+    "sample_weighted_systematic" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM w),
+        |p AS (SELECT total // 64 AS stride, (total // 64) // 2 AS off0 FROM t),
+        |c AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM w)
+        |SELECT c.doc_id, c.w,
+        |  ((c.cum - p.off0 + p.stride) // p.stride)
+        |    - ((c.cum - c.w - p.off0 + p.stride) // p.stride) AS picks
+        |FROM c, p
+        |WHERE ((c.cum - p.off0 + p.stride) // p.stride)
+        |    - ((c.cum - c.w - p.off0 + p.stride) // p.stride) > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"), col("n_chars").as("w"))
+      val (ranged, offsets, total) = graft.util.Scale.rangedOffsets(
+        docs, Seq(col("doc_id")), col("w"))
+      val k = 64L
+      val stride = total / k
+      require(stride >= 1, s"corpus weight $total smaller than sample size $k")
+      val off0 = stride / 2
+      val local = Window.partitionBy("_pid").orderBy("doc_id")
+      // + stride keeps both floordiv operands strictly positive (off0 <
+      // stride ≤ cum+stride): Spark's div truncates toward zero while
+      // DuckDB's // floors — they only agree on non-negative operands
+      ranged
+        .withColumn("cum", sum(col("w")).over(local) +
+          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
+        .drop("_pid")
+        .withColumn("picks",
+          expr(s"((cum - $off0 + $stride) div $stride) - ((cum - w - $off0 + $stride) div $stride)"))
+        .filter(col("picks") > 0)
+        .select(col("doc_id"), col("w"), col("picks"))
         .orderBy("doc_id")
     },
 

@@ -363,6 +363,47 @@ object SketchQueries {
       countMinReport(cells, tokenVocab(documents(s, d)))
     },
 
+    // The SERVING face of the store: estimate frequencies for a fixed
+    // probe-token set from the 4×1024 cells ALONE — the final plan never
+    // touches the corpus (PlanAssertSpec pins zero documents scans; the
+    // only read is the constant-size cell artifact). This is the whole
+    // point of a persisted sketch at 100 TB: frequency lookups cost 4096
+    // rows, not a corpus pass. Absent cells count 0 (count-min's empty
+    // cell IS zero), so unseen probes report their true 0 unless salted
+    // collisions say otherwise — the overestimate bound, visible per
+    // probe. Oracle replays the sketch from the corpus (that's DuckDB's
+    // job) and probes the same tokens.
+    "count_min_serve" -> QueryDef.sql(
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |slots AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT unnest(['data', 'the', 'and', 'alpha', 'zzz_never_seen']) AS token),
+        |est AS (
+        |  SELECT p.token, min(coalesce(s.n, 0)) AS n_est
+        |  FROM probes p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+        |  LEFT JOIN slots s ON s.j = js.j
+        |    AND s.slot = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '#' || p.token), 1, 15))::BIGINT % 1024
+        |  GROUP BY 1)
+        |SELECT token, n_est FROM est ORDER BY token""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val cells = SignatureStore.ensureCountMin(s, d)
+      val js = (0 until CmDepth).map(lit(_))
+      Seq("data", "the", "and", "alpha", "zzz_never_seen").toDF("token")
+        .select(col("token"), explode(array(js: _*)).as("j"))
+        .withColumn("slot", cmSlotOf(col("j"), col("token")))
+        .join(broadcast(cells), Seq("j", "slot"), "left")
+        .groupBy("token")
+        .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
+        .orderBy("token")
+    },
+
     // Mergeability law, checked like kmv_merge_shingles checks KMV's
     // union-closure: per-source sketches SUMMED cell-by-cell must equal
     // the global sketch — count-min cells are sums, so merging is

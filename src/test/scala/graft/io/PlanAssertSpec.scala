@@ -743,6 +743,31 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("count_min_serve reads the cell store only — zero corpus bytes in the plan") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.operators.SignatureStore.ensureCountMin(spark, sfDir).count() // build once
+    val q = graft.operators.SketchQueries.defs("count_min_serve").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"serving from the sketch must never scan the corpus:\n$plan")
+    assert(plan.contains("count_min"),
+      s"expected the cell-store read in the plan:\n$plan")
+    assert(q.count() == 5)
+  }
+
+  test("sample_weighted_systematic: prefix sum is the two-pass scaffold, no global window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.CurationQueries.defs("sample_weighted_systematic").build(spark, sfDir)
+    val globalWindows = q.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"the weight prefix sum must not funnel the corpus through one task:\n${q.queryExecution.sparkPlan}")
+    // Σpicks == k exactly: systematic selection drops k probes on the
+    // cumulative-weight axis and each lands in exactly one interval
+    assert(q.agg(org.apache.spark.sql.functions.sum("picks")).first().getLong(0) == 64L)
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
