@@ -1016,7 +1016,15 @@ object SignatureStore {
       SearchQueries.postingsOf(docs)
         .write.mode("overwrite").parquet(bm25PostingsDir(base))
     }
-    readBm25(spark, base)
+    // spread the postings across all cores at the SERVING boundary: a
+    // fixture-scale store arrives as one input split, which serializes
+    // every consumer's broadcast-join + partial-agg map stage onto one
+    // task (measured: bool_search_and_stored ran SLOWER than its live
+    // twin, 1.00 vs 0.59 s — the live path already spreads). At 100 TB
+    // the store is many splits and the widen is a no-op; compaction and
+    // stream plumbing use readBm25 directly and keep their layout.
+    val (p, l) = readBm25(spark, base)
+    (TextQueries.spread(p), l)
   }
 
   def linesDir(base: String) = s"$base/line_registry"

@@ -31,6 +31,10 @@ object SketchQueries {
 
   val KmvK = 64
 
+  /** Misra–Gries counter budget (heavy_hitters_mg): ≤ k positive
+    * counters per summary, merged error ≤ Σλ. */
+  val MgK = 8
+
   /** Per-day k-min user-hash sketch rows (day, h) — the build kernel
     * shared by the live rolling query, the batch store build
     * ([[SignatureStore.ensureDailyKmv]]), and every stream epoch
@@ -457,6 +461,78 @@ object SketchQueries {
         .orderBy("j", "slot")
     },
 
+    // ----- Misra–Gries heavy hitters: the 5th sketch family -----
+    // Completes the estimator set (KMV=distinct, count-min=frequency,
+    // bins=quantiles, Bloom=membership): a k-counter summary whose size
+    // is CONSTANT in the corpus and whose merge is ADD-then-PRUNE
+    // (Agarwal et al., Mergeable Summaries). The ORDER-INDEPENDENT
+    // offline form is used so a distributed build is well-defined and
+    // oracle-replayable: per source, λ_s = the (k+1)-th largest token
+    // count (0 if the vocab is smaller) and every counter is
+    // max(0, f − λ_s) — at most k positive by construction. Merging
+    // sums counters per token, re-prunes with the merged λ_m, and the
+    // THEOREM is the emitted invariant: the merged counter
+    // underestimates the exact global count by at most Σλ_s + λ_m
+    // (each prune subtracts ≤ its λ from any token, kept or not), and
+    // never overestimates. `within_bound` makes the guarantee a
+    // hash-checked fact per surviving token, not a promise.
+    "heavy_hitters_mg" -> QueryDef.sql(
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents WHERE source IS NOT NULL),
+         |v AS (SELECT source, t, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2),
+         |lam AS (
+         |  SELECT source, coalesce(max(CASE WHEN rk = $MgK + 1 THEN f END), 0) AS lam
+         |  FROM (SELECT source, f, row_number() OVER (PARTITION BY source ORDER BY f DESC, t) AS rk
+         |        FROM v)
+         |  GROUP BY 1),
+         |summ AS (
+         |  SELECT v.source, v.t, v.f - l.lam AS c
+         |  FROM v JOIN lam l ON l.source = v.source WHERE v.f - l.lam > 0),
+         |merged AS (SELECT t, CAST(sum(c) AS BIGINT) AS c FROM summ GROUP BY 1),
+         |lamm AS (
+         |  SELECT coalesce(max(CASE WHEN rk = $MgK + 1 THEN c END), 0) AS lam
+         |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk FROM merged)),
+         |fin AS (
+         |  SELECT m.t, m.c - x.lam AS c_merged FROM merged m, lamm x WHERE m.c - x.lam > 0),
+         |bound AS (
+         |  SELECT CAST((SELECT sum(lam) FROM lam) + (SELECT lam FROM lamm) AS BIGINT) AS b),
+         |ex AS (SELECT t, CAST(sum(f) AS BIGINT) AS n_exact FROM v GROUP BY 1)
+         |SELECT f.t AS token, f.c_merged, e.n_exact,
+         |  e.n_exact - f.c_merged AS slack, b.b AS bound,
+         |  CAST(e.n_exact - f.c_merged <= b.b AS BIGINT) AS within_bound
+         |FROM fin f JOIN ex e ON e.t = f.t, bound b
+         |ORDER BY token""".stripMargin) { (s, d) =>
+      // one corpus pass: the per-(source, token) fold feeds the
+      // summaries, their λs, and the exact audit
+      val v = documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"), explode(expr(TextQueries.toksExpr)).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("f"))
+        .localCheckpoint(true)
+      val rkW = Window.partitionBy(col("source")).orderBy(col("f").desc, col("t"))
+      val lam = v.withColumn("rk", row_number().over(rkW))
+        .groupBy("source")
+        .agg(coalesce(max(when(col("rk") === MgK + 1, col("f"))), lit(0L)).as("lam"))
+      val summ = v.join(broadcast(lam), Seq("source"))
+        .select(col("t"), (col("f") - col("lam")).as("c"))
+        .filter(col("c") > 0)
+      val merged = summ.groupBy("t").agg(sum("c").as("c"))
+      val lamm = merged
+        .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("t"))))
+        .agg(coalesce(max(when(col("rk") === MgK + 1, col("c"))), lit(0L)).as("lam"))
+      val fin = merged.crossJoin(broadcast(lamm))
+        .select(col("t"), (col("c") - col("lam")).as("c_merged"))
+        .filter(col("c_merged") > 0)
+      val bound = lam.agg(sum("lam").as("slam")).crossJoin(lamm)
+        .select((col("slam") + col("lam")).as("bound"))
+      val ex = v.groupBy("t").agg(sum("f").as("n_exact"))
+      fin.join(ex, Seq("t")).crossJoin(broadcast(bound))
+        .select(col("t").as("token"), col("c_merged"), col("n_exact"),
+          (col("n_exact") - col("c_merged")).as("slack"), col("bound"),
+          (col("n_exact") - col("c_merged") <= col("bound")).cast("long").as("within_bound"))
+        .orderBy("token")
+    },
+
     // ----- Bloom-gated decontamination: constant-size filter broadcast -----
     // The scale variant of decontaminate_ngram's gate: instead of
     // broadcasting every eval 12-gram hash, build a 4096-bit two-probe
@@ -614,7 +690,50 @@ object SketchQueries {
         .groupBy("bin").agg(sum("n").as("n"))
       binnedQuantileReport(bins, documents(s, d))
     },
+
+    // Serving face of the bin store (count_min_serve's sibling):
+    // per-source p50/p90/p99 upper-edge estimates from the stored bins
+    // ALONE — zero corpus bytes in the plan (pinned), no exact-audit
+    // leg (that's quantile_binned_stored's job). At 100 TB this is the
+    // dashboard query: percentiles per source at |sources|×256-row read
+    // cost. Oracle replays the per-source histogram from the corpus.
+    "quantile_bins_serve" -> QueryDef.sql(QuantileServeSql) { (s, d) =>
+      import s.implicits._
+      val bins = SignatureStore.ensureQuantileBins(s, d)
+        .filter(col("source").isNotNull)
+      val c = bins
+        .withColumn("cum", sum(col("n")).over(
+          Window.partitionBy(col("source")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val pcts = Seq(50L, 90L, 99L).toDF("pct")
+      c.join(broadcast(pcts), lit(100) * col("cum") >= col("pct") * col("total"))
+        .groupBy("source", "pct")
+        .agg(min(col("bin")).as("qbin"), max(col("total")).as("total"))
+        .select(col("source"), col("pct"), col("total"), col("qbin"),
+          (lit(64) * col("qbin") + 63).as("est_len_hi"))
+        .orderBy("source", "pct")
+    },
   )
+
+  /** Serving face of the bin store (see defs entry). */
+  private val QuantileServeSql: String =
+    """WITH b AS (
+      |  SELECT source, least(n_chars // 64, 255) AS bin, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, bin, n,
+      |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total FROM b),
+      |pcts AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
+      |sel AS (
+      |  SELECT c.source, p.pct, min(c.bin) AS qbin, max(c.total) AS total
+      |  FROM c JOIN pcts p ON 100 * c.cum >= p.pct * c.total
+      |  GROUP BY 1, 2)
+      |SELECT source, pct, total, qbin, 64 * qbin + 63 AS est_len_hi
+      |FROM sel ORDER BY source, pct""".stripMargin
 
   /** Per-source 256-bin length histogram (source, bin, n) — the build
     * kernel shared by the store build

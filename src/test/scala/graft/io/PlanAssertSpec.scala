@@ -755,6 +755,18 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() == 5)
   }
 
+  test("quantile_bins_serve reads the bin store only — zero corpus bytes in the plan") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.operators.SignatureStore.ensureQuantileBins(spark, sfDir).count() // build once
+    val q = graft.operators.SketchQueries.defs("quantile_bins_serve").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"serving percentiles from the bins must never scan the corpus:\n$plan")
+    assert(plan.contains("quantile_bins"),
+      s"expected the bin-store read in the plan:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("sample_weighted_systematic: prefix sum is the two-pass scaffold, no global window") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.CurationQueries.defs("sample_weighted_systematic").build(spark, sfDir)
