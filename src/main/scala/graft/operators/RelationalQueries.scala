@@ -78,7 +78,15 @@ object RelationalQueries {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-      lineitem(s, d)
+      // conditional spread: the driver's regenerated lineitem is ONE
+      // 13.6 MB row group — Spark's minimum split — so the three exact
+      // DECIMAL sums ran on a single core (~1.7 µs/row, the r8 q1_agg
+      // residual). The widen shuffles the 4-column projection only when
+      // input splits < cores; a real-scale lineitem is many row groups
+      // and the plan is untouched.
+      TextQueries.spread(lineitem(s, d)
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
