@@ -801,6 +801,52 @@ object SignatureStore {
       compactInto(spark, quantileBinsDir(base), streamQuantileBinsDir(base),
         readQuantileBins(spark, base))
 
+  def bloomDir(base: String) = s"$base/bloom"
+
+  /** Streaming word appends, batch_id-partitioned (same layout rationale
+    * as [[streamMinhashDir]]). */
+  def streamBloomDir(base: String) = s"$base/bloom_stream"
+
+  /** Merged eval-set Bloom words (w, bits) — the third sketch store and
+    * the one whose merge law is IDEMPOTENT OR: batch words plus each
+    * stream epoch's words fold with `bit_or` per word id, so re-ingested
+    * eval documents change nothing (bits already set stay set) and
+    * replay needs no per-doc identity at all. Read cost is ≤128 rows per
+    * part regardless of eval-corpus size — the gate a 100 TB
+    * decontamination sweep broadcasts instead of the eval shingle set. */
+  def readBloom(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, bloomDir(base)))(
+      spark.read.parquet(bloomDir(base)).select("w", "bits"))
+    val stream = Option.when(hasData(spark, streamBloomDir(base)))(
+      spark.read.parquet(streamBloomDir(base)).select("w", "bits"))
+    val all = (batch, stream) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no bloom store under $base")
+    }
+    all.groupBy("w").agg(expr("bit_or(bits)").as("bits"))
+  }
+
+  /** Build-on-first-use for the eval-set Bloom word store. */
+  def ensureBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${bloomDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      SketchQueries.bloomOf(SketchQueries.evalSplit(documents(spark, sfDir)))
+        .write.mode("overwrite").parquet(bloomDir(base))
+    readBloom(spark, base)
+  }
+
+  /** Compact the Bloom word store (bit_or resolve). */
+  def compactBloom(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamBloomDir(base)))
+      compactInto(spark, bloomDir(base), streamBloomDir(base),
+        readBloom(spark, base))
+
   def imagePhashDir(base: String) = s"$base/image_phash"
 
   /** Streaming fingerprint appends, batch_id-partitioned (same layout

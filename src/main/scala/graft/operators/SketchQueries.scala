@@ -545,8 +545,29 @@ object SketchQueries {
     // filter by construction — no false negatives), and the emitted
     // exact_hit column makes the false-positive surplus auditable row by
     // row. Probe joins are broadcast hash joins on the word id.
-    "bloom_decontaminate" -> QueryDef.sql(
-      """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+    "bloom_decontaminate" -> QueryDef.sql(BloomDecontamSql) { (s, d) =>
+      // constant-size filter: ≤128 words regardless of eval size
+      val bloom = bloomOf(evalSplit(documents(s, d))).localCheckpoint(true)
+      bloomDecontamReport(s, d, bloom)
+    },
+
+    // Stored twin: the ≤128 Bloom words are the 16th store family — the
+    // eval-set membership gate persisted once
+    // ([[SignatureStore.ensureBloom]]) so decontamination sweeps never
+    // re-shingle the eval corpus. Stream epochs of newly-published eval
+    // docs OR their words in (EventStream.maintainBloom) — the
+    // IDEMPOTENT merge: a re-ingested eval doc sets bits already set.
+    // Same oracle as the live gate: the stored filter must be
+    // bit-for-bit what a fresh build produces (OR-merge loses nothing).
+    "bloom_decontaminate_stored" -> QueryDef.sql(BloomDecontamSql) { (s, d) =>
+      bloomDecontamReport(s, d, SignatureStore.ensureBloom(s, d))
+    },
+  ) ++ moreDefs
+
+  /** Oracle for the Bloom-gated decontamination report, shared verbatim
+    * by the live and stored twins. */
+  private val BloomDecontamSql: String =
+    """WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
         |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
         |esh AS (SELECT DISTINCT doc_id, h FROM (
         |  SELECT doc_id, unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
@@ -577,22 +598,21 @@ object SketchQueries {
         |  GROUP BY t.doc_id, e.doc_id HAVING count(*) >= 20))
         |SELECT c.doc_id, c.n_bloom_hits, (x.doc_id IS NOT NULL) AS exact_hit
         |FROM cand c LEFT JOIN exact x ON x.doc_id = c.doc_id
-        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
-      import graft.functions.ShingleHashes.shingle_hashes
-      val docs = documents(s, d)
-      val evald = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
-      val train = docs.filter(col("doc_id") % 97 =!= 0)
-      def sh(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("doc_id"), explode(shingle_hashes(col("text"), lit(12))).as("h"))
-      val esh = sh(evald)
-      // constant-size filter: ≤128 words regardless of eval size
-      val bloom = esh.select(expr("(h % 4096) div 32").as("w"),
-          expr("shiftleft(1L, CAST(h % 32 AS INT))").as("b"))
-        .unionByName(esh.select(expr("((h div 4096) % 4096) div 32").as("w"),
-          expr("shiftleft(1L, CAST((h div 4096) % 32 AS INT))").as("b")))
-        .groupBy("w").agg(expr("bit_or(b)").as("bits"))
-        .localCheckpoint(true)
-      val tsh = sh(TextQueries.spread(train))
+        |ORDER BY c.doc_id""".stripMargin
+
+  /** The probe+audit stage shared by the live and stored Bloom
+    * decontamination twins: `bloom` is the (w, bits) word table (fresh
+    * build or store read); train shingles probe both bit positions via
+    * broadcast hash joins on the word id, and the exact verdict rides
+    * along so the false-positive surplus stays auditable row by row. */
+  private[graft] def bloomDecontamReport(s: org.apache.spark.sql.SparkSession,
+      d: String, bloom: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.ShingleHashes.shingle_hashes
+    val docs = documents(s, d)
+    val evald = evalSplit(docs)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val tsh = TextQueries.spread(train)
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), lit(12))).as("h"))
       val f1 = bloom.select(col("w").as("w1"), col("bits").as("bits1"))
       val f2 = bloom.select(col("w").as("w2"), col("bits").as("bits2"))
       val cand = tsh
@@ -611,7 +631,9 @@ object SketchQueries {
         .select(col("doc_id"), col("n_bloom_hits"),
           coalesce(col("x"), lit(false)).as("exact_hit"))
         .orderBy("doc_id")
-    },
+  }
+
+  private def moreDefs: Map[String, QueryDef] = Map(
 
     // ----- rolling 7-day distinct users via KMV sketch union -----
     // The SLIDING-WINDOW face of sketch mergeability: per-day KMV
@@ -734,6 +756,34 @@ object SketchQueries {
       |  GROUP BY 1, 2)
       |SELECT source, pct, total, qbin, 64 * qbin + 63 AS est_len_hi
       |FROM sel ORDER BY source, pct""".stripMargin
+
+  /** 4096-bit two-probe Bloom filter as ≤128 packed words (w, bits) from
+    * a 60-bit hash column `h` — the build kernel shared by the live
+    * decontamination gate, the batch store
+    * ([[SignatureStore.ensureBloom]]) and every stream epoch
+    * ([[graft.streaming.EventStream.maintainBloom]]). 32 bits per BIGINT
+    * word because DuckDB range-checks signed shifts at bit 63 while
+    * Spark wraps. Words merge by `bit_or` — OR is idempotent as well as
+    * commutative, so re-ingested members change nothing (the only store
+    * resolve with that property; count-min, by contrast, adds again). */
+  def bloomWords(hashes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hashes.select(expr("(h % 4096) div 32").as("w"),
+        expr("shiftleft(1L, CAST(h % 32 AS INT))").as("b"))
+      .unionByName(hashes.select(expr("((h div 4096) % 4096) div 32").as("w"),
+        expr("shiftleft(1L, CAST((h div 4096) % 32 AS INT))").as("b")))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+
+  /** Bloom words of a document set's 12-gram shingle hashes — one text
+    * pass, then constant-size output. */
+  def bloomOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.ShingleHashes.shingle_hashes
+    bloomWords(docs.select(explode(shingle_hashes(col("text"), lit(12))).as("h")))
+  }
+
+  /** The eval split the decontamination family gates against (the
+    * benchmark-membership fixture: every 97th doc below 10000). */
+  private[graft] def evalSplit(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
 
   /** Per-source 256-bin length histogram (source, bin, n) — the build
     * kernel shared by the store build

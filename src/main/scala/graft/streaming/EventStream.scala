@@ -280,6 +280,28 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamCountMinDir(storeBase))
     }
 
+  /** Incremental Bloom-gate maintenance — the IDEMPOTENT member of the
+    * store layer: each micro-batch of newly-published eval documents
+    * (doc_id, text) folds its 12-gram shingle hashes into ≤128 Bloom
+    * words and appends them batch_id-keyed; the read side
+    * ([[graft.operators.SignatureStore.readBloom]]) resolves with
+    * `bit_or` per word — OR is idempotent, so a replayed or re-ingested
+    * eval doc sets bits that are already set and the served filter is
+    * unchanged (the only store family whose VALUES, not just its
+    * partition-overwrite protocol, absorb replays). Bits only ever turn
+    * on: the no-false-negative contract survives every merge order. */
+  def maintainBloom(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchQueries.bloomOf(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamBloomDir(storeBase))
+    }
+
   /** Incremental quantile-bin maintenance — the second additive store
     * member (see [[maintainCountMin]]): each micro-batch of
     * (doc_id, source, n_chars) documents folds its own per-source

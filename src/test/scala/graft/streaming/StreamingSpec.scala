@@ -411,6 +411,61 @@ class StreamingSpec extends SparkFunSuite {
       == cells(SketchQueries.countMinCells(SketchQueries.tokenVocab(withGamma))))
   }
 
+  test("bloom store: stream epochs OR word-wise, replays are value-idempotent, compaction seals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SignatureStore, SketchQueries}
+    val base = tmpDir("bloom")
+    // batch subtree from two eval docs (texts ≥ 12 chars → real shingles)
+    val batchDocs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "the quick brown fox jumps over"))
+      .toDF("doc_id", "text")
+    SketchQueries.bloomOf(batchDocs)
+      .write.parquet(SignatureStore.bloomDir(base))
+    def words(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val afterBatch = words(SignatureStore.readBloom(spark, base))
+    // stream: epoch 1 adds a new doc, epoch 2 RE-INGESTS batch doc 1 —
+    // the OR resolve must absorb it by value (bits already set stay set)
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainBloom(
+      input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((3L, "entirely novel benchmark content"))
+      query.processAllAvailable()
+      val afterNew = words(SignatureStore.readBloom(spark, base))
+      // new doc turned bits ON, never off
+      assert(afterBatch.forall { case (w, b) => (afterNew.getOrElse(w, 0L) & b) == b })
+      input.addData((1L, "alpha beta gamma delta epsilon"))
+      query.processAllAvailable()
+      // value-idempotence: the replayed doc changed nothing
+      assert(words(SignatureStore.readBloom(spark, base)) == afterNew)
+    } finally query.stop()
+    // the served filter equals a from-scratch build over all distinct docs
+    val allDocs = batchDocs.union(
+      Seq((3L, "entirely novel benchmark content")).toDF("doc_id", "text"))
+    val want = words(SketchQueries.bloomOf(allDocs))
+    assert(words(SignatureStore.readBloom(spark, base)) == want)
+    SignatureStore.compactBloom(spark, base)
+    assert(words(SignatureStore.readBloom(spark, base)) == want,
+      "compaction must not change the served words")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamBloomDir(base))))
+    // the sealed store keeps taking appends and bits keep ORing
+    val input2 = MemoryStream[(Long, String)]
+    val query2 = EventStream.maintainBloom(
+      input2.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt2").start()
+    try {
+      input2.addData((4L, "post seal appended document text"))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val withPostSeal = allDocs.union(
+      Seq((4L, "post seal appended document text")).toDF("doc_id", "text"))
+    assert(words(SignatureStore.readBloom(spark, base))
+      == words(SketchQueries.bloomOf(withPostSeal)))
+  }
+
   test("quantile-bin store: stream epochs ADD per-source bins, compaction seals") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{SignatureStore, SketchQueries}
