@@ -847,6 +847,107 @@ object SignatureStore {
       compactInto(spark, bloomDir(base), streamBloomDir(base),
         readBloom(spark, base))
 
+  def mgCountersDir(base: String) = s"$base/mg_counters"
+  def mgLambdasDir(base: String) = s"$base/mg_lambdas"
+
+  /** Streaming summary appends, batch_id-partitioned (layout rationale
+    * of [[streamMinhashDir]]); counters and λs are sibling subtrees
+    * because their schemas differ. */
+  def streamMgCountersDir(base: String) = s"$base/mg_counters_stream"
+  def streamMgLambdasDir(base: String) = s"$base/mg_lambdas_stream"
+
+  /** Merged per-source Misra–Gries summaries — the BOUNDED-LOSSY store
+    * member: the resolve SUMS counters per (source, t) and re-prunes
+    * each source with its merged λ_m (the (k+1)-th largest summed
+    * counter, 0 when ≤ k rows survive — so a batch-only store resolves
+    * to exactly its stored summaries). Unlike KMV's union or
+    * count-min's ADD, this merge loses information, but the loss is
+    * CAPPED: the resolved λ budget (second table: stored per-source λs
+    * summed, plus the re-prune's λ_m) bounds every counter's
+    * underestimate, and counters never overestimate — the
+    * mergeable-summaries theorem the streaming spec asserts against
+    * exact recounts. Appended docs are immutable facts (counters are
+    * counts; re-ingestion adds again, as for count-min).
+    * Returns (counters (source, t, c), lambdas (source, lam)). */
+  def readHeavyHitters(spark: SparkSession, base: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def unioned(batchDir: String, streamDir: String, cols: Seq[String]): DataFrame = {
+      val batch = Option.when(hasData(spark, batchDir))(
+        spark.read.parquet(batchDir).select(cols.map(col): _*))
+      val stream = Option.when(hasData(spark, streamDir))(
+        spark.read.parquet(streamDir).select(cols.map(col): _*))
+      (batch, stream) match {
+        case (Some(b), Some(s)) => b.unionByName(s)
+        case (Some(b), None) => b
+        case (None, Some(s)) => s
+        case (None, None) =>
+          throw new IllegalArgumentException(s"no MG store under $base")
+      }
+    }
+    val summed = unioned(mgCountersDir(base), streamMgCountersDir(base),
+        Seq("source", "t", "c"))
+      .groupBy("source", "t").agg(sum("c").as("c"))
+    val rkW = Window.partitionBy(col("source")).orderBy(col("c").desc, col("t"))
+    val lamM = summed.withColumn("rk", row_number().over(rkW))
+      .groupBy("source")
+      .agg(coalesce(max(when(col("rk") === SketchQueries.MgK + 1, col("c"))), lit(0L))
+        .as("lam_m"))
+    val counters = summed.join(broadcast(lamM), Seq("source"))
+      .select(col("source"), col("t"), (col("c") - col("lam_m")).as("c"))
+      .filter(col("c") > 0)
+    val lambdas = unioned(mgLambdasDir(base), streamMgLambdasDir(base),
+        Seq("source", "lam"))
+      .groupBy("source").agg(sum("lam").as("lam"))
+      .join(broadcast(lamM), Seq("source"), "left")
+      .select(col("source"),
+        (col("lam") + coalesce(col("lam_m"), lit(0L))).as("lam"))
+    (counters, lambdas)
+  }
+
+  /** Build-on-first-use for the MG summary store. λs are written before
+    * the counters marker: a crash window can leave λs-only (the next
+    * ensure rebuilds both), never counters over missing λs. */
+  def ensureHeavyHitters(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${mgCountersDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val (counters, lambdas) = SketchQueries.mgSummaries(
+        SketchQueries.sourceTokenCounts(documents(spark, sfDir)))
+      lambdas.write.mode("overwrite").parquet(mgLambdasDir(base))
+      counters.write.mode("overwrite").parquet(mgCountersDir(base))
+    }
+    readHeavyHitters(spark, base)
+  }
+
+  /** Compact the MG store — a two-table seal like [[compactBm25]]: both
+    * resolves materialize into tmp dirs BEFORE any directory is touched
+    * (the resolve reads the dirs being replaced), then λs swap first and
+    * counters last, so a crash window never leaves a counters marker
+    * over a stale λ budget. Sealing is value-idempotent: re-resolving a
+    * compacted store re-prunes with λ_m = 0 and adds nothing to λ. */
+  def compactHeavyHitters(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamMgCountersDir(base)) ||
+        hasData(spark, streamMgLambdasDir(base))) {
+      import org.apache.hadoop.fs.Path
+      val (c, l) = readHeavyHitters(spark, base)
+      val tmpC = s"${mgCountersDir(base)}_compact_tmp"
+      val tmpL = s"${mgLambdasDir(base)}_compact_tmp"
+      c.write.mode("overwrite").parquet(tmpC)
+      l.write.mode("overwrite").parquet(tmpL)
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(mgLambdasDir(base)), true)
+      require(fs.rename(new Path(tmpL), new Path(mgLambdasDir(base))),
+        s"compaction rename $tmpL failed")
+      fs.delete(new Path(mgCountersDir(base)), true)
+      require(fs.rename(new Path(tmpC), new Path(mgCountersDir(base))),
+        s"compaction rename $tmpC failed")
+      fs.delete(new Path(streamMgCountersDir(base)), true)
+      fs.delete(new Path(streamMgLambdasDir(base)), true)
+    }
+
   def imagePhashDir(base: String) = s"$base/image_phash"
 
   /** Streaming fingerprint appends, batch_id-partitioned (same layout

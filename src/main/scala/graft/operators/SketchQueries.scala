@@ -476,60 +476,48 @@ object SketchQueries {
     // (each prune subtracts ≤ its λ from any token, kept or not), and
     // never overestimates. `within_bound` makes the guarantee a
     // hash-checked fact per surviving token, not a promise.
-    "heavy_hitters_mg" -> QueryDef.sql(
-      s"""WITH toks AS (
-         |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
-         |  FROM documents WHERE source IS NOT NULL),
-         |v AS (SELECT source, t, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2),
-         |lam AS (
-         |  SELECT source, coalesce(max(CASE WHEN rk = $MgK + 1 THEN f END), 0) AS lam
-         |  FROM (SELECT source, f, row_number() OVER (PARTITION BY source ORDER BY f DESC, t) AS rk
-         |        FROM v)
-         |  GROUP BY 1),
-         |summ AS (
-         |  SELECT v.source, v.t, v.f - l.lam AS c
-         |  FROM v JOIN lam l ON l.source = v.source WHERE v.f - l.lam > 0),
-         |merged AS (SELECT t, CAST(sum(c) AS BIGINT) AS c FROM summ GROUP BY 1),
-         |lamm AS (
-         |  SELECT coalesce(max(CASE WHEN rk = $MgK + 1 THEN c END), 0) AS lam
-         |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk FROM merged)),
-         |fin AS (
-         |  SELECT m.t, m.c - x.lam AS c_merged FROM merged m, lamm x WHERE m.c - x.lam > 0),
-         |bound AS (
-         |  SELECT CAST((SELECT sum(lam) FROM lam) + (SELECT lam FROM lamm) AS BIGINT) AS b),
-         |ex AS (SELECT t, CAST(sum(f) AS BIGINT) AS n_exact FROM v GROUP BY 1)
-         |SELECT f.t AS token, f.c_merged, e.n_exact,
-         |  e.n_exact - f.c_merged AS slack, b.b AS bound,
-         |  CAST(e.n_exact - f.c_merged <= b.b AS BIGINT) AS within_bound
-         |FROM fin f JOIN ex e ON e.t = f.t, bound b
-         |ORDER BY token""".stripMargin) { (s, d) =>
+    "heavy_hitters_mg" -> QueryDef.sql(HeavyHittersSql) { (s, d) =>
       // one corpus pass: the per-(source, token) fold feeds the
       // summaries, their λs, and the exact audit
-      val v = documents(s, d).filter(col("source").isNotNull)
-        .select(col("source"), explode(expr(TextQueries.toksExpr)).as("t"))
-        .groupBy("source", "t").agg(count(lit(1)).as("f"))
-        .localCheckpoint(true)
-      val rkW = Window.partitionBy(col("source")).orderBy(col("f").desc, col("t"))
-      val lam = v.withColumn("rk", row_number().over(rkW))
-        .groupBy("source")
-        .agg(coalesce(max(when(col("rk") === MgK + 1, col("f"))), lit(0L)).as("lam"))
-      val summ = v.join(broadcast(lam), Seq("source"))
-        .select(col("t"), (col("f") - col("lam")).as("c"))
-        .filter(col("c") > 0)
-      val merged = summ.groupBy("t").agg(sum("c").as("c"))
+      val v = sourceTokenCounts(documents(s, d)).localCheckpoint(true)
+      val (counters, lambdas) = mgSummaries(v)
+      mgReport(counters, lambdas, v)
+    },
+
+    // Stored twin: the per-source MG summaries are the 17th store
+    // family and the only BOUNDED-LOSSY one — its merge (counters SUM
+    // per token, then re-prune with the merged λ) is not exact like
+    // KMV's union or count-min's ADD, but the loss is capped by the
+    // theorem (≤ Σλ per source), and the store tracks that λ budget as
+    // its second table so every serve can emit its own error bar.
+    // Same oracle as the live build: a batch-built store resolves
+    // identically to a fresh summary (the read-side re-prune is a no-op
+    // on an already-pruned table — λm over ≤k counters is 0).
+    "heavy_hitters_stored" -> QueryDef.sql(HeavyHittersSql) { (s, d) =>
+      val (counters, lambdas) = SignatureStore.ensureHeavyHitters(s, d)
+      mgReport(counters, lambdas, sourceTokenCounts(documents(s, d)))
+    },
+
+    // Serving face of the MG store (count_min_serve's sibling): the
+    // global heavy-hitter list with its error bound from the stored
+    // summaries ALONE — zero corpus bytes in the plan (pinned). Each
+    // surviving token's counter is a guaranteed UNDERestimate within
+    // `bound` of its true global count; absent tokens are guaranteed
+    // ≤ bound. At 100 TB this is the dashboard query: top tokens at
+    // |sources|·k-row read cost. Oracle replays the summaries from the
+    // corpus (that's DuckDB's job).
+    "heavy_hitters_serve" -> QueryDef.sql(MgServeSql) { (s, d) =>
+      val (counters, lambdas) = SignatureStore.ensureHeavyHitters(s, d)
+      val merged = counters.groupBy("t").agg(sum("c").as("c"))
       val lamm = merged
         .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("t"))))
         .agg(coalesce(max(when(col("rk") === MgK + 1, col("c"))), lit(0L)).as("lam"))
-      val fin = merged.crossJoin(broadcast(lamm))
-        .select(col("t"), (col("c") - col("lam")).as("c_merged"))
-        .filter(col("c_merged") > 0)
-      val bound = lam.agg(sum("lam").as("slam")).crossJoin(lamm)
+      val bound = lambdas.agg(sum("lam").as("slam")).crossJoin(lamm)
         .select((col("slam") + col("lam")).as("bound"))
-      val ex = v.groupBy("t").agg(sum("f").as("n_exact"))
-      fin.join(ex, Seq("t")).crossJoin(broadcast(bound))
-        .select(col("t").as("token"), col("c_merged"), col("n_exact"),
-          (col("n_exact") - col("c_merged")).as("slack"), col("bound"),
-          (col("n_exact") - col("c_merged") <= col("bound")).cast("long").as("within_bound"))
+      merged.crossJoin(broadcast(lamm))
+        .select(col("t").as("token"), (col("c") - col("lam")).as("c_merged"))
+        .filter(col("c_merged") > 0)
+        .crossJoin(broadcast(bound))
         .orderBy("token")
     },
 
@@ -756,6 +744,118 @@ object SketchQueries {
       |  GROUP BY 1, 2)
       |SELECT source, pct, total, qbin, 64 * qbin + 63 AS est_len_hi
       |FROM sel ORDER BY source, pct""".stripMargin
+
+  /** Oracle for the Misra–Gries audit report, shared verbatim by the
+    * live and stored twins (a batch-built store must resolve
+    * counter-for-counter to a fresh per-source summary). */
+  private val HeavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents WHERE source IS NOT NULL),
+       |v AS (SELECT source, t, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2),
+       |lam AS (
+       |  SELECT source, coalesce(max(CASE WHEN rk = $MgK + 1 THEN f END), 0) AS lam
+       |  FROM (SELECT source, f, row_number() OVER (PARTITION BY source ORDER BY f DESC, t) AS rk
+       |        FROM v)
+       |  GROUP BY 1),
+       |summ AS (
+       |  SELECT v.source, v.t, v.f - l.lam AS c
+       |  FROM v JOIN lam l ON l.source = v.source WHERE v.f - l.lam > 0),
+       |merged AS (SELECT t, CAST(sum(c) AS BIGINT) AS c FROM summ GROUP BY 1),
+       |lamm AS (
+       |  SELECT coalesce(max(CASE WHEN rk = $MgK + 1 THEN c END), 0) AS lam
+       |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk FROM merged)),
+       |fin AS (
+       |  SELECT m.t, m.c - x.lam AS c_merged FROM merged m, lamm x WHERE m.c - x.lam > 0),
+       |bound AS (
+       |  SELECT CAST((SELECT sum(lam) FROM lam) + (SELECT lam FROM lamm) AS BIGINT) AS b),
+       |ex AS (SELECT t, CAST(sum(f) AS BIGINT) AS n_exact FROM v GROUP BY 1)
+       |SELECT f.t AS token, f.c_merged, e.n_exact,
+       |  e.n_exact - f.c_merged AS slack, b.b AS bound,
+       |  CAST(e.n_exact - f.c_merged <= b.b AS BIGINT) AS within_bound
+       |FROM fin f JOIN ex e ON e.t = f.t, bound b
+       |ORDER BY token""".stripMargin
+
+  /** Oracle for the MG serving face — the same merge, without the
+    * exact-audit leg (the Spark side reads the store and never the
+    * corpus; replaying the summaries from text is the oracle's job). */
+  private val MgServeSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents WHERE source IS NOT NULL),
+       |v AS (SELECT source, t, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2),
+       |lam AS (
+       |  SELECT source, coalesce(max(CASE WHEN rk = $MgK + 1 THEN f END), 0) AS lam
+       |  FROM (SELECT source, f, row_number() OVER (PARTITION BY source ORDER BY f DESC, t) AS rk
+       |        FROM v)
+       |  GROUP BY 1),
+       |summ AS (
+       |  SELECT v.source, v.t, v.f - l.lam AS c
+       |  FROM v JOIN lam l ON l.source = v.source WHERE v.f - l.lam > 0),
+       |merged AS (SELECT t, CAST(sum(c) AS BIGINT) AS c FROM summ GROUP BY 1),
+       |lamm AS (
+       |  SELECT coalesce(max(CASE WHEN rk = $MgK + 1 THEN c END), 0) AS lam
+       |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk FROM merged)),
+       |bound AS (
+       |  SELECT CAST((SELECT sum(lam) FROM lam) + (SELECT lam FROM lamm) AS BIGINT) AS b)
+       |SELECT m.t AS token, m.c - x.lam AS c_merged, b.b AS bound
+       |FROM merged m, lamm x, bound b WHERE m.c - x.lam > 0
+       |ORDER BY token""".stripMargin
+
+  /** Per-(source, token) exact counts — the ONE corpus pass of every MG
+    * build (vocabulary cardinality, Heaps-sublinear). Shared by the live
+    * query, the batch store ([[SignatureStore.ensureHeavyHitters]]) and
+    * every stream epoch
+    * ([[graft.streaming.EventStream.maintainHeavyHitters]]). */
+  def sourceTokenCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("source").isNotNull)
+      .select(col("source"), explode(expr(TextQueries.toksExpr)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("f"))
+
+  /** Per-source Misra–Gries summaries from exact counts, in the
+    * order-independent offline form: λ_s = the (k+1)-th largest count
+    * (0 if the vocabulary is smaller), counters = max(0, f − λ_s) — at
+    * most k positive per source by construction. Returns (counters
+    * (source, t, c), lambdas (source, lam)); lambdas keeps EVERY
+    * source, including those whose counters all pruned to zero — the
+    * error-bound budget must count their λ too. */
+  def mgSummaries(v: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val rkW = Window.partitionBy(col("source")).orderBy(col("f").desc, col("t"))
+    val lam = v.withColumn("rk", row_number().over(rkW))
+      .groupBy("source")
+      .agg(coalesce(max(when(col("rk") === MgK + 1, col("f"))), lit(0L)).as("lam"))
+    val counters = v.join(broadcast(lam), Seq("source"))
+      .select(col("source"), col("t"), (col("f") - col("lam")).as("c"))
+      .filter(col("c") > 0)
+    (counters, lam)
+  }
+
+  /** The merge+audit stage shared by the live and stored MG twins:
+    * `counters`/`lambdas` are per-source summaries (fresh build or
+    * store read), `v` the per-(source, token) exact counts feeding the
+    * audit. Merge = counters SUM per token, re-prune with the merged
+    * λ_m; the emitted `within_bound` checks the mergeable-summaries
+    * theorem (underestimate ≤ Σλ_s + λ_m, never an overestimate). */
+  private[graft] def mgReport(counters: org.apache.spark.sql.DataFrame,
+      lambdas: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val merged = counters.groupBy("t").agg(sum("c").as("c"))
+    val lamm = merged
+      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("t"))))
+      .agg(coalesce(max(when(col("rk") === MgK + 1, col("c"))), lit(0L)).as("lam"))
+    val fin = merged.crossJoin(broadcast(lamm))
+      .select(col("t"), (col("c") - col("lam")).as("c_merged"))
+      .filter(col("c_merged") > 0)
+    val bound = lambdas.agg(sum("lam").as("slam")).crossJoin(lamm)
+      .select((col("slam") + col("lam")).as("bound"))
+    val ex = v.groupBy("t").agg(sum("f").as("n_exact"))
+    fin.join(ex, Seq("t")).crossJoin(broadcast(bound))
+      .select(col("t").as("token"), col("c_merged"), col("n_exact"),
+        (col("n_exact") - col("c_merged")).as("slack"), col("bound"),
+        (col("n_exact") - col("c_merged") <= col("bound")).cast("long").as("within_bound"))
+      .orderBy("token")
+  }
 
   /** 4096-bit two-probe Bloom filter as ≤128 packed words (w, bits) from
     * a 60-bit hash column `h` — the build kernel shared by the live

@@ -302,6 +302,39 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamBloomDir(storeBase))
     }
 
+  /** Incremental Misra–Gries maintenance — the BOUNDED-LOSSY member of
+    * the store layer: each micro-batch of (doc_id, source, text)
+    * documents folds its own per-source summaries (counters + λ, the
+    * same [[graft.operators.SketchQueries.mgSummaries]] builder the
+    * batch store uses) and appends both batch_id-keyed; the read side
+    * ([[graft.operators.SignatureStore.readHeavyHitters]]) SUMS
+    * counters per (source, t) and re-prunes with the merged λ_m —
+    * Agarwal et al.'s mergeable-summaries merge, whose loss is capped
+    * by the accumulated λ budget the second table tracks. Unlike the
+    * exact-merge stores, the resolved summary need not equal a
+    * from-scratch build over all docs ever seen — the streaming spec
+    * asserts the THEOREM instead (no overestimates; underestimates
+    * ≤ resolved λ), which is the contract MG actually offers. Replays
+    * are idempotent (dynamic partition overwrite rewrites the epoch's
+    * own summary); appended docs are immutable facts. */
+  def maintainHeavyHitters(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val (counters, lambdas) = graft.operators.SketchQueries.mgSummaries(
+          graft.operators.SketchQueries.sourceTokenCounts(batch))
+        counters.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamMgCountersDir(storeBase))
+        lambdas.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamMgLambdasDir(storeBase))
+    }
+
   /** Incremental quantile-bin maintenance — the second additive store
     * member (see [[maintainCountMin]]): each micro-batch of
     * (doc_id, source, n_chars) documents folds its own per-source

@@ -767,6 +767,19 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("heavy_hitters_serve reads the MG summary store only — zero corpus bytes in the plan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (c, _) = graft.operators.SignatureStore.ensureHeavyHitters(spark, sfDir)
+    c.count() // build once
+    val q = graft.operators.SketchQueries.defs("heavy_hitters_serve").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"serving heavy hitters from the summaries must never scan the corpus:\n$plan")
+    assert(plan.contains("mg_counters"),
+      s"expected the counter-store read in the plan:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("sample_weighted_systematic: prefix sum is the two-pass scaffold, no global window") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.CurationQueries.defs("sample_weighted_systematic").build(spark, sfDir)

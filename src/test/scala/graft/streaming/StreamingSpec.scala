@@ -411,6 +411,81 @@ class StreamingSpec extends SparkFunSuite {
       == cells(SketchQueries.countMinCells(SketchQueries.tokenVocab(withGamma))))
   }
 
+  test("mg store: epoch merges stay within the theorem bound, compaction seals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SignatureStore, SketchQueries}
+    val base = tmpDir("mgstore")
+    // vocab > k (=8) per source so pruning is real: token i repeats i times
+    def doc(n: Int, shift: Int = 0) =
+      (1 to n).flatMap(i => Seq.fill(i)(s"tok${i + shift}")).mkString(" ")
+    val batchDocs = Seq((1L, "web", doc(12)))
+      .toDF("doc_id", "source", "text")
+    val (bc, bl) = SketchQueries.mgSummaries(SketchQueries.sourceTokenCounts(batchDocs))
+    bl.write.parquet(SignatureStore.mgLambdasDir(base))
+    bc.write.parquet(SignatureStore.mgCountersDir(base))
+    // stream: epoch 1 re-weights web's vocabulary (overlapping tokens —
+    // counters must SUM then re-prune), epoch 2 opens a new source
+    val input = MemoryStream[(Long, String, String)]
+    val query = EventStream.maintainHeavyHitters(
+      input.toDF().toDF("doc_id", "source", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((2L, "web", doc(14, shift = 4)))
+      query.processAllAvailable()
+      input.addData((3L, "book", doc(10)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val allDocs = Seq((1L, "web", doc(12)), (2L, "web", doc(14, shift = 4)),
+      (3L, "book", doc(10))).toDF("doc_id", "source", "text")
+    def counterMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def lamMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (counters, lambdas) = SignatureStore.readHeavyHitters(spark, base)
+    val c = counterMap(counters)
+    val lam = lamMap(lambdas)
+    val exact = counterMap(SketchQueries.sourceTokenCounts(allDocs)
+      .select("source", "t", "f"))
+    // ≤ k positive counters per source survive the resolve
+    assert(c.keys.groupBy(_._1).values.forall(_.size <= SketchQueries.MgK))
+    // the mergeable-summaries theorem, per counter: never an
+    // overestimate, and the underestimate is capped by the λ budget
+    c.foreach { case (k @ (src, _), v) =>
+      assert(v <= exact(k), s"$k overestimates")
+      assert(exact(k) - v <= lam(src), s"$k outside the λ budget")
+    }
+    // ...and for every PRUNED token: its true count is ≤ the budget
+    // (nothing heavy can hide — the guarantee serving relies on)
+    exact.foreach { case (k @ (src, _), f) =>
+      if (!c.contains(k)) assert(f <= lam(src), s"pruned $k exceeds λ")
+    }
+    // compaction: seal, then the resolved view must be unchanged
+    SignatureStore.compactHeavyHitters(spark, base)
+    val (c2, l2) = SignatureStore.readHeavyHitters(spark, base)
+    assert(counterMap(c2) == c && lamMap(l2) == lam,
+      "compaction must not change the resolved summaries")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamMgCountersDir(base))))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamMgLambdasDir(base))))
+    // the sealed store keeps taking appends within the (grown) budget
+    val input2 = MemoryStream[(Long, String, String)]
+    val query2 = EventStream.maintainHeavyHitters(
+      input2.toDF().toDF("doc_id", "source", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt2").start()
+    try {
+      input2.addData((4L, "web", doc(9)))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val (c3, l3) = SignatureStore.readHeavyHitters(spark, base)
+    val exact3 = counterMap(SketchQueries.sourceTokenCounts(
+      allDocs.union(Seq((4L, "web", doc(9))).toDF("doc_id", "source", "text")))
+      .select("source", "t", "f"))
+    val lam3 = lamMap(l3)
+    counterMap(c3).foreach { case (k @ (src, _), v) =>
+      assert(v <= exact3(k) && exact3(k) - v <= lam3(src))
+    }
+  }
+
   test("bloom store: stream epochs OR word-wise, replays are value-idempotent, compaction seals") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{SignatureStore, SketchQueries}
