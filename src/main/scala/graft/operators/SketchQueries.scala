@@ -623,6 +623,160 @@ object SketchQueries {
 
   private def moreDefs: Map[String, QueryDef] = Map(
 
+    // ----- sketch composition #1: join-size estimation from count-min -----
+    // The optimizer-statistics use of the frequency sketch (Cormode &
+    // Muthukrishnan §4.2): |A ⋈ B| on a key equals the inner product
+    // ⟨f_A, f_B⟩ of the two frequency vectors, and the count-min cells
+    // estimate it as min_j Σ_slot a[j,s]·b[j,s] — colliding keys only
+    // ADD mass, so the estimate never undercounts (over_ppm ≥ 0 is the
+    // emitted invariant). This is how an engine prices a join it cannot
+    // afford to probe: two 4×1024 tables answer in constant work what
+    // the exact audit leg (which rides along) pays a real join for. All
+    // per-depth estimates are emitted with the min flagged — the
+    // envelope a planner would actually read.
+    "cm_join_size_estimate" -> QueryDef.sql(
+      """WITH va AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS t, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |vb AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS t, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ca AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM va CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM vb CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js GROUP BY 1, 2),
+        |est AS (
+        |  SELECT a.j, CAST(sum(a.n * b.n) AS BIGINT) AS est_j
+        |  FROM ca a JOIN cb b ON b.j = a.j AND b.slot = a.slot GROUP BY 1),
+        |ex AS (SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_exact
+        |       FROM va a JOIN vb b ON b.t = a.t),
+        |mn AS (SELECT min(est_j) AS m FROM est)
+        |SELECT e.j, e.est_j, x.n_exact,
+        |  CAST((CAST(1000000 AS HUGEINT) * (e.est_j - x.n_exact)) // x.n_exact AS BIGINT) AS over_ppm,
+        |  CAST(e.est_j = m.m AS BIGINT) AS is_min
+        |FROM est e, ex x, mn m ORDER BY e.j""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      def vocabOf(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id").cast("string").as("t"))
+        .agg(count(lit(1)).as("cnt"))
+      // the per-key folds are key-cardinality (not event-cardinality)
+      // and feed both the sketch and the exact legs — pinned once each
+      val va = vocabOf("view").localCheckpoint(true)
+      val vb = vocabOf("purchase").localCheckpoint(true)
+      val estJ = countMinCells(va).withColumnRenamed("n", "na")
+        .join(countMinCells(vb).withColumnRenamed("n", "nb"), Seq("j", "slot"))
+        .groupBy("j")
+        .agg(expr("CAST(sum(CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)").as("est_j"))
+      val exact = va.withColumnRenamed("cnt", "ca")
+        .join(vb.withColumnRenamed("cnt", "cb"), Seq("t"))
+        .agg(expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)").as("n_exact"))
+      val mn = estJ.agg(min("est_j").as("m"))
+      estJ.crossJoin(broadcast(exact)).crossJoin(broadcast(mn))
+        .select(col("j").cast("long").as("j"), col("est_j"), col("n_exact"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (est_j - n_exact)) div n_exact AS BIGINT)")
+            .as("over_ppm"),
+          (col("est_j") === col("m")).cast("long").as("is_min"))
+        .orderBy("j")
+    },
+
+    // ----- sketch composition #2: pairwise Jaccard from KMV sketches -----
+    // The set-similarity use of the distinct sketch (Beyer et al. 2007):
+    // for sources A, B, take K = the k smallest hashes of sk_A ∪ sk_B
+    // (which IS the KMV sketch of A ∪ B, by union-closure) and estimate
+    // J(A,B) ≈ |{h ∈ K : h ∈ sk_A ∧ h ∈ sk_B}| / |K| — membership of a
+    // union-sketch hash in BOTH per-source sketches is exact (each
+    // retained its own k smallest), so the estimator is a pure function
+    // of 2k stored rows per pair. The source-pair similarity matrix a
+    // curation pipeline prices mixtures with, at k·|sources| read cost
+    // — quadratic only in the (taxonomy-bounded) source count, never in
+    // the corpus. Exact Jaccard rides along as the audit; everything is
+    // integer ppm, so the hash check is exact.
+    "kmv_jaccard_sources" -> QueryDef.sql(
+      s"""WITH toks AS (
+         |  SELECT source, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+         |  FROM documents WHERE source IS NOT NULL),
+         |h AS (SELECT DISTINCT source, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+         |sk AS (SELECT source, h FROM (
+         |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM h)
+         |  WHERE rk <= $KmvK),
+         |srcs AS (SELECT DISTINCT source FROM h),
+         |pairs AS (SELECT a.source AS s1, b.source AS s2 FROM srcs a JOIN srcs b ON a.source < b.source),
+         |m AS (
+         |  SELECT p.s1, p.s2, s.h,
+         |    max(CASE WHEN s.source = p.s1 THEN 1 ELSE 0 END) AS in1,
+         |    max(CASE WHEN s.source = p.s2 THEN 1 ELSE 0 END) AS in2
+         |  FROM pairs p JOIN sk s ON s.source IN (p.s1, p.s2)
+         |  GROUP BY 1, 2, 3),
+         |kk AS (SELECT s1, s2, h, in1, in2,
+         |         row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rk FROM m),
+         |est AS (
+         |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS k_used,
+         |    CAST(sum(in1 * in2) AS BIGINT) AS n_inter_est
+         |  FROM kk WHERE rk <= $KmvK GROUP BY 1, 2),
+         |me AS (
+         |  SELECT p.s1, p.s2, x.h,
+         |    max(CASE WHEN x.source = p.s1 THEN 1 ELSE 0 END) AS in1,
+         |    max(CASE WHEN x.source = p.s2 THEN 1 ELSE 0 END) AS in2
+         |  FROM pairs p JOIN h x ON x.source IN (p.s1, p.s2)
+         |  GROUP BY 1, 2, 3),
+         |ex AS (
+         |  SELECT s1, s2, CAST(sum(in1 * in2) AS BIGINT) AS n_inter,
+         |    CAST(count(*) AS BIGINT) AS n_union
+         |  FROM me GROUP BY 1, 2)
+         |SELECT e.s1, e.s2, e.k_used, e.n_inter_est,
+         |  CAST((1000000 * e.n_inter_est) // e.k_used AS BIGINT) AS est_jacc_ppm,
+         |  x.n_inter, x.n_union,
+         |  CAST((1000000 * x.n_inter) // x.n_union AS BIGINT) AS jacc_ppm,
+         |  CAST(abs((1000000 * e.n_inter_est) // e.k_used
+         |    - (1000000 * x.n_inter) // x.n_union) AS BIGINT) AS err_ppm
+         |FROM est e JOIN ex x ON x.s1 = e.s1 AND x.s2 = e.s2
+         |ORDER BY e.s1, e.s2""".stripMargin) { (s, d) =>
+      // one corpus pass: the distinct (source, hash) table feeds the
+      // sketches and the exact audit
+      val h = documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"), explode(array_distinct(expr(TextQueries.toksExpr))).as("t"))
+        .select(col("source"),
+          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val skW = Window.partitionBy(col("source")).orderBy(col("h"))
+      val sk = h.withColumn("rk", row_number().over(skW))
+        .filter(col("rk") <= KmvK).select("source", "h")
+      val srcs = h.select("source").distinct()
+      val pairs = srcs.toDF("s1")
+        .crossJoin(srcs.toDF("s2")).filter(col("s1") < col("s2"))
+      // pair×member marking as a UNION of two broadcast equi-joins (the
+      // s1 leg and the s2 leg) — never an OR-condition nested loop
+      def marked(members: org.apache.spark.sql.DataFrame) =
+        broadcast(pairs).join(members.toDF("s1", "h"), Seq("s1"))
+          .select(col("s1"), col("s2"), col("h"), lit(1L).as("i1"), lit(0L).as("i2"))
+          .unionByName(broadcast(pairs).join(members.toDF("s2", "h"), Seq("s2"))
+            .select(col("s1"), col("s2"), col("h"), lit(0L).as("i1"), lit(1L).as("i2")))
+          .groupBy("s1", "s2", "h")
+          .agg(max("i1").as("in1"), max("i2").as("in2"))
+      val kkW = Window.partitionBy(col("s1"), col("s2")).orderBy(col("h"))
+      val est = marked(sk).withColumn("rk", row_number().over(kkW))
+        .filter(col("rk") <= KmvK)
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("k_used"), sum(col("in1") * col("in2")).as("n_inter_est"))
+      val ex = marked(h)
+        .groupBy("s1", "s2")
+        .agg(sum(col("in1") * col("in2")).as("n_inter"), count(lit(1)).as("n_union"))
+      est.join(ex, Seq("s1", "s2"))
+        .select(col("s1"), col("s2"), col("k_used"), col("n_inter_est"),
+          expr("(1000000 * n_inter_est) div k_used").as("est_jacc_ppm"),
+          col("n_inter"), col("n_union"),
+          expr("(1000000 * n_inter) div n_union").as("jacc_ppm"),
+          expr("abs((1000000 * n_inter_est) div k_used - (1000000 * n_inter) div n_union)")
+            .as("err_ppm"))
+        .orderBy("s1", "s2")
+    },
+
     // ----- rolling 7-day distinct users via KMV sketch union -----
     // The SLIDING-WINDOW face of sketch mergeability: per-day KMV
     // sketches (64 rows/day, built once) union across each trailing
