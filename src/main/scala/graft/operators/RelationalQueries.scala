@@ -2503,6 +2503,100 @@ object RelationalQueries {
         .orderBy("kind", "user_id")
     },
 
+    // ----- U4: MERGE / upsert resolution (the CDC-apply operator) -----
+    // The lakehouse write path Spark's SQL surface reserves for v2
+    // catalogs (MERGE INTO), expressed as the engine actually executes
+    // it: ONE full-outer shuffle join of base against the change feed on
+    // the key, then row-local CASE resolution — matched updates rewrite
+    // their columns, matched deletes drop, unmatched inserts pass
+    // through, untouched base rows survive. The change feed here is
+    // deterministic (updates = keys ending 1-4 get +100 balance and a
+    // renamed row; deletes = keys ending 0; inserts = supplier rows
+    // re-keyed above the customer range). At 100 TB the join is the
+    // whole cost: co-locate base and feed with the bucketed-ingest
+    // layout (j12/BucketedTables) and the Exchange disappears; a small
+    // feed alternatively splits into anti+semi broadcast legs, but the
+    // general big-feed shape is the one worth demonstrating.
+    "u4_merge_upsert" -> QueryDef.sql(
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, 'upd:' || c_name AS n_name, c_acctbal + 100.0 AS n_bal, 'U' AS op
+        |  FROM base WHERE c_custkey % 10 BETWEEN 1 AND 4
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, 'D' FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 900000, s_name, s_acctbal, 'I' FROM supplier),
+        |merged AS (
+        |  SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+        |    CASE WHEN c.op IN ('U', 'I') THEN c.n_name ELSE b.c_name END AS c_name,
+        |    CASE WHEN c.op IN ('U', 'I') THEN c.n_bal ELSE b.c_acctbal END AS c_acctbal,
+        |    CASE c.op WHEN 'U' THEN 'updated' WHEN 'I' THEN 'inserted'
+        |      ELSE 'base' END AS src
+        |  FROM base b FULL OUTER JOIN changes c ON c.c_custkey = b.c_custkey
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT c_custkey, c_name, c_acctbal, src FROM merged
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      val changes = base.filter(pmod(col("c_custkey"), lit(10)).between(1, 4))
+        .select(col("c_custkey"), concat(lit("upd:"), col("c_name")).as("n_name"),
+          (col("c_acctbal") + 100.0).as("n_bal"), lit("U").as("op"))
+        .unionByName(base.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey"), lit(null).cast("string").as("n_name"),
+            lit(null).cast("double").as("n_bal"), lit("D").as("op")))
+        .unionByName(supplier(s, d)
+          .select((col("s_suppkey") + 900000).as("c_custkey"),
+            col("s_name").as("n_name"), col("s_acctbal").as("n_bal"),
+            lit("I").as("op")))
+      base.join(changes, Seq("c_custkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"),
+          when(col("op").isin("U", "I"), col("n_name")).otherwise(col("c_name"))
+            .as("c_name"),
+          when(col("op").isin("U", "I"), col("n_bal")).otherwise(col("c_acctbal"))
+            .as("c_acctbal"),
+          when(col("op") === "U", "updated").when(col("op") === "I", "inserted")
+            .otherwise("base").as("src"))
+        .orderBy("c_custkey")
+    },
+
+    // ----- U5: SCD2 validity intervals (slowly-changing dimension build) -----
+    // The dimension-history operator: each user's event-type timeline
+    // collapses consecutive repeats (gaps-and-islands via lag), then
+    // every surviving change opens a validity interval closed by the
+    // next change's timestamp (lead) — the [valid_from, valid_to)
+    // half-open convention with NULL marking the current row. Both
+    // window passes share ONE user-keyed sort (same partitioning and
+    // ordering → one Exchange, one Sort), which is the property that
+    // makes SCD2 a single-shuffle build at any scale; epoch-ns integers
+    // end to end so the hash check is exact.
+    "u5_scd2_intervals" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, ts_ns, event_id, event_type FROM e
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type, ts_ns AS valid_from_ns,
+        |    lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to_ns,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS version
+        |  FROM ch)
+        |SELECT user_id, event_type, valid_from_ns, valid_to_ns, version,
+        |  (valid_to_ns IS NULL) AS is_current
+        |FROM iv ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val ch = events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      ch.select(col("user_id"), col("event_type"),
+          col("ts_ns").as("valid_from_ns"),
+          lead(col("ts_ns"), 1).over(w).as("valid_to_ns"),
+          row_number().over(w).cast("long").as("version"))
+        .withColumn("is_current", col("valid_to_ns").isNull)
+        .orderBy("user_id", "version")
+    },
+
     // ----- J14: variable-width interval-dimension join (broadcast) -----
     // The complementary case to j6/j10/j11: OVERLAPPING campaign windows
     // of data-derived width (each event can land in up to 2), so the

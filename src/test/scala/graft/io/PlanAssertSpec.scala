@@ -780,6 +780,21 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("u5_scd2_intervals: both window passes share one user-keyed exchange and sort") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("u5_scd2_intervals").build(spark, sfDir)
+    q.collect() // materialize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // one hash exchange + sort for the user-keyed windows, one range
+    // exchange + sort for the presentation orderBy — a second
+    // window-induced shuffle or sort would break the single-pass claim
+    def count(marker: String) = marker.r.findAllIn(plan).size
+    assert(count("""\bExchange (hash|range)partitioning""") == 2,
+      s"expected 2 exchanges (window + output sort):\n$plan")
+    assert(count("""\bSort \[""") == 2,
+      s"expected 2 sorts (window + presentation):\n$plan")
+  }
+
   test("sample_weighted_systematic: prefix sum is the two-pass scaffold, no global window") {
     val sfDir = "/root/testdata/sf0.001"
     val q = graft.operators.CurationQueries.defs("sample_weighted_systematic").build(spark, sfDir)
