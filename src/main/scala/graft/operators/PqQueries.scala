@@ -103,13 +103,35 @@ object PqQueries {
     * plan doesn't grow with iterations; the exploded subvector view is
     * re-derived from the scan each pass (a stateless projection — not
     * worth materializing corpus×64 rows). */
-  def trainCodebook(e: DataFrame): DataFrame = {
-    val sub = scaledSub(e)
+  def trainCodebook(e: DataFrame): DataFrame = trainCodebookOn(e, scaledSub(e))
+
+  /** Train over an arbitrary scaled subvector table — the flat path
+    * passes `scaledSub(e)`, the residual path passes IVF residuals
+    * ([[residualSub]]); the Lloyd kernels are input-agnostic. */
+  def trainCodebookOn(e: DataFrame, sub: DataFrame): DataFrame = {
     var cb = initCodebook(e, sub).localCheckpoint(true)
     for (_ <- 1 to Iters)
       cb = pqUpdate(sub, pqAssign(sub, cb), cb).localCheckpoint(true)
     cb
   }
+
+  /** Centroid scaled subvectors (cent_id, m, sp, cci) — the re-centering
+    * table both the residual encoder and the per-cell query tables join
+    * against (nlist×64 rows, broadcast everywhere). */
+  def centroidSub(centroids: DataFrame): DataFrame =
+    scaledSub(centroids.select(col("cent_id").as("vec_id"), col("cv").as("embedding")))
+      .select(col("vec_id").as("cent_id"), col("m"), col("sp"), col("xi").as("cci"))
+
+  /** Residual subvectors: each vector's scaled coords minus its IVF
+    * cell centroid's — integer subtraction of two exactly-scaled values,
+    * so the residual space is as engine-deterministic as the flat one.
+    * Keeps the `xi` column name so every Lloyd/assign kernel runs on
+    * residuals verbatim. The assign join co-partitions on vec_id (both
+    * sides derive from the embedding scan); csub broadcasts. */
+  def residualSub(sub: DataFrame, assign: DataFrame, csub: DataFrame): DataFrame =
+    sub.join(assign, Seq("vec_id"))
+      .join(broadcast(csub), Seq("cent_id", "m", "sp"))
+      .select(col("vec_id"), col("m"), col("sp"), (col("xi") - col("cci")).as("xi"))
 
   /** Pack long-form codes to one `array<tinyint>` per vector (m-ordered)
     * — the stored artifact: 8 bytes per vector, 32× under the floats. */
@@ -201,29 +223,154 @@ object PqQueries {
       .select("qid", "cid", "score")
   }
 
+  /** Residual IVF-PQ search (true IVFADC, Jégou et al. §IV): identical
+    * pruning to [[ivfPqSearch]], but codes quantize RESIDUALS, so the
+    * query must re-center once per probed cell — the distance table is
+    * keyed (qid, cent_id, m, code), not (qid, m, code). That per-cell
+    * table is the price of residual coding (nprobe× more table rows,
+    * still queries-bounded and broadcast) and the reason it recalls
+    * better: codewords only span the residual radius of a cell, not the
+    * whole space. Candidate-side cost is unchanged — one byte per
+    * subspace per probed vector, floats on the shortlist only. */
+  def ivfPqResidualSearch(assign: DataFrame, codes: DataFrame, e: DataFrame,
+      cb: DataFrame, csub: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val probeRn = Window.partitionBy(col("qid"))
+      .orderBy(VectorQueries.score("qv", "cv").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(probeRn))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "cent_id")
+    val qsub = scaledSub(queries.select(col("qid").as("vec_id"), col("qv").as("embedding")))
+      .withColumnRenamed("vec_id", "qid")
+    val dt = qsub.join(broadcast(probes), Seq("qid"))
+      .join(broadcast(csub), Seq("cent_id", "m", "sp"))
+      .select(col("qid"), col("cent_id"), col("m"), col("sp"),
+        (col("xi") - col("cci")).as("xr"))
+      .join(broadcast(cb), Seq("m", "sp"))
+      .groupBy(col("qid"), col("cent_id"), col("m"), col("code"))
+      .agg(sum((col("xr") - col("ci")) * (col("xr") - col("ci"))).as("dt"))
+    val cand = probes.join(assign, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cent_id"), col("vec_id").as("cid"))
+    val adc = cand.join(codes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(broadcast(dt), Seq("qid", "cent_id", "m", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("dt")).as("adist"))
+    val shortRn = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    val short = adc.withColumn("rn", row_number().over(shortRn))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "cid")
+    val qv = queries.select(col("qid"), col("qv"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cve"))
+    val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    short.join(qv, Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"), VectorQueries.score("qv", "cve").as("score"))
+      .withColumn("rn", row_number().over(topRn))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "score")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared training CTE chain, mirrored 1:1 from the Spark helpers:
     * scaled subvectors → seed codebook → Iters × (assign, update). */
-  private def assignCte(name: String, cb: String): String =
+  private def assignCte(name: String, cb: String, sub: String = "sub"): String =
     s"""$name AS (
        |  SELECT vec_id, m, code FROM (
        |    SELECT t.vec_id, t.m, t.code,
        |      row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY t.dist, t.code) AS rn
        |    FROM (SELECT s.vec_id, s.m, c.code, sum((s.xi-c.ci)*(s.xi-c.ci)) AS dist
-       |          FROM sub s JOIN $cb c ON c.m = s.m AND c.sp = s.sp
+       |          FROM $sub s JOIN $cb c ON c.m = s.m AND c.sp = s.sp
        |          GROUP BY s.vec_id, s.m, c.code) t) WHERE rn = 1)""".stripMargin
 
-  private def updateCte(uname: String, cname: String, assign: String, prev: String): String =
+  private def updateCte(uname: String, cname: String, assign: String, prev: String,
+      sub: String = "sub"): String =
     s"""$uname AS (
        |  SELECT a.m, a.code, s.sp, sum(s.xi) AS sx, count(*) AS n
-       |  FROM $assign a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+       |  FROM $assign a JOIN $sub s ON s.vec_id = a.vec_id AND s.m = a.m
        |  GROUP BY a.m, a.code, s.sp),
        |$cname AS (
        |  SELECT p.m, p.code, p.sp,
        |    COALESCE((u.sx - (((u.sx % u.n) + u.n) % u.n)) // u.n, p.ci) AS ci
        |  FROM $prev p LEFT JOIN $uname u
        |    ON u.m = p.m AND u.code = p.code AND u.sp = p.sp)""".stripMargin
+
+  /** Residual-space extension of [[TrainCtes]] (assumes e/sub/seeds are
+    * in scope; DuckDB prunes the flat chain's unreferenced CTEs):
+    * centroids → scaled centroid subvectors → IVF assignment → residual
+    * subvectors → seeded residual codebook → Iters × Lloyd on rsub. */
+  private lazy val ResidualExtCtes: String = {
+    val base =
+      s"""c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+         |      FROM embeddings ORDER BY vec_id LIMIT 16),
+         |csub AS (
+         |  SELECT c.cent_id, (p.pos-1)//$SubDim AS m, (p.pos-1)%$SubDim AS sp,
+         |    CAST(floor(c.cv[p.pos]*1024.0) AS BIGINT) AS cci
+         |  FROM c CROSS JOIN (SELECT unnest(generate_series(1,${M * SubDim})) AS pos) p),
+         |ivfassign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cent_id) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |rsub AS (
+         |  SELECT s.vec_id, s.m, s.sp, s.xi - cs.cci AS xi
+         |  FROM sub s JOIN ivfassign a ON a.vec_id = s.vec_id
+         |  JOIN csub cs ON cs.cent_id = a.cent_id AND cs.m = s.m AND cs.sp = s.sp),
+         |rcb0 AS (SELECT r.m, d.code, r.sp, r.xi AS ci
+         |         FROM rsub r JOIN seeds d ON d.vec_id = r.vec_id)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      assignCte(s"ra$i", s"rcb${i - 1}", "rsub") + ",\n" +
+        updateCte(s"ru$i", s"rcb$i", s"ra$i", s"rcb${i - 1}", "rsub")
+    }
+    (base +: iters).mkString(",\n")
+  }
+
+  /** Residual IVF-PQ oracle: the IVF probe chain, a PER-PROBED-CELL
+    * query residual table, ADC against residual codes, exact rescore —
+    * nprobe=2, shortlist=16, k=3 like the flat composition. */
+  private lazy val IvfPqResidualOracleSql: String =
+    s"""WITH $TrainCtes,
+       |$ResidualExtCtes,
+       |${assignCte("rcodes", s"rcb$Iters", "rsub")},
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+       |probes AS (
+       |  SELECT qid, cent_id FROM (
+       |    SELECT q.qid, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+       |    FROM q, c) WHERE rn <= 2),
+       |qr AS (
+       |  SELECT s.vec_id AS qid, p.cent_id, s.m, s.sp, s.xi - cs.cci AS xr
+       |  FROM sub s JOIN probes p ON p.qid = s.vec_id
+       |  JOIN csub cs ON cs.cent_id = p.cent_id AND cs.m = s.m AND cs.sp = s.sp),
+       |qd AS (
+       |  SELECT qr.qid, qr.cent_id, qr.m, cc.code,
+       |    sum((qr.xr-cc.ci)*(qr.xr-cc.ci)) AS dt
+       |  FROM qr JOIN rcb$Iters cc ON cc.m = qr.m AND cc.sp = qr.sp
+       |  GROUP BY 1, 2, 3, 4),
+       |cand AS (
+       |  SELECT p.qid, p.cent_id, a.vec_id AS cid
+       |  FROM probes p JOIN ivfassign a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT t.qid, t.cid, sum(d.dt) AS adist
+       |  FROM cand t JOIN rcodes k ON k.vec_id = t.cid
+       |  JOIN qd d ON d.qid = t.qid AND d.cent_id = t.cent_id
+       |    AND d.m = k.m AND d.code = k.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+       |    FROM adc) WHERE rn <= 16),
+       |resc AS (
+       |  SELECT s.qid, s.cid, round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+       |  FROM short s JOIN e qe ON qe.vec_id = s.qid JOIN e ce ON ce.vec_id = s.cid)
+       |SELECT qid, cid, score FROM (
+       |  SELECT qid, cid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM resc) WHERE rn <= 3
+       |ORDER BY qid, cid""".stripMargin
 
   private lazy val TrainCtes: String = {
     val base =
@@ -299,6 +446,84 @@ object PqQueries {
        |SELECT b.qid, CAST(count(p.cid) AS BIGINT) AS n_hits,
        |  CAST((1000000 * count(p.cid)) // $TopK AS BIGINT) AS recall_ppm
        |FROM brute b LEFT JOIN pqtop p ON p.qid = b.qid AND p.cid = b.cid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+
+  /** Flat-vs-residual IVF-PQ recall oracle: both compositions replayed
+    * against the same probes and budget, graded per query against brute
+    * ground truth. */
+  private lazy val IvfPqRecallOracleSql: String =
+    s"""WITH $TrainCtes,
+       |${assignCte("codes", s"cb$Iters")},
+       |$ResidualExtCtes,
+       |${assignCte("rcodes", s"rcb$Iters", "rsub")},
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 100),
+       |probes AS (
+       |  SELECT qid, cent_id FROM (
+       |    SELECT q.qid, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cent_id) AS rn
+       |    FROM q, c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, p.cent_id, a.vec_id AS cid
+       |  FROM probes p JOIN ivfassign a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.qid),
+       |fqd AS (
+       |  SELECT s.vec_id AS qid, s.m, c.code, sum((s.xi-c.ci)*(s.xi-c.ci)) AS dt
+       |  FROM sub s JOIN cb$Iters c ON c.m = s.m AND c.sp = s.sp
+       |  WHERE s.vec_id < 100 GROUP BY 1, 2, 3),
+       |fadc AS (
+       |  SELECT t.qid, t.cid, sum(d.dt) AS adist
+       |  FROM cand t JOIN codes k ON k.vec_id = t.cid
+       |  JOIN fqd d ON d.qid = t.qid AND d.m = k.m AND d.code = k.code
+       |  GROUP BY 1, 2),
+       |fshort AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+       |    FROM fadc) WHERE rn <= 16),
+       |fresc AS (
+       |  SELECT s.qid, s.cid, round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+       |  FROM fshort s JOIN e qe ON qe.vec_id = s.qid JOIN e ce ON ce.vec_id = s.cid),
+       |ftop AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |    FROM fresc) WHERE rn <= 3),
+       |rqd AS (
+       |  SELECT s.vec_id AS qid, p.cent_id, s.m, cc.code,
+       |    sum(((s.xi - cs.cci) - cc.ci) * ((s.xi - cs.cci) - cc.ci)) AS dt
+       |  FROM sub s JOIN probes p ON p.qid = s.vec_id
+       |  JOIN csub cs ON cs.cent_id = p.cent_id AND cs.m = s.m AND cs.sp = s.sp
+       |  JOIN rcb$Iters cc ON cc.m = s.m AND cc.sp = s.sp
+       |  GROUP BY 1, 2, 3, 4),
+       |radc AS (
+       |  SELECT t.qid, t.cid, sum(d.dt) AS adist
+       |  FROM cand t JOIN rcodes k ON k.vec_id = t.cid
+       |  JOIN rqd d ON d.qid = t.qid AND d.cent_id = t.cent_id
+       |    AND d.m = k.m AND d.code = k.code
+       |  GROUP BY 1, 2),
+       |rshort AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+       |    FROM radc) WHERE rn <= 16),
+       |rresc AS (
+       |  SELECT s.qid, s.cid, round(list_cosine_similarity(qe.v, ce.v), 6) AS score
+       |  FROM rshort s JOIN e qe ON qe.vec_id = s.qid JOIN e ce ON ce.vec_id = s.cid),
+       |rtop AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |    FROM rresc) WHERE rn <= 3),
+       |brute AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c2.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c2.v), 6) DESC, c2.vec_id) AS rn
+       |    FROM q, e c2 WHERE c2.vec_id <> q.qid) WHERE rn <= 3)
+       |SELECT b.qid,
+       |  CAST(count(f.cid) AS BIGINT) AS n_hits_flat,
+       |  CAST(count(r.cid) AS BIGINT) AS n_hits_res,
+       |  CAST((1000000 * count(f.cid)) // 3 AS BIGINT) AS recall_flat_ppm,
+       |  CAST((1000000 * count(r.cid)) // 3 AS BIGINT) AS recall_res_ppm
+       |FROM brute b LEFT JOIN ftop f ON f.qid = b.qid AND f.cid = b.cid
+       |LEFT JOIN rtop r ON r.qid = b.qid AND r.cid = b.cid
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
   /** IVF-PQ oracle: the IVF probe/candidate chain (verbatim from the
@@ -451,6 +676,96 @@ object PqQueries {
       ivfPqSearch(assign, codes, e, cb, centroids, queries,
         nprobe = 2, shortlist = 16, k = 3)
         .orderBy("qid", "cid")
+    },
+
+    // ----- residual IVF-PQ: the true IVFADC (Jégou et al. §IV) -----
+    // The billion-scale production shape: PQ quantizes RESIDUALS
+    // (x − centroid of x's cell) instead of raw vectors, so each cell's
+    // codewords only need to span its residual radius — the same code
+    // budget buys finer quantization under L2, which is why FAISS's
+    // IVFx,PQy defaults to residual coding (whether it helps under THIS
+    // family's cosine ground truth is what ann_ivfpq_recall measures —
+    // it does not, at this budget; see that query's comment). Costs
+    // surface exactly where theory says: the encoder re-centers each
+    // vector once (an integer
+    // subtraction against the broadcast centroid table), and the query
+    // builds one distance table PER PROBED CELL (nprobe× more table
+    // rows, still queries-bounded). Candidate-side bytes are unchanged.
+    // The residual space stays integer-exact (scaled coords subtract
+    // exactly), so the full train→encode→search chain hash-matches the
+    // unrolled oracle like the flat tier does. Residuals materialize
+    // once before the Lloyd loop — the FAISS build does the same; at
+    // scale they'd persist beside the codes.
+    "ann_ivfpq_residual" -> QueryDef.sql(IvfPqResidualOracleSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assign = SignatureStore.ensureIvfAssignments(
+        s, d, () => VectorQueries.ivfAssign(e, centroids))
+      val csub = centroidSub(centroids).localCheckpoint(true)
+      val rsub = residualSub(scaledSub(e), assign, csub).localCheckpoint(true)
+      val cb = trainCodebookOn(e, rsub)
+      val codes = pqAssign(rsub, cb)
+      ivfPqResidualSearch(assign, codes, e, cb, csub, centroids, queries,
+        nprobe = 2, shortlist = 16, k = 3)
+        .orderBy("qid", "cid")
+    },
+
+    // ----- IVF-PQ recall: flat vs residual, same probes, same budget -----
+    // Both compositions run with identical nprobe/shortlist/k and are
+    // graded per query against brute-force ground truth side by side,
+    // and because both legs and the grader are oracle-replayed, the
+    // comparison is a hash-checked fact, not a benchmark anecdote. The
+    // measured verdict CONTRADICTS the folklore at this configuration:
+    // flat wins (sf0.01: 99 vs 62 of 300 hits; sf0.001: 96 vs 71) —
+    // residual coding's advantage is an L2 story (codewords span a
+    // cell's residual radius when centroids are L2 means), while this
+    // family's ground truth and cell assignment are COSINE, where
+    // re-centering un-normalizes the geometry the codes must span.
+    // Exactly the kind of deployment decision the eval exists to make
+    // empirical; completes the per-tier eval symmetry for the composed
+    // tier (ivf/pq/q8 already ship theirs).
+    "ann_ivfpq_recall" -> QueryDef.sql(IvfPqRecallOracleSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assign = SignatureStore.ensureIvfAssignments(
+        s, d, () => VectorQueries.ivfAssign(e, centroids))
+      val (cbF, codesF) = SignatureStore.ensurePqStore(s, d,
+        () => trainCodebook(e),
+        cbStored => packCodes(pqAssign(scaledSub(e), cbStored)))
+      val flat = ivfPqSearch(assign, codesF, e, cbF, centroids, queries,
+        nprobe = 2, shortlist = 16, k = 3)
+        .select(col("qid"), col("cid"), lit(1L).as("hf"))
+      val csub = centroidSub(centroids).localCheckpoint(true)
+      val rsub = residualSub(scaledSub(e), assign, csub).localCheckpoint(true)
+      val cbR = trainCodebookOn(e, rsub)
+      val codesR = pqAssign(rsub, cbR)
+      val res = ivfPqResidualSearch(assign, codesR, e, cbR, csub, centroids,
+        queries, nprobe = 2, shortlist = 16, k = 3)
+        .select(col("qid"), col("cid"), lit(1L).as("hr"))
+      val topRn = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      val brute = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          VectorQueries.score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(topRn))
+        .filter(col("rn") <= 3)
+        .select("qid", "cid")
+      brute.join(flat, Seq("qid", "cid"), "left")
+        .join(res, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hf")).as("n_hits_flat"), count(col("hr")).as("n_hits_res"))
+        .select(col("qid"), col("n_hits_flat"), col("n_hits_res"),
+          expr("CAST((1000000 * n_hits_flat) div 3 AS BIGINT)").as("recall_flat_ppm"),
+          expr("CAST((1000000 * n_hits_res) div 3 AS BIGINT)").as("recall_res_ppm"))
+        .orderBy("qid")
     },
   )
 }
