@@ -112,7 +112,68 @@ object GraphQueries {
       val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
       triangleStats(pairs).orderBy("doc_id")
     },
+
+    // ----- Label-propagation communities (Raghavan et al. 2007) -----
+    // The fourth graph lens: CC says which docs are TRANSITIVELY
+    // connected, LPA says which docs CLUSTER — a chain of borderline
+    // matches that CC fuses into one family splits into communities
+    // where the mutual-match density actually lives, which is the
+    // granularity keep-best canonicalization wants. The textbook
+    // algorithm is irreproducible (random order, random tie-breaks);
+    // this is the DETERMINISTIC synchronous form: every node
+    // simultaneously adopts its neighbors' most frequent label, ties to
+    // the SMALLEST label, three rounds unrolled — same fixed-iteration
+    // discipline as PageRank, and the oracle replays it exactly.
+    // Scale shape: edges pin once partitioned on the neighbor key, so
+    // each round shuffles only the node-cardinality label table.
+    "dup_graph_communities" -> QueryDef.sql(LabelPropOracleSql) { (s, d) =>
+      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .repartition(col("b"))
+        .localCheckpoint()
+      var lab = edges.select(col("a").as("v")).distinct()
+        .select(col("v"), col("v").as("lab"))
+        .localCheckpoint(true)
+      for (_ <- 1 to Iters) {
+        lab = edges.join(lab, edges("b") === lab("v"))
+          .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+              .orderBy(col("n").desc, col("lab"))))
+          .filter(col("rn") === 1)
+          .select(col("a").as("v"), col("lab"))
+          .localCheckpoint(true)
+      }
+      val sz = lab.groupBy("lab").agg(count(lit(1)).as("community_size"))
+      lab.join(sz, Seq("lab"))
+        .select(col("v").as("doc_id"), col("lab").as("community"),
+          col("community_size"))
+        .orderBy("doc_id")
+    },
   )
+
+  private lazy val LabelPropOracleSql: String = {
+    val iters = (1 to Iters).map { k =>
+      s"""l$k AS (
+         |  SELECT v, lab FROM (
+         |    SELECT e.a AS v, l.lab, count(*) AS n,
+         |      row_number() OVER (PARTITION BY e.a ORDER BY count(*) DESC, l.lab) AS rn
+         |    FROM edges e JOIN l${k - 1} l ON l.v = e.b
+         |    GROUP BY e.a, l.lab) WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH ${TextQueries.MinhashBandsCte},
+       |pairs AS (${TextQueries.BandedPairsSelect}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |l0 AS (SELECT DISTINCT a AS v, a AS lab FROM edges),
+       |${iters.mkString(",\n")},
+       |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM l$Iters GROUP BY lab)
+       |SELECT l.v AS doc_id, l.lab AS community, s.community_size
+       |FROM l$Iters l JOIN sz s ON s.lab = l.lab
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-node triangle count + clustering coefficient over an oriented
     * (doc_a < doc_b) distinct pair table, degree-capped (see
