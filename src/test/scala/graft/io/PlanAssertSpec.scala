@@ -767,6 +767,28 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() > 0)
   }
 
+  test("kmv_jaccard_sources: nested loops only pair aggregated sources, never member streams") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.SketchQueries.defs("kmv_jaccard_sources").build(spark, sfDir)
+    // the s1<s2 pair table is a legitimate (taxonomy²) cross join; the
+    // pair×member marking must stay equi — so every nested-loop node
+    // may only see DISTINCT-aggregated source lists on both sides,
+    // never a raw member/hash stream
+    val bnl = q.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.nonEmpty, "expected the pairs cross join to exist")
+    bnl.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val aggs = side.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(aggs.nonEmpty,
+          s"nested-loop input is not aggregate-bounded:\n$side")
+      }
+    }
+  }
+
   test("heavy_hitters_serve reads the MG summary store only — zero corpus bytes in the plan") {
     val sfDir = "/root/testdata/sf0.001"
     val (c, _) = graft.operators.SignatureStore.ensureHeavyHitters(spark, sfDir)

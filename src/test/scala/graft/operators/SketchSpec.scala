@@ -30,6 +30,41 @@ class SketchSpec extends SparkFunSuite {
     assert(flagged == exact, s"exact_hit flags diverge: $flagged vs $exact")
   }
 
+  test("mg summaries satisfy the merge theorem on randomized token streams") {
+    import spark.implicits._
+    // 30 random corpora: skewed multinomial token draws over 3 sources
+    val rng = new graft.TestRng(0x509L)
+    for (trial <- 1 to 30) {
+      val docs = (0 until 3).flatMap { srcI =>
+        val nDocs = 1 + (rng.nextLong() % 3).toInt.abs
+        (0 until nDocs).map { di =>
+          // Zipf-ish: token id = min of two uniforms over a small vocab
+          val toks = (0 until 40).map { _ =>
+            val a = (rng.nextLong() % 17).toInt.abs
+            val b = (rng.nextLong() % 17).toInt.abs
+            s"t${math.min(a, b)}"
+          }
+          ((srcI * 10 + di).toLong, s"src$srcI", toks.mkString(" "))
+        }
+      }.toDF("doc_id", "source", "text")
+      val v = SketchQueries.sourceTokenCounts(docs)
+      val (counters, lambdas) = SketchQueries.mgSummaries(v)
+      val c = counters.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val lam = lambdas.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = v.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // ≤ k positive counters per source
+      assert(c.keys.groupBy(_._1).values.forall(_.size <= SketchQueries.MgK))
+      // never overestimate; underestimate ≤ λ; pruned tokens ≤ λ
+      c.foreach { case (k @ (src, _), v0) =>
+        assert(v0 >= 1 && v0 <= exact(k), s"trial $trial: $k overestimates")
+        assert(exact(k) - v0 <= lam(src), s"trial $trial: $k outside λ")
+      }
+      exact.foreach { case (k @ (src, _), f) =>
+        if (!c.contains(k)) assert(f <= lam(src), s"trial $trial: pruned $k exceeds λ")
+      }
+    }
+  }
+
   test("kmv estimate stays within 3 sigma of the exact distinct count") {
     val rows = SketchQueries.defs("kmv_distinct_tokens").build(spark, sfDir).collect()
     assert(rows.nonEmpty)
