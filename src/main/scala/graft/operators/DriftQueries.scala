@@ -411,6 +411,44 @@ object DriftQueries {
         .orderBy("gid", "event_type", "dow")
     },
 
+    // ----- A14: CUBE — the cross-dimension slice ROLLUP cannot emit -----
+    // a13's ROLLUP drills one hierarchy (type → type×dow → total); CUBE
+    // materializes ALL 2² groupings in one pass, adding the (·, dow)
+    // slice — "Mondays across every event type" — that a dashboard
+    // would otherwise pay a second aggregate for. Spark expands CUBE
+    // into a single Expand+HashAggregate (rows ×4 before the partial
+    // aggregate, shuffled once), which is the scale contract: one scan,
+    // one shuffle, all slices. gid disambiguates the NULL-vs-"(all)"
+    // ambiguity exactly as in a13; DECIMAL sum keeps the double exact.
+    "a14_cube_grouping" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    CAST(value AS DECIMAL(18,4)) AS val
+        |  FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |  CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+        |  CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(val) AS DOUBLE) AS total_value
+        |FROM ev GROUP BY CUBE (event_type, dow)
+        |ORDER BY gid, event_type, dow""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      events(s, d)
+        .select(col("event_type"),
+          expr(s"((($us) div 86400000000) + 4) % 7").as("dow"),
+          col("value").cast("decimal(18,4)").as("val"))
+        .cube("event_type", "dow")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("val")).cast("double").as("total_value"),
+          (grouping(col("event_type")) * 2 + grouping(col("dow")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("dow"), lit(-1L)).cast("long").as("dow"),
+          col("gid"), col("n_events"), col("total_value"))
+        .orderBy("gid", "event_type", "dow")
+    },
+
     // ----- churn training-set construction (point-in-time features) -----
     // The supervised-learning counterpart of the forecast baseline:
     // users active in the first half of the day range get features

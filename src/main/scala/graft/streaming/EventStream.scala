@@ -56,6 +56,34 @@ object EventStream {
         (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — the semantics the inner
+    * variant cannot express: every purchase emits exactly once, with
+    * NULL error columns when no error preceded it in the window. The
+    * outer mechanics are the point: an unmatched purchase CANNOT emit
+    * when first seen (a matching error may still arrive late), so the
+    * engine holds it in state and emits the null-padded row only when
+    * the watermark passes the end of its join window — outer results
+    * are therefore delayed by watermark+window by construction, the
+    * price of exactly-once unmatched emission on unbounded inputs.
+    * Same state bound as the inner join: both sides watermarked, event
+    * times bounded against each other. */
+  def intervalLeftJoinPurchaseErrors(purchases: DataFrame, errors: DataFrame,
+      windowSec: Long = 21600L, delay: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val e = errors.withWatermark("ts", delay)
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+    p.join(e,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("e_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("error_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total_value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, n: Long)

@@ -82,6 +82,46 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT interval join: unmatched purchases emit null-padded after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val eIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStream.intervalLeftJoinPurchaseErrors(
+      pIn.toDF().toDF("user_id", "ts", "event_id"),
+      eIn.toDF().toDF("user_id", "ts", "event_id"))
+    val query = joined.writeStream.format("memory").queryName("sjl_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows() = spark.table("sjl_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      // user 1 purchase has a preceding error (inner match); user 3
+      // purchase has none — its outer row must NOT emit yet, because a
+      // matching error could still arrive within the watermark
+      eIn.addData((1L, ts("2024-01-01 05:50:00"), 101L))
+      pIn.addData((1L, ts("2024-01-01 06:00:00"), 500L),
+        (3L, ts("2024-01-01 06:00:00"), 700L))
+      query.processAllAvailable()
+      assert(rows() == Set((500L, Some(101L))),
+        "outer row leaked before the watermark closed its join window")
+      // advance BOTH watermarks far past the purchase's window end; the
+      // held purchase can no longer match anything and must emit
+      // null-padded exactly once (two ticks: watermark update commits on
+      // the batch after the data that moved it)
+      eIn.addData((9L, ts("2024-01-02 00:00:00"), 900L))
+      pIn.addData((9L, ts("2024-01-02 00:00:00"), 901L))
+      query.processAllAvailable()
+      eIn.addData((9L, ts("2024-01-02 01:00:00"), 902L))
+      pIn.addData((9L, ts("2024-01-02 01:00:00"), 903L))
+      query.processAllAvailable()
+      val got = rows()
+      assert(got.contains((700L, None)),
+        s"unmatched purchase never emitted its null-padded row: $got")
+      assert(got.contains((500L, Some(101L))))
+      // and the matched purchase did not ALSO emit a null twin
+      assert(!got.contains((500L, None)), s"matched purchase double-emitted: $got")
+    } finally query.stop()
+  }
+
   test("file-source stream: windowed counts over a growing parquet directory") {
     // The production path (readStream over a directory) with the same
     // source-agnostic transform as the MemoryStream tests. Two file
