@@ -136,12 +136,14 @@ object GraphQueries {
         .select(col("v"), col("v").as("lab"))
         .localCheckpoint(true)
       for (_ <- 1 to Iters) {
+        // argmax by (count, smallest label) via max_by over (n, −lab):
+        // both stages stay partial-combinable hash aggregates, where
+        // the window-rank spelling pays a full per-round SORT of the
+        // (node, label) table on top of its exchange
         lab = edges.join(lab, edges("b") === lab("v"))
           .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("n"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
-              .orderBy(col("n").desc, col("lab"))))
-          .filter(col("rn") === 1)
+          .groupBy(col("a"))
+          .agg(max_by(col("lab"), struct(col("n"), -col("lab"))).as("lab"))
           .select(col("a").as("v"), col("lab"))
           .localCheckpoint(true)
       }
