@@ -1780,5 +1780,65 @@ object CurationQueries {
           expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - ss)) div " +
             "(CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)").as("lang_gini_ppm"))
     },
+
+    // ----- T5-style span-corruption masks (Raffel et al. 2020 §3.1.4) -----
+    // The noising plan a span-corruption pretraining objective needs:
+    // per document, ~15% of token POSITIONS are marked by a stateless
+    // per-(doc, position) hash (no RNG state, so any shard can rebuild
+    // any doc's mask independently — the property that lets the mask
+    // live in the PLAN instead of on disk), adjacent marks merge into
+    // spans (gaps-and-islands), and each span gets its sentinel ordinal.
+    // Only (doc_id, n_tokens) leaves the scan — token TEXT never enters
+    // the mask computation, so the explode is a position range, not a
+    // string stream. Both windows share one doc-keyed sort. Emitted
+    // per-doc mask fraction makes the 15% target auditable row by row.
+    "span_corruption_masks" -> QueryDef.sql(
+      """WITH nt AS (
+        |  SELECT doc_id, length(string_split_regex(trim(lower(text)), '\s+')) AS n
+        |  FROM documents WHERE doc_id < 3000),
+        |pos AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS p FROM nt),
+        |hit AS (
+        |  SELECT doc_id, n, p FROM pos
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#' || p::VARCHAR), 1, 15))::BIGINT % 1000 < 150),
+        |isl AS (
+        |  SELECT doc_id, n, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM hit),
+        |spans AS (
+        |  SELECT doc_id, max(n) AS n, grp, CAST(min(p) AS BIGINT) AS start_tok,
+        |    CAST(count(*) AS BIGINT) AS n_toks
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS BIGINT)
+        |    AS sentinel_id,
+        |  start_tok, n_toks,
+        |  CAST((1000000 * sum(n_toks) OVER (PARTITION BY doc_id)) // max(n) OVER (PARTITION BY doc_id) AS BIGINT)
+        |    AS masked_ppm
+        |FROM spans ORDER BY doc_id, sentinel_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val hit = documents(s, d).filter(col("doc_id") < 3000)
+        .select(col("doc_id"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        .select(col("doc_id"), col("n"), explode(sequence(lit(0L), col("n") - 1)).as("p"))
+        .filter(pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("p").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long"),
+          lit(1000L)) < 150)
+      val spans = hit
+        .withColumn("grp", col("p") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(max("n").as("n"), min("p").as("start_tok"), count(lit(1)).as("n_toks"))
+      val sw = Window.partitionBy(col("doc_id")).orderBy(col("start_tok"))
+      val dw = Window.partitionBy(col("doc_id"))
+      spans
+        .select(col("doc_id"),
+          (row_number().over(sw) - 1).cast("long").as("sentinel_id"),
+          col("start_tok"), col("n_toks"),
+          sum(col("n_toks")).over(dw).as("stot"),
+          max(col("n")).over(dw).as("ntot"))
+        .withColumn("masked_ppm", expr("(1000000L * stot) div ntot"))
+        .select("doc_id", "sentinel_id", "start_tok", "n_toks", "masked_ppm")
+        .orderBy("doc_id", "sentinel_id")
+    },
   )
 }
