@@ -371,6 +371,42 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // ----- UNPIVOT / melt: the wide→long inverse of the pivot above -----
+    // Round-trips source_lang_pivot's wide matrix back to tidy
+    // (source, lang, n) rows with `stack` — one generator expression,
+    // no shuffle beyond the pivot's own aggregate (the melt itself is a
+    // stateless row explosion). Zero cells SURVIVE the round trip
+    // (absent (source, lang) combos emit n=0), which is the property
+    // that makes the long form safe to join against a full taxonomy —
+    // and what a bare GROUP BY would silently lose. Oracle builds the
+    // same dense grid by cross-joining sources with the taxonomy.
+    "source_lang_unpivot" -> QueryDef.sql(
+      """WITH src AS (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL),
+        |taxo AS (SELECT unnest(['de', 'en', 'es', 'fr', 'other', 'zh']) AS lang),
+        |cnt AS (
+        |  SELECT source, coalesce(lang, 'other') AS lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND (lang IN ('de','en','es','fr','zh') OR lang IS NULL)
+        |  GROUP BY 1, 2)
+        |SELECT s.source, t.lang, coalesce(c.n, 0) AS n
+        |FROM src s CROSS JOIN taxo t
+        |LEFT JOIN cnt c ON c.source = s.source AND c.lang = t.lang
+        |ORDER BY s.source, t.lang""".stripMargin) { (s, d) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = documents(s, d)
+        .filter(col("source").isNotNull)
+        .groupBy("source")
+        .pivot("lang", langs ++ Seq(null))
+        .agg(count(lit(1)))
+        .withColumnRenamed("null", "other")
+      val dense = wide.select(col("source") +:
+        (langs :+ "other").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      val stackArgs = (langs :+ "other").map(c => s"'$c', $c").mkString(", ")
+      dense.select(col("source"),
+          expr(s"stack(${langs.size + 1}, $stackArgs) AS (lang, n)"))
+        .orderBy("source", "lang")
+    },
+
     // ----- k-anonymity audit over the release's quasi-identifiers -----
     // The privacy report a corpus release ships beside the PII pass:
     // documents grouped by their quasi-identifier tuple (lang, source,
