@@ -713,6 +713,31 @@ object PqQueries {
         .orderBy("qid", "cid")
     },
 
+    // Stored twin of the residual tier: training (residual Lloyd) and
+    // encoding run once ([[SignatureStore.ensureResidualPqStore]]);
+    // every search composes THREE persisted artifacts — IVF assignments
+    // (which cells), residual codes (how to rank them), residual
+    // codebook (the ranking table) — and builds nothing. Same oracle as
+    // the live build: stored must be bit-identical. With this, every
+    // trained tier ships a stored path (pq → ann_pq_stored, ivf+pq →
+    // ann_ivfpq, residual → here).
+    "ann_ivfpq_residual_stored" -> QueryDef.sql(IvfPqResidualOracleSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assign = SignatureStore.ensureIvfAssignments(
+        s, d, () => VectorQueries.ivfAssign(e, centroids))
+      val csub = centroidSub(centroids).localCheckpoint(true)
+      val (cb, codes) = SignatureStore.ensureResidualPqStore(s, d,
+        () => trainCodebookOn(e, residualSub(scaledSub(e), assign, csub)),
+        cbStored => packCodes(pqAssign(residualSub(scaledSub(e), assign, csub), cbStored)))
+      ivfPqResidualSearch(assign, codes, e, cb, csub, centroids, queries,
+        nprobe = 2, shortlist = 16, k = 3)
+        .orderBy("qid", "cid")
+    },
+
     // ----- IVF-PQ recall: flat vs residual, same probes, same budget -----
     // Both compositions run with identical nprobe/shortlist/k and are
     // graded per query against brute-force ground truth side by side,

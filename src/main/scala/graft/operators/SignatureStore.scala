@@ -305,29 +305,79 @@ object SignatureStore {
   def readPqCodebook(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(pqCodebookDir(base)).select("m", "code", "sp", "ci")
 
-  /** Stored PQ codes at `base`, UNPACKED to (vec_id, m, code) long form
-    * for the ADC join. Batch and/or stream subtrees with latest-wins
-    * versioning per vec_id (same contract as [[readQuantizedVectors]] —
-    * a re-sent vector keeps one packed code row). */
-  def readPqCodes(spark: SparkSession, base: String): DataFrame = {
-    val batch = Option.when(hasData(spark, pqCodesDir(base)))(
-      spark.read.parquet(pqCodesDir(base)).select("vec_id", "codes"))
-    val stream = Option.when(hasData(spark, streamPqDir(base))) {
-      spark.read.parquet(streamPqDir(base))
+  /** Shared packed-code resolve (latest-wins per vec_id within the
+    * stream, stream supersedes batch) — used by both the flat PQ and
+    * residual PQ stores. */
+  private def packedCodesResolve(spark: SparkSession, codesDir: String,
+      streamDir: String): Option[DataFrame] = {
+    val batch = Option.when(hasData(spark, codesDir))(
+      spark.read.parquet(codesDir).select("vec_id", "codes"))
+    val stream = Option.when(hasData(spark, streamDir)) {
+      spark.read.parquet(streamDir)
         .select(col("vec_id"), col("codes"), col("batch_id").cast("long").as("batch_id"))
         .groupBy("vec_id")
         .agg(max_by(col("codes"), col("batch_id")).as("codes"))
     }
-    val packed = (batch, stream) match {
+    (batch, stream) match {
       case (Some(b), Some(s)) =>
-        b.join(s.select("vec_id"), Seq("vec_id"), "left_anti").unionByName(s)
-      case (Some(b), None) => b
-      case (None, Some(s)) => s
-      case (None, None) =>
-        throw new IllegalArgumentException(s"no PQ code store under $base")
+        Some(b.join(s.select("vec_id"), Seq("vec_id"), "left_anti").unionByName(s))
+      case (b, s) => b.orElse(s)
     }
-    PqQueries.unpackCodes(packed)
   }
+
+  /** Stored PQ codes at `base`, UNPACKED to (vec_id, m, code) long form
+    * for the ADC join. Batch and/or stream subtrees with latest-wins
+    * versioning per vec_id (same contract as [[readQuantizedVectors]] —
+    * a re-sent vector keeps one packed code row). */
+  def readPqCodes(spark: SparkSession, base: String): DataFrame =
+    PqQueries.unpackCodes(
+      packedCodesResolve(spark, pqCodesDir(base), streamPqDir(base))
+        .getOrElse(throw new IllegalArgumentException(s"no PQ code store under $base")))
+
+  def rpqCodebookDir(base: String) = s"$base/rpq_codebook"
+  def rpqCodesDir(base: String) = s"$base/rpq_codes"
+
+  /** Streaming residual-code appends, batch_id-partitioned (layout
+    * rationale of [[streamMinhashDir]]). */
+  def streamRpqDir(base: String) = s"$base/rpq_codes_stream"
+
+  def readResidualPqCodebook(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(rpqCodebookDir(base)).select("m", "code", "sp", "ci")
+
+  /** Stored RESIDUAL PQ codes, unpacked — same resolve contract as
+    * [[readPqCodes]]; codes quantize IVF residuals, so they are only
+    * meaningful joined with the assignment store's cell ids and the
+    * centroid table they were re-centered against. */
+  def readResidualPqCodes(spark: SparkSession, base: String): DataFrame =
+    PqQueries.unpackCodes(
+      packedCodesResolve(spark, rpqCodesDir(base), streamRpqDir(base))
+        .getOrElse(throw new IllegalArgumentException(s"no residual PQ store under $base")))
+
+  /** Persisted residual-PQ artifacts — [[ensurePqStore]]'s twin for the
+    * true-IVFADC tier: the residual-trained codebook plus packed
+    * residual codes, both built once; `encode` receives the codebook AS
+    * READ BACK so the stored path encodes against exactly the artifact
+    * later searches broadcast. */
+  def ensureResidualPqStore(spark: SparkSession, sfDir: String,
+      buildCodebook: () => DataFrame,
+      encode: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${rpqCodesDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      buildCodebook().write.mode("overwrite").parquet(rpqCodebookDir(base))
+      encode(readResidualPqCodebook(spark, base))
+        .write.mode("overwrite").parquet(rpqCodesDir(base))
+    }
+    (readResidualPqCodebook(spark, base), readResidualPqCodes(spark, base))
+  }
+
+  /** Compact the residual-PQ code store (latest-wins packed resolve). */
+  def compactResidualPqCodes(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamRpqDir(base)))
+      compactInto(spark, rpqCodesDir(base), streamRpqDir(base),
+        packedCodesResolve(spark, rpqCodesDir(base), streamRpqDir(base)).get)
 
   /** Persisted PQ artifacts for `sfDir`: the trained codebook plus the
     * packed 8-byte-per-vector code table. Training (the Lloyd driver

@@ -498,6 +498,34 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamPqDir(storeBase))
     }
 
+  /** Incremental residual-PQ-code maintenance — [[maintainPqCodes]]'s
+    * twin for the true-IVFADC tier: each micro-batch of new vectors is
+    * coarse-assigned against the FROZEN centroid table, re-centered to
+    * its cell's residual, and encoded against the FROZEN residual
+    * codebook (the serving posture: both quantizers retrain offline,
+    * not per batch) with the same assign/residual/pack builders the
+    * batch store uses. The epoch's assignment rows belong to the IVF
+    * store's maintenance ([[maintainIvfAssignments]]) — a combined
+    * ingest runs both writers; this one owns only the code subtree.
+    * Same replay contract: batch_id-keyed dynamic partition overwrite,
+    * latest-wins per vec_id at read. */
+  def maintainResidualPqCodes(vecs: DataFrame, storeBase: String,
+      codebook: DataFrame, centroids: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{PqQueries, VectorQueries}
+        val assign = VectorQueries.ivfAssign(batch, centroids)
+        val rsub = PqQueries.residualSub(
+          PqQueries.scaledSub(batch), assign, PqQueries.centroidSub(centroids))
+        PqQueries.packCodes(PqQueries.pqAssign(rsub, codebook))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamRpqDir(storeBase))
+    }
+
   /** Streaming event-rollup maintenance — the events-analytics twin of
     * [[maintainSignatures]] / [[maintainPostings]]: the watermarked
     * [[windowedCounts]] UPDATE stream lands in a batch_id-partitioned

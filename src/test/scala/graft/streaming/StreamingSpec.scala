@@ -277,6 +277,52 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("streaming residual-PQ maintenance matches a batch encode against frozen quantizers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{PqQueries, SignatureStore, VectorQueries}
+    val base = tmpDir("rpqmaint")
+    // planted corpus; both quantizers (centroids + residual codebook)
+    // freeze up front — stream epochs assign, re-center, and encode new
+    // vectors; the unioned read must equal one batch encode of all
+    val rng = new graft.TestRng(0x4E51DL)
+    val dim = VectorQueries.Dim
+    val all = (0L until 40L).map(i => (i, Seq.fill(dim)(rng.gaussian().toFloat)))
+    val e = all.toDF("vec_id", "embedding")
+    val centroids = e.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val csub = PqQueries.centroidSub(centroids)
+    def rsubOf(df: org.apache.spark.sql.DataFrame) =
+      PqQueries.residualSub(PqQueries.scaledSub(df),
+        VectorQueries.ivfAssign(df, centroids), csub)
+    val cb = PqQueries.trainCodebookOn(e, rsubOf(e))
+    val allCodes = PqQueries.packCodes(PqQueries.pqAssign(rsubOf(e), cb))
+    val batchHalf = e.filter(col("vec_id") < 20)
+    PqQueries.packCodes(PqQueries.pqAssign(rsubOf(batchHalf), cb))
+      .write.parquet(SignatureStore.rpqCodesDir(base))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = EventStream.maintainResidualPqCodes(
+      input.toDF().toDF("vec_id", "embedding"), base, cb, centroids)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData(all.filter(_._1 >= 20).take(10): _*)
+      query.processAllAvailable()
+      input.addData(all.filter(_._1 >= 30): _*)
+      query.processAllAvailable()
+      val stored = SignatureStore.readResidualPqCodes(spark, base)
+      val want = PqQueries.unpackCodes(allCodes)
+      assert(stored.exceptAll(want).count() == 0 && want.exceptAll(stored).count() == 0,
+        "stream+batch residual-PQ store diverged from a full batch encode")
+    } finally query.stop()
+    // seal and re-check
+    SignatureStore.compactResidualPqCodes(spark, base)
+    val compacted = SignatureStore.readResidualPqCodes(spark, base)
+    val want = PqQueries.unpackCodes(allCodes)
+    assert(compacted.exceptAll(want).count() == 0 && want.exceptAll(compacted).count() == 0,
+      "compaction changed the served residual codes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamRpqDir(base))))
+  }
+
   test("streaming PQ-code maintenance matches a batch encode against the same codebook") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("pqmaint")
