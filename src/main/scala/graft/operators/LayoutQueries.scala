@@ -95,5 +95,80 @@ object LayoutQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("z")
     },
+
+    // ----- data-skipping effectiveness: Z-order vs single-dim sort -----
+    // The report that decides WHETHER to Z-order, with numbers instead
+    // of folklore: the same (x, y) rows are laid into 16 files two ways
+    // — hour-sorted (file = x) and Z-ordered (file = 16 consecutive
+    // Morton codes = one 4×4 tile) — and each file's min/max stats are
+    // probed with every single-dimension point predicate, the way a
+    // reader actually prunes. The emitted matrix is the tradeoff
+    // itself: the sorted layout answers x-probes with ~1 file but
+    // y-probes with ALL files (y stats span everything in every file);
+    // the Z layout pays ~4 files on BOTH dimensions. Multi-dim probe
+    // workloads buy Z-order exactly when sum-over-dims beats the
+    // worst-dim blowup — this query prices that, per corpus, from the
+    // same stats a writer would persist. All-integer; avg in milli.
+    "layout_skipping_report" -> QueryDef.sql(
+      s"""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hr, user_id FROM events),
+         |m AS (SELECT min(hr) AS h0 FROM e),
+         |xy AS (SELECT least(hr - m.h0, 15) AS x, ((user_id % 16) + 16) % 16 AS y
+         |       FROM e CROSS JOIN m),
+         |zb AS (SELECT ($zDuck) AS z, x, y FROM xy),
+         |files AS (
+         |  SELECT 'hour_sorted' AS layout, x AS f, min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y
+         |  FROM zb GROUP BY x
+         |  UNION ALL
+         |  SELECT 'zorder', z // 16, min(x), max(x), min(y), max(y)
+         |  FROM zb GROUP BY z // 16),
+         |probes AS (SELECT unnest(generate_series(0, 15)) AS p),
+         |scans AS (
+         |  SELECT f.layout, 'x' AS probe_dim, p.p,
+         |    CAST(count(CASE WHEN p.p BETWEEN f.min_x AND f.max_x THEN 1 END) AS BIGINT) AS nf
+         |  FROM probes p CROSS JOIN files f GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT f.layout, 'y', p.p,
+         |    CAST(count(CASE WHEN p.p BETWEEN f.min_y AND f.max_y THEN 1 END) AS BIGINT)
+         |  FROM probes p CROSS JOIN files f GROUP BY 1, 2, 3)
+         |SELECT layout, probe_dim,
+         |  CAST((SELECT count(*) FROM files ff WHERE ff.layout = scans.layout) AS BIGINT) AS n_files,
+         |  CAST(sum(nf) AS BIGINT) AS files_scanned_total,
+         |  CAST((1000 * sum(nf)) // count(*) AS BIGINT) AS avg_files_milli
+         |FROM scans GROUP BY layout, probe_dim
+         |ORDER BY layout, probe_dim""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val e = events(s, d).select(
+        expr(s"(${graft.util.Tables.epochUsFloorSql}) div 3600000000").as("hr"),
+        col("user_id"))
+      val m = e.agg(min("hr").as("h0"))
+      val zb = e.crossJoin(broadcast(m))
+        .select(least(col("hr") - col("h0"), lit(15L)).as("x"),
+          pmod(col("user_id"), lit(16L)).as("y"))
+        .select(expr(zSpark).as("z"), col("x"), col("y"))
+      def stats(layout: String, fileKey: org.apache.spark.sql.Column) =
+        zb.groupBy(fileKey.as("f"))
+          .agg(min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .select(lit(layout).as("layout"), col("f"),
+            col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+      val files = stats("hour_sorted", col("x"))
+        .unionByName(stats("zorder", expr("z div 16")))
+        .localCheckpoint(true)
+      val probes = (0L to 15L).toDF("p")
+      def scansOf(dim: String, lo: String, hi: String) =
+        probes.crossJoin(files)
+          .groupBy(col("layout"), lit(dim).as("probe_dim"), col("p"))
+          .agg(count(when(col("p").between(col(lo), col(hi)), 1)).as("nf"))
+      val nFiles = files.groupBy("layout").agg(count(lit(1)).as("n_files"))
+      scansOf("x", "min_x", "max_x").unionByName(scansOf("y", "min_y", "max_y"))
+        .groupBy("layout", "probe_dim")
+        .agg(sum("nf").as("files_scanned_total"), count(lit(1)).as("np"))
+        .join(broadcast(nFiles), Seq("layout"))
+        .select(col("layout"), col("probe_dim"), col("n_files"),
+          col("files_scanned_total"),
+          expr("(1000 * files_scanned_total) div np").as("avg_files_milli"))
+        .orderBy("layout", "probe_dim")
+    },
   )
 }
