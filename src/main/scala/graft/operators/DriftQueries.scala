@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.util.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-shape audits: per-source drift against the corpus and
@@ -19,6 +20,136 @@ import org.apache.spark.sql.functions._
 object DriftQueries {
 
   def defs: Map[String, QueryDef] = Map(
+
+    // ----- CUSUM changepoint per event type (Page 1954), exact -----
+    // The drift detector that answers WHEN, not just whether: per type,
+    // daily counts over the GLOBAL day grid (absent days count 0 — a
+    // type going quiet IS its changepoint signal), and the cumulative
+    // sum of deviations from the type's own mean peaks at the most
+    // likely level-shift point. Scaled by n to stay integer-exact:
+    // S_k = n·Σ_{i≤k}c_i − k·total is n× the textbook CUSUM, and argmax
+    // |S_k| is invariant under positive scaling — so the detector is
+    // hash-exact with no mean division anywhere. One grid join + one
+    // per-type prefix sum; ties break to the earliest day.
+    "changepoint_cusum" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |grid AS (SELECT DISTINCT day FROM d),
+        |types AS (SELECT DISTINCT event_type FROM d),
+        |c AS (
+        |  SELECT t.event_type, g.day, CAST(coalesce(x.c, 0) AS BIGINT) AS c
+        |  FROM types t CROSS JOIN grid g
+        |  LEFT JOIN (SELECT event_type, day, count(*) AS c FROM d GROUP BY 1, 2) x
+        |    ON x.event_type = t.event_type AND x.day = g.day),
+        |s AS (
+        |  SELECT event_type, day, c,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k
+        |  FROM c),
+        |cz AS (
+        |  SELECT event_type, day, n, total, n * cum - k * total AS s_scaled,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - k * total) DESC, day) AS rn
+        |  FROM s)
+        |SELECT event_type, day AS cp_day, abs(s_scaled) AS cusum_abs_scaled,
+        |  n AS n_days, total
+        |FROM cz WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dd = events(s, d).select(col("event_type"),
+        expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"))
+      val grid = dd.select("day").distinct()
+      val types = dd.select("event_type").distinct()
+      val x = dd.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val c = types.crossJoin(broadcast(grid))
+        .join(x, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+      val p = Window.partitionBy(col("event_type"))
+      val po = p.orderBy(col("day"))
+      val sdf = c.select(col("event_type"), col("day"), col("c"),
+        count(lit(1)).over(p).as("n"), sum("c").over(p).as("total"),
+        sum("c").over(po.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        row_number().over(po).cast("long").as("k"))
+      sdf.select(col("event_type"), col("day"), col("n"), col("total"),
+          (col("n") * col("cum") - col("k") * col("total")).as("s_scaled"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("s_scaled")).desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          abs(col("s_scaled")).as("cusum_abs_scaled"),
+          col("n").as("n_days"), col("total"))
+        .orderBy("event_type")
+    },
+
+    // ----- daily co-movement matrix across event types, exact -----
+    // Which metrics move TOGETHER day to day — the correlation question
+    // asked without the sqrt that would make it engine-libm-dependent:
+    // per type pair the query emits n²·cov = n·Σxy − Σx·Σy beside each
+    // type's n²·var, all exact BIGINTs over the same 0-filled day grid
+    // as the changepoint detector (a missing day is a real 0, not a
+    // dropped row). The caller divides cov/√(varx·vary) if it wants
+    // Pearson; sign and relative magnitude — the screening decisions —
+    // need no division at all. One grid join, one pair join over the
+    // taxonomy-bounded type list.
+    "type_comovement_matrix" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |grid AS (SELECT DISTINCT day FROM d),
+        |types AS (SELECT DISTINCT event_type FROM d),
+        |c AS (
+        |  SELECT t.event_type, g.day, CAST(coalesce(x.c, 0) AS BIGINT) AS c
+        |  FROM types t CROSS JOIN grid g
+        |  LEFT JOIN (SELECT event_type, day, count(*) AS c FROM d GROUP BY 1, 2) x
+        |    ON x.event_type = t.event_type AND x.day = g.day),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sx,
+        |    CAST(sum(c * c) AS BIGINT) AS sxx
+        |  FROM c GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, a.day,
+        |    a.c AS ca, b.c AS cb
+        |  FROM c a JOIN c b ON b.day = a.day AND a.event_type < b.event_type),
+        |agg AS (
+        |  SELECT t1, t2, CAST(count(*) AS BIGINT) AS n, CAST(sum(ca) AS BIGINT) AS sx,
+        |    CAST(sum(cb) AS BIGINT) AS sy, CAST(sum(ca * cb) AS BIGINT) AS sxy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT g.t1, g.t2, g.n AS n_days,
+        |  g.n * g.sxy - g.sx * g.sy AS cov_n2,
+        |  s1.n * s1.sxx - s1.sx * s1.sx AS var1_n2,
+        |  s2.n * s2.sxx - s2.sx * s2.sx AS var2_n2
+        |FROM agg g JOIN stats s1 ON s1.event_type = g.t1
+        |JOIN stats s2 ON s2.event_type = g.t2
+        |ORDER BY g.t1, g.t2""".stripMargin) { (s, d) =>
+      val dd = events(s, d).select(col("event_type"),
+        expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"))
+      val grid = dd.select("day").distinct()
+      val types = dd.select("event_type").distinct()
+      val x = dd.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val c = types.crossJoin(broadcast(grid))
+        .join(x, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+        .localCheckpoint(true)
+      val stats = c.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sx"), sum(col("c") * col("c")).as("sxx"))
+      val a = c.toDF("t1", "day", "ca")
+      val b = c.toDF("t2", "day", "cb")
+      val agg = a.join(b, Seq("day")).filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n"), sum("ca").as("sx"), sum("cb").as("sy"),
+          sum(col("ca") * col("cb")).as("sxy"))
+      val s1 = stats.select(col("event_type").as("t1"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var1_n2"))
+      val s2 = stats.select(col("event_type").as("t2"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var2_n2"))
+      agg.join(broadcast(s1), Seq("t1")).join(broadcast(s2), Seq("t2"))
+        .select(col("t1"), col("t2"), col("n").as("n_days"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n2"),
+          col("var1_n2"), col("var2_n2"))
+        .orderBy("t1", "t2")
+    },
 
     // ----- per-source token-length drift vs the corpus profile -----
     // Total-variation distance between each source's log2-bucketed
