@@ -1876,5 +1876,103 @@ object CurationQueries {
         .select("doc_id", "sentinel_id", "start_tok", "n_toks", "masked_ppm")
         .orderBy("doc_id", "sentinel_id")
     },
+
+    // ----- Bounded-contribution aggregation (DP sensitivity clamp) -----
+    // The preprocessing step every differentially-private release
+    // starts with (Dwork & Roth §2; Wilson et al., "Differentially
+    // Private SQL", VLDB 2020): cap each user's contribution to a
+    // per-type count at C=3 BEFORE aggregating, so one user can move
+    // the released count by at most C — the bounded sensitivity the
+    // noise calibration needs. (The noise draw itself is out of scope
+    // for a deterministic oracle; the clamp is the part that touches
+    // the data at scale.) Emitted per type: raw vs clamped count, the
+    // suppressed mass, and the largest single-user share of the clamped
+    // count — the re-identification pressure metric. Plan: per
+    // (type, user) counts first (partial-combinable hash aggregate — at
+    // 100 TB the map side collapses each user's events before any
+    // shuffle), then LEAST(c, 3) folds into the taxonomy-bounded type
+    // rollup; no window, no second pass over events.
+    "dp_bounded_contribution" -> QueryDef.sql(
+      """WITH cu AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, user_id),
+        |agg AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_raw,
+        |    CAST(sum(least(c, 3)) AS BIGINT) AS n_clamped,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(max(least(c, 3)) AS BIGINT) AS max_user_clamped
+        |  FROM cu GROUP BY event_type)
+        |SELECT event_type, n_raw, n_clamped, n_users,
+        |  CAST((1000000 * (n_raw - n_clamped)) // n_raw AS BIGINT) AS suppressed_ppm,
+        |  CAST((1000000 * max_user_clamped) // n_clamped AS BIGINT) AS max_user_share_ppm
+        |FROM agg ORDER BY event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_raw"),
+          sum(least(col("c"), lit(3L))).as("n_clamped"),
+          count(lit(1)).as("n_users"),
+          max(least(col("c"), lit(3L))).as("max_user_clamped"))
+        .select(col("event_type"), col("n_raw"), col("n_clamped"), col("n_users"),
+          expr("CAST((1000000L * (n_raw - n_clamped)) div n_raw AS BIGINT)")
+            .as("suppressed_ppm"),
+          expr("CAST((1000000L * max_user_clamped) div n_clamped AS BIGINT)")
+            .as("max_user_share_ppm"))
+        .orderBy("event_type")
+    },
+
+    // ----- Inter-rater agreement: Cohen's κ in exact ppm -----
+    // The label-quality audit before any labels train a filter model
+    // (Cohen 1960; Artstein & Poesio 2008 for the corpus-annotation
+    // framing): two independent binary raters over the same documents —
+    // here the two cheap quality heuristics a curation pipeline
+    // actually runs, a length gate (n_chars ≥ 180) and a token-shape
+    // gate (≥ 30 whitespace tokens) — and the chance-corrected
+    // agreement between them. Raw agreement p_o flatters raters that
+    // both say "yes" to everything; κ subtracts the agreement their
+    // marginals would produce by chance. All-integer derivation from
+    // the 2×2 confusion counts: κ = (n·(a+d) − Σ marginal products) /
+    // (n² − Σ marginal products), emitted in ppm with one // — no
+    // float probabilities anywhere, so the oracle matches exactly.
+    // Plan: one corpus pass → four counts → one row; the confusion
+    // fold is a partial-combinable conditional-sum aggregate.
+    "label_kappa" -> QueryDef.sql(
+      """WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 180 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 30
+        |         THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |cm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM r)
+        |SELECT n, a, b, c, d,
+        |  CAST((1000000 * (a + d)) // n AS BIGINT) AS po_ppm,
+        |  CAST((1000000 * ((a + b) * (a + c) + (c + d) * (b + d))) // (n * n) AS BIGINT)
+        |    AS pe_ppm,
+        |  CAST((1000000 * (n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))))
+        |    // (n * n - ((a + b) * (a + c) + (c + d) * (b + d))) AS BIGINT) AS kappa_ppm
+        |FROM cm""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(
+          when(col("n_chars") >= 180, 1L).otherwise(0L).as("ra"),
+          when(size(expr(TextQueries.toksExpr)) >= 30, 1L).otherwise(0L).as("rb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L)).as("d"))
+        .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+          expr("CAST((1000000L * (a + d)) div n AS BIGINT)").as("po_ppm"),
+          expr("CAST((1000000L * ((a + b) * (a + c) + (c + d) * (b + d))) div (n * n) AS BIGINT)")
+            .as("pe_ppm"),
+          expr("""CAST((1000000L * (n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))))
+                 |  div (n * n - ((a + b) * (a + c) + (c + d) * (b + d))) AS BIGINT)""".stripMargin)
+            .as("kappa_ppm"))
+    },
   )
 }

@@ -33,6 +33,15 @@ object GraphQueries {
 
   val Iters = 3
 
+  /** Minimum surviving degree for [[defs `graph_kcore`]]. */
+  val KcoreK = 3
+
+  /** Unrolled peel rounds for `graph_kcore` — enough to reach the
+    * fixpoint at fixture scale (KcoreSpec asserts a fifth peel removes
+    * nothing); extra rounds past the fixpoint are exact no-ops, so the
+    * unroll count is a latency knob, never a correctness one. */
+  val KcoreRounds = 4
+
   /** Nodes above this candidate-graph degree are excluded from triangle
     * enumeration — they are boilerplate-shaped hubs (the substring
     * family's territory), and the cap is what bounds the wedge join. */
@@ -153,7 +162,77 @@ object GraphQueries {
           col("community_size"))
         .orderBy("doc_id")
     },
+
+    // ----- k-core decomposition (Seidman 1983; Batagelj–Zaveršnik) -----
+    // The fifth graph lens: triangles measure LOCAL density around one
+    // node; the k-core is the GLOBAL cohesion criterion — the maximal
+    // subgraph where every member keeps ≥ k neighbors after everyone
+    // outside is removed. On the dup-candidate graph the 3-core is the
+    // mirror-farm detector: a chain of borderline matches (deg 2 each)
+    // peels away entirely, while a true template clique survives with
+    // its interior degree intact — the set worth bulk-collapsing rather
+    // than pairwise-reviewing. The sequential peel (repeatedly delete
+    // min-degree nodes) is inherently serial; the distributed form is
+    // the SYNCHRONOUS peel — each round deletes EVERY node under k at
+    // once — which provably reaches the same fixpoint (deleting a
+    // sub-k node never resurrects another node's degree). Rounds are
+    // unrolled like PageRank/LPA so the oracle replays them exactly;
+    // past the fixpoint a round is the identity, so the unroll count
+    // only prices latency. Scale shape: each round shuffles only the
+    // SHRINKING edge table (two semi-joins against the bounded
+    // survivor set), never the corpus, and the per-round degree fold
+    // is a partial-combinable hash aggregate.
+    "graph_kcore" -> QueryDef.sql(KcoreOracleSql) { (s, d) =>
+      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      kcoreStats(pairs).orderBy("doc_id")
+    },
   )
+
+  /** Synchronous k-core peel over an oriented distinct (doc_a < doc_b)
+    * pair table; exposed for the fixpoint/planted-graph spec. Returns
+    * (doc_id, deg0, core_deg) for nodes surviving `rounds` peels at
+    * threshold `k`. */
+  def kcoreStats(pairs0: org.apache.spark.sql.DataFrame,
+      k: Int = KcoreK, rounds: Int = KcoreRounds): org.apache.spark.sql.DataFrame = {
+    val edges0 = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs0.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .repartition(col("a"))
+      .localCheckpoint()
+    val deg0 = edges0.groupBy("a").agg(count(lit(1)).as("deg0"))
+    var edges = edges0
+    for (_ <- 1 to rounds) {
+      val surv = edges.groupBy("a").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select("a")
+        .localCheckpoint(true)
+      edges = edges
+        .join(surv, Seq("a"), "left_semi")
+        .join(surv.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    edges.groupBy("a").agg(count(lit(1)).as("core_deg"))
+      .join(deg0, Seq("a"))
+      .select(col("a").as("doc_id"), col("deg0"), col("core_deg"))
+  }
+
+  private lazy val KcoreOracleSql: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""s$r AS (SELECT a FROM e${r - 1} GROUP BY a HAVING count(*) >= $KcoreK),
+         |e$r AS (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN s$r x ON x.a = e.a JOIN s$r y ON y.a = e.b)""".stripMargin
+    }
+    s"""WITH ${TextQueries.MinhashBandsCte},
+       |pairs AS (${TextQueries.BandedPairsSelect}),
+       |e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |       UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |deg0 AS (SELECT a, CAST(count(*) AS BIGINT) AS deg0 FROM e0 GROUP BY a),
+       |${rounds.mkString(",\n")},
+       |core AS (SELECT a, CAST(count(*) AS BIGINT) AS core_deg
+       |         FROM e$KcoreRounds GROUP BY a)
+       |SELECT c.a AS doc_id, d.deg0, c.core_deg
+       |FROM core c JOIN deg0 d ON d.a = c.a
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val LabelPropOracleSql: String = {
     val iters = (1 to Iters).map { k =>

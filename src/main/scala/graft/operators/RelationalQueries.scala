@@ -2637,5 +2637,93 @@ object RelationalQueries {
           sum(col("val")).cast("double").as("total_value"))
         .orderBy("cid")
     },
+
+    // ----- A12: U-shaped (positional) multi-touch attribution -----
+    // Completes the attribution trio: a9 credits the single previous
+    // touch, a11 the last non-purchase touch — this splits each
+    // purchase's credit across its WHOLE journey (the touches since the
+    // user's previous purchase): 40% to the first touch, 40% to the
+    // last, the middle 20% evenly across the interior (the standard
+    // U-shape). Exactness discipline: credits are integer ppm that sum
+    // to EXACTLY 1e6 per purchase (k=1 → 1e6; k=2 → 500k/500k; k≥3 →
+    // the interior floor-divides 200k and the REMAINDER goes to the
+    // first touch — a documented deterministic policy, not a float
+    // renormalize), and purchase value enters as floor-micros so the
+    // value-weighted credit is a pure integer product (DECIMAL/HUGEINT
+    // widened — 150k purchases × 5e14 per row breaks int64).
+    // Scale shape: journey segmentation and touch positions ride ONE
+    // user-keyed window exchange (the o4/o6 partitioning); everything
+    // after is (user, journey)-keyed joins and a taxonomy-bounded
+    // aggregate. Zero-touch journeys credit '(direct)' via anti-join.
+    "a12_positional_attribution" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ns FROM events),
+        |j AS (
+        |  SELECT user_id, event_id, event_type, value, ns,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ns, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        |  FROM t),
+        |pur AS (
+        |  SELECT user_id, jid, CAST(floor(value * 1000000) AS BIGINT) AS vus
+        |  FROM j WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id, jid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, jid ORDER BY ns, event_id) AS pos,
+        |    count(*) OVER (PARTITION BY user_id, jid) AS k
+        |  FROM j WHERE event_type <> 'purchase'),
+        |cred AS (
+        |  SELECT t.event_type AS touch, p.vus,
+        |    CASE WHEN t.k = 1 THEN 1000000
+        |         WHEN t.k = 2 THEN 500000
+        |         WHEN t.pos = 1 THEN 400000 + (200000 - (t.k - 2) * (200000 // (t.k - 2)))
+        |         WHEN t.pos = t.k THEN 400000
+        |         ELSE 200000 // (t.k - 2) END AS credit_ppm
+        |  FROM tch t JOIN pur p ON p.user_id = t.user_id AND p.jid = t.jid),
+        |direct AS (
+        |  SELECT '(direct)' AS touch, p.vus, 1000000 AS credit_ppm
+        |  FROM pur p ANTI JOIN tch t ON t.user_id = p.user_id AND t.jid = p.jid),
+        |allc AS (SELECT * FROM cred UNION ALL SELECT * FROM direct)
+        |SELECT touch, CAST(count(*) AS BIGINT) AS n_credits,
+        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total,
+        |  CAST(sum(CAST(vus AS HUGEINT) * credit_ppm) // 1000000 AS BIGINT)
+        |    AS attributed_value_us
+        |FROM allc GROUP BY touch ORDER BY touch""".stripMargin) { (s, d) =>
+      val wSeg = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val j = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          col("ts_ns").as("ns"))
+        .withColumn("jid", coalesce(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wSeg),
+          lit(0L)))
+      val pur = j.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("jid"),
+          floor(col("value") * 1000000).cast("long").as("vus"))
+      val wPos = Window.partitionBy(col("user_id"), col("jid"))
+        .orderBy(col("ns"), col("event_id"))
+      val wK = Window.partitionBy(col("user_id"), col("jid"))
+      val tch = j.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("jid"), col("event_type"),
+          row_number().over(wPos).cast("long").as("pos"),
+          count(lit(1)).over(wK).as("k"))
+      val cred = tch.join(pur, Seq("user_id", "jid"))
+        .select(col("event_type").as("touch"), col("vus"),
+          expr("""CASE WHEN k = 1 THEN 1000000L
+                 |     WHEN k = 2 THEN 500000L
+                 |     WHEN pos = 1 THEN 400000L + (200000L - (k - 2) * (200000L div (k - 2)))
+                 |     WHEN pos = k THEN 400000L
+                 |     ELSE 200000L div (k - 2) END""".stripMargin).as("credit_ppm"))
+      val direct = pur.join(tch, Seq("user_id", "jid"), "left_anti")
+        .select(lit("(direct)").as("touch"), col("vus"),
+          lit(1000000L).as("credit_ppm"))
+      cred.unionByName(direct)
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit_ppm")).as("credit_ppm_total"),
+          expr("CAST(sum(CAST(vus AS DECIMAL(38,0)) * credit_ppm) div 1000000 AS BIGINT)")
+            .as("attributed_value_us"))
+        .orderBy("touch")
+    },
   )
 }

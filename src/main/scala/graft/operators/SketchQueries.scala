@@ -880,7 +880,111 @@ object SketchQueries {
           (lit(64) * col("qbin") + 63).as("est_len_hi"))
         .orderBy("source", "pct")
     },
+
+    // ----- ANALYZE-style column statistics profile -----
+    // The table-stats collection every cost-based optimizer runs before
+    // planning (Spark's own ANALYZE TABLE … COMPUTE STATISTICS FOR
+    // COLUMNS; Selinger et al. 1979 for why): per column, row/null
+    // counts, min/max, and the NDV — with the NDV emitted BOTH exact
+    // and KMV-estimated, err_ppm beside them, because at 100 TB the
+    // exact leg is the one you delete (a count-distinct over a
+    // row-cardinality column is corpus-scale state; the 64-hash sketch
+    // is 512 bytes) and this profile is the evidence the estimate
+    // deserves the job. Joins with `cm_join_size_estimate` as the two
+    // planner statistics the sketch family serves. Plan shape: each
+    // column leg reads ONLY its own column (parquet column pruning —
+    // the scan is width-proportional, never table-proportional), the
+    // base stats fold in one hash aggregate, and the k-th-smallest hash
+    // is a TakeOrdered per-partition heap (limit+sort), never a global
+    // window. Canonical string forms (micros for the double, epoch-ns
+    // for the timestamp) keep the hashes engine-identical.
+    "column_stats_profile" -> QueryDef.sql(ColumnStatsSql) { (s, d) =>
+      val ev = events(s, d)
+      def leg(name: String, sv: org.apache.spark.sql.Column,
+          minNum: org.apache.spark.sql.Column, maxNum: org.apache.spark.sql.Column,
+          minStr: org.apache.spark.sql.Column, maxStr: org.apache.spark.sql.Column) = {
+        val base = ev.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(sv)).as("n_null"),
+          minNum.as("min_num"), maxNum.as("max_num"),
+          minStr.as("min_str"), maxStr.as("max_str"))
+        val h = ev.select(
+            conv(substring(md5(sv.cast("binary")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .where(sv.isNotNull).distinct()
+        val kth = h.orderBy("h").limit(KmvK)
+          .agg(max(col("h")).as("kth"), count(lit(1)).as("nk"))
+        val exact = h.agg(count(lit(1)).as("ndv_exact"))
+        base.crossJoin(exact).crossJoin(kth)
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("ndv_exact"),
+            expr(s"CASE WHEN nk < $KmvK THEN ndv_exact ELSE CAST((CAST(${KmvK - 1} " +
+              "AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0))) " +
+              "div kth AS BIGINT) END").as("ndv_est"),
+            col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+          .withColumn("ndv_err_ppm",
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(ndv_est - ndv_exact)) " +
+              "div ndv_exact AS BIGINT)"))
+      }
+      val nullL = max(lit(null).cast("long"))
+      val nullS = max(lit(null).cast("string"))
+      leg("event_type", col("event_type"), nullL, nullL,
+          min(col("event_type")), max(col("event_type")))
+        .unionByName(leg("ts", col("ts_ns").cast("string"),
+          min(col("ts_ns")), max(col("ts_ns")), nullS, nullS))
+        .unionByName(leg("user_id", col("user_id").cast("string"),
+          min(col("user_id")), max(col("user_id")), nullS, nullS))
+        .unionByName(leg("value", floor(col("value") * 1000000).cast("long").cast("string"),
+          min(floor(col("value") * 1000000).cast("long")),
+          max(floor(col("value") * 1000000).cast("long")), nullS, nullS))
+        .select("col_name", "n_rows", "n_null", "ndv_exact", "ndv_est",
+          "ndv_err_ppm", "min_num", "max_num", "min_str", "max_str")
+        .orderBy("col_name")
+    },
   )
+
+  /** Oracle for `column_stats_profile` — same four column legs. */
+  private lazy val ColumnStatsSql: String = {
+    def leg(name: String, sv: String, minNum: String, maxNum: String,
+        minStr: String, maxStr: String) =
+      s"""SELECT '$name' AS col_name, b.n_rows, b.n_null, e.ndv_exact,
+         |  CASE WHEN k.nk < $KmvK THEN e.ndv_exact
+         |       ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // k.kth AS BIGINT)
+         |  END AS ndv_est,
+         |  CAST((CAST(1000000 AS HUGEINT) * abs(
+         |    CASE WHEN k.nk < $KmvK THEN e.ndv_exact
+         |         ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // k.kth AS BIGINT)
+         |    END - e.ndv_exact)) // e.ndv_exact AS BIGINT) AS ndv_err_ppm,
+         |  b.min_num, b.max_num, b.min_str, b.max_str
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(*) - count($sv) AS BIGINT) AS n_null,
+         |    $minNum AS min_num, $maxNum AS max_num,
+         |    $minStr AS min_str, $maxStr AS max_str
+         |  FROM ev) b
+         |CROSS JOIN (
+         |  SELECT CAST(count(*) AS BIGINT) AS ndv_exact FROM (
+         |    SELECT DISTINCT ('0x' || substr(md5($sv), 1, 15))::BIGINT AS h
+         |    FROM ev WHERE $sv IS NOT NULL)) e
+         |CROSS JOIN (
+         |  SELECT max(h) AS kth, count(*) AS nk FROM (
+         |    SELECT DISTINCT ('0x' || substr(md5($sv), 1, 15))::BIGINT AS h
+         |    FROM ev WHERE $sv IS NOT NULL ORDER BY h LIMIT $KmvK)) k""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_ns(ts) AS ts_ns, user_id,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS vus
+       |  FROM events)
+       |${Seq(
+          leg("event_type", "event_type", "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+            "min(event_type)", "max(event_type)"),
+          leg("ts", "CAST(ts_ns AS VARCHAR)", "min(ts_ns)", "max(ts_ns)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+          leg("user_id", "CAST(user_id AS VARCHAR)", "min(user_id)", "max(user_id)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+          leg("value", "CAST(vus AS VARCHAR)", "min(vus)", "max(vus)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+        ).mkString("\nUNION ALL\n")}
+       |ORDER BY col_name""".stripMargin
+  }
 
   /** Serving face of the bin store (see defs entry). */
   private val QuantileServeSql: String =

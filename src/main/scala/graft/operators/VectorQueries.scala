@@ -435,6 +435,9 @@ object VectorQueries {
        |ORDER BY nprobe""".stripMargin
   }
 
+  /** k-NN neighborhood size for `mine_bitext_margin`. */
+  val BitextK = 4
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- embedding norm audit: log2 histogram of squared norms -----
@@ -1564,7 +1567,96 @@ object VectorQueries {
         .select(col("pos"), col("pc1_milli"), col("var_q"), col("lambda_q"))
         .orderBy("pos")
     },
+
+    // ----- Margin-based bitext mining (Artetxe & Schwenk, ACL 2019) -----
+    // The parallel-pair miner behind the public CCMatrix/WikiMatrix
+    // corpora: candidate translation pairs across two sides of an
+    // embedding space are scored not by raw cosine — which a hubness
+    // vector inflates for EVERY query — but by the MARGIN: cosine
+    // normalized by the mean of both endpoints' k-NN neighborhoods.
+    // A pair survives only if it is mutually each other's best margin
+    // (forward ∩ backward) and the margin clears 1.0 (closer than the
+    // average neighbor). Sides here are the label-parity halves of the
+    // embedding table; k = 4. Exactness: cosines enter as the family's
+    // 6-dp-rounded doubles converted ONCE to integer ×1e6, after which
+    // neighborhood sums, the 2k-scaled margin ratio, argmaxes, and the
+    // threshold are pure BIGINT — the float division the paper writes
+    // never executes, so both engines agree bit-for-bit.
+    // Scale shape: the one quadratic artifact (the X×Y score table) is
+    // pinned once and reread by all three consumers (two neighborhood
+    // folds + the margin join); everything downstream is id-keyed joins
+    // against side-cardinality aggregates. At 100 TB the score table is
+    // exactly what the stored IVF tier's shortlist replaces — this
+    // exact form is the recall oracle that variant is graded against
+    // (the ann_filtered_topk contract).
+    "mine_bitext_margin" -> QueryDef.sql(BitextMarginSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val xs = e.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+      val ys = e.filter(col("label") % 2 === 1)
+        .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+      bitextMarginPairs(xs, ys).orderBy("xid")
+    },
   )
+
+  /** Mutual-best margin pairs between an (xid, xv) and a (yid, yv) side
+    * (Artetxe & Schwenk 2019, `ratio` variant); exposed for the planted
+    * hubness spec. All-BIGINT after the one cosine→×1e6 conversion. */
+  def bitextMarginPairs(xs: DataFrame, ys: DataFrame, k: Int = BitextK): DataFrame = {
+    val c = xs.crossJoin(broadcast(ys))
+      .select(col("xid"), col("yid"),
+        round(score("xv", "yv") * 1000000).cast("long").as("c"))
+      .localCheckpoint()
+    val wx = Window.partitionBy(col("xid")).orderBy(col("c").desc, col("yid"))
+    val wy = Window.partitionBy(col("yid")).orderBy(col("c").desc, col("xid"))
+    val sx = c.withColumn("rn", row_number().over(wx)).filter(col("rn") <= k)
+      .groupBy("xid").agg(sum("c").as("sx"))
+    val sy = c.withColumn("rn", row_number().over(wy)).filter(col("rn") <= k)
+      .groupBy("yid").agg(sum("c").as("sy"))
+    val m = c.join(sx, Seq("xid")).join(sy, Seq("yid"))
+      .filter(col("sx") + col("sy") > 0 && col("c") > 0)
+      .select(col("xid"), col("yid"), col("c"),
+        expr(s"(${2 * k}000000L * c) div (sx + sy)").as("m"))
+      .localCheckpoint()
+    val wf = Window.partitionBy(col("xid")).orderBy(col("m").desc, col("yid"))
+    val wb = Window.partitionBy(col("yid")).orderBy(col("m").desc, col("xid"))
+    val fwd = m.withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
+      .select(col("xid"), col("yid"), col("c"), col("m"))
+    val bwd = m.withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+      .select(col("xid"), col("yid"))
+    fwd.join(bwd, Seq("xid", "yid"))
+      .filter(col("m") > 1000000)
+      .select(col("xid"), col("yid"), col("c").as("cos_x1e6"),
+        col("m").as("margin_x1e6"))
+  }
+
+  private lazy val BitextMarginSql: String =
+    s"""WITH x AS (SELECT vec_id AS xid, embedding::DOUBLE[] AS xv
+       |           FROM embeddings WHERE label % 2 = 0),
+       |y AS (SELECT vec_id AS yid, embedding::DOUBLE[] AS yv
+       |      FROM embeddings WHERE label % 2 = 1),
+       |c AS (SELECT xid, yid,
+       |        CAST(round(1000000 * round(list_cosine_similarity(xv, yv), 6)) AS BIGINT) AS c
+       |      FROM x, y),
+       |sx AS (SELECT xid, CAST(sum(c) AS BIGINT) AS sx FROM (
+       |         SELECT xid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rn
+       |         FROM c) WHERE rn <= $BitextK GROUP BY xid),
+       |sy AS (SELECT yid, CAST(sum(c) AS BIGINT) AS sy FROM (
+       |         SELECT yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rn
+       |         FROM c) WHERE rn <= $BitextK GROUP BY yid),
+       |m AS (SELECT c.xid, c.yid, c.c, (${2 * BitextK}000000 * c.c) // (sx.sx + sy.sy) AS m
+       |      FROM c JOIN sx ON sx.xid = c.xid JOIN sy ON sy.yid = c.yid
+       |      WHERE sx.sx + sy.sy > 0 AND c.c > 0),
+       |fwd AS (SELECT xid, yid, c, m FROM (
+       |          SELECT m.*, row_number() OVER (PARTITION BY xid ORDER BY m DESC, yid) AS rn
+       |          FROM m) WHERE rn = 1),
+       |bwd AS (SELECT xid, yid FROM (
+       |          SELECT xid, yid, row_number() OVER (PARTITION BY yid ORDER BY m DESC, xid) AS rn
+       |          FROM m) WHERE rn = 1)
+       |SELECT f.xid, f.yid, f.c AS cos_x1e6, f.m AS margin_x1e6
+       |FROM fwd f JOIN bwd b ON b.xid = f.xid AND b.yid = f.yid
+       |WHERE f.m > 1000000
+       |ORDER BY f.xid""".stripMargin
 }
 
 /** Deterministic random-hyperplane bank for the banded cosine LSH —

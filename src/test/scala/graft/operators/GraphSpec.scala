@@ -47,4 +47,33 @@ class GraphSpec extends SparkFunSuite {
     assert(k3rows.length == 3 &&
       k3rows.forall(_.getAs[Long]("clustering_ppm") == 1000000L))
   }
+
+  test("k-core: planted K5 survives the 3-core, its pendant chain peels away") {
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    // chain hangs off node 0: peels front-to-back, one node per round
+    val chain = Seq((0L, 10L), (10L, 11L), (11L, 12L))
+    val rows = GraphQueries.kcoreStats(pairsDf(k5 ++ chain)).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L to 4L),
+      "3-core must be exactly the K5")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("core_deg") == 4L)
+      val d0 = if (r.getAs[Long]("doc_id") == 0L) 5L else 4L
+      assert(r.getAs[Long]("deg0") == d0)
+    }
+  }
+
+  test("k-core: a cycle dies at k=3 but IS the 2-core; peel reaches fixpoint") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    val tail = Seq((0L, 20L), (20L, 21L), (21L, 22L), (22L, 23L))
+    val g = pairsDf(cycle ++ tail)
+    assert(GraphQueries.kcoreStats(g, k = 3).count() == 0L)
+    val core2 = GraphQueries.kcoreStats(g, k = 2).collect()
+    assert(core2.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L to 4L),
+      "2-core must be exactly the cycle (the cascading tail peels in 4 rounds)")
+    // fixpoint: an extra round changes nothing (the unroll count is a
+    // latency knob, never a correctness one)
+    val plus = GraphQueries.kcoreStats(g, k = 2, rounds = GraphQueries.KcoreRounds + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(plus == core2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+  }
 }
