@@ -804,6 +804,55 @@ object SignatureStore {
       compactInto(spark, countMinDir(base), streamCountMinDir(base),
         readCountMin(spark, base))
 
+  def hllDir(base: String) = s"$base/hll"
+
+  /** Streaming register appends, batch_id-partitioned (same layout
+    * rationale as [[streamMinhashDir]]). */
+  def streamHllDir(base: String) = s"$base/hll_stream"
+
+  /** Merged per-stratum HLL registers (stratum, idx, m) — the sketch
+    * member whose merge law is MAX: batch registers plus each stream
+    * epoch's registers fold with `max(m)` per (stratum, idx). Like
+    * Bloom's OR (and unlike count-min/bins' ADD), MAX is idempotent BY
+    * VALUE — replaying an epoch, or re-ingesting the same users,
+    * changes nothing, so replay needs no per-row identity at all. Read
+    * cost is ≤256 rows per stratum per part regardless of how many
+    * users ever streamed through. */
+  def readHll(spark: SparkSession, base: String): DataFrame = {
+    val batch = Option.when(hasData(spark, hllDir(base)))(
+      spark.read.parquet(hllDir(base)).select("stratum", "idx", "m"))
+    val stream = Option.when(hasData(spark, streamHllDir(base)))(
+      spark.read.parquet(streamHllDir(base)).select("stratum", "idx", "m"))
+    val all = (batch, stream) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no hll store under $base")
+    }
+    all.groupBy("stratum", "idx").agg(max("m").as("m"))
+  }
+
+  /** Build-on-first-use for the per-event-type HLL register store. */
+  def ensureHll(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${hllDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      SketchQueries.hllRegisters(
+          events(spark, sfDir)
+            .select(col("event_type").as("stratum"), col("user_id")))
+        .write.mode("overwrite").parquet(hllDir(base))
+    readHll(spark, base)
+  }
+
+  /** Compact the HLL register store (register-MAX resolve). */
+  def compactHll(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamHllDir(base)))
+      compactInto(spark, hllDir(base), streamHllDir(base),
+        readHll(spark, base))
+
   def quantileBinsDir(base: String) = s"$base/quantile_bins"
 
   /** Streaming bin appends, batch_id-partitioned (same layout rationale

@@ -940,7 +940,248 @@ object SketchQueries {
           "ndv_err_ppm", "min_num", "max_num", "min_str", "max_str")
         .orderBy("col_name")
     },
+
+    // ----- HyperLogLog distinct-user estimate, exact audit beside -----
+    // The sixth estimator (Flajolet et al. 2007) and the one every
+    // warehouse actually ships for COUNT(DISTINCT): 256 six-bit
+    // registers per stratum versus KMV's 64 hashes. It earns its seat
+    // here by completing the MERGE ALGEBRA the store families
+    // demonstrate: registers merge by MAX — idempotent like Bloom's OR
+    // (replays are absorbed BY VALUE), unlike count-min/bins' ADD and
+    // KMV's union-k-min. Exactness discipline: the harmonic mean the
+    // paper writes as Σ2^(−M_j) is scaled by the common factor 2^53 so
+    // it is a BIGINT sum of power-of-two terms (empty registers
+    // contribute 2^53 each); α·m² enters as a fixed ppm constant and
+    // one HUGEINT/DECIMAL(38) division chain emits the estimate — no
+    // float ever appears in the HLL path, so both engines agree
+    // bit-for-bit. The small-range linear-counting correction
+    // (m·ln(m/V), the paper's §4 regime switch below 5m/2) DOES need
+    // one libm ln() — it enters under the family's round(…,6)
+    // discipline and an integer floor, the same parity treatment as
+    // cosine. Both estimates are emitted with their error columns: the
+    // raw one makes the small-stratum bias VISIBLE, the corrected one
+    // shows the regime switch earning its keep — together they are the
+    // audit a sketch deployment graduates on.
+    "hll_distinct_users" -> QueryDef.sql(
+      HllUsersSql) { (s, d) =>
+      val regs = hllRegisters(
+        events(s, d).select(col("event_type").as("stratum"), col("user_id")))
+      hllReport(regs, hllExact(s, d)).orderBy("event_type")
+    },
+
+    // Stored twin: registers from the 19th store family (built once,
+    // maintained by MAX stream epochs — EventStream.maintainHll —
+    // compacted by re-MAXing). Same oracle as the live build: the
+    // store must resolve register-identical to a fresh build, so every
+    // downstream number is equal by construction. The exact audit leg
+    // still folds the event stream (the audit's job); the STORE's value
+    // is that estimate-serving never does — see hll_serve.
+    "hll_distinct_stored" -> QueryDef.sql(HllUsersSql) { (s, d) =>
+      hllReport(SignatureStore.ensureHll(s, d), hllExact(s, d))
+        .orderBy("event_type")
+    },
+
+    // The SERVING face: per-stratum distinct-user estimates from the
+    // ≤256-row-per-stratum register store ALONE — zero event bytes in
+    // the final plan (PlanAssertSpec pins it). This is what the sketch
+    // buys at 100 TB: COUNT(DISTINCT user) per type costs a
+    // constant-size artifact read, not an event-stream pass — and
+    // because registers MAX-merge, the same store answers any stratum
+    // union by re-MAXing served rows. Oracle replays the registers from
+    // events (that's DuckDB's job, not the plan's).
+    "hll_serve" -> QueryDef.sql(
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, h % $HllM AS idx,
+         |    max(CASE WHEN h // $HllM = 0 THEN 53
+         |             ELSE 53 - length(bin(h // $HllM)) END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type,
+         |    CAST(sum(1::BIGINT << (53 - m))
+         |      + ($HllM - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n_regs
+         |  FROM b GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, n_regs,
+         |    CAST((CAST($HllAlphaPpm AS HUGEINT) * ${HllM * HllM} * 9007199254740992)
+         |      // s // 1000000 AS BIGINT) AS n_est
+         |  FROM s)
+         |SELECT event_type, n_regs, n_est,
+         |  CASE WHEN n_regs < $HllM AND n_est <= ${5 * HllM / 2}
+         |       THEN CAST(floor($HllM * round(ln(CAST($HllM AS DOUBLE)
+         |         / ($HllM - n_regs)), 6)) AS BIGINT)
+         |       ELSE n_est END AS n_est_lc
+         |FROM est ORDER BY event_type""".stripMargin) { (s, d) =>
+      SignatureStore.ensureHll(s, d)
+        .groupBy(col("stratum").as("event_type"))
+        .agg((sum(expr("shiftleft(1L, cast(53 - m as int))"))
+            + (lit(HllM.toLong) - count(lit(1))) * lit(1L << 53)).as("s"),
+          count(lit(1)).as("n_regs"))
+        .select(col("event_type"), col("n_regs"), hllEstExpr("s").as("n_est"))
+        .withColumn("n_est_lc", hllLcExpr)
+        .orderBy("event_type")
+    },
+
+    // ----- HLL mergeability: the MAX law, materialized and checked -----
+    // Same discipline as `kmv_merge_shingles` and
+    // `count_min_merge_sources`: the law that makes the sketch worth
+    // 100 TB — per-stratum register tables MAX-merged must equal the
+    // registers built directly from the global stream — is PROVEN by
+    // materializing both sides and comparing register-for-register
+    // (n_reg_diffs = 0), not assumed from algebra. The two estimates
+    // ride along; they are equal BECAUSE the registers are.
+    "hll_merge_sources" -> QueryDef.sql(
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, h % $HllM AS idx,
+         |    max(CASE WHEN h // $HllM = 0 THEN 53
+         |             ELSE 53 - length(bin(h // $HllM)) END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |merged AS (SELECT idx, max(m) AS m FROM b GROUP BY idx),
+         |hg AS (SELECT DISTINCT h FROM h),
+         |direct AS (
+         |  SELECT h % $HllM AS idx,
+         |    max(CASE WHEN h // $HllM = 0 THEN 53
+         |             ELSE 53 - length(bin(h // $HllM)) END) AS m
+         |  FROM hg GROUP BY 1),
+         |diffs AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_reg_diffs FROM (
+         |    SELECT idx, m FROM merged EXCEPT SELECT idx, m FROM direct)),
+         |sm AS (SELECT CAST(sum(1::BIGINT << (53 - m))
+         |         + ($HllM - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s FROM merged),
+         |sd AS (SELECT CAST(sum(1::BIGINT << (53 - m))
+         |         + ($HllM - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s FROM direct)
+         |SELECT
+         |  CAST((CAST($HllAlphaPpm AS HUGEINT) * ${HllM * HllM} * 9007199254740992)
+         |    // sm.s // 1000000 AS BIGINT) AS merged_est,
+         |  CAST((CAST($HllAlphaPpm AS HUGEINT) * ${HllM * HllM} * 9007199254740992)
+         |    // sd.s // 1000000 AS BIGINT) AS direct_est,
+         |  d.n_reg_diffs,
+         |  CAST(CASE WHEN sm.s = sd.s AND d.n_reg_diffs = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS merge_exact
+         |FROM sm, sd, diffs d""".stripMargin) { (s, d) =>
+      val perType = hllRegisters(
+        events(s, d).select(col("event_type").as("stratum"), col("user_id")))
+      val merged = perType.groupBy("idx").agg(max(col("m")).as("m"))
+      val direct = hllRegisters(
+        events(s, d).select(lit("all").as("stratum"), col("user_id")))
+        .select("idx", "m")
+      val diffs = merged.select("idx", "m").exceptAll(direct)
+        .agg(count(lit(1)).as("n_reg_diffs"))
+      def sOf(r: org.apache.spark.sql.DataFrame, nm: String) =
+        r.agg((sum(expr("shiftleft(1L, cast(53 - m as int))"))
+          + (lit(HllM.toLong) - count(lit(1))) * lit(1L << 53)).as(nm))
+      val estExpr = (sCol: String) =>
+        expr(s"CAST((CAST($HllAlphaPpm AS DECIMAL(38,0)) * ${HllM * HllM} " +
+          s"* 9007199254740992) div $sCol div 1000000 AS BIGINT)")
+      sOf(merged, "sm").crossJoin(sOf(direct, "sd")).crossJoin(diffs)
+        .select(estExpr("sm").as("merged_est"), estExpr("sd").as("direct_est"),
+          col("n_reg_diffs"),
+          when(col("sm") === col("sd") && col("n_reg_diffs") === 0, 1L)
+            .otherwise(0L).as("merge_exact"))
+    },
   )
+
+  /** HLL registers per stratum: (stratum, idx, m) from a (stratum, user_id)
+    * input — the build kernel the live query, the store, and every stream
+    * epoch share. 256 registers (p=8) over the 60-bit md5-prefix hash;
+    * m ∈ [1, 53] is the 1-based leading-zero rank of the upper 52 bits. */
+  val HllM = 256
+  val HllAlphaPpm = 718273L // 0.7213/(1 + 1.079/256), fixed at ppm
+
+  def hllHashes(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    in.select(col("stratum"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+
+  def hllRegisters(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hllHashes(in)
+      .groupBy(col("stratum"), pmod(col("h"), lit(HllM)).as("idx"))
+      .agg(max(expr(s"CASE WHEN h div $HllM = 0 THEN 53 " +
+        s"ELSE 53 - length(bin(h div $HllM)) END")).as("m"))
+
+  /** Exact distinct-user audit leg per event type. */
+  def hllExact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    hllHashes(events(s, d).select(col("event_type").as("stratum"), col("user_id")))
+      .groupBy(col("stratum").as("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+
+  /** The estimate/audit report from a (stratum, idx, m) register table
+    * plus an (event_type, n_exact) audit leg — shared by the live and
+    * stored faces so they stay bit-identical. */
+  def hllReport(regs: org.apache.spark.sql.DataFrame,
+      ex: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sAgg = regs.groupBy(col("stratum").as("event_type"))
+      .agg((sum(expr("shiftleft(1L, cast(53 - m as int))"))
+          + (lit(HllM.toLong) - count(lit(1))) * lit(1L << 53)).as("s"),
+        count(lit(1)).as("n_regs"))
+    ex.join(sAgg, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_regs"),
+        hllEstExpr("s").as("n_est"))
+      .withColumn("n_est_lc", hllLcExpr)
+      .withColumn("err_ppm",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(n_est - n_exact)) " +
+          "div n_exact AS BIGINT)"))
+      .withColumn("err_lc_ppm",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(n_est_lc - n_exact)) " +
+          "div n_exact AS BIGINT)"))
+  }
+
+  /** The α·m²·2⁵³ // S // 1e6 estimate over a BIGINT column `sCol`. */
+  def hllEstExpr(sCol: String): org.apache.spark.sql.Column =
+    expr(s"CAST((CAST($HllAlphaPpm AS DECIMAL(38,0)) * ${HllM * HllM} " +
+      s"* 9007199254740992) div $sCol div 1000000 AS BIGINT)")
+
+  /** Linear-counting regime switch (requires n_regs and n_est bound). */
+  def hllLcExpr: org.apache.spark.sql.Column =
+    expr(s"CASE WHEN n_regs < $HllM AND n_est <= ${5 * HllM / 2} " +
+      s"THEN CAST(floor($HllM * round(ln(CAST($HllM AS DOUBLE) " +
+      s"/ ($HllM - n_regs)), 6)) AS BIGINT) ELSE n_est END")
+
+  /** Shared oracle of the live and stored HLL audit faces. */
+  private lazy val HllUsersSql: String =
+    s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, h % $HllM AS idx,
+         |    max(CASE WHEN h // $HllM = 0 THEN 53
+         |             ELSE 53 - length(bin(h // $HllM)) END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type,
+         |    CAST(sum(1::BIGINT << (53 - m))
+         |      + ($HllM - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n_regs
+         |  FROM b GROUP BY 1),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY 1),
+         |est AS (
+         |  SELECT e.event_type, e.n_exact, s.n_regs,
+         |    CAST((CAST($HllAlphaPpm AS HUGEINT) * ${HllM * HllM} * 9007199254740992)
+         |      // s.s // 1000000 AS BIGINT) AS n_est
+         |  FROM ex e JOIN s ON s.event_type = e.event_type),
+         |lc AS (
+         |  SELECT event_type, n_exact, n_regs, n_est,
+         |    CASE WHEN n_regs < $HllM AND n_est <= ${5 * HllM / 2}
+         |         THEN CAST(floor($HllM * round(ln(CAST($HllM AS DOUBLE)
+         |           / ($HllM - n_regs)), 6)) AS BIGINT)
+         |         ELSE n_est END AS n_est_lc
+         |  FROM est)
+         |SELECT event_type, n_exact, n_regs, n_est, n_est_lc,
+         |  CAST((CAST(1000000 AS HUGEINT) * abs(n_est - n_exact)) // n_exact AS BIGINT)
+         |    AS err_ppm,
+         |  CAST((CAST(1000000 AS HUGEINT) * abs(n_est_lc - n_exact)) // n_exact AS BIGINT)
+         |    AS err_lc_ppm
+         |FROM lc ORDER BY event_type""".stripMargin
 
   /** Oracle for `column_stats_profile` — same four column legs. */
   private lazy val ColumnStatsSql: String = {

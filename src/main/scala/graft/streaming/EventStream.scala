@@ -308,6 +308,30 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamCountMinDir(storeBase))
     }
 
+  /** Incremental HLL register maintenance — the MAX member of the store
+    * layer: each micro-batch of (user_id, event_type, …) events folds
+    * its own 256-register table per event type (the same
+    * [[graft.operators.SketchQueries.hllRegisters]] builder the batch
+    * store uses) and appends it batch_id-keyed; the read side
+    * ([[graft.operators.SignatureStore.readHll]]) resolves with
+    * `max(m)` per (stratum, idx). Like Bloom's OR — and unlike
+    * count-min/bins' ADD — MAX is idempotent by VALUE: replaying an
+    * epoch or re-ingesting the same users leaves every register where
+    * it was, so the distinct-count contract survives any merge order
+    * and any at-least-once delivery. Registers only ever climb. */
+  def maintainHll(events: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchQueries.hllRegisters(
+            batch.select(col("event_type").as("stratum"), col("user_id")))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(graft.operators.SignatureStore.streamHllDir(storeBase))
+    }
+
   /** Incremental Bloom-gate maintenance — the IDEMPOTENT member of the
     * store layer: each micro-batch of newly-published eval documents
     * (doc_id, text) folds its 12-gram shingle hashes into ≤128 Bloom

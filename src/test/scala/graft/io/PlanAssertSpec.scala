@@ -755,6 +755,18 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() == 5)
   }
 
+  test("hll_serve reads the register store only — zero event bytes in the plan") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.operators.SignatureStore.ensureHll(spark, sfDir).count() // build once
+    val q = graft.operators.SketchQueries.defs("hll_serve").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      s"serving distinct counts from the registers must never scan events:\n$plan")
+    assert(plan.contains("hll"),
+      s"expected the register-store read in the plan:\n$plan")
+    assert(q.count() == 5)
+  }
+
   test("quantile_bins_serve reads the bin store only — zero corpus bytes in the plan") {
     val sfDir = "/root/testdata/sf0.001"
     graft.operators.SignatureStore.ensureQuantileBins(spark, sfDir).count() // build once

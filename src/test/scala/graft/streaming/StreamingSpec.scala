@@ -627,6 +627,59 @@ class StreamingSpec extends SparkFunSuite {
       == words(SketchQueries.bloomOf(withPostSeal)))
   }
 
+  test("hll store: stream epochs MAX registers, replays are value-idempotent, compaction seals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SignatureStore, SketchQueries}
+    def strat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type").as("stratum"), col("user_id"))
+    def regs(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Int] =
+      df.collect().map(r => (r.getAs[String]("stratum"),
+        r.getAs[Number]("idx").longValue) -> r.getAs[Number]("m").intValue).toMap
+    val base = tmpDir("hll")
+    val batchEv = Seq((1L, "click"), (2L, "click"), (3L, "view"), (4L, "view"))
+      .toDF("user_id", "event_type")
+    SketchQueries.hllRegisters(strat(batchEv))
+      .write.parquet(SignatureStore.hllDir(base))
+    val afterBatch = regs(SignatureStore.readHll(spark, base))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainHll(
+      input.toDF().toDF("user_id", "event_type"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((5L, "click"))
+      query.processAllAvailable()
+      val afterNew = regs(SignatureStore.readHll(spark, base))
+      // registers only ever climb
+      assert(afterBatch.forall { case (k, m) => afterNew.getOrElse(k, 0) >= m })
+      input.addData((1L, "click")) // replayed user
+      query.processAllAvailable()
+      // value-idempotence: the replayed user moved no register
+      assert(regs(SignatureStore.readHll(spark, base)) == afterNew)
+    } finally query.stop()
+    // resolved registers equal a from-scratch build over all events
+    val allEv = batchEv.union(Seq((5L, "click"), (1L, "click"))
+      .toDF("user_id", "event_type"))
+    val want = regs(SketchQueries.hllRegisters(strat(allEv)))
+    assert(regs(SignatureStore.readHll(spark, base)) == want)
+    SignatureStore.compactHll(spark, base)
+    assert(regs(SignatureStore.readHll(spark, base)) == want,
+      "compaction must not change the served registers")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamHllDir(base))))
+    // the sealed store keeps taking appends; MAX keeps resolving
+    val input2 = MemoryStream[(Long, String)]
+    val query2 = EventStream.maintainHll(
+      input2.toDF().toDF("user_id", "event_type"), base)
+      .option("checkpointLocation", s"$base/_ckpt2").start()
+    try {
+      input2.addData((6L, "view"))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val withPost = allEv.union(Seq((6L, "view")).toDF("user_id", "event_type"))
+    assert(regs(SignatureStore.readHll(spark, base))
+      == regs(SketchQueries.hllRegisters(strat(withPost))))
+  }
+
   test("quantile-bin store: stream epochs ADD per-source bins, compaction seals") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{SignatureStore, SketchQueries}
