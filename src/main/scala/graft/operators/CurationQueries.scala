@@ -1974,5 +1974,110 @@ object CurationQueries {
                  |  div (n * n - ((a + b) * (a + c) + (c + d) * (b + d))) AS BIGINT)""".stripMargin)
             .as("kappa_ppm"))
     },
+
+    // ----- Fellegi–Sunter linkage: the agreement-pattern weight table -----
+    // Probabilistic record linkage (Fellegi & Sunter, JASA 1969) over
+    // the LSH-blocked candidate pairs: each pair's (lang, source,
+    // length-band) agreement pattern gets the likelihood ratio
+    // Π_i m_i/u_i (agree) · (1−m_i)/(1−u_i) (disagree) — the score that
+    // decides link / possible / non-link. The m-probabilities are
+    // estimated from the candidate set itself (the blocked pairs are
+    // the tentative-match sample — the standard bootstrap before EM);
+    // the u-probabilities are the random-agreement rates Σf_v²/N², pure
+    // value-concentration counts. Exactness: every m and u is a ratio
+    // of BIGINT counts; each factor is materialized in ppm with one //,
+    // and the pattern score is the HUGEINT/DECIMAL product of the three
+    // factors re-scaled — logs (the textbook spelling) never execute,
+    // so the oracle matches bit-for-bit. Output is the 2³-pattern
+    // weight table with pair counts — constant cardinality.
+    // Scale shape: blocking IS the LSH band store (never all-pairs);
+    // the m/u scalars are one aggregate each over bounded tables; the
+    // pattern fold is a 3-bit hash aggregate over candidate pairs.
+    "linkage_fs_patterns" -> QueryDef.sql(
+      s"""WITH ${MinhashBandsCte},
+         |pairs AS ($BandedPairsSelect),
+         |dd AS (SELECT doc_id, lang, source, n_chars // 100 AS band FROM documents),
+         |fl AS (
+         |  SELECT CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS agree_lang,
+         |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS agree_source,
+         |    CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS agree_band
+         |  FROM pairs p JOIN dd a ON a.doc_id = p.doc_a JOIN dd b ON b.doc_id = p.doc_b),
+         |mm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nm,
+         |    CAST(sum(agree_lang) AS BIGINT) AS am1,
+         |    CAST(sum(agree_source) AS BIGINT) AS am2,
+         |    CAST(sum(agree_band) AS BIGINT) AS am3
+         |  FROM fl),
+         |uu AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM dd) AS nn,
+         |    (SELECT CAST(sum(n * n) AS BIGINT) FROM
+         |      (SELECT count(*) AS n FROM dd GROUP BY lang)) AS au1,
+         |    (SELECT CAST(sum(n * n) AS BIGINT) FROM
+         |      (SELECT count(*) AS n FROM dd GROUP BY source)) AS au2,
+         |    (SELECT CAST(sum(n * n) AS BIGINT) FROM
+         |      (SELECT count(*) AS n FROM dd GROUP BY band)) AS au3),
+         |sc AS (
+         |  SELECT nm,
+         |    CAST((1000000 * am1 * nn * nn) // (nm * au1) AS BIGINT) AS r1,
+         |    CAST((1000000 * am2 * nn * nn) // (nm * au2) AS BIGINT) AS r2,
+         |    CAST((1000000 * am3 * nn * nn) // (nm * au3) AS BIGINT) AS r3,
+         |    CAST((1000000 * (nm - am1) * nn * nn) // (nm * (nn * nn - au1)) AS BIGINT) AS rb1,
+         |    CAST((1000000 * (nm - am2) * nn * nn) // (nm * (nn * nn - au2)) AS BIGINT) AS rb2,
+         |    CAST((1000000 * (nm - am3) * nn * nn) // (nm * (nn * nn - au3)) AS BIGINT) AS rb3
+         |  FROM mm CROSS JOIN uu),
+         |pat AS (
+         |  SELECT agree_lang, agree_source, agree_band,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM fl GROUP BY 1, 2, 3)
+         |SELECT CAST(p.agree_lang AS BIGINT) AS agree_lang,
+         |  CAST(p.agree_source AS BIGINT) AS agree_source,
+         |  CAST(p.agree_band AS BIGINT) AS agree_band, p.n_pairs,
+         |  CAST((CAST(CASE WHEN p.agree_lang = 1 THEN s.r1 ELSE s.rb1 END AS HUGEINT)
+         |    * (CASE WHEN p.agree_source = 1 THEN s.r2 ELSE s.rb2 END)
+         |    * (CASE WHEN p.agree_band = 1 THEN s.r3 ELSE s.rb3 END))
+         |    // 1000000000000 AS BIGINT) AS score_ppm
+         |FROM pat p CROSS JOIN sc s
+         |ORDER BY agree_lang, agree_source, agree_band""".stripMargin) { (s, d) =>
+      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val dd = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 100").as("band"))
+        .localCheckpoint()
+      val fl = pairs
+        .join(dd.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+          col("source").as("sa"), col("band").as("ba")), Seq("doc_a"))
+        .join(dd.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+          col("source").as("sb"), col("band").as("bb")), Seq("doc_b"))
+        .select(
+          when(col("la") === col("lb"), 1L).otherwise(0L).as("agree_lang"),
+          when(col("sa") === col("sb"), 1L).otherwise(0L).as("agree_source"),
+          when(col("ba") === col("bb"), 1L).otherwise(0L).as("agree_band"))
+        .localCheckpoint()
+      val mm = fl.agg(count(lit(1)).as("nm"), sum("agree_lang").as("am1"),
+        sum("agree_source").as("am2"), sum("agree_band").as("am3"))
+      def auOf(field: String, out: String) =
+        dd.groupBy(field).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).as(out))
+      val uu = dd.agg(count(lit(1)).as("nn"))
+        .crossJoin(auOf("lang", "au1")).crossJoin(auOf("source", "au2"))
+        .crossJoin(auOf("band", "au3"))
+      val sc = mm.crossJoin(uu).select(col("nm"),
+        expr("CAST((1000000L * am1 * nn * nn) div (nm * au1) AS BIGINT)").as("r1"),
+        expr("CAST((1000000L * am2 * nn * nn) div (nm * au2) AS BIGINT)").as("r2"),
+        expr("CAST((1000000L * am3 * nn * nn) div (nm * au3) AS BIGINT)").as("r3"),
+        expr("CAST((1000000L * (nm - am1) * nn * nn) div (nm * (nn * nn - au1)) AS BIGINT)").as("rb1"),
+        expr("CAST((1000000L * (nm - am2) * nn * nn) div (nm * (nn * nn - au2)) AS BIGINT)").as("rb2"),
+        expr("CAST((1000000L * (nm - am3) * nn * nn) div (nm * (nn * nn - au3)) AS BIGINT)").as("rb3"))
+      fl.groupBy("agree_lang", "agree_source", "agree_band")
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(sc))
+        .select(col("agree_lang"), col("agree_source"), col("agree_band"),
+          col("n_pairs"),
+          expr("""CAST((CAST(CASE WHEN agree_lang = 1 THEN r1 ELSE rb1 END AS DECIMAL(38,0))
+                 |  * (CASE WHEN agree_source = 1 THEN r2 ELSE rb2 END)
+                 |  * (CASE WHEN agree_band = 1 THEN r3 ELSE rb3 END))
+                 |  div 1000000000000L AS BIGINT)""".stripMargin).as("score_ppm"))
+        .orderBy("agree_lang", "agree_source", "agree_band")
+    },
   )
 }

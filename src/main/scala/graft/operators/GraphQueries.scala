@@ -186,7 +186,77 @@ object GraphQueries {
       val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
       kcoreStats(pairs).orderBy("doc_id")
     },
+
+    // ----- Personalized PageRank from a seed set (Haveliwala 2002) -----
+    // The SERVING shape of graph centrality: global PageRank ranks the
+    // whole corpus once; personalized PageRank answers "what is related
+    // to THESE docs" — teleport mass returns only to the seed set, so
+    // rank concentrates in the seeds' neighborhood and decays with
+    // graph distance. On the dup-candidate graph this is the
+    // provenance probe: seed the docs of one suspect batch and the
+    // stationary mass ranks everything that shares duplication
+    // ancestry with them, direct or transitive. Same exact
+    // scaled-integer discipline as `dup_graph_pagerank` (floored
+    // per-edge contributions, damping 85/100, three unrolled rounds —
+    // both engines replay identically); the restart mass enters as a
+    // UNION ALL leg of the same per-round fold, so each iteration is
+    // still ONE hash aggregate. Scale shape: edges pinned once
+    // (partitioned on the contribution key); each round shuffles only
+    // the REACHED-node rank table, which starts seed-sized and grows
+    // one hop per round — strictly cheaper than the global walk.
+    "ppr_related_docs" -> QueryDef.sql(PprOracleSql) { (s, d) =>
+      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .repartition(col("a"))
+        .localCheckpoint()
+      val deg = edges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      val seeds = deg.filter(col("a") < PprSeedMax).select("a").localCheckpoint(true)
+      val nRow = seeds.agg(count(lit(1)).as("n"))
+      var p = seeds.crossJoin(broadcast(nRow))
+        .select(col("a").as("v"), expr("1000000000000L div n").as("p"))
+        .localCheckpoint(true)
+      val restart = seeds.crossJoin(broadcast(nRow))
+        .select(col("a").as("v"), expr("150000000000L div n").as("x"))
+        .localCheckpoint(true)
+      for (_ <- 1 to Iters) {
+        p = edges.join(p, edges("a") === p("v")).join(deg, Seq("a"))
+          .select(col("b").as("v"), expr("((85 * p) div 100) div deg").as("x"))
+          .unionByName(restart)
+          .groupBy("v").agg(sum("x").as("p"))
+          .localCheckpoint(true)
+      }
+      p.filter(col("p") > 0)
+        .select(col("v").as("doc_id"), col("p").as("ppr_x1e12"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** Seed set for `ppr_related_docs`: graph nodes with doc_id below this. */
+  val PprSeedMax = 50
+
+  private lazy val PprOracleSql: String = {
+    val iters = (1 to Iters).map { k =>
+      s"""p$k AS (
+         |  SELECT v, CAST(sum(x) AS BIGINT) AS p FROM (
+         |    SELECT e.b AS v, ((85 * p.p) // 100) // d.deg AS x
+         |    FROM edges e JOIN p${k - 1} p ON p.v = e.a JOIN deg d ON d.a = e.a
+         |    UNION ALL
+         |    SELECT s.a AS v, 150000000000 // ns.n AS x FROM seeds s CROSS JOIN ns)
+         |  GROUP BY v)""".stripMargin
+    }
+    s"""WITH ${TextQueries.MinhashBandsCte},
+       |pairs AS (${TextQueries.BandedPairsSelect}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+       |seeds AS (SELECT a FROM deg WHERE a < $PprSeedMax),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+       |p0 AS (SELECT a AS v, 1000000000000 // n AS p FROM seeds CROSS JOIN ns),
+       |${iters.mkString(",\n")}
+       |SELECT v AS doc_id, p AS ppr_x1e12 FROM p$Iters
+       |WHERE p > 0 ORDER BY doc_id""".stripMargin
+  }
 
   /** Synchronous k-core peel over an oriented distinct (doc_a < doc_b)
     * pair table; exposed for the fixpoint/planted-graph spec. Returns
