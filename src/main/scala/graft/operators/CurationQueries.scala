@@ -1975,6 +1975,86 @@ object CurationQueries {
             .as("kappa_ppm"))
     },
 
+    // ----- Stupid Backoff bigram LM scoring (Brants et al., EMNLP 2007) -----
+    // The LM-quality ladder's second rung: text_lm_score buckets tokens
+    // by unigram frequency; this scores each held-out document under a
+    // BIGRAM model with the backoff large-scale LMs actually shipped —
+    // score(w|w₋₁) = count(w₋₁w)/count(w₋₁) when the bigram was seen in
+    // training, else α·count(w)/N with α = 0.4 (no normalization — the
+    // paper's point is that at corpus scale the unnormalized ratio
+    // ranks as well as Kneser-Ney at a fraction of the cost). Train =
+    // the 90% doc split, score = the held-out 10%, so backoff REALLY
+    // fires (same-corpus scoring would find every bigram). α = 0.4
+    // enters as the exact rational 400000/1e6 — one integer // per
+    // token, never a float. Scale shape: the model tables are
+    // vocabulary-/bigram-cardinality (Heaps-sublinear) equi-join sides
+    // keyed on the token strings — shuffle joins by design (a bigram
+    // table outgrows broadcast long before 100 TB); the scored stream
+    // is held-out-sized; one (doc_id) fold ends it.
+    "text_lm_backoff" -> QueryDef.sql(
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |ttoks AS (SELECT unnest(tk) AS t FROM tk WHERE doc_id % 10 <> 0),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ttoks GROUP BY t),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ttoks),
+        |tbg AS (
+        |  SELECT unnest([tk[i-1] || ' ' || tk[i] for i in generate_series(2, len(tk))]) AS b
+        |  FROM tk WHERE doc_id % 10 <> 0 AND len(tk) >= 2),
+        |bgc AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM tbg GROUP BY b),
+        |sg AS (
+        |  SELECT doc_id,
+        |    unnest([tk[i-1] || ' ' || tk[i] for i in generate_series(2, len(tk))]) AS b
+        |  FROM tk WHERE doc_id % 10 = 0 AND len(tk) >= 2),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    CASE WHEN c.n IS NOT NULL THEN (1000000 * c.n) // up.n
+        |         ELSE (400000 * coalesce(uc.n, 0)) // nn.n END AS p_ppm,
+        |    CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS backed
+        |  FROM sg g
+        |  LEFT JOIN bgc c ON c.b = g.b
+        |  LEFT JOIN uni up ON up.t = split_part(g.b, ' ', 1)
+        |  LEFT JOIN uni uc ON uc.t = split_part(g.b, ' ', 2)
+        |  CROSS JOIN nn)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm,
+        |  CAST((1000000 * sum(backed)) // count(*) AS BIGINT) AS backoff_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = TextQueries.spread(documents(s, d))
+        .select(col("doc_id"), expr(TextQueries.toksExpr).as("tk"))
+        .localCheckpoint()
+      val train = tk.filter(col("doc_id") % 10 =!= 0)
+      val ttoks = train.select(explode(col("tk")).as("t"))
+      val uni = ttoks.groupBy("t").agg(count(lit(1)).as("n"))
+      val nn = ttoks.agg(count(lit(1)).as("nt"))
+      def bigrams(in: org.apache.spark.sql.DataFrame) =
+        in.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(2, size(tk)), i -> " +
+              "concat(element_at(tk, i - 1), ' ', element_at(tk, i)))")).as("b"))
+      val bgc = bigrams(train).groupBy("b").agg(count(lit(1)).as("bn"))
+      val sg = bigrams(tk.filter(col("doc_id") % 10 === 0))
+      sg.join(bgc, Seq("b"), "left")
+        .join(uni.select(col("t"), col("n").as("upn")),
+          expr("t = split_part(b, ' ', 1)"), "left")
+        .drop("t")
+        .join(uni.select(col("t"), col("n").as("ucn")),
+          expr("t = split_part(b, ' ', 2)"), "left")
+        .drop("t")
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"),
+          expr("CASE WHEN bn IS NOT NULL THEN (1000000L * bn) div upn " +
+            "ELSE (400000L * coalesce(ucn, 0L)) div nt END").as("p_ppm"),
+          when(col("bn").isNull, 1L).otherwise(0L).as("backed"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("sp"),
+          sum("backed").as("sb"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("CAST(sp div n_bigrams AS BIGINT)").as("mean_p_ppm"),
+          expr("CAST((1000000L * sb) div n_bigrams AS BIGINT)").as("backoff_ppm"))
+        .orderBy("doc_id")
+    },
+
     // ----- Fellegi–Sunter linkage: the agreement-pattern weight table -----
     // Probabilistic record linkage (Fellegi & Sunter, JASA 1969) over
     // the LSH-blocked candidate pairs: each pair's (lang, source,

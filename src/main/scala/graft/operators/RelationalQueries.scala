@@ -2638,6 +2638,123 @@ object RelationalQueries {
         .orderBy("cid")
     },
 
+    // ----- J19: temporal fact-to-SCD2-dimension join -----
+    // The warehouse classic u5 builds toward: every fact row joins the
+    // dimension VERSION that was valid at its event time ("which state
+    // was this user in when they purchased"). The compositional point:
+    // a point-in-validity-interval join against an SCD2 dimension IS a
+    // backward as-of join on valid_from — intervals partition each
+    // user's timeline, so the latest valid_from ≤ t is exactly the
+    // containing interval, and the native [[graft.plans.AsofJoin]]
+    // executes it as one SMJ-shaped merge pass (no interval explode, no
+    // window over a unioned stream). The dimension is u5's change feed
+    // deduplicated to one change per (user, instant) — the uniqueness
+    // contract the as-of right side requires, enforced identically in
+    // both engines (max event_id wins the instant). Oracle: DuckDB's
+    // own ASOF LEFT JOIN against the same rebuilt dimension.
+    "j19_scd2_temporal_join" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ns, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, ns, event_id, event_type FROM e
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |chd AS (
+        |  SELECT user_id, ns, event_type FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY user_id, ns
+        |      ORDER BY event_id DESC) AS rn FROM ch) WHERE rn = 1),
+        |dim AS (
+        |  SELECT user_id, event_type AS state, ns AS vfrom,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ns) AS BIGINT) AS version
+        |  FROM chd),
+        |p AS (
+        |  SELECT event_id AS pur_id, user_id, epoch_ns(ts) AS pns
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.pur_id, d.state, d.version, p.pns - d.vfrom AS age_ns
+        |FROM p ASOF LEFT JOIN dim d
+        |  ON p.user_id = d.user_id AND p.pns >= d.vfrom
+        |ORDER BY pur_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      val ch = ev
+        .select(col("user_id"), col("ts_ns").as("ns"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val wNs = Window.partitionBy(col("user_id"), col("ns"))
+        .orderBy(col("event_id").desc)
+      val dim = ch.withColumn("rn", row_number().over(wNs)).filter(col("rn") === 1)
+        .select(col("user_id").as("r_user"), col("event_type").as("state"),
+          col("ns").as("vfrom"))
+        .withColumn("version",
+          row_number().over(Window.partitionBy(col("r_user")).orderBy(col("vfrom")))
+            .cast("long"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("ts_ns").as("pns"))
+      graft.plans.Asof.join(pur, dim,
+          leftKeys = Seq("user_id"), rightKeys = Seq("r_user"),
+          leftTimeCol = "pns", rightTimeCol = "vfrom")
+        .select(col("pur_id"), col("state"), col("version"),
+          (col("pns") - col("vfrom")).as("age_ns"))
+        .orderBy("pur_id")
+    },
+
+    // ----- J20: semi-join reduction via a Bloom pre-filter -----
+    // The other half of the distributed-join toolkit beside broadcast /
+    // bucketing / salting / AQE-skew: when the build side is too big to
+    // broadcast EXACTLY but its key set fits a few kilobits, shrink the
+    // probe side BEFORE its shuffle with a broadcast Bloom gate (the
+    // semi-join reduction of Bernstein & Chiu 1981; Spark's own runtime
+    // row-level filters inject the same shape). Here the gate is 1024
+    // bits (16 words, 2 salted hashes) built from the signup-user keys;
+    // fact rows that cannot match never enter the exchange, and the
+    // EXACT merge semi-join afterwards removes the false positives —
+    // so the Bloom leg is invisible to semantics (the oracle is the
+    // plain semi-join aggregate) and visible only in the plan:
+    // PlanAssertSpec pins the SMJ (the at-scale exact join, hinted so
+    // the fixture doesn't broadcast it away) with the two word-table
+    // broadcast joins feeding its probe side below the exchange.
+    "j20_bloom_semi_reduction" -> QueryDef.sql(
+      """WITH dim AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events WHERE user_id IN (SELECT user_id FROM dim)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id")).distinct().localCheckpoint()
+      def posOf(j: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(j.cast("string"), lit("#"),
+          c.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long"), lit(1024))
+      val words = dim
+        .select(explode(array(lit(0), lit(1))).as("j"), col("user_id"))
+        .select(posOf(col("j"), col("user_id")).as("p"))
+        .select((col("p") / 64).cast("long").as("w"), pmod(col("p"), lit(64)).as("bit"))
+        .groupBy("w").agg(expr("bit_or(shiftleft(1L, cast(bit as int)))").as("bits"))
+      def gate(in: org.apache.spark.sql.DataFrame, j: Int) = {
+        val p = posOf(lit(j), col("user_id"))
+        in.withColumn(s"p$j", p)
+          .withColumn(s"w$j", (col(s"p$j") / 64).cast("long"))
+          .withColumn(s"b$j", pmod(col(s"p$j"), lit(64)))
+          .join(broadcast(words.select(col("w").as(s"w$j"), col("bits").as(s"bits$j"))),
+            Seq(s"w$j"), "left")
+          .filter(col(s"bits$j").isNotNull &&
+            expr(s"(shiftright(bits$j, cast(b$j as int)) & 1) = 1"))
+          .drop(s"p$j", s"w$j", s"b$j", s"bits$j")
+      }
+      val prefiltered = gate(gate(
+        ev.select(col("user_id"), col("event_type"), col("value")), 0), 1)
+      prefiltered
+        .hint("merge")
+        .join(dim.withColumnRenamed("user_id", "dim_user").hint("merge"),
+          col("user_id") === col("dim_user"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    },
+
     // ----- A12: U-shaped (positional) multi-touch attribution -----
     // Completes the attribution trio: a9 credits the single previous
     // touch, a11 the last non-purchase touch — this splits each

@@ -755,6 +755,22 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.count() == 5)
   }
 
+  test("j20: Bloom gate broadcasts feed the probe below the exact merge join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.RelationalQueries.defs("j20_bloom_semi_reduction")
+      .build(spark, sfDir)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    // the exact semi join must stay shuffle-shaped (the at-scale form —
+    // a broadcast here would make the Bloom gate pointless)
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftSemi"),
+      s"exact semi join must be an SMJ:\n$plan")
+    // both salted word-table gates execute as broadcast joins (they are
+    // the pre-exchange reduction; 16 words, never a shuffle)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected two broadcast Bloom-word gates:\n$plan")
+  }
+
   test("hll_serve reads the register store only — zero event bytes in the plan") {
     val sfDir = "/root/testdata/sf0.001"
     graft.operators.SignatureStore.ensureHll(spark, sfDir).count() // build once
