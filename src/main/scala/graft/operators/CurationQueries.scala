@@ -1975,6 +1975,115 @@ object CurationQueries {
             .as("kappa_ppm"))
     },
 
+    // ----- Split-conformal calibration (Vovk; Angelopoulos & Bates 2022) -----
+    // The distribution-free coverage guarantee a filtering model ships
+    // with: on a calibration split, take the ⌈0.9(n+1)⌉-th smallest
+    // nonconformity score as the threshold; then P(test score ≤
+    // threshold) ≥ 90% holds with NO assumption on the score — the
+    // audit column verifies it empirically per language. The k-th order
+    // statistic is an exact integer selection (rank by (score, doc_id)
+    // — the tiebreak makes the threshold deterministic), ⌈·⌉ is the
+    // (9(n+1)+9)//10 integer form, and coverage is a counting ratio in
+    // ppm — nothing to round. Scores here are n_chars (any
+    // deterministic score conformalizes; the method is the point).
+    // Groups are language-bounded, so the rank windows are per-group
+    // and never a global sort; a q_idx beyond the calibration size
+    // clamps to the max score (finite-sample corner, documented).
+    "conformal_coverage" -> QueryDef.sql(
+      """WITH cal AS (
+        |  SELECT lang, n_chars AS score, doc_id FROM documents WHERE doc_id % 2 = 0),
+        |nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1),
+        |qi AS (
+        |  SELECT lang, n_cal, (9 * (n_cal + 1) + 9) // 10 AS q_idx FROM nc),
+        |rk AS (
+        |  SELECT lang, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn
+        |  FROM cal),
+        |th AS (
+        |  SELECT q.lang, q.n_cal, q.q_idx, r.score AS threshold
+        |  FROM qi q JOIN rk r ON r.lang = q.lang
+        |    AND r.rn = CASE WHEN q.q_idx > q.n_cal THEN q.n_cal ELSE q.q_idx END),
+        |tst AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_test FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |cov AS (
+        |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_cov
+        |  FROM documents d JOIN th ON th.lang = d.lang
+        |  WHERE d.doc_id % 2 = 1 AND d.n_chars <= th.threshold GROUP BY 1)
+        |SELECT t.lang, t.n_cal, t.q_idx, CAST(t.threshold AS BIGINT) AS threshold,
+        |  s.n_test,
+        |  CAST((1000000 * coalesce(c.n_cov, 0)) // s.n_test AS BIGINT) AS coverage_ppm
+        |FROM th t JOIN tst s ON s.lang = t.lang
+        |LEFT JOIN cov c ON c.lang = t.lang
+        |ORDER BY t.lang""".stripMargin) { (s, d) =>
+      val docs = documents(s, d).localCheckpoint()
+      val cal = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("lang"), col("n_chars").as("score"), col("doc_id"))
+      val qi = cal.groupBy("lang").agg(count(lit(1)).as("n_cal"))
+        .withColumn("q_idx", expr("(9L * (n_cal + 1) + 9) div 10"))
+      val rkW = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+      val rk = cal.withColumn("rn", row_number().over(rkW).cast("long"))
+      val th = qi.join(rk, Seq("lang"))
+        .filter(col("rn") === when(col("q_idx") > col("n_cal"), col("n_cal"))
+          .otherwise(col("q_idx")))
+        .select(col("lang"), col("n_cal"), col("q_idx"),
+          col("score").cast("long").as("threshold"))
+      val tst = docs.filter(col("doc_id") % 2 === 1)
+        .groupBy("lang").agg(count(lit(1)).as("n_test"))
+      val cov = docs.filter(col("doc_id") % 2 === 1)
+        .join(broadcast(th.select(col("lang"), col("threshold"))), Seq("lang"))
+        .filter(col("n_chars") <= col("threshold"))
+        .groupBy("lang").agg(count(lit(1)).as("n_cov"))
+      th.join(tst, Seq("lang")).join(cov, Seq("lang"), "left")
+        .select(col("lang"), col("n_cal"), col("q_idx"), col("threshold"),
+          col("n_test"),
+          expr("CAST((1000000L * coalesce(n_cov, 0L)) div n_test AS BIGINT)")
+            .as("coverage_ppm"))
+        .orderBy("lang")
+    },
+
+    // ----- Simpson diversity of the per-source token distribution -----
+    // The diversity audit beside the drift family: Simpson's λ =
+    // Σ n_t(n_t−1)/(N(N−1)) — the probability two tokens drawn without
+    // replacement from a source are the same type — is the
+    // concentration index that needs NO logarithm (Shannon does), so it
+    // is exact in ppm by construction. 1−λ is the diversity; its
+    // reciprocal is the Hill number of order 2 ("effective vocabulary
+    // size" — how many equally-common types would look this diverse),
+    // emitted in milli-units. A template-spam source scores high λ /
+    // low effective vocabulary long before exact dedup can prove
+    // anything. Plan: one token fold per (source, type)
+    // (vocabulary-cardinality), one per-source fold — both
+    // partial-combinable hash aggregates.
+    "source_diversity_simpson" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(n * (n - 1)) AS BIGINT) AS ss,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM c GROUP BY 1)
+        |SELECT source, nn AS n_tokens, n_types,
+        |  CAST((1000000 * ss) // (nn * (nn - 1)) AS BIGINT) AS lambda_ppm,
+        |  CAST(1000000 - (1000000 * ss) // (nn * (nn - 1)) AS BIGINT) AS diversity_ppm,
+        |  CAST((1000 * nn * (nn - 1)) // ss AS BIGINT) AS eff_types_milli
+        |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+      documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"), explode(expr(TextQueries.toksExpr)).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum("n").as("nn"), sum(expr("n * (n - 1)")).as("ss"),
+          count(lit(1)).as("n_types"))
+        .select(col("source"), col("nn").as("n_tokens"), col("n_types"),
+          expr("CAST((1000000L * ss) div (nn * (nn - 1)) AS BIGINT)").as("lambda_ppm"),
+          expr("CAST(1000000L - (1000000L * ss) div (nn * (nn - 1)) AS BIGINT)")
+            .as("diversity_ppm"),
+          expr("CAST((1000L * nn * (nn - 1)) div ss AS BIGINT)").as("eff_types_milli"))
+        .orderBy("source")
+    },
+
     // ----- Stupid Backoff bigram LM scoring (Brants et al., EMNLP 2007) -----
     // The LM-quality ladder's second rung: text_lm_score buckets tokens
     // by unigram frequency; this scores each held-out document under a

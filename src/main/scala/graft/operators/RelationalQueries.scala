@@ -2755,6 +2755,108 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // ----- A15: two-arm experiment readout (χ² independence test) -----
+    // The experimentation primitive: users split into arms by id parity
+    // (the deterministic stand-in for an assignment service), outcome =
+    // above-mean purchase count (every fixture user purchases at least
+    // once, so a ≥1-purchase outcome would be degenerate); the readout
+    // is the 2×2 χ² statistic — the square of the two-proportion
+    // z-score, so the same decision boundary (χ² > 3.84 ≈ p < .05
+    // two-sided) without the sqrt and normal CDF that would drag libm
+    // into the oracle: χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is a pure
+    // ratio of BIGINT products, emitted in micro-units via one
+    // DECIMAL/HUGEINT //; a degenerate margin NULLs the statistic via
+    // a CASE guard (undefined-χ² semantics) instead of erroring.
+    // Per-arm rates ride along in ppm. Plan: one per-user fold
+    // (partial-combinable), one broadcast mean, one 4-cell conditional
+    // sum, one row.
+    "a15_ab_chi_square" -> QueryDef.sql(
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM events GROUP BY 1, 2),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS nu, CAST(sum(np) AS BIGINT) AS tp FROM pu),
+        |u AS (
+        |  SELECT arm, CASE WHEN np * nu > tp THEN 1 ELSE 0 END AS conv
+        |  FROM pu CROSS JOIN mt),
+        |cm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u)
+        |SELECT n, a, b, c, d,
+        |  CAST((1000000 * a) // (a + b) AS BIGINT) AS rate_t_ppm,
+        |  CAST((1000000 * c) // (c + d) AS BIGINT) AS rate_c_ppm,
+        |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN NULL
+        |       ELSE CAST((CAST(1000000 AS HUGEINT) * n * (a * d - b * c) * (a * d - b * c))
+        |         // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)) AS BIGINT)
+        |  END AS chi2_micro
+        |FROM cm""".stripMargin) { (s, d) =>
+      val pu = events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      val mt = pu.agg(count(lit(1)).as("nu"), sum("np").as("tp"))
+      pu.crossJoin(broadcast(mt))
+        .select(col("arm"),
+          when(col("np") * col("nu") > col("tp"), 1L).otherwise(0L).as("conv"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+        .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+          expr("CAST((1000000L * a) div (a + b) AS BIGINT)").as("rate_t_ppm"),
+          expr("CAST((1000000L * c) div (c + d) AS BIGINT)").as("rate_c_ppm"),
+          expr("""CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN NULL
+                 |     ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * n * (a * d - b * c) * (a * d - b * c))
+                 |       div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)) AS BIGINT)
+                 |END""".stripMargin)
+            .as("chi2_micro"))
+    },
+
+    // ----- A16: Gini coefficient of per-user purchase value -----
+    // The inequality readout of the value distribution (q11 shows the
+    // top-k concentration; Gini summarizes the WHOLE curve): G =
+    // (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending per-user totals.
+    // Exactness: values enter as floor-micros BIGINTs summed per user,
+    // and the rank-weighted sum is DECIMAL/HUGEINT-widened (i·xᵢ
+    // reaches n·Σx ≈ 10²¹ at sf0.1 — past int64). The global ascending
+    // rank is the scale trap: a naive Window.orderBy funnels the corpus
+    // through ONE task, so the Spark side ranks via
+    // [[graft.util.Scale.globalRowNumber]] — range-partition + local
+    // rank + broadcast exclusive offsets, the same two-pass scaffold
+    // sample_weighted_systematic rides (the oracle keeps the textbook
+    // window; DuckDB is single-node anyway).
+    "a16_value_gini" -> QueryDef.sql(
+      """WITH u AS (
+        |  SELECT user_id, CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM u),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
+        |  FROM r)
+        |SELECT n, sx AS total_value_us,
+        |  CAST((CAST(1000000 AS HUGEINT) * (2 * six - (n + 1) * sx))
+        |    // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+        |FROM agg""".stripMargin) { (s, d) =>
+      val u = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * 1000000).cast("long")).as("x"))
+      val (ranked, _) = graft.util.Scale.globalRowNumber(
+        u, Seq(col("x"), col("user_id")), "i")
+      ranked
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("CAST(i AS DECIMAL(38,0)) * x")).as("six"))
+        .select(col("n"), col("sx").as("total_value_us"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (2 * six - (n + 1) * sx))
+                 |  div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)""".stripMargin)
+            .as("gini_ppm"))
+    },
+
     // ----- A12: U-shaped (positional) multi-touch attribution -----
     // Completes the attribution trio: a9 credits the single previous
     // touch, a11 the last non-purchase touch — this splits each
