@@ -580,6 +580,49 @@ object DriftQueries {
         .orderBy("gid", "event_type", "dow")
     },
 
+    // ----- A17: GROUPING SETS — the marginals-only slice set -----
+    // Completes the multi-grouping trio: a13 ROLLUP drills one
+    // hierarchy, a14 CUBE pays for every cross, and GROUPING SETS
+    // names EXACTLY the groupings wanted — here the two one-dimension
+    // marginals plus the grand total, WITHOUT the type×dow cross a
+    // dashboard of independent widgets never reads. That skipped cross
+    // is the scale point: Expand emits 3 replicas per row instead of
+    // CUBE's 4, and the partial aggregate's key space is the SUM of
+    // the marginal cardinalities, not their product — on a
+    // high-cardinality pair that product is the difference between a
+    // combinable map-side fold and a shuffle explosion. Same gid /
+    // NULL-disambiguation discipline as a13/a14.
+    "a17_grouping_sets" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    CAST(value AS DECIMAL(18,4)) AS val
+        |  FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |  CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+        |  CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(val) AS DOUBLE) AS total_value
+        |FROM ev GROUP BY GROUPING SETS ((event_type), (dow), ())
+        |ORDER BY gid, event_type, dow""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      events(s, d)
+        .select(col("event_type"),
+          expr(s"((($us) div 86400000000) + 4) % 7").as("dow"),
+          col("value").cast("decimal(18,4)").as("val"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("dow")), Seq.empty[org.apache.spark.sql.Column]),
+          col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("val")).cast("double").as("total_value"),
+          (grouping(col("event_type")) * 2 + grouping(col("dow")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("dow"), lit(-1L)).cast("long").as("dow"),
+          col("gid"), col("n_events"), col("total_value"))
+        .orderBy("gid", "event_type", "dow")
+    },
+
     // ----- churn training-set construction (point-in-time features) -----
     // The supervised-learning counterpart of the forecast baseline:
     // users active in the first half of the day range get features

@@ -2755,6 +2755,51 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // ----- O15: time-weighted average (TWAP) per user -----
+    // The metrics-correct mean for irregularly-sampled state: each
+    // event's value HOLDS until the next event, so the average must
+    // weight by holding time, not by sample count (the monitoring/
+    // finance TWAP; a plain avg() over-weights bursts). Exact integer
+    // form: the step-function integral Σ valueᵢ·Δnsᵢ over the user's
+    // span, value as floor-micros, divided once — the product reaches
+    // value_us·span_ns ≈ 10²⁴, so the integral accumulates in
+    // DECIMAL/HUGEINT and only the final quotient returns to BIGINT.
+    // The lead() rides the SAME user-keyed (ns, event_id) exchange
+    // every sessionize-family query shares; one fold per user ends it.
+    // Sub-µs ties order by event_id — both engines identically.
+    "o15_time_weighted_avg" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vus
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, vus, ns,
+        |    lead(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS nns
+        |  FROM t),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(vus AS HUGEINT) * (nns - ns)) AS HUGEINT) AS num,
+        |    CAST(sum(nns - ns) AS BIGINT) AS span_ns,
+        |    CAST(count(*) AS BIGINT) AS n_holds
+        |  FROM iv WHERE nns IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_holds, span_ns,
+        |  CAST(num // span_ns AS BIGINT) AS twap_value_us
+        |FROM agg ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_ns").as("ns"),
+          floor(col("value") * 1000000).cast("long").as("vus"))
+        .withColumn("nns", lead(col("ns"), 1).over(w))
+        .filter(col("nns").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(expr("CAST(vus AS DECIMAL(38,0)) * (nns - ns)")).as("num"),
+          sum(col("nns") - col("ns")).as("span_ns"),
+          count(lit(1)).as("n_holds"))
+        .select(col("user_id"), col("n_holds"), col("span_ns"),
+          expr("CAST(num div span_ns AS BIGINT)").as("twap_value_us"))
+        .orderBy("user_id")
+    },
+
     // ----- A15: two-arm experiment readout (χ² independence test) -----
     // The experimentation primitive: users split into arms by id parity
     // (the deterministic stand-in for an assignment service), outcome =

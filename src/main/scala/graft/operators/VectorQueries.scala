@@ -438,6 +438,29 @@ object VectorQueries {
   /** k-NN neighborhood size for `mine_bitext_margin`. */
   val BitextK = 4
 
+  private lazy val MatryoshkaSql: String = {
+    def tierCte(dim: Int) =
+      s"""t$dim AS (SELECT qid, cid FROM (
+         |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(list_cosine_similarity(q.qv[1:$dim], c.cv[1:$dim]), 6) DESC, c.cid) AS rn
+         |  FROM q, c WHERE c.cid <> q.qid) WHERE rn <= 10)""".stripMargin
+    def gradeCte(dim: Int) =
+      s"""r$dim AS (
+         |  SELECT CAST($dim AS BIGINT) AS dim,
+         |    CAST(count(DISTINCT b.qid) AS BIGINT) AS n_queries,
+         |    CAST(count(t.cid) AS BIGINT) AS sum_hits
+         |  FROM t64 b LEFT JOIN t$dim t ON t.qid = b.qid AND t.cid = b.cid)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 100),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+       |${Seq(16, 32, 64).map(tierCte).mkString(",\n")},
+       |${Seq(16, 32, 64).map(gradeCte).mkString(",\n")}
+       |SELECT dim, n_queries, sum_hits,
+       |  CAST((1000000 * sum_hits) // (10 * n_queries) AS BIGINT) AS recall_ppm
+       |FROM (SELECT * FROM r16 UNION ALL SELECT * FROM r32 UNION ALL SELECT * FROM r64)
+       |ORDER BY dim""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- embedding norm audit: log2 histogram of squared norms -----
@@ -1589,6 +1612,37 @@ object VectorQueries {
     // exactly what the stored IVF tier's shortlist replaces — this
     // exact form is the recall oracle that variant is graded against
     // (the ann_filtered_topk contract).
+    // ----- Matryoshka truncation recall (Kusupati et al., NeurIPS 2022) -----
+    // The dimension-budget eval for MRL-style embeddings: retrieve with
+    // only the first 16/32 components and grade against the full-64
+    // cosine top-10 ground truth. This is the measurement behind the
+    // "shortlist on a prefix, rerank on the full vector" deployment —
+    // the prefix tier reads a quarter of the float bytes per candidate
+    // (at 100 TB: a quarter of the scan), and this table says what
+    // recall that discount buys on THESE embeddings (the fixture
+    // vectors are not MRL-trained, so the measured decay is the honest
+    // no-free-lunch baseline an actually-nested checkpoint would beat).
+    // The 64-tier row grades the chain against itself (recall must be
+    // exactly 1e6 — a self-check riding in the artifact). Same brute
+    // chain/rounding discipline as ann_recall_report; counting join
+    // after; all-integer emissions.
+    "ann_matryoshka_recall" -> QueryDef.sql(MatryoshkaSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val truth = truncatedTop10(e, 64).localCheckpoint(true)
+      val tiers = Seq(16, 32, 64).map { dim =>
+        truth.as("b").join(truncatedTop10(e, dim).as("t"),
+            col("b.qid") === col("t.qid") && col("b.cid") === col("t.cid"),
+            "left")
+          .agg(countDistinct(col("b.qid")).as("n_queries"),
+            count(col("t.cid")).as("sum_hits"))
+          .select(lit(dim.toLong).as("dim"), col("n_queries"), col("sum_hits"),
+            expr("CAST((1000000L * sum_hits) div (10 * n_queries) AS BIGINT)")
+              .as("recall_ppm"))
+      }
+      tiers.reduce(_ unionByName _).orderBy("dim")
+    },
+
     "mine_bitext_margin" -> QueryDef.sql(BitextMarginSql) { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
       val xs = e.filter(col("label") % 2 === 0)
@@ -1598,6 +1652,22 @@ object VectorQueries {
       bitextMarginPairs(xs, ys).orderBy("xid")
     },
   )
+
+  /** Per-tier top-10 by cosine over the first `dim` embedding
+    * components, for the matryoshka recall grader. */
+  private def truncatedTop10(e: DataFrame, dim: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"),
+        expr(s"slice(embedding, 1, $dim)").as("qv"))
+    val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    e.select(col("vec_id").as("cid"), expr(s"slice(embedding, 1, $dim)").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
+      .withColumn("rn", row_number().over(topRn))
+      .filter(col("rn") <= 10)
+      .select("qid", "cid")
+  }
 
   /** Mutual-best margin pairs between an (xid, xv) and a (yid, yv) side
     * (Artetxe & Schwenk 2019, `ratio` variant); exposed for the planted
