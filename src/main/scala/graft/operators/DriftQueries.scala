@@ -623,6 +623,78 @@ object DriftQueries {
         .orderBy("gid", "event_type", "dow")
     },
 
+    // ----- A18: CUPED variance reduction (Deng et al., WSDM 2013) -----
+    // The experimentation companion of a15: before reading a test, a
+    // mature platform regresses the post-period metric on the
+    // pre-period covariate (Y′ = Y − θ(X − X̄)) and runs the test on
+    // the residual — same mean, variance shrunk by ρ², which is the
+    // sample-size multiplier CUPED is deployed for. This query emits
+    // the adjustment itself: θ and the variance-reduction fraction ρ²,
+    // both as exact ratios of the n²-scaled integer moments
+    // (nΣxy − ΣxΣy over nΣx² − (Σx)² — the type_comovement_matrix
+    // discipline, value in WHOLE currency units so cov² stays inside
+    // DECIMAL(38)). Pre/post split at the corpus's own mid-day, the
+    // fe_churn_labels point-in-time boundary. One per-user conditional
+    // fold, one 5-moment fold, one row — nothing corpus-scale after
+    // the first aggregate.
+    "a18_cuped_adjustment" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(floor(value) AS BIGINT) AS v,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND day <= mid THEN v ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND day > mid THEN v ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev CROSS JOIN mm GROUP BY user_id),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM u),
+        |sc AS (
+        |  SELECT n, sx, sy,
+        |    n * sxy - CAST(sx AS HUGEINT) * sy AS cov2,
+        |    n * sxx - CAST(sx AS HUGEINT) * sx AS varx2,
+        |    n * syy - CAST(sy AS HUGEINT) * sy AS vary2
+        |  FROM mo)
+        |SELECT n,
+        |  CAST(sx // n AS BIGINT) AS mean_x, CAST(sy // n AS BIGINT) AS mean_y,
+        |  CAST((1000000 * cov2) // varx2 AS BIGINT) AS theta_ppm,
+        |  CAST((1000000 * cov2 * cov2) // (varx2 * vary2) AS BIGINT) AS var_reduction_ppm
+        |FROM sc""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          floor(col("value")).cast("long").as("v"),
+          expr(s"(($us) div 86400000000)").as("day"))
+      val mm = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val u = ev.crossJoin(broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("day") <= col("mid"),
+            col("v")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" && col("day") > col("mid"),
+            col("v")).otherwise(0L)).as("y"))
+      u.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .select(col("n"), col("sx"), col("sy"),
+          expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("cov2"),
+          expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("varx2"),
+          expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("vary2"))
+        .select(col("n"),
+          expr("CAST(sx div n AS BIGINT)").as("mean_x"),
+          expr("CAST(sy div n AS BIGINT)").as("mean_y"),
+          expr("CAST((1000000L * cov2) div varx2 AS BIGINT)").as("theta_ppm"),
+          expr("CAST((1000000L * cov2 * cov2) div (varx2 * vary2) AS BIGINT)")
+            .as("var_reduction_ppm"))
+    },
+
     // ----- churn training-set construction (point-in-time features) -----
     // The supervised-learning counterpart of the forecast baseline:
     // users active in the first half of the day range get features

@@ -27,6 +27,16 @@ object RelationalQueries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Benford first-digit expectation, round(1e6·log10(1+1/d)) — the
+    * standard fixed table (sums to exactly 1e6), shared by the Spark
+    * side and the generated oracle VALUES list of `q23_benford_audit`. */
+  val BenfordPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L, 5L -> 79181L,
+    6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+
+  private def BenfordValuesSql: String =
+    BenfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+
   /** Per-event (e1, lead1, lead2) over each user's ns-ordered stream —
     * the ONE user-keyed window shuffle `o6_transitions` / `o7_top_paths`
     * share, and the input of the persisted transition store
@@ -2753,6 +2763,110 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .orderBy("event_type")
+    },
+
+    // ----- O16: Markov next-event predictor, graded out-of-period -----
+    // The eval face of the o6 transition matrix: train the top-1
+    // predictor (per source state, the most frequent next event) on
+    // the FIRST half of the day range, grade it on transitions whose
+    // leading event falls in the second half — the point-in-time
+    // split (fe_churn_labels discipline) that keeps the accuracy
+    // honest where in-sample grading flatters. Ties in the argmax go
+    // to the lexicographically smallest successor (max_by on
+    // (n, reversed dst) has no string negation, so the oracle and the
+    // Spark side both spell it as the rank-1 row of an (n DESC, dst)
+    // sort over the taxonomy-bounded count table). Accuracy is a
+    // counting ratio in ppm. Plan: both halves ride the ONE user-keyed
+    // lead() exchange; everything after is taxonomy-bounded.
+    "o16_markov_accuracy" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM t),
+        |p AS (
+        |  SELECT event_type AS src, day,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS dst
+        |  FROM t),
+        |tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        |       FROM p CROSS JOIN mm WHERE dst IS NOT NULL AND day <= mid
+        |       GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT src, dst AS pred_dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY n DESC, dst) AS rn FROM tr) WHERE rn = 1),
+        |ev AS (SELECT src, dst FROM p CROSS JOIN mm
+        |       WHERE dst IS NOT NULL AND day > mid)
+        |SELECT e.src, pr.pred_dst, CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN e.dst = pr.pred_dst THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST((1000000 * sum(CASE WHEN e.dst = pr.pred_dst THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS accuracy_ppm
+        |FROM ev e JOIN pred pr ON pr.src = e.src
+        |GROUP BY e.src, pr.pred_dst ORDER BY e.src""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val t = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_ns").as("ns"), expr(s"(($us) div 86400000000)").as("day"))
+      val mm = t.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      val p = t.withColumn("dst", lead(col("event_type"), 1).over(w))
+        .select(col("event_type").as("src"), col("day"), col("dst"))
+        .crossJoin(broadcast(mm))
+        .filter(col("dst").isNotNull)
+        .localCheckpoint()
+      val tr = p.filter(col("day") <= col("mid"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val predW = Window.partitionBy(col("src")).orderBy(col("n").desc, col("dst"))
+      val pred = tr.withColumn("rn", row_number().over(predW))
+        .filter(col("rn") === 1).select(col("src"), col("dst").as("pred_dst"))
+      p.filter(col("day") > col("mid"))
+        .join(broadcast(pred), Seq("src"))
+        .groupBy("src", "pred_dst")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("dst") === col("pred_dst"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("src"), col("pred_dst"), col("n_eval"), col("n_correct"),
+          expr("CAST((1000000L * n_correct) div n_eval AS BIGINT)").as("accuracy_ppm"))
+        .orderBy("src")
+    },
+
+    // ----- Q23: Benford first-digit audit over extended prices -----
+    // The forensic-analytics screen (Benford 1938; Nigrini's audit
+    // practice): naturally-occurring multiplicative amounts put ~30.1%
+    // of first digits at 1, and fabricated or clamped data does not.
+    // The expected distribution log10(1+1/d) enters as the standard
+    // fixed ppm table (compile-time constants — no runtime log), the
+    // observed side is a counting fold over the first digit of the
+    // integer part, and the deviation column is |obs−exp| per digit in
+    // ppm. One scan, a 9-row output. (TPC-H prices are uniform-ish, so
+    // the audit should FLAG them — the deviation column is the point.)
+    "q23_benford_audit" -> QueryDef.sql(
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM lineitem WHERE l_extendedprice >= 1),
+         |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM o),
+         |e AS (SELECT CAST(digit AS BIGINT) AS digit, exp_ppm
+         |      FROM (VALUES $BenfordValuesSql) AS v(digit, exp_ppm))
+         |SELECT e.digit, coalesce(o.n, 0) AS n,
+         |  CAST((1000000 * coalesce(o.n, 0)) // t.t AS BIGINT) AS obs_ppm,
+         |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(abs((1000000 * coalesce(o.n, 0)) // t.t - e.exp_ppm) AS BIGINT) AS dev_ppm
+         |FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN tot t
+         |ORDER BY e.digit""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val obs = lineitem(s, d).filter(col("l_extendedprice") >= 1)
+        .select(substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum("n").as("t"))
+      val e = BenfordPpm.toSeq.toDF("digit", "exp_ppm")
+      broadcast(e).join(obs, Seq("digit"), "left").crossJoin(broadcast(tot))
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          expr("CAST((1000000L * coalesce(n, 0L)) div t AS BIGINT)").as("obs_ppm"),
+          col("exp_ppm"),
+          expr("CAST(abs((1000000L * coalesce(n, 0L)) div t - exp_ppm) AS BIGINT)")
+            .as("dev_ppm"))
+        .orderBy("digit")
     },
 
     // ----- O15: time-weighted average (TWAP) per user -----
