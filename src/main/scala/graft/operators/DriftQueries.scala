@@ -623,6 +623,57 @@ object DriftQueries {
         .orderBy("gid", "event_type", "dow")
     },
 
+    // ----- Per-source KL divergence from the global token mix -----
+    // The information-theoretic drift audit beside the count-based
+    // ones (source_length_drift, dup_source_matrix): D(p_s ‖ q) =
+    // Σ pᵢ·ln(pᵢ/qᵢ) says in nats how far a source's token
+    // distribution sits from the corpus mix — the screen that catches
+    // a source drifting into template spam while its lengths still
+    // look normal. Exactness discipline: every probability is an exact
+    // BIGINT ratio; the ONE transcendental per (source, token) —
+    // ln((n_si·N)/(n_i·N_s)) — enters as a 6-dp-rounded double
+    // converted once to integer micro-nats (the HLL linear-counting
+    // treatment), after which the pᵢ-weighted sum is pure integer //
+    // arithmetic, order-free. Terms with n_si = 0 contribute 0 by
+    // definition and never appear (inner join). Plan: two
+    // vocabulary-cardinality folds and a broadcast of the global side;
+    // the output is taxonomy-bounded.
+    "source_kl_divergence" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n_si FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(n_si) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) AS n_i FROM tok GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n_i) AS BIGINT) AS n FROM g),
+        |terms AS (
+        |  SELECT st.source,
+        |    (st.n_si * CAST(round(1000000 * round(ln(
+        |      CAST(st.n_si * nn.n AS DOUBLE) / (g.n_i * ns.n_s)), 6)) AS BIGINT))
+        |      // ns.n_s AS term_micro
+        |  FROM st JOIN g ON g.t = st.t JOIN ns ON ns.source = st.source CROSS JOIN nn)
+        |SELECT source, CAST(sum(term_micro) AS BIGINT) AS kl_micro_nats
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"),
+          explode(expr(graft.operators.TextQueries.toksExpr)).as("t"))
+        .localCheckpoint()
+      val st = tok.groupBy("source", "t").agg(count(lit(1)).as("n_si"))
+        .localCheckpoint(true)
+      val ns = st.groupBy("source").agg(sum("n_si").as("n_s"))
+      val g = st.groupBy("t").agg(sum("n_si").as("n_i"))
+      val nn = g.agg(sum("n_i").as("n"))
+      st.join(broadcast(g), Seq("t")).join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(nn))
+        .select(col("source"),
+          expr("""(n_si * CAST(round(1000000 * round(ln(
+                 |  CAST(n_si * n AS DOUBLE) / (n_i * n_s)), 6)) AS BIGINT))
+                 |  div n_s""".stripMargin).as("term_micro"))
+        .groupBy("source")
+        .agg(sum("term_micro").as("kl_micro_nats"))
+        .orderBy("source")
+    },
+
     // ----- A18: CUPED variance reduction (Deng et al., WSDM 2013) -----
     // The experimentation companion of a15: before reading a test, a
     // mature platform regresses the post-period metric on the

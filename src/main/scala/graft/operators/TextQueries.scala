@@ -1982,5 +1982,72 @@ object TextQueries {
           countDistinct(col("fp")).as("n_distinct_chunks"))
         .orderBy("len")
     },
+
+    // ----- Zipf rank-frequency fit over the corpus vocabulary -----
+    // The corpus-statistics audit: natural language puts the
+    // rank-frequency curve near freq ∝ rank^(−1), so the least-squares
+    // slope of ln(freq) on ln(rank) — with its r² — says whether a
+    // corpus behaves like language (slope ≈ −1, r² high), like
+    // template spam (truncated head, shallow slope), or like
+    // synthetic noise (this fixture: near-uniform 31-token vocabulary,
+    // slope ≈ 0 — which the audit correctly reports). Exactness: ranks
+    // come from the (freq DESC, token) total order; each ln enters
+    // once as a 6-dp-rounded double fixed to integer MILLI-nats (the
+    // scale that keeps the r² numerator, a 4th-order product, inside
+    // DECIMAL(38)/HUGEINT), and the regression is the n-scaled
+    // integer-moment form (the a18/comovement discipline). Vocabulary
+    // cardinality throughout — the corpus is touched once.
+    "vocab_zipf_slope" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+        |r AS (
+        |  SELECT CAST(round(1000 * round(ln(CAST(row_number()
+        |      OVER (ORDER BY n DESC, t) AS DOUBLE)), 6)) AS BIGINT) AS x,
+        |    CAST(round(1000 * round(ln(CAST(n AS DOUBLE)), 6)) AS BIGINT) AS y
+        |  FROM c),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM r),
+        |sc AS (
+        |  SELECT v,
+        |    v * sxy - CAST(sx AS HUGEINT) * sy AS cov2,
+        |    v * sxx - CAST(sx AS HUGEINT) * sx AS varx2,
+        |    v * syy - CAST(sy AS HUGEINT) * sy AS vary2
+        |  FROM mo)
+        |SELECT v AS n_types,
+        |  CAST((1000 * cov2) // varx2 AS BIGINT) AS slope_milli,
+        |  CAST((1000000 * cov2 * cov2) // (varx2 * vary2) AS BIGINT) AS r2_ppm
+        |FROM sc""".stripMargin) { (s, d) =>
+      val c = spread(documents(s, d))
+        .select(explode(expr(toksExpr)).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+      // vocabulary-cardinality total order: fine as a window here (the
+      // 31-row fixture), and still bounded by |vocab| at 100 TB — but
+      // the same rank is available shuffle-free via Scale.globalRowNumber
+      // if a vocabulary ever outgrows one task
+      val rkW = Window.orderBy(col("n").desc, col("t"))
+      val r = c.withColumn("rk", row_number().over(rkW).cast("double"))
+        .select(
+          expr("CAST(round(1000 * round(ln(rk), 6)) AS BIGINT)").as("x"),
+          expr("CAST(round(1000 * round(ln(CAST(n AS DOUBLE)), 6)) AS BIGINT)").as("y"))
+      r.agg(count(lit(1)).as("v"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .select(col("v"),
+          expr("v * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("cov2"),
+          expr("v * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("varx2"),
+          expr("v * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("vary2"))
+        .select(col("v").as("n_types"),
+          expr("CAST((1000L * cov2) div varx2 AS BIGINT)").as("slope_milli"),
+          expr("CAST((1000000L * cov2 * cov2) div (varx2 * vary2) AS BIGINT)")
+            .as("r2_ppm"))
+    },
   )
 }
