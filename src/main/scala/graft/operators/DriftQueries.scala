@@ -746,6 +746,77 @@ object DriftQueries {
             .as("var_reduction_ppm"))
     },
 
+    // ----- A19: difference-in-differences readout -----
+    // Completes the experimentation trio (a15 tests, a18 reduces
+    // variance, DiD estimates under parallel trends when assignment
+    // wasn't randomized): the effect estimate is (Ȳ_t,post − Ȳ_t,pre) −
+    // (Ȳ_c,post − Ȳ_c,pre) over per-user purchase totals, arms by id
+    // parity, periods split at the corpus mid-day. Every group mean is
+    // an exact floor-divided ratio of value-micros sums (the floor
+    // semantics is the documented contract — sub-micro mean residue is
+    // below the metric's resolution), so the estimate is pure BIGINT.
+    // All four cell means and both deltas are emitted beside it: the
+    // parallel-trends eyeball IS the pre-column comparison. One
+    // per-(user, period) fold, one 4-cell fold, one row.
+    "a19_diff_in_diff" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT user_id, user_id % 2 AS arm, event_type,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vus,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+        |u AS (
+        |  SELECT user_id, arm,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND day <= mid THEN vus ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND day > mid THEN vus ELSE 0 END) AS BIGINT) AS post
+        |  FROM ev CROSS JOIN mm GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS st_pre,
+        |    CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS st_post,
+        |    CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS sc_pre,
+        |    CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS sc_post
+        |  FROM u)
+        |SELECT n_t, n_c,
+        |  CAST(st_pre // n_t AS BIGINT) AS mean_t_pre_us,
+        |  CAST(st_post // n_t AS BIGINT) AS mean_t_post_us,
+        |  CAST(sc_pre // n_c AS BIGINT) AS mean_c_pre_us,
+        |  CAST(sc_post // n_c AS BIGINT) AS mean_c_post_us,
+        |  CAST((st_post // n_t - st_pre // n_t)
+        |    - (sc_post // n_c - sc_pre // n_c) AS BIGINT) AS did_us
+        |FROM cells""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val ev = events(s, d)
+        .select(col("user_id"), (col("user_id") % 2).as("arm"), col("event_type"),
+          floor(col("value") * 1000000).cast("long").as("vus"),
+          expr(s"(($us) div 86400000000)").as("day"))
+      val mm = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      ev.crossJoin(broadcast(mm))
+        .groupBy("user_id", "arm")
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("day") <= col("mid"),
+            col("vus")).otherwise(0L)).as("pre"),
+          sum(when(col("event_type") === "purchase" && col("day") > col("mid"),
+            col("vus")).otherwise(0L)).as("post"))
+        .agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === 1, col("pre")).otherwise(0L)).as("st_pre"),
+          sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("st_post"),
+          sum(when(col("arm") === 0, col("pre")).otherwise(0L)).as("sc_pre"),
+          sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("sc_post"))
+        .select(col("n_t"), col("n_c"),
+          expr("CAST(st_pre div n_t AS BIGINT)").as("mean_t_pre_us"),
+          expr("CAST(st_post div n_t AS BIGINT)").as("mean_t_post_us"),
+          expr("CAST(sc_pre div n_c AS BIGINT)").as("mean_c_pre_us"),
+          expr("CAST(sc_post div n_c AS BIGINT)").as("mean_c_post_us"),
+          expr("""CAST((st_post div n_t - st_pre div n_t)
+                 |  - (sc_post div n_c - sc_pre div n_c) AS BIGINT)""".stripMargin)
+            .as("did_us"))
+    },
+
     // ----- churn training-set construction (point-in-time features) -----
     // The supervised-learning counterpart of the forecast baseline:
     // users active in the first half of the day range get features

@@ -438,6 +438,45 @@ object VectorQueries {
   /** k-NN neighborhood size for `mine_bitext_margin`. */
   val BitextK = 4
 
+  /** round(1e6/log₂(r+1)) for r = 1..10 — the standard nDCG discount
+    * table as fixed ppm constants, plus its prefix sums (the ideal-DCG
+    * values for 1..10 relevant). Shared by the Spark side and the
+    * generated oracle VALUES lists. */
+  val NdcgDiscPpm: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+  val NdcgPrefixPpm: Seq[Long] = NdcgDiscPpm.scanLeft(0L)(_ + _).tail
+
+  private lazy val NdcgSql: String = {
+    val discVals = NdcgDiscPpm.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    val pfxVals = NdcgPrefixPpm.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 100),
+       |c AS (SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+       |      FROM embeddings WHERE vec_id >= 100),
+       |nn AS (SELECT * FROM (
+       |  SELECT qid, qlabel, label, row_number() OVER (PARTITION BY qid
+       |    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid) AS r
+       |  FROM q, c) WHERE r <= 10),
+       |disc AS (SELECT CAST(dr AS BIGINT) AS dr, CAST(dv AS BIGINT) AS dv
+       |         FROM (VALUES $discVals) AS v(dr, dv)),
+       |pfx AS (SELECT CAST(pr AS BIGINT) AS pr, CAST(ideal AS BIGINT) AS ideal
+       |        FROM (VALUES $pfxVals) AS v(pr, ideal)),
+       |dcg AS (
+       |  SELECT qid, CAST(sum(CASE WHEN label = qlabel THEN d.dv ELSE 0 END) AS BIGINT) AS dcg
+       |  FROM nn JOIN disc d ON d.dr = nn.r GROUP BY qid),
+       |rel AS (
+       |  SELECT q.qid, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM q JOIN c ON c.label = q.qlabel GROUP BY q.qid),
+       |j AS (
+       |  SELECT g.qid, g.dcg, least(coalesce(r.n_rel, 0), 10) AS rr
+       |  FROM dcg g LEFT JOIN rel r ON r.qid = g.qid)
+       |SELECT j.qid, j.rr AS n_rel_capped, j.dcg,
+       |  CAST((1000000 * j.dcg) // p.ideal AS BIGINT) AS ndcg_ppm
+       |FROM j JOIN pfx p ON p.pr = j.rr ORDER BY qid""".stripMargin
+  }
+
   private lazy val MatryoshkaSql: String = {
     def tierCte(dim: Int) =
       s"""t$dim AS (SELECT qid, cid FROM (
@@ -1612,6 +1651,126 @@ object VectorQueries {
     // exactly what the stored IVF tier's shortlist replaces — this
     // exact form is the recall oracle that variant is graded against
     // (the ann_filtered_topk contract).
+    // ----- kNN calibration: reliability bins + expected calibration error -----
+    // The eval the accuracy number hides (Guo et al., ICML 2017): a
+    // classifier's CONFIDENCE should match its accuracy — a 9/10-vote
+    // prediction should be right ~90% of the time. kNN votes make the
+    // confidence an exact rational (votes/10), so the reliability
+    // diagram bins by vote count with NO float binning: per bin,
+    // confidence ppm vs empirical accuracy ppm and the gap, plus the
+    // vote-weighted ECE riding as a (documented) constant column — the
+    // one number that says "trust the vote share" or not. Ground truth
+    // is the query's own label; the chain through the vote table is
+    // knn_classify's, unchanged. Everything after the kNN is
+    // ≤10-bin-bounded integer counting.
+    "knn_calibration_ece" -> QueryDef.sql(
+      """WITH q AS (SELECT vec_id AS qid, label AS true_label,
+        |             embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id >= 100),
+        |s AS (SELECT qid, true_label, cid, label,
+        |        round(list_cosine_similarity(qv, cv), 6) AS score
+        |      FROM q, c),
+        |nn AS (SELECT qid, true_label, cid, label FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 10),
+        |votes AS (SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS n
+        |          FROM nn GROUP BY qid, true_label, label),
+        |pred AS (
+        |  SELECT qid, label AS predicted, n AS v,
+        |    CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+        |  FROM votes
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1),
+        |bins AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS n_queries,
+        |    CAST(100000 * v AS BIGINT) AS conf_ppm,
+        |    CAST((1000000 * sum(correct)) // count(*) AS BIGINT) AS acc_ppm
+        |  FROM pred GROUP BY v),
+        |ece AS (
+        |  SELECT CAST(sum(n_queries * abs(acc_ppm - conf_ppm)) // sum(n_queries) AS BIGINT)
+        |    AS ece_ppm
+        |  FROM bins)
+        |SELECT b.v AS votes, b.n_queries, b.conf_ppm, b.acc_ppm,
+        |  CAST(abs(b.acc_ppm - b.conf_ppm) AS BIGINT) AS gap_ppm, e.ece_ppm
+        |FROM bins b CROSS JOIN ece e ORDER BY votes""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+          col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("cid"), col("label"), col("embedding").as("cv"))
+      val nnRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val nn = corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("true_label"), col("cid"), col("label"),
+          score("qv", "cv").as("score"))
+        .withColumn("rn", row_number().over(nnRn))
+        .filter(col("rn") <= 10)
+      val votes = nn.groupBy("qid", "true_label", "label")
+        .agg(count(lit(1)).as("n"))
+      val predRn = Window.partitionBy(col("qid")).orderBy(col("n").desc, col("label"))
+      val pred = votes.withColumn("rn", row_number().over(predRn))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("n").as("v"),
+          when(col("label") === col("true_label"), 1L).otherwise(0L).as("correct"))
+      val bins = pred.groupBy("v")
+        .agg(count(lit(1)).as("n_queries"),
+          (lit(100000L) * col("v")).as("conf_ppm"),
+          expr("CAST((1000000L * sum(correct)) div count(*) AS BIGINT)").as("acc_ppm"))
+      val ece = bins.agg(
+        expr("CAST(sum(n_queries * abs(acc_ppm - conf_ppm)) div sum(n_queries) AS BIGINT)")
+          .as("ece_ppm"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("v").as("votes"), col("n_queries"), col("conf_ppm"),
+          col("acc_ppm"), abs(col("acc_ppm") - col("conf_ppm")).as("gap_ppm"),
+          col("ece_ppm"))
+        .orderBy("votes")
+    },
+
+    // ----- nDCG@10 with label-match relevance (Järvelin & Kekäläinen) -----
+    // The rank-quality eval beside recall (ann_recall_report) and MRR
+    // (ann_mrr_report): recall counts hits anywhere in the top-k, MRR
+    // sees only the first, nDCG credits EVERY hit by its position via
+    // the 1/log₂(r+1) discount — the standard for graded retrieval.
+    // The discounts and their prefix sums enter as the fixed ppm table
+    // (compile-time constants, no runtime log2); relevance = candidate
+    // shares the query's label (the family's filtered-search ground
+    // truth); the ideal DCG is the prefix sum at min(10, R_q). All
+    // emissions integer. Per-query rows; the chain through the top-10
+    // is the established brute ranking.
+    "ann_ndcg_report" -> QueryDef.sql(NdcgSql) { (s, d) =>
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("cid"), col("label"), col("embedding").as("cv"))
+      val nnRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val nn = corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("qlabel"), col("cid"), col("label"),
+          score("qv", "cv").as("score"))
+        .withColumn("r", row_number().over(nnRn).cast("long"))
+        .filter(col("r") <= 10)
+      import s.implicits._
+      val disc = broadcast(NdcgDiscPpm.zipWithIndex
+        .map { case (p, i) => (i + 1L, p) }.toDF("r", "disc"))
+      val pfx = broadcast(NdcgPrefixPpm.zipWithIndex
+        .map { case (p, i) => (i + 1L, p) }.toDF("rr", "ideal"))
+      val dcg = nn.join(disc, Seq("r"))
+        .groupBy("qid")
+        .agg(sum(when(col("label") === col("qlabel"), col("disc")).otherwise(0L))
+          .as("dcg"))
+      val rel = corpus.join(broadcast(queries.select("qid", "qlabel")),
+          col("label") === col("qlabel"))
+        .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+      dcg.join(rel, Seq("qid"), "left")
+        .select(col("qid"), col("dcg"),
+          least(coalesce(col("n_rel"), lit(0L)), lit(10L)).as("rr"))
+        .join(pfx, Seq("rr"))
+        .select(col("qid"), col("rr").as("n_rel_capped"), col("dcg"),
+          expr("CAST((1000000L * dcg) div ideal AS BIGINT)").as("ndcg_ppm"))
+        .orderBy("qid")
+    },
+
     // ----- Matryoshka truncation recall (Kusupati et al., NeurIPS 2022) -----
     // The dimension-budget eval for MRL-style embeddings: retrieve with
     // only the first 16/32 components and grade against the full-64
