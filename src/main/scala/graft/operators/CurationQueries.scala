@@ -1975,6 +1975,98 @@ object CurationQueries {
             .as("kappa_ppm"))
     },
 
+    // ----- Unigram^0.75 negative-sampling table (Mikolov et al. 2013) -----
+    // The sampling table contrastive training draws negatives from:
+    // raw unigram frequency oversamples stopwords, uniform ignores
+    // frequency entirely — count^(3/4) is the published compromise. The
+    // one transcendental (pow 0.75) enters per token TYPE under the
+    // round(…,6)-then-fix discipline; everything after — normalization,
+    // the cumulative axis, and the k=1000 SYSTEMATIC pick counts — is
+    // exact integer arithmetic. The picks use the closed-form stride
+    // count (#{j < k : (jW)//k ∈ [cw₋₁, cw)} = min(k,⌈k·cw/W⌉) −
+    // min(k,⌈k·cw₋₁/W⌉)), the same integer-exact selection
+    // sample_weighted_systematic rides, so Σ picks = k exactly — no
+    // RNG, no alias table, reproducible across engines and runs.
+    // Vocabulary-cardinality throughout; the cumulative window runs
+    // over the bounded vocab table.
+    "negative_sampling_unigram" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+        |w AS (
+        |  SELECT t, cnt,
+        |    CAST(round(1000000 * round(pow(CAST(cnt AS DOUBLE), 0.75), 6)) AS BIGINT) AS wt
+        |  FROM v),
+        |cw AS (
+        |  SELECT t, cnt, wt,
+        |    sum(wt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM w),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w)
+        |SELECT t AS token, cnt, wt AS weight,
+        |  CAST((1000000 * wt) // tw AS BIGINT) AS p_ppm,
+        |  CAST(least(1000, (1000 * c + tw - 1) // tw)
+        |    - least(1000, (1000 * (c - wt) + tw - 1) // tw) AS BIGINT) AS n_picks
+        |FROM cw CROSS JOIN tot ORDER BY token""".stripMargin) { (s, d) =>
+      val v = TextQueries.spread(documents(s, d))
+        .select(explode(expr(TextQueries.toksExpr)).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+      val w = v.withColumn("wt",
+        expr("CAST(round(1000000 * round(pow(CAST(cnt AS DOUBLE), 0.75), 6)) AS BIGINT)"))
+      val cwW = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cw = w.withColumn("c", sum(col("wt")).over(cwW))
+      val tot = w.agg(sum("wt").as("tw"))
+      cw.crossJoin(broadcast(tot))
+        .select(col("t").as("token"), col("cnt"), col("wt").as("weight"),
+          expr("CAST((1000000L * wt) div tw AS BIGINT)").as("p_ppm"),
+          expr("""CAST(least(1000L, (1000L * c + tw - 1) div tw)
+                 |  - least(1000L, (1000L * (c - wt) + tw - 1) div tw) AS BIGINT)""".stripMargin)
+            .as("n_picks"))
+        .orderBy("token")
+    },
+
+    // ----- Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001) -----
+    // The multi-criteria selection operator: documents not dominated on
+    // (length, vocabulary richness) — no other doc is ≥ on both and >
+    // on one. The textbook block-nested-loop skyline is quadratic; the
+    // scale-clean form used here exploits 2D structure: fold max(y)
+    // per distinct x (a BOUNDED table — doc lengths span a fixed
+    // range), take the strict-suffix max over that table (a window
+    // over ≤|range| rows, never the corpus), broadcast it back, and
+    // keep docs with y = their x's max AND y above every strictly-
+    // longer length's best — one corpus pass, one bounded window, one
+    // broadcast filter join. Ties on both axes are mutually
+    // non-dominating and both survive (strictness honored).
+    "skyline_docs" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS y
+        |  FROM documents),
+        |px AS (SELECT x, max(y) AS my FROM t GROUP BY x),
+        |thr AS (
+        |  SELECT x, my,
+        |    max(my) OVER (ORDER BY x RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mgt
+        |  FROM px)
+        |SELECT t.doc_id, t.x AS n_chars, t.y AS n_types
+        |FROM t JOIN thr ON thr.x = t.x
+        |WHERE t.y = thr.my AND (thr.mgt IS NULL OR thr.mgt < t.y)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+          size(array_distinct(expr(TextQueries.toksExpr))).cast("long").as("y"))
+        .localCheckpoint()
+      val px = t.groupBy("x").agg(max(col("y")).as("my"))
+      val thrW = Window.orderBy(col("x"))
+        .rangeBetween(1, Window.unboundedFollowing)
+      val thr = px.withColumn("mgt", max(col("my")).over(thrW))
+      t.join(broadcast(thr), Seq("x"))
+        .filter(col("y") === col("my") &&
+          (col("mgt").isNull || col("mgt") < col("y")))
+        .select(col("doc_id"), col("x").as("n_chars"), col("y").as("n_types"))
+        .orderBy("doc_id")
+    },
+
     // ----- Split-conformal calibration (Vovk; Angelopoulos & Bates 2022) -----
     // The distribution-free coverage guarantee a filtering model ships
     // with: on a calibration split, take the ⌈0.9(n+1)⌉-th smallest
