@@ -243,6 +243,50 @@ object SearchQueries {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf_x1e6 DESC, doc_id) <= 5
        |ORDER BY qid, doc_id""".stripMargin
 
+  /** RBO@10 per-shared-doc suffix weights, round(1e6·Σ_{e=d..10}
+    * 0.9^e/(9e)) — fixed ppm constants shared by the Spark side and
+    * the oracle; ΣT = 651319 is the identical-ranking normalizer. */
+  val RboSuffixPpm: Seq[Long] = Seq(235416L, 135416L, 90416L, 63416L,
+    45191L, 32069L, 22228L, 14636L, 8657L, 3874L)
+
+  private lazy val RboOracleSql: String = {
+    val twVals = RboSuffixPpm.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""$Bm25CteChain,
+       |btop AS (
+       |  SELECT qid, doc_id, r AS ra FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |    FROM score) WHERE r <= 10),
+       |qv AS (
+       |  SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qv
+       |  FROM embeddings e JOIN (SELECT DISTINCT qid FROM qt) q ON q.qid = e.vec_id),
+       |cvv AS (
+       |  SELECT e.vec_id AS doc_id, e.embedding::DOUBLE[] AS cv
+       |  FROM embeddings e JOIN dl ON dl.doc_id = e.vec_id),
+       |vtop AS (
+       |  SELECT qid, doc_id, r AS rb FROM (
+       |    SELECT q.qid, c.doc_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.doc_id) AS r
+       |    FROM qv q, cvv c) WHERE r <= 10),
+       |tw AS (SELECT CAST(m AS BIGINT) AS m, CAST(w AS BIGINT) AS w
+       |       FROM (VALUES $twVals) AS v(m, w)),
+       |per AS (
+       |  SELECT s.qid, CAST(count(*) AS BIGINT) AS n_shared,
+       |    CAST(sum(t.w) AS BIGINT) AS rbo
+       |  FROM (SELECT b.qid, greatest(b.ra, v.rb) AS m
+       |        FROM btop b JOIN vtop v ON v.qid = b.qid AND v.doc_id = b.doc_id) s
+       |  JOIN tw t ON t.m = s.m GROUP BY s.qid),
+       |ql AS (SELECT DISTINCT qid FROM qt)
+       |SELECT q.qid, coalesce(p.n_shared, 0) AS n_shared,
+       |  coalesce(p.rbo, 0) AS rbo_ppm,
+       |  CAST((1000000 * coalesce(p.rbo, 0)) // ${RboSuffixPpm.sum} AS BIGINT)
+       |    AS rbo_norm_ppm
+       |FROM ql q LEFT JOIN per p ON p.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  }
+
   /** PRF oracle: the round-1 chain, feedback-term selection, and a
     * second scoring pass over the expanded vocabulary (same contrib
     * formula with the round-2 tables substituted). */
@@ -506,6 +550,67 @@ object SearchQueries {
         .filter(col("rn") <= 5)
         .select("qid", "doc_id", "rrf_x1e6")
         .orderBy("qid", "doc_id")
+    },
+
+    // ----- Rank-biased overlap between the lexical and semantic legs -----
+    // The system-comparison readout that MOTIVATES hybrid fusion
+    // (Webber et al., TOIS 2010): RBO@10 with persistence p = 0.9
+    // scores how much the BM25 and vector top-10s agree, top-weighted —
+    // agreement at rank 1 counts ~60× rank 10. Near-zero RBO is the
+    // empirical case FOR fusing the legs (they surface different
+    // docs); high RBO says one leg is redundant. Exactness: the
+    // per-depth p^d/(9d) weights collapse to a per-shared-doc lookup
+    // T[max(ra, rb)] (the suffix-sum trick — each shared doc counts in
+    // every depth from its later rank on), and T enters as the fixed
+    // ppm table below, so the score is an integer sum; the normalizer
+    // is the TABLE's own identical-ranking total (ΣT = 651319), making
+    // self-comparison exactly 1e6 by construction. Both legs read
+    // persisted artifacts; everything after is 10×queries rank rows.
+    "search_rank_overlap_rbo" -> QueryDef.sql(RboOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val qt = queryTerms(docs)
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val stats = corpusLens.agg(
+        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
+      val tf = postings.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf", "dl")
+      val bmRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      val btop = bm25Rank(tf, stats, qt, k = 10)
+        .withColumn("ra", row_number().over(bmRn).cast("long"))
+        .select("qid", "doc_id", "ra")
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val evalIds = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select("doc_id")
+      val qv = e.join(broadcast(evalIds), e("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cv = e.join(corpusLens.select("doc_id"), e("vec_id") === col("doc_id"), "left_semi")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+      import graft.functions.DotF32.dot_f32
+      val cos = round(dot_f32(col("qv"), col("cv")) /
+        (sqrt(dot_f32(col("qv"), col("qv"))) * sqrt(dot_f32(col("cv"), col("cv")))), 6)
+      val vRn = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id"))
+      val vtop = cv.crossJoin(broadcast(qv))
+        .select(col("qid"), col("doc_id"), cos.as("vscore"))
+        .withColumn("rb", row_number().over(vRn).cast("long"))
+        .filter(col("rb") <= 10).select("qid", "doc_id", "rb")
+      import s.implicits._
+      val tw = broadcast(RboSuffixPpm.zipWithIndex
+        .map { case (w, i) => (i + 1L, w) }.toDF("m", "w"))
+      val per = btop.join(vtop, Seq("qid", "doc_id"))
+        .select(col("qid"), greatest(col("ra"), col("rb")).as("m"))
+        .join(tw, Seq("m"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_shared"), sum("w").as("rbo"))
+      qt.select("qid").distinct()
+        .join(per, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("rbo"), lit(0L)).as("rbo_ppm"),
+          expr(s"CAST((1000000L * coalesce(rbo, 0L)) div ${RboSuffixPpm.sum} AS BIGINT)")
+            .as("rbo_norm_ppm"))
+        .orderBy("qid")
     },
 
     // ----- hard-negative mining for retrieval-model training -----
