@@ -623,6 +623,98 @@ object DriftQueries {
         .orderBy("gid", "event_type", "dow")
     },
 
+    // ----- Autocorrelation of the daily event series at lags 1 and 7 -----
+    // The seasonality EVIDENCE the forecast baseline assumes: acf(7)
+    // high and acf(1) modest says "weekly structure, seasonal-naive is
+    // right"; both near zero says the per-dow baseline is fitting
+    // noise. Exact integer form: deviations enter n-scaled
+    // (y_t = n·c_t − Σc — the CUSUM/comovement discipline, so no mean
+    // division ever happens), the lag pairing is an equi-join on the
+    // dense day grid (day+lag — never a window offset over a sparse
+    // axis), and acf = Σ y_t·y_{t+k} / Σ y_t² lands in ppm with one
+    // DECIMAL/HUGEINT //. Day-grid cardinality throughout after one
+    // counting fold.
+    "forecast_acf_lags" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |c AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY day),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t FROM c),
+        |y AS (SELECT day, n * c - t AS y FROM c CROSS JOIN st),
+        |den AS (SELECT CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS d2 FROM y),
+        |lags AS (SELECT CAST(lag AS BIGINT) AS lag FROM (VALUES (1), (7)) AS v(lag)),
+        |num AS (
+        |  SELECT l.lag, CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS nk,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM lags l JOIN y a ON TRUE JOIN y b ON b.day = a.day + l.lag
+        |  GROUP BY l.lag)
+        |SELECT n.lag, n.n_pairs,
+        |  CAST((1000000 * n.nk) // d.d2 AS BIGINT) AS acf_ppm
+        |FROM num n CROSS JOIN den d ORDER BY n.lag""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val us = graft.util.Tables.epochUsFloorSql
+      val c = events(s, d)
+        .select(expr(s"(($us) div 86400000000)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val st = c.agg(count(lit(1)).as("n"), sum("c").as("t"))
+      val y = c.crossJoin(broadcast(st))
+        .select(col("day"), (col("n") * col("c") - col("t")).as("y"))
+        .localCheckpoint(true)
+      val den = y.agg(sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("d2"))
+      val lags = Seq(1L, 7L).toDF("lag")
+      val num = broadcast(lags).crossJoin(y.select(col("day"), col("y").as("ya")))
+        .join(y.select(col("day").as("db"), col("y").as("yb")),
+          col("db") === col("day") + col("lag"))
+        .groupBy("lag")
+        .agg(sum(expr("CAST(ya AS DECIMAL(38,0)) * yb")).as("nk"),
+          count(lit(1)).as("n_pairs"))
+      num.crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          expr("CAST((1000000L * nk) div d2 AS BIGINT)").as("acf_ppm"))
+        .orderBy("lag")
+    },
+
+    // ----- Power-law tail of the dup-candidate degree distribution -----
+    // The graph-shape audit (Clauset, Shalizi & Newman 2009): mirror
+    // farms and template spam give the candidate graph a heavy-tailed
+    // degree distribution, and the Hill/CSN maximum-likelihood α̂ =
+    // 1 + n/Σ ln(dᵢ/(d_min−½)) quantifies how heavy — α near 2 is
+    // scale-free territory, large α means the tail dies fast (this
+    // fixture's bounded-bucket graph, honestly reported). The ln runs
+    // once per DISTINCT degree (a bounded table), weighted by its node
+    // count, under the rounded-libm integer discipline; everything
+    // else is one degree fold over pinned edges. d_min = 2.
+    "graph_degree_powerlaw" -> QueryDef.sql(
+      s"""WITH ${graft.operators.TextQueries.MinhashBandsCte},
+         |pairs AS (${graft.operators.TextQueries.BandedPairsSelect}),
+         |e AS (SELECT doc_a AS a FROM pairs UNION ALL SELECT doc_b AS a FROM pairs),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+         |dd AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt FROM deg
+         |       WHERE deg >= 2 GROUP BY deg),
+         |agg AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+         |    CAST(max(deg) AS BIGINT) AS d_max,
+         |    CAST(sum(cnt * CAST(round(1000000 * round(ln(CAST(deg AS DOUBLE) / 1.5), 6))
+         |      AS BIGINT)) AS BIGINT) AS s
+         |  FROM dd)
+         |SELECT n_tail, d_max,
+         |  CAST(1000 + (1000000000 * n_tail) // s AS BIGINT) AS alpha_milli
+         |FROM agg""".stripMargin) { (s, d) =>
+      val pairs = graft.operators.TextQueries.bandedPairs(
+        SignatureStore.ensureMinhashBands(s, d))
+      val deg = pairs.select(col("doc_a").as("a"))
+        .unionByName(pairs.select(col("doc_b").as("a")))
+        .groupBy("a").agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .groupBy("deg").agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("n_tail"), max("deg").as("d_max"),
+          sum(col("cnt") *
+            expr("CAST(round(1000000 * round(ln(CAST(deg AS DOUBLE) / 1.5), 6)) AS BIGINT)"))
+            .as("s"))
+        .select(col("n_tail"), col("d_max"),
+          expr("CAST(1000L + (1000000000L * n_tail) div s AS BIGINT)").as("alpha_milli"))
+    },
+
     // ----- Per-source KL divergence from the global token mix -----
     // The information-theoretic drift audit beside the count-based
     // ones (source_length_drift, dup_source_matrix): D(p_s ‖ q) =
