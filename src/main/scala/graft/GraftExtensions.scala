@@ -91,5 +91,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "max_ngram_run takes exactly 2 arguments")
         MaxNgramRun(children.head, children(1))
       }))
+    // native HLL register fold: one 256-byte buffer per group, byte-MAX
+    // merge — the analyzer wraps the AggregateFunction on use
+    ext.injectFunction((
+      new FunctionIdentifier("hll_registers_agg"),
+      new ExpressionInfo(classOf[graft.functions.HllRegistersAgg].getName,
+        "hll_registers_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "hll_registers_agg takes exactly 1 argument")
+        graft.functions.HllRegistersAgg(children.head)
+      }))
   }
 }

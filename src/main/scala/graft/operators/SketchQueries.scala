@@ -1026,6 +1026,66 @@ object SketchQueries {
         .orderBy("event_type")
     },
 
+    // ----- HLL at MANY strata via the native TypedImperativeAggregate -----
+    // The shape that motivates [[graft.functions.HllRegistersAgg]]:
+    // distinct users per (event_type, day) is hundreds of strata, and
+    // the relational register fold would shuffle ≤256 rows per stratum
+    // per map task; the native aggregate folds each map slice into ONE
+    // 256-byte buffer per group (byte-MAX merge — HLL's own algebra as
+    // the partial-aggregation law), so the exchange carries exactly one
+    // row per group per task. Same estimate chain downstream
+    // (hllEstExpr + the LC regime switch); the exact audit and the
+    // oracle replay the registers relationally — the two spellings
+    // agreeing IS the aggregate's correctness statement (HllAggSpec
+    // pins it row-for-row on a planted fixture too).
+    "hll_user_days" -> QueryDef.sql(
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, day, h % $HllM AS idx,
+         |    max(CASE WHEN h // $HllM = 0 THEN 53
+         |             ELSE 53 - length(bin(h // $HllM)) END) AS m
+         |  FROM h GROUP BY 1, 2, 3),
+         |s AS (
+         |  SELECT event_type, day,
+         |    CAST(sum(1::BIGINT << (53 - m))
+         |      + ($HllM - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n_regs
+         |  FROM b GROUP BY 1, 2),
+         |ex AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM h GROUP BY 1, 2),
+         |est AS (
+         |  SELECT e.event_type, e.day, e.n_exact, s.n_regs,
+         |    CAST((CAST($HllAlphaPpm AS HUGEINT) * ${HllM * HllM} * 9007199254740992)
+         |      // s.s // 1000000 AS BIGINT) AS n_est
+         |  FROM ex e JOIN s ON s.event_type = e.event_type AND s.day = e.day)
+         |SELECT event_type, day, n_exact, n_regs,
+         |  CASE WHEN n_regs < $HllM AND n_est <= ${5 * HllM / 2}
+         |       THEN CAST(floor($HllM * round(ln(CAST($HllM AS DOUBLE)
+         |         / ($HllM - n_regs)), 6)) AS BIGINT)
+         |       ELSE n_est END AS n_est_lc
+         |FROM est ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val h = events(s, d)
+        .select(col("event_type"), expr(s"(($us) div 86400000000)").as("day"),
+          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val agg = h.groupBy("event_type", "day")
+        .agg(call_function("hll_registers_agg", col("h")).as("hr"))
+        .select(col("event_type"), col("day"),
+          col("hr.s").as("s"), col("hr.n_regs").as("n_regs"))
+      val ex = h.distinct().groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_exact"))
+      ex.join(agg, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n_exact"), col("n_regs"),
+          hllEstExpr("s").as("n_est"))
+        .select(col("event_type"), col("day"), col("n_exact"), col("n_regs"),
+          hllLcExpr.as("n_est_lc"))
+        .orderBy("event_type", "day")
+    },
+
     // ----- HLL mergeability: the MAX law, materialized and checked -----
     // Same discipline as `kmv_merge_shingles` and
     // `count_min_merge_sources`: the law that makes the sketch worth
