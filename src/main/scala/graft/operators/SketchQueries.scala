@@ -1086,6 +1086,117 @@ object SketchQueries {
         .orderBy("event_type", "day")
     },
 
+    // ----- HLL set algebra: pairwise overlap via inclusion–exclusion -----
+    // What register sketches can and cannot do, made empirical: UNION
+    // is native (register MAX — exact sketch algebra), so |A ∩ B|
+    // estimates only indirectly as est(A) + est(B) − est(A ∪ B) — and
+    // the three estimation errors ADD where the intersection itself
+    // may be small, the well-known caveat that sends intersection-heavy
+    // workloads to theta sketches or back to KMV (whose k-min sets
+    // intersect directly). This query prices that caveat: all 5×4/2
+    // type pairs of distinct-user overlaps, estimated via
+    // inclusion–exclusion from LC-corrected per-type and union
+    // registers, with the exact intersection riding as the audit.
+    // Integer discipline as the rest of the family; the union sketch is
+    // a materialized register MAX, not an algebraic shortcut.
+    "hll_type_overlap" -> QueryDef.sql(
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |tp AS (SELECT DISTINCT event_type FROM h),
+         |pairs AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb
+         |  FROM tp a JOIN tp b ON a.event_type < b.event_type),
+         |b AS (
+         |  SELECT event_type, h % $HllM AS idx,
+         |    max(CASE WHEN h // $HllM = 0 THEN 53
+         |             ELSE 53 - length(bin(h // $HllM)) END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |s1 AS (
+         |  SELECT event_type,
+         |    CAST(sum(1::BIGINT << (53 - m))
+         |      + ($HllM - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n_regs
+         |  FROM b GROUP BY 1),
+         |bu AS (
+         |  SELECT p.ta, p.tb, r.idx, max(r.m) AS m
+         |  FROM pairs p JOIN b r ON r.event_type = p.ta OR r.event_type = p.tb
+         |  GROUP BY 1, 2, 3),
+         |su AS (
+         |  SELECT ta, tb,
+         |    CAST(sum(1::BIGINT << (53 - m))
+         |      + ($HllM - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n_regs
+         |  FROM bu GROUP BY 1, 2),
+         |lc AS (
+         |  SELECT event_type, CASE WHEN n_regs < $HllM AND r <= ${5 * HllM / 2}
+         |    THEN CAST(floor($HllM * round(ln(CAST($HllM AS DOUBLE)
+         |      / ($HllM - n_regs)), 6)) AS BIGINT) ELSE r END AS e
+         |  FROM (SELECT event_type, n_regs,
+         |    CAST((CAST($HllAlphaPpm AS HUGEINT) * ${HllM * HllM} * 9007199254740992)
+         |      // s // 1000000 AS BIGINT) AS r FROM s1)),
+         |lcu AS (
+         |  SELECT ta, tb, CASE WHEN n_regs < $HllM AND r <= ${5 * HllM / 2}
+         |    THEN CAST(floor($HllM * round(ln(CAST($HllM AS DOUBLE)
+         |      / ($HllM - n_regs)), 6)) AS BIGINT) ELSE r END AS eu
+         |  FROM (SELECT ta, tb, n_regs,
+         |    CAST((CAST($HllAlphaPpm AS HUGEINT) * ${HllM * HllM} * 9007199254740992)
+         |      // s // 1000000 AS BIGINT) AS r FROM su)),
+         |exact AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb,
+         |    CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM h a JOIN h b ON b.h = a.h AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT u.ta, u.tb, coalesce(x.n_exact, 0) AS n_exact,
+         |  la.e + lb.e - u.eu AS n_est_ix
+         |FROM lcu u
+         |JOIN lc la ON la.event_type = u.ta
+         |JOIN lc lb ON lb.event_type = u.tb
+         |LEFT JOIN exact x ON x.ta = u.ta AND x.tb = u.tb
+         |ORDER BY u.ta, u.tb""".stripMargin) { (s, d) =>
+      val h = hllHashes(
+          events(s, d).select(col("event_type").as("stratum"), col("user_id")))
+        .withColumnRenamed("stratum", "event_type")
+        .localCheckpoint()
+      val tp = h.select("event_type").distinct()
+      val pairs = tp.as("a").join(tp.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      val b = h.groupBy(col("event_type"), pmod(col("h"), lit(HllM)).as("idx"))
+        .agg(max(expr(s"CASE WHEN h div $HllM = 0 THEN 53 " +
+          s"ELSE 53 - length(bin(h div $HllM)) END")).as("m"))
+        .localCheckpoint(true)
+      def sFold(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+        df.groupBy(keys.map(col): _*)
+          .agg((sum(expr("shiftleft(1L, cast(53 - m as int))"))
+              + (lit(HllM.toLong) - count(lit(1))) * lit(1L << 53)).as("s"),
+            count(lit(1)).as("n_regs"))
+      def lcCol = expr(s"CASE WHEN n_regs < $HllM AND r <= ${5 * HllM / 2} " +
+        s"THEN CAST(floor($HllM * round(ln(CAST($HllM AS DOUBLE) " +
+        s"/ ($HllM - n_regs)), 6)) AS BIGINT) ELSE r END")
+      val lc = sFold(b, Seq("event_type"))
+        .withColumn("r", hllEstExpr("s")).select(col("event_type"), lcCol.as("e"))
+      val bu = broadcast(pairs).join(b,
+          col("event_type") === col("ta") || col("event_type") === col("tb"))
+        .groupBy("ta", "tb", "idx").agg(max(col("m")).as("m"))
+      val lcu = sFold(bu, Seq("ta", "tb"))
+        .withColumn("r", hllEstExpr("s"))
+        .select(col("ta"), col("tb"), lcCol.as("eu"))
+      val exact = h.as("x").join(h.as("y"),
+          col("y.h") === col("x.h") &&
+            col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_exact"))
+      lcu.join(lc.select(col("event_type").as("ta"), col("e").as("ea")), Seq("ta"))
+        .join(lc.select(col("event_type").as("tb"), col("e").as("eb")), Seq("tb"))
+        .join(exact, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("ea") + col("eb") - col("eu")).as("n_est_ix"))
+        .orderBy("ta", "tb")
+    },
+
     // ----- HLL mergeability: the MAX law, materialized and checked -----
     // Same discipline as `kmv_merge_shingles` and
     // `count_min_merge_sources`: the law that makes the sketch worth
