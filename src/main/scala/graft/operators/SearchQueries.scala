@@ -243,6 +243,62 @@ object SearchQueries {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf_x1e6 DESC, doc_id) <= 5
        |ORDER BY qid, doc_id""".stripMargin
 
+  /** Context budget (tokens) for `rag_context_pack`. */
+  val RagBudget = 128
+
+  /** The RAG packing oracle: the hybrid chain, the fused top-5 with doc
+    * lengths, and the greedy-fit scan replayed as a RECURSIVE CTE
+    * stepping rank 1→5 with the running budget. */
+  private lazy val RagPackSql: String =
+    s"""${Bm25CteChain.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |btop AS (
+       |  SELECT qid, doc_id, r FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |    FROM score) WHERE r <= 5),
+       |qv AS (
+       |  SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qv
+       |  FROM embeddings e JOIN (SELECT DISTINCT qid FROM qt) q ON q.qid = e.vec_id),
+       |cvv AS (
+       |  SELECT e.vec_id AS doc_id, e.embedding::DOUBLE[] AS cv
+       |  FROM embeddings e JOIN dl ON dl.doc_id = e.vec_id),
+       |vtop AS (
+       |  SELECT qid, doc_id, r FROM (
+       |    SELECT q.qid, c.doc_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.doc_id) AS r
+       |    FROM qv q, cvv c) WHERE r <= 5),
+       |fused0 AS (
+       |  SELECT coalesce(b.qid, v.qid) AS qid,
+       |    coalesce(b.doc_id, v.doc_id) AS doc_id,
+       |    coalesce(1000000 // (60 + b.r), 0) +
+       |      coalesce(1000000 // (60 + v.r), 0) AS rrf_x1e6
+       |  FROM btop b FULL OUTER JOIN vtop v
+       |    ON b.qid = v.qid AND b.doc_id = v.doc_id),
+       |fusedr AS (
+       |  SELECT qid, doc_id, rrf_x1e6, rnk FROM (
+       |    SELECT qid, doc_id, rrf_x1e6,
+       |      CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS rnk
+       |    FROM fused0) WHERE rnk <= 5),
+       |fusedl AS (
+       |  SELECT f.qid, f.doc_id, f.rrf_x1e6, f.rnk, l.dl AS n_tokens
+       |  FROM fusedr f JOIN dl l ON l.doc_id = f.doc_id),
+       |ql AS (SELECT DISTINCT qid FROM fusedl),
+       |pack AS (
+       |  SELECT qid, CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS cum FROM ql
+       |  UNION ALL
+       |  SELECT p.qid, p.r + 1,
+       |    p.cum + CASE WHEN f.n_tokens IS NOT NULL
+       |        AND p.cum + f.n_tokens <= $RagBudget THEN f.n_tokens ELSE 0 END
+       |  FROM pack p LEFT JOIN fusedl f ON f.qid = p.qid AND f.rnk = p.r + 1
+       |  WHERE p.r < 5)
+       |SELECT f.qid, f.rnk AS rank, f.doc_id, f.rrf_x1e6, f.n_tokens,
+       |  p.cum + f.n_tokens AS cum_tokens
+       |FROM fusedl f JOIN pack p ON p.qid = f.qid AND p.r = f.rnk - 1
+       |WHERE p.cum + f.n_tokens <= $RagBudget
+       |ORDER BY f.qid, rank""".stripMargin
+
   /** RBO@10 per-shared-doc suffix weights, round(1e6·Σ_{e=d..10}
     * 0.9^e/(9e)) — fixed ppm constants shared by the Spark side and
     * the oracle; ΣT = 651319 is the identical-ranking normalizer. */
@@ -550,6 +606,84 @@ object SearchQueries {
         .filter(col("rn") <= 5)
         .select("qid", "doc_id", "rrf_x1e6")
         .orderBy("qid", "doc_id")
+    },
+
+    // ----- RAG context packing: hybrid retrieval under a token budget -----
+    // The serving-side capstone that composes three families the suite
+    // already proves separately: RRF-fused hybrid retrieval (lexical ⊕
+    // vector), per-doc token lengths from the postings store's doclen
+    // table (text never re-tokenized), and greedy budget packing (the
+    // pack_sequences discipline applied to a context window). Per
+    // query, the fused top-5 fills a 128-token context in score order;
+    // a doc that would overflow the budget is SKIPPED and the scan
+    // continues (greedy-fit, not first-overflow-stops — the variant
+    // that actually fills windows). The skip rule is expressed with an
+    // integer prefix-max trick (a doc is kept iff its greedy running
+    // total fits), replayed identically in the oracle: ≤5 rows per
+    // query, so the per-query fold is a bounded sort in both engines.
+    // Emits the packed docs with their running totals; order is the
+    // serving order.
+    "rag_context_pack" -> QueryDef.sql(RagPackSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val qt = queryTerms(docs)
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val stats = corpusLens.agg(
+        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
+      val tf = postings.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf", "dl")
+      val bmRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      val btop = bm25Rank(tf, stats, qt, k = 5)
+        .withColumn("r_b", row_number().over(bmRn)).select("qid", "doc_id", "r_b")
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val evalIds = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select("doc_id")
+      val qv = e.join(broadcast(evalIds), e("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cv = e.join(corpusLens.select("doc_id"), e("vec_id") === col("doc_id"), "left_semi")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+      import graft.functions.DotF32.dot_f32
+      val cos = round(dot_f32(col("qv"), col("cv")) /
+        (sqrt(dot_f32(col("qv"), col("qv"))) * sqrt(dot_f32(col("cv"), col("cv")))), 6)
+      val vRn = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id"))
+      val vtop = cv.crossJoin(broadcast(qv))
+        .select(col("qid"), col("doc_id"), cos.as("vscore"))
+        .withColumn("r_v", row_number().over(vRn))
+        .filter(col("r_v") <= 5).select("qid", "doc_id", "r_v")
+      val fuseRn = Window.partitionBy(col("qid")).orderBy(col("rrf_x1e6").desc, col("doc_id"))
+      val fused = btop.join(vtop, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          (coalesce(expr("1000000L div (60 + r_b)"), lit(0L)) +
+            coalesce(expr("1000000L div (60 + r_v)"), lit(0L))).as("rrf_x1e6"))
+        .withColumn("rank", row_number().over(fuseRn).cast("long"))
+        .filter(col("rank") <= 5)
+        .join(corpusLens.select(col("doc_id"), col("dl").as("n_tokens")), Seq("doc_id"))
+      // greedy-fit packing over ≤5 rows per query: collect the ranked
+      // candidate list per query (bounded), fold it with the running
+      // budget, and re-explode the kept rows — the per-group state is
+      // the classic greedy accumulator, bounded by construction
+      val packed = fused
+        .groupBy("qid")
+        .agg(array_sort(collect_list(struct(col("rank"), col("doc_id"),
+          col("rrf_x1e6"), col("n_tokens")))).as("cand"))
+        .select(col("qid"), explode(expr(
+          s"""aggregate(cand,
+             |  struct(CAST(0 AS BIGINT) AS cum, CAST(array() AS ARRAY<STRUCT<
+             |    rank: BIGINT, doc_id: BIGINT, rrf_x1e6: BIGINT,
+             |    n_tokens: BIGINT, cum_tokens: BIGINT>>) AS kept),
+             |  (acc, x) -> IF(acc.cum + x.n_tokens <= $RagBudget,
+             |    struct(acc.cum + x.n_tokens AS cum,
+             |      array_append(acc.kept, struct(x.rank AS rank,
+             |        x.doc_id AS doc_id, x.rrf_x1e6 AS rrf_x1e6,
+             |        x.n_tokens AS n_tokens,
+             |        acc.cum + x.n_tokens AS cum_tokens)) AS kept),
+             |    acc),
+             |  acc -> acc.kept)""".stripMargin)).as("p"))
+        .select(col("qid"), col("p.rank").as("rank"), col("p.doc_id").as("doc_id"),
+          col("p.rrf_x1e6").as("rrf_x1e6"), col("p.n_tokens").as("n_tokens"),
+          col("p.cum_tokens").as("cum_tokens"))
+      packed.orderBy("qid", "rank")
     },
 
     // ----- Rank-biased overlap between the lexical and semantic legs -----
