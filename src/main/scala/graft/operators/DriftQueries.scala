@@ -838,6 +838,104 @@ object DriftQueries {
             .as("var_reduction_ppm"))
     },
 
+    // ----- A20: group-sequential monitoring (O'Brien–Fleming, 4 looks) -----
+    // The last face of the experimentation family: peeking at a test
+    // repeatedly inflates false positives, so interim looks must clear
+    // an alpha-spending boundary — O'Brien–Fleming's z_k = z_K·√(K/k)
+    // (conservative early, nominal at the end; the standard for
+    // clinical and large-platform monitoring). Four equally-spaced
+    // day-quartile looks at the a15 test (parity arms, above-running-
+    // mean outcome — the mean recomputed WITHIN each look, as a real
+    // interim analysis would); each look emits its cumulative χ², the
+    // fixed boundary z_k² in micro-units (published constants for
+    // K = 4, α = .05 two-sided: z_4 = 2.024), and the crossed flag.
+    // Degenerate margins NULL via the a15 guard. Plan: ONE pass builds
+    // per-(user, arm, look) counts (looks explode against the bounded
+    // user table, not events), then look-bounded folds.
+    "a20_group_sequential" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT user_id, user_id % 2 AS arm, event_type,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |looks AS (
+        |  SELECT k, d0 + (k * (d1 - d0)) // 4 AS cut
+        |  FROM (SELECT unnest(generate_series(1, 4)) AS k) g, mm),
+        |ud AS (
+        |  SELECT user_id, arm, day, CAST(count(*) AS BIGINT) AS np
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2, 3),
+        |uk AS (
+        |  SELECT l.k, l.cut, u.user_id, u.arm,
+        |    CAST(sum(CASE WHEN u.day <= l.cut THEN u.np ELSE 0 END) AS BIGINT) AS np
+        |  FROM looks l CROSS JOIN ud u GROUP BY 1, 2, 3, 4),
+        |mt AS (SELECT k, CAST(count(*) AS BIGINT) AS nu, CAST(sum(np) AS BIGINT) AS tp
+        |       FROM uk GROUP BY k),
+        |u AS (
+        |  SELECT uk.k, uk.cut, uk.arm,
+        |    CASE WHEN uk.np * m.nu > m.tp THEN 1 ELSE 0 END AS conv
+        |  FROM uk JOIN mt m ON m.k = uk.k),
+        |cm AS (
+        |  SELECT k, cut, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(k AS BIGINT) AS k, CAST(b AS BIGINT) AS bound_micro
+        |  FROM (VALUES (1, 16386304), (2, 8193152), (3, 5462101), (4, 4096576)) AS v(k, b)),
+        |chi AS (
+        |  SELECT k, cut, n,
+        |    CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN NULL
+        |         ELSE CAST((CAST(1000000 AS HUGEINT) * n * (a * d - b * c) * (a * d - b * c))
+        |           // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)) AS BIGINT)
+        |    END AS chi2_micro
+        |  FROM cm)
+        |SELECT c.k AS look, c.cut AS day_cut, c.n AS n_users, c.chi2_micro,
+        |  b.bound_micro,
+        |  CAST(CASE WHEN c.chi2_micro > b.bound_micro THEN 1 ELSE 0 END AS BIGINT)
+        |    AS crossed
+        |FROM chi c JOIN bounds b ON b.k = c.k
+        |ORDER BY look""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val ev = events(s, d)
+        .select(col("user_id"), (col("user_id") % 2).as("arm"), col("event_type"),
+          expr(s"(($us) div 86400000000)").as("day"))
+      val mm = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val looks = mm.select(explode(sequence(lit(1L), lit(4L))).as("k"),
+          col("d0"), col("d1"))
+        .select(col("k"), expr("d0 + (k * (d1 - d0)) div 4").as("cut"))
+      val ud = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "arm", "day").agg(count(lit(1)).as("np"))
+      val uk = broadcast(looks).crossJoin(ud)
+        .groupBy("k", "cut", "user_id", "arm")
+        .agg(sum(when(col("day") <= col("cut"), col("np")).otherwise(0L)).as("np"))
+        .localCheckpoint(true)
+      val mt = uk.groupBy("k").agg(count(lit(1)).as("nu"), sum("np").as("tp"))
+      val cm = uk.join(broadcast(mt), Seq("k"))
+        .select(col("k"), col("cut"), col("arm"),
+          when(col("np") * col("nu") > col("tp"), 1L).otherwise(0L).as("conv"))
+        .groupBy("k", "cut")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+      import s.implicits._
+      val bounds = broadcast(Seq((1L, 16386304L), (2L, 8193152L), (3L, 5462101L),
+        (4L, 4096576L)).toDF("k", "bound_micro"))
+      cm.join(bounds, Seq("k"))
+        .select(col("k").as("look"), col("cut").as("day_cut"), col("n").as("n_users"),
+          expr("""CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN NULL
+                 |     ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * n * (a * d - b * c) * (a * d - b * c))
+                 |       div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)) AS BIGINT)
+                 |END""".stripMargin).as("chi2_micro"),
+          col("bound_micro"))
+        .withColumn("crossed",
+          when(col("chi2_micro") > col("bound_micro"), 1L).otherwise(0L))
+        .orderBy("look")
+    },
+
     // ----- A19: difference-in-differences readout -----
     // Completes the experimentation trio (a15 tests, a18 reduces
     // variance, DiD estimates under parallel trends when assignment
