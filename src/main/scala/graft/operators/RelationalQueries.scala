@@ -2710,6 +2710,82 @@ object RelationalQueries {
         .orderBy("pur_id")
     },
 
+    // ----- U6: bitemporal audit — state as KNOWN AT vs as known now -----
+    // The second time axis u5's SCD2 leaves implicit: VALID time says
+    // when a state held; TRANSACTION time says when the warehouse
+    // learned it. This audit rebuilds each user's version chain twice —
+    // from the events known at the mid-day transaction point, and from
+    // everything — and compares: late-arriving changes grow the chain
+    // and retroactively close the interval that was open at mid. The
+    // prefix property makes the comparison exact (change detection on a
+    // time-prefix IS the prefix of change detection, so mid-known
+    // versions are literally the first n_mid rows of the current
+    // chain); both sides ride the same user-keyed window exchange.
+    // Emitted per user: version counts under both knowledge points and
+    // the state each would serve — the reconciliation report a
+    // backfilled warehouse publishes.
+    "u6_bitemporal_audit" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ns, event_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        |chn AS (
+        |  SELECT user_id, ns, event_id, event_type FROM (
+        |    SELECT user_id, ns, event_id, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS prev
+        |    FROM e) WHERE prev IS NULL OR prev <> event_type),
+        |chm AS (
+        |  SELECT user_id, ns, event_id, event_type FROM (
+        |    SELECT user_id, ns, event_id, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS prev
+        |    FROM e CROSS JOIN mm WHERE day <= mid) WHERE prev IS NULL OR prev <> event_type),
+        |vn AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions_now,
+        |    max_by(event_type, lpad(CAST(ns AS VARCHAR), 20, '0')
+        |      || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS state_now
+        |  FROM chn GROUP BY user_id),
+        |vm AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions_mid,
+        |    max_by(event_type, lpad(CAST(ns AS VARCHAR), 20, '0')
+        |      || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS state_at_mid
+        |  FROM chm GROUP BY user_id)
+        |SELECT n.user_id, coalesce(m.n_versions_mid, 0) AS n_versions_mid,
+        |  n.n_versions_now, m.state_at_mid, n.state_now,
+        |  n.n_versions_now - coalesce(m.n_versions_mid, 0) AS late_corrections
+        |FROM vn n LEFT JOIN vm m ON m.user_id = n.user_id
+        |ORDER BY n.user_id""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val e = events(s, d)
+        .select(col("user_id"), col("ts_ns").as("ns"), col("event_id"),
+          col("event_type"), expr(s"(($us) div 86400000000)").as("day"))
+        .localCheckpoint()
+      val mm = e.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      def chain(in: org.apache.spark.sql.DataFrame) = in
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("nv"),
+          max_by(col("event_type"),
+            concat(lpad(col("ns").cast("string"), 20, "0"),
+              lpad(col("event_id").cast("string"), 10, "0")))
+            .as("st"))
+      val vn = chain(e)
+        .select(col("user_id"), col("nv").as("n_versions_now"),
+          col("st").as("state_now"))
+      val vm = chain(e.crossJoin(broadcast(mm)).filter(col("day") <= col("mid")))
+        .select(col("user_id"), col("nv").as("n_versions_mid"),
+          col("st").as("state_at_mid"))
+      vn.join(vm, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("n_versions_mid"), lit(0L)).as("n_versions_mid"),
+          col("n_versions_now"), col("state_at_mid"), col("state_now"),
+          (col("n_versions_now") - coalesce(col("n_versions_mid"), lit(0L)))
+            .as("late_corrections"))
+        .orderBy("user_id")
+    },
+
     // ----- J20: semi-join reduction via a Bloom pre-filter -----
     // The other half of the distributed-join toolkit beside broadcast /
     // bucketing / salting / AQE-skew: when the build side is too big to
