@@ -1061,5 +1061,426 @@ object DriftQueries {
         .filter(col("n_events") > 0)
         .orderBy("user_id")
     },
+
+    // ----- DQ: referential-integrity audit over a corrupted staging feed -----
+    // The pre-merge gate a warehouse runs on INCOMING data: every FK edge
+    // of the star schema is checked for orphans (child keys with no
+    // parent) and dead parents (never referenced). Clean fixtures would
+    // make this a wall of zeros, so the audit runs against a STAGED feed
+    // with deterministic corruption planted (FK := −1 on a fixed modulus
+    // of the child's own key — the corruption IS part of the query, so
+    // both engines stage identical feeds). Scale shape: each edge is one
+    // key-only join — dim parents broadcast, the one fact-fact edge
+    // (lineitem→orders) shuffles once on the key; no row payloads move,
+    // and the 7 one-row edge reports union on the driver side of a
+    // 7-row table. The nation→region edge is left clean as the
+    // all-zeros control row.
+    "dq_referential_integrity" -> QueryDef.sql(
+      """WITH ls AS (
+        |  SELECT CASE WHEN (l_orderkey * 10 + l_linenumber) % 499 = 0
+        |    THEN -1 ELSE l_orderkey END AS fk_ord,
+        |    CASE WHEN (l_orderkey * 10 + l_linenumber) % 503 = 0
+        |    THEN -1 ELSE l_partkey END AS fk_part,
+        |    CASE WHEN (l_orderkey * 10 + l_linenumber) % 509 = 0
+        |    THEN -1 ELSE l_suppkey END AS fk_supp
+        |  FROM lineitem),
+        |os AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 499 = 0 THEN -1 ELSE o_custkey END AS fk_cust
+        |  FROM orders),
+        |cs AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 499 = 0 THEN -1 ELSE c_nationkey END AS fk_nat
+        |  FROM customer),
+        |ss AS (SELECT s_suppkey,
+        |  CASE WHEN s_suppkey % 97 = 0 THEN -1 ELSE s_nationkey END AS fk_nat
+        |  FROM supplier),
+        |edge AS (
+        |  SELECT 'customer->nation' AS edge,
+        |    (SELECT count(*) FROM cs) AS n_child,
+        |    (SELECT count(*) FROM cs WHERE fk_nat < 0) AS n_corrupt,
+        |    (SELECT count(*) FROM cs WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = cs.fk_nat)) AS n_orphan,
+        |    (SELECT count(*) FROM nation) AS n_parent,
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM cs WHERE cs.fk_nat = n.n_nationkey)) AS n_unref_parent
+        |  UNION ALL SELECT 'lineitem->orders',
+        |    (SELECT count(*) FROM ls), (SELECT count(*) FROM ls WHERE fk_ord < 0),
+        |    (SELECT count(*) FROM ls WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = ls.fk_ord)),
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM ls WHERE ls.fk_ord = o.o_orderkey))
+        |  UNION ALL SELECT 'lineitem->part',
+        |    (SELECT count(*) FROM ls), (SELECT count(*) FROM ls WHERE fk_part < 0),
+        |    (SELECT count(*) FROM ls WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = ls.fk_part)),
+        |    (SELECT count(*) FROM part),
+        |    (SELECT count(*) FROM part p WHERE NOT EXISTS
+        |      (SELECT 1 FROM ls WHERE ls.fk_part = p.p_partkey))
+        |  UNION ALL SELECT 'lineitem->supplier',
+        |    (SELECT count(*) FROM ls), (SELECT count(*) FROM ls WHERE fk_supp < 0),
+        |    (SELECT count(*) FROM ls WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = ls.fk_supp)),
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |      (SELECT 1 FROM ls WHERE ls.fk_supp = s.s_suppkey))
+        |  UNION ALL SELECT 'nation->region',
+        |    (SELECT count(*) FROM nation), 0,
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+        |    (SELECT count(*) FROM region),
+        |    (SELECT count(*) FROM region r WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey))
+        |  UNION ALL SELECT 'orders->customer',
+        |    (SELECT count(*) FROM os), (SELECT count(*) FROM os WHERE fk_cust < 0),
+        |    (SELECT count(*) FROM os WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = os.fk_cust)),
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM os WHERE os.fk_cust = c.c_custkey))
+        |  UNION ALL SELECT 'supplier->nation',
+        |    (SELECT count(*) FROM ss), (SELECT count(*) FROM ss WHERE fk_nat < 0),
+        |    (SELECT count(*) FROM ss WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = ss.fk_nat)),
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM ss WHERE ss.fk_nat = n.n_nationkey)))
+        |SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_corrupt AS BIGINT) AS n_corrupt,
+        |  CAST(n_orphan AS BIGINT) AS n_orphan,
+        |  CAST(n_parent AS BIGINT) AS n_parent,
+        |  CAST(n_unref_parent AS BIGINT) AS n_unref_parent
+        |FROM edge ORDER BY edge""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      def edgeReport(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+        val pkeys0 = parent.select(col(pk).as("_pk")).distinct()
+        val pkeys = if (bcast) broadcast(pkeys0) else pkeys0
+        val c = child.join(pkeys, col(fk) === col("_pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col(fk) < 0, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphan"))
+        // dead-parent check: build side is the DISTINCT child key set —
+        // broadcastable for dim edges; the fact-fact edge shuffles on the key
+        val fks0 = child.select(col(fk).as("_fk")).distinct()
+        val fks = if (bcast) broadcast(fks0) else fks0
+        val p = parent.join(fks, col(pk) === col("_fk"), "left")
+          .agg(count(lit(1)).as("n_parent"),
+            sum(when(col("_fk").isNull, 1L).otherwise(0L)).as("n_unref_parent"))
+        c.crossJoin(p).select(lit(name).as("edge"), col("n_child"),
+          col("n_corrupt"), col("n_orphan"), col("n_parent"),
+          col("n_unref_parent"))
+      }
+      val li = lineitem(s, d).select(
+        when((col("l_orderkey") * 10 + col("l_linenumber")) % 499 === 0, -1L)
+          .otherwise(col("l_orderkey")).as("fk_ord"),
+        when((col("l_orderkey") * 10 + col("l_linenumber")) % 503 === 0, -1L)
+          .otherwise(col("l_partkey")).as("fk_part"),
+        when((col("l_orderkey") * 10 + col("l_linenumber")) % 509 === 0, -1L)
+          .otherwise(col("l_suppkey")).as("fk_supp"))
+        .localCheckpoint()
+      val os = orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 499 === 0, -1L).otherwise(col("o_custkey"))
+          .as("fk_cust"))
+      val cs = customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 499 === 0, -1)
+          .otherwise(col("c_nationkey")).as("fk_nat"))
+      val ss = supplier(s, d).select(col("s_suppkey"),
+        when(col("s_suppkey") % 97 === 0, -1)
+          .otherwise(col("s_nationkey")).as("fk_nat"))
+      edgeReport("customer->nation", cs, "fk_nat", nation(s, d), "n_nationkey", bcast = true)
+        .unionByName(edgeReport("lineitem->orders", li, "fk_ord", orders(s, d), "o_orderkey", bcast = false))
+        .unionByName(edgeReport("lineitem->part", li, "fk_part", part(s, d), "p_partkey", bcast = true))
+        .unionByName(edgeReport("lineitem->supplier", li, "fk_supp", supplier(s, d), "s_suppkey", bcast = true))
+        .unionByName(edgeReport("nation->region", nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey").as("fk_reg")), "fk_reg",
+          region(s, d), "r_regionkey", bcast = true)
+          .withColumn("n_corrupt", lit(0L)))
+        .unionByName(edgeReport("orders->customer", os, "fk_cust", customer(s, d), "c_custkey", bcast = true))
+        .unionByName(edgeReport("supplier->nation", ss, "fk_nat", nation(s, d), "n_nationkey", bcast = true))
+        .orderBy("edge")
+    },
+
+    // ----- DQ: declarative expectation suite (Great-Expectations-shaped) -----
+    // One row per (table, check): row count, violation count, pass flag.
+    // Each table is scanned ONCE — all its checks fold into a single
+    // conditional aggregate (one hash-agg, no shuffle beyond the 1-row
+    // partial merge), then the per-table rows stack into the report. The
+    // checks are real contracts on this data, and one has genuine teeth:
+    // lineitem's (l_orderkey, l_linenumber) is NOT unique in the fixture
+    // (14k+ duplicate rows at sf0.01) — exactly what the gate exists to
+    // catch. Uniqueness is the one check that must shuffle (count per
+    // key); it rides a distinct-sized aggregate, not a row-payload sort.
+    "dq_expectation_suite" -> QueryDef.sql(
+      """WITH lidup AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS dups
+        |  FROM lineitem),
+        |li AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.5 THEN 0 ELSE 1 END) AS BIGINT) AS disc,
+        |    CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS qty,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipnull
+        |  FROM lineitem),
+        |oo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS status,
+        |    CAST(sum(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 0 ELSE 1 END) AS BIGINT) AS price,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custnull
+        |  FROM orders),
+        |ee AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS val,
+        |    CAST(sum(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS etype
+        |  FROM events),
+        |dd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS chars,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS langnull
+        |  FROM documents),
+        |cu AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS dups
+        |  FROM customer),
+        |rep AS (
+        |  SELECT 'customer' AS table_name, 'pk_unique' AS check_name, n, dups AS n_violations FROM cu
+        |  UNION ALL SELECT 'documents', 'lang_not_null', n, langnull FROM dd
+        |  UNION ALL SELECT 'documents', 'n_chars_consistent', n, chars FROM dd
+        |  UNION ALL SELECT 'events', 'type_accepted', n, etype FROM ee
+        |  UNION ALL SELECT 'events', 'value_nonnegative', n, val FROM ee
+        |  UNION ALL SELECT 'lineitem', 'discount_in_range', n, disc FROM li
+        |  UNION ALL SELECT 'lineitem', 'pk_unique', n, dups FROM lidup
+        |  UNION ALL SELECT 'lineitem', 'quantity_in_range', n, qty FROM li
+        |  UNION ALL SELECT 'lineitem', 'shipdate_not_null', n, shipnull FROM li
+        |  UNION ALL SELECT 'orders', 'custkey_not_null', n, custnull FROM oo
+        |  UNION ALL SELECT 'orders', 'price_in_range', n, price FROM oo
+        |  UNION ALL SELECT 'orders', 'status_accepted', n, status FROM oo)
+        |SELECT table_name, check_name, n AS n_rows, n_violations,
+        |  CAST(n_violations = 0 AS BIGINT) AS pass
+        |FROM rep ORDER BY table_name, check_name""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      def rows(table: String, agged: DataFrame, checks: (String, String)*): DataFrame =
+        checks.map { case (check, vcol) =>
+          agged.select(lit(table).as("table_name"), lit(check).as("check_name"),
+            col("n").as("n_rows"), col(vcol).as("n_violations"))
+        }.reduce(_.unionByName(_))
+      val lidup = lineitem(s, d)
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+            .as("dups"))
+      val li = lineitem(s, d).agg(count(lit(1)).as("n"),
+        sum(when(col("l_discount").between(0, 0.5), 0L).otherwise(1L)).as("disc"),
+        sum(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 0L)
+          .otherwise(1L)).as("qty"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("shipnull"))
+      val oo = orders(s, d).agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+          .as("status"),
+        sum(when(col("o_totalprice") > 0 && col("o_totalprice") < 1000000, 0L)
+          .otherwise(1L)).as("price"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custnull"))
+      val ee = events(s, d).agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 0, 0L).otherwise(1L)).as("val"),
+        sum(when(col("event_type").isin("click", "view", "purchase", "signup",
+          "error"), 0L).otherwise(1L)).as("etype"))
+      val dd = documents(s, d).agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") === length(col("text")), 0L).otherwise(1L))
+          .as("chars"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("langnull"))
+      val cu = customer(s, d).agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("dups"))
+      rows("customer", cu, "pk_unique" -> "dups")
+        .unionByName(rows("documents", dd, "lang_not_null" -> "langnull",
+          "n_chars_consistent" -> "chars"))
+        .unionByName(rows("events", ee, "type_accepted" -> "etype",
+          "value_nonnegative" -> "val"))
+        .unionByName(rows("lineitem", li, "discount_in_range" -> "disc",
+          "quantity_in_range" -> "qty", "shipdate_not_null" -> "shipnull"))
+        .unionByName(rows("lineitem", lidup, "pk_unique" -> "dups"))
+        .unionByName(rows("orders", oo, "custkey_not_null" -> "custnull",
+          "price_in_range" -> "price", "status_accepted" -> "status"))
+        .select(col("table_name"), col("check_name"), col("n_rows"),
+          col("n_violations"),
+          (col("n_violations") === 0).cast("long").as("pass"))
+        .orderBy("table_name", "check_name")
+    },
+
+    // ----- Mutual information between lang and source (doc counts) -----
+    // KL (above) audits one marginal against the corpus; MI audits the
+    // JOINT — how much knowing the source tells you about the language,
+    // the number a mixture designer checks before treating lang and
+    // source weights as independently tunable. Same fixed-transcendental
+    // discipline as KL: ln enters once per (lang, source) CELL (bounded
+    // taxonomy², not corpus), round(,6) then micro-integer, after which
+    // every emission is BIGINT. Scale shape: one corpus-pass hash agg to
+    // cells, marginals fold from the cells (no second scan), everything
+    // after is broadcast algebra over ≤|langs|·|sources| rows.
+    "mi_lang_source" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ij
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ml AS (SELECT lang, CAST(sum(n_ij) AS BIGINT) AS n_i FROM c GROUP BY 1),
+        |ms AS (SELECT source, CAST(sum(n_ij) AS BIGINT) AS n_j FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n FROM c),
+        |cell AS (
+        |  SELECT c.lang, c.source, c.n_ij,
+        |    CAST(round(1000000 * round(ln(
+        |      CAST(c.n_ij * nn.n AS DOUBLE) / (ml.n_i * ms.n_j)), 6)) AS BIGINT)
+        |      AS pmi_micro,
+        |    (c.n_ij * CAST(round(1000000 * round(ln(
+        |      CAST(c.n_ij * nn.n AS DOUBLE) / (ml.n_i * ms.n_j)), 6)) AS BIGINT))
+        |      // nn.n AS term_micro
+        |  FROM c JOIN ml ON ml.lang = c.lang JOIN ms ON ms.source = c.source
+        |  CROSS JOIN nn),
+        |tot AS (SELECT CAST(sum(term_micro) AS BIGINT) AS mi_micro FROM cell)
+        |SELECT cell.lang, cell.source, cell.n_ij, cell.pmi_micro,
+        |  cell.term_micro, tot.mi_micro AS mi_total_micro
+        |FROM cell CROSS JOIN tot ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val c = documents(s, d)
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_ij"))
+        .localCheckpoint(true)
+      val ml = c.groupBy("lang").agg(sum("n_ij").as("n_i"))
+      val ms = c.groupBy("source").agg(sum("n_ij").as("n_j"))
+      val nn = c.agg(sum("n_ij").as("n"))
+      val cell = c.join(broadcast(ml), Seq("lang"))
+        .join(broadcast(ms), Seq("source"))
+        .crossJoin(broadcast(nn))
+        .withColumn("pmi_micro",
+          expr("""CAST(round(1000000 * round(ln(
+                 |  CAST(n_ij * n AS DOUBLE) / (n_i * n_j)), 6)) AS BIGINT)""".stripMargin))
+        .withColumn("term_micro", expr("(n_ij * pmi_micro) div n"))
+        .localCheckpoint(true)
+      val tot = cell.agg(sum("term_micro").as("mi_total_micro"))
+      cell.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_ij"), col("pmi_micro"),
+          col("term_micro"), col("mi_total_micro"))
+        .orderBy("lang", "source")
+    },
+
+    // ----- Robust location: trimmed + winsorized means per event type -----
+    // The outlier-resistant siblings of the plain mean the anomaly
+    // pipeline (event_anomaly_mad) flags against: drop the exact top and
+    // bottom 5% by rank (trimmed) or clamp them to the 5th/95th rank
+    // values (winsorized). Exact-rank form — ranks come from ONE window
+    // pass per type ordered by (value_micro, event_id) so ties are
+    // deterministic, then a single conditional aggregate folds all three
+    // means; the winsorized sum is closed-form from the trimmed sum plus
+    // k copies of each boundary (the clamped rows ARE the boundary
+    // values). Integer micro-units end to end. Scale: the per-type sort
+    // is the audit cost (5 types ⇒ 5 reducers at 100 TB — the
+    // quantile-bin store is the streaming-scale path; this is the exact
+    // face run on samples or backfills).
+    "robust_trimmed_stats" -> QueryDef.sql(
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(1000000 * round(value, 6)) AS BIGINT) AS micro
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, micro,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY micro, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |k AS (SELECT event_type, micro, rn, n, (n * 5) // 100 AS kt FROM r)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(kt AS BIGINT) AS k_trim,
+        |  CAST(sum(micro) // n AS BIGINT) AS mean_micro,
+        |  CAST(sum(CASE WHEN rn > kt AND rn <= n - kt THEN micro ELSE 0 END)
+        |    // (n - 2 * kt) AS BIGINT) AS trimmed_mean_micro,
+        |  CAST((sum(CASE WHEN rn > kt AND rn <= n - kt THEN micro ELSE 0 END)
+        |    + kt * max(CASE WHEN rn = kt + 1 THEN micro END)
+        |    + kt * max(CASE WHEN rn = n - kt THEN micro END)) // n AS BIGINT)
+        |    AS winsor_mean_micro
+        |FROM k GROUP BY event_type, n, kt ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = events(s, d).select(col("event_type"), col("event_id"),
+        expr("CAST(round(1000000 * round(value, 6)) AS BIGINT)").as("micro"))
+      val w = Window.partitionBy("event_type").orderBy("micro", "event_id")
+      val wn = Window.partitionBy("event_type")
+      val r = v.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("kt", expr("(n * 5) div 100"))
+      r.groupBy("event_type", "n", "kt")
+        .agg(
+          sum(col("micro")).as("tot"),
+          sum(when(col("rn") > col("kt") && col("rn") <= col("n") - col("kt"),
+            col("micro")).otherwise(0L)).as("trim_sum"),
+          max(when(col("rn") === col("kt") + 1, col("micro"))).as("lo"),
+          max(when(col("rn") === col("n") - col("kt"), col("micro"))).as("hi"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("kt").cast("long").as("k_trim"),
+          expr("tot div n").as("mean_micro"),
+          expr("trim_sum div (n - 2 * kt)").as("trimmed_mean_micro"),
+          expr("(trim_sum + kt * lo + kt * hi) div n").as("winsor_mean_micro"))
+        .orderBy("event_type")
+    },
+
+    // ----- Theil–Sen robust trend of the daily event series -----
+    // The median-of-pairwise-slopes estimator (Theil 1950, Sen 1968):
+    // up to ~29% of the daily points can be corrupted before the trend
+    // moves, where the OLS slope (emitted beside it) chases every
+    // outlier day. Days are rebased to min-day so magnitudes stay small,
+    // slopes are ppm integers (trunc division — both engines truncate
+    // toward zero on negatives, verified), and the median is the LOWER
+    // median by (slope, day-pair) rank — fully deterministic. Scale
+    // shape: the corpus collapses to the bounded daily-count table in
+    // one hash agg; the O(days²) pair join and its rank run on
+    // calendar-cardinality rows (435 pairs for a month, ~66k for a
+    // year), never on the corpus.
+    "ts_theilsen_trend" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+        |c0 AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        |mn AS (SELECT min(day) AS d0 FROM c0),
+        |c AS (SELECT CAST(day - d0 AS BIGINT) AS d, c FROM c0 CROSS JOIN mn),
+        |p AS (
+        |  SELECT a.d AS di, b.d AS dj,
+        |    (1000000 * (b.c - a.c)) // (b.d - a.d) AS slope_ppm
+        |  FROM c a JOIN c b ON b.d > a.d),
+        |med AS (
+        |  SELECT slope_ppm AS theilsen_slope_ppm FROM (
+        |    SELECT slope_ppm,
+        |      row_number() OVER (ORDER BY slope_ppm, di, dj) AS rn,
+        |      count(*) OVER () AS np
+        |    FROM p) WHERE rn = (np + 1) // 2),
+        |ols AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    (1000000 * (count(*) * sum(d * c) - sum(d) * sum(c)))
+        |      // (count(*) * sum(d * d) - sum(d) * sum(d)) AS ols_slope_ppm
+        |  FROM c),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p)
+        |SELECT ols.n_days, np.n_pairs, med.theilsen_slope_ppm,
+        |  CAST(ols.ols_slope_ppm AS BIGINT) AS ols_slope_ppm
+        |FROM ols CROSS JOIN np CROSS JOIN med""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val c0 = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val mn = c0.agg(min("day").as("d0"))
+      val c = c0.crossJoin(broadcast(mn))
+        .select((col("day") - col("d0")).as("d"), col("c"))
+        .localCheckpoint(true)
+      val a = c.select(col("d").as("di"), col("c").as("ci"))
+      val b = c.select(col("d").as("dj"), col("c").as("cj"))
+      val p = a.join(b, col("dj") > col("di"))
+        .select(col("di"), col("dj"),
+          expr("(1000000 * (cj - ci)) div (dj - di)").as("slope_ppm"))
+        .localCheckpoint(true)
+      // bounded table (calendar² rows): the global rank window is safe here
+      val med = p
+        .withColumn("rn", row_number().over(
+          Window.orderBy("slope_ppm", "di", "dj")))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .filter(expr("rn = (np + 1) div 2"))
+        .select(col("slope_ppm").as("theilsen_slope_ppm"))
+      val ols = c.agg(count(lit(1)).as("n_days"),
+        expr("""(1000000 * (count(1) * sum(d * c) - sum(d) * sum(c)))
+               |  div (count(1) * sum(d * d) - sum(d) * sum(d))""".stripMargin)
+          .as("ols_slope_ppm"))
+      val np = p.agg(count(lit(1)).as("n_pairs"))
+      ols.crossJoin(np).crossJoin(med)
+        .select(col("n_days"), col("n_pairs"), col("theilsen_slope_ppm"),
+          col("ols_slope_ppm"))
+    },
   )
 }
