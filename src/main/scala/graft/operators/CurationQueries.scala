@@ -470,6 +470,89 @@ object CurationQueries {
         .orderBy("lang", "source")
     },
 
+    // ----- t-closeness audit: ordered EMD per QI group (Li et al. 2007) -----
+    // The third rung of the privacy ladder: k-anonymity bounds group
+    // SIZE, l-diversity bounds sensitive-value VARIETY, t-closeness
+    // bounds the DISTANCE between a group's sensitive distribution and
+    // the corpus's — the skewness attack the first two miss (a group
+    // can be large and varied yet still 90% one decile). Sensitive
+    // attribute = global n_chars decile (ordered), distance = the
+    // ordered-attribute Earth Mover's Distance, which for deciles is
+    // the mean |ΔCDF| over the 9 interior cuts. Everything is exact
+    // integer: deciles come from the two-pass distributed global rank
+    // (no single-partition window), and the EMD numerator cross-
+    // multiplies raw cumulative counts (|cum_g·N − cum_G·n_g|) so no
+    // division happens until the final ppm floor. Scale shape: one
+    // global rank pass over the corpus, then pure broadcast algebra on
+    // the bounded (groups × deciles) grid.
+    "pii_t_closeness" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT lang, source, n_chars, doc_id FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |b AS (
+        |  SELECT lang, source,
+        |    ((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 10) // nn.n + 1
+        |      AS bucket
+        |  FROM d CROSS JOIN nn),
+        |gb AS (SELECT lang, source, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM b GROUP BY 1, 2, 3),
+        |gall AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |grp AS (SELECT lang, source, CAST(sum(cnt) AS BIGINT) AS n_g FROM gb GROUP BY 1, 2),
+        |grid AS (SELECT g.lang, g.source, g.n_g, r.k
+        |         FROM grp g CROSS JOIN (SELECT unnest(range(1, 10)) AS k) r),
+        |cumg AS (
+        |  SELECT gr.lang, gr.source, gr.n_g, gr.k,
+        |    coalesce(sum(gb.cnt), 0) AS cg
+        |  FROM grid gr LEFT JOIN gb
+        |    ON gb.lang = gr.lang AND gb.source = gr.source AND gb.bucket <= gr.k
+        |  GROUP BY 1, 2, 3, 4),
+        |cumt AS (
+        |  SELECT r.k, sum(CASE WHEN gall.bucket <= r.k THEN gall.cnt ELSE 0 END) AS cum_glob
+        |  FROM (SELECT unnest(range(1, 10)) AS k) r CROSS JOIN gall GROUP BY 1),
+        |emd AS (
+        |  SELECT c.lang, c.source, c.n_g,
+        |    CAST((1000000 * sum(abs(c.cg * nn.n - g.cum_glob * c.n_g)))
+        |      // (nn.n * c.n_g * 9) AS BIGINT) AS emd_ppm
+        |  FROM cumg c JOIN cumt g ON g.k = c.k CROSS JOIN nn
+        |  GROUP BY 1, 2, 3, nn.n)
+        |SELECT lang, source, n_g AS n_docs, emd_ppm,
+        |  CAST(emd_ppm > 200000 AS BIGINT) AS violates_t02
+        |FROM emd ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val dd = documents(s, d)
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("lang"), col("source"), col("n_chars"), col("doc_id"))
+      val (ranked, n) = graft.util.Scale.globalRowNumber(
+        dd, Seq(col("n_chars"), col("doc_id")), "rn")
+      val b = ranked
+        .select(col("lang"), col("source"),
+          expr(s"((rn - 1) * 10) div ${n}L + 1").as("bucket"))
+      val gb = b.groupBy("lang", "source", "bucket").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val glob = gb.groupBy("bucket").agg(sum("cnt").as("cnt"))
+      val grp = gb.groupBy("lang", "source").agg(sum("cnt").as("n_g"))
+      val ks = s.range(1, 10).select(col("id").as("k"))
+      val grid = grp.crossJoin(broadcast(ks))
+      val gbr = gb.select(col("lang").as("gl"), col("source").as("gs"),
+        col("bucket"), col("cnt"))
+      val cumg = grid.join(broadcast(gbr),
+          col("gl") === col("lang") && col("gs") === col("source") &&
+            col("bucket") <= col("k"), "left")
+        .groupBy(col("lang"), col("source"), col("n_g"), col("k"))
+        .agg(coalesce(sum("cnt"), lit(0L)).as("cg"))
+      val cumG = ks.crossJoin(broadcast(glob))
+        .groupBy("k")
+        .agg(sum(when(col("bucket") <= col("k"), col("cnt")).otherwise(0L))
+          .as("cum_glob"))
+      cumg.join(broadcast(cumG), Seq("k"))
+        .groupBy("lang", "source", "n_g")
+        .agg(sum(abs(col("cg") * lit(n) - col("cum_glob") * col("n_g"))).as("num"))
+        .select(col("lang"), col("source"), col("n_g").as("n_docs"),
+          expr(s"(1000000 * num) div (${n}L * n_g * 9)").as("emd_ppm"))
+        .withColumn("violates_t02", (col("emd_ppm") > 200000).cast("long"))
+        .orderBy("lang", "source")
+    },
+
     // ----- PII detection + redaction: stateless codegen'd regex pass -----
     // Counts and redacts emails / phone numbers / IPs in one projection —
     // no shuffle, no UDF; at 100 TB this is a pure map stage pipelined

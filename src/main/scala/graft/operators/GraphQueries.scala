@@ -230,7 +230,82 @@ object GraphQueries {
         .select(col("v").as("doc_id"), col("p").as("ppr_x1e12"))
         .orderBy("doc_id")
     },
+
+    // ----- Link prediction: Adamic–Adar over the candidate graph -----
+    // The eighth graph lens answers "which NON-edges should exist":
+    // two docs that share many low-degree neighbors are near-certain
+    // family members the banded LSH pass happened to miss (signature
+    // collision is probabilistic — recall < 1 by design), and the
+    // Adamic–Adar weight 1/ln(deg) discounts hub neighbors exactly
+    // where common-neighbor counting over-scores boilerplate centers
+    // (Adamic & Adar 2003; Liben-Nowell & Kleinberg 2007). Feeding the
+    // top predictions back as extra candidate pairs is the standard
+    // recall-repair loop for LSH dedup. Determinism: 1/ln enters once
+    // per DISTINCT DEGREE (bounded by the cap), round(,6)-then-micro,
+    // after which scores are BIGINT sums. Scale shape: same
+    // degree-capped wedge join that bounds the triangle count — hubs
+    // above the cap are the substring family's territory — and the
+    // existing-edge exclusion is an anti-join against the canonical
+    // pair table, never a quadratic scan.
+    "graph_link_adamic_adar" -> QueryDef.sql(AdamicAdarOracleSql) { (s, d) =>
+      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+        .localCheckpoint()
+      val deg0 = pairs.select(col("doc_a").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg0.filter(col("d") <= TriDegreeCap).select("v")
+      val ec = pairs
+        .join(keep.withColumnRenamed("v", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint(true)
+      val eu = ec.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(ec.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      // wedge centers have ≥ 2 distinct neighbors by construction, so
+      // ln(deg) is never 0 in a term that survives the join below
+      val inv = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2) // deg-1 nodes can't be centers; keeps ln(deg) > 0
+        .withColumn("invln",
+          expr("CAST(round(1000000 * round(1.0 / ln(CAST(deg AS DOUBLE)), 6)) AS BIGINT)"))
+      val x = eu.select(col("src").as("wa"), col("dst").as("ctr"))
+      val y = eu.select(col("src").as("ctr"), col("dst").as("wc"))
+      val cand = x.join(y, Seq("ctr")).filter(col("wa") < col("wc"))
+        .join(ec, col("wa") === col("a") && col("wc") === col("b"), "left_anti")
+      cand.join(inv, col("ctr") === col("v"))
+        .groupBy(col("wa").as("doc_a"), col("wc").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"), sum("invln").as("aa_micro"))
+        .orderBy(col("aa_micro").desc, col("doc_a"), col("doc_b"))
+    },
   )
+
+  private lazy val AdamicAdarOracleSql: String =
+    s"""WITH ${TextQueries.MinhashBandsCte},
+       |pairs AS (${TextQueries.BandedPairsSelect}),
+       |deg0 AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs)
+       |  GROUP BY v),
+       |keep AS (SELECT v FROM deg0 WHERE d <= $TriDegreeCap),
+       |ec AS (
+       |  SELECT p.doc_a AS a, p.doc_b AS b FROM pairs p
+       |  JOIN keep k1 ON k1.v = p.doc_a JOIN keep k2 ON k2.v = p.doc_b),
+       |eu AS (SELECT a AS src, b AS dst FROM ec
+       |       UNION ALL SELECT b AS src, a AS dst FROM ec),
+       |inv AS (
+       |  SELECT src AS v, CAST(round(1000000 * round(
+       |    1.0 / ln(CAST(count(*) AS DOUBLE)), 6)) AS BIGINT) AS invln
+       |  FROM eu GROUP BY src HAVING count(*) >= 2),
+       |cand AS (
+       |  SELECT x.src AS wa, x.dst AS ctr, y.dst AS wc
+       |  FROM eu x JOIN eu y ON y.src = x.dst AND x.src < y.dst
+       |  WHERE NOT EXISTS (SELECT 1 FROM ec WHERE ec.a = x.src AND ec.b = y.dst))
+       |SELECT cand.wa AS doc_a, cand.wc AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_common,
+       |  CAST(sum(inv.invln) AS BIGINT) AS aa_micro
+       |FROM cand JOIN inv ON inv.v = cand.ctr
+       |GROUP BY cand.wa, cand.wc
+       |ORDER BY aa_micro DESC, doc_a, doc_b""".stripMargin
 
   /** Seed set for `ppr_related_docs`: graph nodes with doc_id below this. */
   val PprSeedMax = 50

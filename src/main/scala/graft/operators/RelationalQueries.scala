@@ -2786,6 +2786,139 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- ER: fuzzy name self-join via SymSpell deletion keys -----
+    // Entity-resolution blocking done right: find every customer-name
+    // pair within edit distance 1 WITHOUT the quadratic all-pairs scan.
+    // Each name emits itself plus its |name|+1 single-deletion variants
+    // as join keys (the SymSpell neighborhood; Garbe 2012 — public
+    // domain technique, also the spelling-correction trick in Norvig's
+    // essay): any two strings at Levenshtein distance ≤ 1 provably
+    // share a key (substitution ⇒ both delete that position; indel ⇒
+    // the longer's deletion hits the shorter's identity key), so the
+    // block join is RECALL-COMPLETE and the exact levenshtein runs only
+    // on candidates — key-bucket-bounded, never |names|². Scale shape:
+    // one explode (×~20), one equi-join on the key, one distinct; the
+    // verify predicate is codegen'd. Emitted per customer: neighbor
+    // count and the lexicographically first neighbor.
+    "er_fuzzy_name_join" -> QueryDef.sql(
+      """WITH keys AS (
+        |  SELECT name, substr(name, 1, i - 1) || substr(name, i + 1) AS k
+        |  FROM (SELECT c_name AS name,
+        |          unnest(range(1, length(c_name) + 2)) AS i
+        |        FROM customer)),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS na, b.name AS nb
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.name < b.name),
+        |pairs AS (SELECT na, nb FROM cand WHERE levenshtein(na, nb) <= 1),
+        |nbr AS (
+        |  SELECT name, CAST(count(*) AS BIGINT) AS n_nbr, min(other) AS nearest
+        |  FROM (SELECT na AS name, nb AS other FROM pairs
+        |        UNION ALL SELECT nb, na FROM pairs) GROUP BY name)
+        |SELECT c.c_name, coalesce(n.n_nbr, 0) AS n_neighbors,
+        |  n.nearest AS nearest_name
+        |FROM customer c LEFT JOIN nbr n ON n.name = c.c_name
+        |ORDER BY c.c_name""".stripMargin) { (s, d) =>
+      val keys = customer(s, d)
+        .select(col("c_name").as("name"),
+          explode(sequence(lit(1), length(col("c_name")) + 1)).as("i"))
+        .select(col("name"),
+          expr("concat(substring(name, 1, i - 1), substring(name, i + 1, 1000000))")
+            .as("k"))
+        .localCheckpoint()
+      val cand = keys.select(col("name").as("na"), col("k"))
+        .join(keys.select(col("name").as("nb"), col("k")), Seq("k"))
+        .filter(col("na") < col("nb"))
+        .select("na", "nb").distinct()
+      val pairs = cand.filter(levenshtein(col("na"), col("nb")) <= 1)
+      val nbr = pairs.select(col("na").as("name"), col("nb").as("other"))
+        .unionByName(pairs.select(col("nb").as("name"), col("na").as("other")))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n_nbr"), min("other").as("nearest"))
+      customer(s, d).join(nbr, col("c_name") === col("name"), "left")
+        .select(col("c_name"), coalesce(col("n_nbr"), lit(0L)).as("n_neighbors"),
+          col("nearest").as("nearest_name"))
+        .orderBy("c_name")
+    },
+
+    // ----- U7: incremental view maintenance with retractions -----
+    // The delta algebra every streaming materialized view rests on
+    // (self-maintainable aggregates; Gupta & Mumick's IVM survey,
+    // public literature): a per-(day, type) count/sum state maintained
+    // as base(epoch-1) ⊎ delta(epoch-2) ⊎ RETRACTIONS (a deterministic
+    // correction feed that deletes every 97th epoch-1 event) applied as
+    // weight −1 rows — the merged state must equal a full recompute
+    // that never saw the retracted rows. Both paths are emitted side by
+    // side with the equality flag, which is the IVM correctness law
+    // itself; a key whose rows are ALL retracted survives as an n=0
+    // tombstone row in the merged state (exactly what a real
+    // incremental view serves until compaction) with no recompute twin.
+    // Scale shape: the three legs are one scan's worth of filters, the
+    // merge is a single hash agg on signed weights — no join grows with
+    // the corpus; the recompute leg exists only because the query IS
+    // the audit.
+    "u7_ivm_refresh" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(1000000 * round(value, 6)) AS BIGINT) AS micro
+        |  FROM events),
+        |mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+        |legs AS (
+        |  SELECT day, event_type, micro, 1 AS w FROM ev, mm WHERE day <= mid
+        |  UNION ALL
+        |  SELECT day, event_type, micro, 1 FROM ev, mm WHERE day > mid
+        |  UNION ALL
+        |  SELECT day, event_type, micro, -1 FROM ev, mm
+        |  WHERE day <= mid AND event_id % 97 = 0),
+        |merged AS (
+        |  SELECT day, event_type, CAST(sum(w) AS BIGINT) AS n_merged,
+        |    CAST(sum(w * micro) AS BIGINT) AS sum_merged_micro
+        |  FROM legs GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_recompute,
+        |    CAST(sum(micro) AS BIGINT) AS sum_recompute_micro
+        |  FROM ev, mm WHERE NOT (day <= mid AND event_id % 97 = 0)
+        |  GROUP BY 1, 2)
+        |SELECT m.day, m.event_type, m.n_merged, m.sum_merged_micro,
+        |  coalesce(r.n_recompute, 0) AS n_recompute,
+        |  coalesce(r.sum_recompute_micro, 0) AS sum_recompute_micro,
+        |  CAST(m.n_merged = coalesce(r.n_recompute, 0)
+        |    AND m.sum_merged_micro = coalesce(r.sum_recompute_micro, 0)
+        |    AS BIGINT) AS consistent
+        |FROM merged m LEFT JOIN rec r
+        |  ON r.day = m.day AND r.event_type = m.event_type
+        |ORDER BY m.day, m.event_type""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val ev0 = events(s, d).select(col("event_id"), col("event_type"),
+        expr(s"($us) div 86400000000").as("day"),
+        expr("CAST(round(1000000 * round(value, 6)) AS BIGINT)").as("micro"))
+      val mm = ev0.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val ev = ev0.crossJoin(broadcast(mm)).localCheckpoint()
+      val base = ev.filter(col("day") <= col("mid"))
+        .select(col("day"), col("event_type"), col("micro"), lit(1L).as("w"))
+      val delta = ev.filter(col("day") > col("mid"))
+        .select(col("day"), col("event_type"), col("micro"), lit(1L).as("w"))
+      val retr = ev.filter(col("day") <= col("mid") && col("event_id") % 97 === 0)
+        .select(col("day"), col("event_type"), col("micro"), lit(-1L).as("w"))
+      val merged = base.unionByName(delta).unionByName(retr)
+        .groupBy("day", "event_type")
+        .agg(sum("w").as("n_merged"),
+          sum(col("w") * col("micro")).as("sum_merged_micro"))
+      val rec = ev.filter(!(col("day") <= col("mid") && col("event_id") % 97 === 0))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_recompute"),
+          sum("micro").as("sum_recompute_micro"))
+      merged.join(rec, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"), col("n_merged"),
+          col("sum_merged_micro"),
+          coalesce(col("n_recompute"), lit(0L)).as("n_recompute"),
+          coalesce(col("sum_recompute_micro"), lit(0L)).as("sum_recompute_micro"),
+          (col("n_merged") === coalesce(col("n_recompute"), lit(0L)) &&
+            col("sum_merged_micro") === coalesce(col("sum_recompute_micro"), lit(0L)))
+            .cast("long").as("consistent"))
+        .orderBy("day", "event_type")
+    },
+
     // ----- J20: semi-join reduction via a Bloom pre-filter -----
     // The other half of the distributed-join toolkit beside broadcast /
     // bucketing / salting / AQE-skew: when the build side is too big to
