@@ -1414,6 +1414,46 @@ object DriftQueries {
         .orderBy("event_type")
     },
 
+    // ----- Day-of-week seasonal profile (multiplicative index) -----
+    // The seasonal shape the lag-7 baseline (forecast_seasonal_baseline)
+    // and the ACF evidence (forecast_acf_lags: acf(7) ≫ acf(1)) both
+    // point at, made explicit: per weekday, the event RATE as a ppm
+    // index against the all-days rate — the multiplicative profile a
+    // seasonal-naive forecaster multiplies into its level. Weekday is
+    // pure integer arithmetic on the epoch-day number ((day+4) mod 7,
+    // 0=Sunday — 1970-01-01 was a Thursday), rates never materialize:
+    // the index cross-multiplies raw totals (T_d·N vs N_d·T) with one
+    // floor division at the end. Scale: one hash agg to the bounded
+    // daily table; everything after runs on ≤ 7×calendar rows.
+    "ts_dow_profile" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+        |dc AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        |dw AS (SELECT (day + 4) % 7 AS dow, c FROM dc),
+        |agg AS (SELECT dow, CAST(sum(c) AS BIGINT) AS t_d,
+        |        CAST(count(*) AS BIGINT) AS n_d FROM dw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(t_d) AS BIGINT) AS t,
+        |        CAST(sum(n_d) AS BIGINT) AS n FROM agg)
+        |SELECT agg.dow, agg.n_d AS n_days, agg.t_d AS n_events,
+        |  CAST((1000000 * agg.t_d * tot.n) // (agg.n_d * tot.t) AS BIGINT)
+        |    AS index_ppm
+        |FROM agg CROSS JOIN tot ORDER BY dow""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val dc = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val agg = dc.select(expr("(day + 4) % 7").as("dow"), col("c"))
+        .groupBy("dow")
+        .agg(sum("c").as("t_d"), count(lit(1)).as("n_d"))
+        .localCheckpoint(true)
+      val tot = agg.agg(sum("t_d").as("t"), sum("n_d").as("n"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_d").as("n_days"), col("t_d").as("n_events"),
+          expr("CAST((1000000 * t_d * n) div (n_d * t) AS BIGINT)")
+            .as("index_ppm"))
+        .orderBy("dow")
+    },
+
     // ----- Theil–Sen robust trend of the daily event series -----
     // The median-of-pairwise-slopes estimator (Theil 1950, Sen 1968):
     // up to ~29% of the daily points can be corrupted before the trend

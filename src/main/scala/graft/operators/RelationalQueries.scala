@@ -2786,6 +2786,131 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- Allen interval algebra: activity-span relations per user -----
+    // The 13 temporal relations (Allen 1983) between each user's
+    // per-event-type activity spans [first, last] — the vocabulary
+    // behind every temporal-join predicate this engine ships (as-of =
+    // before/meets, interval-overlap join = overlaps ∪ during ∪ …), so
+    // the census of which relations actually occur is the data-driven
+    // guide to which join strategy a workload needs. Classification is
+    // a single branch-ordered CASE over the four boundary comparisons
+    // (equality cases first, then disjoint, then the containment/
+    // overlap ladder — exhaustive by construction, so both engines
+    // take identical branches on identical ns integers). Scale shape:
+    // the corpus folds to (users × types) span rows in one hash agg;
+    // the self-join is per-user (≤ C(5,2) pairs each) and the output
+    // is the bounded (type², relation) census.
+    "allen_interval_relations" -> QueryDef.sql(
+      """WITH sp AS (
+        |  SELECT user_id, event_type, min(epoch_ns(ts)) AS s, max(epoch_ns(ts)) AS e
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CASE
+        |      WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+        |      WHEN a.e < b.s THEN 'before'
+        |      WHEN a.s > b.e THEN 'after'
+        |      WHEN a.e = b.s THEN 'meets'
+        |      WHEN a.s = b.e THEN 'met_by'
+        |      WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+        |      WHEN a.s = b.s THEN 'started_by'
+        |      WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+        |      WHEN a.e = b.e THEN 'finished_by'
+        |      WHEN a.s > b.s AND a.e < b.e THEN 'during'
+        |      WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+        |      WHEN a.s < b.s THEN 'overlaps'
+        |      ELSE 'overlapped_by' END AS relation
+        |  FROM sp a JOIN sp b
+        |    ON b.user_id = a.user_id AND a.event_type < b.event_type)
+        |SELECT type_a, type_b, relation, CAST(count(*) AS BIGINT) AS n_users
+        |FROM pr GROUP BY 1, 2, 3 ORDER BY type_a, type_b, relation""".stripMargin) { (s, d) =>
+      val sp = events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min("ts_ns").as("s"), max("ts_ns").as("e"))
+        .localCheckpoint()
+      val a = sp.select(col("user_id"), col("event_type").as("type_a"),
+        col("s").as("sa"), col("e").as("ea"))
+      val b = sp.select(col("user_id"), col("event_type").as("type_b"),
+        col("s").as("sb"), col("e").as("eb"))
+      a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+        .withColumn("relation",
+          when(col("sa") === col("sb") && col("ea") === col("eb"), "equals")
+            .when(col("ea") < col("sb"), "before")
+            .when(col("sa") > col("eb"), "after")
+            .when(col("ea") === col("sb"), "meets")
+            .when(col("sa") === col("eb"), "met_by")
+            .when(col("sa") === col("sb") && col("ea") < col("eb"), "starts")
+            .when(col("sa") === col("sb"), "started_by")
+            .when(col("ea") === col("eb") && col("sa") > col("sb"), "finishes")
+            .when(col("ea") === col("eb"), "finished_by")
+            .when(col("sa") > col("sb") && col("ea") < col("eb"), "during")
+            .when(col("sa") < col("sb") && col("ea") > col("eb"), "contains")
+            .when(col("sa") < col("sb"), "overlaps")
+            .otherwise("overlapped_by"))
+        .groupBy("type_a", "type_b", "relation")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("type_a", "type_b", "relation")
+    },
+
+    // ----- Funnel latency: time-to-convert histogram (signup→purchase) -----
+    // a6_funnel counts WHO converts; this measures HOW FAST — the
+    // latency distribution between a user's first signup and their
+    // first purchase AT OR AFTER it, as a per-day histogram with
+    // cumulative counts (the curve a growth team reads conversion
+    // half-life off). Exact-ns integer latencies floored to days;
+    // the cumulative column rides a window over the bounded day-span
+    // table, never over users. Scale shape: one hash agg to first-
+    // signup, one conditional agg to first-qualifying-purchase (the
+    // signup timestamp rides the groupBy key so no join re-widens),
+    // histogram + prefix sum on calendar-bounded rows.
+    "funnel_time_to_convert" -> QueryDef.sql(
+      """WITH sg AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS sgn FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (
+        |  SELECT e.user_id, min(epoch_ns(ts)) AS pur
+        |  FROM events e JOIN sg ON sg.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= sg.sgn
+        |  GROUP BY 1),
+        |lat AS (
+        |  SELECT sg.user_id, (pu.pur - sg.sgn) // 86400000000000 AS latency_days
+        |  FROM sg JOIN pu ON pu.user_id = sg.user_id),
+        |h AS (SELECT latency_days, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM lat GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_signups FROM sg),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_converted FROM lat)
+        |SELECT h.latency_days, h.n_users,
+        |  CAST(sum(h.n_users) OVER (ORDER BY h.latency_days) AS BIGINT)
+        |    AS cum_users,
+        |  t.n_signups, c.n_converted,
+        |  CAST((1000000 * c.n_converted) // t.n_signups AS BIGINT)
+        |    AS conversion_ppm
+        |FROM h CROSS JOIN t CROSS JOIN c
+        |ORDER BY latency_days""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val sg = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_ns").as("sgn"))
+        .localCheckpoint(true)
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(sg, Seq("user_id"))
+        .filter(col("ts_ns") >= col("sgn"))
+        .groupBy("user_id", "sgn").agg(min("ts_ns").as("pur"))
+      val lat = pu.select(expr("(pur - sgn) div 86400000000000").as("latency_days"))
+        .localCheckpoint(true)
+      val h = lat.groupBy("latency_days").agg(count(lit(1)).as("n_users"))
+      val t = sg.agg(count(lit(1)).as("n_signups"))
+      val c = lat.agg(count(lit(1)).as("n_converted"))
+      // bounded table (day-span rows): the ordered window is safe here
+      h.withColumn("cum_users",
+          sum("n_users").over(Window.orderBy("latency_days")))
+        .crossJoin(broadcast(t)).crossJoin(broadcast(c))
+        .select(col("latency_days"), col("n_users"), col("cum_users"),
+          col("n_signups"), col("n_converted"),
+          expr("CAST((1000000 * n_converted) div n_signups AS BIGINT)")
+            .as("conversion_ppm"))
+        .orderBy("latency_days")
+    },
+
     // ----- ER: fuzzy name self-join via SymSpell deletion keys -----
     // Entity-resolution blocking done right: find every customer-name
     // pair within edit distance 1 WITHOUT the quadratic all-pairs scan.

@@ -477,6 +477,33 @@ object VectorQueries {
        |FROM j JOIN pfx p ON p.pr = j.rr ORDER BY qid""".stripMargin
   }
 
+  private lazy val MapSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 100),
+       |c AS (SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+       |      FROM embeddings WHERE vec_id >= 100),
+       |nn AS (SELECT * FROM (
+       |  SELECT qid, qlabel, label, row_number() OVER (PARTITION BY qid
+       |    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid) AS r
+       |  FROM q, c) WHERE r <= 10),
+       |rc AS (
+       |  SELECT qid, r, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+       |    sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY qid ORDER BY r) AS relcum
+       |  FROM nn),
+       |ap AS (
+       |  SELECT qid, CAST(sum(rel * ((2520 * relcum) // r)) AS BIGINT) AS ap_x2520
+       |  FROM rc GROUP BY qid),
+       |rel AS (
+       |  SELECT q.qid, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM q JOIN c ON c.label = q.qlabel GROUP BY q.qid),
+       |j AS (
+       |  SELECT a.qid, a.ap_x2520, least(coalesce(r.n_rel, 0), 10) AS rr
+       |  FROM ap a LEFT JOIN rel r ON r.qid = a.qid)
+       |SELECT qid, CAST(rr AS BIGINT) AS n_rel_capped, ap_x2520,
+       |  CAST((1000000 * ap_x2520) // (2520 * rr) AS BIGINT) AS ap_ppm
+       |FROM j WHERE rr > 0 ORDER BY qid""".stripMargin
+
   private lazy val MatryoshkaSql: String = {
     def tierCte(dim: Int) =
       s"""t$dim AS (SELECT qid, cid FROM (
@@ -1768,6 +1795,50 @@ object VectorQueries {
         .join(pfx, Seq("rr"))
         .select(col("qid"), col("rr").as("n_rel_capped"), col("dcg"),
           expr("CAST((1000000L * dcg) div ideal AS BIGINT)").as("ndcg_ppm"))
+        .orderBy("qid")
+    },
+
+    // ----- MAP@10: mean-average-precision face of the eval ladder -----
+    // The rank-sensitive counterpart to recall (position-blind) and
+    // nDCG (graded-discount): average precision rewards packing the
+    // relevant hits EARLY — precision@k sampled exactly at the ranks
+    // where a relevant candidate sits, normalized by min(R, 10). The
+    // usually-irrational precision@k = relcum/k becomes exact here via
+    // the lcm(1..10) = 2520 trick: 2520·relcum/k is an integer for
+    // every k ≤ 10, so AP accumulates as BIGINT ap_x2520 and the final
+    // ppm is one floor division — both engines hash-match with zero
+    // float summation. Same brute top-10 chain, shared-label relevance
+    // and candidate-set shape as ann_ndcg_report (one broadcast of the
+    // 100-query table; floats touch corpus×queries once).
+    "ann_map_report" -> QueryDef.sql(MapSql) { (s, d) =>
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("cid"), col("label"), col("embedding").as("cv"))
+      val nnRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+      val wcum = Window.partitionBy(col("qid")).orderBy(col("r"))
+      val nn = corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("qlabel"), col("cid"), col("label"),
+          score("qv", "cv").as("score"))
+        .withColumn("r", row_number().over(nnRn).cast("long"))
+        .filter(col("r") <= 10)
+        .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+        .withColumn("relcum", sum("rel").over(wcum))
+      val ap = nn
+        .withColumn("term", col("rel") * expr("(2520 * relcum) div r"))
+        .groupBy("qid").agg(sum("term").as("ap_x2520"))
+      val rel = corpus.join(broadcast(queries.select("qid", "qlabel")),
+          col("label") === col("qlabel"))
+        .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+      ap.join(rel, Seq("qid"), "left")
+        .select(col("qid"), col("ap_x2520"),
+          least(coalesce(col("n_rel"), lit(0L)), lit(10L)).as("rr"))
+        .filter(col("rr") > 0)
+        .select(col("qid"), col("rr").as("n_rel_capped"), col("ap_x2520"),
+          expr("CAST((1000000L * ap_x2520) div (2520 * rr) AS BIGINT)")
+            .as("ap_ppm"))
         .orderBy("qid")
     },
 
