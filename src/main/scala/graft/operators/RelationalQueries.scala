@@ -2786,6 +2786,118 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- O17: peak concurrency via a distributed sweep line -----
+    // "How many sessions were active AT ONCE, and when did the peak
+    // happen" — the capacity number a serving team sizes against, and
+    // the classic interval-stabbing computation: each session (same
+    // 30-min gaps-and-islands definition as o4_sessionize) emits a +1
+    // boundary at its start and a −1 at its end, and the running sum
+    // over the boundary order IS the concurrency curve. Boundary order
+    // is (ns, starts-before-ends, user, session) so a point session
+    // still counts at its own instant and ties are deterministic. The
+    // running sum rides the two-pass distributed prefix scaffold
+    // ([[graft.util.Scale.rangedOffsets]] with the ±1 deltas as the
+    // weight) — no single-partition window over the boundary table,
+    // which is 2×session-cardinality and grows with the corpus.
+    "o17_peak_concurrency" -> QueryDef.sql(
+      """WITH t AS (SELECT user_id, event_id, epoch_ns(ts) AS ns FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ns,
+        |    CASE WHEN lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) IS NULL
+        |           OR ns - lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) > 1800000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, ns,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS BIGINT) AS session_id
+        |  FROM m),
+        |iv AS (SELECT user_id, session_id, min(ns) AS s, max(ns) AS e
+        |       FROM s GROUP BY 1, 2),
+        |b AS (SELECT user_id, session_id, s AS ns, 1 AS delta, 0 AS ord FROM iv
+        |      UNION ALL
+        |      SELECT user_id, session_id, e, -1, 1 FROM iv),
+        |r AS (SELECT ns, sum(delta) OVER (ORDER BY ns, ord, user_id, session_id)
+        |        AS run FROM b),
+        |mx AS (SELECT CAST(max(run) AS BIGINT) AS peak_concurrent FROM r),
+        |fst AS (SELECT min(ns) AS peak_first_ns FROM r, mx
+        |        WHERE run = peak_concurrent),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM iv)
+        |SELECT n.n_sessions, mx.peak_concurrent, fst.peak_first_ns
+        |FROM n CROSS JOIN mx CROSS JOIN fst""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      val sess = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_ns").as("ns"))
+        .withColumn("is_new",
+          when(lag(col("ns"), 1).over(w).isNull ||
+            col("ns") - lag(col("ns"), 1).over(w) > 1800000000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min("ns").as("s"), max("ns").as("e"))
+        .localCheckpoint(true)
+      val bounds = sess.select(col("user_id"), col("session_id"),
+          col("s").as("ns"), lit(1L).as("delta"), lit(0).as("ord"))
+        .unionByName(sess.select(col("user_id"), col("session_id"),
+          col("e").as("ns"), lit(-1L).as("delta"), lit(1).as("ord")))
+      val (ranged, offsets, _) = graft.util.Scale.rangedOffsets(bounds,
+        Seq(col("ns"), col("ord"), col("user_id"), col("session_id")),
+        col("delta"))
+      val lw = Window.partitionBy("_pid")
+        .orderBy("ns", "ord", "user_id", "session_id")
+      val run = ranged.withColumn("run",
+          sum("delta").over(lw) +
+            coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)))
+        .select("ns", "run")
+        .localCheckpoint(true)
+      val mx = run.agg(max("run").as("peak_concurrent"))
+      val fst = run.crossJoin(broadcast(mx))
+        .filter(col("run") === col("peak_concurrent"))
+        .agg(min("ns").as("peak_first_ns"))
+      val n = sess.agg(count(lit(1)).as("n_sessions"))
+      n.crossJoin(mx).crossJoin(fst)
+    },
+
+    // ----- Calibration: where each source's median doc sits globally -----
+    // The cross-source score-calibration check a mixture designer runs
+    // before comparing per-source quality cutoffs: within-source ranks
+    // and the global rank measure DIFFERENT things, and this emits the
+    // disagreement directly — each source's exact median document (by
+    // n_chars, lower median, deterministic tiebreak) and the global
+    // quantile that document lands at. A calibrated corpus puts every
+    // source's median near 500000 ppm; a skewed one is exactly where
+    // per-source thresholds silently mean different absolute bars. The
+    // global rank rides the two-pass distributed scaffold, the
+    // within-source rank a per-source window on the same ranged frame
+    // — one sort services both ranks.
+    "score_calibration_by_source" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT source, n_chars, doc_id FROM documents WHERE source IS NOT NULL),
+        |g AS (
+        |  SELECT source, n_chars, doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS grn,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rs,
+        |    count(*) OVER (PARTITION BY source) AS n_s,
+        |    count(*) OVER () AS nn
+        |  FROM d)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+        |  n_chars AS median_n_chars, CAST(grn AS BIGINT) AS global_rank,
+        |  CAST((1000000 * grn) // nn AS BIGINT) AS quantile_ppm
+        |FROM g WHERE rs = (n_s + 1) // 2 ORDER BY source""".stripMargin) { (s, d) =>
+      val dd = documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+      val (ranked, nTotal) = graft.util.Scale.globalRowNumber(
+        dd, Seq(col("n_chars"), col("doc_id")), "grn")
+      val ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val wn = Window.partitionBy("source")
+      ranked
+        .withColumn("rs", row_number().over(ws).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(wn))
+        .filter(expr("rs = (n_s + 1) div 2"))
+        .select(col("source"), col("n_s").as("n_docs"),
+          col("n_chars").as("median_n_chars"), col("grn").as("global_rank"),
+          expr(s"(1000000 * grn) div ${nTotal}L").as("quantile_ppm"))
+        .orderBy("source")
+    },
+
     // ----- Allen interval algebra: activity-span relations per user -----
     // The 13 temporal relations (Allen 1983) between each user's
     // per-event-type activity spans [first, last] — the vocabulary
@@ -2834,19 +2946,7 @@ object RelationalQueries {
         col("s").as("sb"), col("e").as("eb"))
       a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
         .withColumn("relation",
-          when(col("sa") === col("sb") && col("ea") === col("eb"), "equals")
-            .when(col("ea") < col("sb"), "before")
-            .when(col("sa") > col("eb"), "after")
-            .when(col("ea") === col("sb"), "meets")
-            .when(col("sa") === col("eb"), "met_by")
-            .when(col("sa") === col("sb") && col("ea") < col("eb"), "starts")
-            .when(col("sa") === col("sb"), "started_by")
-            .when(col("ea") === col("eb") && col("sa") > col("sb"), "finishes")
-            .when(col("ea") === col("eb"), "finished_by")
-            .when(col("sa") > col("sb") && col("ea") < col("eb"), "during")
-            .when(col("sa") < col("sb") && col("ea") > col("eb"), "contains")
-            .when(col("sa") < col("sb"), "overlaps")
-            .otherwise("overlapped_by"))
+          allenRelation(col("sa"), col("ea"), col("sb"), col("eb")))
         .groupBy("type_a", "type_b", "relation")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("type_a", "type_b", "relation")
@@ -2943,18 +3043,7 @@ object RelationalQueries {
         |  n.nearest AS nearest_name
         |FROM customer c LEFT JOIN nbr n ON n.name = c.c_name
         |ORDER BY c.c_name""".stripMargin) { (s, d) =>
-      val keys = customer(s, d)
-        .select(col("c_name").as("name"),
-          explode(sequence(lit(1), length(col("c_name")) + 1)).as("i"))
-        .select(col("name"),
-          expr("concat(substring(name, 1, i - 1), substring(name, i + 1, 1000000))")
-            .as("k"))
-        .localCheckpoint()
-      val cand = keys.select(col("name").as("na"), col("k"))
-        .join(keys.select(col("name").as("nb"), col("k")), Seq("k"))
-        .filter(col("na") < col("nb"))
-        .select("na", "nb").distinct()
-      val pairs = cand.filter(levenshtein(col("na"), col("nb")) <= 1)
+      val pairs = symspellPairs(customer(s, d).select(col("c_name").as("name")))
       val nbr = pairs.select(col("na").as("name"), col("nb").as("other"))
         .unionByName(pairs.select(col("nb").as("name"), col("na").as("other")))
         .groupBy("name")
@@ -3438,4 +3527,52 @@ object RelationalQueries {
         .orderBy("touch")
     },
   )
+
+  /** Edit-distance ≤ 1 self-join via SymSpell single-deletion blocking
+    * (`er_fuzzy_name_join`): each distinct `name` emits itself plus its
+    * |name|+1 one-char-deletion variants as keys; any two strings at
+    * Levenshtein ≤ 1 share a key (substitution ⇒ both delete that
+    * position; insert/delete ⇒ the longer's deletion equals the
+    * shorter's identity key), so the key join is recall-complete and
+    * the exact `levenshtein` verifies only candidates. Exposed for the
+    * randomized completeness property in RobustOpsSpec. */
+  private[operators] def symspellPairs(
+      names: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keys = names
+      .select(col("name"),
+        explode(sequence(lit(1), length(col("name")) + 1)).as("i"))
+      .select(col("name"),
+        expr("concat(substring(name, 1, i - 1), substring(name, i + 1, 1000000))")
+          .as("k"))
+      .localCheckpoint()
+    keys.select(col("name").as("na"), col("k"))
+      .join(keys.select(col("name").as("nb"), col("k")), Seq("k"))
+      .filter(col("na") < col("nb"))
+      .select("na", "nb").distinct()
+      .filter(levenshtein(col("na"), col("nb")) <= 1)
+  }
+
+  /** Branch-ordered classification of interval (sa, ea) against
+    * (sb, eb) into the 13 Allen relations — equality branches first,
+    * then disjoint, then the containment/overlap ladder; exhaustive
+    * for every boundary configuration including degenerate point
+    * intervals. Inverse-consistency is property-tested in
+    * RobustOpsSpec. */
+  private[operators] def allenRelation(
+      sa: org.apache.spark.sql.Column, ea: org.apache.spark.sql.Column,
+      sb: org.apache.spark.sql.Column, eb: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(sa === sb && ea === eb, "equals")
+      .when(ea < sb, "before")
+      .when(sa > eb, "after")
+      .when(ea === sb, "meets")
+      .when(sa === eb, "met_by")
+      .when(sa === sb && ea < eb, "starts")
+      .when(sa === sb, "started_by")
+      .when(ea === eb && sa > sb, "finishes")
+      .when(ea === eb, "finished_by")
+      .when(sa > sb && ea < eb, "during")
+      .when(sa < sb && ea > eb, "contains")
+      .when(sa < sb, "overlaps")
+      .otherwise("overlapped_by")
 }
