@@ -1414,6 +1414,99 @@ object DriftQueries {
         .orderBy("event_type")
     },
 
+    // ----- Market-basket association rules over order baskets -----
+    // The Apriori output shape (Agrawal & Srikant 1994) on the TPC-H
+    // side: which part pairs co-occur in orders beyond chance, with
+    // both directional confidences and the lift that basket_type_lift
+    // computes for the (bounded) event-type alphabet — here over an
+    // UNBOUNDED item alphabet, which is what changes the plan: pair
+    // candidates explode per order (bounded by basket size², ~6 pairs
+    // for a 4-line order, never corpus²), the support floor prunes
+    // BEFORE the per-item tables join in, and the item-support table
+    // is a broadcastable dim. All ppm integers; ties ordered by the
+    // full key so the artifact is stable.
+    "basket_part_rules" -> QueryDef.sql(
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+        |na AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM b x JOIN b y
+        |    ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.pa, p.pb, p.n_ab, a.n AS n_a, c.n AS n_b,
+        |  CAST((1000000 * p.n_ab) // a.n AS BIGINT) AS conf_a2b_ppm,
+        |  CAST((1000000 * p.n_ab) // c.n AS BIGINT) AS conf_b2a_ppm,
+        |  CAST((1000000 * p.n_ab * no.n_orders) // (a.n * c.n) AS BIGINT)
+        |    AS lift_ppm
+        |FROM p JOIN na a ON a.l_partkey = p.pa JOIN na c ON c.l_partkey = p.pb
+        |CROSS JOIN no
+        |ORDER BY lift_ppm DESC, pa, pb""".stripMargin) { (s, d) =>
+      val b = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint()
+      val no = b.agg(countDistinct("l_orderkey").as("n_orders"))
+      val na = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val p = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      p.join(broadcast(na.select(col("l_partkey").as("pa"), col("n").as("n_a"))),
+          Seq("pa"))
+        .join(broadcast(na.select(col("l_partkey").as("pb"), col("n").as("n_b"))),
+          Seq("pb"))
+        .crossJoin(broadcast(no))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(1000000 * n_ab) div n_a").as("conf_a2b_ppm"),
+          expr("(1000000 * n_ab) div n_b").as("conf_b2a_ppm"),
+          expr("(1000000 * n_ab * n_orders) div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+    },
+
+    // ----- Audience overlap: exact Jaccard matrix between event types -----
+    // The exact-counting face of what kmv_jaccard_sources estimates
+    // with sketches: pairwise Jaccard between the USER AUDIENCES of
+    // each event type. The intersection never materializes user sets
+    // against each other — each user contributes their own bounded
+    // type-pair list (≤ C(5,2) rows) and the matrix falls out of one
+    // hash agg, so the plan is corpus-scan + per-user pair explode +
+    // bounded aggregation; audience sizes join in as a broadcast dim.
+    // The sketch face wins once the type alphabet is unbounded; this
+    // exact face is the ground truth it is graded against.
+    "audience_overlap_matrix" -> QueryDef.sql(
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON b.user_id = a.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, x.n AS n_a, y.n AS n_b, p.n_both,
+        |  CAST((1000000 * p.n_both) // (x.n + y.n - p.n_both) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p JOIN sz x ON x.event_type = p.type_a
+        |JOIN sz y ON y.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val ut = events(s, d).select("user_id", "event_type").distinct()
+        .localCheckpoint()
+      val sz = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val p = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      p.join(broadcast(sz.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sz.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          expr("(1000000 * n_both) div (n_a + n_b - n_both)").as("jaccard_ppm"))
+        .orderBy("type_a", "type_b")
+    },
+
     // ----- Day-of-week seasonal profile (multiplicative index) -----
     // The seasonal shape the lag-7 baseline (forecast_seasonal_baseline)
     // and the ACF evidence (forecast_acf_lags: acf(7) ≫ acf(1)) both
