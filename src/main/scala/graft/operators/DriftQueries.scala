@@ -1414,6 +1414,138 @@ object DriftQueries {
         .orderBy("event_type")
     },
 
+    // ----- Survival analysis: the per-day churn hazard table -----
+    // The life-table face of churn (the discrete-time input every
+    // Kaplan-Meier curve folds from, kept as exact per-day hazards
+    // instead of a chained product so everything stays integer): for
+    // each activity day, how many users were AT RISK (first-active ≤
+    // day ≤ last-active) and how many of them were never seen again
+    // (churned that day). At-risk counts come from two prefix sums over
+    // the bounded day grid — started-by(d) minus ended-before(d) — so
+    // no per-(user, day) expansion ever materializes; the corpus folds
+    // to one row per user, then one row per day. The final grid day is
+    // flagged: every user still active there is censored, not churned,
+    // and its 10⁶ ppm "hazard" is the censoring artifact, which is
+    // exactly why real survival pipelines carry the flag.
+    "churn_hazard_table" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |grid AS (SELECT DISTINCT day FROM e),
+        |st AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |en AS (SELECT ld AS day, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |g AS (
+        |  SELECT grid.day, coalesce(st.c, 0) AS s, coalesce(en.c, 0) AS x
+        |  FROM grid LEFT JOIN st USING (day) LEFT JOIN en USING (day)),
+        |r AS (
+        |  SELECT day, x,
+        |    sum(s) OVER (ORDER BY day) AS cs,
+        |    sum(x) OVER (ORDER BY day) AS cx
+        |  FROM g),
+        |mx AS (SELECT max(day) AS md FROM grid)
+        |SELECT day, CAST(cs - (cx - x) AS BIGINT) AS n_at_risk,
+        |  CAST(x AS BIGINT) AS n_churned,
+        |  CAST((1000000 * x) // (cs - (cx - x)) AS BIGINT) AS hazard_ppm,
+        |  CAST(day = mx.md AS BIGINT) AS is_censoring_boundary
+        |FROM r CROSS JOIN mx ORDER BY day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val e = events(s, d)
+        .select(col("user_id"), expr(s"($us) div 86400000000").as("day"))
+      val u = e.groupBy("user_id")
+        .agg(min("day").as("fd"), max("day").as("ld"))
+        .localCheckpoint(true)
+      val grid = e.select("day").distinct()
+      val st = u.groupBy(col("fd").as("day")).agg(count(lit(1)).as("c"))
+      val en = u.groupBy(col("ld").as("day")).agg(count(lit(1)).as("c2"))
+      val g = grid.join(broadcast(st), Seq("day"), "left")
+        .join(broadcast(en), Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("s"),
+          coalesce(col("c2"), lit(0L)).as("x"))
+      // bounded table (calendar rows): the ordered window is safe here
+      val w = Window.orderBy("day")
+      val r = g.withColumn("cs", sum("s").over(w))
+        .withColumn("cx", sum("x").over(w))
+      val mx = grid.agg(max("day").as("md"))
+      r.crossJoin(broadcast(mx))
+        .select(col("day"), (col("cs") - (col("cx") - col("x"))).as("n_at_risk"),
+          col("x").as("n_churned"),
+          expr("(1000000 * x) div (cs - (cx - x))").as("hazard_ppm"),
+          (col("day") === col("md")).cast("long").as("is_censoring_boundary"))
+        .orderBy("day")
+    },
+
+    // ----- Kaplan–Meier survival curve from the hazard table -----
+    // The chained product S(d) = Π_{i≤d} (1 − h_i) over
+    // churn_hazard_table's per-day hazards (Kaplan & Meier 1958),
+    // kept exact by FLOORED ppm chaining: S_d = (S_{d−1}·(r_d−c_d))
+    // div r_d — a left fold whose floor points are part of the
+    // definition, so both engines replay the identical integer
+    // sequence (DuckDB as a recursive CTE walking the day rank, Spark
+    // as a driver fold over the COLLECTED hazard rows — bounded
+    // calendar cardinality, the same bounded-collect precedent as the
+    // BPE trainer's per-iteration argmax; the corpus-sized work all
+    // happened in the one hash agg that built the life table). The
+    // final-day collapse to 0 is the censoring artifact, flagged.
+    "km_survival_curve" -> QueryDef.sql(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |grid AS (SELECT DISTINCT day FROM e),
+        |st AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |en AS (SELECT ld AS day, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |g AS (
+        |  SELECT grid.day, coalesce(st.c, 0) AS s, coalesce(en.c, 0) AS x
+        |  FROM grid LEFT JOIN st USING (day) LEFT JOIN en USING (day)),
+        |h AS (
+        |  SELECT day, CAST(sum(s) OVER (ORDER BY day)
+        |      - (sum(x) OVER (ORDER BY day) - x) AS BIGINT) AS r,
+        |    CAST(x AS BIGINT) AS x,
+        |    row_number() OVER (ORDER BY day) AS rk
+        |  FROM g),
+        |k AS (
+        |  SELECT rk, day, r, x, (1000000 * (r - x)) // r AS sppm
+        |  FROM h WHERE rk = 1
+        |  UNION ALL
+        |  SELECT h.rk, h.day, h.r, h.x, (k.sppm * (h.r - h.x)) // h.r
+        |  FROM k JOIN h ON h.rk = k.rk + 1),
+        |mx AS (SELECT max(day) AS md FROM grid)
+        |SELECT day, r AS n_at_risk, x AS n_churned,
+        |  CAST(sppm AS BIGINT) AS survival_ppm,
+        |  CAST(day = mx.md AS BIGINT) AS is_censoring_boundary
+        |FROM k CROSS JOIN mx ORDER BY day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val e = events(s, d)
+        .select(col("user_id"), expr(s"($us) div 86400000000").as("day"))
+      val u = e.groupBy("user_id")
+        .agg(min("day").as("fd"), max("day").as("ld"))
+        .localCheckpoint(true)
+      val grid = e.select("day").distinct()
+      val st = u.groupBy(col("fd").as("day")).agg(count(lit(1)).as("c"))
+      val en = u.groupBy(col("ld").as("day")).agg(count(lit(1)).as("c2"))
+      val w = Window.orderBy("day") // bounded calendar rows
+      val hz = grid.join(broadcast(st), Seq("day"), "left")
+        .join(broadcast(en), Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("s"),
+          coalesce(col("c2"), lit(0L)).as("x"))
+        .withColumn("cs", sum("s").over(w))
+        .withColumn("cx", sum("x").over(w))
+        .select(col("day"), (col("cs") - (col("cx") - col("x"))).as("r"),
+          col("x"))
+        .orderBy("day")
+        .collect() // bounded: one row per calendar day
+      val md = hz.map(_.getLong(0)).max
+      var sppm = 1000000L
+      val rows = hz.map { row =>
+        val (day, r, x) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        sppm = (sppm * (r - x)) / r
+        (day, r, x, sppm, if (day == md) 1L else 0L)
+      }.toSeq
+      import s.implicits._
+      rows.toDF("day", "n_at_risk", "n_churned", "survival_ppm",
+          "is_censoring_boundary")
+        .orderBy("day")
+    },
+
     // ----- Market-basket association rules over order baskets -----
     // The Apriori output shape (Agrawal & Srikant 1994) on the TPC-H
     // side: which part pairs co-occur in orders beyond chance, with

@@ -141,21 +141,7 @@ object GraphQueries {
         .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .repartition(col("b"))
         .localCheckpoint()
-      var lab = edges.select(col("a").as("v")).distinct()
-        .select(col("v"), col("v").as("lab"))
-        .localCheckpoint(true)
-      for (_ <- 1 to Iters) {
-        // argmax by (count, smallest label) via max_by over (n, −lab):
-        // both stages stay partial-combinable hash aggregates, where
-        // the window-rank spelling pays a full per-round SORT of the
-        // (node, label) table on top of its exchange
-        lab = edges.join(lab, edges("b") === lab("v"))
-          .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("n"))
-          .groupBy(col("a"))
-          .agg(max_by(col("lab"), struct(col("n"), -col("lab"))).as("lab"))
-          .select(col("a").as("v"), col("lab"))
-          .localCheckpoint(true)
-      }
+      val lab = lpaLabels(edges)
       val sz = lab.groupBy("lab").agg(count(lit(1)).as("community_size"))
       lab.join(sz, Seq("lab"))
         .select(col("v").as("doc_id"), col("lab").as("community"),
@@ -229,6 +215,51 @@ object GraphQueries {
       p.filter(col("p") > 0)
         .select(col("v").as("doc_id"), col("p").as("ppr_x1e12"))
         .orderBy("doc_id")
+    },
+
+    // ----- Modularity: grading the LPA communities (Newman 2004) -----
+    // The lens that grades a lens: Q = Σ_c (e_in/m − (D_c/2m)²)
+    // measures how much denser the discovered communities are than a
+    // degree-preserving random graph — the standard accept/reject
+    // number for a community structure before canonicalizing by it
+    // (Q ≈ 0: the "communities" are noise; Q ≳ 0.3: real structure).
+    // Exact to the ppm: every per-community term keeps the common
+    // denominator (2m)² — numerators are e_in·2m − D_c² in BIGINT — so
+    // the global Q is the sum of numerators with ONE floor division,
+    // not a sum of floored terms. Scale shape: the LPA label table is
+    // the per-round shuffle (shared [[lpaLabels]] engine), then three
+    // node-cardinality joins and a bounded per-community aggregate.
+    "graph_modularity" -> QueryDef.sql(ModularityOracleSql) { (s, d) =>
+      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .repartition(col("b"))
+        .localCheckpoint()
+      val lab = lpaLabels(edges).localCheckpoint(true)
+      val deg = edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      val m2 = edges.agg(count(lit(1)).as("m2"))
+      val ein = edges
+        .join(lab.select(col("v").as("a"), col("lab").as("la")), Seq("a"))
+        .join(lab.select(col("v").as("b"), col("lab").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lab")).agg(count(lit(1)).as("e_in"))
+      val dsum = lab.join(deg, Seq("v"))
+        .groupBy("lab")
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+      val terms = dsum.join(ein, Seq("lab"), "left")
+        .crossJoin(broadcast(m2))
+        .select(col("lab").as("community"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+          (coalesce(col("e_in"), lit(0L)) * col("m2") -
+            col("deg_sum") * col("deg_sum")).as("num"),
+          col("m2"))
+        .localCheckpoint(true)
+      val tot = terms.agg(sum("num").as("tn"))
+      terms.crossJoin(broadcast(tot))
+        .select(col("community"), col("n_nodes"), col("e_in"), col("deg_sum"),
+          expr("(1000000 * num) div (m2 * m2)").as("q_term_ppm"),
+          expr("(1000000 * tn) div (m2 * m2)").as("modularity_ppm"))
+        .orderBy("community")
     },
 
     // ----- Link prediction: Adamic–Adar over the candidate graph -----
@@ -379,7 +410,9 @@ object GraphQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private lazy val LabelPropOracleSql: String = {
+  /** Shared CTE prefix: candidate edges + the [[Iters]]-round LPA
+    * unroll, ending at `l$Iters` — the SQL twin of [[lpaLabels]]. */
+  private lazy val LpaCtes: String = {
     val iters = (1 to Iters).map { k =>
       s"""l$k AS (
          |  SELECT v, lab FROM (
@@ -388,17 +421,70 @@ object GraphQueries {
          |    FROM edges e JOIN l${k - 1} l ON l.v = e.b
          |    GROUP BY e.a, l.lab) WHERE rn = 1)""".stripMargin
     }
-    s"""WITH ${TextQueries.MinhashBandsCte},
+    s"""${TextQueries.MinhashBandsCte},
        |pairs AS (${TextQueries.BandedPairsSelect}),
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
        |l0 AS (SELECT DISTINCT a AS v, a AS lab FROM edges),
-       |${iters.mkString(",\n")},
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val LabelPropOracleSql: String =
+    s"""WITH $LpaCtes,
        |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
        |       FROM l$Iters GROUP BY lab)
        |SELECT l.v AS doc_id, l.lab AS community, s.community_size
        |FROM l$Iters l JOIN sz s ON s.lab = l.lab
        |ORDER BY doc_id""".stripMargin
+
+  private lazy val ModularityOracleSql: String =
+    s"""WITH $LpaCtes,
+       |deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+       |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+       |lab AS (SELECT v, lab FROM l$Iters),
+       |ein AS (
+       |  SELECT la.lab, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM edges e JOIN lab la ON la.v = e.a JOIN lab lb ON lb.v = e.b
+       |  WHERE la.lab = lb.lab GROUP BY la.lab),
+       |dsum AS (
+       |  SELECT la.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.deg) AS BIGINT) AS deg_sum
+       |  FROM lab la JOIN deg d ON d.v = la.v GROUP BY la.lab),
+       |terms AS (
+       |  SELECT ds.lab AS community, ds.n_nodes,
+       |    CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, ds.deg_sum,
+       |    coalesce(e.e_in, 0) * m2.m2 - ds.deg_sum * ds.deg_sum AS num
+       |  FROM dsum ds LEFT JOIN ein e ON e.lab = ds.lab CROSS JOIN m2),
+       |tot AS (SELECT CAST(sum(num) AS BIGINT) AS tn FROM terms)
+       |SELECT t.community, t.n_nodes, t.e_in, t.deg_sum,
+       |  CAST((1000000 * t.num) // (m2.m2 * m2.m2) AS BIGINT) AS q_term_ppm,
+       |  CAST((1000000 * tot.tn) // (m2.m2 * m2.m2) AS BIGINT) AS modularity_ppm
+       |FROM terms t CROSS JOIN m2 CROSS JOIN tot
+       |ORDER BY community""".stripMargin
+
+  /** Deterministic synchronous label propagation ([[Iters]] rounds,
+    * ties to the smallest label) over a directed edge table (a, b) —
+    * the shared engine behind `dup_graph_communities` and
+    * `graph_modularity`. Argmax by (count, smallest label) via max_by
+    * over (n, −lab): both stages stay partial-combinable hash
+    * aggregates, where the window-rank spelling would pay a full
+    * per-round SORT of the (node, label) table on top of its exchange.
+    * Each round shuffles only the node-cardinality label table; the
+    * edges never move. */
+  private[operators] def lpaLabels(
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    var lab = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      lab = edges.join(lab, edges("b") === lab("v"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("n"))
+        .groupBy(col("a"))
+        .agg(max_by(col("lab"), struct(col("n"), -col("lab"))).as("lab"))
+        .select(col("a").as("v"), col("lab"))
+        .localCheckpoint(true)
+    }
+    lab
   }
 
   /** Per-node triangle count + clustering coefficient over an oriented

@@ -3538,18 +3538,23 @@ object RelationalQueries {
     * randomized completeness property in RobustOpsSpec. */
   private[operators] def symspellPairs(
       names: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // deduplicate keys per name BEFORE the join: deleting any position
+    // inside a run of equal chars yields the same key, and duplicate
+    // keys multiply join candidates quadratically per bucket (measured
+    // 6.6 s → ~1 s at sf0.1 on the zero-padded customer ids)
     val keys = names
       .select(col("name"),
         explode(sequence(lit(1), length(col("name")) + 1)).as("i"))
       .select(col("name"),
         expr("concat(substring(name, 1, i - 1), substring(name, i + 1, 1000000))")
           .as("k"))
+      .distinct()
       .localCheckpoint()
     keys.select(col("name").as("na"), col("k"))
       .join(keys.select(col("name").as("nb"), col("k")), Seq("k"))
-      .filter(col("na") < col("nb"))
+      .filter(col("na") < col("nb") &&
+        levenshtein(col("na"), col("nb")) <= 1) // verify before the distinct
       .select("na", "nb").distinct()
-      .filter(levenshtein(col("na"), col("nb")) <= 1)
   }
 
   /** Branch-ordered classification of interval (sa, ea) against
