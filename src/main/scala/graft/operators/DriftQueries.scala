@@ -1414,6 +1414,78 @@ object DriftQueries {
         .orderBy("event_type")
     },
 
+    // ----- Entropy rate of the behavior Markov chain -----
+    // One number for "how predictable is user behavior": the entropy
+    // rate Σ_i π_i·H(row_i) of the o6 transition matrix, where H(row)
+    // is the Shannon entropy of a state's outgoing distribution and
+    // π is the empirical state weight. High-entropy states are where
+    // next-step prediction (o16's Markov accuracy) must do worst —
+    // the two queries are a matched pair: this bounds what that one
+    // can achieve. Fixed-transcendental discipline: ln enters once per
+    // (src, dst) CELL (taxonomy², bounded), round(,6)-then-micro; the
+    // rate keeps cross-multiplied integer weights with one floor at
+    // the end. Scale shape: corpus → per-user lead window (the o6
+    // exchange) → taxonomy²-bounded algebra.
+    "transition_entropy_rate" -> QueryDef.sql(
+      """WITH t AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns
+        |           FROM events),
+        |pr AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS dst
+        |  FROM t),
+        |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM pr
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM c),
+        |cell AS (
+        |  SELECT c.src, (c.n * CAST(round(1000000 * round(
+        |      ln(CAST(rt.n_src AS DOUBLE) / c.n), 6)) AS BIGINT)) // rt.n_src
+        |    AS term_micro
+        |  FROM c JOIN rt ON rt.src = c.src),
+        |h AS (
+        |  SELECT cell.src, rt.n_src,
+        |    CAST(sum(cell.term_micro) AS BIGINT) AS h_micro_nats
+        |  FROM cell JOIN rt ON rt.src = cell.src GROUP BY 1, 2),
+        |rate AS (
+        |  SELECT CAST(sum(h.h_micro_nats * h.n_src) // max(nn.n) AS BIGINT)
+        |    AS rate_micro_nats
+        |  FROM h CROSS JOIN nn)
+        |SELECT h.src, h.n_src, CAST((1000000 * h.n_src) // nn.n AS BIGINT)
+        |    AS weight_ppm,
+        |  h.h_micro_nats, rate.rate_micro_nats
+        |FROM h CROSS JOIN nn CROSS JOIN rate ORDER BY src""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ns"), col("event_id"))
+      val c = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_ns").as("ns"))
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val rt = c.groupBy("src").agg(sum("n").as("n_src"))
+      val nn = c.agg(sum("n").as("n"))
+      val h = c.join(broadcast(rt), Seq("src"))
+        .select(col("src"), col("n_src"),
+          expr("""(n * CAST(round(1000000 * round(
+                 |  ln(CAST(n_src AS DOUBLE) / n), 6)) AS BIGINT)) div n_src"""
+            .stripMargin).as("term_micro"))
+        .groupBy("src", "n_src")
+        .agg(sum("term_micro").as("h_micro_nats"))
+        .localCheckpoint(true)
+      // micro-nats × event-scale counts: DECIMAL(38,0) intermediate like
+      // o6's ppm spelling, BIGINT quotient
+      val rate = h.crossJoin(broadcast(nn))
+        .agg(expr("""CAST(sum(CAST(h_micro_nats AS DECIMAL(38,0)) * n_src)
+                    |  div max(n) AS BIGINT)""".stripMargin)
+          .as("rate_micro_nats"))
+      h.crossJoin(broadcast(nn)).crossJoin(broadcast(rate))
+        .select(col("src"), col("n_src"),
+          expr("CAST((1000000 * n_src) div n AS BIGINT)").as("weight_ppm"),
+          col("h_micro_nats"), col("rate_micro_nats"))
+        .orderBy("src")
+    },
+
     // ----- Survival analysis: the per-day churn hazard table -----
     // The life-table face of churn (the discrete-time input every
     // Kaplan-Meier curve folds from, kept as exact per-day hazards

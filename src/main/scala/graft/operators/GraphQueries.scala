@@ -231,35 +231,7 @@ object GraphQueries {
     // node-cardinality joins and a bounded per-community aggregate.
     "graph_modularity" -> QueryDef.sql(ModularityOracleSql) { (s, d) =>
       val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
-      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .repartition(col("b"))
-        .localCheckpoint()
-      val lab = lpaLabels(edges).localCheckpoint(true)
-      val deg = edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-      val m2 = edges.agg(count(lit(1)).as("m2"))
-      val ein = edges
-        .join(lab.select(col("v").as("a"), col("lab").as("la")), Seq("a"))
-        .join(lab.select(col("v").as("b"), col("lab").as("lb")), Seq("b"))
-        .filter(col("la") === col("lb"))
-        .groupBy(col("la").as("lab")).agg(count(lit(1)).as("e_in"))
-      val dsum = lab.join(deg, Seq("v"))
-        .groupBy("lab")
-        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
-      val terms = dsum.join(ein, Seq("lab"), "left")
-        .crossJoin(broadcast(m2))
-        .select(col("lab").as("community"), col("n_nodes"),
-          coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
-          (coalesce(col("e_in"), lit(0L)) * col("m2") -
-            col("deg_sum") * col("deg_sum")).as("num"),
-          col("m2"))
-        .localCheckpoint(true)
-      val tot = terms.agg(sum("num").as("tn"))
-      terms.crossJoin(broadcast(tot))
-        .select(col("community"), col("n_nodes"), col("e_in"), col("deg_sum"),
-          expr("(1000000 * num) div (m2 * m2)").as("q_term_ppm"),
-          expr("(1000000 * tn) div (m2 * m2)").as("modularity_ppm"))
-        .orderBy("community")
+      modularityStats(pairs).orderBy("community")
     },
 
     // ----- Link prediction: Adamic–Adar over the candidate graph -----
@@ -485,6 +457,43 @@ object GraphQueries {
         .localCheckpoint(true)
     }
     lab
+  }
+
+  /** Per-community modularity terms + the global Q over an oriented
+    * (doc_a < doc_b) pair table, with communities from [[lpaLabels]];
+    * exposed for planted-graph property tests. Every per-community
+    * numerator keeps the common (2m)² denominator so the global Q is
+    * one floor division over the summed numerators. */
+  def modularityStats(pairs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs0.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .repartition(col("b"))
+      .localCheckpoint()
+    val lab = lpaLabels(edges).localCheckpoint(true)
+    val deg = edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val m2 = edges.agg(count(lit(1)).as("m2"))
+    val ein = edges
+      .join(lab.select(col("v").as("a"), col("lab").as("la")), Seq("a"))
+      .join(lab.select(col("v").as("b"), col("lab").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("e_in"))
+    val dsum = lab.join(deg, Seq("v"))
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+    val terms = dsum.join(ein, Seq("lab"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("lab").as("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (coalesce(col("e_in"), lit(0L)) * col("m2") -
+          col("deg_sum") * col("deg_sum")).as("num"),
+        col("m2"))
+      .localCheckpoint(true)
+    val tot = terms.agg(sum("num").as("tn"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("deg_sum"),
+        expr("(1000000 * num) div (m2 * m2)").as("q_term_ppm"),
+        expr("(1000000 * tn) div (m2 * m2)").as("modularity_ppm"))
   }
 
   /** Per-node triangle count + clustering coefficient over an oriented

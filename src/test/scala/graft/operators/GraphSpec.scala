@@ -48,6 +48,26 @@ class GraphSpec extends SparkFunSuite {
       k3rows.forall(_.getAs[Long]("clustering_ppm") == 1000000L))
   }
 
+  test("modularity: two disjoint K5s score exactly Q = 0.5 under LPA labels") {
+    // LPA converges to one label per clique by round 2 (round 1: all
+    // neighbor labels tie, min wins; round 2: the min floods), so each
+    // K5 is one community: e_in = 20 directed edges, deg_sum = 20,
+    // 2m = 40 ⇒ per-community term (20·40 − 20²)/40² = 1/4, Q = 1/2.
+    val k5a = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k5b = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val rows = GraphQueries.modularityStats(pairsDf(k5a ++ k5b)).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 5L, r.toString)
+      assert(r.getAs[Long]("e_in") == 20L)
+      assert(r.getAs[Long]("deg_sum") == 20L)
+      assert(r.getAs[Long]("q_term_ppm") == 250000L)
+      assert(r.getAs[Long]("modularity_ppm") == 500000L)
+    }
+    // the global column is constant across rows by construction
+    assert(rows.map(_.getAs[Long]("modularity_ppm")).distinct.length == 1)
+  }
+
   test("k-core: planted K5 survives the 3-core, its pendant chain peels away") {
     val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
     // chain hangs off node 0: peels front-to-back, one node per round
