@@ -1902,6 +1902,139 @@ object DriftQueries {
         .orderBy("feature")
     },
 
+    // ----- Gains/lift table for the returns classifier -----
+    // The business-facing readout of eval_roc_auc's winning feature:
+    // rank orders by line count (descending, orderkey tiebreak — a
+    // TOTAL order, so decile membership is deterministic), cut into 10
+    // exact-arithmetic deciles via ((i−1)·10)//n (no engine-defined
+    // NTILE remainders), and report per-decile lift and cumulative
+    // gains in ppm. The global rank comes from the two-pass ranged
+    // scaffold — no single-task window at order cardinality — and the
+    // decile/cumulative stage runs on 10 rows. Top decile lifts 1.27×,
+    // bottom 0.50×: the curve a targeting budget is allocated from.
+    "eval_gains_deciles" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS score
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT pos,
+        |    CAST(row_number() OVER (ORDER BY score DESC, o_orderkey)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS np
+        |  FROM lab),
+        |d AS (
+        |  SELECT ((i - 1) * 10) // n AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(pos) AS BIGINT) AS pos_d,
+        |    min(n) AS n, min(np) AS np
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT decile, n_orders, pos_d, n, np,
+        |    CAST(sum(pos_d) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+        |  FROM d)
+        |SELECT decile, n_orders, pos_d, cum_pos,
+        |  CAST((CAST(1000000 AS HUGEINT) * pos_d * n)
+        |    // (CAST(n_orders AS HUGEINT) * np) AS BIGINT) AS lift_ppm,
+        |  CAST((1000000 * cum_pos) // np AS BIGINT) AS cum_gain_ppm
+        |FROM c ORDER BY decile""".stripMargin) { (s, d) =>
+      val lab = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"),
+          count(lit(1)).as("score"))
+      val (ranked, total) = graft.util.Scale.globalRowNumber(
+        lab, Seq(col("score").desc, col("o_orderkey")), "i")
+      val np = ranked.agg(sum("pos").as("np"))
+      val dd = ranked
+        .groupBy((((col("i") - 1) * 10) / lit(total)).cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_orders"), sum("pos").as("pos_d"))
+      val w = Window.orderBy("decile") // 10 rows
+      dd.crossJoin(broadcast(np))
+        .withColumn("cum_pos", sum("pos_d").over(w))
+        .select(col("decile"), col("n_orders"), col("pos_d"), col("cum_pos"),
+          expr(s"""CAST((CAST(1000000 AS DECIMAL(38,0)) * pos_d * ${total}L)
+                  |  div (CAST(n_orders AS DECIMAL(38,0)) * np)
+                  |  AS BIGINT)""".stripMargin).as("lift_ppm"),
+          expr("CAST((1000000 * cum_pos) div np AS BIGINT)")
+            .as("cum_gain_ppm"))
+        .orderBy("decile")
+    },
+
+    // ----- Exact-discipline average precision (PR-AUC) -----
+    // The precision-recall complement to eval_roc_auc, made hash-exact
+    // the same way nDCG was: each positive at global rank k contributes
+    // precision@k = cum_pos/k, floored ONCE per row at 10¹² scale —
+    // integer division in both engines — so the sum is a deterministic
+    // BIGINT, not a float whose summation order differs. The total
+    // ranking order (score desc, orderkey) makes every k well-defined;
+    // rank and running positive count both come from one ranged
+    // repartition with two broadcast offset maps (count and
+    // positive-weight prefixes from the same per-partition totals pass)
+    // — no global window. ap_ppm = 875k vs AUC's 730k: the gap is the
+    // class-imbalance information PR adds.
+    "eval_pr_auc" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS score
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT pos,
+        |    CAST(row_number() OVER (ORDER BY score DESC, o_orderkey)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(pos) OVER (ORDER BY score DESC, o_orderkey)
+        |      AS BIGINT) AS cum_pos
+        |  FROM lab)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(sum((1000000000000 * cum_pos) // k) AS BIGINT) AS ap_e12_sum,
+        |  CAST(CAST(sum((1000000000000 * cum_pos) // k) AS HUGEINT)
+        |    // (CAST(count(*) AS HUGEINT) * 1000000) AS BIGINT) AS ap_ppm
+        |FROM r WHERE pos = 1""".stripMargin) { (s, d) =>
+      val lab = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"),
+          count(lit(1)).as("score"))
+      // one ranged pass, two exclusive-prefix maps (row count + positives)
+      val parts = s.sparkContext.defaultParallelism
+      val sort = Seq(col("score").desc, col("o_orderkey").asc)
+      val ranged = lab.repartitionByRange(parts, sort: _*)
+        .withColumn("_pid", spark_partition_id())
+        .localCheckpoint()
+      val tots = ranged.groupBy("_pid")
+        .agg(count(lit(1)).as("_c"), coalesce(sum("pos"), lit(0L)).as("_p"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var (ac, ap) = (0L, 0L)
+      val cOff = scala.collection.mutable.Map.empty[Int, Long]
+      val pOff = scala.collection.mutable.Map.empty[Int, Long]
+      tots.foreach { case (pid, c, p) =>
+        cOff(pid) = ac; pOff(pid) = ap; ac += c; ap += p
+      }
+      val w = Window.partitionBy("_pid").orderBy(sort: _*)
+      ranged
+        .withColumn("k", row_number().over(w).cast("long") +
+          coalesce(element_at(typedlit(cOff.toMap), col("_pid")), lit(0L)))
+        .withColumn("cum_pos", sum("pos").over(w) +
+          coalesce(element_at(typedlit(pOff.toMap), col("_pid")), lit(0L)))
+        .filter(col("pos") === 1L)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(expr("(1000000000000 * cum_pos) div k")).as("ap_e12_sum"))
+        .select(col("n_pos"), col("ap_e12_sum"),
+          expr("""CAST(CAST(ap_e12_sum AS DECIMAL(38,0))
+                 |  div (CAST(n_pos AS DECIMAL(38,0)) * 1000000)
+                 |  AS BIGINT)""".stripMargin).as("ap_ppm"))
+    },
+
     // ----- Two-sample Kolmogorov–Smirnov over all source pairs -----
     // The distribution-drift test source_length_drift's PSI bins can't
     // give: the exact KS statistic D = max_t |F_a(t) − F_b(t)| for every
