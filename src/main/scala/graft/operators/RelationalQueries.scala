@@ -3526,6 +3526,90 @@ object RelationalQueries {
             .as("attributed_value_us"))
         .orderBy("touch")
     },
+
+    // ----- Markov-chain attribution with removal effects -----
+    // The data-driven counterweight to the heuristic attribution trio
+    // (a9 previous-touch, a11 last-touch, a12 U-shaped): model each
+    // user's pre-conversion journey as a first-order Markov chain
+    // (start → channels → conv/null), and credit each channel by its
+    // REMOVAL EFFECT — how much the start→conv absorption probability
+    // drops when that channel's state is deleted (transitions into it
+    // redirected to null). Absorption runs as 8 fixed matrix-vector
+    // iterations at 10¹² scale with one floor per (src,dst) product —
+    // exact BIGINTs, no linear solve, identical in both engines. Scale
+    // shape: journeys collapse to the (states+2)²-bounded transition
+    // matrix in one windowed pass over events; the per-variant
+    // iteration folds that BOUNDED matrix on the driver (the
+    // km_survival_curve precedent) while DuckDB walks the same 8
+    // unrolled steps through MATERIALIZED CTEs (plain CTEs would
+    // re-inline the journey subtree 2⁸ times). Removal effects are
+    // non-negative by construction (deleting a channel only destroys
+    // conversion paths); attribution normalizes them to ppm shares.
+    "attribution_markov" -> QueryDef.sql(MarkovAttributionSql) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wAsc = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val firstPur = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wAsc))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+      val j = ev.join(firstPur, Seq("user_id"), "left")
+        .filter(col("pts").isNull || col("ts") < col("pts") ||
+          (col("ts") === col("pts") && col("event_id") <= col("pid")))
+        .withColumn("st",
+          when(col("event_type") === "purchase", "conv")
+            .otherwise(col("event_type")))
+      val seq = j.select(col("user_id"), col("st"),
+        lag(col("st"), 1, "start").over(wAsc).as("prev"),
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)).as("rrn"))
+      val base = seq.select(col("prev").as("src"), col("st").as("dst"))
+        .unionByName(seq.filter(col("rrn") === 1 && col("st") =!= "conv")
+          .select(col("st").as("src"), lit("null").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .collect() // bounded: (event-type alphabet + 2)² transition cells
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val tots = base.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val channels = base.map(_._1).distinct.filter(_ != "start").sorted
+      def absorb(removed: Option[String]): Long = {
+        val tv = base
+          .filter { case (src, _, _) => !removed.contains(src) }
+          .map { case (src, dst, c) =>
+            (src, if (removed.contains(dst)) "null" else dst, c)
+          }
+          .groupBy(t => (t._1, t._2))
+          .map { case ((src, dst), v) => (src, dst, v.map(_._3).sum) }
+          .toSeq
+        val states = tv.map(_._1).distinct
+        var p = (states.map(_ -> 0L) ++
+          Seq("conv" -> 1000000000000L, "null" -> 0L)).toMap
+        (1 to 8).foreach { _ =>
+          val next = states.map { st =>
+            val num = tv.collect {
+              case (src, dst, c) if src == st => c * p.getOrElse(dst, 0L)
+            }.sum
+            st -> num / tots(st) // trunc toward zero = DuckDB //
+          }.toMap
+          p = next ++ Map("conv" -> 1000000000000L, "null" -> 0L)
+        }
+        p.getOrElse("start", 0L)
+      }
+      val pBase = absorb(None)
+      val re = channels.map { ch =>
+        val pr = absorb(Some(ch))
+        (ch, pBase, pr, ((pBase - pr) * 1000000L) / pBase)
+      }
+      val tre = re.map(_._4).sum
+      val rows = re.map { case (ch, pb, pr, rppm) =>
+        (ch, pb, pr, rppm,
+          if (tre > 0) Some((rppm * 1000000L) / tre) else None)
+      }.toSeq
+      import s.implicits._
+      rows.toDF("channel", "p_conv_e12", "p_removed", "removal_ppm",
+          "attribution_ppm")
+        .orderBy("channel")
+    },
   )
 
   /** Edit-distance ≤ 1 self-join via SymSpell single-deletion blocking
@@ -3580,4 +3664,73 @@ object RelationalQueries {
       .when(sa < sb && ea > eb, "contains")
       .when(sa < sb, "overlaps")
       .otherwise("overlapped_by")
+
+  /** Oracle for `attribution_markov`: the 8 absorption iterations are
+    * UNROLLED (standard SQL forbids aggregates in a recursive term) and
+    * every multiply-referenced CTE is MATERIALIZED — DuckDB would
+    * otherwise inline the journey-building subtree once per reference,
+    * 2⁸ copies by step s8. */
+  private lazy val MarkovAttributionSql: String = {
+    val steps = (1 to 8).map { i =>
+      val prev = if (i == 1) "p0" else s"s${i - 1}"
+      s""",
+         |s$i AS MATERIALIZED (
+         |  SELECT t.v, t.src AS st,
+         |    CAST(sum(t.c * p.p) // min(tt.tot) AS BIGINT) AS p
+         |  FROM tv t JOIN $prev p ON p.v = t.v AND p.st = t.dst
+         |  JOIN tots tt ON tt.src = t.src
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT v, st, p FROM $prev WHERE st IN ('conv', 'null'))""".stripMargin
+    }.mkString
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+       |p1 AS (SELECT user_id, ts AS pts, event_id AS pid FROM (
+       |  SELECT user_id, ts, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+       |j AS (SELECT ev.user_id, ev.ts, ev.event_id,
+       |    CASE WHEN ev.event_type = 'purchase' THEN 'conv'
+       |         ELSE ev.event_type END AS st
+       |  FROM ev LEFT JOIN p1 ON p1.user_id = ev.user_id
+       |  WHERE p1.user_id IS NULL OR ev.ts < p1.pts
+       |    OR (ev.ts = p1.pts AND ev.event_id <= p1.pid)),
+       |seq AS (SELECT user_id, st,
+       |    lag(st, 1, 'start') OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rrn
+       |  FROM j),
+       |base0 AS (SELECT prev AS src, st AS dst FROM seq
+       |  UNION ALL SELECT st, 'null' FROM seq WHERE rrn = 1 AND st <> 'conv'),
+       |base AS MATERIALIZED (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM base0 GROUP BY 1, 2),
+       |tots AS MATERIALIZED (
+       |  SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM base GROUP BY 1),
+       |chan AS (SELECT DISTINCT src AS ch FROM base WHERE src <> 'start'),
+       |vari AS (SELECT 'none' AS v UNION ALL SELECT ch FROM chan),
+       |tv AS MATERIALIZED (
+       |  SELECT v.v, b.src,
+       |    CASE WHEN b.dst = v.v THEN 'null' ELSE b.dst END AS dst,
+       |    CAST(sum(b.c) AS BIGINT) AS c
+       |  FROM vari v JOIN base b ON b.src <> v.v
+       |  GROUP BY 1, 2, 3),
+       |p0 AS MATERIALIZED (
+       |  SELECT v, st,
+       |    CAST(CASE WHEN st = 'conv' THEN 1000000000000 ELSE 0 END AS BIGINT) AS p
+       |  FROM (SELECT v, src AS st FROM tv GROUP BY 1, 2
+       |        UNION SELECT v, 'conv' FROM vari
+       |        UNION SELECT v, 'null' FROM vari))$steps,
+       |pb AS (SELECT p AS p_base FROM s8 WHERE v = 'none' AND st = 'start'),
+       |pr AS (SELECT v AS channel, p AS p_removed FROM s8
+       |  WHERE v <> 'none' AND st = 'start'),
+       |re AS (SELECT channel, p_removed,
+       |    CAST(((pb.p_base - p_removed) * 1000000) // pb.p_base AS BIGINT)
+       |      AS removal_ppm,
+       |    pb.p_base FROM pr CROSS JOIN pb),
+       |tre AS (SELECT CAST(sum(removal_ppm) AS BIGINT) AS t FROM re)
+       |SELECT channel, p_base AS p_conv_e12, p_removed, removal_ppm,
+       |  CASE WHEN tre.t > 0 THEN CAST((removal_ppm * 1000000) // tre.t AS BIGINT)
+       |       ELSE NULL END AS attribution_ppm
+       |FROM re CROSS JOIN tre ORDER BY channel""".stripMargin
+  }
 }
