@@ -3570,34 +3570,10 @@ object RelationalQueries {
         .groupBy("src", "dst").agg(count(lit(1)).as("c"))
         .collect() // bounded: (event-type alphabet + 2)² transition cells
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val tots = base.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
       val channels = base.map(_._1).distinct.filter(_ != "start").sorted
-      def absorb(removed: Option[String]): Long = {
-        val tv = base
-          .filter { case (src, _, _) => !removed.contains(src) }
-          .map { case (src, dst, c) =>
-            (src, if (removed.contains(dst)) "null" else dst, c)
-          }
-          .groupBy(t => (t._1, t._2))
-          .map { case ((src, dst), v) => (src, dst, v.map(_._3).sum) }
-          .toSeq
-        val states = tv.map(_._1).distinct
-        var p = (states.map(_ -> 0L) ++
-          Seq("conv" -> 1000000000000L, "null" -> 0L)).toMap
-        (1 to 8).foreach { _ =>
-          val next = states.map { st =>
-            val num = tv.collect {
-              case (src, dst, c) if src == st => c * p.getOrElse(dst, 0L)
-            }.sum
-            st -> num / tots(st) // trunc toward zero = DuckDB //
-          }.toMap
-          p = next ++ Map("conv" -> 1000000000000L, "null" -> 0L)
-        }
-        p.getOrElse("start", 0L)
-      }
-      val pBase = absorb(None)
+      val pBase = markovAbsorption(base, None)
       val re = channels.map { ch =>
-        val pr = absorb(Some(ch))
+        val pr = markovAbsorption(base, Some(ch))
         (ch, pBase, pr, ((pBase - pr) * 1000000L) / pBase)
       }
       val tre = re.map(_._4).sum
@@ -3608,6 +3584,116 @@ object RelationalQueries {
       import s.implicits._
       rows.toDF("channel", "p_conv_e12", "p_removed", "removal_ppm",
           "attribution_ppm")
+        .orderBy("channel")
+    },
+
+    // ----- Exact Shapley-value attribution over touched-channel sets -----
+    // The OTHER data-driven attribution standard (Shapley 1953; Zhao et
+    // al. 2018 for the marketing form), beside attribution_markov's
+    // removal effects: characteristic v(S) = conversion rate (ppm,
+    // floored once) of journeys whose touched-channel set is exactly S,
+    // and φ_i = Σ_{S∋i} (|S|−1)!·(n−|S|)!·(v(S) − v(S\{i})) — the sum
+    // runs over OBSERVED sets only (unobserved coalitions contribute
+    // v = 0, the standard empirical estimator). Everything is exact:
+    // factorial weights come from a 7-row lookup dim (the event-type
+    // alphabet is bounded ≪ 7), set identity is the sorted
+    // comma-joined channel string, and S\{i} is an array filter — so
+    // both engines agree bit-for-bit, negatives included (φ < 0 is
+    // real: a channel whose presence marks low-converting journeys).
+    // Scale shape: journeys collapse to per-user DISTINCT channel rows
+    // (alphabet-bounded per user), the v table is 2^alphabet-bounded,
+    // and every join after it is broadcast. Ranking agrees with the
+    // Markov lens (error ≫ signup ≫ click ≈ view) — the
+    // cross-method agreement is the credibility check both exist for.
+    "attribution_shapley" -> QueryDef.sql(
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |p1 AS (SELECT user_id, ts AS pts, event_id AS pid FROM (
+        |  SELECT user_id, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        |tch AS (
+        |  SELECT ev.user_id, ev.event_type AS ch
+        |  FROM ev LEFT JOIN p1 ON p1.user_id = ev.user_id
+        |  WHERE ev.event_type <> 'purchase'
+        |    AND (p1.user_id IS NULL OR ev.ts < p1.pts
+        |         OR (ev.ts = p1.pts AND ev.event_id < p1.pid))
+        |  GROUP BY 1, 2),
+        |js AS (
+        |  SELECT u.user_id,
+        |    coalesce(list_aggr(list_sort(list(t.ch)), 'string_agg', ','), '')
+        |      AS sset,
+        |    CAST(max(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN tch t ON t.user_id = u.user_id
+        |  LEFT JOIN p1 p ON p.user_id = u.user_id
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT sset, CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(conv) AS BIGINT) AS n_c,
+        |    CAST((1000000 * sum(conv)) // count(*) AS BIGINT) AS v_ppm
+        |  FROM js GROUP BY 1),
+        |nch AS (SELECT CAST(count(DISTINCT ch) AS BIGINT) AS n FROM tch),
+        |fact AS (SELECT * FROM (VALUES (0, 1), (1, 1), (2, 2), (3, 6),
+        |  (4, 24), (5, 120), (6, 720)) f(k, kf)),
+        |sm AS (
+        |  SELECT v.sset, unnest(string_split(v.sset, ',')) AS ch,
+        |    CAST(len(string_split(v.sset, ',')) AS BIGINT) AS sz, v.v_ppm
+        |  FROM v WHERE v.sset <> ''),
+        |delta AS (
+        |  SELECT sm.ch, sm.sz, sm.v_ppm - coalesce(vv.v_ppm, 0) AS dlt
+        |  FROM sm LEFT JOIN v vv
+        |    ON vv.sset = coalesce(list_aggr(list_filter(string_split(sm.sset, ','),
+        |         x -> x <> sm.ch), 'string_agg', ','), '')),
+        |phi AS (
+        |  SELECT d.ch AS channel,
+        |    CAST(sum(f1.kf * f2.kf * d.dlt) AS BIGINT) AS phi_scaled
+        |  FROM delta d CROSS JOIN nch n
+        |  JOIN fact f1 ON f1.k = d.sz - 1
+        |  JOIN fact f2 ON f2.k = n.n - d.sz
+        |  GROUP BY 1),
+        |tp AS (SELECT CAST(sum(CASE WHEN phi_scaled > 0 THEN phi_scaled
+        |  ELSE 0 END) AS BIGINT) AS t FROM phi)
+        |SELECT channel, phi_scaled,
+        |  CASE WHEN tp.t > 0 AND phi_scaled > 0
+        |       THEN CAST((phi_scaled * 1000000) // tp.t AS BIGINT)
+        |       ELSE 0 END AS share_ppm
+        |FROM phi CROSS JOIN tp ORDER BY channel""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val firstPur = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+      val tch = ev.join(firstPur, Seq("user_id"), "left")
+        .filter(col("event_type") =!= "purchase" &&
+          (col("pts").isNull || col("ts") < col("pts") ||
+            (col("ts") === col("pts") && col("event_id") < col("pid"))))
+        .select(col("user_id"), col("event_type").as("ch"))
+        .distinct()
+      val sets = tch.groupBy("user_id")
+        .agg(array_join(sort_array(collect_list("ch")), ",").as("sset"))
+      val js = ev.select("user_id").distinct()
+        .join(sets, Seq("user_id"), "left")
+        .join(firstPur.select(col("user_id"), lit(1L).as("cv")),
+          Seq("user_id"), "left")
+        .select(coalesce(col("sset"), lit("")).as("sset"),
+          coalesce(col("cv"), lit(0L)).as("conv"))
+      val v = js.groupBy("sset")
+        .agg(count(lit(1)).as("n_j"), sum("conv").as("n_c"))
+        .withColumn("v_ppm", expr("CAST((1000000 * n_c) div n_j AS BIGINT)"))
+        .localCheckpoint(true) // member explode + the S\{i} lookup share it
+      val nch = tch.agg(countDistinct("ch").as("n"))
+      val phi = shapleyPhi(v, nch)
+      val tp = phi.agg(
+        sum(when(col("phi_scaled") > 0, col("phi_scaled")).otherwise(0L))
+          .as("t"))
+      phi.crossJoin(broadcast(tp))
+        .select(col("channel"), col("phi_scaled"),
+          when(col("t") > 0 && col("phi_scaled") > 0,
+            expr("CAST((phi_scaled * 1000000) div t AS BIGINT)"))
+            .otherwise(0L).as("share_ppm"))
         .orderBy("channel")
     },
   )
@@ -3664,6 +3750,68 @@ object RelationalQueries {
       .when(sa < sb && ea > eb, "contains")
       .when(sa < sb, "overlaps")
       .otherwise("overlapped_by")
+
+  /** Empirical Shapley values from a characteristic table `v` with
+    * columns (sset: sorted comma-joined channel set, v_ppm: BIGINT) and
+    * a 1-row frame `nch(n)` holding the channel-alphabet size. Returns
+    * (channel, phi_scaled) where phi_scaled = Σ_{S∋i} (|S|−1)!(n−|S|)!
+    * ·(v(S)−v(S\{i})) — n!-scaled Shapley, exact BIGINTs, unobserved
+    * coalitions contributing v = 0. Extracted so AttributionSpec can
+    * check it against brute-force permutation enumeration. */
+  private[operators] def shapleyPhi(
+      v: org.apache.spark.sql.DataFrame,
+      nch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import v.sparkSession.implicits._
+    val fact = Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 6L), (4L, 24L),
+      (5L, 120L), (6L, 720L)).toDF("k", "kf")
+    val sm = v.filter(col("sset") =!= "")
+      .select(col("sset"), explode(split(col("sset"), ",")).as("ch"),
+        size(split(col("sset"), ",")).cast("long").as("sz"), col("v_ppm"))
+    val delta = sm.join(
+        broadcast(v.select(col("sset").as("rss"), col("v_ppm").as("v2"))),
+        expr("rss = array_join(filter(split(sset, ','), x -> x != ch), ',')"),
+        "left")
+      .select(col("ch"), col("sz"),
+        (col("v_ppm") - coalesce(col("v2"), lit(0L))).as("dlt"))
+    delta.crossJoin(broadcast(nch))
+      .join(broadcast(fact.toDF("k1", "kf1")), col("k1") === col("sz") - 1)
+      .join(broadcast(fact.toDF("k2", "kf2")), col("k2") === col("n") - col("sz"))
+      .groupBy(col("ch").as("channel"))
+      .agg(sum(col("kf1") * col("kf2") * col("dlt")).as("phi_scaled"))
+  }
+
+  /** start→conv absorption probability (10¹² scale) of the journey
+    * Markov chain after 8 fixed integer iterations — the exact
+    * arithmetic `attribution_markov`'s oracle unrolls in SQL. `removed`
+    * deletes that channel's state (its outgoing rows dropped, inbound
+    * transitions redirected to 'null'); row totals are taken from the
+    * UNREMOVED matrix, which is what preserves them under redirection.
+    * Extracted for planted-chain property testing (AttributionSpec). */
+  private[operators] def markovAbsorption(
+      base: Seq[(String, String, Long)], removed: Option[String]): Long = {
+    val tots = base.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val tv = base
+      .filter { case (src, _, _) => !removed.contains(src) }
+      .map { case (src, dst, c) =>
+        (src, if (removed.contains(dst)) "null" else dst, c)
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((src, dst), v) => (src, dst, v.map(_._3).sum) }
+      .toSeq
+    val states = tv.map(_._1).distinct
+    var p = (states.map(_ -> 0L) ++
+      Seq("conv" -> 1000000000000L, "null" -> 0L)).toMap
+    (1 to 8).foreach { _ =>
+      val next = states.map { st =>
+        val num = tv.collect {
+          case (src, dst, c) if src == st => c * p.getOrElse(dst, 0L)
+        }.sum
+        st -> num / tots(st) // trunc toward zero = DuckDB //
+      }.toMap
+      p = next ++ Map("conv" -> 1000000000000L, "null" -> 0L)
+    }
+    p.getOrElse("start", 0L)
+  }
 
   /** Oracle for `attribution_markov`: the 8 absorption iterations are
     * UNROLLED (standard SQL forbids aggregates in a recursive term) and

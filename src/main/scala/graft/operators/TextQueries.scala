@@ -2108,7 +2108,18 @@ object TextQueries {
         |SELECT true_lang, hyp AS pred_lang, CAST(count(*) AS BIGINT) AS n
         |FROM fin WHERE rn = 1 GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val docs = documents(s, d)
+      nbConfusion(documents(s, d))
+    },
+  )
+
+  /** Multinomial-NB confusion matrix over any (doc_id, lang, text)
+    * frame — the `nb_lang_classifier` body, extracted so NbSpec can
+    * plant a perfectly separable corpus (disjoint per-lang vocabularies
+    * must classify diagonally) and a vocabulary-free one (priors must
+    * dominate). 80/20 split on doc_id % 10; Laplace-1 smoothing; all
+    * log weights are round(,6) micro integers per bounded cell. */
+  private[operators] def nbConfusion(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val tok = spread(docs)
         .select(col("doc_id"), col("lang"), explode(expr(toksExpr)).as("t"))
       val tr = tok.filter(col("doc_id") % 10 < 8)
@@ -2145,6 +2156,5 @@ object TextQueries {
         .groupBy(col("true_lang"), col("hyp").as("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy("true_lang", "pred_lang")
-    },
-  )
+  }
 }
