@@ -2187,6 +2187,144 @@ object DriftQueries {
         .orderBy("day")
     },
 
+    // ----- One-step-ahead forecast backtest: Holt vs naive baselines -----
+    // The eval that keeps ts_holt_winters honest: score its one-step
+    // residuals against the two no-model baselines every forecasting
+    // textbook demands (drift/persistence ŷ_t = y_{t−1}, seasonal
+    // naive ŷ_t = y_{t−7}) on the SAME scored window (rk ≥ 8, where
+    // all three are defined). All errors live at the 2^20 fixed-point
+    // scale, so the comparison is exact; the measured verdict —
+    // persistence narrowly beats Holt beats seasonal-naive on this
+    // series — is the backtest's point: a fancier model must EARN its
+    // keep, and here the day-level noise says it doesn't.
+    "forecast_backtest" -> QueryDef.sql(
+      """WITH RECURSIVE d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+        |  FROM d),
+        |rec AS (
+        |  SELECT rk, day, y, y * 1048576 AS level_s, CAST(0 AS BIGINT) AS trend_s,
+        |    CAST(NULL AS BIGINT) AS err_s
+        |  FROM g WHERE rk = 1
+        |  UNION ALL
+        |  SELECT g.rk, g.day, g.y,
+        |    (g.y * 1048576 + rec.level_s + rec.trend_s) // 2,
+        |    (((g.y * 1048576 + rec.level_s + rec.trend_s) // 2 - rec.level_s)
+        |      + rec.trend_s) // 2,
+        |    g.y * 1048576 - (rec.level_s + rec.trend_s)
+        |  FROM rec JOIN g ON g.rk = rec.rk + 1),
+        |naive AS (
+        |  SELECT g.rk, abs(g.y - g7.y) * 1048576 AS ae
+        |  FROM g JOIN g g7 ON g7.rk = g.rk - 7),
+        |drift AS (
+        |  SELECT g.rk, abs(g.y - g1.y) * 1048576 AS ae
+        |  FROM g JOIN g g1 ON g1.rk = g.rk - 1),
+        |holt AS (SELECT rk, abs(err_s) AS ae FROM rec WHERE err_s IS NOT NULL)
+        |SELECT * FROM (
+        |  SELECT 'holt' AS model, CAST(count(*) AS BIGINT) AS n_scored,
+        |    CAST(sum(ae) AS BIGINT) AS sae_s,
+        |    CAST(sum(ae) // count(*) AS BIGINT) AS mae_s
+        |  FROM holt WHERE rk >= 8
+        |  UNION ALL
+        |  SELECT 'seasonal_naive', CAST(count(*) AS BIGINT),
+        |    CAST(sum(ae) AS BIGINT), CAST(sum(ae) // count(*) AS BIGINT)
+        |  FROM naive WHERE rk >= 8
+        |  UNION ALL
+        |  SELECT 'drift', CAST(count(*) AS BIGINT), CAST(sum(ae) AS BIGINT),
+        |    CAST(sum(ae) // count(*) AS BIGINT)
+        |  FROM drift WHERE rk >= 8)
+        |ORDER BY model""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val daily = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+        .orderBy("day")
+        .collect() // bounded: one row per calendar day
+      val S = 1048576L
+      val ys = daily.map(_.getLong(1))
+      var l = ys.head * S
+      var b = 0L
+      val holtAe = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      ys.zipWithIndex.drop(1).foreach { case (y, idx) =>
+        val p = l + b
+        holtAe += ((idx + 1, math.abs(y * S - p))) // rk is 1-based
+        val nl = (y * S + p) / 2
+        b = ((nl - l) + b) / 2
+        l = nl
+      }
+      def leg(name: String, aes: Seq[Long]): (String, Long, Long, Long) =
+        (name, aes.size.toLong, aes.sum, aes.sum / aes.size)
+      val rows = Seq(
+        leg("holt", holtAe.collect { case (rk, ae) if rk >= 8 => ae }.toSeq),
+        leg("seasonal_naive",
+          (7 until ys.length).filter(_ + 1 >= 8)
+            .map(i => math.abs(ys(i) - ys(i - 7)) * S)),
+        leg("drift",
+          (1 until ys.length).filter(_ + 1 >= 8)
+            .map(i => math.abs(ys(i) - ys(i - 1)) * S)))
+      import s.implicits._
+      rows.toDF("model", "n_scored", "sae_s", "mae_s").orderBy("model")
+    },
+
+    // ----- Moving-average crossover signals on the daily series -----
+    // The classic trend signal (golden/death cross), division-free: the
+    // 3-day and 10-day trailing means compare as 10·s3 vs 3·s10, so
+    // sign and crossover detection are pure BIGINT. Signals only fire
+    // once both windows are full (rk ≥ 10), and a tied comparison emits
+    // sign 0 (no false cross through equality). The corpus collapses to
+    // the bounded day grid first; every window after that is
+    // calendar-cardinality.
+    "ts_ma_crossover" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT day, y,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk,
+        |    CAST(sum(y) OVER (ORDER BY day
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+        |    CAST(sum(y) OVER (ORDER BY day
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS s10
+        |  FROM d),
+        |sg AS (
+        |  SELECT day, s3, s10,
+        |    CASE WHEN 10 * s3 > 3 * s10 THEN 1
+        |         WHEN 10 * s3 < 3 * s10 THEN -1 ELSE 0 END AS sig
+        |  FROM g WHERE rk >= 10),
+        |x AS (
+        |  SELECT day, s3, s10, sig, lag(sig) OVER (ORDER BY day) AS prev_sig
+        |  FROM sg)
+        |SELECT day, s3, s10,
+        |  CASE WHEN sig > prev_sig THEN 'golden' ELSE 'death' END AS crossover
+        |FROM x WHERE prev_sig IS NOT NULL AND sig <> prev_sig AND sig <> 0
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val dd = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+      val w = Window.orderBy("day") // bounded calendar rows
+      val g = dd.select(col("day"), col("y"),
+        row_number().over(w).cast("long").as("rk"),
+        sum("y").over(w.rowsBetween(-2, 0)).as("s3"),
+        sum("y").over(w.rowsBetween(-9, 0)).as("s10"))
+      val sg = g.filter(col("rk") >= 10)
+        .select(col("day"), col("s3"), col("s10"),
+          when(lit(10) * col("s3") > lit(3) * col("s10"), 1)
+            .when(lit(10) * col("s3") < lit(3) * col("s10"), -1)
+            .otherwise(0).as("sig"))
+      sg.withColumn("prev_sig", lag("sig", 1).over(Window.orderBy("day")))
+        .filter(col("prev_sig").isNotNull && col("sig") =!= col("prev_sig") &&
+          col("sig") =!= 0)
+        .select(col("day"), col("s3"), col("s10"),
+          when(col("sig") > col("prev_sig"), "golden").otherwise("death")
+            .as("crossover"))
+        .orderBy("day")
+    },
+
     // ----- Item-item collaborative filtering (co-occurrence kNN) -----
     // The serving shape basket_part_rules doesn't emit: a per-item
     // neighbor LIST — "customers whose basket had A also took B" —

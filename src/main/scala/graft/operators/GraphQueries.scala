@@ -281,6 +281,66 @@ object GraphQueries {
         .orderBy(col("aa_micro").desc, col("doc_a"), col("doc_b"))
     },
 
+    // ----- Degree assortativity of the candidate graph -----
+    // Newman's r (2002): do high-degree docs attach to high-degree docs?
+    // For the dedup graph the sign is diagnostic — assortative hubs mean
+    // template FAMILIES cross-linking (boilerplate farms), disassortative
+    // means hub-and-spoke (one canonical, many light edits) — and it
+    // prices the wedge-join degree cap the triangle counter relies on.
+    // Exactness: r is the Pearson correlation of degrees across edge
+    // endpoints; with both directions counted, x and y are exchangeable,
+    // so r = cov/var exactly — emitted as the cross-multiplied BIGINTs
+    // cov2 = m·Σxy − Σx², var2 = m·Σxx − Σx² and their one ppm floor
+    // division, no sqrt anywhere. One pass computes all sums via the
+    // symmetric closed forms (m = 2|E|, Σxy = 2Σd_a·d_b, …). The edge
+    // list reads the persisted band store; degrees are one hash agg.
+    "graph_assortativity" -> QueryDef.sql(
+      s"""WITH ${TextQueries.MinhashBandsCte},
+         |pairs AS (${TextQueries.BandedPairsSelect}),
+         |deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT doc_a AS v FROM pairs
+         |    UNION ALL SELECT doc_b AS v FROM pairs) GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(2 * count(*) AS BIGINT) AS m,
+         |    CAST(sum(da.d + db.d) AS BIGINT) AS sx,
+         |    CAST(2 * sum(CAST(da.d AS HUGEINT) * db.d) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(da.d AS HUGEINT) * da.d
+         |      + CAST(db.d AS HUGEINT) * db.d) AS HUGEINT) AS sxx
+         |  FROM pairs p
+         |  JOIN deg da ON da.v = p.doc_a
+         |  JOIN deg db ON db.v = p.doc_b)
+         |SELECT m AS n_endpoints, sx AS sum_deg,
+         |  CAST(m * sxy - CAST(sx AS HUGEINT) * sx AS BIGINT) AS cov2,
+         |  CAST(m * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS var2,
+         |  CAST((1000000 * (m * sxy - CAST(sx AS HUGEINT) * sx))
+         |    // (m * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS r_ppm
+         |FROM agg""".stripMargin) { (s, d) =>
+      val pairs = TextQueries
+        .bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+        .localCheckpoint(true) // degree fold + endpoint join share it
+      val deg = pairs.select(col("doc_a").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      pairs
+        .join(deg.toDF("doc_a", "da"), Seq("doc_a"))
+        .join(deg.toDF("doc_b", "db"), Seq("doc_b"))
+        .agg((lit(2L) * count(lit(1))).as("m"),
+          sum(col("da") + col("db")).as("sx"),
+          (lit(2L) * sum(expr("CAST(da AS DECIMAL(38,0)) * db"))).as("sxy"),
+          sum(expr("""CAST(da AS DECIMAL(38,0)) * da
+                     |  + CAST(db AS DECIMAL(38,0)) * db""".stripMargin))
+            .as("sxx"))
+        .select(col("m").as("n_endpoints"), col("sx").as("sum_deg"),
+          expr("CAST(m * sxy - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)")
+            .as("cov2"),
+          expr("CAST(m * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)")
+            .as("var2"),
+          expr("""CAST((1000000 * (m * sxy - CAST(sx AS DECIMAL(38,0)) * sx))
+                 |  div (m * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"""
+            .stripMargin).as("r_ppm"))
+    },
+
     // ----- HITS hubs/authorities on the customer→supplier graph -----
     // The eighth graph lens, and the first on a DIRECTED bipartite
     // graph: customers are hubs (good buyers touch many good
