@@ -3527,6 +3527,63 @@ object RelationalQueries {
         .orderBy("touch")
     },
 
+    // ----- ABC / Pareto classification of suppliers by revenue -----
+    // The inventory-management classic: rank suppliers by discounted
+    // revenue, class A while the revenue cumulated BEFORE a supplier is
+    // under 80% of total, B under 95%, C after — all compared
+    // cross-multiplied (100·(cum−rev) vs 80·total), so no percentage is
+    // ever computed. Revenue is exact: the double product folds through
+    // DECIMAL(18,6) micro-units once per line. The global cumulative
+    // runs through the two-pass ranged scaffold with revenue as the
+    // prefix weight — no single-task window at supplier cardinality —
+    // and the class report is a 3-row hash agg.
+    "supplier_pareto_abc" -> QueryDef.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_us
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_us) AS BIGINT) AS total FROM rev),
+        |c AS (
+        |  SELECT l_suppkey, rev_us,
+        |    CAST(sum(rev_us) OVER (ORDER BY rev_us DESC, l_suppkey)
+        |      AS BIGINT) AS cum
+        |  FROM rev),
+        |cls AS (
+        |  SELECT CASE WHEN 100 * (cum - rev_us) < 80 * tot.total THEN 'A'
+        |              WHEN 100 * (cum - rev_us) < 95 * tot.total THEN 'B'
+        |              ELSE 'C' END AS abc_class,
+        |    rev_us, tot.total
+        |  FROM c CROSS JOIN tot)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(rev_us) AS BIGINT) AS rev_us_total,
+        |  CAST((CAST(1000000 AS HUGEINT) * sum(rev_us)) // min(total) AS BIGINT)
+        |    AS share_ppm
+        |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin) { (s, d) =>
+      val rev = lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(expr("""CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    |  AS DECIMAL(18,6))) * 1000000 AS BIGINT)""".stripMargin)
+          .as("rev_us"))
+      val (ranged, offsets, total) = graft.util.Scale.rangedOffsets(
+        rev, Seq(col("rev_us").desc, col("l_suppkey").asc), col("rev_us"))
+      val w = Window.partitionBy("_pid")
+        .orderBy(col("rev_us").desc, col("l_suppkey").asc)
+      ranged
+        .withColumn("cum", sum("rev_us").over(w) +
+          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
+        .select(col("rev_us"),
+          when(lit(100L) * (col("cum") - col("rev_us")) < lit(80L) * total, "A")
+            .when(lit(100L) * (col("cum") - col("rev_us")) < lit(95L) * total, "B")
+            .otherwise("C").as("abc_class"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_suppliers"), sum("rev_us").as("rev_us_total"))
+        .select(col("abc_class"), col("n_suppliers"), col("rev_us_total"),
+          expr(s"""CAST((CAST(1000000 AS DECIMAL(38,0)) * rev_us_total)
+                  |  div ${total}L AS BIGINT)""".stripMargin).as("share_ppm"))
+        .orderBy("abc_class")
+    },
+
     // ----- Markov-chain attribution with removal effects -----
     // The data-driven counterweight to the heuristic attribution trio
     // (a9 previous-touch, a11 last-touch, a12 U-shaped): model each

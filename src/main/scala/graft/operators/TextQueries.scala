@@ -2068,49 +2068,123 @@ object TextQueries {
     // synthetic vocabulary), which is exactly what a confusion matrix
     // is for.
     "nb_lang_classifier" -> QueryDef.sql(
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-        |  FROM documents),
-        |tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8),
-        |te AS (SELECT * FROM tok WHERE doc_id % 10 >= 8),
-        |cell AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
-        |  FROM tr GROUP BY 1, 2),
-        |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM cell GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vsz FROM tr),
-        |mll AS (
-        |  SELECT cell.lang, cell.t,
-        |    CAST(round(1000000 * round(ln((cell.c + 1.0) / (tl.total + v.vsz)), 6))
-        |      AS BIGINT) AS w
-        |  FROM cell JOIN tl USING (lang) CROSS JOIN v),
-        |dflt AS (
-        |  SELECT tl.lang,
-        |    CAST(round(1000000 * round(ln(1.0 / (tl.total + v.vsz)), 6))
-        |      AS BIGINT) AS w0
-        |  FROM tl CROSS JOIN v),
-        |prior AS (
-        |  SELECT lang,
-        |    CAST(round(1000000 * round(ln(CAST(count(*) AS DOUBLE)
-        |      / (SELECT count(*) FROM documents WHERE doc_id % 10 < 8)), 6))
-        |      AS BIGINT) AS pw
-        |  FROM documents WHERE doc_id % 10 < 8 GROUP BY 1),
-        |sc AS (
-        |  SELECT te.doc_id, te.lang AS true_lang, d.lang AS hyp,
-        |    CAST(sum(coalesce(mll.w, d.w0)) AS BIGINT) AS tok_sum
-        |  FROM te CROSS JOIN dflt d
-        |  LEFT JOIN mll ON mll.lang = d.lang AND mll.t = te.t
-        |  GROUP BY 1, 2, 3),
-        |fin AS (
-        |  SELECT sc.doc_id, sc.true_lang, sc.hyp,
-        |    row_number() OVER (PARTITION BY sc.doc_id
-        |      ORDER BY sc.tok_sum + p.pw DESC, sc.hyp) AS rn
-        |  FROM sc JOIN prior p ON p.lang = sc.hyp)
-        |SELECT true_lang, hyp AS pred_lang, CAST(count(*) AS BIGINT) AS n
-        |FROM fin WHERE rn = 1 GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      s"""WITH $NbCoreCtes
+         |SELECT true_lang, hyp AS pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM fin WHERE rn = 1 GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       nbConfusion(documents(s, d))
     },
+
+    // ----- Per-class precision / recall / F1 from the NB confusion -----
+    // The summary a model card actually prints: per language, exact
+    // precision = tp/(tp+fp) and recall = tp/(tp+fn) in ppm (one floor
+    // each), F1 as the harmonic mean of the TWO PPM VALUES — (2·p·r)
+    // // (p+r) stays in ppm with no further rounding source. Classes
+    // never predicted get NULL precision (0/0), and F1 is NULL when
+    // p+r = 0 — absence reported as absence, not as a fake zero. Runs
+    // entirely on the langs²-bounded confusion matrix.
+    "nb_eval_summary" -> QueryDef.sql(
+      s"""WITH $NbCoreCtes,
+         |cm AS (
+         |  SELECT true_lang, hyp AS pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM fin WHERE rn = 1 GROUP BY 1, 2),
+         |rowt AS (SELECT true_lang AS lang, CAST(sum(n) AS BIGINT) AS t
+         |  FROM cm GROUP BY 1),
+         |colp AS (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS p
+         |  FROM cm GROUP BY 1),
+         |diag AS (SELECT true_lang AS lang, CAST(sum(n) AS BIGINT) AS tp
+         |  FROM cm WHERE true_lang = pred_lang GROUP BY 1),
+         |langs AS (SELECT lang FROM rowt UNION SELECT lang FROM colp),
+         |per AS (
+         |  SELECT l.lang, coalesce(d.tp, 0) AS tp,
+         |    coalesce(r.t, 0) AS n_true, coalesce(c.p, 0) AS n_pred
+         |  FROM langs l LEFT JOIN diag d ON d.lang = l.lang
+         |  LEFT JOIN rowt r ON r.lang = l.lang
+         |  LEFT JOIN colp c ON c.lang = l.lang),
+         |pr AS (
+         |  SELECT lang, tp, n_true, n_pred,
+         |    CASE WHEN n_pred > 0 THEN (1000000 * tp) // n_pred END AS pp,
+         |    CASE WHEN n_true > 0 THEN (1000000 * tp) // n_true END AS rr
+         |  FROM per)
+         |SELECT lang, tp, n_true, n_pred,
+         |  CAST(pp AS BIGINT) AS precision_ppm, CAST(rr AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN coalesce(pp, 0) + coalesce(rr, 0) > 0
+         |    THEN (2 * coalesce(pp, 0) * coalesce(rr, 0))
+         |      // (coalesce(pp, 0) + coalesce(rr, 0)) END AS BIGINT) AS f1_ppm
+         |FROM pr ORDER BY lang""".stripMargin) { (s, d) =>
+      val cm = nbConfusion(documents(s, d))
+        .localCheckpoint(true) // bounded langs² rows feed three margins
+      val rowt = cm.groupBy(col("true_lang").as("lang"))
+        .agg(sum("n").as("t"))
+      val colp = cm.groupBy(col("pred_lang").as("lang"))
+        .agg(sum("n").as("p"))
+      val diag = cm.filter(col("true_lang") === col("pred_lang"))
+        .groupBy(col("true_lang").as("lang")).agg(sum("n").as("tp"))
+      val langs = rowt.select("lang").union(colp.select("lang")).distinct()
+      langs
+        .join(diag, Seq("lang"), "left")
+        .join(rowt, Seq("lang"), "left")
+        .join(colp, Seq("lang"), "left")
+        .select(col("lang"), coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("t"), lit(0L)).as("n_true"),
+          coalesce(col("p"), lit(0L)).as("n_pred"))
+        .withColumn("pp",
+          when(col("n_pred") > 0, expr("(1000000 * tp) div n_pred")))
+        .withColumn("rr",
+          when(col("n_true") > 0, expr("(1000000 * tp) div n_true")))
+        .select(col("lang"), col("tp"), col("n_true"), col("n_pred"),
+          col("pp").as("precision_ppm"), col("rr").as("recall_ppm"),
+          when(coalesce(col("pp"), lit(0L)) + coalesce(col("rr"), lit(0L)) > 0,
+            expr("""(2 * coalesce(pp, 0L) * coalesce(rr, 0L))
+                   |  div (coalesce(pp, 0L) + coalesce(rr, 0L))""".stripMargin))
+            .as("f1_ppm"))
+        .orderBy("lang")
+    },
   )
+
+  /** Shared CTE chain for the NB classifier oracles: tokenize, 80/20
+    * doc_id-mod split, Laplace-1 likelihood cells / defaults / priors as
+    * round(,6) micro integers, per-(test doc, hypothesis) BIGINT scores,
+    * and the argmax rank `fin` — `nb_lang_classifier` reads the
+    * confusion off it, `nb_eval_summary` the per-class margins. */
+  private lazy val NbCoreCtes: String =
+    """tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |  FROM documents),
+      |tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8),
+      |te AS (SELECT * FROM tok WHERE doc_id % 10 >= 8),
+      |cell AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM tr GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM cell GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vsz FROM tr),
+      |mll AS (
+      |  SELECT cell.lang, cell.t,
+      |    CAST(round(1000000 * round(ln((cell.c + 1.0) / (tl.total + v.vsz)), 6))
+      |      AS BIGINT) AS w
+      |  FROM cell JOIN tl USING (lang) CROSS JOIN v),
+      |dflt AS (
+      |  SELECT tl.lang,
+      |    CAST(round(1000000 * round(ln(1.0 / (tl.total + v.vsz)), 6))
+      |      AS BIGINT) AS w0
+      |  FROM tl CROSS JOIN v),
+      |prior AS (
+      |  SELECT lang,
+      |    CAST(round(1000000 * round(ln(CAST(count(*) AS DOUBLE)
+      |      / (SELECT count(*) FROM documents WHERE doc_id % 10 < 8)), 6))
+      |      AS BIGINT) AS pw
+      |  FROM documents WHERE doc_id % 10 < 8 GROUP BY 1),
+      |sc AS (
+      |  SELECT te.doc_id, te.lang AS true_lang, d.lang AS hyp,
+      |    CAST(sum(coalesce(mll.w, d.w0)) AS BIGINT) AS tok_sum
+      |  FROM te CROSS JOIN dflt d
+      |  LEFT JOIN mll ON mll.lang = d.lang AND mll.t = te.t
+      |  GROUP BY 1, 2, 3),
+      |fin AS (
+      |  SELECT sc.doc_id, sc.true_lang, sc.hyp,
+      |    row_number() OVER (PARTITION BY sc.doc_id
+      |      ORDER BY sc.tok_sum + p.pw DESC, sc.hyp) AS rn
+      |  FROM sc JOIN prior p ON p.lang = sc.hyp)""".stripMargin
 
   /** Multinomial-NB confusion matrix over any (doc_id, lang, text)
     * frame — the `nb_lang_classifier` body, extracted so NbSpec can
