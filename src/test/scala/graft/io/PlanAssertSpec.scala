@@ -858,6 +858,46 @@ class PlanAssertSpec extends SparkFunSuite {
     assert(q.agg(org.apache.spark.sql.functions.sum("picks")).first().getLong(0) == 64L)
   }
 
+  test("ranked evals and ABC cumulative never use a single-partition window") {
+    // eval_roc_auc / eval_pr_auc / supplier_pareto_abc all need a GLOBAL
+    // ordered prefix (cumulative negatives, rank+running positives,
+    // cumulative revenue) — pinned here to the two-pass ranged scaffold,
+    // never a partitionSpec-empty WindowExec at corpus cardinality.
+    val sfDir = "/root/testdata/sf0.001"
+    val defs = graft.operators.DriftQueries.defs ++
+      graft.operators.RelationalQueries.defs
+    for (name <- Seq("eval_roc_auc", "eval_pr_auc", "supplier_pareto_abc")) {
+      val q = defs(name).build(spark, sfDir)
+      val globalWindows = q.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$name must rank through rangedOffsets, not one task:\n${q.queryExecution.sparkPlan}")
+      assert(q.count() > 0, name)
+    }
+  }
+
+  test("cf_item_item and nb_lang_classifier plans stay free of cartesian corpus products") {
+    // The CF pair explode must ride the per-order equi-join and NB's
+    // test-side scoring must join the likelihood dim — a
+    // CartesianProductExec anywhere means a corpus×corpus blowup at
+    // scale. (The intended tiny crossJoins — language alphabet, vocab
+    // size — broadcast and never plan as CartesianProduct.)
+    val sfDir = "/root/testdata/sf0.001"
+    val defs = graft.operators.DriftQueries.defs ++
+      graft.operators.TextQueries.defs
+    for (name <- Seq("cf_item_item", "nb_lang_classifier")) {
+      val q = defs(name).build(spark, sfDir)
+      val cartesian = q.queryExecution.sparkPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cartesian.isEmpty,
+        s"$name must not materialize a cartesian product:\n${q.queryExecution.sparkPlan}")
+      assert(q.count() > 0, name)
+    }
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
