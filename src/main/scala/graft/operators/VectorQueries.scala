@@ -1393,6 +1393,69 @@ object VectorQueries {
         .orderBy("cent_id", "pos")
     },
 
+    // ----- Simplified silhouette of the k-means seed partition -----
+    // The cluster-quality eval kmeans_iterate lacks: per point, a = its
+    // cosine DISTANCE to the assigned (nearest) centroid and b = to the
+    // runner-up, so the simplified silhouette (Hruschka 2004 — centroid
+    // form of Rousseeuw's) is s = (b−a)/b, b ≥ a by argmax
+    // construction. All integer: similarities enter once as the
+    // round(,6)·10⁶ discipline shared with the assignment, s floors
+    // once per point, and per-cluster means floor the point sums. A
+    // degenerate point AT its runner-up centroid (b = 0 ⇒ a = 0) would
+    // report NULL rather than a fake score. Scale: one broadcast of 16
+    // centroids, one per-vector window over the 16-row candidate set —
+    // nothing beyond the assignment pass kmeans itself pays.
+    "kmeans_silhouette" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sim AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(round(1000000 * round(list_cosine_similarity(e.v, c.cv), 6))
+        |      AS BIGINT) AS s1e6,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |        c.cent_id) AS rn
+        |  FROM e, c),
+        |pt AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN cent_id END) AS cent_id,
+        |    1000000 - max(CASE WHEN rn = 1 THEN s1e6 END) AS a,
+        |    1000000 - max(CASE WHEN rn = 2 THEN s1e6 END) AS b
+        |  FROM sim WHERE rn <= 2 GROUP BY 1),
+        |sp AS (
+        |  SELECT cent_id,
+        |    CASE WHEN b > 0 THEN ((b - a) * 1000000) // b END AS s_ppm
+        |  FROM pt)
+        |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(s_ppm) // count(s_ppm) AS BIGINT) AS mean_sil_ppm,
+        |  CAST(min(s_ppm) AS BIGINT) AS min_sil_ppm
+        |FROM sp GROUP BY 1 ORDER BY cent_id""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val sim = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cent_id"),
+          round(lit(1000000d) * score("embedding", "cv"), 0).cast("long")
+            .as("s1e6"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("s1e6").desc, col("cent_id"))))
+      val pt = sim.filter(col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(max(when(col("rn") === 1, col("cent_id"))).as("cent_id"),
+          (lit(1000000L) - max(when(col("rn") === 1, col("s1e6")))).as("a"),
+          (lit(1000000L) - max(when(col("rn") === 2, col("s1e6")))).as("b"))
+      pt.select(col("cent_id"),
+          when(col("b") > 0, expr("((b - a) * 1000000) div b")).as("s_ppm"))
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("n_points"),
+          expr("CAST(sum(s_ppm) div count(s_ppm) AS BIGINT)")
+            .as("mean_sil_ppm"),
+          min("s_ppm").as("min_sil_ppm"))
+        .orderBy("cent_id")
+    },
+
     // ----- chunk → document embedding: mean-pool + L2 normalize -----
     // The aggregation step of every chunked-embedding pipeline (chunk
     // vectors in, one unit-norm document vector out, here 4 chunks per
