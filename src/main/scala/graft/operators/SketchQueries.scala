@@ -623,6 +623,93 @@ object SketchQueries {
 
   private def moreDefs: Map[String, QueryDef] = Map(
 
+    // ----- Bloom false-positive calibration: measured vs predicted -----
+    // The eval that closes the Bloom family: probe the 4096-bit
+    // two-hash gate with every TRUE-NEGATIVE train shingle (distinct
+    // hashes anti-joined against the eval set) and compare the measured
+    // false-positive rate to the occupancy prediction ρ² — k=2
+    // independent probes each hitting a set bit with probability
+    // ρ = set_bits/m. No transcendental: ρ² comes from the exact
+    // popcount, so prediction and measurement are both exact ppm
+    // integers and their gap IS the report (probe-pair correlation from
+    // splitting one 60-bit hash would show up here and measurably
+    // doesn't). Scale: one pass per side to distinct shingle hashes,
+    // the ≤128-word filter broadcasts, the verdict is a 1-row agg.
+    "bloom_fp_calibration" -> QueryDef.sql(
+      """WITH evald AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 97 = 0 AND doc_id < 10000),
+        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |esh AS (SELECT DISTINCT h FROM (
+        |  SELECT unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+        |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+        |  FROM evald)),
+        |tsh AS (SELECT DISTINCT h FROM (
+        |  SELECT unnest([('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT
+        |    for i in generate_series(1, greatest(length(text)-11, 1))]) AS h
+        |  FROM train)),
+        |bloom AS (
+        |  SELECT w, bit_or(b) AS bits FROM (
+        |    SELECT (h % 4096) // 32 AS w, (1::BIGINT << CAST(h % 32 AS INT)) AS b FROM esh
+        |    UNION ALL
+        |    SELECT ((h // 4096) % 4096) // 32 AS w,
+        |           (1::BIGINT << CAST((h // 4096) % 32 AS INT)) AS b FROM esh)
+        |  GROUP BY w),
+        |occ AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS set_bits FROM bloom),
+        |tneg AS (SELECT h FROM tsh WHERE h NOT IN (SELECT h FROM esh)),
+        |probe AS (
+        |  SELECT t.h,
+        |    CASE WHEN (f1.bits & (1::BIGINT << CAST(t.h % 32 AS INT))) <> 0
+        |          AND (f2.bits & (1::BIGINT << CAST((t.h // 4096) % 32 AS INT))) <> 0
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM tneg t
+        |  LEFT JOIN bloom f1 ON f1.w = (t.h % 4096) // 32
+        |  LEFT JOIN bloom f2 ON f2.w = ((t.h // 4096) % 4096) // 32),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_neg_probes,
+        |  CAST(sum(hit) AS BIGINT) AS fp_hits FROM probe)
+        |SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(2 AS BIGINT) AS k_hashes,
+        |  occ.set_bits,
+        |  CAST((1000000 * occ.set_bits) // 4096 AS BIGINT) AS occupancy_ppm,
+        |  m.n_neg_probes, m.fp_hits,
+        |  CAST((1000000 * m.fp_hits) // m.n_neg_probes AS BIGINT) AS fp_meas_ppm,
+        |  CAST((1000000 * occ.set_bits * occ.set_bits) // (4096 * 4096)
+        |    AS BIGINT) AS fp_pred_ppm
+        |FROM occ CROSS JOIN m""".stripMargin) { (s, d) =>
+      import graft.functions.ShingleHashes.shingle_hashes
+      val docs = documents(s, d)
+      val esh = evalSplit(docs)
+        .select(explode(shingle_hashes(col("text"), lit(12))).as("h"))
+        .distinct()
+        .localCheckpoint(true) // filter build + anti-join probe share it
+      val bloom = bloomWords(esh).localCheckpoint(true)
+      val occ = bloom.agg(sum(expr("bit_count(bits)")).as("set_bits"))
+      val tneg = TextQueries.spread(docs.filter(col("doc_id") % 97 =!= 0))
+        .select(explode(shingle_hashes(col("text"), lit(12))).as("h"))
+        .distinct()
+        .join(esh, Seq("h"), "left_anti")
+      val f1 = bloom.select(col("w").as("w1"), col("bits").as("bits1"))
+      val f2 = bloom.select(col("w").as("w2"), col("bits").as("bits2"))
+      val m = tneg
+        .withColumn("w1", expr("(h % 4096) div 32"))
+        .withColumn("w2", expr("((h div 4096) % 4096) div 32"))
+        .join(broadcast(f1), Seq("w1"), "left")
+        .join(broadcast(f2), Seq("w2"), "left")
+        .select(when(
+          expr("(bits1 & shiftleft(1L, CAST(h % 32 AS INT))) <> 0") &&
+            expr("(bits2 & shiftleft(1L, CAST((h div 4096) % 32 AS INT))) <> 0"),
+          1L).otherwise(0L).as("hit"))
+        .agg(count(lit(1)).as("n_neg_probes"), sum("hit").as("fp_hits"))
+      occ.crossJoin(m)
+        .select(lit(4096L).as("m_bits"), lit(2L).as("k_hashes"),
+          col("set_bits"),
+          expr("CAST((1000000 * set_bits) div 4096 AS BIGINT)")
+            .as("occupancy_ppm"),
+          col("n_neg_probes"), col("fp_hits"),
+          expr("CAST((1000000 * fp_hits) div n_neg_probes AS BIGINT)")
+            .as("fp_meas_ppm"),
+          expr("CAST((1000000 * set_bits * set_bits) div (4096 * 4096) AS BIGINT)")
+            .as("fp_pred_ppm"))
+    },
+
     // ----- sketch composition #1: join-size estimation from count-min -----
     // The optimizer-statistics use of the frequency sketch (Cormode &
     // Muthukrishnan §4.2): |A ⋈ B| on a key equals the inner product
