@@ -3527,6 +3527,63 @@ object RelationalQueries {
         .orderBy("touch")
     },
 
+    // ----- Wilson lower-bound ranking of per-nation return rates -----
+    // "How not to sort by average rating" (Wilson 1927; Miller 2009):
+    // rank each supplier nation by the 95% Wilson LOWER bound of its
+    // return-rate proportion, not the raw rate — small samples get
+    // pulled toward zero, so a lucky low-n nation can't outrank a
+    // well-measured one (naive_rank vs wilson_rank shows the actual
+    // reorderings). Determinism without a closed integer form: the
+    // bound needs ONE sqrt, and IEEE sqrt/·//+ are correctly rounded,
+    // so the identical literal expression tree evaluates bit-equal in
+    // both engines (the kmeans mu_x1e6 precedent) — floored once to
+    // ppm. Counts fold in one hash agg behind two broadcast dims.
+    "rating_wilson_rank" -> QueryDef.sql(
+      """WITH agg AS (
+        |  SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT nation, n, x,
+        |    CAST((1000000 * x) // n AS BIGINT) AS rate_ppm,
+        |    CAST(floor(1000000.0 * ((CAST(x AS DOUBLE) + 1.9208)
+        |      - 1.96 * sqrt((CAST(x AS DOUBLE) * CAST(n - x AS DOUBLE))
+        |          / CAST(n AS DOUBLE) + 0.9604))
+        |      / (CAST(n AS DOUBLE) + 3.8416)) AS BIGINT) AS wilson_lower_ppm
+        |  FROM agg)
+        |SELECT nation, n, x, rate_ppm, wilson_lower_ppm,
+        |  CAST(row_number() OVER (ORDER BY rate_ppm DESC, nation) AS BIGINT)
+        |    AS naive_rank,
+        |  CAST(row_number() OVER (ORDER BY wilson_lower_ppm DESC, nation)
+        |    AS BIGINT) AS wilson_rank
+        |FROM w ORDER BY wilson_rank""".stripMargin) { (s, d) =>
+      val agg = lineitem(s, d)
+        .join(broadcast(supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, d)),
+          col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      val w = agg.select(col("nation"), col("n"), col("x"),
+        expr("CAST((1000000 * x) div n AS BIGINT)").as("rate_ppm"),
+        expr("""CAST(floor(1000000.0D * ((CAST(x AS DOUBLE) + 1.9208D)
+               |  - 1.96D * sqrt((CAST(x AS DOUBLE) * CAST(n - x AS DOUBLE))
+               |      / CAST(n AS DOUBLE) + 0.9604D))
+               |  / (CAST(n AS DOUBLE) + 3.8416D)) AS BIGINT)""".stripMargin)
+          .as("wilson_lower_ppm"))
+      // nation-cardinality rows: the two global rank windows are bounded
+      w.withColumn("naive_rank", row_number().over(
+          Window.orderBy(col("rate_ppm").desc, col("nation"))).cast("long"))
+        .withColumn("wilson_rank", row_number().over(
+          Window.orderBy(col("wilson_lower_ppm").desc, col("nation"))).cast("long"))
+        .orderBy("wilson_rank")
+    },
+
     // ----- ABC / Pareto classification of suppliers by revenue -----
     // The inventory-management classic: rank suppliers by discounted
     // revenue, class A while the revenue cumulated BEFORE a supplier is
