@@ -20,6 +20,58 @@ import org.apache.spark.sql.functions._
   */
 object DriftQueries {
 
+  /** Oracle for `ts_holt_winters_seasonal`: the recursive CTE carries
+    * the 7 seasonal slots as columns (standard SQL recursion cannot
+    * carry arrays mutably); only the active slot's CASE arm rewrites
+    * per step, mirroring the driver fold's single-slot update. */
+  private lazy val HwSeasonalSql: String = {
+    def sel(prefix: String, ix: String): String =
+      s"(CASE CAST(($ix) % 7 AS INT) WHEN 0 THEN ${prefix}s0 WHEN 1 THEN ${prefix}s1" +
+        s" WHEN 2 THEN ${prefix}s2 WHEN 3 THEN ${prefix}s3 WHEN 4 THEN ${prefix}s4" +
+        s" WHEN 5 THEN ${prefix}s5 ELSE ${prefix}s6 END)"
+    val sj = sel("rec.", "g.rk - 1")
+    val newL = s"((g.y * 1048576 - $sj + (rec.l + rec.b)) // 2)"
+    def sUpd(k: Int): String =
+      s"CASE WHEN (g.rk - 1) % 7 = $k THEN ((g.y * 1048576 - $newL) + rec.s$k) // 2 ELSE rec.s$k END"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |g AS (SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+       |  FROM d),
+       |rec AS (
+       |  SELECT rk, day, y, y * 1048576 AS l, CAST(0 AS BIGINT) AS b,
+       |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+       |    CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+       |    CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+       |    CAST(0 AS BIGINT) AS s6, CAST(NULL AS BIGINT) AS err_s
+       |  FROM g WHERE rk = 1
+       |  UNION ALL
+       |  SELECT g.rk, g.day, g.y,
+       |    $newL AS l,
+       |    (($newL - rec.l) + rec.b) // 2 AS b,
+       |    ${sUpd(0)}, ${sUpd(1)}, ${sUpd(2)}, ${sUpd(3)}, ${sUpd(4)},
+       |    ${sUpd(5)}, ${sUpd(6)},
+       |    g.y * 1048576 - (rec.l + rec.b + $sj) AS err_s
+       |  FROM rec JOIN g ON g.rk = rec.rk + 1),
+       |lastr AS (SELECT * FROM rec ORDER BY rk DESC LIMIT 1),
+       |fc AS (
+       |  SELECT 'forecast' AS role, lastr.day + h.h AS day,
+       |    CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS level_s,
+       |    CAST(NULL AS BIGINT) AS trend_s, CAST(NULL AS BIGINT) AS season_s,
+       |    CAST(NULL AS BIGINT) AS err_s,
+       |    lastr.l + h.h * lastr.b
+       |      + ${sel("lastr.", "lastr.rk - 1 + h.h")} AS forecast_s
+       |  FROM lastr CROSS JOIN
+       |    (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS h) h)
+       |SELECT 'fit' AS role, day, y, l AS level_s, b AS trend_s,
+       |  ${sel("", "rk - 1")} AS season_s, err_s,
+       |  l + b + ${sel("", "rk")} AS forecast_s
+       |FROM rec
+       |UNION ALL SELECT * FROM fc
+       |ORDER BY day""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ----- CUSUM changepoint per event type (Page 1954), exact -----
@@ -2185,6 +2237,182 @@ object DriftQueries {
       out.toSeq
         .toDF("role", "day", "y", "level_s", "trend_s", "err_s", "forecast_s")
         .orderBy("day")
+    },
+
+    // ----- Holt–Winters with additive weekly seasonality -----
+    // The seasonal completion of ts_holt_winters: α=β=γ=½ keeps every
+    // update one add and one halving, state is (level, trend, 7
+    // seasonal slots) in 2^20 fixed point, and only the active slot
+    // updates per day — so the recursion stays bit-identical between
+    // the bounded driver fold and DuckDB's recursive CTE carrying
+    // s0..s6 as columns. Simple zero-init seasonals (no warm-up season
+    // subtracted — documented variant); err_s is the pre-update
+    // one-step residual against level+trend+season, and fit rows carry
+    // the POST-update next-day forecast like the non-seasonal twin.
+    "ts_holt_winters_seasonal" -> QueryDef.sql(HwSeasonalSql) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val daily = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+        .orderBy("day")
+        .collect() // bounded: one row per calendar day
+      val S = 1048576L
+      val ys = daily.map(_.getLong(1))
+      val days = daily.map(_.getLong(0))
+      var l = ys.head * S
+      var b = 0L
+      val se = Array.fill(7)(0L)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long], Long)]
+      out += (("fit", days.head, Some(ys.head), Some(l), Some(0L), Some(0L),
+        None, l + b + se(1 % 7)))
+      (1 until ys.length).foreach { i =>
+        val rk = i + 1
+        val j = ((rk - 1) % 7).toInt
+        val y = ys(i)
+        val err = y * S - (l + b + se(j))
+        val nl = (y * S - se(j) + l + b) / 2 // Long / == DuckDB // trunc
+        b = ((nl - l) + b) / 2
+        se(j) = ((y * S - nl) + se(j)) / 2
+        l = nl
+        out += (("fit", days(i), Some(y), Some(l), Some(b), Some(se(j)),
+          Some(err), l + b + se(rk % 7)))
+      }
+      val nrk = ys.length.toLong
+      (1L to 7L).foreach { h =>
+        out += (("forecast", days.last + h, None, None, None, None, None,
+          l + h * b + se(((nrk - 1 + h) % 7).toInt)))
+      }
+      import s.implicits._
+      out.toSeq.toDF("role", "day", "y", "level_s", "trend_s", "season_s",
+          "err_s", "forecast_s")
+        .orderBy("day")
+    },
+
+    // ----- SPRT conversion monitor (Wald 1945) -----
+    // The always-valid sibling of a20's group-sequential boundaries:
+    // the purchase-share likelihood-ratio walk for H₀ p=0.18 vs H₁
+    // p=0.22 at α=β=0.05. The walk is Σ successes·ln(p₁/p₀) +
+    // failures·ln(q₁/q₀) — TWO micro-log constants and a bound ln(19),
+    // entered once via round(,6), after which the entire monitor is
+    // BIGINT prefix sums over the day grid. At sf0.001 every day reads
+    // 'continue' (the fixture's true rate ≈0.20 sits between the
+    // hypotheses — the honest inconclusive); more data drifts the walk
+    // across a boundary. One hash agg + one bounded-grid cumulative.
+    "ab_sprt_monitor" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT CAST(round(1000000 * round(ln(0.22 / 0.18), 6)) AS BIGINT) AS ws,
+        |    CAST(round(1000000 * round(ln(0.78 / 0.82), 6)) AS BIGINT) AS wf,
+        |    CAST(round(1000000 * round(ln(19.0), 6)) AS BIGINT) AS bound),
+        |e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_succ
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n_total, n_succ,
+        |    CAST(sum(n_succ * c.ws + (n_total - n_succ) * c.wf)
+        |      OVER (ORDER BY day) AS BIGINT) AS llr_micro,
+        |    c.bound
+        |  FROM e CROSS JOIN c)
+        |SELECT day, n_total, n_succ, llr_micro,
+        |  CASE WHEN llr_micro >= bound THEN 'accept_h1'
+        |       WHEN llr_micro <= -bound THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val c = events(s, d).sparkSession.range(1)
+        .select(
+          expr("CAST(round(1000000 * round(ln(0.22 / 0.18), 6)) AS BIGINT)")
+            .as("ws"),
+          expr("CAST(round(1000000 * round(ln(0.78 / 0.82), 6)) AS BIGINT)")
+            .as("wf"),
+          expr("CAST(round(1000000 * round(ln(19.0), 6)) AS BIGINT)")
+            .as("bound"))
+      val e = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"), col("event_type"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_succ"))
+      val w = Window.orderBy("day") // bounded calendar rows
+      e.crossJoin(broadcast(c))
+        .withColumn("llr_micro",
+          sum(col("n_succ") * col("ws") +
+            (col("n_total") - col("n_succ")) * col("wf")).over(w))
+        .select(col("day"), col("n_total"), col("n_succ"), col("llr_micro"),
+          when(col("llr_micro") >= col("bound"), "accept_h1")
+            .when(col("llr_micro") <= -col("bound"), "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("day")
+    },
+
+    // ----- Empirical-Bayes shrinkage of per-part return rates -----
+    // The batting-average classic (Efron–Morris; Robinson's beta-
+    // binomial recipe): moment-match a beta prior from the ppm rate
+    // distribution — prior pseudo-count m = μ(10⁶−μ)/σ² − 1 — and
+    // report each part's raw vs shrunk rate (x·10⁶ + μ·m)/((n+m)·10⁶)
+    // scaled back to ppm. Every moment is an exact BIGINT over the
+    // already-floored ppm rates, each division floors once, and a
+    // degenerate prior (σ² ≤ 0 or m ≤ 0) sets m = 0, which makes shrunk
+    // ≡ raw EXACTLY — the fallback is the identity, not an
+    // approximation. The reranking is the point: a 12/19 part drops
+    // below a 17/30 part once the prior weighs in. Scale: one hash agg
+    // to part grain, a 1-row prior, broadcast back.
+    "eb_shrunk_rates" -> QueryDef.sql(
+      """WITH pr AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum((1000000 * x) // n) AS BIGINT) AS srate,
+        |    CAST(sum(((1000000 * x) // n) * ((1000000 * x) // n)) AS BIGINT)
+        |      AS srate2
+        |  FROM pr),
+        |prior AS (
+        |  SELECT srate // k AS mu,
+        |    (srate2 // k) - (srate // k) * (srate // k) AS var2
+        |  FROM mom),
+        |pm AS (
+        |  SELECT mu, var2,
+        |    CASE WHEN var2 > 0 AND (mu * (1000000 - mu)) // var2 - 1 > 0
+        |         THEN (mu * (1000000 - mu)) // var2 - 1 ELSE 0 END AS m
+        |  FROM prior)
+        |SELECT p.l_partkey, p.n, p.x,
+        |  CAST((1000000 * p.x) // p.n AS BIGINT) AS raw_ppm,
+        |  CAST((1000000 * (1000000 * p.x + pm.mu * pm.m))
+        |    // ((p.n + pm.m) * 1000000) AS BIGINT) AS shrunk_ppm,
+        |  CAST(pm.mu AS BIGINT) AS prior_mu_ppm, CAST(pm.m AS BIGINT) AS prior_n
+        |FROM pr p CROSS JOIN pm
+        |ORDER BY shrunk_ppm DESC, p.l_partkey""".stripMargin) { (s, d) =>
+      val pr = lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+        .localCheckpoint(true) // moments + the shrunk report share it
+      val pm = pr
+        .agg(count(lit(1)).as("k"),
+          sum(expr("(1000000 * x) div n")).as("srate"),
+          sum(expr("((1000000 * x) div n) * ((1000000 * x) div n)"))
+            .as("srate2"))
+        .select(expr("srate div k").as("mu"),
+          expr("(srate2 div k) - (srate div k) * (srate div k)").as("var2"))
+        .select(col("mu"), col("var2"),
+          expr("""CASE WHEN var2 > 0 AND (mu * (1000000 - mu)) div var2 - 1 > 0
+                 |     THEN (mu * (1000000 - mu)) div var2 - 1 ELSE 0 END"""
+            .stripMargin).as("m"))
+      pr.crossJoin(broadcast(pm))
+        .select(col("l_partkey"), col("n"), col("x"),
+          expr("CAST((1000000 * x) div n AS BIGINT)").as("raw_ppm"),
+          expr("""CAST((1000000 * (1000000 * x + mu * m))
+                 |  div ((n + m) * 1000000) AS BIGINT)""".stripMargin)
+            .as("shrunk_ppm"),
+          col("mu").cast("long").as("prior_mu_ppm"),
+          col("m").cast("long").as("prior_n"))
+        .orderBy(col("shrunk_ppm").desc, col("l_partkey"))
     },
 
     // ----- One-step-ahead forecast backtest: Holt vs naive baselines -----
