@@ -1641,6 +1641,64 @@ object CurationQueries {
     // token sum, then everything acts on the source-cardinality table —
     // the ranking window is bounded by the source taxonomy, never the
     // corpus.
+    // ----- Neyman-optimal stratified sample allocation -----
+    // Sampling theory's answer to "how many docs per source": allocate
+    // ∝ N_h·S_h (Neyman 1934), so high-variance strata get more budget
+    // than proportional allocation would give. With full-census strata
+    // N_h·S_h = √(n·Σx² − (Σx)²) exactly, so ONE correctly-rounded IEEE
+    // sqrt per source (the rating_wilson_rank precedent) makes the
+    // weights deterministic BIGINTs; the 1000-unit budget then
+    // apportions by largest remainder (the token_budget_apportion
+    // kernel), so Σ alloc = 1000 exactly, never 999 or 1001. A
+    // zero-variance stratum weighs 0 — structurally excluded rather
+    // than rounded away.
+    "sample_neyman_allocation" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+        |q AS (SELECT source, n, wt,
+        |    CAST((1000 * wt) // tot.tw AS BIGINT) AS base,
+        |    CAST((1000 * wt) % tot.tw AS BIGINT) AS rem
+        |  FROM w, tot),
+        |s AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM q),
+        |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM q)
+        |SELECT source, n AS n_docs, wt AS ns_scaled,
+        |  base + CASE WHEN rk <= s.leftover THEN 1 ELSE 0 END AS alloc
+        |FROM r, s ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+          sum(expr("n_chars * n_chars")).as("sxx"))
+      val w = t.select(col("source"), col("n"),
+          expr("CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)")
+            .as("wt"))
+        .localCheckpoint() // the total and the quota rows both read it
+      val tot = w.agg(sum("wt").cast("long").as("tw"))
+      val q = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("wt"),
+          expr("CAST((1000 * wt) div tw AS BIGINT)").as("base"),
+          expr("CAST((1000 * wt) % tw AS BIGINT)").as("rem"))
+        .localCheckpoint() // leftover sum + ranking share it
+      val leftover = q.agg((lit(1000L) - sum("base")).as("leftover"))
+      // source-taxonomy-bounded window — a global ORDER BY is safe here
+      q.withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .crossJoin(broadcast(leftover))
+        .select(col("source"), col("n").as("n_docs"), col("wt").as("ns_scaled"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("source")
+    },
+
     "token_budget_apportion" -> QueryDef.sql(
       """WITH t AS (
         |  SELECT source,

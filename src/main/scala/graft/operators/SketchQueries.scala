@@ -710,6 +710,89 @@ object SketchQueries {
             .as("fp_pred_ppm"))
     },
 
+    // ----- sketch composition #3: heavy-change detection -----
+    // Cormode–Muthukrishnan's "what's new" question: which tokens
+    // changed frequency most between the two corpus halves (doc_id
+    // parity as the epoch split)? The DIFFERENCE sketch D = A − B is
+    // itself a count-min-shaped linear sketch (linearity again), but
+    // colliding deltas can cancel as well as inflate, so the estimator
+    // is the LOWER MEDIAN of the 4 depth cells (2nd ascending —
+    // deterministic, no averaging), not the min. Candidates enumerate
+    // the union vocabulary (Heaps-sublinear; a true streaming deploy
+    // would use hierarchical/deltoid group testing to avoid even that —
+    // noted, not needed at vocab scale). The exact per-token delta
+    // rides as the audit; top-20 by |estimate| with a total tiebreak.
+    "count_min_heavy_change" -> QueryDef.sql(
+      """WITH ta AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |va AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM ta GROUP BY 1),
+        |vb AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tb GROUP BY 1),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |sa AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM va CROSS JOIN js GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM vb CROSS JOIN js GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT coalesce(sa.j, sb.j) AS j, coalesce(sa.slot, sb.slot) AS slot,
+        |    coalesce(sa.n, 0) - coalesce(sb.n, 0) AS d
+        |  FROM sa FULL OUTER JOIN sb ON sa.j = sb.j AND sa.slot = sb.slot),
+        |cand AS (SELECT t FROM va UNION SELECT t FROM vb),
+        |probe AS (
+        |  SELECT c.t, dd.d,
+        |    row_number() OVER (PARTITION BY c.t ORDER BY dd.d, dd.j) AS rn
+        |  FROM cand c CROSS JOIN js
+        |  JOIN dd ON dd.j = js.j
+        |    AND dd.slot = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '#' || c.t), 1, 15))::BIGINT % 1024),
+        |est AS (SELECT t, CAST(d AS BIGINT) AS est_delta FROM probe WHERE rn = 2),
+        |exact AS (
+        |  SELECT coalesce(va.t, vb.t) AS t,
+        |    coalesce(va.cnt, 0) - coalesce(vb.cnt, 0) AS exact_delta
+        |  FROM va FULL OUTER JOIN vb ON va.t = vb.t)
+        |SELECT e.t AS token, e.est_delta,
+        |  CAST(x.exact_delta AS BIGINT) AS exact_delta,
+        |  CAST(e.est_delta - x.exact_delta AS BIGINT) AS est_err
+        |FROM est e JOIN exact x ON x.t = e.t
+        |ORDER BY abs(e.est_delta) DESC, e.t LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val va = tokenVocab(TextQueries.spread(docs.filter(col("doc_id") % 2 === 0)))
+        .localCheckpoint(true) // cells + candidates + exact share it
+      val vb = tokenVocab(TextQueries.spread(docs.filter(col("doc_id") % 2 === 1)))
+        .localCheckpoint(true)
+      val sa = countMinCells(va).toDF("j", "slot", "na")
+      val sb = countMinCells(vb).toDF("j", "slot", "nb")
+      val dd = sa.join(sb, Seq("j", "slot"), "full_outer")
+        .select(col("j"), col("slot"),
+          (coalesce(col("na"), lit(0L)) - coalesce(col("nb"), lit(0L))).as("d"))
+      val cand = va.select("t").union(vb.select("t")).distinct()
+      val js = (0 until CmDepth).map(lit(_))
+      val probe = cand
+        .select(col("t"), explode(array(js: _*)).as("j"))
+        .withColumn("slot", cmSlotOf(col("j"), col("t")))
+        .join(broadcast(dd), Seq("j", "slot"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("t")
+            .orderBy(col("d"), col("j"))))
+        .filter(col("rn") === 2) // lower median of 4 depths
+        .select(col("t"), col("d").as("est_delta"))
+      val exact = va.toDF("t", "ca").join(vb.toDF("t", "cb"), Seq("t"), "full_outer")
+        .select(col("t"),
+          (coalesce(col("ca"), lit(0L)) - coalesce(col("cb"), lit(0L)))
+            .as("exact_delta"))
+      probe.join(exact, Seq("t"))
+        .select(col("t").as("token"), col("est_delta"), col("exact_delta"),
+          (col("est_delta") - col("exact_delta")).as("est_err"))
+        .orderBy(abs(col("est_delta")).desc, col("token"))
+        .limit(20)
+    },
+
     // ----- sketch composition #1: join-size estimation from count-min -----
     // The optimizer-statistics use of the frequency sketch (Cormode &
     // Muthukrishnan §4.2): |A ⋈ B| on a key equals the inner product
