@@ -2289,6 +2289,115 @@ object DriftQueries {
         .orderBy("day")
     },
 
+    // ----- Classical additive seasonal decomposition (x7-scaled) -----
+    // STL's moving-average ancestor, exact: trend is the CENTERED 7-day
+    // sum (trend·7 — multiplying through by 7 removes the division),
+    // the detrended series is 7y − t7, the day-of-week seasonal is the
+    // truncating per-dow mean of the detrended values (one // — same
+    // trunc-toward-zero in both engines, negatives included), and the
+    // residual closes the identity det_x7 = seas_x7 + resid_x7 row by
+    // row. Only full-window days emit (rk ∈ [4, n−3]) — no edge
+    // padding pretending to be data. Corpus → bounded day grid first.
+    "ts_seasonal_decompose" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(y) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7
+        |  FROM d),
+        |f AS (
+        |  SELECT day, y, t7, day % 7 AS dow, 7 * y - t7 AS det_x7
+        |  FROM g WHERE rk >= 4 AND rk <= n - 3),
+        |se AS (
+        |  SELECT dow, CAST(sum(det_x7) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM f GROUP BY 1),
+        |sf AS (SELECT dow, sd // nd AS seas_x7 FROM se)
+        |SELECT f.day, f.y, f.t7 AS trend_x7, f.dow, sf.seas_x7,
+        |  f.det_x7 - sf.seas_x7 AS resid_x7
+        |FROM f JOIN sf ON sf.dow = f.dow ORDER BY f.day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val dd = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+      val w = Window.orderBy("day") // bounded calendar rows
+      val g = dd.select(col("day"), col("y"),
+        row_number().over(w).cast("long").as("rk"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).as("n"),
+        sum("y").over(w.rowsBetween(-3, 3)).as("t7"))
+      val f = g.filter(col("rk") >= 4 && col("rk") <= col("n") - 3)
+        .select(col("day"), col("y"), col("t7"),
+          (col("day") % 7).as("dow"),
+          (lit(7L) * col("y") - col("t7")).as("det_x7"))
+        .localCheckpoint(true) // dow means + the final join share it
+      val sf = f.groupBy("dow")
+        .agg(sum("det_x7").as("sd"), count(lit(1)).as("nd"))
+        .select(col("dow"), expr("sd div nd").as("seas_x7"))
+      f.join(broadcast(sf), Seq("dow"))
+        .select(col("day"), col("y"), col("t7").as("trend_x7"), col("dow"),
+          col("seas_x7"), (col("det_x7") - col("seas_x7")).as("resid_x7"))
+        .orderBy("day")
+    },
+
+    // ----- Log-log price elasticity of demand (OLS) -----
+    // The economics classic: elasticity = d ln(qty)/d ln(price),
+    // estimated as the OLS slope over PART-grain points — aggregation
+    // first makes the ln table bounded (one round(,6) micro-log pair
+    // per part, never per line), then the slope is the cross-multiplied
+    // integer form shared with ts_theilsen_trend. avg_price follows the
+    // kmeans IEEE chain (exact DECIMAL sum → one double divide) so both
+    // engines feed ln identical doubles. The measured −0.17 says
+    // quantity barely responds to price in this fixture — TPC-H draws
+    // them independently, and the estimator is allowed to discover
+    // that.
+    "price_elasticity_ols" -> QueryDef.sql(
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avg_price,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |xy AS (
+        |  SELECT l_partkey,
+        |    CAST(round(1000000 * round(ln(avg_price), 6)) AS BIGINT) AS x,
+        |    CAST(round(1000000 * round(ln(CAST(qty AS DOUBLE)), 6)) AS BIGINT) AS y
+        |  FROM pp WHERE qty > 0),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM xy)
+        |SELECT k AS n_parts,
+        |  CAST((1000000 * (k * sxy - CAST(sx AS HUGEINT) * sy))
+        |    // (k * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        |    AS elasticity_ppm
+        |FROM agg""".stripMargin) { (s, d) =>
+      val pp = lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_price"),
+          sum(floor(col("l_quantity")).cast("long")).as("qty"))
+      val xy = pp.filter(col("qty") > 0)
+        .select(
+          expr("CAST(round(1000000 * round(ln(avg_price), 6)) AS BIGINT)")
+            .as("x"),
+          expr("CAST(round(1000000 * round(ln(CAST(qty AS DOUBLE)), 6)) AS BIGINT)")
+            .as("y"))
+      xy.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .select(col("k").as("n_parts"),
+          expr("""CAST((1000000 * (k * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+                 |  div (k * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"""
+            .stripMargin).as("elasticity_ppm"))
+    },
+
     // ----- SPRT conversion monitor (Wald 1945) -----
     // The always-valid sibling of a20's group-sequential boundaries:
     // the purchase-share likelihood-ratio walk for H₀ p=0.18 vs H₁
