@@ -3527,6 +3527,59 @@ object RelationalQueries {
         .orderBy("touch")
     },
 
+    // ----- Ship-latency percentiles per order priority -----
+    // Operational SLA readout via the exact-histogram trick: latency in
+    // whole days is an ALPHABET-bounded value (a few thousand distinct),
+    // so per-priority p50/p90 come from the cumulative of a (priority,
+    // days) histogram — exact percentiles with no global sort, no
+    // sampling, no t-digest. 100·cum ≥ p·tot is the cross-multiplied
+    // rank comparison; the per-priority cumulative window runs on
+    // histogram rows, never lineitems.
+    "ops_ship_latency_pct" -> QueryDef.sql(
+      """WITH l AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    CAST(epoch_us(l.l_shipdate) // 86400000000
+        |       - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS lat
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |h AS (SELECT priority, lat, CAST(count(*) AS BIGINT) AS n
+        |  FROM l GROUP BY 1, 2),
+        |c AS (
+        |  SELECT priority, lat, n,
+        |    CAST(sum(n) OVER (PARTITION BY priority ORDER BY lat) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS tot
+        |  FROM h),
+        |p AS (
+        |  SELECT priority, tot,
+        |    min(CASE WHEN 100 * cum >= 50 * tot THEN lat END) AS p50_days,
+        |    min(CASE WHEN 100 * cum >= 90 * tot THEN lat END) AS p90_days,
+        |    max(lat) AS max_days
+        |  FROM c GROUP BY 1, 2)
+        |SELECT priority, tot AS n_lines, p50_days, p90_days, max_days
+        |FROM p ORDER BY priority""".stripMargin) { (s, d) =>
+      val l = lineitem(s, d)
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          (expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000") -
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+            .as("lat"))
+      val h = l.groupBy("priority", "lat").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("priority")
+      val c = h.select(col("priority"), col("lat"), col("n"),
+        sum("n").over(w.orderBy("lat")).as("cum"),
+        sum("n").over(w).as("tot"))
+      c.groupBy("priority", "tot")
+        .agg(
+          min(when(lit(100L) * col("cum") >= lit(50L) * col("tot"), col("lat")))
+            .as("p50_days"),
+          min(when(lit(100L) * col("cum") >= lit(90L) * col("tot"), col("lat")))
+            .as("p90_days"),
+          max("lat").as("max_days"))
+        .select(col("priority"), col("tot").as("n_lines"), col("p50_days"),
+          col("p90_days"), col("max_days"))
+        .orderBy("priority")
+    },
+
     // ----- Wilson lower-bound ranking of per-nation return rates -----
     // "How not to sort by average rating" (Wilson 1927; Miller 2009):
     // rank each supplier nation by the 95% Wilson LOWER bound of its

@@ -2050,6 +2050,64 @@ object TextQueries {
             .as("r2_ppm"))
     },
 
+    // ----- Per-source character-level Shannon entropy -----
+    // The compressibility proxy quality filters actually use (low
+    // char entropy ⇒ repetitive/templated text; gzip-ratio's exact
+    // cousin): H = ln N − (Σ c·ln c)/N per source, with ln entering
+    // once per BOUNDED (source × charset) cell and once per source
+    // total — round(,6) micro-nats, everything after pure integer, one
+    // truncating division per source. bits/char divides by the ln 2
+    // constant 693147 LAST, so both emissions share one rounding
+    // point. Scale: the char explode is corpus-sized but feeds a
+    // map-side-combining hash agg to charset-bounded cells; nothing
+    // downstream touches corpus cardinality. The DECIMAL widening on
+    // Σ n·ln c keeps the product exact past 10¹⁴ chars.
+    "text_char_entropy" -> QueryDef.sql(
+      """WITH ch AS (
+        |  SELECT source, unnest(string_split_regex(text, '')) AS c
+        |  FROM documents),
+        |cc AS (
+        |  SELECT source, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM cc GROUP BY 1),
+        |lg AS (
+        |  SELECT cc.source, cc.n,
+        |    CAST(round(1000000 * round(ln(CAST(cc.n AS DOUBLE)), 6)) AS BIGINT)
+        |      AS lnc
+        |  FROM cc),
+        |hs AS (
+        |  SELECT l.source,
+        |    CAST(sum(CAST(l.n AS HUGEINT) * l.lnc) AS HUGEINT) AS s_nlnc, ns.nt,
+        |    CAST(round(1000000 * round(ln(CAST(ns.nt AS DOUBLE)), 6)) AS BIGINT)
+        |      AS lnn
+        |  FROM lg l JOIN ns ON ns.source = l.source
+        |  GROUP BY 1, 3, 4)
+        |SELECT source, nt AS n_chars,
+        |  CAST(lnn - s_nlnc // nt AS BIGINT) AS entropy_micronats,
+        |  CAST((1000000 * (lnn - s_nlnc // nt)) // 693147 AS BIGINT)
+        |    AS bits_per_char_micro
+        |FROM hs ORDER BY source""".stripMargin) { (s, d) =>
+      val cc = spread(documents(s, d))
+        .select(col("source"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "")
+        .groupBy("source", "c").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // totals + log cells share the fold
+      val ns = cc.groupBy("source").agg(sum("n").as("nt"))
+      val lg = cc.select(col("source"), col("n"),
+        expr("CAST(round(1000000 * round(ln(CAST(n AS DOUBLE)), 6)) AS BIGINT)")
+          .as("lnc"))
+      lg.join(broadcast(ns), Seq("source"))
+        .withColumn("lnn",
+          expr("CAST(round(1000000 * round(ln(CAST(nt AS DOUBLE)), 6)) AS BIGINT)"))
+        .groupBy("source", "nt", "lnn")
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * lnc")).as("s_nlnc"))
+        .select(col("source"), col("nt").as("n_chars"),
+          expr("CAST(lnn - s_nlnc div nt AS BIGINT)").as("entropy_micronats"),
+          expr("CAST((1000000 * (lnn - s_nlnc div nt)) div 693147 AS BIGINT)")
+            .as("bits_per_char_micro"))
+        .orderBy("source")
+    },
+
     // ----- Multinomial Naive Bayes: train/test language classifier -----
     // The first SUPERVISED learner in the suite — the model every text
     // pipeline reaches for before transformers (McCallum & Nigam 1998).
