@@ -121,11 +121,37 @@ class GraftSlcScanBuilder(path: String) extends ScanBuilder
 }
 
 class GraftSlcScan(path: String, required: StructType, pushed: Array[Filter],
-    rowLo: Int, rowHi: Int) extends Scan with Batch {
+    rowLo: Int, rowHi: Int) extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-slc $path, PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Dataspace-derived statistics (the [[GraftTiffScan]] rationale):
+    * numRows from each file's s_i dims clipped to the pushed azimuth
+    * span — exact when no residual filters remain, an upper bound
+    * otherwise; sizeInBytes from the projected width. Lets small SLC
+    * stacks auto-broadcast instead of defaulting to "huge". */
+  override def estimateStatistics(): Statistics = {
+    var rows = 0L
+    GraftSlcSource.listRasters(path).foreach { file =>
+      val (f, raf) = Hdf5.open(GraftSlcSource.localPath(file))
+      try {
+        val dims = f.dataset("s_i", f.rootEntries.toMap.apply("s_i")).dims
+        val h = dims(0)
+        val w = if (dims.length > 1) dims(1) else 1L
+        val lo = math.max(rowLo, 0)
+        val hi = math.min(rowHi.toLong, h - 1)
+        rows += math.max(hi - lo + 1, 0) * w
+      } finally raf.close()
+    }
+    val n = rows
+    val bytes = n * 8L * math.max(required.size, 1)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+    }
+  }
   override def planInputPartitions(): Array[InputPartition] =
     GraftSlcSource.listRasters(path)
       .map(f => GraftSlcPartition(f): InputPartition).toArray

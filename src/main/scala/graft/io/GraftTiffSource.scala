@@ -240,12 +240,37 @@ class GraftTiffStatsScan(path: String, aggs: Seq[TiffHeaderAgg]) extends Scan wi
 }
 
 class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
-    rowLo: Int, rowHi: Int) extends Scan with Batch {
+    rowLo: Int, rowHi: Int) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tiff $path, PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Header-derived statistics for Catalyst's planner: numRows =
+    * Σ_file width × surviving-azimuth-rows (exact when no residual
+    * filters — an upper-bound estimate otherwise, which is the
+    * Statistics contract), sizeInBytes from the projected column
+    * count. This is what lets a join against a small raster stack
+    * auto-broadcast: without it a DSv2 relation defaults to
+    * conf.defaultSizeInBytes (= "huge"), and every raster join
+    * sort-merges no matter how small the stack. Header reads are a few
+    * seeks per file, layer-cardinality, driver-side. */
+  override def estimateStatistics(): Statistics = {
+    var rows = 0L
+    GraftTiffSource.listRasters(path).foreach { f =>
+      val info = Tiff.readHeader(f.replaceFirst("^file:/*", "/"))
+      val lo = math.max(rowLo, 0)
+      val hi = math.min(rowHi, info.height - 1)
+      rows += math.max(hi - lo + 1, 0).toLong * info.width
+    }
+    val n = rows
+    val bytes = n * 8L * math.max(required.size, 1)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftTiffSource.listRasters(path)

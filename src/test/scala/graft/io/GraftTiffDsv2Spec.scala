@@ -101,4 +101,22 @@ class GraftTiffDsv2Spec extends SparkFunSuite {
     assert(q.columns.toSeq == Seq("azimuth", "range"))
     assert(q.count() > 0)
   }
+
+  test("scan reports exact header-derived row statistics to the planner") {
+    val q = v2.select("azimuth", "range", "intensity")
+    val stats = q.queryExecution.optimizedPlan.stats
+    val actual = q.count()
+    assert(stats.rowCount.contains(BigInt(actual)),
+      s"planner rowCount ${stats.rowCount} != actual $actual")
+    // ...and the size estimate is small enough that a join against a
+    // big table BROADCASTS the raster side instead of sort-merging —
+    // the planning decision the statistics exist to enable.
+    val big = spark.range(200000).select(
+      (col("id") % 8).cast("int").as("azimuth"), col("id").as("payload"))
+    val j = big.join(v2.select("azimuth", "intensity"), Seq("azimuth"))
+    val jplan = j.queryExecution.executedPlan.toString
+    assert(jplan.contains("BroadcastHashJoin"),
+      s"header-known small scan should broadcast:\n$jplan")
+    assert(j.count() > 0)
+  }
 }
