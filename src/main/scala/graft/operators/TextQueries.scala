@@ -2050,6 +2050,46 @@ object TextQueries {
             .as("r2_ppm"))
     },
 
+    // ----- Dedup-family Venn: which docs does each detector flag? -----
+    // The audit that tells a curation run how its three document-level
+    // detectors RELATE: exact (md5 groups >1), minhash-LSH (member of
+    // any banded candidate pair), simhash (member of a hamming≤3
+    // pair). One row per membership combination — the 2³ upset plot as
+    // a table. Exact ⊆ near-dup families is the expected containment;
+    // docs caught by exactly one near-dup family are where the two
+    // sketches genuinely disagree (shingle-level vs token-set-level
+    // similarity), and that asymmetry is the basis for choosing one at
+    // 100 TB. Both sketch legs read the persisted signature stores
+    // (live-equality is each stored twin's own oracle), so the audit
+    // re-hashes no text.
+    "dedup_family_venn" -> QueryDef.sql(DedupVennSql) { (s, d) =>
+      val docs = documents(s, d)
+      val exact = docs
+        .withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text").cast("binary")))))
+        .filter(col("c") > 1).select("doc_id").distinct()
+        .withColumn("e", lit(1L))
+      val mp = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val mdocs = mp.select(col("doc_a").as("doc_id"))
+        .unionByName(mp.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("m", lit(1L))
+      val sp = simhashPairs(SignatureStore.ensureSimhash(s, d))
+      val sdocs = sp.select(col("doc_a").as("doc_id"))
+        .unionByName(sp.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("sh", lit(1L))
+      docs.select("doc_id")
+        .join(broadcast(exact), Seq("doc_id"), "left")
+        .join(broadcast(mdocs), Seq("doc_id"), "left")
+        .join(broadcast(sdocs), Seq("doc_id"), "left")
+        .select(coalesce(col("e"), lit(0L)).as("exact_dup"),
+          coalesce(col("m"), lit(0L)).as("minhash_dup"),
+          coalesce(col("sh"), lit(0L)).as("simhash_dup"))
+        .groupBy("exact_dup", "minhash_dup", "simhash_dup")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("exact_dup", "minhash_dup", "simhash_dup")
+    },
+
     // ----- Per-source character-level Shannon entropy -----
     // The compressibility proxy quality filters actually use (low
     // char entropy ⇒ repetitive/templated text; gzip-ratio's exact
@@ -2199,6 +2239,59 @@ object TextQueries {
         .orderBy("lang")
     },
   )
+
+  /** Oracle for `dedup_family_venn`: the minhash chain reuses
+    * [[MinhashBandsCte]] verbatim; the simhash chain is inlined under
+    * x-prefixed CTE names (both define `sig`/`bands` otherwise). */
+  private lazy val DedupVennSql: String = {
+    val xVotes = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val xSig = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    val xBands = (0 until 4).map(b =>
+      s"SELECT doc_id, xsig AS sig2, $b AS band, (xsig >> ${b * 15}) & 32767 AS key FROM xsig_t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${MinhashBandsCte},
+       |mpairs AS ($BandedPairsSelect),
+       |mdocs AS (SELECT doc_a AS doc_id FROM mpairs
+       |  UNION SELECT doc_b FROM mpairs),
+       |xtoks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+       |  FROM documents),
+       |xh AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM xtoks),
+       |xvotes AS (
+       |  SELECT doc_id,
+       |    $xVotes
+       |  FROM xh GROUP BY doc_id),
+       |xsig_t AS (SELECT doc_id, $xSig AS xsig FROM xvotes),
+       |xbands AS (
+       |  $xBands),
+       |xpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM xbands a JOIN xbands b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig2, b.sig2)) <= 3),
+       |sdocs AS (SELECT doc_a AS doc_id FROM xpairs
+       |  UNION SELECT doc_b FROM xpairs),
+       |edocs AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS c
+       |    FROM documents) WHERE c > 1)
+       |SELECT
+       |  CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS exact_dup,
+       |  CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS minhash_dup,
+       |  CAST(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS simhash_dup,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM documents d
+       |LEFT JOIN edocs e ON e.doc_id = d.doc_id
+       |LEFT JOIN mdocs m ON m.doc_id = d.doc_id
+       |LEFT JOIN sdocs s ON s.doc_id = d.doc_id
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
 
   /** Shared CTE chain for the NB classifier oracles: tokenize, 80/20
     * doc_id-mod split, Laplace-1 likelihood cells / defaults / priors as
