@@ -3527,6 +3527,79 @@ object RelationalQueries {
         .orderBy("touch")
     },
 
+    // ----- Fairness audit: demographic parity + equalized odds -----
+    // The eval family's governance face: the returns classifier
+    // (ŷ = line count ≥ 4) audited across customer nations — per
+    // group the selection rate (demographic parity), TPR and FPR
+    // (equalized odds), all exact ppm with 0/0 as NULL, plus the
+    // max−min gaps over the bounded group alphabet riding on every row
+    // (a global window over nation-cardinality rows — safe by
+    // construction). The measured 33%/30% gaps at sf0.001 are
+    // small-sample noise, which is precisely what a fairness audit has
+    // to surface before anyone reads policy into it — pair with
+    // rating_wilson_rank's lower bounds for the honest version.
+    "eval_fairness_parity" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS yhat
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT n.n_name AS nation,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(yhat) AS BIGINT) AS n_pred,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(yhat * pos) AS BIGINT) AS n_tp,
+        |    CAST(sum(yhat * (1 - pos)) AS BIGINT) AS n_fp
+        |  FROM lab
+        |  JOIN customer c ON c.c_custkey = lab.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT nation, n_orders,
+        |    (1000000 * n_pred) // n_orders AS pred_rate_ppm,
+        |    CASE WHEN n_pos > 0 THEN (1000000 * n_tp) // n_pos END AS tpr_ppm,
+        |    CASE WHEN n_orders - n_pos > 0
+        |         THEN (1000000 * n_fp) // (n_orders - n_pos) END AS fpr_ppm
+        |  FROM g)
+        |SELECT nation, n_orders, CAST(pred_rate_ppm AS BIGINT) AS pred_rate_ppm,
+        |  CAST(tpr_ppm AS BIGINT) AS tpr_ppm, CAST(fpr_ppm AS BIGINT) AS fpr_ppm,
+        |  CAST(max(pred_rate_ppm) OVER () - min(pred_rate_ppm) OVER ()
+        |    AS BIGINT) AS parity_gap_ppm,
+        |  CAST(max(tpr_ppm) OVER () - min(tpr_ppm) OVER () AS BIGINT)
+        |    AS tpr_gap_ppm
+        |FROM r ORDER BY nation""".stripMargin) { (s, d) =>
+      val lab = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"),
+          when(count(lit(1)) >= 4, 1L).otherwise(0L).as("yhat"))
+      val g = lab
+        .join(broadcast(customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_orders"), sum("yhat").as("n_pred"),
+          sum("pos").as("n_pos"),
+          sum(col("yhat") * col("pos")).as("n_tp"),
+          sum(col("yhat") * (lit(1L) - col("pos"))).as("n_fp"))
+      val r = g.select(col("nation"), col("n_orders"),
+        expr("(1000000 * n_pred) div n_orders").as("pred_rate_ppm"),
+        when(col("n_pos") > 0, expr("(1000000 * n_tp) div n_pos"))
+          .as("tpr_ppm"),
+        when(col("n_orders") - col("n_pos") > 0,
+          expr("(1000000 * n_fp) div (n_orders - n_pos)")).as("fpr_ppm"))
+      val w = Window.partitionBy(lit(1)) // nation-cardinality rows
+      r.select(col("nation"), col("n_orders"), col("pred_rate_ppm"),
+          col("tpr_ppm"), col("fpr_ppm"),
+          (max("pred_rate_ppm").over(w) - min("pred_rate_ppm").over(w))
+            .as("parity_gap_ppm"),
+          (max("tpr_ppm").over(w) - min("tpr_ppm").over(w)).as("tpr_gap_ppm"))
+        .orderBy("nation")
+    },
+
     // ----- Ship-latency percentiles per order priority -----
     // Operational SLA readout via the exact-histogram trick: latency in
     // whole days is an ALPHABET-bounded value (a few thousand distinct),
