@@ -1658,29 +1658,7 @@ object CurationQueries {
         .groupBy("lang", "source").agg(count(lit(1)).as("n"))
         .collect() // bounded: lang × source taxonomy cells
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val m = cells.map(_._3).sum
-      val nl = cells.map(_._1).distinct.length
-      val ns = cells.map(_._2).distinct.length
-      val trow = BigInt(1000000L) * m / nl
-      val tcol = BigInt(1000000L) * m / ns
-      var w = cells.map { case (l, sr, n) => ((l, sr), (n, BigInt(1000000))) }.toMap
-      (1 to 4).foreach { _ =>
-        val rowCur = w.groupBy(_._1._1).map { case (l, v) =>
-          l -> v.map { case (_, (n, wi)) => BigInt(n) * wi }.sum
-        }
-        w = w.map { case ((l, sr), (n, wi)) =>
-          ((l, sr), (n, wi * trow / rowCur(l)))
-        }
-        val colCur = w.groupBy(_._1._2).map { case (sr, v) =>
-          sr -> v.map { case (_, (n, wi)) => BigInt(n) * wi }.sum
-        }
-        w = w.map { case ((l, sr), (n, wi)) =>
-          ((l, sr), (n, wi * tcol / colCur(sr)))
-        }
-      }
-      val rows = w.toSeq.map { case ((l, sr), (n, wi)) =>
-        (l, sr, n, wi.toLong)
-      }.sortBy(t => (t._1, t._2))
+      val rows = ipfWeights(cells)
       import s.implicits._
       rows.toDF("lang", "source", "n", "w_ppm").orderBy("lang", "source")
     },
@@ -2546,6 +2524,37 @@ object CurationQueries {
         .orderBy("agree_lang", "agree_source", "agree_band")
     },
   )
+
+  /** The IPF fold `mix_raking_ipf` runs on its bounded cell table:
+    * 4 row+column double-sweeps toward uniform row/column margins at
+    * ppm fixed point, truncating division per rescale (matching the
+    * oracle's `//`). Extracted for planted-table property testing
+    * (margin convergence, mass preservation). */
+  private[operators] def ipfWeights(
+      cells: Seq[(String, String, Long)]): Seq[(String, String, Long, Long)] = {
+    val m = cells.map(_._3).sum
+    val nl = cells.map(_._1).distinct.length
+    val ns = cells.map(_._2).distinct.length
+    val trow = BigInt(1000000L) * m / nl
+    val tcol = BigInt(1000000L) * m / ns
+    var w = cells.map { case (l, sr, n) => ((l, sr), (n, BigInt(1000000))) }.toMap
+    (1 to 4).foreach { _ =>
+      val rowCur = w.groupBy(_._1._1).map { case (l, v) =>
+        l -> v.map { case (_, (n, wi)) => BigInt(n) * wi }.sum
+      }
+      w = w.map { case ((l, sr), (n, wi)) =>
+        ((l, sr), (n, wi * trow / rowCur(l)))
+      }
+      val colCur = w.groupBy(_._1._2).map { case (sr, v) =>
+        sr -> v.map { case (_, (n, wi)) => BigInt(n) * wi }.sum
+      }
+      w = w.map { case ((l, sr), (n, wi)) =>
+        ((l, sr), (n, wi * tcol / colCur(sr)))
+      }
+    }
+    w.toSeq.map { case ((l, sr), (n, wi)) => (l, sr, n, wi.toLong) }
+      .sortBy(t => (t._1, t._2))
+  }
 
   /** Oracle for `mix_raking_ipf`: 4 row+column IPF double-sweeps
     * unrolled as MATERIALIZED CTEs (the attribution_markov lesson —

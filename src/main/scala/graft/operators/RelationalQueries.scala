@@ -3697,11 +3697,7 @@ object RelationalQueries {
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
       val w = agg.select(col("nation"), col("n"), col("x"),
         expr("CAST((1000000 * x) div n AS BIGINT)").as("rate_ppm"),
-        expr("""CAST(floor(1000000.0D * ((CAST(x AS DOUBLE) + 1.9208D)
-               |  - 1.96D * sqrt((CAST(x AS DOUBLE) * CAST(n - x AS DOUBLE))
-               |      / CAST(n AS DOUBLE) + 0.9604D))
-               |  / (CAST(n AS DOUBLE) + 3.8416D)) AS BIGINT)""".stripMargin)
-          .as("wilson_lower_ppm"))
+        expr(WilsonLowerPpmExpr).as("wilson_lower_ppm"))
       // nation-cardinality rows: the two global rank windows are bounded
       w.withColumn("naive_rank", row_number().over(
           Window.orderBy(col("rate_ppm").desc, col("nation"))).cast("long"))
@@ -3990,6 +3986,18 @@ object RelationalQueries {
       .when(sa < sb && ea > eb, "contains")
       .when(sa < sb, "overlaps")
       .otherwise("overlapped_by")
+
+  /** The 95% Wilson lower bound in ppm over BIGINT columns `n` (trials)
+    * and `x` (successes) — ONE correctly-rounded IEEE sqrt inside a
+    * literal expression tree, so Spark and DuckDB evaluate it
+    * bit-identically (rating_wilson_rank's oracle spells the same tree).
+    * Extracted for property testing: 0 ≤ bound ≤ raw rate, monotone in
+    * n at fixed rate. */
+  private[operators] val WilsonLowerPpmExpr: String =
+    """CAST(floor(1000000.0D * ((CAST(x AS DOUBLE) + 1.9208D)
+      |  - 1.96D * sqrt((CAST(x AS DOUBLE) * CAST(n - x AS DOUBLE))
+      |      / CAST(n AS DOUBLE) + 0.9604D))
+      |  / (CAST(n AS DOUBLE) + 3.8416D)) AS BIGINT)""".stripMargin
 
   /** Empirical Shapley values from a characteristic table `v` with
     * columns (sset: sorted comma-joined channel set, v_ppm: BIGINT) and

@@ -96,6 +96,48 @@ class AttributionSpec extends SparkFunSuite {
     assert(cm.map(_._1).toSet === Set("aa", "bb", "cc"))
   }
 
+  test("ipfWeights converges planted margins and preserves mass direction") {
+    // 2×2 with wildly unbalanced margins: rows 90/10, cols 80/20
+    val cells = Seq(("a", "x", 72L), ("a", "y", 18L),
+      ("b", "x", 8L), ("b", "y", 2L))
+    val w = CurationQueries.ipfWeights(cells)
+    val m = cells.map(_._3).sum // 100
+    val target = BigInt(1000000L) * m / 2 // uniform 2-way margins
+    def margin(sel: ((String, String, Long, Long)) => String): Map[String, BigInt] =
+      w.groupBy(sel).map { case (k, v) =>
+        k -> v.map(t => BigInt(t._3) * t._4).sum
+      }
+    val rows = margin(_._1)
+    val cols = margin(_._2)
+    // after 4 double-sweeps margins sit within 0.1% of target
+    (rows.values ++ cols.values).foreach { got =>
+      assert((got - target).abs * 1000 < target, s"$got vs $target")
+    }
+    // the scarce row's cells must be UP-weighted, the abundant row's down
+    val wMap = w.map(t => (t._1, t._2) -> t._4).toMap
+    assert(wMap(("b", "y")) > 1000000L && wMap(("a", "x")) < 1000000L)
+  }
+
+  test("Wilson lower bound is sandwiched and tightens with n") {
+    import spark.implicits._
+    val grid = for (n <- Seq(10L, 100L, 1000L, 10000L); r <- Seq(1, 5, 9))
+      yield (n, n * r / 10)
+    val df = grid.toDF("n", "x")
+      .withColumn("rate_ppm", expr("CAST((1000000 * x) div n AS BIGINT)"))
+      .withColumn("lo", expr(RelationalQueries.WilsonLowerPpmExpr))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (n, x, rate, lo) =>
+      assert(lo >= 0 && lo <= rate, s"n=$n x=$x: bound $lo vs rate $rate")
+    }
+    // fixed rate, growing n ⇒ the bound approaches the rate from below
+    Seq(1, 5, 9).foreach { r =>
+      val bounds = rows.filter(t => t._2 * 10 == t._1 * r).sortBy(_._1).map(_._4)
+      assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b },
+        s"rate ${r * 100000}: $bounds not monotone in n")
+    }
+  }
+
   test("nbConfusion falls back to the prior on an uninformative corpus") {
     import spark.implicits._
     // identical text everywhere; lang 'zz' holds 80% of BOTH splits
