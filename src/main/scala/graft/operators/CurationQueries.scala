@@ -1641,6 +1641,55 @@ object CurationQueries {
     // token sum, then everything acts on the source-cardinality table —
     // the ranking window is bounded by the source taxonomy, never the
     // corpus.
+    // ----- DP release: Laplace mechanism beside the clamp -----
+    // The mechanism half of the differential-privacy story
+    // (dp_bounded_contribution is the sensitivity half): release
+    // per-type distinct-user counts with Laplace(1/ε) noise at ε = 1
+    // per statistic, the noise drawn by inverse-CDF from the SAME
+    // deterministic LCG the sampling family uses (no RNG state — the
+    // point is a reproducible demonstration of the mechanism, and the
+    // determinism caveat is exactly what the scaladoc of a real
+    // deployment would flip to a seeded SecureRandom). The single ln
+    // enters per bounded type row through the round(,6) discipline; the
+    // CDF argument (M − |2u−M|)/M is an exact rational pushed through
+    // one IEEE division, so both engines draw the identical noise.
+    "dp_laplace_release" -> QueryDef.sql(
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_users
+        |  FROM ut GROUP BY 1),
+        |rk AS (SELECT event_type, true_users,
+        |  CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS r FROM g),
+        |u AS (SELECT event_type, true_users,
+        |  (r * 1103515245 + 12345) % 2147483648 AS ur FROM rk),
+        |n AS (SELECT event_type, true_users,
+        |  CASE WHEN 2 * ur >= 2147483648 THEN 1 ELSE -1 END AS sgn,
+        |  CAST(round(1000000 * round(
+        |    -ln(CAST(2147483648 - abs(2 * ur - 2147483648) AS DOUBLE)
+        |      / 2147483648.0), 6)) AS BIGINT) AS mag
+        |  FROM u)
+        |SELECT event_type, true_users, sgn * mag AS noise_micro,
+        |  true_users * 1000000 + sgn * mag AS released_micro
+        |FROM n ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = graft.util.Tables.events(s, d)
+        .select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("true_users"))
+      // type-alphabet-bounded rank window
+      g.withColumn("r", row_number().over(Window.orderBy("event_type"))
+          .cast("long"))
+        .withColumn("ur", expr("(r * 1103515245 + 12345) % 2147483648"))
+        .select(col("event_type"), col("true_users"),
+          expr("CASE WHEN 2 * ur >= 2147483648 THEN 1 ELSE -1 END").as("sgn"),
+          expr("""CAST(round(1000000 * round(
+                 |  -ln(CAST(2147483648 - abs(2 * ur - 2147483648) AS DOUBLE)
+                 |    / 2147483648.0D), 6)) AS BIGINT)""".stripMargin).as("mag"))
+        .select(col("event_type"), col("true_users"),
+          (col("sgn") * col("mag")).as("noise_micro"),
+          (col("true_users") * lit(1000000L) + col("sgn") * col("mag"))
+            .as("released_micro"))
+        .orderBy("event_type")
+    },
+
     // ----- IPF raking: rebalance the lang×source mixture -----
     // Iterative proportional fitting (Deming & Stephan 1940) — the
     // survey-weighting classic as a MIXTURE tool: find per-cell ppm

@@ -3527,6 +3527,39 @@ object RelationalQueries {
         .orderBy("touch")
     },
 
+    // ----- MATCH_RECOGNIZE-lite: regex over per-user journey strings -----
+    // Row-pattern matching without the SQL:2016 clause Spark lacks:
+    // encode each user's time-ordered event-type initials as ONE string
+    // (sort-key-first collect, the engine-safe ordered-agg idiom) and
+    // count non-overlapping 's[vce]*p' matches — signup, any browsing,
+    // purchase. The char class excludes both anchors, so the greedy
+    // scan is UNAMBIGUOUS and engine-independent (no leftmost-longest
+    // vs leftmost-first divergence possible). Journey strings are
+    // per-user-bounded; the pattern scan is a map-side projection.
+    "o18_journey_regex" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    substr(event_type, 1, 1) AS ini
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, string_agg(ini, '' ORDER BY t, event_id) AS j
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, CAST(length(j) AS BIGINT) AS journey_len,
+        |  CAST(len(regexp_extract_all(j, 's[vce]*p')) AS BIGINT) AS n_patterns
+        |FROM s ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
+        .groupBy("user_id")
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(t, event_id, ini))), x -> x.ini)"),
+          "").as("j"))
+        .select(col("user_id"), length(col("j")).cast("long").as("journey_len"),
+          size(expr("regexp_extract_all(j, 's[vce]*p', 0)")).cast("long")
+            .as("n_patterns"))
+        .orderBy("user_id")
+    },
+
     // ----- Fairness audit: demographic parity + equalized odds -----
     // The eval family's governance face: the returns classifier
     // (ŷ = line count ≥ 4) audited across customer nations — per
