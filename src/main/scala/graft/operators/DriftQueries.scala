@@ -1671,6 +1671,210 @@ object DriftQueries {
         .orderBy("day")
     },
 
+    // ----- Log-rank test between the two user-parity survival cohorts -----
+    // The hypothesis-test companion of `km_survival_curve` (Mantel 1966;
+    // public survival-analysis literature): at every churn day t the
+    // observed group-1 churners d1(t) are compared against the
+    // hypergeometric expectation d(t)·n1(t)/n(t) of the pooled risk set,
+    // and the χ² statistic (O1−E1)²/V accumulates the per-day variance
+    // V(t) = d·(n1/n)·(n2/n)·(n−d)/(n−1). Groups are user-id parity — a
+    // deliberate null split, so the emitted χ² is itself the honest
+    // verdict (≈1, nowhere near the 3.84 the 5% level needs). Exactness:
+    // every emission is a nested floor-division over BIGINT counts at
+    // micro scale — both engines compute the identical integer tree, so
+    // exactness-to-truth is bounded (ppm per day) and cross-engine
+    // equality is bit-for-bit. The censoring convention mirrors the KM
+    // query: users whose last day is the global max day are censored,
+    // and that boundary day is excluded from the event sum. Risk sets
+    // come from the same started-minus-churned-before prefix construction
+    // over the bounded calendar grid (windows partition by group —
+    // 2×days rows, never corpus-cardinality). Magnitudes: the deepest
+    // product 1e6·d·n1/n·n2·(n−d) stays ≤ ~1e15 through sf0.1 (bounds in
+    // the expression comments), BIGINT-safe on both engines.
+    "km_logrank_test" -> QueryDef.sql(
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, user_id % 2 AS grp, min(day) AS fd, max(day) AS ld
+        |  FROM e GROUP BY 1),
+        |mx AS (SELECT max(day) AS md FROM e),
+        |grid AS (SELECT DISTINCT day FROM e),
+        |st AS (SELECT grp, fd AS day, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1,2),
+        |en AS (SELECT grp, ld AS day, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1,2),
+        |gg AS (SELECT g.day, s.grp FROM grid g CROSS JOIN (SELECT DISTINCT grp FROM u) s),
+        |h AS (
+        |  SELECT gg.day, gg.grp,
+        |    CAST(sum(coalesce(st.c,0)) OVER (PARTITION BY gg.grp ORDER BY gg.day)
+        |      - (sum(coalesce(en.c,0)) OVER (PARTITION BY gg.grp ORDER BY gg.day)
+        |         - coalesce(en.c,0)) AS BIGINT) AS r,
+        |    CAST(coalesce(en.c,0) AS BIGINT) AS x
+        |  FROM gg LEFT JOIN st ON st.grp = gg.grp AND st.day = gg.day
+        |          LEFT JOIN en ON en.grp = gg.grp AND en.day = gg.day),
+        |p AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN grp = 0 THEN r ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN grp = 1 THEN r ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(x) AS BIGINT) AS d
+        |  FROM h GROUP BY 1),
+        |t AS (
+        |  SELECT day, n1, n2, d1, d, n1 + n2 AS n FROM p, mx
+        |  WHERE day < mx.md AND d > 0),
+        |c AS (
+        |  SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+        |    CAST(coalesce(sum((1000000 * d * n1) // n), 0) AS BIGINT) AS e1_micro,
+        |    CAST(coalesce(sum(d - d1), 0) AS BIGINT) AS o2,
+        |    CAST(coalesce(sum((1000000 * d * n2) // n), 0) AS BIGINT) AS e2_micro,
+        |    CAST(coalesce(sum(CASE WHEN n > 1 THEN
+        |      (((1000000 * d * n1) // n) * n2 * (n - d)) // (n * (n - 1))
+        |      ELSE 0 END), 0) AS BIGINT) AS v_micro,
+        |    CAST(count(*) AS BIGINT) AS n_event_days
+        |  FROM t)
+        |SELECT o1, e1_micro, o2, e2_micro, v_micro,
+        |  CASE WHEN v_micro = 0 THEN NULL
+        |       ELSE CAST((1000 * (1000 * o1 - e1_micro // 1000)
+        |                       * (1000 * o1 - e1_micro // 1000)) // v_micro AS BIGINT)
+        |  END AS chi2_milli,
+        |  n_event_days
+        |FROM c""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val e = events(s, d)
+        .select(col("user_id"), expr(s"($us) div 86400000000").as("day"))
+      val u = e.groupBy("user_id")
+        .agg(min("day").as("fd"), max("day").as("ld"))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)))
+        .localCheckpoint(true) // user-cardinality, feeds three aggregates
+      val grid = e.select("day").distinct()
+      val gg = grid.crossJoin(u.select("grp").distinct())
+      val st = u.groupBy(col("grp"), col("fd").as("day")).agg(count(lit(1)).as("c"))
+      val en = u.groupBy(col("grp"), col("ld").as("day")).agg(count(lit(1)).as("c2"))
+      // bounded grid: 2 groups × calendar days — the window never sees
+      // corpus-cardinality rows
+      val w = Window.partitionBy("grp").orderBy("day")
+      val h = gg.join(broadcast(st), Seq("grp", "day"), "left")
+        .join(broadcast(en), Seq("grp", "day"), "left")
+        .select(col("day"), col("grp"),
+          coalesce(col("c"), lit(0L)).as("sc"),
+          coalesce(col("c2"), lit(0L)).as("x"))
+        .withColumn("r", sum("sc").over(w) - (sum("x").over(w) - col("x")))
+      val p = h.groupBy("day").agg(
+        sum(when(col("grp") === 0, col("r")).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 1, col("r")).otherwise(0L)).as("n2"),
+        sum(when(col("grp") === 0, col("x")).otherwise(0L)).as("d1"),
+        sum(col("x")).as("d"))
+      val mx = e.agg(max("day").as("md"))
+      val t = p.crossJoin(broadcast(mx))
+        .where(col("day") < col("md") && col("d") > 0)
+        .withColumn("n", col("n1") + col("n2"))
+      // bounds at sf0.1 (n≈1500 users, d≤~200/day): 1e6·d·n1 ≤ 1.5e11;
+      // the V numerator ((1e6·d·n1)//n)·n2·(n−d) ≤ ~2.3e14 — BIGINT-safe
+      val c = t.agg(
+        coalesce(sum("d1"), lit(0L)).as("o1"),
+        coalesce(sum(expr("(1000000 * d * n1) div n")), lit(0L)).as("e1_micro"),
+        coalesce(sum(col("d") - col("d1")), lit(0L)).as("o2"),
+        coalesce(sum(expr("(1000000 * d * n2) div n")), lit(0L)).as("e2_micro"),
+        coalesce(sum(expr(
+          "CASE WHEN n > 1 THEN (((1000000 * d * n1) div n) * n2 * (n - d)) div (n * (n - 1)) ELSE 0 END")),
+          lit(0L)).as("v_micro"),
+        count(lit(1)).as("n_event_days"))
+      c.select(col("o1"), col("e1_micro"), col("o2"), col("e2_micro"),
+        col("v_micro"),
+        when(col("v_micro") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000 * (1000 * o1 - e1_micro div 1000) * (1000 * o1 - e1_micro div 1000)) div v_micro"))
+          .as("chi2_milli"),
+        col("n_event_days"))
+    },
+
+    // ----- UCB1 bandit replay over the event-day stream -----
+    // The experimentation family's SEQUENTIAL face (Auer, Cesa-Bianchi &
+    // Fischer 2002): replay the event stream day by day as an off-policy
+    // bandit log — arms are event types, a "success" is value ≥ 100 —
+    // and emit, for every decision day, the arm UCB1 would pull given
+    // ONLY the data strictly before that day (mean + sqrt(2·ln N / n)).
+    // Day 1 exercises the play-each-arm-once init rule (all arms unseen
+    // → alphabetically-first zero arm, n_prior = 0, NULL score). The
+    // emitted sequence shows the algorithm's signature: early small-n
+    // arms win on the exploration bonus, later days settle on the
+    // best-mean arm. Exactness: the one transcendental per decision day
+    // (ln N, day-bounded) enters under round(,6); everything after —
+    // s/n, 2r/n, sqrt, the sum, the 1e6 floor — is correctly-rounded
+    // IEEE arithmetic over identical inputs, so both engines pick the
+    // same arm and emit the same floored micro-score (the sqrt-chain
+    // discipline of rating_wilson_rank). Scale: daily per-arm partials
+    // aggregate map-side; the windows run over the bounded day×arm grid.
+    "ab_ucb1_replay" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type AS arm,
+        |    CASE WHEN value >= 100 THEN 1 ELSE 0 END AS succ
+        |  FROM events),
+        |d AS (SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(succ) AS BIGINT) AS s
+        |  FROM e GROUP BY 1,2),
+        |grid AS (SELECT g.day, a.arm FROM (SELECT DISTINCT day FROM e) g
+        |         CROSS JOIN (SELECT DISTINCT arm FROM e) a),
+        |cum AS (
+        |  SELECT day, arm,
+        |    CAST(sum(coalesce(n,0)) OVER (PARTITION BY arm ORDER BY day)
+        |      - coalesce(n,0) AS BIGINT) AS np,
+        |    CAST(sum(coalesce(s,0)) OVER (PARTITION BY arm ORDER BY day)
+        |      - coalesce(s,0) AS BIGINT) AS sp
+        |  FROM grid LEFT JOIN d USING (day, arm)),
+        |tot AS (SELECT day, arm, np, sp,
+        |    CAST(sum(np) OVER (PARTITION BY day) AS BIGINT) AS bigN FROM cum),
+        |u AS (
+        |  SELECT day, arm, np, sp,
+        |    CASE WHEN np = 0 THEN NULL
+        |         ELSE CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)
+        |              + sqrt(2 * round(ln(CAST(bigN AS DOUBLE)), 6)
+        |                     / CAST(np AS DOUBLE)) END AS ucb
+        |  FROM tot),
+        |pick AS (
+        |  SELECT day, arm, np, sp, ucb,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY CASE WHEN np = 0 THEN 0 ELSE 1 END,
+        |               ucb DESC NULLS LAST, arm) AS pr
+        |  FROM u)
+        |SELECT day, arm AS picked_arm, np AS n_prior,
+        |  CASE WHEN np = 0 THEN NULL
+        |       ELSE CAST((1000000 * sp) // np AS BIGINT) END AS mean_ppm,
+        |  CASE WHEN np = 0 THEN NULL
+        |       ELSE CAST(floor(1000000 * ucb) AS BIGINT) END AS ucb_micro
+        |FROM pick WHERE pr = 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val e = events(s, d).select(
+        expr(s"($us) div 86400000000").as("day"),
+        col("event_type").as("arm"),
+        when(col("value") >= 100, 1L).otherwise(0L).as("succ"))
+      val daily = e.groupBy("day", "arm")
+        .agg(count(lit(1)).as("n"), sum("succ").as("sx"))
+      val grid = e.select("day").distinct()
+        .crossJoin(e.select("arm").distinct())
+      val warm = Window.partitionBy("arm").orderBy("day")
+      val cum = grid.join(daily, Seq("day", "arm"), "left")
+        .select(col("day"), col("arm"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sx"), lit(0L)).as("sc"))
+        .withColumn("np", sum("n").over(warm) - col("n"))
+        .withColumn("sp", sum("sc").over(warm) - col("sc"))
+      val tot = cum.withColumn("bigN",
+        sum("np").over(Window.partitionBy("day")))
+      val u = tot.withColumn("ucb",
+        when(col("np") === 0, lit(null).cast("double"))
+          .otherwise(expr(
+            "cast(sp as double) / cast(np as double) + sqrt(2 * round(ln(cast(bigN as double)), 6) / cast(np as double))")))
+      u.withColumn("pr", row_number().over(
+          Window.partitionBy("day").orderBy(
+            when(col("np") === 0, 0).otherwise(1),
+            col("ucb").desc_nulls_last, col("arm"))))
+        .where(col("pr") === 1)
+        .select(col("day"), col("arm").as("picked_arm"),
+          col("np").as("n_prior"),
+          when(col("np") === 0, lit(null).cast("long"))
+            .otherwise(expr("(1000000 * sp) div np")).as("mean_ppm"),
+          when(col("np") === 0, lit(null).cast("long"))
+            .otherwise(floor(lit(1000000) * col("ucb"))).as("ucb_micro"))
+        .orderBy("day")
+    },
+
     // ----- Market-basket association rules over order baskets -----
     // The Apriori output shape (Agrawal & Srikant 1994) on the TPC-H
     // side: which part pairs co-occur in orders beyond chance, with

@@ -3560,6 +3560,195 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- Functional-dependency discovery over a candidate lattice -----
+    // The data-profiling classic (Papenbrock et al., "Functional
+    // Dependency Discovery: An Experimental Evaluation", VLDB 2015 —
+    // public literature): verify A→B for a fixed candidate set of column
+    // pairs by comparing group cardinalities — A→B holds iff no A-group
+    // sees two distinct B values. The candidate set mixes key-entailed
+    // FDs (which must hold) with plausible-but-false business rules
+    // (which must fail, with the violating-group count and the max
+    // branching factor as the evidence a repair tool would start from).
+    // Scale: each candidate is one hash aggregate over (det) with a
+    // distinct-count of dep — partial-aggregated map-side; the union
+    // runs the candidates as independent subtrees, and the final rollup
+    // is candidate-cardinality (6 rows).
+    "fd_discovery" -> QueryDef.sql(
+      """WITH cand AS (
+        |  SELECT 'nation: n_nationkey -> n_regionkey' AS fd,
+        |    CAST(n_nationkey AS VARCHAR) AS det, CAST(n_regionkey AS VARCHAR) AS dep FROM nation
+        |  UNION ALL SELECT 'part: p_partkey -> p_brand', CAST(p_partkey AS VARCHAR), p_brand FROM part
+        |  UNION ALL SELECT 'part: p_brand -> p_type', p_brand, p_type FROM part
+        |  UNION ALL SELECT 'customer: c_nationkey -> c_mktsegment', CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+        |  UNION ALL SELECT 'orders: o_custkey -> o_orderpriority', CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+        |  UNION ALL SELECT 'lineitem: l_orderkey -> l_returnflag', CAST(l_orderkey AS VARCHAR), l_returnflag FROM lineitem),
+        |g AS (SELECT fd, det, CAST(count(DISTINCT dep) AS BIGINT) AS nd
+        |  FROM cand GROUP BY 1,2)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  max(nd) AS max_branching,
+        |  CAST(CASE WHEN max(nd) = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds
+        |FROM g GROUP BY fd ORDER BY fd""".stripMargin) { (s, d) =>
+      def cand(df: org.apache.spark.sql.DataFrame, label: String,
+          det: String, dep: String) =
+        df.select(lit(label).as("fd"), col(det).cast("string").as("det"),
+          col(dep).cast("string").as("dep"))
+      val cands = cand(nation(s, d), "nation: n_nationkey -> n_regionkey",
+          "n_nationkey", "n_regionkey")
+        .unionByName(cand(part(s, d), "part: p_partkey -> p_brand",
+          "p_partkey", "p_brand"))
+        .unionByName(cand(part(s, d), "part: p_brand -> p_type",
+          "p_brand", "p_type"))
+        .unionByName(cand(customer(s, d), "customer: c_nationkey -> c_mktsegment",
+          "c_nationkey", "c_mktsegment"))
+        .unionByName(cand(orders(s, d), "orders: o_custkey -> o_orderpriority",
+          "o_custkey", "o_orderpriority"))
+        .unionByName(cand(lineitem(s, d), "lineitem: l_orderkey -> l_returnflag",
+          "l_orderkey", "l_returnflag"))
+      cands.groupBy("fd", "det").agg(countDistinct("dep").as("nd"))
+        .groupBy("fd").agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("nd").as("max_branching"))
+        .withColumn("holds",
+          when(col("max_branching") === 1, 1L).otherwise(0L))
+        .orderBy("fd")
+    },
+
+    // ----- Sorted-neighborhood blocking for entity resolution -----
+    // The second blocking strategy beside er_fuzzy_name_join's
+    // symspell-key join (Hernández & Stolfo, "The Merge/Purge Problem
+    // for Large Databases", SIGMOD 1995): sort the corpus once on a
+    // cheap blocking key (account balance in exact cents), then compare
+    // only records within a fixed-width rank window (w = 3 → rank
+    // distance ≤ 2). The window-of-a-sort turns the quadratic all-pairs
+    // comparison into a LINEAR candidate stream — the property that
+    // makes it the classic 100 TB ER front-end. Implementation is
+    // scale-clean: the global rank comes from Scale.globalRowNumber
+    // (range-partition + per-partition rank + broadcast offsets, no
+    // single-partition window), and the rank-distance candidates are a
+    // UNION of two rk-equi-joins, never a band BNLJ. Match rule: same
+    // nation AND same market segment — the per-nation counts show the
+    // honest base-rate (~1/5 of candidates match on segment within a
+    // nation, near-zero across).
+    "er_sorted_neighborhood" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bkey
+        |  FROM customer),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY bkey, c_custkey) AS BIGINT) AS rk FROM c),
+        |cand AS (
+        |  SELECT a.c_nationkey AS nk,
+        |    CAST(a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment AS INT) AS m
+        |  FROM r a JOIN r b ON b.rk = a.rk + 1 OR b.rk = a.rk + 2)
+        |SELECT nk AS c_nationkey, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(m) AS BIGINT) AS n_matches
+        |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bkey"))
+      val (ranked, _) = graft.util.Scale.globalRowNumber(
+        c, Seq(col("bkey"), col("c_custkey")), "rk")
+      val a = ranked.select(col("rk").as("ra"), col("c_nationkey").as("na"),
+        col("c_mktsegment").as("sa"))
+      val b = ranked.select(col("rk").as("rb"), col("c_nationkey").as("nb"),
+        col("c_mktsegment").as("sb"))
+      // w = 3 neighborhood as two rank-offset EQUI-joins (shuffle on rk)
+      val cand = a.join(b, col("rb") === col("ra") + 1)
+        .unionByName(a.join(b, col("rb") === col("ra") + 2))
+      cand.groupBy(col("na").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("na") === col("nb") && col("sa") === col("sb"), 1L)
+            .otherwise(0L)).as("n_matches"))
+        .orderBy("c_nationkey")
+    },
+
+    // ----- Sequential-pattern precedence matrix (first-touch order) -----
+    // Level-2 sequential pattern mining (the AprioriAll/GSP candidate
+    // grid, Agrawal & Srikant ICDE 1995): for every ordered event-type
+    // pair (a,b), among users who perform both, how often does a's FIRST
+    // occurrence precede b's? The 5×5−5 matrix is the evidence a journey
+    // model starts from (signup-before-purchase should dominate;
+    // error-first users are the onboarding-failure cohort). One
+    // user-keyed aggregate builds per-(user, type) first timestamps;
+    // the per-user type self-join is alphabet-bounded (≤ 5×4 rows per
+    // user), and the final rollup is alphabet²-cardinality. Strict ns
+    // comparison — simultaneous firsts count as non-preceding on both
+    // engines.
+    "seq_precedence_matrix" -> QueryDef.sql(
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+        |s AS (SELECT user_id, event_type, min(ns) AS mn FROM e GROUP BY 1,2),
+        |p AS (SELECT a.event_type AS t_first, b.event_type AS t_then,
+        |        CAST(a.mn < b.mn AS INT) AS prec
+        |      FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type <> b.event_type)
+        |SELECT t_first, t_then, CAST(count(*) AS BIGINT) AS n_users_both,
+        |  CAST(sum(prec) AS BIGINT) AS n_users_precede,
+        |  CAST((1000000 * sum(prec)) // count(*) AS BIGINT) AS precede_ppm
+        |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin) { (s, d) =>
+      val st = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_ns").as("ns"))
+        .groupBy("user_id", "event_type").agg(min("ns").as("mn"))
+      val a = st.select(col("user_id"), col("event_type").as("t_first"),
+        col("mn").as("mna"))
+      val b = st.select(col("user_id"), col("event_type").as("t_then"),
+        col("mn").as("mnb"))
+      a.join(b, Seq("user_id")).where(col("t_first") =!= col("t_then"))
+        .groupBy("t_first", "t_then")
+        .agg(count(lit(1)).as("n_users_both"),
+          sum(when(col("mna") < col("mnb"), 1L).otherwise(0L))
+            .as("n_users_precede"))
+        .withColumn("precede_ppm",
+          expr("(1000000 * n_users_precede) div n_users_both"))
+        .orderBy("t_first", "t_then")
+    },
+
+    // ----- O19: distribution ranks (percent_rank + cume_dist) -----
+    // The two normalized window ranks the o10 family doesn't cover, in
+    // the exact-integer spelling: percent_rank = (rank−1)/(n−1) and
+    // cume_dist = |peers ≤ me|/n, both floored to ppm so the doubles
+    // the engines' built-ins would emit never enter the hash. The
+    // cume numerator uses a RANGE-framed count — the frame extends
+    // through revenue ties, which is exactly cume_dist's peer rule.
+    // Revenue is the usual exact decimal sum cast to double, so tie
+    // structure is identical on both engines. Windows partition by
+    // nation — never single-partition.
+    "o19_distribution_ranks" -> QueryDef.sql(
+      """WITH rev AS (
+        |  SELECT s.s_suppkey, s.s_nationkey,
+        |    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT s_suppkey, s_nationkey, revenue,
+        |    CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY s_nationkey ORDER BY revenue DESC
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg,
+        |    CAST(count(*) OVER (PARTITION BY s_nationkey) AS BIGINT) AS n
+        |  FROM rev)
+        |SELECT s_suppkey, s_nationkey, revenue,
+        |  CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((1000000 * (rk - 1)) // (n - 1) AS BIGINT) END AS pct_rank_ppm,
+        |  CAST((1000000 * cg) // n AS BIGINT) AS cume_ppm
+        |FROM w ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      val byNation = Window.partitionBy("s_nationkey")
+      val ordered = byNation.orderBy(col("revenue").desc)
+      val peers = ordered
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("rk", rank().over(ordered).cast("long"))
+        .withColumn("cg", count(lit(1)).over(peers))
+        .withColumn("n", count(lit(1)).over(byNation))
+        .select(col("s_suppkey"), col("s_nationkey"), col("revenue"),
+          when(col("n") === 1, 0L)
+            .otherwise(expr("(1000000 * (rk - 1)) div (n - 1)"))
+            .as("pct_rank_ppm"),
+          expr("(1000000 * cg) div n").as("cume_ppm"))
+        .orderBy("s_suppkey")
+    },
+
     // ----- Fairness audit: demographic parity + equalized odds -----
     // The eval family's governance face: the returns classifier
     // (ŷ = line count ≥ 4) audited across customer nations — per

