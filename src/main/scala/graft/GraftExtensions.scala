@@ -21,6 +21,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     // plans the custom AsofJoin logical node (graft.plans.Asof.join)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL `ASOF [LEFT] JOIN` syntax: lexical parser rewrite → marker →
+    // analyzer rule swaps the marked Join for the native AsofJoin node
+    // (graft.plans.AsofSqlSyntax)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => graft.plans.AsofSyntaxRule)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_asof_marker"),
+      new ExpressionInfo(classOf[graft.plans.AsofMarker].getName,
+        "graft_asof_marker"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_asof_marker takes exactly 1 argument")
+        graft.plans.AsofMarker(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
@@ -76,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "shingle_hashes takes exactly 2 arguments")
         ShingleHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "winnow_fingerprints takes exactly 3 arguments")
+        graft.functions.WinnowFingerprints(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("frame_pair_diffs"),

@@ -2329,6 +2329,49 @@ object RelationalQueries {
         .orderBy("pur_id")
     },
 
+    // ----- J21: ASOF JOIN written in SQL, via the injected parser -----
+    // The same native operator as j13/j15, reached through SQL TEXT: the
+    // injected [[graft.plans.GraftSqlParser]] rewrites the DuckDB
+    // `ASOF JOIN` spelling into a marker-carrying stock join and the
+    // analyzer rule swaps in the [[graft.plans.AsofJoin]] node — so a
+    // SQL-only user gets the one-merge-pass plan, not a window/bucket
+    // encoding. This query exercises the FORWARD + INNER quadrant the
+    // API queries don't (first error AFTER each signup, per user;
+    // signups with no later error drop out via the rule's
+    // IsNotNull(rightTime) filter): `sus <= eus` picks forward, the
+    // missing LEFT keyword picks inner. Oracle: DuckDB's OWN native
+    // ASOF JOIN — near-identical text, independent implementation.
+    // AsofSqlParserSpec pins the physical plan (AsofJoinExec, no SMJ)
+    // and the rewrite corner cases.
+    "j21_asof_sql_syntax" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT event_id AS sg_id, user_id, epoch_us(ts) AS sus
+        |  FROM events WHERE event_type = 'signup'),
+        |e AS (
+        |  SELECT user_id AS r_user, epoch_us(ts) AS eus, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.sg_id, e.err_id, e.eus - p.sus AS wait_us
+        |FROM p ASOF JOIN e ON p.user_id = e.r_user AND p.sus <= e.eus
+        |ORDER BY sg_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sg_id"), col("user_id"),
+          expr(Tables.epochUsFloorSql).as("sus"))
+        .createOrReplaceTempView("graft_asof_sg")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("eus"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("eus"))
+        .agg(max(col("event_id")).as("err_id"))
+        .select(col("user_id").as("r_user"), col("eus"), col("err_id"))
+        .createOrReplaceTempView("graft_asof_err")
+      s.sql(
+        """SELECT sg_id, err_id, eus - sus AS wait_us
+          |FROM graft_asof_sg ASOF JOIN graft_asof_err
+          |  ON user_id = r_user AND sus <= eus
+          |ORDER BY sg_id""".stripMargin)
+    },
+
     // ----- J16: the naive SYMMETRIC band join, auto-rewritten -----
     // j11's sibling for the third band spelling: errors within ±1 min
     // of each purchase (either direction, any user), declared as the
