@@ -1633,6 +1633,68 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- winnowing fingerprints (MOSS): the copy-detection selector -----
+    // Schleimer, Wilkerson & Aiken (SIGMOD 2003): hash every 5-gram,
+    // slide a 4-gram window, keep each window's rightmost minimum — the
+    // selection with the LOCALITY GUARANTEE rolling_fp (whole-doc) and
+    // minhash (set-sample) both lack: any ≥ 8-char shared substring
+    // leaves a shared selected fingerprint, so plagiarized spans can't
+    // hide, yet storage is ~2/(w+1) of the grams. The entire selection
+    // runs IN-ROW via the native codegen [[graft.functions.
+    // WinnowFingerprints]] expression (one generated-code pass per doc,
+    // unboxed long[] out) — never the explode-per-character → per-doc
+    // window sort the relational spelling would cost at 100 TB. The
+    // emitted density sits between the guaranteed floor 1/w (250000
+    // ppm) and ~2/(w+1) expected (400000 ppm) — the bound rides as a
+    // hash-checked fact per document; fp_min/fp_max anchor the actual
+    // selected hash VALUES cross-engine (md5-head60, the corpus-wide
+    // shingle convention).
+    "text_winnowing" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g AS (SELECT doc_id, greatest(length(s) - 4, 1) AS ng, s FROM t),
+        |h AS (SELECT doc_id, ng,
+        |   [('0x' || substr(md5(substr(s, i, 5)), 1, 15))::BIGINT
+        |    for i in generate_series(1, ng)] AS ghs
+        |  FROM g),
+        |w AS (SELECT doc_id, ng, greatest(ng - 3, 1) AS nw, ghs FROM h),
+        |sel AS (SELECT doc_id, ng, nw, ghs,
+        |   [j + len(ghs[j:least(j+3, ng)])
+        |      - list_indexof(list_reverse(ghs[j:least(j+3, ng)]),
+        |                     list_min(ghs[j:least(j+3, ng)]))
+        |    for j in generate_series(1, nw)] AS pos
+        |  FROM w),
+        |d AS (SELECT doc_id, ng, nw,
+        |   [ghs[p] for p in list_distinct(pos)] AS fps
+        |  FROM sel)
+        |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+        |  CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(len(fps) AS BIGINT) AS n_selected,
+        |  CAST((1000000 * len(fps)) // nw AS BIGINT) AS density_ppm,
+        |  CAST(list_min(fps) AS BIGINT) AS fp_min,
+        |  CAST(list_max(fps) AS BIGINT) AS fp_max,
+        |  CAST(len(fps) * 4 >= nw AS BIGINT) AS within_floor
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.WinnowFingerprints.winnow_fingerprints
+      spread(documents(s, d))
+        .withColumn("s", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .select(col("doc_id"),
+          greatest(length(col("s")) - 4, lit(1)).cast("long").as("ng"),
+          winnow_fingerprints(col("s"), lit(5), lit(4)).as("fps"))
+        .select(col("doc_id"), col("ng"),
+          greatest(col("ng") - 3, lit(1)).as("nw"),
+          size(col("fps")).cast("long").as("n_selected"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
+        .select(col("doc_id"), col("ng").as("n_grams"),
+          col("nw").as("n_windows"), col("n_selected"),
+          expr("(1000000 * n_selected) div nw").as("density_ppm"),
+          col("fp_min"), col("fp_max"),
+          (col("n_selected") * 4 >= col("nw")).cast("long").as("within_floor"))
+        .orderBy("doc_id")
+    },
+
     // ----- repetition quality filter (Gopher-style): top-bigram ratio -----
     // The "repeated boilerplate" signal LLM pipelines gate on: the share
     // of a document's bigrams taken by its single most frequent bigram.
