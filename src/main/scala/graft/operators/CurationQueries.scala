@@ -1690,6 +1690,56 @@ object CurationQueries {
         .orderBy("event_type")
     },
 
+    // ----- Randomized response: the LOCAL-DP mechanism -----
+    // Warner (1965), the third face of the DP story: dp_bounded_
+    // contribution clamps sensitivity, dp_laplace_release adds central
+    // noise — this is the LOCAL model, where each row lies about its
+    // own bit before aggregation ever sees it. Each event's success bit
+    // (value ≥ 100) is flipped with probability 1/4 (ε = ln 3), the
+    // flip drawn from the same deterministic LCG as the sampling
+    // family, keyed by event_id so the demonstration reproduces. The
+    // debiasing identity π̂ = 2·p̂_reported − 1/2 recovers the rate, and
+    // the emitted per-type |error| IS the privacy-variance tradeoff:
+    // ~50k ppm at n≈200 (sf0.001) shrinking to ~14k at n≈2000 (sf0.01)
+    // — the 1/√n law a deployment sizes cohorts by. Pure integer
+    // arithmetic end to end; taxonomy-bounded output.
+    "dp_randomized_response" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN value >= 100 THEN 1 ELSE 0 END AS x,
+        |    CASE WHEN (event_id * 1103515245 + 12345) % 2147483648 < 536870912
+        |         THEN 1 ELSE 0 END AS flip
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s_true,
+        |    CAST(sum(CASE WHEN flip = 1 THEN 1 - x ELSE x END) AS BIGINT) AS s_rep
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST((1000000 * s_true) // n AS BIGINT) AS true_ppm,
+        |  CAST((1000000 * s_rep) // n AS BIGINT) AS reported_ppm,
+        |  CAST(2 * ((1000000 * s_rep) // n) - 500000 AS BIGINT) AS debiased_ppm,
+        |  CAST(abs(2 * ((1000000 * s_rep) // n) - 500000
+        |           - (1000000 * s_true) // n) AS BIGINT) AS abs_err_ppm
+        |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.util.Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          when(col("value") >= 100, 1L).otherwise(0L).as("x"),
+          when(expr("(event_id * 1103515245 + 12345) % 2147483648") < 536870912L,
+            1L).otherwise(0L).as("flip"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s_true"),
+          sum(when(col("flip") === 1, lit(1L) - col("x")).otherwise(col("x")))
+            .as("s_rep"))
+        .select(col("event_type"), col("n"),
+          expr("(1000000 * s_true) div n").as("true_ppm"),
+          expr("(1000000 * s_rep) div n").as("reported_ppm"),
+          expr("2 * ((1000000 * s_rep) div n) - 500000").as("debiased_ppm"),
+          expr("abs(2 * ((1000000 * s_rep) div n) - 500000 - (1000000 * s_true) div n)")
+            .as("abs_err_ppm"))
+        .orderBy("event_type")
+    },
+
     // ----- IPF raking: rebalance the lang×source mixture -----
     // Iterative proportional fitting (Deming & Stephan 1940) — the
     // survey-weighting classic as a MIXTURE tool: find per-cell ppm

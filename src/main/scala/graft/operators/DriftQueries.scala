@@ -1875,6 +1875,82 @@ object DriftQueries {
         .orderBy("day")
     },
 
+    // ----- IPS / SNIPS off-policy evaluation of the uniform policy -----
+    // The OTHER half of the bandit story beside ab_ucb1_replay: estimate
+    // a TARGET policy's value from a log collected under a DIFFERENT
+    // policy (Horvitz–Thompson importance weighting; SNIPS per
+    // Swaminathan & Joachims 2015). The biased log is planted: 'click'
+    // events are logged at ~1/10 rate (event_id % 10), so the log's
+    // composition misrepresents the corpus. The naive pooled mean of
+    // the log is then biased for the uniform-policy value; IPS reweights
+    // each arm by π(a)/b̂(a) = n_log/(K·n_a) and lands near the
+    // full-data truth that rides alongside as the audit; SNIPS divides
+    // by the realized weight mass instead of n. Kish effective sample
+    // size (Σw)²/Σw² prices the correction — ESS ≪ n_log IS the
+    // variance cost of off-policy reuse, and at sf0.001 that variance
+    // honestly exceeds the naive bias (the verdict flips in IPS's favor
+    // once n grows at sf0.01). Exactness: weights are per-ARM constants
+    // (milli-scale floors), so every sum collapses to arm-level BIGINT
+    // arithmetic — no per-row floats, both engines bit-identical.
+    "ab_ips_offpolicy" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT event_id, event_type AS arm,
+        |    CASE WHEN value >= 100 THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |lg AS (SELECT arm, r FROM e WHERE arm <> 'click' OR event_id % 10 = 0),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_log,
+        |    CAST(sum(r) AS BIGINT) AS s_log FROM lg),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS na,
+        |    CAST(sum(r) AS BIGINT) AS sa FROM lg GROUP BY 1),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS nk FROM a),
+        |w AS (SELECT arm, na, sa, (1000 * n_log) // (nk * na) AS w_milli
+        |      FROM a CROSS JOIN nl CROSS JOIN k),
+        |agg AS (SELECT
+        |    CAST(sum(sa * w_milli) AS BIGINT) AS num,
+        |    CAST(sum(na * w_milli) AS BIGINT) AS den,
+        |    CAST(sum(na * w_milli * w_milli) AS BIGINT) AS den2
+        |  FROM w),
+        |tru AS (
+        |  SELECT CAST(sum((1000000 * sf) // nf) // count(*) AS BIGINT) AS truth_ppm,
+        |         CAST(sum(nf) AS BIGINT) AS n_full
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS nf,
+        |          CAST(sum(r) AS BIGINT) AS sf FROM e GROUP BY arm))
+        |SELECT
+        |  CAST((1000000 * s_log) // n_log AS BIGINT) AS naive_ppm,
+        |  CAST((1000 * num) // n_log AS BIGINT) AS v_ips_ppm,
+        |  CAST((1000000 * num) // den AS BIGINT) AS v_snips_ppm,
+        |  truth_ppm,
+        |  CAST((den * den) // den2 AS BIGINT) AS ess_rows,
+        |  n_log, n_full
+        |FROM agg CROSS JOIN nl CROSS JOIN tru""".stripMargin) { (s, d) =>
+      val e = events(s, d).select(col("event_id"),
+        col("event_type").as("arm"),
+        when(col("value") >= 100, 1L).otherwise(0L).as("r"))
+      val lg = e.where(col("arm") =!= "click" || col("event_id") % 10 === 0)
+        .localCheckpoint(true) // log-cardinality; feeds nl + per-arm legs
+      val nl = lg.agg(count(lit(1)).as("n_log"), sum("r").as("s_log"))
+      val a = lg.groupBy("arm").agg(count(lit(1)).as("na"), sum("r").as("sa"))
+      val k = a.agg(count(lit(1)).as("nk"))
+      val w = a.crossJoin(broadcast(nl)).crossJoin(broadcast(k))
+        .withColumn("w_milli", expr("(1000 * n_log) div (nk * na)"))
+      val agg = w.agg(
+        sum(expr("sa * w_milli")).as("num"),
+        sum(expr("na * w_milli")).as("den"),
+        sum(expr("na * w_milli * w_milli")).as("den2"))
+      val tru = e.groupBy("arm")
+        .agg(count(lit(1)).as("nf"), sum("r").as("sf"))
+        .agg(expr("sum((1000000 * sf) div nf) div count(1)").as("truth_ppm"),
+          sum("nf").as("n_full"))
+      agg.crossJoin(broadcast(nl)).crossJoin(broadcast(tru))
+        .select(
+          expr("(1000000 * s_log) div n_log").as("naive_ppm"),
+          expr("(1000 * num) div n_log").as("v_ips_ppm"),
+          expr("(1000000 * num) div den").as("v_snips_ppm"),
+          col("truth_ppm"),
+          expr("(den * den) div den2").as("ess_rows"),
+          col("n_log"), col("n_full"))
+    },
+
     // ----- Market-basket association rules over order baskets -----
     // The Apriori output shape (Agrawal & Srikant 1994) on the TPC-H
     // side: which part pairs co-occur in orders beyond chance, with
