@@ -217,6 +217,50 @@ object GraphQueries {
         .orderBy("doc_id")
     },
 
+    // ----- BFS hop layers from the seed set: reachability distance -----
+    // The ninth graph lens, and the one PPR's stationary mass hides:
+    // EXACT hop distance. Four unrolled synchronous BFS rounds
+    // (frontier = min-distance label propagation, the classic
+    // Bellman-Ford specialization to unit weights) from the same seed
+    // set PPR uses, emitting the layer profile |{v : dist = h}| plus
+    // the unreached count as hop −1. That profile is the duplication-
+    // ancestry reach curve: hop 1 = direct near-dups of the suspect
+    // batch, hop ≥ 2 = transitive contamination a pair-level audit
+    // misses, unreached = provably independent docs. Exactness is
+    // trivial (integer min-fold — no damping, no division); what the
+    // oracle pins is the TOPOLOGY agreeing edge-for-edge through both
+    // engines' independent minhash pipelines. The unrolled-CTE oracle
+    // MATERIALIZEs every round (the attribution_markov lesson: plain
+    // CTEs re-inline the d_{k-1} subtree once per UNION leg — 2^k
+    // copies of the band join by round k). Scale shape: edges pinned
+    // once, partitioned on the probe key; each round shuffles only the
+    // reached-node distance table, which starts seed-sized and grows
+    // one hop ring per round.
+    "graph_bfs_hops" -> QueryDef.sql(BfsOracleSql) { (s, d) =>
+      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .repartition(col("a"))
+        .localCheckpoint()
+      val nodes = edges.select("a").distinct().localCheckpoint(true)
+      var dist = nodes.filter(col("a") < PprSeedMax)
+        .select(col("a").as("v"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to BfsHops) {
+        dist = edges.join(dist, edges("a") === dist("v"))
+          .select(col("b").as("v"), (col("dist") + 1).as("dist"))
+          .unionByName(dist)
+          .groupBy("v").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      val layers = dist.groupBy(col("dist").as("hop"))
+        .agg(count(lit(1)).as("n_docs"))
+      val unreached = nodes.agg(count(lit(1)).as("nn"))
+        .crossJoin(dist.agg(count(lit(1)).as("nr")))
+        .select(lit(-1L).as("hop"), (col("nn") - col("nr")).as("n_docs"))
+      layers.unionByName(unreached).orderBy("hop")
+    },
+
     // ----- Modularity: grading the LPA communities (Newman 2004) -----
     // The lens that grades a lens: Q = Σ_c (e_in/m − (D_c/2m)²)
     // measures how much denser the discovered communities are than a
@@ -430,6 +474,38 @@ object GraphQueries {
 
   /** Seed set for `ppr_related_docs`: graph nodes with doc_id below this. */
   val PprSeedMax = 50
+
+  /** Unrolled BFS rounds for `graph_bfs_hops`; rounds past the graph's
+    * eccentricity from the seed set are exact no-ops (min-fold). */
+  val BfsHops = 4
+
+  private lazy val BfsOracleSql: String = {
+    val rounds = (1 to BfsHops).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT v, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.b AS v, d.dist + 1 FROM edges e JOIN d${k - 1} d ON d.v = e.a)
+         |  GROUP BY v)""".stripMargin
+    }
+    s"""WITH ${TextQueries.MinhashBandsCte},
+       |pairs AS (${TextQueries.BandedPairsSelect}),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a FROM edges),
+       |d0 AS MATERIALIZED (
+       |  SELECT a AS v, CAST(0 AS BIGINT) AS dist FROM nodes WHERE a < $PprSeedMax),
+       |${rounds.mkString(",\n")},
+       |lay AS (SELECT dist AS hop, CAST(count(*) AS BIGINT) AS n_docs
+       |        FROM d$BfsHops GROUP BY 1),
+       |un AS (SELECT CAST(-1 AS BIGINT) AS hop,
+       |        CAST((SELECT count(*) FROM nodes)
+       |             - (SELECT count(*) FROM d$BfsHops) AS BIGINT) AS n_docs)
+       |SELECT hop, n_docs FROM lay
+       |UNION ALL SELECT hop, n_docs FROM un
+       |ORDER BY hop""".stripMargin
+  }
 
   private lazy val PprOracleSql: String = {
     val iters = (1 to Iters).map { k =>

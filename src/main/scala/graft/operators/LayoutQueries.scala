@@ -113,6 +113,115 @@ object LayoutQueries {
       ranked.select("doc_id", "phase", "position").orderBy("doc_id")
     },
 
+    // ----- Column-encoding advisor: DICT/RLE stats per layout -----
+    // The writer-side twin of the scan-side skipping report: for each
+    // candidate lineitem column, the exact statistics a columnar writer
+    // picks encodings from — NDV (dictionary viability) and RUN COUNT
+    // under two physical layouts: the natural (l_orderkey, linenumber)
+    // insertion order and a (returnflag, linestatus) sort. The verdict
+    // is the point: sorting collapses the two low-cardinality columns
+    // from ~N/2 runs to single-digit runs (RLE gold, ~2e6 milli avg run
+    // length) while leaving the high-NDV columns untouched — exactly
+    // the measured evidence a `ZORDER/sortWithinPartitions` decision
+    // needs, not a cardinality guess. Scale shape: global positions
+    // come from Scale.globalRowNumber (ranged, no single-partition
+    // window) and adjacent-pair run counting is a rank-offset
+    // EQUI-join (the er_sorted_neighborhood pattern) — every stage
+    // hash-partitions. Determinism: doubles quantize to exact integers
+    // BEFORE the varchar union (quantity is integral, discount is
+    // hundredths), so value equality never touches engine float
+    // formatting; ranks are total (unique tiebreak), so run counts are
+    // layout facts, not tie accidents.
+    "layout_encoding_advisor" -> QueryDef.sql(
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |    l_returnflag AS c_returnflag,
+        |    l_linestatus AS c_linestatus,
+        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS c_quantity,
+        |    CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR) AS c_discount,
+        |    CAST(l_partkey AS VARCHAR) AS c_partkey
+        |  FROM lineitem),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, c_partkey,
+        |      c_quantity, c_discount, c_returnflag, c_linestatus) AS rkn,
+        |    row_number() OVER (ORDER BY l_returnflag, l_linestatus, l_orderkey,
+        |      l_linenumber, c_partkey, c_quantity, c_discount) AS rks
+        |  FROM l),
+        |cols AS (
+        |  SELECT 'l_returnflag' AS col, c_returnflag AS v, rkn, rks FROM r
+        |  UNION ALL SELECT 'l_linestatus', c_linestatus, rkn, rks FROM r
+        |  UNION ALL SELECT 'l_quantity', c_quantity, rkn, rks FROM r
+        |  UNION ALL SELECT 'l_discount', c_discount, rkn, rks FROM r
+        |  UNION ALL SELECT 'l_partkey', c_partkey, rkn, rks FROM r),
+        |rn AS (
+        |  SELECT a.col, CAST(sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS BIGINT) AS chg
+        |  FROM cols a JOIN cols b ON a.col = b.col AND b.rkn = a.rkn + 1 GROUP BY 1),
+        |rs AS (
+        |  SELECT a.col, CAST(sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS BIGINT) AS chg
+        |  FROM cols a JOIN cols b ON a.col = b.col AND b.rks = a.rks + 1 GROUP BY 1),
+        |nd AS (
+        |  SELECT col, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT v) AS BIGINT) AS ndv
+        |  FROM cols GROUP BY 1)
+        |SELECT nd.col, nd.n, nd.ndv,
+        |  rn.chg + 1 AS runs_natural, rs.chg + 1 AS runs_sorted,
+        |  CAST((1000 * nd.n) // (rs.chg + 1) AS BIGINT) AS avg_sorted_run_milli,
+        |  CASE WHEN nd.ndv <= 64 AND (1000 * nd.n) // (rs.chg + 1) >= 4000 THEN 'SORT_RLE_DICT'
+        |       WHEN nd.ndv <= 4096 THEN 'DICT'
+        |       ELSE 'PLAIN' END AS advice
+        |FROM nd JOIN rn ON nd.col = rn.col JOIN rs ON nd.col = rs.col
+        |ORDER BY nd.col""".stripMargin) { (s, d) =>
+      val l = lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_returnflag").as("c_returnflag"),
+        col("l_linestatus").as("c_linestatus"),
+        col("l_quantity").cast("long").cast("string").as("c_quantity"),
+        round(col("l_discount") * 100).cast("long").cast("string").as("c_discount"),
+        col("l_partkey").cast("string").as("c_partkey"))
+      // (l_orderkey, l_linenumber) is NOT unique in this testdata, so
+      // both orders extend through every advised column: any remaining
+      // tie is a row identical in all of them, making run counts
+      // permutation-invariant (a layout fact, not a tie accident)
+      val (rn0, _) = graft.util.Scale.globalRowNumber(
+        l, Seq(col("l_orderkey"), col("l_linenumber"), col("c_partkey"),
+          col("c_quantity"), col("c_discount"), col("c_returnflag"),
+          col("c_linestatus")), "rkn")
+      val (r, _) = graft.util.Scale.globalRowNumber(
+        rn0, Seq(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey"), col("l_linenumber"), col("c_partkey"),
+          col("c_quantity"), col("c_discount")), "rks")
+      val cols = Seq("l_returnflag" -> "c_returnflag",
+          "l_linestatus" -> "c_linestatus", "l_quantity" -> "c_quantity",
+          "l_discount" -> "c_discount", "l_partkey" -> "c_partkey")
+        .map { case (label, c) =>
+          r.select(lit(label).as("col"), col(c).as("v"),
+            col("rkn"), col("rks"))
+        }.reduce(_ unionByName _)
+        .localCheckpoint() // 5 consumers: two run joins + the NDV agg
+      def runChanges(rk: String) = {
+        val a = cols.select(col("col"), col("v").as("va"),
+          (col(rk) + 1).as("rj"))
+        val b = cols.select(col("col"), col("v").as("vb"), col(rk).as("rj"))
+        a.join(b, Seq("col", "rj"))
+          .groupBy("col")
+          .agg(sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)).as("chg"))
+      }
+      val rn = runChanges("rkn").withColumnRenamed("chg", "chgn")
+      val rs = runChanges("rks").withColumnRenamed("chg", "chgs")
+      val nd = cols.groupBy("col")
+        .agg(count(lit(1)).as("n"), countDistinct("v").as("ndv"))
+      nd.join(rn, Seq("col")).join(rs, Seq("col"))
+        .select(col("col"), col("n"), col("ndv"),
+          (col("chgn") + 1).as("runs_natural"),
+          (col("chgs") + 1).as("runs_sorted"),
+          expr("(1000 * n) div (chgs + 1)").as("avg_sorted_run_milli"),
+          when(col("ndv") <= 64 &&
+              expr("(1000 * n) div (chgs + 1)") >= 4000, "SORT_RLE_DICT")
+            .when(col("ndv") <= 4096, "DICT")
+            .otherwise("PLAIN").as("advice"))
+        .orderBy("col")
+    },
+
     // ----- Z-order bucket layout + its pruning statistics -----
     // x = stream hour offset (capped at 15), y = user shard (mod 16);
     // z interleaves their bits. The min/max spans in the output are
