@@ -2234,6 +2234,79 @@ object DriftQueries {
         .orderBy("feature")
     },
 
+    // ----- Isotonic calibration (PAV) of the returns classifier -----
+    // The calibration REPAIR beside knn_calibration_ece's diagnosis:
+    // fit the monotone-non-decreasing step function mapping line count
+    // to return rate. Instead of iterating pool-adjacent-violators, the
+    // fit uses the CLOSED-FORM minimax characterization (Ayer et al.
+    // 1955; Robertson–Wright–Dykstra's standard identity):
+    // ŷ_k = max_{i≤k} min_{j≥k} rate(i..j) over pooled windows — which
+    // is PAVA's unique solution with zero iteration, and becomes pure
+    // bounded relational algebra here because the score alphabet (order
+    // line count, ≤ ~7 values) bounds the window triangle at ~30 rows.
+    // Window rates floor to ppm BEFORE the minimax, so both engines
+    // run the identical integer lattice (the fit matches exact-rational
+    // PAVA to 1 ppm — documented, not hidden). Emitted per bin: raw vs
+    // isotonic rate and the pooled flag; bins the raw curve already
+    // orders correctly pass through untouched, violations pool — the
+    // monotone result is the production calibration table a scorer
+    // would range-join against. Scale: one fact join + hash aggregate
+    // to the bounded bin table; everything after is alphabet-bounded.
+    "calibration_isotonic" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |b AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS s
+        |  FROM lab GROUP BY 1),
+        |pairs AS (
+        |  SELECT bi.score AS i, bj.score AS j,
+        |    CAST((1000000 * sum(bk.s)) // sum(bk.n) AS BIGINT) AS ppm
+        |  FROM b bi JOIN b bj ON bi.score <= bj.score
+        |  JOIN b bk ON bk.score BETWEEN bi.score AND bj.score
+        |  GROUP BY 1, 2),
+        |im AS (
+        |  SELECT k.score AS score, p.i, CAST(min(p.ppm) AS BIGINT) AS mn
+        |  FROM b k JOIN pairs p ON p.i <= k.score AND p.j >= k.score
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT score, CAST(max(mn) AS BIGINT) AS iso_ppm FROM im GROUP BY 1)
+        |SELECT b.score AS n_lines, b.n AS n_orders, b.s AS n_returned,
+        |  CAST((1000000 * b.s) // b.n AS BIGINT) AS raw_ppm,
+        |  fit.iso_ppm,
+        |  CAST(fit.iso_ppm <> (1000000 * b.s) // b.n AS BIGINT) AS pooled
+        |FROM b JOIN fit ON fit.score = b.score
+        |ORDER BY n_lines""".stripMargin) { (s, d) =>
+      val b = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("score"),
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n"), sum("pos").as("s"))
+        .localCheckpoint(true) // alphabet-bounded; feeds triangle + output
+      val pairs = b.select(col("score").as("i"))
+        .crossJoin(b.select(col("score").as("j")))
+        .where(col("i") <= col("j"))
+        .join(b.select(col("score").as("k"), col("n").as("nk"),
+          col("s").as("sk")), col("k").between(col("i"), col("j")))
+        .groupBy("i", "j")
+        .agg(expr("(1000000 * sum(sk)) div sum(nk)").as("ppm"))
+      val im = b.select(col("score"))
+        .join(pairs, col("i") <= col("score") && col("j") >= col("score"))
+        .groupBy("score", "i").agg(min("ppm").as("mn"))
+      val fit = im.groupBy("score").agg(max("mn").as("iso_ppm"))
+      b.join(fit, Seq("score"))
+        .select(col("score").as("n_lines"), col("n").as("n_orders"),
+          col("s").as("n_returned"),
+          expr("(1000000 * s) div n").as("raw_ppm"),
+          col("iso_ppm"),
+          (col("iso_ppm") =!= expr("(1000000 * s) div n")).cast("long")
+            .as("pooled"))
+        .orderBy("n_lines")
+    },
+
     // ----- Gains/lift table for the returns classifier -----
     // The business-facing readout of eval_roc_auc's winning feature:
     // rank orders by line count (descending, orderkey tiebreak — a

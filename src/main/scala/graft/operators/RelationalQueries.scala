@@ -3792,6 +3792,46 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     },
 
+    // ----- O20: LATERAL top-k per group, decorrelated by Catalyst -----
+    // The SQL:1999 correlated spelling of per-group top-k: for each
+    // nation, a LATERAL subquery ORDER BY revenue LIMIT 2. Spark's
+    // analyzer supports lateral correlated subqueries (SPARK-34382) and
+    // DECORRELATES the per-row LIMIT into a set-based plan — the user
+    // writes the intuitive row-at-a-time form, Catalyst executes the
+    // same shape the o2/o10 window spellings hand-build. The query
+    // exists to pin THAT: SQL-surface parity with DuckDB's lateral
+    // (near-identical oracle text) and no per-nation re-execution at
+    // scale. Revenue is the exact decimal sum cast to double, suppkey
+    // tiebreak makes the top-2 deterministic.
+    "o20_lateral_topk" -> QueryDef.sql(
+      """WITH rev AS (
+        |  SELECT s.s_suppkey, s.s_nationkey,
+        |    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT n.n_nationkey, t.s_suppkey, t.revenue
+        |FROM nation n, LATERAL (
+        |  SELECT s_suppkey, revenue FROM rev
+        |  WHERE rev.s_nationkey = n.n_nationkey
+        |  ORDER BY revenue DESC, s_suppkey LIMIT 2) t
+        |ORDER BY n.n_nationkey, t.revenue DESC, t.s_suppkey""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .createOrReplaceTempView("graft_lateral_rev")
+      nation(s, d).createOrReplaceTempView("graft_lateral_nation")
+      s.sql(
+        """SELECT n.n_nationkey, t.s_suppkey, t.revenue
+          |FROM graft_lateral_nation n,
+          |LATERAL (
+          |  SELECT s_suppkey, revenue FROM graft_lateral_rev rev
+          |  WHERE rev.s_nationkey = n.n_nationkey
+          |  ORDER BY revenue DESC, s_suppkey LIMIT 2) t
+          |ORDER BY n.n_nationkey, t.revenue DESC, t.s_suppkey""".stripMargin)
+    },
+
     // ----- Fairness audit: demographic parity + equalized odds -----
     // The eval family's governance face: the returns classifier
     // (ŷ = line count ≥ 4) audited across customer nations — per

@@ -910,6 +910,88 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Adjusted Rand Index: exact-dup vs LSH-cluster partitions -----
+    // The dedup_family_venn upset table says WHICH docs the detectors
+    // disagree on; this compresses the disagreement into the standard
+    // clustering-agreement scalar (Hubert & Arabie 1985): ARI between
+    // the exact-hash partition (md5(text) groups) and the minhash-LSH
+    // connected-component partition, over all documents (isolated docs
+    // are singletons in both). All pair-counting is closed-form from
+    // the contingency table — C(n_ij,2) sums in BIGINT with ONE common
+    // denominator, so the emitted milli-ARI is a single floor division
+    // (no floored-term accumulation). Chance-corrected: ARI = 0 for
+    // independent partitions, 1 for identical; the Rand index rides
+    // along for contrast (it sits near 1 whenever singletons dominate —
+    // exactly why ARI is the right scalar for dedup grading). The
+    // expected verdict — ARI well below 1 with pairs_lsh ≫ pairs_exact
+    // — is the quantitative form of "LSH finds near-dups hashing can't".
+    // Scale: the contingency table is cluster-cardinality, every sum a
+    // hash aggregate; the LSH side reads the persisted band store.
+    "dedup_cluster_ari" -> QueryDef.sql(
+      s"""WITH RECURSIVE ${TextQueries.MinhashBandsCte},
+         |cand AS (
+         |  ${TextQueries.BandedPairsSelect}),
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id),
+         |lsh AS (SELECT id AS doc_id, min(r) AS v FROM reach GROUP BY id),
+         |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS u
+         |       FROM documents),
+         |cell AS (
+         |  SELECT ex.u, lsh.v, CAST(count(*) AS BIGINT) AS nij
+         |  FROM ex JOIN lsh ON ex.doc_id = lsh.doc_id GROUP BY 1, 2),
+         |sums AS (
+         |  SELECT CAST(sum(nij) AS BIGINT) AS n,
+         |    CAST(sum(nij * (nij - 1)) // 2 AS BIGINT) AS p_both
+         |  FROM cell),
+         |pa AS (SELECT CAST(sum(na * (na - 1)) // 2 AS BIGINT) AS p_ex FROM (
+         |  SELECT CAST(sum(nij) AS BIGINT) AS na FROM cell GROUP BY u)),
+         |pb AS (SELECT CAST(sum(nb * (nb - 1)) // 2 AS BIGINT) AS p_lsh FROM (
+         |  SELECT CAST(sum(nij) AS BIGINT) AS nb FROM cell GROUP BY v)),
+         |c AS (SELECT n, (n * (n - 1)) // 2 AS cn2, p_both, p_ex, p_lsh
+         |      FROM sums CROSS JOIN pa CROSS JOIN pb)
+         |SELECT n AS n_docs, p_ex AS pairs_exact, p_lsh AS pairs_lsh,
+         |  p_both AS pairs_both,
+         |  CASE WHEN cn2 * (p_ex + p_lsh) - 2 * p_ex * p_lsh = 0 THEN NULL
+         |       ELSE CAST((1000 * (2 * cn2 * p_both - 2 * p_ex * p_lsh))
+         |            // (cn2 * (p_ex + p_lsh) - 2 * p_ex * p_lsh) AS BIGINT)
+         |  END AS ari_milli,
+         |  CAST((1000 * (cn2 + 2 * p_both - p_ex - p_lsh)) // cn2 AS BIGINT)
+         |    AS rand_milli
+         |FROM c""".stripMargin) { (s, d) =>
+      val lsh = clusterAssignments(s, d)
+        .select(col("doc_id"), col("cluster_id").as("v"))
+      val ex = documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      val exLabel = ex.groupBy("fp").agg(min("doc_id").as("u"))
+      val labeled = ex.join(exLabel, Seq("fp"))
+        .select(col("doc_id"), col("u"))
+        .join(lsh, Seq("doc_id"))
+      val cell = labeled.groupBy("u", "v").agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true) // cluster-cardinality; feeds three sums
+      val sums = cell.agg(sum("nij").as("n"),
+        expr("sum(nij * (nij - 1)) div 2").as("p_both"))
+      val pa = cell.groupBy("u").agg(sum("nij").as("na"))
+        .agg(expr("sum(na * (na - 1)) div 2").as("p_ex"))
+      val pb = cell.groupBy("v").agg(sum("nij").as("nb"))
+        .agg(expr("sum(nb * (nb - 1)) div 2").as("p_lsh"))
+      sums.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
+        .withColumn("cn2", expr("(n * (n - 1)) div 2"))
+        .select(col("n").as("n_docs"), col("p_ex").as("pairs_exact"),
+          col("p_lsh").as("pairs_lsh"), col("p_both").as("pairs_both"),
+          when(expr("cn2 * (p_ex + p_lsh) - 2 * p_ex * p_lsh") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              "(1000 * (2 * cn2 * p_both - 2 * p_ex * p_lsh)) div (cn2 * (p_ex + p_lsh) - 2 * p_ex * p_lsh)"))
+            .as("ari_milli"),
+          expr("(1000 * (cn2 + 2 * p_both - p_ex - p_lsh)) div cn2")
+            .as("rand_milli"))
+    },
+
     // ----- contrastive training-pair construction from the clusters -----
     // The dataset an embedding model trains on: (anchor, positive) from
     // each multi-member near-dup cluster (the two smallest ids — true
