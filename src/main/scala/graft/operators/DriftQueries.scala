@@ -2234,6 +2234,131 @@ object DriftQueries {
         .orderBy("feature")
     },
 
+    // ----- Croston's method: intermittent-demand forecasting -----
+    // The forecast ladder's SPARSE face (Croston 1972): Holt/HW treat a
+    // mostly-zero series as crashing to zero between spikes; Croston
+    // separately smooths the nonzero DEMAND SIZES (z) and the INTERVALS
+    // between them (p), forecasting the per-period rate z/p. Series:
+    // daily 1-URGENT order counts — genuinely intermittent at fixture
+    // scale (~260 demand days over ~2400 calendar days at sf0.001).
+    // Same exactness machinery as ts_holt_winters: α = ½ makes every
+    // update add-and-halve in 2^20 fixed point, the bounded driver fold
+    // replays the DuckDB recursive CTE bit-for-bit, and the emitted
+    // rate is one floor division per step. The demand-day table is
+    // calendar-bounded (the km_survival collect contract) — the fold
+    // never sees order-cardinality rows.
+    "forecast_croston" -> QueryDef.sql(
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |g AS (SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk,
+        |    CAST(day - lag(day) OVER (ORDER BY day) AS BIGINT) AS gap
+        |  FROM d),
+        |rec AS (
+        |  SELECT rk, day, y, y * 1048576 AS z, CAST(1048576 AS BIGINT) AS p
+        |  FROM g WHERE rk = 1
+        |  UNION ALL
+        |  SELECT g.rk, g.day, g.y,
+        |    (g.y * 1048576 + rec.z) // 2 AS z,
+        |    (g.gap * 1048576 + rec.p) // 2 AS p
+        |  FROM rec JOIN g ON g.rk = rec.rk + 1)
+        |SELECT rk, day, y AS demand, z AS z_s, p AS p_s,
+        |  CAST((1000000 * z) // p AS BIGINT) AS forecast_ppm
+        |FROM rec ORDER BY rk""".stripMargin) { (s, d) =>
+      val rows = orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(expr(
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"))
+        .agg(count(lit(1)).as("y"))
+        .orderBy("day")
+        .collect() // demand-DAY cardinality (calendar-bounded)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var z = rows.head._2 * 1048576L
+      var p = 1048576L
+      var prevDay = rows.head._1
+      val out = rows.zipWithIndex.map { case ((day, y), ix) =>
+        if (ix > 0) {
+          z = (y * 1048576L + z) / 2
+          p = ((day - prevDay) * 1048576L + p) / 2
+        }
+        prevDay = day
+        (ix + 1L, day, y, z, p, (1000000L * z) / p)
+      }.toSeq
+      import s.implicits._
+      out.toDF("rk", "day", "demand", "z_s", "p_s", "forecast_ppm")
+        .orderBy("rk")
+    },
+
+    // ----- Deterministic bootstrap CI for the daily-event mean -----
+    // The nonparametric uncertainty face the closed-form tests (Wilson,
+    // χ², SPRT) can't give: a 95% basic-percentile bootstrap on the
+    // mean daily event count, with the B×n resample index grid drawn
+    // from the sampling family's LCG — reproducible, so both engines
+    // materialize the IDENTICAL 400 resample means and pick the same
+    // rank-10/rank-390 order statistics (total tiebreak on (mean, b)).
+    // Every stage is bounded: the day table is calendar-cardinality,
+    // the grid is 400×30, the rank window runs over 400 rows. Means are
+    // exact micro floors — no float accumulates anywhere.
+    "ab_bootstrap_ci" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS i,
+        |    CAST((SELECT count(*) FROM d) AS BIGINT) AS nd FROM d),
+        |grid AS (
+        |  SELECT b.b, s.i AS slot FROM
+        |    (SELECT CAST(unnest(generate_series(0, 399)) AS BIGINT) AS b) b
+        |  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 29)) AS BIGINT) AS i) s),
+        |pick AS (
+        |  SELECT g.b, ((g.b * 31 + g.slot) * 1103515245 + 12345) % 2147483648 % ix.nd AS pi
+        |  FROM grid g CROSS JOIN (SELECT DISTINCT nd FROM ix) ix),
+        |res AS (
+        |  SELECT p.b, CAST((1000000 * sum(ix.y)) // 30 AS BIGINT) AS mean_micro
+        |  FROM pick p JOIN ix ON ix.i = p.pi GROUP BY 1),
+        |rk AS (SELECT mean_micro, row_number() OVER (ORDER BY mean_micro, b) AS r FROM res),
+        |pt AS (SELECT CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS point_micro,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM d)
+        |SELECT pt.point_micro, pt.n_days,
+        |  (SELECT mean_micro FROM rk WHERE r = 10) AS lo_micro,
+        |  (SELECT mean_micro FROM rk WHERE r = 390) AS hi_micro,
+        |  CAST(400 AS BIGINT) AS n_resamples
+        |FROM pt""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val day = events(s, d)
+        .groupBy(expr(s"($us) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(true) // calendar-bounded
+      // bounded calendar window (the km_survival contract)
+      val ix = day
+        .withColumn("i",
+          row_number().over(Window.orderBy("day")).cast("long") - 1)
+        .crossJoin(broadcast(day.agg(count(lit(1)).as("nd"))))
+      val grid = s.range(400).select(col("id").as("b"))
+        .crossJoin(s.range(30).select(col("id").as("slot")))
+      val pick = grid.crossJoin(
+          broadcast(ix.select("nd").distinct()))
+        .select(col("b"),
+          expr("((b * 31 + slot) * 1103515245 + 12345) % 2147483648 % nd")
+            .as("pi"))
+      val res = pick.join(ix, col("i") === col("pi"))
+        .groupBy("b")
+        .agg(expr("(1000000 * sum(y)) div 30").as("mean_micro"))
+      val rk = res
+        .withColumn("r",
+          row_number().over(Window.orderBy("mean_micro", "b")).cast("long"))
+        .localCheckpoint(true) // 400 rows
+      val pt = day.agg(expr("(1000000 * sum(y)) div count(1)").as("point_micro"),
+        count(lit(1)).as("n_days"))
+      pt.crossJoin(broadcast(
+          rk.where(col("r") === 10).select(col("mean_micro").as("lo_micro"))))
+        .crossJoin(broadcast(
+          rk.where(col("r") === 390).select(col("mean_micro").as("hi_micro"))))
+        .select(col("point_micro"), col("n_days"), col("lo_micro"),
+          col("hi_micro"), lit(400L).as("n_resamples"))
+    },
+
     // ----- Isotonic calibration (PAV) of the returns classifier -----
     // The calibration REPAIR beside knn_calibration_ece's diagnosis:
     // fit the monotone-non-decreasing step function mapping line count
