@@ -3194,5 +3194,76 @@ object DriftQueries {
           col("cooc"), col("cos2_ppm"), col("rank"))
         .orderBy("part_id", "rank")
     },
+
+    // ----- Kendall tau-b between the daily revenue and order-count series -----
+    // The rank-correlation companion of length_quality_spearman for the
+    // TIME axis: does higher daily order volume travel with higher daily
+    // revenue, measured without any linearity assumption and robust to
+    // both series' heavy tails? Tau-b (tie-corrected) from EXACT pair
+    // counting: every day pair is classified concordant / discordant /
+    // x-tied / y-tied / both-tied with pure BIGINT comparisons (revenue
+    // enters as whole currency units, the a18_cuped floor discipline),
+    // and tau-b's denominator runs through the IEEE-sqrt chain — one
+    // correctly-rounded sqrt inside an identical literal tree on both
+    // engines (the rating_wilson_rank precedent), floored once at 1e6.
+    // Scale shape: the pair classification is a self-join on the DAILY
+    // aggregate, whose cardinality is CALENDAR-bounded (~2.4k days at
+    // any corpus size — ~3M pairs forever), so the O(n²) step never
+    // grows with data volume; the only corpus-scale stage is the one
+    // map-side-combinable day fold. The (rev diff)·(count diff) product
+    // is bounded by (daily rev span)·(daily count span) ≈ 1e11·1e6 at
+    // 100 TB — inside BIGINT.
+    "ts_kendall_tau" -> QueryDef.sql(
+      """WITH o AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders),
+        |dly AS (SELECT day, CAST(count(*) AS BIGINT) AS n_orders,
+        |          CAST(sum(v) AS BIGINT) AS rev
+        |        FROM o GROUP BY day),
+        |pr AS (
+        |  SELECT
+        |    CASE WHEN (a.rev - b.rev) * (a.n_orders - b.n_orders) > 0 THEN 1 ELSE 0 END AS conc,
+        |    CASE WHEN (a.rev - b.rev) * (a.n_orders - b.n_orders) < 0 THEN 1 ELSE 0 END AS disc,
+        |    CASE WHEN a.rev = b.rev AND a.n_orders <> b.n_orders THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.rev <> b.rev AND a.n_orders = b.n_orders THEN 1 ELSE 0 END AS ty,
+        |    CASE WHEN a.rev = b.rev AND a.n_orders = b.n_orders THEN 1 ELSE 0 END AS txy
+        |  FROM dly a JOIN dly b ON a.day < b.day),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(conc) AS BIGINT) AS c,
+        |    CAST(sum(disc) AS BIGINT) AS dd, CAST(sum(tx) AS BIGINT) AS tx,
+        |    CAST(sum(ty) AS BIGINT) AS ty, CAST(sum(txy) AS BIGINT) AS txy
+        |  FROM pr)
+        |SELECT n0, c AS concordant, dd AS discordant, tx AS ties_x, ty AS ties_y,
+        |  txy AS ties_xy,
+        |  CAST(floor((1000000.0 * (c - dd)) / sqrt(
+        |    CAST(n0 - tx - txy AS DOUBLE) * CAST(n0 - ty - txy AS DOUBLE))) AS BIGINT)
+        |    AS tau_b_x1e6
+        |FROM agg""".stripMargin) { (s, d) =>
+      val dly = orders(s, d)
+        .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_orders"), sum("v").cast("long").as("rev"))
+      val a = dly.select(col("day").as("day_a"), col("rev").as("rev_a"),
+        col("n_orders").as("n_a"))
+      val b = dly.select(col("day").as("day_b"), col("rev").as("rev_b"),
+        col("n_orders").as("n_b"))
+      a.join(b, col("day_a") < col("day_b"))
+        .select(
+          expr("CASE WHEN (rev_a - rev_b) * (n_a - n_b) > 0 THEN 1 ELSE 0 END").as("conc"),
+          expr("CASE WHEN (rev_a - rev_b) * (n_a - n_b) < 0 THEN 1 ELSE 0 END").as("disc"),
+          expr("CASE WHEN rev_a = rev_b AND n_a <> n_b THEN 1 ELSE 0 END").as("tx"),
+          expr("CASE WHEN rev_a <> rev_b AND n_a = n_b THEN 1 ELSE 0 END").as("ty"),
+          expr("CASE WHEN rev_a = rev_b AND n_a = n_b THEN 1 ELSE 0 END").as("txy"))
+        .agg(count(lit(1)).as("n0"), sum("conc").cast("long").as("c"),
+          sum("disc").cast("long").as("dd"), sum("tx").cast("long").as("tx"),
+          sum("ty").cast("long").as("ty"), sum("txy").cast("long").as("txy"))
+        .select(col("n0"), col("c").as("concordant"), col("dd").as("discordant"),
+          col("tx").as("ties_x"), col("ty").as("ties_y"), col("txy").as("ties_xy"),
+          expr("""CAST(floor((1000000.0D * (c - dd)) / sqrt(
+                 |  CAST(n0 - tx - txy AS DOUBLE) * CAST(n0 - ty - txy AS DOUBLE))) AS BIGINT)"""
+            .stripMargin).as("tau_b_x1e6"))
+    },
   )
 }

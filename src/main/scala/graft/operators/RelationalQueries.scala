@@ -4237,6 +4237,136 @@ object RelationalQueries {
             .otherwise(0L).as("share_ppm"))
         .orderBy("channel")
     },
+
+    // ----- Theil inequality decomposition of supplier revenue -----
+    // The BETWEEN-group Theil-T index at two nesting levels (region ⊃
+    // nation) plus the decomposition identity — the additive
+    // counterpart of a16_value_gini: Gini says HOW unequal, Theil says
+    // WHERE the inequality lives, because T_between(nation) =
+    // T_between(region) + Σ_r w_r·T_within-r(nations) exactly (Theil
+    // 1967; Gini admits no such split). Exactness discipline: group
+    // revenues are whole-currency BIGINTs; the ONE transcendental per
+    // group row — ln((X_g·N)/(X·N_g)) — enters on a BOUNDED alphabet
+    // (≤25 nations + ≤5 regions) as a 6-dp-rounded double converted
+    // once to integer micro-nats (the source_kl_divergence treatment;
+    // the ln argument is formed double-first, CAST(x_g AS DOUBLE)·n,
+    // because X_g·N ≈ 2.4e14·1e6 at 100 TB overflows BIGINT before the
+    // cast), after which every weighted sum is DECIMAL-widened integer
+    // div arithmetic. X_g = 0 groups contribute exactly 0 (the
+    // x·ln x → 0 limit), guarded by CASE, never NaN. The emitted
+    // 'residual' row is the decomposition identity measured in
+    // micro-nats — nonzero only by the deterministic per-group
+    // rounding, identical on both engines. Scale shape: ONE map-side-
+    // combinable supplier fold on lineitem, two broadcast dim joins,
+    // then all arithmetic on ≤31 rows.
+    "value_theil_between" -> QueryDef.sql(
+      """WITH srev AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |sup AS (
+        |  SELECT s.s_suppkey, n.n_name, r.r_name
+        |  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey),
+        |base AS (
+        |  SELECT sup.n_name, sup.r_name, coalesce(srev.rev, 0) AS rev
+        |  FROM sup LEFT JOIN srev ON srev.l_suppkey = sup.s_suppkey),
+        |nat AS (SELECT n_name, r_name, CAST(count(*) AS BIGINT) AS n_n,
+        |          CAST(sum(rev) AS BIGINT) AS x_n FROM base GROUP BY 1, 2),
+        |reg AS (SELECT r_name, CAST(sum(n_n) AS BIGINT) AS n_r,
+        |          CAST(sum(x_n) AS BIGINT) AS x_r FROM nat GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_r) AS BIGINT) AS n, CAST(sum(x_r) AS BIGINT) AS x FROM reg),
+        |natl AS (
+        |  SELECT nat.n_name, nat.r_name, nat.n_n, nat.x_n, reg.n_r, reg.x_r, tot.n, tot.x,
+        |    CASE WHEN x_n = 0 THEN 0 ELSE
+        |      CAST((CAST(x_n AS HUGEINT) * CAST(round(1000000 * round(ln(
+        |        (CAST(x_n AS DOUBLE) * n) / (CAST(x AS DOUBLE) * n_n)), 6)) AS BIGINT)) // x AS BIGINT)
+        |    END AS contrib,
+        |    CASE WHEN x_n = 0 THEN 0 ELSE
+        |      CAST((CAST(x_n AS HUGEINT) * CAST(round(1000000 * round(ln(
+        |        (CAST(x_n AS DOUBLE) * n_r) / (CAST(x_r AS DOUBLE) * n_n)), 6)) AS BIGINT)) // x_r AS BIGINT)
+        |    END AS wcontrib
+        |  FROM nat JOIN reg USING (r_name) CROSS JOIN tot),
+        |regl AS (
+        |  SELECT reg.r_name, reg.n_r, reg.x_r, tot.n, tot.x,
+        |    CASE WHEN x_r = 0 THEN 0 ELSE
+        |      CAST((CAST(x_r AS HUGEINT) * CAST(round(1000000 * round(ln(
+        |        (CAST(x_r AS DOUBLE) * n) / (CAST(x AS DOUBLE) * n_r)), 6)) AS BIGINT)) // x AS BIGINT)
+        |    END AS contrib
+        |  FROM reg CROSS JOIN tot),
+        |tw AS (SELECT r_name, CAST(sum(wcontrib) AS BIGINT) AS tw_r FROM natl GROUP BY 1),
+        |sums AS (
+        |  SELECT
+        |    (SELECT CAST(sum(contrib) AS BIGINT) FROM natl) AS bn,
+        |    (SELECT CAST(sum(contrib) AS BIGINT) FROM regl) AS br,
+        |    (SELECT CAST(sum(CAST((CAST(reg.x_r AS HUGEINT) * tw.tw_r) // tot.x AS BIGINT)) AS BIGINT)
+        |       FROM tw JOIN reg USING (r_name) CROSS JOIN tot) AS ww,
+        |    tot.n, tot.x FROM tot)
+        |SELECT 'nation' AS grain, n_name AS grp_key, n_n AS n_items, x_n AS revenue,
+        |  contrib AS theil_micro FROM natl
+        |UNION ALL
+        |SELECT 'region', r_name, n_r, x_r, contrib FROM regl
+        |UNION ALL SELECT 'total', 'between_nation', n, x, bn FROM sums
+        |UNION ALL SELECT 'total', 'between_region', n, x, br FROM sums
+        |UNION ALL SELECT 'total', 'within_weighted', n, x, ww FROM sums
+        |UNION ALL SELECT 'total', 'residual', n, x, bn - br - ww FROM sums
+        |ORDER BY grain, grp_key""".stripMargin) { (s, d) =>
+      val srev = lineitem(s, d).groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice) AS BIGINT)")).cast("long").as("rev"))
+      val sup = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"), col("r_name"))
+      val base = sup.join(srev, col("s_suppkey") === col("l_suppkey"), "left")
+        .select(col("n_name"), col("r_name"), coalesce(col("rev"), lit(0L)).as("rev"))
+      val nat = base.groupBy("n_name", "r_name")
+        .agg(count(lit(1)).as("n_n"), sum("rev").cast("long").as("x_n"))
+      val reg = nat.groupBy("r_name")
+        .agg(sum("n_n").cast("long").as("n_r"), sum("x_n").cast("long").as("x_r"))
+      val tot = reg.agg(sum("n_r").cast("long").as("n"), sum("x_r").cast("long").as("x"))
+      val natl = nat.join(broadcast(reg), Seq("r_name")).crossJoin(broadcast(tot))
+        .select(col("n_name"), col("r_name"), col("n_n"), col("x_n"),
+          col("n_r"), col("x_r"), col("n"), col("x"),
+          expr("""CASE WHEN x_n = 0 THEN 0L ELSE
+                 |  CAST((CAST(x_n AS DECIMAL(38,0)) * CAST(round(1000000 * round(ln(
+                 |    (CAST(x_n AS DOUBLE) * n) / (CAST(x AS DOUBLE) * n_n)), 6)) AS BIGINT))
+                 |    div x AS BIGINT)
+                 |END""".stripMargin).as("contrib"),
+          expr("""CASE WHEN x_n = 0 THEN 0L ELSE
+                 |  CAST((CAST(x_n AS DECIMAL(38,0)) * CAST(round(1000000 * round(ln(
+                 |    (CAST(x_n AS DOUBLE) * n_r) / (CAST(x_r AS DOUBLE) * n_n)), 6)) AS BIGINT))
+                 |    div x_r AS BIGINT)
+                 |END""".stripMargin).as("wcontrib"))
+        .localCheckpoint(true) // ≤25 rows; feeds the output AND tw/bn
+      val regl = reg.crossJoin(broadcast(tot))
+        .select(col("r_name"), col("n_r"), col("x_r"), col("n"), col("x"),
+          expr("""CASE WHEN x_r = 0 THEN 0L ELSE
+                 |  CAST((CAST(x_r AS DECIMAL(38,0)) * CAST(round(1000000 * round(ln(
+                 |    (CAST(x_r AS DOUBLE) * n) / (CAST(x AS DOUBLE) * n_r)), 6)) AS BIGINT))
+                 |    div x AS BIGINT)
+                 |END""".stripMargin).as("contrib"))
+        .localCheckpoint(true)
+      val bn = natl.agg(sum("contrib").cast("long").as("bn"))
+      val br = regl.agg(sum("contrib").cast("long").as("br"))
+      val ww = natl.groupBy("r_name").agg(sum("wcontrib").cast("long").as("tw_r"))
+        .join(broadcast(reg), Seq("r_name")).crossJoin(broadcast(tot))
+        .select(expr("CAST((CAST(x_r AS DECIMAL(38,0)) * tw_r) div x AS BIGINT)").as("w"))
+        .agg(sum("w").cast("long").as("ww"))
+      val sums = bn.crossJoin(br).crossJoin(ww).crossJoin(broadcast(tot))
+      val natRows = natl.select(lit("nation").as("grain"), col("n_name").as("grp_key"),
+        col("n_n").as("n_items"), col("x_n").as("revenue"), col("contrib").as("theil_micro"))
+      val regRows = regl.select(lit("region").as("grain"), col("r_name").as("grp_key"),
+        col("n_r").as("n_items"), col("x_r").as("revenue"), col("contrib").as("theil_micro"))
+      val totRows = sums.select(lit("total").as("grain"), lit("between_nation").as("grp_key"),
+          col("n").as("n_items"), col("x").as("revenue"), col("bn").as("theil_micro"))
+        .unionByName(sums.select(lit("total").as("grain"), lit("between_region").as("grp_key"),
+          col("n").as("n_items"), col("x").as("revenue"), col("br").as("theil_micro")))
+        .unionByName(sums.select(lit("total").as("grain"), lit("within_weighted").as("grp_key"),
+          col("n").as("n_items"), col("x").as("revenue"), col("ww").as("theil_micro")))
+        .unionByName(sums.select(lit("total").as("grain"), lit("residual").as("grp_key"),
+          col("n").as("n_items"), col("x").as("revenue"),
+          (col("bn") - col("br") - col("ww")).cast("long").as("theil_micro")))
+      natRows.unionByName(regRows).unionByName(totRows).orderBy("grain", "grp_key")
+    },
   )
 
   /** Edit-distance ≤ 1 self-join via SymSpell single-deletion blocking

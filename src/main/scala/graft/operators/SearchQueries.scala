@@ -181,6 +181,51 @@ object SearchQueries {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 5
        |ORDER BY qid, doc_id""".stripMargin
 
+  /** Dirichlet query-likelihood oracle — the exact ppb product form (no
+    * transcendentals; see the `search_query_likelihood` scaladoc). */
+  private val QlOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |qd AS (
+      |  SELECT doc_id AS qid, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000),
+      |qp0 AS (
+      |  SELECT qid, i - 1 AS pos, tk[i] AS token
+      |  FROM qd CROSS JOIN generate_series(1, 4) AS g(i) WHERE len(tk) >= 4),
+      |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM corpus),
+      |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS total FROM corpus),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS token FROM corpus) ct
+      |  WHERE token IN (SELECT DISTINCT token FROM qp0)
+      |  GROUP BY 1, 2),
+      |cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY token),
+      |qp AS (SELECT qp0.qid, qp0.pos, qp0.token, cf.cf
+      |       FROM qp0 JOIN cf ON cf.token = qp0.token),
+      |cand AS (SELECT DISTINCT qp.qid, tf.doc_id FROM tf JOIN qp ON qp.token = tf.token),
+      |p AS (
+      |  SELECT c.qid, c.doc_id, q.pos,
+      |    CAST((CAST(1000000000 AS HUGEINT) * (coalesce(t.tf, 0) * s.total + 500 * q.cf)) //
+      |      ((d.dl + 500) * CAST(s.total AS HUGEINT)) AS BIGINT) AS p_ppb
+      |  FROM cand c
+      |  JOIN qp q ON q.qid = c.qid
+      |  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.token = q.token
+      |  JOIN dl d ON d.doc_id = c.doc_id
+      |  CROSS JOIN stats s),
+      |sc AS (
+      |  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(coalesce(max(CASE WHEN pos = 0 THEN p_ppb END), 1) AS HUGEINT)
+      |      * coalesce(max(CASE WHEN pos = 1 THEN p_ppb END), 1)
+      |      * coalesce(max(CASE WHEN pos = 2 THEN p_ppb END), 1)
+      |      * coalesce(max(CASE WHEN pos = 3 THEN p_ppb END), 1) AS prod
+      |  FROM p GROUP BY qid, doc_id)
+      |SELECT qid, doc_id, rn, n_terms,
+      |  CAST(prod // CAST('1000000000000000000000000000' AS HUGEINT) AS BIGINT) AS ql_x1e9
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY prod DESC, doc_id) AS rn
+      |      FROM sc)
+      |WHERE rn <= 5 ORDER BY qid, doc_id""".stripMargin
+
   /** Hard-negative oracle: vector-similar docs (top-10) minus the
     * keyword-relevant set (BM25 top-5), top-3 survivors per query. */
   private val HardNegOracleSql: String =
@@ -956,6 +1001,72 @@ object SearchQueries {
         .withColumn("rn", row_number().over(rn))
         .filter(col("rn") <= 5)
         .select("qid", "doc_id", "score")
+        .orderBy("qid", "doc_id")
+    },
+
+    // ----- Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) -----
+    // The language-modeling scorer beside BM25 and TF-IDF — the third
+    // classical retrieval family, ranked here in the EXACT PRODUCT form
+    // so no transcendental ever runs: each query position contributes
+    // the smoothed probability p(t|d) = (tf + µ·cf/total)/(dl + µ) as a
+    // floored ppb integer (one cross-multiplied div, µ = 500), and the
+    // document score is the exact integer product of the ≤4 position
+    // probabilities (the query is each eval doc's first 4 tokens, so
+    // the product is bounded by (1e9)^4 = 1e36 < DECIMAL(38) at ANY
+    // corpus size — log-space scoring would need a per-row ln whose
+    // last ulp is not contractual across engines). Repeated query terms
+    // square their probability, which is exactly QL's query-tf
+    // exponent. Out-of-vocabulary terms are dropped (their smoothed
+    // probability is literally 0 — every document would score 0 — so
+    // they carry no ranking signal; the standard LM treatment).
+    // Scale shape: reads the persisted BM25 postings store (corpus text
+    // is never re-tokenized), prunes it to the broadcast ≤4-token-per-
+    // query vocabulary BEFORE anything corpus-wide, candidates are docs
+    // matching ≥1 term, and the position pivot is a 4-way conditional
+    // max — one hash aggregate, never a per-doc list. The ppb numerator
+    // is widened to DECIMAL(38,0) because tf·total reaches ~1e13·30 at
+    // 100 TB — past BIGINT once multiplied by the 1e9 scale.
+    "search_query_likelihood" -> QueryDef.sql(QlOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val qp0 = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
+        .select(col("doc_id").as("qid"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= 4)
+        .select(col("qid"), posexplode(expr("slice(tk, 1, 4)")))
+        .withColumnRenamed("col", "token")
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val stats = corpusLens.agg(sum("dl").cast("long").as("total"))
+      val tf = postings.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(qp0.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf")
+        .localCheckpoint() // feeds cf, candidates, and the tf join
+      val cf = tf.groupBy("token").agg(sum("tf").cast("long").as("cf"))
+      // drop OOV query terms (cf = 0 ⇒ p ≡ 0 for every doc)
+      val qp = qp0.join(broadcast(cf), Seq("token"))
+      val cand = tf.join(broadcast(qp.select("qid", "token").distinct()), Seq("token"))
+        .select("qid", "doc_id").distinct()
+      val p = cand.join(broadcast(qp), Seq("qid"))
+        .join(tf, Seq("doc_id", "token"), "left")
+        .join(corpusLens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("qid"), col("doc_id"), col("pos"),
+          expr("""CAST((CAST(1000000000 AS DECIMAL(38,0)) *
+                 |  (coalesce(tf, 0L) * total + 500L * cf)) div
+                 |  ((dl + 500L) * CAST(total AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+            .as("p_ppb"))
+      val sc = p.groupBy("qid", "doc_id").agg(
+        count(lit(1)).as("n_terms"),
+        expr("""CAST(coalesce(max(CASE WHEN pos = 0 THEN p_ppb END), 1L) AS DECIMAL(38,0))
+               |  * coalesce(max(CASE WHEN pos = 1 THEN p_ppb END), 1L)
+               |  * coalesce(max(CASE WHEN pos = 2 THEN p_ppb END), 1L)
+               |  * coalesce(max(CASE WHEN pos = 3 THEN p_ppb END), 1L)""".stripMargin)
+          .as("prod"))
+      val rn = Window.partitionBy(col("qid")).orderBy(col("prod").desc, col("doc_id"))
+      sc.withColumn("rn", row_number().over(rn).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("doc_id"), col("rn"), col("n_terms"),
+          expr("CAST(prod div CAST('1000000000000000000000000000' AS DECIMAL(38,0)) AS BIGINT)")
+            .as("ql_x1e9"))
         .orderBy("qid", "doc_id")
     },
   )
