@@ -3832,6 +3832,45 @@ object RelationalQueries {
           |ORDER BY n.n_nationkey, t.revenue DESC, t.s_suppkey""".stripMargin)
     },
 
+    // ----- O21: QUALIFY clause — window filter in plain SQL -----
+    // The third spelling of per-group top-k, and the SECOND grammar
+    // extension on the parser-injection channel (after ASOF JOIN):
+    // `QUALIFY rn <= 2` in the DuckDB/Snowflake/BigQuery dialect, which
+    // stock Spark 4 does not parse. [[graft.plans.QualifySqlSyntax]]
+    // rewrites it lexically into the * EXCEPT subquery wrap (filter
+    // AFTER window computation, select-list aliases visible to the
+    // predicate via lateral-column-alias resolution), so the SQL below
+    // runs VERBATIM on both engines — DuckDB executes its native
+    // QUALIFY, Spark executes the rewrite, and the hash gate proves the
+    // rewrite implements the clause's semantics exactly. The plan is
+    // Filter-over-Window with no extra exchange (QualifySqlSpec pins
+    // it); revenue is the exact decimal sum cast to double; the
+    // suppkey tiebreak makes top-2 deterministic.
+    "o21_qualify_topk" -> QueryDef.sql(
+      """WITH rev AS (
+        |  SELECT s.s_suppkey, s.s_nationkey,
+        |    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_nationkey, s_suppkey, revenue,
+        |  CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rn
+        |FROM rev
+        |QUALIFY rn <= 2
+        |ORDER BY s_nationkey, rn""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .createOrReplaceTempView("graft_qualify_rev")
+      s.sql(
+        """SELECT s_nationkey, s_suppkey, revenue,
+          |  CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rn
+          |FROM graft_qualify_rev
+          |QUALIFY rn <= 2
+          |ORDER BY s_nationkey, rn""".stripMargin)
+    },
+
     // ----- Fairness audit: demographic parity + equalized odds -----
     // The eval family's governance face: the returns classifier
     // (ŷ = line count ≥ 4) audited across customer nations — per

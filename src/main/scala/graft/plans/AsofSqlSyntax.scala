@@ -93,7 +93,9 @@ case class AsofMarker(child: Expression) extends UnaryExpression {
 }
 
 /** Delegating parser that rewrites `ASOF [LEFT] JOIN ... ON` into a
-  * marker-carrying stock join before the default parser runs. The
+  * marker-carrying stock join before the default parser runs, then
+  * applies the [[QualifySqlSyntax]] `QUALIFY` rewrite (both are
+  * independent local transforms; order is immaterial). The ASOF
   * rewrite is lexical but quote-aware: string literals (with ''
   * escapes), double-quoted and backticked identifiers, `--` and
   * `/* */` comments pass through untouched, and paren depth is tracked
@@ -101,9 +103,9 @@ case class AsofMarker(child: Expression) extends UnaryExpression {
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(GraftSqlParser.rewrite(sqlText))
+    delegate.parsePlan(QualifySqlSyntax.rewrite(GraftSqlParser.rewrite(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(GraftSqlParser.rewrite(sqlText))
+    delegate.parseQuery(QualifySqlSyntax.rewrite(GraftSqlParser.rewrite(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
