@@ -3176,6 +3176,124 @@ object RelationalQueries {
         .orderBy("day", "event_type")
     },
 
+    // ----- U8: IVM for MIN/MAX — the NON-self-maintainable case -----
+    // u7's complement: count/sum absorb deletes as signed weights, but
+    // MIN/MAX are not self-maintainable under deletion (Gupta & Mumick)
+    // — deleting the row that ATTAINS a group's stored extreme leaves
+    // the new extreme unknowable from the view alone. The standard
+    // answer, executed here: deletes of interior values keep the
+    // stored extreme; a group whose deleted value equals its stored
+    // min/max is recomputed from surviving base rows RESTRICTED to the
+    // touched keys (broadcast semi-join before the aggregate — the
+    // recompute leg's input is touched-group-cardinality, never the
+    // full base, which is the entire point at 100 TB); a fully-deleted
+    // group serves a NULL-extreme tombstone; inserts fold in with
+    // null-skipping least/greatest (min/max ARE self-maintainable
+    // under inserts). The full-recompute truth rides beside the
+    // maintained view with the equality flag — the IVM law itself,
+    // null-safe (<=> / IS NOT DISTINCT FROM) so tombstones compare
+    // honestly. Same epoch/retraction feed as u7.
+    "u8_ivm_minmax" -> QueryDef.sql(
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(1000000 * round(value, 6)) AS BIGINT) AS micro
+        |  FROM events),
+        |mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+        |base AS (SELECT * FROM ev, mm WHERE day <= mid),
+        |v1 AS (SELECT day, event_type, min(micro) AS mn1, max(micro) AS mx1,
+        |         CAST(count(*) AS BIGINT) AS n1 FROM base GROUP BY 1, 2),
+        |dg AS (SELECT day, event_type, min(micro) AS dmn, max(micro) AS dmx,
+        |         CAST(count(*) AS BIGINT) AS dn
+        |       FROM base WHERE event_id % 97 = 0 GROUP BY 1, 2),
+        |tch AS (SELECT v1.day, v1.event_type
+        |        FROM v1 JOIN dg USING (day, event_type)
+        |        WHERE (dg.dmn = v1.mn1 OR dg.dmx = v1.mx1) AND dg.dn < v1.n1),
+        |rec AS (SELECT b.day, b.event_type, min(b.micro) AS rmn, max(b.micro) AS rmx
+        |        FROM base b JOIN tch USING (day, event_type)
+        |        WHERE b.event_id % 97 <> 0 GROUP BY 1, 2),
+        |mb AS (
+        |  SELECT v1.day, v1.event_type, v1.n1 - coalesce(dg.dn, 0) AS n_b,
+        |    CASE WHEN dg.dn IS NULL THEN v1.mn1 WHEN dg.dn = v1.n1 THEN NULL
+        |         WHEN dg.dmn = v1.mn1 THEN rec.rmn ELSE v1.mn1 END AS mn_b,
+        |    CASE WHEN dg.dn IS NULL THEN v1.mx1 WHEN dg.dn = v1.n1 THEN NULL
+        |         WHEN dg.dmx = v1.mx1 THEN rec.rmx ELSE v1.mx1 END AS mx_b
+        |  FROM v1 LEFT JOIN dg USING (day, event_type)
+        |  LEFT JOIN rec USING (day, event_type)),
+        |ig AS (SELECT day, event_type, min(micro) AS imn, max(micro) AS imx,
+        |         CAST(count(*) AS BIGINT) AS inn
+        |       FROM ev, mm WHERE day > mid GROUP BY 1, 2),
+        |maint AS (
+        |  SELECT coalesce(mb.day, ig.day) AS day,
+        |    coalesce(mb.event_type, ig.event_type) AS event_type,
+        |    coalesce(mb.n_b, 0) + coalesce(ig.inn, 0) AS n_maintained,
+        |    least(mb.mn_b, ig.imn) AS mn_maintained,
+        |    greatest(mb.mx_b, ig.imx) AS mx_maintained
+        |  FROM mb FULL OUTER JOIN ig
+        |    ON ig.day = mb.day AND ig.event_type = mb.event_type),
+        |rec2 AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_recompute,
+        |           min(micro) AS mn_recompute, max(micro) AS mx_recompute
+        |         FROM ev, mm WHERE NOT (day <= mid AND event_id % 97 = 0)
+        |         GROUP BY 1, 2)
+        |SELECT m.day, m.event_type, m.n_maintained, m.mn_maintained, m.mx_maintained,
+        |  coalesce(r.n_recompute, 0) AS n_recompute, r.mn_recompute, r.mx_recompute,
+        |  CAST(m.n_maintained = coalesce(r.n_recompute, 0)
+        |    AND m.mn_maintained IS NOT DISTINCT FROM r.mn_recompute
+        |    AND m.mx_maintained IS NOT DISTINCT FROM r.mx_recompute AS BIGINT) AS consistent
+        |FROM maint m LEFT JOIN rec2 r USING (day, event_type)
+        |ORDER BY m.day, m.event_type""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val ev0 = events(s, d).select(col("event_id"), col("event_type"),
+        expr(s"($us) div 86400000000").as("day"),
+        expr("CAST(round(1000000 * round(value, 6)) AS BIGINT)").as("micro"))
+      val mm = ev0.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val ev = ev0.crossJoin(broadcast(mm)).localCheckpoint()
+      val base = ev.filter(col("day") <= col("mid"))
+      val v1 = base.groupBy("day", "event_type")
+        .agg(min("micro").as("mn1"), max("micro").as("mx1"), count(lit(1)).as("n1"))
+      val dg = base.filter(col("event_id") % 97 === 0)
+        .groupBy("day", "event_type")
+        .agg(min("micro").as("dmn"), max("micro").as("dmx"), count(lit(1)).as("dn"))
+      val tch = v1.join(dg, Seq("day", "event_type"))
+        .filter((col("dmn") === col("mn1") || col("dmx") === col("mx1")) &&
+          col("dn") < col("n1"))
+        .select("day", "event_type")
+      val rec = base.filter(col("event_id") % 97 =!= 0)
+        .join(broadcast(tch), Seq("day", "event_type"))
+        .groupBy("day", "event_type")
+        .agg(min("micro").as("rmn"), max("micro").as("rmx"))
+      val mb = v1.join(dg, Seq("day", "event_type"), "left")
+        .join(rec, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          (col("n1") - coalesce(col("dn"), lit(0L))).as("n_b"),
+          expr("""CASE WHEN dn IS NULL THEN mn1 WHEN dn = n1 THEN CAST(NULL AS BIGINT)
+                 |     WHEN dmn = mn1 THEN rmn ELSE mn1 END""".stripMargin).as("mn_b"),
+          expr("""CASE WHEN dn IS NULL THEN mx1 WHEN dn = n1 THEN CAST(NULL AS BIGINT)
+                 |     WHEN dmx = mx1 THEN rmx ELSE mx1 END""".stripMargin).as("mx_b"))
+      val ig = ev.filter(col("day") > col("mid")).groupBy("day", "event_type")
+        .agg(min("micro").as("imn"), max("micro").as("imx"), count(lit(1)).as("inn"))
+      val maint = mb.join(ig, Seq("day", "event_type"), "full_outer")
+        .select(col("day"), col("event_type"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("inn"), lit(0L)))
+            .as("n_maintained"),
+          least(col("mn_b"), col("imn")).as("mn_maintained"),
+          greatest(col("mx_b"), col("imx")).as("mx_maintained"))
+      val rec2 = ev.filter(!(col("day") <= col("mid") && col("event_id") % 97 === 0))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_recompute"), min("micro").as("mn_recompute"),
+          max("micro").as("mx_recompute"))
+      maint.join(rec2, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"), col("n_maintained"),
+          col("mn_maintained"), col("mx_maintained"),
+          coalesce(col("n_recompute"), lit(0L)).as("n_recompute"),
+          col("mn_recompute"), col("mx_recompute"),
+          expr("""CAST(n_maintained = coalesce(n_recompute, 0)
+                 |  AND mn_maintained <=> mn_recompute
+                 |  AND mx_maintained <=> mx_recompute AS BIGINT)""".stripMargin)
+            .as("consistent"))
+        .orderBy("day", "event_type")
+    },
+
     // ----- J20: semi-join reduction via a Bloom pre-filter -----
     // The other half of the distributed-join toolkit beside broadcast /
     // bucketing / salting / AQE-skew: when the build side is too big to

@@ -1069,6 +1069,101 @@ object SearchQueries {
             .as("ql_x1e9"))
         .orderBy("qid", "doc_id")
     },
+
+    // ----- RAKE keyword extraction (Rose et al. 2010) -----
+    // The phrase-level companion of text_keywords (TF-IDF ranks WORDS;
+    // RAKE ranks stopword-delimited PHRASES): candidate phrases are
+    // maximal stopword-free token runs (capped at 4 tokens — applied
+    // consistently to both the candidate set and the word statistics),
+    // each word scores deg/freq where deg sums the lengths of the
+    // phrases containing it (co-occurrence degree) and freq counts its
+    // occurrences, and a phrase scores the sum of its words' scores —
+    // favoring longer domain phrases over frequent single words, with
+    // zero model state. Exactness: word scores are floored ppm
+    // integers (deg·1e6 widened to DECIMAL because corpus-wide word
+    // degrees pass 1e13 at 100 TB), phrase scores exact BIGINT sums,
+    // global top-20 with a phrase tiebreak. Scale shape: one token
+    // explode, a doc-keyed position window for run-splitting (never
+    // global), vocabulary-cardinality word stats broadcast back to the
+    // phrase members, phrase-cardinality aggregates after.
+    "text_keywords_rake" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, u.i AS i, u.tok AS token,
+        |    CASE WHEN u.tok IN ('the','a','an','of','to','and','in','is')
+        |      THEN 1 ELSE 0 END AS stop
+        |  FROM (SELECT doc_id,
+        |          unnest([{'i': i, 'tok': tk[i]} for i in generate_series(1, len(tk))]) AS u
+        |        FROM t)),
+        |runs AS (
+        |  SELECT doc_id, i, token, stop,
+        |    sum(stop) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+        |  FROM tok),
+        |member AS (SELECT doc_id, run_id, i, token FROM runs WHERE stop = 0),
+        |ph AS (
+        |  SELECT doc_id, run_id, string_agg(token, ' ' ORDER BY i) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS plen
+        |  FROM member GROUP BY 1, 2),
+        |phv AS (SELECT * FROM ph WHERE plen <= 4),
+        |wsc AS (
+        |  SELECT m.token, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(p.plen) AS BIGINT) AS deg,
+        |    CAST((CAST(1000000 AS HUGEINT) * CAST(sum(p.plen) AS BIGINT)) //
+        |      count(*) AS BIGINT) AS w_ppm
+        |  FROM member m JOIN phv p ON p.doc_id = m.doc_id AND p.run_id = m.run_id
+        |  GROUP BY 1),
+        |psc AS (
+        |  SELECT p.phrase, p.doc_id, p.run_id, CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+        |  FROM phv p JOIN member m ON m.doc_id = p.doc_id AND m.run_id = p.run_id
+        |  JOIN wsc w ON w.token = m.token
+        |  GROUP BY 1, 2, 3),
+        |agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |          min(score_ppm) AS score_ppm
+        |        FROM psc GROUP BY 1)
+        |SELECT phrase, n_occ, score_ppm,
+        |  CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase) AS BIGINT) AS rank
+        |FROM agg QUALIFY rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
+      val member = TextQueries.spread(documents(s, d).filter(col("text").isNotNull))
+        .withColumn("tk", expr(TextQueries.toksExpr))
+        .select(col("doc_id"), posexplode(col("tk")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("token"),
+          expr("CASE WHEN col IN ('the','a','an','of','to','and','in','is') " +
+            "THEN 1 ELSE 0 END").as("stop"))
+        .withColumn("run_id", sum("stop").over(
+          Window.partitionBy("doc_id").orderBy("i")))
+        .filter(col("stop") === 0)
+        .select("doc_id", "run_id", "i", "token")
+        .localCheckpoint() // feeds phrases, word stats, and the score join
+      val phv = member.groupBy("doc_id", "run_id")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, token))), " +
+          "s -> s.token), ' ')").as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter(col("plen") <= 4)
+        .localCheckpoint() // feeds wsc and psc
+      val wsc = member.join(phv.select("doc_id", "run_id", "plen"),
+          Seq("doc_id", "run_id"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("token"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * deg) div freq AS BIGINT)")
+            .as("w_ppm"))
+      val psc = phv.join(member, Seq("doc_id", "run_id"))
+        .join(broadcast(wsc), Seq("token"))
+        .groupBy("phrase", "doc_id", "run_id")
+        .agg(sum("w_ppm").as("score_ppm"))
+      // distributed top-k (TakeOrderedAndProject), THEN the rank window
+      // over the surviving 20 rows — never a single-partition window on
+      // the full phrase table
+      val rn = Window.orderBy(col("score_ppm").desc, col("phrase"))
+      psc.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), min("score_ppm").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("phrase")).limit(20)
+        .withColumn("rank", row_number().over(rn).cast("long"))
+        .select("phrase", "n_occ", "score_ppm", "rank")
+        .orderBy("rank")
+    },
   )
 
   /** Conjunctive-match stage shared by the live and stored paths: `ct`

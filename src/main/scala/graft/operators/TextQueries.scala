@@ -771,6 +771,92 @@ object TextQueries {
         .orderBy("new_doc", "old_doc")
     },
 
+    // ----- one-permutation minhash (OPH) with rotation densification -----
+    // The SCALE-PATH variant of dedup_minhash_lsh: Li/Owen/Zhang 2012
+    // one-permutation hashing computes the whole k=8 signature from ONE
+    // hash pass (bin = v % 8, min per bin) instead of k affine
+    // rehashes, and Shrivastava & Li 2014 densification fills empty
+    // bins by borrowing from the nearest non-empty bin to the right
+    // (circular), offset-stamped (slot value = v·8 + t) so borrowed
+    // slots collide only with equally-borrowed slots — the fix for
+    // short documents whose few shingles leave most bins empty. At
+    // 100 TB the difference is 8× fewer hash-function evaluations per
+    // shingle on the corpus-scale stage; the banded candidate join is
+    // unchanged (4 bands of 2 slots). This query emits the OPH and
+    // standard-k8 candidate sets FULL-OUTER joined with membership
+    // flags — the agreement audit that licenses switching family at
+    // scale (both estimate the same Jaccard; candidates differ only by
+    // each scheme's sampling variance). The k8 side reads the
+    // persisted band store; densification is in-row higher-order-
+    // function arithmetic (no explode — array ops pipeline into the
+    // scan); every value is exact integer arithmetic identical on both
+    // engines (pick = t·2e9 + v encodes the (offset, value) argmin;
+    // the band key folds the two slot values mod p, deterministic on
+    // both engines).
+    "dedup_minhash_oph" -> QueryDef.sql(
+      s"""WITH $MinhashBandsCte,
+         |k8p AS ($BandedPairsSelect),
+         |oph AS (SELECT doc_id, h % 1000000007 AS v FROM sh),
+         |mins AS (SELECT doc_id, v % 8 AS bin, min(v) AS v FROM oph GROUP BY 1, 2),
+         |slots AS (
+         |  SELECT g.doc_id, s.slot,
+         |    min(((m.bin - s.slot + 8) % 8) * 2000000000 + m.v) AS pick
+         |  FROM (SELECT DISTINCT doc_id FROM mins) g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot) s
+         |  JOIN mins m ON m.doc_id = g.doc_id
+         |  GROUP BY 1, 2),
+         |sv AS (SELECT doc_id, slot,
+         |         (pick % 2000000000) * 8 + (pick // 2000000000) AS sv FROM slots),
+         |obands AS (
+         |  SELECT a.doc_id, CAST(a.slot // 2 AS BIGINT) AS band,
+         |    (a.sv % 1000000007) * 1000000007 + (b.sv % 1000000007) AS key
+         |  FROM sv a JOIN sv b
+         |    ON a.doc_id = b.doc_id AND b.slot = a.slot + 1 AND a.slot % 2 = 0),
+         |ophp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM obands a JOIN obands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT coalesce(o.doc_a, k.doc_a) AS doc_a,
+         |  coalesce(o.doc_b, k.doc_b) AS doc_b,
+         |  CAST(CASE WHEN o.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_oph,
+         |  CAST(CASE WHEN k.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_k8
+         |FROM ophp o FULL OUTER JOIN k8p k
+         |  ON k.doc_a = o.doc_a AND k.doc_b = o.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val obands = spread(documents(s, d).filter(col("text").isNotNull))
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes.shingle_hashes(col("text"), lit(5)).as("hs"))
+        .select(col("doc_id"),
+          expr("""transform(sequence(0, 7), j -> array_min(
+                 |  filter(transform(hs, h -> h % 1000000007L), v -> v % 8 = j)))"""
+            .stripMargin).as("mins"))
+        .select(col("doc_id"),
+          expr("""transform(sequence(0, 7), j ->
+                 |  aggregate(sequence(0, 7), CAST(NULL AS BIGINT), (acc, t) ->
+                 |    CASE WHEN acc IS NOT NULL THEN acc
+                 |         WHEN element_at(mins, CAST((j + t) % 8 AS INT) + 1) IS NOT NULL
+                 |           THEN t * 2000000000L + element_at(mins, CAST((j + t) % 8 AS INT) + 1)
+                 |         ELSE acc END))""".stripMargin).as("picks"))
+        .select(col("doc_id"),
+          expr("transform(picks, pk -> (pk % 2000000000L) * 8 + (pk div 2000000000L))")
+            .as("sv"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, 3), b ->
+              |  (element_at(sv, 2 * CAST(b AS INT) + 1) % 1000000007L) * 1000000007L
+              |    + (element_at(sv, 2 * CAST(b AS INT) + 2) % 1000000007L))""".stripMargin)))
+        .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("key"))
+      val ophp = bandedPairs(obands.localCheckpoint())
+        .withColumn("in_oph", lit(1L))
+      val k8p = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+        .withColumn("in_k8", lit(1L))
+      ophp.join(k8p, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("in_oph"), lit(0L)).as("in_oph"),
+          coalesce(col("in_k8"), lit(0L)).as("in_k8"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ----- token-length histogram: log2-bucketed corpus shape report -----
     // The budgeting/outlier view a packing run consults: documents per
     // power-of-two length bucket with per-bucket token totals. The
