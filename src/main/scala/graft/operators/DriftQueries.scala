@@ -3265,5 +3265,128 @@ object DriftQueries {
                  |  CAST(n0 - tx - txy AS DOUBLE) * CAST(n0 - ty - txy AS DOUBLE))) AS BIGINT)"""
             .stripMargin).as("tau_b_x1e6"))
     },
+
+    // ----- leave-one-out target encoding (per-row, leak-free) -----
+    // The feature-engineering staple for high-cardinality categoricals:
+    // encode a customer's nation by the mean order value of the nation —
+    // but LEAVE THE ROW ITSELF OUT ((S_g − v_i)/(n_g − 1)), because the
+    // naive mean leaks each row's own target into its feature and a
+    // downstream model memorizes instead of generalizing. Two encodings
+    // ride per row, both exact floored micro-units: pure LOO (singleton
+    // groups fall back to the global mean — the 0/0 row has no
+    // leak-free in-group signal) and the m=10 smoothed blend
+    // ((S−v) + m·μ)/(n−1+m) that shrinks thin groups toward the global
+    // mean (the deployed form; μ enters as the ONCE-floored global
+    // micro-mean, so the arithmetic is engine-identical). The 1e6
+    // numerators widen to DECIMAL because nation-level value sums pass
+    // 2e14 at 100 TB. Scale shape: one group fold, a broadcast of the
+    // ≤25-row group table back onto the fact rows, zero windows.
+    "fe_target_encoding_loo" -> QueryDef.sql(
+      """WITH base AS (
+        |  SELECT o.o_orderkey, c.c_nationkey, CAST(floor(o.o_totalprice) AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |g AS (SELECT c_nationkey, CAST(sum(v) AS BIGINT) AS sg,
+        |        CAST(count(*) AS BIGINT) AS ng FROM base GROUP BY 1),
+        |t AS (SELECT CAST((CAST(1000000 AS HUGEINT) * sum(sg)) // sum(ng) AS BIGINT)
+        |        AS gmean_micro FROM g)
+        |SELECT b.o_orderkey, b.c_nationkey, b.v, g.ng,
+        |  CASE WHEN g.ng > 1
+        |    THEN CAST((CAST(1000000 AS HUGEINT) * (g.sg - b.v)) // (g.ng - 1) AS BIGINT)
+        |    ELSE t.gmean_micro END AS enc_loo_micro,
+        |  CAST((CAST(1000000 AS HUGEINT) * (g.sg - b.v) + 10 * CAST(t.gmean_micro AS HUGEINT))
+        |    // (g.ng - 1 + 10) AS BIGINT) AS enc_smooth_micro
+        |FROM base b JOIN g USING (c_nationkey) CROSS JOIN t
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+      val g = base.groupBy("c_nationkey")
+        .agg(sum("v").cast("long").as("sg"), count(lit(1)).as("ng"))
+      val t = g.agg(expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(sg)) div sum(ng) AS BIGINT)")
+        .as("gmean_micro"))
+      base.join(broadcast(g), Seq("c_nationkey")).crossJoin(broadcast(t))
+        .select(col("o_orderkey"), col("c_nationkey"), col("v"), col("ng"),
+          expr("""CASE WHEN ng > 1
+                 |  THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * (sg - v)) div (ng - 1) AS BIGINT)
+                 |  ELSE gmean_micro END""".stripMargin).as("enc_loo_micro"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (sg - v)
+                 |  + 10 * CAST(gmean_micro AS DECIMAL(38,0)))
+                 |  div (ng - 1 + 10) AS BIGINT)""".stripMargin).as("enc_smooth_micro"))
+        .orderBy("o_orderkey")
+    },
+
+    // ----- PSI between the train and validation length profiles -----
+    // The population-stability index — industry's standard drift gate
+    // (banking model-risk practice; same family as the KL audit but
+    // SYMMETRIZED by construction: Σ(p−q)·ln(p/q) ≥ 0 with both
+    // directions penalized). Here it audits a deterministic doc_id-mod
+    // 80/20 train/val split on the log2 token-length histogram (the
+    // tokens_histogram bucket — pure integer bucketing, no boundary
+    // float): a sound split should read PSI ≈ 0 (< 0.1 in the classic
+    // traffic-light rule; 0.1–0.25 amber). Exactness: the ONE
+    // transcendental per BOUNDED bucket row enters as 6-dp-rounded
+    // micro-nats; (p−q) stays the exact cross-multiplied rational, so
+    // each term is ((n_tb·N_v − n_vb·N_t)·L) // (N_t·N_v), DECIMAL-
+    // widened (n·N passes 9e18 at 100 TB). A bucket empty on either
+    // side has no finite ln — emitted with term NULL and excluded from
+    // the total (the standard ε-free treatment), visibly rather than
+    // silently. The grand total rides every row from the bounded-bin
+    // fold; one corpus pass total.
+    "drift_psi_bins" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(length(bin(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT))) AS BIGINT) AS bucket,
+        |    CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS is_train
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT bucket,
+        |        CAST(sum(is_train) AS BIGINT) AS n_t,
+        |        CAST(sum(1 - is_train) AS BIGINT) AS n_v
+        |      FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS nt, CAST(sum(n_v) AS BIGINT) AS nv FROM b),
+        |terms AS (
+        |  SELECT b.bucket, b.n_t, b.n_v,
+        |    CASE WHEN b.n_t > 0 AND b.n_v > 0 THEN
+        |      CAST(((b.n_t * CAST(tot.nv AS HUGEINT) - b.n_v * CAST(tot.nt AS HUGEINT))
+        |        * CAST(round(1000000 * round(ln(
+        |            (CAST(b.n_t AS DOUBLE) * tot.nv) / (CAST(b.n_v AS DOUBLE) * tot.nt)), 6))
+        |          AS BIGINT))
+        |        // (CAST(tot.nt AS HUGEINT) * tot.nv) AS BIGINT)
+        |    ELSE NULL END AS term_micro
+        |  FROM b CROSS JOIN tot),
+        |g AS (SELECT CAST(sum(term_micro) AS BIGINT) AS psi_micro,
+        |        CAST(count(CASE WHEN term_micro IS NULL THEN 1 END) AS BIGINT) AS n_skipped
+        |      FROM terms)
+        |SELECT t.bucket, t.n_t, t.n_v, t.term_micro, g.psi_micro, g.n_skipped
+        |FROM terms t CROSS JOIN g
+        |ORDER BY t.bucket""".stripMargin) { (s, d) =>
+      val dd = documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          length(bin(size(expr(graft.operators.TextQueries.toksExpr)).cast("long")))
+            .cast("long").as("bucket"),
+          expr("CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END").as("is_train"))
+      val b = dd.groupBy("bucket")
+        .agg(sum("is_train").cast("long").as("n_t"),
+          sum(expr("1 - is_train")).cast("long").as("n_v"))
+        .localCheckpoint(true) // bounded bins; feeds terms AND the total
+      val tot = b.agg(sum("n_t").cast("long").as("nt"), sum("n_v").cast("long").as("nv"))
+      val terms = b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_t"), col("n_v"),
+          expr("""CASE WHEN n_t > 0 AND n_v > 0 THEN
+                 |  CAST(((n_t * CAST(nv AS DECIMAL(38,0)) - n_v * CAST(nt AS DECIMAL(38,0)))
+                 |    * CAST(round(1000000 * round(ln(
+                 |        (CAST(n_t AS DOUBLE) * nv) / (CAST(n_v AS DOUBLE) * nt)), 6))
+                 |      AS BIGINT))
+                 |    div (CAST(nt AS DECIMAL(38,0)) * nv) AS BIGINT)
+                 |ELSE NULL END""".stripMargin).as("term_micro"))
+        .localCheckpoint(true)
+      val g = terms.agg(sum("term_micro").cast("long").as("psi_micro"),
+        count(when(col("term_micro").isNull, 1)).as("n_skipped"))
+      terms.crossJoin(broadcast(g))
+        .select("bucket", "n_t", "n_v", "term_micro", "psi_micro", "n_skipped")
+        .orderBy("bucket")
+    },
   )
 }

@@ -368,5 +368,164 @@ object LayoutQueries {
           expr("(1000 * files_scanned_total) div np").as("avg_files_milli"))
         .orderBy("layout", "probe_dim")
     },
+
+    // ----- V-optimal histogram vs equi-depth (Jagadish et al., VLDB'98) -----
+    // The histogram a cost-based optimizer actually wants: k=8 buckets
+    // over the l_quantity value alphabet placed to MINIMIZE total
+    // within-bucket frequency variance (the V-optimal criterion), built
+    // by exact dynamic programming over the BOUNDED alphabet (≤50
+    // distinct quantities at any corpus size — the DP is O(B²k) on ~50
+    // values, driver-side, the ipfWeights/attribution_markov bounded-
+    // fold precedent), then compared against the equi-depth cut a naive
+    // writer would use. Exactness at any scale: frequencies enter as
+    // ONCE-floored ppm shares (counts are corpus-scale; their squares
+    // are not emittable), cost(a,b) = len·Σg² − (Σg)² ≤ 2.5e15 stays in
+    // BIGINT forever, the DP tie-breaks to the SMALLEST split point via
+    // the pick = (e·64 + m) encoding (m ≤ 50 < 64), and equi-depth cuts
+    // at cross-multiplied thresholds (cum·8 ≥ j·N — no division). The
+    // oracle replays the identical DP as 8 MATERIALIZED levels plus an
+    // 8-step backtrack. The emitted verdict: the V-optimal total cost
+    // is ≤ equi-depth's by construction — the measured gap is what the
+    // layout buys.
+    "layout_voptimal_histogram" -> QueryDef.sql(VoptOracleSql) { (s, d) =>
+      val fr = lineitem(s, d)
+        .select(expr("CAST(floor(l_quantity) AS BIGINT)").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("f"))
+        .collect() // bounded: the l_quantity alphabet (≤50 values)
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = fr.map(_._2).sum
+      val bCnt = fr.length
+      val g = fr.map { case (_, f) => ((BigInt(1000000) * f) / n).toLong }
+      val sg = g.scanLeft(0L)(_ + _) // sg(i) = Σ g(0..i-1)
+      val sg2 = g.scanLeft(0L)((a, x) => a + x * x)
+      val cf = fr.map(_._2).scanLeft(0L)(_ + _)
+      // cost over 1-based inclusive [a, b]
+      def cost(a: Int, b: Int): Long =
+        (b - a + 1).toLong * (sg2(b) - sg2(a - 1)) -
+          (sg(b) - sg(a - 1)) * (sg(b) - sg(a - 1))
+      val K = 8
+      // e(j)(i) = best cost of covering values 1..i with j buckets;
+      // m(j)(i) = the chosen previous boundary (smallest on ties)
+      val e = Array.fill(K + 1, bCnt + 1)(Long.MaxValue / 4)
+      val m = Array.fill(K + 1, bCnt + 1)(0)
+      for (i <- 1 to bCnt) { e(1)(i) = cost(1, i); m(1)(i) = 0 }
+      for (j <- 2 to K; i <- j to bCnt) {
+        var best = Long.MaxValue / 4
+        var bm = 0
+        for (mm <- (j - 1) to (i - 1)) {
+          val pick = (e(j - 1)(mm) + cost(mm + 1, i)) * 64 + mm
+          if (pick < best) { best = pick; bm = mm }
+        }
+        e(j)(i) = best / 64; m(j)(i) = bm
+      }
+      // backtrack the 8 v-optimal buckets (1-based index ranges)
+      val vb = new Array[(Int, Int)](K)
+      var hi = bCnt
+      for (j <- K to 1 by -1) { val lo = m(j)(hi) + 1; vb(j - 1) = (lo, hi); hi = lo - 1 }
+      // equi-depth: bd(j) = smallest i with cum·8 ≥ j·n
+      val bd = (1 to K).map(j => (1 to bCnt).find(i => cf(i) * 8 >= j * n).get)
+      val eb = (1 to K).flatMap { j =>
+        val lo = (if (j == 1) 0 else bd(j - 2)) + 1
+        if (lo <= bd(j - 1)) Some((j, lo, bd(j - 1))) else None
+      }
+      def row(method: String, id: Long, lo: Int, h: Int) =
+        (method, id, fr(lo - 1)._1, fr(h - 1)._1, (h - lo + 1).toLong, cost(lo, h))
+      val vrows = vb.zipWithIndex.map { case ((lo, h), i) =>
+        row("voptimal", (i + 1).toLong, lo, h)
+      }.toSeq
+      val erows = eb.map { case (j, lo, h) => row("equidepth", j.toLong, lo, h) }
+      val totals = Seq(
+        ("voptimal_total", 0L, fr.head._1, fr.last._1, bCnt.toLong,
+          vrows.map(_._6).sum),
+        ("equidepth_total", 0L, fr.head._1, fr.last._1, bCnt.toLong,
+          erows.map(_._6).sum))
+      import s.implicits._
+      (vrows ++ erows ++ totals)
+        .toDF("method", "bucket_id", "lo_v", "hi_v", "n_vals", "cost")
+        .orderBy("method", "bucket_id")
+    },
   )
+
+  /** The v-optimal DP replayed relationally: 8 MATERIALIZED levels
+    * (pick = (e_prev + cost)·64 + m — min picks smallest cost then
+    * smallest split), an 8-step backtrack, the equi-depth cut, and the
+    * bucket/total rows. */
+  private val VoptOracleSql: String = {
+    val levels = (2 to 8).map { j =>
+      s"""e$j AS MATERIALIZED (
+         |  SELECT c.b AS i,
+         |    CAST(min((p.e + c.cost) * 64 + p.i) // 64 AS BIGINT) AS e,
+         |    CAST(min((p.e + c.cost) * 64 + p.i) % 64 AS BIGINT) AS m
+         |  FROM e${j - 1} p JOIN c ON c.a = p.i + 1 GROUP BY c.b)""".stripMargin
+    }.mkString(",\n")
+    val track = (7 to 1 by -1).map { j =>
+      s"""t$j AS MATERIALIZED (
+         |  SELECT e.i AS hi, e.m AS lo_m FROM e$j e JOIN t${j + 1} t ON e.i = t.lo_m)"""
+        .stripMargin
+    }.mkString(",\n")
+    val vbRows = (1 to 8).map(j =>
+      s"SELECT $j AS bucket_id, t$j.lo_m + 1 AS lo, t$j.hi AS hi FROM t$j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS v FROM lineitem),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |f AS (SELECT v, CAST(count(*) AS BIGINT) AS f FROM q GROUP BY v),
+       |r AS (SELECT v, f, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i,
+       |        CAST((CAST(1000000 AS HUGEINT) * f) // nn.n AS BIGINT) AS g
+       |      FROM f CROSS JOIN nn),
+       |ps AS (SELECT i, v, f, g,
+       |        CAST(sum(g) OVER (ORDER BY i) AS BIGINT) AS sg,
+       |        CAST(sum(g * g) OVER (ORDER BY i) AS BIGINT) AS sg2,
+       |        CAST(sum(f) OVER (ORDER BY i) AS BIGINT) AS cf
+       |      FROM r),
+       |c AS MATERIALIZED (
+       |  SELECT a.i AS a, b.i AS b,
+       |    (b.i - a.i + 1) * (b.sg2 - coalesce(a0.sg2, 0)) -
+       |      (b.sg - coalesce(a0.sg, 0)) * (b.sg - coalesce(a0.sg, 0)) AS cost
+       |  FROM ps a JOIN ps b ON b.i >= a.i
+       |  LEFT JOIN ps a0 ON a0.i = a.i - 1),
+       |e1 AS MATERIALIZED (
+       |  SELECT b AS i, cost AS e, CAST(0 AS BIGINT) AS m FROM c WHERE a = 1),
+       |$levels,
+       |bb AS (SELECT max(i) AS bi FROM ps),
+       |t8 AS MATERIALIZED (
+       |  SELECT e.i AS hi, e.m AS lo_m FROM e8 e JOIN bb ON e.i = bb.bi),
+       |$track,
+       |vb AS ($vbRows),
+       |vrows AS (
+       |  SELECT 'voptimal' AS method, CAST(vb.bucket_id AS BIGINT) AS bucket_id,
+       |    lo_ps.v AS lo_v, hi_ps.v AS hi_v,
+       |    CAST(vb.hi - vb.lo + 1 AS BIGINT) AS n_vals, c.cost
+       |  FROM vb JOIN ps lo_ps ON lo_ps.i = vb.lo
+       |  JOIN ps hi_ps ON hi_ps.i = vb.hi
+       |  JOIN c ON c.a = vb.lo AND c.b = vb.hi),
+       |edb AS (
+       |  SELECT g.j, min(ps.i) AS bd
+       |  FROM generate_series(1, 8) g(j), ps, nn
+       |  WHERE ps.cf * 8 >= g.j * nn.n GROUP BY g.j),
+       |edp AS (
+       |  SELECT e.j, coalesce(p.bd, 0) + 1 AS lo, e.bd AS hi
+       |  FROM edb e LEFT JOIN edb p ON p.j = e.j - 1),
+       |erows AS (
+       |  SELECT 'equidepth' AS method, CAST(edp.j AS BIGINT) AS bucket_id,
+       |    lo_ps.v AS lo_v, hi_ps.v AS hi_v,
+       |    CAST(edp.hi - edp.lo + 1 AS BIGINT) AS n_vals, c.cost
+       |  FROM edp JOIN ps lo_ps ON lo_ps.i = edp.lo
+       |  JOIN ps hi_ps ON hi_ps.i = edp.hi
+       |  JOIN c ON c.a = edp.lo AND c.b = edp.hi
+       |  WHERE edp.lo <= edp.hi),
+       |mxmn AS (SELECT min(v) AS mnv, max(v) AS mxv, max(i) AS b FROM ps),
+       |tot AS (
+       |  SELECT 'voptimal_total' AS method, CAST(0 AS BIGINT) AS bucket_id,
+       |    mxmn.mnv AS lo_v, mxmn.mxv AS hi_v, mxmn.b AS n_vals,
+       |    (SELECT CAST(sum(cost) AS BIGINT) FROM vrows) AS cost
+       |  FROM mxmn
+       |  UNION ALL
+       |  SELECT 'equidepth_total', 0, mxmn.mnv, mxmn.mxv, mxmn.b,
+       |    (SELECT CAST(sum(cost) AS BIGINT) FROM erows)
+       |  FROM mxmn)
+       |SELECT * FROM (
+       |  SELECT * FROM vrows UNION ALL SELECT * FROM erows
+       |  UNION ALL SELECT * FROM tot)
+       |ORDER BY method, bucket_id""".stripMargin
+  }
 }
