@@ -3989,6 +3989,30 @@ object RelationalQueries {
           |ORDER BY s_nationkey, rn""".stripMargin)
     },
 
+    // ----- O22: DISTINCT ON — first-row-per-key in plain SQL -----
+    // The Postgres/DuckDB spelling of o2_dedup_top1, and the THIRD
+    // grammar extension on the parser-injection channel (ASOF JOIN,
+    // QUALIFY, DISTINCT ON): latest order per customer written as one
+    // clause instead of a hand-built window. [[graft.plans
+    // .DistinctOnSqlSyntax]] rewrites it into the rn=1 window wrap —
+    // DuckDB executes its NATIVE DISTINCT ON on the identical text, so
+    // the hash gate proves the rewrite implements the clause's
+    // keep-first-under-ORDER-BY semantics exactly. An ORDER BY is
+    // REQUIRED by the extension (the clause is irreproducible without
+    // one — that refusal is spec-pinned); the orderkey tiebreak makes
+    // the kept row deterministic; Spark's rank-limit pushdown turns
+    // the wrap into partial per-key top-1 below the shuffle.
+    "o22_distinct_on" -> QueryDef.sql(
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_don_orders")
+      s.sql(
+        """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+          |FROM graft_don_orders
+          |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin)
+    },
+
     // ----- Fairness audit: demographic parity + equalized odds -----
     // The eval family's governance face: the returns classifier
     // (ŷ = line count ≥ 4) audited across customer nations — per

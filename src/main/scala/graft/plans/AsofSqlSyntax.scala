@@ -102,10 +102,14 @@ case class AsofMarker(child: Expression) extends UnaryExpression {
   * so an ON inside a joined subquery never consumes an outer ASOF. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  private def rewriteAll(sqlText: String): String =
+    QualifySqlSyntax.rewrite(
+      DistinctOnSqlSyntax.rewrite(GraftSqlParser.rewrite(sqlText)))
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(QualifySqlSyntax.rewrite(GraftSqlParser.rewrite(sqlText)))
+    delegate.parsePlan(rewriteAll(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(QualifySqlSyntax.rewrite(GraftSqlParser.rewrite(sqlText)))
+    delegate.parseQuery(rewriteAll(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

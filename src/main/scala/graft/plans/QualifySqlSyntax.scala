@@ -75,8 +75,11 @@ object QualifySqlSyntax {
 
   /** One lexical event: kind 0 = bare word (up = uppercase text),
     * kind 1 = '(' (depth = before opening), kind 2 = ')' (depth = after
-    * closing). Strings, quoted identifiers and comments emit nothing. */
-  private final case class Ev(kind: Int, pos: Int, end: Int, depth: Int, up: String)
+    * closing). Strings, quoted identifiers and comments emit nothing.
+    * Shared with [[DistinctOnSqlSyntax]]. */
+  private[plans] final case class Ev(kind: Int, pos: Int, end: Int, depth: Int, up: String)
+
+  private[plans] def events(sql: String): Vector[Ev] = scan(sql)
 
   private def scan(sql: String): Vector[Ev] = {
     val evs = Vector.newBuilder[Ev]
@@ -166,6 +169,124 @@ object QualifySqlSyntax {
           sql.substring(frm.pos, q.pos).trim + s") $alias WHERE $qcol " +
           sql.substring(predEnd)
         idx += 1
+      }
+    }
+    sql
+  }
+}
+
+/** SQL `DISTINCT ON` — the third grammar extension on the
+  * [[GraftSqlParser]] channel (Postgres/DuckDB dialect; stock Spark has
+  * no spelling for "first row per key" short of writing the window
+  * yourself):
+  *
+  * {{{
+  * SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+  * FROM orders
+  * ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+  * }}}
+  *
+  * Rewrite (source-to-source, no analyzer cooperation):
+  *
+  * {{{
+  * SELECT DISTINCT ON (<keys>) <sl> FROM <body> ORDER BY <ord> <tail>
+  *   ⇒
+  * SELECT * EXCEPT (__graft_don_N)
+  * FROM (SELECT <sl>,
+  *         row_number() OVER (PARTITION BY <keys> ORDER BY <ord>)
+  *           AS __graft_don_N
+  *       FROM <body>) __graft_d_N
+  * WHERE __graft_don_N = 1 ORDER BY <ord> <tail>
+  * }}}
+  *
+  * — DuckDB's own definition of the clause ("keep the first row of
+  * each distinct-on group under the query's ORDER BY"), so the oracle
+  * runs its NATIVE DISTINCT ON against the rewrite verbatim. Catalyst
+  * plans the wrap as the rn=1 filter over one Window and the
+  * rank-limit pushdown applies (partial per-key top-1 below the
+  * shuffle).
+  *
+  * Documented limits, each failing loudly: an ORDER BY is REQUIRED
+  * (without it DISTINCT ON keeps an arbitrary row per key —
+  * irreproducible by design, so this extension refuses it); the final
+  * ORDER BY re-applies the same list, so order keys must survive the
+  * projection (Spark's analyzer rejects the rewrite otherwise, by
+  * construction).
+  */
+object DistinctOnSqlSyntax {
+
+  private val StopWords = Set("LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT", "MINUS")
+
+  def fail(msg: String): Nothing =
+    throw new AnalysisException("USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> s"DISTINCT ON: $msg"))
+
+  def rewrite(sql0: String): String = {
+    if (!sql0.toUpperCase.contains("DISTINCT")) return sql0 // fast path
+    var sql = sql0
+    var idx = 0
+    var more = true
+    while (more) {
+      val evs = QualifySqlSyntax.events(sql)
+      // DISTINCT followed by ON followed by '(' — word events are
+      // adjacent in the stream except for the paren event itself
+      val di = evs.indices.find { k =>
+        val e = evs(k)
+        e.kind == 0 && e.up == "DISTINCT" &&
+          k + 2 < evs.length &&
+          evs(k + 1).kind == 0 && evs(k + 1).up == "ON" &&
+          evs(k + 2).kind == 1
+      }
+      di match {
+        case None => more = false
+        case Some(k) =>
+          val d = evs(k)
+          // owning SELECT must be the word right before DISTINCT
+          if (k == 0 || evs(k - 1).kind != 0 || evs(k - 1).up != "SELECT" ||
+              evs(k - 1).depth != d.depth)
+            fail("DISTINCT ON must directly follow SELECT")
+          val sel = evs(k - 1)
+          // matching close paren of the key list
+          val openDepth = evs(k + 2).depth
+          var j = k + 3
+          while (j < evs.length && !(evs(j).kind == 2 && evs(j).depth == openDepth)) j += 1
+          if (j >= evs.length) fail("unclosed DISTINCT ON key list")
+          val keys = sql.substring(evs(k + 2).end, evs(j).pos).trim
+          if (keys.isEmpty) fail("empty DISTINCT ON key list")
+          val slStart = evs(j).end
+          val fi = evs.indexWhere(
+            e => e.kind == 0 && e.depth == d.depth && e.up == "FROM", j + 1)
+          if (fi < 0) fail("the DISTINCT ON block has no FROM clause")
+          val frm = evs(fi)
+          // the block's own ORDER BY at the same depth (required)
+          val oi = evs.indexWhere(
+            e => e.kind == 0 && e.depth == d.depth && e.up == "ORDER", fi + 1)
+          if (oi < 0 || evs.lift(oi + 1).forall(e => e.kind != 0 || e.up != "BY"))
+            fail("an ORDER BY is required (without one, DISTINCT ON keeps an " +
+              "arbitrary row per key — not reproducible)")
+          val ord0 = evs(oi)
+          var ordEnd = sql.length
+          var t = oi + 2
+          var stopped = false
+          while (t < evs.length && !stopped) {
+            val e = evs(t)
+            if (e.kind == 2 && e.depth < d.depth) { ordEnd = e.pos; stopped = true }
+            else if (e.kind == 0 && e.depth == d.depth && StopWords.contains(e.up)) {
+              ordEnd = e.pos; stopped = true
+            }
+            t += 1
+          }
+          val ord = sql.substring(evs(oi + 1).end, ordEnd).trim
+          if (ord.isEmpty) fail("empty ORDER BY list")
+          val dcol = s"__graft_don_$idx"
+          val alias = s"__graft_d_$idx"
+          sql = sql.substring(0, sel.pos) +
+            s"SELECT * EXCEPT ($dcol) FROM (SELECT " +
+            sql.substring(slStart, frm.pos).trim +
+            s", row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS $dcol " +
+            sql.substring(frm.pos, ord0.pos).trim + s") $alias " +
+            s"WHERE $dcol = 1 ORDER BY $ord " + sql.substring(ordEnd)
+          idx += 1
       }
     }
     sql

@@ -1,0 +1,113 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.AnalysisException
+
+/** The SQL `DISTINCT ON` surface: the lexical rewrite in isolation,
+  * executed keep-first-per-key semantics against the hand-built window
+  * spelling, composition with the QUALIFY rewrite, and the loud-failure
+  * contract (ORDER BY required). */
+class DistinctOnSqlSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // ---------- the rewrite as a pure function ----------
+
+  test("rewrite: basic clause becomes the rn = 1 window wrap") {
+    val got = DistinctOnSqlSyntax.rewrite(
+      "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v DESC")
+    assert(got ==
+      "SELECT * EXCEPT (__graft_don_0) FROM (SELECT g, v, row_number() OVER " +
+        "(PARTITION BY g ORDER BY g, v DESC) AS __graft_don_0 FROM t) __graft_d_0 " +
+        "WHERE __graft_don_0 = 1 ORDER BY g, v DESC ")
+  }
+
+  test("rewrite: plain DISTINCT and aggregate DISTINCT are left alone") {
+    val q1 = "SELECT DISTINCT g FROM t"
+    assert(DistinctOnSqlSyntax.rewrite(q1) == q1)
+    val q2 = "SELECT count(DISTINCT v) FROM t"
+    assert(DistinctOnSqlSyntax.rewrite(q2) == q2)
+    val q3 = "SELECT DISTINCT on_time FROM t" // identifier starting with 'on'
+    assert(DistinctOnSqlSyntax.rewrite(q3) == q3)
+  }
+
+  test("rewrite: multi-key list and a LIMIT tail stay intact") {
+    val got = DistinctOnSqlSyntax.rewrite(
+      "SELECT DISTINCT ON (a, b) a, b, v FROM t ORDER BY a, b, v LIMIT 3")
+    assert(got.contains("PARTITION BY a, b ORDER BY a, b, v"))
+    assert(got.endsWith("ORDER BY a, b, v LIMIT 3"))
+  }
+
+  test("rewrite: 'DISTINCT ON' inside strings/comments survives") {
+    val lit = "SELECT 'DISTINCT ON (x)' AS s FROM t ORDER BY s"
+    assert(DistinctOnSqlSyntax.rewrite(lit) == lit)
+    val cmt = "SELECT 1 -- DISTINCT ON (x)\nFROM t"
+    assert(DistinctOnSqlSyntax.rewrite(cmt) == cmt)
+  }
+
+  test("rewrite failures: missing ORDER BY, not after SELECT, no FROM") {
+    val e1 = intercept[AnalysisException] {
+      DistinctOnSqlSyntax.rewrite("SELECT DISTINCT ON (g) g, v FROM t")
+    }
+    assert(e1.getMessage.contains("ORDER BY is required"))
+    val e2 = intercept[AnalysisException] {
+      DistinctOnSqlSyntax.rewrite("SELECT v, DISTINCT ON (g) FROM t ORDER BY g")
+    }
+    assert(e2.getMessage.contains("directly follow SELECT"))
+    val e3 = intercept[AnalysisException] {
+      DistinctOnSqlSyntax.rewrite("SELECT DISTINCT ON (g) 1 ORDER BY g")
+    }
+    assert(e3.getMessage.contains("FROM"))
+  }
+
+  // ---------- executed semantics ----------
+
+  private def fixture(): Unit = {
+    spark.range(12)
+      .selectExpr("id", "id % 3 AS g", "(id * 7) % 11 AS v")
+      .createOrReplaceTempView("don_t")
+  }
+
+  test("executed: keep-first-per-key equals the hand-built window spelling") {
+    fixture()
+    val rows = spark.sql(
+      """SELECT DISTINCT ON (g) g, id, v FROM don_t
+        |ORDER BY g, v DESC, id""".stripMargin).collect()
+    val want = spark.sql(
+      """SELECT g, id, v FROM (
+        |  SELECT g, id, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+        |  FROM don_t) x WHERE rn = 1 ORDER BY g, v DESC, id""".stripMargin).collect()
+    assert(rows.length == 3)
+    assert(rows.toSeq == want.toSeq)
+  }
+
+  test("executed: helper column never leaks into the output schema") {
+    fixture()
+    val df = spark.sql(
+      "SELECT DISTINCT ON (g) g, v FROM don_t ORDER BY g, v DESC")
+    assert(df.columns.toSeq == Seq("g", "v"))
+  }
+
+  test("executed: composes with QUALIFY in the same statement chain") {
+    fixture()
+    // DISTINCT ON in a subquery, QUALIFY outside — both rewrites fire
+    val n = spark.sql(
+      """SELECT g, v,
+        |  row_number() OVER (ORDER BY v DESC) AS rn
+        |FROM (SELECT DISTINCT ON (g) g, v FROM don_t ORDER BY g, v DESC) u
+        |QUALIFY rn <= 2
+        |ORDER BY rn""".stripMargin).collect()
+    assert(n.length == 2)
+  }
+
+  test("plan: the rank-limit pushdown fires through the wrap") {
+    fixture()
+    val df = spark.sql(
+      "SELECT DISTINCT ON (g) g, id FROM don_t ORDER BY g, id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank-limit pushdown for rn = 1:\n$plan")
+  }
+}
