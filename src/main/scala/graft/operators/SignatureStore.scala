@@ -37,6 +37,14 @@ object SignatureStore {
 
   def simhashDir(base: String) = s"$base/simhash"
 
+  /** One-permutation-hashing bands — the 20th store family, same
+    * (doc_id, band, key) shape and union-distinct resolve as the k8
+    * minhash store (a band row is immutable per document version; a
+    * replayed or re-batched doc re-derives identical rows, so full-row
+    * distinct IS the supersession rule). */
+  def ophDir(base: String) = s"$base/oph_bands"
+  def streamOphDir(base: String) = s"$base/oph_bands_stream"
+
   /** One full-corpus signature pass → parquet store at `base`. */
   def write(spark: SparkSession, sfDir: String, base: String): Unit = {
     val docs = documents(spark, sfDir)
@@ -158,6 +166,44 @@ object SignatureStore {
     if (!fs.exists(marker)) write(spark, sfDir, base)
     readMinhashBands(spark, base)
   }
+
+  /** All stored OPH bands: batch subtree ∪ stream appends, full-row
+    * distinct when both exist — the [[readMinhashBands]] resolve on the
+    * OPH layout. */
+  def readOphBands(spark: SparkSession, base: String): DataFrame = {
+    def cols(df: DataFrame) =
+      df.select(col("doc_id"), col("band").cast("long").as("band"), col("key"))
+    val batch = Option.when(hasData(spark, ophDir(base)))(
+      cols(spark.read.parquet(ophDir(base))))
+    val stream = Option.when(hasData(spark, streamOphDir(base)))(
+      cols(spark.read.parquet(streamOphDir(base))))
+    (batch, stream) match {
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no OPH band store under $base")
+      case (Some(b), None) => b
+      case (None, Some(s)) => s.distinct()
+      case (Some(b), Some(s)) => b.unionByName(s).distinct()
+    }
+  }
+
+  /** OPH band table for `sfDir`, building the store on first use. */
+  def ensureOphBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${ophDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      TextQueries.ophBandsOf(documents(spark, sfDir))
+        .write.mode("overwrite").partitionBy("band").parquet(ophDir(base))
+    readOphBands(spark, base)
+  }
+
+  /** Compact the OPH band store (union-distinct resolve, the
+    * [[compactMinhashBands]] seal on the OPH layout). */
+  def compactOphBands(spark: SparkSession, base: String): Unit =
+    if (hasData(spark, streamOphDir(base)))
+      compactInto(spark, ophDir(base), streamOphDir(base),
+        readOphBands(spark, base))
 
   /** Simhash signature table for `sfDir`, building the store on first
     * use (one [[write]] persists both sketch families). */

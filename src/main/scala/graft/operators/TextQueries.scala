@@ -81,6 +81,40 @@ object TextQueries {
       .select("doc_id", "band", "key")
   }
 
+  /** One-permutation-hashing band table (doc_id, band, key) — the
+    * 8×-cheaper signature: ONE md5 pass per shingle ([[graft.functions
+    * .ShingleHashes]]), bin-min per `v % 8`, Shrivastava–Li rotation
+    * densification (slot = v·8 + offset), 4 bands of 2 slots. Shared by
+    * the live `dedup_minhash_oph` path, the persisted store, and the
+    * streaming maintainer — stored and live must stay bit-identical
+    * (the `_stored` twin is held to the same oracle). All in-row
+    * higher-order-function arithmetic: no explode, no row
+    * amplification; the band keys fold the two slot values mod p. */
+  def ophBandsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spread(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), lit(5)).as("hs"))
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 7), j -> array_min(
+               |  filter(transform(hs, h -> h % 1000000007L), v -> v % 8 = j)))"""
+          .stripMargin).as("mins"))
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 7), j ->
+               |  aggregate(sequence(0, 7), CAST(NULL AS BIGINT), (acc, t) ->
+               |    CASE WHEN acc IS NOT NULL THEN acc
+               |         WHEN element_at(mins, CAST((j + t) % 8 AS INT) + 1) IS NOT NULL
+               |           THEN t * 2000000000L + element_at(mins, CAST((j + t) % 8 AS INT) + 1)
+               |         ELSE acc END))""".stripMargin).as("picks"))
+      .select(col("doc_id"),
+        expr("transform(picks, pk -> (pk % 2000000000L) * 8 + (pk div 2000000000L))")
+          .as("sv"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, 3), b ->
+            |  (element_at(sv, 2 * CAST(b AS INT) + 1) % 1000000007L) * 1000000007L
+            |    + (element_at(sv, 2 * CAST(b AS INT) + 2) % 1000000007L))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("key"))
+
   /** 60-bit simhash signatures over md5-hashed distinct tokens:
     * (doc_id, sig). Shared by the live query and [[SignatureStore]].
     *
@@ -476,6 +510,55 @@ object TextQueries {
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
+  /** OPH-vs-k8 candidate agreement oracle — shared by the live and
+    * stored `dedup_minhash_oph*` twins (the store must be bit-identical
+    * to a fresh build, so one oracle gates both). */
+  private val OphAgreementOracleSql: String =
+    s"""WITH $MinhashBandsCte,
+       |k8p AS ($BandedPairsSelect),
+       |oph AS (SELECT doc_id, h % 1000000007 AS v FROM sh),
+       |mins AS (SELECT doc_id, v % 8 AS bin, min(v) AS v FROM oph GROUP BY 1, 2),
+       |slots AS (
+       |  SELECT g.doc_id, s.slot,
+       |    min(((m.bin - s.slot + 8) % 8) * 2000000000 + m.v) AS pick
+       |  FROM (SELECT DISTINCT doc_id FROM mins) g
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot) s
+       |  JOIN mins m ON m.doc_id = g.doc_id
+       |  GROUP BY 1, 2),
+       |sv AS (SELECT doc_id, slot,
+       |         (pick % 2000000000) * 8 + (pick // 2000000000) AS sv FROM slots),
+       |obands AS (
+       |  SELECT a.doc_id, CAST(a.slot // 2 AS BIGINT) AS band,
+       |    (a.sv % 1000000007) * 1000000007 + (b.sv % 1000000007) AS key
+       |  FROM sv a JOIN sv b
+       |    ON a.doc_id = b.doc_id AND b.slot = a.slot + 1 AND a.slot % 2 = 0),
+       |ophp AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM obands a JOIN obands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT coalesce(o.doc_a, k.doc_a) AS doc_a,
+       |  coalesce(o.doc_b, k.doc_b) AS doc_b,
+       |  CAST(CASE WHEN o.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_oph,
+       |  CAST(CASE WHEN k.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_k8
+       |FROM ophp o FULL OUTER JOIN k8p k
+       |  ON k.doc_a = o.doc_a AND k.doc_b = o.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The OPH agreement audit over a (doc_id, band, key) OPH band table
+    * (live-built or store-read): OPH candidates FULL-OUTER the standard
+    * k8 candidates (from the persisted k8 store) with membership flags. */
+  private def ophAgreement(s: org.apache.spark.sql.SparkSession,
+      obands: org.apache.spark.sql.DataFrame, d: String): org.apache.spark.sql.DataFrame = {
+    val ophp = bandedPairs(obands).withColumn("in_oph", lit(1L))
+    val k8p = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      .withColumn("in_k8", lit(1L))
+    ophp.join(k8p, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("in_oph"), lit(0L)).as("in_oph"),
+        coalesce(col("in_k8"), lit(0L)).as("in_k8"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The exact-Jaccard-over-candidates statement (12-gram sets, 2-hash
     * candidate key), shared by `dedup_ngram_jaccard` (raw pairs) and
     * `lsh_jaccard_calibration` (the precision histogram over the same
@@ -793,68 +876,20 @@ object TextQueries {
     // engines (pick = t·2e9 + v encodes the (offset, value) argmin;
     // the band key folds the two slot values mod p, deterministic on
     // both engines).
-    "dedup_minhash_oph" -> QueryDef.sql(
-      s"""WITH $MinhashBandsCte,
-         |k8p AS ($BandedPairsSelect),
-         |oph AS (SELECT doc_id, h % 1000000007 AS v FROM sh),
-         |mins AS (SELECT doc_id, v % 8 AS bin, min(v) AS v FROM oph GROUP BY 1, 2),
-         |slots AS (
-         |  SELECT g.doc_id, s.slot,
-         |    min(((m.bin - s.slot + 8) % 8) * 2000000000 + m.v) AS pick
-         |  FROM (SELECT DISTINCT doc_id FROM mins) g
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot) s
-         |  JOIN mins m ON m.doc_id = g.doc_id
-         |  GROUP BY 1, 2),
-         |sv AS (SELECT doc_id, slot,
-         |         (pick % 2000000000) * 8 + (pick // 2000000000) AS sv FROM slots),
-         |obands AS (
-         |  SELECT a.doc_id, CAST(a.slot // 2 AS BIGINT) AS band,
-         |    (a.sv % 1000000007) * 1000000007 + (b.sv % 1000000007) AS key
-         |  FROM sv a JOIN sv b
-         |    ON a.doc_id = b.doc_id AND b.slot = a.slot + 1 AND a.slot % 2 = 0),
-         |ophp AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM obands a JOIN obands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT coalesce(o.doc_a, k.doc_a) AS doc_a,
-         |  coalesce(o.doc_b, k.doc_b) AS doc_b,
-         |  CAST(CASE WHEN o.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_oph,
-         |  CAST(CASE WHEN k.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_k8
-         |FROM ophp o FULL OUTER JOIN k8p k
-         |  ON k.doc_a = o.doc_a AND k.doc_b = o.doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val obands = spread(documents(s, d).filter(col("text").isNotNull))
-        .select(col("doc_id"),
-          graft.functions.ShingleHashes.shingle_hashes(col("text"), lit(5)).as("hs"))
-        .select(col("doc_id"),
-          expr("""transform(sequence(0, 7), j -> array_min(
-                 |  filter(transform(hs, h -> h % 1000000007L), v -> v % 8 = j)))"""
-            .stripMargin).as("mins"))
-        .select(col("doc_id"),
-          expr("""transform(sequence(0, 7), j ->
-                 |  aggregate(sequence(0, 7), CAST(NULL AS BIGINT), (acc, t) ->
-                 |    CASE WHEN acc IS NOT NULL THEN acc
-                 |         WHEN element_at(mins, CAST((j + t) % 8 AS INT) + 1) IS NOT NULL
-                 |           THEN t * 2000000000L + element_at(mins, CAST((j + t) % 8 AS INT) + 1)
-                 |         ELSE acc END))""".stripMargin).as("picks"))
-        .select(col("doc_id"),
-          expr("transform(picks, pk -> (pk % 2000000000L) * 8 + (pk div 2000000000L))")
-            .as("sv"))
-        .select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(0, 3), b ->
-              |  (element_at(sv, 2 * CAST(b AS INT) + 1) % 1000000007L) * 1000000007L
-              |    + (element_at(sv, 2 * CAST(b AS INT) + 2) % 1000000007L))""".stripMargin)))
-        .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("key"))
-      val ophp = bandedPairs(obands.localCheckpoint())
-        .withColumn("in_oph", lit(1L))
-      val k8p = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
-        .withColumn("in_k8", lit(1L))
-      ophp.join(k8p, Seq("doc_a", "doc_b"), "full_outer")
-        .select(col("doc_a"), col("doc_b"),
-          coalesce(col("in_oph"), lit(0L)).as("in_oph"),
-          coalesce(col("in_k8"), lit(0L)).as("in_k8"))
-        .orderBy("doc_a", "doc_b")
+    "dedup_minhash_oph" -> QueryDef.sql(OphAgreementOracleSql) { (s, d) =>
+      ophAgreement(s, ophBandsOf(documents(s, d)).localCheckpoint(), d)
+    },
+
+    // ----- OPH from the PERSISTED band store -----
+    // The amortization twin, held to the SAME oracle as the live query:
+    // the one-hash-pass signature is still a full text scan, so the
+    // store computes it once ([[SignatureStore.ensureOphBands]]) and
+    // every agreement audit / candidate join reads the parquet bands —
+    // with streaming appends ([[graft.streaming.EventStream
+    // .maintainOph]]) and compaction, the same lifecycle as the k8
+    // family it is the scale path FOR.
+    "dedup_minhash_oph_stored" -> QueryDef.sql(OphAgreementOracleSql) { (s, d) =>
+      ophAgreement(s, SignatureStore.ensureOphBands(s, d), d)
     },
 
     // ----- token-length histogram: log2-bucketed corpus shape report -----

@@ -171,6 +171,25 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamMinhashDir(storeBase))
     }
 
+  /** Incremental OPH band maintenance — [[maintainSignatures]] on the
+    * one-permutation layout: each micro-batch signs its documents with
+    * the SAME builder the stored path reads
+    * ([[graft.operators.TextQueries.ophBandsOf]]) and lands batch_id-
+    * keyed with dynamic partition overwrite, so a replayed epoch
+    * overwrites exactly its own partitions (band rows are pure
+    * functions of the document — replay-idempotent by value). */
+  def maintainOph(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextQueries.ophBandsOf(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "band")
+          .parquet(graft.operators.SignatureStore.streamOphDir(storeBase))
+    }
+
   /** Incremental BM25 postings maintenance — the search-family twin of
     * [[maintainSignatures]]: each micro-batch of new documents is
     * tokenized ONCE with the same builder the stored search path uses

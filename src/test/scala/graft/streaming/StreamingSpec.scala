@@ -226,6 +226,44 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("oph store: stream epochs append batch-identical bands, compaction seals") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("ophmaint")
+    // batch-built subtree first
+    val batchDocs = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    graft.operators.TextQueries.ophBandsOf(batchDocs)
+      .write.partitionBy("band")
+      .parquet(graft.operators.SignatureStore.ophDir(base))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.maintainOph(input.toDF().toDF("doc_id", "text"), base)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      input.addData((2L, "zeta eta theta iota kappa"))
+      query.processAllAvailable()
+      // re-ingest doc 1 (identical text): full-row distinct absorbs it
+      input.addData((1L, "alpha beta gamma delta epsilon"))
+      query.processAllAvailable()
+      val stored = graft.operators.SignatureStore.readOphBands(spark, base)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val all = Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      val batch = graft.operators.TextQueries.ophBandsOf(all)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stored == batch && stored.size == 8) // 2 docs × 4 bands
+      // every doc has exactly 4 band rows (densification fills all slots)
+      assert(stored.groupBy(_._1).forall(_._2.size == 4))
+      // compaction: same rows from the batch subtree alone
+      graft.operators.SignatureStore.compactOphBands(spark, base)
+      val sealed1 = graft.operators.SignatureStore.readOphBands(spark, base)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(sealed1 == batch)
+      assert(!new java.io.File(
+        graft.operators.SignatureStore.streamOphDir(base)
+          .stripPrefix("file:")).exists())
+    } finally query.stop()
+  }
+
   test("streaming appends coexist with a batch-built signature store") {
     // Regression: the batch subtree is partitioned by band alone; writing
     // (batch_id, band) rows into the SAME directory broke partition
