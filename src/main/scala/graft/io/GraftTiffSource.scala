@@ -93,13 +93,23 @@ class GraftTiffTable(path: String) extends Table with SupportsRead {
 
 class GraftTiffScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = GraftTiffSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var rowLo: Int = 0
   private var rowHi: Int = Int.MaxValue
   private var pushedAggs: Seq[TiffHeaderAgg] = Nil
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushes into the block decode: each file decompresses only
+    * ceil(limit/width) azimuth rows' worth of strips/tiles and stops —
+    * `SELECT ... LIMIT k` over a raster stack touches one block per
+    * file instead of the whole payload. PARTIALLY pushed (each
+    * partition honors the limit independently; Spark's own Limit
+    * still runs on top), so correctness never depends on it. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Bare `count(*)` and `min/max(azimuth|range)` answer from the
     * HEADER (width × height — a few seeks, zero pixel decode): the most
@@ -170,7 +180,7 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
     // scan since every filter here stays residual, but that ordering is
     // a Spark-version behavior, not our invariant)
     if (pushedAggs.nonEmpty && pushed.isEmpty) new GraftTiffStatsScan(path, pushedAggs)
-    else new GraftTiffScan(path, required, pushed, rowLo, rowHi)
+    else new GraftTiffScan(path, required, pushed, rowLo, rowHi, limit)
 }
 
 /** A header-answerable aggregate over the TIFF pixel table. */
@@ -240,12 +250,14 @@ class GraftTiffStatsScan(path: String, aggs: Seq[TiffHeaderAgg]) extends Scan wi
 }
 
 class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
-    rowLo: Int, rowHi: Int) extends Scan with Batch with SupportsReportStatistics {
+    rowLo: Int, rowHi: Int, limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tiff $path, PushedFilters: [${pushed.mkString(", ")}]"
+    s"graft-tiff $path, PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.fold("")(l => s", PushedLimit: $l")
 
   /** Header-derived statistics for Catalyst's planner: numRows =
     * Σ_file width × surviving-azimuth-rows (exact when no residual
@@ -264,7 +276,7 @@ class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
       val hi = math.min(rowHi, info.height - 1)
       rows += math.max(hi - lo + 1, 0).toLong * info.width
     }
-    val n = rows
+    val n = limit.fold(rows)(l => math.min(rows, l.toLong))
     val bytes = n * 8L * math.max(required.size, 1)
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
@@ -277,7 +289,7 @@ class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
       .map(f => GraftTiffPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTiffReaderFactory(required.fieldNames, rowLo, rowHi,
+    new GraftTiffReaderFactory(required.fieldNames, rowLo, rowHi, limit,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
@@ -285,17 +297,17 @@ class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
 case class GraftTiffPartition(file: String) extends InputPartition
 
 class GraftTiffReaderFactory(fields: Array[String], rowLo: Int, rowHi: Int,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    limit: Option[Int], conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftTiffReader(partition.asInstanceOf[GraftTiffPartition].file,
-      fields, rowLo, rowHi, conf.value)
+      fields, rowLo, rowHi, limit, conf.value)
 }
 
 /** Per-file reader: one payload read, then the row-bounded block decode.
   * The value column decodes only when the projection asks for it. */
 class GraftTiffReader(file: String, fields: Array[String], rowLo: Int, rowHi: Int,
-    hadoopConf: org.apache.hadoop.conf.Configuration)
+    limit: Option[Int], hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val pathUtf8 = UTF8String.fromString(
@@ -313,7 +325,16 @@ class GraftTiffReader(file: String, fields: Array[String], rowLo: Int, rowHi: In
     val bytes = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
-    Tiff.decodeRows(bytes, Tiff.fromBytes(bytes), rowLo, rowHi)
+    val info = Tiff.fromBytes(bytes)
+    // a pushed LIMIT needs at most ceil(limit/width) azimuth rows from
+    // this file; capping rowHi lets the lazy strip iterator stop
+    // DECOMPRESSING past them, and take(limit) bounds the tail exactly
+    val effHi = limit.fold(rowHi) { l =>
+      val need = (l + math.max(info.width, 1) - 1) / math.max(info.width, 1)
+      math.min(rowHi, math.max(rowLo, 0) + need - 1)
+    }
+    val base = Tiff.decodeRows(bytes, info, rowLo, effHi)
+    limit.fold(base)(l => base.take(l))
   }
 
   private var current: (Int, Int, Double) = _

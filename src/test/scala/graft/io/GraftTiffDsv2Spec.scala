@@ -51,6 +51,25 @@ class GraftTiffDsv2Spec extends SparkFunSuite {
       s"azimuth=0 should touch fewer blocks than the full scan ($pruned vs $full)")
   }
 
+  test("a pushed LIMIT stops block decompression, results stay exact") {
+    // full collect decompresses every block; LIMIT 3 needs ceil(3/width)
+    // azimuth rows per file, so the lazy strip iterator never inflates
+    // the rest. Partially-pushed contract: Spark's own Limit still caps
+    // the global row count, so correctness never depends on the reader.
+    Tiff.blocksDecompressed.set(0)
+    assert(v2.select("azimuth", "range", "intensity").collect().nonEmpty)
+    val full = Tiff.blocksDecompressed.get()
+    Tiff.blocksDecompressed.set(0)
+    val q = v2.select("azimuth", "range", "intensity").limit(3)
+    val rows = q.collect()
+    val limited = Tiff.blocksDecompressed.get()
+    assert(rows.length == 3)
+    assert(full > 0 && limited < full,
+      s"LIMIT 3 should decompress fewer blocks than the full scan ($limited vs $full)")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), s"expected the pushed limit in:\n$plan")
+  }
+
   test("bare count(*) answers from headers alone: zero blocks decompressed") {
     val want = TiffPixelSource.readPixels(spark,
       GraftTiffSource.listRasters(grdDir)).count()
