@@ -63,6 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSigs(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("oph_slots"),
+      new ExpressionInfo(classOf[graft.functions.OphSlots].getName, "oph_slots"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "oph_slots takes exactly 1 argument")
+        graft.functions.OphSlots(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("min_shingle_md5"),
       new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -48,8 +48,9 @@ object MinhashSigs {
   val P = 1000000007L
 
   /** Leading 60 bits of an md5 digest — the integer value of the first
-    * 15 hex characters, i.e. `conv(substring(md5(x), 1, 15), 16, 10)`. */
-  private def head60(digest: Array[Byte]): Long = {
+    * 15 hex characters, i.e. `conv(substring(md5(x), 1, 15), 16, 10)`.
+    * Shared with [[OphSlots]]. */
+  private[functions] def head60(digest: Array[Byte]): Long = {
     var h = 0L
     var b = 0
     while (b < 7) { h = (h << 8) | (digest(b) & 0xFFL); b += 1 }
@@ -260,4 +261,72 @@ object RollingHash {
   /** Column-API entry point — resolves through the session function
     * registry, so [[graft.GraftExtensions]] must be installed. */
   def rolling_hash(text: Column): Column = call_function("rolling_hash", text)
+}
+
+/** `oph_slots(text)` — the densified one-permutation-hashing signature
+  * (8 slot values `v·8 + offset`) of a document's 5-char shingles,
+  * computed PER ROW in ONE md5 pass: bin = (h mod p) mod 8, min per
+  * bin, then Shrivastava–Li rotation densification (empty slot j
+  * borrows the nearest non-empty bin to the right, offset-stamped).
+  *
+  * This replaces the higher-order-function formulation of
+  * [[graft.operators.TextQueries.ophBandsOf]]'s first generation,
+  * which re-scanned the hash array 8× per document
+  * (`transform(sequence(0,7), j -> array_min(filter(...)))`) and
+  * allocated a transformed copy — measured 6.3 s at sf0.1 where the
+  * 8-affine [[MinhashSigs]] path took 1.4 s, inverting OPH's whole
+  * premise. One pass restores it: per shingle ONE md5, one mod, one
+  * compare — k-fold fewer hash-function evaluations than MinhashSigs
+  * by construction. Same shingle-position conventions; same DuckDB
+  * oracle chain (the relational bin-min + rotation in
+  * `TextQueries.OphFlagsCtes`); null text → null.
+  */
+case class OphSlots(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"oph_slots expects string, got $dt")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    OphSlots.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.OphSlots.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object OphSlots {
+  def compute(text: UTF8String): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = math.max(text.numChars() - 4, 1)
+    val mins = Array.fill(8)(Long.MaxValue)
+    var i = 1
+    while (i <= n) {
+      md.reset()
+      val h = MinhashSigs.head60(md.digest(text.substringSQL(i, 5).getBytes))
+      val v = h % MinhashSigs.P
+      val b = (v % 8).toInt
+      if (v < mins(b)) mins(b) = v
+      i += 1
+    }
+    // rotation densification: ≥1 bin is non-empty (n ≥ 1 shingles)
+    val out = new Array[Long](8)
+    var j = 0
+    while (j < 8) {
+      var t = 0
+      while (mins((j + t) % 8) == Long.MaxValue) t += 1
+      out(j) = mins((j + t) % 8) * 8 + t
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point — resolves through the session function
+    * registry, so [[graft.GraftExtensions]] must be installed. */
+  def oph_slots(text: Column): Column = call_function("oph_slots", text)
 }

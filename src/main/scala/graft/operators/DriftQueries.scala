@@ -3388,5 +3388,206 @@ object DriftQueries {
         .select("bucket", "n_t", "n_v", "term_micro", "psi_micro", "n_skipped")
         .orderBy("bucket")
     },
+
+    // ----- Cochran–Mantel–Haenszel pooled odds ratio across nations -----
+    // The stratified-confounding companion of a15_ab_chi_square and
+    // a19_diff_in_diff: the crude exposure→outcome odds ratio (order
+    // has ≥4 lines → any returned line) can be Simpson-reversed by a
+    // nation mix shift, so CMH pools the per-nation 2×2 tables into one
+    // confounder-adjusted OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) plus the CMH
+    // χ² (continuity-free form). Exactness: every per-stratum rational
+    // enters as ONE floored micro-unit term (ad·1e6 // n — the floor
+    // order is part of the spec, identical on both engines), the
+    // variance term is STAGED division (((a+b)(c+d)·1e6 // n)·(a+c)(b+d)
+    // // (n·(n−1))) so no intermediate passes DECIMAL(38) even at 1e9
+    // orders per nation, and χ² = (1e6·Σa − ΣE_micro)² // (1e6·ΣV_micro)
+    // lands in micro-units. Crude OR rides beside OR_MH — the
+    // Simpson's-paradox audit IS their comparison. One fact fold, ≤25
+    // stratum rows, everything after broadcast-scale.
+    "ab_cmh_pooled_or" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, c.c_nationkey,
+        |    CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS exp,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT c_nationkey,
+        |    CAST(sum(exp * pos) AS BIGINT) AS a,
+        |    CAST(sum(exp * (1 - pos)) AS BIGINT) AS b,
+        |    CAST(sum((1 - exp) * pos) AS BIGINT) AS c,
+        |    CAST(sum((1 - exp) * (1 - pos)) AS BIGINT) AS d
+        |  FROM lab GROUP BY 1),
+        |t AS (
+        |  SELECT c_nationkey, a, b, c, d, a + b + c + d AS n,
+        |    CAST((CAST(1000000 AS HUGEINT) * a * d) // (a + b + c + d) AS BIGINT) AS ad_micro,
+        |    CAST((CAST(1000000 AS HUGEINT) * b * c) // (a + b + c + d) AS BIGINT) AS bc_micro,
+        |    CAST((CAST(1000000 AS HUGEINT) * (a + b) * (a + c)) // (a + b + c + d) AS BIGINT) AS e_micro,
+        |    CASE WHEN a + b + c + d > 1 THEN
+        |      CAST((((CAST(1000000 AS HUGEINT) * (a + b) * (c + d)) // (a + b + c + d))
+        |        * ((a + c) * (b + d)))
+        |        // (CAST(a + b + c + d AS HUGEINT) * (a + b + c + d - 1)) AS BIGINT)
+        |    ELSE 0 END AS v_micro
+        |  FROM st),
+        |g AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS sa, CAST(sum(ad_micro) AS BIGINT) AS sad,
+        |    CAST(sum(bc_micro) AS BIGINT) AS sbc, CAST(sum(e_micro) AS BIGINT) AS se,
+        |    CAST(sum(v_micro) AS BIGINT) AS sv,
+        |    CAST(sum(a) AS BIGINT) * CAST(sum(d) AS BIGINT) AS cad,
+        |    CAST(sum(b) AS BIGINT) * CAST(sum(c) AS BIGINT) AS cbc
+        |  FROM t)
+        |SELECT t.c_nationkey, t.a, t.b, t.c, t.d, t.ad_micro, t.bc_micro,
+        |  CASE WHEN g.sbc > 0
+        |    THEN CAST((CAST(1000000 AS HUGEINT) * g.sad) // g.sbc AS BIGINT)
+        |    ELSE NULL END AS or_mh_ppm,
+        |  CASE WHEN g.cbc > 0
+        |    THEN CAST((CAST(1000000 AS HUGEINT) * g.cad) // g.cbc AS BIGINT)
+        |    ELSE NULL END AS or_crude_ppm,
+        |  CASE WHEN g.sv > 0 THEN
+        |    CAST(((CAST(1000000 AS HUGEINT) * g.sa - g.se)
+        |      * (CAST(1000000 AS HUGEINT) * g.sa - g.se)) // (CAST(1000000 AS HUGEINT) * g.sv)
+        |      AS BIGINT)
+        |  ELSE NULL END AS cmh_chi2_micro
+        |FROM t CROSS JOIN g ORDER BY t.c_nationkey""".stripMargin) { (s, d) =>
+      val lab = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .groupBy("o_orderkey", "c_nationkey")
+        .agg(expr("CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)").as("exp"),
+          expr("CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("pos"))
+      val st = lab.groupBy("c_nationkey")
+        .agg(sum(expr("exp * pos")).cast("long").as("a"),
+          sum(expr("exp * (1 - pos)")).cast("long").as("b"),
+          sum(expr("(1 - exp) * pos")).cast("long").as("c"),
+          sum(expr("(1 - exp) * (1 - pos)")).cast("long").as("d"))
+      val t = st.select(col("c_nationkey"), col("a"), col("b"), col("c"), col("d"),
+          expr("a + b + c + d").as("n"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * a * d) div (a + b + c + d) AS BIGINT)")
+            .as("ad_micro"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * b * c) div (a + b + c + d) AS BIGINT)")
+            .as("bc_micro"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (a + b) * (a + c)) div (a + b + c + d) AS BIGINT)")
+            .as("e_micro"),
+          expr("""CASE WHEN a + b + c + d > 1 THEN
+                 |  CAST((((CAST(1000000 AS DECIMAL(38,0)) * (a + b) * (c + d)) div (a + b + c + d))
+                 |    * ((a + c) * (b + d)))
+                 |    div (CAST(a + b + c + d AS DECIMAL(38,0)) * (a + b + c + d - 1)) AS BIGINT)
+                 |ELSE 0L END""".stripMargin).as("v_micro"))
+        .localCheckpoint(true) // ≤25 rows; feeds output AND the pooled fold
+      val g = t.agg(sum("a").cast("long").as("sa"),
+        sum("ad_micro").cast("long").as("sad"),
+        sum("bc_micro").cast("long").as("sbc"),
+        sum("e_micro").cast("long").as("se"),
+        sum("v_micro").cast("long").as("sv"),
+        (sum("a").cast("long") * sum("d").cast("long")).as("cad"),
+        (sum("b").cast("long") * sum("c").cast("long")).as("cbc"))
+      t.crossJoin(broadcast(g))
+        .select(col("c_nationkey"), col("a"), col("b"), col("c"), col("d"),
+          col("ad_micro"), col("bc_micro"),
+          expr("""CASE WHEN sbc > 0
+                 |  THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * sad) div sbc AS BIGINT)
+                 |  ELSE NULL END""".stripMargin).as("or_mh_ppm"),
+          expr("""CASE WHEN cbc > 0
+                 |  THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * cad) div cbc AS BIGINT)
+                 |  ELSE NULL END""".stripMargin).as("or_crude_ppm"),
+          expr("""CASE WHEN sv > 0 THEN
+                 |  CAST(((CAST(1000000 AS DECIMAL(38,0)) * sa - se)
+                 |    * (CAST(1000000 AS DECIMAL(38,0)) * sa - se))
+                 |    div (CAST(1000000 AS DECIMAL(38,0)) * sv) AS BIGINT)
+                 |ELSE NULL END""".stripMargin).as("cmh_chi2_micro"))
+        .orderBy("c_nationkey")
+    },
+
+    // ----- pairwise token-mix cosine between sources -----
+    // The drift family's SIMILARITY matrix (source_kl_divergence
+    // measures distance from the global mix; this measures every
+    // source against every OTHER source): cosine between unigram count
+    // vectors, computed from three vocabulary-cardinality folds — the
+    // dot products Σ nₐ·n_b via ONE equi-join on token over the
+    // per-source count table, the norms as per-source Σn². The scalar
+    // runs through the IEEE-sqrt chain (exact BIGINTs cast to double,
+    // one correctly-rounded sqrt inside an identical literal tree,
+    // floored once at 1e6) because cos² would need Σab² ≈ 1e50 at
+    // 100 TB — past any integer type. Output is source-pair-bounded
+    // (≤45 rows); shared_vocab rides as the support count.
+    "source_token_cosine" -> QueryDef.sql(
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+        |nrm AS (SELECT source, CAST(sum(n * n) AS BIGINT) AS n2 FROM st GROUP BY 1),
+        |dp AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(sum(a.n * b.n) AS BIGINT) AS sab,
+        |    CAST(count(*) AS BIGINT) AS shared_vocab
+        |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT dp.source_a, dp.source_b, dp.shared_vocab,
+        |  CAST(floor((1000000.0 * sab) / sqrt(
+        |    CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+        |FROM dp JOIN nrm na ON na.source = dp.source_a
+        |JOIN nrm nb ON nb.source = dp.source_b
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val st = documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"),
+          explode(expr(graft.operators.TextQueries.toksExpr)).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // vocab-cardinality; feeds norms + both join sides
+      val nrm = st.groupBy("source")
+        .agg(sum(expr("n * n")).cast("long").as("n2"))
+      val a = st.select(col("source").as("source_a"), col("t"), col("n").as("na"))
+      val b = st.select(col("source").as("source_b"), col("t"), col("n").as("nb"))
+      a.join(b, Seq("t")).filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(sum(expr("na * nb")).cast("long").as("sab"),
+          count(lit(1)).as("shared_vocab"))
+        .join(broadcast(nrm.toDF("source_a", "n2a")), Seq("source_a"))
+        .join(broadcast(nrm.toDF("source_b", "n2b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("shared_vocab"),
+          expr("""CAST(floor((1000000.0D * sab) / sqrt(
+                 |  CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))) AS BIGINT)""".stripMargin)
+            .as("cos_x1e6"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // ----- Fano factor: burstiness of the daily arrival series -----
+    // The dispersion audit under every anomaly detector's Poisson
+    // assumption: F = Var/Mean of daily counts per event type — F ≈ 1
+    // is Poisson (event_anomaly_mad's thresholds are honest), F ≫ 1 is
+    // bursty/clustered (campaign-driven types need wider bands), F < 1
+    // is regular. Exact integer spelling: the n-scaled variance
+    // (n·Σc² − (Σc)², the comovement discipline — no mean division
+    // ever) over n·Σc gives F in ppm with ONE DECIMAL-widened //
+    // (daily counts reach 1e9 at 100 TB; their squares times 1e6 pass
+    // BIGINT). Day-grid cardinality after one counting fold.
+    "ts_fano_burstiness" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS sc2
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_days, sc AS n_events,
+        |  CAST((CAST(1000000 AS HUGEINT) * (n_days * sc2 - sc * sc))
+        |    // (CAST(n_days AS HUGEINT) * sc) AS BIGINT) AS fano_ppm
+        |FROM g WHERE sc > 0 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      events(s, d)
+        .groupBy(col("event_type"), expr(s"($us) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("c").cast("long").as("sc"),
+          sum(expr("c * c")).cast("long").as("sc2"))
+        .filter(col("sc") > 0)
+        .select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_days * sc2 - sc * sc))
+                 |  div (CAST(n_days AS DECIMAL(38,0)) * sc) AS BIGINT)""".stripMargin)
+            .as("fano_ppm"))
+        .orderBy("event_type")
+    },
   )
 }

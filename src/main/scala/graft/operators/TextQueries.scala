@@ -82,32 +82,22 @@ object TextQueries {
   }
 
   /** One-permutation-hashing band table (doc_id, band, key) — the
-    * 8×-cheaper signature: ONE md5 pass per shingle ([[graft.functions
-    * .ShingleHashes]]), bin-min per `v % 8`, Shrivastava–Li rotation
-    * densification (slot = v·8 + offset), 4 bands of 2 slots. Shared by
-    * the live `dedup_minhash_oph` path, the persisted store, and the
-    * streaming maintainer — stored and live must stay bit-identical
-    * (the `_stored` twin is held to the same oracle). All in-row
-    * higher-order-function arithmetic: no explode, no row
-    * amplification; the band keys fold the two slot values mod p. */
+    * 8×-cheaper signature: ONE md5 pass per shingle, bin-min per
+    * `v % 8`, Shrivastava–Li rotation densification (slot = v·8 +
+    * offset), 4 bands of 2 slots. The whole signature is the native
+    * codegen [[graft.functions.OphSlots]] expression — its first
+    * generation composed `shingle_hashes` with higher-order functions
+    * and re-scanned the hash array 8× per document (measured 6.3 s at
+    * sf0.1 where the 8-affine path took 1.4 s, inverting OPH's
+    * premise); the one-pass kernel restores the k-fold hash-evaluation
+    * saving OPH exists for. Shared by the live `dedup_minhash_oph`
+    * path, the persisted store, and the streaming maintainer — stored
+    * and live must stay bit-identical (the `_stored` twin is held to
+    * the same oracle). The band keys fold the two slot values mod p
+    * (4 array ops per document — negligible). */
   def ophBandsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     spread(docs.filter(col("text").isNotNull))
-      .select(col("doc_id"),
-        graft.functions.ShingleHashes.shingle_hashes(col("text"), lit(5)).as("hs"))
-      .select(col("doc_id"),
-        expr("""transform(sequence(0, 7), j -> array_min(
-               |  filter(transform(hs, h -> h % 1000000007L), v -> v % 8 = j)))"""
-          .stripMargin).as("mins"))
-      .select(col("doc_id"),
-        expr("""transform(sequence(0, 7), j ->
-               |  aggregate(sequence(0, 7), CAST(NULL AS BIGINT), (acc, t) ->
-               |    CASE WHEN acc IS NOT NULL THEN acc
-               |         WHEN element_at(mins, CAST((j + t) % 8 AS INT) + 1) IS NOT NULL
-               |           THEN t * 2000000000L + element_at(mins, CAST((j + t) % 8 AS INT) + 1)
-               |         ELSE acc END))""".stripMargin).as("picks"))
-      .select(col("doc_id"),
-        expr("transform(picks, pk -> (pk % 2000000000L) * 8 + (pk div 2000000000L))")
-          .as("sv"))
+      .select(col("doc_id"), graft.functions.OphSlots.oph_slots(col("text")).as("sv"))
       .select(col("doc_id"),
         posexplode(expr(
           """transform(sequence(0, 3), b ->
@@ -510,10 +500,10 @@ object TextQueries {
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
-  /** OPH-vs-k8 candidate agreement oracle — shared by the live and
-    * stored `dedup_minhash_oph*` twins (the store must be bit-identical
-    * to a fresh build, so one oracle gates both). */
-  private val OphAgreementOracleSql: String =
+  /** The OPH + k8 candidate-pair CTE chain (through `flags`, the
+    * full-outer membership table) — shared by the agreement twins and
+    * the capture–recapture estimate. */
+  private val OphFlagsCtes: String =
     s"""WITH $MinhashBandsCte,
        |k8p AS ($BandedPairsSelect),
        |oph AS (SELECT doc_id, h % 1000000007 AS v FROM sh),
@@ -535,13 +525,21 @@ object TextQueries {
        |ophp AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM obands a JOIN obands b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-       |SELECT coalesce(o.doc_a, k.doc_a) AS doc_a,
-       |  coalesce(o.doc_b, k.doc_b) AS doc_b,
-       |  CAST(CASE WHEN o.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_oph,
-       |  CAST(CASE WHEN k.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_k8
-       |FROM ophp o FULL OUTER JOIN k8p k
-       |  ON k.doc_a = o.doc_a AND k.doc_b = o.doc_b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |flags AS (
+       |  SELECT coalesce(o.doc_a, k.doc_a) AS doc_a,
+       |    coalesce(o.doc_b, k.doc_b) AS doc_b,
+       |    CAST(CASE WHEN o.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_oph,
+       |    CAST(CASE WHEN k.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_k8
+       |  FROM ophp o FULL OUTER JOIN k8p k
+       |    ON k.doc_a = o.doc_a AND k.doc_b = o.doc_b)""".stripMargin
+
+  /** OPH-vs-k8 candidate agreement oracle — shared by the live and
+    * stored `dedup_minhash_oph*` twins (the store must be bit-identical
+    * to a fresh build, so one oracle gates both). */
+  private val OphAgreementOracleSql: String =
+    s"""$OphFlagsCtes
+       |SELECT doc_a, doc_b, in_oph, in_k8 FROM flags
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The OPH agreement audit over a (doc_id, band, key) OPH band table
@@ -890,6 +888,62 @@ object TextQueries {
     // family it is the scale path FOR.
     "dedup_minhash_oph_stored" -> QueryDef.sql(OphAgreementOracleSql) { (s, d) =>
       ophAgreement(s, SignatureStore.ensureOphBands(s, d), d)
+    },
+
+    // ----- capture–recapture estimate of the near-dup population -----
+    // Two imperfect detectors over the SAME population license the
+    // ecologist's mark-and-recapture estimate (Lincoln–Petersen;
+    // Chapman's bias-corrected form): treat the k8 candidate set as
+    // the first capture, the OPH set as the second, their overlap as
+    // the recapture — N̂ = n1·n2/m estimates how many near-dup pairs
+    // EXIST, including the ones BOTH sketches missed, under the
+    // independence-of-captures assumption (the two schemes sample
+    // bands from independent hash randomness, which is as close as a
+    // dedup stack gets). Per-detector coverage (n/N̂) is the number a
+    // 100 TB dedup run actually wants: "what fraction of the near-dup
+    // mass does my detector see?" Exact integer throughout (Chapman is
+    // integer-valued by construction; products DECIMAL-widened because
+    // candidate-pair counts are corpus-scale); m = 0 reports NULL
+    // honestly. Both captures read their persisted band stores.
+    "dedup_capture_recapture" -> QueryDef.sql(
+      s"""$OphFlagsCtes,
+         |n AS (SELECT CAST(sum(in_k8) AS BIGINT) AS n_k8,
+         |        CAST(sum(in_oph) AS BIGINT) AS n_oph,
+         |        CAST(sum(in_oph * in_k8) AS BIGINT) AS n_both
+         |      FROM flags),
+         |e AS (SELECT n_k8, n_oph, n_both,
+         |        CASE WHEN n_both > 0
+         |          THEN CAST((CAST(n_oph AS HUGEINT) * n_k8) // n_both AS BIGINT)
+         |          ELSE NULL END AS lincoln_petersen,
+         |        CAST((CAST(n_oph + 1 AS HUGEINT) * (n_k8 + 1)) // (n_both + 1) - 1
+         |          AS BIGINT) AS chapman
+         |      FROM n)
+         |SELECT n_k8, n_oph, n_both, lincoln_petersen, chapman,
+         |  CASE WHEN chapman > 0
+         |    THEN CAST((CAST(1000000 AS HUGEINT) * n_k8) // chapman AS BIGINT)
+         |    ELSE NULL END AS k8_coverage_ppm,
+         |  CASE WHEN chapman > 0
+         |    THEN CAST((CAST(1000000 AS HUGEINT) * n_oph) // chapman AS BIGINT)
+         |    ELSE NULL END AS oph_coverage_ppm
+         |FROM e""".stripMargin) { (s, d) =>
+      val n = ophAgreement(s, SignatureStore.ensureOphBands(s, d), d)
+        .agg(sum("in_k8").cast("long").as("n_k8"),
+          sum("in_oph").cast("long").as("n_oph"),
+          sum(col("in_oph") * col("in_k8")).cast("long").as("n_both"))
+      n.select(col("n_k8"), col("n_oph"), col("n_both"),
+          expr("""CASE WHEN n_both > 0
+                 |  THEN CAST((CAST(n_oph AS DECIMAL(38,0)) * n_k8) div n_both AS BIGINT)
+                 |  ELSE NULL END""".stripMargin).as("lincoln_petersen"),
+          expr("""CAST((CAST(n_oph + 1 AS DECIMAL(38,0)) * (n_k8 + 1)) div (n_both + 1) - 1
+                 |  AS BIGINT)""".stripMargin).as("chapman"))
+        .select(col("n_k8"), col("n_oph"), col("n_both"),
+          col("lincoln_petersen"), col("chapman"),
+          expr("""CASE WHEN chapman > 0
+                 |  THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * n_k8) div chapman AS BIGINT)
+                 |  ELSE NULL END""".stripMargin).as("k8_coverage_ppm"),
+          expr("""CASE WHEN chapman > 0
+                 |  THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * n_oph) div chapman AS BIGINT)
+                 |  ELSE NULL END""".stripMargin).as("oph_coverage_ppm"))
     },
 
     // ----- token-length histogram: log2-bucketed corpus shape report -----
