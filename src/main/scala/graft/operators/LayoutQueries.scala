@@ -190,27 +190,37 @@ object LayoutQueries {
         rn0, Seq(col("l_returnflag"), col("l_linestatus"),
           col("l_orderkey"), col("l_linenumber"), col("c_partkey"),
           col("c_quantity"), col("c_discount")), "rks")
-      val cols = Seq("l_returnflag" -> "c_returnflag",
-          "l_linestatus" -> "c_linestatus", "l_quantity" -> "c_quantity",
-          "l_discount" -> "c_discount", "l_partkey" -> "c_partkey")
-        .map { case (label, c) =>
-          r.select(lit(label).as("col"), col(c).as("v"),
-            col("rkn"), col("rks"))
-        }.reduce(_ unionByName _)
-        .localCheckpoint() // 5 consumers: two run joins + the NDV agg
-      def runChanges(rk: String) = {
-        val a = cols.select(col("col"), col("v").as("va"),
-          (col(rk) + 1).as("rj"))
-        val b = cols.select(col("col"), col("v").as("vb"), col(rk).as("rj"))
-        a.join(b, Seq("col", "rj"))
-          .groupBy("col")
-          .agg(sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)).as("chg"))
+      // ONE adjacency join per layout carrying all five value columns
+      // on a LONG rank key, then five conditional sums — the first
+      // generation unioned the table ×5 into (col, v) STRING-keyed rows
+      // and self-joined THAT (30M rows through each exchange at sf0.1;
+      // 9.8 s). Same run counts, one 6M long-keyed join per layout.
+      val vcols = Seq("c_returnflag", "c_linestatus", "c_quantity",
+        "c_discount", "c_partkey")
+      val labels = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_discount", "l_partkey")
+      val rr = r.localCheckpoint() // 3 consumers: two run joins + NDV agg
+      def runChanges(rk: String, out: String) = {
+        val a = rr.select((col(rk) + 1).as("rj") +:
+          vcols.map(c => col(c).as(s"a_$c")): _*)
+        val b = rr.select(col(rk).as("rj") +: vcols.map(c => col(c).as(s"b_$c")): _*)
+        val sums = vcols.zipWithIndex.map { case (c, i) =>
+          sum(when(col(s"a_$c") =!= col(s"b_$c"), 1L).otherwise(0L)).as(s"chg_$i")
+        }
+        val agg = a.join(b, Seq("rj")).agg(sums.head, sums.tail: _*)
+        agg.selectExpr("stack(5, " +
+          labels.zipWithIndex.map { case (lb, i) => s"'$lb', chg_$i" }
+            .mkString(", ") + s") AS (col, $out)")
       }
-      val rn = runChanges("rkn").withColumnRenamed("chg", "chgn")
-      val rs = runChanges("rks").withColumnRenamed("chg", "chgs")
-      val nd = cols.groupBy("col")
-        .agg(count(lit(1)).as("n"), countDistinct("v").as("ndv"))
-      nd.join(rn, Seq("col")).join(rs, Seq("col"))
+      val rn = runChanges("rkn", "chgn")
+      val rs = runChanges("rks", "chgs")
+      val nd = rr.agg(count(lit(1)).as("n"),
+          vcols.zipWithIndex.map { case (c, i) =>
+            countDistinct(col(c)).as(s"ndv_$i") }: _*)
+        .selectExpr("stack(5, " +
+          labels.zipWithIndex.map { case (lb, i) => s"'$lb', n, ndv_$i" }
+            .mkString(", ") + ") AS (col, n, ndv)")
+      nd.join(broadcast(rn), Seq("col")).join(broadcast(rs), Seq("col"))
         .select(col("col"), col("n"), col("ndv"),
           (col("chgn") + 1).as("runs_natural"),
           (col("chgs") + 1).as("runs_sorted"),
