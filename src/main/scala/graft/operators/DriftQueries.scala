@@ -3589,5 +3589,263 @@ object DriftQueries {
             .as("fano_ppm"))
         .orderBy("event_type")
     },
+
+    // ----- risk ratio with the Katz log-scale confidence interval -----
+    // The effect-size face the odds-ratio family lacks: RR = risk in
+    // the exposed (≥4-line orders) over risk in the unexposed, per
+    // customer nation, with the Katz 95% CI reported ON THE LOG SCALE
+    // in micro-nats — exp() never runs, so the only transcendentals
+    // are ONE 6dp-rounded ln (the point estimate) and ONE IEEE-chain
+    // sqrt (the standard error b/(a(a+b)) + d/(c(c+d)), two correctly-
+    // rounded divisions summed inside an identical literal tree) per
+    // BOUNDED nation row. The z multiplier enters as the integer
+    // 196/100 AFTER the micro conversion, so the bound arithmetic is
+    // pure BIGINT. rr_ppm rides as the exact cross-multiplied rational;
+    // degenerate cells (a = 0 or c = 0: RR undefined / se infinite)
+    // report NULL honestly. A CI whose log-interval excludes 0 is the
+    // per-nation significance readout.
+    "ab_risk_ratio_ci" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, c.c_nationkey,
+        |    CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS exp,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT c_nationkey,
+        |    CAST(sum(exp * pos) AS BIGINT) AS a,
+        |    CAST(sum(exp * (1 - pos)) AS BIGINT) AS b,
+        |    CAST(sum((1 - exp) * pos) AS BIGINT) AS c,
+        |    CAST(sum((1 - exp) * (1 - pos)) AS BIGINT) AS d
+        |  FROM lab GROUP BY 1),
+        |e AS (
+        |  SELECT c_nationkey, a, b, c, d,
+        |    CASE WHEN a > 0 AND c > 0 THEN
+        |      CAST((CAST(1000000 AS HUGEINT) * a * (c + d)) // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT)
+        |    ELSE NULL END AS rr_ppm,
+        |    CASE WHEN a > 0 AND c > 0 THEN
+        |      CAST(round(1000000 * round(ln(
+        |        (CAST(a AS DOUBLE) * (c + d)) / (CAST(c AS DOUBLE) * (a + b))), 6)) AS BIGINT)
+        |    ELSE NULL END AS ln_rr_micro,
+        |    CASE WHEN a > 0 AND c > 0 THEN
+        |      CAST(round(1000000 * round(sqrt(
+        |        CAST(b AS DOUBLE) / (CAST(a AS DOUBLE) * (a + b)) +
+        |        CAST(d AS DOUBLE) / (CAST(c AS DOUBLE) * (c + d))), 6)) AS BIGINT)
+        |    ELSE NULL END AS se_micro
+        |  FROM st)
+        |SELECT c_nationkey, a, b, c, d, rr_ppm, ln_rr_micro, se_micro,
+        |  ln_rr_micro - (196 * se_micro) // 100 AS ci_lo_micro,
+        |  ln_rr_micro + (196 * se_micro) // 100 AS ci_hi_micro,
+  CAST(CASE WHEN se_micro IS NULL THEN NULL
+        |       WHEN ln_rr_micro - (196 * se_micro) // 100 > 0
+        |         OR ln_rr_micro + (196 * se_micro) // 100 < 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS significant
+        |FROM e ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val lab = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .groupBy("o_orderkey", "c_nationkey")
+        .agg(expr("CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)").as("exp"),
+          expr("CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("pos"))
+      val st = lab.groupBy("c_nationkey")
+        .agg(sum(expr("exp * pos")).cast("long").as("a"),
+          sum(expr("exp * (1 - pos)")).cast("long").as("b"),
+          sum(expr("(1 - exp) * pos")).cast("long").as("c"),
+          sum(expr("(1 - exp) * (1 - pos)")).cast("long").as("d"))
+      st.select(col("c_nationkey"), col("a"), col("b"), col("c"), col("d"),
+          expr("""CASE WHEN a > 0 AND c > 0 THEN
+                 |  CAST((CAST(1000000 AS DECIMAL(38,0)) * a * (c + d))
+                 |    div (CAST(c AS DECIMAL(38,0)) * (a + b)) AS BIGINT)
+                 |ELSE NULL END""".stripMargin).as("rr_ppm"),
+          expr("""CASE WHEN a > 0 AND c > 0 THEN
+                 |  CAST(round(1000000 * round(ln(
+                 |    (CAST(a AS DOUBLE) * (c + d)) / (CAST(c AS DOUBLE) * (a + b))), 6)) AS BIGINT)
+                 |ELSE NULL END""".stripMargin).as("ln_rr_micro"),
+          expr("""CASE WHEN a > 0 AND c > 0 THEN
+                 |  CAST(round(1000000 * round(sqrt(
+                 |    CAST(b AS DOUBLE) / (CAST(a AS DOUBLE) * (a + b)) +
+                 |    CAST(d AS DOUBLE) / (CAST(c AS DOUBLE) * (c + d))), 6)) AS BIGINT)
+                 |ELSE NULL END""".stripMargin).as("se_micro"))
+        .select(col("c_nationkey"), col("a"), col("b"), col("c"), col("d"),
+          col("rr_ppm"), col("ln_rr_micro"), col("se_micro"),
+          expr("ln_rr_micro - (196 * se_micro) div 100").as("ci_lo_micro"),
+          expr("ln_rr_micro + (196 * se_micro) div 100").as("ci_hi_micro"),
+          expr("""CASE WHEN se_micro IS NULL THEN NULL
+                 |     WHEN ln_rr_micro - (196 * se_micro) div 100 > 0
+                 |       OR ln_rr_micro + (196 * se_micro) div 100 < 0 THEN 1 ELSE 0 END"""
+            .stripMargin).cast("long").as("significant"))
+        .orderBy("c_nationkey")
+    },
+
+    // ----- McNemar's test: PAIRED classifier comparison -----
+    // The correct way to compare two classifiers evaluated on the SAME
+    // examples (a two-proportion z-test ignores the pairing and throws
+    // away power): only the DISCORDANT pairs carry information —
+    // b = (model A right, model B wrong), c = (A wrong, B right) —
+    // and χ² = (b−c)²/(b+c). Models: the ≥4-line-count rule vs the
+    // above-median-value rule, both predicting order returns; the
+    // median enters as the exact value at the cross-multiplied rank
+    // (2·rank > N — no float percentile), computed with a
+    // calendar-free global TakeOrdered-free two-fold (count, then rank
+    // filter via global row number on value). Pure integer end to end:
+    // χ² in micro = (1e6·(b−c)²) // (b+c); both marginal accuracies
+    // ride for the verdict. b + c = 0 (identical models) reports NULL.
+    "eval_mcnemar" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, CAST(floor(o.o_totalprice) AS BIGINT) AS v,
+        |    CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS y1,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT v AS med FROM (
+        |    SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rk,
+        |      count(*) OVER () AS nn
+        |    FROM lab) WHERE 2 * rk > nn ORDER BY rk LIMIT 1),
+        |p AS (
+        |  SELECT lab.o_orderkey, lab.pos, lab.y1,
+        |    CAST(CASE WHEN lab.v > mm.med THEN 1 ELSE 0 END AS BIGINT) AS y2
+        |  FROM lab CROSS JOIN mm),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y1 = pos AND y2 <> pos THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN y1 <> pos AND y2 = pos THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN y1 = pos THEN 1 ELSE 0 END) AS BIGINT) AS acc1_n,
+        |    CAST(sum(CASE WHEN y2 = pos THEN 1 ELSE 0 END) AS BIGINT) AS acc2_n
+        |  FROM p)
+        |SELECT n, b, c,
+        |  CAST((1000000 * acc1_n) // n AS BIGINT) AS acc1_ppm,
+        |  CAST((1000000 * acc2_n) // n AS BIGINT) AS acc2_ppm,
+        |  CASE WHEN b + c > 0
+        |    THEN CAST((CAST(1000000 AS HUGEINT) * (b - c) * (b - c)) // (b + c) AS BIGINT)
+        |    ELSE NULL END AS mcnemar_chi2_micro
+        |FROM g""".stripMargin) { (s, d) =>
+      val lab = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+        .agg(expr("CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)").as("y1"),
+          expr("CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("pos"))
+        .localCheckpoint() // feeds the median rank scan AND the pairing
+      val (ranked, _) = graft.util.Scale.globalRowNumber(
+        lab, Seq(col("v"), col("o_orderkey")), "rk")
+      val nn = lab.agg(count(lit(1)).as("nn"))
+      val mm = ranked.crossJoin(broadcast(nn))
+        .filter(expr("2 * rk > nn")).orderBy("rk").limit(1)
+        .select(col("v").as("med"))
+      val g = lab.crossJoin(broadcast(mm))
+        .select(col("pos"), col("y1"),
+          expr("CAST(CASE WHEN v > med THEN 1 ELSE 0 END AS BIGINT)").as("y2"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN y1 = pos AND y2 <> pos THEN 1 ELSE 0 END"))
+            .cast("long").as("b"),
+          sum(expr("CASE WHEN y1 <> pos AND y2 = pos THEN 1 ELSE 0 END"))
+            .cast("long").as("c"),
+          sum(expr("CASE WHEN y1 = pos THEN 1 ELSE 0 END")).cast("long").as("acc1_n"),
+          sum(expr("CASE WHEN y2 = pos THEN 1 ELSE 0 END")).cast("long").as("acc2_n"))
+      g.select(col("n"), col("b"), col("c"),
+        expr("CAST((1000000 * acc1_n) div n AS BIGINT)").as("acc1_ppm"),
+        expr("CAST((1000000 * acc2_n) div n AS BIGINT)").as("acc2_ppm"),
+        expr("""CASE WHEN b + c > 0
+               |  THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * (b - c) * (b - c))
+               |    div (b + c) AS BIGINT)
+               |  ELSE NULL END""".stripMargin).as("mcnemar_chi2_micro"))
+    },
+
+    // ----- Brown–Forsythe: variance-equality across order priorities -----
+    // The precondition check behind every pooled-variance comparison
+    // the experimentation family runs: are order-value spreads even
+    // COMPARABLE across the 5 priority classes? Brown–Forsythe is
+    // Levene's test on deviations from the group MEDIAN (robust to the
+    // heavy tails that invalidate the mean version). Exactness: group
+    // medians are exact order statistics at the cross-multiplied rank
+    // (2·rank > n_g, priority-keyed window — never global); absolute
+    // deviations are BIGINTs; group means of deviations enter as
+    // ONCE-floored micro values, so the between/within sums are pure
+    // integer arithmetic (documented estimator variant — both engines
+    // floor identically), DECIMAL-widened where n_g·Σz² passes BIGINT.
+    // Between/within accumulate in WHOLE squared units inside DECIMAL
+    // (micro-scaling a variance-magnitude sum passes BIGINT at sf0.01
+    // already — found as a live ANSI overflow); the emitted components
+    // are thousandths, W lands in micro with the (N−k)/(k−1) scaling.
+    "ab_brown_forsythe" -> QueryDef.sql(
+      """WITH x AS (
+        |  SELECT o_orderpriority AS grp, CAST(floor(o_totalprice) AS BIGINT) AS v,
+        |    o_orderkey
+        |  FROM orders),
+        |r AS (SELECT grp, v,
+        |        row_number() OVER (PARTITION BY grp ORDER BY v, o_orderkey) AS rk,
+        |        count(*) OVER (PARTITION BY grp) AS ng
+        |      FROM x),
+        |med AS (
+        |  SELECT grp, min(v) AS med FROM r WHERE 2 * rk > ng GROUP BY grp),
+        |z AS (
+        |  SELECT x.grp, abs(x.v - med.med) AS z
+        |  FROM x JOIN med ON med.grp = x.grp),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS ng, CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(z * z) AS BIGINT) AS sz2,
+        |    CAST((1000000 * CAST(sum(z) AS HUGEINT)) // count(*) AS BIGINT) AS zbar_micro
+        |  FROM z GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |    CAST((1000000 * CAST(sum(sz) AS HUGEINT)) // sum(ng) AS BIGINT) AS zbar_all_micro
+        |  FROM g),
+        |parts AS (
+        |  SELECT
+        |    sum(CAST(g.ng AS HUGEINT) * (g.zbar_micro - t.zbar_all_micro)
+        |      * (g.zbar_micro - t.zbar_all_micro) // 1000000000000) AS between_w,
+        |    sum((CAST(g.ng AS HUGEINT) * g.sz2 - CAST(g.sz AS HUGEINT) * g.sz) // g.ng)
+        |      AS within_w,
+        |    max(t.n) AS n, max(t.k) AS k
+        |  FROM g CROSS JOIN t)
+        |SELECT n, k,
+        |  CAST(between_w // 1000 AS BIGINT) AS between_k,
+        |  CAST(within_w // 1000 AS BIGINT) AS within_k,
+        |  CASE WHEN within_w > 0 THEN
+        |    CAST((CAST(n - k AS HUGEINT) * 1000000 * between_w)
+        |      // (CAST(k - 1 AS HUGEINT) * within_w) AS BIGINT)
+        |  ELSE NULL END AS bf_w_micro
+        |FROM parts""".stripMargin) { (s, d) =>
+      val x = orders(s, d).select(col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"), col("o_orderkey"))
+        .localCheckpoint() // feeds the rank scan and the deviation join
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy("v", "o_orderkey")
+      val med = x.select(col("grp"), col("v"),
+          row_number().over(w).as("rk"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("grp")).as("ng"))
+        .filter(expr("2 * rk > ng")).groupBy("grp").agg(min("v").as("med"))
+      val z = x.join(broadcast(med), Seq("grp"))
+        .select(col("grp"), abs(col("v") - col("med")).as("z"))
+      val g = z.groupBy("grp")
+        .agg(count(lit(1)).as("ng"), sum("z").cast("long").as("sz"),
+          sum(expr("z * z")).cast("long").as("sz2"))
+        .select(col("grp"), col("ng"), col("sz"), col("sz2"),
+          expr("CAST((1000000 * CAST(sz AS DECIMAL(38,0))) div ng AS BIGINT)")
+            .as("zbar_micro"))
+        .localCheckpoint(true) // ≤5 rows; feeds the total and the parts fold
+      val t = g.agg(sum("ng").cast("long").as("n"), count(lit(1)).as("k"),
+        expr("CAST((1000000 * CAST(sum(sz) AS DECIMAL(38,0))) div sum(ng) AS BIGINT)")
+          .as("zbar_all_micro"))
+      val parts = g.crossJoin(broadcast(t))
+        .agg(
+          sum(expr("""CAST(ng AS DECIMAL(38,0)) * (zbar_micro - zbar_all_micro)
+                     |  * (zbar_micro - zbar_all_micro) div 1000000000000"""
+            .stripMargin)).as("between_w"),
+          sum(expr("""(CAST(ng AS DECIMAL(38,0)) * sz2 - CAST(sz AS DECIMAL(38,0)) * sz)
+                     |  div ng""".stripMargin)).as("within_w"),
+          max("n").as("n"), max("k").as("k"))
+      parts.select(col("n"), col("k"),
+        expr("CAST(between_w div 1000 AS BIGINT)").as("between_k"),
+        expr("CAST(within_w div 1000 AS BIGINT)").as("within_k"),
+        expr("""CASE WHEN within_w > 0 THEN
+               |  CAST((CAST(n - k AS DECIMAL(38,0)) * 1000000 * between_w)
+               |    div (CAST(k - 1 AS DECIMAL(38,0)) * within_w) AS BIGINT)
+               |ELSE NULL END""".stripMargin).as("bf_w_micro"))
+    },
   )
 }
