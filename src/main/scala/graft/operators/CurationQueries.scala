@@ -442,6 +442,82 @@ object CurationQueries {
             "div sum(n) AS BIGINT)").as("at_risk_ppm"))
     },
 
+    // ----- k-anonymity SUPPRESSION: the action the audit demands -----
+    // pii_k_anonymity reports the risk; this executes the fix — the
+    // Samarati/Sweeney generalization ladder: documents whose full
+    // quasi-identifier group (lang, source, len-bucket) clears k = 5
+    // release at level 0; the REMAINDER re-groups under the
+    // generalized QI (lang, source) and releases what now clears k;
+    // the rest generalizes to (source) alone; whatever still sits in a
+    // group under k is SUPPRESSED. Group sizes at each level are
+    // computed over the remaining docs only (the iterative refinement
+    // — releasing a level never un-releases an earlier one), windows
+    // are QI-keyed (taxonomy-bounded partitions, never global), and
+    // the per-level report (docs, groups, min surviving group size)
+    // plus the suppressed tail is the release manifest's privacy page.
+    // Verdict shape at any scale: level-0 carries almost everything,
+    // the ladder tail measures how much utility the k guarantee costs.
+    "pii_k_suppression" -> QueryDef.sql(
+      """WITH q AS (
+        |  SELECT doc_id, lang, source, length(text) // 100 AS len_bucket
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |g0 AS (SELECT *, count(*) OVER (PARTITION BY lang, source, len_bucket) AS n0 FROM q),
+        |r0 AS (SELECT * FROM g0 WHERE n0 < 5),
+        |g1 AS (SELECT *, count(*) OVER (PARTITION BY lang, source) AS n1 FROM r0),
+        |r1 AS (SELECT * FROM g1 WHERE n1 < 5),
+        |g2 AS (SELECT *, count(*) OVER (PARTITION BY source) AS n2 FROM r1),
+        |lv AS (
+        |  SELECT CAST(0 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT (lang, source, len_bucket)) AS BIGINT) AS n_groups,
+        |    CAST(min(n0) AS BIGINT) AS min_k
+        |  FROM g0 WHERE n0 >= 5
+        |  UNION ALL
+        |  SELECT 1, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT (lang, source)) AS BIGINT), CAST(min(n1) AS BIGINT)
+        |  FROM g1 WHERE n1 >= 5
+        |  UNION ALL
+        |  SELECT 2, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT), CAST(min(n2) AS BIGINT)
+        |  FROM g2 WHERE n2 >= 5
+        |  UNION ALL
+        |  SELECT 3, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT), CAST(min(n2) AS BIGINT)
+        |  FROM g2 WHERE n2 < 5)
+        |SELECT level, coalesce(n_docs, 0) AS n_docs, coalesce(n_groups, 0) AS n_groups,
+        |  min_k
+        |FROM lv ORDER BY level""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = documents(s, d)
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("length(text) div 100").as("len_bucket"))
+      val g0 = q.withColumn("n0",
+        count(lit(1)).over(Window.partitionBy("lang", "source", "len_bucket")))
+        .localCheckpoint() // level-0 report + the remainder both read it
+      val r0 = g0.filter(col("n0") < 5)
+      val g1 = r0.withColumn("n1",
+        count(lit(1)).over(Window.partitionBy("lang", "source")))
+        .localCheckpoint()
+      val r1 = g1.filter(col("n1") < 5)
+      val g2 = r1.withColumn("n2",
+        count(lit(1)).over(Window.partitionBy("source")))
+        .localCheckpoint()
+      def lv(df: org.apache.spark.sql.DataFrame, level: Int,
+          grpExpr: String, nCol: String, kept: Boolean) =
+        df.filter(if (kept) col(nCol) >= 5 else col(nCol) < 5)
+          .agg(count(lit(1)).as("n_docs"),
+            expr(s"count(DISTINCT $grpExpr)").as("n_groups"),
+            min(nCol).cast("long").as("min_k"))
+          .select(lit(level.toLong).as("level"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_groups"), lit(0L)).as("n_groups"), col("min_k"))
+      lv(g0, 0, "struct(lang, source, len_bucket)", "n0", kept = true)
+        .unionByName(lv(g1, 1, "struct(lang, source)", "n1", kept = true))
+        .unionByName(lv(g2, 2, "source", "n2", kept = true))
+        .unionByName(lv(g2, 3, "source", "n2", kept = false))
+        .orderBy("level")
+    },
+
     // ----- l-diversity audit: the companion invariant to k-anonymity -----
     // k-anonymity bounds GROUP SIZE; l-diversity bounds what a group
     // LEAKS: a quasi-identifier group where every member shares one

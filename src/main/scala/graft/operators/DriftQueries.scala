@@ -2821,6 +2821,93 @@ object DriftQueries {
         .orderBy("day")
     },
 
+    // ----- seasonal/trend STRENGTH of the daily series -----
+    // The one-number summary of ts_seasonal_decompose (Hyndman's STL
+    // strength measures): F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    // F_trend = max(0, 1 − Var(R)/Var(T+R)) — how much of the
+    // non-trend (resp. non-seasonal) variation the seasonal (trend)
+    // component explains, the scalar that justifies (or retires) the
+    // per-dow forecast baseline without eyeballing the decomposition.
+    // Components are EXACTLY the decompose query's (×7-scaled centered
+    // MA trend, per-dow floored means, full-window days only);
+    // variances are n-scaled integers (n·Σv² − (Σv)², the comovement
+    // discipline), DECIMAL-widened because ×7 daily counts squared
+    // pass BIGINT at 100 TB; the ratios land in ppm with one div each.
+    "ts_stl_strength" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(y) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7
+        |  FROM d),
+        |f AS (
+        |  SELECT day, y, t7, day % 7 AS dow, 7 * y - t7 AS det_x7
+        |  FROM g WHERE rk >= 4 AND rk <= n - 3),
+        |se AS (SELECT dow, CAST(sum(det_x7) AS BIGINT) AS sd,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |       FROM f GROUP BY 1),
+        |sf AS (SELECT dow, sd // nd AS seas_x7 FROM se),
+        |r AS (
+        |  SELECT f.det_x7, f.det_x7 - sf.seas_x7 AS resid,
+        |    f.t7 + (f.det_x7 - sf.seas_x7) AS deseas
+        |  FROM f JOIN sf ON sf.dow = f.dow),
+        |v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(resid AS HUGEINT) * resid) AS srr, sum(CAST(resid AS HUGEINT)) AS sr,
+        |    sum(CAST(det_x7 AS HUGEINT) * det_x7) AS sdd, sum(CAST(det_x7 AS HUGEINT)) AS sd,
+        |    sum(CAST(deseas AS HUGEINT) * deseas) AS stt, sum(CAST(deseas AS HUGEINT)) AS st
+        |  FROM r)
+        |SELECT n AS n_days,
+        |  CASE WHEN n * sdd - sd * sd > 0 THEN
+        |    greatest(0, 1000000 - CAST((1000000 * (n * srr - sr * sr))
+        |      // (n * sdd - sd * sd) AS BIGINT))
+        |  ELSE NULL END AS f_seasonal_ppm,
+        |  CASE WHEN n * stt - st * st > 0 THEN
+        |    greatest(0, 1000000 - CAST((1000000 * (n * srr - sr * sr))
+        |      // (n * stt - st * st) AS BIGINT))
+        |  ELSE NULL END AS f_trend_ppm
+        |FROM v""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val dd = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+      val w = Window.orderBy("day") // bounded calendar rows
+      val g = dd.select(col("day"), col("y"),
+        row_number().over(w).cast("long").as("rk"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).as("n"),
+        sum("y").over(w.rowsBetween(-3, 3)).as("t7"))
+      val f = g.filter(col("rk") >= 4 && col("rk") <= col("n") - 3)
+        .select(col("day"), col("t7"), (col("day") % 7).as("dow"),
+          (lit(7L) * col("y") - col("t7")).as("det_x7"))
+        .localCheckpoint(true)
+      val sf = f.groupBy("dow")
+        .agg(sum("det_x7").as("sd"), count(lit(1)).as("nd"))
+        .select(col("dow"), expr("sd div nd").as("seas_x7"))
+      val r = f.join(broadcast(sf), Seq("dow"))
+        .select(col("det_x7"), (col("det_x7") - col("seas_x7")).as("resid"),
+          (col("t7") + col("det_x7") - col("seas_x7")).as("deseas"))
+      val v = r.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(resid AS DECIMAL(38,0)) * resid")).as("srr"),
+        sum(expr("CAST(resid AS DECIMAL(38,0))")).as("sr"),
+        sum(expr("CAST(det_x7 AS DECIMAL(38,0)) * det_x7")).as("sdd"),
+        sum(expr("CAST(det_x7 AS DECIMAL(38,0))")).as("sd"),
+        sum(expr("CAST(deseas AS DECIMAL(38,0)) * deseas")).as("stt"),
+        sum(expr("CAST(deseas AS DECIMAL(38,0))")).as("st"))
+      v.select(col("n").as("n_days"),
+        expr("""CASE WHEN n * sdd - sd * sd > 0 THEN
+               |  greatest(0L, 1000000L - CAST((1000000 * (n * srr - sr * sr))
+               |    div (n * sdd - sd * sd) AS BIGINT))
+               |ELSE NULL END""".stripMargin).as("f_seasonal_ppm"),
+        expr("""CASE WHEN n * stt - st * st > 0 THEN
+               |  greatest(0L, 1000000L - CAST((1000000 * (n * srr - sr * sr))
+               |    div (n * stt - st * st) AS BIGINT))
+               |ELSE NULL END""".stripMargin).as("f_trend_ppm"))
+    },
+
     // ----- Log-log price elasticity of demand (OLS) -----
     // The economics classic: elasticity = d ln(qty)/d ln(price),
     // estimated as the OLS slope over PART-grain points — aggregation

@@ -226,6 +226,48 @@ object SearchQueries {
       |      FROM sc)
       |WHERE rn <= 5 ORDER BY qid, doc_id""".stripMargin
 
+  /** Snippet oracle: BM25 top-1 per query, then the densest 10-token
+    * window by prefix-summed query-term hits (ties to the earliest
+    * position), with the exact token slice. */
+  private val SnippetOracleSql: String =
+    s"""$Bm25CteChain,
+       |top AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |    FROM score) WHERE r = 1),
+       |dt AS (
+       |  SELECT c.doc_id, c.tk, CAST(len(c.tk) AS BIGINT) AS dl
+       |  FROM corpus c JOIN (SELECT DISTINCT doc_id FROM top) t ON t.doc_id = c.doc_id),
+       |pt AS (
+       |  SELECT doc_id, dl, u.i AS p, u.tok AS token
+       |  FROM (SELECT doc_id, dl,
+       |          unnest([{'i': CAST(i AS BIGINT), 'tok': tk[i]}
+       |                  for i in generate_series(1, len(tk))]) AS u
+       |        FROM dt)),
+       |h AS (
+       |  SELECT top.qid, pt.doc_id, pt.dl, pt.p,
+       |    CAST(CASE WHEN q2.token IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+       |  FROM top JOIN pt ON pt.doc_id = top.doc_id
+       |  LEFT JOIN qt q2 ON q2.qid = top.qid AND q2.token = pt.token),
+       |cumt AS (SELECT *,
+       |    CAST(sum(hit) OVER (PARTITION BY qid, doc_id ORDER BY p) AS BIGINT) AS cum
+       |  FROM h),
+       |sc2 AS (
+       |  SELECT a.qid, a.doc_id, a.p, b.cum - a.cum + a.hit AS w_hits
+       |  FROM cumt a JOIN cumt b
+       |    ON b.qid = a.qid AND b.doc_id = a.doc_id AND b.p = a.p + 9
+       |  WHERE a.p <= a.dl - 9),
+       |best AS (
+       |  SELECT qid, doc_id, p, w_hits FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid, doc_id
+       |      ORDER BY w_hits DESC, p) AS rn
+       |    FROM sc2) WHERE rn = 1)
+       |SELECT best.qid, best.doc_id, best.p AS best_pos, best.w_hits,
+       |  array_to_string(dt.tk[best.p : best.p + 9], ' ') AS snippet
+       |FROM best JOIN dt ON dt.doc_id = best.doc_id
+       |ORDER BY best.qid, best.doc_id""".stripMargin
+
   /** Hard-negative oracle: vector-similar docs (top-10) minus the
     * keyword-relevant set (BM25 top-5), top-3 survivors per query. */
   private val HardNegOracleSql: String =
@@ -1163,6 +1205,62 @@ object SearchQueries {
         .withColumn("rank", row_number().over(rn).cast("long"))
         .select("phrase", "n_occ", "score_ppm", "rank")
         .orderBy("rank")
+    },
+
+    // ----- snippet extraction: the best 10-token window per hit -----
+    // The result-presentation stage every search stack runs after
+    // ranking: for each query's BM25 top-1 document, the contiguous
+    // 10-token window containing the most query-term occurrences (ties
+    // to the earliest position) plus its text. Exact and bounded:
+    // only the top documents re-tokenize (result-set cardinality, not
+    // corpus), hit counts prefix-sum over a doc-keyed position window,
+    // and window scoring is ONE rank-offset equi-join (pos+9 — the
+    // er_sorted_neighborhood pattern; windows that would overrun the
+    // document are excluded, so docs under 10 tokens emit nothing,
+    // documented). The snippet itself is an exact token slice — both
+    // engines join the array back and cut [best_pos, 10].
+    "search_snippet_window" -> QueryDef.sql(SnippetOracleSql) { (s, d) =>
+      val docs = documents(s, d)
+      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val qt = queryTerms(docs)
+      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+      val stats = corpusLens.agg(
+        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
+      val tf = postings.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        .select("doc_id", "token", "tf", "dl")
+      val top = bm25Rank(tf, stats, qt, k = 1).select("qid", "doc_id")
+      // bounded: the top documents only — re-tokenize just those
+      val docTk = docs.join(top.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+        .localCheckpoint() // positions + the final snippet slice share it
+      val posTok = docTk
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          posexplode(col("tk")))
+        .select(col("doc_id"), col("dl"), (col("pos") + 1).cast("long").as("p"),
+          col("col").as("token"))
+      val hits = broadcast(top).join(posTok, Seq("doc_id"))
+        .join(broadcast(qt.withColumn("hit", lit(1L))), Seq("qid", "token"), "left")
+        .select(col("qid"), col("doc_id"), col("dl"), col("p"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+      val cum = hits.withColumn("cum", sum("hit").over(
+          Window.partitionBy("qid", "doc_id").orderBy("p")))
+        .localCheckpoint() // both sides of the window join
+      val a = cum.filter(col("p") <= col("dl") - 9)
+        .select(col("qid"), col("doc_id"), col("p"), col("hit"), col("cum").as("ca"))
+      val b = cum.select(col("qid"), col("doc_id"), (col("p") - 9).as("p"),
+        col("cum").as("cb"))
+      val scored = a.join(b, Seq("qid", "doc_id", "p"))
+        .select(col("qid"), col("doc_id"), col("p"),
+          (col("cb") - col("ca") + col("hit")).as("w_hits"))
+      val rnW = Window.partitionBy("qid", "doc_id")
+        .orderBy(col("w_hits").desc, col("p"))
+      scored.withColumn("rn", row_number().over(rnW))
+        .filter(col("rn") === 1)
+        .join(docTk, Seq("doc_id"))
+        .select(col("qid"), col("doc_id"), col("p").as("best_pos"), col("w_hits"),
+          expr("array_join(slice(tk, CAST(p AS INT), 10), ' ')").as("snippet"))
+        .orderBy("qid", "doc_id")
     },
   )
 
