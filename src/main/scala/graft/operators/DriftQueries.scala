@@ -2908,6 +2908,191 @@ object DriftQueries {
                |ELSE NULL END""".stripMargin).as("f_trend_ppm"))
     },
 
+    // ----- damped-trend Holt: the smoothing family's closer -----
+    // Gardner–McKenzie damping (φ = ¾, exactly 3·b // 4 in the 2^20
+    // fixed point — one multiply and one truncating division, identical
+    // on both engines): an undamped linear trend extrapolates forever
+    // and overshoots any horizon past a few steps, so production
+    // forecasters damp it — the h-step forecast adds φ+φ²+…+φʰ trend
+    // increments and flattens toward a finite asymptote. Same
+    // α = β = ½ dyadic recursion, driver fold = recursive CTE
+    // bit-for-bit (the ts_holt_winters contract); the forecast rows
+    // carry their own 7-step damped accumulation (a second tiny
+    // recursion); err_s is the one-step residual against the DAMPED
+    // prediction. Reading ts_holt_winters beside this query shows the
+    // deployment difference at h = 7: linear keeps climbing, damped
+    // saturates.
+    "forecast_ets_damped" -> QueryDef.sql(
+      """WITH RECURSIVE d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+        |  FROM d),
+        |rec AS (
+        |  SELECT rk, day, y, y * 1048576 AS level_s, CAST(0 AS BIGINT) AS trend_s,
+        |    CAST(NULL AS BIGINT) AS err_s
+        |  FROM g WHERE rk = 1
+        |  UNION ALL
+        |  SELECT g.rk, g.day, g.y,
+        |    (g.y * 1048576 + rec.level_s + (3 * rec.trend_s) // 4) // 2,
+        |    (((g.y * 1048576 + rec.level_s + (3 * rec.trend_s) // 4) // 2 - rec.level_s)
+        |      + (3 * rec.trend_s) // 4) // 2,
+        |    g.y * 1048576 - (rec.level_s + (3 * rec.trend_s) // 4)
+        |  FROM rec JOIN g ON g.rk = rec.rk + 1),
+        |lastr AS (SELECT * FROM rec ORDER BY rk DESC LIMIT 1),
+        |fcr AS (
+        |  SELECT CAST(1 AS BIGINT) AS h, lastr.day + 1 AS day,
+        |    (3 * lastr.trend_s) // 4 AS bh,
+        |    lastr.level_s + (3 * lastr.trend_s) // 4 AS f
+        |  FROM lastr
+        |  UNION ALL
+        |  SELECT h + 1, day + 1, (3 * bh) // 4, f + (3 * bh) // 4
+        |  FROM fcr WHERE h < 7)
+        |SELECT 'fit' AS role, day, y, level_s, trend_s, err_s,
+        |  level_s + (3 * trend_s) // 4 AS forecast_s FROM rec
+        |UNION ALL
+        |SELECT 'forecast', day, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), f FROM fcr
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val us = graft.util.Tables.epochUsFloorSql
+      val daily = events(s, d)
+        .select(expr(s"($us) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+        .orderBy("day")
+        .collect() // bounded: one row per calendar day
+      val S = 1048576L
+      def damp(b: Long): Long = (3 * b) / 4 // Long / truncates = DuckDB //
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Option[Long], Option[Long], Option[Long], Option[Long], Long)]
+      var l = daily.head.getLong(1) * S
+      var b = 0L
+      out += (("fit", daily.head.getLong(0), Some(daily.head.getLong(1)),
+        Some(l), Some(0L), None, l + damp(0L)))
+      daily.drop(1).foreach { r =>
+        val (day, y) = (r.getLong(0), r.getLong(1))
+        val p = l + damp(b)
+        val err = y * S - p
+        val nl = (y * S + p) / 2
+        b = ((nl - l) + damp(b)) / 2
+        l = nl
+        out += (("fit", day, Some(y), Some(l), Some(b), Some(err), l + damp(b)))
+      }
+      val lastDay = daily.last.getLong(0)
+      var bh = damp(b)
+      var f = l + bh
+      out += (("forecast", lastDay + 1, None, None, None, None, f))
+      (2L to 7L).foreach { h =>
+        bh = damp(bh); f += bh
+        out += (("forecast", lastDay + h, None, None, None, None, f))
+      }
+      import s.implicits._
+      out.toSeq
+        .toDF("role", "day", "y", "level_s", "trend_s", "err_s", "forecast_s")
+        .orderBy("day")
+    },
+
+    // ----- content-integrity manifest per source partition -----
+    // The tamper-evidence artifact a curated release ships beside the
+    // dataset card: per source, an order-free 61-bit content checksum
+    // (the sum over documents of md5-head60(doc_id ‖ text), reduced
+    // mod 2^61 — commutative, so partition order and parallelism can
+    // never change it) plus the row count and byte totals. Re-running
+    // the manifest after any copy/compaction/migration and diffing it
+    // is the cheapest whole-corpus equality check that exists — one
+    // stateless hash projection and one map-side-combinable aggregate;
+    // no shuffle wider than the source taxonomy. A checksum, not a
+    // MAC: it detects corruption and accidental mutation, and the
+    // scaladoc says so rather than implying cryptographic tamper
+    // resistance.
+    "dq_integrity_manifest" -> QueryDef.sql(
+      """WITH h AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')), 1, 15))::BIGINT AS h60,
+        |    coalesce(length(text), 0) AS nb
+        |  FROM documents WHERE source IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_chars,
+        |  CAST(CAST(sum(CAST(h60 AS HUGEINT)) AS HUGEINT) % 2305843009213693952 AS BIGINT)
+        |    AS checksum61
+        |FROM h GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"),
+          expr("""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+                 |  coalesce(text, ''))), 1, 15), 16, 10) AS BIGINT)""".stripMargin)
+            .as("h60"),
+          expr("coalesce(length(text), 0L)").as("nb"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nb").cast("long").as("n_chars"),
+          expr("CAST(sum(CAST(h60 AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)")
+            .as("checksum61"))
+        .orderBy("source")
+    },
+
+    // ----- jackknife standard error of the return rate -----
+    // The second resampling face beside ab_bootstrap_ci, with the
+    // opposite tradeoff: delete-one-STRATUM jackknife needs exactly g
+    // (= customer nations, bounded) recomputations instead of 400
+    // resamples, and every one is closed-form here — the leave-nation-
+    // out rate is (A − aᵢ)/(N − nᵢ) straight from the per-stratum
+    // counts, exact ppm. SE = sqrt((g−1)/g · Σ(θᵢ − θ̄)²) through the
+    // IEEE-sqrt chain (the jackknife mean θ̄ enters ONCE-floored in
+    // ppm, so the deviations are pure BIGINT). The min/max
+    // leave-one-out rates ride as the influence diagnostic: which
+    // single nation moves the global rate most.
+    "stats_jackknife_se" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, c.c_nationkey,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |st AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS a
+        |       FROM lab GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(a) AS BIGINT) AS aa,
+        |        CAST(count(*) AS BIGINT) AS g FROM st),
+        |loo AS (
+        |  SELECT st.c_nationkey,
+        |    CAST((1000000 * (t.aa - st.a)) // (t.nn - st.n) AS BIGINT) AS theta_ppm
+        |  FROM st CROSS JOIN t),
+        |jm AS (SELECT CAST(sum(theta_ppm) // count(*) AS BIGINT) AS jbar FROM loo),
+        |sq AS (
+        |  SELECT CAST(sum((theta_ppm - jm.jbar) * (theta_ppm - jm.jbar)) AS BIGINT) AS ss,
+        |    min(theta_ppm) AS loo_min_ppm, max(theta_ppm) AS loo_max_ppm
+        |  FROM loo CROSS JOIN jm)
+        |SELECT t.g, CAST((1000000 * t.aa) // t.nn AS BIGINT) AS theta_ppm,
+        |  sq.loo_min_ppm, sq.loo_max_ppm,
+        |  CAST(floor(sqrt(CAST(t.g - 1 AS DOUBLE) * sq.ss / t.g)) AS BIGINT)
+        |    AS se_jackknife_ppm
+        |FROM t CROSS JOIN sq""".stripMargin) { (s, d) =>
+      val lab = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .groupBy("o_orderkey", "c_nationkey")
+        .agg(expr("CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("pos"))
+      val st = lab.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("pos").cast("long").as("a"))
+        .localCheckpoint(true) // ≤25 rows; feeds the total and the LOO fold
+      val t = st.agg(sum("n").cast("long").as("nn"), sum("a").cast("long").as("aa"),
+        count(lit(1)).as("g"))
+      val loo = st.crossJoin(broadcast(t))
+        .select(col("c_nationkey"),
+          expr("CAST((1000000 * (aa - a)) div (nn - n) AS BIGINT)").as("theta_ppm"))
+      val jm = loo.agg(expr("CAST(sum(theta_ppm) div count(*) AS BIGINT)").as("jbar"))
+      val sq = loo.crossJoin(broadcast(jm))
+        .agg(sum(expr("(theta_ppm - jbar) * (theta_ppm - jbar)")).cast("long").as("ss"),
+          min("theta_ppm").as("loo_min_ppm"), max("theta_ppm").as("loo_max_ppm"))
+      t.crossJoin(sq)
+        .select(col("g"),
+          expr("CAST((1000000 * aa) div nn AS BIGINT)").as("theta_ppm"),
+          col("loo_min_ppm"), col("loo_max_ppm"),
+          expr("CAST(floor(sqrt(CAST(g - 1 AS DOUBLE) * ss / g)) AS BIGINT)")
+            .as("se_jackknife_ppm"))
+    },
+
     // ----- Log-log price elasticity of demand (OLS) -----
     // The economics classic: elasticity = d ln(qty)/d ln(price),
     // estimated as the OLS slope over PART-grain points — aggregation
