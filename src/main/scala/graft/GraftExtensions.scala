@@ -119,6 +119,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "max_ngram_run takes exactly 2 arguments")
         MaxNgramRun(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("ac_matches"),
+      new ExpressionInfo(classOf[graft.functions.AcMatches].getName, "ac_matches"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "ac_matches takes exactly 2 arguments")
+        graft.functions.AcMatches(children.head, children(1))
+      }))
     // native HLL register fold: one 256-byte buffer per group, byte-MAX
     // merge — the analyzer wraps the AggregateFunction on use
     ext.injectFunction((

@@ -4013,6 +4013,52 @@ object RelationalQueries {
           |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin)
     },
 
+    // ----- O23: dynamic PIVOT — the DuckDB statement form in plain SQL -----
+    // The FOURTH grammar extension on the parser-injection channel, and
+    // the one whose output SCHEMA is data-dependent: no value list
+    // appears anywhere in the query — [[graft.plans.PivotSqlSyntax]]
+    // enumerates the ON column's distinct values at parse time (the
+    // same eager bind-time trick DuckDB itself uses) and expands to
+    // count(*) FILTER aggregates. DuckDB executes its NATIVE dynamic
+    // PIVOT on the identical text, so the hash gate proves the whole
+    // contract at once: value enumeration order (sorted, NULLs
+    // excluded), column naming (the value text), and empty-cell
+    // semantics (count→0). At 100 TB the probe is one distinct-scan of
+    // a low-cardinality column — and production SQL can write
+    // ON col IN (...) to skip it entirely (spec-pinned static path).
+    "o23_pivot_sql" -> QueryDef.sql(
+      """PIVOT orders ON o_orderstatus USING count(*)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_piv_orders")
+      s.sql(
+        """PIVOT graft_piv_orders ON o_orderstatus USING count(*)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // ----- O24: UNPIVOT statement — the melt inverse, nested on O23 -----
+    // The FIFTH grammar extension: DuckDB's `UNPIVOT ... ON ... INTO
+    // NAME ... VALUE ...` statement rewritten (purely lexically — the
+    // melt schema is static) into Spark's own FROM-clause UNPIVOT. The
+    // source here is the O23 pivot AS A SUBQUERY, so one statement
+    // exercises statement-position detection, nested rewriting, and
+    // quoted-identifier translation ("F" → `F`) at once. Both engines
+    // drop NULL cells and label rows with the source column name, and
+    // DuckDB runs the text verbatim as the oracle. The wide→long→wide
+    // identity this pair witnesses is the same contract
+    // source_lang_unpivot pins for the DataFrame API.
+    "o24_unpivot_sql" -> QueryDef.sql(
+      """UNPIVOT (PIVOT orders ON o_orderstatus USING count(*)
+        |         GROUP BY o_orderpriority)
+        |ON "F", "O", "P" INTO NAME status VALUE n
+        |ORDER BY o_orderpriority, status""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_piv_orders")
+      s.sql(
+        """UNPIVOT (PIVOT graft_piv_orders ON o_orderstatus USING count(*)
+          |         GROUP BY o_orderpriority)
+          |ON "F", "O", "P" INTO NAME status VALUE n
+          |ORDER BY o_orderpriority, status""".stripMargin)
+    },
+
     // ----- Fairness audit: demographic parity + equalized odds -----
     // The eval family's governance face: the returns classifier
     // (ŷ = line count ≥ 4) audited across customer nations — per

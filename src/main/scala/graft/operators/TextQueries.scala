@@ -2226,6 +2226,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- phrase blocklist: one automaton pass, not a containment join -----
+    // filter_blocklist drops whole SOURCES; this is the harder face —
+    // fixed PHRASES anywhere in the text. The declarative spelling is a
+    // theta-join (documents × phrases ON contains), which is |corpus|
+    // × |phrases| substring scans at any engine; the native
+    // [[graft.functions.AcMatches]] expression compiles the list into
+    // one Aho–Corasick automaton and reads each document's bytes ONCE,
+    // inside whole-stage codegen — the only shape that survives a 10k-
+    // phrase blocklist over 100 TB. The oracle IS the quadratic
+    // containment join, so the hash gate proves automaton ≡ contains()
+    // per phrase — including the nested pair ('slow' inside 'merge
+    // slow', exercising the dictionary-suffix closure) and a zero-hit
+    // phrase kept by the left join.
+    "blocklist_phrase_scan" -> QueryDef.sql(
+      """WITH p AS (SELECT * FROM (VALUES
+        |    (0, 'batch batch'), (1, 'hash scan'), (2, 'merge slow'),
+        |    (3, 'quantum leap'), (4, 'slow'), (5, 'table scan merge')) v(pid, phrase))
+        |SELECT p.pid, p.phrase, CAST(count(d.doc_id) AS BIGINT) AS n_docs
+        |FROM p LEFT JOIN documents d ON contains(lower(d.text), p.phrase)
+        |GROUP BY 1, 2 ORDER BY p.pid""".stripMargin) { (s, d) =>
+      import graft.functions.AcMatches.ac_matches
+      import s.implicits._
+      val phrases = Seq("batch batch", "hash scan", "merge slow",
+        "quantum leap", "slow", "table scan merge")
+      val pdf = phrases.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pid", "phrase")
+      val hits = spread(documents(s, d))
+        .select(explode(ac_matches(lower(col("text")),
+          array(phrases.map(lit): _*))).as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("n_docs"))
+      broadcast(pdf).join(hits, Seq("pid"), "left")
+        .select(col("pid"), col("phrase"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("pid")
+    },
+
     // ----- multimodal plumbing: opaque binary payload + typed metadata -----
     // Metadata derivation over the opaque payload only — real pixel
     // decode (ImageIO) lives in mm_decode_pipeline / Multimodal.scala.
