@@ -74,6 +74,120 @@ object DriftQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // ----- two-segment OLS structural break (Chow 1960), exact -----
+    // CUSUM (below) finds LEVEL shifts; this finds TREND breaks — the
+    // drift class a mean-based detector is blind to. A slope change is
+    // planted into the daily order-count series (y += max(0, x − 1200),
+    // engine-identical arithmetic), then every 90-day grid point c is
+    // scored as a candidate split: fit OLS left and right, total
+    // SSE(c) = SSE_l + SSE_r, best split = argmin. Exactness discipline:
+    // per segment, n·den·SSE = den·syyc − num² (den = n·Σx²−(Σx)²,
+    // num = n·Σxy−ΣxΣy, syyc = n·Σy²−(Σy)²) is an exact integer;
+    // ONE floored division per (candidate, side) scales it to micro
+    // units (the ppm-floors-before-compare precedent), after which
+    // argmin and the gain-vs-no-split ratio are pure BIGINT. The
+    // no-split model rides as candidate −1, so its SSE shares the same
+    // fold. Candidate count is calendar-bounded (~25 quarters) — the
+    // cross join is |days|×|candidates|, never corpus-scale — and the
+    // moments fold map-side. The emitted verdict: the argmin lands on
+    // the 1170/1260 grid points bracketing the planted break, left
+    // slope ≈ 0, right slope ≈ 1e6 ppm/day, gain > 90%.
+    "ts_changepoint_segmented" -> QueryDef.sql(
+      """WITH mn AS (SELECT min(o_orderdate) AS d0 FROM orders),
+        |d AS (
+        |  SELECT CAST(date_diff('day', mn.d0, o_orderdate) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders CROSS JOIN mn GROUP BY 1),
+        |s AS (SELECT x, n + greatest(0, x - 1200) AS y FROM d),
+        |mx AS (SELECT max(x) AS xmax FROM s),
+        |cand AS (
+        |  SELECT c FROM (SELECT DISTINCT (x // 90) * 90 AS c FROM s) q
+        |  CROSS JOIN mx WHERE c >= 2 AND c <= mx.xmax - 1
+        |  UNION ALL SELECT CAST(-1 AS BIGINT)),
+        |seg AS (
+        |  SELECT c.c,
+        |    CASE WHEN c.c < 0 THEN 0 WHEN s.x < c.c THEN 0 ELSE 1 END AS side,
+        |    CAST(count(*) AS HUGEINT) AS nn,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy
+        |  FROM s CROSS JOIN cand c GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c, side, nn,
+        |    nn * sxx - sx * sx AS den, nn * sxy - sx * sy AS num,
+        |    nn * syy - sy * sy AS syyc
+        |  FROM seg),
+        |e AS (
+        |  SELECT c, side,
+        |    (1000000 * (den * syyc - num * num)) // (nn * den) AS sse_micro,
+        |    (1000000 * num) // den AS slope_ppm
+        |  FROM m),
+        |t AS (
+        |  SELECT c, CAST(sum(sse_micro) AS BIGINT) AS sse_total_micro,
+        |    CAST(sum(CASE WHEN side = 0 THEN slope_ppm END) AS BIGINT) AS slope_l_ppm,
+        |    CAST(sum(CASE WHEN side = 1 THEN slope_ppm END) AS BIGINT) AS slope_r_ppm
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT sse_total_micro AS sse_full_micro FROM t WHERE c = -1),
+        |b AS (SELECT min(sse_total_micro) AS best FROM t WHERE c >= 0)
+        |SELECT CAST(t.c AS BIGINT) AS split_x, t.sse_total_micro,
+        |  t.slope_l_ppm, t.slope_r_ppm, f.sse_full_micro,
+        |  CAST((1000000 * CAST(f.sse_full_micro - t.sse_total_micro AS HUGEINT))
+        |    // f.sse_full_micro AS BIGINT) AS gain_ppm,
+        |  CAST(t.sse_total_micro = b.best AS BIGINT) AS is_best
+        |FROM t CROSS JOIN f CROSS JOIN b
+        |WHERE t.c >= 0 ORDER BY split_x""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_cp_orders")
+      s.sql(
+        """WITH mn AS (SELECT min(o_orderdate) AS d0 FROM graft_cp_orders),
+          |d AS (
+          |  SELECT CAST(datediff(o_orderdate, mn.d0) AS BIGINT) AS x,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM graft_cp_orders CROSS JOIN mn GROUP BY 1),
+          |s AS (SELECT x, n + greatest(CAST(0 AS BIGINT), x - 1200) AS y FROM d),
+          |mx AS (SELECT max(x) AS xmax FROM s),
+          |cand AS (
+          |  SELECT c FROM (SELECT DISTINCT (x div 90) * 90 AS c FROM s) q
+          |  CROSS JOIN mx WHERE c >= 2 AND c <= mx.xmax - 1
+          |  UNION ALL SELECT CAST(-1 AS BIGINT)),
+          |seg AS (
+          |  SELECT c.c,
+          |    CASE WHEN c.c < 0 THEN 0 WHEN s.x < c.c THEN 0 ELSE 1 END AS side,
+          |    CAST(count(*) AS DECIMAL(38,0)) AS nn,
+          |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+          |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+          |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+          |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+          |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+          |  FROM s CROSS JOIN cand c GROUP BY 1, 2),
+          |m AS (
+          |  SELECT c, side, nn,
+          |    nn * sxx - sx * sx AS den, nn * sxy - sx * sy AS num,
+          |    nn * syy - sy * sy AS syyc
+          |  FROM seg),
+          |e AS (
+          |  SELECT c, side,
+          |    (CAST(1000000 AS DECIMAL(38,0)) * (den * syyc - num * num))
+          |      div (nn * den) AS sse_micro,
+          |    (CAST(1000000 AS DECIMAL(38,0)) * num) div den AS slope_ppm
+          |  FROM m),
+          |t AS (
+          |  SELECT c, CAST(sum(sse_micro) AS BIGINT) AS sse_total_micro,
+          |    CAST(sum(CASE WHEN side = 0 THEN slope_ppm END) AS BIGINT) AS slope_l_ppm,
+          |    CAST(sum(CASE WHEN side = 1 THEN slope_ppm END) AS BIGINT) AS slope_r_ppm
+          |  FROM e GROUP BY 1),
+          |f AS (SELECT sse_total_micro AS sse_full_micro FROM t WHERE c = -1),
+          |b AS (SELECT min(sse_total_micro) AS best FROM t WHERE c >= 0)
+          |SELECT CAST(t.c AS BIGINT) AS split_x, t.sse_total_micro,
+          |  t.slope_l_ppm, t.slope_r_ppm, f.sse_full_micro,
+          |  CAST((CAST(1000000 AS DECIMAL(38,0))
+          |      * (f.sse_full_micro - t.sse_total_micro))
+          |    div f.sse_full_micro AS BIGINT) AS gain_ppm,
+          |  CAST(t.sse_total_micro = b.best AS BIGINT) AS is_best
+          |FROM t CROSS JOIN f CROSS JOIN b
+          |WHERE t.c >= 0 ORDER BY split_x""".stripMargin)
+    },
+
     // ----- CUSUM changepoint per event type (Page 1954), exact -----
     // The drift detector that answers WHEN, not just whether: per type,
     // daily counts over the GLOBAL day grid (absent days count 0 — a

@@ -853,6 +853,100 @@ object SketchQueries {
         .orderBy("j")
     },
 
+    // ----- join-size estimation #2: correlated key sampling vs row sampling -----
+    // The SAMPLING side of the optimizer-statistics coin (the sketch
+    // side is cm_join_size_estimate above, same view⋈purchase join, so
+    // the three estimators read against one truth). Two designs, the
+    // published verdict between them made empirical (Vengerov et al.,
+    // VLDB'15 "Join Size Estimation Subject to Filter Conditions"):
+    //   - KEY-CORRELATED: both sides keep a key iff h(key) % m == 0 —
+    //     the SAME coin per key on both sides — so a key's entire a_k·b_k
+    //     mass survives together and est = m · Σ_kept a_k·b_k is
+    //     unbiased with per-key variance, never per-pair;
+    //   - ROW-BERNOULLI: each row keeps independently at rate 1/m
+    //     (side-salted row hashes), so a matching PAIR survives at 1/m²
+    //     and est = m² · |sampled ⋈| — unbiased but with pair-level
+    //     variance that explodes exactly when joins are expensive
+    //     (multiplicity-heavy keys).
+    // Both estimates fold from per-key counts of the SAMPLED rows (the
+    // join itself never materializes — at 100 TB the estimator touches
+    // 1/m of one column), the exact inner product rides as the audit,
+    // and everything after the md5 coin is BIGINT, so the per-method
+    // error table is hash-exact. At fixture scale both methods are
+    // high-variance (hundreds of keys; one coin decides much) — the
+    // variance ORDERING is the published asymptotic result, and what
+    // the table prices here is the mechanism, per-draw.
+    "join_size_sample_estimate" -> QueryDef.sql(
+      """WITH ms AS (SELECT unnest([4, 16]) AS m),
+        |a AS (SELECT CAST(user_id AS VARCHAR) AS u, CAST(event_id AS VARCHAR) AS eid
+        |      FROM events WHERE event_type = 'view'),
+        |b AS (SELECT CAST(user_id AS VARCHAR) AS u, CAST(event_id AS VARCHAR) AS eid
+        |      FROM events WHERE event_type = 'purchase'),
+        |va AS (SELECT u, CAST(count(*) AS BIGINT) AS ca FROM a GROUP BY 1),
+        |vb AS (SELECT u, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+        |ex AS (SELECT CAST(sum(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS n_exact
+        |       FROM va JOIN vb USING (u)),
+        |ke AS (
+        |  SELECT m.m, 'key_correlated' AS method,
+        |    CAST(m.m * sum(CAST(va.ca AS HUGEINT) * vb.cb) AS BIGINT) AS est
+        |  FROM va JOIN vb USING (u) CROSS JOIN ms m
+        |  WHERE ('0x' || substr(md5(u), 1, 15))::BIGINT % m.m = 0
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT m.m, u, CAST(count(*) AS BIGINT) AS ca
+        |       FROM a CROSS JOIN ms m
+        |       WHERE ('0x' || substr(md5('A#' || eid), 1, 15))::BIGINT % m.m = 0
+        |       GROUP BY 1, 2),
+        |rb AS (SELECT m.m, u, CAST(count(*) AS BIGINT) AS cb
+        |       FROM b CROSS JOIN ms m
+        |       WHERE ('0x' || substr(md5('B#' || eid), 1, 15))::BIGINT % m.m = 0
+        |       GROUP BY 1, 2),
+        |re AS (
+        |  SELECT ra.m, 'row_bernoulli' AS method,
+        |    CAST(ra.m * ra.m * sum(CAST(ra.ca AS HUGEINT) * rb.cb) AS BIGINT) AS est
+        |  FROM ra JOIN rb ON rb.m = ra.m AND rb.u = ra.u GROUP BY 1, 2),
+        |uu AS (SELECT * FROM ke UNION ALL SELECT * FROM re)
+        |SELECT uu.method, CAST(uu.m AS BIGINT) AS m, uu.est, x.n_exact,
+        |  CAST((1000000 * abs(uu.est - x.n_exact)) // x.n_exact AS BIGINT) AS abs_err_ppm,
+        |  CAST(uu.est >= x.n_exact AS BIGINT) AS is_over
+        |FROM uu, ex x ORDER BY uu.method, uu.m""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+      def h60(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").cast("string").as("u"),
+          col("event_id").cast("string").as("eid"))
+      val msDf = Seq(4L, 16L).toDF("m")
+      val va = side("view").groupBy("u").agg(count(lit(1)).as("ca"))
+      val vb = side("purchase").groupBy("u").agg(count(lit(1)).as("cb"))
+      // one key-keyed join feeds the exact audit AND every key-sample m
+      val joined = va.join(vb, "u").localCheckpoint(true)
+      val exact = joined
+        .agg(expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)").as("n_exact"))
+      val keyEst = joined.withColumn("h", h60(col("u")))
+        .crossJoin(broadcast(msDf)).filter(pmod(col("h"), col("m")) === 0)
+        .groupBy("m")
+        .agg(expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS DECIMAL(38,0))").as("s"))
+        .select(lit("key_correlated").as("method"), col("m"),
+          expr("CAST(m * s AS BIGINT)").as("est"))
+      def rowSample(df: org.apache.spark.sql.DataFrame, tag: String, cn: String) =
+        df.withColumn("h", h60(concat(lit(tag), col("eid"))))
+          .crossJoin(broadcast(msDf)).filter(pmod(col("h"), col("m")) === 0)
+          .groupBy("m", "u").agg(count(lit(1)).as(cn))
+      val rowEst = rowSample(side("view"), "A#", "ca")
+        .join(rowSample(side("purchase"), "B#", "cb"), Seq("m", "u"))
+        .groupBy("m")
+        .agg(expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS DECIMAL(38,0))").as("s"))
+        .select(lit("row_bernoulli").as("method"), col("m"),
+          expr("CAST(m * m * s AS BIGINT)").as("est"))
+      keyEst.unionByName(rowEst).crossJoin(broadcast(exact))
+        .select(col("method"), col("m"), col("est"), col("n_exact"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(est - n_exact)) div n_exact AS BIGINT)")
+            .as("abs_err_ppm"),
+          (col("est") >= col("n_exact")).cast("long").as("is_over"))
+        .orderBy("method", "m")
+    },
+
     // ----- sketch composition #2: pairwise Jaccard from KMV sketches -----
     // The set-similarity use of the distinct sketch (Beyer et al. 2007):
     // for sources A, B, take K = the k smallest hashes of sk_A ∪ sk_B
