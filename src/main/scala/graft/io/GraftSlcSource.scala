@@ -5,10 +5,11 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,6 +80,10 @@ class GraftSlcScanBuilder(path: String) extends ScanBuilder
   private var rowLo: Int = 0
   private var rowHi: Int = Int.MaxValue
   private var countPushed = false
+  private var staticPaths: Option[Set[String]] = None
+
+  private def intersectPaths(vs: Set[String]): Unit =
+    staticPaths = Some(staticPaths.fold(vs)(_ intersect vs))
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
@@ -95,15 +100,20 @@ class GraftSlcScanBuilder(path: String) extends ScanBuilder
       case LessThanOrEqual("azimuth", _: Number) => true
       case LessThan("azimuth", _: Number) => true
       case EqualTo("azimuth", _: Number) => true
+      // static raster pruning on path, as in GraftTiffScanBuilder
+      case EqualTo("path", _: String) => true
+      case In("path", vs) if vs.forall(_.isInstanceOf[String]) => true
       case _ => false
     }
     accepted.foreach {
-      case GreaterThanOrEqual(_, v: Number) => rowLo = math.max(rowLo, v.intValue())
-      case GreaterThan(_, v: Number) => rowLo = math.max(rowLo, v.intValue() + 1)
-      case LessThanOrEqual(_, v: Number) => rowHi = math.min(rowHi, v.intValue())
-      case LessThan(_, v: Number) => rowHi = math.min(rowHi, v.intValue() - 1)
-      case EqualTo(_, v: Number) =>
+      case GreaterThanOrEqual("azimuth", v: Number) => rowLo = math.max(rowLo, v.intValue())
+      case GreaterThan("azimuth", v: Number) => rowLo = math.max(rowLo, v.intValue() + 1)
+      case LessThanOrEqual("azimuth", v: Number) => rowHi = math.min(rowHi, v.intValue())
+      case LessThan("azimuth", v: Number) => rowHi = math.min(rowHi, v.intValue() - 1)
+      case EqualTo("azimuth", v: Number) =>
         rowLo = math.max(rowLo, v.intValue()); rowHi = math.min(rowHi, v.intValue())
+      case EqualTo("path", v: String) => intersectPaths(Set(v))
+      case In("path", vs) => intersectPaths(vs.map(_.asInstanceOf[String]).toSet)
       case _ =>
     }
     pushed = accepted
@@ -117,15 +127,54 @@ class GraftSlcScanBuilder(path: String) extends ScanBuilder
     // defensive re-check of pushed.isEmpty: header counts are only
     // valid when no filter survives (see GraftTiffScanBuilder.build)
     if (countPushed && pushed.isEmpty) new GraftSlcCountScan(path)
-    else new GraftSlcScan(path, required, pushed, rowLo, rowHi)
+    else new GraftSlcScan(path, required, pushed, rowLo, rowHi, staticPaths)
 }
 
 class GraftSlcScan(path: String, required: StructType, pushed: Array[Filter],
-    rowLo: Int, rowHi: Int) extends Scan with Batch with SupportsReportStatistics {
+    rowLo: Int, rowHi: Int, staticPaths: Option[Set[String]] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-slc $path, PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Rasters surviving the plan-time path pushdown. */
+  private def staticFiles: Seq[String] = {
+    val all = GraftSlcSource.listRasters(path)
+    staticPaths.fold(all)(set =>
+      all.filter(f => set.contains(GraftSlcSource.localPath(f))))
+  }
+
+  // runtime (DPP-style) raster pruning — the GraftTiffScan rationale:
+  // a path join against a small manifest prunes whole HDF5 files at
+  // execution; conservative (unrecognized predicates keep all files)
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (required.fieldNames.contains("path")) Array(Expressions.column("path"))
+    else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keep = scala.collection.mutable.Set.empty[String]
+    var recognized = false
+    predicates.foreach { p =>
+      if (p.name() == "IN" || p.name() == "=") {
+        val vals = p.children().collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value()
+        }
+        if (vals.nonEmpty) {
+          recognized = true
+          vals.foreach {
+            case u: UTF8String => keep += u.toString
+            case s: String => keep += s
+            case _ => recognized = false
+          }
+        }
+      }
+    }
+    if (recognized) runtimeFiles = Some(keep.toSet)
+  }
 
   /** Dataspace-derived statistics (the [[GraftTiffScan]] rationale):
     * numRows from each file's s_i dims clipped to the pushed azimuth
@@ -134,7 +183,7 @@ class GraftSlcScan(path: String, required: StructType, pushed: Array[Filter],
     * stacks auto-broadcast instead of defaulting to "huge". */
   override def estimateStatistics(): Statistics = {
     var rows = 0L
-    GraftSlcSource.listRasters(path).foreach { file =>
+    staticFiles.foreach { file =>
       val (f, raf) = Hdf5.open(GraftSlcSource.localPath(file))
       try {
         val dims = f.dataset("s_i", f.rootEntries.toMap.apply("s_i")).dims
@@ -152,9 +201,12 @@ class GraftSlcScan(path: String, required: StructType, pushed: Array[Filter],
       override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
     }
   }
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftSlcSource.listRasters(path)
-      .map(f => GraftSlcPartition(f): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = staticFiles
+    val kept = runtimeFiles.fold(all)(set =>
+      all.filter(f => set.contains(GraftSlcSource.localPath(f))))
+    kept.map(f => GraftSlcPartition(f): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSlcReaderFactory(required.fieldNames, rowLo, rowHi)
 }

@@ -7,9 +7,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -101,6 +102,10 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
   private var rowHi: Int = Int.MaxValue
   private var pushedAggs: Seq[TiffHeaderAgg] = Nil
   private var limit: Option[Int] = None
+  private var staticPaths: Option[Set[String]] = None
+
+  private def intersectPaths(vs: Set[String]): Unit =
+    staticPaths = Some(staticPaths.fold(vs)(_ intersect vs))
 
   /** LIMIT pushes into the block decode: each file decompresses only
     * ceil(limit/width) azimuth rows' worth of strips/tiles and stops —
@@ -152,15 +157,23 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
       case LessThanOrEqual("azimuth", _: Number) => true
       case LessThan("azimuth", _: Number) => true
       case EqualTo("azimuth", _: Number) => true
+      // STATIC raster pruning: a path equality/IN (e.g. constant-
+      // propagated through a join against a literal-filtered manifest)
+      // drops whole files from the listing at PLAN time — the static
+      // sibling of the runtime V2 filter on the scan
+      case EqualTo("path", _: String) => true
+      case In("path", vs) if vs.forall(_.isInstanceOf[String]) => true
       case _ => false
     }
     accepted.foreach {
-      case GreaterThanOrEqual(_, v: Number) => rowLo = math.max(rowLo, v.intValue())
-      case GreaterThan(_, v: Number) => rowLo = math.max(rowLo, v.intValue() + 1)
-      case LessThanOrEqual(_, v: Number) => rowHi = math.min(rowHi, v.intValue())
-      case LessThan(_, v: Number) => rowHi = math.min(rowHi, v.intValue() - 1)
-      case EqualTo(_, v: Number) =>
+      case GreaterThanOrEqual("azimuth", v: Number) => rowLo = math.max(rowLo, v.intValue())
+      case GreaterThan("azimuth", v: Number) => rowLo = math.max(rowLo, v.intValue() + 1)
+      case LessThanOrEqual("azimuth", v: Number) => rowHi = math.min(rowHi, v.intValue())
+      case LessThan("azimuth", v: Number) => rowHi = math.min(rowHi, v.intValue() - 1)
+      case EqualTo("azimuth", v: Number) =>
         rowLo = math.max(rowLo, v.intValue()); rowHi = math.min(rowHi, v.intValue())
+      case EqualTo("path", v: String) => intersectPaths(Set(v))
+      case In("path", vs) => intersectPaths(vs.map(_.asInstanceOf[String]).toSet)
       case _ =>
     }
     pushed = accepted
@@ -180,7 +193,7 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
     // scan since every filter here stays residual, but that ordering is
     // a Spark-version behavior, not our invariant)
     if (pushedAggs.nonEmpty && pushed.isEmpty) new GraftTiffStatsScan(path, pushedAggs)
-    else new GraftTiffScan(path, required, pushed, rowLo, rowHi, limit)
+    else new GraftTiffScan(path, required, pushed, rowLo, rowHi, limit, staticPaths)
 }
 
 /** A header-answerable aggregate over the TIFF pixel table. */
@@ -250,14 +263,67 @@ class GraftTiffStatsScan(path: String, aggs: Seq[TiffHeaderAgg]) extends Scan wi
 }
 
 class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
-    rowLo: Int, rowHi: Int, limit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    rowLo: Int, rowHi: Int, limit: Option[Int] = None,
+    staticPaths: Option[Set[String]] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  /** Rasters surviving the PLAN-time path pushdown. */
+  private def staticFiles: Seq[String] = {
+    val all = GraftTiffSource.listRasters(path)
+    staticPaths.fold(all) { set =>
+      all.filter(f => set.contains(f.replaceFirst("^file:/*", "/")))
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tiff $path, PushedFilters: [${pushed.mkString(", ")}]" +
       limit.fold("")(l => s", PushedLimit: $l")
+
+  // ----- runtime (DPP-style) raster pruning -----
+  // Joining a stack on `path` against a small dimension (the labels
+  // table, a crawl manifest, an AOI-filtered raster list — the
+  // reference's every selective pipeline shape) hands the dimension's
+  // path set to the scan AT EXECUTION time through Spark's dynamic
+  // partition pruning; whole rasters are then never opened. The file is
+  // this format's partition, so this is exactly parquet's
+  // partition-column DPP, at the binary-source level. Conservative by
+  // contract: an unrecognized predicate shape keeps every raster
+  // (runtime filtering is an IO optimization — Spark re-applies the
+  // join itself, so correctness never depends on the prune).
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    // only when the projection kept `path` — advertising a pruned-away
+    // column makes Spark's runtime-filtering resolution fail
+    if (required.fieldNames.contains("path")) Array(Expressions.column("path"))
+    else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keep = scala.collection.mutable.Set.empty[String]
+    var recognized = false
+    predicates.foreach { p =>
+      if (p.name() == "IN" || p.name() == "=") {
+        val vals = p.children().collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value()
+        }
+        if (vals.nonEmpty) {
+          recognized = true
+          vals.foreach {
+            case u: UTF8String => keep += u.toString
+            case s: String => keep += s
+            case _ => recognized = false // unexpected literal type: keep all
+          }
+        }
+      }
+    }
+    if (recognized) {
+      runtimeFiles = Some(keep.toSet)
+      GraftTiffScan.runtimeFilteredTo.set(keep.size)
+    }
+  }
 
   /** Header-derived statistics for Catalyst's planner: numRows =
     * Σ_file width × surviving-azimuth-rows (exact when no residual
@@ -270,7 +336,7 @@ class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
     * seeks per file, layer-cardinality, driver-side. */
   override def estimateStatistics(): Statistics = {
     var rows = 0L
-    GraftTiffSource.listRasters(path).foreach { f =>
+    staticFiles.foreach { f =>
       val info = Tiff.readHeader(f.replaceFirst("^file:/*", "/"))
       val lo = math.max(rowLo, 0)
       val hi = math.min(rowHi, info.height - 1)
@@ -284,14 +350,27 @@ class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftTiffSource.listRasters(path)
-      .map(f => GraftTiffPartition(f): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = staticFiles
+    val kept = runtimeFiles.fold(all) { set =>
+      all.filter(f => set.contains(f.replaceFirst("^file:/*", "/")))
+    }
+    GraftTiffScan.plannedPartitions.set(kept.size)
+    kept.map(f => GraftTiffPartition(f): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTiffReaderFactory(required.fieldNames, rowLo, rowHi, limit,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+object GraftTiffScan {
+  /** Single-JVM test instrumentation (the blocksDecompressed pattern):
+    * how many paths the last runtime filter kept, and how many
+    * partitions the last planning pass emitted. */
+  val runtimeFilteredTo = new java.util.concurrent.atomic.AtomicInteger(-1)
+  val plannedPartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 case class GraftTiffPartition(file: String) extends InputPartition

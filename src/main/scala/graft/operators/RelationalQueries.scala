@@ -4059,6 +4059,56 @@ object RelationalQueries {
           |ORDER BY o_orderpriority, status""".stripMargin)
     },
 
+    // ----- exact k-th smallest WITHOUT a global sort (two-pass select) -----
+    // The selection algorithm a 100 TB engine actually uses for exact
+    // percentiles (Munro–Paterson / distributed quickselect family):
+    // pass 1 folds a 256-bin equi-width histogram (one map-side-partial
+    // aggregate — no shuffle of values, only of 256 bins), the target
+    // rank's bin is located by a cumulative count over the BOUNDED bin
+    // table, and pass 2 ranks only the ~N/256 values INSIDE that bin
+    // (row_number over the in-bin slice). A global sort shuffles the
+    // entire corpus; this shuffles 256 rows plus one bin's residents —
+    // and at larger N the same step recurses (each level divides the
+    // candidate set by 256; one level suffices here). The ORACLE is the
+    // direct order-by-rank selection, so the hash gate proves the
+    // two-pass algorithm exact for the median, p90 and p99 ranks —
+    // cent-integer values end to end, rank k = (q·(N−1))//100 + 1.
+    "ops_exact_kth_twopass" -> QueryDef.sql(
+      """WITH p AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |ks AS (SELECT CAST(q AS BIGINT) AS q, ((q * (n.n - 1)) // 100) + 1 AS k
+        |       FROM (SELECT unnest([50, 90, 99]) AS q) qs CROSS JOIN n),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM p)
+        |SELECT ks.q, CAST(ks.k AS BIGINT) AS k, o.v AS kth_value
+        |FROM ks JOIN o ON o.rk = ks.k ORDER BY ks.q""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val p = lineitem(s, d)
+        .select(expr("CAST(l_extendedprice * 100 AS BIGINT)").as("v"))
+      val mm = p.agg(min("v").as("lo"), max("v").as("hi"),
+        count(lit(1)).as("n"))
+      val ks = Seq(50L, 90L, 99L).toDF("q").crossJoin(broadcast(mm))
+        .select(col("q"), expr("(q * (n - 1)) div 100 + 1").as("k"),
+          col("lo"), expr("(hi - lo) div 256 + 1").as("w"))
+      // pass 1: the 256-bin histogram (bins shuffle, values never do)
+      val hist = p.crossJoin(broadcast(mm))
+        .select(expr("(v - lo) div ((hi - lo) div 256 + 1)").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(org.apache.spark.sql.expressions
+          .Window.orderBy("bin").rowsBetween(Long.MinValue, 0)))
+      // locate each rank's bin over the bounded (≤256-row) table
+      val pick = ks.join(broadcast(hist),
+          col("cum") >= col("k") && (col("cum") - col("c")) < col("k"))
+        .select(col("q"), col("k"), col("bin").as("kbin"),
+          (col("k") - (col("cum") - col("c"))).as("off"), col("lo"), col("w"))
+      // pass 2: rank only inside the located bin
+      p.join(broadcast(pick), expr("(v - lo) div w") === col("kbin"))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy("q").orderBy("v")))
+        .filter(col("rn") === col("off"))
+        .select(col("q"), col("k"), col("v").as("kth_value"))
+        .orderBy("q")
+    },
+
     // ----- Fairness audit: demographic parity + equalized odds -----
     // The eval family's governance face: the returns classifier
     // (ŷ = line count ≥ 4) audited across customer nations — per

@@ -65,4 +65,23 @@ class GraftSlcDsv2Spec extends SparkFunSuite {
     assert(full > 0 && pruned < full,
       s"azimuth=0 should touch fewer chunks ($pruned vs $full)")
   }
+
+  test("static path pushdown plans only the named raster") {
+    spark.sparkContext
+    val files = GraftSlcSource.listRasters(slcDir)
+    assert(files.size >= 2)
+    val target = GraftSlcSource.localPath(files.head)
+    // azimuth conjunct keeps the query off the header-count path; a
+    // DSv2 scan's RDD partition count IS its planned input partitions
+    val q = v2.filter(col("path") === target && col("azimuth") >= 0)
+      .select("path", "azimuth", "range", "real")
+    assert(q.rdd.getNumPartitions == 1,
+      s"expected 1 planned raster, got ${q.rdd.getNumPartitions} of ${files.size}")
+    val got = q.count()
+    val want = v2.select("path", "azimuth", "range", "real")
+      .filter(col("path") === target).count()
+    assert(got == want && got > 0)
+    assert(v2.filter(col("path") === "/nope.h5" && col("azimuth") >= 0)
+      .select("path", "azimuth").rdd.getNumPartitions == 0)
+  }
 }
