@@ -4059,6 +4059,45 @@ object RelationalQueries {
           |ORDER BY o_orderpriority, status""".stripMargin)
     },
 
+    // ----- O25: star modifiers — EXCLUDE / REPLACE in plain SQL -----
+    // The SIXTH grammar extension: DuckDB's star modifiers. EXCLUDE is
+    // a lexical alias for Spark's native * EXCEPT; REPLACE has no Spark
+    // spelling at all, so [[graft.plans.StarSqlSyntax]] expands the
+    // star group into the explicit select list from the FROM body's
+    // analyzed schema (position and name preserved — DuckDB's defined
+    // semantics), with binder-parity loud failures for unknown names.
+    // DuckDB runs the text verbatim as the oracle; the date cast keeps
+    // the replaced column's type engine-identical.
+    "o25_star_modifiers" -> QueryDef.sql(
+      """SELECT * EXCLUDE (o_custkey, o_totalprice)
+        |         REPLACE (upper(o_orderstatus) AS o_orderstatus,
+        |                  CAST(o_orderdate AS DATE) AS o_orderdate)
+        |FROM orders
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_star_orders")
+      s.sql(
+        """SELECT * EXCLUDE (o_custkey, o_totalprice)
+          |         REPLACE (upper(o_orderstatus) AS o_orderstatus,
+          |                  CAST(o_orderdate AS DATE) AS o_orderdate)
+          |FROM graft_star_orders
+          |ORDER BY o_orderkey LIMIT 20""".stripMargin)
+    },
+
+    // ----- O26: FROM-first syntax -----
+    // The SEVENTH grammar extension: DuckDB's FROM-first statement
+    // form, rewritten purely lexically (`FROM t SELECT l ...` →
+    // `SELECT l FROM t ...`; the bare form gains `SELECT *`). The
+    // pipeline-reading order every interactive user reaches for —
+    // and the oracle is DuckDB's native FROM-first on identical text.
+    "o26_from_first" -> QueryDef.sql(
+      """FROM orders SELECT o_orderkey, o_orderpriority, CAST(o_totalprice * 100 AS BIGINT) AS cents
+        |WHERE o_totalprice > 100000 ORDER BY o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_ff_orders")
+      s.sql(
+        """FROM graft_ff_orders SELECT o_orderkey, o_orderpriority, CAST(o_totalprice * 100 AS BIGINT) AS cents
+          |WHERE o_totalprice > 100000 ORDER BY o_orderkey LIMIT 25""".stripMargin)
+    },
+
     // ----- exact k-th smallest WITHOUT a global sort (two-pass select) -----
     // The selection algorithm a 100 TB engine actually uses for exact
     // percentiles (Munro–Paterson / distributed quickselect family):

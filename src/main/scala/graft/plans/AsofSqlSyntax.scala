@@ -105,7 +105,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rewriteAll(sqlText: String): String =
     QualifySqlSyntax.rewrite(
       DistinctOnSqlSyntax.rewrite(GraftSqlParser.rewrite(
-        UnpivotSqlSyntax.rewrite(PivotSqlSyntax.rewrite(sqlText)))))
+        StarSqlSyntax.rewrite(FromFirstSqlSyntax.rewrite(
+          UnpivotSqlSyntax.rewrite(PivotSqlSyntax.rewrite(sqlText)))))))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(rewriteAll(sqlText))

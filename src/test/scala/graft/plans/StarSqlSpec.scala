@@ -1,0 +1,110 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+/** The star-modifier (`* EXCLUDE/REPLACE`) and FROM-first rewrites:
+  * pure-lexical corners, executed semantics against hand-built
+  * equivalents, pass-through guarantees, and loud failures. */
+class StarSqlSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val t = {
+    val df = Seq((1, "a", 10L), (2, "b", 20L), (3, "c", 30L))
+      .toDF("id", "name", "v")
+    df.createOrReplaceTempView("star_t")
+    df
+  }
+
+  // ---------- EXCLUDE ----------
+
+  test("EXCLUDE is the EXCEPT alias: schema drops the column") {
+    t
+    val got = spark.sql("SELECT * EXCLUDE (name) FROM star_t ORDER BY id")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.count() == 3)
+  }
+
+  test("pure EXCLUDE rewrite is one word swap, no probe") {
+    val got = StarSqlSyntax.rewrite("SELECT * EXCLUDE (a, b) FROM t")
+    assert(got == "SELECT * EXCEPT (a, b) FROM t")
+  }
+
+  // ---------- REPLACE ----------
+
+  test("REPLACE keeps position and name, expression applies") {
+    t
+    val got = spark.sql(
+      "SELECT * REPLACE (v * 2 AS v) FROM star_t ORDER BY id")
+    assert(got.columns.toSeq == Seq("id", "name", "v"))
+    assert(got.select("v").collect().map(_.getLong(0)).toSeq == Seq(20L, 40L, 60L))
+  }
+
+  test("EXCLUDE and REPLACE compose in one star group") {
+    t
+    val got = spark.sql(
+      "SELECT * EXCLUDE (name) REPLACE (id + 100 AS id) FROM star_t ORDER BY v")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.collect().map(_.getInt(0)).toSeq == Seq(101, 102, 103))
+  }
+
+  test("pass-through: count(*), EXCEPT set-op, exclude as identifier") {
+    val q1 = "SELECT count(*) FROM t"
+    assert(StarSqlSyntax.rewrite(q1) == q1)
+    val q2 = "SELECT a FROM t EXCEPT SELECT a FROM u"
+    assert(StarSqlSyntax.rewrite(q2) == q2)
+    val q3 = "SELECT exclude FROM t" // a column named exclude
+    assert(StarSqlSyntax.rewrite(q3) == q3)
+    val q4 = "SELECT replace(name, 'a', 'b') FROM t" // the function
+    assert(StarSqlSyntax.rewrite(q4) == q4)
+  }
+
+  test("loud failures: unknown column, no AS, qualified star untouched") {
+    t
+    // pure EXCLUDE delegates to * EXCEPT, so Spark's own analyzer is
+    // the binder: unresolved-column failure, loud by construction
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT * EXCLUDE (nope) FROM star_t").collect()
+    }
+    assert(e1.getMessage.contains("nope"))
+    // REPLACE + EXCLUDE takes the schema-probe path: our binder check
+    val e1b = intercept[AnalysisException] {
+      spark.sql("SELECT * EXCLUDE (nope) REPLACE (v AS v) FROM star_t").collect()
+    }
+    assert(e1b.getMessage.contains("not found"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT * REPLACE (v * 2) FROM star_t").collect()
+    }
+    assert(e2.getMessage.contains("AS"))
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT * REPLACE (0 AS nope) FROM star_t").collect()
+    }
+    assert(e3.getMessage.contains("not found"))
+  }
+
+  // ---------- FROM-first ----------
+
+  test("FROM t SELECT list reorders; bare FROM gains SELECT *") {
+    t
+    val got = spark.sql(
+      "FROM star_t SELECT id, v WHERE v >= 20 ORDER BY id")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.count() == 2)
+    val bare = spark.sql("FROM star_t WHERE id = 2")
+    assert(bare.columns.toSeq == Seq("id", "name", "v"))
+    assert(bare.count() == 1)
+  }
+
+  test("FROM-first composes with star modifiers") {
+    t
+    val got = spark.sql("FROM star_t SELECT * EXCLUDE (name) ORDER BY id LIMIT 2")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.count() == 2)
+  }
+
+  test("FROM-first rewrite is positional: mid-query FROM untouched") {
+    val q = "SELECT a FROM t WHERE x IN (SELECT y FROM u)"
+    assert(FromFirstSqlSyntax.rewrite(q) == q)
+  }
+}
