@@ -4090,11 +4090,11 @@ object RelationalQueries {
     // pipeline-reading order every interactive user reaches for —
     // and the oracle is DuckDB's native FROM-first on identical text.
     "o26_from_first" -> QueryDef.sql(
-      """FROM orders SELECT o_orderkey, o_orderpriority, CAST(o_totalprice * 100 AS BIGINT) AS cents
+      """FROM orders SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         |WHERE o_totalprice > 100000 ORDER BY o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
       orders(s, d).createOrReplaceTempView("graft_ff_orders")
       s.sql(
-        """FROM graft_ff_orders SELECT o_orderkey, o_orderpriority, CAST(o_totalprice * 100 AS BIGINT) AS cents
+        """FROM graft_ff_orders SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
           |WHERE o_totalprice > 100000 ORDER BY o_orderkey LIMIT 25""".stripMargin)
     },
 
@@ -4113,7 +4113,7 @@ object RelationalQueries {
     // two-pass algorithm exact for the median, p90 and p99 ranks —
     // cent-integer values end to end, rank k = (q·(N−1))//100 + 1.
     "ops_exact_kth_twopass" -> QueryDef.sql(
-      """WITH p AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem),
+      """WITH p AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
         |ks AS (SELECT CAST(q AS BIGINT) AS q, ((q * (n.n - 1)) // 100) + 1 AS k
         |       FROM (SELECT unnest([50, 90, 99]) AS q) qs CROSS JOIN n),
@@ -4122,7 +4122,7 @@ object RelationalQueries {
         |FROM ks JOIN o ON o.rk = ks.k ORDER BY ks.q""".stripMargin) { (s, d) =>
       import s.implicits._
       val p = lineitem(s, d)
-        .select(expr("CAST(l_extendedprice * 100 AS BIGINT)").as("v"))
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"))
       val mm = p.agg(min("v").as("lo"), max("v").as("hi"),
         count(lit(1)).as("n"))
       val ks = Seq(50L, 90L, 99L).toDF("q").crossJoin(broadcast(mm))
