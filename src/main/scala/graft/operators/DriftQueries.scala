@@ -188,6 +188,82 @@ object DriftQueries {
           |WHERE t.c >= 0 ORDER BY split_x""".stripMargin)
     },
 
+    // ----- weight of evidence + information value (feature selection) -----
+    // The supervised sibling of drift_psi_bins, same exactness
+    // discipline: per o_orderpriority bin, WoE = ln((pos_b/posT) /
+    // (neg_b/negT)) as a 6dp-rounded micro-nat on the BOUNDED bin
+    // alphabet (≤5 bins — one transcendental each, cross-multiplied
+    // argument), and IV = Σ (pos_share − neg_share)·WoE with the share
+    // difference cross-multiplied into the floor so corpus-scale counts
+    // never meet a float. Target: the order carries a returned line.
+    // The emitted table is the credit-scoring feature-selection ledger
+    // (IV < 0.02 = useless — the honest verdict for priority here,
+    // since TPC-H returns are independent of priority by construction).
+    "fe_woe_iv" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, o.o_orderpriority AS bin,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT bin, CAST(sum(pos) AS BIGINT) AS n_p,
+        |        CAST(sum(1 - pos) AS BIGINT) AS n_n
+        |      FROM lab GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_p) AS BIGINT) AS np,
+        |          CAST(sum(n_n) AS BIGINT) AS nn FROM b),
+        |terms AS (
+        |  SELECT b.bin, b.n_p, b.n_n,
+        |    CASE WHEN b.n_p > 0 AND b.n_n > 0 THEN
+        |      CAST(round(1000000 * round(ln(
+        |        (CAST(b.n_p AS DOUBLE) * tot.nn) / (CAST(b.n_n AS DOUBLE) * tot.np)), 6))
+        |        AS BIGINT)
+        |    ELSE NULL END AS woe_micronat,
+        |    CASE WHEN b.n_p > 0 AND b.n_n > 0 THEN
+        |      CAST(((b.n_p * CAST(tot.nn AS HUGEINT) - b.n_n * CAST(tot.np AS HUGEINT))
+        |        * CAST(round(1000000 * round(ln(
+        |            (CAST(b.n_p AS DOUBLE) * tot.nn) / (CAST(b.n_n AS DOUBLE) * tot.np)), 6))
+        |          AS BIGINT))
+        |        // (CAST(tot.np AS HUGEINT) * tot.nn) AS BIGINT)
+        |    ELSE NULL END AS iv_term_micro
+        |  FROM b CROSS JOIN tot),
+        |g AS (SELECT CAST(sum(iv_term_micro) AS BIGINT) AS iv_micro,
+        |        CAST(count(CASE WHEN iv_term_micro IS NULL THEN 1 END) AS BIGINT) AS n_skipped
+        |      FROM terms)
+        |SELECT t.bin, t.n_p, t.n_n, t.woe_micronat, t.iv_term_micro,
+        |  g.iv_micro, g.n_skipped
+        |FROM terms t CROSS JOIN g ORDER BY t.bin""".stripMargin) { (s, d) =>
+      val lab = orders(s, d).join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority").as("bin"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+      val b = lab.groupBy("bin")
+        .agg(sum("pos").cast("long").as("n_p"),
+          sum(expr("1 - pos")).cast("long").as("n_n"))
+        .localCheckpoint(true) // bounded bins; feeds terms AND the total
+      val tot = b.agg(sum("n_p").cast("long").as("np"),
+        sum("n_n").cast("long").as("nn"))
+      val terms = b.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_p"), col("n_n"),
+          expr("""CASE WHEN n_p > 0 AND n_n > 0 THEN
+                 |  CAST(round(1000000 * round(ln(
+                 |    (CAST(n_p AS DOUBLE) * nn) / (CAST(n_n AS DOUBLE) * np)), 6))
+                 |    AS BIGINT)
+                 |ELSE NULL END""".stripMargin).as("woe_micronat"),
+          expr("""CASE WHEN n_p > 0 AND n_n > 0 THEN
+                 |  CAST(((n_p * CAST(nn AS DECIMAL(38,0)) - n_n * CAST(np AS DECIMAL(38,0)))
+                 |    * CAST(round(1000000 * round(ln(
+                 |        (CAST(n_p AS DOUBLE) * nn) / (CAST(n_n AS DOUBLE) * np)), 6))
+                 |      AS BIGINT))
+                 |    div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)
+                 |ELSE NULL END""".stripMargin).as("iv_term_micro"))
+        .localCheckpoint(true)
+      val g = terms.agg(sum("iv_term_micro").cast("long").as("iv_micro"),
+        count(when(col("iv_term_micro").isNull, 1)).cast("long").as("n_skipped"))
+      terms.crossJoin(broadcast(g))
+        .select("bin", "n_p", "n_n", "woe_micronat", "iv_term_micro",
+          "iv_micro", "n_skipped")
+        .orderBy("bin")
+    },
+
     // ----- CUSUM changepoint per event type (Page 1954), exact -----
     // The drift detector that answers WHEN, not just whether: per type,
     // daily counts over the GLOBAL day grid (absent days count 0 — a

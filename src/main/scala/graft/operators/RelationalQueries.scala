@@ -4148,6 +4148,67 @@ object RelationalQueries {
         .orderBy("q")
     },
 
+    // ----- Fagin's Threshold Algorithm: certified top-k from two lists -----
+    // The middleware classic (Fagin–Lotem–Naor 2001): rank documents by
+    // a MONOTONE combination of two attributes (length + distinct
+    // vocabulary) reading only the HEADS of the two per-attribute
+    // indexes. Sorted access takes the top m=64 of each list (per-
+    // partition TakeOrdered heaps — never a global sort), the candidate
+    // union gets random-accessed for full scores (a broadcast semi-
+    // join), and τ = a_m + b_m bounds every unseen document: when the
+    // k-th candidate ≥ τ, the top-k is CERTIFIED exact. The oracle
+    // ranks by FULL SCAN and recomputes τ — hash equality proves the
+    // head-read algorithm found the true top-k, and the certified flag
+    // (1 here, and at any SF where the two attributes correlate) is
+    // the exactness certificate a 100 TB serving layer checks before
+    // trusting m. All BIGINT.
+    "ops_topk_threshold_ta" -> QueryDef.sql(
+      """WITH base AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS dv
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |        FROM documents)),
+        |am AS (SELECT min(dl) AS a_m FROM
+        |        (SELECT dl FROM base ORDER BY dl DESC, doc_id LIMIT 64)),
+        |bm AS (SELECT min(dv) AS b_m FROM
+        |        (SELECT dv FROM base ORDER BY dv DESC, doc_id LIMIT 64)),
+        |direct AS (SELECT doc_id, dl + dv AS s,
+        |             row_number() OVER (ORDER BY dl + dv DESC, doc_id) AS rk
+        |           FROM base),
+        |topk AS (SELECT rk, doc_id, s FROM direct WHERE rk <= 10),
+        |kth AS (SELECT min(s) AS kth FROM topk)
+        |SELECT CAST(t.rk AS BIGINT) AS rank, t.doc_id, t.s,
+        |  CAST(am.a_m + bm.b_m AS BIGINT) AS tau, kth.kth AS kth_score,
+        |  CAST(kth.kth >= am.a_m + bm.b_m AS BIGINT) AS certified
+        |FROM topk t CROSS JOIN am CROSS JOIN bm CROSS JOIN kth
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      val base = TextQueries.spread(documents(s, d))
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          size(array_distinct(col("tk"))).cast("long").as("dv"))
+        .localCheckpoint() // two index heads + the random-access join
+      val headA = base.orderBy(col("dl").desc, col("doc_id")).limit(64)
+      val headB = base.orderBy(col("dv").desc, col("doc_id")).limit(64)
+      val am = headA.agg(min("dl").as("a_m"))
+      val bm = headB.agg(min("dv").as("b_m"))
+      val cands = headA.select("doc_id").unionByName(headB.select("doc_id"))
+        .distinct()
+        .join(base, Seq("doc_id")) // random access, candidate-bounded
+        .select(col("doc_id"), (col("dl") + col("dv")).as("s"))
+      val topk = cands
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("s").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .localCheckpoint() // bounded k rows; feeds kth AND the output
+      val kth = topk.agg(min("s").as("kth"))
+      topk.crossJoin(broadcast(am)).crossJoin(broadcast(bm))
+        .crossJoin(broadcast(kth))
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), col("s"),
+          (col("a_m") + col("b_m")).as("tau"), col("kth").as("kth_score"),
+          (col("kth") >= col("a_m") + col("b_m")).cast("long").as("certified"))
+        .orderBy("rank")
+    },
+
     // ----- Fairness audit: demographic parity + equalized odds -----
     // The eval family's governance face: the returns classifier
     // (ŷ = line count ≥ 4) audited across customer nations — per

@@ -587,6 +587,112 @@ object SearchQueries {
       bm25Rank(tf, stats, qt, k = 5)
     },
 
+    // ----- BM25F: fielded retrieval (Robertson–Zaragoza 2009) -----
+    // The scoring family's structured-document face (BM25 → TF-IDF →
+    // query-likelihood → BM25F): the first 8 tokens act as the TITLE
+    // field (the headline/lead convention), the rest as BODY, and the
+    // per-field term frequencies fold into ONE soft frequency
+    // tf̃ = Σ_f w_f · tf_f / B_f (title weight 2, per-field length
+    // norms) BEFORE the k1 saturation — the published insight that
+    // weighting FREQUENCIES then saturating once beats mixing two
+    // saturated scores. Exactness: the log-free rational idf surrogate
+    // and ONE floor(1e6·…) per (doc, term) with identical IEEE
+    // expression trees on both engines (the bm25Rank discipline); the
+    // fixed 2-field fold is an expression, not a float SUM, so order
+    // can never flip a rank. Plan shape: one positional explode, two
+    // bounded per-field stat rows, query-vocabulary pruning before the
+    // (doc, token, field) aggregate shuffles.
+    "search_bm25f_fielded" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, tk[i] AS token,
+        |    CASE WHEN i <= 8 THEN 't' ELSE 'b' END AS fld
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) i),
+        |ftf AS (SELECT doc_id, token, fld, CAST(count(*) AS BIGINT) AS tf
+        |        FROM x GROUP BY 1, 2, 3),
+        |fdl AS (SELECT doc_id, fld, CAST(count(*) AS BIGINT) AS dl
+        |        FROM x GROUP BY 1, 2),
+        |favg AS (SELECT fld, CAST(sum(dl) AS BIGINT) AS total,
+        |                CAST(count(*) AS BIGINT) AS nd
+        |         FROM fdl GROUP BY 1),
+        |bf AS (
+        |  SELECT fdl.doc_id, fdl.fld,
+        |    0.25 + 0.75 * (CAST(fdl.dl AS DOUBLE)
+        |      / (CAST(favg.total AS DOUBLE) / CAST(favg.nd AS DOUBLE))) AS b
+        |  FROM fdl JOIN favg ON favg.fld = fdl.fld),
+        |wtf AS (
+        |  SELECT f.doc_id, f.token,
+        |    coalesce(sum(CASE WHEN f.fld = 't'
+        |      THEN 2.0 * CAST(f.tf AS DOUBLE) / bf.b END), 0)
+        |    + coalesce(sum(CASE WHEN f.fld = 'b'
+        |      THEN 1.0 * CAST(f.tf AS DOUBLE) / bf.b END), 0) AS wtf
+        |  FROM ftf f JOIN bf ON bf.doc_id = f.doc_id AND bf.fld = f.fld
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, token FROM ftf) GROUP BY 1),
+        |qt AS (SELECT * FROM (VALUES (0, 'merge'), (0, 'slow'),
+        |       (1, 'batch'), (1, 'stream'), (2, 'spark'), (2, 'window')) v(qid, token)),
+        |co AS (
+        |  SELECT qt.qid, w.doc_id,
+        |    CAST(floor(1000000.0
+        |      * ((CAST(n.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |         / (CAST(df.df AS DOUBLE) + 0.5))
+        |      * (w.wtf / (1.2 + w.wtf))) AS BIGINT) AS c
+        |  FROM qt JOIN wtf w ON w.token = qt.token
+        |  JOIN df ON df.token = qt.token CROSS JOIN n),
+        |sc AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score
+        |       FROM co GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |       FROM sc)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score
+        |FROM rk WHERE rn <= 5 ORDER BY qid, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = TextQueries.spread(documents(s, d))
+        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+        .select("doc_id", "tk")
+      val x = docs.select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "token")))
+        .select(col("doc_id"), col("token"),
+          when(col("p") < 8, "t").otherwise("b").as("fld"))
+      val qt = Seq((0L, "merge"), (0L, "slow"), (1L, "batch"),
+        (1L, "stream"), (2L, "spark"), (2L, "window")).toDF("qid", "token")
+      val ftf = x.groupBy("doc_id", "token", "fld").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds df AND the scoring join
+      val fdl = x.groupBy("doc_id", "fld").agg(count(lit(1)).as("dl"))
+      val favg = fdl.groupBy("fld")
+        .agg(sum("dl").cast("long").as("total"), count(lit(1)).as("nd"))
+      val bf = fdl.join(broadcast(favg), Seq("fld"))
+        .select(col("doc_id"), col("fld"),
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+            (col("total").cast("double") / col("nd").cast("double")))).as("b"))
+      val wtf = ftf.join(bf, Seq("doc_id", "fld"))
+        .groupBy("doc_id", "token")
+        .agg((coalesce(sum(when(col("fld") === "t",
+            lit(2.0) * col("tf").cast("double") / col("b"))), lit(0.0))
+          + coalesce(sum(when(col("fld") === "b",
+            lit(1.0) * col("tf").cast("double") / col("b"))), lit(0.0))).as("wtf"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val df = ftf.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val co = broadcast(qt).join(wtf, Seq("token"))
+        .join(broadcast(df), Seq("token")).crossJoin(broadcast(n))
+        .select(col("qid"), col("doc_id"),
+          floor(lit(1000000.0) * idf *
+            (col("wtf") / (lit(1.2) + col("wtf")))).cast("long").as("c"))
+      val rn = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))
+      co.groupBy("qid", "doc_id").agg(sum("c").cast("long").as("score"))
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") <= 5)
+        .select("qid", "doc_id", "score")
+        .orderBy("qid", "doc_id")
+    },
+
     // ----- BM25 from the PERSISTED postings store -----
     // The search-family amortization twin of dedup_minhash_lsh_stored:
     // the postings build (token explode + corpus-wide (doc, token)
