@@ -4148,6 +4148,98 @@ object RelationalQueries {
         .orderBy("q")
     },
 
+    // ----- A21: time-decay attribution (dyadic half-life), exact -----
+    // Completes the attribution family (last-touch, positional/U-shaped,
+    // Shapley, Markov removal): each touch in a purchase's journey gets
+    // weight 2^(−⌊Δdays/7⌋) — a 7-day half-life chosen DYADIC so the
+    // weight is an exact integer division (1000000 >> k), never a
+    // transcendental. Per journey the weights normalize to ppm shares
+    // by floored division with the remainder assigned to the
+    // highest-weight (most recent) touch, so credits sum to EXACTLY 1e6
+    // per purchase — the same conservation law a12 pins. Journey
+    // structure and value mass follow a12's jid convention; '(direct)'
+    // absorbs touchless purchases. One user-keyed window family, no
+    // corpus-scale join.
+    "a21_time_decay_attribution" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ns FROM events),
+        |j AS (
+        |  SELECT user_id, event_id, event_type, value, ns,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ns, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        |  FROM t),
+        |pur AS (
+        |  SELECT user_id, jid, ns AS pns,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vus
+        |  FROM j WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT t.user_id, t.jid, t.event_type AS touch, t.event_id, t.ns, p.vus,
+        |    1000000 // (1 << least((p.pns - t.ns) // 86400000000000 // 7, 19)) AS w
+        |  FROM j t JOIN pur p ON p.user_id = t.user_id AND p.jid = t.jid
+        |  WHERE t.event_type <> 'purchase'),
+        |sh AS (
+        |  SELECT touch, vus, user_id, jid,
+        |    (1000000 * w) // sum(w) OVER (PARTITION BY user_id, jid) AS share,
+        |    row_number() OVER (PARTITION BY user_id, jid
+        |      ORDER BY w DESC, ns DESC, event_id DESC) AS rn
+        |  FROM w),
+        |cred AS (
+        |  SELECT touch, vus,
+        |    share + CASE WHEN rn = 1 THEN
+        |      1000000 - sum(share) OVER (PARTITION BY user_id, jid)
+        |    ELSE 0 END AS credit_ppm
+        |  FROM sh),
+        |direct AS (
+        |  SELECT '(direct)' AS touch, p.vus, 1000000 AS credit_ppm
+        |  FROM pur p ANTI JOIN w ON w.user_id = p.user_id AND w.jid = p.jid),
+        |allc AS (SELECT * FROM cred UNION ALL SELECT * FROM direct)
+        |SELECT touch, CAST(count(*) AS BIGINT) AS n_credits,
+        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total,
+        |  CAST(sum(CAST(vus AS HUGEINT) * credit_ppm) // 1000000 AS BIGINT)
+        |    AS attributed_value_us
+        |FROM allc GROUP BY touch ORDER BY touch""".stripMargin) { (s, d) =>
+      val w0 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val j = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_ns").as("ns"))
+        .withColumn("jid", coalesce(sum(
+          when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w0), lit(0L)))
+      val pur = j.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("jid"), col("ns").as("pns"),
+          floor(col("value") * lit(1000000)).cast("long").as("vus"))
+      val w = j.filter(col("event_type") =!= "purchase")
+        .join(pur, Seq("user_id", "jid"))
+        .select(col("user_id"), col("jid"), col("event_type").as("touch"),
+          col("event_id"), col("ns"), col("vus"),
+          expr("1000000 div shiftleft(1, least((pns - ns) div 86400000000000 div 7, 19))")
+            .as("w"))
+      val jw = Window.partitionBy("user_id", "jid")
+      val shares = w
+        .withColumn("sw", sum("w").over(jw))
+        .withColumn("share", expr("(1000000 * w) div sw"))
+        .withColumn("rn", row_number().over(jw
+          .orderBy(col("w").desc, col("ns").desc, col("event_id").desc)))
+      val cred = shares
+        .withColumn("ssum", sum("share").over(Window.partitionBy("user_id", "jid")))
+        .select(col("touch"), col("vus"),
+          (col("share") + when(col("rn") === 1,
+            lit(1000000L) - col("ssum")).otherwise(lit(0L))).as("credit_ppm"))
+      val direct = pur.join(w.select("user_id", "jid").distinct(),
+          Seq("user_id", "jid"), "left_anti")
+        .select(lit("(direct)").as("touch"), col("vus"),
+          lit(1000000L).as("credit_ppm"))
+      cred.unionByName(direct)
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_credits"),
+          sum("credit_ppm").cast("long").as("credit_ppm_total"),
+          expr("CAST(sum(CAST(vus AS DECIMAL(38,0)) * credit_ppm) div 1000000 AS BIGINT)")
+            .as("attributed_value_us"))
+        .orderBy("touch")
+    },
+
     // ----- Fagin's Threshold Algorithm: certified top-k from two lists -----
     // The middleware classic (Fagin–Lotem–Naor 2001): rank documents by
     // a MONOTONE combination of two attributes (length + distinct
