@@ -126,6 +126,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "ac_matches takes exactly 2 arguments")
         graft.functions.AcMatches(children.head, children(1))
       }))
+    // native count-min fold: one 4096-cell Long buffer per group,
+    // element-wise ADD merge (exact — split-invariant bit-for-bit)
+    ext.injectFunction((
+      new FunctionIdentifier("count_min_agg"),
+      new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName,
+        "count_min_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "count_min_agg takes exactly 2 arguments")
+        graft.functions.CountMinAgg(children.head, children(1))
+      }))
     // native HLL register fold: one 256-byte buffer per group, byte-MAX
     // merge — the analyzer wraps the AggregateFunction on use
     ext.injectFunction((

@@ -853,6 +853,42 @@ object SketchQueries {
         .orderBy("j")
     },
 
+    // ----- count-min as ONE native aggregate pass over raw tokens -----
+    // The third spelling of the same cells (relational vocab fold =
+    // count_min_tokens; store = _stored; this = the native
+    // [[graft.functions.CountMinAgg]] TypedImperativeAggregate): raw
+    // tokens stream through one 4096-cell Long buffer per map task,
+    // partials cross the shuffle as ONE 32 KB row each, and the merge
+    // is element-wise ADD — exact, so split-invariance is bit-for-bit
+    // (CountMinAggSpec), not a theorem. The hash gate holds the native
+    // fold to the SAME oracle arithmetic as the relational build —
+    // identical md5 slot per (depth, token), identical sums — which
+    // pins the Java MessageDigest path byte-equal to both engines' SQL
+    // md5(). This is the shape per-stratum sketch maintenance takes at
+    // 100 TB: no explode-by-depth, no vocabulary fold on the critical
+    // path, map-side combine doing all corpus-scale work.
+    "count_min_native" -> QueryDef.sql(
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |cells AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 15))::BIGINT % 1024 AS slot,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+        |  GROUP BY 1, 2)
+        |SELECT CAST(j AS BIGINT) AS j, slot, n FROM cells ORDER BY j, slot""".stripMargin) { (s, d) =>
+      val toks = TextQueries.spread(documents(s, d))
+        .select(explode(expr(TextQueries.toksExpr)).as("t"))
+      toks.agg(call_function("count_min_agg", col("t"), lit(1L)).as("cells"))
+        .select(posexplode(col("cells")).as(Seq("i", "n")))
+        .filter(col("n") =!= 0L)
+        .select(expr("CAST(i div 1024 AS BIGINT)").as("j"),
+          expr("CAST(i % 1024 AS BIGINT)").as("slot"), col("n"))
+        .orderBy("j", "slot")
+    },
+
     // ----- join-size estimation #2: correlated key sampling vs row sampling -----
     // The SAMPLING side of the optimizer-statistics coin (the sketch
     // side is cm_join_size_estimate above, same view⋈purchase join, so
