@@ -693,6 +693,68 @@ object SearchQueries {
         .orderBy("qid", "doc_id")
     },
 
+    // ----- query spell correction (SymSpell, asymmetric) -----
+    // The query-understanding step in front of every retrieval query:
+    // misspelled terms map to the closest corpus token within edit
+    // distance 1, ranked by exactness then corpus frequency. The
+    // er_fuzzy_name_join machinery applied ASYMMETRICALLY — the bounded
+    // query side's deletion neighborhood (word + every 1-deletion,
+    // identity included) broadcast-joins the vocabulary's, which covers
+    // every distance-1 edit class (delete/insert/substitute) with zero
+    // quadratic pairing; levenshtein verifies candidates before the
+    // per-query top-1. Unknown-but-uncorrectable terms survive as NULL
+    // suggestions (the left join) — the signal to pass the term through
+    // unchanged rather than silently drop it. At 100 TB the vocabulary
+    // key table is Heaps-sublinear and amortizable; the per-query work
+    // is neighborhood-sized.
+    "search_spell_correct" -> QueryDef.sql(
+      """WITH v AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |        FROM documents) GROUP BY 1),
+        |q AS (SELECT unnest(['batch', 'merg', 'spqrk', 'windoq', 'xyzzq']) AS q),
+        |vk AS (SELECT DISTINCT t, substr(t, 1, i - 1) || substr(t, i + 1) AS k
+        |       FROM v, LATERAL (SELECT unnest(range(1, len(t) + 2)) AS i) i),
+        |qk AS (SELECT DISTINCT q, substr(q, 1, i - 1) || substr(q, i + 1) AS k
+        |       FROM q, LATERAL (SELECT unnest(range(1, len(q) + 2)) AS i) i),
+        |cand AS (SELECT DISTINCT qk.q, vk.t FROM qk JOIN vk ON vk.k = qk.k),
+        |ok AS (SELECT c.q, c.t, v.freq, levenshtein(c.q, c.t) AS dist
+        |       FROM cand c JOIN v ON v.t = c.t
+        |       WHERE levenshtein(c.q, c.t) <= 1),
+        |best AS (SELECT q, t, freq, dist,
+        |           row_number() OVER (PARTITION BY q ORDER BY dist, freq DESC, t) AS rn
+        |         FROM ok)
+        |SELECT qq.q AS query, b.t AS suggestion,
+        |  CAST(b.dist AS BIGINT) AS dist, b.freq
+        |FROM q qq LEFT JOIN best b ON b.q = qq.q AND b.rn = 1
+        |ORDER BY qq.q""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val v = SketchQueries.tokenVocab(TextQueries.spread(documents(s, d)))
+        .withColumnRenamed("cnt", "freq")
+        .localCheckpoint() // feeds the key table AND the freq join
+      def keysOf(df: DataFrame, cn: String) = df
+        .select(col(cn), explode(sequence(lit(1), length(col(cn)) + 1)).as("i"))
+        .select(col(cn),
+          expr(s"concat(substring($cn, 1, i - 1), substring($cn, i + 1, 1000000))")
+            .as("k"))
+        .distinct()
+      val q = Seq("batch", "merg", "spqrk", "windoq", "xyzzq").toDF("q")
+      val cand = broadcast(keysOf(q, "q"))
+        .join(keysOf(v.select("t"), "t"), Seq("k"))
+        .select("q", "t").distinct()
+      val ok = cand.join(v, Seq("t"))
+        .filter(levenshtein(col("q"), col("t")) <= 1)
+        .select(col("q"), col("t"), col("freq"),
+          levenshtein(col("q"), col("t")).cast("long").as("dist"))
+      val best = ok.withColumn("rn", row_number().over(
+          Window.partitionBy("q").orderBy(col("dist"), col("freq").desc, col("t"))))
+        .filter(col("rn") === 1)
+      q.join(best, Seq("q"), "left")
+        .select(col("q").as("query"), col("t").as("suggestion"),
+          col("dist"), col("freq"))
+        .orderBy("query")
+    },
+
     // ----- BM25 from the PERSISTED postings store -----
     // The search-family amortization twin of dedup_minhash_lsh_stored:
     // the postings build (token explode + corpus-wide (doc, token)
