@@ -257,6 +257,106 @@ object DriftQueries {
         .orderBy("period")
     },
 
+    // ----- Brier score decomposition (Murphy 1973), exact -----
+    // The proper-scoring-rule companion of knn_calibration_ece: the
+    // returns classifier's binned forecasts (train-split base rate per
+    // line-count bin, floored ppm) scored on the test split and split
+    // into BS = REL − RES + UNC — reliability (are the probabilities
+    // honest), resolution (do the bins separate outcomes), uncertainty
+    // (the irreducible base-rate floor). Every term is an exact
+    // cross-multiplied integer: REL_k = (p_k·n_k − 1e6·pos_k)²/n_k,
+    // RES_k = 1e12(pos_k·N − P·n_k)²/(n_k·N²), UNC = 1e12·P(N−P)/N²,
+    // BS from the expanded square — one floor per emission, and the
+    // identity residual BS − (REL − RES + UNC) rides as its own column
+    // (bounded by the floors, ≤ a few µ² — the Theil-residual
+    // convention). Decomposition identity requires bin-constant
+    // forecasts, which binned base rates are by construction.
+    "eval_brier_decomposition" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey, least(CAST(count(*) AS BIGINT), 7) AS bin,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CASE WHEN o.o_orderkey % 10 < 8 THEN 1 ELSE 0 END AS is_train
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 4),
+        |tr AS (SELECT bin, (1000000 * CAST(sum(pos) AS BIGINT)) // count(*) AS p
+        |       FROM lab WHERE is_train = 1 GROUP BY 1),
+        |te AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS pos
+        |       FROM lab WHERE is_train = 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp
+        |        FROM te JOIN tr USING (bin)),
+        |terms AS (
+        |  SELECT te.bin, te.n, te.pos, tr.p AS p_train_ppm,
+        |    (1000000 * te.pos) // te.n AS o_test_ppm,
+        |    ((tr.p * te.n - 1000000 * te.pos)
+        |      * CAST(tr.p * te.n - 1000000 * te.pos AS HUGEINT)) // te.n AS rel_k,
+        |    (CAST(1000000000000 AS HUGEINT)
+        |      * (te.pos * tot.nn - tot.pp * te.n)
+        |      * (te.pos * tot.nn - tot.pp * te.n))
+        |      // (te.n * CAST(tot.nn AS HUGEINT) * tot.nn) AS res_k,
+        |    te.n * CAST(tr.p AS HUGEINT) * tr.p
+        |      - 2 * CAST(tr.p AS HUGEINT) * 1000000 * te.pos
+        |      + CAST(1000000000000 AS HUGEINT) * te.pos AS bs_k
+        |  FROM te JOIN tr USING (bin) CROSS JOIN tot),
+        |g AS (
+        |  SELECT CAST(sum(rel_k) // max(tot.nn) AS BIGINT) AS rel_ppm2,
+        |    CAST(sum(res_k) // max(tot.nn) AS BIGINT) AS res_ppm2,
+        |    CAST(sum(bs_k) // max(tot.nn) AS BIGINT) AS bs_ppm2,
+        |    CAST((CAST(1000000000000 AS HUGEINT) * max(tot.pp)
+        |      * (max(tot.nn) - max(tot.pp)))
+        |      // (max(tot.nn) * CAST(max(tot.nn) AS HUGEINT)) AS BIGINT) AS unc_ppm2
+        |  FROM terms CROSS JOIN tot)
+        |SELECT t.bin, t.n, t.p_train_ppm, CAST(t.o_test_ppm AS BIGINT) AS o_test_ppm,
+        |  CAST(t.rel_k AS BIGINT) AS rel_k, CAST(t.res_k AS BIGINT) AS res_k,
+        |  g.bs_ppm2, g.rel_ppm2, g.res_ppm2, g.unc_ppm2,
+        |  CAST(g.bs_ppm2 - (g.rel_ppm2 - g.res_ppm2 + g.unc_ppm2) AS BIGINT)
+        |    AS identity_residual
+        |FROM terms t CROSS JOIN g ORDER BY t.bin""".stripMargin) { (s, d) =>
+      val lab = orders(s, d).join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          expr("CASE WHEN o_orderkey % 10 < 8 THEN 1 ELSE 0 END").as("is_train"))
+        .agg(least(count(lit(1)), lit(7L)).as("bin"),
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+      val tr = lab.filter(col("is_train") === 1).groupBy("bin")
+        .agg(expr("(1000000 * CAST(sum(pos) AS BIGINT)) div count(*)").as("p"))
+      val te = lab.filter(col("is_train") === 0).groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").cast("long").as("pos"))
+      val joined = te.join(tr, Seq("bin")).localCheckpoint(true) // bounded bins
+      val tot = joined.agg(sum("n").cast("long").as("nn"),
+        sum("pos").cast("long").as("pp"))
+      val terms = joined.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("pos"), col("p").as("p_train_ppm"),
+          expr("(1000000 * pos) div n").as("o_test_ppm"),
+          expr("""((p * n - 1000000 * pos)
+                 |  * CAST(p * n - 1000000 * pos AS DECIMAL(38,0))) div n""".stripMargin)
+            .as("rel_k"),
+          expr("""(CAST(1000000000000 AS DECIMAL(38,0))
+                 |  * (pos * nn - pp * n) * (pos * nn - pp * n))
+                 |  div (n * CAST(nn AS DECIMAL(38,0)) * nn)""".stripMargin).as("res_k"),
+          expr("""n * CAST(p AS DECIMAL(38,0)) * p
+                 |  - 2 * CAST(p AS DECIMAL(38,0)) * 1000000 * pos
+                 |  + CAST(1000000000000 AS DECIMAL(38,0)) * pos""".stripMargin).as("bs_k"))
+        .localCheckpoint(true)
+      val g = terms.crossJoin(broadcast(tot))
+        .agg(expr("CAST(sum(rel_k) div max(nn) AS BIGINT)").as("rel_ppm2"),
+          expr("CAST(sum(res_k) div max(nn) AS BIGINT)").as("res_ppm2"),
+          expr("CAST(sum(bs_k) div max(nn) AS BIGINT)").as("bs_ppm2"),
+          expr("""CAST((CAST(1000000000000 AS DECIMAL(38,0)) * max(pp)
+                 |  * (max(nn) - max(pp)))
+                 |  div (max(nn) * CAST(max(nn) AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+            .as("unc_ppm2"))
+      terms.crossJoin(broadcast(g))
+        .select(col("bin"), col("n"), col("p_train_ppm"),
+          expr("CAST(o_test_ppm AS BIGINT)").as("o_test_ppm"),
+          expr("CAST(rel_k AS BIGINT)").as("rel_k"),
+          expr("CAST(res_k AS BIGINT)").as("res_k"),
+          col("bs_ppm2"), col("rel_ppm2"), col("res_ppm2"), col("unc_ppm2"),
+          expr("CAST(bs_ppm2 - (rel_ppm2 - res_ppm2 + unc_ppm2) AS BIGINT)")
+            .as("identity_residual"))
+        .orderBy("bin")
+    },
+
     // ----- closed-form ridge regression (Cramer-exact normal equations) -----
     // The multivariate face of the regression ladder (price elasticity
     // = one log-log slope, Theil–Sen = one robust slope; this = trend +
@@ -2008,6 +2108,84 @@ object DriftQueries {
       rows.toDF("day", "n_at_risk", "n_churned", "survival_ppm",
           "is_censoring_boundary")
         .orderBy("day")
+    },
+
+    // ----- restricted mean survival time from the KM curve -----
+    // The scalar the KM curve exists to produce (Royston & Parmar's
+    // RMST argument: medians need the curve to CROSS 50%, hazard ratios
+    // need proportionality — the area under the curve needs neither):
+    // RMST(τ) = Σ S(tᵢ)·(tᵢ₊₁ − tᵢ) up to the censoring boundary, in
+    // exact ppm·days off the same started-minus-churned risk-set fold
+    // as km_survival_curve (one bounded calendar pass; the product fold
+    // is a driver fold on Spark and a recursive CTE in DuckDB, the KM
+    // precedent). Median survival rides along (first day S ≤ 50%, NULL
+    // when the curve never crosses — at fixture scale it does, late).
+    "churn_survival_rmst" -> QueryDef.sql(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |grid AS (SELECT DISTINCT day FROM e),
+        |st AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |en AS (SELECT ld AS day, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |g AS (
+        |  SELECT grid.day, coalesce(st.c, 0) AS s, coalesce(en.c, 0) AS x
+        |  FROM grid LEFT JOIN st USING (day) LEFT JOIN en USING (day)),
+        |h AS (
+        |  SELECT day, CAST(sum(s) OVER (ORDER BY day)
+        |      - (sum(x) OVER (ORDER BY day) - x) AS BIGINT) AS r,
+        |    CAST(x AS BIGINT) AS x,
+        |    row_number() OVER (ORDER BY day) AS rk
+        |  FROM g),
+        |k AS (
+        |  SELECT rk, day, r, x, (1000000 * (r - x)) // r AS sppm
+        |  FROM h WHERE rk = 1
+        |  UNION ALL
+        |  SELECT h.rk, h.day, h.r, h.x, (k.sppm * (h.r - h.x)) // h.r
+        |  FROM k JOIN h ON h.rk = k.rk + 1),
+        |l AS (SELECT day, sppm, lead(day) OVER (ORDER BY day) AS nd FROM k),
+        |b AS (SELECT min(day) AS d0, max(day) AS md FROM k),
+        |r AS (SELECT CAST(sum(sppm * (nd - day)) AS BIGINT) AS rmst
+        |      FROM l WHERE nd IS NOT NULL),
+        |med AS (SELECT min(day) AS mday FROM k WHERE sppm <= 500000)
+        |SELECT CAST(b.md - b.d0 AS BIGINT) AS tau_days, r.rmst AS rmst_ppm_days,
+        |  CAST(r.rmst // (b.md - b.d0) AS BIGINT) AS rmst_mean_ppm,
+        |  CAST(med.mday - b.d0 AS BIGINT) AS median_survival_day
+        |FROM b CROSS JOIN r CROSS JOIN med""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d)
+        .select(col("user_id"),
+          expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"))
+      val u = e.groupBy("user_id").agg(min("day").as("fd"), max("day").as("ld"))
+      val grid = e.select("day").distinct()
+      val st = u.groupBy(col("fd").as("day")).agg(count(lit(1)).as("c"))
+      val en = u.groupBy(col("ld").as("day")).agg(count(lit(1)).as("c2"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val hz = grid
+        .join(broadcast(st), Seq("day"), "left")
+        .join(broadcast(en), Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("s"),
+          coalesce(col("c2"), lit(0L)).as("x"))
+        .withColumn("cs", sum("s").over(w))
+        .withColumn("cx", sum("x").over(w))
+        .select(col("day"), (col("cs") - (col("cx") - col("x"))).as("r"),
+          col("x"))
+        .orderBy("day")
+        .collect() // bounded: one row per calendar day
+      var sppm = 1000000L
+      val curve = hz.map { row =>
+        val (day, r, x) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        sppm = (sppm * (r - x)) / r
+        (day, sppm)
+      }.toSeq
+      val d0 = curve.head._1
+      val md = curve.last._1
+      val rmst = curve.sliding(2).collect {
+        case Seq((day, sp), (nd, _)) => sp * (nd - day)
+      }.sum
+      val median = curve.find(_._2 <= 500000L).map(_._1 - d0)
+      import s.implicits._
+      Seq((md - d0, rmst, rmst / (md - d0), median))
+        .toDF("tau_days", "rmst_ppm_days", "rmst_mean_ppm", "median_survival_day")
     },
 
     // ----- Log-rank test between the two user-parity survival cohorts -----
