@@ -659,9 +659,13 @@ object SearchQueries {
           when(col("p") < 8, "t").otherwise("b").as("fld"))
       val qt = Seq((0L, "merge"), (0L, "slow"), (1L, "batch"),
         (1L, "stream"), (2L, "spark"), (2L, "window")).toDF("qid", "token")
+      // ONE corpus pass: the (doc, token, field) frequencies are pinned
+      // and every other statistic folds from them — field lengths are
+      // Σtf per (doc, field), doc count and df are distinct counts over
+      // the pinned sliver. Three corpus scans collapsed to one.
       val ftf = x.groupBy("doc_id", "token", "fld").agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // feeds df AND the scoring join
-      val fdl = x.groupBy("doc_id", "fld").agg(count(lit(1)).as("dl"))
+        .localCheckpoint()
+      val fdl = ftf.groupBy("doc_id", "fld").agg(sum("tf").cast("long").as("dl"))
       val favg = fdl.groupBy("fld")
         .agg(sum("dl").cast("long").as("total"), count(lit(1)).as("nd"))
       val bf = fdl.join(broadcast(favg), Seq("fld"))
@@ -674,6 +678,9 @@ object SearchQueries {
             lit(2.0) * col("tf").cast("double") / col("b"))), lit(0.0))
           + coalesce(sum(when(col("fld") === "b",
             lit(1.0) * col("tf").cast("double") / col("b"))), lit(0.0))).as("wtf"))
+      // n counts ALL documents (a null-text doc drops out of the token
+      // path on both engines but still counts toward idf's N) — a
+      // doc_id-only scan, column-pruned to parquet metadata cost
       val n = docs.agg(count(lit(1)).as("n"))
       val df = ftf.select("doc_id", "token").distinct()
         .groupBy("token").agg(count(lit(1)).as("df"))
