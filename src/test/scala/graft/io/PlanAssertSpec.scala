@@ -898,6 +898,41 @@ class PlanAssertSpec extends SparkFunSuite {
     }
   }
 
+  test("blocklist_phrase_scan: one corpus scan, no containment theta-join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.TextQueries.defs("blocklist_phrase_scan")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("documents") => s
+    }
+    assert(scans.size == 1,
+      s"the automaton reads the corpus ONCE, got ${scans.size} scans:\n$plan")
+    val nlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.isEmpty,
+      s"the contains() theta-join shape must not appear:\n$plan")
+  }
+
+  test("count_min_native: one corpus scan through the typed-imperative fold") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.operators.SketchQueries.defs("count_min_native")
+      .build(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("documents") => s
+    }
+    assert(scans.size == 1,
+      s"the native fold reads the corpus ONCE, got ${scans.size}:\n$plan")
+    // TypedImperativeAggregate plans as ObjectHashAggregate
+    assert(plan.toString.contains("ObjectHashAggregate"),
+      s"expected the object-hash aggregate path:\n$plan")
+  }
+
   test("whole-stage codegen covers the text-stats pipeline shape") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("token "), col("id").cast("string")).as("text"))
