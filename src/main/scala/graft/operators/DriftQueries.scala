@@ -257,6 +257,72 @@ object DriftQueries {
         .orderBy("period")
     },
 
+    // ----- A/B power analysis: required n per arm, exact -----
+    // The planning face the experimentation family lacked (χ², CUPED,
+    // SPRT, group-sequential, bootstrap all ANALYZE a finished test;
+    // this sizes the next one): two-proportion normal approximation
+    // n = (z_{α/2}+z_β)²·(p₀(1−p₀)+p₁(1−p₁))/δ² at α=5%, power=80%.
+    // The two normal quantiles are FIXED 6dp constants (1.959964,
+    // 0.841621 — the SPRT micro-log-constant precedent), so the whole
+    // computation is one cross-multiplied ceiling division per δ row:
+    // n = ⌈Z²_µ·V / (10¹²·D²)⌉ with V = P(1e6−P)+P₁(1e6−P₁) in ppm².
+    // Base rate = heavy-purchaser share (purchases ≥ 20% of the user's
+    // events — the plain any-purchase rate saturates at 100% on this
+    // fixture, a degenerate p the power formula rightly explodes on);
+    // the verdict column says
+    // whether a 50/50 split of TODAY'S users could detect each δ — and
+    // the honest answer at fixture scale is "only the big ones", which
+    // is exactly what a power table is for.
+    "ab_power_analysis" -> QueryDef.sql(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= count(*) THEN 1 ELSE 0 END AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |           (1000000 * CAST(sum(conv) AS BIGINT)) // count(*) AS p
+        |         FROM u),
+        |ds AS (SELECT unnest([10000, 20000, 50000, 100000]) AS d),
+        |calc AS (
+        |  SELECT CAST(ds.d AS BIGINT) AS delta_ppm, base.p AS p_base_ppm,
+        |    base.n // 2 AS n_have,
+        |    (base.p * (1000000 - base.p)
+        |      + (base.p + ds.d) * (1000000 - base.p - ds.d)) AS v
+        |  FROM ds CROSS JOIN base),
+        |req AS (
+        |  SELECT delta_ppm, p_base_ppm, n_have,
+        |    (2801585 * CAST(2801585 AS HUGEINT) * v
+        |      + (CAST(1000000000000 AS HUGEINT) * delta_ppm * delta_ppm - 1))
+        |      // (CAST(1000000000000 AS HUGEINT) * delta_ppm * delta_ppm)
+        |      AS n_required
+        |  FROM calc)
+        |SELECT delta_ppm, p_base_ppm, CAST(n_required AS BIGINT) AS n_required,
+        |  CAST(n_have AS BIGINT) AS n_have,
+        |  CAST(n_have >= n_required AS BIGINT) AS powered
+        |FROM req ORDER BY delta_ppm""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val u = events(s, d).groupBy("user_id")
+        .agg(expr("""CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  |  >= count(*) THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("conv"))
+      val base = u.agg(count(lit(1)).as("n"),
+        expr("(1000000 * CAST(sum(conv) AS BIGINT)) div count(*)").as("p"))
+      val ds = Seq(10000L, 20000L, 50000L, 100000L).toDF("d")
+      ds.crossJoin(broadcast(base))
+        .select(col("d").as("delta_ppm"), col("p").as("p_base_ppm"),
+          expr("n div 2").as("n_have"),
+          expr("p * (1000000 - p) + (p + d) * (1000000 - p - d)").as("v"))
+        .select(col("delta_ppm"), col("p_base_ppm"),
+          expr("""CAST((2801585 * CAST(2801585 AS DECIMAL(38,0)) * v
+                 |  + (CAST(1000000000000 AS DECIMAL(38,0)) * delta_ppm * delta_ppm - 1))
+                 |  div (CAST(1000000000000 AS DECIMAL(38,0)) * delta_ppm * delta_ppm)
+                 |  AS BIGINT)""".stripMargin).as("n_required"),
+          col("n_have"))
+        .select(col("delta_ppm"), col("p_base_ppm"), col("n_required"),
+          col("n_have").cast("long").as("n_have"),
+          (col("n_have") >= col("n_required")).cast("long").as("powered"))
+        .orderBy("delta_ppm")
+    },
+
     // ----- Brier score decomposition (Murphy 1973), exact -----
     // The proper-scoring-rule companion of knn_calibration_ece: the
     // returns classifier's binned forecasts (train-split base rate per
