@@ -2226,6 +2226,75 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- feature-hashing (hashing trick) collision audit -----
+    // Before a pipeline hashes its vocabulary into a fixed-width
+    // feature vector (Weinberger et al. 2009), this table prices the
+    // damage per candidate width: tokens sharing a bucket, the ppm of
+    // vocabulary TYPES colliding, and — the number that actually moves
+    // models — the ppm of occurrence MASS landing in shared buckets
+    // (frequent features colliding hurt; rare ones do not). BIGRAM
+    // features (the unigram vocabulary here is 31 types — collision-free
+    // at any sane width, a vacuous audit); one bigram-vocab
+    // fold, one md5 bucket per (feature, width) over the bounded width
+    // grid, all-integer ppm. The measured table IS the sizing decision:
+    // type collisions fall ~geometrically with width while the mass
+    // column shows when the survivors stop mattering.
+    "fe_hashing_trick_audit" -> QueryDef.sql(
+      """WITH t0 AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |bg AS (
+        |  SELECT tk[i] || ' ' || tk[i + 1] AS t
+        |  FROM t0, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) i),
+        |v AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM bg GROUP BY 1),
+        |ds AS (SELECT unnest([256, 1024, 4096, 16384]) AS m),
+        |h AS (SELECT ds.m, ('0x' || substr(md5(t), 1, 15))::BIGINT % ds.m AS b,
+        |        freq
+        |      FROM v CROSS JOIN ds),
+        |bk AS (SELECT m, b, CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(freq) AS BIGINT) AS f
+        |       FROM h GROUP BY 1, 2),
+        |g AS (
+        |  SELECT m, CAST(sum(k) AS BIGINT) AS n_vocab,
+        |    CAST(count(*) AS BIGINT) AS n_buckets_used,
+        |    CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS n_colliding,
+        |    CAST(sum(f) AS BIGINT) AS mass,
+        |    CAST(sum(CASE WHEN k > 1 THEN f ELSE 0 END) AS BIGINT) AS mass_colliding
+        |  FROM bk GROUP BY 1)
+        |SELECT CAST(m AS BIGINT) AS dim, n_vocab, n_buckets_used, n_colliding,
+        |  CAST((1000000 * n_colliding) // n_vocab AS BIGINT) AS type_collision_ppm,
+        |  CAST((1000000 * mass_colliding) // mass AS BIGINT) AS mass_collision_ppm
+        |FROM g ORDER BY dim""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val v = spread(documents(s, d))
+        .select(split(trim(lower(col("text"))), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+          .as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+      val ds = Seq(256L, 1024L, 4096L, 16384L).toDF("m")
+      val h = v.crossJoin(broadcast(ds))
+        .select(col("m"),
+          pmod(conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+            .cast("long"), col("m")).as("b"),
+          col("cnt").as("freq"))
+      val bk = h.groupBy("m", "b")
+        .agg(count(lit(1)).as("k"), sum("freq").cast("long").as("f"))
+      bk.groupBy("m")
+        .agg(sum("k").cast("long").as("n_vocab"),
+          count(lit(1)).as("n_buckets_used"),
+          sum(when(col("k") > 1, col("k")).otherwise(0L)).cast("long").as("n_colliding"),
+          sum("f").cast("long").as("mass"),
+          sum(when(col("k") > 1, col("f")).otherwise(0L)).cast("long").as("mass_colliding"))
+        .select(col("m").as("dim"), col("n_vocab"), col("n_buckets_used"),
+          col("n_colliding"),
+          expr("CAST((1000000 * n_colliding) div n_vocab AS BIGINT)")
+            .as("type_collision_ppm"),
+          expr("CAST((1000000 * mass_colliding) div mass AS BIGINT)")
+            .as("mass_collision_ppm"))
+        .orderBy("dim")
+    },
+
     // ----- phrase blocklist: one automaton pass, not a containment join -----
     // filter_blocklist drops whole SOURCES; this is the harder face —
     // fixed PHRASES anywhere in the text. The declarative spelling is a
