@@ -257,6 +257,99 @@ object DriftQueries {
         .orderBy("period")
     },
 
+    // ----- CART decision stump: exact Gini split search -----
+    // The tree-learning primitive (Breiman et al. 1984) the supervised
+    // face lacked beside Naive Bayes: every (feature, threshold) split
+    // of the returns label is scored by weighted child PURITY
+    // Σ_c (pos_c² + neg_c²)/(n_c·T) — maximizing it is minimizing
+    // weighted Gini, and per-candidate the quantity is one floored
+    // micro division over exact BIGINT squares (the floors-before-
+    // compare contract; ties break to the first feature/threshold).
+    // Candidate grid: ordered thresholds over the three BOUNDED
+    // features (line count 1..7, 50k price bands, priority rank) — the
+    // per-(feature, threshold) class counts fold from ONE bounded
+    // contingency table, so the corpus is read once no matter how many
+    // candidates. The measured verdict: line count splits best (the
+    // same signal the Brier/fairness classifiers use), price is noise.
+    "ml_stump_split" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey,
+        |    least(CAST(count(*) AS BIGINT), 7) AS f_lines,
+        |    least(CAST(floor(o.o_totalprice / 50000) AS BIGINT), 7) AS f_price,
+        |    CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS f_prio,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 3, 4),
+        |longf AS (
+        |  SELECT 'lines' AS feature, f_lines AS v, pos FROM lab
+        |  UNION ALL SELECT 'price', f_price, pos FROM lab
+        |  UNION ALL SELECT 'prio', f_prio, pos FROM lab),
+        |ct AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS p
+        |       FROM longf GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(p) AS BIGINT) AS tp
+        |        FROM ct WHERE feature = 'lines'),
+        |cand AS (
+        |  SELECT c.feature, c.v AS thr,
+        |    CAST(sum(CASE WHEN x.v <= c.v THEN x.n ELSE 0 END) AS BIGINT) AS nl,
+        |    CAST(sum(CASE WHEN x.v <= c.v THEN x.p ELSE 0 END) AS BIGINT) AS pl
+        |  FROM ct c JOIN ct x ON x.feature = c.feature
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT cand.feature, cand.thr, nl, tot.tn - nl AS nr,
+        |    CASE WHEN nl > 0 AND tot.tn - nl > 0 THEN
+        |      CAST((1000000 * (pl * pl + (nl - pl) * (nl - pl))) // (nl * tot.tn)
+        |        + (1000000 * ((tot.tp - pl) * (tot.tp - pl)
+        |            + ((tot.tn - nl) - (tot.tp - pl)) * ((tot.tn - nl) - (tot.tp - pl))))
+        |          // ((tot.tn - nl) * tot.tn) AS BIGINT)
+        |    ELSE NULL END AS purity_micro
+        |  FROM cand CROSS JOIN tot),
+        |b AS (SELECT max(purity_micro) AS best FROM sc)
+        |SELECT sc.feature, CAST(sc.thr AS BIGINT) AS thr, sc.nl, sc.nr,
+        |  sc.purity_micro,
+        |  CAST(coalesce(sc.purity_micro = b.best, FALSE) AS BIGINT) AS is_best
+        |FROM sc CROSS JOIN b
+        |ORDER BY sc.feature, thr""".stripMargin) { (s, d) =>
+      val lab = orders(s, d).join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          expr("least(CAST(floor(o_totalprice / 50000) AS BIGINT), 7)").as("f_price"),
+          expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").as("f_prio"))
+        .agg(least(count(lit(1)), lit(7L)).as("f_lines"),
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+      val longf = lab.select(lit("lines").as("feature"), col("f_lines").as("v"), col("pos"))
+        .unionByName(lab.select(lit("price").as("feature"), col("f_price").as("v"), col("pos")))
+        .unionByName(lab.select(lit("prio").as("feature"), col("f_prio").as("v"), col("pos")))
+      val ct = longf.groupBy("feature", "v")
+        .agg(count(lit(1)).as("n"), sum("pos").cast("long").as("p"))
+        .localCheckpoint(true) // bounded contingency table, 3 consumers
+      val tot = ct.filter(col("feature") === "lines")
+        .agg(sum("n").cast("long").as("tn"), sum("p").cast("long").as("tp"))
+      val cand = ct.select(col("feature"), col("v").as("thr"))
+        .join(ct.select(col("feature"), col("v"), col("n"), col("p")), Seq("feature"))
+        .groupBy("feature", "thr")
+        .agg(sum(when(col("v") <= col("thr"), col("n")).otherwise(0L))
+            .cast("long").as("nl"),
+          sum(when(col("v") <= col("thr"), col("p")).otherwise(0L))
+            .cast("long").as("pl"))
+      val sc = cand.crossJoin(broadcast(tot))
+        .select(col("feature"), col("thr"), col("nl"), (col("tn") - col("nl")).as("nr"),
+          expr("""CASE WHEN nl > 0 AND tn - nl > 0 THEN
+                 |  CAST((1000000 * (pl * pl + (nl - pl) * (nl - pl))) div (nl * tn)
+                 |    + (1000000 * ((tp - pl) * (tp - pl)
+                 |        + ((tn - nl) - (tp - pl)) * ((tn - nl) - (tp - pl))))
+                 |      div ((tn - nl) * tn) AS BIGINT)
+                 |ELSE NULL END""".stripMargin).as("purity_micro"))
+        .localCheckpoint(true)
+      val b = sc.agg(max("purity_micro").as("best"))
+      sc.crossJoin(broadcast(b))
+        .select(col("feature"), col("thr").cast("long").as("thr"),
+          col("nl"), col("nr"), col("purity_micro"),
+          coalesce(col("purity_micro") === col("best"), lit(false))
+            .cast("long").as("is_best"))
+        .orderBy("feature", "thr")
+    },
+
     // ----- A/B power analysis: required n per arm, exact -----
     // The planning face the experimentation family lacked (χ², CUPED,
     // SPRT, group-sequential, bootstrap all ANALYZE a finished test;
