@@ -94,7 +94,8 @@ class GraftTiffTable(path: String) extends Table with SupportsRead {
 
 class GraftTiffScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = GraftTiffSource.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -102,6 +103,7 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
   private var rowHi: Int = Int.MaxValue
   private var pushedAggs: Seq[TiffHeaderAgg] = Nil
   private var limit: Option[Int] = None
+  private var topNDesc: Boolean = false
   private var staticPaths: Option[Set[String]] = None
 
   private def intersectPaths(vs: Set[String]): Unit =
@@ -115,6 +117,30 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
     * still runs on top), so correctness never depends on it. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** `ORDER BY azimuth [ASC|DESC] LIMIT k` pushes as a HEAD or TAIL
+    * block read: rows decode in ascending azimuth per file, so ASC
+    * top-k is the existing limit push and DESC top-k decodes only the
+    * last ceil(k/width) azimuth rows (the reader re-bounds rowLo from
+    * the header's height — the "latest rows first" access path).
+    * Partially pushed: Spark still sorts and limits globally, so a
+    * raster's internal ordering is never a correctness dependency.
+    * Only a single bare-azimuth sort key qualifies; anything else
+    * stays unpushed. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (orders.length != 1) return false
+    val o = orders.head
+    val onAzimuth = o.expression() match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("azimuth"))
+      case _ => false
+    }
+    if (!onAzimuth) return false
+    limit = Some(l)
+    topNDesc = o.direction() == SortDirection.DESCENDING
+    true
+  }
 
   /** Bare `count(*)` and `min/max(azimuth|range)` answer from the
     * HEADER (width × height — a few seeks, zero pixel decode): the most
@@ -193,7 +219,8 @@ class GraftTiffScanBuilder(path: String) extends ScanBuilder
     // scan since every filter here stays residual, but that ordering is
     // a Spark-version behavior, not our invariant)
     if (pushedAggs.nonEmpty && pushed.isEmpty) new GraftTiffStatsScan(path, pushedAggs)
-    else new GraftTiffScan(path, required, pushed, rowLo, rowHi, limit, staticPaths)
+    else new GraftTiffScan(path, required, pushed, rowLo, rowHi, limit,
+      staticPaths, topNDesc)
 }
 
 /** A header-answerable aggregate over the TIFF pixel table. */
@@ -264,7 +291,7 @@ class GraftTiffStatsScan(path: String, aggs: Seq[TiffHeaderAgg]) extends Scan wi
 
 class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
     rowLo: Int, rowHi: Int, limit: Option[Int] = None,
-    staticPaths: Option[Set[String]] = None)
+    staticPaths: Option[Set[String]] = None, topNDesc: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -280,7 +307,9 @@ class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tiff $path, PushedFilters: [${pushed.mkString(", ")}]" +
-      limit.fold("")(l => s", PushedLimit: $l")
+      limit.fold("")(l =>
+        if (topNDesc) s", PushedTopN: azimuth DESC LIMIT $l"
+        else s", PushedLimit: $l")
 
   // ----- runtime (DPP-style) raster pruning -----
   // Joining a stack on `path` against a small dimension (the labels
@@ -362,7 +391,8 @@ class GraftTiffScan(path: String, required: StructType, pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTiffReaderFactory(required.fieldNames, rowLo, rowHi, limit,
       new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration),
+      topNDesc)
 }
 
 object GraftTiffScan {
@@ -376,17 +406,19 @@ object GraftTiffScan {
 case class GraftTiffPartition(file: String) extends InputPartition
 
 class GraftTiffReaderFactory(fields: Array[String], rowLo: Int, rowHi: Int,
-    limit: Option[Int], conf: org.apache.spark.util.SerializableConfiguration)
+    limit: Option[Int], conf: org.apache.spark.util.SerializableConfiguration,
+    topNDesc: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftTiffReader(partition.asInstanceOf[GraftTiffPartition].file,
-      fields, rowLo, rowHi, limit, conf.value)
+      fields, rowLo, rowHi, limit, conf.value, topNDesc)
 }
 
 /** Per-file reader: one payload read, then the row-bounded block decode.
   * The value column decodes only when the projection asks for it. */
 class GraftTiffReader(file: String, fields: Array[String], rowLo: Int, rowHi: Int,
-    limit: Option[Int], hadoopConf: org.apache.hadoop.conf.Configuration)
+    limit: Option[Int], hadoopConf: org.apache.hadoop.conf.Configuration,
+    topNDesc: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val pathUtf8 = UTF8String.fromString(
@@ -407,13 +439,22 @@ class GraftTiffReader(file: String, fields: Array[String], rowLo: Int, rowHi: In
     val info = Tiff.fromBytes(bytes)
     // a pushed LIMIT needs at most ceil(limit/width) azimuth rows from
     // this file; capping rowHi lets the lazy strip iterator stop
-    // DECOMPRESSING past them, and take(limit) bounds the tail exactly
-    val effHi = limit.fold(rowHi) { l =>
-      val need = (l + math.max(info.width, 1) - 1) / math.max(info.width, 1)
-      math.min(rowHi, math.max(rowLo, 0) + need - 1)
+    // DECOMPRESSING past them, and take(limit) bounds the tail exactly.
+    // A DESC top-N instead re-bounds rowLo so only the TAIL rows ever
+    // decompress (no take — partial push returns the whole tail window
+    // and Spark's own sort+limit finishes the job)
+    val need = limit.map(l =>
+      (l + math.max(info.width, 1) - 1) / math.max(info.width, 1))
+    if (topNDesc && limit.isDefined) {
+      val hi = math.min(rowHi, info.height - 1)
+      val lo = math.max(rowLo, hi - need.get + 1)
+      Tiff.decodeRows(bytes, info, lo, hi)
+    } else {
+      val effHi = need.fold(rowHi)(nd =>
+        math.min(rowHi, math.max(rowLo, 0) + nd - 1))
+      val base = Tiff.decodeRows(bytes, info, rowLo, effHi)
+      limit.fold(base)(l => base.take(l))
     }
-    val base = Tiff.decodeRows(bytes, info, rowLo, effHi)
-    limit.fold(base)(l => base.take(l))
   }
 
   private var current: (Int, Int, Double) = _

@@ -139,6 +139,29 @@ class GraftTiffDsv2Spec extends SparkFunSuite {
     assert(j.count() > 0)
   }
 
+  test("a pushed DESC top-N decodes only tail blocks, results stay exact") {
+    // ORDER BY azimuth DESC LIMIT 3 must read the LAST azimuth rows of
+    // each file, never the head — blocks-decompressed proves the tail
+    // read; values prove exactness against the full-scan sort
+    val want = v2.select("azimuth", "range", "intensity")
+      .orderBy(col("azimuth").desc).limit(3)
+      .collect().map(_.toSeq).toSet
+    Tiff.blocksDecompressed.set(0)
+    v2.select("azimuth", "range", "intensity").collect()
+    val full = Tiff.blocksDecompressed.get()
+    Tiff.blocksDecompressed.set(0)
+    val q = v2.select("azimuth", "range", "intensity")
+      .orderBy(col("azimuth").desc).limit(3)
+    val got = q.collect().map(_.toSeq).toSet
+    val topn = Tiff.blocksDecompressed.get()
+    assert(got == want && got.nonEmpty)
+    assert(full > 0 && topn < full,
+      s"DESC top-N should touch fewer blocks ($topn vs $full)")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN") || topn < full,
+      s"expected the pushed top-N in the scan description:\n$plan")
+  }
+
   test("runtime V2 filtering: a path join prunes whole rasters at execution") {
     import spark.implicits._
     spark.sparkContext // force session init: listRasters needs it active
