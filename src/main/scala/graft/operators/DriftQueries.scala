@@ -257,6 +257,96 @@ object DriftQueries {
         .orderBy("period")
     },
 
+    // ----- DeLong confidence interval for the ROC AUC -----
+    // eval_roc_auc emits the point estimate; this is its sampling
+    // uncertainty (DeLong, DeLong & Clarke-Pearson 1988) — the number
+    // that says whether 0.73 beats 0.70 or the test set is just small.
+    // Structural components fold over the BOUNDED score alphabet: every
+    // positive at score s shares the placement v(s) = 2·(negs below) +
+    // (negs tied) (the Mann–Whitney convention eval_roc_auc already
+    // uses), so Σv and Σv² are two passes over alphabet-cardinality
+    // rows and the component variances are exact HUGEINT rationals.
+    // The single sqrt rides the IEEE-chain discipline (one
+    // correctly-rounded sqrt inside an identical literal tree on both
+    // engines — the Wilson/Neyman precedent) with z as the same fixed
+    // 6dp constant the power analysis uses; one floor at the end.
+    "eval_auc_delong_ci" -> QueryDef.sql(
+      """WITH lab AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS score
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+        |    CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+        |  FROM lab GROUP BY 1),
+        |c AS (
+        |  SELECT score, pos_s, neg_s,
+        |    CAST(sum(neg_s) OVER (ORDER BY score) - neg_s AS BIGINT) AS cnb,
+        |    CAST(sum(pos_s) OVER (ORDER BY score DESC) - pos_s AS BIGINT) AS cpa
+        |  FROM g),
+        |v AS (
+        |  SELECT CAST(sum(pos_s) AS BIGINT) AS m, CAST(sum(neg_s) AS BIGINT) AS n,
+        |    CAST(sum(pos_s * (2 * cnb + neg_s)) AS BIGINT) AS sv,
+        |    CAST(sum(pos_s * CAST(2 * cnb + neg_s AS HUGEINT)
+        |      * (2 * cnb + neg_s)) AS HUGEINT) AS sv2,
+        |    CAST(sum(neg_s * (2 * cpa + pos_s)) AS BIGINT) AS sw,
+        |    CAST(sum(neg_s * CAST(2 * cpa + pos_s AS HUGEINT)
+        |      * (2 * cpa + pos_s)) AS HUGEINT) AS sw2
+        |  FROM c),
+        |r AS (
+        |  SELECT m, n,
+        |    CAST((CAST(1000000 AS HUGEINT) * sv) // (2 * CAST(m AS HUGEINT) * n)
+        |      AS BIGINT) AS auc_ppm,
+        |    CAST(floor(1000000 * 1.959964 * sqrt(
+        |      CAST(CAST(m AS HUGEINT) * sv2 - CAST(sv AS HUGEINT) * sv AS DOUBLE)
+        |        / (CAST(m AS DOUBLE) * m * (m - 1) * 4 * n * n)
+        |      + CAST(CAST(n AS HUGEINT) * sw2 - CAST(sw AS HUGEINT) * sw AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * n * (n - 1) * 4 * m * m))) AS BIGINT) AS hw_ppm
+        |  FROM v)
+        |SELECT m AS n_pos, n AS n_neg, auc_ppm, hw_ppm,
+        |  CAST(auc_ppm - hw_ppm AS BIGINT) AS ci_lo_ppm,
+        |  CAST(auc_ppm + hw_ppm AS BIGINT) AS ci_hi_ppm
+        |FROM r""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lab = orders(s, d).join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"),
+          count(lit(1)).as("score"))
+      val g = lab.groupBy("score")
+        .agg(sum("pos").cast("long").as("pos_s"),
+          expr("CAST(count(*) - sum(pos) AS BIGINT)").as("neg_s"))
+      val c = g
+        .withColumn("cnb", sum("neg_s").over(Window.orderBy("score")) - col("neg_s"))
+        .withColumn("cpa",
+          sum("pos_s").over(Window.orderBy(col("score").desc)) - col("pos_s"))
+      val v = c.agg(
+        sum("pos_s").cast("long").as("m"), sum("neg_s").cast("long").as("n"),
+        expr("CAST(sum(pos_s * (2 * cnb + neg_s)) AS BIGINT)").as("sv"),
+        expr("""CAST(sum(pos_s * CAST(2 * cnb + neg_s AS DECIMAL(38,0))
+               |  * (2 * cnb + neg_s)) AS DECIMAL(38,0))""".stripMargin).as("sv2"),
+        expr("CAST(sum(neg_s * (2 * cpa + pos_s)) AS BIGINT)").as("sw"),
+        expr("""CAST(sum(neg_s * CAST(2 * cpa + pos_s AS DECIMAL(38,0))
+               |  * (2 * cpa + pos_s)) AS DECIMAL(38,0))""".stripMargin).as("sw2"))
+      v.select(col("m"), col("n"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * sv)
+                 |  div (2 * CAST(m AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+            .as("auc_ppm"),
+          expr("""CAST(floor(1000000 * 1.959964 * sqrt(
+                 |  CAST(CAST(m AS DECIMAL(38,0)) * sv2 - CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE)
+                 |    / (CAST(m AS DOUBLE) * m * (m - 1) * 4 * n * n)
+                 |  + CAST(CAST(n AS DECIMAL(38,0)) * sw2 - CAST(sw AS DECIMAL(38,0)) * sw AS DOUBLE)
+                 |    / (CAST(n AS DOUBLE) * n * (n - 1) * 4 * m * m))) AS BIGINT)""".stripMargin)
+            .as("hw_ppm"))
+        .select(col("m").as("n_pos"), col("n").as("n_neg"),
+          col("auc_ppm"), col("hw_ppm"),
+          (col("auc_ppm") - col("hw_ppm")).as("ci_lo_ppm"),
+          (col("auc_ppm") + col("hw_ppm")).as("ci_hi_ppm"))
+    },
+
     // ----- CART decision stump: exact Gini split search -----
     // The tree-learning primitive (Breiman et al. 1984) the supervised
     // face lacked beside Naive Bayes: every (feature, threshold) split
