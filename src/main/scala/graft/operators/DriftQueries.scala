@@ -257,6 +257,76 @@ object DriftQueries {
         .orderBy("period")
     },
 
+    // ----- forecast prediction intervals + out-of-sample coverage -----
+    // The forecast ladder emits point forecasts and backtest MAEs; this
+    // is the UNCERTAINTY face: empirical 80% intervals from the
+    // seasonal-naive model's TRAIN residuals (exact integer order
+    // statistics at the ((q·(n−1))//100)+1 ranks — no distributional
+    // assumption), then the fraction of TEST days the interval actually
+    // covers, in ppm beside the 800000 it claims. Chronological 80/20
+    // split (the only honest one for time series); residuals are
+    // integer day-count differences end to end. The coverage gap IS the
+    // deliverable — a calibrated interval reads ≈ 800000, and a model
+    // whose errors grow over time under-covers, visibly.
+    "forecast_interval_coverage" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT day, y, row_number() OVER (ORDER BY day) AS rk,
+        |        count(*) OVER () AS nn
+        |      FROM d),
+        |p AS (
+        |  SELECT a.rk, a.day, a.y, b.y AS yhat, a.nn,
+        |    CASE WHEN 5 * a.rk <= 4 * a.nn THEN 1 ELSE 0 END AS is_train
+        |  FROM g a JOIN g b ON b.rk = a.rk - 7),
+        |res AS (SELECT y - yhat AS r FROM p WHERE is_train = 1),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM res),
+        |o AS (SELECT r, row_number() OVER (ORDER BY r) AS rr FROM res),
+        |q AS (
+        |  SELECT
+        |    max(CASE WHEN rr = (10 * (nr.n - 1)) // 100 + 1 THEN r END) AS q10,
+        |    max(CASE WHEN rr = (90 * (nr.n - 1)) // 100 + 1 THEN r END) AS q90
+        |  FROM o CROSS JOIN nr),
+        |cov AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN p.y BETWEEN p.yhat + q.q10 AND p.yhat + q.q90
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+        |  FROM p CROSS JOIN q WHERE p.is_train = 0)
+        |SELECT q.q10, q.q90, cov.n_test, cov.n_in,
+        |  CAST((1000000 * cov.n_in) // cov.n_test AS BIGINT) AS coverage_ppm,
+        |  CAST(800000 AS BIGINT) AS nominal_ppm
+        |FROM q CROSS JOIN cov""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dd = events(s, d)
+        .select(expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+      val g = dd
+        .withColumn("rk", row_number().over(Window.orderBy("day")))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .localCheckpoint(true) // bounded calendar rows; self-joined
+      val p = g.as("a").join(g.select(col("rk").as("brk"), col("y").as("yhat")),
+          col("brk") === col("rk") - 7)
+        .select(col("rk"), col("day"), col("y"), col("yhat"), col("nn"),
+          when(lit(5) * col("rk") <= lit(4) * col("nn"), 1L).otherwise(0L)
+            .as("is_train"))
+        .localCheckpoint(true)
+      val res = p.filter(col("is_train") === 1).select((col("y") - col("yhat")).as("r"))
+      val nr = res.agg(count(lit(1)).as("n"))
+      val o = res.withColumn("rr", row_number().over(Window.orderBy("r")))
+      val q = o.crossJoin(broadcast(nr)).agg(
+        max(when(col("rr") === expr("(10 * (n - 1)) div 100 + 1"), col("r"))).as("q10"),
+        max(when(col("rr") === expr("(90 * (n - 1)) div 100 + 1"), col("r"))).as("q90"))
+      val cov = p.filter(col("is_train") === 0).crossJoin(broadcast(q))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("y").between(col("yhat") + col("q10"),
+            col("yhat") + col("q90")), 1L).otherwise(0L)).cast("long").as("n_in"))
+      q.crossJoin(cov)
+        .select(col("q10"), col("q90"), col("n_test"), col("n_in"),
+          expr("CAST((1000000 * n_in) div n_test AS BIGINT)").as("coverage_ppm"),
+          lit(800000L).as("nominal_ppm"))
+    },
+
     // ----- DeLong confidence interval for the ROC AUC -----
     // eval_roc_auc emits the point estimate; this is its sampling
     // uncertainty (DeLong, DeLong & Clarke-Pearson 1988) — the number
