@@ -257,6 +257,78 @@ object DriftQueries {
         .orderBy("period")
     },
 
+    // ----- Ljung–Box portmanteau test: is the daily series white noise? -----
+    // forecast_acf_lags reads two lags by eye; this is the TEST over
+    // lags 1..7 (Ljung & Box 1978): Q = n(n+2)·Σ_k r_k²/(n−k) against
+    // the fixed χ²₇ 5% critical value 14.067140 (a 6dp literal — the
+    // z-constant precedent). Each r_k is the integer-CUSUM-scaled
+    // autocorrelation the ACF query already defines (one ppm floor per
+    // lag); r² terms and the Q fold are pure BIGINT after that. The
+    // emitted verdict at fixture scale: Q stays under the bar — a
+    // 30-day window of a weekly signal this size is NOT yet
+    // distinguishable from white noise by a portmanteau test, which is
+    // precisely the sample-size honesty the spectral/ACF readings need
+    // beside them.
+    "ts_ljung_box" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |c AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY day),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t FROM c),
+        |y AS (SELECT day, n * c - t AS y FROM c CROSS JOIN st),
+        |den AS (SELECT CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS d2 FROM y),
+        |lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+        |num AS (
+        |  SELECT l.lag, CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS nk
+        |  FROM lags l JOIN y a ON TRUE JOIN y b ON b.day = a.day + l.lag
+        |  GROUP BY l.lag),
+        |r AS (
+        |  SELECT n.lag, CAST((1000000 * n.nk) // d.d2 AS BIGINT) AS acf_ppm
+        |  FROM num n CROSS JOIN den d),
+        |terms AS (
+        |  SELECT r.lag, r.acf_ppm,
+        |    (r.acf_ppm * r.acf_ppm) // (st.n - r.lag) AS term
+        |  FROM r CROSS JOIN st),
+        |q AS (
+        |  SELECT CAST((st.n * (st.n + 2) * sum(terms.term)) // 1000000 AS BIGINT)
+        |    AS q_micro
+        |  FROM terms CROSS JOIN st GROUP BY st.n)
+        |SELECT t.lag, t.acf_ppm, CAST(t.term AS BIGINT) AS term,
+        |  q.q_micro, CAST(14067140 AS BIGINT) AS crit_micro,
+        |  CAST(q.q_micro > 14067140 AS BIGINT) AS reject_white_noise
+        |FROM terms t CROSS JOIN q ORDER BY t.lag""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dd = events(s, d)
+        .select(expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val st = dd.agg(count(lit(1)).as("n"), sum("c").cast("long").as("t"))
+      val y = dd.crossJoin(broadcast(st))
+        .select(col("day"), (col("n") * col("c") - col("t")).as("y"), col("n"))
+        .localCheckpoint(true) // bounded calendar rows; self-joined per lag
+      val den = y.agg(expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))").as("d2"))
+      val lags = (1L to 7L).toDF("lag")
+      val num = lags.crossJoin(y.select(col("day"), col("y").as("ya")))
+        .join(y.select((col("day")).as("bday"), col("y").as("yb")),
+          col("bday") === col("day") + col("lag"))
+        .groupBy("lag")
+        .agg(expr("CAST(sum(CAST(ya AS DECIMAL(38,0)) * yb) AS DECIMAL(38,0))").as("nk"))
+      val r = num.crossJoin(broadcast(den))
+        .select(col("lag"),
+          expr("CAST((1000000 * nk) div d2 AS BIGINT)").as("acf_ppm"))
+      val terms = r.crossJoin(broadcast(st))
+        .select(col("lag"), col("acf_ppm"),
+          expr("(acf_ppm * acf_ppm) div (n - lag)").as("term"))
+        .localCheckpoint(true) // 7 rows; feeds Q AND the output
+      val q = terms.crossJoin(broadcast(st))
+        .groupBy("n")
+        .agg(expr("CAST((n * (n + 2) * sum(term)) div 1000000 AS BIGINT)").as("q_micro"))
+        .select("q_micro")
+      terms.crossJoin(broadcast(q))
+        .select(col("lag"), col("acf_ppm"), col("term").cast("long").as("term"),
+          col("q_micro"), lit(14067140L).as("crit_micro"),
+          (col("q_micro") > 14067140L).cast("long").as("reject_white_noise"))
+        .orderBy("lag")
+    },
+
     // ----- Wilcoxon signed-rank test (paired, nonparametric) -----
     // Completes the paired-test family (McNemar = paired binary,
     // Mann–Whitney AUC = unpaired ranks; this is paired MAGNITUDES):
