@@ -28,7 +28,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * re-executed task's rows replace, never duplicate.
   *
   * Stringification follows the M11 stringify-attrs convention: null →
-  * empty cell, everything else `String.valueOf` of the Catalyst value.
+  * empty cell, temporal types through DateTimeUtils (a DATE cell must
+  * read "1995-03-15", not days-since-epoch 9204; timestamps render in
+  * the session's UTC convention, not raw epoch micros), everything
+  * else `String.valueOf` of the Catalyst value.
   */
 class GraftXlsxSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-xlsx"
@@ -87,7 +90,18 @@ class GraftXlsxWriterFactory(schema: StructType) extends DataWriterFactory {
       override def write(record: InternalRow): Unit =
         buf += schema.fields.indices.map { i =>
           if (record.isNullAt(i)) ""
-          else String.valueOf(record.get(i, schema.fields(i).dataType))
+          else schema.fields(i).dataType match {
+            // Catalyst stores DateType as days-since-epoch int and
+            // TimestampType as epoch micros — render them as the dates
+            // a spreadsheet reader expects, not the raw integers.
+            case org.apache.spark.sql.types.DateType =>
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .toJavaDate(record.getInt(i)).toString
+            case org.apache.spark.sql.types.TimestampType =>
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .toJavaTimestamp(record.getLong(i)).toInstant.toString
+            case dt => String.valueOf(record.get(i, dt))
+          }
         }
       override def commit(): WriterCommitMessage =
         XlsxRowsMessage(partitionId, buf.toSeq)

@@ -206,6 +206,14 @@ object GraftSqlParser {
           val mode = pending(depth).dequeue()
           out.append(s"ON graft_asof_marker('$mode') AND")
           i = end
+        } else if (up == "USING" && pending.get(depth).exists(_.nonEmpty)) {
+          // ASOF JOIN ... USING (k): the marker has no ON to ride, and
+          // leaving it queued would inject into the NEXT unrelated ON at
+          // this depth (silently converting the wrong join). Fail loudly
+          // like the other documented limits.
+          AsofSqlSyntax.fail("USING is not supported after ASOF JOIN — " +
+            "spell the condition with ON (equi-keys plus one >=/<= time " +
+            "inequality)")
         } else { out.append(word); i = end }
       } else { out.append(c); i += 1 }
     }
@@ -286,7 +294,23 @@ object AsofSyntaxRule extends Rule[LogicalPlan] with PredicateHelper {
         "l.t <= r.t for forward)"))
     val node = AsofJoin(l, r, eqL.result(), eqR.result(), lt, rt, strategy)
     // inner mode: matched ⟺ right time non-null (null right times never
-    // match by AsofJoin contract)
-    if (mode == "inner") Filter(IsNotNull(rt), node) else node
+    // match by AsofJoin contract). That filter is only exact when an
+    // UNMATCHED row (all right attributes null) makes rt evaluate null —
+    // i.e. rt null-propagates from some right attribute. A
+    // non-null-preserving rt (e.g. coalesce(q.us, 0)) would evaluate
+    // non-null on unmatched rows and silently turn inner into left, so
+    // it is rejected loudly instead.
+    if (mode == "inner") {
+      def propagatesNull(e: Expression): Boolean = e match {
+        case a: Attribute => rightOut.contains(a)
+        case _ => e.nullIntolerant && e.children.exists(propagatesNull)
+      }
+      if (!propagatesNull(rt))
+        AsofSqlSyntax.fail("inner ASOF needs a right time operand that is " +
+          "null when the right side is unmatched (a bare column or " +
+          "null-propagating arithmetic over one) — " +
+          s"${rt.sql} is not; use ASOF LEFT JOIN or simplify the operand")
+      Filter(IsNotNull(rt), node)
+    } else node
   }
 }

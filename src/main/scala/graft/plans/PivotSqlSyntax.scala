@@ -151,6 +151,41 @@ object PivotSqlSyntax {
     SparkSession.getActiveSession.getOrElse(
       fail("no active SparkSession to enumerate pivot values on"))
 
+  /** Per-session memo of dynamic-probe results, keyed by the probe SQL.
+    * A view / EXPLAIN / logical re-parse re-enters the parser with the
+    * SAME statement text; without the memo each re-parse runs a fresh
+    * DISTINCT job AND could enumerate a DIFFERENT value set if data
+    * moved between parses — a non-deterministic output schema for
+    * identical SQL. The memo pins the first enumeration for the
+    * session's lifetime (weak keys: the map dies with the session).
+    * `SET spark.graft.pivot.dynamicProbe=false` disables probing
+    * outright for production SQL (the static `ON col IN (...)` form
+    * never probes and never hits this path). */
+  private val probeMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, Seq[PivotValue]]]())
+
+  private def probeValues(s: SparkSession, probeSql: String): Seq[PivotValue] = {
+    if (s.conf.get("spark.graft.pivot.dynamicProbe", "true") == "false")
+      fail("dynamic value probing is disabled " +
+        "(spark.graft.pivot.dynamicProbe=false) — use ON <col> IN (...)")
+    val perSession = probeMemo.synchronized {
+      var m = probeMemo.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Seq[PivotValue]]
+        probeMemo.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(probeSql, {
+      val rows = s.sql(probeSql).limit(MaxValues + 1).collect()
+      if (rows.length > MaxValues)
+        fail(s"more than $MaxValues distinct pivot values — use ON ... IN (...)")
+      rows.toSeq.map(r => literalOf(r.get(0)))
+    })
+  }
+
   /** Bare words of an expression that could reference source columns:
     * every identifier NOT directly followed by '(' (function call). */
   private def exprWords(text: String): Set[String] = {
@@ -255,13 +290,9 @@ object PivotSqlSyntax {
 
           // values: static list or eager probe (the DuckDB bind-time trick)
           val values = inValues.getOrElse {
-            val rows = session
-              .sql(s"SELECT DISTINCT $colText AS __graft_piv_v FROM $fromSql " +
+            probeValues(session,
+              s"SELECT DISTINCT $colText AS __graft_piv_v FROM $fromSql " +
                 s"WHERE $colText IS NOT NULL ORDER BY 1")
-              .limit(MaxValues + 1).collect()
-            if (rows.length > MaxValues)
-              fail(s"more than $MaxValues distinct pivot values — use ON ... IN (...)")
-            rows.toSeq.map(r => literalOf(r.get(0)))
           }
 
           // grouping keys

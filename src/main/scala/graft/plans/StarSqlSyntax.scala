@@ -40,13 +40,42 @@ object StarSqlSyntax {
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> s"star modifiers: $msg"))
 
-  /** The index of the '*' this modifier word directly follows, or -1. */
+  /** The index of the '*' this modifier word directly follows, or -1.
+    *
+    * The '*' must itself sit in SELECT-LIST position — directly after
+    * `SELECT` / `DISTINCT` / `ALL` or after a list comma — or the word
+    * is ordinary multiplication by a function call and passes through:
+    * `SELECT x * replace(s,'a','b') FROM t` is arithmetic, not a star
+    * REPLACE modifier (the '*' there follows the identifier `x`). */
   private def starBefore(sql: String, pos: Int): Int = {
     var i = pos - 1
     while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
     if (i >= 0 && sql.charAt(i) == '*' &&
-        !(i > 0 && sql.charAt(i - 1) == '.')) i
+        !(i > 0 && sql.charAt(i - 1) == '.') &&
+        inSelectListPosition(sql, i)) i
     else -1
+  }
+
+  /** True when the char before index `star` (skipping whitespace) is a
+    * list comma or the tail of SELECT/DISTINCT/ALL — the only places a
+    * bare select-list '*' can stand. Anything else (identifier, ')',
+    * digit, quote) means the '*' is the multiplication operator. */
+  private def inSelectListPosition(sql: String, star: Int): Boolean = {
+    var i = star - 1
+    while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return false
+    val c = sql.charAt(i)
+    if (c == ',') return true
+    if (!(c.isLetter || c == '_')) return false
+    var s = i
+    while (s > 0 && {
+      val p = sql.charAt(s - 1); p.isLetterOrDigit || p == '_'
+    }) s -= 1
+    // a quoted identifier `"all"` is a column reference, not the keyword
+    if (s > 0 && (sql.charAt(s - 1) == '"' || sql.charAt(s - 1) == '`'))
+      return false
+    val w = sql.substring(s, i + 1).toUpperCase
+    w == "SELECT" || w == "DISTINCT" || w == "ALL"
   }
 
   /** Matching close-paren event index for the open paren at `k`. */

@@ -58,6 +58,19 @@ class GraftXlsxSinkSpec extends SparkFunSuite {
     assert(xml.contains("new") && !xml.contains("old"))
   }
 
+  test("dates and timestamps render human-readable, not raw epoch ints") {
+    val path = tmpDir("xlsxdate") + "/d.xlsx"
+    spark.range(1).select(
+      to_date(lit("1995-03-15")).as("d"),
+      to_timestamp(lit("1995-03-15 12:30:00")).as("ts"))
+      .write.format("graft-xlsx").mode("overwrite").save(path)
+    val xml = sheetXml(path)
+    assert(xml.contains("1995-03-15"), s"date cell readable: $xml")
+    // Catalyst's raw int would be 9204 days / 795270600000000 micros
+    assert(!xml.contains(">9204<"), "days-since-epoch leaked into the cell")
+    assert(xml.contains("12:30"), s"timestamp carries time of day: $xml")
+  }
+
   test("null values become empty cells, not the string null") {
     val path = tmpDir("xlsxnull") + "/n.xlsx"
     spark.range(1).select(lit(null).cast("string").as("a"), lit("x").as("b"))

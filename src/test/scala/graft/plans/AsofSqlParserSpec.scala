@@ -179,4 +179,34 @@ class AsofSqlParserSpec extends SparkFunSuite {
         .collect()).getMessage
     assert(msg.contains("internal to ASOF JOIN rewriting"), msg)
   }
+
+  test("USING after ASOF JOIN fails loudly instead of poisoning the next ON") {
+    // advisor r9: the queued marker used to ride the NEXT unrelated ON
+    // at the same depth, silently converting the wrong join
+    val msg = intercept[AnalysisException](GraftSqlParser.rewrite(
+      "SELECT * FROM a ASOF JOIN b USING (k) JOIN c ON a.t >= c.t AND a.k = c.k"))
+      .getMessage
+    assert(msg.contains("USING is not supported after ASOF"), msg)
+    // plain JOIN ... USING without a pending ASOF is untouched
+    val q = "SELECT * FROM a JOIN b USING (k)"
+    assert(GraftSqlParser.rewrite(q) == q)
+  }
+
+  test("inner ASOF rejects a non-null-propagating right time operand") {
+    // coalesce(qus, 0) evaluates NON-null on unmatched left-outer rows,
+    // so IsNotNull over it would silently turn inner into left —
+    // rejected loudly (advisor r9)
+    val msg = failing(
+      """SELECT * FROM sqltest_trades ASOF JOIN sqltest_quotes
+        |ON sym = qsym AND tus >= coalesce(qus, 0L)""".stripMargin)
+    assert(msg.contains("null when the right side is unmatched"), msg)
+    // null-propagating arithmetic over a right column is still fine
+    val got = run(
+      """SELECT sym, tus, trade, quote FROM sqltest_trades
+        |ASOF JOIN sqltest_quotes
+        |ON sym = qsym AND tus >= qus + 0L ORDER BY sym, tus""".stripMargin)
+    assert(got.toSeq == Seq(
+      (1L, 10L, "t1", Some("q8")),
+      (1L, 20L, "t2", Some("q15"))))
+  }
 }

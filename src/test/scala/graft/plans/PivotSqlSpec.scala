@@ -87,6 +87,38 @@ class PivotSqlSpec extends SparkFunSuite {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("dynamic probe is memoized per statement and gated by conf") {
+    sales
+    try {
+      val q = "PIVOT piv_sales ON status USING count(*) GROUP BY prio ORDER BY prio"
+      val before = spark.sql(q).columns.toSeq
+      // new value appears AFTER the first parse: the memo pins the first
+      // enumeration, so re-parsing identical text keeps the SAME schema
+      // (a view must not change shape between EXPLAIN and execute)
+      sales.union(Seq(("4-NONE", "Z", 1L, "z")).toDF("prio", "status", "amount", "tag"))
+        .createOrReplaceTempView("piv_sales")
+      val after = spark.sql(q).columns.toSeq
+      assert(after == before, "re-parse of identical text changed the pivot schema")
+      // different SOURCE text → different probe SQL → fresh enumeration
+      val fresh = spark.sql(
+        "PIVOT (SELECT * FROM piv_sales) ON status USING count(*) " +
+          "GROUP BY prio ORDER BY prio")
+      assert(fresh.columns.contains("Z"), fresh.columns.mkString(","))
+      // conf kill-switch for production SQL
+      spark.conf.set("spark.graft.pivot.dynamicProbe", "false")
+      val e = intercept[AnalysisException](spark.sql(
+        "PIVOT piv_sales ON status USING max(amount) GROUP BY prio"))
+      assert(e.getMessage.contains("dynamicProbe"), e.getMessage)
+      // the static IN form still works with probing disabled
+      val still = spark.sql(
+        "PIVOT piv_sales ON status IN ('F') USING count(*) GROUP BY prio")
+      assert(still.columns.toSeq == Seq("prio", "F"))
+    } finally {
+      spark.conf.set("spark.graft.pivot.dynamicProbe", "true")
+      sales.createOrReplaceTempView("piv_sales") // restore for later tests
+    }
+  }
+
   test("IN subset restricts columns and skips absent values") {
     sales
     val got = spark.sql(

@@ -60,6 +60,28 @@ class StarSqlSpec extends SparkFunSuite {
     assert(StarSqlSyntax.rewrite(q4) == q4)
   }
 
+  test("multiplication by replace()/a column named exclude is not a modifier") {
+    // '*' after an identifier is the multiplication operator — the
+    // word REPLACE that follows is the builtin function, not the
+    // star modifier (advisor r9 finding: this used to fail loudly)
+    val q1 = "SELECT id * replace(name, 'a', '1') FROM t"
+    assert(StarSqlSyntax.rewrite(q1) == q1)
+    val q2 = "SELECT v * exclude (x) FROM t" // exclude as a UDF name
+    assert(StarSqlSyntax.rewrite(q2) == q2)
+    // and it EXECUTES: replace on a numeric-string column
+    t
+    val got = spark.sql(
+      "SELECT id * cast(replace(name, 'a', '5') AS INT) AS p " +
+        "FROM star_t WHERE name = 'a'").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(5))
+    // select-list position still triggers after a comma
+    val q3 = StarSqlSyntax.rewrite("SELECT id, * EXCLUDE (name) FROM t")
+    assert(q3 == "SELECT id, * EXCEPT (name) FROM t")
+    // ... and after DISTINCT
+    val q4 = StarSqlSyntax.rewrite("SELECT DISTINCT * EXCLUDE (name) FROM t")
+    assert(q4 == "SELECT DISTINCT * EXCEPT (name) FROM t")
+  }
+
   test("loud failures: unknown column, no AS, qualified star untouched") {
     t
     // pure EXCLUDE delegates to * EXCEPT, so Spark's own analyzer is
