@@ -39,6 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // their codegen'd projections INTERPRETED — measured in round 7 as
   // CPU-real ×5-31 inflation on trivial scalar queries (m5/m8/m7/m6/q1)
   // that a fresh-JVM probe could not reproduce on identical plans.
-  "-XX:ReservedCodeCacheSize=1g",
+  // 1g sufficed for 141 queries; the round-9 official run compiled 422
+  // queries' classes (×3 passes) and late-running retrieval queries
+  // showed the same interpreted-execution CPU signature (task-CPU ×14-43
+  // on unchanged code), so the cache is sized 2g and Bench now reports a
+  // CodeHeap peak-usage gauge + per-query JIT-time deltas in
+  // bench_diag.json so a recurrence names itself in the artifact.
+  "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
 )

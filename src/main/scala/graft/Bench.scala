@@ -60,8 +60,37 @@ object Bench {
     def reset(): Unit = { cpuNs.set(0); gcMs.set(0); inBytes.set(0) }
   }
 
-  /** (wall sec, task-cpu sec, input MB, gc ms) for one run. */
-  private final case class RunStats(wall: Double, cpu: Double, mb: Double, gc: Long)
+  /** (wall sec, task-cpu sec, input MB, gc ms) for one run, plus the
+    * attribution gauges: `buildMs` is DataFrame CONSTRUCTION time
+    * (SQL parse through the seven-scanner channel + eager analysis +
+    * store-existence probes — all driver-side, invisible to task CPU),
+    * the remainder of the wall is optimize/plan/schedule/execute;
+    * `jitMs` is this run's JIT compiler-thread time delta and `ccMb`
+    * the CodeHeap bytes in use after the run — when the code cache
+    * thrashes, late queries show interpreted-execution CPU inflation
+    * with jitMs churn and ccMb pinned at the reserve (the round-7/9
+    * failure signature, now self-identifying in the artifact). */
+  private final case class RunStats(wall: Double, cpu: Double, mb: Double,
+      gc: Long, buildMs: Long, jitMs: Long, ccMb: Long)
+
+  /** CodeHeap pools (segmented cache: non-nmethods / profiled /
+    * non-profiled) or the single CodeCache pool on unsegmented JVMs. */
+  private val codePools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "CodeCache")
+      .toSeq
+  }
+  private def codeCacheUsedMb: Long =
+    codePools.map(_.getUsage.getUsed).sum >> 20
+  private def codeCachePeakMb: Long =
+    codePools.map(_.getPeakUsage.getUsed).sum >> 20
+  private def jitTotalMs: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime
+    else 0L
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -100,16 +129,28 @@ object Bench {
 
     def run(name: String): RunStats = {
       drainBus(); diag.reset()
+      val jit0 = jitTotalMs
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch {
+      // Phase split: DataFrame construction is eager through parse +
+      // analysis (spark.sql analyzes eagerly; so does every Dataset
+      // transformation) and through the store-existence probes — all
+      // DRIVER time that task CPU can never explain. The noop save then
+      // covers optimize/plan/schedule/execute.
+      var tBuild = t0
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        tBuild = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+      } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      val t = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
       drainBus()
-      val st = RunStats(t, diag.cpuNs.get / 1e9, diag.inBytes.get / 1e6, diag.gcMs.get)
+      val st = RunStats((t1 - t0) / 1e9, diag.cpuNs.get / 1e9,
+        diag.inBytes.get / 1e6, diag.gcMs.get,
+        buildMs = (tBuild - t0) / 1000000, jitMs = jitTotalMs - jit0,
+        ccMb = codeCacheUsedMb)
       dropCheckpointBlocks()
       st
     }
@@ -129,6 +170,14 @@ object Bench {
     // paths (their live builds are timed by dedup_simhash /
     // dedup_substring_removal / ann_ivf)
     operators.SignatureStore.ensureSimhash(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    // candidate-pair store (21st family): the banded self-join is timed
+    // live by dedup_minhash_lsh / dedup_minhash_oph; every other
+    // consumer (clusters, graph family, source matrix, Venn,
+    // capture–recapture) measures the amortized store-read path
+    operators.SignatureStore.ensureK8Pairs(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    operators.SignatureStore.ensureOphPairs(spark, sfDir).write
       .format("noop").mode("overwrite").save()
     operators.SignatureStore.ensureSpans(spark, sfDir).write
       .format("noop").mode("overwrite").save()
@@ -154,6 +203,12 @@ object Bench {
       val (postings, doclens) = operators.SignatureStore.ensureBm25(spark, sfDir)
       postings.write.format("noop").mode("overwrite").save()
       doclens.write.format("noop").mode("overwrite").save()
+      // ranked-results face (22nd): retrieval is timed live by
+      // bm25_search and from the postings store by bm25_search_stored;
+      // the eval consumers (snippets, RBO, fusion, PRF, hard negatives,
+      // packing) measure presentation cost over the persisted top-10
+      operators.SignatureStore.ensureBm25TopK(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
     }
     locally {
       val e = graft.util.Tables.embeddings(spark, sfDir)
@@ -299,11 +354,27 @@ object Bench {
       s""""corpus_fp":{"n_docs":$nDocs,"distinct_tokens":$distinctTokens,"max_band_bucket":$maxBucket}"""
     }
     val rerunsJson = rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full per-query attribution lives in bench_diag.json (committed
+    // beside the history) — the stdout line stays inside the driver's
+    // tail budget and carries only the two JVM-health gauges the r9
+    // verdict asked for: CodeHeap peak usage (a peak at the reserve ⇒
+    // interpreted-execution thrash explains CPU inflation) and total
+    // JIT compiler-thread time.
+    locally {
+      val entries = results.map { case (n, v) =>
+        s""""$n":[${fmt(v.wall)},${fmt2(v.cpu)},${math.round(v.mb)},${v.gc},${v.buildMs},${v.jitMs},${v.ccMb}]"""
+      }.mkString("{", ",", "}")
+      val diagJson =
+        s"""{"legend":"[wall_sec,task_cpu_sec,input_mb,gc_ms,build_ms,jit_ms,code_cache_used_mb] per best run; build_ms = DataFrame construction (parse+analyze+store probes, driver-side), wall-build = optimize/plan/schedule/execute","sf":"$sfDir","code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,"queries":$entries}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_diag.json"), diagJson + "\n")
+    }
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""diag":$diags,"diag_legend":"[task_cpu_sec,input_mb,gc_ms] aligned with sorted queries keys","""" +
       s"""task_cpu_sec":${fmt(totalCpu)},"input_mb":${math.round(totalMb)},"gc_ms":$totalGc,$fp,""" +
+      s""""code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,""" +
       s""""reruns":${rerunNames.size},"rerun_queries":$rerunsJson,""" +
-      s""""sf":"$sfDir","method":"best-of-2 + third run when wall > 3x trailing median (bench_history_<sf>.tsv)"}"""
+      s""""sf":"$sfDir","method":"best-of-2 + third run when wall > 3x trailing median (bench_history_<sf>.tsv); per-query phase/JIT attribution in bench_diag.json"}"""
     // Belt and braces for the driver's parser: raw stdout (run /
     // outputStrategy = StdoutOutput strips sbt's [info] prefix) AND a
     // known file in the repo root.

@@ -2657,7 +2657,7 @@ object CurationQueries {
          |    // 1000000000000 AS BIGINT) AS score_ppm
          |FROM pat p CROSS JOIN sc s
          |ORDER BY agree_lang, agree_source, agree_band""".stripMargin) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       val dd = documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           expr("n_chars div 100").as("band"))

@@ -1655,8 +1655,7 @@ object DriftQueries {
          |SELECT n_tail, d_max,
          |  CAST(1000 + (1000000000 * n_tail) // s AS BIGINT) AS alpha_milli
          |FROM agg""".stripMargin) { (s, d) =>
-      val pairs = graft.operators.TextQueries.bandedPairs(
-        SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       val deg = pairs.select(col("doc_a").as("a"))
         .unionByName(pairs.select(col("doc_b").as("a")))
         .groupBy("a").agg(count(lit(1)).as("deg"))

@@ -77,7 +77,7 @@ object GraphQueries {
     // constant and would only pad the output. The oracle recomputes the
     // same edges from text and unrolls the iterations.
     "dup_graph_pagerank" -> QueryDef.sql(PageRankOracleSql) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .repartition(col("a"))
@@ -118,7 +118,7 @@ object GraphQueries {
     // and get excised by the substring family instead). Edges are
     // pinned once; everything downstream is id-arithmetic.
     "dup_graph_triangles" -> QueryDef.sql(TriangleOracleSql) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       triangleStats(pairs).orderBy("doc_id")
     },
 
@@ -136,7 +136,7 @@ object GraphQueries {
     // Scale shape: edges pin once partitioned on the neighbor key, so
     // each round shuffles only the node-cardinality label table.
     "dup_graph_communities" -> QueryDef.sql(LabelPropOracleSql) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .repartition(col("b"))
@@ -169,7 +169,7 @@ object GraphQueries {
     // survivor set), never the corpus, and the per-round degree fold
     // is a partial-combinable hash aggregate.
     "graph_kcore" -> QueryDef.sql(KcoreOracleSql) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       kcoreStats(pairs).orderBy("doc_id")
     },
 
@@ -191,7 +191,7 @@ object GraphQueries {
     // the REACHED-node rank table, which starts seed-sized and grows
     // one hop per round — strictly cheaper than the global walk.
     "ppr_related_docs" -> QueryDef.sql(PprOracleSql) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .repartition(col("a"))
@@ -237,7 +237,7 @@ object GraphQueries {
     // reached-node distance table, which starts seed-sized and grows
     // one hop ring per round.
     "graph_bfs_hops" -> QueryDef.sql(BfsOracleSql) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .repartition(col("a"))
@@ -274,7 +274,7 @@ object GraphQueries {
     // the per-round shuffle (shared [[lpaLabels]] engine), then three
     // node-cardinality joins and a bounded per-community aggregate.
     "graph_modularity" -> QueryDef.sql(ModularityOracleSql) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       modularityStats(pairs).orderBy("community")
     },
 
@@ -295,7 +295,7 @@ object GraphQueries {
     // existing-edge exclusion is an anti-join against the canonical
     // pair table, never a quadratic scan.
     "graph_link_adamic_adar" -> QueryDef.sql(AdamicAdarOracleSql) { (s, d) =>
-      val pairs = TextQueries.bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
         .localCheckpoint()
       val deg0 = pairs.select(col("doc_a").as("v"))
         .unionByName(pairs.select(col("doc_b").as("v")))
@@ -360,8 +360,7 @@ object GraphQueries {
          |  CAST((1000000 * (m * sxy - CAST(sx AS HUGEINT) * sx))
          |    // (m * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS r_ppm
          |FROM agg""".stripMargin) { (s, d) =>
-      val pairs = TextQueries
-        .bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
         .localCheckpoint(true) // degree fold + endpoint join share it
       val deg = pairs.select(col("doc_a").as("v"))
         .unionByName(pairs.select(col("doc_b").as("v")))

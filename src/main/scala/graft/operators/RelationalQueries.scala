@@ -4098,6 +4098,60 @@ object RelationalQueries {
           |WHERE o_totalprice > 100000 ORDER BY o_orderkey LIMIT 25""".stripMargin)
     },
 
+    // ----- O27: star modifiers under ADVERSARIAL text -----
+    // The hostile-text gate for the sixth extension: the SAME statement
+    // carries (a) multiplication by the builtin replace() — a '*'
+    // followed by the word REPLACE that is NOT a modifier (select-list
+    // position disambiguates), (b) a string literal and two comments
+    // containing modifier syntax verbatim, and (c) a real EXCLUDE +
+    // REPLACE group whose replacement expression itself CALLS replace().
+    // DuckDB runs the text verbatim as the oracle, so the hash gate
+    // proves the lexical scanner's literal/comment/position rules on
+    // text built to break them.
+    "o27_star_adversarial" -> QueryDef.sql(
+      """SELECT o_orderkey * CAST(replace('2x', 'x', '') AS BIGINT) AS doubled,
+        |  'literal * EXCLUDE (o_orderkey) REPLACE (x AS y)' AS trap,
+        |  * EXCLUDE (o_custkey, o_totalprice, o_orderdate)
+        |    REPLACE (replace(o_orderpriority, '-', '_') AS o_orderpriority)
+        |FROM orders /* a comment with * REPLACE (y AS z) inside */
+        |WHERE o_orderkey < 100 -- EXCLUDE (o_orderkey) in a comment
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_staradv_orders")
+      s.sql(
+        """SELECT o_orderkey * CAST(replace('2x', 'x', '') AS BIGINT) AS doubled,
+          |  'literal * EXCLUDE (o_orderkey) REPLACE (x AS y)' AS trap,
+          |  * EXCLUDE (o_custkey, o_totalprice, o_orderdate)
+          |    REPLACE (replace(o_orderpriority, '-', '_') AS o_orderpriority)
+          |FROM graft_staradv_orders /* a comment with * REPLACE (y AS z) inside */
+          |WHERE o_orderkey < 100 -- EXCLUDE (o_orderkey) in a comment
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ----- O28: FROM-first under ADVERSARIAL text -----
+    // The hostile-text gate for the seventh extension: FROM-first
+    // NESTED inside a parenthesized FROM-first (both legal positions
+    // exercised at once), a string literal spelling 'FROM x SELECT y'
+    // in the outer select list, and a comment carrying both keywords
+    // between the list and its ORDER BY. DuckDB runs the identical
+    // text natively; a scanner that misread the literal or consumed
+    // the comment would reorder the wrong clause and hash-diverge.
+    "o28_from_first_adversarial" -> QueryDef.sql(
+      """FROM (FROM orders SELECT o_orderkey, o_totalprice WHERE o_totalprice > 50000)
+        |SELECT o_orderkey,
+        |  'FROM x SELECT y' AS trap,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS whole
+        |-- FROM in a comment SELECT too
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_ffadv_orders")
+      s.sql(
+        """FROM (FROM graft_ffadv_orders SELECT o_orderkey, o_totalprice WHERE o_totalprice > 50000)
+          |SELECT o_orderkey,
+          |  'FROM x SELECT y' AS trap,
+          |  CAST(floor(o_totalprice) AS BIGINT) AS whole
+          |-- FROM in a comment SELECT too
+          |ORDER BY o_orderkey LIMIT 20""".stripMargin)
+    },
+
     // ----- exact k-th smallest WITHOUT a global sort (two-pass select) -----
     // The selection algorithm a 100 TB engine actually uses for exact
     // percentiles (Munro–Paterson / distributed quickselect family):

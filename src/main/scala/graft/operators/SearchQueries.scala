@@ -97,6 +97,35 @@ object SearchQueries {
       .orderBy("qid", "doc_id")
   }
 
+  /** The ranked-results build: BM25 top-10 per eval query
+    * (qid, doc_id, rank, score) from the persisted postings store —
+    * the build stage of [[SignatureStore.ensureBm25TopK]] (the
+    * 22nd store face). One retrieval pass materializes what every eval
+    * consumer (snippets, RBO, RRF fusion, PRF round 1, hard negatives,
+    * context packing) previously recomputed live: those queries now
+    * read ≤10×queries rank rows and pay presentation cost only. Any
+    * k ≤ 10 face is a rank filter (row_number order is identical for
+    * every prefix). BM25 scores depend on corpus-wide stats, so the
+    * face is a SNAPSHOT of the postings store — rebuilt at seal time
+    * ([[SignatureStore.refreshBm25TopK]]), not incrementally patched
+    * (a new document shifts every df/avgdl — there is no exact
+    * incremental top-k under BM25). */
+  def bm25TopKOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+    val qt = queryTerms(docs)
+    val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
+    val stats = corpusLens.agg(
+      count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
+    val tf = postings.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+      .select("doc_id", "token", "tf", "dl")
+    val rn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    bm25Rank(tf, stats, qt, k = 10)
+      .withColumn("rank", row_number().over(rn).cast("long"))
+      .select("qid", "doc_id", "rank", "score")
+  }
+
   /** Per-document DISTINCT adjacent bigrams (doc_id, bigram) — one
     * map-side positional pass, deduped per doc before any shuffle; the
     * build stage of the phrase-bigram store and the live side of
@@ -831,17 +860,12 @@ object SearchQueries {
     // op anywhere in the emitted value; ties break on doc_id.
     "hybrid_search_rrf" -> QueryDef.sql(HybridOracleSql) { (s, d) =>
       val docs = documents(s, d)
-      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
-      val qt = queryTerms(docs)
+      val (_, doclens) = SignatureStore.ensureBm25(s, d)
       val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
-      val stats = corpusLens.agg(
-        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
-      val tf = postings.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
-        .select("doc_id", "token", "tf", "dl")
-      val bmRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-      val btop = bm25Rank(tf, stats, qt, k = 5)
-        .withColumn("r_b", row_number().over(bmRn)).select("qid", "doc_id", "r_b")
+      // lexical leg from the ranked-results store face (k=5 prefix)
+      val btop = SignatureStore.ensureBm25TopK(s, d)
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("doc_id"), col("rank").as("r_b"))
 
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val evalIds = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
@@ -887,17 +911,12 @@ object SearchQueries {
     // serving order.
     "rag_context_pack" -> QueryDef.sql(RagPackSql) { (s, d) =>
       val docs = documents(s, d)
-      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
-      val qt = queryTerms(docs)
+      val (_, doclens) = SignatureStore.ensureBm25(s, d)
       val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
-      val stats = corpusLens.agg(
-        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
-      val tf = postings.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
-        .select("doc_id", "token", "tf", "dl")
-      val bmRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-      val btop = bm25Rank(tf, stats, qt, k = 5)
-        .withColumn("r_b", row_number().over(bmRn)).select("qid", "doc_id", "r_b")
+      // lexical leg from the ranked-results store face (k=5 prefix)
+      val btop = SignatureStore.ensureBm25TopK(s, d)
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("doc_id"), col("rank").as("r_b"))
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val evalIds = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
         .select("doc_id")
@@ -964,18 +983,12 @@ object SearchQueries {
     // persisted artifacts; everything after is 10×queries rank rows.
     "search_rank_overlap_rbo" -> QueryDef.sql(RboOracleSql) { (s, d) =>
       val docs = documents(s, d)
-      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
+      val (_, doclens) = SignatureStore.ensureBm25(s, d)
       val qt = queryTerms(docs)
       val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
-      val stats = corpusLens.agg(
-        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
-      val tf = postings.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
-        .select("doc_id", "token", "tf", "dl")
-      val bmRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-      val btop = bm25Rank(tf, stats, qt, k = 10)
-        .withColumn("ra", row_number().over(bmRn).cast("long"))
-        .select("qid", "doc_id", "ra")
+      // lexical leg: the ranked-results store face — no live retrieval
+      val btop = SignatureStore.ensureBm25TopK(s, d)
+        .select(col("qid"), col("doc_id"), col("rank").as("ra"))
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val evalIds = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
         .select("doc_id")
@@ -1019,15 +1032,11 @@ object SearchQueries {
     // persisted artifacts; the anti-join runs on 10×queries rank rows.
     "mine_hard_negatives" -> QueryDef.sql(HardNegOracleSql) { (s, d) =>
       val docs = documents(s, d)
-      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
-      val qt = queryTerms(docs)
+      val (_, doclens) = SignatureStore.ensureBm25(s, d)
       val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
-      val stats = corpusLens.agg(
-        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
-      val tf = postings.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
-        .select("doc_id", "token", "tf", "dl")
-      val btop = bm25Rank(tf, stats, qt, k = 5).select("qid", "doc_id")
+      // positives/near-positives from the ranked-results store face
+      val btop = SignatureStore.ensureBm25TopK(s, d)
+        .filter(col("rank") <= 5).select("qid", "doc_id")
 
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val evalIds = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
@@ -1079,10 +1088,10 @@ object SearchQueries {
         count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
       val corpusPostings = postings.filter(col("doc_id") % 97 =!= 0)
 
-      val tf1 = corpusPostings
-        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
-        .select("doc_id", "token", "tf", "dl")
-      val btop = bm25Rank(tf1, stats, qt, k = 5).select("qid", "doc_id")
+      // round-1 feedback docs from the ranked-results store face — the
+      // first retrieval is exactly the persisted top-5
+      val btop = SignatureStore.ensureBm25TopK(s, d)
+        .filter(col("rank") <= 5).select("qid", "doc_id")
 
       // feedback-doc term profile: postings rows of the ≤5·queries docs
       val fbd = corpusPostings.select("doc_id", "token")
@@ -1396,15 +1405,11 @@ object SearchQueries {
     // engines join the array back and cut [best_pos, 10].
     "search_snippet_window" -> QueryDef.sql(SnippetOracleSql) { (s, d) =>
       val docs = documents(s, d)
-      val (postings, doclens) = SignatureStore.ensureBm25(s, d)
       val qt = queryTerms(docs)
-      val corpusLens = doclens.filter(col("doc_id") % 97 =!= 0)
-      val stats = corpusLens.agg(
-        count(lit(1)).as("n"), sum("dl").cast("long").as("total"))
-      val tf = postings.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
-        .select("doc_id", "token", "tf", "dl")
-      val top = bm25Rank(tf, stats, qt, k = 1).select("qid", "doc_id")
+      // top-1 docs from the ranked-results store face: the query is
+      // pure presentation cost (re-tokenize ≤1 doc per query)
+      val top = SignatureStore.ensureBm25TopK(s, d)
+        .filter(col("rank") === 1).select("qid", "doc_id")
       // bounded: the top documents only — re-tokenize just those
       val docTk = docs.join(top.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tk"))

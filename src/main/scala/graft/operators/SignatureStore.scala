@@ -83,22 +83,53 @@ object SignatureStore {
       .getOrElse(spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0).as("band"), lit(0L).as("key")).limit(0))
 
+  /** Positive-result memo for SEALED store probes. Every query
+    * construction probes the store directories it reads (a marker
+    * `exists` + a recursive `listFiles` per subtree); on an object
+    * store each listing is a 10-100 ms round trip, and with 20+ store
+    * families that driver-side constant dominates small queries' walls
+    * (the round-9 wall≫cpu cluster). A BATCH subtree, once observed
+    * non-empty, stays non-empty for the JVM's lifetime (ensure* builds
+    * exactly once; compaction swaps atomically via rename), so `true`
+    * is safe to pin. Stream subtrees are NEVER memoized — appends and
+    * compaction change them at any time — and negative results are
+    * never cached (the store may be built by the very next call). */
+  private val probeMemo = new scala.collection.concurrent.TrieMap[String, Boolean]()
+
   /** Does `dir` hold at least one DATA file? (A micro-batch where every
     * row was gated away writes only `_SUCCESS`; reading such a directory
-    * throws "Unable to infer schema".) */
+    * throws "Unable to infer schema".) Positive results for non-stream
+    * subtrees are memoized (see [[probeMemo]]). */
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     import org.apache.hadoop.fs.Path
+    val cacheable = !dir.contains("_stream")
+    if (cacheable && probeMemo.contains(dir)) return true
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
+    val found = fs.exists(p) && {
       val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
+      var f = false
+      while (!f && it.hasNext) {
         val name = it.next().getPath.getName
-        found = !(name.startsWith("_") || name.startsWith("."))
+        f = !(name.startsWith("_") || name.startsWith("."))
       }
-      found
+      f
     }
+    if (found && cacheable) probeMemo.put(dir, true)
+    found
+  }
+
+  /** Sealed-marker probe with the same positive-only memo: `ensure*`
+    * checks its `_SUCCESS` marker on every call, but a sealed batch
+    * build never un-exists. */
+  private def sealedMarkerExists(spark: SparkSession, markerPath: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    if (probeMemo.contains(markerPath)) return true
+    val p = new Path(markerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = fs.exists(p)
+    if (e) probeMemo.put(markerPath, true)
+    e
   }
 
   private def tryReadMinhashBands(spark: SparkSession, base: String,
@@ -163,7 +194,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${minhashDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) write(spark, sfDir, base)
+    if (!sealedMarkerExists(spark, marker.toString)) write(spark, sfDir, base)
     readMinhashBands(spark, base)
   }
 
@@ -192,7 +223,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${ophDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       TextQueries.ophBandsOf(documents(spark, sfDir))
         .write.mode("overwrite").partitionBy("band").parquet(ophDir(base))
     readOphBands(spark, base)
@@ -205,6 +236,108 @@ object SignatureStore {
       compactInto(spark, ophDir(base), streamOphDir(base),
         readOphBands(spark, base))
 
+  // ------------------------------------------------------------------
+  // Candidate-pair store — the 21st family. The banded self-join is
+  // what LSH exists to materialize, and before this store every
+  // consumer (clusters, source matrix, family Venn, OPH agreement,
+  // capture–recapture) re-enumerated it from the band tables. Persisted
+  // once per band family ("k8" = standard 8-band minhash, "oph" =
+  // one-permutation bands), the enumeration becomes a two-column
+  // parquet read. Maintenance is INCREMENTAL (unlike the band stores'
+  // pure appends, a new document creates pairs with OLD documents):
+  // each micro-batch appends [[TextQueries.deltaPairs]] — delta × all
+  // on (band, key) — which is exactly the row set a full rebuild gains.
+  // One documented divergence window: the degenerate-bucket cap is
+  // evaluated at each append against the THEN-current bucket sizes, so
+  // a bucket that creeps over the cap across many micro-batches keeps
+  // the pairs it produced while small; the compaction seal recomputes
+  // the full self-join from the sealed band store, restoring exact
+  // batch-build equality (spec-pinned).
+  // ------------------------------------------------------------------
+
+  def pairsDir(base: String, family: String) = s"$base/pairs_$family"
+  def streamPairsDir(base: String, family: String) = s"$base/pairs_${family}_stream"
+
+  /** All stored candidate pairs of `family`: batch subtree ∪ stream
+    * deltas, full-row distinct when both exist (a pair re-derived by a
+    * later delta is the same row — distinct IS the supersession rule). */
+  def readPairs(spark: SparkSession, base: String, family: String): DataFrame = {
+    def cols(df: DataFrame) = df.select(col("doc_a"), col("doc_b"))
+    val batch = Option.when(hasData(spark, pairsDir(base, family)))(
+      cols(spark.read.parquet(pairsDir(base, family))))
+    val stream = Option.when(hasData(spark, streamPairsDir(base, family)))(
+      cols(spark.read.parquet(streamPairsDir(base, family))))
+    (batch, stream) match {
+      case (None, None) =>
+        throw new IllegalArgumentException(s"no $family pair store under $base")
+      case (Some(b), None) => b
+      case (None, Some(s)) => s.distinct()
+      case (Some(b), Some(s)) => b.unionByName(s).distinct()
+    }
+  }
+
+  private def ensurePairs(spark: SparkSession, sfDir: String, family: String,
+      bands: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${pairsDir(base, family)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sealedMarkerExists(spark, marker.toString))
+      TextQueries.bandedPairs(bands)
+        .write.mode("overwrite").parquet(pairsDir(base, family))
+    readPairs(spark, base, family)
+  }
+
+  /** Standard-minhash candidate pairs for `sfDir`, building band store
+    * and pair store on first use; afterwards a pure parquet read. */
+  def ensureK8Pairs(spark: SparkSession, sfDir: String): DataFrame =
+    ensurePairs(spark, sfDir, "k8", ensureMinhashBands(spark, sfDir))
+
+  /** One-permutation-minhash candidate pairs for `sfDir`. */
+  def ensureOphPairs(spark: SparkSession, sfDir: String): DataFrame =
+    ensurePairs(spark, sfDir, "oph", ensureOphBands(spark, sfDir))
+
+  /** Append the pair delta for one micro-batch of new band rows:
+    * `deltaPairs(delta, allBands)` lands batch_id-keyed with dynamic
+    * partition overwrite (replay-idempotent — pair rows are pure
+    * functions of the band state, and a replayed epoch overwrites
+    * exactly its own partition). `allBands` must be the post-append
+    * band state EXCLUDING this epoch's own earlier (partial) append,
+    * plus the delta itself. */
+  def appendPairsDelta(spark: SparkSession, base: String, family: String,
+      deltaBands: DataFrame, allBands: DataFrame, batchId: Long): Unit =
+    TextQueries.deltaPairs(deltaBands, allBands)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(streamPairsDir(base, family))
+
+  /** Compaction seal for a pair family: recompute the FULL banded
+    * self-join from the current band store (not a union-distinct of
+    * the deltas — the rebuild is what restores exact bucket-cap
+    * semantics after incremental appends) and swap it in; the stream
+    * subtree is consumed. Post-condition: [[readPairs]] equals a fresh
+    * [[TextQueries.bandedPairs]] over the band store, bit for bit. */
+  def compactPairs(spark: SparkSession, base: String, family: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val bands = family match {
+      case "k8" => readMinhashBands(spark, base)
+      case "oph" => readOphBands(spark, base)
+      case other => throw new IllegalArgumentException(s"unknown pair family $other")
+    }
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasData(spark, streamPairsDir(base, family)) ||
+        !fs.exists(new Path(s"${pairsDir(base, family)}/_SUCCESS"))) {
+      val tmp = s"${pairsDir(base, family)}_compact_tmp"
+      TextQueries.bandedPairs(bands).write.mode("overwrite").parquet(tmp)
+      fs.delete(new Path(pairsDir(base, family)), true)
+      fs.delete(new Path(streamPairsDir(base, family)), true)
+      require(fs.rename(new Path(tmp), new Path(pairsDir(base, family))),
+        s"compaction rename $tmp -> ${pairsDir(base, family)} failed")
+    }
+  }
+
   /** Simhash signature table for `sfDir`, building the store on first
     * use (one [[write]] persists both sketch families). */
   def ensureSimhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -212,7 +345,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${simhashDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) write(spark, sfDir, base)
+    if (!sealedMarkerExists(spark, marker.toString)) write(spark, sfDir, base)
     readSimhash(spark, base)
   }
 
@@ -266,7 +399,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${ivfDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       build().write.mode("overwrite").parquet(ivfDir(base))
     readIvfAssignments(spark, base)
   }
@@ -313,7 +446,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${q8Dir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       build().write.mode("overwrite").parquet(q8Dir(base))
     readQuantizedVectors(spark, base)
   }
@@ -333,7 +466,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${lshBucketsDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       build().write.mode("overwrite").partitionBy("band").parquet(lshBucketsDir(base))
     spark.read.parquet(lshBucketsDir(base))
       .select(col("vec_id"), col("band").cast("int").as("band"), col("key"))
@@ -411,7 +544,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${rpqCodesDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    if (!sealedMarkerExists(spark, marker.toString)) {
       buildCodebook().write.mode("overwrite").parquet(rpqCodebookDir(base))
       encode(readResidualPqCodebook(spark, base))
         .write.mode("overwrite").parquet(rpqCodesDir(base))
@@ -438,7 +571,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${pqCodesDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    if (!sealedMarkerExists(spark, marker.toString)) {
       buildCodebook().write.mode("overwrite").parquet(pqCodebookDir(base))
       encode(readPqCodebook(spark, base))
         .write.mode("overwrite").parquet(pqCodesDir(base))
@@ -499,7 +632,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${spansDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    if (!sealedMarkerExists(spark, marker.toString)) {
       val g = TextQueries.positionedGrams8(documents(spark, sfDir)).localCheckpoint()
       g.write.mode("overwrite").parquet(spanGramsDir(base))
       TextQueries.spansFromGrams(g)
@@ -564,7 +697,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${eventTransitionsDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       RelationalQueries.eventTriples(spark, sfDir)
         .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(eventTransitionsDir(base))
@@ -659,7 +792,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${phraseBigramsDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       SearchQueries.bigramsOf(documents(spark, sfDir))
         .write.mode("overwrite").parquet(phraseBigramsDir(base))
     readPhraseBigrams(spark, base)
@@ -790,7 +923,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${dailyKmvDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       SketchQueries.dailyUserSketch(graft.util.Tables.events(spark, sfDir))
         .write.mode("overwrite").parquet(dailyKmvDir(base))
     readDailyKmv(spark, base)
@@ -838,7 +971,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${countMinDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       SketchQueries.countMinCells(SketchQueries.tokenVocab(documents(spark, sfDir)))
         .write.mode("overwrite").parquet(countMinDir(base))
     readCountMin(spark, base)
@@ -885,7 +1018,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${hllDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       SketchQueries.hllRegisters(
           events(spark, sfDir)
             .select(col("event_type").as("stratum"), col("user_id")))
@@ -934,7 +1067,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${quantileBinsDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       SketchQueries.sourceLengthBins(documents(spark, sfDir))
         .write.mode("overwrite").parquet(quantileBinsDir(base))
     readQuantileBins(spark, base)
@@ -980,7 +1113,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${bloomDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       SketchQueries.bloomOf(SketchQueries.evalSplit(documents(spark, sfDir)))
         .write.mode("overwrite").parquet(bloomDir(base))
     readBloom(spark, base)
@@ -1058,7 +1191,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${mgCountersDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    if (!sealedMarkerExists(spark, marker.toString)) {
       val (counters, lambdas) = SketchQueries.mgSummaries(
         SketchQueries.sourceTokenCounts(documents(spark, sfDir)))
       lambdas.write.mode("overwrite").parquet(mgLambdasDir(base))
@@ -1136,7 +1269,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${imagePhashDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       Multimodal.imagePhash(Multimodal.pngAssets(documents(spark, sfDir)))
         .write.mode("overwrite").parquet(imagePhashDir(base))
     readImagePhash(spark, base)
@@ -1194,7 +1327,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${frameDiffDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       Multimodal.frameDiffs(documents(spark, sfDir))
         .write.mode("overwrite").parquet(frameDiffDir(base))
     readFrameDiffs(spark, base)
@@ -1301,7 +1434,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${bm25PostingsDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    if (!sealedMarkerExists(spark, marker.toString)) {
       val docs = documents(spark, sfDir)
       SearchQueries.doclensOf(docs)
         .write.mode("overwrite").parquet(bm25DoclensDir(base))
@@ -1317,6 +1450,42 @@ object SignatureStore {
     // stream plumbing use readBm25 directly and keep their layout.
     val (p, l) = readBm25(spark, base)
     (TextQueries.spread(p), l)
+  }
+
+  def bm25TopkDir(base: String) = s"$base/bm25_topk"
+
+  /** Ranked-results face — the 22nd store face: the BM25 top-10 per
+    * eval query (qid, doc_id, rank, score), built once from the
+    * postings store by [[SearchQueries.bm25TopKOf]]. Eval consumers
+    * (snippets, RBO, fusion legs, PRF round 1, hard negatives, context
+    * packing) read ≤10×queries rows instead of re-running retrieval.
+    * BM25 scores depend on corpus-wide stats (df, avgdl), so this face
+    * is a SNAPSHOT: stream appends to the postings store do not patch
+    * it (no exact incremental top-k exists under BM25) — call
+    * [[refreshBm25TopK]] at the compaction seal to rebuild. */
+  def ensureBm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val marker = new Path(s"${bm25TopkDir(base)}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sealedMarkerExists(spark, marker.toString))
+      SearchQueries.bm25TopKOf(spark, sfDir)
+        .write.mode("overwrite").parquet(bm25TopkDir(base))
+    spark.read.parquet(bm25TopkDir(base))
+  }
+
+  /** Rebuild the ranked-results snapshot from the current postings
+    * store — the seal-time companion of [[compactBm25]] (tmp-and-swap,
+    * same crash discipline as [[compactInto]]). */
+  def refreshBm25TopK(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = defaultBase(spark, sfDir)
+    val tmp = s"${bm25TopkDir(base)}_compact_tmp"
+    SearchQueries.bm25TopKOf(spark, sfDir).write.mode("overwrite").parquet(tmp)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(bm25TopkDir(base)), true)
+    require(fs.rename(new Path(tmp), new Path(bm25TopkDir(base))),
+      s"refresh rename $tmp -> ${bm25TopkDir(base)} failed")
   }
 
   def linesDir(base: String) = s"$base/line_registry"
@@ -1368,7 +1537,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${linesDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       TextQueries.lineRegistryOf(TextQueries.linesOf(documents(spark, sfDir)))
         .write.mode("overwrite").parquet(linesDir(base))
     readLineRegistry(spark, base)
@@ -1389,7 +1558,7 @@ object SignatureStore {
     val base = defaultBase(spark, sfDir)
     val marker = new Path(s"${clustersDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    if (!sealedMarkerExists(spark, marker.toString))
       TextQueries.clusterAssignments(spark, sfDir)
         .write.mode("overwrite").parquet(clustersDir(base))
     spark.read.parquet(clustersDir(base))

@@ -267,6 +267,30 @@ object TextQueries {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Incremental candidate-pair enumeration: the distinct pairs that
+    * TOUCH a delta of new band rows — `delta × all` on (band, key),
+    * normalized to (doc_a < doc_b) — which is exactly the set of rows a
+    * full [[bandedPairs]] over `all` gains when `delta ⊆ all` arrives.
+    * This is the maintenance path of the candidate-pair STORE: the
+    * full self-join runs once at build (and at each compaction seal);
+    * each micro-batch then pays only delta-cardinality × bucket width.
+    * The degenerate-bucket guard counts over `all` (the post-append
+    * state), so a bucket pushed over the cap by this delta contributes
+    * no pairs — same cap semantics as the full rebuild. */
+  def deltaPairs(deltaBands: org.apache.spark.sql.DataFrame,
+      allBands: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = DefaultMaxBucket): org.apache.spark.sql.DataFrame = {
+    val hot = broadcast(oversizedBuckets(allBands, maxBucket).select("band", "key"))
+    val d = deltaBands.join(hot, Seq("band", "key"), "left_anti")
+      .select(col("doc_id").as("x"), col("band"), col("key"))
+    val a = allBands.join(hot, Seq("band", "key"), "left_anti")
+      .select(col("doc_id").as("y"), col("band"), col("key"))
+    d.join(a, Seq("band", "key")).filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
+      .distinct()
+  }
+
   /** (doc_id, cluster_id) for every document: connected components over
     * the LSH candidate graph via iterative min-label propagation.
     * Candidate edges come from the persisted [[SignatureStore]]; only
@@ -276,7 +300,7 @@ object TextQueries {
     * needs no extra join. Shared by dedup_clusters and corpus_curation. */
   def clusterAssignments(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val docs = documents(s, d).select("doc_id")
-    val pairs = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+    val pairs = SignatureStore.ensureK8Pairs(s, d)
     // Pre-hash-partition the edge table on the probe key BEFORE pinning
     // it: localCheckpoint preserves the partitioning in the logical
     // plan, so every fixpoint round's join re-shuffles only the (much
@@ -542,20 +566,19 @@ object TextQueries {
        |SELECT doc_a, doc_b, in_oph, in_k8 FROM flags
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** The OPH agreement audit over a (doc_id, band, key) OPH band table
-    * (live-built or store-read): OPH candidates FULL-OUTER the standard
-    * k8 candidates (from the persisted k8 store) with membership flags. */
-  private def ophAgreement(s: org.apache.spark.sql.SparkSession,
-      obands: org.apache.spark.sql.DataFrame, d: String): org.apache.spark.sql.DataFrame = {
-    val ophp = bandedPairs(obands).withColumn("in_oph", lit(1L))
-    val k8p = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
-      .withColumn("in_k8", lit(1L))
-    ophp.join(k8p, Seq("doc_a", "doc_b"), "full_outer")
+  /** The OPH agreement audit over two CANDIDATE-PAIR tables (live-
+    * enumerated or read from the 21st store family): OPH candidates
+    * FULL-OUTER the standard k8 candidates with membership flags.
+    * Unordered — the oracle-facing twins add the total ORDER BY,
+    * aggregate-only consumers (capture–recapture) skip the dead sort. */
+  private def ophAgreement(ophPairs: org.apache.spark.sql.DataFrame,
+      k8Pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ophPairs.withColumn("in_oph", lit(1L))
+      .join(k8Pairs.withColumn("in_k8", lit(1L)),
+        Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
         coalesce(col("in_oph"), lit(0L)).as("in_oph"),
         coalesce(col("in_k8"), lit(0L)).as("in_k8"))
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** The exact-Jaccard-over-candidates statement (12-gram sets, 2-hash
     * candidate key), shared by `dedup_ngram_jaccard` (raw pairs) and
@@ -875,7 +898,12 @@ object TextQueries {
     // the band key folds the two slot values mod p, deterministic on
     // both engines).
     "dedup_minhash_oph" -> QueryDef.sql(OphAgreementOracleSql) { (s, d) =>
-      ophAgreement(s, ophBandsOf(documents(s, d)).localCheckpoint(), d)
+      // live leg: the OPH signature pass + pair enumeration is what this
+      // query times; the k8 comparison side reads the pair store
+      ophAgreement(
+        bandedPairs(ophBandsOf(documents(s, d)).localCheckpoint()),
+        SignatureStore.ensureK8Pairs(s, d))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ----- OPH from the PERSISTED band store -----
@@ -887,7 +915,11 @@ object TextQueries {
     // .maintainOph]]) and compaction, the same lifecycle as the k8
     // family it is the scale path FOR.
     "dedup_minhash_oph_stored" -> QueryDef.sql(OphAgreementOracleSql) { (s, d) =>
-      ophAgreement(s, SignatureStore.ensureOphBands(s, d), d)
+      // both legs read the candidate-pair store: the full agreement
+      // audit is two 2-column parquet reads + one equi-join
+      ophAgreement(SignatureStore.ensureOphPairs(s, d),
+        SignatureStore.ensureK8Pairs(s, d))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ----- capture–recapture estimate of the near-dup population -----
@@ -926,7 +958,8 @@ object TextQueries {
          |    THEN CAST((CAST(1000000 AS HUGEINT) * n_oph) // chapman AS BIGINT)
          |    ELSE NULL END AS oph_coverage_ppm
          |FROM e""".stripMargin) { (s, d) =>
-      val n = ophAgreement(s, SignatureStore.ensureOphBands(s, d), d)
+      val n = ophAgreement(SignatureStore.ensureOphPairs(s, d),
+          SignatureStore.ensureK8Pairs(s, d))
         .agg(sum("in_k8").cast("long").as("n_k8"),
           sum("in_oph").cast("long").as("n_oph"),
           sum(col("in_oph") * col("in_k8")).cast("long").as("n_both"))
@@ -1052,8 +1085,7 @@ object TextQueries {
     // query: the stored path must reproduce it bit-for-bit.
     "dedup_minhash_lsh_stored" -> QueryDef.sql(
       s"WITH $MinhashBandsCte\n$BandedPairsSelect\nORDER BY doc_a, doc_b") { (s, d) =>
-      val stored = SignatureStore.ensureMinhashBands(s, d)
-      bandedPairs(stored).orderBy("doc_a", "doc_b")
+      SignatureStore.ensureK8Pairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // ----- near-dup cluster assignment: connected components over the -----
@@ -2150,7 +2182,7 @@ object TextQueries {
          |FROM p JOIN documents da ON da.doc_id = p.doc_a
          |       JOIN documents db ON db.doc_id = p.doc_b
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val pairs = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val pairs = SignatureStore.ensureK8Pairs(s, d)
       val src = documents(s, d)
         .select(col("doc_id"), coalesce(col("source"), lit("(none)")).as("src"))
       pairs
@@ -2492,7 +2524,7 @@ object TextQueries {
             .partitionBy(md5(col("text").cast("binary")))))
         .filter(col("c") > 1).select("doc_id").distinct()
         .withColumn("e", lit(1L))
-      val mp = bandedPairs(SignatureStore.ensureMinhashBands(s, d))
+      val mp = SignatureStore.ensureK8Pairs(s, d)
       val mdocs = mp.select(col("doc_a").as("doc_id"))
         .unionByName(mp.select(col("doc_b").as("doc_id")))
         .distinct().withColumn("m", lit(1L))

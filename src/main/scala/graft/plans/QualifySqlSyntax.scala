@@ -163,10 +163,13 @@ object QualifySqlSyntax {
         val frm = evs(fi)
         val qcol = s"__graft_qualify_$idx"
         val alias = s"__graft_q_$idx"
+        // newline BEFORE each generated continuation: user text ending
+        // in a `--` line comment (select list, FROM body, predicate)
+        // would otherwise swallow the injected syntax
         sql = sql.substring(0, sel.pos) +
           s"SELECT * EXCEPT ($qcol) FROM (SELECT " +
-          sql.substring(sel.end, frm.pos).trim + s", ($pred) AS $qcol " +
-          sql.substring(frm.pos, q.pos).trim + s") $alias WHERE $qcol " +
+          sql.substring(sel.end, frm.pos).trim + s"\n, ($pred\n) AS $qcol\n" +
+          sql.substring(frm.pos, q.pos).trim + s"\n) $alias WHERE $qcol " +
           sql.substring(predEnd)
         idx += 1
       }
@@ -280,12 +283,15 @@ object DistinctOnSqlSyntax {
           if (ord.isEmpty) fail("empty ORDER BY list")
           val dcol = s"__graft_don_$idx"
           val alias = s"__graft_d_$idx"
+          // newline before each continuation: see the QUALIFY rewrite —
+          // a trailing `--` comment in user text must not swallow the
+          // injected syntax
           sql = sql.substring(0, sel.pos) +
             s"SELECT * EXCEPT ($dcol) FROM (SELECT " +
             sql.substring(slStart, frm.pos).trim +
-            s", row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS $dcol " +
-            sql.substring(frm.pos, ord0.pos).trim + s") $alias " +
-            s"WHERE $dcol = 1 ORDER BY $ord " + sql.substring(ordEnd)
+            s"\n, row_number() OVER (PARTITION BY $keys\nORDER BY $ord\n) AS $dcol\n" +
+            sql.substring(frm.pos, ord0.pos).trim + s"\n) $alias " +
+            s"WHERE $dcol = 1 ORDER BY $ord\n" + sql.substring(ordEnd)
           idx += 1
       }
     }

@@ -174,15 +174,18 @@ object StarSqlSyntax {
               if (!fields.exists(_.toLowerCase == c))
                 fail(s"REPLACE column '$c' not found in the FROM schema")
             }
+            // newlines around user expressions: a REPLACE item ending
+            // in a `--` line comment must not swallow the `) AS col`
+            // or the clause that follows the expanded list
             val list = fields
               .filterNot(f => excl.contains(f.toLowerCase))
               .map { f =>
                 val q = "`" + f.replace("`", "``") + "`"
-                repl.get(f.toLowerCase).fold(q)(e => s"($e) AS $q")
+                repl.get(f.toLowerCase).fold(q)(e => s"($e\n) AS $q")
               }
             if (list.isEmpty) fail("the star group excludes every column")
             sql = sql.substring(0, starPos) + list.mkString(", ") +
-              " " + sql.substring(groupEnd)
+              "\n" + sql.substring(groupEnd)
           }
       }
     }
@@ -270,8 +273,12 @@ object FromFirstSqlSyntax {
               }
               t += 1
             }
+            // newline before FROM: a select list ENDING in a `--` line
+            // comment would otherwise swallow the appended clause (the
+            // statement then parses as a FROM-less SELECT — caught by
+            // the o28 adversarial gate)
             val list = sql.substring(sel.end, listEnd).trim
-            sql = sql.substring(0, frm.pos) + s"SELECT $list FROM $body " +
+            sql = sql.substring(0, frm.pos) + s"SELECT $list\nFROM $body\n" +
               sql.substring(listEnd)
           }
       }

@@ -190,6 +190,40 @@ object EventStream {
           .parquet(graft.operators.SignatureStore.streamOphDir(storeBase))
     }
 
+  /** Incremental candidate-PAIR maintenance — [[maintainSignatures]]
+    * plus the 21st store family's delta: each micro-batch (1) appends
+    * its band rows exactly as maintainSignatures does, then (2) appends
+    * the candidate pairs that TOUCH the delta
+    * ([[graft.operators.TextQueries.deltaPairs]] — delta × all on
+    * (band, key)), so the pair store's consumers (clusters, graph
+    * family, agreement audits) never re-run the full banded self-join
+    * over history. The delta joins against the band state EXCLUDING
+    * this epoch's own earlier append
+    * ([[graft.operators.SignatureStore.readMinhashBandsExcluding]]) —
+    * a replayed epoch would otherwise pair every delta doc against its
+    * own prior partial write. Both writes are batch_id-keyed dynamic
+    * partition overwrites: replay rewrites exactly its own partitions.
+    * The localCheckpoint pins the signed delta so the band write and
+    * the pair join don't re-sign the batch text twice. */
+  def maintainCandidatePairs(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.TextQueries.minhashBandsOf(batch)
+          .localCheckpoint()
+        delta.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "band")
+          .parquet(graft.operators.SignatureStore.streamMinhashDir(storeBase))
+        val all = graft.operators.SignatureStore
+          .readMinhashBandsExcluding(spark, storeBase, batchId)
+          .unionByName(delta).distinct()
+        graft.operators.SignatureStore.appendPairsDelta(
+          spark, storeBase, "k8", delta, all, batchId)
+    }
+
   /** Incremental BM25 postings maintenance — the search-family twin of
     * [[maintainSignatures]]: each micro-batch of new documents is
     * tokenized ONCE with the same builder the stored search path uses

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus upsampler for scale-curve measurement
+  * (SCALING.md): replicates the documents/embeddings tables of a source
+  * SF directory `factor`× into a new directory, preserving the
+  * WITHIN-replica duplicate structure while keeping replicas disjoint —
+  * so candidate-pair counts, posting sizes and cluster populations grow
+  * ~linearly with the factor, the way a real corpus grows (a naive
+  * verbatim copy would make every doc a 10-way exact dup and blow the
+  * pair count quadratically — measuring THAT curve would measure the
+  * copy artifact, not the operator).
+  *
+  *   - `doc_id`/`vec_id` re-keyed per replica by a fixed stride (1e9 —
+  *     far above any fixture id), so ids stay unique and joins behave;
+  *   - each replica's text gains one replica-distinct suffix token, so
+  *     cross-replica near-dup collisions vanish (minhash/simhash bands
+  *     differ in ≥1 shingle) while within-replica similarity is
+  *     untouched;
+  *   - embeddings are copied verbatim under new ids (timing-equivalent;
+  *     ANN cost depends on cardinality, not coordinates);
+  *   - every other table is referenced from the SOURCE directory via
+  *     copied files, so probes that warm on q1_agg keep working.
+  *
+  * Usage: runMain graft.tools.ScaleCorpus <srcSfDir> <outDir> [factor]
+  */
+object ScaleCorpus {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.util.SparkUtil.configure(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", 32))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stride = 1000000000L
+    val reps = spark.range(factor).select(col("id").as("rep"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * stride)
+      .withColumn("text", concat(col("text"), lit(" zrep"), col("rep")))
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * stride)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // reference tables copied as-is so warmup/auxiliary reads resolve
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      val from = new org.apache.hadoop.fs.Path(s"$src/$t.parquet")
+      val to = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
+      if (fs.exists(from) && !fs.exists(to))
+        org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    println(s"scaled $src -> $out x$factor: " +
+      spark.read.parquet(s"$out/documents.parquet").count() + " docs, " +
+      spark.read.parquet(s"$out/embeddings.parquet").count() + " vectors")
+    spark.stop()
+  }
+}

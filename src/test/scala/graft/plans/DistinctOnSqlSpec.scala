@@ -15,10 +15,12 @@ class DistinctOnSqlSpec extends SparkFunSuite {
   test("rewrite: basic clause becomes the rn = 1 window wrap") {
     val got = DistinctOnSqlSyntax.rewrite(
       "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v DESC")
-    assert(got ==
-      "SELECT * EXCEPT (__graft_don_0) FROM (SELECT g, v, row_number() OVER " +
-        "(PARTITION BY g ORDER BY g, v DESC) AS __graft_don_0 FROM t) __graft_d_0 " +
-        "WHERE __graft_don_0 = 1 ORDER BY g, v DESC ")
+    // whitespace-normalized: the rewrite inserts newlines before each
+    // generated continuation (comment-swallow defense)
+    assert(got.replaceAll("\\s+", " ").trim ==
+      "SELECT * EXCEPT (__graft_don_0) FROM (SELECT g, v , row_number() OVER " +
+        "(PARTITION BY g ORDER BY g, v DESC ) AS __graft_don_0 FROM t ) __graft_d_0 " +
+        "WHERE __graft_don_0 = 1 ORDER BY g, v DESC")
   }
 
   test("rewrite: plain DISTINCT and aggregate DISTINCT are left alone") {
@@ -33,8 +35,9 @@ class DistinctOnSqlSpec extends SparkFunSuite {
   test("rewrite: multi-key list and a LIMIT tail stay intact") {
     val got = DistinctOnSqlSyntax.rewrite(
       "SELECT DISTINCT ON (a, b) a, b, v FROM t ORDER BY a, b, v LIMIT 3")
-    assert(got.contains("PARTITION BY a, b ORDER BY a, b, v"))
-    assert(got.endsWith("ORDER BY a, b, v LIMIT 3"))
+    val norm = got.replaceAll("\\s+", " ")
+    assert(norm.contains("PARTITION BY a, b ORDER BY a, b, v"))
+    assert(norm.endsWith("ORDER BY a, b, v LIMIT 3"))
   }
 
   test("rewrite: 'DISTINCT ON' inside strings/comments survives") {

@@ -16,9 +16,11 @@ class QualifySqlSpec extends SparkFunSuite {
   test("rewrite: basic clause becomes the * EXCEPT wrap") {
     val got = QualifySqlSyntax.rewrite(
       "SELECT g, v FROM t QUALIFY v > 1 ORDER BY g")
-    assert(got ==
-      "SELECT * EXCEPT (__graft_qualify_0) FROM (SELECT g, v, (v > 1) AS __graft_qualify_0 " +
-        "FROM t) __graft_q_0 WHERE __graft_qualify_0 ORDER BY g")
+    // whitespace-normalized: the rewrite inserts newlines before each
+    // generated continuation (comment-swallow defense)
+    assert(got.replaceAll("\\s+", " ") ==
+      "SELECT * EXCEPT (__graft_qualify_0) FROM (SELECT g, v , (v > 1 ) AS __graft_qualify_0 " +
+        "FROM t ) __graft_q_0 WHERE __graft_qualify_0 ORDER BY g")
   }
 
   test("rewrite: no QUALIFY → identity (fast path)") {
@@ -35,6 +37,19 @@ class QualifySqlSpec extends SparkFunSuite {
     assert(QualifySqlSyntax.rewrite(blk) == blk)
   }
 
+  test("trailing line comments cannot swallow injected syntax") {
+    // regression (found by the o28 adversarial gate on FROM-first): a
+    // user clause ending in `-- comment` used to absorb the generated
+    // continuation appended on the same line
+    val got = QualifySqlSyntax.rewrite(
+      "SELECT g, v -- tail\nFROM t QUALIFY v > 1 -- pred\nORDER BY g")
+    val stripped = got.replaceAll("--[^\n]*", "").replaceAll("\\s+", " ")
+    assert(stripped ==
+      "SELECT * EXCEPT (__graft_qualify_0) FROM (SELECT g, v , (v > 1 ) " +
+        "AS __graft_qualify_0 FROM t ) __graft_q_0 WHERE __graft_qualify_0 ORDER BY g",
+      s"\nrewritten:\n$got")
+  }
+
   test("rewrite: predicate ends at ORDER/LIMIT, tail stays outside") {
     val got = QualifySqlSyntax.rewrite(
       "SELECT g FROM t QUALIFY x <= 2 LIMIT 5")
@@ -47,16 +62,17 @@ class QualifySqlSpec extends SparkFunSuite {
   test("rewrite: ORDER BY inside an OVER() does not end the predicate") {
     val got = QualifySqlSyntax.rewrite(
       "SELECT g FROM t QUALIFY row_number() OVER (ORDER BY v) = 1 ORDER BY g")
-    assert(got.contains("(row_number() OVER (ORDER BY v) = 1) AS __graft_qualify_0"))
+    assert(got.replaceAll("\\s+", " ")
+      .contains("(row_number() OVER (ORDER BY v) = 1 ) AS __graft_qualify_0"))
     assert(got.endsWith("WHERE __graft_qualify_0 ORDER BY g"))
   }
 
   test("rewrite: a subquery QUALIFY closes at its own paren") {
     val got = QualifySqlSyntax.rewrite(
       "SELECT * FROM (SELECT g FROM t QUALIFY x = 1) u WHERE g > 0")
-    assert(got ==
-      "SELECT * FROM (SELECT * EXCEPT (__graft_qualify_0) FROM (SELECT g, (x = 1) " +
-        "AS __graft_qualify_0 FROM t) __graft_q_0 WHERE __graft_qualify_0 ) u WHERE g > 0")
+    assert(got.replaceAll("\\s+", " ") ==
+      "SELECT * FROM (SELECT * EXCEPT (__graft_qualify_0) FROM (SELECT g , (x = 1 ) " +
+        "AS __graft_qualify_0 FROM t ) __graft_q_0 WHERE __graft_qualify_0 ) u WHERE g > 0")
   }
 
   test("rewrite: two QUALIFYs (outer + subquery) get distinct helper names") {
