@@ -1170,7 +1170,10 @@ object TextQueries {
          |  CAST((1000 * (cn2 + 2 * p_both - p_ex - p_lsh)) // cn2 AS BIGINT)
          |    AS rand_milli
          |FROM c""".stripMargin) { (s, d) =>
-      val lsh = clusterAssignments(s, d)
+      // the LSH partition comes from the cluster-assignment STORE (the
+      // fixpoint is timed live by dedup_clusters; this query is the
+      // agreement audit between two finished partitions)
+      val lsh = SignatureStore.ensureClusters(s, d)
         .select(col("doc_id"), col("cluster_id").as("v"))
       val ex = documents(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))

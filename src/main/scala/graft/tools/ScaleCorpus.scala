@@ -15,10 +15,19 @@ import org.apache.spark.sql.functions._
   *
   *   - `doc_id`/`vec_id` re-keyed per replica by a fixed stride (1e9 —
   *     far above any fixture id), so ids stay unique and joins behave;
-  *   - each replica's text gains one replica-distinct suffix token, so
-  *     cross-replica near-dup collisions vanish (minhash/simhash bands
-  *     differ in ≥1 shingle) while within-replica similarity is
-  *     untouched;
+  *   - each replica's text goes through a replica-distinct ALPHABET
+  *     ROTATION (a Caesar bijection on [a-z], [A-Z] and [0-9]):
+  *     within-replica structure is preserved EXACTLY (a bijection on
+  *     characters is an isomorphism on shingle sets — identical
+  *     Jaccard, identical dup families, identical token lengths and
+  *     df shape), while cross-replica CHARACTER 5-grams are disjoint.
+  *     Both weaker transforms fail: appending a suffix token leaves
+  *     minhash signatures identical (min-over-shingles is robust to
+  *     additions) and merges replica LSH buckets; per-token suffixes
+  *     leave the INTERNAL 5-grams of every word ≥5 chars shared, and
+  *     with 2-hash bands the cross-replica collision mass still grows
+  *     the pair count superlinearly (measured: ×613 pairs for ×10 docs
+  *     — the copy artifact, not the operator);
   *   - embeddings are copied verbatim under new ids (timing-equivalent;
   *     ANN cost depends on cardinality, not coordinates);
   *   - every other table is referenced from the SOURCE directory via
@@ -40,11 +49,18 @@ object ScaleCorpus {
     val stride = 1000000000L
     val reps = spark.range(factor).select(col("id").as("rep"))
 
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, k: Int) = { val m = k % s.length; s.drop(m) + s.take(m) }
+    val alphabet = lower + upper + digits
+    def rotated(r: Int) = rot(lower, r) + rot(upper, r) + rot(digits, r)
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    docs.crossJoin(reps)
-      .withColumn("doc_id", col("doc_id") + col("rep") * stride)
-      .withColumn("text", concat(col("text"), lit(" zrep"), col("rep")))
-      .drop("rep")
+    (0 until factor).map { r =>
+      docs.withColumn("doc_id", col("doc_id") + lit(r.toLong * stride))
+        .withColumn("text", translate(col("text"), alphabet, rotated(r)))
+    }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
