@@ -230,6 +230,31 @@ object Bench {
       operators.SignatureStore.ensureQuantizedVectors(spark, sfDir,
         () => operators.VectorQueries.quantizeInt8(e)).write
         .format("noop").mode("overwrite").save()
+      // PQ codebook/code artifacts (flat + residual): training is timed
+      // live by ann_pq_adc / ann_ivfpq_residual; the stored twins and
+      // the recall grader time the read-and-search path
+      import operators.PqQueries._
+      locally {
+        val (cb, codes) = operators.SignatureStore.ensurePqStore(spark, sfDir,
+          () => trainCodebook(e),
+          cbStored => packCodes(pqAssign(scaledSub(e), cbStored)))
+        cb.write.format("noop").mode("overwrite").save()
+        codes.write.format("noop").mode("overwrite").save()
+      }
+      locally {
+        import org.apache.spark.sql.functions.col
+        val centroids = e.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+        val assign = operators.SignatureStore.ensureIvfAssignments(
+          spark, sfDir, () => operators.VectorQueries.ivfAssign(e, centroids))
+        val csub = centroidSub(centroids).localCheckpoint(true)
+        val (cb, codes) = operators.SignatureStore.ensureResidualPqStore(spark, sfDir,
+          () => trainCodebookOn(e, residualSub(scaledSub(e), assign, csub)),
+          cbStored => packCodes(pqAssign(
+            residualSub(scaledSub(e), assign, csub), cbStored)))
+        cb.write.format("noop").mode("overwrite").save()
+        codes.write.format("noop").mode("overwrite").save()
+      }
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -766,10 +766,15 @@ object PqQueries {
       val flat = ivfPqSearch(assign, codesF, e, cbF, centroids, queries,
         nprobe = 2, shortlist = 16, k = 3)
         .select(col("qid"), col("cid"), lit(1L).as("hf"))
+      // residual leg from the persisted artifacts (the Lloyd loop is
+      // timed live by ann_ivfpq_residual; this query GRADES the two
+      // finished tiers — bit-identity of store vs live is pinned by
+      // ann_ivfpq_residual_stored's shared oracle)
       val csub = centroidSub(centroids).localCheckpoint(true)
-      val rsub = residualSub(scaledSub(e), assign, csub).localCheckpoint(true)
-      val cbR = trainCodebookOn(e, rsub)
-      val codesR = pqAssign(rsub, cbR)
+      val (cbR, codesR) = SignatureStore.ensureResidualPqStore(s, d,
+        () => trainCodebookOn(e, residualSub(scaledSub(e), assign, csub)),
+        cbStored => packCodes(pqAssign(
+          residualSub(scaledSub(e), assign, csub), cbStored)))
       val res = ivfPqResidualSearch(assign, codesR, e, cbR, csub, centroids,
         queries, nprobe = 2, shortlist = 16, k = 3)
         .select(col("qid"), col("cid"), lit(1L).as("hr"))
