@@ -2484,6 +2484,55 @@ object RelationalQueries {
         .orderBy("pur_id")
     },
 
+    // ----- J22: as-of NEAREST, oracled compositionally -----
+    // DuckDB has no nearest strategy, so until now the nearest leg was
+    // held by a randomized brute-force spec only (the one acknowledged
+    // oracle gap in the as-of family). It IS expressible on DuckDB as
+    // the composition its semantics define: the backward candidate
+    // (ASOF `>=`), the forward candidate (ASOF `<=`), and arbitration
+    // by distance with ties to backward — exactly the contract
+    // AsofJoinExec implements in one merge pass. The hash gate now
+    // proves the single-pass nearest equal to the two-join composition
+    // on real data; distances are exact integer µs.
+    "j22_asof_nearest" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT event_id AS pur_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS eus, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT p.pur_id, p.pus, e.err_id AS b_id, e.eus AS b_us
+        |  FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.pus >= e.eus),
+        |f AS (
+        |  SELECT p.pur_id AS f_pur, e.err_id AS f_id, e.eus AS f_us
+        |  FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.pus <= e.eus)
+        |SELECT b.pur_id,
+        |  CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR pus - b_us <= f_us - pus)
+        |       THEN b_id ELSE f_id END AS err_id,
+        |  CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR pus - b_us <= f_us - pus)
+        |       THEN pus - b_us
+        |       WHEN f_us IS NOT NULL THEN f_us - pus END AS dist_us
+        |FROM b JOIN f ON f.f_pur = b.pur_id
+        |ORDER BY pur_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          expr(Tables.epochUsFloorSql).as("pus"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("eus"), col("event_id"))
+        .groupBy(col("user_id"), col("eus"))
+        .agg(max(col("event_id")).as("err_id"))
+        .select(col("user_id").as("r_user"), col("eus"), col("err_id"))
+      graft.plans.Asof.join(pur, err,
+          leftKeys = Seq("user_id"), rightKeys = Seq("r_user"),
+          leftTimeCol = "pus", rightTimeCol = "eus",
+          strategy = "nearest")
+        .select(col("pur_id"), col("err_id"),
+          abs(col("pus") - col("eus")).as("dist_us"))
+        .orderBy("pur_id")
+    },
+
     // ----- J18: skewed big-big join served by AQE, not manual salt -----
     // j8's sibling closing the skew story: j8 salts BY HAND (the only
     // option for aggregates); for JOINS, AQE's skew-join does the same

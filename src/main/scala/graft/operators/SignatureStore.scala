@@ -306,7 +306,16 @@ object SignatureStore {
     * plus the delta itself. */
   def appendPairsDelta(spark: SparkSession, base: String, family: String,
       deltaBands: DataFrame, allBands: DataFrame, batchId: Long): Unit =
-    TextQueries.deltaPairs(deltaBands, allBands)
+    appendPairRows(spark, base, family,
+      TextQueries.deltaPairs(deltaBands, allBands), batchId)
+
+  /** Append already-enumerated pair rows (doc_a, doc_b) for one epoch —
+    * the shared write leg of [[appendPairsDelta]] and the composed
+    * cluster maintainer (which needs the delta pairs TWICE: once
+    * persisted, once merged into labels — enumerate once, write once). */
+  def appendPairRows(spark: SparkSession, base: String, family: String,
+      pairRows: DataFrame, batchId: Long): Unit =
+    pairRows.select("doc_a", "doc_b")
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -1562,5 +1571,107 @@ object SignatureStore {
       TextQueries.clusterAssignments(spark, sfDir)
         .write.mode("overwrite").parquet(clustersDir(base))
     spark.read.parquet(clustersDir(base))
+  }
+
+  /** Current cluster assignments at `base`, empty when never built. */
+  def readClusters(spark: SparkSession, base: String): DataFrame =
+    if (hasData(spark, clustersDir(base)))
+      spark.read.parquet(clustersDir(base)).select("doc_id", "cluster_id")
+    else spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+
+  /** INCREMENTAL connected-components maintenance — the streaming twin
+    * of the cluster store (batch rebuilds run the full fixpoint; a
+    * micro-batch must not). A delta of candidate pairs can only (a)
+    * attach new docs and (b) MERGE existing components, and both are
+    * expressible over component LABELS instead of members:
+    *
+    *   1. map each delta-pair endpoint to its current label (unseen
+    *      docs label themselves) — a broadcast-sized join against the
+    *      store;
+    *   2. the distinct (labelA ≠ labelB) pairs are the COMPONENT-graph
+    *      edges this delta creates: bounded by the delta's touched
+    *      components, so a driver union-find (min-label merge) resolves
+    *      them — the repo's bounded-driver-fold discipline, applied
+    *      after the distributed distinct;
+    *   3. rewrite = one broadcast remap join over the store plus the
+    *      delta docs' new rows; tmp-write → swap, so readers never see
+    *      a partial state.
+    *
+    * Exactness: each component's label is its min member, and min is
+    * associative over merges — so ingesting a corpus in ANY micro-batch
+    * split yields bit-identical assignments to the one-shot fixpoint
+    * over the union (spec-pinned). Replay-idempotent: re-merging merged
+    * labels is a no-op and re-appended docs already exist. Crash window
+    * (pairs appended, clusters not yet merged) heals at the next
+    * [[compactClusters]] seal, which recomputes the fixpoint from the
+    * pair store. */
+  def updateClustersWithDelta(spark: SparkSession, base: String,
+      deltaDocs: DataFrame, deltaPairRows: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cur = readClusters(spark, base).localCheckpoint()
+    val labeled = deltaPairRows.select("doc_a", "doc_b")
+      .join(cur.select(col("doc_id").as("doc_a"), col("cluster_id").as("la0")),
+        Seq("doc_a"), "left")
+      .join(cur.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb0")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la0"), col("doc_a")).as("la"),
+        coalesce(col("lb0"), col("doc_b")).as("lb"),
+        col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    // component-graph edges: distinct label pairs (bounded, driver fold)
+    val edges = labeled.filter(col("la") =!= col("lb"))
+      .select("la", "lb").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min-label merge
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val remap = parent.keys.map(k => k -> find(k)).filter(p => p._1 != p._2).toSeq
+    import spark.implicits._
+    val remapDf = broadcast(remap.toDF("old_label", "new_label"))
+    // docs entering the store this delta: the batch docs plus any pair
+    // endpoint not yet assigned (a band-store-only doc can surface here)
+    val newDocs = deltaDocs.select("doc_id")
+      .unionByName(labeled.select(col("doc_a").as("doc_id")))
+      .unionByName(labeled.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    val next = cur.unionByName(newDocs)
+      .join(remapDf, col("cluster_id") === col("old_label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    val tmp = s"${clustersDir(base)}_update_tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(clustersDir(base)), true)
+    require(fs.rename(new Path(tmp), new Path(clustersDir(base))),
+      s"cluster update rename $tmp -> ${clustersDir(base)} failed")
+  }
+
+  /** Seal for the cluster store: recompute the full fixpoint from the
+    * (compacted) pair store over every assigned doc — reconciles the
+    * crash window between a pair append and its cluster merge. */
+  def compactClusters(spark: SparkSession, base: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val docs = readClusters(spark, base).select("doc_id")
+    val resolved = TextQueries.clusterAssignmentsOf(docs, readPairs(spark, base, "k8"))
+    val tmp = s"${clustersDir(base)}_compact_tmp"
+    resolved.write.mode("overwrite").parquet(tmp)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(clustersDir(base)), true)
+    require(fs.rename(new Path(tmp), new Path(clustersDir(base))),
+      s"compaction rename $tmp -> ${clustersDir(base)} failed")
   }
 }

@@ -298,9 +298,17 @@ object TextQueries {
     * majority of a deduped corpus — keep label = self); one checkpointed
     * pass per round carries the previous label so the convergence check
     * needs no extra join. Shared by dedup_clusters and corpus_curation. */
-  def clusterAssignments(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val docs = documents(s, d).select("doc_id")
-    val pairs = SignatureStore.ensureK8Pairs(s, d)
+  def clusterAssignments(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    clusterAssignmentsOf(documents(s, d).select("doc_id"),
+      SignatureStore.ensureK8Pairs(s, d))
+
+  /** The fixpoint itself, parameterized by the corpus doc set and the
+    * candidate-pair table — shared by the batch path above and the
+    * incremental-maintenance equality spec (the incremental store must
+    * equal THIS function over the union of everything ingested). */
+  def clusterAssignmentsOf(docsIn: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = docsIn.select("doc_id")
     // Pre-hash-partition the edge table on the probe key BEFORE pinning
     // it: localCheckpoint preserves the partitioning in the logical
     // plan, so every fixpoint round's join re-shuffles only the (much

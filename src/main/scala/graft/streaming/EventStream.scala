@@ -224,6 +224,46 @@ object EventStream {
           spark, storeBase, "k8", delta, all, batchId)
     }
 
+  /** The full dedup-index maintainer: bands + candidate pairs + CLUSTER
+    * assignments, one micro-batch at a time — the streaming story for
+    * the whole near-dup stack. Steps per epoch: (1) sign the batch and
+    * append its band rows ([[maintainSignatures]] contract); (2)
+    * enumerate the delta candidate pairs ONCE
+    * ([[graft.operators.TextQueries.deltaPairs]]) and append them to
+    * the pair store; (3) fold the same pairs into the cluster store
+    * incrementally ([[graft.operators.SignatureStore
+    * .updateClustersWithDelta]] — label-graph union-find, never a
+    * corpus fixpoint). Ingesting a corpus in ANY micro-batch split
+    * yields assignments bit-identical to the one-shot batch fixpoint
+    * (min-label merge is associative; IncrementalClustersSpec pins it).
+    * Replay-safe: band/pair writes are batch_id-keyed overwrites and
+    * the cluster merge is idempotent; the crash window between (2) and
+    * (3) heals at the [[graft.operators.SignatureStore
+    * .compactClusters]] seal. */
+  def maintainClusters(docs: DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val pinned = batch.localCheckpoint()
+        val delta = graft.operators.TextQueries.minhashBandsOf(pinned)
+          .localCheckpoint()
+        delta.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "band")
+          .parquet(graft.operators.SignatureStore.streamMinhashDir(storeBase))
+        val all = graft.operators.SignatureStore
+          .readMinhashBandsExcluding(spark, storeBase, batchId)
+          .unionByName(delta).distinct()
+        val dp = graft.operators.TextQueries.deltaPairs(delta, all)
+          .localCheckpoint()
+        graft.operators.SignatureStore.appendPairRows(
+          spark, storeBase, "k8", dp, batchId)
+        graft.operators.SignatureStore.updateClustersWithDelta(
+          spark, storeBase, pinned.select("doc_id"), dp)
+    }
+
   /** Incremental BM25 postings maintenance — the search-family twin of
     * [[maintainSignatures]]: each micro-batch of new documents is
     * tokenized ONCE with the same builder the stored search path uses
