@@ -588,6 +588,26 @@ object TextQueries {
         coalesce(col("in_oph"), lit(0L)).as("in_oph"),
         coalesce(col("in_k8"), lit(0L)).as("in_k8"))
 
+  /** Connected-components oracle (recursive transitive closure) —
+    * shared by the live fixpoint (`dedup_clusters`) and the persisted
+    * store twin (`dedup_clusters_stored`): store must be bit-identical
+    * to a fresh fixpoint. */
+  private lazy val DedupClustersOracleSql: String =
+    s"""WITH $MinhashBandsCte,
+       |cand AS (
+       |  $BandedPairsSelect),
+       |undirected AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id,
+       |  CAST(min(r) = id AS BIGINT) AS is_canonical
+       |FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
+
   /** The exact-Jaccard-over-candidates statement (12-gram sets, 2-hash
     * candidate key), shared by `dedup_ngram_jaccard` (raw pairs) and
     * `lsh_jaccard_calibration` (the precision histogram over the same
@@ -1104,22 +1124,22 @@ object TextQueries {
     // rounds = component diameter, which is tiny for near-dup cliques;
     // localCheckpoint truncates the growing lineage). The oracle computes
     // the same fixpoint as a recursive transitive closure in DuckDB.
-    "dedup_clusters" -> QueryDef.sql(
-      s"""WITH $MinhashBandsCte,
-         |cand AS (
-         |  $BandedPairsSelect),
-         |undirected AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT u.b AS id, reach.r FROM reach JOIN undirected u ON u.a = reach.id)
-         |SELECT id AS doc_id, min(r) AS cluster_id,
-         |  CAST(min(r) = id AS BIGINT) AS is_canonical
-         |FROM reach GROUP BY id
-         |ORDER BY doc_id""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
+    "dedup_clusters" -> QueryDef.sql(DedupClustersOracleSql) { (s, d) =>
       clusterAssignments(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") === col("doc_id")).cast("long").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
+    // ----- cluster assignments from the PERSISTED store -----
+    // The amortization twin held to the SAME recursive-CTE oracle: the
+    // fixpoint runs once ([[SignatureStore.ensureClusters]]), every
+    // curation/selection consumer reads the (doc_id, cluster_id)
+    // parquet — and with [[graft.streaming.EventStream
+    // .maintainClusters]] the store stays current under continuous
+    // ingest without ever re-running the fixpoint over history.
+    "dedup_clusters_stored" -> QueryDef.sql(DedupClustersOracleSql) { (s, d) =>
+      SignatureStore.ensureClusters(s, d)
         .select(col("doc_id"), col("cluster_id"),
           (col("cluster_id") === col("doc_id")).cast("long").as("is_canonical"))
         .orderBy("doc_id")
