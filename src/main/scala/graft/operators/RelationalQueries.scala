@@ -4176,6 +4176,33 @@ object RelationalQueries {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // ----- O29: QUALIFY under ADVERSARIAL text -----
+    // The hostile-text gate for the second extension, added after the
+    // o28 gate caught the comment-swallow bug in this rewriter class:
+    // QUALIFY spelled inside a string literal, inside a block comment
+    // on the FROM body, and in LINE comments trailing both the select
+    // list and the predicate — the exact positions where injected
+    // syntax used to disappear into the comment. DuckDB executes its
+    // native QUALIFY on the identical text.
+    "o29_qualify_adversarial" -> QueryDef.sql(
+      """SELECT o_custkey,
+        |  'use QUALIFY rn <= 1 here' AS trap, -- QUALIFY in a trailing comment
+        |  o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |FROM orders /* QUALIFY rn <= 99 in a block comment */
+        |QUALIFY rn <= 2 -- the real predicate
+        |ORDER BY o_custkey, rn LIMIT 40""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_qadv_orders")
+      s.sql(
+        """SELECT o_custkey,
+          |  'use QUALIFY rn <= 1 here' AS trap, -- QUALIFY in a trailing comment
+          |  o_orderkey,
+          |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          |FROM graft_qadv_orders /* QUALIFY rn <= 99 in a block comment */
+          |QUALIFY rn <= 2 -- the real predicate
+          |ORDER BY o_custkey, rn LIMIT 40""".stripMargin)
+    },
+
     // ----- O28: FROM-first under ADVERSARIAL text -----
     // The hostile-text gate for the seventh extension: FROM-first
     // NESTED inside a parenthesized FROM-first (both legal positions
