@@ -96,13 +96,63 @@ object SignatureStore {
     * never cached (the store may be built by the very next call). */
   private val probeMemo = new scala.collection.concurrent.TrieMap[String, Boolean]()
 
+  /** Drop `dir` (and its `_SUCCESS` marker) from the probe memo — for
+    * the rare seal-time operations that DELETE a previously-sealed
+    * face (e.g. [[compactBm25]] invalidating the ranked-results
+    * snapshot): the "a sealed batch build never un-exists" pin no
+    * longer holds for that directory. */
+  private def invalidateProbe(dir: String): Unit = {
+    probeMemo.remove(dir)
+    probeMemo.remove(s"$dir/_SUCCESS")
+  }
+
+  /** Rename-aside directory swap: `tmp` becomes `dest` with the old
+    * `dest` PARKED at `dest_bak` until the new state is in place, then
+    * the park is dropped. A crash at any step leaves either the old
+    * state (live, or recoverable from `_bak` via [[recoverFromBak]])
+    * or the new one — never neither. The plain delete-then-rename it
+    * replaces had a window (post-delete, pre-rename) that silently
+    * lost the store: readers saw an EMPTY directory, not an error, and
+    * a subsequent seal would have frozen the loss. */
+  private def swapDir(spark: SparkSession, dest: String, tmp: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dest)
+    val bak = new Path(dest + "_bak")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(d))
+      require(fs.rename(d, bak), s"swap park $dest -> $bak failed")
+    require(fs.rename(new Path(tmp), d), s"swap rename $tmp -> $dest failed")
+    fs.delete(bak, true)
+  }
+
+  /** Crash recovery for [[swapDir]]: a parked `_bak` beside a MISSING
+    * live directory means the crash hit between the park and the
+    * rename-in — restore the park. Readers of swap-maintained stores
+    * call this before their first listing. */
+  private def recoverFromBak(spark: SparkSession, dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dest)
+    val bak = new Path(dest + "_bak")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d) && fs.exists(bak))
+      require(fs.rename(bak, d), s"swap recovery $bak -> $dest failed")
+  }
+
   /** Does `dir` hold at least one DATA file? (A micro-batch where every
     * row was gated away writes only `_SUCCESS`; reading such a directory
     * throws "Unable to infer schema".) Positive results for non-stream
     * subtrees are memoized (see [[probeMemo]]). */
-  private def hasData(spark: SparkSession, dir: String): Boolean = {
+  private def hasData(spark: SparkSession, dir: String): Boolean =
+    hasData(spark, dir, cacheable = !dir.contains("_stream"))
+
+  /** `cacheable = false` forces a REAL listing — for directories the
+    * maintenance paths rewrite in place (the cluster store swaps every
+    * micro-batch), where "once non-empty, always non-empty" is only
+    * true absent crashes and a pinned `true` would turn a recoverable
+    * loss into a hard read failure. */
+  private def hasData(spark: SparkSession, dir: String, cacheable: Boolean): Boolean = {
     import org.apache.hadoop.fs.Path
-    val cacheable = !dir.contains("_stream")
     if (cacheable && probeMemo.contains(dir)) return true
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -892,6 +942,16 @@ object SignatureStore {
       require(fs.rename(new Path(tmpP), new Path(bm25PostingsDir(base))),
         s"compaction rename $tmpP failed")
       fs.delete(new Path(streamBm25Dir(base)), true)
+      // The ranked-results face ([[ensureBm25TopK]]) is a SNAPSHOT of
+      // pre-append corpus stats — after this seal it is stale, and the
+      // positive probe memo would serve it forever. DROP it (and its
+      // memo pins) so the next ensureBm25TopK rebuilds from the sealed
+      // postings; callers wanting the rebuild eagerly follow the seal
+      // with [[refreshBm25TopK]].
+      if (fs.exists(new Path(bm25TopkDir(base)))) {
+        fs.delete(new Path(bm25TopkDir(base)), true)
+        invalidateProbe(bm25TopkDir(base))
+      }
     }
 
   def dailyKmvDir(base: String) = s"$base/daily_kmv"
@@ -1470,8 +1530,9 @@ object SignatureStore {
     * packing) read ≤10×queries rows instead of re-running retrieval.
     * BM25 scores depend on corpus-wide stats (df, avgdl), so this face
     * is a SNAPSHOT: stream appends to the postings store do not patch
-    * it (no exact incremental top-k exists under BM25) — call
-    * [[refreshBm25TopK]] at the compaction seal to rebuild. */
+    * it (no exact incremental top-k exists under BM25). The
+    * [[compactBm25]] seal DROPS a stale face so it can never be served
+    * past the seal; [[refreshBm25TopK]] rebuilds it eagerly. */
   def ensureBm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val base = defaultBase(spark, sfDir)
@@ -1487,14 +1548,10 @@ object SignatureStore {
     * store — the seal-time companion of [[compactBm25]] (tmp-and-swap,
     * same crash discipline as [[compactInto]]). */
   def refreshBm25TopK(spark: SparkSession, sfDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
     val base = defaultBase(spark, sfDir)
     val tmp = s"${bm25TopkDir(base)}_compact_tmp"
     SearchQueries.bm25TopKOf(spark, sfDir).write.mode("overwrite").parquet(tmp)
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(bm25TopkDir(base)), true)
-    require(fs.rename(new Path(tmp), new Path(bm25TopkDir(base))),
-      s"refresh rename $tmp -> ${bm25TopkDir(base)} failed")
+    swapDir(spark, bm25TopkDir(base), tmp)
   }
 
   def linesDir(base: String) = s"$base/line_registry"
@@ -1573,12 +1630,17 @@ object SignatureStore {
     spark.read.parquet(clustersDir(base))
   }
 
-  /** Current cluster assignments at `base`, empty when never built. */
-  def readClusters(spark: SparkSession, base: String): DataFrame =
-    if (hasData(spark, clustersDir(base)))
+  /** Current cluster assignments at `base`, empty when never built.
+    * Recovers a parked `_bak` first: the cluster store is maintained by
+    * [[swapDir]] every micro-batch, so a crashed swap must restore the
+    * previous epoch rather than silently read as empty. */
+  def readClusters(spark: SparkSession, base: String): DataFrame = {
+    recoverFromBak(spark, clustersDir(base))
+    if (hasData(spark, clustersDir(base), cacheable = false))
       spark.read.parquet(clustersDir(base)).select("doc_id", "cluster_id")
     else spark.range(0)
       .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+  }
 
   /** INCREMENTAL connected-components maintenance — the streaming twin
     * of the cluster store (batch rebuilds run the full fixpoint; a
@@ -1608,7 +1670,6 @@ object SignatureStore {
     * pair store. */
   def updateClustersWithDelta(spark: SparkSession, base: String,
       deltaDocs: DataFrame, deltaPairRows: DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
     val cur = readClusters(spark, base).localCheckpoint()
     val labeled = deltaPairRows.select("doc_a", "doc_b")
       .join(cur.select(col("doc_id").as("doc_a"), col("cluster_id").as("la0")),
@@ -1654,24 +1715,30 @@ object SignatureStore {
         coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
     val tmp = s"${clustersDir(base)}_update_tmp"
     next.write.mode("overwrite").parquet(tmp)
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(clustersDir(base)), true)
-    require(fs.rename(new Path(tmp), new Path(clustersDir(base))),
-      s"cluster update rename $tmp -> ${clustersDir(base)} failed")
+    swapDir(spark, clustersDir(base), tmp)
   }
 
   /** Seal for the cluster store: recompute the full fixpoint from the
-    * (compacted) pair store over every assigned doc — reconciles the
-    * crash window between a pair append and its cluster merge. */
+    * (compacted) pair store — reconciles the crash window between a
+    * pair append and its cluster merge. The doc universe is the union
+    * of the cluster store, the pair endpoints AND the band store's
+    * doc_ids: deriving it from the cluster store alone would SEAL a
+    * loss if that store were ever damaged (every appended doc has band
+    * rows, so the band store is the durable roll-call; singletons
+    * resolve to themselves). */
   def compactClusters(spark: SparkSession, base: String): Unit = {
-    import org.apache.hadoop.fs.Path
+    val pairs = readPairs(spark, base, "k8")
     val docs = readClusters(spark, base).select("doc_id")
-    val resolved = TextQueries.clusterAssignmentsOf(docs, readPairs(spark, base, "k8"))
+      .unionByName(pairs.select(col("doc_a").as("doc_id")))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .unionByName(
+        tryReadMinhashBands(spark, base, excludeBatch = None)
+          .map(_.select("doc_id"))
+          .getOrElse(spark.range(0).select(col("id").as("doc_id"))))
+      .distinct()
+    val resolved = TextQueries.clusterAssignmentsOf(docs, pairs)
     val tmp = s"${clustersDir(base)}_compact_tmp"
     resolved.write.mode("overwrite").parquet(tmp)
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(clustersDir(base)), true)
-    require(fs.rename(new Path(tmp), new Path(clustersDir(base))),
-      s"compaction rename $tmp -> ${clustersDir(base)} failed")
+    swapDir(spark, clustersDir(base), tmp)
   }
 }

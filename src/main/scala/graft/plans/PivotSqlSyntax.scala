@@ -151,17 +151,24 @@ object PivotSqlSyntax {
     SparkSession.getActiveSession.getOrElse(
       fail("no active SparkSession to enumerate pivot values on"))
 
-  /** Per-session memo of dynamic-probe results, keyed by the probe SQL.
-    * A view / EXPLAIN / logical re-parse re-enters the parser with the
-    * SAME statement text; without the memo each re-parse runs a fresh
-    * DISTINCT job AND could enumerate a DIFFERENT value set if data
-    * moved between parses — a non-deterministic output schema for
-    * identical SQL. The memo pins the first enumeration for the
-    * session's lifetime (weak keys: the map dies with the session).
-    * `SET spark.graft.pivot.dynamicProbe=false` disables probing
+  /** Dynamic-probe memo, keyed by the probe SQL and scoped to ONE
+    * parse cycle (one [[rewrite]] invocation — i.e. one statement
+    * text): two PIVOT blocks in the same statement probing the same
+    * column see one enumeration (a consistent value set for UNION
+    * compatibility), but a LATER parse of the same text re-enumerates,
+    * exactly like DuckDB binds PIVOT values afresh at each prepare.
+    * The previous session-lifetime memo silently froze the first
+    * enumeration: a pivot re-run after incremental ingest omitted new
+    * values' columns with no error. `SET
+    * spark.graft.pivot.probeMemoScope=session` restores the old
+    * pinning for workloads that re-parse one statement against static
+    * data; `SET spark.graft.pivot.dynamicProbe=false` disables probing
     * outright for production SQL (the static `ON col IN (...)` form
     * never probes and never hits this path). */
-  private val probeMemo =
+  private val cycleMemo =
+    new ThreadLocal[scala.collection.concurrent.TrieMap[String, Seq[PivotValue]]]
+
+  private val sessionMemo =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[String, Seq[PivotValue]]]())
@@ -170,20 +177,25 @@ object PivotSqlSyntax {
     if (s.conf.get("spark.graft.pivot.dynamicProbe", "true") == "false")
       fail("dynamic value probing is disabled " +
         "(spark.graft.pivot.dynamicProbe=false) — use ON <col> IN (...)")
-    val perSession = probeMemo.synchronized {
-      var m = probeMemo.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Seq[PivotValue]]
-        probeMemo.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(probeSql, {
+    val memo =
+      if (s.conf.get("spark.graft.pivot.probeMemoScope", "parse") == "session")
+        sessionMemo.synchronized {
+          var m = sessionMemo.get(s)
+          if (m == null) {
+            m = scala.collection.concurrent.TrieMap.empty[String, Seq[PivotValue]]
+            sessionMemo.put(s, m)
+          }
+          m
+        }
+      else cycleMemo.get() // installed by rewrite(); null only off-channel
+    val enumerate = () => {
       val rows = s.sql(probeSql).limit(MaxValues + 1).collect()
       if (rows.length > MaxValues)
         fail(s"more than $MaxValues distinct pivot values — use ON ... IN (...)")
       rows.toSeq.map(r => literalOf(r.get(0)))
-    })
+    }
+    if (memo == null) enumerate()
+    else memo.getOrElseUpdate(probeSql, enumerate())
   }
 
   /** Bare words of an expression that could reference source columns:
@@ -200,6 +212,14 @@ object PivotSqlSyntax {
 
   def rewrite(sql0: String): String = {
     if (!sql0.toUpperCase.contains("PIVOT")) return sql0 // fast path
+    // one parse cycle = one memo (see [[cycleMemo]]); save/restore so a
+    // hypothetical reentrant parse cannot clobber its caller's cycle
+    val outer = cycleMemo.get()
+    cycleMemo.set(scala.collection.concurrent.TrieMap.empty)
+    try rewriteImpl(sql0) finally cycleMemo.set(outer)
+  }
+
+  private def rewriteImpl(sql0: String): String = {
     var sql = sql0
     var idx = 0
     var more = true

@@ -81,6 +81,46 @@ object QualifySqlSyntax {
 
   private[plans] def events(sql: String): Vector[Ev] = scan(sql)
 
+  /** `[start, end)` spans of `--` and `/* */` comments (hints included
+    * — a hint IS a block comment), string-literal- and quoted-
+    * identifier-aware like [[scan]]. For the rewriters' BACKWARD
+    * character scans: [[events]] emits nothing inside a comment, so a
+    * raw `charAt` walk (e.g. "is this '*' directly after SELECT?")
+    * would read comment text as code —
+    * `SELECT /*+ BROADCAST(t) */ * EXCLUDE (c)` must still see SELECT. */
+  private[plans] def commentSpans(sql: String): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+            else { i += 1; done = true }
+          } else i += 1
+        }
+      } else if (c == '"' || c == '`') {
+        i += 1; while (i < n && sql.charAt(i) != c) i += 1
+        if (i < n) i += 1
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val s = i
+        while (i < n && sql.charAt(i) != '\n') i += 1
+        out += ((s, i)) // the terminating newline is ordinary whitespace
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val s = i
+        i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+        out += ((s, i))
+      } else i += 1
+    }
+    out.result()
+  }
+
   private def scan(sql: String): Vector[Ev] = {
     val evs = Vector.newBuilder[Ev]
     val n = sql.length

@@ -40,6 +40,24 @@ object StarSqlSyntax {
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> s"star modifiers: $msg"))
 
+  /** Index of the last code character before `pos0`, skipping
+    * whitespace AND comment spans — the backward twin of the events()
+    * lexer's forward skip. Raw `charAt` walks read comment/hint text
+    * as code: `SELECT /*+ BROADCAST(t) */ * EXCLUDE (c)` must still
+    * land on the L of SELECT. Returns -1 at statement start. */
+  private def prevCode(sql: String, pos0: Int, spans: Vector[(Int, Int)]): Int = {
+    var i = pos0 - 1
+    var scanning = true
+    while (i >= 0 && scanning) {
+      spans.find(s => i >= s._1 && i < s._2) match {
+        case Some((s, _)) => i = s - 1
+        case None if sql.charAt(i).isWhitespace => i -= 1
+        case None => scanning = false
+      }
+    }
+    i
+  }
+
   /** The index of the '*' this modifier word directly follows, or -1.
     *
     * The '*' must itself sit in SELECT-LIST position — directly after
@@ -47,22 +65,22 @@ object StarSqlSyntax {
     * is ordinary multiplication by a function call and passes through:
     * `SELECT x * replace(s,'a','b') FROM t` is arithmetic, not a star
     * REPLACE modifier (the '*' there follows the identifier `x`). */
-  private def starBefore(sql: String, pos: Int): Int = {
-    var i = pos - 1
-    while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+  private def starBefore(sql: String, pos: Int, spans: Vector[(Int, Int)]): Int = {
+    val i = prevCode(sql, pos, spans)
     if (i >= 0 && sql.charAt(i) == '*' &&
-        !(i > 0 && sql.charAt(i - 1) == '.') &&
-        inSelectListPosition(sql, i)) i
+        !(prevCode(sql, i, spans) >= 0 && sql.charAt(prevCode(sql, i, spans)) == '.') &&
+        inSelectListPosition(sql, i, spans)) i
     else -1
   }
 
-  /** True when the char before index `star` (skipping whitespace) is a
-    * list comma or the tail of SELECT/DISTINCT/ALL — the only places a
-    * bare select-list '*' can stand. Anything else (identifier, ')',
-    * digit, quote) means the '*' is the multiplication operator. */
-  private def inSelectListPosition(sql: String, star: Int): Boolean = {
-    var i = star - 1
-    while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+  /** True when the char before index `star` (skipping whitespace and
+    * comments) is a list comma or the tail of SELECT/DISTINCT/ALL —
+    * the only places a bare select-list '*' can stand. Anything else
+    * (identifier, ')', digit, quote) means the '*' is the
+    * multiplication operator. */
+  private def inSelectListPosition(sql: String, star: Int,
+      spans: Vector[(Int, Int)]): Boolean = {
+    val i = prevCode(sql, star, spans)
     if (i < 0) return false
     val c = sql.charAt(i)
     if (c == ',') return true
@@ -93,10 +111,11 @@ object StarSqlSyntax {
     var more = true
     while (more) {
       val evs = events(sql)
+      val spans = QualifySqlSyntax.commentSpans(sql)
       val ki = evs.indices.find { k =>
         val e = evs(k)
         e.kind == 0 && (e.up == "EXCLUDE" || e.up == "REPLACE") &&
-          starBefore(sql, e.pos) >= 0 &&
+          starBefore(sql, e.pos, spans) >= 0 &&
           k + 1 < evs.length && evs(k + 1).kind == 1
       }
       ki match {
@@ -104,7 +123,7 @@ object StarSqlSyntax {
         case Some(k) =>
           val first = evs(k)
           val d = first.depth
-          val starPos = starBefore(sql, first.pos)
+          val starPos = starBefore(sql, first.pos, spans)
           // parse [EXCLUDE (...)] [REPLACE (...)] in either presence
           var excludeCols = Seq.empty[String]
           var replaceItems = Seq.empty[String]

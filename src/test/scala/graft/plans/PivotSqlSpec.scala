@@ -87,23 +87,30 @@ class PivotSqlSpec extends SparkFunSuite {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
-  test("dynamic probe is memoized per statement and gated by conf") {
+  test("dynamic probe re-enumerates per parse; session scope pins; conf gates") {
     sales
     try {
       val q = "PIVOT piv_sales ON status USING count(*) GROUP BY prio ORDER BY prio"
       val before = spark.sql(q).columns.toSeq
-      // new value appears AFTER the first parse: the memo pins the first
-      // enumeration, so re-parsing identical text keeps the SAME schema
-      // (a view must not change shape between EXPLAIN and execute)
+      assert(!before.contains("Z"))
+      // a new value lands AFTER the first parse: the DEFAULT parse-scoped
+      // memo re-enumerates at the next parse, so incremental ingest
+      // surfaces the new column — DuckDB rebinds PIVOT values at each
+      // prepare too (advisor r10: the session-lifetime pin silently
+      // omitted new values' columns forever)
       sales.union(Seq(("4-NONE", "Z", 1L, "z")).toDF("prio", "status", "amount", "tag"))
         .createOrReplaceTempView("piv_sales")
       val after = spark.sql(q).columns.toSeq
-      assert(after == before, "re-parse of identical text changed the pivot schema")
-      // different SOURCE text → different probe SQL → fresh enumeration
-      val fresh = spark.sql(
-        "PIVOT (SELECT * FROM piv_sales) ON status USING count(*) " +
-          "GROUP BY prio ORDER BY prio")
-      assert(fresh.columns.contains("Z"), fresh.columns.mkString(","))
+      assert(after.contains("Z"),
+        s"re-parse after ingest kept the stale pivot schema: ${after.mkString(",")}")
+      // legacy opt-in: session scope pins the first enumeration
+      spark.conf.set("spark.graft.pivot.probeMemoScope", "session")
+      val pinned = spark.sql(q).columns.toSeq
+      sales.union(Seq(("5-NONE", "Y", 2L, "y")).toDF("prio", "status", "amount", "tag"))
+        .createOrReplaceTempView("piv_sales")
+      assert(spark.sql(q).columns.toSeq == pinned,
+        "session-scoped memo should pin the first enumeration")
+      spark.conf.unset("spark.graft.pivot.probeMemoScope")
       // conf kill-switch for production SQL
       spark.conf.set("spark.graft.pivot.dynamicProbe", "false")
       val e = intercept[AnalysisException](spark.sql(
@@ -115,6 +122,7 @@ class PivotSqlSpec extends SparkFunSuite {
       assert(still.columns.toSeq == Seq("prio", "F"))
     } finally {
       spark.conf.set("spark.graft.pivot.dynamicProbe", "true")
+      spark.conf.unset("spark.graft.pivot.probeMemoScope")
       sales.createOrReplaceTempView("piv_sales") // restore for later tests
     }
   }

@@ -82,6 +82,27 @@ class StarSqlSpec extends SparkFunSuite {
     assert(q4 == "SELECT DISTINCT * EXCEPT (name) FROM t")
   }
 
+  test("comments and hints between SELECT and '*' do not defeat the modifier") {
+    t
+    // a hint IS a block comment: the backward scan must skip it and
+    // still see SELECT (advisor r10: the raw charAt walk read the hint
+    // text and let the modifier pass through unrewritten)
+    val got = spark.sql(
+      "SELECT /*+ BROADCAST(star_t) */ * EXCLUDE (name) FROM star_t ORDER BY id")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    val got2 = spark.sql(
+      "SELECT -- project all but v\n * EXCLUDE (v) FROM star_t ORDER BY id")
+    assert(got2.columns.toSeq == Seq("id", "name"))
+    // REPLACE path (schema expansion) through a hint too
+    val got3 = spark.sql(
+      "SELECT /*+ REPARTITION(1) */ * REPLACE (v * 2 AS v) FROM star_t ORDER BY id")
+    assert(got3.columns.toSeq == Seq("id", "name", "v"))
+    assert(got3.select("v").collect().map(_.getLong(0)).toSeq == Seq(20L, 40L, 60L))
+    // arithmetic stays arithmetic even with a comment before the '*'
+    val arith = "SELECT id /*c*/ * replace(name, 'a', 'b') FROM t"
+    assert(StarSqlSyntax.rewrite(arith) == arith)
+  }
+
   test("loud failures: unknown column, no AS, qualified star untouched") {
     t
     // pure EXCLUDE delegates to * EXCEPT, so Spark's own analyzer is

@@ -775,11 +775,19 @@ class StreamingSpec extends SparkFunSuite {
         l.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     }
     val before = snap()
+    // a pre-seal ranked-results face is a snapshot of PRE-append corpus
+    // stats — the seal must drop it so it can never be served stale
+    // (advisor r10: nothing invalidated it, and the positive probe memo
+    // would have pinned it forever)
+    Seq((1L, 1L, 1L, 100L)).toDF("qid", "doc_id", "rank", "score")
+      .write.parquet(SignatureStore.bm25TopkDir(base))
     SignatureStore.compactBm25(spark, base)
     assert(snap() == before, "compaction must not change what readBm25 serves")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.streamBm25Dir(base))),
       "compaction must drop the stream subtree")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(SignatureStore.bm25TopkDir(base))),
+      "compaction must drop the stale ranked-results face")
     // doclens stayed consistent with postings: doc 2's superseding
     // length (2) survived the seal, its batch length (1) did not
     assert(before._2 == Set((1L, 3L), (2L, 2L), (3L, 1L)))
