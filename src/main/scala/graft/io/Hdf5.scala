@@ -45,12 +45,21 @@ object Hdf5 {
   }
   final case class AttrNum(values: Seq[Double]) extends AttrValue
 
+  /** One filter of a chunked dataset's pipeline, in WRITE order; id 1 =
+    * deflate, 2 = shuffle, 3 = fletcher32 (the three h5py applies for
+    * `shuffle=True, compression='gzip', fletcher32=True` — reference
+    * delegate: icecube/bin/sar_cube/slc_datacube.py:118-162, which
+    * accepts any h5py-written file). Reads apply the pipeline in
+    * REVERSE: verify+strip the checksum, inflate, unshuffle. */
+  final case class Filter(id: Int, clientValues: Seq[Int])
+
   sealed trait Layout
   final case class Contiguous(off: Long, size: Long) extends Layout
   final case class Compact(data: Array[Byte]) extends Layout
   /** Chunked storage: v1 chunk B-tree + per-chunk dims (without the
-    * trailing element-size entry); `deflate` from the filter pipeline. */
-  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Long], deflate: Boolean) extends Layout
+    * trailing element-size entry); `filters` from the pipeline message. */
+  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Long],
+      filters: Seq[Filter]) extends Layout
 
   /** One dataset: dims (empty = scalar), element type, storage. */
   final case class Dataset(name: String, dims: Seq[Long], dtype: Dtype, layout: Layout) {
@@ -410,20 +419,23 @@ object Hdf5 {
       var dims: Seq[Long] = Seq.empty
       var dtype: Dtype = null
       var layout: Layout = null
-      var deflate = false
+      var filters: Seq[Filter] = Seq.empty
       messages(ohdrAddr).foreach {
-        case (0x0b, b) => // filter pipeline: detect gzip/deflate (id 1)
+        case (0x0b, b) => // filter pipeline (v1): full description list
           val nFilters = b(1).toInt
+          val fb = Seq.newBuilder[Filter]
           var p = 8
           var i = 0
           while (i < nFilters && p + 8 <= b.length) {
             val id = u(b, p, 2).toInt
             val nameLen = u(b, p + 2, 2).toInt
             val nValues = u(b, p + 6, 2).toInt
-            if (id == 1) deflate = true
-            p += 8 + (nameLen + 7) / 8 * 8 + nValues * 4 + (if (nValues % 2 == 1) 4 else 0)
+            val vOff = p + 8 + (nameLen + 7) / 8 * 8
+            fb += Filter(id, (0 until nValues).map(v => u(b, vOff + 4 * v, 4).toInt))
+            p = vOff + nValues * 4 + (if (nValues % 2 == 1) 4 else 0)
             i += 1
           }
+          filters = fb.result()
         case (0x01, b) => // dataspace: v1 (dims at 8) or v2 (dims at 4)
           dims = dataspaceDims(b, 0)
         case (0x03, b) => // datatype
@@ -439,14 +451,14 @@ object Hdf5 {
             case 2 => // chunked: dimensionality(1), btree(8), dims u32 each
               val ndims = b(2).toInt // = rank + 1 (trailing element size)
               val chunkDims = (0 until ndims - 1).map(i => u(b, 11 + 4 * i, 4))
-              Chunked(u(b, 3, 8), chunkDims, deflate = false) // deflate patched below
+              Chunked(u(b, 3, 8), chunkDims, filters = Seq.empty) // patched below
             case c => throw new IllegalArgumentException(s"unsupported layout class $c in $name")
           }
         case _ => ()
       }
       require(dtype != null && layout != null, s"$name: missing datatype/layout message")
       layout = layout match {
-        case c: Chunked => c.copy(deflate = deflate)
+        case c: Chunked => c.copy(filters = filters)
         case l          => l
       }
       Dataset(name, dims, dtype, layout)
@@ -553,7 +565,7 @@ object Hdf5 {
     }
 
     /** Chunk B-tree (v1, node type 1) → (dataAddr, storedSize, origin). */
-    private def chunkEntries(btreeAddr: Long, rank: Int): Seq[(Long, Int, Seq[Long])] = {
+    private def chunkEntries(btreeAddr: Long, rank: Int): Seq[(Long, Int, Int, Seq[Long])] = {
       val head = read(btreeAddr, 8)
       require(new String(head, 0, 4) == "TREE", s"expected chunk TREE at $btreeAddr")
       require(head(4) == 1, "expected a raw-data chunk B-tree (type 1)")
@@ -564,10 +576,11 @@ object Hdf5 {
       (0 until n).flatMap { i =>
         val kOff = i * (keySize + 8)
         val storedSize = u(body, kOff, 4).toInt
+        val mask = u(body, kOff + 4, 4).toInt // bit i = pipeline filter i SKIPPED
         val origin = (0 until rank).map(d => u(body, kOff + 8 + 8 * d, 8))
         val child = u(body, kOff + keySize, 8)
         if (level > 0) chunkEntries(child, rank)
-        else Seq((child, storedSize, origin))
+        else Seq((child, storedSize, mask, origin))
       }
     }
 
@@ -576,7 +589,7 @@ object Hdf5 {
       case Contiguous(off, sz) => read(off, sz.toInt)
     }
 
-    private def inflateChunk(stored: Array[Byte], outLen: Int, name: String): Array[Byte] = {
+    private def inflateBytes(stored: Array[Byte], outLen: Int, name: String): Array[Byte] = {
       val inf = new java.util.zip.Inflater()
       inf.setInput(stored)
       val buf = new Array[Byte](outLen)
@@ -591,6 +604,104 @@ object Hdf5 {
       inf.end()
       require(done == buf.length,
         s"$name: gzip'd chunk inflated to $done of ${buf.length} bytes")
+      buf
+    }
+
+    /** HDF5's Fletcher-32 (H5checksum.c): big-endian 16-bit words,
+      * 360-word blocks between modular reductions, odd trailing byte
+      * high-padded. */
+    private def fletcher32(b: Array[Byte], len: Int): Int = {
+      var sum1 = 0L
+      var sum2 = 0L
+      var i = 0
+      val words = len / 2
+      var rem = words
+      while (rem > 0) {
+        var tlen = math.min(rem, 360)
+        rem -= tlen
+        while (tlen > 0) {
+          sum1 += ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
+          sum2 += sum1
+          i += 2
+          tlen -= 1
+        }
+        sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+        sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+      }
+      if (len % 2 == 1) {
+        sum1 += (b(i) & 0xffL) << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+        sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+      ((sum2 << 16) | sum1).toInt
+    }
+
+    /** Reverse the byte-shuffle filter: input is elemSize byte-planes
+      * of n elements each; trailing `len % elemSize` bytes pass through
+      * unshuffled (H5Zshuffle.c's leftover rule). */
+    private def unshuffle(b: Array[Byte], elemSize: Int): Array[Byte] = {
+      if (elemSize <= 1 || b.length < elemSize) return b
+      val n = b.length / elemSize
+      val out = new Array[Byte](b.length)
+      var j = 0
+      var idx = 0
+      while (j < elemSize) {
+        var i = 0
+        while (i < n) { out(i * elemSize + j) = b(idx); idx += 1; i += 1 }
+        j += 1
+      }
+      // leftover bytes (never for real chunks — chunk bytes are a
+      // multiple of the element size) copy verbatim at the tail
+      while (idx < b.length) { out(idx) = b(idx); idx += 1 }
+      out
+    }
+
+    /** Run the chunk through the filter pipeline in REVERSE write
+      * order: fletcher32 verifies and strips its 4-byte trailer,
+      * deflate inflates, shuffle de-interleaves byte planes. `mask`
+      * (from the chunk's B-tree key) bit i set = pipeline filter i was
+      * skipped for this chunk. `rawLen` = unfiltered chunk bytes. */
+    private def defilterChunk(stored: Array[Byte], rawLen: Int,
+        filters: Seq[Filter], mask: Int, elemSize: Int, name: String): Array[Byte] = {
+      if (filters.isEmpty) return stored
+      var buf = stored
+      var fi = filters.length - 1
+      while (fi >= 0) {
+        if ((mask & (1 << fi)) == 0) filters(fi).id match {
+          case 3 => // fletcher32: checksum over all but the 4-byte trailer
+            require(buf.length >= 4, s"$name: fletcher32 chunk under 4 bytes")
+            val dataLen = buf.length - 4
+            val want = fletcher32(buf, dataLen)
+            val le = ((buf(dataLen) & 0xff)) | ((buf(dataLen + 1) & 0xff) << 8) |
+              ((buf(dataLen + 2) & 0xff) << 16) | ((buf(dataLen + 3) & 0xff) << 24)
+            // pre-1.6.3 HDF5 wrote the two 16-bit halves swapped; accept
+            // both, exactly like H5Zfletcher32.c does
+            val swapped = ((le >>> 16) & 0xffff) | (le << 16)
+            require(le == want || swapped == want,
+              f"$name: fletcher32 mismatch (stored 0x$le%08x, computed 0x$want%08x) — corrupt chunk")
+            buf = java.util.Arrays.copyOfRange(buf, 0, dataLen)
+          case 1 =>
+            // inflate target: rawLen plus 4 bytes per still-unstripped
+            // INNER fletcher32 (a checksum filter listed before deflate
+            // in write order leaves its trailer inside the compressed
+            // payload; h5py's order — shuffle, deflate, fletcher32 —
+            // makes this rawLen exactly)
+            val inner = (0 until fi).count(k =>
+              filters(k).id == 3 && (mask & (1 << k)) == 0)
+            buf = inflateBytes(buf, rawLen + 4 * inner, name)
+          case 2 => // shuffle: client value 0 is the element size
+            buf = unshuffle(buf, filters(fi).clientValues.headOption.getOrElse(elemSize))
+          case other =>
+            throw new IllegalArgumentException(
+              s"$name: unsupported HDF5 filter id $other (supported: deflate, shuffle, fletcher32)")
+        }
+        fi -= 1
+      }
+      require(buf.length == rawLen,
+        s"$name: defiltered chunk is ${buf.length} bytes, expected $rawLen")
       buf
     }
 
@@ -627,13 +738,13 @@ object Hdf5 {
           val out = new Array[Double]((hi - lo + 1) * rg)
           val chunkElems = c.chunkDims.product.toInt
           val c0 = c.chunkDims.head
-          chunkEntries(c.btreeAddr, 2).foreach { case (addr, storedSize, origin) =>
+          chunkEntries(c.btreeAddr, 2).foreach { case (addr, storedSize, mask, origin) =>
             val o0 = origin.head
             if (o0 <= hi && o0 + c0 - 1 >= lo) {
               Hdf5.blocksRead.incrementAndGet()
               val stored = read(addr, storedSize)
-              val raw = if (!c.deflate) stored
-                else inflateChunk(stored, chunkElems * elemSize, ds.name)
+              val raw = defilterChunk(stored, chunkElems * elemSize,
+                c.filters, mask, elemSize, ds.name)
               val vals = decodeNumeric(raw, chunkElems, ds.dtype, ds.name)
               var i = 0
               while (i < chunkElems) {
@@ -662,11 +773,10 @@ object Hdf5 {
           case t => throw new IllegalArgumentException(s"${ds.name}: not numeric ($t)")
         }
         val chunkElems = c.chunkDims.product.toInt
-        chunkEntries(c.btreeAddr, rank).foreach { case (addr, storedSize, origin) =>
+        chunkEntries(c.btreeAddr, rank).foreach { case (addr, storedSize, mask, origin) =>
           val stored = read(addr, storedSize)
-          val raw =
-            if (!c.deflate) stored
-            else inflateChunk(stored, chunkElems * elemSize, ds.name)
+          val raw = defilterChunk(stored, chunkElems * elemSize,
+            c.filters, mask, elemSize, ds.name)
           val vals = decodeNumeric(raw, chunkElems, ds.dtype, ds.name)
           // place chunk elements (row-major within chunkDims); clip edge
           // chunks that overhang the dataset dims
@@ -741,11 +851,12 @@ object Hdf5 {
           val planeStrides = Array.tabulate(rank)(d =>
             if (d == 0) 0L else (d + 1 until rank).map(ds.dims(_)).product)
           chunkEntries(c.btreeAddr, rank)
-            .filter { case (_, _, origin) =>
+            .filter { case (_, _, _, origin) =>
               origin.head <= i0 && i0 < origin.head + c.chunkDims.head }
-            .foreach { case (addr, storedSize, origin) =>
+            .foreach { case (addr, storedSize, mask, origin) =>
               val vals = decodeNumeric(
-                inflateChunk(addr, storedSize, chunkElems * elemSize, c.deflate, ds.name),
+                defilterChunk(read(addr, storedSize), chunkElems * elemSize,
+                  c.filters, mask, elemSize, ds.name),
                 chunkElems, ds.dtype, ds.name)
               var i = 0
               while (i < chunkElems) {
@@ -767,27 +878,6 @@ object Hdf5 {
               }
             }
           out
-      }
-    }
-
-    private def inflateChunk(addr: Long, storedSize: Int, rawLen: Int,
-        deflate: Boolean, name: String): Array[Byte] = {
-      val stored = read(addr, storedSize)
-      if (!deflate) stored
-      else {
-        val inf = new java.util.zip.Inflater()
-        inf.setInput(stored)
-        val buf = new Array[Byte](rawLen)
-        var done = 0
-        var stalled = false
-        while (done < buf.length && !inf.finished() && !stalled) {
-          val n = inf.inflate(buf, done, buf.length - done)
-          stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
-          done += n
-        }
-        inf.end()
-        require(done == buf.length, s"$name: gzip'd chunk inflated to $done of $rawLen bytes")
-        buf
       }
     }
 

@@ -352,9 +352,14 @@ object Fixtures {
 
   sealed trait H5Data
   /** chunks=(chunkAz, chunkRg) switches the layout to chunked (v1 chunk
-    * B-tree); deflate gzips each chunk (filter pipeline id 1). */
+    * B-tree); deflate gzips each chunk (filter pipeline id 1); shuffle
+    * byte-transposes before compression (id 2, h5py `shuffle=True`);
+    * fletcher32 appends the HDF5 checksum trailer last (id 3, h5py
+    * `fletcher32=True`) — pipeline write order matches h5py's
+    * shuffle → deflate → fletcher32. */
   final case class H5F32(dims: Seq[Int], values: Array[Float],
-      chunks: Option[(Int, Int)] = None, deflate: Boolean = false) extends H5Data
+      chunks: Option[(Int, Int)] = None, deflate: Boolean = false,
+      shuffle: Boolean = false, fletcher32: Boolean = false) extends H5Data
   final case class H5F64(dims: Seq[Int], values: Array[Double]) extends H5Data
   final case class H5I32(dims: Seq[Int], values: Array[Int]) extends H5Data
   final case class H5I64(dims: Seq[Int], values: Array[Long]) extends H5Data
@@ -369,10 +374,60 @@ object Fixtures {
     * reference-fixture spec proves the reader on real h5py output. */
   private def pad8(n: Int): Int = (n + 7) / 8 * 8
 
+  /** Forward byte-shuffle (HDF5 filter id 2): element byte-plane j of
+    * all n elements lands contiguously — written INDEPENDENTLY of the
+    * reader's unshuffle so the spec is a real cross-implementation
+    * check, not an inverse of itself. */
+  private def h5Shuffle(raw: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = raw.length / elemSize
+    val out = new Array[Byte](raw.length)
+    var j = 0
+    var idx = 0
+    while (j < elemSize) {
+      var i = 0
+      while (i < n) { out(idx) = raw(i * elemSize + j); idx += 1; i += 1 }
+      j += 1
+    }
+    var k = n * elemSize
+    while (k < raw.length) { out(k) = raw(k); k += 1 }
+    out
+  }
+
+  /** HDF5's Fletcher-32 over big-endian 16-bit words with 360-word
+    * reduction blocks (H5checksum.c) — the value the fletcher32 filter
+    * (id 3) appends little-endian after the data. */
+  def h5Fletcher32(b: Array[Byte]): Int = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    var rem = b.length / 2
+    while (rem > 0) {
+      var tlen = math.min(rem, 360)
+      rem -= tlen
+      while (tlen > 0) {
+        sum1 += ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
+        sum2 += sum1
+        i += 2
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    }
+    if (b.length % 2 == 1) {
+      sum1 += (b(i) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    ((sum2 << 16) | sum1).toInt
+  }
+
   private def dtypeBody(d: H5Data): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     d match {
-      case H5F32(_, _, _, _) =>
+      case _: H5F32 =>
         b.put((0x10 | 1).toByte).put(0x20.toByte).put(0x0f.toByte).put(0.toByte).putInt(4)
         b.putShort(0).putShort(32).put(0.toByte).put(23.toByte).put(8.toByte)
           .put(0.toByte).put(23.toByte).put(0.toByte).putShort(0).putInt(127)
@@ -396,7 +451,7 @@ object Fixtures {
   }
 
   private def h5dims(d: H5Data): Seq[Int] = d match {
-    case H5F32(dm, _, _, _) => dm
+    case f: H5F32 => f.dims
     case H5F64(dm, _)  => dm
     case H5I32(dm, _)  => dm
     case H5I64(dm, _)  => dm
@@ -407,7 +462,7 @@ object Fixtures {
   private def h5dataBytes(d: H5Data): Array[Byte] = {
     val bo = java.nio.ByteOrder.LITTLE_ENDIAN
     d match {
-      case H5F32(_, vs, _, _) =>
+      case H5F32(_, vs, _, _, _, _) =>
         val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putFloat); b.array()
       case H5F64(_, vs) =>
         val b = java.nio.ByteBuffer.allocate(vs.length * 8).order(bo); vs.foreach(b.putDouble); b.array()
@@ -479,7 +534,8 @@ object Fixtures {
       java.util.Arrays.copyOf(out, n)
     }
     /** Chunked F32: (origin, stored chunk bytes); edge chunks zero-padded
-      * to full chunk size (HDF5 stores full chunks). */
+      * to full chunk size (HDF5 stores full chunks). The filter pipeline
+      * applies in h5py's write order: shuffle → deflate → fletcher32. */
     def chunksOf(f: H5F32): Seq[(Seq[Long], Array[Byte])] = {
       val Some((ch, cw)) = f.chunks
       val Seq(az, rg) = f.dims
@@ -492,9 +548,15 @@ object Fixtures {
           val ga = c0 * ch + a; val gr = c1 * cw + r
           b.putFloat(if (ga < az && gr < rg) f.values(ga * rg + gr) else 0.0f)
         }
-        val raw = b.array()
-        (Seq(c0.toLong * ch, c1.toLong * cw),
-          if (f.deflate) deflateBytes(raw) else raw)
+        var st = b.array()
+        if (f.shuffle) st = h5Shuffle(st, 4)
+        if (f.deflate) st = deflateBytes(st)
+        if (f.fletcher32) {
+          val ck = h5Fletcher32(st)
+          st = st ++ Array[Byte](ck.toByte, (ck >>> 8).toByte,
+            (ck >>> 16).toByte, (ck >>> 24).toByte)
+        }
+        (Seq(c0.toLong * ch, c1.toLong * cw), st)
       }
     }
     def dataBytes(d: H5Data): Array[Byte] = h5dataBytes(d)
@@ -502,14 +564,32 @@ object Fixtures {
       case f: H5F32 => f.chunks.isDefined
       case _        => false
     }
+    def filterMsg(d: H5Data): Option[Array[Byte]] = d match {
+      case f: H5F32 if f.deflate || f.shuffle || f.fletcher32 =>
+        // write order mirrors h5py: shuffle (client value = elem size),
+        // deflate (client value = level), fletcher32 (none); builtin
+        // filters carry no name (name length 0)
+        val fs = Seq(
+          Option.when(f.shuffle)((2, Seq(4))),
+          Option.when(f.deflate)((1, Seq(6))),
+          Option.when(f.fletcher32)((3, Seq.empty[Int]))).flatten
+        val size = 8 + fs.map { case (_, vs) =>
+          8 + vs.size * 4 + (if (vs.size % 2 == 1) 4 else 0) }.sum
+        val b = java.nio.ByteBuffer.allocate(size).order(bo)
+        b.put(1.toByte).put(fs.size.toByte).put(Array.fill[Byte](6)(0))
+        fs.foreach { case (id, vs) =>
+          b.putShort(id.toShort).putShort(0).putShort(0).putShort(vs.size.toShort)
+          vs.foreach(b.putInt)
+          if (vs.size % 2 == 1) b.putInt(0)
+        }
+        Some(b.array())
+      case _ => None
+    }
     def ohdrSize(n: String, d: H5Data): Int = {
       val dspace = 8 + 8 + dims(d).size * 8
       val dtype = 8 + dtypeBody(d).length
       val layout = 8 + 24
-      val filter = d match {
-        case f: H5F32 if f.deflate => 8 + 16
-        case _                     => 0
-      }
+      val filter = filterMsg(d).map(8 + _.length).getOrElse(0)
       16 + dspace + dtype + layout + filter + attrMsgs(n).map(8 + _.length).sum
     }
     // chunk B-tree node: header(24) + n*(key 32 + child 8) + final key 32
@@ -590,11 +670,11 @@ object Fixtures {
       assert(buf.position() == ohdrAddrs(n))
       val dspaceBody = 8 + dims(d).size * 8
       val dtb = dtypeBody(d)
-      val deflated = d match { case f: H5F32 => f.deflate; case _ => false }
+      val fMsg = filterMsg(d)
       val ams = attrMsgs(n)
-      val nMsgs = 3 + (if (deflated) 1 else 0) + ams.size
+      val nMsgs = 3 + fMsg.size + ams.size
       val msgsSize = (8 + dspaceBody) + (8 + dtb.length) + (8 + 24) +
-        (if (deflated) 8 + 16 else 0) + ams.map(8 + _.length).sum
+        fMsg.map(8 + _.length).getOrElse(0) + ams.map(8 + _.length).sum
       buf.put(1.toByte).put(0.toByte).putShort(nMsgs.toShort).putInt(1).putInt(msgsSize).putInt(0)
       buf.putShort(0x01).putShort(dspaceBody.toShort).putInt(0) // dataspace v1
       buf.put(1.toByte).put(dims(d).size.toByte).put(0.toByte)
@@ -602,10 +682,9 @@ object Fixtures {
       dims(d).foreach(x => buf.putLong(x.toLong))
       buf.putShort(0x03).putShort(dtb.length.toShort).putInt(0) // datatype
       buf.put(dtb)
-      if (deflated) { // filter pipeline: gzip (id 1), no client values
-        buf.putShort(0x0b).putShort(16).putInt(0)
-        buf.put(1.toByte).put(1.toByte).put(Array.fill[Byte](6)(0))
-        buf.putShort(1).putShort(0).putShort(0).putShort(0)
+      fMsg.foreach { m => // filter pipeline message (v1)
+        buf.putShort(0x0b).putShort(m.length.toShort).putInt(0)
+        buf.put(m)
       }
       if (isChunked(d)) {                                       // layout v3 chunked
         val f = d.asInstanceOf[H5F32]

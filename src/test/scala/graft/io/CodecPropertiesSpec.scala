@@ -92,15 +92,17 @@ class CodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("HDF5 contiguous vs chunked(+gzip) agree on random shapes, incl. slice reads") {
-    val gen = Gen.zip(dims, Gen.choose(1, 9), Gen.choose(1, 9), Gen.oneOf(false, true))
-    samples(gen, 25, 0xCAFE2).foreach { case ((az, rg), ch, cw, deflate) =>
+  test("HDF5 contiguous vs chunked(+filters) agree on random shapes, incl. slice reads") {
+    val gen = Gen.zip(dims, Gen.choose(1, 9), Gen.choose(1, 9),
+      Gen.zip(Gen.oneOf(false, true), Gen.oneOf(false, true), Gen.oneOf(false, true)))
+    samples(gen, 25, 0xCAFE2).foreach { case ((az, rg), ch, cw, (deflate, shuffle, fletcher)) =>
       val vals = Array.tabulate(az * rg)(i => (i * 7 % 1000).toFloat)
       val dir = java.nio.file.Files.createTempDirectory("h5prop").toString
       val path = s"$dir/x.h5"
       graft.Fixtures.writeH5(path, Seq(
         "contig" -> graft.Fixtures.H5F32(Seq(az, rg), vals),
-        "chunked" -> graft.Fixtures.H5F32(Seq(az, rg), vals, chunks = Some((ch, cw)), deflate = deflate)))
+        "chunked" -> graft.Fixtures.H5F32(Seq(az, rg), vals, chunks = Some((ch, cw)),
+          deflate = deflate, shuffle = shuffle, fletcher32 = fletcher)))
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
       val f = Hdf5.fromBytes(bytes)
       val e = f.rootEntries.toMap
@@ -109,14 +111,14 @@ class CodecPropertiesSpec extends AnyFunSuite {
       val a = f.readDoubles(contig).toSeq
       val b = f.readDoubles(chunked).toSeq
       assert(a == vals.map(_.toDouble).toSeq && b == a,
-        s"dims=($az,$rg) chunk=($ch,$cw) deflate=$deflate")
+        s"dims=($az,$rg) chunk=($ch,$cw) f=($deflate,$shuffle,$fletcher)")
       // index-0 slice reads agree with the full read on BOTH layouts —
       // the plane-streaming path the netCDF import uses
       (0 until az).foreach { i =>
         val row = a.slice(i * rg, (i + 1) * rg)
         assert(f.readSlice0(contig, i).toSeq == row, s"contig slice $i")
         assert(f.readSlice0(chunked, i).toSeq == row,
-          s"chunked slice $i dims=($az,$rg) chunk=($ch,$cw) deflate=$deflate")
+          s"chunked slice $i dims=($az,$rg) chunk=($ch,$cw) f=($deflate,$shuffle,$fletcher)")
       }
     }
   }

@@ -200,7 +200,7 @@ class Hdf5StackSpec extends SparkFunSuite {
     assert(f.readDoubles(si).toSeq == re.map(_.toDouble).toSeq)
 
     val sq = f.dataset("s_q", entries("s_q"))
-    assert(sq.layout.asInstanceOf[Hdf5.Chunked].deflate)
+    assert(sq.layout.asInstanceOf[Hdf5.Chunked].filters.map(_.id) == Seq(1))
     assert(f.readDoubles(sq).toSeq == re.map(v => -v.toDouble).toSeq)
 
     // and through the full cube build
@@ -209,6 +209,67 @@ class Hdf5StackSpec extends SparkFunSuite {
       .select(col("real").cast("double"), col("imag").cast("double")).collect().head
     assert(v.getDouble(0) == Fixtures.pixelValue(0, 13, 17))
     assert(v.getDouble(1) == -Fixtures.pixelValue(0, 13, 17))
+  }
+
+  test("shuffle + fletcher32 filter pipelines decode pixel-exact (h5py defaults)") {
+    // h5py `shuffle=True, fletcher32=True, compression='gzip'` is the
+    // most common real-world SLC pipeline (slc_datacube.py:118-162
+    // delegates to h5py, which accepts all of them); write order is
+    // shuffle → deflate → fletcher32, the reader reverses it
+    val dir = tmpDir("h5filters")
+    val p = Fixtures.slcProducts.head
+    val n = p.az * p.rg
+    val re = Array.tabulate(n)(i => Fixtures.pixelValue(0, i / p.rg, i % p.rg).toFloat)
+    val path = s"$dir/${p.name}"
+    Fixtures.writeH5(path, Seq(
+      // every pipeline subset, all on 7×6 chunks with clipping edges
+      "all3" -> Fixtures.H5F32(Seq(p.az, p.rg), re, chunks = Some((7, 6)),
+        deflate = true, shuffle = true, fletcher32 = true),
+      "shuf_gz" -> Fixtures.H5F32(Seq(p.az, p.rg), re.map(_ + 1f), chunks = Some((7, 6)),
+        deflate = true, shuffle = true),
+      "fletch_only" -> Fixtures.H5F32(Seq(p.az, p.rg), re.map(_ + 2f), chunks = Some((7, 6)),
+        fletcher32 = true),
+      "shuf_only" -> Fixtures.H5F32(Seq(p.az, p.rg), re.map(_ + 3f), chunks = Some((7, 6)),
+        shuffle = true),
+      "gz_fletch" -> Fixtures.H5F32(Seq(p.az, p.rg), re.map(_ + 4f), chunks = Some((7, 6)),
+        deflate = true, fletcher32 = true),
+    ))
+    val f = Hdf5.fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val entries = f.rootEntries.toMap
+    val all3 = f.dataset("all3", entries("all3"))
+    assert(all3.layout.asInstanceOf[Hdf5.Chunked].filters.map(_.id) == Seq(2, 1, 3),
+      "pipeline must parse in write order: shuffle, deflate, fletcher32")
+    assert(all3.layout.asInstanceOf[Hdf5.Chunked].filters.head.clientValues == Seq(4),
+      "shuffle carries the element size as its client value")
+    for ((name, off) <- Seq("all3" -> 0f, "shuf_gz" -> 1f, "fletch_only" -> 2f,
+        "shuf_only" -> 3f, "gz_fletch" -> 4f)) {
+      val ds = f.dataset(name, entries(name))
+      assert(f.readDoubles(ds).toSeq == re.map(v => (v + off).toDouble).toSeq,
+        s"$name roundtrip")
+      // the row-bounded path defilters too
+      val rows = f.readDoublesRows(ds, 8, 9)
+      assert(rows.toSeq == (8 * p.rg until 10 * p.rg).map(i => (re(i) + off).toDouble),
+        s"$name row-bounded read")
+    }
+    // corruption is LOUD: flip one data byte inside the stored chunk
+    // and the fletcher32 verify must throw, never return wrong pixels.
+    // Single-dataset single-chunk file: the data block is the file's
+    // last pad8(64+4) bytes, so a flip 10 bytes from EOF is inside it.
+    val cPath = s"$dir/corrupt.h5"
+    Fixtures.writeH5(cPath, Seq(
+      "d" -> Fixtures.H5F32(Seq(4, 4), Array.tabulate(16)(_.toFloat),
+        chunks = Some((4, 4)), fletcher32 = true)))
+    val cBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cPath))
+    val okF = Hdf5.fromBytes(cBytes)
+    assert(okF.readDoubles(okF.dataset("d", okF.rootEntries.toMap.apply("d"))).toSeq ==
+      (0 until 16).map(_.toDouble))
+    val mut = cBytes.clone()
+    mut(mut.length - 10) = (mut(mut.length - 10) ^ 0x5a).toByte
+    val badF = Hdf5.fromBytes(mut)
+    val e = intercept[IllegalArgumentException] {
+      badF.readDoubles(badF.dataset("d", badF.rootEntries.toMap.apply("d")))
+    }
+    assert(e.getMessage.contains("fletcher32"), e.getMessage)
   }
 
   test("SLC shape mismatch is a hard error (slc_datacube.py:136-142)") {
