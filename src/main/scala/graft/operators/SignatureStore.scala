@@ -100,11 +100,23 @@ object SignatureStore {
     * the rare seal-time operations that DELETE a previously-sealed
     * face (e.g. [[compactBm25]] invalidating the ranked-results
     * snapshot): the "a sealed batch build never un-exists" pin no
-    * longer holds for that directory. */
+    * longer holds for that directory. Also drops the cached relation. */
   private def invalidateProbe(dir: String): Unit = {
     probeMemo.remove(dir)
     probeMemo.remove(s"$dir/_SUCCESS")
+    graft.util.Tables.evict(dir)
   }
+
+  /** Cached parquet read for batch subtrees (delegates to
+    * [[graft.util.Tables.parquetCached]]): sealed store faces are
+    * immutable between seals, so the resolved relation — file listing,
+    * footer schema, LogicalRelation — is pinned per session instead of
+    * re-derived by every query construction (the r10 verdict's 41 s
+    * driver floor). Every path that REWRITES a batch dir (compaction
+    * seals, [[swapDir]] maintenance) evicts it; stream subtrees are
+    * never cached — they change with every micro-batch. */
+  private def readSealed(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Tables.parquetCached(spark, dir)
 
   /** Rename-aside directory swap: `tmp` becomes `dest` with the old
     * `dest` PARKED at `dest_bak` until the new state is in place, then
@@ -124,6 +136,7 @@ object SignatureStore {
       require(fs.rename(d, bak), s"swap park $dest -> $bak failed")
     require(fs.rename(new Path(tmp), d), s"swap rename $tmp -> $dest failed")
     fs.delete(bak, true)
+    graft.util.Tables.evict(dest) // a cached relation lists the OLD files
   }
 
   /** Crash recovery for [[swapDir]]: a parked `_bak` beside a MISSING
@@ -187,7 +200,7 @@ object SignatureStore {
     def cols(df: DataFrame) =
       df.select(col("doc_id"), col("band").cast("int").as("band"), col("key"))
     val batch = Option.when(hasData(spark, minhashDir(base)))(
-      cols(spark.read.parquet(minhashDir(base))))
+      cols(readSealed(spark, minhashDir(base))))
     val stream = Option.when(hasData(spark, streamMinhashDir(base))) {
       val raw = spark.read.parquet(streamMinhashDir(base))
       cols(excludeBatch.fold(raw)(id => raw.filter(col("batch_id") =!= id)))
@@ -201,7 +214,7 @@ object SignatureStore {
   }
 
   def readSimhash(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(simhashDir(base))
+    readSealed(spark, simhashDir(base))
 
   /** Root directory for derived signature stores. On a cluster set
     * `spark.graft.sigstore.root` to a shared filesystem path (HDFS/S3) —
@@ -255,7 +268,7 @@ object SignatureStore {
     def cols(df: DataFrame) =
       df.select(col("doc_id"), col("band").cast("long").as("band"), col("key"))
     val batch = Option.when(hasData(spark, ophDir(base)))(
-      cols(spark.read.parquet(ophDir(base))))
+      cols(readSealed(spark, ophDir(base))))
     val stream = Option.when(hasData(spark, streamOphDir(base)))(
       cols(spark.read.parquet(streamOphDir(base))))
     (batch, stream) match {
@@ -314,7 +327,7 @@ object SignatureStore {
   def readPairs(spark: SparkSession, base: String, family: String): DataFrame = {
     def cols(df: DataFrame) = df.select(col("doc_a"), col("doc_b"))
     val batch = Option.when(hasData(spark, pairsDir(base, family)))(
-      cols(spark.read.parquet(pairsDir(base, family))))
+      cols(readSealed(spark, pairsDir(base, family))))
     val stream = Option.when(hasData(spark, streamPairsDir(base, family)))(
       cols(spark.read.parquet(streamPairsDir(base, family))))
     (batch, stream) match {
@@ -394,6 +407,7 @@ object SignatureStore {
       fs.delete(new Path(streamPairsDir(base, family)), true)
       require(fs.rename(new Path(tmp), new Path(pairsDir(base, family))),
         s"compaction rename $tmp -> ${pairsDir(base, family)} failed")
+      graft.util.Tables.evict(pairsDir(base, family))
     }
   }
 
@@ -428,7 +442,7 @@ object SignatureStore {
     * build assigns each vector exactly once). */
   def readIvfAssignments(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, ivfDir(base)))(
-      spark.read.parquet(ivfDir(base)).select("vec_id", "cent_id"))
+      readSealed(spark, ivfDir(base)).select("vec_id", "cent_id"))
     val stream = Option.when(hasData(spark, streamIvfDir(base))) {
       spark.read.parquet(streamIvfDir(base))
         .select(col("vec_id"), col("cent_id"), col("batch_id").cast("long").as("batch_id"))
@@ -475,7 +489,7 @@ object SignatureStore {
     * [[readIvfAssignments]] — a re-sent vector keeps one code row). */
   def readQuantizedVectors(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, q8Dir(base)))(
-      spark.read.parquet(q8Dir(base)).select("vec_id", "q"))
+      readSealed(spark, q8Dir(base)).select("vec_id", "q"))
     val stream = Option.when(hasData(spark, streamQ8Dir(base))) {
       spark.read.parquet(streamQ8Dir(base))
         .select(col("vec_id"), col("q"), col("batch_id").cast("long").as("batch_id"))
@@ -527,7 +541,7 @@ object SignatureStore {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sealedMarkerExists(spark, marker.toString))
       build().write.mode("overwrite").partitionBy("band").parquet(lshBucketsDir(base))
-    spark.read.parquet(lshBucketsDir(base))
+    readSealed(spark, lshBucketsDir(base))
       .select(col("vec_id"), col("band").cast("int").as("band"), col("key"))
   }
 
@@ -541,7 +555,7 @@ object SignatureStore {
   /** The trained PQ codebook (m, code, sp, ci) — fixed M·K·SubDim rows,
     * broadcast by every consumer. */
   def readPqCodebook(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(pqCodebookDir(base)).select("m", "code", "sp", "ci")
+    readSealed(spark, pqCodebookDir(base)).select("m", "code", "sp", "ci")
 
   /** Shared packed-code resolve (latest-wins per vec_id within the
     * stream, stream supersedes batch) — used by both the flat PQ and
@@ -549,7 +563,7 @@ object SignatureStore {
   private def packedCodesResolve(spark: SparkSession, codesDir: String,
       streamDir: String): Option[DataFrame] = {
     val batch = Option.when(hasData(spark, codesDir))(
-      spark.read.parquet(codesDir).select("vec_id", "codes"))
+      readSealed(spark, codesDir).select("vec_id", "codes"))
     val stream = Option.when(hasData(spark, streamDir)) {
       spark.read.parquet(streamDir)
         .select(col("vec_id"), col("codes"), col("batch_id").cast("long").as("batch_id"))
@@ -580,7 +594,7 @@ object SignatureStore {
   def streamRpqDir(base: String) = s"$base/rpq_codes_stream"
 
   def readResidualPqCodebook(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(rpqCodebookDir(base)).select("m", "code", "sp", "ci")
+    readSealed(spark, rpqCodebookDir(base)).select("m", "code", "sp", "ci")
 
   /** Stored RESIDUAL PQ codes, unpacked — same resolve contract as
     * [[readPqCodes]]; codes quantize IVF residuals, so they are only
@@ -659,10 +673,10 @@ object SignatureStore {
     * contract as the bm25/q8 stores). */
   def readSpans(spark: SparkSession, base: String): DataFrame = {
     val hasStream = hasData(spark, streamSpanGramsDir(base))
-    if (!hasStream) spark.read.parquet(spansDir(base))
+    if (!hasStream) readSealed(spark, spansDir(base))
     else {
       val batch = Option.when(hasData(spark, spanGramsDir(base)))(
-        spark.read.parquet(spanGramsDir(base))
+        readSealed(spark, spanGramsDir(base))
           .select(col("doc_id"), col("pos"), col("gram"),
             lit(-1L).as("batch_id")))
       val stream = spark.read.parquet(streamSpanGramsDir(base))
@@ -713,7 +727,7 @@ object SignatureStore {
     if (hasData(spark, streamSpanGramsDir(base))) {
       import org.apache.hadoop.fs.Path
       val batch = Option.when(hasData(spark, spanGramsDir(base)))(
-        spark.read.parquet(spanGramsDir(base))
+        readSealed(spark, spanGramsDir(base))
           .select(col("doc_id"), col("pos"), col("gram"), lit(-1L).as("batch_id")))
       val stream = spark.read.parquet(streamSpanGramsDir(base))
         .select(col("doc_id"), col("pos"), col("gram"),
@@ -736,6 +750,8 @@ object SignatureStore {
       require(fs.rename(new Path(tmpS), new Path(spansDir(base))),
         s"compaction rename $tmpS failed")
       fs.delete(new Path(streamSpanGramsDir(base)), true)
+      graft.util.Tables.evict(spanGramsDir(base))
+      graft.util.Tables.evict(spansDir(base))
     }
 
   def eventTransitionsDir(base: String) = s"$base/event_transitions"
@@ -788,7 +804,7 @@ object SignatureStore {
     * taxonomy-bounded anyway. */
   def readEventTransitions(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, eventTransitionsDir(base)))(
-      spark.read.parquet(eventTransitionsDir(base)).select("e1", "e2", "e3", "n"))
+      readSealed(spark, eventTransitionsDir(base)).select("e1", "e2", "e3", "n"))
     val stream = Option.when(hasData(spark, streamEventTransitionsDir(base)))(
       graft.streaming.EventStream
         .readTransitionCounts(spark, streamEventTransitionsDir(base))
@@ -822,7 +838,7 @@ object SignatureStore {
     * everywhere), but it is written once and probed by broadcast joins. */
   def readPhraseBigrams(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, phraseBigramsDir(base)))(
-      spark.read.parquet(phraseBigramsDir(base)).select("doc_id", "bigram"))
+      readSealed(spark, phraseBigramsDir(base)).select("doc_id", "bigram"))
     val stream = Option.when(hasData(spark, streamPhraseBigramsDir(base))) {
       val raw = spark.read.parquet(streamPhraseBigramsDir(base))
         .select(col("doc_id"), col("bigram"), col("batch_id").cast("long").as("batch_id"))
@@ -895,6 +911,7 @@ object SignatureStore {
     fs.delete(new Path(streamDir), true)
     require(fs.rename(new Path(tmp), new Path(batchDir)),
       s"compaction rename $tmp -> $batchDir failed")
+    graft.util.Tables.evict(batchDir) // a cached relation lists the OLD files
   }
 
   /** Compact the phrase-bigram store at `base` (no-op without stream
@@ -942,6 +959,8 @@ object SignatureStore {
       require(fs.rename(new Path(tmpP), new Path(bm25PostingsDir(base))),
         s"compaction rename $tmpP failed")
       fs.delete(new Path(streamBm25Dir(base)), true)
+      graft.util.Tables.evict(bm25DoclensDir(base))
+      graft.util.Tables.evict(bm25PostingsDir(base))
       // The ranked-results face ([[ensureBm25TopK]]) is a SNAPSHOT of
       // pre-append corpus stats — after this seal it is stale, and the
       // positive probe memo would serve it forever. DROP it (and its
@@ -968,7 +987,7 @@ object SignatureStore {
     * per-part k-smallest sets IS the union's k smallest). */
   def readDailyKmv(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, dailyKmvDir(base)))(
-      spark.read.parquet(dailyKmvDir(base)).select("day", "h"))
+      readSealed(spark, dailyKmvDir(base)).select("day", "h"))
     val stream = Option.when(hasData(spark, streamDailyKmvDir(base)))(
       spark.read.parquet(streamDailyKmvDir(base)).select("day", "h"))
     val all = (batch, stream) match {
@@ -1021,7 +1040,7 @@ object SignatureStore {
     * append-only counter sketch has no per-doc identity to resolve). */
   def readCountMin(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, countMinDir(base)))(
-      spark.read.parquet(countMinDir(base)).select("j", "slot", "n"))
+      readSealed(spark, countMinDir(base)).select("j", "slot", "n"))
     val stream = Option.when(hasData(spark, streamCountMinDir(base)))(
       spark.read.parquet(streamCountMinDir(base)).select("j", "slot", "n"))
     val all = (batch, stream) match {
@@ -1068,7 +1087,7 @@ object SignatureStore {
     * users ever streamed through. */
   def readHll(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, hllDir(base)))(
-      spark.read.parquet(hllDir(base)).select("stratum", "idx", "m"))
+      readSealed(spark, hllDir(base)).select("stratum", "idx", "m"))
     val stream = Option.when(hasData(spark, streamHllDir(base)))(
       spark.read.parquet(streamHllDir(base)).select("stratum", "idx", "m"))
     val all = (batch, stream) match {
@@ -1117,7 +1136,7 @@ object SignatureStore {
     * over sources, per-source ones filter first. */
   def readQuantileBins(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, quantileBinsDir(base)))(
-      spark.read.parquet(quantileBinsDir(base)).select("source", "bin", "n"))
+      readSealed(spark, quantileBinsDir(base)).select("source", "bin", "n"))
     val stream = Option.when(hasData(spark, streamQuantileBinsDir(base)))(
       spark.read.parquet(streamQuantileBinsDir(base)).select("source", "bin", "n"))
     val all = (batch, stream) match {
@@ -1163,7 +1182,7 @@ object SignatureStore {
     * decontamination sweep broadcasts instead of the eval shingle set. */
   def readBloom(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, bloomDir(base)))(
-      spark.read.parquet(bloomDir(base)).select("w", "bits"))
+      readSealed(spark, bloomDir(base)).select("w", "bits"))
     val stream = Option.when(hasData(spark, streamBloomDir(base)))(
       spark.read.parquet(streamBloomDir(base)).select("w", "bits"))
     val all = (batch, stream) match {
@@ -1221,7 +1240,7 @@ object SignatureStore {
     import org.apache.spark.sql.functions._
     def unioned(batchDir: String, streamDir: String, cols: Seq[String]): DataFrame = {
       val batch = Option.when(hasData(spark, batchDir))(
-        spark.read.parquet(batchDir).select(cols.map(col): _*))
+        readSealed(spark, batchDir).select(cols.map(col): _*))
       val stream = Option.when(hasData(spark, streamDir))(
         spark.read.parquet(streamDir).select(cols.map(col): _*))
       (batch, stream) match {
@@ -1293,6 +1312,8 @@ object SignatureStore {
         s"compaction rename $tmpC failed")
       fs.delete(new Path(streamMgCountersDir(base)), true)
       fs.delete(new Path(streamMgLambdasDir(base)), true)
+      graft.util.Tables.evict(mgLambdasDir(base))
+      graft.util.Tables.evict(mgCountersDir(base))
     }
 
   def imagePhashDir(base: String) = s"$base/image_phash"
@@ -1310,7 +1331,7 @@ object SignatureStore {
     * supersede their batch rows — the [[readBm25]] contract. */
   def readImagePhash(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, imagePhashDir(base)))(
-      spark.read.parquet(imagePhashDir(base)).select("doc_id", "phash"))
+      readSealed(spark, imagePhashDir(base)).select("doc_id", "phash"))
     val stream = Option.when(hasData(spark, streamImagePhashDir(base))) {
       val raw = spark.read.parquet(streamImagePhashDir(base))
         .select(col("doc_id"), col("phash"), col("batch_id").cast("long").as("batch_id"))
@@ -1367,7 +1388,7 @@ object SignatureStore {
     * batch rows — the [[readImagePhash]] contract. */
   def readFrameDiffs(spark: SparkSession, base: String): DataFrame = {
     val batch = Option.when(hasData(spark, frameDiffDir(base)))(
-      spark.read.parquet(frameDiffDir(base)).select("doc_id", "idx", "diff_l1"))
+      readSealed(spark, frameDiffDir(base)).select("doc_id", "idx", "diff_l1"))
     val stream = Option.when(hasData(spark, streamFrameDiffDir(base))) {
       val raw = spark.read.parquet(streamFrameDiffDir(base))
         .select(col("doc_id"), col("idx"), col("diff_l1"),
@@ -1429,7 +1450,7 @@ object SignatureStore {
   def compactPqCodes(spark: SparkSession, base: String): Unit =
     if (hasData(spark, streamPqDir(base))) {
       val batch = Option.when(hasData(spark, pqCodesDir(base)))(
-        spark.read.parquet(pqCodesDir(base)).select("vec_id", "codes"))
+        readSealed(spark, pqCodesDir(base)).select("vec_id", "codes"))
       val stream = spark.read.parquet(streamPqDir(base))
         .select(col("vec_id"), col("codes"), col("batch_id").cast("long").as("batch_id"))
         .groupBy("vec_id")
@@ -1466,8 +1487,8 @@ object SignatureStore {
     * returns an empty array). */
   def readBm25(spark: SparkSession, base: String): (DataFrame, DataFrame) = {
     val batch = Option.when(hasData(spark, bm25PostingsDir(base)))(
-      (spark.read.parquet(bm25PostingsDir(base)),
-        spark.read.parquet(bm25DoclensDir(base))))
+      (readSealed(spark, bm25PostingsDir(base)),
+        readSealed(spark, bm25DoclensDir(base))))
     val stream = Option.when(hasData(spark, streamBm25Dir(base))) {
       val raw = spark.read.parquet(streamBm25Dir(base))
         .select(col("doc_id"), col("token"), col("tf"), col("dl"),
@@ -1517,8 +1538,14 @@ object SignatureStore {
     // twin, 1.00 vs 0.59 s — the live path already spreads). At 100 TB
     // the store is many splits and the widen is a no-op; compaction and
     // stream plumbing use readBm25 directly and keep their layout.
+    // HASH-spread by doc_id (not round-robin): every consumer
+    // aggregates per document or per (qid, doc) — keeping a doc's
+    // postings on one partition lets those partial aggs collapse
+    // map-side (round-robin inflated bm25_search_stored's contribution
+    // exchange to one partial row per (pair, partition) — 7 of its 10
+    // task-CPU-seconds, stage-profiled r11).
     val (p, l) = readBm25(spark, base)
-    (TextQueries.spread(p), l)
+    (TextQueries.spreadBy(p, col("doc_id")), l)
   }
 
   def bm25TopkDir(base: String) = s"$base/bm25_topk"
@@ -1541,7 +1568,7 @@ object SignatureStore {
     if (!sealedMarkerExists(spark, marker.toString))
       SearchQueries.bm25TopKOf(spark, sfDir)
         .write.mode("overwrite").parquet(bm25TopkDir(base))
-    spark.read.parquet(bm25TopkDir(base))
+    readSealed(spark, bm25TopkDir(base))
   }
 
   /** Rebuild the ranked-results snapshot from the current postings
@@ -1578,7 +1605,7 @@ object SignatureStore {
         .select(col("line_fp"), col("o.first_doc").as("first_doc"),
           col("o.first_idx").as("first_idx"))
     val batch = Option.when(hasData(spark, linesDir(base)))(
-      spark.read.parquet(linesDir(base))
+      readSealed(spark, linesDir(base))
         .select("line_fp", "first_doc", "first_idx"))
     val stream = Option.when(hasData(spark, streamLinesDir(base)))(
       spark.read.parquet(streamLinesDir(base))
@@ -1627,7 +1654,7 @@ object SignatureStore {
     if (!sealedMarkerExists(spark, marker.toString))
       TextQueries.clusterAssignments(spark, sfDir)
         .write.mode("overwrite").parquet(clustersDir(base))
-    spark.read.parquet(clustersDir(base))
+    readSealed(spark, clustersDir(base))
   }
 
   /** Current cluster assignments at `base`, empty when never built.
@@ -1637,7 +1664,7 @@ object SignatureStore {
   def readClusters(spark: SparkSession, base: String): DataFrame = {
     recoverFromBak(spark, clustersDir(base))
     if (hasData(spark, clustersDir(base), cacheable = false))
-      spark.read.parquet(clustersDir(base)).select("doc_id", "cluster_id")
+      readSealed(spark, clustersDir(base)).select("doc_id", "cluster_id")
     else spark.range(0)
       .select(col("id").as("doc_id"), col("id").as("cluster_id"))
   }

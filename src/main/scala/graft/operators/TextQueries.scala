@@ -28,12 +28,32 @@ object TextQueries {
     * CONDITIONAL: a 100 TB scan already arrives as thousands of splits —
     * repartitioning there would inject a pointless corpus-wide exchange
     * of raw text ahead of every sketch stage. The widen only fires when
-    * the input has fewer partitions than the cluster has slots
-    * (SpreadSpec pins the no-Exchange plan for the many-split case).
+    * UNDER HALF the slots would be busy (SpreadSpec pins the
+    * no-Exchange plan for the many-split case): a 16-partition scan on
+    * 32 slots already saturates the machine within 2×, and the
+    * repartition costs a full row-serialized exchange of the input —
+    * measured r11 on `bm25_search_stored`, whose 16-file postings store
+    * paid a 38 MB shuffle (7.7 of its 10.5 task-CPU-seconds) to go
+    * 16-wide → 32-wide. A 1-split fixture-scale store still widens.
     * `.rdd.getNumPartitions` only plans the query — no job runs. */
   private[operators] def spread(df: org.apache.spark.sql.DataFrame) = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    if (df.rdd.getNumPartitions * 2 < slots) df.repartition(slots) else df
+  }
+
+  /** [[spread]] with a HASH key instead of round-robin — for serving
+    * boundaries whose consumers aggregate by `keys`: round-robin
+    * scatters one key's rows across every partition, so downstream
+    * partial aggregation cannot collapse them and the exchange carries
+    * one partial row per (key, partition) — measured r11 on
+    * `bm25_search_stored`, where the round-robin widen inflated the
+    * (qid, doc_id) contribution exchange to 38.5 MB (7 of its 10
+    * task-CPU-seconds). Hash-spreading by doc_id keeps each document's
+    * postings together: the partial agg emits each key once. */
+  private[operators] def spreadBy(df: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.Column*) = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < slots) df.repartition(slots, keys: _*) else df
   }
 
   /** Whitespace-normalized md5 content fingerprint — the ONE definition
@@ -581,12 +601,23 @@ object TextQueries {
     * aggregate-only consumers (capture–recapture) skip the dead sort. */
   private def ophAgreement(ophPairs: org.apache.spark.sql.DataFrame,
       k8Pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    ophPairs.withColumn("in_oph", lit(1L))
-      .join(k8Pairs.withColumn("in_k8", lit(1L)),
-        Seq("doc_a", "doc_b"), "full_outer")
-      .select(col("doc_a"), col("doc_b"),
-        coalesce(col("in_oph"), lit(0L)).as("in_oph"),
-        coalesce(col("in_k8"), lit(0L)).as("in_k8"))
+    // set-union + ONE range exchange, NOT a full-outer join: both pair
+    // stores are distinct sets, so the outer-join flags are max() over
+    // a flagged union — same rows bit-for-bit. The single
+    // repartitionByRange serves BOTH downstream requirements: range
+    // partitioning on (doc_a, doc_b) satisfies the aggregate's
+    // clustered distribution (same key → same partition) AND the
+    // consumers' total ORDER BY, so the plan runs union → one exchange
+    // → aggregate → in-partition sort, where the SortMergeJoin shape
+    // paid two side sorts plus a second global-sort exchange with its
+    // sampling pass (stage-profiled r11 on dedup_minhash_oph_stored).
+    ophPairs.select(col("doc_a"), col("doc_b"),
+        lit(1L).as("in_oph"), lit(0L).as("in_k8"))
+      .unionByName(k8Pairs.select(col("doc_a"), col("doc_b"),
+        lit(0L).as("in_oph"), lit(1L).as("in_k8")))
+      .repartitionByRange(col("doc_a"), col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("in_oph").as("in_oph"), max("in_k8").as("in_k8"))
 
   /** Connected-components oracle (recursive transitive closure) —
     * shared by the live fixpoint (`dedup_clusters`) and the persisted

@@ -52,17 +52,18 @@ object BenchProbe {
       val times = (1 to reps).map { _ =>
         drain(); cpuNs.set(0)
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        val tBuild = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         drain()
         val cpu = cpuNs.get / 1e9
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        (wall, cpu)
+        (wall, cpu, (tBuild - t0) / 1e6)
       }
       val best = times.minBy(_._1)
       println(f"PROBE $n%-24s best_wall=${best._1}%.3f cpu=${best._2}%.2f " +
-        f"all=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+        f"build_ms=${best._3}%.0f all=${times.map(t => f"${t._1}%.2f/${t._3}%.0f").mkString(",")}")
     }
     spark.stop()
   }

@@ -9,8 +9,48 @@ import org.apache.spark.sql.functions._
   * down to the scan, so callers should not pre-materialize anything.
   */
 object Tables {
+
+  /** Per-session memo of loaded parquet relations. Every
+    * `spark.read.parquet` pays a driver round of file listing + footer
+    * schema inference and allocates a fresh `LogicalRelation`; at 400+
+    * queries × several tables × warmup+2 runs that re-read is the
+    * single largest slice of the per-query construction floor
+    * (measured: ~100 ms build for a one-table window query, r10
+    * verdict #3). The testdata tables are immutable for a session's
+    * lifetime, so the RESOLVED relation is safe to pin and reuse —
+    * every downstream plan then analyzes on top of an
+    * already-resolved subtree. Weak session keys: the memo dies with
+    * the session. */
+  private val tableMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  /** Loaded parquet at `path`, memoized per session. Shared with
+    * [[graft.operators.SignatureStore]] for sealed store faces (which
+    * evict on compaction via [[evict]]). */
+  def parquetCached(spark: SparkSession, path: String): DataFrame = {
+    val perSession = tableMemo.synchronized {
+      var m = tableMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        tableMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+  }
+
+  /** Drop every session's memo entry for `path` — REQUIRED whenever
+    * the files under a cached path change (compaction seals, swap
+    * maintenance): the pinned relation holds the old file listing and
+    * would read deleted files. */
+  def evict(path: String): Unit = tableMemo.synchronized {
+    tableMemo.values.forEach(m => { m.remove(path); () })
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    parquetCached(spark, s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
