@@ -4203,6 +4203,68 @@ object RelationalQueries {
           |ORDER BY o_custkey, rn LIMIT 40""".stripMargin)
     },
 
+    // ----- O30: PIVOT under ADVERSARIAL comments -----
+    // The hostile-text gate for the fourth extension, added for the
+    // three r11 fuzz finds (SqlRewriterFuzzSpec): a comma INSIDE a
+    // block comment used to split value lists mid-comment (pinned in
+    // SqlRewriterFuzzSpec — DuckDB leaks in-list comment text into the
+    // pivot column NAME, so that position cannot be oracle-gated),
+    // a comment between ON and the pivot column failed the
+    // bare-identifier check, and GROUP-BY keys ending in a line
+    // comment swallowed the reassembled continuation. Every one of
+    // those positions appears here; DuckDB runs its native PIVOT on
+    // the identical text.
+    "o30_pivot_comment_adversarial" -> QueryDef.sql(
+      """PIVOT orders /* PIVOT t ON c USING sum(x) */ ON -- the pivot column
+        |  o_orderstatus /* a comma, then IN */ IN ('F', 'O') USING count(*) /* tail */
+        |GROUP BY o_orderpriority -- keys end in a line comment
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_pivadv_orders")
+      s.sql(
+        """PIVOT graft_pivadv_orders /* PIVOT t ON c USING sum(x) */ ON -- the pivot column
+          |  o_orderstatus /* a comma, then IN */ IN ('F', 'O') USING count(*) /* tail */
+          |GROUP BY o_orderpriority -- keys end in a line comment
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // ----- O31: ASOF JOIN under ADVERSARIAL comments -----
+    // The hostile-text gate for the ASOF extension (r11 fuzz find): a
+    // comment between ASOF and JOIN used to defeat the lookahead, so
+    // the word ASOF passed through as an IDENTIFIER and Spark silently
+    // parsed it as a table alias over a plain inner join — the
+    // worst-case silent misread. DuckDB's native ASOF JOIN runs the
+    // identical text (comments between keywords are ordinary
+    // separation in every real SQL lexer).
+    "o31_asof_comment_adversarial" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT event_id AS sg_id, user_id, epoch_us(ts) AS sus
+        |  FROM events WHERE event_type = 'signup'),
+        |e AS (
+        |  SELECT user_id AS r_user, epoch_us(ts) AS eus, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.sg_id, e.err_id, 'ASOF JOIN ON trap' AS trap
+        |FROM p ASOF /* ASOF JOIN ON */ JOIN -- JOIN again
+        |  e ON p.user_id = e.r_user AND p.sus <= e.eus
+        |ORDER BY sg_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sg_id"), col("user_id"),
+          expr(Tables.epochUsFloorSql).as("sus"))
+        .createOrReplaceTempView("graft_asofadv_sg")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("eus"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("eus"))
+        .agg(max(col("event_id")).as("err_id"))
+        .select(col("user_id").as("r_user"), col("eus"), col("err_id"))
+        .createOrReplaceTempView("graft_asofadv_err")
+      s.sql(
+        """SELECT sg_id, err_id, 'ASOF JOIN ON trap' AS trap
+          |FROM graft_asofadv_sg ASOF /* ASOF JOIN ON */ JOIN -- JOIN again
+          |  graft_asofadv_err ON user_id = r_user AND sus <= eus
+          |ORDER BY sg_id""".stripMargin)
+    },
+
     // ----- O28: FROM-first under ADVERSARIAL text -----
     // The hostile-text gate for the seventh extension: FROM-first
     // NESTED inside a parenthesized FROM-first (both legal positions

@@ -145,8 +145,29 @@ object GraftSqlParser {
     var depth = 0
     // per-paren-depth FIFO of pending ASOF modes awaiting their ON
     val pending = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Queue[String]]
+    // whitespace AND comments: `ASOF /* c */ JOIN` must still read as an
+    // ASOF join — with a raw whitespace skip the lookahead missed JOIN,
+    // the word ASOF passed through as an IDENTIFIER, and Spark silently
+    // parsed it as a table alias over a plain inner join (fuzz find
+    // r11). Comments inside the consumed ASOF..JOIN span are dropped
+    // with it.
     def skipWs(k0: Int): Int = {
-      var k = k0; while (k < n && sql.charAt(k).isWhitespace) k += 1; k
+      var k = k0
+      var more = true
+      while (more) {
+        more = false
+        while (k < n && sql.charAt(k).isWhitespace) k += 1
+        if (k + 1 < n && sql.charAt(k) == '-' && sql.charAt(k + 1) == '-') {
+          while (k < n && sql.charAt(k) != '\n') k += 1
+          more = true
+        } else if (k + 1 < n && sql.charAt(k) == '/' && sql.charAt(k + 1) == '*') {
+          k += 2
+          while (k + 1 < n && !(sql.charAt(k) == '*' && sql.charAt(k + 1) == '/')) k += 1
+          k = math.min(n, k + 2)
+          more = true
+        }
+      }
+      k
     }
     def wordEnd(k0: Int): Int = {
       var k = k0; while (k < n && isWordChar(sql.charAt(k))) k += 1; k

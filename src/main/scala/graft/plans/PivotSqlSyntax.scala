@@ -73,11 +73,20 @@ object PivotSqlSyntax {
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> s"PIVOT: $msg"))
 
-  /** Is the raw text between two positions whitespace only? Guards
-    * against quoted identifiers (invisible to the event scan) hiding
-    * between tokens the parser below assumes adjacent. */
-  private def wsOnly(sql: String, from: Int, to: Int): Boolean =
-    sql.substring(from, to).forall(_.isWhitespace)
+  /** Is the raw text between two positions whitespace (or comments)
+    * only? Guards against quoted identifiers (invisible to the event
+    * scan) hiding between tokens the parser below assumes adjacent; a
+    * comment between tokens is ordinary separation (fuzz find r11:
+    * `ON /* c */ col` was rejected). */
+  private def wsOnly(sql: String, from: Int, to: Int): Boolean = {
+    val span = sql.substring(from, to)
+    if (span.forall(_.isWhitespace)) true
+    else {
+      val spans = QualifySqlSyntax.commentSpans(span)
+      span.indices.forall(i =>
+        span.charAt(i).isWhitespace || spans.exists(s => i >= s._1 && i < s._2))
+    }
+  }
 
   /** Source relation: either a parenthesized block or a dotted bare
     * identifier chain. Returns (fromSql-ready text, next event index).
@@ -102,7 +111,10 @@ object PivotSqlSyntax {
     } else fail("source must be a table name or a parenthesized subquery")
   }
 
-  /** Split raw text on commas at paren/quote depth 0. */
+  /** Split raw text on commas at paren/quote depth 0 — comment-aware: a
+    * comma inside a `--` or `/* */` comment is prose, not a separator
+    * (found by SqlRewriterFuzzSpec: a block comment inside a REPLACE
+    * item was split mid-comment). */
   private[plans] def splitTop(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
@@ -113,7 +125,14 @@ object PivotSqlSyntax {
       val c = text.charAt(i)
       if (c == '\'') { i += 1; while (i < n && text.charAt(i) != '\'') i += 1 }
       else if (c == '"' || c == '`') { val q = c; i += 1; while (i < n && text.charAt(i) != q) i += 1 }
-      else if (c == '(') depth += 1
+      else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        while (i < n && text.charAt(i) != '\n') i += 1
+        i -= 1 // outer i += 1 lands on the newline (ordinary whitespace)
+      } else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) i += 1
+        i = math.min(n - 1, i + 1) // outer i += 1 passes the closing '/'
+      } else if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       else if (c == ',' && depth == 0) { out += text.substring(start, i); start = i + 1 }
       i += 1
@@ -299,12 +318,20 @@ object PivotSqlSyntax {
           if (aggText.isEmpty) fail("empty USING aggregate")
           if (splitTop(aggText).size != 1)
             fail("exactly one USING aggregate is supported")
-          // must be a single aggregate-function call so FILTER can attach
+          // must be a single aggregate-function call so FILTER can
+          // attach; only whitespace/comments may follow the call's
+          // closing paren (a raw endsWith(")") rejected a trailing
+          // comment — SqlRewriterFuzzSpec find, r11)
           val aggEvs = events(aggText)
+          val aggSpans = QualifySqlSyntax.commentSpans(aggText)
           val callShaped = aggEvs.length >= 2 && aggEvs(0).kind == 0 &&
             aggEvs(1).kind == 1 && aggEvs(1).pos == aggEvs(0).end &&
-            aggEvs.last.kind == 2 && aggEvs.last.depth == aggEvs(1).depth &&
-            aggText.endsWith(")")
+            aggEvs.last.kind == 2 && aggEvs.last.depth == aggEvs(1).depth && {
+              val tailFrom = aggEvs.last.end
+              (tailFrom until aggText.length).forall(i =>
+                aggText.charAt(i).isWhitespace ||
+                  aggSpans.exists(s => i >= s._1 && i < s._2))
+            }
           if (!callShaped)
             fail(s"USING expression must be a single aggregate call, got: $aggText")
 
@@ -337,14 +364,22 @@ object PivotSqlSyntax {
           }
           val aggCols = values.zip(names).map { case (v, n) =>
             val quoted = "`" + n.replace("`", "``") + "`"
-            s"$aggText FILTER (WHERE $colText = ${v.litSql}) AS $quoted"
+            // newline before FILTER: aggText may end in a line comment
+            // whose terminating newline .trim stripped — appending on
+            // the same line would swallow the FILTER clause
+            s"$aggText\nFILTER (WHERE $colText = ${v.litSql}) AS $quoted"
           }
           val selParts =
             (if (keysSel.nonEmpty) Seq(keysSel) else Nil) ++
               (if (aggCols.nonEmpty) Seq(aggCols.mkString(", ")) else Nil)
           if (selParts.isEmpty) fail("pivot has no grouping columns and no values")
-          val rewritten = s"SELECT ${selParts.mkString(", ")} FROM $fromSql" +
-            (if (keysBy.nonEmpty) s" GROUP BY $keysBy" else "") + " "
+          // newline-separated reassembly throughout: keysSel/keysBy are
+          // USER text that may end in a `--` line comment whose newline
+          // .trim stripped — a same-line continuation (", agg…", "FROM",
+          // the ORDER BY tail) would be swallowed (fuzz find r11, the
+          // o28 class inside the PIVOT emitter)
+          val rewritten = s"SELECT ${selParts.mkString("\n, ")}\nFROM $fromSql" +
+            (if (keysBy.nonEmpty) s"\nGROUP BY $keysBy" else "") + "\n"
           sql = sql.substring(0, piv.pos) + rewritten + sql.substring(tailStart)
           idx += 1
       }

@@ -31,8 +31,8 @@ class PivotSqlSpec extends SparkFunSuite {
     val got = PivotSqlSyntax.rewrite(
       "PIVOT t ON c IN ('a', 'b') USING sum(x) GROUP BY g ORDER BY g")
     assert(got ==
-      "SELECT g, sum(x) FILTER (WHERE c = 'a') AS `a`, " +
-        "sum(x) FILTER (WHERE c = 'b') AS `b` FROM t GROUP BY g ORDER BY g")
+      "SELECT g\n, sum(x)\nFILTER (WHERE c = 'a') AS `a`, " +
+        "sum(x)\nFILTER (WHERE c = 'b') AS `b`\nFROM t\nGROUP BY g\nORDER BY g")
   }
 
   test("rewrite: AS suffix names columns value_suffix") {

@@ -1,0 +1,176 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property fuzz for the seven lexical SQL-grammar extensions (r10
+  * verdict #4): the o28 adversarial gate caught a REAL rewriter bug
+  * (trailing `--` comments swallowed injected syntax) on its first run,
+  * which is evidence this class of input finds more. Two properties,
+  * ≥500 deterministic seeds total:
+  *
+  *   1. PASS-THROUGH: a statement whose extension keywords appear ONLY
+  *      inside string literals, line/block comments, and quoted
+  *      identifiers must come out of the full seven-rewriter channel
+  *      BYTE-IDENTICAL — no rewriter may read non-code text as syntax.
+  *
+  *   2. DECORATION INVARIANCE (self-differential): a statement that
+  *      genuinely uses an extension, decorated at random token
+  *      boundaries with keyword-bearing comments, hostile literals and
+  *      a trailing no-newline `--` comment, must EXECUTE to the same
+  *      rows as its undecorated twin. This is exactly the property the
+  *      o28 bug violated. No oracle engine needed: the plain statement
+  *      is its own reference.
+  *
+  * Seeds are fixed (CI-deterministic, offline classpath only). */
+class SqlRewriterFuzzSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def rewriteAll(sql: String): String =
+    QualifySqlSyntax.rewrite(
+      DistinctOnSqlSyntax.rewrite(GraftSqlParser.rewrite(
+        StarSqlSyntax.rewrite(FromFirstSqlSyntax.rewrite(
+          UnpivotSqlSyntax.rewrite(PivotSqlSyntax.rewrite(sql)))))))
+
+  // every trigger word of the seven extensions, plus near-miss noise
+  private val Keywords = Seq("QUALIFY", "ASOF", "ASOF JOIN", "EXCLUDE",
+    "REPLACE", "PIVOT", "UNPIVOT", "DISTINCT ON", "FROM", "SELECT",
+    "USING", "ON", "* EXCLUDE (x)", "PIVOT t ON c USING sum(x)",
+    "FROM t SELECT", "QUALIFY row_number() OVER ()")
+
+  private val genSoup: Gen[String] = for {
+    n <- Gen.choose(1, 4)
+    ws <- Gen.listOfN(n, Gen.oneOf(Keywords))
+    sep <- Gen.oneOf(" ", ", ", " - ")
+  } yield ws.mkString(sep)
+
+  // decorations legal BETWEEN tokens of a statement
+  private def genDecor(trailing: Boolean): Gen[String] = {
+    val block = genSoup.map(s => s"/* ${s.replace("*/", "")} */")
+    val line = genSoup.map(s => s"-- ${s.replace("\n", " ")}\n")
+    val lineNoNl = genSoup.map(s => s"-- ${s.replace("\n", " ")}")
+    if (trailing) Gen.oneOf(block, line, lineNoNl) else Gen.oneOf(block, line)
+  }
+
+  private val genLit: Gen[String] =
+    genSoup.map(s => "'" + s.replace("'", "''") + " it''s '")
+
+  private lazy val views: Unit = {
+    Seq((1L, 100L, "A"), (2L, 50L, "A"), (3L, 200L, "B"),
+      (4L, 150L, "B"), (5L, 75L, "C"), (6L, 300L, "C"))
+      .toDF("o_orderkey", "o_totalprice", "o_prio")
+      .createOrReplaceTempView("fuzz_t")
+    // a column literally named `exclude` — the quoted-identifier trap
+    Seq((1L, "x"), (2L, "y")).toDF("id", "exclude")
+      .createOrReplaceTempView("fuzz_q")
+    Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 15L, 3L))
+      .toDF("k", "t", "v").createOrReplaceTempView("fuzz_e1")
+    Seq((1L, 9L, 7L), (1L, 19L, 8L), (2L, 1L, 9L))
+      .toDF("k", "t2", "w").createOrReplaceTempView("fuzz_e2")
+  }
+
+  test("P1: keywords in literals/comments/quoted identifiers pass through byte-identical (300 seeds)") {
+    views
+    val gen = for {
+      lit <- genLit
+      c1 <- genDecor(trailing = false)
+      c2 <- genDecor(trailing = false)
+      tail <- genDecor(trailing = true)
+      qid <- Gen.oneOf("`exclude`", "\"exclude\"")
+      whereLit <- genLit
+    } yield s"SELECT $c1 id, $qid, $lit AS s $c2 FROM fuzz_q " +
+      s"WHERE $whereLit <> 'zz' ORDER BY id $tail"
+    val stmts = samples(gen, 300, 0xF0221L)
+    assert(stmts.size >= 290, s"generator drought: ${stmts.size}")
+    stmts.foreach { sql =>
+      val out = rewriteAll(sql)
+      assert(out == sql,
+        s"pass-through statement was rewritten:\nIN : $sql\nOUT: $out")
+    }
+    // and a sampled subset actually EXECUTES unchanged through the channel
+    stmts.take(10).foreach { sql =>
+      val rows = spark.sql(sql).collect()
+      assert(rows.length == 2, sql)
+    }
+  }
+
+  /** Insert decorations at random inter-token positions of `core`,
+    * replace the `§` placeholder with a hostile literal, and append a
+    * trailing comment. Tokens are split on single spaces — cores are
+    * written one-token-per-space so every boundary is legal. */
+  private def decorate(core: String, seed: Long): Gen[String] = for {
+    lit <- genLit
+    nIns <- Gen.choose(1, 3)
+    toks = core.replace("§", lit).split(" ").toVector
+    poss <- Gen.listOfN(nIns, Gen.choose(1, toks.size - 1))
+    decs <- Gen.listOfN(nIns, genDecor(trailing = false))
+    tail <- genDecor(trailing = true)
+  } yield {
+    val ins = poss.zip(decs).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val body = toks.zipWithIndex.map { case (t, i) =>
+      ins.getOrElse(i, Nil).mkString(" ") match {
+        case "" => t
+        case d  => s"$d $t"
+      }
+    }.mkString(" ")
+    s"$body $tail"
+  }
+
+  // each core uses one extension for real; `§` marks a literal slot.
+  // written one-token-per-space so decorate() can split safely.
+  private val Cores = Seq(
+    "qualify" -> ("SELECT o_orderkey, o_totalprice, § AS tag FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC, o_orderkey) <= 1 " +
+      "ORDER BY o_orderkey"),
+    "from_first" -> ("FROM fuzz_t SELECT o_orderkey, § AS tag " +
+      "WHERE o_totalprice > 60 ORDER BY o_orderkey"),
+    "star_exclude" -> "SELECT * EXCLUDE (o_prio) FROM fuzz_t WHERE § <> 'zz' ORDER BY o_orderkey",
+    "star_replace" -> ("SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) " +
+      "FROM fuzz_t WHERE § <> 'zz' ORDER BY o_orderkey"),
+    // ORDER BY restricted to projected columns: the subquery wrap
+    // cannot order by a column it dropped (loud UNRESOLVED_COLUMN —
+    // a documented divergence from DuckDB's laxer DISTINCT ON)
+    "distinct_on" -> ("SELECT DISTINCT ON (o_prio) o_prio, o_orderkey FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY o_prio, o_orderkey"),
+    "pivot_static" -> ("PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "asof_join" -> ("SELECT fuzz_e1.k, fuzz_e1.t, w, § AS tag FROM fuzz_e1 " +
+      "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "ORDER BY fuzz_e1.k, fuzz_e1.t"))
+
+  test("P2: decorated extension statements execute identically to their plain twins (210 seeds)") {
+    views
+    Cores.foreach { case (name, core) =>
+      val plain = spark.sql(core.replace("§", "'p'")).collect()
+        .map(_.toSeq.toList).toList
+      assert(plain.nonEmpty, s"$name: empty plain result")
+      samples(decorate(core, 0), 30, 0xF0222L + name.hashCode).zipWithIndex
+        .foreach { case (sql, i) =>
+          val got =
+            try spark.sql(sql).collect().map(_.toSeq.toList).toList
+            catch {
+              case e: Throwable =>
+                fail(s"$name seed $i failed to execute:\n$sql\n${e.getMessage}")
+            }
+          // the literal slot differs between plain and decorated; compare
+          // with the tag column masked (it is always the LAST projected
+          // literal only in cores that carry §; row counts always match)
+          assert(got.length == plain.length,
+            s"$name seed $i row count ${got.length} != ${plain.length}:\n$sql")
+          got.zip(plain).foreach { case (g, p) =>
+            val (gm, pm) = (mask(g), mask(p))
+            assert(gm == pm, s"$name seed $i row mismatch:\n$sql\ngot  $g\nwant $p")
+          }
+        }
+    }
+  }
+
+  /** Drop string-typed cells (the hostile-literal tag column varies by
+    * construction); every numeric/key cell must match exactly. */
+  private def mask(row: List[Any]): List[Any] =
+    row.filterNot(_.isInstanceOf[String])
+}
