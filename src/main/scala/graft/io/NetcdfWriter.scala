@@ -129,6 +129,21 @@ object NetcdfWriter {
     val az = cube.dimensions("Azimuth").toInt
     val rg = cube.dimensions("Range").toInt
 
+    // single-file export streams every band plane THROUGH THE DRIVER
+    // (inherent to the one-writer .nc format — same as the reference's
+    // xarray path). Guard the total volume explicitly so a cube that
+    // belongs in the distributed parquet store fails loudly up front
+    // instead of grinding band-by-band through one process for hours.
+    val exportBytes = nBands.toLong * az * rg * 8 * cube.dataVariables.length
+    val maxGb = cube.pixels.sparkSession.conf
+      .get("spark.graft.netcdf.maxExportGb", "8").toDouble
+    require(exportBytes <= maxGb * (1L << 30),
+      f"netCDF export is ${exportBytes / 1073741824.0}%.1f GiB " +
+        f"($nBands bands x $az x $rg x ${cube.dataVariables.length} vars); " +
+        f"the single-file .nc format is one driver-streamed writer — above " +
+        f"$maxGb%.0f GiB use the distributed parquet CubeStore (or raise " +
+        "spark.graft.netcdf.maxExportGb if a long single-writer export is intended)")
+
     // a null band_time cannot be expressed on a CF time axis — writing a
     // fabricated epoch would silently invent an acquisition date on
     // read-back (the parquet store preserves the null; use it instead)

@@ -244,25 +244,34 @@ object EventStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val pinned = batch.localCheckpoint()
-        val delta = graft.operators.TextQueries.minhashBandsOf(pinned)
-          .localCheckpoint()
-        delta.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "band")
-          .parquet(graft.operators.SignatureStore.streamMinhashDir(storeBase))
-        val all = graft.operators.SignatureStore
-          .readMinhashBandsExcluding(spark, storeBase, batchId)
-          .unionByName(delta).distinct()
-        val dp = graft.operators.TextQueries.deltaPairs(delta, all)
-          .localCheckpoint()
-        graft.operators.SignatureStore.appendPairRows(
-          spark, storeBase, "k8", dp, batchId)
-        graft.operators.SignatureStore.updateClustersWithDelta(
-          spark, storeBase, pinned.select("doc_id"), dp)
+        clustersEpoch(batch, batchId, storeBase)
     }
+
+  /** One epoch of [[maintainClusters]], callable directly — the replay
+    * contract says re-running an epoch (at-least-once redelivery, any
+    * time later) leaves every served face unchanged, and the
+    * cross-family soak spec exercises exactly that by invoking THIS
+    * code path out of band. */
+  def clustersEpoch(batch: DataFrame, batchId: Long, storeBase: String): Unit = {
+    val spark = batch.sparkSession
+    val pinned = batch.localCheckpoint()
+    val delta = graft.operators.TextQueries.minhashBandsOf(pinned)
+      .localCheckpoint()
+    delta.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "band")
+      .parquet(graft.operators.SignatureStore.streamMinhashDir(storeBase))
+    val all = graft.operators.SignatureStore
+      .readMinhashBandsExcluding(spark, storeBase, batchId)
+      .unionByName(delta).distinct()
+    val dp = graft.operators.TextQueries.deltaPairs(delta, all)
+      .localCheckpoint()
+    graft.operators.SignatureStore.appendPairRows(
+      spark, storeBase, "k8", dp, batchId)
+    graft.operators.SignatureStore.updateClustersWithDelta(
+      spark, storeBase, pinned.select("doc_id"), dp)
+  }
 
   /** Incremental BM25 postings maintenance — the search-family twin of
     * [[maintainSignatures]]: each micro-batch of new documents is
@@ -277,13 +286,17 @@ object EventStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.SearchQueries.postingsOf(batch)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(graft.operators.SignatureStore.streamBm25Dir(storeBase))
+        postingsEpoch(batch, batchId, storeBase)
     }
+
+  /** One epoch of [[maintainPostings]] — see [[clustersEpoch]]. */
+  def postingsEpoch(batch: DataFrame, batchId: Long, storeBase: String): Unit =
+    graft.operators.SearchQueries.postingsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(graft.operators.SignatureStore.streamBm25Dir(storeBase))
 
   /** Incremental per-day KMV sketch maintenance — the events-table store
     * twin: each micro-batch of events (user_id, ts_ns) contributes its

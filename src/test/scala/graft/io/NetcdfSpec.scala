@@ -127,6 +127,25 @@ class NetcdfSpec extends SparkFunSuite {
     assert(back.productIndex(name0) == cube.productIndex(name0))
   }
 
+  test("netCDF export size guard steers oversized cubes to the parquet store") {
+    import graft.core.CubeConfig
+    val grdDir = Fixtures.writeGrdStack(spark, tmpDir("ncguard"))
+    val cube = Cube.fromDirectory(spark, grdDir, CubeConfig())
+    try {
+      // the fixture cube is ~2.4 KB of planes; a 1-byte budget trips it
+      spark.conf.set("spark.graft.netcdf.maxExportGb", (1.0 / (1L << 30)).toString)
+      val e = intercept[IllegalArgumentException] {
+        cube.toNetcdf(s"${tmpDir("ncguardout")}/cube.nc")
+      }
+      assert(e.getMessage.contains("CubeStore"), e.getMessage)
+      assert(e.getMessage.contains("maxExportGb"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.netcdf.maxExportGb")
+    // default budget (8 GiB) passes the fixture cube untouched
+    val ok = s"${tmpDir("ncguardok")}/cube.nc"
+    cube.toNetcdf(ok)
+    assert(Cube.fromNetcdf(spark, ok).dimensions == cube.dimensions)
+  }
+
   test("netCDF dict-of-lists variable attrs become per-layer metadata") {
     val cube = Cube.fromNetcdf(spark, ncPath)
     val m0 = cube.metadataByProduct(names(0))

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkFunSuite
+import graft.operators.{SignatureStore, TextQueries}
+import graft.util.Tables
+import org.apache.spark.sql.DataFrame
+
+/** Cross-family streaming soak (r10 verdict #7): ONE document stream
+  * drives four store faces concurrently — minhash bands, candidate
+  * pairs, cluster assignments ([[EventStream.maintainClusters]]) and
+  * BM25 postings ([[EventStream.maintainPostings]]) — with a MID-RUN
+  * replay of an earlier batch_id injected between epochs. The
+  * per-family specs (IncrementalClustersSpec, PairStoreSpec,
+  * StreamingSpec) each pin their own face; this spec pins the
+  * COMPOSITION: after interleaved ingest + replay + the four
+  * compaction seals, every face equals its one-shot batch rebuild. */
+class CrossFamilySoakSpec extends SparkFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def assigns(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def postingSet(df: DataFrame): Set[(Long, String, Long, Long)] =
+    df.select("doc_id", "token", "tf", "dl").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("bands + pairs + clusters + postings from one stream, mid-run replay, seals equal batch rebuilds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = tmpDir("soak")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    // interleaved thirds: near-dup families span batches so late epochs
+    // MERGE components built by earlier ones
+    val parts = (0 until 3).map(i => docs.zipWithIndex.collect {
+      case (d, j) if j % 3 == i => d
+    })
+    implicit val sq = spark.sqlContext
+    val memC = MemoryStream[(Long, String)]
+    val memP = MemoryStream[(Long, String)]
+    val qC = EventStream.maintainClusters(
+      memC.toDF.toDF("doc_id", "text"), base)
+      .option("checkpointLocation", tmpDir("soak_ckc")).start()
+    val qP = EventStream.maintainPostings(
+      memP.toDF.toDF("doc_id", "text"), base)
+      .option("checkpointLocation", tmpDir("soak_ckp")).start()
+    def feed(i: Int): Unit = {
+      memC.addData(parts(i): _*); qC.processAllAvailable()
+      memP.addData(parts(i): _*); qP.processAllAvailable()
+    }
+    try {
+      feed(0); feed(1)
+
+      // ---- MID-RUN REPLAY of epoch 0 (at-least-once redelivery, long
+      // after later epochs landed) — through the exact foreachBatch
+      // code paths. Every SERVED face must be unchanged.
+      val pairsBefore = pairSet(SignatureStore.readPairs(spark, base, "k8"))
+      val clustersBefore = assigns(SignatureStore.readClusters(spark, base))
+      val bandsBefore = SignatureStore.readMinhashBands(spark, base).count()
+      val postingsBefore = postingSet(SignatureStore.readBm25(spark, base)._1)
+      EventStream.clustersEpoch(parts(0).toDF("doc_id", "text"), 0L, base)
+      EventStream.postingsEpoch(parts(0).toDF("doc_id", "text"), 0L, base)
+      assert(pairSet(SignatureStore.readPairs(spark, base, "k8")) == pairsBefore,
+        "replay changed the served pair set")
+      assert(assigns(SignatureStore.readClusters(spark, base)) == clustersBefore,
+        "replay changed cluster assignments")
+      assert(SignatureStore.readMinhashBands(spark, base).count() == bandsBefore,
+        "replay changed the served band set")
+      assert(postingSet(SignatureStore.readBm25(spark, base)._1) == postingsBefore,
+        "replay changed the served postings")
+
+      feed(2)
+    } finally { qC.stop(); qP.stop() }
+
+    // ---- every face equals its one-shot batch rebuild
+    val allDocs = docs.toDF("doc_id", "text").localCheckpoint()
+    val allBands = TextQueries.minhashBandsOf(allDocs).localCheckpoint()
+    val wantPairs = pairSet(TextQueries.bandedPairs(allBands))
+    val wantClusters = assigns(TextQueries.clusterAssignmentsOf(
+      allDocs.select("doc_id"), TextQueries.bandedPairs(allBands)))
+    val wantPostings = postingSet(graft.operators.SearchQueries.postingsOf(allDocs))
+    assert(SignatureStore.readMinhashBands(spark, base).count() == allBands.count())
+    assert(pairSet(SignatureStore.readPairs(spark, base, "k8")) == wantPairs)
+    assert(assigns(SignatureStore.readClusters(spark, base)) == wantClusters)
+    assert(postingSet(SignatureStore.readBm25(spark, base)._1) == wantPostings)
+
+    // ---- seal all four families; faces still equal, stream dirs gone
+    SignatureStore.compactMinhashBands(spark, base)
+    SignatureStore.compactPairs(spark, base, "k8")
+    SignatureStore.compactClusters(spark, base)
+    SignatureStore.compactBm25(spark, base)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq(SignatureStore.streamMinhashDir(base),
+        SignatureStore.streamPairsDir(base, "k8"),
+        SignatureStore.streamBm25Dir(base)))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(d)), s"stream subtree survived seal: $d")
+    assert(SignatureStore.readMinhashBands(spark, base).count() == allBands.count())
+    assert(pairSet(SignatureStore.readPairs(spark, base, "k8")) == wantPairs)
+    assert(assigns(SignatureStore.readClusters(spark, base)) == wantClusters)
+    assert(postingSet(SignatureStore.readBm25(spark, base)._1) == wantPostings)
+  }
+}
