@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   *
   *   - `doc_id`/`vec_id` re-keyed per replica by a fixed stride (1e9 —
   *     far above any fixture id), so ids stay unique and joins behave;
-  *   - each replica's text goes through a replica-distinct ALPHABET
-  *     ROTATION (a Caesar bijection on [a-z], [A-Z] and [0-9]):
-  *     within-replica structure is preserved EXACTLY (a bijection on
-  *     characters is an isomorphism on shingle sets — identical
-  *     Jaccard, identical dup families, identical token lengths and
-  *     df shape), while cross-replica CHARACTER 5-grams are disjoint.
+  *   - each replica's text goes through a replica-distinct seeded
+  *     ALPHABET PERMUTATION (a bijection on [a-z], [A-Z] and [0-9];
+  *     replica 0 = identity): within-replica structure is preserved
+  *     EXACTLY (a bijection on characters is an isomorphism on shingle
+  *     sets — identical Jaccard, identical dup families, identical
+  *     token lengths and df shape), while cross-replica CHARACTER
+  *     5-grams are disjoint up to vanishing chance. (The r10 version
+  *     used Caesar rotations, which cap at 26 distinct lowercase
+  *     images — factors past 26 would alias replicas into exact
+  *     cross-replica duplicates.)
   *     Both weaker transforms fail: appending a suffix token leaves
   *     minhash signatures identical (min-over-shingles is robust to
   *     additions) and merges replica LSH buckets; per-token suffixes
@@ -49,20 +53,42 @@ object ScaleCorpus {
     val stride = 1000000000L
     val reps = spark.range(factor).select(col("id").as("rep"))
 
+    // per-replica SEEDED PERMUTATION of each character class (was a
+    // Caesar rotation, which has only 26 distinct lowercase images —
+    // replicas r and r+26 would share an alphabet and become exact
+    // cross-replica duplicates, merging their LSH buckets; the 1000×
+    // scale point needs factors ≫ 26). A seeded Fisher–Yates per
+    // replica keeps every guarantee the rotation had (a bijection on
+    // characters is an isomorphism on shingle sets: identical
+    // within-replica Jaccard, dup families, token lengths, df shape)
+    // while distinct permutations share cross-replica 5-grams only by
+    // vanishing chance. Replica 0 is the identity so the source corpus
+    // embeds verbatim.
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digits = "0123456789"
-    def rot(s: String, k: Int) = { val m = k % s.length; s.drop(m) + s.take(m) }
     val alphabet = lower + upper + digits
-    def rotated(r: Int) = rot(lower, r) + rot(upper, r) + rot(digits, r)
+    def permuted(r: Int): String = {
+      if (r == 0) return alphabet
+      val rng = new scala.util.Random(0x5ca1ab1eL + r)
+      def shuf(s: String) = rng.shuffle(s.toList).mkString
+      shuf(lower) + shuf(upper) + shuf(digits)
+    }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    (0 until factor).map { r =>
-      docs.withColumn("doc_id", col("doc_id") + lit(r.toLong * stride))
-        .withColumn("text", translate(col("text"), alphabet, rotated(r)))
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // batched unions: a factor-wide reduce builds a plan with `factor`
+    // scans — fine at 10, pathological at 100+ — so replicas write in
+    // groups of at most 16 scans, appending
+    val groups = (0 until factor).grouped(16).toSeq
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      g.map { r =>
+        docs.withColumn("doc_id", col("doc_id") + lit(r.toLong * stride))
+          .withColumn("text", translate(col("text"), alphabet, permuted(r)))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode(if (gi == 0) "overwrite" else "append")
+        .parquet(s"$out/documents.parquet")
+    }
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.crossJoin(reps)
