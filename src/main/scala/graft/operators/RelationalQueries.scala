@@ -4203,6 +4203,28 @@ object RelationalQueries {
           |ORDER BY o_custkey, rn LIMIT 40""".stripMargin)
     },
 
+    // ----- O32: DISTINCT ON with a HIDDEN sort key -----
+    // Postgres/DuckDB let the DISTINCT ON pick be driven by a sort key
+    // the projection DROPS (`ORDER BY o_custkey, o_totalprice DESC`
+    // while projecting only key + orderkey). The r11 rewrite
+    // materializes each ORDER BY expression as a stripped helper
+    // column, so the outer sort resolves; before that the wrap failed
+    // loudly on the unresolved column. DuckDB runs its native
+    // DISTINCT ON verbatim. o_orderkey rides as the deterministic
+    // tiebreak in BOTH roles (window pick and final order).
+    "o32_distinct_on_hidden_sort" -> QueryDef.sql(
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_donh_orders")
+      s.sql(
+        """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey
+          |FROM graft_donh_orders
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+          |LIMIT 50""".stripMargin)
+    },
+
     // ----- O30: PIVOT under ADVERSARIAL comments -----
     // The hostile-text gate for the fourth extension, added for the
     // three r11 fuzz finds (SqlRewriterFuzzSpec): a comma INSIDE a

@@ -234,12 +234,14 @@ object QualifySqlSyntax {
   * {{{
   * SELECT DISTINCT ON (<keys>) <sl> FROM <body> ORDER BY <ord> <tail>
   *   ⇒
-  * SELECT * EXCEPT (__graft_don_N)
+  * SELECT * EXCEPT (__graft_don_N, __graft_dord_N_i...)
   * FROM (SELECT <sl>,
   *         row_number() OVER (PARTITION BY <keys> ORDER BY <ord>)
-  *           AS __graft_don_N
+  *           AS __graft_don_N,
+  *         (<ord-expr_i>) AS __graft_dord_N_i ...
   *       FROM <body>) __graft_d_N
-  * WHERE __graft_don_N = 1 ORDER BY <ord> <tail>
+  * WHERE __graft_don_N = 1
+  * ORDER BY __graft_dord_N_i <mods_i>... <tail>
   * }}}
   *
   * — DuckDB's own definition of the clause ("keep the first row of
@@ -247,14 +249,17 @@ object QualifySqlSyntax {
   * runs its NATIVE DISTINCT ON against the rewrite verbatim. Catalyst
   * plans the wrap as the rn=1 filter over one Window and the
   * rank-limit pushdown applies (partial per-key top-1 below the
-  * shuffle).
+  * shuffle). Each ORDER BY item's expression is materialized as a
+  * HELPER column inside the wrap, so the outer sort works even when
+  * the sort key is not in the projection — Postgres/DuckDB's hidden-
+  * sort-key semantics (`SELECT DISTINCT ON (a) a, b FROM t ORDER BY
+  * a, c DESC` is legal; r11, found by the rewriter fuzz).
   *
   * Documented limits, each failing loudly: an ORDER BY is REQUIRED
   * (without it DISTINCT ON keeps an arbitrary row per key —
-  * irreproducible by design, so this extension refuses it); the final
-  * ORDER BY re-applies the same list, so order keys must survive the
-  * projection (Spark's analyzer rejects the rewrite otherwise, by
-  * construction).
+  * irreproducible by design, so this extension refuses it); positional
+  * ordinals are rejected (inside the injected OVER() an ordinal is a
+  * constant — the per-key pick would be silently arbitrary).
   */
 object DistinctOnSqlSyntax {
 
@@ -323,15 +328,53 @@ object DistinctOnSqlSyntax {
           if (ord.isEmpty) fail("empty ORDER BY list")
           val dcol = s"__graft_don_$idx"
           val alias = s"__graft_d_$idx"
+          // HIDDEN SORT KEYS (Postgres/DuckDB parity): the outer ORDER
+          // BY may reference columns the select list DROPPED, so each
+          // non-positional ORDER BY item's expression is materialized
+          // as a helper column in the inner select and the outer sort
+          // references the helper with the item's original direction
+          // modifiers (then * EXCEPT strips the helpers). A bare
+          // ordinal stays positional — the outer list has the same
+          // column order, and an ordinal inside OVER() would be a
+          // constant, not a position.
+          val items = PivotSqlSyntax.splitTop(ord)
+          val Mods = Set("ASC", "DESC", "NULLS", "FIRST", "LAST")
+          val parts = items.zipWithIndex.map { case (item, i) =>
+            val ievs = QualifySqlSyntax.events(item)
+            var e = ievs.length
+            while (e > 0 && ievs(e - 1).kind == 0 && Mods.contains(ievs(e - 1).up)) e -= 1
+            if (e == 0) fail(s"ORDER BY item has no expression: $item")
+            val exprEnd = if (e == ievs.length) item.length else ievs(e).pos
+            val expr = item.substring(0, exprEnd).trim
+            val mods = item.substring(exprEnd).trim
+            if (expr.matches("\\d+"))
+              // inside the injected OVER() an ordinal is a CONSTANT, so
+              // the per-key pick would be arbitrary — refuse loudly
+              // rather than silently mis-pick
+              fail("positional ORDER BY is not supported with DISTINCT ON " +
+                s"(ordinal $expr would be a constant inside the window) — " +
+                "spell the column or expression")
+            else {
+              val h = s"__graft_dord_${idx}_$i"
+              (Some(s"($expr\n) AS $h"),
+                if (mods.isEmpty) h else s"$h $mods")
+            }
+          }
+          val helperCols = parts.flatMap(_._1)
+          val helperNameList = parts.collect {
+            case (Some(_), outer) => outer.split("\\s+").head
+          }
+          val outerOrd = parts.map(_._2).mkString(", ")
           // newline before each continuation: see the QUALIFY rewrite —
           // a trailing `--` comment in user text must not swallow the
           // injected syntax
           sql = sql.substring(0, sel.pos) +
-            s"SELECT * EXCEPT ($dcol) FROM (SELECT " +
+            s"SELECT * EXCEPT (${(dcol +: helperNameList).mkString(", ")}) FROM (SELECT " +
             sql.substring(slStart, frm.pos).trim +
             s"\n, row_number() OVER (PARTITION BY $keys\nORDER BY $ord\n) AS $dcol\n" +
+            helperCols.map(h => s", $h\n").mkString +
             sql.substring(frm.pos, ord0.pos).trim + s"\n) $alias " +
-            s"WHERE $dcol = 1 ORDER BY $ord\n" + sql.substring(ordEnd)
+            s"WHERE $dcol = 1 ORDER BY $outerOrd\n" + sql.substring(ordEnd)
           idx += 1
       }
     }

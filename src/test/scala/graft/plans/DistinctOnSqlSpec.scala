@@ -16,11 +16,14 @@ class DistinctOnSqlSpec extends SparkFunSuite {
     val got = DistinctOnSqlSyntax.rewrite(
       "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v DESC")
     // whitespace-normalized: the rewrite inserts newlines before each
-    // generated continuation (comment-swallow defense)
+    // generated continuation (comment-swallow defense); sort keys are
+    // materialized as helper columns (hidden-sort-key support)
     assert(got.replaceAll("\\s+", " ").trim ==
-      "SELECT * EXCEPT (__graft_don_0) FROM (SELECT g, v , row_number() OVER " +
-        "(PARTITION BY g ORDER BY g, v DESC ) AS __graft_don_0 FROM t ) __graft_d_0 " +
-        "WHERE __graft_don_0 = 1 ORDER BY g, v DESC")
+      "SELECT * EXCEPT (__graft_don_0, __graft_dord_0_0, __graft_dord_0_1) " +
+        "FROM (SELECT g, v , row_number() OVER " +
+        "(PARTITION BY g ORDER BY g, v DESC ) AS __graft_don_0 , (g ) AS __graft_dord_0_0 " +
+        ", (v ) AS __graft_dord_0_1 FROM t ) __graft_d_0 " +
+        "WHERE __graft_don_0 = 1 ORDER BY __graft_dord_0_0, __graft_dord_0_1 DESC")
   }
 
   test("rewrite: plain DISTINCT and aggregate DISTINCT are left alone") {
@@ -37,7 +40,25 @@ class DistinctOnSqlSpec extends SparkFunSuite {
       "SELECT DISTINCT ON (a, b) a, b, v FROM t ORDER BY a, b, v LIMIT 3")
     val norm = got.replaceAll("\\s+", " ")
     assert(norm.contains("PARTITION BY a, b ORDER BY a, b, v"))
-    assert(norm.endsWith("ORDER BY a, b, v LIMIT 3"))
+    assert(norm.endsWith(
+      "ORDER BY __graft_dord_0_0, __graft_dord_0_1, __graft_dord_0_2 LIMIT 3"))
+  }
+
+  test("executed: a HIDDEN sort key (not in the projection) works — DuckDB parity") {
+    Seq(("A", 1L, 10L), ("A", 2L, 30L), ("A", 3L, 20L),
+      ("B", 4L, 5L), ("B", 5L, 50L))
+      .toDF("g", "id", "score").createOrReplaceTempView("don_hidden")
+    // pick each group's top-score row, but project only (g, id):
+    // `score` is a hidden sort key the old rewrite could not resolve
+    val got = spark.sql(
+      "SELECT DISTINCT ON (g) g, id FROM don_hidden ORDER BY g, score DESC, id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("A", 2L), ("B", 5L)), got.toString)
+    // positional ordinals fail LOUDLY (inside the injected OVER() an
+    // ordinal is a constant — the per-key pick would be arbitrary)
+    val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      "SELECT DISTINCT ON (g) g, id FROM don_hidden ORDER BY 1, 2 DESC"))
+    assert(e.getMessage.contains("positional"), e.getMessage)
   }
 
   test("rewrite: 'DISTINCT ON' inside strings/comments survives") {

@@ -131,11 +131,10 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     "star_exclude" -> "SELECT * EXCLUDE (o_prio) FROM fuzz_t WHERE § <> 'zz' ORDER BY o_orderkey",
     "star_replace" -> ("SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) " +
       "FROM fuzz_t WHERE § <> 'zz' ORDER BY o_orderkey"),
-    // ORDER BY restricted to projected columns: the subquery wrap
-    // cannot order by a column it dropped (loud UNRESOLVED_COLUMN —
-    // a documented divergence from DuckDB's laxer DISTINCT ON)
+    // o_totalprice is a HIDDEN sort key (not projected) — the helper-
+    // column materialization must resolve it (r11)
     "distinct_on" -> ("SELECT DISTINCT ON (o_prio) o_prio, o_orderkey FROM fuzz_t " +
-      "WHERE § <> 'zz' ORDER BY o_prio, o_orderkey"),
+      "WHERE § <> 'zz' ORDER BY o_prio, o_totalprice DESC, o_orderkey"),
     "pivot_static" -> ("PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
       "GROUP BY o_orderkey ORDER BY o_orderkey"),
     "asof_join" -> ("SELECT fuzz_e1.k, fuzz_e1.t, w, § AS tag FROM fuzz_e1 " +
