@@ -88,6 +88,18 @@ object GraphQueries {
         .select(col("a").as("v"), expr("1000000000000L div n").as("p"))
         .localCheckpoint(true)
       for (_ <- 1 to Iters) {
+        // shape audited at the 1000× scale point (500k nodes / 161M
+        // edges, r11): this two-broadcast chain over pinned blocks is
+        // both the fastest AND the only memory-stable variant on one
+        // box. Rejected with measurements: SHUFFLE_HASH hints on the
+        // node tables (−18% wall at 1000× but execution-memory OOM at
+        // larger heaps), pre-sorting the pinned edges (sorted blocks +
+        // shuffle data exceed storage, crashes), and folding deg into
+        // the rank table before the edge join (extra per-iteration
+        // broadcast chain: +40% at 100×, OOM at 1000×). Past the
+        // broadcast threshold the rank join falls to SMJ and per-edge
+        // cpu grows ~4× — single-node memory physics documented in
+        // SCALING.md; a cluster keeps nodes/partition cache-sized.
         p = edges.join(p, edges("a") === p("v")).join(deg, Seq("a"))
           .select(col("b"), expr("((85 * p) div 100) div deg").as("c"))
           .groupBy(col("b")).agg(sum("c").as("contrib"))
