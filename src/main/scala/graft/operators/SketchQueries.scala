@@ -321,9 +321,11 @@ object SketchQueries {
       // an identical subtree under both consumers, so Spark reuses it
       // (ReusedExchange) and the corpus-wide shingle explode runs once.
       // (Measured: a localCheckpoint here changed nothing — 2.9 s vs
-      // 3.1 s, within run noise; the 5.9 s task-CPU is the one genuine
-      // explode+distinct over the corpus, the audit's priced-in cost.)
-      val hs = documents(s, d).filter(col("source").isNotNull)
+      // 3.1 s, within run noise.) spread(): the fixture corpus arrives
+      // as ONE split and the shingle explode is the query's whole CPU —
+      // stage-profiled r11 at 2.4 + 1.8 s on two single-task map stages;
+      // at 100 TB the scan is thousands of splits and spread is a no-op.
+      val hs = TextQueries.spread(documents(s, d).filter(col("source").isNotNull))
         .select(col("source"), explode(shingle_hashes(col("text"), lit(12))).as("h"))
         .distinct()
       val skW = Window.partitionBy(col("source")).orderBy(col("h"))
