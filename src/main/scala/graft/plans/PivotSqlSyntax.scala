@@ -157,8 +157,25 @@ object PivotSqlSyntax {
       "— supported: string, integer, boolean, date, decimal")
   }
 
+  /** Drop comment spans from one IN-list item: `/* c */ 'B'` is the
+    * value 'B' — keeping the comment would leak it into the emitted
+    * FILTER and the output column NAME (fuzz find r11; DuckDB itself
+    * leaks in-list comment text into its pivot column names, a quirk
+    * not worth reproducing). */
+  private def stripItemComments(s: String): String = {
+    val spans = QualifySqlSyntax.commentSpans(s)
+    if (spans.isEmpty) s.trim
+    else {
+      val b = new java.lang.StringBuilder(s.length)
+      var i = 0
+      spans.foreach { case (st, en) => b.append(s, i, st); i = en }
+      b.append(s, i, s.length)
+      b.toString.trim
+    }
+  }
+
   private def fromInList(text: String): Seq[PivotValue] =
-    splitTop(text).map { lit =>
+    splitTop(text).map(stripItemComments).map { lit =>
       val name =
         if (lit.startsWith("'") && lit.endsWith("'") && lit.length >= 2)
           lit.substring(1, lit.length - 1).replace("''", "'")
@@ -497,8 +514,15 @@ object UnpivotSqlSyntax {
           val valueCol = sql.substring(evs(ii + 4).pos, evs(ii + 4).end)
           val tailStart =
             if (ii + 5 < evs.length) evs(ii + 5).pos else sql.length
-          if (sql.substring(evs(ii + 4).end,
-              math.min(tailStart, sql.length)).contains(","))
+          // comment-aware: a comma inside a comment after the VALUE
+          // column is prose, not a second melt column (fuzz find r11)
+          val afterValue = sql.substring(evs(ii + 4).end,
+            math.min(tailStart, sql.length))
+          val avSpans = QualifySqlSyntax.commentSpans(afterValue)
+          val commaOutside = afterValue.indices.exists(i =>
+            afterValue.charAt(i) == ',' &&
+              !avSpans.exists(s => i >= s._1 && i < s._2))
+          if (commaOutside)
             fail("one VALUE column only — multi-value melts are not supported")
           val rewritten = s"SELECT * FROM $fromSql UNPIVOT (`$valueCol` FOR " +
             s"`$nameCol` IN (${quoteFix(colsText)})) "

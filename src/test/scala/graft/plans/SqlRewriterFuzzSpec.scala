@@ -139,9 +139,16 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
       "GROUP BY o_orderkey ORDER BY o_orderkey"),
     "asof_join" -> ("SELECT fuzz_e1.k, fuzz_e1.t, w, § AS tag FROM fuzz_e1 " +
       "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
-      "ORDER BY fuzz_e1.k, fuzz_e1.t"))
+      "ORDER BY fuzz_e1.k, fuzz_e1.t"),
+    // statement-form UNPIVOT over a pivoted subquery (both rewriters in
+    // one text), and the DYNAMIC pivot (probe path) without IN
+    "unpivot" -> ("UNPIVOT (PIVOT fuzz_t ON o_prio IN ('A', 'B') USING count(*) " +
+      "GROUP BY o_orderkey) ON \"A\", \"B\" INTO NAME prio VALUE n " +
+      "ORDER BY o_orderkey, prio"),
+    "pivot_dynamic" -> ("PIVOT fuzz_t ON o_prio USING sum(o_orderkey) " +
+      "GROUP BY o_totalprice ORDER BY o_totalprice"))
 
-  test("P2: decorated extension statements execute identically to their plain twins (210 seeds)") {
+  test("P2: decorated extension statements execute identically to their plain twins (270 seeds)") {
     views
     Cores.foreach { case (name, core) =>
       val plain = spark.sql(core.replace("§", "'p'")).collect()
