@@ -5127,7 +5127,11 @@ object RelationalQueries {
     // inside a run of equal chars yields the same key, and duplicate
     // keys multiply join candidates quadratically per bucket (measured
     // 6.6 s → ~1 s at sf0.1 on the zero-padded customer ids)
-    val keys = names
+    // spread: the source arrives as a few input splits while the
+    // deletion-variant explode is the dominant CPU (stage-profiled r11:
+    // 3 tasks over a 29 MB scan carried the whole wall); at scale the
+    // scan is many splits and this is a no-op
+    val keys = graft.operators.TextQueries.spread(names)
       .select(col("name"),
         explode(sequence(lit(1), length(col("name")) + 1)).as("i"))
       .select(col("name"),
