@@ -421,18 +421,32 @@ object Hdf5 {
       var layout: Layout = null
       var filters: Seq[Filter] = Seq.empty
       messages(ohdrAddr).foreach {
-        case (0x0b, b) => // filter pipeline (v1): full description list
+        case (0x0b, b) => // filter pipeline: v1 (descriptions at 8,
+          // 8-padded names, odd-count pad) or v2 ('latest' format:
+          // descriptions at 2, no name field for id<256, no padding).
+          // Parsing v2 with the v1 layout would silently misread filter
+          // ids/client values → garbage decode, so dispatch on the
+          // version byte and fail loudly on anything else (r11 advisor).
+          val ver = b(0).toInt
+          require(ver == 1 || ver == 2,
+            s"$name: unsupported filter pipeline message version $ver")
           val nFilters = b(1).toInt
           val fb = Seq.newBuilder[Filter]
-          var p = 8
+          var p = if (ver == 1) 8 else 2
           var i = 0
-          while (i < nFilters && p + 8 <= b.length) {
+          while (i < nFilters && p + 6 <= b.length) {
             val id = u(b, p, 2).toInt
-            val nameLen = u(b, p + 2, 2).toInt
-            val nValues = u(b, p + 6, 2).toInt
-            val vOff = p + 8 + (nameLen + 7) / 8 * 8
+            val hasName = ver == 1 || id >= 256
+            val nameLen = if (hasName) u(b, p + 2, 2).toInt else 0
+            val hdr = if (hasName) 8 else 6
+            val nValues = u(b, p + hdr - 2, 2).toInt
+            val nameSpan =
+              if (ver == 1) (nameLen + 7) / 8 * 8 // 8-padded
+              else nameLen                        // v2: verbatim, unpadded
+            val vOff = p + hdr + nameSpan
             fb += Filter(id, (0 until nValues).map(v => u(b, vOff + 4 * v, 4).toInt))
-            p = vOff + nValues * 4 + (if (nValues % 2 == 1) 4 else 0)
+            p = vOff + nValues * 4 +
+              (if (ver == 1 && nValues % 2 == 1) 4 else 0) // v2: no pad
             i += 1
           }
           filters = fb.result()

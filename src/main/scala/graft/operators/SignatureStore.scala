@@ -1563,6 +1563,12 @@ object SignatureStore {
   def ensureBm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val base = defaultBase(spark, sfDir)
+    // this face is swapDir-maintained ([[refreshBm25TopK]]): a crash in
+    // the park→rename window leaves the snapshot at `_bak` while a
+    // same-session probeMemo pin on the marker would skip the rebuild
+    // and fail on the missing directory — restore the park FIRST, like
+    // [[readClusters]] (r11 advisor)
+    recoverFromBak(spark, bm25TopkDir(base))
     val marker = new Path(s"${bm25TopkDir(base)}/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sealedMarkerExists(spark, marker.toString))

@@ -252,7 +252,10 @@ object PivotSqlSyntax {
     // hypothetical reentrant parse cannot clobber its caller's cycle
     val outer = cycleMemo.get()
     cycleMemo.set(scala.collection.concurrent.TrieMap.empty)
-    try rewriteImpl(sql0) finally cycleMemo.set(outer)
+    // remove() when there was no outer cycle: set(null) would leave a
+    // stale ThreadLocal entry on long-lived session pool threads
+    try rewriteImpl(sql0)
+    finally if (outer == null) cycleMemo.remove() else cycleMemo.set(outer)
   }
 
   private def rewriteImpl(sql0: String): String = {

@@ -341,9 +341,28 @@ object DistinctOnSqlSyntax {
           val Mods = Set("ASC", "DESC", "NULLS", "FIRST", "LAST")
           val parts = items.zipWithIndex.map { case (item, i) =>
             val ievs = QualifySqlSyntax.events(item)
+            // Quoted identifiers, literals and operators emit NO events,
+            // so "content before position p" must be checked on the raw
+            // text (comments excluded): `ORDER BY "Weird Col" DESC` has
+            // only the DESC event, and a bare column legally named
+            // `first`/`desc` has only a Mods-word event — neither may be
+            // stripped down to an empty expression (r11 advisor).
+            val ispans = QualifySqlSyntax.commentSpans(item)
+            def contentBefore(p: Int): Boolean = {
+              var c = 0
+              var found = false
+              while (c < p && !found) {
+                if (!item.charAt(c).isWhitespace &&
+                    !ispans.exists(s => s._1 <= c && c < s._2)) found = true
+                c += 1
+              }
+              found
+            }
             var e = ievs.length
-            while (e > 0 && ievs(e - 1).kind == 0 && Mods.contains(ievs(e - 1).up)) e -= 1
-            if (e == 0) fail(s"ORDER BY item has no expression: $item")
+            while (e > 0 && ievs(e - 1).kind == 0 && Mods.contains(ievs(e - 1).up) &&
+                   (e > 1 || contentBefore(ievs(0).pos))) e -= 1
+            if (e == 0 && !contentBefore(item.length))
+              fail(s"ORDER BY item has no expression: $item")
             val exprEnd = if (e == ievs.length) item.length else ievs(e).pos
             val expr = item.substring(0, exprEnd).trim
             val mods = item.substring(exprEnd).trim
@@ -364,7 +383,11 @@ object DistinctOnSqlSyntax {
           val helperNameList = parts.collect {
             case (Some(_), outer) => outer.split("\\s+").head
           }
-          val outerOrd = parts.map(_._2).mkString(", ")
+          // "\n, " joint (the PIVOT emitter's newline rule): an item
+          // whose direction modifiers end in a `--` line comment lost
+          // its terminating newline to .trim — a ", " joint would bury
+          // every later sort key inside the comment (r11 advisor, high)
+          val outerOrd = parts.map(_._2).mkString("\n, ")
           // newline before each continuation: see the QUALIFY rewrite —
           // a trailing `--` comment in user text must not swallow the
           // injected syntax

@@ -38,6 +38,23 @@ class RankedResultsStoreSpec extends SparkFunSuite {
     assert(after == before)
   }
 
+  test("a crash in the refresh park→rename window is recoverable (r11 advisor)") {
+    import org.apache.hadoop.fs.Path
+    val before = rows(SignatureStore.ensureBm25TopK(spark, sfDir))
+    // simulate refreshBm25TopK dying between the park and the
+    // rename-in: live face parked at _bak, nothing in its place. The
+    // probeMemo still carries a positive pin on the _SUCCESS marker, so
+    // without recovery ensureBm25TopK would skip the rebuild and fail
+    // on the missing directory.
+    val base = SignatureStore.defaultBase(spark, sfDir)
+    val live = new Path(SignatureStore.bm25TopkDir(base))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(live, new Path(SignatureStore.bm25TopkDir(base) + "_bak")))
+    graft.util.Tables.evict(SignatureStore.bm25TopkDir(base))
+    val after = rows(SignatureStore.ensureBm25TopK(spark, sfDir))
+    assert(after == before, "ensureBm25TopK must restore the parked _bak")
+  }
+
   test("eval consumers read the face, never the postings store") {
     for (name <- Seq("search_snippet_window", "search_rank_overlap_rbo",
         "mine_hard_negatives", "hybrid_search_rrf")) {

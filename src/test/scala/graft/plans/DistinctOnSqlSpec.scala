@@ -23,7 +23,7 @@ class DistinctOnSqlSpec extends SparkFunSuite {
         "FROM (SELECT g, v , row_number() OVER " +
         "(PARTITION BY g ORDER BY g, v DESC ) AS __graft_don_0 , (g ) AS __graft_dord_0_0 " +
         ", (v ) AS __graft_dord_0_1 FROM t ) __graft_d_0 " +
-        "WHERE __graft_don_0 = 1 ORDER BY __graft_dord_0_0, __graft_dord_0_1 DESC")
+        "WHERE __graft_don_0 = 1 ORDER BY __graft_dord_0_0 , __graft_dord_0_1 DESC")
   }
 
   test("rewrite: plain DISTINCT and aggregate DISTINCT are left alone") {
@@ -41,7 +41,7 @@ class DistinctOnSqlSpec extends SparkFunSuite {
     val norm = got.replaceAll("\\s+", " ")
     assert(norm.contains("PARTITION BY a, b ORDER BY a, b, v"))
     assert(norm.endsWith(
-      "ORDER BY __graft_dord_0_0, __graft_dord_0_1, __graft_dord_0_2 LIMIT 3"))
+      "ORDER BY __graft_dord_0_0 , __graft_dord_0_1 , __graft_dord_0_2 LIMIT 3"))
   }
 
   test("executed: a HIDDEN sort key (not in the projection) works — DuckDB parity") {
@@ -66,6 +66,49 @@ class DistinctOnSqlSpec extends SparkFunSuite {
     assert(DistinctOnSqlSyntax.rewrite(lit) == lit)
     val cmt = "SELECT 1 -- DISTINCT ON (x)\nFROM t"
     assert(DistinctOnSqlSyntax.rewrite(cmt) == cmt)
+  }
+
+  test("a line comment after a modifier cannot swallow later sort keys (r11 advisor)") {
+    // the old ", " outer-ORDER-BY joint buried every key after the
+    // comment inside it — wrong row order and, with LIMIT, a wrong row
+    // set. Deterministic catch: strip comment spans from the REWRITTEN
+    // text and demand the later helper key is still live syntax.
+    val got = DistinctOnSqlSyntax.rewrite(
+      "SELECT DISTINCT ON (g) g, id FROM don_cmt " +
+        "ORDER BY g, score DESC -- latest\n, id DESC LIMIT 1")
+    val spans = QualifySqlSyntax.commentSpans(got)
+    val code = got.zipWithIndex.collect {
+      case (c, i) if !spans.exists(s => s._1 <= i && i < s._2) => c
+    }.mkString
+    val outer = code.substring(code.lastIndexOf("ORDER BY"))
+    assert(outer.replaceAll("\\s+", " ").startsWith(
+      "ORDER BY __graft_dord_0_0 , __graft_dord_0_1 DESC , __graft_dord_0_2 DESC"),
+      s"later sort keys lost to the comment:\n$got")
+    // and the statement executes with the tiebreaker in force
+    Seq(("A", 1L, 10L), ("A", 2L, 10L), ("B", 9L, 5L))
+      .toDF("g", "id", "score").createOrReplaceTempView("don_cmt")
+    val rows = spark.sql(
+      "SELECT DISTINCT ON (g) g, id FROM don_cmt " +
+        "ORDER BY g, score DESC -- latest\n, id DESC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("A", 2L), ("B", 9L)), rows.toString)
+  }
+
+  test("executed: bare columns named like modifiers and quoted identifiers sort (r11 advisor)") {
+    Seq(("A", 2L, 1L), ("A", 1L, 2L), ("B", 5L, 3L))
+      .toDF("g", "first", "Weird Col").createOrReplaceTempView("don_mods")
+    // `first` is a legal bare column — the trailing-modifier scan must
+    // not strip it down to an empty expression
+    val got = spark.sql(
+      "SELECT DISTINCT ON (g) g FROM don_mods ORDER BY g, first")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("A", "B"), got.toString)
+    // quoted identifiers emit no word events — with and without mods
+    val q = spark.sql(
+      "SELECT DISTINCT ON (g) g, `Weird Col` AS w FROM don_mods " +
+        "ORDER BY g, `Weird Col` DESC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(q == Seq(("A", 2L), ("B", 3L)), q.toString)
   }
 
   test("rewrite failures: missing ORDER BY, not after SELECT, no FROM") {

@@ -132,9 +132,12 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     "star_replace" -> ("SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) " +
       "FROM fuzz_t WHERE § <> 'zz' ORDER BY o_orderkey"),
     // o_totalprice is a HIDDEN sort key (not projected) — the helper-
-    // column materialization must resolve it (r11)
-    "distinct_on" -> ("SELECT DISTINCT ON (o_prio) o_prio, o_orderkey FROM fuzz_t " +
-      "WHERE § <> 'zz' ORDER BY o_prio, o_totalprice DESC, o_orderkey"),
+    // column materialization must resolve it (r11). Commas in the
+    // select list and ORDER BY are STANDALONE tokens so the decorator
+    // can land a line comment between a modifier and the following
+    // comma — the position the r11 advisor's comment-swallow bug hid in
+    "distinct_on" -> ("SELECT DISTINCT ON (o_prio) o_prio , o_orderkey FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY o_prio , o_totalprice DESC , o_orderkey"),
     "pivot_static" -> ("PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
       "GROUP BY o_orderkey ORDER BY o_orderkey"),
     "asof_join" -> ("SELECT fuzz_e1.k, fuzz_e1.t, w, § AS tag FROM fuzz_e1 " +
