@@ -187,8 +187,10 @@ object Tiff {
       }
       i += 1
     }
-    require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
-      s"unsupported TIFF compression $compression (uncompressed, LZW or deflate only)")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+        compression == 32773 || compression == 32946,
+      s"unsupported TIFF compression $compression " +
+        "(uncompressed, LZW, deflate or PackBits only)")
     require(predictor == 1 || predictor == 2 || predictor == 3,
       s"unsupported TIFF predictor $predictor (none, horizontal or floating-point)")
     require(samplesPerPixel == 1,
@@ -248,15 +250,16 @@ object Tiff {
     }
   }
 
-  /** One strip/tile: decompress (none / LZW / deflate) then undo the
-    * horizontal predictor when tag 317 = 2. */
+  /** One strip/tile: decompress (none / LZW / deflate / PackBits) then
+    * undo the horizontal predictor when tag 317 = 2. */
   private def decompressBlock(data: Array[Byte], off: Int, count: Int,
       outLen: Int, blockWidth: Int, info: Info): Array[Byte] = {
     blocksDecompressed.incrementAndGet()
     val raw = info.compression match {
-      case 1 => java.util.Arrays.copyOfRange(data, off, off + outLen)
-      case 5 => lzwDecode(data, off, count, outLen)
-      case _ => inflate(data, off, count, outLen)
+      case 1     => java.util.Arrays.copyOfRange(data, off, off + outLen)
+      case 5     => lzwDecode(data, off, count, outLen)
+      case 32773 => packBitsDecode(data, off, count, outLen)
+      case _     => inflate(data, off, count, outLen)
     }
     if (info.predictor == 2) unpredictHorizontal(raw, blockWidth, info)
     else if (info.predictor == 3) unpredictFloatingPoint(raw, blockWidth, info)
@@ -377,6 +380,46 @@ object Tiff {
       }
     }
     require(outPos >= outLen, s"LZW block decoded $outPos of $outLen bytes")
+    out
+  }
+
+  /** PackBits RLE (TIFF 6.0 §9, compression 32773 — the Macintosh
+    * run-length scheme): control byte n ∈ [0,127] copies the next n+1
+    * bytes literally; n ∈ [−127,−1] repeats the next byte 1−n times;
+    * −128 is a no-op. The most common wild-file TIFF codec after
+    * LZW/deflate — the reference's rasterio open delegates to libtiff,
+    * which accepts it (icecube/bin/sar_cube/grd_datacube.py:117-149).
+    * Runs never span the strip/tile boundary (each block is compressed
+    * independently), so decode is block-local like the other codecs;
+    * the final run may overshoot `outLen` on writers that pad the last
+    * row — copies clamp, mirroring [[lzwDecode]]. */
+  private[io] def packBitsDecode(data: Array[Byte], off: Int, count: Int,
+      outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    val end = off + count
+    var ip = off
+    var op = 0
+    while (op < outLen && ip < end) {
+      val n = data(ip)
+      ip += 1
+      if (n >= 0) {
+        val len = n + 1
+        require(ip + len <= end, s"PackBits literal run of $len overruns the block")
+        System.arraycopy(data, ip, out, op, math.min(len, outLen - op))
+        op += len
+        ip += len
+      } else if (n != -128) {
+        val len = 1 - n
+        require(ip < end, "PackBits replicate run lost its value byte")
+        val b = data(ip)
+        ip += 1
+        var i = 0
+        val m = math.min(len, outLen - op)
+        while (i < m) { out(op + i) = b; i += 1 }
+        op += len
+      }
+    }
+    require(op >= outLen, s"PackBits block decoded $op of $outLen bytes")
     out
   }
 

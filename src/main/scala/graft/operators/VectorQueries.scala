@@ -438,6 +438,17 @@ object VectorQueries {
   /** k-NN neighborhood size for `mine_bitext_margin`. */
   val BitextK = 4
 
+  /** Probed cells per side for `mine_bitext_margin_ann` (the IVF
+    * shortlist twin): with ceil(√N) centroids, nprobe=8 probes a
+    * shrinking FRACTION of cells as the corpus grows — the candidate
+    * mass is Θ(nprobe · N^1.5 / N^0.5·…) = sub-quadratic, vs the exact
+    * miner's N². Recall at this point is graded (not assumed) by
+    * `mine_bitext_ann_recall`; on the isotropic synthetic embeddings it
+    * decays with the probed fraction, which is the honest physics of
+    * clusterless data — real bitext corpora are the clustered case IVF
+    * exists for. */
+  val BitextNprobe = 8
+
   /** round(1e6/log₂(r+1)) for r = 1..10 — the standard nDCG discount
     * table as fixed ppm constants, plus its prefix sums (the ideal-DCG
     * values for 1..10 relevant). Shared by the Spark side and the
@@ -2017,6 +2028,50 @@ object VectorQueries {
         .select(col("vec_id").as("yid"), col("embedding").as("yv"))
       bitextMarginPairs(xs, ys).orderBy("xid")
     },
+
+    // ----- ANN-backed bitext mining: the IVF-shortlist twin -----
+    // The exact miner's X×Y score table was the suite's LAST live
+    // all-pairs plan (r11 verdict #1) — at 100× embeddings it is 10⁴×
+    // the pairs. This twin replaces it with the family's IVF machinery
+    // run in BOTH directions (each side probes the other side's cell
+    // bucketing, union of shortlists), then computes the exact
+    // integer margin chain over candidates only — the compositional-
+    // oracle trick: "exact margin over the ANN shortlist" is plain SQL,
+    // so DuckDB gates the whole approximate pipeline bit-for-bit.
+    // Recall vs the exact miner is MEASURED, not assumed:
+    // mine_bitext_ann_recall below.
+    "mine_bitext_margin_ann" -> QueryDef.sql(BitextAnnSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK)
+        .orderBy("xid")
+    },
+
+    // ----- The recall grade: ANN miner vs exact miner -----
+    // One audit row (the ann_recall_report pattern): how many of the
+    // exact miner's mutual-best pairs the shortlist twin recovers, and
+    // how many of its emissions are exact pairs. Runs BOTH chains by
+    // definition — this is the deliberately-expensive audit that
+    // justifies shipping the sub-quadratic twin, not a production path.
+    "mine_bitext_ann_recall" -> QueryDef.sql(BitextAnnRecallSql) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val xs = e.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+      val ys = e.filter(col("label") % 2 === 1)
+        .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+      val exact = bitextMarginPairs(xs, ys)
+        .select(col("xid").as("exid"), col("yid").as("eyid"))
+      val ann = bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK)
+        .select(col("xid").as("axid"), col("yid").as("ayid"))
+      exact.join(ann,
+          col("exid") === col("axid") && col("eyid") === col("ayid"), "full")
+        .agg(count(col("exid")).as("n_exact"),
+          count(col("axid")).as("n_ann"),
+          count(when(col("exid").isNotNull && col("axid").isNotNull, 1)).as("n_hits"))
+        .select(col("n_exact"), col("n_ann"), col("n_hits"),
+          expr("(1000000L * n_hits) div n_exact").as("recall_ppm"),
+          expr("CASE WHEN n_ann = 0 THEN 0L ELSE (1000000L * n_hits) div n_ann END")
+            .as("precision_ppm"))
+    },
   )
 
   /** Per-tier top-10 by cosine over the first `dim` embedding
@@ -2038,11 +2093,21 @@ object VectorQueries {
   /** Mutual-best margin pairs between an (xid, xv) and a (yid, yv) side
     * (Artetxe & Schwenk 2019, `ratio` variant); exposed for the planted
     * hubness spec. All-BIGINT after the one cosine→×1e6 conversion. */
-  def bitextMarginPairs(xs: DataFrame, ys: DataFrame, k: Int = BitextK): DataFrame = {
-    val c = xs.crossJoin(broadcast(ys))
-      .select(col("xid"), col("yid"),
-        round(score("xv", "yv") * 1000000).cast("long").as("c"))
-      .localCheckpoint()
+  def bitextMarginPairs(xs: DataFrame, ys: DataFrame, k: Int = BitextK): DataFrame =
+    bitextMarginOverScores(
+      xs.crossJoin(broadcast(ys))
+        .select(col("xid"), col("yid"),
+          round(score("xv", "yv") * 1000000).cast("long").as("c")),
+      k)
+
+  /** The margin tail shared by the exact miner and its IVF twin: from a
+    * (xid, yid, c) score table — full X×Y for the exact path, the ANN
+    * candidate shortlist for `mine_bitext_margin_ann` — compute both
+    * k-NN neighborhood sums, the 2k-scaled BIGINT margin, and the
+    * mutual-best filter. The score table is pinned once (THREE
+    * consumers: two neighborhood folds + the margin join). */
+  private[operators] def bitextMarginOverScores(scores: DataFrame, k: Int): DataFrame = {
+    val c = scores.localCheckpoint()
     val wx = Window.partitionBy(col("xid")).orderBy(col("c").desc, col("yid"))
     val wy = Window.partitionBy(col("yid")).orderBy(col("c").desc, col("xid"))
     val sx = c.withColumn("rn", row_number().over(wx)).filter(col("rn") <= k)
@@ -2064,6 +2129,54 @@ object VectorQueries {
       .filter(col("m") > 1000000)
       .select(col("xid"), col("yid"), col("c").as("cos_x1e6"),
         col("m").as("margin_x1e6"))
+  }
+
+  /** IVF-shortlisted (xid, yid, c) candidate scores for the ANN bitext
+    * miner — the sub-quadratic replacement for the exact miner's X×Y
+    * table (the suite's last live all-pairs plan, r11 verdict #1).
+    * ceil(√N) centroids (the first-√N-ids codebook, the family's
+    * deterministic convention scaled from the fixed-16 one); each side
+    * is bucketed by nearest centroid ONCE (max_by aggregation — map-side
+    * combinable, no window over the amplified product); each side then
+    * probes its [[BitextNprobe]] nearest cells of the OTHER side's
+    * bucketing, and the candidate set is the distinct union of both
+    * directions, so the mutual-best test sees every pair either
+    * direction can reach. Exact cosines attach to candidates via
+    * id-keyed equi-joins — floats touch shortlist-sized data only.
+    * Everything is declarative: ncent rides a broadcast one-row
+    * aggregate, no driver-side count. */
+  private[operators] def bitextAnnCandidateScores(e: DataFrame): DataFrame = {
+    val nc = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("ncent"))
+    val cents = e.crossJoin(broadcast(nc))
+      .filter(col("vec_id") < col("ncent"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val xs = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    val ys = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+    def assign(side: DataFrame, id: String, v: String): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .groupBy(col(id))
+        .agg(max_by(col("cent_id"),
+          struct(score(v, "cv"), -col("cent_id"))).as("cent_id"))
+    def probes(side: DataFrame, id: String, v: String): DataFrame = {
+      val rn = Window.partitionBy(col(id))
+        .orderBy(score(v, "cv").desc, col("cent_id"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") <= BitextNprobe)
+        .select(col(id), col("cent_id"))
+    }
+    val ax = assign(xs, "xid", "xv")
+    val ay = assign(ys, "yid", "yv")
+    val cand = probes(xs, "xid", "xv").join(ay, Seq("cent_id"))
+      .select(col("xid"), col("yid"))
+      .union(probes(ys, "yid", "yv").join(ax, Seq("cent_id"))
+        .select(col("xid"), col("yid")))
+      .distinct()
+    cand.join(xs, Seq("xid")).join(ys, Seq("yid"))
+      .select(col("xid"), col("yid"),
+        round(score("xv", "yv") * 1000000).cast("long").as("c"))
   }
 
   private lazy val BitextMarginSql: String =
@@ -2093,6 +2206,97 @@ object VectorQueries {
        |FROM fwd f JOIN bwd b ON b.xid = f.xid AND b.yid = f.yid
        |WHERE f.m > 1000000
        |ORDER BY f.xid""".stripMargin
+
+  /** The x/y side CTEs shared by every bitext oracle. */
+  private def bitextSidesSql: String =
+    """x AS (SELECT vec_id AS xid, embedding::DOUBLE[] AS xv
+      |      FROM embeddings WHERE label % 2 = 0),
+      |y AS (SELECT vec_id AS yid, embedding::DOUBLE[] AS yv
+      |      FROM embeddings WHERE label % 2 = 1)""".stripMargin
+
+  /** The IVF shortlist CTEs: ceil(√N) first-id centroids, per-side
+    * nearest-cell assignment and [[BitextNprobe]]-cell probes, distinct
+    * union of both probe directions, exact cosine on candidates only —
+    * score CTE comes out named `<p>c` for [[bitextMarginTailSql]]. */
+  private def bitextAnnScoreSql(p: String): String =
+    s"""nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncent FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+       |          FROM embeddings, nc WHERE vec_id < nc.ncent),
+       |ax AS (SELECT xid, cent_id FROM (
+       |  SELECT x.xid, c.cent_id, row_number() OVER (PARTITION BY x.xid
+       |    ORDER BY round(list_cosine_similarity(x.xv, c.cv), 6) DESC, c.cent_id) AS rn
+       |  FROM x, cents c) WHERE rn = 1),
+       |ay AS (SELECT yid, cent_id FROM (
+       |  SELECT y.yid, c.cent_id, row_number() OVER (PARTITION BY y.yid
+       |    ORDER BY round(list_cosine_similarity(y.yv, c.cv), 6) DESC, c.cent_id) AS rn
+       |  FROM y, cents c) WHERE rn = 1),
+       |px AS (SELECT xid, cent_id FROM (
+       |  SELECT x.xid, c.cent_id, row_number() OVER (PARTITION BY x.xid
+       |    ORDER BY round(list_cosine_similarity(x.xv, c.cv), 6) DESC, c.cent_id) AS rn
+       |  FROM x, cents c) WHERE rn <= $BitextNprobe),
+       |py AS (SELECT yid, cent_id FROM (
+       |  SELECT y.yid, c.cent_id, row_number() OVER (PARTITION BY y.yid
+       |    ORDER BY round(list_cosine_similarity(y.yv, c.cv), 6) DESC, c.cent_id) AS rn
+       |  FROM y, cents c) WHERE rn <= $BitextNprobe),
+       |cand AS (
+       |  SELECT px.xid, ay.yid FROM px JOIN ay ON ay.cent_id = px.cent_id
+       |  UNION
+       |  SELECT ax.xid, py.yid FROM py JOIN ax ON ax.cent_id = py.cent_id),
+       |${p}c AS (SELECT cand.xid, cand.yid,
+       |    CAST(round(1000000 * round(list_cosine_similarity(x.xv, y.yv), 6)) AS BIGINT) AS c
+       |  FROM cand JOIN x ON x.xid = cand.xid JOIN y ON y.yid = cand.yid)""".stripMargin
+
+  /** The Artetxe & Schwenk margin tail over a score CTE named `<p>c`:
+    * k-NN neighborhood sums, 2k-scaled BIGINT margin, mutual-best
+    * filter, threshold — mined pairs come out as CTE `<p>out`. Verbatim
+    * the [[BitextMarginSql]] tail, name-prefixed so two chains can ride
+    * one statement (the recall grader). */
+  private def bitextMarginTailSql(p: String): String =
+    s"""${p}sx AS (SELECT xid, CAST(sum(c) AS BIGINT) AS sx FROM (
+       |  SELECT xid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rn
+       |  FROM ${p}c) WHERE rn <= $BitextK GROUP BY xid),
+       |${p}sy AS (SELECT yid, CAST(sum(c) AS BIGINT) AS sy FROM (
+       |  SELECT yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rn
+       |  FROM ${p}c) WHERE rn <= $BitextK GROUP BY yid),
+       |${p}m AS (SELECT c.xid, c.yid, c.c, (${2 * BitextK}000000 * c.c) // (sx.sx + sy.sy) AS m
+       |  FROM ${p}c c JOIN ${p}sx sx ON sx.xid = c.xid JOIN ${p}sy sy ON sy.yid = c.yid
+       |  WHERE sx.sx + sy.sy > 0 AND c.c > 0),
+       |${p}fwd AS (SELECT xid, yid, c, m FROM (
+       |  SELECT m.*, row_number() OVER (PARTITION BY xid ORDER BY m DESC, yid) AS rn
+       |  FROM ${p}m m) WHERE rn = 1),
+       |${p}bwd AS (SELECT xid, yid FROM (
+       |  SELECT xid, yid, row_number() OVER (PARTITION BY yid ORDER BY m DESC, xid) AS rn
+       |  FROM ${p}m) WHERE rn = 1),
+       |${p}out AS (
+       |  SELECT f.xid, f.yid, f.c AS cos_x1e6, f.m AS margin_x1e6
+       |  FROM ${p}fwd f JOIN ${p}bwd b ON b.xid = f.xid AND b.yid = f.yid
+       |  WHERE f.m > 1000000)""".stripMargin
+
+  private lazy val BitextAnnSql: String =
+    s"""WITH $bitextSidesSql,
+       |${bitextAnnScoreSql("ann")},
+       |${bitextMarginTailSql("ann")}
+       |SELECT xid, yid, cos_x1e6, margin_x1e6 FROM annout ORDER BY xid""".stripMargin
+
+  private lazy val BitextAnnRecallSql: String =
+    s"""WITH $bitextSidesSql,
+       |exc AS (SELECT xid, yid,
+       |    CAST(round(1000000 * round(list_cosine_similarity(xv, yv), 6)) AS BIGINT) AS c
+       |  FROM x, y),
+       |${bitextMarginTailSql("ex")},
+       |${bitextAnnScoreSql("ann")},
+       |${bitextMarginTailSql("ann")},
+       |j AS (SELECT e.xid AS exid, a.xid AS axid
+       |      FROM exout e FULL OUTER JOIN annout a
+       |        ON a.xid = e.xid AND a.yid = e.yid)
+       |SELECT CAST(count(exid) AS BIGINT) AS n_exact,
+       |  CAST(count(axid) AS BIGINT) AS n_ann,
+       |  CAST(count(CASE WHEN exid IS NOT NULL AND axid IS NOT NULL THEN 1 END) AS BIGINT) AS n_hits,
+       |  (1000000 * count(CASE WHEN exid IS NOT NULL AND axid IS NOT NULL THEN 1 END)) // count(exid) AS recall_ppm,
+       |  CASE WHEN count(axid) = 0 THEN 0
+       |       ELSE (1000000 * count(CASE WHEN exid IS NOT NULL AND axid IS NOT NULL THEN 1 END)) // count(axid)
+       |  END AS precision_ppm
+       |FROM j""".stripMargin
 }
 
 /** Deterministic random-hyperplane bank for the banded cosine LSH —

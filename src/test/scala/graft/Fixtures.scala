@@ -154,6 +154,35 @@ object Fixtures {
     out.toArray
   }
 
+  /** PackBits encoder (TIFF 6.0 §9): maximal replicate runs for ≥2
+    * equal bytes, literal runs otherwise, both capped at 128; a literal
+    * run ends early when a ≥3-byte replicate starts (the spec's
+    * break-even rule). */
+  def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < raw.length) {
+      var run = 1
+      while (i + run < raw.length && raw(i + run) == raw(i) && run < 128) run += 1
+      if (run >= 2) {
+        out += (1 - run).toByte
+        out += raw(i)
+        i += run
+      } else {
+        val start = i
+        i += 1
+        var done = false
+        while (!done && i < raw.length && i - start < 128) {
+          if (i + 2 < raw.length && raw(i) == raw(i + 1) && raw(i) == raw(i + 2)) done = true
+          else i += 1
+        }
+        out += (i - start - 1).toByte
+        out ++= raw.slice(start, i)
+      }
+    }
+    out.toArray
+  }
+
   /** Predictor 3 (float): shuffle each row's LE float32 bytes into
     * MSB-first significance planes, then byte-difference the row —
     * the TechNote-3 encode (what GDAL writes for compressed floats). */
@@ -188,10 +217,12 @@ object Fixtures {
   def writeTiff(path: String, p: Product, idx: Int, dtype: String = "uint16",
       withRpc: Boolean = true, compression: Int = 1,
       tiled: Option[(Int, Int)] = None, predictor: Int = 1,
-      bigtiff: Boolean = false): Unit = {
+      bigtiff: Boolean = false, bigendian: Boolean = false): Unit = {
     require(predictor == 1 || (predictor == 2 && dtype == "uint16")
         || (predictor == 3 && dtype == "float32"),
       "fixture writer: predictor 2 only for uint16, predictor 3 only for float32")
+    require(!bigendian || predictor == 1,
+      "fixture writer: the predictor differencers are little-endian only")
     // ASCII TIFF tags carry a trailing NUL; the reader must strip it
     val xml = gdalXml(p) + "\u0000"
     val xmlBytes = xml.getBytes(StandardCharsets.UTF_8)
@@ -204,7 +235,9 @@ object Fixtures {
     val rowsPerStrip = 4
     val nStrips = (p.az + rowsPerStrip - 1) / rowsPerStrip
 
-    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    val bo = if (bigendian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN
+    val hdr = if (bigendian) 'M'.toByte else 'I'.toByte
     case class Tag(id: Int, typ: Int, count: Int, data: Array[Byte])
     def shortTag(id: Int, v: Int) = {
       val b = java.nio.ByteBuffer.allocate(2).order(bo); b.putShort(v.toShort)
@@ -253,9 +286,10 @@ object Fixtures {
         case _ => raw0
       }
       compression match {
-        case 1 => raw
-        case 5 => lzwEncode(raw)
-        case _ =>
+        case 1     => raw
+        case 5     => lzwEncode(raw)
+        case 32773 => packBitsEncode(raw)
+        case _     =>
           val d = new java.util.zip.Deflater()
           d.setInput(raw); d.finish()
           val out = new Array[Byte](raw.length * 2 + 64)
@@ -312,7 +346,7 @@ object Fixtures {
     val total = stripsStart + stripLens.sum
     val buf = java.nio.ByteBuffer.allocate(total.toInt).order(bo)
     if (bigtiff) {
-      buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0).putLong(16)
+      buf.put(hdr).put(hdr).putShort(43).putShort(8).putShort(0).putLong(16)
       buf.putLong(tags.size.toLong)
       tags.foreach { case (t, off) =>
         buf.putShort(t.id.toShort).putShort(t.typ.toShort).putLong(t.count.toLong)
@@ -323,7 +357,7 @@ object Fixtures {
       }
       buf.putLong(0L) // next-IFD pointer
     } else {
-      buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      buf.put(hdr).put(hdr).putShort(42).putInt(8)
       buf.putShort(tags.size.toShort)
       tags.foreach { case (t, off) =>
         buf.putShort(t.id.toShort).putShort(t.typ.toShort).putInt(t.count)

@@ -31,8 +31,47 @@ class CodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("PackBits encode/decode roundtrips arbitrary byte content, incl. no-op bytes") {
+    val cases = samples(Gen.zip(Gen.choose(0, 4000), Gen.choose(2, 40)), 30, 0x9ACB5)
+    cases.foreach { case (n, alphabet) =>
+      val rng = new scala.util.Random(n * 37 + alphabet)
+      val raw = Array.fill(n)((rng.nextInt(alphabet) & 0xff).toByte)
+      val enc = graft.Fixtures.packBitsEncode(raw)
+      val dec = Tiff.packBitsDecode(enc, 0, enc.length, raw.length)
+      assert(dec.toSeq == raw.toSeq, s"n=$n alphabet=$alphabet")
+      // a −128 control byte is a no-op the decoder must skip (TIFF 6.0
+      // §9 says writers shouldn't emit it but readers must tolerate it)
+      val noop = Array((-128).toByte) ++ enc ++ Array((-128).toByte)
+      val dec2 = Tiff.packBitsDecode(noop, 0, noop.length, raw.length)
+      assert(dec2.toSeq == raw.toSeq, s"no-op injection broke n=$n")
+    }
+    // a literal run that overruns its block fails loudly
+    val bad = Array[Byte](5, 1, 2) // control promises 6 literals, 2 present
+    val e = intercept[IllegalArgumentException](Tiff.packBitsDecode(bad, 0, 3, 6))
+    assert(e.getMessage.contains("overruns"))
+  }
+
+  test("PackBits TIFF roundtrip: strip and tile layouts, both byte orders") {
+    val gen = Gen.zip(dims, Gen.oneOf(0, 1), Gen.oneOf(false, true))
+    samples(gen, 20, 0x9ACB6).foreach { case ((az, rg), tileFlag, be) =>
+      val tiled = if (tileFlag == 1) Some((5, 3)) else None
+      val p = graft.Fixtures.grdProducts.head.copy(az = az, rg = rg)
+      val dir = java.nio.file.Files.createTempDirectory("tifpb").toString
+      val path = s"$dir/${p.name}"
+      graft.Fixtures.writeTiff(path, p, idx = 1, compression = 32773,
+        tiled = tiled, bigendian = be)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val info = Tiff.fromBytes(bytes)
+      assert(info.compression == 32773 && info.littleEndian == !be)
+      val px = Tiff.decode(bytes, info).toSeq
+      assert(px.size == az * rg, s"dims=($az,$rg) tiled=$tiled be=$be")
+      assert(px.forall { case (a, r, v) => v == graft.Fixtures.pixelValue(1, a, r) },
+        s"dims=($az,$rg) tiled=$tiled be=$be")
+    }
+  }
+
   test("TIFF strip/tile × compression × predictor roundtrip on random shapes") {
-    val gen = Gen.zip(dims, Gen.oneOf(1, 5, 8), Gen.oneOf(0, 1))
+    val gen = Gen.zip(dims, Gen.oneOf(1, 5, 8, 32773), Gen.oneOf(0, 1))
     samples(gen, 25, 0xBEEF1).foreach { case ((az, rg), compression, tileFlag) =>
       val tiled = if (tileFlag == 1) Some((5, 3)) else None
       val p = graft.Fixtures.grdProducts.head.copy(az = az, rg = rg)
@@ -67,7 +106,7 @@ class CodecPropertiesSpec extends AnyFunSuite {
   }
 
   test("BigTIFF (magic 43) roundtrip across compression, layout, dtype and predictor") {
-    val gen = Gen.zip(dims, Gen.oneOf(1, 5, 8), Gen.oneOf(0, 1), Gen.oneOf(1, 2, 3))
+    val gen = Gen.zip(dims, Gen.oneOf(1, 5, 8, 32773), Gen.oneOf(0, 1), Gen.oneOf(1, 2, 3))
     samples(gen, 20, 0xB16B1).foreach { case ((az, rg), compression, tileFlag, predictor) =>
       val tiled = if (tileFlag == 1) Some((5, 3)) else None
       val dtype = if (predictor == 3) "float32" else "uint16"

@@ -118,6 +118,22 @@ class TiffStackSpec extends SparkFunSuite {
     }
   }
 
+  test("PackBits-compressed TIFF decodes pixel-exact (strip and tile, both byte orders)") {
+    val p = Fixtures.grdProducts.head
+    for (be <- Seq(false, true); tiled <- Seq(None, Some((6, 4)))) {
+      val path = s"${tmpDir("tifpackbits")}/${p.name}"
+      Fixtures.writeTiff(path, p, idx = 1, compression = 32773,
+        tiled = tiled, bigendian = be)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val info = Tiff.fromBytes(bytes)
+      assert(info.compression == 32773 && info.littleEndian == !be)
+      val px = Tiff.decode(bytes, info).toSeq
+      assert(px.size == 100, s"be=$be tiled=$tiled")
+      assert(px.forall { case (az, rg, v) => v == Fixtures.pixelValue(1, az, rg) },
+        s"be=$be tiled=$tiled")
+    }
+  }
+
   test("LZW-compressed TIFF decodes pixel-exact, with and without horizontal predictor") {
     val p = Fixtures.grdProducts.head
     for (predictor <- Seq(1, 2); tiled <- Seq(None, Some((6, 4)))) {

@@ -32,6 +32,48 @@ class BitextSpec extends SparkFunSuite {
     assert(rows.map(_.getAs[Long]("xid")).distinct.length == rows.length)
   }
 
+  test("ANN twin equals the exact miner when every cell is probed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 36 vectors → ncent = 6 ≤ nprobe = 8: both sides probe EVERY cell,
+    // the shortlist is the full X×Y product, and the twin must reproduce
+    // the exact miner bit-for-bit — isolating the margin tail from the
+    // pruning so any future candidate-generation change that breaks
+    // scoring (not just recall) fails loudly here
+    val rnd = new scala.util.Random(7)
+    val e = (0L until 36L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f), (i % 10).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val xs = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    val ys = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+    val exact = VectorQueries.bitextMarginPairs(xs, ys)
+      .collect().map(_.toSeq).toSet
+    val ann = VectorQueries.bitextMarginOverScores(
+      VectorQueries.bitextAnnCandidateScores(e), VectorQueries.BitextK)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty, "fixture must mine at least one pair")
+    assert(ann == exact, s"full-probe ANN must equal exact:\nann   $ann\nexact $exact")
+  }
+
+  test("the recall grade row is internally consistent at sf0.001") {
+    val row = VectorQueries.defs("mine_bitext_ann_recall")
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(row.length == 1)
+    val r = row.head
+    val (nExact, nAnn, nHits) =
+      (r.getAs[Long]("n_exact"), r.getAs[Long]("n_ann"), r.getAs[Long]("n_hits"))
+    assert(nExact > 0 && nAnn > 0)
+    assert(nHits <= math.min(nExact, nAnn))
+    assert(r.getAs[Long]("recall_ppm") == 1000000L * nHits / nExact)
+    assert(r.getAs[Long]("precision_ppm") == 1000000L * nHits / nAnn)
+    // the shortlist twin must actually find a usable share of the exact
+    // pairs at this scale (measured 787k ppm at sf0.01; guard at half)
+    assert(r.getAs[Long]("recall_ppm") >= 500000L,
+      s"ANN recall collapsed: ${r.getAs[Long]("recall_ppm")} ppm")
+  }
+
   test("a pair at margin exactly 1.0 is dropped even when mutually best") {
     import spark.implicits._
     // all four vectors share one direction (cosine is scale-invariant),
