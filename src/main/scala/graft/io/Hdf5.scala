@@ -621,6 +621,33 @@ object Hdf5 {
       buf
     }
 
+    /** Inflate with an unknown target length (deflate stacked above a
+      * data-dependent resizer like scaleoffset, whose packed size is
+      * only known from its own per-chunk header): grow until the stream
+      * finishes; the defilter pipeline's final rawLen check stays the
+      * loud corruption gate. */
+    private def inflateGrow(stored: Array[Byte], hint: Int, name: String): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(stored)
+      var buf = new Array[Byte](math.max(hint, 64))
+      var done = 0
+      var stalled = false
+      while (!inf.finished() && !stalled) {
+        if (done == buf.length) {
+          require(buf.length < (1 << 30),
+            s"$name: gzip'd chunk exceeds 1 GiB inflated — refusing to grow")
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        }
+        val n = inf.inflate(buf, done, buf.length - done)
+        stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
+        done += n
+      }
+      val finished = inf.finished()
+      inf.end()
+      require(finished, s"$name: truncated gzip'd chunk ($done bytes inflated)")
+      java.util.Arrays.copyOf(buf, done)
+    }
+
     /** HDF5's Fletcher-32 (H5checksum.c): big-endian 16-bit words,
       * 360-word blocks between modular reductions, odd trailing byte
       * high-padded. */
@@ -673,14 +700,220 @@ object Hdf5 {
       out
     }
 
+    /** Reverse the n-bit filter (id 5, H5Znbit.c): elements are packed
+      * MSB-first as `precision`-bit fields taken from bit span
+      * [offset, offset+precision) of each `size`-byte value; unpack each
+      * back into its byte position (bits outside the span are zero —
+      * n-bit is lossy there by definition). Atomic datatypes only
+      * (class 1); the reference's SLC products carry no array/compound
+      * n-bit data (`/root/reference/icecube/bin/sar_cube/slc_datacube.py:118-162`
+      * delegates whatever h5py accepts). cd layout (H5Z__set_local_nbit):
+      * [nparms, chunk nelmts, pass-through flag, class, size, order,
+      * precision, offset]. */
+    private def nbitDecode(stored: Array[Byte], rawLen: Int, cd: Seq[Int],
+        name: String): Array[Byte] = {
+      require(cd.length >= 3, s"$name: nbit filter with ${cd.length} client values")
+      if (cd(2) != 0) return stored // full-precision datatype: filter was a pass-through
+      require(cd.length >= 8 && cd(3) == 1,
+        s"$name: unsupported nbit datatype class ${cd.lift(3).getOrElse(-1)} (atomic only)")
+      val size = cd(4); val be = cd(5) != 0; val precision = cd(6); val offset = cd(7)
+      require(size > 0 && precision > 0 && precision + offset <= size * 8,
+        s"$name: nbit precision $precision + offset $offset exceeds ${size * 8} bits")
+      val n = rawLen / size
+      require(n * size == rawLen && cd(1) == n,
+        s"$name: nbit chunk of $rawLen bytes vs ${cd(1)} declared $size-byte elements")
+      val bits = n.toLong * precision
+      require(stored.length >= (bits + 7) / 8,
+        s"$name: nbit stream of ${stored.length} bytes for $bits packed bits — truncated")
+      val out = new Array[Byte](rawLen)
+      val dtLen = size * 8
+      var j = 0; var bufLen = 8
+      // one output byte k of one element: datLen significant bits at
+      // in-byte offset datOff, consumed MSB-first from the stream
+      // (H5Z__nbit_decompress_one_byte's begin/end split)
+      def takeByte(k: Int, begin: Int, end: Int): Int = {
+        var datLen = 8; var datOff = 0
+        if (begin != end) {
+          if (k == begin) datLen = 8 - (dtLen - precision - offset) % 8
+          else if (k == end) { datLen = 8 - offset % 8; datOff = offset % 8 }
+        } else { datOff = offset % 8; datLen = precision }
+        var v = 0
+        if (bufLen > datLen) {
+          v = ((stored(j) & 0xff) >>> (bufLen - datLen)) & ((1 << datLen) - 1)
+          bufLen -= datLen
+        } else {
+          v = ((stored(j) & 0xff) & ((1 << bufLen) - 1)) << (datLen - bufLen)
+          datLen -= bufLen
+          j += 1; bufLen = 8
+          if (datLen > 0) {
+            v |= ((stored(j) & 0xff) >>> (bufLen - datLen)) & ((1 << datLen) - 1)
+            bufLen -= datLen
+          }
+        }
+        v << datOff
+      }
+      var i = 0
+      while (i < n) {
+        val base = i * size
+        if (!be) { // LE: most-significant byte (begin) emitted first
+          val begin = if ((precision + offset) % 8 != 0) (precision + offset) / 8
+                      else (precision + offset) / 8 - 1
+          val end = offset / 8
+          var k = begin
+          while (k >= end) { out(base + k) = takeByte(k, begin, end).toByte; k -= 1 }
+        } else { // BE: byte 0 side holds the most-significant bits
+          val begin = (dtLen - precision - offset) / 8
+          val end = if (offset % 8 != 0) (dtLen - offset) / 8
+                    else (dtLen - offset) / 8 - 1
+          var k = begin
+          while (k <= end) { out(base + k) = takeByte(k, begin, end).toByte; k += 1 }
+        }
+        i += 1
+      }
+      out
+    }
+
+    /** Reverse the scale-offset filter (id 6, H5Zscaleoffset.c). Stored
+      * chunk = 21-byte header (minbits u32 LE, minval byte-width u8,
+      * minval LE) + either a verbatim copy (minbits == full width) or n
+      * values of minbits bits packed MSB-first. Integer path adds minval
+      * back (with the all-ones code reserved for the fill value when one
+      * is defined); float D-scale divides the shifted integer by
+      * 10^scaleFactor. E-scale (type 1) was never implemented by HDF5
+      * itself — loud error. cd layout: [scaleType, scaleFactor, chunk
+      * nelmts, class, size, sign, order, fillDefined, fill bytes
+      * LSB-first 4 per word...]. */
+    private def scaleoffsetDecode(stored: Array[Byte], rawLen: Int, cd: Seq[Int],
+        name: String): Array[Byte] = {
+      require(cd.length >= 8, s"$name: scaleoffset filter with ${cd.length} client values")
+      val scaleType = cd(0); val scaleFactor = cd(1); val dtClass = cd(3)
+      val size = cd(4); val be = cd(6) != 0; val fillDefined = cd(7) != 0
+      require(size >= 1 && size <= 8, s"$name: scaleoffset element size $size")
+      val n = rawLen / size
+      require(n * size == rawLen && cd(2) == n,
+        s"$name: scaleoffset chunk of $rawLen bytes vs ${cd(2)} declared $size-byte elements")
+      require(stored.length >= 13, s"$name: scaleoffset chunk under the 13-byte header")
+      var minbits = 0; { var i = 0; while (i < 4) { minbits |= (stored(i) & 0xff) << (8 * i); i += 1 } }
+      val minvalWidth = math.min(stored(4) & 0xff, 8)
+      var minval = 0L; { var i = 0; while (i < minvalWidth) { minval |= (stored(5 + i) & 0xffL) << (8 * i); i += 1 } }
+      val dataOff = 21
+      val out = new Array[Byte](rawLen)
+      if (minbits == size * 8) { // full-width chunk: verbatim, file byte order
+        require(stored.length >= dataOff + rawLen,
+          s"$name: scaleoffset full-width chunk truncated (${stored.length} bytes)")
+        System.arraycopy(stored, dataOff, out, 0, rawLen)
+        return out
+      }
+      require(minbits >= 0 && minbits < size * 8,
+        s"$name: scaleoffset minbits $minbits for a $size-byte element")
+      // unpack n zero-extended values of minbits bits, MSB-first (the
+      // per-byte begin_i..0 walk of H5Z__scaleoffset_decompress_one_atomic
+      // collapses to whole-value MSB-first order in both byte orders)
+      val vals = new Array[Long](n)
+      if (minbits > 0) {
+        require(stored.length - dataOff >= (n.toLong * minbits + 7) / 8,
+          s"$name: scaleoffset stream of ${stored.length} bytes for ${n.toLong * minbits} packed bits — truncated")
+        var j = dataOff; var bufLen = 8
+        var i = 0
+        while (i < n) {
+          var need = minbits
+          var v = 0L
+          while (need > 0) {
+            val tk = math.min(need, bufLen)
+            v = (v << tk) | (((stored(j) & 0xff) >>> (bufLen - tk)) & ((1 << tk) - 1))
+            bufLen -= tk; need -= tk
+            if (bufLen == 0) { j += 1; bufLen = 8 }
+          }
+          vals(i) = v
+          i += 1
+        }
+      }
+      val fillCode = if (minbits == 0) 0L else (1L << minbits) - 1
+      // fill value bytes sit LSB-first, 4 per cd word, from index 8
+      def fillBits: Long = {
+        var v = 0L; var b = 0
+        while (b < size && 8 + b / 4 < cd.length) {
+          v |= ((cd(8 + b / 4) >>> (8 * (b % 4))) & 0xffL) << (8 * b)
+          b += 1
+        }
+        v
+      }
+      def putVal(base: Int, bits: Long): Unit = {
+        var b = 0
+        while (b < size) {
+          val shift = if (be) 8 * (size - 1 - b) else 8 * b
+          out(base + b) = ((bits >>> shift) & 0xff).toByte
+          b += 1
+        }
+      }
+      (scaleType, dtClass) match {
+        case (2, 0) => // H5Z_SO_INT over integers: shift back by minval
+          val fill = if (fillDefined) fillBits else 0L
+          var i = 0
+          while (i < n) {
+            val dec = if (fillDefined && vals(i) == fillCode) fill else vals(i) + minval
+            putVal(i * size, dec)
+            i += 1
+          }
+        case (0, 1) => // H5Z_SO_FLOAT_DSCALE: (packed + minval) / 10^D
+          require(size == 4 || size == 8,
+            s"$name: scaleoffset D-scale element size $size (float32/float64 only)")
+          val p10 = math.pow(10.0, scaleFactor.toDouble)
+          val fill = if (fillDefined) fillBits else 0L
+          var i = 0
+          while (i < n) {
+            val bits =
+              if (fillDefined && vals(i) == fillCode) fill
+              else {
+                val x = (vals(i) + minval).toDouble / p10
+                if (size == 4) java.lang.Float.floatToIntBits(x.toFloat).toLong & 0xffffffffL
+                else java.lang.Double.doubleToLongBits(x)
+              }
+            putVal(i * size, bits)
+            i += 1
+          }
+        case (st, dc) =>
+          throw new IllegalArgumentException(
+            s"$name: unsupported scaleoffset scale type $st / datatype class $dc " +
+              "(supported: integer minimum-bits, float D-scale)")
+      }
+      out
+    }
+
     /** Run the chunk through the filter pipeline in REVERSE write
       * order: fletcher32 verifies and strips its 4-byte trailer,
-      * deflate inflates, shuffle de-interleaves byte planes. `mask`
-      * (from the chunk's B-tree key) bit i set = pipeline filter i was
-      * skipped for this chunk. `rawLen` = unfiltered chunk bytes. */
+      * deflate inflates, shuffle de-interleaves byte planes, nbit
+      * unpacks precision-truncated values, scaleoffset shifts packed
+      * offsets back. `mask` (from the chunk's B-tree key) bit i set =
+      * pipeline filter i was skipped for this chunk. `rawLen` =
+      * unfiltered chunk bytes. */
     private def defilterChunk(stored: Array[Byte], rawLen: Int,
         filters: Seq[Filter], mask: Int, elemSize: Int, name: String): Array[Byte] = {
       if (filters.isEmpty) return stored
+      // forward output length of filters 0..fi-1 over the raw chunk —
+      // the byte count entering reverse step fi; None once a
+      // data-dependent resizer (scaleoffset's per-chunk minbits, nested
+      // deflate) intervenes, in which case inflate runs in grow mode
+      // and the final rawLen require stays the loud gate
+      def lengthBelow(fi: Int): Option[Int] = {
+        var len: Option[Long] = Some(rawLen.toLong)
+        var k = 0
+        while (k < fi) {
+          if ((mask & (1 << k)) == 0) len = filters(k).id match {
+            case 3 => len.map(_ + 4) // fletcher32 trailer
+            case 2 => len            // shuffle preserves length
+            case 5 =>                // nbit: floor(bits/8)+1 (H5Z__nbit_compress)
+              val cdv = filters(k).clientValues
+              if (cdv.length > 2 && cdv(2) != 0) len // pass-through flag
+              else if (cdv.length >= 8 && cdv(3) == 1 && cdv(4) > 0)
+                len.map(l => l / cdv(4) * cdv(6) / 8 + 1)
+              else None
+            case _ => None
+          }
+          k += 1
+        }
+        len.map(_.toInt)
+      }
       var buf = stored
       var fi = filters.length - 1
       while (fi >= 0) {
@@ -698,19 +931,24 @@ object Hdf5 {
               f"$name: fletcher32 mismatch (stored 0x$le%08x, computed 0x$want%08x) — corrupt chunk")
             buf = java.util.Arrays.copyOfRange(buf, 0, dataLen)
           case 1 =>
-            // inflate target: rawLen plus 4 bytes per still-unstripped
-            // INNER fletcher32 (a checksum filter listed before deflate
-            // in write order leaves its trailer inside the compressed
-            // payload; h5py's order — shuffle, deflate, fletcher32 —
-            // makes this rawLen exactly)
-            val inner = (0 until fi).count(k =>
-              filters(k).id == 3 && (mask & (1 << k)) == 0)
-            buf = inflateBytes(buf, rawLen + 4 * inner, name)
+            buf = lengthBelow(fi) match {
+              case Some(e) => inflateBytes(buf, e, name)
+              case None    => inflateGrow(buf, rawLen, name)
+            }
           case 2 => // shuffle: client value 0 is the element size
             buf = unshuffle(buf, filters(fi).clientValues.headOption.getOrElse(elemSize))
+          case 5 =>
+            val outLen = lengthBelow(fi).getOrElse(throw new IllegalArgumentException(
+              s"$name: nbit stacked above a data-dependent filter"))
+            buf = nbitDecode(buf, outLen, filters(fi).clientValues, name)
+          case 6 =>
+            val outLen = lengthBelow(fi).getOrElse(throw new IllegalArgumentException(
+              s"$name: scaleoffset stacked above a data-dependent filter"))
+            buf = scaleoffsetDecode(buf, outLen, filters(fi).clientValues, name)
           case other =>
             throw new IllegalArgumentException(
-              s"$name: unsupported HDF5 filter id $other (supported: deflate, shuffle, fletcher32)")
+              s"$name: unsupported HDF5 filter id $other " +
+                "(supported: deflate, shuffle, fletcher32, nbit, scaleoffset)")
         }
         fi -= 1
       }

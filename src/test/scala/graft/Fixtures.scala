@@ -393,7 +393,19 @@ object Fixtures {
     * shuffle → deflate → fletcher32. */
   final case class H5F32(dims: Seq[Int], values: Array[Float],
       chunks: Option[(Int, Int)] = None, deflate: Boolean = false,
-      shuffle: Boolean = false, fletcher32: Boolean = false) extends H5Data
+      shuffle: Boolean = false, fletcher32: Boolean = false,
+      scaleoffset: Option[Int] = None) extends H5Data
+  /** Chunked int32 with the nbit / scaleoffset filter family. `nbit` =
+    * (precision, offset) truncation; `soMinbits` = Some(0) for the
+    * auto-minbits integer scale-offset, Some(n) for a fixed width;
+    * `soFill` mirrors h5py's default fillvalue=0 (fill defined). Write
+    * order mirrors HDF5's dcpl assembly: scaleoffset|nbit → shuffle →
+    * deflate → fletcher32. */
+  final case class H5I32C(dims: Seq[Int], values: Array[Int],
+      chunks: (Int, Int), nbit: Option[(Int, Int)] = None,
+      soMinbits: Option[Int] = None, soFill: Option[Int] = Some(0),
+      deflate: Boolean = false, shuffle: Boolean = false,
+      fletcher32: Boolean = false) extends H5Data
   final case class H5F64(dims: Seq[Int], values: Array[Double]) extends H5Data
   final case class H5I32(dims: Seq[Int], values: Array[Int]) extends H5Data
   final case class H5I64(dims: Seq[Int], values: Array[Long]) extends H5Data
@@ -458,6 +470,165 @@ object Fixtures {
     ((sum2 << 16) | sum1).toInt
   }
 
+  /** MSB-first bit appender for the nbit / scaleoffset packed streams. */
+  private final class H5BitWriter(capacity: Int) {
+    val buf = new Array[Byte](capacity)
+    private var j = 0
+    private var bufLen = 8 // unwritten bits left in buf(j)
+    def append(value: Long, nbits: Int): Unit = {
+      var need = nbits
+      while (need > 0) {
+        val tk = math.min(need, bufLen)
+        val chunk = ((value >>> (need - tk)) & ((1L << tk) - 1)).toInt
+        buf(j) = (buf(j) | (chunk << (bufLen - tk))).toByte
+        bufLen -= tk; need -= tk
+        if (bufLen == 0) { j += 1; bufLen = 8 }
+      }
+    }
+  }
+
+  /** Forward n-bit pack (HDF5 filter id 5) for LE atomic elements: per
+    * element, bytes begin→end (most-significant first), each
+    * contributing its significant-bit span [offset, offset+precision),
+    * appended MSB-first — H5Z__nbit_compress_one_atomic's walk, written
+    * independently of the reader's unpack. Output length is
+    * floor(bits/8)+1: H5Z__nbit_compress reports new_size+1
+    * unconditionally, so a stream ending on a byte boundary carries one
+    * trailing zero byte. */
+  def h5NbitPack(raw: Array[Byte], size: Int, precision: Int, offset: Int): Array[Byte] = {
+    val n = raw.length / size
+    val dtLen = size * 8
+    val outLen = (n.toLong * precision / 8 + 1).toInt
+    val w = new H5BitWriter(outLen + 1)
+    val begin = if ((precision + offset) % 8 != 0) (precision + offset) / 8
+                else (precision + offset) / 8 - 1
+    val end = offset / 8
+    var i = 0
+    while (i < n) {
+      var k = begin
+      while (k >= end) {
+        var datLen = 8; var datOff = 0
+        if (begin != end) {
+          if (k == begin) datLen = 8 - (dtLen - precision - offset) % 8
+          else if (k == end) { datLen = 8 - offset % 8; datOff = offset % 8 }
+        } else { datOff = offset % 8; datLen = precision }
+        w.append(((raw(i * size + k) & 0xff) >>> datOff) & ((1 << datLen) - 1), datLen)
+        k -= 1
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(w.buf, outLen)
+  }
+
+  private def h5Log2Ceil(m: Long): Int = {
+    var v = 0; var lb = 1L; var x = m
+    while ({ x >>= 1; x != 0 }) { v += 1; lb <<= 1 }
+    if (m == lb) v else v + 1
+  }
+
+  /** 21-byte scale-offset chunk header (minbits u32 LE, minval width u8,
+    * minval LE, zero pad) followed by the packed stream. */
+  private def h5SoHeader(minbits: Int, minval: Long, packedBytes: Int): Array[Byte] = {
+    val out = new Array[Byte](21 + packedBytes)
+    var i = 0
+    while (i < 4) { out(i) = ((minbits >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out(4) = 8
+    i = 0
+    while (i < 8) { out(5 + i) = ((minval >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** Forward integer scale-offset (filter id 6, H5Z_SO_INT, int32 LE):
+    * per-chunk minbits/minval header + (v − min) packed MSB-first; the
+    * all-ones code is reserved for the fill value when one is defined
+    * (H5Z_scaleoffset_precompress_2: auto minbits = ⌈log2(span+2)⌉ with
+    * fill, ⌈log2(span+1)⌉ without). minbitsFixed = 0 → auto. */
+  def h5SoPackInt(values: Array[Int], minbitsFixed: Int, fill: Option[Int]): Array[Byte] = {
+    val n = values.length
+    var found = false; var mn = 0; var mx = 0
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      if (!fill.contains(v)) {
+        if (!found) { mn = v; mx = v; found = true }
+        else { if (v < mn) mn = v; if (v > mx) mx = v }
+      }
+      i += 1
+    }
+    val span = mx.toLong - mn.toLong + 1
+    val minbits =
+      if (minbitsFixed > 0) minbitsFixed
+      else if (fill.isDefined) h5Log2Ceil(span + 1)
+      else h5Log2Ceil(span)
+    require(minbits <= 32, s"scale-offset span too wide ($span)")
+    if (minbits == 32) { // full width: verbatim LE copy after the header
+      val out = h5SoHeader(32, mn.toLong, n * 4)
+      val b = java.nio.ByteBuffer.wrap(out, 21, n * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      values.foreach(b.putInt)
+      out
+    } else {
+      val packedBytes = ((n.toLong * minbits + 7) / 8).toInt
+      val out = h5SoHeader(minbits, mn.toLong, packedBytes)
+      if (minbits > 0) {
+        val w = new H5BitWriter(packedBytes + 1)
+        val mask = (1L << minbits) - 1
+        values.foreach { v =>
+          w.append(if (fill.contains(v)) mask else (v.toLong - mn.toLong) & mask, minbits)
+        }
+        System.arraycopy(w.buf, 0, out, 21, packedBytes)
+      }
+      out
+    }
+  }
+
+  /** Forward float D-scale scale-offset (H5Z_SO_FLOAT_DSCALE, float32
+    * LE): scale by 10^D as a FLOAT product, llroundf (half away from
+    * zero), shift by the rounded minimum, pack minbits-wide; fill (when
+    * defined) reserves the all-ones code
+    * (H5Z_scaleoffset_precompress_3). */
+  def h5SoPackF32(values: Array[Float], scale: Int, fill: Option[Float]): Array[Byte] = {
+    val p10 = math.pow(10.0, scale).toFloat
+    def llround(x: Float): Long = {
+      val y = (x * p10).toDouble
+      if (y >= 0) math.floor(y + 0.5).toLong else math.ceil(y - 0.5).toLong
+    }
+    val n = values.length
+    var found = false; var mnF = 0.0f; var mxF = 0.0f
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      if (!fill.contains(v)) {
+        if (!found) { mnF = v; mxF = v; found = true }
+        else { if (v < mnF) mnF = v; if (v > mxF) mxF = v }
+      }
+      i += 1
+    }
+    val minval = llround(mnF)
+    val span = llround(mxF) - minval + 1
+    val minbits =
+      if (fill.isDefined) h5Log2Ceil(span + 1)
+      else h5Log2Ceil(span)
+    require(minbits <= 32, s"D-scale span too wide ($span)")
+    if (minbits == 32) { // full width: raw float bits verbatim
+      val out = h5SoHeader(32, minval, n * 4)
+      val b = java.nio.ByteBuffer.wrap(out, 21, n * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      values.foreach(b.putFloat)
+      out
+    } else {
+      val packedBytes = ((n.toLong * minbits + 7) / 8).toInt
+      val out = h5SoHeader(minbits, minval, packedBytes)
+      if (minbits > 0) {
+        val w = new H5BitWriter(packedBytes + 1)
+        val mask = (1L << minbits) - 1
+        values.foreach { v =>
+          w.append(if (fill.contains(v)) mask else (llround(v) - minval) & mask, minbits)
+        }
+        System.arraycopy(w.buf, 0, out, 21, packedBytes)
+      }
+      out
+    }
+  }
+
   private def dtypeBody(d: H5Data): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     d match {
@@ -470,6 +641,9 @@ object Fixtures {
         b.putShort(0).putShort(64).put(0.toByte).put(52.toByte).put(11.toByte)
           .put(0.toByte).put(52.toByte).put(0.toByte).putShort(0).putInt(1023)
       case H5I32(_, _) =>
+        b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
+        b.putShort(0).putShort(32)
+      case _: H5I32C =>
         b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
         b.putShort(0).putShort(32)
       case H5I64(_, _) =>
@@ -486,6 +660,7 @@ object Fixtures {
 
   private def h5dims(d: H5Data): Seq[Int] = d match {
     case f: H5F32 => f.dims
+    case f: H5I32C => f.dims
     case H5F64(dm, _)  => dm
     case H5I32(dm, _)  => dm
     case H5I64(dm, _)  => dm
@@ -496,8 +671,12 @@ object Fixtures {
   private def h5dataBytes(d: H5Data): Array[Byte] = {
     val bo = java.nio.ByteOrder.LITTLE_ENDIAN
     d match {
-      case H5F32(_, vs, _, _, _, _) =>
+      case f: H5F32 =>
+        val vs = f.values
         val b = java.nio.ByteBuffer.allocate(vs.length * 4).order(bo); vs.foreach(b.putFloat); b.array()
+      case f: H5I32C => // always chunked; bytes only feed per-chunk slicing
+        val b = java.nio.ByteBuffer.allocate(f.values.length * 4).order(bo)
+        f.values.foreach(b.putInt); b.array()
       case H5F64(_, vs) =>
         val b = java.nio.ByteBuffer.allocate(vs.length * 8).order(bo); vs.foreach(b.putDouble); b.array()
       case H5I32(_, vs) =>
@@ -567,25 +746,67 @@ object Fixtures {
       dfl.end()
       java.util.Arrays.copyOf(out, n)
     }
-    /** Chunked F32: (origin, stored chunk bytes); edge chunks zero-padded
-      * to full chunk size (HDF5 stores full chunks). The filter pipeline
-      * applies in h5py's write order: shuffle → deflate → fletcher32. */
-    def chunksOf(f: H5F32): Seq[(Seq[Long], Array[Byte])] = {
-      val Some((ch, cw)) = f.chunks
-      val Seq(az, rg) = f.dims
+    def isChunked(d: H5Data): Boolean = d match {
+      case f: H5F32  => f.chunks.isDefined
+      case _: H5I32C => true
+      case _         => false
+    }
+    def chunkGrid(d: H5Data): (Int, Int, Int, Int) = d match { // (az, rg, ch, cw)
+      case f: H5F32  => val Some((ch, cw)) = f.chunks; (f.dims(0), f.dims(1), ch, cw)
+      case f: H5I32C => (f.dims(0), f.dims(1), f.chunks._1, f.chunks._2)
+      case _ => throw new IllegalArgumentException("not chunked")
+    }
+    /** Chunked datasets: (origin, stored chunk bytes); edge chunks
+      * zero-padded to full chunk size (HDF5 stores full chunks). The
+      * filter pipeline applies in HDF5's dcpl order: scaleoffset|nbit →
+      * shuffle → deflate → fletcher32 (h5py applies scale-offset before
+      * shuffle/compression; the checksum goes last). Scale-offset
+      * headers are per-chunk, so auto minbits varies chunk to chunk. */
+    def chunksOf(d: H5Data): Seq[(Seq[Long], Array[Byte])] = {
+      val (az, rg, ch, cw) = chunkGrid(d)
       for {
         c0 <- 0 until (az + ch - 1) / ch
         c1 <- 0 until (rg + cw - 1) / cw
       } yield {
-        val b = java.nio.ByteBuffer.allocate(ch * cw * 4).order(bo)
-        for { a <- 0 until ch; r <- 0 until cw } {
-          val ga = c0 * ch + a; val gr = c1 * cw + r
-          b.putFloat(if (ga < az && gr < rg) f.values(ga * rg + gr) else 0.0f)
+        var st: Array[Byte] = null
+        var shuffle = false; var deflate = false; var fletcher = false
+        d match {
+          case f: H5F32 =>
+            shuffle = f.shuffle; deflate = f.deflate; fletcher = f.fletcher32
+            val vals = new Array[Float](ch * cw)
+            for { a <- 0 until ch; r <- 0 until cw } {
+              val ga = c0 * ch + a; val gr = c1 * cw + r
+              vals(a * cw + r) = if (ga < az && gr < rg) f.values(ga * rg + gr) else 0.0f
+            }
+            f.scaleoffset match {
+              case Some(sc) => st = h5SoPackF32(vals, sc, Some(0.0f))
+              case None =>
+                val b = java.nio.ByteBuffer.allocate(ch * cw * 4).order(bo)
+                vals.foreach(b.putFloat)
+                st = b.array()
+            }
+          case f: H5I32C =>
+            require(f.nbit.isEmpty || f.soMinbits.isEmpty,
+              "nbit and scaleoffset both pack — pick one per dataset")
+            shuffle = f.shuffle; deflate = f.deflate; fletcher = f.fletcher32
+            val vals = new Array[Int](ch * cw)
+            for { a <- 0 until ch; r <- 0 until cw } {
+              val ga = c0 * ch + a; val gr = c1 * cw + r
+              vals(a * cw + r) = if (ga < az && gr < rg) f.values(ga * rg + gr) else 0
+            }
+            f.soMinbits match {
+              case Some(mb) => st = h5SoPackInt(vals, mb, f.soFill)
+              case None =>
+                val b = java.nio.ByteBuffer.allocate(ch * cw * 4).order(bo)
+                vals.foreach(b.putInt)
+                st = b.array()
+                f.nbit.foreach { case (prec, off) => st = h5NbitPack(st, 4, prec, off) }
+            }
+          case _ => throw new IllegalArgumentException("not chunked")
         }
-        var st = b.array()
-        if (f.shuffle) st = h5Shuffle(st, 4)
-        if (f.deflate) st = deflateBytes(st)
-        if (f.fletcher32) {
+        if (shuffle) st = h5Shuffle(st, 4)
+        if (deflate) st = deflateBytes(st)
+        if (fletcher) {
           val ck = h5Fletcher32(st)
           st = st ++ Array[Byte](ck.toByte, (ck >>> 8).toByte,
             (ck >>> 16).toByte, (ck >>> 24).toByte)
@@ -594,19 +815,41 @@ object Fixtures {
       }
     }
     def dataBytes(d: H5Data): Array[Byte] = h5dataBytes(d)
-    def isChunked(d: H5Data): Boolean = d match {
-      case f: H5F32 => f.chunks.isDefined
-      case _        => false
+    /** (id, client values) pipeline entries in write order. */
+    def pipelineOf(d: H5Data): Seq[(Int, Seq[Int])] = {
+      val nelmts = if (isChunked(d)) { val (_, _, ch, cw) = chunkGrid(d); ch * cw } else 0
+      d match {
+        case f: H5F32 =>
+          // scaleoffset cd (H5Z__set_local_scaleoffset, 20 words):
+          // [scaleType, scaleFactor, nelmts, class, size, sign, order,
+          //  fillDefined, fill bytes LSB-first 4-per-word, zero pad]
+          f.scaleoffset.map(sc =>
+            (6, Seq(0, sc, nelmts, 1, 4, 0, 0, 1,
+              java.lang.Float.floatToIntBits(0.0f)) ++ Seq.fill(11)(0))).toSeq ++
+            Seq(
+              Option.when(f.shuffle)((2, Seq(4))),
+              Option.when(f.deflate)((1, Seq(6))),
+              Option.when(f.fletcher32)((3, Seq.empty[Int]))).flatten
+        case f: H5I32C =>
+          f.soMinbits.map(mb =>
+            (6, Seq(2, mb, nelmts, 0, 4, 1, 0, if (f.soFill.isDefined) 1 else 0,
+              f.soFill.getOrElse(0)) ++ Seq.fill(11)(0))).toSeq ++
+            // nbit cd (H5Z__set_local_nbit, atomic): [nparms, nelmts,
+            //  pass-through flag, class, size, order, precision, offset]
+            f.nbit.map { case (prec, off) =>
+              (5, Seq(8, nelmts, 0, 1, 4, 0, prec, off)) }.toSeq ++
+            Seq(
+              Option.when(f.shuffle)((2, Seq(4))),
+              Option.when(f.deflate)((1, Seq(6))),
+              Option.when(f.fletcher32)((3, Seq.empty[Int]))).flatten
+        case _ => Seq.empty
+      }
     }
-    def filterMsg(d: H5Data): Option[Array[Byte]] = d match {
-      case f: H5F32 if f.deflate || f.shuffle || f.fletcher32 =>
-        // write order mirrors h5py: shuffle (client value = elem size),
-        // deflate (client value = level), fletcher32 (none); builtin
-        // filters carry no name (name length 0)
-        val fs = Seq(
-          Option.when(f.shuffle)((2, Seq(4))),
-          Option.when(f.deflate)((1, Seq(6))),
-          Option.when(f.fletcher32)((3, Seq.empty[Int]))).flatten
+    def filterMsg(d: H5Data): Option[Array[Byte]] = {
+      // v1 filter pipeline message; builtin filters carry no name
+      val fs = pipelineOf(d)
+      if (fs.isEmpty) None
+      else {
         val size = 8 + fs.map { case (_, vs) =>
           8 + vs.size * 4 + (if (vs.size % 2 == 1) 4 else 0) }.sum
         val b = java.nio.ByteBuffer.allocate(size).order(bo)
@@ -617,7 +860,7 @@ object Fixtures {
           if (vs.size % 2 == 1) b.putInt(0)
         }
         Some(b.array())
-      case _ => None
+      }
     }
     def ohdrSize(n: String, d: H5Data): Int = {
       val dspace = 8 + 8 + dims(d).size * 8
@@ -644,15 +887,15 @@ object Fixtures {
     }.toMap
     cursor = (cursor + 7) / 8 * 8
     // chunk B-trees for chunked datasets
-    val btreeAddrs = sorted.collect { case (n, f: H5F32) if f.chunks.isDefined =>
-      val a = cursor; cursor += btreeSize(chunksOf(f).size); (n, a)
+    val btreeAddrs = sorted.collect { case (n, d) if isChunked(d) =>
+      val a = cursor; cursor += btreeSize(chunksOf(d).size); (n, a)
     }.toMap
     cursor = (cursor + 7) / 8 * 8
     val dataAddrs = sorted.filterNot(e => isChunked(e._2)).map { case (n, d) =>
       val a = cursor; cursor += pad8(dataBytes(d).length); (n, a)
     }.toMap
-    val chunkAddrs = sorted.collect { case (n, f: H5F32) if f.chunks.isDefined =>
-      val addrs = chunksOf(f).map { case (_, bytes) =>
+    val chunkAddrs = sorted.collect { case (n, d) if isChunked(d) =>
+      val addrs = chunksOf(d).map { case (_, bytes) =>
         val a = cursor; cursor += pad8(bytes.length); a
       }
       (n, addrs)
@@ -721,8 +964,7 @@ object Fixtures {
         buf.put(m)
       }
       if (isChunked(d)) {                                       // layout v3 chunked
-        val f = d.asInstanceOf[H5F32]
-        val Some((ch, cw)) = f.chunks
+        val (_, _, ch, cw) = chunkGrid(d)
         buf.putShort(0x08).putShort(24).putInt(0)
         buf.put(3.toByte).put(2.toByte).put(3.toByte)           // ver, class, ndims+1
         buf.putLong(btreeAddrs(n))
@@ -741,9 +983,9 @@ object Fixtures {
     }
     // chunk B-trees (single level-0 node, type 1)
     sorted.foreach {
-      case (n, f: H5F32) if f.chunks.isDefined =>
+      case (n, d) if isChunked(d) =>
         buf.position(btreeAddrs(n).toInt)
-        val cs = chunksOf(f)
+        val cs = chunksOf(d)
         buf.put("TREE".getBytes).put(1.toByte).put(0.toByte).putShort(cs.size.toShort)
         buf.putLong(Undef).putLong(Undef)
         cs.zip(chunkAddrs(n)).foreach { case ((origin, bytes), addr) =>
@@ -757,8 +999,7 @@ object Fixtures {
     // data blocks
     sorted.foreach { case (n, d) =>
       if (isChunked(d)) {
-        val f = d.asInstanceOf[H5F32]
-        chunksOf(f).zip(chunkAddrs(n)).foreach { case ((_, bytes), addr) =>
+        chunksOf(d).zip(chunkAddrs(n)).foreach { case ((_, bytes), addr) =>
           buf.position(addr.toInt)
           buf.put(bytes)
         }

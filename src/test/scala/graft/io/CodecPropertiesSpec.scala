@@ -161,4 +161,99 @@ class CodecPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("HDF5 nbit int32 chunks decode exact across precision/offset, incl. filter chains") {
+    // values carry bits only inside [offset, offset+precision) and keep
+    // the span's top bit clear, so the precision-lossy unpack must be
+    // value-exact; shuffle/gzip/fletcher32 stack above nbit like a
+    // low-level-HDF5 dcpl would order them
+    val gen = for {
+      (az, rg)  <- dims
+      ch        <- Gen.choose(1, 9)
+      cw        <- Gen.choose(1, 9)
+      precision <- Gen.choose(2, 31)
+      offset    <- Gen.choose(0, 32 - precision)
+      chain     <- Gen.zip(Gen.oneOf(false, true), Gen.oneOf(false, true), Gen.oneOf(false, true))
+    } yield (az, rg, ch, cw, precision, offset, chain)
+    samples(gen, 25, 0x5B17).foreach {
+      case (az, rg, ch, cw, precision, offset, (deflate, shuffle, fletcher)) =>
+        val rng = new scala.util.Random(az * 31 + rg * 7 + precision * 3 + offset)
+        val vals = Array.fill(az * rg)(
+          if (precision == 2) rng.nextInt(2) << offset
+          else (rng.nextInt(1 << math.min(precision - 1, 30))) << offset)
+        val dir = java.nio.file.Files.createTempDirectory("h5nbit").toString
+        graft.Fixtures.writeH5(s"$dir/x.h5", Seq(
+          "n" -> graft.Fixtures.H5I32C(Seq(az, rg), vals, chunks = (ch, cw),
+            nbit = Some((precision, offset)),
+            deflate = deflate, shuffle = shuffle, fletcher32 = fletcher)))
+        val f = Hdf5.fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/x.h5")))
+        val ds = f.dataset("n", f.rootEntries.toMap.apply("n"))
+        val got = f.readDoubles(ds).toSeq
+        assert(got == vals.map(_.toDouble).toSeq,
+          s"dims=($az,$rg) chunk=($ch,$cw) prec=$precision off=$offset chain=($deflate,$shuffle,$fletcher)")
+    }
+  }
+
+  test("HDF5 integer scale-offset decodes exact: auto + fixed minbits, negatives, fill=0") {
+    val gen = for {
+      (az, rg) <- dims
+      ch       <- Gen.choose(1, 9)
+      cw       <- Gen.choose(1, 9)
+      base     <- Gen.choose(-50000, 50000)
+      span     <- Gen.choose(1, 4000)
+      fixed    <- Gen.oneOf(0, 0, 24) // mostly auto; fixed width must fit span+fill
+      chain    <- Gen.zip(Gen.oneOf(false, true), Gen.oneOf(false, true))
+    } yield (az, rg, ch, cw, base, span, fixed, chain)
+    samples(gen, 25, 0x5CA1E).foreach {
+      case (az, rg, ch, cw, base, span, fixed, (deflate, fletcher)) =>
+        val rng = new scala.util.Random(az * 131 + rg * 17 + base)
+        // ~1 in 6 values is the h5py default fill (0) — exercises the
+        // reserved all-ones fill code next to real offsets
+        val vals = Array.fill(az * rg)(
+          if (rng.nextInt(6) == 0) 0 else base + rng.nextInt(span))
+        val dir = java.nio.file.Files.createTempDirectory("h5soint").toString
+        graft.Fixtures.writeH5(s"$dir/x.h5", Seq(
+          "s" -> graft.Fixtures.H5I32C(Seq(az, rg), vals, chunks = (ch, cw),
+            soMinbits = Some(fixed), deflate = deflate, fletcher32 = fletcher)))
+        val f = Hdf5.fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/x.h5")))
+        val ds = f.dataset("s", f.rootEntries.toMap.apply("s"))
+        val got = f.readDoubles(ds).toSeq
+        assert(got == vals.map(_.toDouble).toSeq,
+          s"dims=($az,$rg) chunk=($ch,$cw) base=$base span=$span fixed=$fixed chain=($deflate,$fletcher)")
+    }
+  }
+
+  test("HDF5 float D-scale scale-offset matches the llroundf-lossy expectation") {
+    val gen = for {
+      (az, rg) <- dims
+      ch       <- Gen.choose(1, 9)
+      cw       <- Gen.choose(1, 9)
+      scale    <- Gen.choose(0, 4)
+      chain    <- Gen.zip(Gen.oneOf(false, true), Gen.oneOf(false, true), Gen.oneOf(false, true))
+    } yield (az, rg, ch, cw, scale, chain)
+    samples(gen, 25, 0xD5CA1E).foreach {
+      case (az, rg, ch, cw, scale, (deflate, shuffle, fletcher)) =>
+        val rng = new scala.util.Random(az * 19 + rg * 3 + scale)
+        val vals = Array.fill(az * rg)(
+          if (rng.nextInt(6) == 0) 0.0f else (rng.nextInt(40000) - 20000) / 100.0f)
+        val p10 = math.pow(10.0, scale).toFloat
+        def llround(x: Float): Double = {
+          val y = (x * p10).toDouble
+          if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+        }
+        // fill (0.0f) survives exactly; everything else rounds to 10^-scale
+        val expect = vals.map(v =>
+          if (v == 0.0f) 0.0 else (llround(v) / p10.toDouble).toFloat.toDouble).toSeq
+        val dir = java.nio.file.Files.createTempDirectory("h5sof").toString
+        graft.Fixtures.writeH5(s"$dir/x.h5", Seq(
+          "d" -> graft.Fixtures.H5F32(Seq(az, rg), vals, chunks = Some((ch, cw)),
+            scaleoffset = Some(scale),
+            deflate = deflate, shuffle = shuffle, fletcher32 = fletcher)))
+        val f = Hdf5.fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/x.h5")))
+        val ds = f.dataset("d", f.rootEntries.toMap.apply("d"))
+        val got = f.readDoubles(ds).toSeq
+        assert(got == expect,
+          s"dims=($az,$rg) chunk=($ch,$cw) scale=$scale chain=($deflate,$shuffle,$fletcher)")
+    }
+  }
 }

@@ -272,6 +272,50 @@ class Hdf5StackSpec extends SparkFunSuite {
     assert(e.getMessage.contains("fletcher32"), e.getMessage)
   }
 
+  test("unsupported filter ids and corrupt scale-offset headers fail LOUD") {
+    val dir = tmpDir("h5loud")
+    // szip (id 4) is patent-encumbered and absent from ICEYE products —
+    // the reader must refuse it by name, never decode garbage. Patch the
+    // fletcher32-only pipeline's filter id (3 → 4) inside the v1 filter
+    // message: header 01 01 00*6 followed by the 8-byte description.
+    val sPath = s"$dir/szip.h5"
+    Fixtures.writeH5(sPath, Seq(
+      "d" -> Fixtures.H5F32(Seq(4, 4), Array.tabulate(16)(_.toFloat),
+        chunks = Some((4, 4)), fletcher32 = true)))
+    val sBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sPath))
+    val pat = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0, 3, 0)
+    val at = sBytes.indices.indexWhere(i =>
+      i + pat.length <= sBytes.length && pat.indices.forall(k => sBytes(i + k) == pat(k)))
+    assert(at > 0, "filter pipeline message not found")
+    sBytes(at + 8) = 4
+    val szF = Hdf5.fromBytes(sBytes)
+    val e1 = intercept[IllegalArgumentException] {
+      szF.readDoubles(szF.dataset("d", szF.rootEntries.toMap.apply("d")))
+    }
+    assert(e1.getMessage.contains("unsupported HDF5 filter id 4") &&
+      e1.getMessage.contains("scaleoffset"), e1.getMessage)
+
+    // scale-offset minbits beyond the element width: corrupt header →
+    // loud error, not an over-wide unpack. Values 1..16 (no fill) give
+    // minbits 5, packed 10 bytes → the single chunk is the file's last
+    // pad8(21+10)=32 bytes and its minbits byte leads it.
+    val cPath = s"$dir/sohdr.h5"
+    Fixtures.writeH5(cPath, Seq(
+      "s" -> Fixtures.H5I32C(Seq(4, 4), Array.tabulate(16)(_ + 1), chunks = (4, 4),
+        soMinbits = Some(0))))
+    val cBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cPath))
+    val okF = Hdf5.fromBytes(cBytes)
+    assert(okF.readDoubles(okF.dataset("s", okF.rootEntries.toMap.apply("s"))).toSeq ==
+      (1 to 16).map(_.toDouble))
+    val mut = cBytes.clone()
+    mut(mut.length - 32) = 0xff.toByte
+    val badF = Hdf5.fromBytes(mut)
+    val e2 = intercept[IllegalArgumentException] {
+      badF.readDoubles(badF.dataset("s", badF.rootEntries.toMap.apply("s")))
+    }
+    assert(e2.getMessage.contains("scaleoffset minbits 255"), e2.getMessage)
+  }
+
   test("SLC shape mismatch is a hard error (slc_datacube.py:136-142)") {
     val dir = tmpDir("h5badshape")
     Fixtures.slcProducts.zipWithIndex.foreach { case (p, idx) =>
