@@ -4287,6 +4287,91 @@ object RelationalQueries {
           |ORDER BY sg_id""".stripMargin)
     },
 
+    // ----- O33: WITH + statement-PIVOT + QUALIFY, composed -----
+    // The sharpest r12 composition gate (r11 verdict #3): a QUALIFY'd
+    // CTE consumed by a statement-form PIVOT whose body sits AFTER the
+    // WITH prelude — the position the PIVOT scanner silently missed
+    // until the multi-extension fuzz (SqlRewriterFuzzSpec P3) found it
+    // (the statement reached Spark's parser verbatim and failed on
+    // 'PIVOT'). Hostile comments ride at the prelude boundary and in
+    // the value list. DuckDB executes the identical composition
+    // natively. count(*) keeps the gate integer-exact.
+    "o33_with_pivot_qualify" -> QueryDef.sql(
+      """WITH c AS ( SELECT o_orderkey , o_orderpriority , o_totalprice /* PIVOT x ON y */
+        |FROM orders QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |ORDER BY o_totalprice DESC , o_orderkey) <= 20 ) -- QUALIFY trail
+        |PIVOT c ON o_orderpriority IN ('1-URGENT', '3-MEDIUM') USING count(*) /* tail */
+        |GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 40""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_wpq_orders")
+      s.sql(
+        """WITH c AS ( SELECT o_orderkey , o_orderpriority , o_totalprice /* PIVOT x ON y */
+          |FROM graft_wpq_orders QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+          |ORDER BY o_totalprice DESC , o_orderkey) <= 20 ) -- QUALIFY trail
+          |PIVOT c ON o_orderpriority IN ('1-URGENT', '3-MEDIUM') USING count(*) /* tail */
+          |GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 40""".stripMargin)
+    },
+
+    // ----- O34: DISTINCT ON + star EXCLUDE with a HIDDEN sort key -----
+    // Composition of the o32 hidden-sort-key semantics with the star
+    // modifier: the '*' stands after the `DISTINCT ON (keys)` prefix (a
+    // select-list position the star scanner rejected until fuzz P3 —
+    // the unrewritten EXCLUDE then reached Spark inside the DISTINCT ON
+    // wrap), and the EXCLUDED column o_totalprice is ALSO the pick's
+    // sort key, so the helper-column materialization and the star
+    // expansion must not fight over it. DuckDB runs its native forms
+    // verbatim.
+    "o34_distinct_on_exclude" -> QueryDef.sql(
+      """SELECT DISTINCT ON (o_orderpriority) * EXCLUDE (o_totalprice, o_custkey) -- EXCLUDE (trap)
+        |FROM orders WHERE o_orderstatus <> 'zz'
+        |ORDER BY o_orderpriority , o_totalprice DESC , o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_doe_orders")
+      s.sql(
+        """SELECT DISTINCT ON (o_orderpriority) * EXCLUDE (o_totalprice, o_custkey) -- EXCLUDE (trap)
+          |FROM graft_doe_orders WHERE o_orderstatus <> 'zz'
+          |ORDER BY o_orderpriority , o_totalprice DESC , o_orderkey""".stripMargin)
+    },
+
+    // ----- O35: ASOF JOIN + QUALIFY with table-QUALIFIED sort keys -----
+    // In DuckDB a QUALIFY'd SELECT is ONE query block, so its ORDER BY
+    // may use table-qualified names from the join; the QUALIFY rewrite
+    // wraps the block in a subquery whose alias hides those tables —
+    // fuzz P3 found the outer `ORDER BY p.sus` failing to resolve. The
+    // rewrite now materializes each QUALIFIED sort expression as a
+    // helper column inside the wrap (a qualified ref can never be a
+    // select-list alias, so inner resolution is exact); this gate runs
+    // the composition against DuckDB's native single-block semantics.
+    "o35_asof_qualify_qualified_order" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT event_id AS sg_id, user_id, epoch_us(ts) AS sus
+        |  FROM events WHERE event_type = 'signup'),
+        |e AS (
+        |  SELECT user_id AS r_user, epoch_us(ts) AS eus, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.sg_id, e.err_id, e.eus
+        |FROM p ASOF JOIN e ON p.user_id = e.r_user AND p.sus <= e.eus
+        |QUALIFY row_number() OVER (PARTITION BY e.r_user ORDER BY p.sus DESC , p.sg_id) <= 3
+        |ORDER BY e.r_user , p.sus DESC -- qualified tail
+        |, p.sg_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sg_id"), col("user_id"),
+          expr(Tables.epochUsFloorSql).as("sus"))
+        .createOrReplaceTempView("graft_aqq_sg")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), expr(Tables.epochUsFloorSql).as("eus"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("eus"))
+        .agg(max(col("event_id")).as("err_id"))
+        .select(col("user_id").as("r_user"), col("eus"), col("err_id"))
+        .createOrReplaceTempView("graft_aqq_err")
+      s.sql(
+        """SELECT p.sg_id, e.err_id, e.eus
+          |FROM graft_aqq_sg p ASOF JOIN graft_aqq_err e ON p.user_id = e.r_user AND p.sus <= e.eus
+          |QUALIFY row_number() OVER (PARTITION BY e.r_user ORDER BY p.sus DESC , p.sg_id) <= 3
+          |ORDER BY e.r_user , p.sus DESC -- qualified tail
+          |, p.sg_id""".stripMargin)
+    },
+
     // ----- O28: FROM-first under ADVERSARIAL text -----
     // The hostile-text gate for the seventh extension: FROM-first
     // NESTED inside a parenthesized FROM-first (both legal positions

@@ -111,6 +111,56 @@ object PivotSqlSyntax {
     } else fail("source must be a table name or a parenthesized subquery")
   }
 
+  /** If the statement opens with a complete `WITH` prelude (one or more
+    * CTE definitions), the index of the first event AFTER the prelude —
+    * the third position (besides statement start and directly after
+    * `(`) where DuckDB's grammar admits a statement-form PIVOT/UNPIVOT
+    * body (`WITH c AS (...) PIVOT c ON ...` — probe-verified DuckDB
+    * behavior, fuzz find r12). None when the statement doesn't start
+    * with WITH or the prelude doesn't parse as CTE definitions; a
+    * Spark FROM-clause `FROM (...) PIVOT (...)` inside a WITH statement
+    * never matches because its PIVOT is not AT the prelude end. */
+  private[plans] def withPreludeEnd(sql: String, evs: Vector[Ev]): Option[Int] = {
+    if (evs.isEmpty || evs(0).kind != 0 || evs(0).up != "WITH") return None
+    def skipParen(k0: Int): Option[Int] = {
+      // k0 at an open paren: index just past its matching close
+      val d = evs(k0).depth
+      var k = k0 + 1
+      while (k < evs.length && !(evs(k).kind == 2 && evs(k).depth == d)) k += 1
+      if (k >= evs.length) None else Some(k + 1)
+    }
+    // raw separator text with comments blanked (a `-- x` before the
+    // comma between two CTEs is ordinary separation)
+    def sep(from: Int, to: Int): String = {
+      val span = sql.substring(from, to)
+      val spans = QualifySqlSyntax.commentSpans(span)
+      span.indices.map(i =>
+        if (spans.exists(s => i >= s._1 && i < s._2)) ' '
+        else span.charAt(i)).mkString.trim
+    }
+    var k = 1
+    if (k < evs.length && evs(k).kind == 0 && evs(k).up == "RECURSIVE") k += 1
+    var more = true
+    while (more) {
+      if (k >= evs.length || evs(k).kind != 0) return None // CTE name
+      k += 1
+      if (k < evs.length && evs(k).kind == 1) // optional (col, ...) list
+        skipParen(k) match {
+          case Some(nk) => k = nk
+          case None     => return None
+        }
+      if (k >= evs.length || evs(k).kind != 0 || evs(k).up != "AS") return None
+      k += 1
+      if (k >= evs.length || evs(k).kind != 1) return None // AS (body)
+      skipParen(k) match {
+        case Some(nk) => k = nk
+        case None     => return None
+      }
+      more = k < evs.length && sep(evs(k - 1).end, evs(k).pos) == ","
+    }
+    if (k < evs.length) Some(k) else None
+  }
+
   /** Split raw text on commas at paren/quote depth 0 — comment-aware: a
     * comma inside a `--` or `/* */` comment is prose, not a separator
     * (found by SqlRewriterFuzzSpec: a block comment inside a REPLACE
@@ -264,15 +314,22 @@ object PivotSqlSyntax {
     var more = true
     while (more) {
       val evs = events(sql)
+      val prelude = withPreludeEnd(sql, evs)
       val ki = evs.indices.find { k =>
         val e = evs(k)
-        e.kind == 0 && e.up == "PIVOT" && (k == 0 || evs(k - 1).kind == 1)
+        e.kind == 0 && e.up == "PIVOT" &&
+          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k))
       }
       ki match {
         case None => more = false
         case Some(k) =>
           val piv = evs(k)
           val d = piv.depth
+          // statement-form body after a WITH prelude: the CTEs must
+          // prefix every bind-time probe, or a CTE-named source would
+          // resolve against the catalog instead of the prelude
+          val preludeSql =
+            if (prelude.contains(k)) sql.substring(0, piv.pos) + "\n" else ""
           val alias = s"__graft_piv_$idx"
           val (fromSql, afterSrc) = parseSource(sql, evs, k + 1, alias, fail)
           // ON <col>
@@ -358,7 +415,7 @@ object PivotSqlSyntax {
           // values: static list or eager probe (the DuckDB bind-time trick)
           val values = inValues.getOrElse {
             probeValues(session,
-              s"SELECT DISTINCT $colText AS __graft_piv_v FROM $fromSql " +
+              s"${preludeSql}SELECT DISTINCT $colText AS __graft_piv_v FROM $fromSql " +
                 s"WHERE $colText IS NOT NULL ORDER BY 1")
           }
 
@@ -366,7 +423,8 @@ object PivotSqlSyntax {
           val (keysSel, keysBy) = groupText match {
             case Some(g) => (g, g)
             case None =>
-              val fields = session.sql(s"SELECT * FROM $fromSql").schema.fieldNames.toSeq
+              val fields = session.sql(s"${preludeSql}SELECT * FROM $fromSql")
+                .schema.fieldNames.toSeq
               val used = exprWords(aggText) + colText.toUpperCase
               val keys = fields.filterNot(f => used.contains(f.toUpperCase))
               (keys.map(f => s"`$f`").mkString(", "),
@@ -486,9 +544,11 @@ object UnpivotSqlSyntax {
     var more = true
     while (more) {
       val evs = events(sql)
+      val prelude = PivotSqlSyntax.withPreludeEnd(sql, evs)
       val ki = evs.indices.find { k =>
         val e = evs(k)
-        e.kind == 0 && e.up == "UNPIVOT" && (k == 0 || evs(k - 1).kind == 1)
+        e.kind == 0 && e.up == "UNPIVOT" &&
+          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k))
       }
       ki match {
         case None => more = false
@@ -504,7 +564,15 @@ object UnpivotSqlSyntax {
           val ii = evs.indexWhere(
             e => e.kind == 0 && e.depth == d && e.up == "INTO", afterSrc + 1)
           if (ii < 0) fail("expected INTO NAME <col> VALUE <col>")
-          val colsText = sql.substring(evs(afterSrc).end, evs(ii).pos).trim
+          // comments BLANKED, not carried: the ON list is re-emitted on
+          // ONE line inside `IN (...)`, so a `--` comment between two
+          // columns would swallow the emitted closing parens (fuzz find
+          // r12, the o28 class inside the UNPIVOT emitter)
+          val colsRaw = sql.substring(evs(afterSrc).end, evs(ii).pos)
+          val colsSpans = QualifySqlSyntax.commentSpans(colsRaw)
+          val colsText = colsRaw.indices.map(i =>
+            if (colsSpans.exists(s => i >= s._1 && i < s._2)) ' '
+            else colsRaw.charAt(i)).mkString.trim
           if (colsText.isEmpty) fail("empty ON column list")
           if (ii + 3 >= evs.length ||
               evs(ii + 1).kind != 0 || evs(ii + 1).up != "NAME" ||

@@ -160,6 +160,61 @@ object QualifySqlSyntax {
     evs.result()
   }
 
+  /** Split one ORDER BY item into (expression text, trailing direction
+    * modifiers). Comment-aware on both sides (r11 advisor): quoted
+    * identifiers, literals and operators emit NO events, so "content
+    * before position p" is checked on the raw text — `ORDER BY
+    * "Weird Col" DESC` has only the DESC event, and a bare column
+    * legally named `first`/`desc` has only a Mods-word event; neither
+    * may be stripped down to an empty expression. Shared by the
+    * DISTINCT ON and QUALIFY hidden-sort-key materializers. */
+  private[plans] def splitOrderItem(item: String,
+      failF: String => Nothing): (String, String) = {
+    val Mods = Set("ASC", "DESC", "NULLS", "FIRST", "LAST")
+    val ievs = events(item)
+    val ispans = commentSpans(item)
+    def contentBefore(p: Int): Boolean = {
+      var c = 0
+      var found = false
+      while (c < p && !found) {
+        if (!item.charAt(c).isWhitespace &&
+            !ispans.exists(s => s._1 <= c && c < s._2)) found = true
+        c += 1
+      }
+      found
+    }
+    var e = ievs.length
+    while (e > 0 && ievs(e - 1).kind == 0 && Mods.contains(ievs(e - 1).up) &&
+           (e > 1 || contentBefore(ievs(0).pos))) e -= 1
+    if (e == 0 && !contentBefore(item.length))
+      failF(s"ORDER BY item has no expression: $item")
+    val exprEnd = if (e == ievs.length) item.length else ievs(e).pos
+    (item.substring(0, exprEnd).trim, item.substring(exprEnd).trim)
+  }
+
+  /** Does this ORDER BY expression contain a QUALIFIED column chain
+    * (`t.c`)? Checked on events so literals/comments can't fake one,
+    * and the left word must not be numeric (`1.5` is a literal, its
+    * digit runs ARE word events). A qualified ref cannot be a
+    * select-list alias, so materializing it inside the wrap is always
+    * semantics-preserving — unqualified items stay outside untouched
+    * (an alias there must keep resolving against the OUTPUT list). */
+  private[plans] def hasQualifiedRef(expr: String): Boolean = {
+    val evs = events(expr)
+    val spans = commentSpans(expr)
+    def dotBetween(a: Ev, b: Ev): Boolean = {
+      val span = expr.substring(a.end, b.pos)
+      val base = a.end
+      span.indices.map(i =>
+        if (spans.exists(s => base + i >= s._1 && base + i < s._2)) ' '
+        else span.charAt(i)).mkString.trim == "."
+    }
+    (0 until evs.length - 1).exists { k =>
+      evs(k).kind == 0 && !evs(k).up.matches("\\d+") &&
+        evs(k + 1).kind == 0 && dotBetween(evs(k), evs(k + 1))
+    }
+  }
+
   /** Rewrite every `QUALIFY <pred>` into the subquery wrap. Each pass
     * eliminates one QUALIFY word; helper names carry a running index so
     * nested rewrites never collide. */
@@ -203,14 +258,66 @@ object QualifySqlSyntax {
         val frm = evs(fi)
         val qcol = s"__graft_qualify_$idx"
         val alias = s"__graft_q_$idx"
+        // HIDDEN QUALIFIED SORT KEYS (fuzz find r12): an ORDER BY after
+        // QUALIFY may reference a table-qualified column (`t.c` over an
+        // ASOF/plain join) — legal in DuckDB, where QUALIFY is one
+        // SELECT, but the wrap's subquery alias hides `t`. Each such
+        // item is materialized as a helper column INSIDE the wrap (a
+        // qualified ref can never be a select-list alias, so inner
+        // resolution is exact) and the outer sort uses the helper with
+        // the item's direction modifiers; unqualified items stay
+        // outside untouched, where aliases keep resolving against the
+        // output list. When nothing qualifies, the statement text is
+        // byte-identical to the pre-r12 rewrite.
+        val oi = evs.indexWhere(e =>
+          e.pos == predEnd && e.kind == 0 && e.up == "ORDER" &&
+            e.depth == q.depth)
+        val ordInfo =
+          if (oi >= 0 && oi + 1 < evs.length && evs(oi + 1).kind == 0 &&
+              evs(oi + 1).up == "BY") {
+            var ordEnd = sql.length
+            var t = oi + 2
+            var stopped = false
+            while (t < evs.length && !stopped) {
+              val e = evs(t)
+              if (e.kind == 2 && e.depth < q.depth) { ordEnd = e.pos; stopped = true }
+              else if (e.kind == 0 && e.depth == q.depth &&
+                  e.up != "ORDER" && StopWords.contains(e.up)) {
+                ordEnd = e.pos; stopped = true
+              }
+              t += 1
+            }
+            val ord = sql.substring(evs(oi + 1).end, ordEnd).trim
+            if (ord.isEmpty) fail("empty ORDER BY list")
+            Some((ordEnd, PivotSqlSyntax.splitTop(ord)))
+          } else None
+        val parts = ordInfo.map(_._2.zipWithIndex.map { case (item, i) =>
+          val (expr, mods) = splitOrderItem(item, fail)
+          if (hasQualifiedRef(expr)) {
+            val h = s"__graft_qord_${idx}_$i"
+            (Some((s", ($expr\n) AS $h\n", h)),
+              if (mods.isEmpty) h else s"$h $mods")
+          } else (None, item.trim)
+        }).getOrElse(Seq.empty)
+        val helpers = parts.flatMap(_._1)
         // newline BEFORE each generated continuation: user text ending
         // in a `--` line comment (select list, FROM body, predicate)
-        // would otherwise swallow the injected syntax
-        sql = sql.substring(0, sel.pos) +
-          s"SELECT * EXCEPT ($qcol) FROM (SELECT " +
-          sql.substring(sel.end, frm.pos).trim + s"\n, ($pred\n) AS $qcol\n" +
-          sql.substring(frm.pos, q.pos).trim + s"\n) $alias WHERE $qcol " +
-          sql.substring(predEnd)
+        // would otherwise swallow the injected syntax; "\n, " joints in
+        // the re-emitted ORDER BY for the same reason (r11 advisor)
+        if (helpers.isEmpty)
+          sql = sql.substring(0, sel.pos) +
+            s"SELECT * EXCEPT ($qcol) FROM (SELECT " +
+            sql.substring(sel.end, frm.pos).trim + s"\n, ($pred\n) AS $qcol\n" +
+            sql.substring(frm.pos, q.pos).trim + s"\n) $alias WHERE $qcol " +
+            sql.substring(predEnd)
+        else
+          sql = sql.substring(0, sel.pos) +
+            s"SELECT * EXCEPT (${(qcol +: helpers.map(_._2)).mkString(", ")}) FROM (SELECT " +
+            sql.substring(sel.end, frm.pos).trim + s"\n, ($pred\n) AS $qcol\n" +
+            helpers.map(_._1).mkString +
+            sql.substring(frm.pos, q.pos).trim + s"\n) $alias WHERE $qcol " +
+            s"ORDER BY ${parts.map(_._2).mkString("\n, ")}\n" +
+            sql.substring(ordInfo.get._1)
         idx += 1
       }
     }
@@ -338,34 +445,8 @@ object DistinctOnSqlSyntax {
           // column order, and an ordinal inside OVER() would be a
           // constant, not a position.
           val items = PivotSqlSyntax.splitTop(ord)
-          val Mods = Set("ASC", "DESC", "NULLS", "FIRST", "LAST")
           val parts = items.zipWithIndex.map { case (item, i) =>
-            val ievs = QualifySqlSyntax.events(item)
-            // Quoted identifiers, literals and operators emit NO events,
-            // so "content before position p" must be checked on the raw
-            // text (comments excluded): `ORDER BY "Weird Col" DESC` has
-            // only the DESC event, and a bare column legally named
-            // `first`/`desc` has only a Mods-word event — neither may be
-            // stripped down to an empty expression (r11 advisor).
-            val ispans = QualifySqlSyntax.commentSpans(item)
-            def contentBefore(p: Int): Boolean = {
-              var c = 0
-              var found = false
-              while (c < p && !found) {
-                if (!item.charAt(c).isWhitespace &&
-                    !ispans.exists(s => s._1 <= c && c < s._2)) found = true
-                c += 1
-              }
-              found
-            }
-            var e = ievs.length
-            while (e > 0 && ievs(e - 1).kind == 0 && Mods.contains(ievs(e - 1).up) &&
-                   (e > 1 || contentBefore(ievs(0).pos))) e -= 1
-            if (e == 0 && !contentBefore(item.length))
-              fail(s"ORDER BY item has no expression: $item")
-            val exprEnd = if (e == ievs.length) item.length else ievs(e).pos
-            val expr = item.substring(0, exprEnd).trim
-            val mods = item.substring(exprEnd).trim
+            val (expr, mods) = QualifySqlSyntax.splitOrderItem(item, fail)
             if (expr.matches("\\d+"))
               // inside the injected OVER() an ordinal is a CONSTANT, so
               // the per-key pick would be arbitrary — refuse loudly

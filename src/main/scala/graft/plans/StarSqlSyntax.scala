@@ -65,25 +65,42 @@ object StarSqlSyntax {
     * is ordinary multiplication by a function call and passes through:
     * `SELECT x * replace(s,'a','b') FROM t` is arithmetic, not a star
     * REPLACE modifier (the '*' there follows the identifier `x`). */
-  private def starBefore(sql: String, pos: Int, spans: Vector[(Int, Int)]): Int = {
+  private def starBefore(sql: String, pos: Int, spans: Vector[(Int, Int)],
+      evs: Vector[Ev]): Int = {
     val i = prevCode(sql, pos, spans)
     if (i >= 0 && sql.charAt(i) == '*' &&
         !(prevCode(sql, i, spans) >= 0 && sql.charAt(prevCode(sql, i, spans)) == '.') &&
-        inSelectListPosition(sql, i, spans)) i
+        inSelectListPosition(sql, i, spans, evs)) i
     else -1
   }
 
+  /** True when the ')' event at raw index `i` closes a `DISTINCT ON
+    * (...)` key list — the one parenthesized prefix DuckDB's grammar
+    * puts between SELECT and the first select-list item, so a '*'
+    * after it IS in list position (`SELECT DISTINCT ON (k) * EXCLUDE
+    * (c)`, fuzz find r12). */
+  private def closesDistinctOn(sql: String, i: Int, evs: Vector[Ev]): Boolean = {
+    val ci = evs.indexWhere(e => e.kind == 2 && e.pos == i)
+    if (ci < 0) return false
+    var oi = ci - 1
+    while (oi >= 0 && !(evs(oi).kind == 1 && evs(oi).depth == evs(ci).depth))
+      oi -= 1
+    oi >= 2 && evs(oi - 1).kind == 0 && evs(oi - 1).up == "ON" &&
+      evs(oi - 2).kind == 0 && evs(oi - 2).up == "DISTINCT"
+  }
+
   /** True when the char before index `star` (skipping whitespace and
-    * comments) is a list comma or the tail of SELECT/DISTINCT/ALL —
-    * the only places a bare select-list '*' can stand. Anything else
-    * (identifier, ')', digit, quote) means the '*' is the
-    * multiplication operator. */
+    * comments) is a list comma, the tail of SELECT/DISTINCT/ALL, or
+    * the close of a `DISTINCT ON (...)` prefix — the only places a
+    * bare select-list '*' can stand. Anything else (identifier, other
+    * ')', digit, quote) means the '*' is the multiplication operator. */
   private def inSelectListPosition(sql: String, star: Int,
-      spans: Vector[(Int, Int)]): Boolean = {
+      spans: Vector[(Int, Int)], evs: Vector[Ev]): Boolean = {
     val i = prevCode(sql, star, spans)
     if (i < 0) return false
     val c = sql.charAt(i)
     if (c == ',') return true
+    if (c == ')') return closesDistinctOn(sql, i, evs)
     if (!(c.isLetter || c == '_')) return false
     var s = i
     while (s > 0 && {
@@ -115,7 +132,7 @@ object StarSqlSyntax {
       val ki = evs.indices.find { k =>
         val e = evs(k)
         e.kind == 0 && (e.up == "EXCLUDE" || e.up == "REPLACE") &&
-          starBefore(sql, e.pos, spans) >= 0 &&
+          starBefore(sql, e.pos, spans, evs) >= 0 &&
           k + 1 < evs.length && evs(k + 1).kind == 1
       }
       ki match {
@@ -123,7 +140,7 @@ object StarSqlSyntax {
         case Some(k) =>
           val first = evs(k)
           val d = first.depth
-          val starPos = starBefore(sql, first.pos, spans)
+          val starPos = starBefore(sql, first.pos, spans, evs)
           // parse [EXCLUDE (...)] [REPLACE (...)] in either presence
           var excludeCols = Seq.empty[String]
           var replaceItems = Seq.empty[String]

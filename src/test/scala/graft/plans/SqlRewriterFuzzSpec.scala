@@ -178,6 +178,79 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     }
   }
 
+  // ----- P3: multi-extension COMPOSITIONS (r11 verdict #3) -----
+  // Real queries nest the extensions; each rewriter sees the others'
+  // keywords as ordinary text it must step over. Every core below uses
+  // 2–3 extensions AT ONCE (channel order: PIVOT → UNPIVOT → FROM-first
+  // → star → ASOF → DISTINCT ON → QUALIFY), written one-token-per-space
+  // so decorate() can land hostile comments on any boundary — including
+  // BETWEEN the keywords of two different extensions.
+  private val ComposedCores = Seq(
+    // PIVOT statement over a QUALIFY'd CTE: the PIVOT scanner must not
+    // treat the CTE body as the pivot table, and QUALIFY must rewrite
+    // inside the emitted aggregate's source text
+    "pivot_cte_qualify" -> ("WITH c AS ( SELECT o_orderkey , o_prio , o_totalprice , § AS tag " +
+      "FROM fuzz_t QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 2 ) " +
+      "PIVOT c ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    // DISTINCT ON over an ASOF join, hidden sort key from the RIGHT side
+    "distinct_on_asof" -> ("SELECT DISTINCT ON (fuzz_e1.k) fuzz_e1.k , w , § AS tag " +
+      "FROM fuzz_e1 ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "ORDER BY fuzz_e1.k , fuzz_e1.t DESC"),
+    // FROM-first + star EXCLUDE
+    "from_first_exclude" -> ("FROM fuzz_t SELECT * EXCLUDE (o_prio) " +
+      "WHERE o_totalprice > 60 ORDER BY o_orderkey"),
+    // TRIPLE: FROM-first + star REPLACE + QUALIFY
+    "from_first_replace_qualify" -> ("FROM fuzz_t SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
+      "ORDER BY o_orderkey"),
+    // TRIPLE: UNPIVOT over PIVOT over a QUALIFY'd subquery
+    "unpivot_pivot_qualify" -> ("UNPIVOT (PIVOT ( SELECT o_orderkey , o_prio , o_totalprice FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 2 ) " +
+      "ON o_prio IN ('A', 'B') USING count(*) GROUP BY o_orderkey) " +
+      "ON \"A\", \"B\" INTO NAME prio VALUE n ORDER BY o_orderkey , prio"),
+    // DISTINCT ON + star EXCLUDE where the EXCLUDED column is also the
+    // HIDDEN sort key (star expansion and helper-column materialization
+    // must not fight over it)
+    "distinct_on_exclude_hidden" -> ("SELECT DISTINCT ON (o_prio) * EXCLUDE (o_totalprice) " +
+      "FROM fuzz_t WHERE § <> 'zz' ORDER BY o_prio , o_totalprice DESC , o_orderkey"),
+    // ASOF join + QUALIFY over the joined shape
+    "asof_qualify" -> ("SELECT fuzz_e1.k , fuzz_e1.t , w , § AS tag " +
+      "FROM fuzz_e1 ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "QUALIFY row_number() OVER (PARTITION BY fuzz_e1.k ORDER BY fuzz_e1.t DESC) <= 1 " +
+      "ORDER BY fuzz_e1.k"),
+    // FROM-first + DISTINCT ON with a hidden sort key
+    "from_first_distinct_on" -> ("FROM fuzz_t SELECT DISTINCT ON (o_prio) o_prio , o_orderkey " +
+      "WHERE o_totalprice > 40 ORDER BY o_prio , o_totalprice DESC , o_orderkey"),
+    // star EXCLUDE + QUALIFY in one block
+    "star_exclude_qualify" -> ("SELECT * EXCLUDE (o_prio) , § AS tag FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
+      "ORDER BY o_orderkey"))
+
+  test("P3: multi-extension compositions execute identically to their plain twins (540 seeds)") {
+    views
+    ComposedCores.foreach { case (name, core) =>
+      val plain = spark.sql(core.replace("§", "'p'")).collect()
+        .map(_.toSeq.toList).toList
+      assert(plain.nonEmpty, s"$name: empty plain result")
+      samples(decorate(core, 0), 60, 0xF0223L + name.hashCode).zipWithIndex
+        .foreach { case (sql, i) =>
+          val got =
+            try spark.sql(sql).collect().map(_.toSeq.toList).toList
+            catch {
+              case e: Throwable =>
+                fail(s"$name seed $i failed to execute:\n$sql\n${e.getMessage}")
+            }
+          assert(got.length == plain.length,
+            s"$name seed $i row count ${got.length} != ${plain.length}:\n$sql")
+          got.zip(plain).foreach { case (g, p) =>
+            val (gm, pm) = (mask(g), mask(p))
+            assert(gm == pm, s"$name seed $i row mismatch:\n$sql\ngot  $g\nwant $p")
+          }
+        }
+    }
+  }
+
   /** Drop string-typed cells (the hostile-literal tag column varies by
     * construction); every numeric/key cell must match exactly. */
   private def mask(row: List[Any]): List[Any] =
