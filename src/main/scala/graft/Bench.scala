@@ -338,24 +338,31 @@ object Bench {
     // that a single sample can't distinguish from a real regression.
     // The diag triple travels with the BEST run (same run the wall
     // number describes — mixing runs would fabricate impossible ratios).
+    // Both walls ship in bench_diag (r11 verdict #5): best-of-2 reports
+    // min, but noise-vs-creep classification needs the SPREAD — a query
+    // whose two runs straddle the band is host noise, one whose both
+    // runs sit above it is a real shift. `otherWall` = the non-best
+    // runs' minimum (2nd best), so [wall, wall_other] brackets the run.
     val rerunNames = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { n =>
       val a = run(n)
       val b = run(n)
       var best = if (a.wall <= b.wall) a else b
+      var other = math.max(a.wall, b.wall)
       val med = history.get(n).filter(_.size >= 3).map(median)
       if (med.exists(m => best.wall > 3 * m)) {
         rerunNames += n
         val c = run(n)
-        if (c.wall < best.wall) best = c
+        if (c.wall < best.wall) { other = best.wall; best = c }
+        else other = math.min(other, c.wall)
       }
-      n -> best
+      n -> (best, other)
     }
     // roll the history forward with this run's final walls (trailing 9)
     locally {
       val byName = results.toMap
       val lines = names.map { n =>
-        val walls = (history.getOrElse(n, Nil) :+ byName(n).wall).takeRight(9)
+        val walls = (history.getOrElse(n, Nil) :+ byName(n)._1.wall).takeRight(9)
         (n +: walls.map(fmt)).mkString(" ")
       }
       java.nio.file.Files.writeString(histPath, lines.mkString("", "\n", "\n"))
@@ -365,15 +372,15 @@ object Bench {
     // in round 3 (parsed=null). Queries + name-free aligned diag arrays
     // ≈ 3.3 KB — the diag repeats no query names precisely to stay
     // inside that budget.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.wall) }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v.wall) }
       .mkString("{", ",", "}")
-    val diags = results.map { case (_, v) =>
+    val diags = results.map { case (_, (v, _)) =>
       s"[${fmt2(v.cpu)},${math.round(v.mb)},${v.gc}]"
     }.mkString("[", ",", "]")
-    val total = results.map(_._2.wall).sum
-    val totalCpu = results.map(_._2.cpu).sum
-    val totalMb = results.map(_._2.mb).sum
-    val totalGc = results.map(_._2.gc).sum
+    val total = results.map(_._2._1.wall).sum
+    val totalCpu = results.map(_._2._1.cpu).sum
+    val totalMb = results.map(_._2._1.mb).sum
+    val totalGc = results.map(_._2._1.gc).sum
     // Corpus fingerprint: cross-round per-query comparisons are only
     // meaningful on the same generated corpus (the round-7 testdata
     // regeneration changed overlap-family costs 1.6×); these three
@@ -398,11 +405,11 @@ object Bench {
     // interpreted-execution thrash explains CPU inflation) and total
     // JIT compiler-thread time.
     locally {
-      val entries = results.map { case (n, v) =>
-        s""""$n":[${fmt(v.wall)},${fmt2(v.cpu)},${math.round(v.mb)},${v.gc},${v.buildMs},${v.jitMs},${v.ccMb},${v.buildJobs}]"""
+      val entries = results.map { case (n, (v, otherWall)) =>
+        s""""$n":[${fmt(v.wall)},${fmt2(v.cpu)},${math.round(v.mb)},${v.gc},${v.buildMs},${v.jitMs},${v.ccMb},${v.buildJobs},${fmt(otherWall)}]"""
       }.mkString("{", ",", "}")
       val diagJson =
-        s"""{"legend":"[wall_sec,task_cpu_sec,input_mb,gc_ms,build_ms,jit_ms,code_cache_used_mb,eager_build_jobs] per best run; build_ms = DataFrame construction (parse+analyze+store probes, driver-side); eager_build_jobs = Spark jobs submitted DURING construction (localCheckpoint pins, probe enumerations, fixpoint counts) — build_ms with eager_build_jobs>0 is executed work, build_ms with 0 is pure Catalyst/driver overhead; wall-build = optimize/plan/schedule/execute","sf":"$sfDir","code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,"queries":$entries}"""
+        s"""{"legend":"[wall_sec,task_cpu_sec,input_mb,gc_ms,build_ms,jit_ms,code_cache_used_mb,eager_build_jobs,wall_other_sec] per best run; build_ms = DataFrame construction (parse+analyze+store probes, driver-side); eager_build_jobs = Spark jobs submitted DURING construction (localCheckpoint pins, probe enumerations, fixpoint counts) — build_ms with eager_build_jobs>0 is executed work, build_ms with 0 is pure Catalyst/driver overhead; wall-build = optimize/plan/schedule/execute; wall_other_sec = the run best-of-2/3 DISCARDED (2nd-best wall) — [wall, wall_other] is this run's spread, the noise-vs-creep denominator graft.tools.BenchBand reads","sf":"$sfDir","code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,"queries":$entries}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_diag.json"), diagJson + "\n")
     }
