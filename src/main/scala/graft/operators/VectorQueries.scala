@@ -449,6 +449,16 @@ object VectorQueries {
     * exists for. */
   val BitextNprobe = 8
 
+  /** Per-side cosine-rank shortlist for the ANN miner's margin tail:
+    * only candidates inside SOME side's top-[[BitextShortlist]] by raw
+    * cosine enter the margin/mutual-best stage. This is what keeps the
+    * tail's state OUTPUT-sized (N·16) instead of candidate-sized
+    * (nprobe·N^1.5): at 200k vectors the unpruned tail spilled ~80 GB
+    * and died; pruned it is two rank windows plus shortlist-sized
+    * joins. 4× [[BitextK]] of headroom; recall graded at 100%/99.9%
+    * on the clustered planted-pair corpus (SCALING.md). */
+  val BitextShortlist = 16
+
   /** round(1e6/log₂(r+1)) for r = 1..10 — the standard nDCG discount
     * table as fixed ppm constants, plus its prefix sums (the ideal-DCG
     * values for 1..10 relevant). Shared by the Spark side and the
@@ -2042,7 +2052,8 @@ object VectorQueries {
     // mine_bitext_ann_recall below.
     "mine_bitext_margin_ann" -> QueryDef.sql(BitextAnnSql) { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
-      bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK)
+      bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK,
+          Some(BitextShortlist))
         .orderBy("xid")
     },
 
@@ -2060,7 +2071,8 @@ object VectorQueries {
         .select(col("vec_id").as("yid"), col("embedding").as("yv"))
       val exact = bitextMarginPairs(xs, ys)
         .select(col("xid").as("exid"), col("yid").as("eyid"))
-      val ann = bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK)
+      val ann = bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK,
+          Some(BitextShortlist))
         .select(col("xid").as("axid"), col("yid").as("ayid"))
       exact.join(ann,
           col("exid") === col("axid") && col("eyid") === col("ayid"), "full")
@@ -2106,15 +2118,42 @@ object VectorQueries {
     * k-NN neighborhood sums, the 2k-scaled BIGINT margin, and the
     * mutual-best filter. The score table is pinned once (THREE
     * consumers: two neighborhood folds + the margin join). */
-  private[operators] def bitextMarginOverScores(scores: DataFrame, k: Int): DataFrame = {
+  private[operators] def bitextMarginOverScores(scores: DataFrame, k: Int,
+      shortlist: Option[Int] = None): DataFrame = {
     val c = scores.localCheckpoint()
     val wx = Window.partitionBy(col("xid")).orderBy(col("c").desc, col("yid"))
     val wy = Window.partitionBy(col("yid")).orderBy(col("c").desc, col("xid"))
-    val sx = c.withColumn("rn", row_number().over(wx)).filter(col("rn") <= k)
-      .groupBy("xid").agg(sum("c").as("sx"))
-    val sy = c.withColumn("rn", row_number().over(wy)).filter(col("rn") <= k)
-      .groupBy("yid").agg(sum("c").as("sy"))
-    val m = c.join(sx, Seq("xid")).join(sy, Seq("yid"))
+    val (sx, sy, base) = shortlist match {
+      case Some(t) =>
+        // SHORTLIST PRUNE (the ANN twin's scale valve, r12): the margin
+        // table only ever needs rows some side ranks in its cosine
+        // top-t — everything below can't be a mutual-best-by-margin
+        // winner a user would trust anyway (recall is GRADED, not
+        // assumed, by mine_bitext_ann_recall; its DuckDB oracle mirrors
+        // this prune CTE-for-CTE). One window pass per direction,
+        // checkpointed OUTPUT-SIZED (N·max(t,k) rows): unpruned, the
+        // tail checkpointed the full candidate mass twice and its
+        // window shuffles held ~6 copies on disk — at 200k vectors
+        // (≈350M candidates) that filled an 80 GB spill volume; pruned,
+        // everything past the two rank windows is shortlist-sized.
+        val tk = math.max(t, k)
+        val rx = c.withColumn("rn", row_number().over(wx))
+          .filter(col("rn") <= tk).localCheckpoint()
+        val ry = c.withColumn("rn", row_number().over(wy))
+          .filter(col("rn") <= tk).localCheckpoint()
+        (rx.filter(col("rn") <= k).groupBy("xid").agg(sum("c").as("sx")),
+          ry.filter(col("rn") <= k).groupBy("yid").agg(sum("c").as("sy")),
+          rx.filter(col("rn") <= t).select("xid", "yid", "c")
+            .union(ry.filter(col("rn") <= t).select("xid", "yid", "c"))
+            .distinct())
+      case None =>
+        (c.withColumn("rn", row_number().over(wx)).filter(col("rn") <= k)
+          .groupBy("xid").agg(sum("c").as("sx")),
+          c.withColumn("rn", row_number().over(wy)).filter(col("rn") <= k)
+            .groupBy("yid").agg(sum("c").as("sy")),
+          c)
+    }
+    val m = base.join(sx, Seq("xid")).join(sy, Seq("yid"))
       .filter(col("sx") + col("sy") > 0 && col("c") > 0)
       .select(col("xid"), col("yid"), col("c"),
         expr(s"(${2 * k}000000L * c) div (sx + sy)").as("m"))
@@ -2250,17 +2289,40 @@ object VectorQueries {
     * k-NN neighborhood sums, 2k-scaled BIGINT margin, mutual-best
     * filter, threshold — mined pairs come out as CTE `<p>out`. Verbatim
     * the [[BitextMarginSql]] tail, name-prefixed so two chains can ride
-    * one statement (the recall grader). */
-  private def bitextMarginTailSql(p: String): String =
-    s"""${p}sx AS (SELECT xid, CAST(sum(c) AS BIGINT) AS sx FROM (
-       |  SELECT xid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rn
-       |  FROM ${p}c) WHERE rn <= $BitextK GROUP BY xid),
-       |${p}sy AS (SELECT yid, CAST(sum(c) AS BIGINT) AS sy FROM (
-       |  SELECT yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rn
-       |  FROM ${p}c) WHERE rn <= $BitextK GROUP BY yid),
-       |${p}m AS (SELECT c.xid, c.yid, c.c, (${2 * BitextK}000000 * c.c) // (sx.sx + sy.sy) AS m
-       |  FROM ${p}c c JOIN ${p}sx sx ON sx.xid = c.xid JOIN ${p}sy sy ON sy.yid = c.yid
-       |  WHERE sx.sx + sy.sy > 0 AND c.c > 0),
+    * one statement (the recall grader). With `shortlist` = Some(t) the
+    * margin stage reads only rows inside SOME side's cosine top-t —
+    * the [[BitextShortlist]] prune, mirrored CTE-for-CTE so DuckDB
+    * gates the pruned chain bit-for-bit. */
+  private def bitextMarginTailSql(p: String,
+      shortlist: Option[Int] = None): String = {
+    val head = shortlist match {
+      case Some(t) =>
+        s"""${p}rx AS (SELECT xid, yid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rn
+           |  FROM ${p}c),
+           |${p}ry AS (SELECT xid, yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rn
+           |  FROM ${p}c),
+           |${p}sx AS (SELECT xid, CAST(sum(c) AS BIGINT) AS sx FROM ${p}rx
+           |  WHERE rn <= $BitextK GROUP BY xid),
+           |${p}sy AS (SELECT yid, CAST(sum(c) AS BIGINT) AS sy FROM ${p}ry
+           |  WHERE rn <= $BitextK GROUP BY yid),
+           |${p}keep AS (SELECT DISTINCT xid, yid, c FROM (
+           |  SELECT xid, yid, c FROM ${p}rx WHERE rn <= $t
+           |  UNION ALL SELECT xid, yid, c FROM ${p}ry WHERE rn <= $t)),
+           |${p}m AS (SELECT c.xid, c.yid, c.c, (${2 * BitextK}000000 * c.c) // (sx.sx + sy.sy) AS m
+           |  FROM ${p}keep c JOIN ${p}sx sx ON sx.xid = c.xid JOIN ${p}sy sy ON sy.yid = c.yid
+           |  WHERE sx.sx + sy.sy > 0 AND c.c > 0),""".stripMargin
+      case None =>
+        s"""${p}sx AS (SELECT xid, CAST(sum(c) AS BIGINT) AS sx FROM (
+           |  SELECT xid, c, row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rn
+           |  FROM ${p}c) WHERE rn <= $BitextK GROUP BY xid),
+           |${p}sy AS (SELECT yid, CAST(sum(c) AS BIGINT) AS sy FROM (
+           |  SELECT yid, c, row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rn
+           |  FROM ${p}c) WHERE rn <= $BitextK GROUP BY yid),
+           |${p}m AS (SELECT c.xid, c.yid, c.c, (${2 * BitextK}000000 * c.c) // (sx.sx + sy.sy) AS m
+           |  FROM ${p}c c JOIN ${p}sx sx ON sx.xid = c.xid JOIN ${p}sy sy ON sy.yid = c.yid
+           |  WHERE sx.sx + sy.sy > 0 AND c.c > 0),""".stripMargin
+    }
+    s"""$head
        |${p}fwd AS (SELECT xid, yid, c, m FROM (
        |  SELECT m.*, row_number() OVER (PARTITION BY xid ORDER BY m DESC, yid) AS rn
        |  FROM ${p}m m) WHERE rn = 1),
@@ -2271,11 +2333,12 @@ object VectorQueries {
        |  SELECT f.xid, f.yid, f.c AS cos_x1e6, f.m AS margin_x1e6
        |  FROM ${p}fwd f JOIN ${p}bwd b ON b.xid = f.xid AND b.yid = f.yid
        |  WHERE f.m > 1000000)""".stripMargin
+  }
 
   private lazy val BitextAnnSql: String =
     s"""WITH $bitextSidesSql,
        |${bitextAnnScoreSql("ann")},
-       |${bitextMarginTailSql("ann")}
+       |${bitextMarginTailSql("ann", Some(BitextShortlist))}
        |SELECT xid, yid, cos_x1e6, margin_x1e6 FROM annout ORDER BY xid""".stripMargin
 
   private lazy val BitextAnnRecallSql: String =
@@ -2285,7 +2348,7 @@ object VectorQueries {
        |  FROM x, y),
        |${bitextMarginTailSql("ex")},
        |${bitextAnnScoreSql("ann")},
-       |${bitextMarginTailSql("ann")},
+       |${bitextMarginTailSql("ann", Some(BitextShortlist))},
        |j AS (SELECT e.xid AS exid, a.xid AS axid
        |      FROM exout e FULL OUTER JOIN annout a
        |        ON a.xid = e.xid AND a.yid = e.yid)

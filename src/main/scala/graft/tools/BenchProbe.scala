@@ -58,7 +58,13 @@ object BenchProbe {
         val wall = (System.nanoTime() - t0) / 1e9
         drain()
         val cpu = cpuNs.get / 1e9
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // BLOCKING unpersist + a GC nudge between reps: async unpersist
+        // let rep N+1 start while rep N's checkpoint blocks and
+        // ContextCleaner-pending shuffle files still held the spill
+        // volume — at the bitext 100× point the second rep died on
+        // ENOSPC under ~60 GB of rep-1 leftovers
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
         (wall, cpu, (tBuild - t0) / 1e6)
       }
       val best = times.minBy(_._1)

@@ -28,6 +28,13 @@ object SparkUtil {
     // hash/array-heavy per byte, so parallelism must win.
     // events.parquet stores TIMESTAMP(NANOS); read as epoch-nanos Long.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Compress persisted disk blocks (localCheckpoint / DISK_ONLY
+    // spill): the default leaves them raw, and a checkpointed long-key
+    // candidate table is 3-5× larger raw than lz4'd — the bitext ANN
+    // 100× point (200k vectors, ~350M-row shortlist build) exhausted an
+    // 80 GB spill volume on raw blocks. Storage pressure, not CPU, is
+    // the binding constraint for checkpoint-heavy plans at scale.
+    .config("spark.rdd.compress", "true")
 
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -35,23 +35,28 @@ class BitextSpec extends SparkFunSuite {
   test("ANN twin equals the exact miner when every cell is probed") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // 36 vectors → ncent = 6 ≤ nprobe = 8: both sides probe EVERY cell,
-    // the shortlist is the full X×Y product, and the twin must reproduce
-    // the exact miner bit-for-bit — isolating the margin tail from the
-    // pruning so any future candidate-generation change that breaks
-    // scoring (not just recall) fails loudly here
+    // 30 vectors → ncent = 6 ≤ nprobe = 8: both sides probe EVERY cell,
+    // so the candidate set is the full X×Y product; 15 per side ≤ the
+    // 16-deep cosine shortlist, so the top-t prune keeps every row too
+    // — the twin must reproduce the exact miner bit-for-bit, isolating
+    // the margin tail from candidate generation AND from the prune so
+    // any change that breaks scoring (not just recall) fails loudly
     val rnd = new scala.util.Random(7)
-    val e = (0L until 36L).map(i =>
+    val e = (0L until 30L).map(i =>
       (i, Array.fill(8)(rnd.nextFloat() - 0.5f), (i % 10).toInt))
       .toDF("vec_id", "embedding", "label")
     val xs = e.filter(col("label") % 2 === 0)
       .select(col("vec_id").as("xid"), col("embedding").as("xv"))
     val ys = e.filter(col("label") % 2 === 1)
       .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+    assert(xs.count() <= VectorQueries.BitextShortlist &&
+      ys.count() <= VectorQueries.BitextShortlist,
+      "fixture sides must fit inside the shortlist for bit-equality")
     val exact = VectorQueries.bitextMarginPairs(xs, ys)
       .collect().map(_.toSeq).toSet
     val ann = VectorQueries.bitextMarginOverScores(
-      VectorQueries.bitextAnnCandidateScores(e), VectorQueries.BitextK)
+      VectorQueries.bitextAnnCandidateScores(e), VectorQueries.BitextK,
+      Some(VectorQueries.BitextShortlist))
       .collect().map(_.toSeq).toSet
     assert(exact.nonEmpty, "fixture must mine at least one pair")
     assert(ann == exact, s"full-probe ANN must equal exact:\nann   $ann\nexact $exact")
