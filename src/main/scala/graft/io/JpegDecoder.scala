@@ -1,0 +1,326 @@
+package graft.io
+
+/** Minimal baseline-JPEG decoder for TIFF compression 7 — the last
+  * common wild-file codec the GRD ingest path lacked (the reference
+  * opens GRDs through rasterio/libtiff, which accepts any registered
+  * codec: `/root/reference/icecube/bin/sar_cube/grd_datacube.py:117-149`).
+  * Scope matches the reader's raster contract (single-band 8-bit SAR
+  * quicklooks/overviews): baseline sequential DCT (SOF0), one
+  * component, Huffman entropy coding, restart markers, and libtiff's
+  * split-tables convention (tag 347 `JPEGTables` carries a
+  * tables-only stream; each strip/tile is an abbreviated SOI..EOI scan
+  * that inherits them). Everything outside that scope fails LOUDLY —
+  * progressive (SOF2), 12-bit, arithmetic coding, multi-component
+  * color — never a silent wrong answer.
+  *
+  * Algorithm notes: entropy decode per ITU T.81 §F.2 (EXTEND sign
+  * reconstruction, DC prediction per component, 0xFF00 byte
+  * unstuffing); dequant + double-precision 2-D inverse DCT per §A.3.3
+  * with the separable 8-point kernel; +128 level shift; clamp to
+  * [0,255]. Accuracy beats speed here — one IDCT per 8×8 block is not
+  * the hot path (decode parallelism comes from Spark's per-strip
+  * `flatMap`, like every other TIFF codec in `io/Tiff.scala`).
+  */
+object JpegDecoder {
+
+  final class JpegError(msg: String) extends IllegalArgumentException(msg)
+  private def fail(msg: String): Nothing = throw new JpegError(s"JPEG: $msg")
+
+  /** One Huffman table: code lengths 1..16 → symbols, decoded via the
+    * canonical (mincode/maxcode/valptr) walk of T.81 §F.2.2.3. */
+  private final class Huff(counts: Array[Int], symbols: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = code - 1
+        if (counts(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(ptr: Int): Int = symbols(ptr) & 0xff
+  }
+
+  /** Entropy-coded-segment bit reader: unstuffs 0xFF00, stops at any
+    * other marker (leaving position on the 0xFF). */
+  private final class BitReader(d: Array[Byte], var pos: Int) {
+    private var bits = 0
+    private var nBits = 0
+    def atMarker: Boolean =
+      pos + 1 < d.length && (d(pos) & 0xff) == 0xff && (d(pos + 1) & 0xff) != 0
+    def align(): Unit = { bits = 0; nBits = 0 }
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= d.length) fail("entropy stream truncated")
+        val b = d(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= d.length) fail("entropy stream truncated at 0xFF")
+          val m = d(pos) & 0xff
+          if (m == 0) pos += 1 // stuffed byte
+          else fail(f"marker 0xFF$m%02X inside an entropy run (progressive or corrupt stream)")
+        }
+        bits = b
+        nBits = 8
+      }
+      nBits -= 1
+      (bits >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(h: Huff): Int = {
+      var code = bit()
+      var l = 1
+      while (code > h.maxCode(l)) {
+        if (l >= 16) fail("Huffman code longer than 16 bits — corrupt stream")
+        code = (code << 1) | bit()
+        l += 1
+      }
+      h.symbol(h.valPtr(l) + code - h.minCode(l))
+    }
+  }
+
+  /** T.81 F.2.1.2 EXTEND: map a `receive`d magnitude to its signed
+    * coefficient. */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16)·C(u)/2 — the separable 8-point IDCT kernel. */
+  private val Kernel: Array[Double] = {
+    val k = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) math.sqrt(0.5) else 1.0
+      var x = 0
+      while (x < 8) {
+        k(u * 8 + x) = cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    k
+  }
+
+  /** Mutable decoder state accumulated across the tables stream and
+    * the scan stream (libtiff splits them between tag 347 and the
+    * strip). */
+  private final class State {
+    val quant = new Array[Array[Int]](4)
+    val dcHuff = new Array[Huff](4)
+    val acHuff = new Array[Huff](4)
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var dcTableId = 0
+    var acTableId = 0
+    var quantId = 0
+    var sofSeen = false
+  }
+
+  private def u16(d: Array[Byte], p: Int): Int =
+    ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+
+  /** Walk markers from `pos` until SOS (returns the entropy-data start)
+    * or EOI/end (returns -1). Populates `st`. */
+  private def parseSegments(d: Array[Byte], start: Int, st: State): Int = {
+    var pos = start
+    if (pos + 1 < d.length && (d(pos) & 0xff) == 0xff && (d(pos + 1) & 0xff) == 0xd8)
+      pos += 2 // SOI
+    while (pos + 1 < d.length) {
+      if ((d(pos) & 0xff) != 0xff) fail(f"expected marker, got 0x${d(pos) & 0xff}%02X at $pos")
+      val m = d(pos + 1) & 0xff
+      pos += 2
+      m match {
+        case 0xd9 => return -1 // EOI (tables-only stream)
+        case 0xd8 => ()        // stray SOI
+        case 0xdb =>           // DQT
+          val len = u16(d, pos)
+          var p = pos + 2
+          while (p < pos + len) {
+            val pq = (d(p) & 0xff) >> 4
+            val tq = d(p) & 0x0f
+            if (pq != 0) fail("16-bit quantization tables not supported (8-bit baseline only)")
+            val q = new Array[Int](64)
+            var i = 0
+            while (i < 64) { q(ZigZag(i)) = d(p + 1 + i) & 0xff; i += 1 }
+            st.quant(tq) = q
+            p += 65
+          }
+          pos += len
+        case 0xc4 =>           // DHT
+          val len = u16(d, pos)
+          var p = pos + 2
+          while (p < pos + len) {
+            val tc = (d(p) & 0xff) >> 4
+            val th = d(p) & 0x0f
+            val counts = Array.tabulate(16)(i => d(p + 1 + i) & 0xff)
+            val n = counts.sum
+            val symbols = java.util.Arrays.copyOfRange(d, p + 17, p + 17 + n)
+            if (tc == 0) st.dcHuff(th) = new Huff(counts, symbols)
+            else st.acHuff(th) = new Huff(counts, symbols)
+            p += 17 + n
+          }
+          pos += len
+        case 0xc0 =>           // SOF0 baseline
+          val len = u16(d, pos)
+          val precision = d(pos + 2) & 0xff
+          if (precision != 8) fail(s"$precision-bit samples not supported (8-bit baseline only)")
+          st.height = u16(d, pos + 3)
+          st.width = u16(d, pos + 5)
+          val nComp = d(pos + 7) & 0xff
+          if (nComp != 1)
+            fail(s"$nComp-component JPEG not supported (single-band grayscale rasters only)")
+          val sampling = d(pos + 9) & 0xff
+          if (sampling != 0x11) fail(f"subsampling 0x$sampling%02X on a 1-component scan")
+          st.quantId = d(pos + 10) & 0xff
+          st.sofSeen = true
+          pos += len
+        case 0xc1 => fail("extended-sequential SOF1 not supported (baseline SOF0 only)")
+        case 0xc2 => fail("progressive JPEG (SOF2) not supported (baseline SOF0 only)")
+        case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc8 && sof != 0xcc =>
+          fail(f"SOF 0x$sof%02X not supported (baseline SOF0 only)")
+        case 0xcc => fail("arithmetic coding not supported (Huffman baseline only)")
+        case 0xdd =>           // DRI
+          st.restartInterval = u16(d, pos + 2)
+          pos += u16(d, pos)
+        case 0xda =>           // SOS
+          val len = u16(d, pos)
+          val ns = d(pos + 2) & 0xff
+          if (ns != 1) fail(s"$ns-component scan not supported")
+          st.dcTableId = (d(pos + 4) & 0xff) >> 4
+          st.acTableId = d(pos + 4) & 0x0f
+          return pos + len
+        case app if app >= 0xe0 && app <= 0xef => pos += u16(d, pos) // APPn
+        case 0xfe => pos += u16(d, pos)                              // COM
+        case other => fail(f"unsupported marker 0xFF$other%02X")
+      }
+    }
+    -1
+  }
+
+  /** Decode a tables-only stream (TIFF tag 347) into fresh state. */
+  private def tablesState(tables: Option[Array[Byte]]): State = {
+    val st = new State
+    tables.foreach { t =>
+      val sos = parseSegments(t, 0, st)
+      if (sos >= 0) fail("JPEGTables stream contains a scan (expected tables only)")
+    }
+    st
+  }
+
+  /** Decode one abbreviated-or-full baseline stream into row-major
+    * 8-bit samples of exactly `outW`×`outH` (the strip/tile's declared
+    * raster window; JPEG pads to 8-row/col MCUs, which are cropped). */
+  def decode(tables: Option[Array[Byte]], scan: Array[Byte],
+      outW: Int, outH: Int): Array[Byte] = {
+    val st = tablesState(tables)
+    val dataStart = parseSegments(scan, 0, st)
+    if (dataStart < 0) fail("stream has no SOS scan")
+    if (!st.sofSeen) fail("scan without a preceding SOF0 frame header")
+    if (st.width < outW || st.height < outH)
+      fail(s"frame ${st.width}x${st.height} smaller than the declared block ${outW}x$outH")
+    val q = st.quant(st.quantId)
+    if (q == null) fail(s"quantization table ${st.quantId} never defined")
+    val dc = st.dcHuff(st.dcTableId)
+    val ac = st.acHuff(st.acTableId)
+    if (dc == null || ac == null)
+      fail(s"Huffman tables dc=${st.dcTableId}/ac=${st.acTableId} never defined")
+
+    val mcusX = (st.width + 7) / 8
+    val mcusY = (st.height + 7) / 8
+    val out = new Array[Byte](outW * outH)
+    val r = new BitReader(scan, dataStart)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var pred = 0
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (st.restartInterval > 0 && mcu > 0 && mcu % st.restartInterval == 0) {
+        // RSTn: byte-aligned marker, DC predictor resets
+        r.align()
+        if (r.pos + 1 >= scan.length || (scan(r.pos) & 0xff) != 0xff ||
+            ((scan(r.pos + 1) & 0xff) & 0xf8) != 0xd0)
+          fail(s"expected restart marker before MCU $mcu")
+        r.pos += 2
+        pred = 0
+      }
+      java.util.Arrays.fill(coef, 0)
+      // DC
+      val t = r.decode(dc)
+      if (t > 11) fail(s"DC category $t out of range")
+      pred += extend(r.receive(t), t)
+      coef(0) = pred * q(0)
+      // AC, zig-zag order
+      var k = 1
+      while (k < 64) {
+        val rs = r.decode(ac)
+        val run = rs >> 4
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else k = 64            // EOB
+        } else {
+          k += run
+          if (k > 63) fail("AC run overflows the block — corrupt stream")
+          coef(ZigZag(k)) = extend(r.receive(size), size) * q(ZigZag(k))
+          k += 1
+        }
+      }
+      // separable IDCT: rows then columns
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += Kernel(u * 8 + x) * coef(y * 8 + u); u += 1 }
+          tmp(y * 8 + x) = s
+          x += 1
+        }
+        y += 1
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var x = 0
+      while (x < 8) {
+        var yy = 0
+        while (yy < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) { s += Kernel(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
+          val px = mx * 8 + x
+          val py = my * 8 + yy
+          if (px < outW && py < outH) {
+            val sample = math.round(s + 128.0).toInt
+            out(py * outW + px) =
+              math.max(0, math.min(255, sample)).toByte
+          }
+          yy += 1
+        }
+        x += 1
+      }
+      mcu += 1
+    }
+    out
+  }
+}

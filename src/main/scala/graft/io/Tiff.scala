@@ -39,7 +39,11 @@ object Tiff {
       tileLength: Int = 0,
       tileOffsets: Array[Long] = Array.empty,
       tileByteCounts: Array[Long] = Array.empty,
-      predictor: Int = 1) {
+      predictor: Int = 1,
+      // tag 347 JPEGTables: libtiff's split-stream convention for
+      // compression 7 — a tables-only SOI..EOI stream shared by every
+      // strip/tile's abbreviated scan
+      jpegTables: Option[Array[Byte]] = None) {
 
     def tiled: Boolean = tileOffsets.nonEmpty
 
@@ -119,7 +123,7 @@ object Tiff {
     val nTags = if (big) u64(read(ifdOff, 8), 0).toInt else u16(read(ifdOff, 2), 0)
     val entries = read(ifdOff + (if (big) 8 else 2), nTags * entrySize)
 
-    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8)
+    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 6 -> 1, 7 -> 1, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8)
 
     var width, height = 0
     var bits = 1
@@ -133,6 +137,7 @@ object Tiff {
     var tileOffsets, tileByteCounts = Array.empty[Long]
     var gdalXml: Option[String] = None
     var rpc: Option[Array[Double]] = None
+    var jpegTables: Option[Array[Byte]] = None
 
     var i = 0
     while (i < nTags) {
@@ -181,23 +186,28 @@ object Tiff {
         case 324   => tileOffsets = ints
         case 325   => tileByteCounts = ints
         case 339   => sampleFormat = firstInt
+        case 347   => jpegTables = Some(raw)
         case 42112 => gdalXml = Some(new String(raw, java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != '\u0000'))
         case 50844 if typ == 12 && count == 92 => rpc = Some(doubles)
         case _     => ()
       }
       i += 1
     }
-    require(compression == 1 || compression == 5 || compression == 8 ||
-        compression == 32773 || compression == 32946,
+    require(compression == 1 || compression == 5 || compression == 7 ||
+        compression == 8 || compression == 32773 || compression == 32946,
       s"unsupported TIFF compression $compression " +
-        "(uncompressed, LZW, deflate or PackBits only)")
+        "(uncompressed, LZW, deflate, PackBits or baseline JPEG only)")
+    require(compression != 7 || (bits == 8 && sampleFormat != 3),
+      s"JPEG-compressed TIFF must be 8-bit integer samples, got $bits-bit format $sampleFormat")
+    require(compression != 7 || predictor == 1,
+      "predictors do not apply to JPEG-compressed TIFF")
     require(predictor == 1 || predictor == 2 || predictor == 3,
       s"unsupported TIFF predictor $predictor (none, horizontal or floating-point)")
     require(samplesPerPixel == 1,
       s"unsupported TIFF samples-per-pixel $samplesPerPixel (single-band SAR rasters only)")
     Info(width, height, bits, sampleFormat, compression, le,
       math.min(rowsPerStrip.toLong, height.toLong).toInt, stripOffsets, stripByteCounts, gdalXml, rpc,
-      tileW, tileL, tileOffsets, tileByteCounts, predictor)
+      tileW, tileL, tileOffsets, tileByteCounts, predictor, jpegTables)
   }
 
   /** Decode all strips of an in-memory TIFF to (azimuth, range, value)
@@ -250,7 +260,8 @@ object Tiff {
     }
   }
 
-  /** One strip/tile: decompress (none / LZW / deflate / PackBits) then
+  /** One strip/tile: decompress (none / LZW / deflate / PackBits /
+    * baseline JPEG) then
     * undo the horizontal predictor when tag 317 = 2. */
   private def decompressBlock(data: Array[Byte], off: Int, count: Int,
       outLen: Int, blockWidth: Int, info: Info): Array[Byte] = {
@@ -258,6 +269,9 @@ object Tiff {
     val raw = info.compression match {
       case 1     => java.util.Arrays.copyOfRange(data, off, off + outLen)
       case 5     => lzwDecode(data, off, count, outLen)
+      case 7     => JpegDecoder.decode(info.jpegTables,
+        java.util.Arrays.copyOfRange(data, off, off + count),
+        blockWidth, outLen / blockWidth)
       case 32773 => packBitsDecode(data, off, count, outLen)
       case _     => inflate(data, off, count, outLen)
     }

@@ -1,0 +1,313 @@
+package graft
+
+/** Test-scope forward baseline-JPEG encoder (ITU T.81 Annex K tables)
+  * and a minimal single-band JPEG-in-TIFF writer — the fixture twin of
+  * `io/JpegDecoder` + `io/Tiff` compression 7. Supports full streams
+  * (tables inline) and libtiff's split convention (tables-only stream
+  * for tag 347, abbreviated per-strip scans), plus DRI/RSTn restart
+  * runs. Quantization is caller-supplied: all-ones tables make the
+  * DCT roundtrip near-lossless (block-constant images roundtrip
+  * EXACTLY — a constant block is DC-only and the DC path is integer
+  * all the way). */
+object JpegFixture {
+
+  val DcCounts: Array[Int] = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  val DcSymbols: Array[Int] = (0 to 11).toArray
+  val AcCounts: Array[Int] = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  val AcSymbols: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical code assignment: symbol → (code, length). */
+  private def codesOf(counts: Array[Int], symbols: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < counts(l - 1)) {
+        out += symbols(k) -> ((code, l))
+        code += 1
+        k += 1
+        i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+  private val DcCodes = codesOf(DcCounts, DcSymbols)
+  private val AcCodes = codesOf(AcCounts, AcSymbols)
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var acc = 0
+    private var n = 0
+    def put(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) {
+          buf += acc.toByte
+          if (acc == 0xff) buf += 0.toByte // stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** 1-pad to a byte boundary (T.81 F.1.2.3). */
+    def align(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+    def marker(m: Int): Unit = { align(); buf += 0xff.toByte; buf += m.toByte }
+    def bytes: Array[Byte] = buf.toArray
+  }
+
+  private def category(v: Int): Int = {
+    var t = 0
+    var a = math.abs(v)
+    while (a > 0) { t += 1; a >>= 1 }
+    t
+  }
+
+  /** FDCT + quantization of one level-shifted 8×8 block (natural
+    * order in, natural order out). */
+  private def fdctQuant(f: Array[Double], q: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        val cu = if (u == 0) math.sqrt(0.5) else 1.0
+        val cv = if (v == 0) math.sqrt(0.5) else 1.0
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += f(y * 8 + x) *
+              math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+              math.cos((2 * y + 1) * v * math.Pi / 16.0)
+            x += 1
+          }
+          y += 1
+        }
+        val c = cu * cv / 4.0 * s
+        out(v * 8 + u) = math.round(c / q(v * 8 + u)).toInt
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  private def putDqtDht(w: java.io.ByteArrayOutputStream, q: Array[Int]): Unit = {
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      w.write(0xff); w.write(marker)
+      val len = payload.length + 2
+      w.write(len >> 8); w.write(len & 0xff)
+      payload.foreach(w.write)
+    }
+    seg(0xdb, Array(0x00) ++ ZigZag.map(q)) // Pq=0/Tq=0, zig-zag order
+    seg(0xc4, Array(0x00) ++ DcCounts ++ DcSymbols)
+    seg(0xc4, Array(0x10) ++ AcCounts ++ AcSymbols)
+  }
+
+  /** Tables-only stream for TIFF tag 347 (SOI, DQT, DHTs, EOI). */
+  def tablesStream(q: Array[Int]): Array[Byte] = {
+    val w = new java.io.ByteArrayOutputStream()
+    w.write(0xff); w.write(0xd8)
+    putDqtDht(w, q)
+    w.write(0xff); w.write(0xd9)
+    w.toByteArray
+  }
+
+  /** One baseline scan stream over row-major 8-bit `pixels` (w×h).
+    * Edge MCUs are edge-replicated. `withTables` = full stream;
+    * false = abbreviated (tables ride tag 347). */
+  def scanStream(pixels: Array[Byte], w0: Int, h: Int, q: Array[Int],
+      withTables: Boolean, restartInterval: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    if (withTables) putDqtDht(out, q)
+    // SOF0: 1 component, 8-bit
+    out.write(Array[Int](0xff, 0xc0, 0, 11, 8,
+      h >> 8, h & 0xff, w0 >> 8, w0 & 0xff, 1, 1, 0x11, 0).map(_.toByte).toArray)
+    if (restartInterval > 0)
+      out.write(Array[Int](0xff, 0xdd, 0, 4,
+        restartInterval >> 8, restartInterval & 0xff).map(_.toByte).toArray)
+    // SOS: 1 component, dc table 0 / ac table 0
+    out.write(Array[Int](0xff, 0xda, 0, 8, 1, 0, 0x00, 0, 63, 0)
+      .map(_.toByte).toArray)
+    val bw = new BitWriter
+    val mcusX = (w0 + 7) / 8
+    val mcusY = (h + 7) / 8
+    var pred = 0
+    var rst = 0
+    var mcu = 0
+    val block = new Array[Double](64)
+    while (mcu < mcusX * mcusY) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.marker(0xd0 + rst)
+        rst = (rst + 1) % 8
+        pred = 0
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val px = math.min(mx * 8 + x, w0 - 1)
+          val py = math.min(my * 8 + y, h - 1)
+          block(y * 8 + x) = (pixels(py * w0 + px) & 0xff) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      val coef = fdctQuant(block, q)
+      // DC
+      val diff = coef(0) - pred
+      pred = coef(0)
+      val t = category(diff)
+      val (dcCode, dcLen) = DcCodes(t)
+      bw.put(dcCode, dcLen)
+      if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      // AC with ZRL/EOB
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val c = coef(ZigZag(k))
+        if (c == 0) run += 1
+        else {
+          while (run > 15) { val (z, zl) = AcCodes(0xf0); bw.put(z, zl); run -= 16 }
+          val s = category(c)
+          val (code, len) = AcCodes((run << 4) | s)
+          bw.put(code, len)
+          bw.put(if (c < 0) c + (1 << s) - 1 else c, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (e, el) = AcCodes(0x00); bw.put(e, el) } // EOB
+      mcu += 1
+    }
+    bw.align()
+    out.write(bw.bytes)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Minimal single-band 8-bit JPEG-compressed TIFF (strip- or
+    * tile-organized, classic container, either byte order, optional
+    * split tables via tag 347). */
+  def writeJpegTiff(path: String, pixels: Array[Byte], w: Int, h: Int,
+      q: Array[Int], split: Boolean, tiled: Option[(Int, Int)] = None,
+      restartInterval: Int = 0, bigendian: Boolean = false): Unit = {
+    val bo = if (bigendian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN
+    // blocks: full tiles (edge tiles carry the edge-replicated frame
+    // the encoder pads to) or 8-row strips
+    val blocks: Seq[Array[Byte]] = tiled match {
+      case Some((tw, th)) =>
+        for {
+          ty <- 0 until (h + th - 1) / th
+          tx <- 0 until (w + tw - 1) / tw
+        } yield {
+          val tp = new Array[Byte](tw * th)
+          for (y <- 0 until th; x <- 0 until tw) {
+            val sy = math.min(ty * th + y, h - 1)
+            val sx = math.min(tx * tw + x, w - 1)
+            tp(y * tw + x) = pixels(sy * w + sx)
+          }
+          scanStream(tp, tw, th, q, withTables = !split, restartInterval)
+        }
+      case None =>
+        val rps = 8
+        (0 until (h + rps - 1) / rps).map { s =>
+          val rows = math.min(rps, h - s * rps)
+          val sp = java.util.Arrays.copyOfRange(pixels, s * rps * w, (s * rps + rows) * w)
+          scanStream(sp, w, rows, q, withTables = !split, restartInterval)
+        }
+    }
+    val tables = tablesStream(q)
+
+    case class Tag(id: Int, typ: Int, count: Int, data: Array[Byte])
+    def shortTag(id: Int, v: Int) = {
+      val b = java.nio.ByteBuffer.allocate(2).order(bo); b.putShort(v.toShort)
+      Tag(id, 3, 1, b.array())
+    }
+    def longArrTag(id: Int, vs: Seq[Long]) = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.size).order(bo)
+      vs.foreach(v => b.putInt(v.toInt))
+      Tag(id, 4, vs.size, b.array())
+    }
+    val lens = blocks.map(_.length.toLong)
+    val locationTags = tiled match {
+      case Some((tw, th)) => Seq(
+        shortTag(322, tw), shortTag(323, th),
+        longArrTag(324, Seq.fill(blocks.size)(0L)), longArrTag(325, lens))
+      case None => Seq(
+        longArrTag(273, Seq.fill(blocks.size)(0L)),
+        shortTag(278, 8), longArrTag(279, lens))
+    }
+    val tags0 = (Seq(
+      shortTag(256, w), shortTag(257, h), shortTag(258, 8),
+      shortTag(259, 7), shortTag(262, 1), shortTag(277, 1)) ++
+      locationTags ++ Seq(shortTag(339, 1)) ++
+      (if (split) Seq(Tag(347, 7, tables.length, tables)) else Nil))
+      .sortBy(_.id)
+    val ifdSize = 2 + tags0.size * 12 + 4
+    var dataOff = 8L + ifdSize
+    val withOffsets = tags0.map { t =>
+      if (t.data.length > 4) { val o = dataOff; dataOff += t.data.length; (t, Some(o)) }
+      else (t, None)
+    }
+    val blocksStart = dataOff
+    val blockOffsets = lens.scanLeft(blocksStart)(_ + _).dropRight(1)
+    val tags = withOffsets.map {
+      case (t, o) if t.id == 273 || t.id == 324 =>
+        val b = java.nio.ByteBuffer.allocate(4 * blocks.size).order(bo)
+        blockOffsets.foreach(v => b.putInt(v.toInt))
+        (t.copy(data = b.array()), o)
+      case other => other
+    }
+    val total = (blocksStart + lens.sum).toInt
+    val out = java.nio.ByteBuffer.allocate(total).order(bo)
+    out.put(if (bigendian) 'M'.toByte else 'I'.toByte)
+    out.put(if (bigendian) 'M'.toByte else 'I'.toByte)
+    out.putShort(42)
+    out.putInt(8)
+    out.putShort(tags.size.toShort)
+    tags.foreach { case (t, o) =>
+      out.putShort(t.id.toShort)
+      out.putShort(t.typ.toShort)
+      out.putInt(t.count)
+      val inline = o match {
+        case Some(off) =>
+          val b = java.nio.ByteBuffer.allocate(4).order(bo); b.putInt(off.toInt); b.array()
+        case None => java.util.Arrays.copyOf(t.data, 4)
+      }
+      out.put(inline)
+    }
+    out.putInt(0) // next IFD
+    tags.foreach { case (t, o) => if (o.isDefined) out.put(t.data) }
+    blocks.foreach(out.put)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+  }
+}

@@ -1,0 +1,133 @@
+package graft.io
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TIFF compression 7 (baseline JPEG) — decoder vs the test-scope
+  * forward encoder (`JpegFixture`, Annex K tables). Block-constant
+  * images with all-ones quantization roundtrip EXACTLY (a constant
+  * block is DC-only and the DC chain is integer end-to-end); random
+  * images stay within DCT rounding tolerance; split-tables (tag 347),
+  * tiles, restart markers and the BE container all decode; everything
+  * out of baseline-grayscale scope fails LOUDLY. */
+class JpegTiffSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val ones = Array.fill(64)(1)
+
+  private def blockConstant(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rng = new scala.util.Random(seed)
+    val vals = Array.fill((h / 8 + 1) * (w / 8 + 1))(rng.nextInt(256).toByte)
+    Array.tabulate(w * h)(i => vals((i / w / 8) * (w / 8 + 1) + (i % w) / 8))
+  }
+
+  test("block-constant images roundtrip pixel-EXACT: strip/tile, split/inline tables, LE/BE, restarts") {
+    val gen = for {
+      bw <- Gen.choose(1, 5)
+      bh <- Gen.choose(1, 5)
+      tiled <- Gen.oneOf(None, Some((16, 8)))
+      split <- Gen.oneOf(false, true)
+      be <- Gen.oneOf(false, true)
+      rst <- Gen.oneOf(0, 2)
+    } yield (bw * 8, bh * 8, tiled, split, be, rst)
+    samples(gen, 25, 0x77E61).foreach { case (w, h, tiled, split, be, rst) =>
+      val px = blockConstant(w, h, w * 131 + h)
+      val dir = java.nio.file.Files.createTempDirectory("tifjpg").toString
+      val path = s"$dir/x.tif"
+      graft.JpegFixture.writeJpegTiff(path, px, w, h, ones, split = split,
+        tiled = tiled, restartInterval = rst, bigendian = be)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val info = Tiff.fromBytes(bytes)
+      assert(info.compression == 7 && info.jpegTables.isDefined == split)
+      val out = Tiff.decode(bytes, info)
+      assert(out.size == w * h, s"w=$w h=$h tiled=$tiled split=$split be=$be rst=$rst")
+      out.foreach { case (a, r, v) =>
+        assert(v == (px(a * w + r) & 0xff).toDouble,
+          s"($a,$r): got $v want ${px(a * w + r) & 0xff} " +
+            s"[w=$w h=$h tiled=$tiled split=$split be=$be rst=$rst]")
+      }
+    }
+  }
+
+  test("random images decode within DCT rounding tolerance (odd sizes, edge MCU crop)") {
+    val gen = Gen.zip(Gen.choose(3, 37), Gen.choose(3, 37), Gen.oneOf(false, true))
+    samples(gen, 20, 0x77E62).foreach { case (w, h, split) =>
+      val rng = new scala.util.Random(w * 1009 + h)
+      // smooth-ish content (random walks) keeps quantization error at
+      // the rounding floor so the ±2 tolerance is meaningful, while odd
+      // sizes exercise the cropped edge MCUs
+      val px = new Array[Byte](w * h)
+      var v = 128
+      var i = 0
+      while (i < px.length) {
+        v = math.max(0, math.min(255, v + rng.nextInt(7) - 3))
+        px(i) = v.toByte
+        i += 1
+      }
+      val dir = java.nio.file.Files.createTempDirectory("tifjpgr").toString
+      val path = s"$dir/x.tif"
+      graft.JpegFixture.writeJpegTiff(path, px, w, h, ones, split = split)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val out = Tiff.decode(bytes, Tiff.fromBytes(bytes))
+      assert(out.size == w * h)
+      out.foreach { case (a, r, got) =>
+        val want = px(a * w + r) & 0xff
+        assert(math.abs(got - want) <= 2.0,
+          s"($a,$r): got $got want $want [w=$w h=$h split=$split]")
+      }
+    }
+  }
+
+  test("a coarse quantization table is LOSSY but decodes close on smooth content") {
+    // q16 everywhere: block-constant content still roundtrips within
+    // the DC quantization step (16/8 = 2 levels)
+    val q16 = Array.fill(64)(16)
+    val (w, h) = (24, 16)
+    val px = blockConstant(w, h, 42)
+    val dir = java.nio.file.Files.createTempDirectory("tifjpgq").toString
+    val path = s"$dir/x.tif"
+    graft.JpegFixture.writeJpegTiff(path, px, w, h, q16, split = false)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val out = Tiff.decode(bytes, Tiff.fromBytes(bytes))
+    out.foreach { case (a, r, got) =>
+      val want = px(a * w + r) & 0xff
+      assert(math.abs(got - want) <= 1.0, s"($a,$r): got $got want $want")
+    }
+  }
+
+  test("out-of-scope streams fail LOUD: progressive, multi-component, 16-bit DQT, color TIFF") {
+    def sof(marker: Int, nComp: Int): Array[Byte] =
+      (Array(0xff, 0xd8, 0xff, marker, 0, 8 + 3 * nComp, 8, 0, 8, 0, 8, nComp) ++
+        (0 until nComp).flatMap(c => Seq(c, 0x11, 0))).map(_.toByte).toArray
+    val e1 = intercept[IllegalArgumentException](
+      JpegDecoder.decode(None, sof(0xc2, 1), 8, 8))
+    assert(e1.getMessage.contains("progressive"))
+    val e2 = intercept[IllegalArgumentException](
+      JpegDecoder.decode(None, sof(0xc0, 3), 8, 8))
+    assert(e2.getMessage.contains("component"))
+    val dqt16 = Array(0xff, 0xd8, 0xff, 0xdb, 0x00, 0x43, 0x10).map(_.toByte).toArray ++
+      Array.fill(128)(1.toByte)
+    val e3 = intercept[IllegalArgumentException](
+      JpegDecoder.decode(None, dqt16 ++ Array(0xff, 0xd9).map(_.toByte), 8, 8))
+    assert(e3.getMessage.contains("16-bit"))
+    // arithmetic coding (DAC-announced streams use SOF9-13; the DAC
+    // marker itself must also be rejected)
+    val dac = Array(0xff, 0xd8, 0xff, 0xcc, 0, 4, 0, 0, 0xff, 0xd9).map(_.toByte).toArray
+    val e4 = intercept[IllegalArgumentException](JpegDecoder.decode(None, dac, 8, 8))
+    assert(e4.getMessage.contains("arithmetic"))
+  }
+
+  test("a tables-only stream decodes nothing; a scan without SOF fails") {
+    val t = graft.JpegFixture.tablesStream(ones)
+    val e = intercept[IllegalArgumentException](JpegDecoder.decode(None, t, 8, 8))
+    assert(e.getMessage.contains("no SOS"))
+    // abbreviated scan WITHOUT its tag-347 tables: Huffman tables missing
+    val scan = graft.JpegFixture.scanStream(Array.fill(64)(7.toByte), 8, 8, ones,
+      withTables = false)
+    val e2 = intercept[IllegalArgumentException](JpegDecoder.decode(None, scan, 8, 8))
+    assert(e2.getMessage.contains("never defined"))
+  }
+}
