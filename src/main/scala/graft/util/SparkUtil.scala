@@ -34,7 +34,7 @@ object SparkUtil {
     // 100× point (200k vectors, ~350M-row shortlist build) exhausted an
     // 80 GB spill volume on raw blocks. Storage pressure, not CPU, is
     // the binding constraint for checkpoint-heavy plans at scale.
-    .config("spark.rdd.compress", "true")
+    .config("spark.rdd.compress", sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
 
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
