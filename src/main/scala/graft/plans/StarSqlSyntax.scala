@@ -268,9 +268,15 @@ object FromFirstSqlSyntax {
     var more = true
     while (more) {
       val evs = events(sql)
+      // DuckDB admits the FROM-first body after a WITH prelude too
+      // (`WITH c AS (...) FROM c SELECT ...` — probe-verified, r12);
+      // a regular post-prelude statement starts with SELECT/VALUES, so
+      // a FROM exactly AT the prelude end is unambiguous
+      val prelude = PivotSqlSyntax.withPreludeEnd(sql, evs)
       val ki = evs.indices.find { k =>
         val e = evs(k)
-        e.kind == 0 && e.up == "FROM" && (k == 0 || evs(k - 1).kind == 1)
+        e.kind == 0 && e.up == "FROM" &&
+          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k))
       }
       ki match {
         case None => more = false

@@ -52,6 +52,28 @@ class PivotSqlSpec extends SparkFunSuite {
     assert(PivotSqlSyntax.rewrite(lit) == lit)
   }
 
+  test("rewrite: WITH prelude — statement body rewrites, native forms inside WITH pass through") {
+    // the r12 prelude rule admits PIVOT/UNPIVOT exactly AT the prelude
+    // end; Spark's native FROM-clause forms anywhere later in a WITH
+    // statement must stay byte-identical (they also follow a close
+    // paren, so the rule must not over-match)
+    val n1 = "WITH c AS (SELECT 1 AS x) SELECT * FROM (SELECT * FROM t) PIVOT (sum(x) FOR p IN ('a'))"
+    assert(PivotSqlSyntax.rewrite(n1) == n1)
+    val n2 = "WITH c AS (SELECT 1 AS x) SELECT * FROM c UNPIVOT (v FOR n IN (x))"
+    assert(UnpivotSqlSyntax.rewrite(n2) == n2)
+    // a CTE literally named pivot is a name, not a statement body
+    val n3 = "WITH pivot AS (SELECT 1 AS x) SELECT * FROM pivot"
+    assert(PivotSqlSyntax.rewrite(n3) == n3)
+    // statement-form body AFTER the prelude rewrites (and keeps the
+    // prelude verbatim) — multi-CTE with a comment before the comma
+    val s1 = "WITH a AS (SELECT 1 AS x) -- c\n, b AS (SELECT 2 AS y, 3 AS g) " +
+      "PIVOT b ON y IN (2) USING count(*) GROUP BY g ORDER BY 1"
+    val r1 = PivotSqlSyntax.rewrite(s1)
+    assert(r1 != s1 &&
+      r1.startsWith("WITH a AS (SELECT 1 AS x) -- c\n, b AS (SELECT 2 AS y, 3 AS g) ") &&
+      r1.contains("FILTER"), r1)
+  }
+
   test("rewrite failures: multi-agg, non-call USING, name collision, multi-ON") {
     val e1 = intercept[AnalysisException] {
       PivotSqlSyntax.rewrite("PIVOT t ON c IN ('a') USING sum(x), count(*) GROUP BY g")

@@ -225,9 +225,14 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     // star EXCLUDE + QUALIFY in one block
     "star_exclude_qualify" -> ("SELECT * EXCLUDE (o_prio) , § AS tag FROM fuzz_t " +
       "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
-      "ORDER BY o_orderkey"))
+      "ORDER BY o_orderkey"),
+    // FROM-first body AFTER a WITH prelude (the r12 prelude rule on a
+    // third rewriter), composed with star EXCLUDE
+    "with_from_first_exclude" -> ("WITH w AS ( SELECT o_orderkey , o_prio , o_totalprice " +
+      "FROM fuzz_t WHERE o_totalprice > 40 ) " +
+      "FROM w SELECT * EXCLUDE (o_prio) WHERE o_totalprice > 60 ORDER BY o_orderkey"))
 
-  test("P3: multi-extension compositions execute identically to their plain twins (540 seeds)") {
+  test("P3: multi-extension compositions execute identically to their plain twins (600 seeds)") {
     views
     ComposedCores.foreach { case (name, core) =>
       val plain = spark.sql(core.replace("§", "'p'")).collect()

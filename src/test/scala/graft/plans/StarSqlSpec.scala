@@ -150,4 +150,19 @@ class StarSqlSpec extends SparkFunSuite {
     val q = "SELECT a FROM t WHERE x IN (SELECT y FROM u)"
     assert(FromFirstSqlSyntax.rewrite(q) == q)
   }
+
+  test("FROM-first after a WITH prelude (DuckDB-legal, r12)") {
+    t
+    // SELECT form and bare form, prelude verbatim in both
+    val got = spark.sql(
+      "WITH w AS (SELECT id, v * 2 AS v2 FROM star_t) FROM w SELECT v2 ORDER BY v2")
+    assert(got.columns.toSeq == Seq("v2") && got.count() == 3)
+    val bare = spark.sql(
+      "WITH w AS (SELECT id FROM star_t WHERE id <= 2) FROM w ORDER BY id")
+    assert(bare.columns.toSeq == Seq("id") && bare.count() == 2)
+    // a regular statement after a prelude is untouched (its FROM is
+    // mid-query, not at the prelude end)
+    val q = "WITH w AS (SELECT 1 AS x) SELECT x FROM w"
+    assert(FromFirstSqlSyntax.rewrite(q) == q)
+  }
 }
