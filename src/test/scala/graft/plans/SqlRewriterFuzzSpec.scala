@@ -82,7 +82,11 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
       tail <- genDecor(trailing = true)
       qid <- Gen.oneOf("`exclude`", "\"exclude\"")
       whereLit <- genLit
-    } yield s"SELECT $c1 id, $qid, $lit AS s $c2 FROM fuzz_q " +
+      // half the statements open with a WITH prelude (r12: the prelude
+      // rule admits PIVOT/UNPIVOT/FROM bodies at its end — a decorated
+      // prelude followed by a REGULAR statement must never trip it)
+      prelude <- Gen.oneOf("", "WITH w AS ( SELECT 1 AS one ) ")
+    } yield s"${prelude}SELECT $c1 id, $qid, $lit AS s $c2 FROM fuzz_q " +
       s"WHERE $whereLit <> 'zz' ORDER BY id $tail"
     val stmts = samples(gen, 300, 0xF0221L)
     assert(stmts.size >= 290, s"generator drought: ${stmts.size}")
