@@ -798,10 +798,25 @@ object Hdf5 {
       var minval = 0L; { var i = 0; while (i < minvalWidth) { minval |= (stored(5 + i) & 0xffL) << (8 * i); i += 1 } }
       val dataOff = 21
       val out = new Array[Byte](rawLen)
-      if (minbits == size * 8) { // full-width chunk: verbatim, file byte order
+      if (minbits == size * 8) { // full-width chunk: stored little-endian
+        // H5Z__scaleoffset_convert canonicalizes BE datasets to LE before
+        // compressing, so a full-width payload is LE on disk regardless of
+        // cd(6); swap back per element when the dataset order is BE (the
+        // packed path honors cd(6) inside putVal already).
         require(stored.length >= dataOff + rawLen,
           s"$name: scaleoffset full-width chunk truncated (${stored.length} bytes)")
         System.arraycopy(stored, dataOff, out, 0, rawLen)
+        if (be && size > 1) {
+          var base = 0
+          while (base < rawLen) {
+            var lo = 0; var hi = size - 1
+            while (lo < hi) {
+              val t = out(base + lo); out(base + lo) = out(base + hi); out(base + hi) = t
+              lo += 1; hi -= 1
+            }
+            base += size
+          }
+        }
         return out
       }
       require(minbits >= 0 && minbits < size * 8,

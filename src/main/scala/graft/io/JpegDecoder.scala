@@ -47,7 +47,14 @@ object JpegDecoder {
         l += 1
       }
     }
-    def symbol(ptr: Int): Int = symbols(ptr) & 0xff
+    def symbol(ptr: Int): Int = {
+      // a corrupt stream can walk code past the populated range even when
+      // code <= maxCode(l) lies (counts/symbols mismatch in the DHT) —
+      // keep the failure on the typed JpegError path, not AIOOBE
+      if (ptr < 0 || ptr >= symbols.length)
+        fail(s"Huffman symbol index $ptr outside the ${symbols.length}-entry table — corrupt stream")
+      symbols(ptr) & 0xff
+    }
   }
 
   /** Entropy-coded-segment bit reader: unstuffs 0xFF00, stops at any
@@ -231,6 +238,14 @@ object JpegDecoder {
     * 8-bit samples of exactly `outW`×`outH` (the strip/tile's declared
     * raster window; JPEG pads to 8-row/col MCUs, which are cropped). */
   def decode(tables: Option[Array[Byte]], scan: Array[Byte],
+      outW: Int, outH: Int): Array[Byte] =
+    try decodeImpl(tables, scan, outW, outH)
+    catch { // uniform error contract: corruption surfaces as JpegError only
+      case e: ArrayIndexOutOfBoundsException =>
+        fail(s"corrupt stream (index ${e.getMessage})")
+    }
+
+  private def decodeImpl(tables: Option[Array[Byte]], scan: Array[Byte],
       outW: Int, outH: Int): Array[Byte] = {
     val st = tablesState(tables)
     val dataStart = parseSegments(scan, 0, st)

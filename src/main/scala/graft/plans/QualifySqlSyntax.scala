@@ -199,6 +199,24 @@ object QualifySqlSyntax {
     * select-list alias, so materializing it inside the wrap is always
     * semantics-preserving — unqualified items stay outside untouched
     * (an alias there must keep resolving against the OUTPUT list). */
+  /** Event indices that participate in a dotted `a.b` word pair — the
+    * comment-blanked gap between the two word events trims to exactly a
+    * dot. Both sides of each pair are included. */
+  private[plans] def dottedIdx(expr: String): Set[Int] = {
+    val evs = events(expr)
+    val spans = commentSpans(expr)
+    def dotBetween(a: Ev, b: Ev): Boolean = {
+      val span = expr.substring(a.end, b.pos)
+      val base = a.end
+      span.indices.map(i =>
+        if (spans.exists(s => base + i >= s._1 && base + i < s._2)) ' '
+        else span.charAt(i)).mkString.trim == "."
+    }
+    (0 until evs.length - 1).iterator.filter { k =>
+      evs(k).kind == 0 && evs(k + 1).kind == 0 && dotBetween(evs(k), evs(k + 1))
+    }.flatMap(k => Iterator(k, k + 1)).toSet
+  }
+
   private[plans] def hasQualifiedRef(expr: String): Boolean = {
     val evs = events(expr)
     val spans = commentSpans(expr)
@@ -213,6 +231,64 @@ object QualifySqlSyntax {
       evs(k).kind == 0 && !evs(k).up.matches("\\d+") &&
         evs(k + 1).kind == 0 && dotBetween(evs(k), evs(k + 1))
     }
+  }
+
+  /** Words that appear bare inside expressions without naming a column. */
+  private val ExprKeywords = Set(
+    "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT", "NULL",
+    "IS", "IN", "LIKE", "ILIKE", "RLIKE", "ESCAPE", "BETWEEN", "ASC",
+    "DESC", "NULLS", "FIRST", "LAST", "TRUE", "FALSE", "AS", "INTERVAL",
+    "DISTINCT", "OVER", "PARTITION", "BY", "ORDER", "ROWS", "RANGE",
+    "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW", "FILTER",
+    "WHERE", "EXISTS", "ANY", "ALL", "SOME", "DIV")
+
+  /** Bare (unqualified) identifier words of an expression: word events
+    * outside every dotted pair, non-numeric, not a keyword, and not a
+    * function name (directly followed by `(`). Uppercased. */
+  private[plans] def bareIdents(expr: String): Set[String] = {
+    val evs = events(expr)
+    val dotted = dottedIdx(expr)
+    evs.indices.iterator.filter { k =>
+      val e = evs(k)
+      e.kind == 0 && !dotted.contains(k) && !e.up.matches("\\d+") &&
+        !ExprKeywords.contains(e.up) &&
+        !(k + 1 < evs.length && evs(k + 1).kind == 1 &&
+          expr.substring(e.end, evs(k + 1).pos).trim.isEmpty)
+    }.map(evs(_).up).toSet
+  }
+
+  /** Output-column aliases a select list declares: explicit `AS a` plus
+    * the implicit trailing-identifier form `expr a`. Bare single-word
+    * items are NOT aliases (output name == input name — no resolution
+    * divergence possible). Uppercased. */
+  private[plans] def selectListAliases(selList: String): Set[String] = {
+    PivotSqlSyntax.splitTop(selList).iterator.flatMap { item =>
+      val evs = events(item)
+      val dotted = dottedIdx(item)
+      val spans = commentSpans(item)
+      def wsBetween(a: Ev, b: Ev): Boolean = {
+        val base = a.end
+        item.substring(a.end, b.pos).indices.forall(i =>
+          item.charAt(base + i).isWhitespace ||
+            spans.exists(s => base + i >= s._1 && base + i < s._2))
+      }
+      val lastWord = evs.lastIndexWhere(_.kind == 0)
+      if (lastWord <= 0) Iterator.empty
+      else {
+        val e = evs(lastWord)
+        val isTail = lastWord == evs.length - 1 ||
+          item.substring(e.end).forall(c => c.isWhitespace)
+        val prev = evs(lastWord - 1)
+        val explicit = prev.kind == 0 && prev.up == "AS" && wsBetween(prev, e)
+        val implicitAlias = (prev.kind == 0 || prev.kind == 2) &&
+          !dotted.contains(lastWord) && prev.up != "AS" &&
+          !ExprKeywords.contains(e.up) && !e.up.matches("\\d+") &&
+          wsBetween(prev, e)
+        if (e.depth == 0 && isTail && !e.up.matches("\\d+") &&
+            (explicit || implicitAlias)) Iterator(e.up)
+        else Iterator.empty
+      }
+    }.toSet
   }
 
   /** Rewrite every `QUALIFY <pred>` into the subquery wrap. Each pass
@@ -291,9 +367,23 @@ object QualifySqlSyntax {
             if (ord.isEmpty) fail("empty ORDER BY list")
             Some((ordEnd, PivotSqlSyntax.splitTop(ord)))
           } else None
+        lazy val aliases = selectListAliases(sql.substring(sel.end, frm.pos))
         val parts = ordInfo.map(_._2.zipWithIndex.map { case (item, i) =>
           val (expr, mods) = splitOrderItem(item, fail)
           if (hasQualifiedRef(expr)) {
+            // MIXED REFERENCES (r12 advisor): materializing the item
+            // inside the wrap moves any select-list-alias word in it
+            // from output-list resolution (DuckDB single-block ORDER BY)
+            // to base-table resolution — if the base tables also carry
+            // that name, the sort key silently diverges. Refuse loudly.
+            val mixed = bareIdents(expr).intersect(aliases)
+            if (mixed.nonEmpty)
+              fail(s"ORDER BY item '${item.trim}' mixes a table-qualified " +
+                s"column with select-list alias${if (mixed.size > 1) "es" else ""} " +
+                s"${mixed.toSeq.sorted.mkString(", ")} — the QUALIFY wrap would " +
+                "resolve the alias against the base tables instead of the " +
+                "output list; use only base columns or only output aliases " +
+                "in this sort item")
             val h = s"__graft_qord_${idx}_$i"
             (Some((s", ($expr\n) AS $h\n", h)),
               if (mods.isEmpty) h else s"$h $mods")

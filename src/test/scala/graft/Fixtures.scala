@@ -405,7 +405,7 @@ object Fixtures {
       chunks: (Int, Int), nbit: Option[(Int, Int)] = None,
       soMinbits: Option[Int] = None, soFill: Option[Int] = Some(0),
       deflate: Boolean = false, shuffle: Boolean = false,
-      fletcher32: Boolean = false) extends H5Data
+      fletcher32: Boolean = false, be: Boolean = false) extends H5Data
   final case class H5F64(dims: Seq[Int], values: Array[Double]) extends H5Data
   final case class H5I32(dims: Seq[Int], values: Array[Int]) extends H5Data
   final case class H5I64(dims: Seq[Int], values: Array[Long]) extends H5Data
@@ -643,8 +643,9 @@ object Fixtures {
       case H5I32(_, _) =>
         b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
         b.putShort(0).putShort(32)
-      case _: H5I32C =>
-        b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
+      case f: H5I32C =>
+        b.put((0x10 | 0).toByte).put((0x08 | (if (f.be) 1 else 0)).toByte)
+          .put(0.toByte).put(0.toByte).putInt(4)
         b.putShort(0).putShort(32)
       case H5I64(_, _) =>
         b.put((0x10 | 0).toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(8)
@@ -788,6 +789,8 @@ object Fixtures {
           case f: H5I32C =>
             require(f.nbit.isEmpty || f.soMinbits.isEmpty,
               "nbit and scaleoffset both pack — pick one per dataset")
+            require(!f.be || f.nbit.isEmpty,
+              "BE fixtures only exercise the scaleoffset / raw paths")
             shuffle = f.shuffle; deflate = f.deflate; fletcher = f.fletcher32
             val vals = new Array[Int](ch * cw)
             for { a <- 0 until ch; r <- 0 until cw } {
@@ -795,9 +798,12 @@ object Fixtures {
               vals(a * cw + r) = if (ga < az && gr < rg) f.values(ga * rg + gr) else 0
             }
             f.soMinbits match {
+              // scaleoffset payload is canonical LE on disk in BOTH dataset
+              // byte orders (H5Z__scaleoffset_convert runs before compress)
               case Some(mb) => st = h5SoPackInt(vals, mb, f.soFill)
               case None =>
-                val b = java.nio.ByteBuffer.allocate(ch * cw * 4).order(bo)
+                val b = java.nio.ByteBuffer.allocate(ch * cw * 4)
+                  .order(if (f.be) java.nio.ByteOrder.BIG_ENDIAN else bo)
                 vals.foreach(b.putInt)
                 st = b.array()
                 f.nbit.foreach { case (prec, off) => st = h5NbitPack(st, 4, prec, off) }
@@ -832,7 +838,8 @@ object Fixtures {
               Option.when(f.fletcher32)((3, Seq.empty[Int]))).flatten
         case f: H5I32C =>
           f.soMinbits.map(mb =>
-            (6, Seq(2, mb, nelmts, 0, 4, 1, 0, if (f.soFill.isDefined) 1 else 0,
+            (6, Seq(2, mb, nelmts, 0, 4, 1, if (f.be) 1 else 0,
+              if (f.soFill.isDefined) 1 else 0,
               f.soFill.getOrElse(0)) ++ Seq.fill(11)(0))).toSeq ++
             // nbit cd (H5Z__set_local_nbit, atomic): [nparms, nelmts,
             //  pass-through flag, class, size, order, precision, offset]

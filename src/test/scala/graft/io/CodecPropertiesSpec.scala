@@ -223,6 +223,40 @@ class CodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("HDF5 big-endian scale-offset: full-width chunks swap back from the LE store") {
+    // H5Z__scaleoffset_convert canonicalizes BE datasets to LE before
+    // compressing, so BOTH the packed and the full-width (minbits ==
+    // size*8) payloads are order-free/LE on disk; the decoder must emit
+    // dataset-order (BE) bytes in both shapes. The full-width path is the
+    // r12-advisor finding: a verbatim copy would hand LE bytes to a BE
+    // dtype and decode silently byte-swapped.
+    val gen = for {
+      (az, rg) <- dims
+      ch       <- Gen.choose(1, 9)
+      cw       <- Gen.choose(1, 9)
+      base     <- Gen.choose(-50000, 50000)
+      span     <- Gen.choose(1, 4000)
+      full     <- Gen.oneOf(false, true) // packed vs forced full-width
+      chain    <- Gen.zip(Gen.oneOf(false, true), Gen.oneOf(false, true))
+    } yield (az, rg, ch, cw, base, span, full, chain)
+    samples(gen, 20, 0xBE50).foreach {
+      case (az, rg, ch, cw, base, span, full, (deflate, fletcher)) =>
+        val rng = new scala.util.Random(az * 131 + rg * 17 + base + 1)
+        val vals = Array.fill(az * rg)(
+          if (rng.nextInt(6) == 0) 0 else base + rng.nextInt(span))
+        val dir = java.nio.file.Files.createTempDirectory("h5sobe").toString
+        graft.Fixtures.writeH5(s"$dir/x.h5", Seq(
+          "s" -> graft.Fixtures.H5I32C(Seq(az, rg), vals, chunks = (ch, cw),
+            soMinbits = Some(if (full) 32 else 0), be = true,
+            deflate = deflate, fletcher32 = fletcher)))
+        val f = Hdf5.fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/x.h5")))
+        val ds = f.dataset("s", f.rootEntries.toMap.apply("s"))
+        val got = f.readDoubles(ds).toSeq
+        assert(got == vals.map(_.toDouble).toSeq,
+          s"dims=($az,$rg) chunk=($ch,$cw) base=$base span=$span full=$full chain=($deflate,$fletcher)")
+    }
+  }
+
   test("HDF5 float D-scale scale-offset matches the llroundf-lossy expectation") {
     val gen = for {
       (az, rg) <- dims

@@ -120,6 +120,28 @@ class JpegTiffSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("arithmetic"))
   }
 
+  test("truncated segments fail as typed JpegError, never a raw index error") {
+    // r12 advisor: corrupt streams must stay on the JpegError contract.
+    // A DHT whose declared length runs past the buffer used to AIOOBE in
+    // the counts read; a truncated SOF likewise in u16.
+    val dhtTrunc = Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x40, 0x00, 1, 1).map(_.toByte).toArray
+    val e1 = intercept[JpegDecoder.JpegError](JpegDecoder.decode(None, dhtTrunc, 8, 8))
+    assert(e1.getMessage.contains("corrupt stream"), e1.getMessage)
+    val sofTrunc = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 8, 0).map(_.toByte).toArray
+    val e2 = intercept[JpegDecoder.JpegError](JpegDecoder.decode(None, sofTrunc, 8, 8))
+    assert(e2.getMessage.contains("corrupt stream"), e2.getMessage)
+    // an entropy run whose Huffman walk never lands on a code: typed too
+    val ones8 = Array.fill(64)(1)
+    val good = graft.JpegFixture.scanStream(Array.fill(64)(7.toByte), 8, 8, ones8,
+      withTables = true)
+    val garbled = good.clone()
+    // flip bits in the tail of the entropy stream (before any EOI)
+    var i = good.length - 6
+    while (i < good.length - 2) { garbled(i) = (~garbled(i)).toByte; i += 1 }
+    try { JpegDecoder.decode(None, garbled, 8, 8); () }
+    catch { case e: Throwable => assert(e.isInstanceOf[JpegDecoder.JpegError], e.toString) }
+  }
+
   test("a tables-only stream decodes nothing; a scan without SOF fails") {
     val t = graft.JpegFixture.tablesStream(ones)
     val e = intercept[IllegalArgumentException](JpegDecoder.decode(None, t, 8, 8))

@@ -104,6 +104,38 @@ class QualifySqlSpec extends SparkFunSuite {
     assert(e3.getMessage.contains("empty"))
   }
 
+  test("mixed qualified-ref + select-alias ORDER BY items fail loudly (r12 advisor)") {
+    // `rn` is a select-list alias; materializing the CASE inside the wrap
+    // would re-resolve `rn` against the base tables (silent divergence
+    // when a base column shadows it) — refuse with a clear message.
+    val e = intercept[AnalysisException] {
+      QualifySqlSyntax.rewrite(
+        "SELECT t.g, row_number() OVER (ORDER BY t.v) AS rn " +
+          "FROM t QUALIFY rn <= 2 ORDER BY CASE WHEN t.v > 0 THEN rn END")
+    }
+    assert(e.getMessage.contains("mixes a table-qualified column"), e.getMessage)
+    assert(e.getMessage.contains("RN"), e.getMessage)
+    // pure-qualified items still materialize; pure-alias items stay outside
+    val ok = QualifySqlSyntax.rewrite(
+      "SELECT t.g, row_number() OVER (ORDER BY t.v) AS rn " +
+        "FROM t QUALIFY rn <= 2 ORDER BY t.v DESC, rn")
+    assert(ok.contains("__graft_qord_0_0"), ok)
+    // alias words inside function calls / keywords don't false-positive
+    val ok2 = QualifySqlSyntax.rewrite(
+      "SELECT t.g, max(v) AS rn FROM t QUALIFY rn > 0 " +
+        "ORDER BY CASE WHEN t.v IS NULL THEN abs(t.v) END")
+    assert(ok2.contains("__graft_qord"), ok2)
+  }
+
+  test("selectListAliases: explicit AS, implicit trailing word, bare columns excluded") {
+    assert(QualifySqlSyntax.selectListAliases("a, b AS x, sum(c) total, t.d")
+      == Set("X", "TOTAL"))
+    assert(QualifySqlSyntax.selectListAliases(
+      "cast(a AS int), f(b), a + b") == Set.empty)
+    // comments between expr and alias stay whitespace-equivalent
+    assert(QualifySqlSyntax.selectListAliases("a + b /* why */ s") == Set("S"))
+  }
+
   // ---------- executed semantics ----------
 
   private def fixture(): Unit = {
