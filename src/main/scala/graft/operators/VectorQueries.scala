@@ -459,6 +459,27 @@ object VectorQueries {
     * on the clustered planted-pair corpus (SCALING.md). */
   val BitextShortlist = 16
 
+  /** Gradeable-size cap on the EXACT bitext miner (r12 verdict #3):
+    * `mine_bitext_margin` is deliberately an all-pairs X×Y plan — it is
+    * the recall grader's ground truth (the `ann_topk_bruteforce`
+    * pattern), priced-in at sf0.1 (~2 s) and at BT·10× (10k×10k = 10⁸
+    * pairs, 73 s) where `mine_bitext_ann_recall` grades the IVF twin.
+    * Past ~2.5×10⁸ pairs the exact face stops being a grader and
+    * becomes the single-box wall the twin exists to avoid (BT·100× =
+    * 4×10¹⁰ pairs — heap/disk-infeasible), so [[bitextMarginPairs]]
+    * refuses loudly above this cap and names the ANN alternative
+    * instead of starting a cross join that can only die mid-shuffle. */
+  val MaxExactBitextPairs = 250000000L
+
+  /** Broadcast-side cap for the brute-force ground-truth faces
+    * (`ann_topk_bruteforce` and the recall graders built on its
+    * pattern): the corpus side STREAMS (the plan is corpus-linear), but
+    * the query side is broadcast and multiplies every corpus row —
+    * 10⁴ queries × a 10⁸-row corpus is 10¹² scored pairs. Bounded query
+    * panels are the contract; a face that outgrows this should move to
+    * the IVF candidate machinery. */
+  val MaxBruteforceQueries = 10000L
+
   /** round(1e6/log₂(r+1)) for r = 1..10 — the standard nDCG discount
     * table as fixed ppm constants, plus its prefix sums (the ideal-DCG
     * values for 1..10 relevant). Shared by the Spark side and the
@@ -594,11 +615,12 @@ object VectorQueries {
       // is never collected: the plan is corpus-size-independent except
       // for the final k×queries rows.
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val queries = e.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val queries = boundedQueryPanel(e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "ann_topk_bruteforce")
       val topRn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
       e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        .crossJoin(broadcast(queries))
+        .crossJoin(queries)
         .filter(col("cid") =!= col("qid"))
         .select(col("qid"), col("cid"), score("qv", "cv").as("score"))
         .withColumn("rn", row_number().over(topRn))
@@ -2086,6 +2108,20 @@ object VectorQueries {
     },
   )
 
+  /** Guard + broadcast for a brute-force face's query panel (r12
+    * verdict #3): counts the panel once and refuses loudly past
+    * [[MaxBruteforceQueries]] — the corpus side of these plans streams
+    * (corpus-linear), so the broadcast panel is the only quantity that
+    * can silently turn them quadratic. */
+  private def boundedQueryPanel(q: DataFrame, what: String): DataFrame = {
+    val n = q.count()
+    require(n <= MaxBruteforceQueries,
+      s"$what: $n broadcast queries exceeds MaxBruteforceQueries=" +
+        s"$MaxBruteforceQueries — a panel this wide makes the brute-force " +
+        "ground-truth face quadratic; use the IVF candidate machinery")
+    broadcast(q)
+  }
+
   /** Per-tier top-10 by cosine over the first `dim` embedding
     * components, for the matryoshka recall grader. */
   private def truncatedTop10(e: DataFrame, dim: Int): DataFrame = {
@@ -2105,12 +2141,22 @@ object VectorQueries {
   /** Mutual-best margin pairs between an (xid, xv) and a (yid, yv) side
     * (Artetxe & Schwenk 2019, `ratio` variant); exposed for the planted
     * hubness spec. All-BIGINT after the one cosine→×1e6 conversion. */
-  def bitextMarginPairs(xs: DataFrame, ys: DataFrame, k: Int = BitextK): DataFrame =
+  def bitextMarginPairs(xs: DataFrame, ys: DataFrame, k: Int = BitextK): DataFrame = {
+    // gradeable-size guard (r12 verdict #3): refuse the all-pairs plan
+    // above the declared cap instead of dying mid-shuffle at a scale
+    // factor someone forgot it runs at
+    val xn = xs.count(); val yn = ys.count()
+    require(xn * yn <= MaxExactBitextPairs,
+      s"exact bitext margin is a ground-truth face: $xn x $yn = ${xn * yn} " +
+        s"pairs exceeds MaxExactBitextPairs=$MaxExactBitextPairs — use the " +
+        "IVF twin (mine_bitext_margin_ann: bitextAnnCandidateScores + " +
+        "bitextMarginOverScores with the BitextShortlist prune) at this scale")
     bitextMarginOverScores(
       xs.crossJoin(broadcast(ys))
         .select(col("xid"), col("yid"),
           round(score("xv", "yv") * 1000000).cast("long").as("c")),
       k)
+  }
 
   /** The margin tail shared by the exact miner and its IVF twin: from a
     * (xid, yid, c) score table — full X×Y for the exact path, the ANN
