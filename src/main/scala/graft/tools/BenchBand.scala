@@ -1,23 +1,46 @@
 package graft.tools
 
-/** Noise-vs-creep classifier over the bench history (r11 verdict #5):
-  * single-run ratios against last round cannot distinguish host noise
-  * from real regressions — six sub-second wobbles in the r11 artifact
-  * were unclassifiable. This tool reads the trailing per-query walls
+/** Noise-vs-creep-vs-DRIFT classifier over the bench history (r11
+  * verdict #5, box-drift normalization r12 verdict #1): single-run
+  * ratios against last round cannot distinguish host noise from real
+  * regressions, and per-query band tests cannot distinguish "this query
+  * got slower" from "this BOX got slower" — a sustained container shift
+  * moves every best-of wall together, which the r12 rule misread as 18
+  * per-query CREEPs on untouched code (two rounds of manual worktree
+  * A/Bs to clear). This tool reads the trailing per-query walls
   * (`bench_history_<sf>.tsv`, last 9 best-of runs, newest last) and the
   * current run's spread (`bench_diag.json` `[wall, …, wall_other]`) and
-  * flags only BAND BREAKOUTS:
+  * classifies in TWO passes:
   *
-  *   - band = [min, max] of the trailing walls EXCLUDING the newest;
-  *   - breakout-up threshold = max(band) × 1.10 + 0.05 s (10% + a
-  *     driver-floor allowance — sub-100 ms jitter is scheduling, not
-  *     queries);
-  *   - a breakout whose DISCARDED run (wall_other) is back inside the
-  *     band is HOST NOISE (one contended window, best-of caught it);
-  *     a breakout where BOTH runs clear the threshold is CREEP — the
-  *     plan or its data really got slower;
-  *   - breakout-down (cur < min(band) × 0.90 − 0.05) prints as an
-  *     improvement so a fix's effect is visible in the same report.
+  *   1. **Suite drift factor** = median over all queries of
+  *      `cur / median(trailing band)` — the robust "how much slower is
+  *      this whole run than its own history" ratio. A uniform container
+  *      shift lands entirely in this factor (median is immune to a
+  *      handful of real regressions); snapped to 1.0 within ±3% so tiny
+  *      wobble doesn't perturb otherwise-stable reports.
+  *   2. **Per-query band test on drift-normalized walls**
+  *      (`cur/factor`, `wall_other/factor`) against the trailing band:
+  *      - band = [min, max] of the trailing walls EXCLUDING the newest;
+  *      - breakout-up threshold = max(band) × 1.10 + 0.05 s (10% + a
+  *        driver-floor allowance — sub-100 ms jitter is scheduling);
+  *      - a RAW breakout that the normalization absorbs is **DRIFT** —
+  *        the box moved, not the query;
+  *      - a normalized breakout whose DISCARDED run is back inside the
+  *        band is **NOISE** (one contended window, best-of caught it);
+  *      - a normalized breakout where BOTH runs clear the threshold is
+  *        **CREEP** — the plan or its data really got slower, even
+  *        after discounting the box;
+  *      - breakout-down prints as **IMPROVED** (or DRIFT when the whole
+  *        suite moved down) so a fix's effect is visible.
+  *
+  * A box shift is rarely perfectly uniform (the r12 one hit sustained-
+  * cpu kernels 1.5-2x while the suite median moved 7%), so flags CAN
+  * survive normalization without being code regressions. Surviving
+  * CREEP flags are auto-adjudicated by `tools/bench_ab.sh
+  * <prev-close-sha>`: it parses this tool's CREEP lines, BenchProbes
+  * the flagged queries at BOTH SHAs on the same box (worktree, fresh
+  * JVM, best-of-3), and prints a per-query CODE vs BOX verdict — the
+  * one-command replacement for the manual A/Bs rounds 11-12 needed.
   *
   * Usage: runMain graft.tools.BenchBand [historyTsv] [diagJson]
   * (no Spark session — pure file read, prints one line per breakout
@@ -29,18 +52,52 @@ object BenchBand {
       other: Option[Double]) {
     def bandHi: Double = band.max
     def bandLo: Double = band.min
+    def bandMedian: Double = median(band)
     def upThreshold: Double = bandHi * 1.10 + 0.05
     def downThreshold: Double = bandLo * 0.90 - 0.05
-    def classify: String =
-      if (cur > upThreshold) {
-        other match {
+    /** Classification after dividing this run's walls by the suite
+      * drift factor (1.0 = no normalization). */
+    def classify(factor: Double): String = {
+      val nCur = cur / factor
+      val nOther = other.map(_ / factor)
+      val rawUp = cur > upThreshold
+      val rawDown = cur < downThreshold
+      if (nCur > upThreshold) {
+        nOther match {
           case Some(o) if o <= upThreshold =>
             "NOISE (best run broke out, discarded run in band)"
-          case Some(_) => "CREEP (both runs above band)"
+          case Some(_) => "CREEP (both runs above band after drift normalization)"
           case None    => "BREAKOUT (no spread recorded)"
         }
-      } else if (cur < downThreshold) "IMPROVED"
+      } else if (rawUp)
+        f"DRIFT (suite-wide box shift x$factor%.3f absorbs it)"
+      else if (nCur < downThreshold) "IMPROVED"
+      else if (rawDown)
+        f"DRIFT (suite-wide box shift x$factor%.3f absorbs it)"
       else "in band"
+    }
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Suite drift factor: median per-query ratio of the newest wall to
+    * its own trailing-band median. Robust to a minority of genuine
+    * regressions; snapped to 1.0 within ±3%. Degenerate suites (< 10
+    * comparable queries) never normalize. */
+  def driftFactor(rs: Seq[Row]): Double = {
+    val ratios = rs.collect {
+      case r if r.bandMedian > 1e-9 => r.cur / r.bandMedian
+    }
+    if (ratios.size < 10) 1.0
+    else {
+      val f = median(ratios)
+      if (math.abs(f - 1.0) <= 0.03 || f <= 0.0) 1.0 else f
+    }
   }
 
   def parseHistory(lines: Seq[String]): Seq[(String, Seq[Double])] =
@@ -62,6 +119,35 @@ object BenchBand {
       Row(n, walls.dropRight(1), walls.last, spread.get(n))
     }
 
+  /** The full report as lines (pure — spec-testable without stdout). */
+  def report(rs: Seq[Row]): Seq[String] = {
+    val factor = driftFactor(rs)
+    val out = rs.map(r => (r, r.classify(factor))).filterNot(_._2 == "in band")
+      .sortBy { case (r, _) => -(r.cur / math.max(r.bandHi, 1e-9)) }
+    val lines = out.map { case (r, cls) =>
+      val o = r.other.map(v => f"$v%.2f").getOrElse("-")
+      f"BAND ${r.name}%-32s cur=${r.cur}%.2f other=$o%-6s " +
+        f"band=[${r.bandLo}%.2f,${r.bandHi}%.2f] n=${r.band.size} -> $cls"
+    }
+    val creep = out.count(_._2.startsWith("CREEP"))
+    val noise = out.count(_._2.startsWith("NOISE"))
+    val drift = out.count(_._2.startsWith("DRIFT"))
+    val imp = out.count(_._2 == "IMPROVED")
+    val probeHint =
+      if (creep > 0)
+        Seq("BAND PROBE auto-adjudicate surviving CREEP flags: " +
+          "tools/bench_ab.sh <prev-close-sha> — BenchProbes them at both " +
+          "SHAs on this box and prints CODE vs BOX per query")
+      else Seq.empty
+    lines ++ Seq(
+      f"BAND DRIFT factor=$factor%.3f (suite-median cur/bandMedian; 1.000 = no box shift)",
+      s"BAND SUMMARY queries=${rs.size} breakouts=${out.size} " +
+        s"creep=$creep noise=$noise drift=$drift improved=$imp " +
+        s"(thresholds on drift-normalized walls: up = bandMax*1.10+0.05s " +
+        s"over trailing ${rs.headOption.map(_.band.size).getOrElse(0)}-run band, " +
+        s"down = bandMin*0.90-0.05s)") ++ probeHint
+  }
+
   def main(args: Array[String]): Unit = {
     val histPath = if (args.length > 0) args(0) else "bench_history_sf0.1.tsv"
     val diagPath = if (args.length > 1) args(1) else "bench_diag.json"
@@ -74,19 +160,6 @@ object BenchBand {
         parseSpread(java.nio.file.Files.readString(
           java.nio.file.Paths.get(diagPath)))
       else Map.empty[String, Double]
-    val rs = rows(history, spread)
-    val out = rs.filterNot(_.classify == "in band")
-      .sortBy(r => -(r.cur / math.max(r.bandHi, 1e-9)))
-    out.foreach { r =>
-      val o = r.other.map(v => f"$v%.2f").getOrElse("-")
-      println(f"BAND ${r.name}%-32s cur=${r.cur}%.2f other=$o%-6s " +
-        f"band=[${r.bandLo}%.2f,${r.bandHi}%.2f] n=${r.band.size} -> ${r.classify}")
-    }
-    val creep = out.count(_.classify.startsWith("CREEP"))
-    val noise = out.count(_.classify.startsWith("NOISE"))
-    val imp = out.count(_.classify == "IMPROVED")
-    println(s"BAND SUMMARY queries=${rs.size} breakouts=${out.size} " +
-      s"creep=$creep noise=$noise improved=$imp " +
-      s"(thresholds: up = bandMax*1.10+0.05s over trailing ${rs.headOption.map(_.band.size).getOrElse(0)}-run band, down = bandMin*0.90-0.05s)")
+    report(rows(history, spread)).foreach(println)
   }
 }
