@@ -4372,6 +4372,31 @@ object RelationalQueries {
           |, p.sg_id""".stripMargin)
     },
 
+    // ----- O36: WITH prelude + star REPLACE over the prelude's CTE -----
+    // Fuzz P4 find (r13): the REPLACE expansion takes the FROM body's
+    // schema from a bind-time probe, and `WITH c AS (...) SELECT *
+    // REPLACE (...) FROM c` probed a bare `SELECT * FROM c` — no `c`
+    // exists in the session, so the WHOLE composition failed to
+    // analyze. The probe now carries every complete CTE definition that
+    // closes before the star group (which also admits a star inside a
+    // LATER CTE referencing an earlier one). DuckDB runs its native
+    // WITH + REPLACE verbatim; the decoy comments ride on the r10-12
+    // adversarial-text precedent.
+    "o36_with_star_replace" -> QueryDef.sql(
+      """WITH c AS ( SELECT o_orderkey , o_orderpriority , o_totalprice -- REPLACE (trap)
+        |FROM orders WHERE o_orderkey % 3 = 0 )
+        |SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) /* EXCLUDE (x) */ FROM c
+        |WHERE o_orderpriority <> 'zz'
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_wsr_orders")
+      s.sql(
+        """WITH c AS ( SELECT o_orderkey , o_orderpriority , o_totalprice -- REPLACE (trap)
+          |FROM graft_wsr_orders WHERE o_orderkey % 3 = 0 )
+          |SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) /* EXCLUDE (x) */ FROM c
+          |WHERE o_orderpriority <> 'zz'
+          |ORDER BY o_orderkey LIMIT 50""".stripMargin)
+    },
+
     // ----- O28: FROM-first under ADVERSARIAL text -----
     // The hostile-text gate for the seventh extension: FROM-first
     // NESTED inside a parenthesized FROM-first (both legal positions

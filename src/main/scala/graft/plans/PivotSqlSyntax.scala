@@ -120,8 +120,23 @@ object PivotSqlSyntax {
     * with WITH or the prelude doesn't parse as CTE definitions; a
     * Spark FROM-clause `FROM (...) PIVOT (...)` inside a WITH statement
     * never matches because its PIVOT is not AT the prelude end. */
-  private[plans] def withPreludeEnd(sql: String, evs: Vector[Ev]): Option[Int] = {
-    if (evs.isEmpty || evs(0).kind != 0 || evs(0).up != "WITH") return None
+  private[plans] def withPreludeEnd(sql: String, evs: Vector[Ev]): Option[Int] =
+    withWalk(sql, evs)._2
+
+  /** The complete `name AS ( body )` CTE definitions of a leading WITH
+    * prelude, as (name event index, event index just past the body's
+    * close paren). Empty when the statement has no well-formed prelude.
+    * Lets a bind-time schema probe put the CTEs IN SCOPE that precede
+    * the position being probed (fuzz P4 find, r13: a `* REPLACE` whose
+    * FROM body is a CTE of the statement's own prelude probed
+    * `SELECT * FROM c` with no `c` in the session). */
+  private[plans] def withCteDefs(sql: String, evs: Vector[Ev]): Seq[(Int, Int)] =
+    withWalk(sql, evs)._1
+
+  private def withWalk(sql: String,
+      evs: Vector[Ev]): (Seq[(Int, Int)], Option[Int]) = {
+    val none = (Seq.empty[(Int, Int)], Option.empty[Int])
+    if (evs.isEmpty || evs(0).kind != 0 || evs(0).up != "WITH") return none
     def skipParen(k0: Int): Option[Int] = {
       // k0 at an open paren: index just past its matching close
       val d = evs(k0).depth
@@ -138,27 +153,30 @@ object PivotSqlSyntax {
         if (spans.exists(s => i >= s._1 && i < s._2)) ' '
         else span.charAt(i)).mkString.trim
     }
+    val defs = Seq.newBuilder[(Int, Int)]
     var k = 1
     if (k < evs.length && evs(k).kind == 0 && evs(k).up == "RECURSIVE") k += 1
     var more = true
     while (more) {
-      if (k >= evs.length || evs(k).kind != 0) return None // CTE name
+      val nameIdx = k
+      if (k >= evs.length || evs(k).kind != 0) return none // CTE name
       k += 1
       if (k < evs.length && evs(k).kind == 1) // optional (col, ...) list
         skipParen(k) match {
           case Some(nk) => k = nk
-          case None     => return None
+          case None     => return none
         }
-      if (k >= evs.length || evs(k).kind != 0 || evs(k).up != "AS") return None
+      if (k >= evs.length || evs(k).kind != 0 || evs(k).up != "AS") return none
       k += 1
-      if (k >= evs.length || evs(k).kind != 1) return None // AS (body)
+      if (k >= evs.length || evs(k).kind != 1) return none // AS (body)
       skipParen(k) match {
         case Some(nk) => k = nk
-        case None     => return None
+        case None     => return none
       }
+      defs += ((nameIdx, k))
       more = k < evs.length && sep(evs(k - 1).end, evs(k).pos) == ","
     }
-    if (k < evs.length) Some(k) else None
+    (defs.result(), if (k < evs.length) Some(k) else None)
   }
 
   /** Split raw text on commas at paren/quote depth 0 — comment-aware: a

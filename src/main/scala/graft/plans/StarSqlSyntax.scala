@@ -190,7 +190,20 @@ object StarSqlSyntax {
             if (body.isEmpty) fail("empty FROM body")
             val session = SparkSession.getActiveSession.getOrElse(
               fail("no active SparkSession to resolve the star schema on"))
-            val fields = session.sql(s"SELECT * FROM $body").schema.fieldNames.toSeq
+            // the FROM body may reference CTEs of the statement's own
+            // WITH prelude (fuzz P4 find, r13: `WITH c AS (...) SELECT
+            // * REPLACE (...) FROM c` probed a bare `SELECT * FROM c`);
+            // prepend every complete CTE definition that CLOSES before
+            // this star group so the probe binds in the same scope —
+            // covers both the post-prelude statement body and a star
+            // inside a LATER CTE referencing an earlier one
+            val priorCtes = PivotSqlSyntax.withCteDefs(sql, evs)
+              .filter { case (_, endIdx) => evs(endIdx - 1).end <= first.pos }
+            val preludeSql =
+              if (priorCtes.isEmpty) ""
+              else sql.substring(0, evs(priorCtes.last._2 - 1).end) + "\n"
+            val fields = session.sql(s"${preludeSql}SELECT * FROM $body")
+              .schema.fieldNames.toSeq
             val excl = excludeCols.map(c => stripQuote(c).toLowerCase).toSet
             excl.foreach { c =>
               if (!fields.exists(_.toLowerCase == c))

@@ -264,4 +264,88 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     * construction); every numeric/key cell must match exactly. */
   private def mask(row: List[Any]): List[Any] =
     row.filterNot(_.isInstanceOf[String])
+
+  // ----- P4: WITH-prelude × statement-body, ALL seven extensions -----
+  // (r12 verdict #5). r12 found the prelude rule broken for ONE body
+  // (statement PIVOT after WITH) and ONE prelude content (FROM-first at
+  // its end); this corpus runs the full cross product: every extension
+  // in CTE-BODY position × every extension in the statement body after
+  // the prelude, decorated with keyword-bearing comments at random
+  // boundaries. Every prelude yields the same (o_orderkey, o_prio,
+  // o_totalprice) shape so every body composes with every prelude.
+  private val PreludeCtes = Seq(
+    "plain" -> "WITH c AS ( SELECT o_orderkey , o_prio , o_totalprice FROM fuzz_t )",
+    "qualify" -> ("WITH c AS ( SELECT o_orderkey , o_prio , o_totalprice FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 2 )"),
+    "from_first" -> ("WITH c AS ( FROM fuzz_t SELECT o_orderkey , o_prio , o_totalprice " +
+      "WHERE o_totalprice > 40 )"),
+    "star_exclude" -> "WITH c AS ( SELECT * EXCLUDE (o_totalprice) , o_totalprice FROM fuzz_t )",
+    "star_replace" -> "WITH c AS ( SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM fuzz_t )",
+    "distinct_on" -> ("WITH c AS ( SELECT DISTINCT ON (o_prio) o_prio , o_orderkey , o_totalprice " +
+      "FROM fuzz_t ORDER BY o_prio , o_totalprice DESC , o_orderkey )"),
+    // statement-form PIVOT (wrapped back to the 3-column shape by the
+    // statement-form UNPIVOT) as the CTE body itself
+    "pivot_unpivot" -> ("WITH c AS ( UNPIVOT (PIVOT fuzz_t ON o_prio IN ('A', 'B') " +
+      "USING sum(o_totalprice) GROUP BY o_orderkey) " +
+      "ON \"A\", \"B\" INTO NAME o_prio VALUE o_totalprice ) "),
+    "asof" -> ("WITH c AS ( SELECT fuzz_e1.k AS o_orderkey , 'A' AS o_prio , w AS o_totalprice " +
+      "FROM fuzz_e1 ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t )"),
+    // a star REPLACE inside the SECOND CTE referencing the FIRST: the
+    // bind-time schema probe must put only the PRIOR complete CTEs in
+    // scope (the r13 P4 find's general form)
+    "cte_chain_replace" -> ("WITH a AS ( SELECT o_orderkey , o_prio , o_totalprice FROM fuzz_t ) , " +
+      "c AS ( SELECT * REPLACE (o_totalprice + 0 AS o_totalprice) FROM a )"))
+
+  private val BodyCores = Seq(
+    "qualify" -> ("SELECT o_prio , o_orderkey , o_totalprice , § AS tag FROM c " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
+      "ORDER BY o_prio , o_orderkey"),
+    "from_first" -> ("FROM c SELECT o_orderkey , § AS tag WHERE o_totalprice > 0 " +
+      "ORDER BY o_orderkey"),
+    "star_exclude" -> ("SELECT * EXCLUDE (o_prio) FROM c WHERE § <> 'zz' " +
+      "ORDER BY o_orderkey , o_totalprice"),
+    "star_replace" -> ("SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) FROM c " +
+      "WHERE § <> 'zz' ORDER BY o_orderkey , o_totalprice"),
+    "distinct_on" -> ("SELECT DISTINCT ON (o_prio) o_prio , o_orderkey FROM c " +
+      "WHERE § <> 'zz' ORDER BY o_prio , o_totalprice DESC , o_orderkey"),
+    "pivot" -> ("PIVOT c ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "unpivot" -> ("UNPIVOT (PIVOT c ON o_prio IN ('A', 'B') USING count(*) GROUP BY o_orderkey) " +
+      "ON \"A\", \"B\" INTO NAME prio VALUE n ORDER BY o_orderkey , prio"),
+    "asof" -> ("SELECT fuzz_e1.k , fuzz_e1.t , w , § AS tag FROM fuzz_e1 " +
+      "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "WHERE fuzz_e1.k <= ( SELECT max(o_orderkey) FROM c ) " +
+      "ORDER BY fuzz_e1.k , fuzz_e1.t"))
+
+  test("P4: WITH-prelude extension CTEs compose with every statement body (648 seeds)") {
+    views
+    PreludeCtes.foreach { case (pn, pre) =>
+      BodyCores.foreach { case (bn, body) =>
+        val core = s"$pre $body"
+        val plain =
+          try spark.sql(core.replace("§", "'p'")).collect()
+            .map(_.toSeq.toList).toList
+          catch {
+            case e: Throwable =>
+              fail(s"$pn x $bn plain core failed to execute:\n$core\n${e.getMessage}")
+          }
+        assert(plain.nonEmpty, s"$pn x $bn: empty plain result\n$core")
+        samples(decorate(core, 0), 9, 0xF0224L + pn.hashCode * 31 + bn.hashCode)
+          .zipWithIndex.foreach { case (sql, i) =>
+            val got =
+              try spark.sql(sql).collect().map(_.toSeq.toList).toList
+              catch {
+                case e: Throwable =>
+                  fail(s"$pn x $bn seed $i failed to execute:\n$sql\n${e.getMessage}")
+              }
+            assert(got.length == plain.length,
+              s"$pn x $bn seed $i row count ${got.length} != ${plain.length}:\n$sql")
+            got.zip(plain).foreach { case (g, p) =>
+              assert(mask(g) == mask(p),
+                s"$pn x $bn seed $i row mismatch:\n$sql\ngot  $g\nwant $p")
+            }
+          }
+      }
+    }
+  }
 }
