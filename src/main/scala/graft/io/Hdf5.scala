@@ -960,6 +960,17 @@ object Hdf5 {
             val outLen = lengthBelow(fi).getOrElse(throw new IllegalArgumentException(
               s"$name: scaleoffset stacked above a data-dependent filter"))
             buf = scaleoffsetDecode(buf, outLen, filters(fi).clientValues, name)
+          case 4 =>
+            // PERMANENT stance (README "Permanent loud-fail stances"):
+            // szip's Rice coder was patent-encumbered — HDF5/h5py ship
+            // it as an optional, possibly-absent plugin and raise when
+            // missing; we match that behavior by name, never decode
+            // garbage
+            throw new IllegalArgumentException(
+              s"$name: unsupported HDF5 filter id 4 (szip) — permanently " +
+                "out of scope (patent-encumbered optional plugin; see " +
+                "README); re-write the file with a gzip/shuffle pipeline " +
+                "(supported: deflate, shuffle, fletcher32, nbit, scaleoffset)")
           case other =>
             throw new IllegalArgumentException(
               s"$name: unsupported HDF5 filter id $other " +

@@ -4,14 +4,18 @@ package graft.io
   * common wild-file codec the GRD ingest path lacked (the reference
   * opens GRDs through rasterio/libtiff, which accepts any registered
   * codec: `/root/reference/icecube/bin/sar_cube/grd_datacube.py:117-149`).
-  * Scope matches the reader's raster contract (single-band 8-bit SAR
-  * quicklooks/overviews): baseline sequential DCT (SOF0), one
-  * component, Huffman entropy coding, restart markers, and libtiff's
+  * Scope matches the reader's raster contract (single-band SAR
+  * quicklooks/overviews): Huffman sequential DCT — baseline SOF0
+  * (8-bit) and extended-sequential SOF1 (8- and 12-bit, the most
+  * plausible wild SAR-quicklook variant; 16-bit DQT entries per T.81
+  * B.2.4.1), one component, restart markers, and libtiff's
   * split-tables convention (tag 347 `JPEGTables` carries a
   * tables-only stream; each strip/tile is an abbreviated SOI..EOI scan
-  * that inherits them). Everything outside that scope fails LOUDLY —
-  * progressive (SOF2), 12-bit, arithmetic coding, multi-component
-  * color — never a silent wrong answer.
+  * that inherits them). 12-bit samples decode to 16-bit storage words
+  * ([[decodeRaster]]; the TIFF layer reads BitsPerSample=12 rasters as
+  * uint16). Everything outside that scope fails LOUDLY — progressive
+  * (SOF2), arithmetic coding, 16-bit samples, multi-component color —
+  * never a silent wrong answer.
   *
   * Algorithm notes: entropy decode per ITU T.81 §F.2 (EXTEND sign
   * reconstruction, DC prediction per component, 0xFF00 byte
@@ -132,10 +136,12 @@ object JpegDecoder {
     * strip). */
   private final class State {
     val quant = new Array[Array[Int]](4)
+    val quant16 = new Array[Boolean](4) // Pq=1 entries (12-bit streams only)
     val dcHuff = new Array[Huff](4)
     val acHuff = new Array[Huff](4)
     var width = 0
     var height = 0
+    var precision = 8
     var restartInterval = 0
     var dcTableId = 0
     var acTableId = 0
@@ -159,18 +165,26 @@ object JpegDecoder {
       m match {
         case 0xd9 => return -1 // EOI (tables-only stream)
         case 0xd8 => ()        // stray SOI
-        case 0xdb =>           // DQT
+        case 0xdb =>           // DQT (Pq=0 8-bit entries; Pq=1 16-bit,
+                               // legal only with 12-bit samples — checked
+                               // against the frame precision at scan time)
           val len = u16(d, pos)
           var p = pos + 2
           while (p < pos + len) {
             val pq = (d(p) & 0xff) >> 4
             val tq = d(p) & 0x0f
-            if (pq != 0) fail("16-bit quantization tables not supported (8-bit baseline only)")
+            if (pq != 0 && pq != 1) fail(s"DQT element precision $pq (0 or 1 only)")
             val q = new Array[Int](64)
             var i = 0
-            while (i < 64) { q(ZigZag(i)) = d(p + 1 + i) & 0xff; i += 1 }
+            if (pq == 0) {
+              while (i < 64) { q(ZigZag(i)) = d(p + 1 + i) & 0xff; i += 1 }
+              p += 65
+            } else {
+              while (i < 64) { q(ZigZag(i)) = u16(d, p + 1 + 2 * i); i += 1 }
+              p += 129
+            }
             st.quant(tq) = q
-            p += 65
+            st.quant16(tq) = pq == 1
           }
           pos += len
         case 0xc4 =>           // DHT
@@ -187,10 +201,14 @@ object JpegDecoder {
             p += 17 + n
           }
           pos += len
-        case 0xc0 =>           // SOF0 baseline
+        case sof @ (0xc0 | 0xc1) => // SOF0 baseline / SOF1 extended sequential
           val len = u16(d, pos)
           val precision = d(pos + 2) & 0xff
-          if (precision != 8) fail(s"$precision-bit samples not supported (8-bit baseline only)")
+          if (sof == 0xc0 && precision != 8)
+            fail(s"$precision-bit samples in a baseline SOF0 frame (T.81 allows 8 only)")
+          if (precision != 8 && precision != 12)
+            fail(s"$precision-bit samples not supported (8- and 12-bit Huffman sequential only)")
+          st.precision = precision
           st.height = u16(d, pos + 3)
           st.width = u16(d, pos + 5)
           val nComp = d(pos + 7) & 0xff
@@ -201,7 +219,6 @@ object JpegDecoder {
           st.quantId = d(pos + 10) & 0xff
           st.sofSeen = true
           pos += len
-        case 0xc1 => fail("extended-sequential SOF1 not supported (baseline SOF0 only)")
         case 0xc2 => fail("progressive JPEG (SOF2) not supported (baseline SOF0 only)")
         case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc8 && sof != 0xcc =>
           fail(f"SOF 0x$sof%02X not supported (baseline SOF0 only)")
@@ -234,19 +251,34 @@ object JpegDecoder {
     st
   }
 
-  /** Decode one abbreviated-or-full baseline stream into row-major
-    * 8-bit samples of exactly `outW`×`outH` (the strip/tile's declared
-    * raster window; JPEG pads to 8-row/col MCUs, which are cropped). */
+  /** Decode one abbreviated-or-full 8-BIT stream into row-major 8-bit
+    * samples of exactly `outW`×`outH` (the strip/tile's declared raster
+    * window; JPEG pads to 8-row/col MCUs, which are cropped). 12-bit
+    * streams fail loudly here — use [[decodeRaster]]. */
   def decode(tables: Option[Array[Byte]], scan: Array[Byte],
-      outW: Int, outH: Int): Array[Byte] =
-    try decodeImpl(tables, scan, outW, outH)
+      outW: Int, outH: Int): Array[Byte] = {
+    val (prec, out) = decodeRaster(tables, scan, outW, outH, littleEndian = true)
+    if (prec != 8)
+      fail(s"$prec-bit stream through the 8-bit entry point — the raster " +
+        "must be read as 16-bit storage (decodeRaster)")
+    out
+  }
+
+  /** Decode one abbreviated-or-full Huffman-sequential stream (SOF0 or
+    * SOF1, 8- or 12-bit) into (sample precision, row-major samples) —
+    * one byte per sample for 8-bit, two bytes per sample in
+    * `littleEndian` order for 12-bit (the TIFF layer stores 12-bit
+    * rasters widened to 16-bit words). */
+  def decodeRaster(tables: Option[Array[Byte]], scan: Array[Byte],
+      outW: Int, outH: Int, littleEndian: Boolean): (Int, Array[Byte]) =
+    try decodeImpl(tables, scan, outW, outH, littleEndian)
     catch { // uniform error contract: corruption surfaces as JpegError only
       case e: ArrayIndexOutOfBoundsException =>
         fail(s"corrupt stream (index ${e.getMessage})")
     }
 
   private def decodeImpl(tables: Option[Array[Byte]], scan: Array[Byte],
-      outW: Int, outH: Int): Array[Byte] = {
+      outW: Int, outH: Int, littleEndian: Boolean): (Int, Array[Byte]) = {
     val st = tablesState(tables)
     val dataStart = parseSegments(scan, 0, st)
     if (dataStart < 0) fail("stream has no SOS scan")
@@ -255,14 +287,22 @@ object JpegDecoder {
       fail(s"frame ${st.width}x${st.height} smaller than the declared block ${outW}x$outH")
     val q = st.quant(st.quantId)
     if (q == null) fail(s"quantization table ${st.quantId} never defined")
+    if (st.precision == 8 && st.quant16(st.quantId))
+      fail("16-bit quantization table in an 8-bit frame (T.81 B.2.4.1 — " +
+        "Pq=1 is legal only with 12-bit samples)")
     val dc = st.dcHuff(st.dcTableId)
     val ac = st.acHuff(st.acTableId)
     if (dc == null || ac == null)
       fail(s"Huffman tables dc=${st.dcTableId}/ac=${st.acTableId} never defined")
 
+    val prec = st.precision
+    val half = 1 << (prec - 1)       // level shift: +128 / +2048
+    val maxv = (1 << prec) - 1       // clamp: 255 / 4095
+    val dcMax = if (prec == 12) 15 else 11 // T.81 F.1.2.1.2 table ranges
+    val storage = if (prec == 8) 1 else 2
     val mcusX = (st.width + 7) / 8
     val mcusY = (st.height + 7) / 8
-    val out = new Array[Byte](outW * outH)
+    val out = new Array[Byte](outW * outH * storage)
     val r = new BitReader(scan, dataStart)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
@@ -282,7 +322,7 @@ object JpegDecoder {
       java.util.Arrays.fill(coef, 0)
       // DC
       val t = r.decode(dc)
-      if (t > 11) fail(s"DC category $t out of range")
+      if (t > dcMax) fail(s"DC category $t out of range for $prec-bit samples")
       pred += extend(r.receive(t), t)
       coef(0) = pred * q(0)
       // AC, zig-zag order
@@ -326,9 +366,17 @@ object JpegDecoder {
           val px = mx * 8 + x
           val py = my * 8 + yy
           if (px < outW && py < outH) {
-            val sample = math.round(s + 128.0).toInt
-            out(py * outW + px) =
-              math.max(0, math.min(255, sample)).toByte
+            val sample = math.round(s + half).toInt
+            val v = math.max(0, math.min(maxv, sample))
+            if (storage == 1) out(py * outW + px) = v.toByte
+            else {
+              val base = (py * outW + px) * 2
+              if (littleEndian) {
+                out(base) = (v & 0xff).toByte; out(base + 1) = (v >> 8).toByte
+              } else {
+                out(base) = (v >> 8).toByte; out(base + 1) = (v & 0xff).toByte
+              }
+            }
           }
           yy += 1
         }
@@ -336,6 +384,6 @@ object JpegDecoder {
       }
       mcu += 1
     }
-    out
+    (prec, out)
   }
 }

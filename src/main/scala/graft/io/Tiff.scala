@@ -56,10 +56,21 @@ object Tiff {
       case (2, 16) => "int16"
       case (2, 32) => "int32"
       case (1, 8)  => "uint8"
+      case (1, 12) => "uint16" // 12-bit JPEG samples widen to 16-bit words
       case (1, 16) => "uint16"
       case (1, 32) => "uint32"
       case other   => throw new IllegalArgumentException(
         s"unsupported TIFF sample format/bits: $other")
+    }
+
+    /** Bytes per sample in the DECODED block buffer. 12-bit samples
+      * (BitsPerSample=12, legal here only under JPEG compression — the
+      * entropy codec owns the bit packing) decode to 16-bit words in
+      * the file's byte order, libjpeg-12/libtiff style. */
+    def storageBytes: Int = {
+      require(bitsPerSample % 8 == 0 || (bitsPerSample == 12 && compression == 7),
+        s"$bitsPerSample-bit packed rasters only supported under JPEG compression")
+      if (bitsPerSample == 12) 2 else bitsPerSample / 8
     }
   }
 
@@ -197,8 +208,8 @@ object Tiff {
         compression == 8 || compression == 32773 || compression == 32946,
       s"unsupported TIFF compression $compression " +
         "(uncompressed, LZW, deflate, PackBits or baseline JPEG only)")
-    require(compression != 7 || (bits == 8 && sampleFormat != 3),
-      s"JPEG-compressed TIFF must be 8-bit integer samples, got $bits-bit format $sampleFormat")
+    require(compression != 7 || ((bits == 8 || bits == 12) && sampleFormat != 3),
+      s"JPEG-compressed TIFF must be 8- or 12-bit integer samples, got $bits-bit format $sampleFormat")
     require(compression != 7 || predictor == 1,
       "predictors do not apply to JPEG-compressed TIFF")
     require(predictor == 1 || predictor == 2 || predictor == 3,
@@ -240,7 +251,7 @@ object Tiff {
     * tile-grid order; edge tiles overhang and are clipped. */
   private def decodeTiles(data: Array[Byte], info: Info,
       rowLo: Int = 0, rowHi: Int = Int.MaxValue): Iterator[(Int, Int, Double)] = {
-    val bytesPerSample = info.bitsPerSample / 8
+    val bytesPerSample = info.storageBytes
     val tilesAcross = (info.width + info.tileWidth - 1) / info.tileWidth
     info.tileOffsets.iterator.zipWithIndex.flatMap { case (off, t) =>
       val rowStart = (t / tilesAcross) * info.tileLength
@@ -269,9 +280,13 @@ object Tiff {
     val raw = info.compression match {
       case 1     => java.util.Arrays.copyOfRange(data, off, off + outLen)
       case 5     => lzwDecode(data, off, count, outLen)
-      case 7     => JpegDecoder.decode(info.jpegTables,
-        java.util.Arrays.copyOfRange(data, off, off + count),
-        blockWidth, outLen / blockWidth)
+      case 7     =>
+        val (prec, decoded) = JpegDecoder.decodeRaster(info.jpegTables,
+          java.util.Arrays.copyOfRange(data, off, off + count),
+          blockWidth, outLen / blockWidth / info.storageBytes, info.littleEndian)
+        require(prec == info.bitsPerSample,
+          s"JPEG stream precision $prec under BitsPerSample ${info.bitsPerSample}")
+        decoded
       case 32773 => packBitsDecode(data, off, count, outLen)
       case _     => inflate(data, off, count, outLen)
     }
@@ -457,7 +472,7 @@ object Tiff {
 
   private def decodeStrips(data: Array[Byte], info: Info,
       rowLo: Int = 0, rowHi: Int = Int.MaxValue): Iterator[(Int, Int, Double)] = {
-    val bytesPerSample = info.bitsPerSample / 8
+    val bytesPerSample = info.storageBytes
     info.stripOffsets.iterator.zipWithIndex.flatMap { case (off, s) =>
       val rowStart = s * info.rowsPerStrip
       if (rowStart > rowHi || rowStart + info.rowsPerStrip - 1 < rowLo) Iterator.empty
@@ -496,6 +511,7 @@ object Tiff {
     (info.sampleFormat, info.bitsPerSample) match {
       case (1, 8)  => u8.toDouble
       case (2, 8)  => d(p).toDouble
+      case (1, 12) => u16.toDouble // 12-bit JPEG widened to 16-bit words
       case (1, 16) => u16.toDouble
       case (2, 16) => u16.toShort.toDouble
       case (1, 32) => u32.toDouble

@@ -49,6 +49,12 @@ object JpegFixture {
   private val DcCodes = codesOf(DcCounts, DcSymbols)
   private val AcCodes = codesOf(AcCounts, AcSymbols)
 
+  // 12-bit DC table: categories 0..15 (T.81 F.1.2.1.2 allows DC diff
+  // category up to 15 at 12-bit precision; Annex K's table stops at 11)
+  val Dc12Counts: Array[Int] = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0)
+  val Dc12Symbols: Array[Int] = (0 to 15).toArray
+  private val Dc12Codes = codesOf(Dc12Counts, Dc12Symbols)
+
   private val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -116,37 +122,60 @@ object JpegFixture {
     out
   }
 
-  private def putDqtDht(w: java.io.ByteArrayOutputStream, q: Array[Int]): Unit = {
+  private def putDqtDht(w: java.io.ByteArrayOutputStream, q: Array[Int],
+      twelve: Boolean = false): Unit = {
     def seg(marker: Int, payload: Array[Int]): Unit = {
       w.write(0xff); w.write(marker)
       val len = payload.length + 2
       w.write(len >> 8); w.write(len & 0xff)
       payload.foreach(w.write)
     }
-    seg(0xdb, Array(0x00) ++ ZigZag.map(q)) // Pq=0/Tq=0, zig-zag order
-    seg(0xc4, Array(0x00) ++ DcCounts ++ DcSymbols)
+    if (twelve) // Pq=1/Tq=0: 16-bit entries (T.81 B.2.4.1, 12-bit only)
+      seg(0xdb, Array(0x10) ++ ZigZag.map(q).flatMap(v => Array(v >> 8, v & 0xff)))
+    else
+      seg(0xdb, Array(0x00) ++ ZigZag.map(q)) // Pq=0/Tq=0, zig-zag order
+    if (twelve) seg(0xc4, Array(0x00) ++ Dc12Counts ++ Dc12Symbols)
+    else seg(0xc4, Array(0x00) ++ DcCounts ++ DcSymbols)
     seg(0xc4, Array(0x10) ++ AcCounts ++ AcSymbols)
   }
 
   /** Tables-only stream for TIFF tag 347 (SOI, DQT, DHTs, EOI). */
-  def tablesStream(q: Array[Int]): Array[Byte] = {
+  def tablesStream(q: Array[Int], twelve: Boolean = false): Array[Byte] = {
     val w = new java.io.ByteArrayOutputStream()
     w.write(0xff); w.write(0xd8)
-    putDqtDht(w, q)
+    putDqtDht(w, q, twelve)
     w.write(0xff); w.write(0xd9)
     w.toByteArray
   }
 
   /** One baseline scan stream over row-major 8-bit `pixels` (w×h).
     * Edge MCUs are edge-replicated. `withTables` = full stream;
-    * false = abbreviated (tables ride tag 347). */
+    * false = abbreviated (tables ride tag 347). `sof1` emits the
+    * extended-sequential frame marker instead of baseline (identical
+    * scan structure at 8-bit). */
   def scanStream(pixels: Array[Byte], w0: Int, h: Int, q: Array[Int],
-      withTables: Boolean, restartInterval: Int = 0): Array[Byte] = {
+      withTables: Boolean, restartInterval: Int = 0,
+      sof1: Boolean = false): Array[Byte] =
+    encodeScan((x, y) => pixels(y * w0 + x) & 0xff, w0, h, q, 8, sof1,
+      withTables, restartInterval)
+
+  /** 12-bit extended-sequential (SOF1) scan over row-major `pixels`
+    * in [0, 4095]; 16-bit DQT entries, DC categories to 15. */
+  def scanStream12(pixels: Array[Int], w0: Int, h: Int, q: Array[Int],
+      withTables: Boolean, restartInterval: Int = 0): Array[Byte] =
+    encodeScan((x, y) => pixels(y * w0 + x), w0, h, q, 12, sof1 = true,
+      withTables, restartInterval)
+
+  private def encodeScan(pix: (Int, Int) => Int, w0: Int, h: Int,
+      q: Array[Int], prec: Int, sof1: Boolean, withTables: Boolean,
+      restartInterval: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    val half = 1 << (prec - 1)
+    val dcCodes = if (prec == 12) Dc12Codes else DcCodes
     out.write(0xff); out.write(0xd8) // SOI
-    if (withTables) putDqtDht(out, q)
-    // SOF0: 1 component, 8-bit
-    out.write(Array[Int](0xff, 0xc0, 0, 11, 8,
+    if (withTables) putDqtDht(out, q, twelve = prec == 12)
+    // SOF0/SOF1: 1 component
+    out.write(Array[Int](0xff, if (sof1) 0xc1 else 0xc0, 0, 11, prec,
       h >> 8, h & 0xff, w0 >> 8, w0 & 0xff, 1, 1, 0x11, 0).map(_.toByte).toArray)
     if (restartInterval > 0)
       out.write(Array[Int](0xff, 0xdd, 0, 4,
@@ -175,7 +204,7 @@ object JpegFixture {
         while (x < 8) {
           val px = math.min(mx * 8 + x, w0 - 1)
           val py = math.min(my * 8 + y, h - 1)
-          block(y * 8 + x) = (pixels(py * w0 + px) & 0xff) - 128.0
+          block(y * 8 + x) = pix(px, py) - half.toDouble
           x += 1
         }
         y += 1
@@ -185,7 +214,7 @@ object JpegFixture {
       val diff = coef(0) - pred
       pred = coef(0)
       val t = category(diff)
-      val (dcCode, dcLen) = DcCodes(t)
+      val (dcCode, dcLen) = dcCodes(t)
       bw.put(dcCode, dcLen)
       if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
       // AC with ZRL/EOB
@@ -215,12 +244,11 @@ object JpegFixture {
 
   /** Minimal single-band 8-bit JPEG-compressed TIFF (strip- or
     * tile-organized, classic container, either byte order, optional
-    * split tables via tag 347). */
+    * split tables via tag 347, SOF0 or SOF1 frames). */
   def writeJpegTiff(path: String, pixels: Array[Byte], w: Int, h: Int,
       q: Array[Int], split: Boolean, tiled: Option[(Int, Int)] = None,
-      restartInterval: Int = 0, bigendian: Boolean = false): Unit = {
-    val bo = if (bigendian) java.nio.ByteOrder.BIG_ENDIAN
-             else java.nio.ByteOrder.LITTLE_ENDIAN
+      restartInterval: Int = 0, bigendian: Boolean = false,
+      sof1: Boolean = false): Unit = {
     // blocks: full tiles (edge tiles carry the edge-replicated frame
     // the encoder pads to) or 8-row strips
     val blocks: Seq[Array[Byte]] = tiled match {
@@ -235,17 +263,57 @@ object JpegFixture {
             val sx = math.min(tx * tw + x, w - 1)
             tp(y * tw + x) = pixels(sy * w + sx)
           }
-          scanStream(tp, tw, th, q, withTables = !split, restartInterval)
+          scanStream(tp, tw, th, q, withTables = !split, restartInterval, sof1)
         }
       case None =>
         val rps = 8
         (0 until (h + rps - 1) / rps).map { s =>
           val rows = math.min(rps, h - s * rps)
           val sp = java.util.Arrays.copyOfRange(pixels, s * rps * w, (s * rps + rows) * w)
-          scanStream(sp, w, rows, q, withTables = !split, restartInterval)
+          scanStream(sp, w, rows, q, withTables = !split, restartInterval, sof1)
         }
     }
-    val tables = tablesStream(q)
+    writeContainer(path, blocks, if (split) Some(tablesStream(q)) else None,
+      w, h, 8, tiled, bigendian)
+  }
+
+  /** 12-bit SOF1 JPEG TIFF: BitsPerSample=12, strip-organized (or
+    * tiled), pixels in [0, 4095]. */
+  def writeJpegTiff12(path: String, pixels: Array[Int], w: Int, h: Int,
+      q: Array[Int], split: Boolean, tiled: Option[(Int, Int)] = None,
+      bigendian: Boolean = false): Unit = {
+    val blocks: Seq[Array[Byte]] = tiled match {
+      case Some((tw, th)) =>
+        for {
+          ty <- 0 until (h + th - 1) / th
+          tx <- 0 until (w + tw - 1) / tw
+        } yield {
+          val tp = new Array[Int](tw * th)
+          for (y <- 0 until th; x <- 0 until tw) {
+            val sy = math.min(ty * th + y, h - 1)
+            val sx = math.min(tx * tw + x, w - 1)
+            tp(y * tw + x) = pixels(sy * w + sx)
+          }
+          scanStream12(tp, tw, th, q, withTables = !split)
+        }
+      case None =>
+        val rps = 8
+        (0 until (h + rps - 1) / rps).map { s =>
+          val rows = math.min(rps, h - s * rps)
+          val sp = java.util.Arrays.copyOfRange(pixels, s * rps * w, (s * rps + rows) * w)
+          scanStream12(sp, w, rows, q, withTables = !split)
+        }
+    }
+    writeContainer(path, blocks,
+      if (split) Some(tablesStream(q, twelve = true)) else None,
+      w, h, 12, tiled, bigendian)
+  }
+
+  private def writeContainer(path: String, blocks: Seq[Array[Byte]],
+      tables: Option[Array[Byte]], w: Int, h: Int, bits: Int,
+      tiled: Option[(Int, Int)], bigendian: Boolean): Unit = {
+    val bo = if (bigendian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN
 
     case class Tag(id: Int, typ: Int, count: Int, data: Array[Byte])
     def shortTag(id: Int, v: Int) = {
@@ -267,10 +335,10 @@ object JpegFixture {
         shortTag(278, 8), longArrTag(279, lens))
     }
     val tags0 = (Seq(
-      shortTag(256, w), shortTag(257, h), shortTag(258, 8),
+      shortTag(256, w), shortTag(257, h), shortTag(258, bits),
       shortTag(259, 7), shortTag(262, 1), shortTag(277, 1)) ++
       locationTags ++ Seq(shortTag(339, 1)) ++
-      (if (split) Seq(Tag(347, 7, tables.length, tables)) else Nil))
+      tables.map(t => Tag(347, 7, t.length, t)).toSeq)
       .sortBy(_.id)
     val ifdSize = 2 + tags0.size * 12 + 4
     var dataOff = 8L + ifdSize

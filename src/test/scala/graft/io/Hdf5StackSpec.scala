@@ -274,8 +274,12 @@ class Hdf5StackSpec extends SparkFunSuite {
 
   test("unsupported filter ids and corrupt scale-offset headers fail LOUD") {
     val dir = tmpDir("h5loud")
-    // szip (id 4) is patent-encumbered and absent from ICEYE products —
-    // the reader must refuse it by name, never decode garbage. Patch the
+    // szip (id 4) is a PERMANENT loud-fail stance (README "Permanent
+    // loud-fail stances"): its Rice coder was patent-encumbered, HDF5/
+    // h5py ship it as an optional possibly-absent plugin (h5py raises
+    // when the codec is missing), and SAR SLC archives write gzip/
+    // shuffle pipelines — the reader must refuse it by NAME with the
+    // stance in the message, never decode garbage. Patch the
     // fletcher32-only pipeline's filter id (3 → 4) inside the v1 filter
     // message: header 01 01 00*6 followed by the 8-byte description.
     val sPath = s"$dir/szip.h5"
@@ -293,6 +297,8 @@ class Hdf5StackSpec extends SparkFunSuite {
       szF.readDoubles(szF.dataset("d", szF.rootEntries.toMap.apply("d")))
     }
     assert(e1.getMessage.contains("unsupported HDF5 filter id 4") &&
+      e1.getMessage.contains("szip") &&
+      e1.getMessage.contains("permanently") && // the documented stance
       e1.getMessage.contains("scaleoffset"), e1.getMessage)
 
     // scale-offset minbits beyond the element width: corrupt header →

@@ -98,9 +98,9 @@ class JpegTiffSpec extends AnyFunSuite {
     }
   }
 
-  test("out-of-scope streams fail LOUD: progressive, multi-component, 16-bit DQT, color TIFF") {
-    def sof(marker: Int, nComp: Int): Array[Byte] =
-      (Array(0xff, 0xd8, 0xff, marker, 0, 8 + 3 * nComp, 8, 0, 8, 0, 8, nComp) ++
+  test("out-of-scope streams fail LOUD: progressive, multi-component, Pq=1 at 8-bit, 12-bit SOF0") {
+    def sof(marker: Int, nComp: Int, prec: Int = 8): Array[Byte] =
+      (Array(0xff, 0xd8, 0xff, marker, 0, 8 + 3 * nComp, prec, 0, 8, 0, 8, nComp) ++
         (0 until nComp).flatMap(c => Seq(c, 0x11, 0))).map(_.toByte).toArray
     val e1 = intercept[IllegalArgumentException](
       JpegDecoder.decode(None, sof(0xc2, 1), 8, 8))
@@ -108,16 +108,112 @@ class JpegTiffSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       JpegDecoder.decode(None, sof(0xc0, 3), 8, 8))
     assert(e2.getMessage.contains("component"))
-    val dqt16 = Array(0xff, 0xd8, 0xff, 0xdb, 0x00, 0x43, 0x10).map(_.toByte).toArray ++
-      Array.fill(128)(1.toByte)
+    // a 16-bit (Pq=1) quantization table is legal ONLY with 12-bit
+    // samples (T.81 B.2.4.1): an 8-bit scan inheriting one fails loud
+    val tables12 = graft.JpegFixture.tablesStream(ones, twelve = true)
+    val scan8 = graft.JpegFixture.scanStream(Array.fill(64)(7.toByte), 8, 8, ones,
+      withTables = false)
     val e3 = intercept[IllegalArgumentException](
-      JpegDecoder.decode(None, dqt16 ++ Array(0xff, 0xd9).map(_.toByte), 8, 8))
-    assert(e3.getMessage.contains("16-bit"))
+      JpegDecoder.decode(Some(tables12), scan8, 8, 8))
+    assert(e3.getMessage.contains("8-bit frame"), e3.getMessage)
     // arithmetic coding (DAC-announced streams use SOF9-13; the DAC
     // marker itself must also be rejected)
     val dac = Array(0xff, 0xd8, 0xff, 0xcc, 0, 4, 0, 0, 0xff, 0xd9).map(_.toByte).toArray
     val e4 = intercept[IllegalArgumentException](JpegDecoder.decode(None, dac, 8, 8))
     assert(e4.getMessage.contains("arithmetic"))
+    // 12-bit is legal only in SOF1: a 12-bit BASELINE frame is corrupt
+    val e5 = intercept[IllegalArgumentException](
+      JpegDecoder.decode(None, sof(0xc0, 1, prec = 12), 8, 8))
+    assert(e5.getMessage.contains("SOF0"), e5.getMessage)
+    // 16-bit samples stay out of scope even in SOF1
+    val e6 = intercept[IllegalArgumentException](
+      JpegDecoder.decode(None, sof(0xc1, 1, prec = 16), 8, 8))
+    assert(e6.getMessage.contains("16-bit"), e6.getMessage)
+    // a 12-bit stream cannot leave through the 8-bit entry point
+    val px12 = Array.fill(64)(1234)
+    val s12 = graft.JpegFixture.scanStream12(px12, 8, 8, ones, withTables = true)
+    val e7 = intercept[IllegalArgumentException](JpegDecoder.decode(None, s12, 8, 8))
+    assert(e7.getMessage.contains("8-bit entry point"), e7.getMessage)
+  }
+
+  test("SOF1 8-bit (extended sequential) decodes identically to baseline") {
+    val (w, h) = (24, 16)
+    val px = blockConstant(w, h, 7)
+    val dir = java.nio.file.Files.createTempDirectory("tifjpgs1").toString
+    Seq(false, true).foreach { split =>
+      val path = s"$dir/x$split.tif"
+      graft.JpegFixture.writeJpegTiff(path, px, w, h, ones, split = split,
+        sof1 = true)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val out = Tiff.decode(bytes, Tiff.fromBytes(bytes))
+      assert(out.size == w * h)
+      out.foreach { case (a, r, v) =>
+        assert(v == (px(a * w + r) & 0xff).toDouble, s"($a,$r) split=$split")
+      }
+    }
+  }
+
+  private def blockConstant12(w: Int, h: Int, seed: Int): Array[Int] = {
+    val rng = new scala.util.Random(seed)
+    val vals = Array.fill((h / 8 + 1) * (w / 8 + 1))(rng.nextInt(4096))
+    Array.tabulate(w * h)(i => vals((i / w / 8) * (w / 8 + 1) + (i % w) / 8))
+  }
+
+  test("12-bit SOF1: block-constant images roundtrip DC-EXACT through the TIFF layer") {
+    // constant blocks are DC-only and the DC chain is integer all the
+    // way, so the full 12-bit range [0, 4095] must roundtrip exactly —
+    // incl. DC diff categories ABOVE 11 (the 8-bit table's ceiling);
+    // the raster reads back as uint16 words in the file's byte order
+    val gen = for {
+      bw <- Gen.choose(1, 4)
+      bh <- Gen.choose(1, 4)
+      tiled <- Gen.oneOf(None, Some((16, 8)))
+      split <- Gen.oneOf(false, true)
+      be <- Gen.oneOf(false, true)
+    } yield (bw * 8, bh * 8, tiled, split, be)
+    samples(gen, 20, 0x77E63).foreach { case (w, h, tiled, split, be) =>
+      val px = blockConstant12(w, h, w * 131 + h + 1)
+      val dir = java.nio.file.Files.createTempDirectory("tifjpg12").toString
+      val path = s"$dir/x.tif"
+      graft.JpegFixture.writeJpegTiff12(path, px, w, h, ones, split = split,
+        tiled = tiled, bigendian = be)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val info = Tiff.fromBytes(bytes)
+      assert(info.bitsPerSample == 12 && info.dtype == "uint16")
+      val out = Tiff.decode(bytes, info)
+      assert(out.size == w * h, s"w=$w h=$h tiled=$tiled split=$split be=$be")
+      out.foreach { case (a, r, v) =>
+        assert(v == px(a * w + r).toDouble,
+          s"($a,$r): got $v want ${px(a * w + r)} " +
+            s"[w=$w h=$h tiled=$tiled split=$split be=$be]")
+      }
+    }
+  }
+
+  test("12-bit SOF1: smooth random content stays within DCT rounding tolerance") {
+    val gen = Gen.zip(Gen.choose(3, 37), Gen.choose(3, 37), Gen.oneOf(false, true))
+    samples(gen, 12, 0x77E64).foreach { case (w, h, split) =>
+      val rng = new scala.util.Random(w * 1013 + h)
+      val px = new Array[Int](w * h)
+      var v = 2048
+      var i = 0
+      while (i < px.length) {
+        v = math.max(0, math.min(4095, v + rng.nextInt(31) - 15))
+        px(i) = v
+        i += 1
+      }
+      val dir = java.nio.file.Files.createTempDirectory("tifjpg12r").toString
+      val path = s"$dir/x.tif"
+      graft.JpegFixture.writeJpegTiff12(path, px, w, h, ones, split = split)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val out = Tiff.decode(bytes, Tiff.fromBytes(bytes))
+      assert(out.size == w * h)
+      out.foreach { case (a, r, got) =>
+        val want = px(a * w + r)
+        assert(math.abs(got - want) <= 2.0,
+          s"($a,$r): got $got want $want [w=$w h=$h split=$split]")
+      }
+    }
   }
 
   test("truncated segments fail as typed JpegError, never a raw index error") {
