@@ -29,11 +29,24 @@ class CrossFamilySoakSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
 
   test("bands + pairs + clusters + postings from one stream, mid-run replay, seals equal batch rebuilds") {
+    soak(Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1))
+  }
+
+  test("the same soak holds on a Zipfian-vocabulary corpus (realistic posting skew)") {
+    // r12 verdict #8: the fixture corpus has ~31 token types, so store
+    // maintenance never sees a skewed posting distribution — head terms
+    // in thousands of documents, most terms in a handful. ZipfCorpus
+    // text is a pure function of doc_id (50k-type Zipf(1.07), near-dup
+    // families every 50 ids), so the identical equality-after-seals
+    // property runs over realistic skew with no parquet staging.
+    soak((0L until 300L).map(id => (id, graft.tools.ZipfCorpus.text(id))))
+  }
+
+  private def soak(docs: Seq[(Long, String)]): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val base = tmpDir("soak")
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
     // interleaved thirds: near-dup families span batches so late epochs
     // MERGE components built by earlier ones
     val parts = (0 until 3).map(i => docs.zipWithIndex.collect {
