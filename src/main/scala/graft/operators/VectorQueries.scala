@@ -2074,9 +2074,7 @@ object VectorQueries {
     // mine_bitext_ann_recall below.
     "mine_bitext_margin_ann" -> QueryDef.sql(BitextAnnSql) { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
-      bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK,
-          Some(BitextShortlist))
-        .orderBy("xid")
+      bitextAnnMiner(e).orderBy("xid")
     },
 
     // ----- The recall grade: ANN miner vs exact miner -----
@@ -2137,6 +2135,14 @@ object VectorQueries {
       .filter(col("rn") <= 10)
       .select("qid", "cid")
   }
+
+  /** The full ANN bitext miner (IVF candidate generation in both
+    * directions + the shortlist-pruned margin tail) over a (vec_id,
+    * embedding, label) frame — the `mine_bitext_margin_ann` body,
+    * exposed with a tunable shortlist for the spill-isolation probe
+    * ([[graft.tools.BitextProbe]]). */
+  def bitextAnnMiner(e: DataFrame, shortlist: Int = BitextShortlist): DataFrame =
+    bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK, Some(shortlist))
 
   /** Mutual-best margin pairs between an (xid, xv) and a (yid, yv) side
     * (Artetxe & Schwenk 2019, `ratio` variant); exposed for the planted
