@@ -2091,8 +2091,7 @@ object VectorQueries {
         .select(col("vec_id").as("yid"), col("embedding").as("yv"))
       val exact = bitextMarginPairs(xs, ys)
         .select(col("xid").as("exid"), col("yid").as("eyid"))
-      val ann = bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK,
-          Some(BitextShortlist))
+      val ann = bitextAnnMiner(e)
         .select(col("xid").as("axid"), col("yid").as("ayid"))
       exact.join(ann,
           col("exid") === col("axid") && col("eyid") === col("ayid"), "full")
@@ -2136,13 +2135,35 @@ object VectorQueries {
       .select("qid", "cid")
   }
 
+  /** Broadcast ceiling for the scoring sides of the ANN miner: N/2
+    * embeddings per side ≈ 0.5 KB/row, so 5×10⁵ rows ≈ 256 MB — the
+    * practical per-executor broadcast limit. Above it the miner falls
+    * back to mass-partitioned sort-merge scoring. */
+  val BitextBroadcastSideMax = 500000L
+
   /** The full ANN bitext miner (IVF candidate generation in both
     * directions + the shortlist-pruned margin tail) over a (vec_id,
     * embedding, label) frame — the `mine_bitext_margin_ann` body,
     * exposed with a tunable shortlist for the spill-isolation probe
-    * ([[graft.tools.BitextProbe]]). */
-  def bitextAnnMiner(e: DataFrame, shortlist: Int = BitextShortlist): DataFrame =
-    bitextMarginOverScores(bitextAnnCandidateScores(e), BitextK, Some(shortlist))
+    * ([[graft.tools.BitextProbe]]).
+    *
+    * Partition sizing (r13, from the BitextProbe isolation runs): the
+    * candidate mass is ≈ 4·N^1.5 skinny rows; at the session default
+    * (cores-sized) partition count every exchange past ~10⁷ candidates
+    * sort-spills — measured 357 GB spilled / 18.1k cpu-s at N=200k vs
+    * 106 GB / 6.6k cpu-s just by raising the count. The miner now
+    * right-sizes its own exchanges to ~10⁶ rows per partition (capped
+    * at 4096), leaving small corpora on the session default. */
+  def bitextAnnMiner(e: DataFrame, shortlist: Int = BitextShortlist): DataFrame = {
+    val n = e.count()
+    val base = e.sparkSession.sessionState.conf.numShufflePartitions
+    val mass = 4.0 * n * math.sqrt(n.toDouble)
+    val p = math.max(base.toLong, math.min(4096L, (mass / 1e6).toLong)).toInt
+    val np = if (p > base) Some(p) else None
+    bitextMarginOverScores(
+      bitextAnnCandidateScores(e, np, broadcastSides = n / 2 <= BitextBroadcastSideMax),
+      BitextK, Some(shortlist), np)
+  }
 
   /** Mutual-best margin pairs between an (xid, xv) and a (yid, yv) side
     * (Artetxe & Schwenk 2019, `ratio` variant); exposed for the planted
@@ -2171,10 +2192,18 @@ object VectorQueries {
     * mutual-best filter. The score table is pinned once (THREE
     * consumers: two neighborhood folds + the margin join). */
   private[operators] def bitextMarginOverScores(scores: DataFrame, k: Int,
-      shortlist: Option[Int] = None): DataFrame = {
+      shortlist: Option[Int] = None, numParts: Option[Int] = None): DataFrame = {
     val c = scores.localCheckpoint()
     val wx = Window.partitionBy(col("xid")).orderBy(col("c").desc, col("yid"))
     val wy = Window.partitionBy(col("yid")).orderBy(col("c").desc, col("xid"))
+    // candidate-mass-scaled window exchanges (r13 spill isolation): a
+    // rank window over 3.5×10⁸ rows at 32 partitions sorts ~11M rows
+    // per task — far past the executor-memory waterline, so every task
+    // spill-sorts. hashpartitioning(key, numParts) satisfies the
+    // window's required clustering, so the explicit repartition IS the
+    // window's one exchange, right-sized.
+    def byKey(df: DataFrame, key: String): DataFrame =
+      numParts.fold(df)(p => df.repartition(p, col(key)))
     val (sx, sy, base) = shortlist match {
       case Some(t) =>
         // SHORTLIST PRUNE (the ANN twin's scale valve, r12): the margin
@@ -2189,9 +2218,9 @@ object VectorQueries {
         // (≈350M candidates) that filled an 80 GB spill volume; pruned,
         // everything past the two rank windows is shortlist-sized.
         val tk = math.max(t, k)
-        val rx = c.withColumn("rn", row_number().over(wx))
+        val rx = byKey(c, "xid").withColumn("rn", row_number().over(wx))
           .filter(col("rn") <= tk).localCheckpoint()
-        val ry = c.withColumn("rn", row_number().over(wy))
+        val ry = byKey(c, "yid").withColumn("rn", row_number().over(wy))
           .filter(col("rn") <= tk).localCheckpoint()
         (rx.filter(col("rn") <= k).groupBy("xid").agg(sum("c").as("sx")),
           ry.filter(col("rn") <= k).groupBy("yid").agg(sum("c").as("sy")),
@@ -2236,7 +2265,9 @@ object VectorQueries {
     * id-keyed equi-joins — floats touch shortlist-sized data only.
     * Everything is declarative: ncent rides a broadcast one-row
     * aggregate, no driver-side count. */
-  private[operators] def bitextAnnCandidateScores(e: DataFrame): DataFrame = {
+  private[operators] def bitextAnnCandidateScores(e: DataFrame,
+      numParts: Option[Int] = None,
+      broadcastSides: Boolean = true): DataFrame = {
     val nc = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("ncent"))
     val cents = e.crossJoin(broadcast(nc))
       .filter(col("vec_id") < col("ncent"))
@@ -2251,23 +2282,51 @@ object VectorQueries {
         .agg(max_by(col("cent_id"),
           struct(score(v, "cv"), -col("cent_id"))).as("cent_id"))
     def probes(side: DataFrame, id: String, v: String): DataFrame = {
-      val rn = Window.partitionBy(col(id))
-        .orderBy(score(v, "cv").desc, col("cent_id"))
-      side.crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(rn))
+      // SKINNY WINDOW SHUFFLE (r13 spill isolation): project the cosine
+      // BEFORE the per-vector rank window — the sort expression's
+      // inputs (two 128-float vectors per row over the side×cents
+      // product) otherwise ride the exchange, ~20× the bytes of the
+      // (id, cent_id, score) triple actually needed
+      val scored = side.crossJoin(broadcast(cents))
+        .select(col(id), col("cent_id"), score(v, "cv").as("s"))
+      val rn = Window.partitionBy(col(id)).orderBy(col("s").desc, col("cent_id"))
+      scored.withColumn("rn", row_number().over(rn))
         .filter(col("rn") <= BitextNprobe)
         .select(col(id), col("cent_id"))
     }
-    val ax = assign(xs, "xid", "xv")
-    val ay = assign(ys, "yid", "yv")
-    val cand = probes(xs, "xid", "xv").join(ay, Seq("cent_id"))
+    // assignments are per-vector and SKINNY (two longs): broadcasting
+    // them turns the cent_id join — √N distinct keys, hopelessly skewed
+    // under any hash partitioning — into a shuffle-free broadcast join
+    val ax = broadcast(assign(xs, "xid", "xv"))
+    val ay = broadcast(assign(ys, "yid", "yv"))
+    val cand0 = probes(xs, "xid", "xv").join(ay, Seq("cent_id"))
       .select(col("xid"), col("yid"))
       .union(probes(ys, "yid", "yv").join(ax, Seq("cent_id"))
         .select(col("xid"), col("yid")))
-      .distinct()
-    cand.join(xs, Seq("xid")).join(ys, Seq("yid"))
-      .select(col("xid"), col("yid"),
-        round(score("xv", "yv") * 1000000).cast("long").as("c"))
+    // dedup at candidate-mass-scaled partitioning: hashpartitioning on
+    // the group keys satisfies the aggregate's distribution, so the
+    // explicit repartition IS the dedup's one exchange, right-sized
+    val cand = numParts match {
+      case Some(p) => cand0.repartition(p, col("xid"), col("yid"))
+        .dropDuplicates("xid", "yid")
+      case None => cand0.distinct()
+    }
+    // exact cosines on the shortlist only. Sides are N/2 embeddings —
+    // broadcast them (shuffle-free scoring; the candidate table never
+    // carries vectors) while they fit, else a mass-partitioned SMJ
+    // whose explicit repartitions keep BOTH fat exchanges at numParts
+    if (broadcastSides)
+      cand.join(broadcast(xs), Seq("xid")).join(broadcast(ys), Seq("yid"))
+        .select(col("xid"), col("yid"),
+          round(score("xv", "yv") * 1000000).cast("long").as("c"))
+    else {
+      val j1 = numParts.fold(cand)(p => cand.repartition(p, col("xid")))
+        .join(xs, Seq("xid"))
+      numParts.fold(j1)(p => j1.repartition(p, col("yid")))
+        .join(ys, Seq("yid"))
+        .select(col("xid"), col("yid"),
+          round(score("xv", "yv") * 1000000).cast("long").as("c"))
+    }
   }
 
   private lazy val BitextMarginSql: String =
