@@ -1,29 +1,41 @@
 package graft.io
 
-/** Minimal baseline-JPEG decoder for TIFF compression 7 — the last
-  * common wild-file codec the GRD ingest path lacked (the reference
-  * opens GRDs through rasterio/libtiff, which accepts any registered
-  * codec: `/root/reference/icecube/bin/sar_cube/grd_datacube.py:117-149`).
+/** Minimal JPEG decoder for TIFF compression 7 — the last common
+  * wild-file codec the GRD ingest path lacked (the reference opens
+  * GRDs through rasterio/libtiff, which accepts any registered codec:
+  * `/root/reference/icecube/bin/sar_cube/grd_datacube.py:117-149`).
   * Scope matches the reader's raster contract (single-band SAR
-  * quicklooks/overviews): Huffman sequential DCT — baseline SOF0
-  * (8-bit) and extended-sequential SOF1 (8- and 12-bit, the most
-  * plausible wild SAR-quicklook variant; 16-bit DQT entries per T.81
-  * B.2.4.1), one component, restart markers, and libtiff's
-  * split-tables convention (tag 347 `JPEGTables` carries a
-  * tables-only stream; each strip/tile is an abbreviated SOI..EOI scan
-  * that inherits them). 12-bit samples decode to 16-bit storage words
-  * ([[decodeRaster]]; the TIFF layer reads BitsPerSample=12 rasters as
-  * uint16). Everything outside that scope fails LOUDLY — progressive
-  * (SOF2), arithmetic coding, 16-bit samples, multi-component color —
-  * never a silent wrong answer.
+  * quicklooks/overviews): Huffman DCT — baseline SOF0 (8-bit),
+  * extended-sequential SOF1 (8- and 12-bit; 16-bit DQT entries per
+  * T.81 B.2.4.1), and progressive SOF2 (8- and 12-bit: spectral
+  * selection + successive approximation per T.81 G.2 — DC first/refine
+  * scans, AC first scans with EOB runs, AC refinement with correction
+  * bits; every coefficient's scan chain is validated, so a refinement
+  * before its first scan or a skipped approximation step fails loudly
+  * instead of reconstructing garbage) — one component, restart
+  * markers, and libtiff's split-tables convention (tag 347
+  * `JPEGTables` carries a tables-only stream; each strip/tile is an
+  * abbreviated SOI..EOI scan run that inherits them). 12-bit samples
+  * decode to 16-bit storage words ([[decodeRaster]]; the TIFF layer
+  * reads BitsPerSample=12 rasters as uint16). Everything outside that
+  * scope fails LOUDLY — arithmetic coding, lossless SOF3, 16-bit
+  * samples, multi-component color — never a silent wrong answer.
   *
   * Algorithm notes: entropy decode per ITU T.81 §F.2 (EXTEND sign
   * reconstruction, DC prediction per component, 0xFF00 byte
-  * unstuffing); dequant + double-precision 2-D inverse DCT per §A.3.3
-  * with the separable 8-point kernel; +128 level shift; clamp to
-  * [0,255]. Accuracy beats speed here — one IDCT per 8×8 block is not
-  * the hot path (decode parallelism comes from Spark's per-strip
-  * `flatMap`, like every other TIFF codec in `io/Tiff.scala`).
+  * unstuffing); progressive scans per §G.2 (EOBn run decode, the
+  * §G.1.2.3 correction-bit walk for AC refinement, arithmetic-shift
+  * point transform for DC so successive approximation reconstructs
+  * negative predictors exactly); all scans accumulate QUANTIZED
+  * coefficients, then one dequant + double-precision 2-D inverse DCT
+  * per §A.3.3 with the separable 8-point kernel; +half level shift;
+  * clamp to [0, 2^P−1]. A sequential frame is the degenerate single
+  * full-band scan of the same path, so baseline and progressive
+  * encodings of the same quantized coefficients decode bit-identically
+  * (JpegTiffSpec pins that cross-equality). Accuracy beats speed here
+  * — one IDCT per 8×8 block is not the hot path (decode parallelism
+  * comes from Spark's per-strip `flatMap`, like every other TIFF codec
+  * in `io/Tiff.scala`).
   */
 object JpegDecoder {
 
@@ -66,8 +78,6 @@ object JpegDecoder {
   private final class BitReader(d: Array[Byte], var pos: Int) {
     private var bits = 0
     private var nBits = 0
-    def atMarker: Boolean =
-      pos + 1 < d.length && (d(pos) & 0xff) == 0xff && (d(pos + 1) & 0xff) != 0
     def align(): Unit = { bits = 0; nBits = 0 }
     def bit(): Int = {
       if (nBits == 0) {
@@ -78,7 +88,7 @@ object JpegDecoder {
           if (pos >= d.length) fail("entropy stream truncated at 0xFF")
           val m = d(pos) & 0xff
           if (m == 0) pos += 1 // stuffed byte
-          else fail(f"marker 0xFF$m%02X inside an entropy run (progressive or corrupt stream)")
+          else fail(f"marker 0xFF$m%02X inside an entropy run — the scan data ran short (corrupt stream)")
         }
         bits = b
         nBits = 8
@@ -142,11 +152,17 @@ object JpegDecoder {
     var width = 0
     var height = 0
     var precision = 8
+    var progressive = false
     var restartInterval = 0
     var dcTableId = 0
     var acTableId = 0
     var quantId = 0
     var sofSeen = false
+    // current scan's spectral band + successive approximation (SOS)
+    var ss = 0
+    var se = 63
+    var ah = 0
+    var al = 0
   }
 
   private def u16(d: Array[Byte], p: Int): Int =
@@ -160,10 +176,11 @@ object JpegDecoder {
       pos += 2 // SOI
     while (pos + 1 < d.length) {
       if ((d(pos) & 0xff) != 0xff) fail(f"expected marker, got 0x${d(pos) & 0xff}%02X at $pos")
+      while (pos + 1 < d.length && (d(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes (T.81 B.1.1.2)
       val m = d(pos + 1) & 0xff
       pos += 2
       m match {
-        case 0xd9 => return -1 // EOI (tables-only stream)
+        case 0xd9 => return -1 // EOI (tables-only stream, or end of the scan run)
         case 0xd8 => ()        // stray SOI
         case 0xdb =>           // DQT (Pq=0 8-bit entries; Pq=1 16-bit,
                                // legal only with 12-bit samples — checked
@@ -187,7 +204,7 @@ object JpegDecoder {
             st.quant16(tq) = pq == 1
           }
           pos += len
-        case 0xc4 =>           // DHT
+        case 0xc4 =>           // DHT (progressive streams redefine between scans)
           val len = u16(d, pos)
           var p = pos + 2
           while (p < pos + len) {
@@ -201,14 +218,16 @@ object JpegDecoder {
             p += 17 + n
           }
           pos += len
-        case sof @ (0xc0 | 0xc1) => // SOF0 baseline / SOF1 extended sequential
+        case sof @ (0xc0 | 0xc1 | 0xc2) => // SOF0 baseline / SOF1 extended / SOF2 progressive
+          if (st.sofSeen) fail("second SOF frame header in one stream")
           val len = u16(d, pos)
           val precision = d(pos + 2) & 0xff
           if (sof == 0xc0 && precision != 8)
             fail(s"$precision-bit samples in a baseline SOF0 frame (T.81 allows 8 only)")
           if (precision != 8 && precision != 12)
-            fail(s"$precision-bit samples not supported (8- and 12-bit Huffman sequential only)")
+            fail(s"$precision-bit samples not supported (8- and 12-bit Huffman DCT only)")
           st.precision = precision
+          st.progressive = sof == 0xc2
           st.height = u16(d, pos + 3)
           st.width = u16(d, pos + 5)
           val nComp = d(pos + 7) & 0xff
@@ -219,19 +238,22 @@ object JpegDecoder {
           st.quantId = d(pos + 10) & 0xff
           st.sofSeen = true
           pos += len
-        case 0xc2 => fail("progressive JPEG (SOF2) not supported (baseline SOF0 only)")
         case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc8 && sof != 0xcc =>
-          fail(f"SOF 0x$sof%02X not supported (baseline SOF0 only)")
-        case 0xcc => fail("arithmetic coding not supported (Huffman baseline only)")
+          fail(f"SOF 0x$sof%02X not supported (Huffman sequential/progressive DCT only)")
+        case 0xcc => fail("arithmetic coding not supported (Huffman only)")
         case 0xdd =>           // DRI
           st.restartInterval = u16(d, pos + 2)
           pos += u16(d, pos)
-        case 0xda =>           // SOS
+        case 0xda =>           // SOS (ns=1: Cs, Td/Ta, then Ss, Se, Ah/Al)
           val len = u16(d, pos)
           val ns = d(pos + 2) & 0xff
           if (ns != 1) fail(s"$ns-component scan not supported")
           st.dcTableId = (d(pos + 4) & 0xff) >> 4
           st.acTableId = d(pos + 4) & 0x0f
+          st.ss = d(pos + 5) & 0xff
+          st.se = d(pos + 6) & 0xff
+          st.ah = (d(pos + 7) & 0xff) >> 4
+          st.al = d(pos + 7) & 0x0f
           return pos + len
         case app if app >= 0xe0 && app <= 0xef => pos += u16(d, pos) // APPn
         case 0xfe => pos += u16(d, pos)                              // COM
@@ -264,9 +286,9 @@ object JpegDecoder {
     out
   }
 
-  /** Decode one abbreviated-or-full Huffman-sequential stream (SOF0 or
-    * SOF1, 8- or 12-bit) into (sample precision, row-major samples) —
-    * one byte per sample for 8-bit, two bytes per sample in
+  /** Decode one abbreviated-or-full Huffman-DCT stream (SOF0, SOF1 or
+    * progressive SOF2; 8- or 12-bit) into (sample precision, row-major
+    * samples) — one byte per sample for 8-bit, two bytes per sample in
     * `littleEndian` order for 12-bit (the TIFF layer stores 12-bit
     * rasters widened to 16-bit words). */
   def decodeRaster(tables: Option[Array[Byte]], scan: Array[Byte],
@@ -280,9 +302,9 @@ object JpegDecoder {
   private def decodeImpl(tables: Option[Array[Byte]], scan: Array[Byte],
       outW: Int, outH: Int, littleEndian: Boolean): (Int, Array[Byte]) = {
     val st = tablesState(tables)
-    val dataStart = parseSegments(scan, 0, st)
-    if (dataStart < 0) fail("stream has no SOS scan")
-    if (!st.sofSeen) fail("scan without a preceding SOF0 frame header")
+    var pos = parseSegments(scan, 0, st)
+    if (pos < 0) fail("stream has no SOS scan")
+    if (!st.sofSeen) fail("scan without a preceding SOF frame header")
     if (st.width < outW || st.height < outH)
       fail(s"frame ${st.width}x${st.height} smaller than the declared block ${outW}x$outH")
     val q = st.quant(st.quantId)
@@ -290,57 +312,65 @@ object JpegDecoder {
     if (st.precision == 8 && st.quant16(st.quantId))
       fail("16-bit quantization table in an 8-bit frame (T.81 B.2.4.1 — " +
         "Pq=1 is legal only with 12-bit samples)")
-    val dc = st.dcHuff(st.dcTableId)
-    val ac = st.acHuff(st.acTableId)
-    if (dc == null || ac == null)
-      fail(s"Huffman tables dc=${st.dcTableId}/ac=${st.acTableId} never defined")
 
     val prec = st.precision
-    val half = 1 << (prec - 1)       // level shift: +128 / +2048
-    val maxv = (1 << prec) - 1       // clamp: 255 / 4095
-    val dcMax = if (prec == 12) 15 else 11 // T.81 F.1.2.1.2 table ranges
-    val storage = if (prec == 8) 1 else 2
     val mcusX = (st.width + 7) / 8
     val mcusY = (st.height + 7) / 8
-    val out = new Array[Byte](outW * outH * storage)
-    val r = new BitReader(scan, dataStart)
-    val coef = new Array[Int](64)
-    val tmp = new Array[Double](64)
-    var pred = 0
-    var mcu = 0
     val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (st.restartInterval > 0 && mcu > 0 && mcu % st.restartInterval == 0) {
-        // RSTn: byte-aligned marker, DC predictor resets
-        r.align()
-        if (r.pos + 1 >= scan.length || (scan(r.pos) & 0xff) != 0xff ||
-            ((scan(r.pos + 1) & 0xff) & 0xf8) != 0xd0)
-          fail(s"expected restart marker before MCU $mcu")
-        r.pos += 2
-        pred = 0
-      }
-      java.util.Arrays.fill(coef, 0)
-      // DC
-      val t = r.decode(dc)
-      if (t > dcMax) fail(s"DC category $t out of range for $prec-bit samples")
-      pred += extend(r.receive(t), t)
-      coef(0) = pred * q(0)
-      // AC, zig-zag order
-      var k = 1
-      while (k < 64) {
-        val rs = r.decode(ac)
-        val run = rs >> 4
-        val size = rs & 0x0f
-        if (size == 0) {
-          if (run == 15) k += 16 // ZRL
-          else k = 64            // EOB
-        } else {
-          k += run
-          if (k > 63) fail("AC run overflows the block — corrupt stream")
-          coef(ZigZag(k)) = extend(r.receive(size), size) * q(ZigZag(k))
+    // quantized coefficients for the whole frame, accumulated across
+    // scans (a sequential frame is the single full-band scan)
+    val coef = new Array[Int](totalMcus * 64)
+    // successive-approximation bookkeeping: the Al each coefficient's
+    // scan chain currently stands at (-1 = no first scan yet)
+    val curAl = Array.fill(64)(-1)
+    var scans = 0
+    while (pos >= 0) {
+      if (!st.progressive) {
+        if (scans > 0) fail("second scan in a sequential frame")
+        if (st.ss != 0 || st.se != 63 || st.ah != 0 || st.al != 0)
+          fail(s"sequential scan with progressive parameters " +
+            s"Ss=${st.ss} Se=${st.se} Ah=${st.ah}/Al=${st.al} (must be 0/63/0/0)")
+      } else {
+        if (st.ss == 0 && st.se != 0)
+          fail(s"progressive DC scan with Se=${st.se} (a Ss=0 scan is DC-only, T.81 G.1.1.1.1)")
+        if (st.ss > 0 && (st.se < st.ss || st.se > 63))
+          fail(s"progressive AC band Ss=${st.ss}..Se=${st.se} out of order")
+        var k = st.ss
+        val kEnd = if (st.ss == 0) 0 else st.se
+        while (k <= kEnd) {
+          if (st.ah == 0) {
+            if (curAl(k) >= 0)
+              fail(s"coefficient $k rescanned at Ah=0 (its first scan already ran — corrupt scan script)")
+          } else {
+            if (curAl(k) < 0)
+              fail(s"refinement (Ah=${st.ah}) of coefficient $k before its first scan")
+            if (curAl(k) != st.ah)
+              fail(s"refinement of coefficient $k at Ah=${st.ah} but its chain stands at Al=${curAl(k)} " +
+                "(successive approximation must step one bit at a time, T.81 G.1.1.1.2)")
+            if (st.al != st.ah - 1)
+              fail(s"refinement scan with Al=${st.al} != Ah-1=${st.ah - 1}")
+          }
+          curAl(k) = st.al
           k += 1
         }
       }
+      pos = decodeScan(scan, pos, st, coef, totalMcus)
+      scans += 1
+      pos = parseSegments(scan, pos, st)
+    }
+
+    // dequantize + IDCT every block
+    val half = 1 << (prec - 1)       // level shift: +128 / +2048
+    val maxv = (1 << prec) - 1       // clamp: 255 / 4095
+    val storage = if (prec == 8) 1 else 2
+    val out = new Array[Byte](outW * outH * storage)
+    val dq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    while (mcu < totalMcus) {
+      val base = mcu * 64
+      var i = 0
+      while (i < 64) { dq(i) = coef(base + i) * q(i); i += 1 }
       // separable IDCT: rows then columns
       var y = 0
       while (y < 8) {
@@ -348,7 +378,7 @@ object JpegDecoder {
         while (x < 8) {
           var s = 0.0
           var u = 0
-          while (u < 8) { s += Kernel(u * 8 + x) * coef(y * 8 + u); u += 1 }
+          while (u < 8) { s += Kernel(u * 8 + x) * dq(y * 8 + u); u += 1 }
           tmp(y * 8 + x) = s
           x += 1
         }
@@ -367,14 +397,14 @@ object JpegDecoder {
           val py = my * 8 + yy
           if (px < outW && py < outH) {
             val sample = math.round(s + half).toInt
-            val v = math.max(0, math.min(maxv, sample))
-            if (storage == 1) out(py * outW + px) = v.toByte
+            val v2 = math.max(0, math.min(maxv, sample))
+            if (storage == 1) out(py * outW + px) = v2.toByte
             else {
-              val base = (py * outW + px) * 2
+              val b2 = (py * outW + px) * 2
               if (littleEndian) {
-                out(base) = (v & 0xff).toByte; out(base + 1) = (v >> 8).toByte
+                out(b2) = (v2 & 0xff).toByte; out(b2 + 1) = (v2 >> 8).toByte
               } else {
-                out(base) = (v >> 8).toByte; out(base + 1) = (v & 0xff).toByte
+                out(b2) = (v2 >> 8).toByte; out(b2 + 1) = (v2 & 0xff).toByte
               }
             }
           }
@@ -385,5 +415,154 @@ object JpegDecoder {
       mcu += 1
     }
     (prec, out)
+  }
+
+  /** Decode one scan's entropy data (all MCUs) into the quantized
+    * coefficient buffer; returns the position of the marker that ends
+    * the scan. Sequential full-band, progressive DC first/refine and
+    * AC first/refine all route through here per the SOS parameters. */
+  private def decodeScan(scan: Array[Byte], start: Int, st: State,
+      coef: Array[Int], totalMcus: Int): Int = {
+    val dcScan = st.ss == 0
+    val refining = st.ah > 0
+    val dc = st.dcHuff(st.dcTableId)
+    val ac = st.acHuff(st.acTableId)
+    if (!st.progressive && (dc == null || ac == null))
+      fail(s"Huffman tables dc=${st.dcTableId}/ac=${st.acTableId} never defined")
+    if (st.progressive && dcScan && !refining && dc == null)
+      fail(s"DC Huffman table ${st.dcTableId} never defined")
+    if (st.progressive && !dcScan && ac == null)
+      fail(s"AC Huffman table ${st.acTableId} never defined")
+    val dcMax = if (st.precision == 12) 15 else 11 // T.81 F.1.2.1.2 table ranges
+    val r = new BitReader(scan, start)
+    var pred = 0
+    var eobrun = 0
+    val p1 = 1 << st.al
+    val m1 = -p1
+    var mcu = 0
+    while (mcu < totalMcus) {
+      if (st.restartInterval > 0 && mcu > 0 && mcu % st.restartInterval == 0) {
+        // RSTn: byte-aligned marker; DC predictor and the EOB run reset
+        r.align()
+        if (r.pos + 1 >= scan.length || (scan(r.pos) & 0xff) != 0xff ||
+            ((scan(r.pos + 1) & 0xff) & 0xf8) != 0xd0)
+          fail(s"expected restart marker before MCU $mcu")
+        r.pos += 2
+        pred = 0
+        eobrun = 0
+      }
+      val base = mcu * 64
+
+      if (!st.progressive) {
+        // sequential: DC + full AC band, one pass (T.81 F.2.2)
+        val t = r.decode(dc)
+        if (t > dcMax) fail(s"DC category $t out of range for ${st.precision}-bit samples")
+        pred += extend(r.receive(t), t)
+        coef(base) = pred
+        var k = 1
+        while (k < 64) {
+          val rs = r.decode(ac)
+          val run = rs >> 4
+          val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else k = 64            // EOB
+          } else {
+            k += run
+            if (k > 63) fail("AC run overflows the block — corrupt stream")
+            coef(base + ZigZag(k)) = extend(r.receive(size), size)
+            k += 1
+          }
+        }
+      } else if (dcScan && !refining) {
+        // DC first scan (G.2): diff at point transform Al
+        val t = r.decode(dc)
+        if (t > dcMax) fail(s"DC category $t out of range for ${st.precision}-bit samples")
+        pred += extend(r.receive(t), t)
+        coef(base) = pred << st.al
+      } else if (dcScan) {
+        // DC refinement: one bit per block
+        if (r.bit() == 1) coef(base) |= p1
+      } else if (!refining) {
+        // AC first scan (G.2.2): band coefficients at Al, EOBn runs
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = st.ss
+          var brk = false
+          while (k <= st.se && !brk) {
+            val rs = r.decode(ac)
+            val run = rs >> 4
+            val size = rs & 0x0f
+            if (size == 0) {
+              if (run < 15) {
+                // EOBn: this block plus (1<<run)+bits-1 more end here
+                eobrun = (1 << run) - 1 + (if (run > 0) r.receive(run) else 0)
+                brk = true
+              } else k += 16 // ZRL
+            } else {
+              k += run
+              if (k > st.se) fail("AC run overflows the spectral band — corrupt stream")
+              coef(base + ZigZag(k)) = extend(r.receive(size), size) << st.al
+              k += 1
+            }
+          }
+        }
+      } else {
+        // AC refinement (G.1.2.3): one correction bit per already-
+        // nonzero coefficient passed; new coefficients arrive as ±1<<Al
+        var k = st.ss
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= st.se && !brk) {
+            val rs = r.decode(ac)
+            var run = rs >> 4
+            val size = rs & 0x0f
+            var newVal = 0
+            if (size != 0) {
+              if (size != 1)
+                fail(s"AC refinement symbol with size $size (refinement places ±1 only) — corrupt stream")
+              newVal = if (r.bit() == 1) p1 else m1
+            } else if (run < 15) {
+              // EOBn: covers this block too; the tail below consumes it
+              eobrun = (1 << run) + (if (run > 0) r.receive(run) else 0)
+              brk = true
+            } // run == 15: ZRL — skip 16 zero-history coefficients below
+            if (!brk) {
+              var advancing = true
+              while (k <= st.se && advancing) {
+                val z = base + ZigZag(k)
+                if (coef(z) != 0) {
+                  if (r.bit() == 1 && (coef(z) & p1) == 0)
+                    coef(z) += (if (coef(z) >= 0) p1 else m1)
+                } else {
+                  if (run == 0) advancing = false
+                  else run -= 1
+                }
+                if (advancing) k += 1
+              }
+              if (newVal != 0) {
+                if (k > st.se) fail("AC refinement places a coefficient beyond the band — corrupt stream")
+                coef(base + ZigZag(k)) = newVal
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // rest of the band: correction bits for nonzero history only
+          while (k <= st.se) {
+            val z = base + ZigZag(k)
+            if (coef(z) != 0) {
+              if (r.bit() == 1 && (coef(z) & p1) == 0)
+                coef(z) += (if (coef(z) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      mcu += 1
+    }
+    r.pos // byte after the last entropy byte — the scan-ending marker
   }
 }

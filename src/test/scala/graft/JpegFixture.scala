@@ -55,6 +55,14 @@ object JpegFixture {
   val Dc12Symbols: Array[Int] = (0 to 15).toArray
   private val Dc12Codes = codesOf(Dc12Counts, Dc12Symbols)
 
+  // Progressive AC table: Annex K has no EOBn symbols (0x10..0xE0), so
+  // progressive scans carry a flat all-256-symbol table instead (255
+  // codes at length 9 + one at 10 — valid canonical prefix code;
+  // fixture streams trade size for simplicity)
+  val AcProgCounts: Array[Int] = Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0)
+  val AcProgSymbols: Array[Int] = (0 to 255).toArray
+  private val AcProgCodes = codesOf(AcProgCounts, AcProgSymbols)
+
   private val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -146,6 +154,33 @@ object JpegFixture {
     putDqtDht(w, q, twelve)
     w.write(0xff); w.write(0xd9)
     w.toByteArray
+  }
+
+  /** Tables-only stream whose AC table is the progressive flat table
+    * (EOBn symbols included) — tag 347 twin for SOF2 strips. */
+  def tablesStreamProg(q: Array[Int], twelve: Boolean = false): Array[Byte] = {
+    val w = new java.io.ByteArrayOutputStream()
+    w.write(0xff); w.write(0xd8)
+    putDqtDhtProg(w, q, twelve)
+    w.write(0xff); w.write(0xd9)
+    w.toByteArray
+  }
+
+  private def putDqtDhtProg(w: java.io.ByteArrayOutputStream, q: Array[Int],
+      twelve: Boolean): Unit = {
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      w.write(0xff); w.write(marker)
+      val len = payload.length + 2
+      w.write(len >> 8); w.write(len & 0xff)
+      payload.foreach(w.write)
+    }
+    if (twelve)
+      seg(0xdb, Array(0x10) ++ ZigZag.map(q).flatMap(v => Array(v >> 8, v & 0xff)))
+    else
+      seg(0xdb, Array(0x00) ++ ZigZag.map(q))
+    if (twelve) seg(0xc4, Array(0x00) ++ Dc12Counts ++ Dc12Symbols)
+    else seg(0xc4, Array(0x00) ++ DcCounts ++ DcSymbols)
+    seg(0xc4, Array(0x10) ++ AcProgCounts ++ AcProgSymbols)
   }
 
   /** One baseline scan stream over row-major 8-bit `pixels` (w×h).
@@ -240,6 +275,221 @@ object JpegFixture {
     out.write(bw.bytes)
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** One progressive (SOF2) scan: spectral band [ss, se] at
+    * successive approximation Ah→Al (T.81 G.1.1.1). */
+  final case class ProgScan(ss: Int, se: Int, ah: Int, al: Int)
+
+  /** A libjpeg-shaped simple script: DC at Al=1, AC bands at Al=2,
+    * then one-bit refinements down to Al=0 — complete, so the decoder
+    * reconstructs the exact quantized coefficients. */
+  val StandardScript: Seq[ProgScan] = Seq(
+    ProgScan(0, 0, 0, 1), ProgScan(1, 5, 0, 2), ProgScan(6, 63, 0, 2),
+    ProgScan(1, 63, 2, 1), ProgScan(0, 0, 1, 0), ProgScan(1, 63, 1, 0))
+
+  /** Progressive (SOF2) multi-scan stream over row-major pixels —
+    * 8-bit (`prec=8`, pixels in [0,255]) or 12-bit (`prec=12`,
+    * [0,4095]). Same FDCT/quantization as the sequential encoder, so a
+    * complete script must decode bit-identically to the sequential
+    * stream of the same image. Encoding per T.81 G.1.2: arithmetic-
+    * shift point transform for DC, magnitude-shift for AC, EOBn runs
+    * accumulated across blocks (flushed at 0x7FFF, before restart
+    * markers, and at scan end), and the G.1.2.3 correction-bit buffer
+    * for refinement scans. */
+  def progressiveStream(pix: (Int, Int) => Int, w0: Int, h: Int,
+      q: Array[Int], prec: Int, withTables: Boolean,
+      script: Seq[ProgScan] = StandardScript,
+      restartInterval: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val half = 1 << (prec - 1)
+    val dcCodes = if (prec == 12) Dc12Codes else DcCodes
+    out.write(0xff); out.write(0xd8) // SOI
+    if (withTables) putDqtDhtProg(out, q, twelve = prec == 12)
+    out.write(Array[Int](0xff, 0xc2, 0, 11, prec, // SOF2, 1 component
+      h >> 8, h & 0xff, w0 >> 8, w0 & 0xff, 1, 1, 0x11, 0).map(_.toByte).toArray)
+    if (restartInterval > 0)
+      out.write(Array[Int](0xff, 0xdd, 0, 4,
+        restartInterval >> 8, restartInterval & 0xff).map(_.toByte).toArray)
+
+    // quantized coefficient blocks, natural order (computed once)
+    val mcusX = (w0 + 7) / 8
+    val mcusY = (h + 7) / 8
+    val total = mcusX * mcusY
+    val blocks = new Array[Array[Int]](total)
+    val buf = new Array[Double](64)
+    var mcu = 0
+    while (mcu < total) {
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val px = math.min(mx * 8 + x, w0 - 1)
+          val py = math.min(my * 8 + y, h - 1)
+          buf(y * 8 + x) = pix(px, py) - half.toDouble
+          x += 1
+        }
+        y += 1
+      }
+      blocks(mcu) = fdctQuant(buf, q)
+      mcu += 1
+    }
+
+    script.foreach { sc =>
+      out.write(Array[Int](0xff, 0xda, 0, 8, 1, 0, 0x00, // SOS
+        sc.ss, sc.se, (sc.ah << 4) | sc.al).map(_.toByte).toArray)
+      val bw = new BitWriter
+      encodeProgScan(bw, blocks, sc, dcCodes, restartInterval)
+      bw.align()
+      out.write(bw.bytes)
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  private def encodeProgScan(bw: BitWriter, blocks: Array[Array[Int]],
+      sc: ProgScan, dcCodes: Map[Int, (Int, Int)], restartInterval: Int): Unit = {
+    val dcScan = sc.ss == 0
+    val refining = sc.ah > 0
+    var pred = 0
+    var rst = 0
+    var eobrun = 0
+    // correction bits pending under the EOB run (T.81 G.1.2.3: emitted
+    // in coefficient order right after the EOBn symbol that flushes it)
+    val ebits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def putAc(sym: Int): Unit = { val (c, l) = AcProgCodes(sym); bw.put(c, l) }
+    def flushEob(): Unit = if (eobrun > 0) {
+      var nbits = 0
+      var t = eobrun
+      while ({ t >>= 1; t != 0 }) nbits += 1
+      putAc(nbits << 4)
+      if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+      ebits.foreach(b => bw.put(b, 1))
+      ebits.clear()
+      eobrun = 0
+    }
+    var mcu = 0
+    while (mcu < blocks.length) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        flushEob()
+        bw.marker(0xd0 + rst)
+        rst = (rst + 1) % 8
+        pred = 0
+      }
+      val coef = blocks(mcu)
+      if (dcScan && !refining) {
+        val v = coef(0) >> sc.al // arithmetic shift (T.81 G.1.2.1)
+        val diff = v - pred
+        pred = v
+        val t = category(diff)
+        val (dcCode, dcLen) = dcCodes(t)
+        bw.put(dcCode, dcLen)
+        if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      } else if (dcScan) {
+        bw.put((coef(0) >> sc.al) & 1, 1)
+      } else if (!refining) {
+        // AC first scan: values |c|>>Al (sign kept), EOBn runs
+        var k = sc.ss
+        var run = 0
+        while (k <= sc.se) {
+          val c = coef(ZigZag(k))
+          val v = if (c < 0) -((-c) >> sc.al) else c >> sc.al
+          if (v == 0) run += 1
+          else {
+            flushEob()
+            while (run > 15) { putAc(0xf0); run -= 16 } // ZRL
+            val s = category(v)
+            putAc((run << 4) | s)
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        }
+      } else {
+        // AC refinement (G.1.2.3 / the jcphuff shape): newly-nonzero
+        // coefficients emit (run<<4)|1 + sign; already-nonzero ones
+        // buffer one correction bit that rides after the next symbol
+        val absv = new Array[Int](64)
+        var lastNew = sc.ss - 1 // last k whose shifted magnitude is exactly 1
+        var k = sc.ss
+        while (k <= sc.se) {
+          val a = math.abs(coef(ZigZag(k))) >> sc.al
+          absv(k) = a
+          if (a == 1) lastNew = k
+          k += 1
+        }
+        var run = 0
+        val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+        k = sc.ss
+        while (k <= sc.se) {
+          val a = absv(k)
+          if (a == 0) run += 1
+          else {
+            // ZRLs only while a newly-nonzero coefficient still lies
+            // ahead; otherwise the zeros fold into the EOB run
+            while (run > 15 && k <= lastNew) {
+              flushEob()
+              putAc(0xf0)
+              run -= 16
+              br.foreach(b => bw.put(b, 1))
+              br.clear()
+            }
+            if (a > 1) br += (a & 1) // history coefficient: correction bit
+            else {
+              flushEob()
+              putAc((run << 4) | 1)
+              bw.put(if (coef(ZigZag(k)) < 0) 0 else 1, 1)
+              br.foreach(b => bw.put(b, 1))
+              br.clear()
+              run = 0
+            }
+          }
+          k += 1
+        }
+        if (run > 0 || br.nonEmpty) {
+          eobrun += 1
+          ebits ++= br
+          if (eobrun == 0x7fff) flushEob()
+        }
+      }
+      mcu += 1
+    }
+    flushEob()
+  }
+
+  /** Minimal single-band progressive (SOF2) JPEG-compressed TIFF —
+    * strip- or tile-organized, either byte order, optional split
+    * tables (tag 347), 8- or 12-bit samples. */
+  def writeJpegTiffProgressive(path: String, pix: (Int, Int) => Int,
+      w: Int, h: Int, q: Array[Int], prec: Int, split: Boolean,
+      tiled: Option[(Int, Int)] = None, restartInterval: Int = 0,
+      bigendian: Boolean = false,
+      script: Seq[ProgScan] = StandardScript): Unit = {
+    val blocks: Seq[Array[Byte]] = tiled match {
+      case Some((tw, th)) =>
+        for {
+          ty <- 0 until (h + th - 1) / th
+          tx <- 0 until (w + tw - 1) / tw
+        } yield progressiveStream((x, y) =>
+            pix(math.min(tx * tw + x, w - 1), math.min(ty * th + y, h - 1)),
+          tw, th, q, prec, withTables = !split, script, restartInterval)
+      case None =>
+        val rps = 8
+        (0 until (h + rps - 1) / rps).map { s =>
+          val rows = math.min(rps, h - s * rps)
+          progressiveStream((x, y) => pix(x, s * rps + y), w, rows, q,
+            prec, withTables = !split, script, restartInterval)
+        }
+    }
+    writeContainer(path, blocks,
+      if (split) Some(tablesStreamProg(q, twelve = prec == 12)) else None,
+      w, h, prec, tiled, bigendian)
   }
 
   /** Minimal single-band 8-bit JPEG-compressed TIFF (strip- or

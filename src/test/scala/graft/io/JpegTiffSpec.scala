@@ -98,13 +98,13 @@ class JpegTiffSpec extends AnyFunSuite {
     }
   }
 
-  test("out-of-scope streams fail LOUD: progressive, multi-component, Pq=1 at 8-bit, 12-bit SOF0") {
+  test("out-of-scope streams fail LOUD: lossless SOF3, multi-component, Pq=1 at 8-bit, 12-bit SOF0") {
     def sof(marker: Int, nComp: Int, prec: Int = 8): Array[Byte] =
       (Array(0xff, 0xd8, 0xff, marker, 0, 8 + 3 * nComp, prec, 0, 8, 0, 8, nComp) ++
         (0 until nComp).flatMap(c => Seq(c, 0x11, 0))).map(_.toByte).toArray
     val e1 = intercept[IllegalArgumentException](
-      JpegDecoder.decode(None, sof(0xc2, 1), 8, 8))
-    assert(e1.getMessage.contains("progressive"))
+      JpegDecoder.decode(None, sof(0xc3, 1), 8, 8))
+    assert(e1.getMessage.contains("not supported"))
     val e2 = intercept[IllegalArgumentException](
       JpegDecoder.decode(None, sof(0xc0, 3), 8, 8))
     assert(e2.getMessage.contains("component"))
@@ -236,6 +236,128 @@ class JpegTiffSpec extends AnyFunSuite {
     while (i < good.length - 2) { garbled(i) = (~garbled(i)).toByte; i += 1 }
     try { JpegDecoder.decode(None, garbled, 8, 8); () }
     catch { case e: Throwable => assert(e.isInstanceOf[JpegDecoder.JpegError], e.toString) }
+  }
+
+  // ---- progressive (SOF2) ----------------------------------------------
+
+  private def noisy(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(w * h)(rng.nextInt(256).toByte)
+  }
+
+  test("progressive SOF2 decodes BIT-IDENTICALLY to baseline on the same image") {
+    // a complete scan script reconstructs the exact quantized
+    // coefficients, so the IDCT inputs — and therefore every output
+    // pixel — must equal the sequential encoding's, bit for bit, on
+    // ANY content and ANY quantization (full-range noise maximizes
+    // coefficient variety and refinement-chain depth)
+    val gen = for {
+      w <- Gen.choose(3, 41)
+      h <- Gen.choose(3, 41)
+      q <- Gen.oneOf(1, 16)
+      split <- Gen.oneOf(false, true)
+      be <- Gen.oneOf(false, true)
+      tiled <- Gen.oneOf(None, Some((16, 8)))
+    } yield (w, h, q, split, be, tiled)
+    samples(gen, 25, 0x77E65).foreach { case (w, h, qv, split, be, tiled) =>
+      val qt = Array.fill(64)(qv)
+      val px = noisy(w, h, w * 2003 + h)
+      val dir = java.nio.file.Files.createTempDirectory("tifjpgp").toString
+      graft.JpegFixture.writeJpegTiff(s"$dir/seq.tif", px, w, h, qt,
+        split = split, tiled = tiled, bigendian = be)
+      graft.JpegFixture.writeJpegTiffProgressive(s"$dir/prog.tif",
+        (x, y) => px(y * w + x) & 0xff, w, h, qt, prec = 8, split = split,
+        tiled = tiled, bigendian = be)
+      val seqB = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/seq.tif"))
+      val prgB = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/prog.tif"))
+      val a = Tiff.decode(seqB, Tiff.fromBytes(seqB)).toList
+      val b = Tiff.decode(prgB, Tiff.fromBytes(prgB)).toList
+      assert(a.size == w * h && b.size == w * h)
+      assert(a == b, s"progressive != baseline [w=$w h=$h q=$qv split=$split be=$be tiled=$tiled]")
+    }
+  }
+
+  test("progressive restart markers: DRI streams decode identically to restart-free ones") {
+    val (w, h) = (40, 24)
+    val px = noisy(w, h, 99)
+    val qt = Array.fill(64)(1)
+    val dir = java.nio.file.Files.createTempDirectory("tifjpgpr").toString
+    graft.JpegFixture.writeJpegTiffProgressive(s"$dir/plain.tif",
+      (x, y) => px(y * w + x) & 0xff, w, h, qt, prec = 8, split = false)
+    graft.JpegFixture.writeJpegTiffProgressive(s"$dir/rst.tif",
+      (x, y) => px(y * w + x) & 0xff, w, h, qt, prec = 8, split = false,
+      restartInterval = 2)
+    val pb = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/plain.tif"))
+    val rb = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/rst.tif"))
+    assert(Tiff.decode(pb, Tiff.fromBytes(pb)).toList ==
+      Tiff.decode(rb, Tiff.fromBytes(rb)).toList)
+  }
+
+  test("12-bit progressive SOF2 decodes bit-identically to 12-bit SOF1") {
+    val gen = Gen.zip(Gen.choose(8, 32), Gen.choose(8, 32), Gen.oneOf(false, true))
+    samples(gen, 10, 0x77E66).foreach { case (w, h, be) =>
+      val rng = new scala.util.Random(w * 31 + h)
+      // DC-deep block-constant plus moderate noise: full-range noise
+      // would push the SEQUENTIAL fixture encoder past the Annex-K AC
+      // size ceiling (its table stops at size 10); the refinement
+      // chains still run 12 bits deep through the DC path
+      val base = Array.fill((h / 8 + 1) * (w / 8 + 1))(rng.nextInt(3840))
+      val px = Array.tabulate(w * h)(i =>
+        base((i / w / 8) * (w / 8 + 1) + (i % w) / 8) + rng.nextInt(256))
+      val qt = Array.fill(64)(1)
+      val dir = java.nio.file.Files.createTempDirectory("tifjpgp12").toString
+      graft.JpegFixture.writeJpegTiff12(s"$dir/seq.tif", px, w, h, qt,
+        split = false, bigendian = be)
+      graft.JpegFixture.writeJpegTiffProgressive(s"$dir/prog.tif",
+        (x, y) => px(y * w + x), w, h, qt, prec = 12, split = false,
+        bigendian = be)
+      val seqB = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/seq.tif"))
+      val prgB = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/prog.tif"))
+      val info = Tiff.fromBytes(prgB)
+      assert(info.bitsPerSample == 12 && info.dtype == "uint16")
+      assert(Tiff.decode(seqB, Tiff.fromBytes(seqB)).toList ==
+        Tiff.decode(prgB, info).toList,
+        s"12-bit progressive != SOF1 [w=$w h=$h be=$be]")
+    }
+  }
+
+  test("progressive scan-script violations fail LOUD (never garbage reconstruction)") {
+    import graft.JpegFixture.ProgScan
+    val px: (Int, Int) => Int = (x, y) => (x * 37 + y * 11) % 256
+    val qt = Array.fill(64)(1)
+    def stream(script: Seq[ProgScan]): Array[Byte] =
+      graft.JpegFixture.progressiveStream(px, 16, 16, qt, prec = 8,
+        withTables = true, script = script)
+    // refinement before the coefficient's first scan
+    val e1 = intercept[JpegDecoder.JpegError](JpegDecoder.decodeRaster(None,
+      stream(Seq(ProgScan(1, 63, 1, 0))), 16, 16, littleEndian = true))
+    assert(e1.getMessage.contains("before its first scan"), e1.getMessage)
+    // the same coefficient rescanned at Ah=0
+    val e2 = intercept[JpegDecoder.JpegError](JpegDecoder.decodeRaster(None,
+      stream(Seq(ProgScan(0, 0, 0, 1), ProgScan(0, 0, 0, 0))), 16, 16, littleEndian = true))
+    assert(e2.getMessage.contains("rescanned"), e2.getMessage)
+    // a skipped successive-approximation step (chain at Al=2, refine Ah=1)
+    val e3 = intercept[JpegDecoder.JpegError](JpegDecoder.decodeRaster(None,
+      stream(Seq(ProgScan(0, 0, 0, 2), ProgScan(0, 0, 1, 0))), 16, 16, littleEndian = true))
+    assert(e3.getMessage.contains("chain stands at"), e3.getMessage)
+    // a DC scan must be DC-only (Ss=0 with Se>0)
+    val e4 = intercept[JpegDecoder.JpegError](JpegDecoder.decodeRaster(None,
+      stream(Seq(ProgScan(0, 5, 0, 0))), 16, 16, littleEndian = true))
+    assert(e4.getMessage.contains("DC-only"), e4.getMessage)
+    // a SEQUENTIAL frame whose SOS carries progressive parameters
+    val seq = graft.JpegFixture.scanStream(Array.fill(256)(7.toByte), 16, 16,
+      qt, withTables = true)
+    var i = 0
+    var sos = -1
+    while (i + 1 < seq.length && sos < 0) {
+      if ((seq(i) & 0xff) == 0xff && (seq(i + 1) & 0xff) == 0xda) sos = i
+      i += 1
+    }
+    val patched = seq.clone()
+    patched(sos + 7) = 1 // Ss = 1 in a SOF0 frame
+    val e5 = intercept[JpegDecoder.JpegError](
+      JpegDecoder.decode(None, patched, 16, 16))
+    assert(e5.getMessage.contains("sequential scan with progressive"), e5.getMessage)
   }
 
   test("a tables-only stream decodes nothing; a scan without SOF fails") {
