@@ -120,6 +120,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MaxNgramRun(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_merge_pair"),
+      new ExpressionInfo(classOf[graft.functions.BpeMergePair].getName, "bpe_merge_pair"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "bpe_merge_pair takes exactly 3 arguments")
+        graft.functions.BpeMergePair(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_apply_merges"),
+      new ExpressionInfo(classOf[graft.functions.BpeApplyMerges].getName, "bpe_apply_merges"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "bpe_apply_merges takes exactly 2 arguments")
+        graft.functions.BpeApplyMerges(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("ac_matches"),
       new ExpressionInfo(classOf[graft.functions.AcMatches].getName, "ac_matches"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -12,6 +12,7 @@ object SparkEntry {
   private def registry: Map[String, QueryDef] =
     operators.RelationalQueries.defs ++
       operators.TextQueries.defs ++
+      operators.BpeQueries.defs ++
       operators.VectorQueries.defs ++
       operators.PqQueries.defs ++
       operators.RerankQueries.defs ++
