@@ -73,16 +73,25 @@ object BpeQueries {
       new java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[String, Trained]]())
 
-  private def trained(s: SparkSession, dir: String): Trained = {
-    val perSession = memo.synchronized {
-      var m = memo.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Trained]
-        memo.put(s, m)
-      }
-      m
+  private def perSession(s: SparkSession) = memo.synchronized {
+    var m = memo.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, Trained]
+      memo.put(s, m)
     }
-    perSession.getOrElseUpdate(dir, train(s, dir))
+    m
+  }
+
+  private def trained(s: SparkSession, dir: String): Trained =
+    perSession(s).getOrElseUpdate(dir, train(s, dir))
+
+  /** Fresh training run (the LIVE face's path — `bpe_train_merges` is
+    * always timed training, never a memo hit; the result replaces the
+    * memo so the consumer faces stay coherent with the newest run). */
+  private def retrain(s: SparkSession, dir: String): Trained = {
+    val t = train(s, dir)
+    perSession(s).put(dir, t).foreach(_.vocab.unpersist())
+    t
   }
 
   private def train(s: SparkSession, dir: String): Trained = {
@@ -210,7 +219,7 @@ object BpeQueries {
              s"SELECT $k AS rank, a AS left_sym, b AS right_sym, c AS pair_freq FROM w$k")
              .mkString(" UNION ALL ")}
          |) ORDER BY rank""".stripMargin) { (s, d) =>
-      val t = trained(s, d)
+      val t = retrain(s, d)
       import s.implicits._
       t.merges.zipWithIndex
         .map { case ((a, b, c), i) => (i + 1, a, b, c) }

@@ -4397,6 +4397,41 @@ object RelationalQueries {
           |ORDER BY o_orderkey LIMIT 50""".stripMargin)
     },
 
+    // ----- O37: DISTINCT ON + ORDER BY ALL (r13 fuzz P5 find) -----
+    // DuckDB's ORDER BY ALL sorts by every select-list output column
+    // with the modifier distributed; inside a DISTINCT ON the rewriter
+    // must expand ALL itself (the injected OVER() is beyond Spark's
+    // native ALL) by each item's VALUE expression with aliases
+    // stripped. Pre-fix the rewrite emitted `(ALL) AS helper` —
+    // unresolved-column garbage. Decoy comments ride the adversarial-
+    // text precedent; aliased + computed items exercise the strip.
+    "o37_distinct_on_order_all" -> QueryDef.sql(
+      """SELECT DISTINCT ON (o_orderpriority) o_orderpriority , o_totalprice * 2 AS dbl , o_orderkey AS k -- ORDER BY ALL (trap)
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |ORDER BY ALL DESC /* GROUP BY ALL */ LIMIT 20""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_doall_orders")
+      s.sql(
+        """SELECT DISTINCT ON (o_orderpriority) o_orderpriority , o_totalprice * 2 AS dbl , o_orderkey AS k -- ORDER BY ALL (trap)
+          |FROM graft_doall_orders WHERE o_orderkey % 5 = 0
+          |ORDER BY ALL DESC /* GROUP BY ALL */ LIMIT 20""".stripMargin)
+    },
+
+    // ----- O38: star EXCLUDE + GROUP BY ALL + ORDER BY ALL -----
+    // Both ALL forms are native on BOTH engines; the gate pins that the
+    // lexical star expansion composes with them (the expanded select
+    // list is what GROUP BY ALL groups on) and that no rewriter eats
+    // the bare ALL word. Identical text runs verbatim in DuckDB.
+    "o38_group_order_all_exclude" -> QueryDef.sql(
+      """SELECT * EXCLUDE (o_orderkey) , CAST(count(*) AS BIGINT) AS n -- GROUP BY ALL trap
+        |FROM (SELECT o_orderpriority , o_orderkey % 7 AS o_orderkey FROM orders) t
+        |GROUP BY ALL ORDER BY ALL LIMIT 30""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_gball_orders")
+      s.sql(
+        """SELECT * EXCLUDE (o_orderkey) , CAST(count(*) AS BIGINT) AS n -- GROUP BY ALL trap
+          |FROM (SELECT o_orderpriority , o_orderkey % 7 AS o_orderkey FROM graft_gball_orders) t
+          |GROUP BY ALL ORDER BY ALL LIMIT 30""".stripMargin)
+    },
+
     // ----- O28: FROM-first under ADVERSARIAL text -----
     // The hostile-text gate for the seventh extension: FROM-first
     // NESTED inside a parenthesized FROM-first (both legal positions

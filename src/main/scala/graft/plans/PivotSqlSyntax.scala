@@ -502,6 +502,15 @@ object PivotSqlSyntax {
     }
     val keys = sql.substring(evs(gi + 1).end, end).trim
     if (keys.isEmpty) fail("empty GROUP BY key list")
+    // GROUP BY ALL inside a PIVOT statement: DuckDB's own parser rejects
+    // it (the pivot's grouping keys must be explicit — the value columns
+    // are synthesized, so "all non-aggregated" is ill-defined here), and
+    // letting it through would surface as a baffling unresolved-column
+    // error on `ALL` from the emitted aggregate. Match DuckDB: refuse.
+    val kevs = QualifySqlSyntax.events(keys)
+    if (kevs.length == 1 && kevs.head.kind == 0 && kevs.head.up == "ALL")
+      fail("GROUP BY ALL is not supported in a PIVOT statement (DuckDB " +
+        "rejects it too) — list the grouping columns explicitly")
     (keys, end)
   }
 }

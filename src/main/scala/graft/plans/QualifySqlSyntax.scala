@@ -121,6 +121,78 @@ object QualifySqlSyntax {
     out.result()
   }
 
+  /** The text with comments, string literals and quoted identifiers
+    * blanked to spaces — for shape checks that must see CODE only
+    * (e.g. "is this select item a star glob?"). Length-preserving. */
+  private[plans] def codeText(sql: String): String = {
+    val out = sql.toCharArray
+    val n = sql.length
+    def blank(from: Int, until: Int): Unit = {
+      var k = from; while (k < until) { out(k) = ' '; k += 1 }
+    }
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val s = i; i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        blank(s, i)
+      } else if (c == '"' || c == '`') {
+        val s = i; i += 1; while (i < n && sql.charAt(i) != c) i += 1
+        if (i < n) i += 1
+        blank(s, i)
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val s = i
+        while (i < n && sql.charAt(i) != '\n') i += 1
+        blank(s, i)
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val s = i; i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+        blank(s, i)
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  /** One select-list item with its trailing output alias (explicit `AS
+    * a` or the implicit trailing-identifier form) stripped — the item's
+    * VALUE expression, which is what ORDER BY ALL sorts by. Items
+    * without an alias come back trimmed and unchanged. Same recognition
+    * rules as [[selectListAliases]]. */
+  private[plans] def stripSelectAlias(item: String): String = {
+    val evs = events(item)
+    val dotted = dottedIdx(item)
+    val spans = commentSpans(item)
+    def wsBetween(a: Ev, b: Ev): Boolean = {
+      val base = a.end
+      item.substring(a.end, b.pos).indices.forall(i =>
+        item.charAt(base + i).isWhitespace ||
+          spans.exists(s => base + i >= s._1 && base + i < s._2))
+    }
+    val lastWord = evs.lastIndexWhere(_.kind == 0)
+    if (lastWord <= 0) return item.trim
+    val e = evs(lastWord)
+    val isTail = lastWord == evs.length - 1 ||
+      item.substring(e.end).forall(c => c.isWhitespace)
+    val prev = evs(lastWord - 1)
+    val explicit = prev.kind == 0 && prev.up == "AS" && wsBetween(prev, e)
+    val implicitAlias = (prev.kind == 0 || prev.kind == 2) &&
+      !dotted.contains(lastWord) && prev.up != "AS" &&
+      !ExprKeywords.contains(e.up) && !e.up.matches("\\d+") &&
+      wsBetween(prev, e)
+    if (e.depth == 0 && isTail && !e.up.matches("\\d+") &&
+        (explicit || implicitAlias))
+      item.substring(0, if (explicit) prev.pos else e.pos).trim
+    else item.trim
+  }
+
   private def scan(sql: String): Vector[Ev] = {
     val evs = Vector.newBuilder[Ev]
     val n = sql.length
@@ -521,8 +593,46 @@ object DistinctOnSqlSyntax {
             }
             t += 1
           }
-          val ord = sql.substring(evs(oi + 1).end, ordEnd).trim
-          if (ord.isEmpty) fail("empty ORDER BY list")
+          val ord0txt = sql.substring(evs(oi + 1).end, ordEnd).trim
+          if (ord0txt.isEmpty) fail("empty ORDER BY list")
+          // ORDER BY ALL (DuckDB): one item whose code text is the bare
+          // word ALL sorts by every select-list output column, left to
+          // right, with the item's direction modifiers applied to each
+          // (DuckDB's `ORDER BY ALL DESC` semantics). Expanded HERE,
+          // because the list is re-emitted both inside the injected
+          // OVER() — where Spark's native ALL does not reach — and as
+          // the outer sort. Sorting is by each item's VALUE expression
+          // (aliases stripped), which equals the output column on every
+          // path. Star select items would need the bound schema to
+          // expand — refused loudly (spell the columns out).
+          val ord = {
+            val items0 = PivotSqlSyntax.splitTop(ord0txt)
+            val isAll = items0.size == 1 && {
+              val (e0, _) = QualifySqlSyntax.splitOrderItem(items0.head, fail)
+              QualifySqlSyntax.codeText(e0).trim.equalsIgnoreCase("ALL")
+            }
+            if (!isAll) ord0txt
+            else {
+              val mods = QualifySqlSyntax.splitOrderItem(items0.head, fail)._2
+              val selItems =
+                PivotSqlSyntax.splitTop(sql.substring(slStart, frm.pos))
+              if (selItems.isEmpty) fail("ORDER BY ALL with an empty select list")
+              val exprs = selItems.map { it =>
+                val code = QualifySqlSyntax.codeText(it)
+                if (code.matches("(?s)\\s*\\*.*") ||
+                    code.matches("(?s)\\s*[A-Za-z_]\\w*\\s*\\.\\s*\\*.*"))
+                  fail("ORDER BY ALL cannot expand a star select item " +
+                    s"('${it.trim}') — spell the columns out")
+                QualifySqlSyntax.stripSelectAlias(it)
+              }
+              // newline joints everywhere (the emitters' shared rule):
+              // a select item may END in a `--` line comment (which
+              // .trim de-terminated), and the distributed modifiers may
+              // too — a space or ", " joint would bury the modifiers or
+              // the next sort key inside the previous comment
+              exprs.map(e => if (mods.isEmpty) e else s"$e\n$mods").mkString("\n, ")
+            }
+          }
           val dcol = s"__graft_don_$idx"
           val alias = s"__graft_d_$idx"
           // HIDDEN SORT KEYS (Postgres/DuckDB parity): the outer ORDER

@@ -37,10 +37,13 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
           UnpivotSqlSyntax.rewrite(PivotSqlSyntax.rewrite(sql)))))))
 
   // every trigger word of the seven extensions, plus near-miss noise
+  // (incl. the GROUP BY ALL / ORDER BY ALL forms the rewriters must
+  // step over — P5)
   private val Keywords = Seq("QUALIFY", "ASOF", "ASOF JOIN", "EXCLUDE",
     "REPLACE", "PIVOT", "UNPIVOT", "DISTINCT ON", "FROM", "SELECT",
     "USING", "ON", "* EXCLUDE (x)", "PIVOT t ON c USING sum(x)",
-    "FROM t SELECT", "QUALIFY row_number() OVER ()")
+    "FROM t SELECT", "QUALIFY row_number() OVER ()",
+    "ALL", "GROUP BY ALL", "ORDER BY ALL", "ORDER BY ALL DESC")
 
   private val genSoup: Gen[String] = for {
     n <- Gen.choose(1, 4)
@@ -316,6 +319,74 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
       "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
       "WHERE fuzz_e1.k <= ( SELECT max(o_orderkey) FROM c ) " +
       "ORDER BY fuzz_e1.k , fuzz_e1.t"))
+
+  // ----- P5: GROUP BY ALL / ORDER BY ALL × every extension -----
+  // Spark 4 and DuckDB both support the ALL forms natively; the hazard
+  // is each lexical rewriter seeing the bare word ALL where it expects
+  // an expression list. The probe round found two real cases: DISTINCT
+  // ON treated ALL as a sort EXPRESSION (unresolved-column garbage →
+  // now expanded to the select list's value expressions, DuckDB
+  // semantics, modifiers distributed), and statement PIVOT let GROUP BY
+  // ALL through to a baffling analysis error (DuckDB's parser rejects
+  // it → now refused loudly at rewrite time). These cores pin the whole
+  // matrix under decoration.
+  private val AllCores = Seq(
+    "gba_exclude" -> ("SELECT * EXCLUDE (o_orderkey , o_totalprice) , sum(o_totalprice) AS s , § AS tag " +
+      "FROM fuzz_t GROUP BY ALL ORDER BY ALL"),
+    "gba_replace" -> ("SELECT * REPLACE (o_totalprice * 0 AS o_totalprice) FROM fuzz_t " +
+      "WHERE § <> 'zz' GROUP BY ALL ORDER BY ALL"),
+    "gba_from_first" -> ("FROM fuzz_t SELECT o_prio , sum(o_totalprice) AS s , § AS tag " +
+      "WHERE o_totalprice > 40 GROUP BY ALL ORDER BY ALL"),
+    "gba_qualify" -> ("SELECT o_prio , sum(o_totalprice) AS s , § AS tag FROM fuzz_t GROUP BY ALL " +
+      "QUALIFY row_number() OVER (ORDER BY sum(o_totalprice) DESC) <= 2 ORDER BY ALL"),
+    "oba_qualify" -> ("SELECT o_orderkey , o_prio , o_totalprice FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC) <= 1 ORDER BY ALL"),
+    "oba_distinct_on" -> ("SELECT DISTINCT ON (o_prio) o_prio , o_orderkey FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY ALL"),
+    "oba_distinct_on_desc" -> ("SELECT DISTINCT ON (o_prio) o_prio , o_orderkey FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY ALL DESC"),
+    // aliased + computed select items: ALL must sort by the VALUE
+    // expressions (aliases stripped), not the alias words
+    "oba_distinct_on_alias" -> ("SELECT DISTINCT ON (o_prio) o_prio , o_totalprice * 2 AS dbl , " +
+      "o_orderkey AS k FROM fuzz_t ORDER BY ALL"),
+    "gba_asof" -> ("SELECT fuzz_e1.k , sum(w) AS sw , § AS tag FROM fuzz_e1 " +
+      "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "GROUP BY ALL ORDER BY ALL"),
+    "oba_pivot" -> ("PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY o_orderkey ORDER BY ALL"))
+
+  test("P5: GROUP BY ALL / ORDER BY ALL compose with every extension (300 seeds)") {
+    views
+    AllCores.foreach { case (name, core) =>
+      val plain = spark.sql(core.replace("§", "'p'")).collect()
+        .map(_.toSeq.toList).toList
+      assert(plain.nonEmpty, s"$name: empty plain result")
+      samples(decorate(core, 0), 30, 0xF0225L + name.hashCode).zipWithIndex
+        .foreach { case (sql, i) =>
+          val got =
+            try spark.sql(sql).collect().map(_.toSeq.toList).toList
+            catch {
+              case e: Throwable =>
+                fail(s"$name seed $i failed to execute:\n$sql\n${e.getMessage}")
+            }
+          assert(got.length == plain.length,
+            s"$name seed $i row count ${got.length} != ${plain.length}:\n$sql")
+          got.zip(plain).foreach { case (g, p) =>
+            assert(mask(g) == mask(p), s"$name seed $i row mismatch:\n$sql\ngot  $g\nwant $p")
+          }
+        }
+    }
+    // the matrix's two loud refusals stay loud under decoration
+    val gbaPivot = "PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY ALL ORDER BY o_orderkey"
+    samples(decorate(gbaPivot, 0), 5, 0xF0226L).foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("GROUP BY ALL is not supported in a PIVOT"), sql)
+    }
+    val starAll = "SELECT DISTINCT ON (o_prio) * FROM fuzz_t ORDER BY ALL"
+    val e2 = intercept[Exception](spark.sql(starAll).collect())
+    assert(e2.getMessage.contains("cannot expand a star select item"), e2.getMessage)
+  }
 
   test("P4: WITH-prelude extension CTEs compose with every statement body (648 seeds)") {
     views
