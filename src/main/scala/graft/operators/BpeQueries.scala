@@ -99,12 +99,20 @@ object BpeQueries {
       .filter(col("text").isNotNull)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-    var vocab = TextQueries.spread(words)
+    // ONE materialization of the word-frequency table (the corpus
+    // scan); iterations stack bpe_merge_pair projections on top of it —
+    // a vocab-sized recompute per pair-count job, K²/2 projection
+    // passes total, which beats K extra persist+count jobs of pure
+    // scheduling overhead (measured: 18 → 10 jobs, −25% training wall
+    // at every Z point, curve still flat). The FINAL segmentation
+    // persists for the consumer faces.
+    val base = TextQueries.spread(words)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("syms",
         concat(expr("regexp_extract_all(word, '.', 0)"), array(lit("</w>"))))
       .persist()
-    vocab.count()
+    base.count()
+    var vocab = base
     val merges = Seq.newBuilder[(String, String, Long)]
     var r = 1
     while (r <= K) {
@@ -118,15 +126,13 @@ object BpeQueries {
         .limit(1).collect()(0)
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((a, b, c))
-      val next = vocab
-        .withColumn("syms", bpe_merge_pair(col("syms"), lit(a), lit(b)))
-        .persist()
-      next.count()
-      vocab.unpersist()
-      vocab = next
+      vocab = vocab.withColumn("syms", bpe_merge_pair(col("syms"), lit(a), lit(b)))
       r += 1
     }
-    Trained(merges.result(), vocab)
+    val fin = vocab.persist()
+    fin.count()
+    base.unpersist()
+    Trained(merges.result(), fin)
   }
 
   // ----- DuckDB mirror: the K-iteration training chain -----------------
