@@ -66,4 +66,58 @@ class ProgressiveScanSpec extends AnyFunSuite {
     (0 until 10).foreach(s => cmp(17, 15, s,
       Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)), "J"))
   }
+
+  /** Entropy bytes of each scan: the data after each SOS header up to
+    * the next marker (no 0xFF bytes occur in these tiny streams). */
+  private def scanEntropyBytes(stream: Array[Byte]): Seq[Seq[Int]] = {
+    val out = Seq.newBuilder[Seq[Int]]
+    var i = 0
+    while (i + 1 < stream.length) {
+      if ((stream(i) & 0xff) == 0xff && (stream(i + 1) & 0xff) == 0xda) {
+        val len = ((stream(i + 2) & 0xff) << 8) | (stream(i + 3) & 0xff)
+        var j = i + 2 + len
+        val seg = Seq.newBuilder[Int]
+        while (j < stream.length && (stream(j) & 0xff) != 0xff) {
+          seg += (stream(j) & 0xff); j += 1
+        }
+        out += seg.result()
+        i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
+  test("K: hand-computed bitstream pins the T.81 conventions (no mutual encoder/decoder misreading)") {
+    // The roundtrip cross-equality can't catch a bug the encoder and
+    // decoder share (e.g. both counting an EOB run off by one) — so pin
+    // the exact T.81 bytes of a case small enough to derive by hand.
+    // 16×8 all-128 pixels, q = ones: level shift makes every
+    // coefficient 0 in both blocks.
+    //
+    // Scan 1 (DC first, Ah=Al=0): two zero diffs → Annex-K DC category
+    //   0 code '00' twice = bits 0000 + 1-padding = 0x0F.
+    // Scan 2 (AC first, band 1..63): both blocks all-zero → ONE EOBn
+    //   covering both: EOBRUN = 2 → nbits = 1 → symbol 0x10 (flat AC
+    //   table: symbols 0..254 at length 9, symbol 16 = code 000010000)
+    //   + 1 extension bit (2 & 1 = 0) → bits 0000100000 + 1-padding =
+    //   0x08 0x3F.
+    val stream = JpegFixture.progressiveStream((_, _) => 128, 16, 8, ones,
+      prec = 8, withTables = true,
+      script = Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)))
+    val scans = scanEntropyBytes(stream)
+    assert(scans.length == 2, scans)
+    assert(scans(0) == Seq(0x0f), s"DC scan bytes: ${scans(0).map(b => f"$b%02x")}")
+    assert(scans(1) == Seq(0x08, 0x3f), s"AC scan bytes: ${scans(1).map(b => f"$b%02x")}")
+    // and the decoder consumes exactly those conventions back to flat 128s
+    val (p, px) = JpegDecoder.decodeRaster(None, stream, 16, 8, littleEndian = true)
+    assert(p == 8 && px.forall(b => (b & 0xff) == 128))
+    // EOB-run extension bits: 24×8 (3 blocks, all zero) → EOBRUN = 3 →
+    // nbits = 1, symbol 0x10, ext bit 1 → bits 0000100001 + padding =
+    // 0x08 0x7F
+    val s3 = JpegFixture.progressiveStream((_, _) => 128, 24, 8, ones,
+      prec = 8, withTables = true,
+      script = Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)))
+    val scans3 = scanEntropyBytes(s3)
+    assert(scans3(1) == Seq(0x08, 0x7f), s"3-block EOB run: ${scans3(1).map(b => f"$b%02x")}")
+  }
 }
