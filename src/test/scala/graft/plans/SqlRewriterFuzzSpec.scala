@@ -318,7 +318,12 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     "asof" -> ("SELECT fuzz_e1.k , fuzz_e1.t , w , § AS tag FROM fuzz_e1 " +
       "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
       "WHERE fuzz_e1.k <= ( SELECT max(o_orderkey) FROM c ) " +
-      "ORDER BY fuzz_e1.k , fuzz_e1.t"))
+      "ORDER BY fuzz_e1.k , fuzz_e1.t"),
+    // the P5 ALL forms in statement-body position after every prelude
+    // (P4 x P5 cross): star EXCLUDE + GROUP BY ALL + ORDER BY ALL over
+    // the prelude CTE
+    "gba_all" -> ("SELECT * EXCLUDE (o_orderkey , o_totalprice) , count(*) AS n , § AS tag " +
+      "FROM c GROUP BY ALL ORDER BY ALL"))
 
   // ----- P5: GROUP BY ALL / ORDER BY ALL × every extension -----
   // Spark 4 and DuckDB both support the ALL forms natively; the hazard
@@ -388,7 +393,7 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     assert(e2.getMessage.contains("cannot expand a star select item"), e2.getMessage)
   }
 
-  test("P4: WITH-prelude extension CTEs compose with every statement body (648 seeds)") {
+  test("P4: WITH-prelude extension CTEs compose with every statement body (729 seeds)") {
     views
     PreludeCtes.foreach { case (pn, pre) =>
       BodyCores.foreach { case (bn, body) =>
