@@ -96,7 +96,10 @@ object BpeMerge {
     var i = 0
     while (i < n) {
       val s = syms.getUTF8String(i)
-      if (i + 1 < n && s.equals(a) && syms.getUTF8String(i + 1).equals(b)) {
+      // split/regexp arrays never carry null elements, but the function
+      // is SQL-callable with anything — fail typed, not NPE
+      require(s != null, "bpe_merge_pair: null symbol in the input array")
+      if (i + 1 < n && s.equals(a) && b.equals(syms.getUTF8String(i + 1))) {
         out.add(UTF8String.concat(a, b))
         i += 2
       } else {
@@ -115,6 +118,7 @@ object BpeMerge {
     val space = UTF8String.fromString(" ")
     while (r < m) {
       val pair = merges.getUTF8String(r)
+      require(pair != null, "bpe_apply_merges: null merge entry")
       val parts = pair.split(space, 2)
       require(parts.length == 2, s"bpe_apply_merges: malformed merge '$pair' " +
         "(expected 'a b', space-joined)")

@@ -116,14 +116,19 @@ object BpeQueries {
     val merges = Seq.newBuilder[(String, String, Long)]
     var r = 1
     while (r <= K) {
-      val top = vocab
+      val winners = vocab
         .select(col("cnt"), explode(expr(
           "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), " +
             "(x, y) -> struct(x AS a, y AS b))")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("cnt").as("c"))
         .orderBy(desc("c"), asc("a"), asc("b"))
-        .limit(1).collect()(0)
+        .limit(1).collect()
+      if (winners.isEmpty)
+        throw new IllegalArgumentException(
+          s"BPE training: no symbol pairs at iteration $r — the corpus at " +
+            s"$dir has no (or only fully-merged single-symbol) words")
+      val top = winners(0)
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((a, b, c))
       vocab = vocab.withColumn("syms", bpe_merge_pair(col("syms"), lit(a), lit(b)))

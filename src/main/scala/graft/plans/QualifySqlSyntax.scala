@@ -185,6 +185,7 @@ object QualifySqlSyntax {
     val explicit = prev.kind == 0 && prev.up == "AS" && wsBetween(prev, e)
     val implicitAlias = (prev.kind == 0 || prev.kind == 2) &&
       !dotted.contains(lastWord) && prev.up != "AS" &&
+      !(prev.kind == 0 && OperandExpecting.contains(prev.up)) &&
       !ExprKeywords.contains(e.up) && !e.up.matches("\\d+") &&
       wsBetween(prev, e)
     if (e.depth == 0 && isTail && !e.up.matches("\\d+") &&
@@ -314,6 +315,16 @@ object QualifySqlSyntax {
     "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW", "FILTER",
     "WHERE", "EXISTS", "ANY", "ALL", "SOME", "DIV")
 
+  /** Keywords after which a bare word is that keyword's OPERAND, never
+    * an implicit output alias (`a AND b` is one expression; `b` is not
+    * an alias of `a AND`). Expression-ENDING keywords (END, NULL, TRUE,
+    * FALSE …) stay out — `CASE … END x` aliases x legally. */
+  private val OperandExpecting = Set(
+    "AND", "OR", "NOT", "IS", "IN", "LIKE", "ILIKE", "RLIKE", "ESCAPE",
+    "BETWEEN", "WHEN", "THEN", "ELSE", "CASE", "AS", "INTERVAL",
+    "DISTINCT", "OVER", "PARTITION", "BY", "ORDER", "WHERE", "EXISTS",
+    "ANY", "ALL", "SOME", "DIV")
+
   /** Bare (unqualified) identifier words of an expression: word events
     * outside every dotted pair, non-numeric, not a keyword, and not a
     * function name (directly followed by `(`). Uppercased. */
@@ -354,6 +365,7 @@ object QualifySqlSyntax {
         val explicit = prev.kind == 0 && prev.up == "AS" && wsBetween(prev, e)
         val implicitAlias = (prev.kind == 0 || prev.kind == 2) &&
           !dotted.contains(lastWord) && prev.up != "AS" &&
+          !(prev.kind == 0 && OperandExpecting.contains(prev.up)) &&
           !ExprKeywords.contains(e.up) && !e.up.matches("\\d+") &&
           wsBetween(prev, e)
         if (e.depth == 0 && isTail && !e.up.matches("\\d+") &&

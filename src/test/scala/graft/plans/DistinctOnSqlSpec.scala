@@ -167,6 +167,29 @@ class DistinctOnSqlSpec extends SparkFunSuite {
     assert(n.length == 2)
   }
 
+  test("rewrite: ORDER BY ALL expands to value expressions, operand keywords don't fake aliases") {
+    // ALL expands to the select list's VALUE expressions with the
+    // modifier distributed (r13 fuzz P5); an UNALIASED boolean item
+    // must expand whole — `b` after AND is that AND's operand, never an
+    // implicit output alias (the operand-expecting guard)
+    val got = DistinctOnSqlSyntax.rewrite(
+      "SELECT DISTINCT ON (g) g , v > 1 AND w FROM t ORDER BY ALL DESC")
+    val norm = got.replaceAll("\\s+", " ")
+    assert(norm.contains("ORDER BY g DESC , v > 1 AND w DESC"), got)
+    // aliased items DO strip to the expression
+    val got2 = DistinctOnSqlSyntax.rewrite(
+      "SELECT DISTINCT ON (g) g , v * 2 AS dbl FROM t ORDER BY ALL")
+    assert(got2.replaceAll("\\s+", " ").contains("ORDER BY g , v * 2"), got2)
+    // CASE … END alias still strips (END is expression-ENDING)
+    assert(QualifySqlSyntax.stripSelectAlias(
+      "CASE WHEN v > 1 THEN 2 ELSE 3 END big") ==
+      "CASE WHEN v > 1 THEN 2 ELSE 3 END")
+    // star items refuse loudly (they need the bound schema)
+    val e = intercept[AnalysisException](DistinctOnSqlSyntax.rewrite(
+      "SELECT DISTINCT ON (g) * FROM t ORDER BY ALL"))
+    assert(e.getMessage.contains("cannot expand a star select item"), e.getMessage)
+  }
+
   test("plan: the rank-limit pushdown fires through the wrap") {
     fixture()
     val df = spark.sql(
