@@ -401,6 +401,25 @@ object QualifySqlSyntax {
         val fi = evs.indexWhere(
           e => e.kind == 0 && e.depth == q.depth && e.up == "FROM", si + 1)
         if (fi < 0 || fi > qi) fail("the QUALIFY block has no FROM clause")
+        // GROUP BY ALL in the same block (r13 soak find): the wrap adds
+        // the predicate column to the select list BEFORE Spark resolves
+        // ALL, so the injected item changes what ALL groups by — a
+        // window-over-plain-column predicate then fails with a baffling
+        // UNSUPPORTED_EXPR error, and a plain-expression predicate over
+        // a non-grouped column would silently WIDEN the grouping.
+        // DuckDB refuses the combination outright ("Combining QUALIFY
+        // with GROUP BY ALL is not supported yet") — match it.
+        var g = fi + 1
+        while (g < qi) {
+          if (evs(g).kind == 0 && evs(g).depth == q.depth && evs(g).up == "GROUP" &&
+              g + 2 < evs.length && evs(g + 1).kind == 0 && evs(g + 1).up == "BY" &&
+              evs(g + 2).kind == 0 && evs(g + 2).up == "ALL")
+            fail("QUALIFY with GROUP BY ALL is not supported (DuckDB refuses " +
+              "this combination too): the injected predicate column would " +
+              "change what ALL groups by — spell the GROUP BY columns " +
+              "explicitly")
+          g += 1
+        }
         var predEnd = sql.length
         var j = qi + 1
         var stopped = false

@@ -67,6 +67,39 @@ class ProgressiveScanSpec extends AnyFunSuite {
       Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)), "J"))
   }
 
+  test("L: randomized scan scripts — DC depth x band split x AC depth x interleave x restarts, 150 cases") {
+    // every script is COMPLETE (all bands reach Al=0), so bit-equality
+    // with the sequential decode must hold for ANY script shape — this
+    // sweeps the script space the fixed suites cannot enumerate
+    val rng = new scala.util.Random(0x50A72L)
+    (0 until 150).foreach { i =>
+      val w = 3 + rng.nextInt(40)
+      val h = 3 + rng.nextInt(40)
+      val px = Array.fill(w * h)(rng.nextInt(256).toByte)
+      val qv = Seq(1, 4, 16)(rng.nextInt(3))
+      val qt = Array.fill(64)(qv)
+      val dcAl = rng.nextInt(3)
+      val acAl = rng.nextInt(3)
+      val split = 1 + rng.nextInt(62) // AC band boundary
+      val dcScans = ProgScan(0, 0, 0, dcAl) +:
+        (dcAl to 1 by -1).map(al => ProgScan(0, 0, al, al - 1))
+      val acFirst = Seq(ProgScan(1, split, 0, acAl), ProgScan(split + 1, 63, 0, acAl))
+      val acRef = (acAl to 1 by -1).map(al => ProgScan(1, 63, al, al - 1))
+      val script = if (rng.nextBoolean()) dcScans ++ acFirst ++ acRef
+                   else dcScans.take(1) ++ acFirst ++ dcScans.drop(1) ++ acRef
+      val rst = Seq(0, 0, 2, 3)(rng.nextInt(4))
+      val seqS = JpegFixture.scanStream(px, w, h, qt, withTables = true)
+      val (p1, a) = JpegDecoder.decodeRaster(None, seqS, w, h, littleEndian = true)
+      val prgS = JpegFixture.progressiveStream((x, y) => px(y * w + x) & 0xff,
+        w, h, qt, prec = 8, withTables = true, script = script, restartInterval = rst)
+      val (p2, b) = JpegDecoder.decodeRaster(None, prgS, w, h, littleEndian = true)
+      assert(p1 == 8 && p2 == 8)
+      val bad = (0 until w * h).count(j => a(j) != b(j))
+      assert(bad == 0, s"case $i: $bad mismatches [w=$w h=$h q=$qv dcAl=$dcAl " +
+        s"acAl=$acAl split=$split rst=$rst script=$script]")
+    }
+  }
+
   /** Entropy bytes of each scan: the data after each SOS header up to
     * the next marker (no 0xFF bytes occur in these tiny streams). */
   private def scanEntropyBytes(stream: Array[Byte]): Seq[Seq[Int]] = {

@@ -342,7 +342,11 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
       "WHERE § <> 'zz' GROUP BY ALL ORDER BY ALL"),
     "gba_from_first" -> ("FROM fuzz_t SELECT o_prio , sum(o_totalprice) AS s , § AS tag " +
       "WHERE o_totalprice > 40 GROUP BY ALL ORDER BY ALL"),
-    "gba_qualify" -> ("SELECT o_prio , sum(o_totalprice) AS s , § AS tag FROM fuzz_t GROUP BY ALL " +
+    // (GROUP BY ALL + QUALIFY is NOT here: the wrap's injected predicate
+    // column would change what ALL groups by, so the combination is
+    // refused loudly — DuckDB parity; asserted below with the other
+    // refusals. The explicit-GROUP-BY twin composes fine:)
+    "gb_qualify" -> ("SELECT o_prio , sum(o_totalprice) AS s , § AS tag FROM fuzz_t GROUP BY o_prio " +
       "QUALIFY row_number() OVER (ORDER BY sum(o_totalprice) DESC) <= 2 ORDER BY ALL"),
     "oba_qualify" -> ("SELECT o_orderkey , o_prio , o_totalprice FROM fuzz_t " +
       "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC) <= 1 ORDER BY ALL"),
@@ -391,6 +395,12 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     val starAll = "SELECT DISTINCT ON (o_prio) * FROM fuzz_t ORDER BY ALL"
     val e2 = intercept[Exception](spark.sql(starAll).collect())
     assert(e2.getMessage.contains("cannot expand a star select item"), e2.getMessage)
+    val gbaQualify = "SELECT o_prio , sum(o_totalprice) AS s FROM fuzz_t GROUP BY ALL " +
+      "QUALIFY row_number() OVER (ORDER BY sum(o_totalprice) DESC) <= 2 ORDER BY ALL"
+    samples(decorate(gbaQualify, 0), 5, 0xF0227L).foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("QUALIFY with GROUP BY ALL is not supported"), sql)
+    }
   }
 
   test("P4: WITH-prelude extension CTEs compose with every statement body (729 seeds)") {
