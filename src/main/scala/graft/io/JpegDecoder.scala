@@ -260,7 +260,10 @@ object JpegDecoder {
         case other => fail(f"unsupported marker 0xFF$other%02X")
       }
     }
-    -1
+    // only EOI returns -1 (above); running out of bytes here means the
+    // stream was truncated — a decoder that treated exhaustion as EOI
+    // would silently decode a cut-off file as complete
+    fail(s"stream ended at $pos without an EOI marker (truncated)")
   }
 
   /** Decode a tables-only stream (TIFF tag 347) into fresh state. */
@@ -357,6 +360,23 @@ object JpegDecoder {
       pos = decodeScan(scan, pos, st, coef, totalMcus)
       scans += 1
       pos = parseSegments(scan, pos, st)
+    }
+    if (st.progressive) {
+      // completeness: a script whose scans all validated can still be
+      // INCOMPLETE (a band never scanned, or a chain parked above Al=0)
+      // — that decodes to an approximation, which would violate the
+      // never-silent stance (T.81 G: an interchange frame codes every
+      // coefficient to full precision; partial decode is a progressive
+      // PREVIEW, not this module's contract)
+      var k = 0
+      while (k < 64) {
+        if (curAl(k) < 0)
+          fail(s"incomplete progressive script: coefficient $k never scanned")
+        if (curAl(k) != 0)
+          fail(s"incomplete progressive script: coefficient $k's approximation " +
+            s"chain stops at Al=${curAl(k)} (never refined to full precision)")
+        k += 1
+      }
     }
 
     // dequantize + IDCT every block

@@ -100,6 +100,56 @@ class ProgressiveScanSpec extends AnyFunSuite {
     }
   }
 
+  test("M: INCOMPLETE scripts fail loudly — never a silent approximation") {
+    // r13 advisor: every per-scan chain can validate while the SCRIPT
+    // as a whole stops short (a band never scanned, or parked above
+    // Al=0) — that is a progressive preview, not a full decode.
+    def decodeScript(script: Seq[ProgScan]): Unit = {
+      val stream = JpegFixture.progressiveStream((x, y) => (x * 7 + y * 13) % 256,
+        16, 8, ones, prec = 8, withTables = true, script = script)
+      JpegDecoder.decodeRaster(None, stream, 16, 8, littleEndian = true)
+    }
+    // AC band never scanned at all (DC-only script)
+    val e1 = intercept[JpegDecoder.JpegError](decodeScript(Seq(ProgScan(0, 0, 0, 0))))
+    assert(e1.getMessage.contains("never scanned"), e1.getMessage)
+    // a band gap: 1..5 scanned, 6..63 never
+    val e2 = intercept[JpegDecoder.JpegError](decodeScript(
+      Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 5, 0, 0))))
+    assert(e2.getMessage.contains("never scanned"), e2.getMessage)
+    // AC chain parked above Al=0 (first scan at Al=1, refinement missing)
+    val e3 = intercept[JpegDecoder.JpegError](decodeScript(
+      Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 1))))
+    assert(e3.getMessage.contains("stops at Al=1"), e3.getMessage)
+    // DC chain parked above Al=0
+    val e4 = intercept[JpegDecoder.JpegError](decodeScript(
+      Seq(ProgScan(0, 0, 0, 2), ProgScan(0, 0, 2, 1), ProgScan(1, 63, 0, 0))))
+    assert(e4.getMessage.contains("stops at Al=1"), e4.getMessage)
+    // and the complete twin of each shape decodes fine
+    decodeScript(Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 5, 0, 0), ProgScan(6, 63, 0, 0)))
+    decodeScript(Seq(ProgScan(0, 0, 0, 1), ProgScan(0, 0, 1, 0),
+      ProgScan(1, 63, 0, 1), ProgScan(1, 63, 1, 0)))
+  }
+
+  test("N: a stream that ends without EOI fails as truncated, not as complete") {
+    // r13 advisor: parseSegments used to return the same -1 for EOI and
+    // for plain data exhaustion, so a cut-off file decoded as complete.
+    val rng = new scala.util.Random(7)
+    val px = Array.fill(16 * 8)(rng.nextInt(256).toByte)
+    val full = JpegFixture.scanStream(px, 16, 8, ones, withTables = true)
+    assert((full(full.length - 2) & 0xff) == 0xff && (full.last & 0xff) == 0xd9)
+    val cut = full.dropRight(2) // remove the EOI marker only
+    val e = intercept[JpegDecoder.JpegError](
+      JpegDecoder.decodeRaster(None, cut, 16, 8, littleEndian = true))
+    assert(e.getMessage.contains("without an EOI"), e.getMessage)
+    // progressive twin: EOI removed after the last scan
+    val prg = JpegFixture.progressiveStream((x, y) => px(y * 16 + x) & 0xff,
+      16, 8, ones, prec = 8, withTables = true,
+      script = Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)))
+    val e2 = intercept[JpegDecoder.JpegError](
+      JpegDecoder.decodeRaster(None, prg.dropRight(2), 16, 8, littleEndian = true))
+    assert(e2.getMessage.contains("without an EOI"), e2.getMessage)
+  }
+
   /** Entropy bytes of each scan: the data after each SOS header up to
     * the next marker (no 0xFF bytes occur in these tiny streams). */
   private def scanEntropyBytes(stream: Array[Byte]): Seq[Seq[Int]] = {
