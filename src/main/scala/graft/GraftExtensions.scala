@@ -134,6 +134,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BpeApplyMerges(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("unigram_viterbi"),
+      new ExpressionInfo(classOf[graft.functions.UnigramViterbi].getName, "unigram_viterbi"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4, "unigram_viterbi takes exactly 4 arguments")
+        graft.functions.UnigramViterbi(children.head, children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("ac_matches"),
       new ExpressionInfo(classOf[graft.functions.AcMatches].getName, "ac_matches"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -13,6 +13,7 @@ object SparkEntry {
     operators.RelationalQueries.defs ++
       operators.TextQueries.defs ++
       operators.BpeQueries.defs ++
+      operators.UnigramQueries.defs ++
       operators.VectorQueries.defs ++
       operators.PqQueries.defs ++
       operators.RerankQueries.defs ++

@@ -119,9 +119,12 @@ object BpeMerge {
     while (r < m) {
       val pair = merges.getUTF8String(r)
       require(pair != null, "bpe_apply_merges: null merge entry")
-      val parts = pair.split(space, 2)
-      require(parts.length == 2, s"bpe_apply_merges: malformed merge '$pair' " +
-        "(expected 'a b', space-joined)")
+      // unlimited split so a 3-token entry like 'a b c' is length 3 and
+      // fails here, instead of silently no-op-ing as the unmatchable
+      // symbol 'b c' (symbols never contain whitespace)
+      val parts = pair.split(space, -1)
+      require(parts.length == 2 && parts(0).numBytes() > 0 && parts(1).numBytes() > 0,
+        s"bpe_apply_merges: malformed merge '$pair' (expected 'a b', space-joined)")
       cur = mergePair(cur, parts(0), parts(1))
       r += 1
     }

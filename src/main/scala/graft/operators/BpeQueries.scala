@@ -217,6 +217,51 @@ object BpeQueries {
   private def mergesLit(t: Trained) =
     typedLit(t.merges.map { case (a, b, _) => s"$a $b" })
 
+  /** Trained merge table as a DataFrame — the artifact
+    * [[SignatureStore.ensureBpeMerges]] persists, so encode can run in a
+    * LATER session without retraining (training is the expensive corpus
+    * scan; the merge list is K rows). */
+  private[operators] def trainedMergesDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trained(s, dir).merges.zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+      .toDF("rank", "left_sym", "right_sym", "pair_freq")
+  }
+
+  /** Rank-ordered "a b" merge strings from a STORED merge table (the
+    * [[trainedMergesDf]] schema read back) — bounded collect: K rows. */
+  private[operators] def mergesFromStore(stored: DataFrame): Seq[String] = {
+    val rows = stored.orderBy("rank").collect()
+    require(rows.nonEmpty, "bpe merge store is empty")
+    rows.map(r => s"${r.getString(1)} ${r.getString(2)}").toSeq
+  }
+
+  /** Shared oracle for the live and stored encode faces (training is
+    * deterministic, so the stored artifact encodes identically). */
+  private def encodeDocsSql: String =
+    s"""WITH $trainChain,
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |dwf AS (SELECT doc_id, word FROM dw WHERE word <> '')
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(len(g.syms))::BIGINT AS bpe_tokens
+       |FROM dwf d JOIN seg$K g USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  private def encodeDocs(s: SparkSession, d: String,
+      merges: org.apache.spark.sql.Column): DataFrame =
+    TextQueries.spread(documents(s, d).filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("syms", bpe_apply_merges(
+        concat(expr("regexp_extract_all(word, '.', 0)"), array(lit("</w>"))),
+        merges))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms")).cast("long")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- BPE training: the learned merge table ------------------------
@@ -251,23 +296,27 @@ object BpeQueries {
 
     // ----- out-of-vocabulary encode -------------------------------------
     // The learned merges applied in rank order to strings the trainer
-    // never saw (every vocab word reversed — injective, so the holdout
-    // set is deterministic on both engines). This grades the per-string
-    // merge application itself: Spark runs the native bpe_apply_merges
+    // never saw (every vocab word doubled around a '~' separator —
+    // injective, so the holdout set is deterministic, and pure
+    // concatenation, which both engines define identically at the
+    // code-point level; reverse() would NOT be — Spark reverses code
+    // points while DuckDB reverses grapheme clusters, diverging on
+    // combining-character sequences). This grades the per-string merge
+    // application itself: Spark runs the native bpe_apply_merges
     // expression; DuckDB re-walks the K parity blocks against the
     // training chain's winners.
     "bpe_encode_oov" -> QueryDef.sql(
       s"""WITH $trainChain,
          |hseg0 AS (
-         |  SELECT reverse(word) AS word,
-         |         list_append(regexp_extract_all(reverse(word), '.'), '</w>') AS syms
+         |  SELECT word || '~' || word AS word,
+         |         list_append(regexp_extract_all(word || '~' || word, '.'), '</w>') AS syms
          |  FROM vocab),
          |${(1 to K).map(applyBlock).mkString(",\n")}
          |SELECT word, array_to_string(syms, ' ') AS seg, len(syms)::BIGINT AS n_syms
          |FROM hseg$K ORDER BY word""".stripMargin) { (s, d) =>
       val t = trained(s, d)
       t.vocab
-        .select(reverse(col("word")).as("word"))
+        .select(concat_ws("~", col("word"), col("word")).as("word"))
         .withColumn("syms", bpe_apply_merges(
           concat(expr("regexp_extract_all(word, '.', 0)"), array(lit("</w>"))),
           mergesLit(t)))
@@ -281,44 +330,59 @@ object BpeQueries {
     // projection inside the corpus scan (per word instance), aggregated
     // per document. The oracle takes the equivalent vocab-join route —
     // the two paths agreeing is the point.
-    "bpe_encode_docs" -> QueryDef.sql(
-      s"""WITH $trainChain,
-         |dw AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
-         |  FROM documents WHERE text IS NOT NULL),
-         |dwf AS (SELECT doc_id, word FROM dw WHERE word <> '')
-         |SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(len(g.syms))::BIGINT AS bpe_tokens
-         |FROM dwf d JOIN seg$K g USING (word)
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      val t = trained(s, d)
-      TextQueries.spread(documents(s, d).filter(col("text").isNotNull))
-        .select(col("doc_id"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
-        .filter(col("word") =!= "")
-        .withColumn("syms", bpe_apply_merges(
-          concat(expr("regexp_extract_all(word, '.', 0)"), array(lit("</w>"))),
-          mergesLit(t)))
-        .groupBy("doc_id")
+    "bpe_encode_docs" -> QueryDef.sql(encodeDocsSql) { (s, d) =>
+      encodeDocs(s, d, mergesLit(trained(s, d)))
+    },
+
+    // ----- stored/serve encode: the persisted tokenizer artifact --------
+    // Same plan as bpe_encode_docs, but the merges come from the SEALED
+    // [[SignatureStore.ensureBpeMerges]] parquet artifact instead of the
+    // session memo — a later session (or another consumer entirely)
+    // encodes WITHOUT re-paying training. Training is deterministic, so
+    // the stored and live paths share one oracle; the gate holding on
+    // both IS the stored≡live assertion, the SignatureStore convention.
+    "bpe_encode_docs_stored" -> QueryDef.sql(encodeDocsSql) { (s, d) =>
+      encodeDocs(s, d,
+        typedLit(mergesFromStore(SignatureStore.ensureBpeMerges(s, d))))
+    },
+
+    // ----- round-trip invariant: decode(encode(w)) = w -----------------
+    // The standard tokenizer identity — for the '</w>' formulation,
+    // concatenating a word's symbols must give back word || '</w>' for
+    // EVERY vocab word, counted on both engines (BpeMergeSpec proves it
+    // property-style for random inputs; this gates it on the corpus).
+    "bpe_roundtrip_identity" -> QueryDef.sql(
+      s"""WITH $trainChain
+         |SELECT count(*)::BIGINT AS n_words,
+         |       CAST(count(*) FILTER (WHERE array_to_string(syms, '') <> word || '</w>')
+         |            AS BIGINT) AS n_mismatches
+         |FROM seg$K""".stripMargin) { (s, d) =>
+      trained(s, d).vocab
         .agg(count(lit(1)).as("n_words"),
-          sum(size(col("syms")).cast("long")).as("bpe_tokens"))
-        .orderBy("doc_id")
+          count(when(array_join(col("syms"), "") =!= concat(col("word"), lit("</w>")), 1))
+            .as("n_mismatches"))
     },
 
     // ----- corpus totals + compression --------------------------------
     // Token-budget arithmetic off the segmented vocab alone: counts ride
     // the vocab, so corpus totals cost a vocab-sized aggregate, zero
-    // text reprocessing.
+    // text reprocessing. Compression as an exact truncated ppm integer
+    // (HUGEINT / DECIMAL(38,0) — the repo's ratio convention; double
+    // division + round can flake cross-engine on representation edges).
     "bpe_corpus_token_count" -> QueryDef.sql(
       s"""WITH $trainChain
          |SELECT sum(cnt)::BIGINT AS total_words,
          |       sum(cnt * len(syms))::BIGINT AS total_tokens,
-         |       round(sum(cnt * length(word)) / sum(cnt * len(syms)), 6) AS chars_per_token
+         |       CAST((CAST(1000000 AS HUGEINT) * sum(cnt * length(word)))
+         |            // sum(cnt * len(syms)) AS BIGINT) AS chars_per_token_ppm
          |FROM seg$K""".stripMargin) { (s, d) =>
       trained(s, d).vocab
         .agg(sum(col("cnt")).as("total_words"),
           sum(col("cnt") * size(col("syms"))).as("total_tokens"),
-          round(sum(col("cnt") * length(col("word"))) /
-            sum(col("cnt") * size(col("syms"))), 6).as("chars_per_token"))
+          sum(col("cnt") * length(col("word"))).as("nchars"))
+        .select(col("total_words"), col("total_tokens"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * nchars) " +
+            "div total_tokens AS BIGINT)").as("chars_per_token_ppm"))
     },
   )
 }

@@ -300,6 +300,44 @@ object SignatureStore {
         readOphBands(spark, base))
 
   // ------------------------------------------------------------------
+  // Trained-tokenizer artifact stores. Unlike the signature families
+  // these persist a MODEL, not per-document rows: the subword-BPE merge
+  // table and the unigram-LM piece table are vocab-sized (K rows / a
+  // few dozen), but producing them costs a full corpus scan plus the
+  // training iterations — the exact shape the seal convention exists
+  // for. Write-once sealed artifacts (training is deterministic per
+  // corpus; defaultBase fingerprints the documents listing, so a
+  // changed corpus gets a fresh base) — no stream subtree, no
+  // compaction: a tokenizer is retrained, never incrementally patched.
+  // ------------------------------------------------------------------
+
+  def bpeMergesDir(base: String) = s"$base/bpe_merges"
+  def unigramModelDir(base: String) = s"$base/unigram_model"
+
+  /** The trained subword-BPE merge table for `sfDir`, training and
+    * sealing it on first use; later calls (and later SESSIONS) are pure
+    * parquet reads — encode never re-pays training. */
+  def ensureBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = defaultBase(spark, sfDir)
+    val dir = bpeMergesDir(base)
+    if (!sealedMarkerExists(spark, s"$dir/_SUCCESS"))
+      BpeQueries.trainedMergesDf(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    readSealed(spark, dir)
+  }
+
+  /** The trained unigram-LM model table for `sfDir` (piece, count,
+    * score) — [[ensureBpeMerges]]'s twin for the other subword scheme. */
+  def ensureUnigramModel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = defaultBase(spark, sfDir)
+    val dir = unigramModelDir(base)
+    if (!sealedMarkerExists(spark, s"$dir/_SUCCESS"))
+      UnigramQueries.trainedModelDf(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    readSealed(spark, dir)
+  }
+
+  // ------------------------------------------------------------------
   // Candidate-pair store — the 21st family. The banded self-join is
   // what LSH exists to materialize, and before this store every
   // consumer (clusters, source matrix, family Venn, OPH agreement,

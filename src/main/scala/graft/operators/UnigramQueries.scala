@@ -1,0 +1,477 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.UnigramViterbi.unigram_viterbi
+import graft.util.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-language-model tokenizer TRAINING and ENCODING over
+  * `documents` — the second standard subword scheme next to BPE (Kudo
+  * 2018, "Subword Regularization: Improving Neural Network Translation
+  * Models with Multiple Subword Candidates", §3; the SentencePiece
+  * unigram trainer). A training-data pipeline that compares tokenizers
+  * needs both families, the same way the dedup family carries minhash
+  * AND simhash AND semantic faces.
+  *
+  * Algorithm (hard-EM / Viterbi-EM — the EM variant whose E-step
+  * assigns each word its single best segmentation):
+  *   1. word-frequency table: one corpus scan → (word, cnt). Everything
+  *      after is vocab-sized, the same Heaps'-law collapse that makes
+  *      corpus BPE training tractable at 100 TB.
+  *   2. seed vocabulary: every substring of length ≤ [[MaxPieceLen]]
+  *      with its occurrence-weighted corpus count; all single
+  *      characters, plus the top [[SeedMultiMax]] multi-character
+  *      pieces by count × length (SentencePiece's seed ranking).
+  *   3. EM iterations ([[EmIters]]): score pieces from current counts,
+  *      Viterbi-segment every DISTINCT word (E-step — the native
+  *      [[graft.functions.UnigramViterbi]] codegen expression, a
+  *      projection over the vocab table, NO shuffle), recount piece
+  *      usage weighted by word frequency (M-step), prune to all single
+  *      characters (count-1 floor — SentencePiece's required character
+  *      coverage, so the segmenter stays total) + the top
+  *      [[VocabMultiMax]] multi-character pieces.
+  *   4. encode: Viterbi under the final model as a stateless projection
+  *      pipelined into the corpus scan; the model rides the plan as a
+  *      literal (one broadcast per task, hashed once per thread).
+  *
+  * WHY INTEGER SCORES — the exactness argument. True unigram-LM Viterbi
+  * compares summed float log-probabilities; `ln` differs between libm
+  * implementations in the last ulp, and one flipped argmax diverges the
+  * engines by whole pieces, which EM then amplifies. So the objective
+  * quantizes log₂-likelihood to whole bits: score(p) = bitlen(count(p))
+  * − bitlen(total), where bitlen(x) = length(bin(x)) — exact integer
+  * arithmetic both engines define identically. Ties (common under 1-bit
+  * scores) resolve by fewest pieces, then longest-last-piece, a total
+  * order that composes under DP (see [[graft.functions.UnigramViterbi]]).
+  * Unknown single characters (possible only OUTSIDE the training
+  * corpus, e.g. the OOV face's '~') cost the count-1 fallback score —
+  * the segmenter is total on any string.
+  *
+  * The DuckDB oracle mirrors the ENTIRE chain relationally: the seed
+  * table via two chained `unnest(generate_series(...))` expansions, each
+  * E-step's Viterbi as an UNROLLED dynamic program — one CTE per word
+  * position, each block ranking the ≤[[MaxPieceLen]] split candidates by
+  * (score DESC, pieces ASC, start ASC) — and the M-step/prune as window
+  * ranks. The unroll is static SQL, so gated words are capped at
+  * [[WordCap]] characters (enforced LOUDLY on the Spark side; the corpus
+  * tables top out at 8, the Zipfian scale corpus at 4 — the native
+  * expression itself has no cap).
+  *
+  * Training state is memoized per (session, sf-dir) like
+  * [[BpeQueries]]; `unigram_train_vocab` is the always-retrains live
+  * face.
+  */
+object UnigramQueries {
+
+  /** Longest candidate piece (SentencePiece default is 16; 6 spans the
+    * corpus vocabulary's real merge depth while keeping the oracle's
+    * candidate table at |word|×6 rows per word). */
+  private val MaxPieceLen = 6
+
+  /** Seed vocabulary: top multi-character substrings by count×length. */
+  private val SeedMultiMax = 96
+
+  /** Pruned vocabulary: multi-character pieces kept per M-step. */
+  private val VocabMultiMax = 48
+
+  /** Hard-EM iterations. Two suffice for the fixpoint on Zipf-shaped
+    * corpora — counts saturate with the vocabulary, not the corpus. */
+  private val EmIters = 2
+
+  /** Longest gated word — the oracle unrolls this many DP blocks. The
+    * Spark side refuses longer words loudly (never silently truncates). */
+  private val WordCap = 12
+
+  /** Longest holdout word: word‖'~'‖word under [[WordCap]]. */
+  private val OovCap = 2 * WordCap + 1
+
+  private def bitlen(x: Long): Int = {
+    require(x > 0, s"bitlen of non-positive $x")
+    64 - java.lang.Long.numberOfLeadingZeros(x)
+  }
+
+  /** UTF-8 binary order — the collation BOTH engines sort strings by
+    * (Spark UTF8String.compareTo; DuckDB default binary). Driver-side
+    * sorts must match or prune tie-breaks diverge. */
+  private val binaryOrder: Ordering[String] =
+    (a: String, b: String) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  /** Trained model: (piece, count) with the count-derived scores. */
+  final case class Model(pieces: Seq[(String, Long)]) {
+    val total: Long = pieces.iterator.map(_._2).sum
+    val scores: Seq[(String, Int)] =
+      pieces.map { case (p, c) => p -> (bitlen(c) - bitlen(total)) }
+    val fallback: Int = 1 - bitlen(total)
+  }
+
+  private val memo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, Model]]())
+
+  private def perSession(s: SparkSession) = memo.synchronized {
+    var m = memo.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, Model]
+      memo.put(s, m)
+    }
+    m
+  }
+
+  private def trained(s: SparkSession, dir: String): Model =
+    perSession(s).getOrElseUpdate(dir, train(s, dir))
+
+  /** Fresh training (the live face's path — always timed, never a memo
+    * hit; replaces the memo so consumer faces stay coherent). */
+  private def retrain(s: SparkSession, dir: String): Model = {
+    val m = train(s, dir)
+    perSession(s).put(dir, m)
+    m
+  }
+
+  /** Distinct corpus words with frequency and code-point length. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    TextQueries.spread(
+      documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= ""))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("chs", expr("regexp_extract_all(word, '.', 0)"))
+      .withColumn("wl", size(col("chs")))
+
+  /** Model → sorted literal columns for the Viterbi expression. */
+  private def modelLits(m: Model): (Column, Column, Column) = {
+    val sorted = m.scores.sortBy(_._1)(binaryOrder)
+    (typedLit(sorted.map(_._1)), typedLit(sorted.map(_._2)), lit(m.fallback))
+  }
+
+  /** Trained model as a DataFrame — the artifact
+    * [[SignatureStore.ensureUnigramModel]] persists (piece, piece_count,
+    * score; the score column is denormalized for consumers — [[Model]]
+    * re-derives it from counts, identically, when reading back). */
+  private[operators] def trainedModelDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = trained(s, dir)
+    m.pieces.zip(m.scores)
+      .map { case ((p, c), (_, sc)) => (p, c, sc) }
+      .toDF("piece", "piece_count", "score")
+  }
+
+  /** Model from a STORED table (the [[trainedModelDf]] schema read
+    * back) — bounded collect: vocab-sized (≤ alphabet + VocabMultiMax). */
+  private[operators] def modelFromStore(stored: DataFrame): Model = {
+    val rows = stored.select("piece", "piece_count").collect()
+    require(rows.nonEmpty, "unigram model store is empty")
+    Model(rows.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  private def train(s: SparkSession, dir: String): Model = {
+    val wf = wordFreq(s, dir).persist()
+    try {
+      val mx = wf.agg(max(col("wl"))).head()
+      if (mx.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"unigram training: the corpus at $dir has no words")
+      val maxWl = mx.getInt(0)
+      if (maxWl > WordCap)
+        throw new IllegalArgumentException(
+          s"unigram training: a corpus word has $maxWl characters, above the " +
+            s"gated cap $WordCap (the DuckDB oracle unrolls the Viterbi DP to " +
+            s"$WordCap static blocks; raise WordCap in UnigramQueries to match)")
+      // seed: every (position, length ≤ MaxPieceLen) substring window,
+      // occurrence-weighted — vocab-sized × |word|·L, never corpus-sized
+      val seed = wf
+        .withColumn("i", explode(expr("sequence(1, wl)")))
+        .withColumn("l", explode(expr(s"sequence(1, least($MaxPieceLen, wl - i + 1))")))
+        .withColumn("piece", expr("array_join(slice(chs, i, l), '')"))
+        .groupBy("piece").agg(max("l").as("plen"), sum("cnt").as("c"))
+        .persist()
+      // bounded collects: the alphabet, and the top-SeedMultiMax pieces
+      // (TakeOrderedAndProject — a distributed top-K, no global sort)
+      val alphabet = seed.filter(col("plen") === 1)
+        .select("piece", "c").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val seedMulti = seed.filter(col("plen") > 1)
+        .orderBy((col("c") * col("plen")).desc, col("piece"))
+        .limit(SeedMultiMax)
+        .select("piece", "c").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      seed.unpersist()
+      val alphaSet = alphabet.map(_._1).toSet
+      var vocab: Seq[(String, Long)] = alphabet ++ seedMulti
+
+      var t = 1
+      while (t <= EmIters) {
+        val m = Model(vocab)
+        val (piecesLit, scoresLit, fbLit) = modelLits(m)
+        // E-step: Viterbi every distinct word; usage weighted by word
+        // frequency. Bounded collect: ≤ |vocab| rows.
+        val usage = wf
+          .withColumn("segs", unigram_viterbi(col("word"), piecesLit, scoresLit, fbLit))
+          .select(col("cnt"), explode(col("segs")).as("piece"))
+          .groupBy("piece").agg(sum("cnt").as("u"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val vocabSet = vocab.map(_._1).toSet
+        val stray = usage.keySet.diff(vocabSet)
+        // training corpus chars are all in-vocab (the count-1 floor), so
+        // the fallback path can never have fired here
+        require(stray.isEmpty, s"unigram E-step used out-of-vocab pieces: $stray")
+        // M-step + prune: char floor keeps the segmenter total; multi
+        // pieces keep their Viterbi usage, top VocabMultiMax survive
+        val chars = alphabet.map { case (p, _) => p -> math.max(usage.getOrElse(p, 0L), 1L) }
+        val multi = vocab
+          .collect { case (p, _) if !alphaSet.contains(p) && usage.getOrElse(p, 0L) > 0 =>
+            p -> usage(p) }
+          .sortBy { case (p, u) => (-u, p) }(Ordering.Tuple2(Ordering.Long, binaryOrder))
+          .take(VocabMultiMax)
+        vocab = chars ++ multi
+        t += 1
+      }
+      Model(vocab)
+    } finally wf.unpersist()
+  }
+
+  // ----- DuckDB mirror: seed → EM chain → final model -------------------
+
+  /** Substring windows of `src` (word, cnt): one unnest per CTE — two
+    * chained single-unnest blocks form the (position × length) cross
+    * product, then the slice-join extracts the piece. */
+  private def subsBlocks(pfx: String, src: String): String =
+    s"""${pfx}ch AS MATERIALIZED (SELECT word, cnt, regexp_extract_all(word, '.') AS chs,
+       |        len(regexp_extract_all(word, '.'))::INT AS wl FROM $src),
+       |${pfx}p0 AS MATERIALIZED (SELECT word, cnt, chs, wl, unnest(generate_series(1, wl))::INT AS i FROM ${pfx}ch),
+       |${pfx}p1 AS MATERIALIZED (SELECT word, cnt, chs, wl, i, unnest(generate_series(1, $MaxPieceLen))::INT AS l FROM ${pfx}p0),
+       |${pfx}subs AS MATERIALIZED (
+       |  SELECT word, cnt, wl, i, l, array_to_string(list_slice(chs, i, i + l - 1), '') AS piece
+       |  FROM ${pfx}p1 WHERE i + l - 1 <= wl)""".stripMargin
+
+  /** Per-word-position candidates under score table `sv` (+ the
+    * unknown-single-char fallback from `fb`). */
+  private def candBlock(name: String, sv: String, fb: String, subsT: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT b.word, b.cnt, b.wl, b.i, b.l, b.piece, s.s
+       |  FROM $subsT b JOIN $sv s ON s.piece = b.piece AND s.plen = b.l
+       |  UNION ALL
+       |  SELECT b.word, b.cnt, b.wl, b.i, 1 AS l, b.piece, (SELECT fs FROM $fb) AS s
+       |  FROM $subsT b
+       |  WHERE b.l = 1 AND NOT EXISTS (SELECT 1 FROM $sv s WHERE s.piece = b.piece))""".stripMargin
+
+  /** The Viterbi DP, unrolled: block j holds the unique best path to
+    * position j of every word (candidates ranked score DESC, pieces ASC,
+    * start ASC — the same total order the native expression applies). */
+  private def dpBlocks(pfx: String, cand: String, wordsT: String, maxPos: Int): String = {
+    val zero = s"${pfx}0 AS MATERIALIZED (SELECT word, cnt, wl, 0::INT AS s, 0::INT AS k, " +
+      s"CAST([] AS VARCHAR[]) AS segs FROM $wordsT)"
+    val blocks = (1 to maxPos).map { j =>
+      val branches = (1 to math.min(MaxPieceLen, j)).map { l =>
+        s"""      SELECT d.word, d.cnt, d.wl, d.s + c.s AS s, d.k + 1 AS k,
+           |             list_append(d.segs, c.piece) AS segs, ${j - l} AS st
+           |      FROM $pfx${j - l} d JOIN $cand c
+           |        ON c.word = d.word AND c.i = ${j - l + 1} AND c.l = $l""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""$pfx$j AS MATERIALIZED (
+         |  SELECT word, cnt, wl, s, k, segs FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word ORDER BY s DESC, k, st) AS rn FROM (
+         |$branches
+         |    )) WHERE rn = 1)""".stripMargin
+    }
+    (zero +: blocks).mkString(",\n")
+  }
+
+  /** Final segmentation per word: the DP row at its own length. */
+  private def bestSel(pfx: String, best: String, maxPos: Int): String =
+    s"""$best AS MATERIALIZED (
+       |  SELECT word, cnt, wl, segs FROM (
+       |${(1 to maxPos).map(j => s"    SELECT word, cnt, wl, segs FROM $pfx$j WHERE wl = $j")
+           .mkString("\n    UNION ALL\n")}
+       |  ))""".stripMargin
+
+  /** One EM iteration: scores from v{t} → E-step DP → usage → M-step
+    * char floor + top-K prune → v{t+1}. */
+  private def emIter(t: Int): String =
+    s"""tt$t AS MATERIALIZED (SELECT sum(c)::BIGINT AS tot FROM v$t),
+       |sv$t AS MATERIALIZED (SELECT piece, plen, (length(bin(c)) - (SELECT length(bin(tot)) FROM tt$t))::INT AS s FROM v$t),
+       |fb$t AS MATERIALIZED (SELECT (1 - length(bin(tot)))::INT AS fs FROM tt$t),
+       |${candBlock(s"cd$t", s"sv$t", s"fb$t", "wsubs")},
+       |${dpBlocks(s"dp${t}_", s"cd$t", "wch", WordCap)},
+       |${bestSel(s"dp${t}_", s"best$t", WordCap)},
+       |use$t AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS u
+       |          FROM (SELECT cnt, unnest(segs) AS piece FROM best$t) GROUP BY piece),
+       |mc$t AS MATERIALIZED (SELECT a.piece, 1::INT AS plen, greatest(coalesce(u.u, 0), 1)::BIGINT AS c
+       |         FROM alpha a LEFT JOIN use$t u ON u.piece = a.piece),
+       |mm$t AS MATERIALIZED (
+       |  SELECT piece, plen, c FROM (
+       |    SELECT s.piece, s.plen, u.u AS c, row_number() OVER (ORDER BY u.u DESC, s.piece) AS rn
+       |    FROM use$t u JOIN sv$t s ON s.piece = u.piece AND s.plen > 1) WHERE rn <= $VocabMultiMax),
+       |v${t + 1} AS MATERIALIZED (SELECT piece, plen, c FROM mc$t UNION ALL SELECT piece, plen, c FROM mm$t)"""
+      .stripMargin
+
+  /** Seed + EM chain + final score table (svf/fbf over v{EmIters+1}). */
+  private def modelChain: String = (Seq(
+    """t AS MATERIALIZED (SELECT trim(lower(text)) AS t FROM documents WHERE text IS NOT NULL),
+      |wrd AS MATERIALIZED (SELECT unnest(string_split_regex(t, '\s+')) AS word FROM t),
+      |wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM wrd WHERE word <> '' GROUP BY word)""".stripMargin,
+    subsBlocks("w", "wf"),
+    s"""alpha AS MATERIALIZED (SELECT DISTINCT piece FROM wsubs WHERE l = 1),
+       |sc0 AS MATERIALIZED (SELECT piece, max(l)::INT AS plen, sum(cnt)::BIGINT AS c FROM wsubs GROUP BY piece),
+       |seedm AS MATERIALIZED (
+       |  SELECT piece, plen, c FROM (
+       |    SELECT piece, plen, c, row_number() OVER (ORDER BY c * plen DESC, piece) AS rn
+       |    FROM sc0 WHERE plen > 1) WHERE rn <= $SeedMultiMax),
+       |v1 AS MATERIALIZED (SELECT s.piece, s.plen, s.c FROM sc0 s JOIN alpha a ON a.piece = s.piece
+       |       UNION ALL SELECT piece, plen, c FROM seedm)""".stripMargin) ++
+    (1 to EmIters).map(emIter) :+
+    s"""ttf AS MATERIALIZED (SELECT sum(c)::BIGINT AS tot FROM v${EmIters + 1}),
+       |svf AS MATERIALIZED (SELECT piece, plen, c,
+       |          (length(bin(c)) - (SELECT length(bin(tot)) FROM ttf))::INT AS s
+       |        FROM v${EmIters + 1}),
+       |fbf AS MATERIALIZED (SELECT (1 - length(bin(tot)))::INT AS fs FROM ttf)""".stripMargin
+  ).mkString(",\n")
+
+  /** Corpus-word segmentation under the final model. */
+  private def bestFChain: String = Seq(
+    candBlock("cdf", "svf", "fbf", "wsubs"),
+    dpBlocks("dpf_", "cdf", "wch", WordCap),
+    bestSel("dpf_", "bestf", WordCap)).mkString(",\n")
+
+  /** Holdout (word‖'~'‖word) segmentation under the final model — '~'
+    * is outside the training alphabet, so this walks the fallback path
+    * on both engines. */
+  private def oovChain: String = Seq(
+    "hw AS MATERIALIZED (SELECT word || '~' || word AS word, 1::BIGINT AS cnt FROM wf)",
+    subsBlocks("h", "hw"),
+    candBlock("cdh", "svf", "fbf", "hsubs"),
+    dpBlocks("dph_", "cdh", "hch", OovCap),
+    bestSel("dph_", "besth", OovCap)).mkString(",\n")
+
+  /** Shared oracle for the live and stored encode faces. */
+  private def encodeDocsSql: String =
+    s"""WITH $modelChain,
+       |$bestFChain,
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |dwf AS (SELECT doc_id, word FROM dw WHERE word <> '')
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(len(b.segs))::BIGINT AS unigram_tokens
+       |FROM dwf d JOIN bestf b USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  private def encodeDocs(s: SparkSession, d: String, m: Model): DataFrame = {
+    val (p, sc, fb) = modelLits(m)
+    TextQueries.spread(documents(s, d).filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("segs", unigram_viterbi(col("word"), p, sc, fb))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("segs")).cast("long")).as("unigram_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- unigram training: the learned model -------------------------
+    // Seed counts → EmIters hard-EM rounds → pruned vocab with 1-bit
+    // quantized log₂ scores. Oracle: the same chain as generated CTEs,
+    // each E-step an unrolled relational Viterbi.
+    "unigram_train_vocab" -> QueryDef.sql(
+      s"""WITH $modelChain
+         |SELECT piece, c AS piece_count, s AS score FROM svf ORDER BY piece""".stripMargin) {
+      (s, d) =>
+        val m = retrain(s, d)
+        import s.implicits._
+        m.pieces.zip(m.scores)
+          .map { case ((p, c), (_, sc)) => (p, c, sc) }
+          .toDF("piece", "piece_count", "score")
+          .orderBy("piece")
+    },
+
+    // ----- the segmented vocabulary under the final model ---------------
+    "unigram_segment_vocab" -> QueryDef.sql(
+      s"""WITH $modelChain,
+         |$bestFChain
+         |SELECT word, array_to_string(segs, ' ') AS seg, len(segs)::BIGINT AS n_pieces
+         |FROM bestf ORDER BY word""".stripMargin) { (s, d) =>
+      val (p, sc, fb) = modelLits(trained(s, d))
+      wordFreq(s, d)
+        .withColumn("segs", unigram_viterbi(col("word"), p, sc, fb))
+        .select(col("word"), array_join(col("segs"), " ").as("seg"),
+          size(col("segs")).cast("long").as("n_pieces"))
+        .orderBy("word")
+    },
+
+    // ----- out-of-vocabulary encode (the fallback path) ------------------
+    "unigram_encode_oov" -> QueryDef.sql(
+      s"""WITH $modelChain,
+         |$oovChain
+         |SELECT word, array_to_string(segs, ' ') AS seg, len(segs)::BIGINT AS n_pieces
+         |FROM besth ORDER BY word""".stripMargin) { (s, d) =>
+      val (p, sc, fb) = modelLits(trained(s, d))
+      wordFreq(s, d)
+        .select(concat_ws("~", col("word"), col("word")).as("word"))
+        .withColumn("segs", unigram_viterbi(col("word"), p, sc, fb))
+        .select(col("word"), array_join(col("segs"), " ").as("seg"),
+          size(col("segs")).cast("long").as("n_pieces"))
+        .orderBy("word")
+    },
+
+    // ----- corpus-scale encode: per-document token counts ----------------
+    // Spark: the native expression per word INSTANCE inside the corpus
+    // scan (the realistic 100 TB plan — stateless projection). Oracle:
+    // the vocab-join route through bestf. Two different plans agreeing
+    // is the gate, as with bpe_encode_docs.
+    "unigram_encode_docs" -> QueryDef.sql(encodeDocsSql) { (s, d) =>
+      encodeDocs(s, d, trained(s, d))
+    },
+
+    // ----- stored/serve encode: the persisted model artifact -------------
+    // Same plan, model from the SEALED [[SignatureStore.ensureUnigramModel]]
+    // parquet artifact — encode across sessions without retraining.
+    // Deterministic training ⇒ one shared oracle; the gate holding on
+    // both faces IS the stored≡live assertion.
+    "unigram_encode_docs_stored" -> QueryDef.sql(encodeDocsSql) { (s, d) =>
+      encodeDocs(s, d, modelFromStore(SignatureStore.ensureUnigramModel(s, d)))
+    },
+
+    // ----- corpus totals + compression (exact ppm convention) ------------
+    "unigram_corpus_token_count" -> QueryDef.sql(
+      s"""WITH $modelChain,
+         |$bestFChain
+         |SELECT sum(cnt)::BIGINT AS total_words,
+         |       sum(cnt * len(segs))::BIGINT AS total_tokens,
+         |       CAST((CAST(1000000 AS HUGEINT) * sum(cnt * wl))
+         |            // sum(cnt * len(segs)) AS BIGINT) AS chars_per_token_ppm
+         |FROM bestf""".stripMargin) { (s, d) =>
+      val (p, sc, fb) = modelLits(trained(s, d))
+      wordFreq(s, d)
+        .withColumn("segs", unigram_viterbi(col("word"), p, sc, fb))
+        .agg(sum(col("cnt")).as("total_words"),
+          sum(col("cnt") * size(col("segs"))).as("total_tokens"),
+          sum(col("cnt") * col("wl")).as("nchars"))
+        .select(col("total_words"), col("total_tokens"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * nchars) " +
+            "div total_tokens AS BIGINT)").as("chars_per_token_ppm"))
+    },
+
+    // ----- round-trip invariant: decode(encode(w)) = w --------------------
+    // The standard tokenizer identity — pieces concatenate back to the
+    // word, for every corpus word, counted on both engines.
+    "unigram_roundtrip_identity" -> QueryDef.sql(
+      s"""WITH $modelChain,
+         |$bestFChain
+         |SELECT count(*)::BIGINT AS n_words,
+         |       CAST(count(*) FILTER (WHERE array_to_string(segs, '') <> word) AS BIGINT)
+         |         AS n_mismatches
+         |FROM bestf""".stripMargin) { (s, d) =>
+      val (p, sc, fb) = modelLits(trained(s, d))
+      wordFreq(s, d)
+        .withColumn("segs", unigram_viterbi(col("word"), p, sc, fb))
+        .agg(count(lit(1)).as("n_words"),
+          count(when(array_join(col("segs"), "") =!= col("word"), 1)).as("n_mismatches"))
+    },
+  )
+}

@@ -66,6 +66,43 @@ class BpeSpec extends SparkFunSuite {
     }
   }
 
+  test("round-trip property: merges never change the concatenation") {
+    // decode(encode(x)) = x for the merge formulation means: any merge
+    // pass only groups adjacent symbols, so the concatenation is
+    // invariant — for ANY symbol array under ANY well-formed merge list.
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val alpha = Seq("a", "b", "c", "</w>")
+    val rows = (0 until 200).map { i =>
+      (i, Seq.fill(1 + rng.nextInt(12))(alpha(rng.nextInt(alpha.length))))
+    }
+    val merges = Seq("a b", "b c", "ab c", "c </w>", "a a")
+    val got = rows.toDF("id", "syms")
+      .withColumn("m", BpeMerge.bpe_apply_merges(col("syms"), typedLit(merges)))
+      .orderBy("id").select("m").as[Seq[String]].collect()
+    rows.zip(got).foreach { case ((i, s), m) =>
+      assert(m.mkString == s.mkString, s"id=$i: $s -> $m")
+    }
+  }
+
+  test("malformed merge entries fail loudly, never no-op") {
+    // r13 advisor: split(space, 2) let 'a b c' pass the length check
+    // with the unmatchable right symbol 'b c' — a silent no-op.
+    import spark.implicits._
+    def applyM(merges: Seq[String]): Unit =
+      Seq((0, Seq("a", "b", "c"))).toDF("id", "syms")
+        .withColumn("m", BpeMerge.bpe_apply_merges(col("syms"), typedLit(merges)))
+        .collect()
+    Seq(Seq("a b c"), Seq("a"), Seq("a "), Seq(" b"), Seq("")).foreach { bad =>
+      val e = intercept[Exception](applyM(bad))
+      def walk(t: Throwable): Boolean =
+        t != null && (t.getMessage != null && t.getMessage.contains("malformed merge")
+          || walk(t.getCause))
+      assert(walk(e), s"merges=$bad: ${e.getMessage}")
+    }
+    applyM(Seq("a b")) // well-formed still fine
+  }
+
   test("training learns the hand-computed merges on a tiny corpus") {
     // corpus: "low" x5, "lower" x2, "newest" x6 — the Sennrich running
     // example's shape. Rank 1 is (w,e) 8 ("lower" 2 + "newest" 6);
@@ -101,7 +138,7 @@ class BpeSpec extends SparkFunSuite {
     val docsSum = BpeQueries.defs("bpe_encode_docs").build(spark, sf)
       .agg(sum("bpe_tokens")).collect()(0).getLong(0)
     assert(docsSum == totals.getLong(1), s"$docsSum != ${totals.getLong(1)}")
-    // OOV face: segmentations reassemble to the reversed word + '</w>'
+    // OOV face: segmentations reassemble to the holdout word + '</w>'
     val oov = BpeQueries.defs("bpe_encode_oov").build(spark, sf).collect()
     oov.foreach { r =>
       assert(r.getString(1).split(" ").mkString == r.getString(0) + "</w>")
