@@ -67,6 +67,58 @@ class ProgressiveScanSpec extends AnyFunSuite {
       Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)), "J"))
   }
 
+  /** 12-bit twin of [[cmp]]: progressive 12-bit vs sequential SOF1
+    * 12-bit of the same image, sample-exact (two bytes per sample). */
+  private def cmp12(w: Int, h: Int, seed: Int, script: Seq[ProgScan],
+      label: String, q: Array[Int] = null): Unit = {
+    // q=64 bounds quantized AC magnitudes at 12-bit noise to ≤512
+    // (category ≤ 10 — the sequential REFERENCE encoder carries the
+    // Annex-K AC table, which stops there; the progressive side's flat
+    // 256-symbol table has no such limit, and the DECODER under test
+    // handles all categories on both paths)
+    val qt = if (q == null) Array.fill(64)(64) else q
+    val rng = new scala.util.Random(seed)
+    val px = Array.fill(w * h)(rng.nextInt(4096))
+    val seqS = JpegFixture.scanStream12(px, w, h, qt, withTables = true)
+    val (p1, a) = JpegDecoder.decodeRaster(None, seqS, w, h, littleEndian = true)
+    val prgS = JpegFixture.progressiveStream((x, y) => px(y * w + x),
+      w, h, qt, prec = 12, withTables = true, script = script)
+    val (p2, b) = JpegDecoder.decodeRaster(None, prgS, w, h, littleEndian = true)
+    assert(p1 == 12 && p2 == 12)
+    val bad = (0 until w * h * 2).count(i => a(i) != b(i))
+    assert(bad == 0, s"$label-12bit w=$w h=$h seed=$seed: $bad byte mismatches")
+  }
+
+  test("A12/B12: 12-bit EOBn runs — full-band AC scans, one and many blocks") {
+    // the EOB-run decoder is one of the two scan paths with
+    // precision-dependent arithmetic (DC categories reach 15 at 12-bit,
+    // receive-extend widths change) — isolate it at 12-bit explicitly
+    (0 until 10).foreach(s => cmp12(8, 8, s, Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)), "A12"))
+    (0 until 5).foreach(s => cmp12(24, 16, s, Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)), "B12"))
+    // coarse quantizer → most blocks all-zero AC → long cross-block EOB
+    // runs with multi-bit EOBRUN extension fields
+    (0 until 5).foreach(s => cmp12(40, 24, s,
+      Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 0)), "B12-eobrun", Array.fill(64)(512)))
+  }
+
+  test("D12/E12: 12-bit correction-bit walk — AC refinement, one and many blocks") {
+    // the G.1.2.3 refinement walk is the other precision-dependent scan
+    // decoder: at 12-bit the refined magnitudes span the full 4096 range
+    (0 until 10).foreach(s => cmp12(8, 8, s,
+      Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 1), ProgScan(1, 63, 1, 0)), "D12"))
+    (0 until 5).foreach(s => cmp12(24, 16, s,
+      Seq(ProgScan(0, 0, 0, 0), ProgScan(1, 63, 0, 1), ProgScan(1, 63, 1, 0)), "E12"))
+    // two refinement levels: correction bits land on already-nonzero
+    // coefficients across two successive walks
+    (0 until 5).foreach(s => cmp12(16, 16, s,
+      Seq(ProgScan(0, 0, 0, 2), ProgScan(0, 0, 2, 1), ProgScan(0, 0, 1, 0),
+        ProgScan(1, 63, 0, 2), ProgScan(1, 63, 2, 1), ProgScan(1, 63, 1, 0)), "E12-al2"))
+  }
+
+  test("G12: 12-bit full standard script, odd sizes") {
+    (0 until 5).foreach(s => cmp12(17, 15, s, JpegFixture.StandardScript, "G12"))
+  }
+
   test("L: randomized scan scripts — DC depth x band split x AC depth x interleave x restarts, 150 cases") {
     // every script is COMPLETE (all bands reach Al=0), so bit-equality
     // with the sequential decode must hold for ANY script shape — this
