@@ -334,6 +334,38 @@ object Bench {
       s(s.size / 2)
     }
 
+    // Quiet-box pre-flight (r13 verdict #1): this run's walls become
+    // every future round's band denominator, so REFUSE to start the
+    // timed pass while the canary drift factor says the box is
+    // throttled — sleep-and-reprobe with backoff, then proceed loudly
+    // un-quiet if it never settles (the driver's budget is finite).
+    // The canary runs are also extra warmup for a dozen queries; the
+    // timed pass is best-of-2, so the cache-warmth asymmetry vs the
+    // other queries is absorbed by the second run as usual.
+    val preflightFactors = scala.collection.mutable.ListBuffer.empty[Double]
+    var preflightQuiet = true
+    locally {
+      import graft.tools.QuietBox
+      var deciding = true
+      while (deciding) {
+        val walls = QuietBox.CanaryQueries.filter(names.contains)
+          .map(n => n -> run(n).wall).toMap
+        preflightFactors += QuietBox.factor(walls, history)
+        QuietBox.decide(preflightFactors.toSeq) match {
+          case QuietBox.Retry(sleepSec) =>
+            System.err.println(f"[bench] preflight factor=${preflightFactors.last}%.3f " +
+              f"> ${QuietBox.FactorThreshold} — box busy, sleeping ${sleepSec}s before re-probe")
+            Thread.sleep(sleepSec * 1000L)
+          case QuietBox.Proceed(quiet) =>
+            preflightQuiet = quiet
+            deciding = false
+        }
+      }
+      if (!preflightQuiet)
+        System.err.println("[bench] preflight NEVER QUIET after " +
+          s"${preflightFactors.size} probes — proceeding, artifact flagged")
+    }
+
     // Best-of-2: the min discards one-off JIT/first-touch/GC hiccups
     // that a single sample can't distinguish from a real regression.
     // The diag triple travels with the BEST run (same run the wall
@@ -409,7 +441,7 @@ object Bench {
         s""""$n":[${fmt(v.wall)},${fmt2(v.cpu)},${math.round(v.mb)},${v.gc},${v.buildMs},${v.jitMs},${v.ccMb},${v.buildJobs},${fmt(otherWall)}]"""
       }.mkString("{", ",", "}")
       val diagJson =
-        s"""{"legend":"[wall_sec,task_cpu_sec,input_mb,gc_ms,build_ms,jit_ms,code_cache_used_mb,eager_build_jobs,wall_other_sec] per best run; build_ms = DataFrame construction (parse+analyze+store probes, driver-side); eager_build_jobs = Spark jobs submitted DURING construction (localCheckpoint pins, probe enumerations, fixpoint counts) — build_ms with eager_build_jobs>0 is executed work, build_ms with 0 is pure Catalyst/driver overhead; wall-build = optimize/plan/schedule/execute; wall_other_sec = the run best-of-2/3 DISCARDED (2nd-best wall) — [wall, wall_other] is this run's spread, the noise-vs-creep denominator graft.tools.BenchBand reads","sf":"$sfDir","code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,"queries":$entries}"""
+        s"""{"legend":"[wall_sec,task_cpu_sec,input_mb,gc_ms,build_ms,jit_ms,code_cache_used_mb,eager_build_jobs,wall_other_sec] per best run; build_ms = DataFrame construction (parse+analyze+store probes, driver-side); eager_build_jobs = Spark jobs submitted DURING construction (localCheckpoint pins, probe enumerations, fixpoint counts) — build_ms with eager_build_jobs>0 is executed work, build_ms with 0 is pure Catalyst/driver overhead; wall-build = optimize/plan/schedule/execute; wall_other_sec = the run best-of-2/3 DISCARDED (2nd-best wall) — [wall, wall_other] is this run's spread, the noise-vs-creep denominator graft.tools.BenchBand reads","sf":"$sfDir",${graft.tools.QuietBox.json(preflightFactors.toSeq, preflightQuiet)},"code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,"queries":$entries}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_diag.json"), diagJson + "\n")
     }
@@ -418,6 +450,7 @@ object Bench {
       s"""task_cpu_sec":${fmt(totalCpu)},"input_mb":${math.round(totalMb)},"gc_ms":$totalGc,$fp,""" +
       s""""code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,""" +
       s""""reruns":${rerunNames.size},"rerun_queries":$rerunsJson,""" +
+      s""""preflight_factor":${fmt(preflightFactors.last)},"preflight_attempts":${preflightFactors.size},"preflight_quiet":$preflightQuiet,""" +
       s""""sf":"$sfDir","method":"best-of-2 + third run when wall > 3x trailing median (bench_history_<sf>.tsv); per-query phase/JIT attribution in bench_diag.json"}"""
     // Belt and braces for the driver's parser: raw stdout (run /
     // outputStrategy = StdoutOutput strips sbt's [info] prefix) AND a

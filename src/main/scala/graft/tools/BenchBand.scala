@@ -47,6 +47,103 @@ package graft.tools
   * plus a summary; exit code 0 always: the report informs, the judge
   * decides).
   */
+/** Quiet-box pre-flight gate (r13 verdict #1): the committed
+  * bench_history rows are every FUTURE round's band denominator, and
+  * both r13 closing runs were captured on a visibly throttled container
+  * — the inflation then haunts the band for nine rounds. So before the
+  * timed pass, [[graft.Bench]] runs this canary (a dozen cheap queries
+  * spanning scan / shuffle / window / join / store-read / sustained-cpu
+  * profiles — including the exact kernels the r12/r13 throttles hit
+  * hardest: bigram_lift, text_lm_backoff, m13_json_parse,
+  * o5_event_windows), computes the same drift factor BenchBand uses
+  * (median wall / trailing-median ratio), and REFUSES to start the
+  * timed pass while the factor exceeds [[FactorThreshold]] — sleeping
+  * with linear backoff and re-probing, up to [[MaxAttempts]]. A box
+  * that never quiets down still produces an artifact (the driver's
+  * time budget is finite), but one that carries its own flag:
+  * `preflight_quiet=false` plus every observed factor, and BenchBand
+  * prints the verdict as its header line. */
+object QuietBox {
+
+  /** Profile-diverse, individually sub-second canaries (~8 s total at
+    * sf0.1). Missing names (renamed queries, other SFs) are skipped;
+    * the factor needs [[MinComparable]] of them with history. */
+  val CanaryQueries: Seq[String] = Seq(
+    "q1_agg",                // parquet scan + group-agg
+    "dedup_exact",           // hash groupBy (shuffle, tiny)
+    "bm25_search_stored",    // sealed-store read path
+    "text_repetition_ngrams",// sustained per-row cpu
+    "o5_event_windows",      // window over event time (r13 throttle witness)
+    "j8_salted_skew_join",   // shuffle join with salting
+    "m13_json_parse",        // driver+executor parse cpu (r12 flag)
+    "bigram_lift",           // wide agg + exact-integer math (r12 flag)
+    "dedup_simhash",         // hashing cpu
+    "text_lm_backoff",       // sustained cpu (r13 residual flag)
+    "j2_equi_lookup",        // broadcast equi-join
+    "shuffle_order")         // pure exchange
+
+  val FactorThreshold = 1.15
+  val MaxAttempts = 5
+  val MinComparable = 5
+
+  /** Canary drift factor: median over canaries of wall / trailing-band
+    * median — the BenchBand drift statistic restricted to the canary
+    * set. 1.0 when fewer than [[MinComparable]] canaries have ≥ 3
+    * history walls (a fresh SF can't be judged, so it proceeds). */
+  def factor(walls: Map[String, Double],
+      history: Map[String, Seq[Double]]): Double = {
+    val ratios = walls.toSeq.flatMap { case (n, w) =>
+      history.get(n).filter(_.size >= 3).map(h => w / BenchBand.median(h))
+    }
+    if (ratios.size < MinComparable) 1.0 else BenchBand.median(ratios)
+  }
+
+  sealed trait Decision
+  /** Sleep `sleepSec`, then re-probe. */
+  final case class Retry(sleepSec: Int) extends Decision
+  /** Start the timed pass; `quiet` = the last factor cleared the gate. */
+  final case class Proceed(quiet: Boolean) extends Decision
+
+  /** The retry decision over the factors observed so far (oldest
+    * first): proceed as soon as a probe clears the threshold; linear
+    * backoff between probes; after [[MaxAttempts]] probes proceed
+    * LOUDLY un-quiet rather than blocking the driver's budget. */
+  def decide(factorsSoFar: Seq[Double]): Decision = {
+    require(factorsSoFar.nonEmpty, "decide needs at least one probe")
+    if (factorsSoFar.last <= FactorThreshold) Proceed(quiet = true)
+    else if (factorsSoFar.size >= MaxAttempts) Proceed(quiet = false)
+    else Retry(sleepSec = 30 * factorsSoFar.size)
+  }
+
+  /** `"preflight":{...}` JSON fragment for bench_diag.json. */
+  def json(factors: Seq[Double], quiet: Boolean): String = {
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    s""""preflight":{"factors":[${factors.map(f3).mkString(",")}],""" +
+      s""""attempts":${factors.size},"final":${f3(factors.last)},""" +
+      s""""threshold":$FactorThreshold,"quiet":$quiet}"""
+  }
+
+  /** Parse the preflight fragment back out of bench_diag.json (absent
+    * on pre-r14 artifacts). */
+  def parse(diag: String): Option[(Seq[Double], Int, Double, Boolean)] =
+    ("\"preflight\":\\{\"factors\":\\[([^\\]]*)\\],\"attempts\":(\\d+)," +
+      "\"final\":([0-9.]+),\"threshold\":[0-9.]+,\"quiet\":(true|false)\\}").r
+      .findFirstMatchIn(diag).map { m =>
+        (m.group(1).split(",").toSeq.flatMap(_.trim.toDoubleOption),
+          m.group(2).toInt, m.group(3).toDouble, m.group(4).toBoolean)
+      }
+
+  /** BenchBand header line for a diag artifact. */
+  def headerLine(diag: String): String = parse(diag) match {
+    case Some((_, attempts, fin, quiet)) =>
+      val verdict = if (quiet) "quiet box" else "NEVER QUIET — walls suspect"
+      f"BAND PREFLIGHT factor=$fin%.3f attempts=$attempts " +
+        f"threshold=$FactorThreshold ($verdict; gate: timed pass starts only at factor<=$FactorThreshold or after $MaxAttempts probes)"
+    case None =>
+      "BAND PREFLIGHT none recorded (pre-r14 artifact — closing walls were not quiet-box gated)"
+  }
+}
+
 object BenchBand {
   final case class Row(name: String, band: Seq[Double], cur: Double,
       other: Option[Double]) {
@@ -155,11 +252,13 @@ object BenchBand {
       scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get(histPath))).asScala.toSeq)
-    val spread =
+    val diag =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(diagPath)))
-        parseSpread(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(diagPath)))
-      else Map.empty[String, Double]
+        java.nio.file.Files.readString(java.nio.file.Paths.get(diagPath))
+      else ""
+    val spread = if (diag.nonEmpty) parseSpread(diag) else Map.empty[String, Double]
+    // header: was the run captured behind the quiet-box gate?
+    println(QuietBox.headerLine(diag))
     report(rows(history, spread)).foreach(println)
   }
 }

@@ -10,7 +10,14 @@ import org.apache.spark.sql.SparkSession
   * in the full bench is fast here on the identical plan, the inflation
   * is run-accumulated driver overhead, not the query.
   *
-  * Usage: runMain graft.tools.BenchProbe q1,q2[,...] [reps] [sfDir]
+  * Also the generalized SPILL audit (r13 verdict #5): every rep prints
+  * the task-metrics spill meter (memory + disk bytes spilled) next to
+  * cpu, and an optional 4th arg overrides the shuffle partition count —
+  * the BitextProbe knob that separates plan cpu (partition-invariant)
+  * from spill cpu (falls as partitions shrink task state below the
+  * executor-memory waterline).
+  *
+  * Usage: runMain graft.tools.BenchProbe q1,q2[,...] [reps] [sfDir] [shufflePartitions]
   */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
@@ -19,16 +26,22 @@ object BenchProbe {
     val sfDir = if (args.length > 2) args(2)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = if (args.length > 3) args(3) else cpus
     val spark = graft.util.SparkUtil.configure(
       SparkSession.builder().master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus))
+        .config("spark.sql.shuffle.partitions", parts))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+        if (e.taskMetrics != null) {
+          cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+          spillBytes.addAndGet(
+            e.taskMetrics.memoryBytesSpilled + e.taskMetrics.diskBytesSpilled)
+        }
     })
     def drain(): Unit =
       try org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
@@ -50,7 +63,7 @@ object BenchProbe {
 
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
-        drain(); cpuNs.set(0)
+        drain(); cpuNs.set(0); spillBytes.set(0)
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(n)(spark, sfDir)
         val tBuild = System.nanoTime()
@@ -58,6 +71,7 @@ object BenchProbe {
         val wall = (System.nanoTime() - t0) / 1e9
         drain()
         val cpu = cpuNs.get / 1e9
+        val spillMb = spillBytes.get / 1e6
         // BLOCKING unpersist + a GC nudge between reps: async unpersist
         // let rep N+1 start while rep N's checkpoint blocks and
         // ContextCleaner-pending shuffle files still held the spill
@@ -65,11 +79,12 @@ object BenchProbe {
         // ENOSPC under ~60 GB of rep-1 leftovers
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
-        (wall, cpu, (tBuild - t0) / 1e6)
+        (wall, cpu, (tBuild - t0) / 1e6, spillMb)
       }
       val best = times.minBy(_._1)
       println(f"PROBE $n%-24s best_wall=${best._1}%.3f cpu=${best._2}%.2f " +
-        f"build_ms=${best._3}%.0f all=${times.map(t => f"${t._1}%.2f/${t._3}%.0f").mkString(",")}")
+        f"spill_mb=${best._4}%.0f parts=$parts%s " +
+        f"build_ms=${best._3}%.0f all=${times.map(t => f"${t._1}%.2f/${t._3}%.0f/${t._4}%.0f").mkString(",")}")
     }
     spark.stop()
   }

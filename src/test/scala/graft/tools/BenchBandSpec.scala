@@ -80,4 +80,50 @@ class BenchBandSpec extends AnyFunSuite {
     val s = BenchBand.parseSpread(diag)
     assert(s == Map("a" -> 0.55))
   }
+
+  test("quiet-box gate: throttled probes retry with backoff, a quiet one proceeds (r13 verdict #1)") {
+    // throttled, throttled, quiet → two retries with growing sleeps,
+    // then the timed pass starts with quiet=true
+    assert(QuietBox.decide(Seq(1.40)) == QuietBox.Retry(30))
+    assert(QuietBox.decide(Seq(1.40, 1.31)) == QuietBox.Retry(60))
+    assert(QuietBox.decide(Seq(1.40, 1.31, 1.08)) == QuietBox.Proceed(quiet = true))
+    // exactly at the threshold is quiet
+    assert(QuietBox.decide(Seq(1.15)) == QuietBox.Proceed(quiet = true))
+    // a box that never settles proceeds LOUDLY un-quiet at MaxAttempts
+    val never = Seq(1.5, 1.5, 1.5, 1.5, 1.5)
+    assert(never.size == QuietBox.MaxAttempts)
+    assert(QuietBox.decide(never) == QuietBox.Proceed(quiet = false))
+    assert(QuietBox.decide(never.dropRight(1)) == QuietBox.Retry(120))
+  }
+
+  test("quiet-box factor: canary median vs trailing history, 1.0 when unjudgeable") {
+    val history = Map(
+      "a" -> Seq(1.0, 1.0, 1.0), "b" -> Seq(0.5, 0.5, 0.5),
+      "c" -> Seq(2.0, 2.0, 2.0), "d" -> Seq(1.0, 1.0, 1.0),
+      "e" -> Seq(1.0, 1.0, 1.0), "short" -> Seq(1.0, 1.0))
+    // uniform 1.3x throttle over five comparable canaries
+    val walls = Map("a" -> 1.3, "b" -> 0.65, "c" -> 2.6, "d" -> 1.3, "e" -> 1.3)
+    assert(math.abs(QuietBox.factor(walls, history) - 1.3) < 1e-9)
+    // one outlier does not move the median
+    assert(math.abs(QuietBox.factor(walls + ("c" -> 20.0), history) - 1.3) < 1e-9)
+    // fewer than MinComparable comparable canaries → 1.0 (proceed):
+    // "short" has only 2 history walls and f/g have none
+    val thin = Map("a" -> 9.0, "b" -> 9.0, "short" -> 9.0, "f" -> 9.0, "g" -> 9.0)
+    assert(QuietBox.factor(thin, history) == 1.0)
+  }
+
+  test("preflight json roundtrips through parse and prints the header verdict") {
+    val j = "{" + QuietBox.json(Seq(1.402, 1.061), quiet = true) + "}"
+    assert(QuietBox.parse(j).contains((Seq(1.402, 1.061), 2, 1.061, true)))
+    assert(QuietBox.headerLine(j).contains("factor=1.061"))
+    assert(QuietBox.headerLine(j).contains("quiet box"))
+    val bad = "{" + QuietBox.json(Seq.fill(5)(1.5), quiet = false) + "}"
+    assert(QuietBox.headerLine(bad).contains("NEVER QUIET"))
+    // pre-r14 artifacts have no fragment
+    assert(QuietBox.headerLine("""{"legend":"..."}""").contains("none recorded"))
+    // canary names must exist in the registry (a rename would silently
+    // shrink the canary below MinComparable)
+    val names = graft.SparkEntry.queries.keySet
+    QuietBox.CanaryQueries.foreach(n => assert(names.contains(n), n))
+  }
 }
