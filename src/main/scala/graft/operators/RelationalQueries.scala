@@ -4432,6 +4432,28 @@ object RelationalQueries {
           |GROUP BY ALL ORDER BY ALL LIMIT 30""".stripMargin)
     },
 
+    // ----- O39: DISTINCT ON with ORDINAL key/sort over WITH RECURSIVE -----
+    // Fuzz P6's sharpest find, pinned: `DISTINCT ON (1)` used to emit
+    // `PARTITION BY 1` — a CONSTANT window key, one global row instead
+    // of one per o_orderpriority, SILENTLY — and an ordinal sort item
+    // inside the injected OVER() was a constant too. Both now expand to
+    // the select item's VALUE expression (DuckDB semantics). The
+    // RECURSIVE prelude additionally pins the prelude walker's
+    // RECURSIVE skip and the probes' verbatim prefix replay. Identical
+    // text runs verbatim in DuckDB.
+    "o39_distinct_on_ordinal" -> QueryDef.sql(
+      """WITH RECURSIVE seq AS (SELECT 1 AS m UNION ALL SELECT m + 1 FROM seq WHERE m < 3)
+        |SELECT DISTINCT ON (1) o_orderpriority , o_orderkey , o_totalprice * m AS tp -- GROUP BY 1 (trap)
+        |FROM orders , seq WHERE o_orderkey % 7 = 0
+        |ORDER BY 1 , 3 DESC , 2""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_ord39_orders")
+      s.sql(
+        """WITH RECURSIVE seq AS (SELECT 1 AS m UNION ALL SELECT m + 1 FROM seq WHERE m < 3)
+          |SELECT DISTINCT ON (1) o_orderpriority , o_orderkey , o_totalprice * m AS tp -- GROUP BY 1 (trap)
+          |FROM graft_ord39_orders , seq WHERE o_orderkey % 7 = 0
+          |ORDER BY 1 , 3 DESC , 2""".stripMargin)
+    },
+
     // ----- O28: FROM-first under ADVERSARIAL text -----
     // The hostile-text gate for the seventh extension: FROM-first
     // NESTED inside a parenthesized FROM-first (both legal positions

@@ -511,6 +511,17 @@ object PivotSqlSyntax {
     if (kevs.length == 1 && kevs.head.kind == 0 && kevs.head.up == "ALL")
       fail("GROUP BY ALL is not supported in a PIVOT statement (DuckDB " +
         "rejects it too) — list the grouping columns explicitly")
+    // positional keys (fuzz P6): the emitter re-uses this text as BOTH
+    // the select list and the GROUP BY of a freshly synthesized
+    // aggregate, where `1` is a LITERAL select item and a one-group
+    // grouping — silently wrong results. DuckDB's own parser rejects
+    // ordinals here; match it.
+    splitTop(keys).foreach { k =>
+      if (QualifySqlSyntax.codeText(k).trim.matches("\\d+"))
+        fail(s"positional GROUP BY is not supported in a PIVOT statement " +
+          s"(ordinal ${QualifySqlSyntax.codeText(k).trim} — DuckDB's own " +
+          "parser rejects it too); name the grouping columns")
+    }
     (keys, end)
   }
 }

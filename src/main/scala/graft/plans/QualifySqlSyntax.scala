@@ -636,6 +636,56 @@ object DistinctOnSqlSyntax {
           // (aliases stripped), which equals the output column on every
           // path. Star select items would need the bound schema to
           // expand — refused loudly (spell the columns out).
+          // select items, for ORDER BY ALL and ordinal expansion
+          lazy val selItems =
+            PivotSqlSyntax.splitTop(sql.substring(slStart, frm.pos))
+          // POSITIONAL references (DuckDB, fuzz P6): an ordinal names
+          // the k-th select item's VALUE expression — expanded HERE
+          // because this rewrite re-emits the reference both inside the
+          // injected OVER() (where an ordinal is a CONSTANT — a key of
+          // `1` would partition the whole table into ONE group and
+          // silently keep a single global row) and as the outer sort.
+          def ordinalExpr(n: Int, where: String): String = {
+            if (n < 1 || n > selItems.size)
+              fail(s"$where ordinal $n out of range — the select list has " +
+                s"${selItems.size} item${if (selItems.size == 1) "" else "s"}")
+            val it = selItems(n - 1)
+            val code = QualifySqlSyntax.codeText(it)
+            if (code.matches("(?s)\\s*\\*.*") ||
+                code.matches("(?s)\\s*[A-Za-z_]\\w*\\s*\\.\\s*\\*.*"))
+              fail(s"$where ordinal $n points at a star select item " +
+                s"('${it.trim}') — expanding it needs the bound schema; " +
+                "spell the column out")
+            QualifySqlSyntax.stripSelectAlias(it)
+          }
+          // SELECT-LIST ALIASES (DuckDB, fuzz P6): a bare word in the
+          // key list or a sort item resolves against the OUTPUT list
+          // first — `DISTINCT ON (p) p, -k AS k ... ORDER BY p, k`
+          // sorts by -k in DuckDB. Inside the injected OVER() the same
+          // word resolves against the BASE tables (silently diverging
+          // when a base column shadows the alias) or dies as an
+          // unsupported lateral alias reference — so alias words are
+          // substituted by their item's VALUE expression here, exactly
+          // like ordinals.
+          lazy val aliasItem: Map[String, String] = selItems.flatMap { it =>
+            QualifySqlSyntax.selectListAliases(it).headOption
+              .map(_ -> QualifySqlSyntax.stripSelectAlias(it))
+          }.toMap
+          def substitute(expr: String, where: String): Option[String] = {
+            val code = QualifySqlSyntax.codeText(expr).trim
+            if (code.matches("\\d+")) Some(ordinalExpr(code.toInt, where))
+            else if (code.matches("[A-Za-z_]\\w*")) aliasItem.get(code.toUpperCase)
+            else None
+          }
+          val keyItems = PivotSqlSyntax.splitTop(keys)
+          val keysExpanded = keyItems.map { kk =>
+            substitute(kk, "DISTINCT ON key").map(e => s"$e\n").getOrElse(kk.trim)
+          }
+          // byte-compat: emit the user's text verbatim unless something
+          // actually expanded (report-stability — specs pin the bytes)
+          val keysEmit =
+            if (keyItems.map(_.trim) == keysExpanded) keys
+            else keysExpanded.mkString("\n, ")
           val ord = {
             val items0 = PivotSqlSyntax.splitTop(ord0txt)
             val isAll = items0.size == 1 && {
@@ -645,8 +695,6 @@ object DistinctOnSqlSyntax {
             if (!isAll) ord0txt
             else {
               val mods = QualifySqlSyntax.splitOrderItem(items0.head, fail)._2
-              val selItems =
-                PivotSqlSyntax.splitTop(sql.substring(slStart, frm.pos))
               if (selItems.isEmpty) fail("ORDER BY ALL with an empty select list")
               val exprs = selItems.map { it =>
                 val code = QualifySqlSyntax.codeText(it)
@@ -675,21 +723,32 @@ object DistinctOnSqlSyntax {
           // ordinal stays positional — the outer list has the same
           // column order, and an ordinal inside OVER() would be a
           // constant, not a position.
-          val items = PivotSqlSyntax.splitTop(ord)
+          // expand positional and alias items to their select-item
+          // value expressions (DuckDB semantics, judge-probed: `ORDER
+          // BY 2 DESC` over `k*2 AS kk` sorts by k*2, and a bare alias
+          // word sorts by its item's value even over a shadowing base
+          // column) — BOTH emission sites below (inner OVER, helper
+          // columns) need the expansion
+          val rawItems = PivotSqlSyntax.splitTop(ord)
+          val items = rawItems.map { item =>
+            val (expr0, mods) = QualifySqlSyntax.splitOrderItem(item, fail)
+            substitute(expr0, "ORDER BY") match {
+              case Some(e2) =>
+                // newline joint: the expanded expression may end in a
+                // de-terminated `--` comment (the emitters' shared rule)
+                if (mods.isEmpty) e2 else s"$e2\n$mods"
+              case None => item
+            }
+          }
+          // byte-compat: keep the user's ORDER BY text verbatim inside
+          // the OVER() unless something expanded
+          val innerOrd =
+            if (rawItems == items) ord else items.mkString("\n, ")
           val parts = items.zipWithIndex.map { case (item, i) =>
             val (expr, mods) = QualifySqlSyntax.splitOrderItem(item, fail)
-            if (expr.matches("\\d+"))
-              // inside the injected OVER() an ordinal is a CONSTANT, so
-              // the per-key pick would be arbitrary — refuse loudly
-              // rather than silently mis-pick
-              fail("positional ORDER BY is not supported with DISTINCT ON " +
-                s"(ordinal $expr would be a constant inside the window) — " +
-                "spell the column or expression")
-            else {
-              val h = s"__graft_dord_${idx}_$i"
-              (Some(s"($expr\n) AS $h"),
-                if (mods.isEmpty) h else s"$h $mods")
-            }
+            val h = s"__graft_dord_${idx}_$i"
+            (Some(s"($expr\n) AS $h"),
+              if (mods.isEmpty) h else s"$h $mods")
           }
           val helperCols = parts.flatMap(_._1)
           val helperNameList = parts.collect {
@@ -706,7 +765,7 @@ object DistinctOnSqlSyntax {
           sql = sql.substring(0, sel.pos) +
             s"SELECT * EXCEPT (${(dcol +: helperNameList).mkString(", ")}) FROM (SELECT " +
             sql.substring(slStart, frm.pos).trim +
-            s"\n, row_number() OVER (PARTITION BY $keys\nORDER BY $ord\n) AS $dcol\n" +
+            s"\n, row_number() OVER (PARTITION BY $keysEmit\nORDER BY $innerOrd\n) AS $dcol\n" +
             helperCols.map(h => s", $h\n").mkString +
             sql.substring(frm.pos, ord0.pos).trim + s"\n) $alias " +
             s"WHERE $dcol = 1 ORDER BY $outerOrd\n" + sql.substring(ordEnd)

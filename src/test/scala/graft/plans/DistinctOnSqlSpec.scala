@@ -54,11 +54,20 @@ class DistinctOnSqlSpec extends SparkFunSuite {
       "SELECT DISTINCT ON (g) g, id FROM don_hidden ORDER BY g, score DESC, id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("A", 2L), ("B", 5L)), got.toString)
-    // positional ordinals fail LOUDLY (inside the injected OVER() an
-    // ordinal is a constant — the per-key pick would be arbitrary)
-    val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
-      "SELECT DISTINCT ON (g) g, id FROM don_hidden ORDER BY 1, 2 DESC"))
-    assert(e.getMessage.contains("positional"), e.getMessage)
+    // positional ordinals expand to the select item's VALUE expression
+    // (DuckDB semantics, fuzz P6 — they used to be refused; unexpanded
+    // they'd be CONSTANTS inside the injected OVER())
+    val ords = spark.sql(
+      "SELECT DISTINCT ON (g) g, id FROM don_hidden ORDER BY 1, 2 DESC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ords == Seq(("A", 3L), ("B", 5L)), ords.toString)
+    // and a bare ALIAS word resolves against the OUTPUT list even when
+    // a base column shadows it (DuckDB: `-id AS id ORDER BY g, id` is
+    // sorted by -id, so the per-key pick is the SMALLEST base id)
+    val ali = spark.sql(
+      "SELECT DISTINCT ON (g) g, -id AS id FROM don_hidden ORDER BY g, id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ali == Seq(("A", -3L), ("B", -5L)), ali.toString)
   }
 
   test("rewrite: 'DISTINCT ON' inside strings/comments survives") {

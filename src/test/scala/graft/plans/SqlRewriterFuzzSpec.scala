@@ -403,6 +403,118 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     }
   }
 
+  // ----- P6: ordinal references and WITH RECURSIVE (r13 verdict #6) -----
+  // `GROUP BY 1` / `ORDER BY 2` ordinals are positions into the select
+  // list — the exact thing a rewriter that reorders or injects select
+  // items can silently break (the DISTINCT ON key `1` used to become
+  // `PARTITION BY 1`, a CONSTANT — one global row instead of one per
+  // key). RECURSIVE preludes exercise the withWalk prelude rule and the
+  // bind probes' verbatim prefix replay. Every core is DuckDB-legal
+  // (judge-probed) and self-differential like P2/P3.
+  private val OrdinalCores = Seq(
+    // DISTINCT ON key as an ordinal: 1 = o_prio (the silent-wrong pin)
+    "don_key_ordinal" -> ("SELECT DISTINCT ON (1) o_prio , o_orderkey FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY o_prio , o_totalprice DESC , o_orderkey"),
+    // ordinal sort keys under DISTINCT ON — 2 names the VALUE k*2, not
+    // a constant inside the injected OVER()
+    "don_order_ordinal" -> ("SELECT DISTINCT ON (o_prio) o_prio , o_totalprice * 2 AS d " +
+      "FROM fuzz_t WHERE § <> 'zz' ORDER BY 1 , 2 DESC , o_orderkey"),
+    // both at once, with a hidden non-ordinal key in the middle
+    "don_both_ordinal" -> ("SELECT DISTINCT ON (1) o_prio , o_orderkey FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY 1 , o_totalprice DESC , 2"),
+    // QUALIFY with GROUP BY ordinal (inner list gains the injected
+    // predicate column at the END — position 1 must stay o_prio)
+    "qualify_group_ordinal" -> ("SELECT o_prio , sum(o_totalprice) AS s FROM fuzz_t " +
+      "GROUP BY 1 QUALIFY row_number() OVER (ORDER BY sum(o_totalprice) DESC) <= 2 " +
+      "ORDER BY 1"),
+    // QUALIFY with ordinal outer sort (outer * EXCEPT list keeps order)
+    "qualify_order_ordinal" -> ("SELECT o_orderkey , o_totalprice , § AS tag FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
+      "ORDER BY 2 DESC , 1"),
+    // FROM-first with ordinals (clause move must not renumber)
+    "from_first_ordinal" -> ("FROM fuzz_t SELECT o_orderkey , o_prio , § AS tag " +
+      "WHERE o_totalprice > 60 ORDER BY 2 , 1 DESC"),
+    // star EXCLUDE with ordinals: 2 = the POST-exclusion second column
+    // (o_totalprice), both engines
+    "star_exclude_ordinal" -> ("SELECT * EXCLUDE (o_prio) FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY 2 DESC , 1"),
+    // star REPLACE with ordinals: 2 still names o_totalprice, replaced
+    "star_replace_ordinal" -> ("SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) " +
+      "FROM fuzz_t WHERE § <> 'zz' ORDER BY 2 DESC , 1"),
+    // ASOF join + ordinal sort
+    "asof_ordinal" -> ("SELECT fuzz_e1.k , fuzz_e1.t , w , § AS tag FROM fuzz_e1 " +
+      "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "ORDER BY 1 , 2"),
+    // PIVOT tail ORDER BY ordinal: 1 = the first group key of the
+    // emitted aggregate (same position DuckDB's pivot output has)
+    "pivot_order_ordinal" -> ("PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY o_orderkey ORDER BY 1"))
+
+  // RECURSIVE preludes × extension bodies: the prelude walker skips the
+  // RECURSIVE keyword, and the star/pivot bind probes replay the prefix
+  // VERBATIM (so the probe statement stays recursive). rgen = 1..4.
+  private val RecursivePrelude =
+    "WITH RECURSIVE rgen AS ( SELECT 1 AS n UNION ALL SELECT n + 1 FROM rgen WHERE n < 4 ) "
+  private val RecursiveBodies = Seq(
+    "rec_distinct_on" -> ("SELECT DISTINCT ON (n % 2) n % 2 AS par , n , § AS tag " +
+      "FROM rgen ORDER BY par , n DESC"),
+    "rec_qualify" -> ("SELECT n , § AS tag FROM rgen " +
+      "QUALIFY row_number() OVER (ORDER BY n DESC) <= 2 ORDER BY 1"),
+    "rec_star_replace" -> "SELECT * REPLACE (n * 10 AS n) FROM rgen ORDER BY 1",
+    "rec_star_exclude_join" -> ("SELECT * EXCLUDE (o_prio) FROM fuzz_t " +
+      "WHERE o_orderkey IN ( SELECT n FROM rgen ) ORDER BY 1"),
+    "rec_from_first" -> "FROM rgen SELECT n , § AS tag WHERE n > 1 ORDER BY 1",
+    "rec_pivot" -> ("PIVOT ( SELECT n , n % 2 AS par FROM rgen ) ON par IN (0, 1) " +
+      "USING count(*) GROUP BY n ORDER BY n"),
+    "rec_second_cte" -> (", big AS ( SELECT n FROM rgen WHERE n > 2 ) " +
+      "SELECT DISTINCT ON (1) n % 2 , n FROM big ORDER BY 1 , 2 DESC"))
+
+  test("P6: ordinal refs and WITH RECURSIVE preludes compose with every extension (510 seeds)") {
+    views
+    (OrdinalCores ++ RecursiveBodies.map { case (n, b) =>
+      n -> (if (n == "rec_second_cte") RecursivePrelude.trim + b
+            else RecursivePrelude + b)
+    }).foreach { case (name, core) =>
+      val plain = spark.sql(core.replace("§", "'p'")).collect()
+        .map(_.toSeq.toList).toList
+      assert(plain.nonEmpty, s"$name: empty plain result\n$core")
+      samples(decorate(core, 0), 30, 0xF0228L + name.hashCode).zipWithIndex
+        .foreach { case (sql, i) =>
+          val got =
+            try spark.sql(sql).collect().map(_.toSeq.toList).toList
+            catch {
+              case e: Throwable =>
+                fail(s"$name seed $i failed to execute:\n$sql\n${e.getMessage}")
+            }
+          assert(got.length == plain.length,
+            s"$name seed $i row count ${got.length} != ${plain.length}:\n$sql")
+          got.zip(plain).foreach { case (g, p) =>
+            assert(mask(g) == mask(p), s"$name seed $i row mismatch:\n$sql\ngot  $g\nwant $p")
+          }
+        }
+    }
+    // DISTINCT ON ordinal semantics pin: ORDER BY 2 DESC over an
+    // ALIASED computed item sorts by the VALUE (k*2), DuckDB-probed —
+    // per prio the kept row is the max-price one, not an arbitrary pick
+    val don = spark.sql("SELECT DISTINCT ON (o_prio) o_prio, o_totalprice * 2 AS d " +
+      "FROM fuzz_t ORDER BY 1, 2 DESC").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(don.toSeq == Seq(("A", 200L), ("B", 400L), ("C", 600L)), don.toSeq)
+    // loud refusals, pinned under decoration
+    val pivotOrdinal = "PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY 1 ORDER BY o_orderkey"
+    samples(decorate(pivotOrdinal, 0), 5, 0xF0229L).foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("positional GROUP BY is not supported in a PIVOT"), sql)
+    }
+    val outOfRange = "SELECT DISTINCT ON (o_prio) o_prio, o_orderkey FROM fuzz_t " +
+      "ORDER BY 1, 9"
+    val e2 = intercept[Exception](spark.sql(outOfRange).collect())
+    assert(e2.getMessage.contains("ordinal 9 out of range"), e2.getMessage)
+    val starOrd = "SELECT DISTINCT ON (1) * FROM fuzz_t ORDER BY o_prio, o_totalprice DESC"
+    val e3 = intercept[Exception](spark.sql(starOrd).collect())
+    assert(e3.getMessage.contains("star select item"), e3.getMessage)
+  }
+
   test("P4: WITH-prelude extension CTEs compose with every statement body (729 seeds)") {
     views
     PreludeCtes.foreach { case (pn, pre) =>
