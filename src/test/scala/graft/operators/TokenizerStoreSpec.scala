@@ -44,6 +44,34 @@ class TokenizerStoreSpec extends SparkFunSuite {
     assert(first.map(_.toString).sorted.sameElements(vocab.map(_.toString).sorted))
   }
 
+  test("crash window: a partial write without its seal marker is rebuilt, not served") {
+    import spark.implicits._
+    // fresh corpus → fresh store base (defaultBase fingerprints the
+    // documents listing), so this test owns the whole seal lifecycle
+    val dir = tmpDir("tokstore_crash")
+    // rich enough for K=8 merges (the BpeSpec training corpus shape)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(6)("newest")
+    Seq((1L, words.mkString(" ")), (2L, "lowest newer"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = SignatureStore.defaultBase(spark, dir)
+    val storeDir = new java.io.File(SignatureStore.bpeMergesDir(base))
+    // simulate a write that crashed after some data but before the
+    // marker: garbage parquet bytes, NO _SUCCESS
+    storeDir.mkdirs()
+    java.nio.file.Files.write(storeDir.toPath.resolve("part-corrupt.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(!new java.io.File(storeDir, "_SUCCESS").exists())
+    // ensure must REBUILD (mode=overwrite clears the partial write) and
+    // the rebuilt artifact encodes identically to live training
+    val merges = BpeQueries.mergesFromStore(SignatureStore.ensureBpeMerges(spark, dir))
+    assert(merges.nonEmpty)
+    assert(new java.io.File(storeDir, "_SUCCESS").exists())
+    assert(!new java.io.File(storeDir, "part-corrupt.parquet").exists())
+    val live = BpeQueries.defs("bpe_encode_docs").build(spark, dir).collect()
+    val stored = BpeQueries.defs("bpe_encode_docs_stored").build(spark, dir).collect()
+    assert(live.map(_.toString).toSeq == stored.map(_.toString).toSeq)
+  }
+
   test("an empty store read fails loudly, never a silent empty model") {
     import spark.implicits._
     val e1 = intercept[IllegalArgumentException](
