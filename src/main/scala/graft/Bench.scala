@@ -205,6 +205,13 @@ object Bench {
     // positional pass is timed by phrase_search)
     operators.SignatureStore.ensurePhraseBigrams(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    // tokenizer artifacts behind bpe_encode_docs_stored /
+    // unigram_encode_docs_stored (training is timed live by
+    // bpe_train_merges / unigram_train_vocab)
+    operators.SignatureStore.ensureBpeMerges(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    operators.SignatureStore.ensureUnigramModel(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
     // image fingerprints behind mm_image_phash_stored (the live
     // decode+hash is timed by mm_image_phash)
     operators.SignatureStore.ensureImagePhash(spark, sfDir).write

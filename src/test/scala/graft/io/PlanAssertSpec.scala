@@ -152,6 +152,31 @@ class PlanAssertSpec extends SparkFunSuite {
     }
   }
 
+  test("tokenizer encode faces: one exchange (the per-doc aggregate), no join, no window") {
+    // the 100 TB claim for both subword encoders is "stateless
+    // projection pipelined into the corpus scan" — the trained model
+    // rides the plan as a literal, so the ONLY shuffle is the per-doc
+    // count aggregate, and nothing joins or windows
+    val sfDir = "/root/testdata/sf0.001"
+    for (n <- Seq("bpe_encode_docs", "unigram_encode_docs",
+        "bpe_encode_docs_stored", "unigram_encode_docs_stored")) {
+      val plan = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.sparkPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(joins.isEmpty && windows.isEmpty,
+        s"$n must not join or window — the model is a plan literal:\n$plan")
+      // per-doc aggregate + the final ORDER BY's range exchange
+      assert(exchanges.size <= 2, s"$n shuffles more than agg+sort:\n$plan")
+    }
+  }
+
   test("ann_ivf centroid assignment is a hash aggregate, not a window sort") {
     val sfDir = "/root/testdata/sf0.001"
     val e = graft.util.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))

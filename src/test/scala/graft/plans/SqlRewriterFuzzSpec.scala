@@ -448,7 +448,14 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     // PIVOT tail ORDER BY ordinal: 1 = the first group key of the
     // emitted aggregate (same position DuckDB's pivot output has)
     "pivot_order_ordinal" -> ("PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
-      "GROUP BY o_orderkey ORDER BY 1"))
+      "GROUP BY o_orderkey ORDER BY 1"),
+    // QUALIFY whose ORDER BY mixes a table-QUALIFIED item (helper
+    // materialization path) with an ordinal item (stays positional
+    // against the outer * EXCEPT list) — the two mechanisms in one sort
+    "qualify_mixed_ordinal" -> ("SELECT fuzz_e1.k , w , § AS tag FROM fuzz_e1 " +
+      "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "QUALIFY row_number() OVER (PARTITION BY fuzz_e1.k ORDER BY fuzz_e1.t DESC) <= 1 " +
+      "ORDER BY fuzz_e1.k , 2 DESC"))
 
   // RECURSIVE preludes × extension bodies: the prelude walker skips the
   // RECURSIVE keyword, and the star/pivot bind probes replay the prefix
@@ -469,7 +476,7 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     "rec_second_cte" -> (", big AS ( SELECT n FROM rgen WHERE n > 2 ) " +
       "SELECT DISTINCT ON (1) n % 2 , n FROM big ORDER BY 1 , 2 DESC"))
 
-  test("P6: ordinal refs and WITH RECURSIVE preludes compose with every extension (510 seeds)") {
+  test("P6: ordinal refs and WITH RECURSIVE preludes compose with every extension (540 seeds)") {
     views
     (OrdinalCores ++ RecursiveBodies.map { case (n, b) =>
       n -> (if (n == "rec_second_cte") RecursivePrelude.trim + b
