@@ -522,6 +522,47 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     assert(e3.getMessage.contains("star select item"), e3.getMessage)
   }
 
+  test("SOAK: shifted-seed decoration sweep over every core family (env-gated)") {
+    // not part of the CI suite: set GRAFT_FUZZ_SOAK=<seeds-per-core> to
+    // run N fresh decorations per core from a DIFFERENT seed base than
+    // the fixed P2/P3/P5/P6 seeds — the r13 post-close soak found a
+    // real bug (QUALIFY + GROUP BY ALL) exactly this way; r14 runs it
+    // PRE-close. Self-differential like the fixed passes.
+    val n = sys.env.get("GRAFT_FUZZ_SOAK").flatMap(_.toIntOption)
+    assume(n.nonEmpty, "set GRAFT_FUZZ_SOAK=<seeds-per-core> to run the soak")
+    views
+    val families = Seq("P2" -> Cores, "P3" -> ComposedCores, "P5" -> AllCores,
+      "P6o" -> OrdinalCores,
+      "P6r" -> RecursiveBodies.map { case (nm, b) =>
+        nm -> (if (nm == "rec_second_cte") RecursivePrelude.trim + b
+               else RecursivePrelude + b)
+      })
+    var ran = 0
+    families.foreach { case (fam, cores) =>
+      cores.foreach { case (name, core) =>
+        val plain = spark.sql(core.replace("§", "'p'")).collect()
+          .map(_.toSeq.toList).toList
+        samples(decorate(core, 0), n.get, 0xF14057L + fam.hashCode * 131 + name.hashCode)
+          .zipWithIndex.foreach { case (sql, i) =>
+            val got =
+              try spark.sql(sql).collect().map(_.toSeq.toList).toList
+              catch {
+                case e: Throwable =>
+                  fail(s"$fam/$name soak seed $i failed to execute:\n$sql\n${e.getMessage}")
+              }
+            assert(got.length == plain.length,
+              s"$fam/$name soak seed $i row count ${got.length} != ${plain.length}:\n$sql")
+            got.zip(plain).foreach { case (g, p) =>
+              assert(mask(g) == mask(p),
+                s"$fam/$name soak seed $i row mismatch:\n$sql\ngot  $g\nwant $p")
+            }
+            ran += 1
+          }
+      }
+    }
+    info(s"soak executed $ran decorated statements across ${families.map(_._2.size).sum} cores")
+  }
+
   test("P4: WITH-prelude extension CTEs compose with every statement body (729 seeds)") {
     views
     PreludeCtes.foreach { case (pn, pre) =>
