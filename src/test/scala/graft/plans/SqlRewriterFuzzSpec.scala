@@ -536,7 +536,10 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
       "P6r" -> RecursiveBodies.map { case (nm, b) =>
         nm -> (if (nm == "rec_second_cte") RecursivePrelude.trim + b
                else RecursivePrelude + b)
-      })
+      },
+      // the P4 cross product, precomposed (soak seeds are per COMBO)
+      "P4" -> (for ((pn, pre) <- PreludeCtes; (bn, body) <- BodyCores)
+        yield s"${pn}_$bn" -> s"$pre $body"))
     var ran = 0
     families.foreach { case (fam, cores) =>
       cores.foreach { case (name, core) =>
