@@ -202,6 +202,38 @@ class ProgressiveScanSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("without an EOI"), e2.getMessage)
   }
 
+  test("L12: randomized 12-bit scan scripts — the L sweep at full precision, 60 cases") {
+    // the fixed 12-bit suites (A12-G12) isolate mechanisms; this sweeps
+    // the script space at 12-bit the way L does at 8-bit (q=64 keeps
+    // the sequential reference encoder inside its Annex-K AC table)
+    val rng = new scala.util.Random(0x50A84L)
+    (0 until 60).foreach { i =>
+      val w = 3 + rng.nextInt(30)
+      val h = 3 + rng.nextInt(30)
+      val px = Array.fill(w * h)(rng.nextInt(4096))
+      val qt = Array.fill(64)(Seq(64, 128, 512)(rng.nextInt(3)))
+      val dcAl = rng.nextInt(3)
+      val acAl = rng.nextInt(3)
+      val split = 1 + rng.nextInt(62)
+      val dcScans = ProgScan(0, 0, 0, dcAl) +:
+        (dcAl to 1 by -1).map(al => ProgScan(0, 0, al, al - 1))
+      val acFirst = Seq(ProgScan(1, split, 0, acAl), ProgScan(split + 1, 63, 0, acAl))
+      val acRef = (acAl to 1 by -1).map(al => ProgScan(1, 63, al, al - 1))
+      val script = if (rng.nextBoolean()) dcScans ++ acFirst ++ acRef
+                   else dcScans.take(1) ++ acFirst ++ dcScans.drop(1) ++ acRef
+      val rst = Seq(0, 0, 2, 3)(rng.nextInt(4))
+      val seqS = JpegFixture.scanStream12(px, w, h, qt, withTables = true)
+      val (p1, a) = JpegDecoder.decodeRaster(None, seqS, w, h, littleEndian = true)
+      val prgS = JpegFixture.progressiveStream((x, y) => px(y * w + x),
+        w, h, qt, prec = 12, withTables = true, script = script, restartInterval = rst)
+      val (p2, b) = JpegDecoder.decodeRaster(None, prgS, w, h, littleEndian = true)
+      assert(p1 == 12 && p2 == 12)
+      val bad = (0 until w * h * 2).count(j => a(j) != b(j))
+      assert(bad == 0, s"case $i: $bad byte mismatches [w=$w h=$h q=${qt(0)} " +
+        s"dcAl=$dcAl acAl=$acAl split=$split rst=$rst script=$script]")
+    }
+  }
+
   /** Entropy bytes of each scan: the data after each SOS header up to
     * the next marker (no 0xFF bytes occur in these tiny streams). */
   private def scanEntropyBytes(stream: Array[Byte]): Seq[Seq[Int]] = {
