@@ -47,7 +47,16 @@ case class UnigramViterbi(first: Expression, second: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
       case (StringType, ArrayType(StringType, _), ArrayType(IntegerType, _), IntegerType) =>
-        TypeCheckResult.TypeCheckSuccess
+        // the model must be a plan literal: the per-thread hash index is
+        // keyed by ArrayData reference identity, so a per-row model would
+        // silently rebuild the HashMap on every row (and a reused buffer
+        // with new contents would poison the cache). Foldable children
+        // fold to one Literal per plan — exactly one reference per task.
+        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "unigram_viterbi requires literal (foldable) pieces/scores — the " +
+            "model is hash-indexed once per thread by reference, so a " +
+            "per-row model would rebuild the index on every row")
       case other => TypeCheckResult.TypeCheckFailure(
         s"unigram_viterbi expects (string, array<string>, array<int>, int), got $other")
     }

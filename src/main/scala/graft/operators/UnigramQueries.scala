@@ -77,14 +77,24 @@ object UnigramQueries {
   private val VocabMultiMax = 48
 
   /** Hard-EM iterations. Two suffice for the fixpoint on Zipf-shaped
-    * corpora — counts saturate with the vocabulary, not the corpus. */
+    * corpora — counts saturate with the vocabulary, not the corpus
+    * (UnigramSpec's EM-depth test shows iteration 3 reproduces the
+    * iteration-2 vocabulary bit-for-bit on both fixture corpora). */
   private val EmIters = 2
 
-  /** Longest gated word — the oracle unrolls this many DP blocks. The
-    * Spark side refuses longer words loudly (never silently truncates). */
-  private val WordCap = 12
+  /** Longest gated word — the oracle unrolls this many DP blocks, so the
+    * Spark side refuses longer words loudly (never silently truncates).
+    * 24 covers realistic natural-language words
+    * ("internationalization" is 20); the cap is ORACLE-ONLY — the native
+    * [[graft.functions.UnigramViterbi]] expression is uncapped, and the
+    * unroll is linear in blocks (each ≤ [[MaxPieceLen]] branches), so
+    * raising it further is cheap. The long-word faces train on a derived
+    * corpus (each word tripled, up to 24 chars) so blocks 9–24 are
+    * actually exercised, not just generated. */
+  private val WordCap = 24
 
-  /** Longest holdout word: word‖'~'‖word under [[WordCap]]. */
+  /** Longest holdout word: word‖'~'‖word under the BASE corpus (8-char
+    * words ⇒ 17); the oov unroll depth, kept ≤ 2·[[WordCap]]+1. */
   private val OovCap = 2 * WordCap + 1
 
   private def bitlen(x: Long): Int = {
@@ -120,8 +130,13 @@ object UnigramQueries {
     m
   }
 
-  private def trained(s: SparkSession, dir: String): Model =
-    perSession(s).getOrElseUpdate(dir, train(s, dir))
+  private def trained(s: SparkSession, dir: String,
+      longWords: Boolean = false): Model =
+    perSession(s).getOrElseUpdate(memoKey(dir, longWords),
+      train(s, dir, longWords))
+
+  private def memoKey(dir: String, longWords: Boolean): String =
+    if (longWords) s"$dir#long3" else dir
 
   /** Fresh training (the live face's path — always timed, never a memo
     * hit; replaces the memo so consumer faces stay coherent). */
@@ -131,16 +146,26 @@ object UnigramQueries {
     m
   }
 
-  /** Distinct corpus words with frequency and code-point length. */
-  private def wordFreq(s: SparkSession, dir: String): DataFrame =
-    TextQueries.spread(
+  /** Distinct corpus words with frequency and code-point length.
+    * `longWords` triples each word (`w‖w‖w` — injective: equal lengths
+    * force equality, so frequencies carry over 1:1), deriving a corpus
+    * whose words reach 3×8 = 24 characters — the fixture that exercises
+    * the oracle's deep DP blocks with real data. */
+  private def wordFreq(s: SparkSession, dir: String,
+      longWords: Boolean = false): DataFrame = {
+    val base = TextQueries.spread(
       documents(s, dir)
         .filter(col("text").isNotNull)
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
         .filter(col("word") =!= ""))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val src = if (longWords)
+      base.select(concat(col("word"), col("word"), col("word")).as("word"), col("cnt"))
+    else base
+    src
       .withColumn("chs", expr("regexp_extract_all(word, '.', 0)"))
       .withColumn("wl", size(col("chs")))
+  }
 
   /** Model → sorted literal columns for the Viterbi expression. */
   private def modelLits(m: Model): (Column, Column, Column) = {
@@ -168,8 +193,11 @@ object UnigramQueries {
     Model(rows.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
-  private def train(s: SparkSession, dir: String): Model = {
-    val wf = wordFreq(s, dir).persist()
+  /** `emIters` is overridable only by the EM-depth robustness spec —
+    * every gated face trains at [[EmIters]]. */
+  private[operators] def train(s: SparkSession, dir: String,
+      longWords: Boolean = false, emIters: Int = EmIters): Model = {
+    val wf = wordFreq(s, dir, longWords).persist()
     try {
       val mx = wf.agg(max(col("wl"))).head()
       if (mx.isNullAt(0))
@@ -204,7 +232,7 @@ object UnigramQueries {
       var vocab: Seq[(String, Long)] = alphabet ++ seedMulti
 
       var t = 1
-      while (t <= EmIters) {
+      while (t <= emIters) {
         val m = Model(vocab)
         val (piecesLit, scoresLit, fbLit) = modelLits(m)
         // E-step: Viterbi every distinct word; usage weighted by word
@@ -309,11 +337,16 @@ object UnigramQueries {
        |v${t + 1} AS MATERIALIZED (SELECT piece, plen, c FROM mc$t UNION ALL SELECT piece, plen, c FROM mm$t)"""
       .stripMargin
 
-  /** Seed + EM chain + final score table (svf/fbf over v{EmIters+1}). */
-  private def modelChain: String = (Seq(
-    """t AS MATERIALIZED (SELECT trim(lower(text)) AS t FROM documents WHERE text IS NOT NULL),
-      |wrd AS MATERIALIZED (SELECT unnest(string_split_regex(t, '\s+')) AS word FROM t),
-      |wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM wrd WHERE word <> '' GROUP BY word)""".stripMargin,
+  /** Seed + EM chain + final score table (svf/fbf over v{EmIters+1}).
+    * Prelude CTEs are u-prefixed so the chain composes with
+    * [[BpeQueries.trainChain]] inside one WITH (`tokenizer_compare`).
+    * `longWords = true` swaps in the tripled-word corpus (the long-word
+    * fixture — frequencies carry over because tripling is injective). */
+  private def modelChain(longWords: Boolean = false): String = (Seq(
+    s"""ut AS MATERIALIZED (SELECT trim(lower(text)) AS t FROM documents WHERE text IS NOT NULL),
+      |uwrd AS MATERIALIZED (SELECT unnest(string_split_regex(t, '\\s+')) AS word FROM ut),
+      |bwf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM uwrd WHERE word <> '' GROUP BY word),
+      |wf AS MATERIALIZED (SELECT ${if (longWords) "word || word || word AS word" else "word"}, cnt FROM bwf)""".stripMargin,
     subsBlocks("w", "wf"),
     s"""alpha AS MATERIALIZED (SELECT DISTINCT piece FROM wsubs WHERE l = 1),
        |sc0 AS MATERIALIZED (SELECT piece, max(l)::INT AS plen, sum(cnt)::BIGINT AS c FROM wsubs GROUP BY piece),
@@ -347,25 +380,45 @@ object UnigramQueries {
     dpBlocks("dph_", "cdh", "hch", OovCap),
     bestSel("dph_", "besth", OovCap)).mkString(",\n")
 
-  /** Shared oracle for the live and stored encode faces. */
-  private def encodeDocsSql: String =
-    s"""WITH $modelChain,
+  /** Shared oracle for the live and stored encode faces (`longWords`
+    * triples the document words the same way the training side does). */
+  private def encodeDocsSql(longWords: Boolean = false): String =
+    s"""WITH ${modelChain(longWords)},
        |$bestFChain,
        |dw AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
        |  FROM documents WHERE text IS NOT NULL),
-       |dwf AS (SELECT doc_id, word FROM dw WHERE word <> '')
+       |dwb AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+       |dwf AS (SELECT doc_id, ${if (longWords) "word || word || word AS word" else "word"} FROM dwb)
        |SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(len(b.segs))::BIGINT AS unigram_tokens
        |FROM dwf d JOIN bestf b USING (word)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
-  private def encodeDocs(s: SparkSession, d: String, m: Model): DataFrame = {
+  private[operators] def encodeDocs(s: SparkSession, d: String, m: Model,
+      longWords: Boolean = false): DataFrame = {
     val (p, sc, fb) = modelLits(m)
-    TextQueries.spread(documents(s, d).filter(col("text").isNotNull))
+    val words = TextQueries.spread(documents(s, d).filter(col("text").isNotNull))
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-      .withColumn("segs", unigram_viterbi(col("word"), p, sc, fb))
+    val src = if (longWords)
+      words.select(col("doc_id"),
+        concat(col("word"), col("word"), col("word")).as("word"))
+    else words
+    src
+      // the gated faces are oracle-compared, and the oracle inner-joins
+      // words against a DP unrolled to WordCap blocks — a longer word
+      // would be silently DROPPED by the oracle while this side still
+      // counts it. Refuse loudly here too, so the refusal doesn't depend
+      // on training having run first in this session (the stored face
+      // encodes from the sealed artifact without retraining).
+      .withColumn("segs",
+        when(length(col("word")) > WordCap,
+          raise_error(concat(lit("unigram encode: word '"), col("word"),
+            lit(s"' exceeds the oracle-gated cap $WordCap characters " +
+              "(the DuckDB oracle unrolls the Viterbi DP to WordCap " +
+              "blocks; the native unigram_viterbi expression is uncapped)"))))
+          .otherwise(unigram_viterbi(col("word"), p, sc, fb)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("segs")).cast("long")).as("unigram_tokens"))
@@ -379,7 +432,7 @@ object UnigramQueries {
     // quantized log₂ scores. Oracle: the same chain as generated CTEs,
     // each E-step an unrolled relational Viterbi.
     "unigram_train_vocab" -> QueryDef.sql(
-      s"""WITH $modelChain
+      s"""WITH ${modelChain()}
          |SELECT piece, c AS piece_count, s AS score FROM svf ORDER BY piece""".stripMargin) {
       (s, d) =>
         val m = retrain(s, d)
@@ -392,7 +445,7 @@ object UnigramQueries {
 
     // ----- the segmented vocabulary under the final model ---------------
     "unigram_segment_vocab" -> QueryDef.sql(
-      s"""WITH $modelChain,
+      s"""WITH ${modelChain()},
          |$bestFChain
          |SELECT word, array_to_string(segs, ' ') AS seg, len(segs)::BIGINT AS n_pieces
          |FROM bestf ORDER BY word""".stripMargin) { (s, d) =>
@@ -406,7 +459,7 @@ object UnigramQueries {
 
     // ----- out-of-vocabulary encode (the fallback path) ------------------
     "unigram_encode_oov" -> QueryDef.sql(
-      s"""WITH $modelChain,
+      s"""WITH ${modelChain()},
          |$oovChain
          |SELECT word, array_to_string(segs, ' ') AS seg, len(segs)::BIGINT AS n_pieces
          |FROM besth ORDER BY word""".stripMargin) { (s, d) =>
@@ -424,7 +477,7 @@ object UnigramQueries {
     // scan (the realistic 100 TB plan — stateless projection). Oracle:
     // the vocab-join route through bestf. Two different plans agreeing
     // is the gate, as with bpe_encode_docs.
-    "unigram_encode_docs" -> QueryDef.sql(encodeDocsSql) { (s, d) =>
+    "unigram_encode_docs" -> QueryDef.sql(encodeDocsSql()) { (s, d) =>
       encodeDocs(s, d, trained(s, d))
     },
 
@@ -433,13 +486,37 @@ object UnigramQueries {
     // parquet artifact — encode across sessions without retraining.
     // Deterministic training ⇒ one shared oracle; the gate holding on
     // both faces IS the stored≡live assertion.
-    "unigram_encode_docs_stored" -> QueryDef.sql(encodeDocsSql) { (s, d) =>
+    "unigram_encode_docs_stored" -> QueryDef.sql(encodeDocsSql()) { (s, d) =>
       encodeDocs(s, d, modelFromStore(SignatureStore.ensureUnigramModel(s, d)))
+    },
+
+    // ----- long-word corpus: the deep-DP fixture --------------------------
+    // Each corpus word tripled (w‖w‖w, injective ⇒ frequencies carry
+    // over) gives words up to 24 characters — the realistic-word-length
+    // regime ("internationalization" is 20). These two faces are the
+    // evidence that the oracle's DP blocks 9–24 compute the same
+    // segmentations as the native expression ON REAL DATA, i.e. that
+    // raising WordCap was a semantic extension, not just generated SQL.
+    "unigram_longword_vocab" -> QueryDef.sql(
+      s"""WITH ${modelChain(longWords = true)}
+         |SELECT piece, c AS piece_count, s AS score FROM svf ORDER BY piece""".stripMargin) {
+      (s, d) =>
+        val m = trained(s, d, longWords = true)
+        import s.implicits._
+        m.pieces.zip(m.scores)
+          .map { case ((p, c), (_, sc)) => (p, c, sc) }
+          .toDF("piece", "piece_count", "score")
+          .orderBy("piece")
+    },
+
+    "unigram_longword_encode_docs" -> QueryDef.sql(
+      encodeDocsSql(longWords = true)) { (s, d) =>
+      encodeDocs(s, d, trained(s, d, longWords = true), longWords = true)
     },
 
     // ----- corpus totals + compression (exact ppm convention) ------------
     "unigram_corpus_token_count" -> QueryDef.sql(
-      s"""WITH $modelChain,
+      s"""WITH ${modelChain()},
          |$bestFChain
          |SELECT sum(cnt)::BIGINT AS total_words,
          |       sum(cnt * len(segs))::BIGINT AS total_tokens,
@@ -461,7 +538,7 @@ object UnigramQueries {
     // The standard tokenizer identity — pieces concatenate back to the
     // word, for every corpus word, counted on both engines.
     "unigram_roundtrip_identity" -> QueryDef.sql(
-      s"""WITH $modelChain,
+      s"""WITH ${modelChain()},
          |$bestFChain
          |SELECT count(*)::BIGINT AS n_words,
          |       CAST(count(*) FILTER (WHERE array_to_string(segs, '') <> word) AS BIGINT)

@@ -129,6 +129,63 @@ class UnigramSpec extends SparkFunSuite {
     assert(segs.keySet == Set("abab", "ab", "cd"))
   }
 
+  test("EM depth: iteration 3 reproduces the iteration-2 vocabulary") {
+    import spark.implicits._
+    // EmIters = 2 rests on a fixpoint argument (counts saturate with the
+    // vocabulary). Evidence, not assertion: a third EM round must leave
+    // the learned model — pieces AND counts, hence scores — bit-for-bit
+    // unchanged on both fixture corpora.
+    val docs = (Seq.fill(8)("abab") ++ Seq.fill(4)("ab") ++ Seq.fill(2)("cd")).mkString(" ")
+    val tiny = tmpDir("uniem")
+    Seq((1L, docs)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tiny/documents.parquet")
+    for (dir <- Seq(tiny, sf)) {
+      val m2 = UnigramQueries.train(spark, dir, emIters = 2)
+      val m3 = UnigramQueries.train(spark, dir, emIters = 3)
+      assert(m3.pieces == m2.pieces,
+        s"$dir: EM iteration 3 moved the model — " +
+          s"only2=${(m2.pieces.toSet -- m3.pieces.toSet).take(5)} " +
+          s"only3=${(m3.pieces.toSet -- m2.pieces.toSet).take(5)}")
+    }
+  }
+
+  test("long-word corpus: tripled words reach the deep DP blocks and stay consistent") {
+    import spark.implicits._
+    // the tripled corpus must actually exercise realistic word lengths
+    val maxLen = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(max(length(concat(col("w"), col("w"), col("w"))))).head().getInt(0)
+    assert(maxLen >= 20, s"longest tripled word $maxLen < 20 chars")
+    val vocab = UnigramQueries.defs("unigram_longword_vocab").build(spark, sf).collect()
+    assert(vocab.exists(_.getString(0).length > 1), "no multi-char pieces learned")
+    // longer words can only need at least as many pieces per word
+    val base = UnigramQueries.defs("unigram_encode_docs").build(spark, sf)
+      .agg(sum("unigram_tokens")).head().getLong(0)
+    val long = UnigramQueries.defs("unigram_longword_encode_docs").build(spark, sf)
+      .agg(sum("unigram_tokens")).head().getLong(0)
+    assert(long > base, s"tripled corpus tokens $long <= base $base")
+  }
+
+  test("encode guard: words above the oracle cap refuse loudly without training") {
+    import spark.implicits._
+    // the advisor's fresh-session scenario: encoding from a sealed model
+    // artifact performs no training (so no train-side cap check) — the
+    // encode path itself must refuse a word the oracle's unrolled DP
+    // would silently drop.
+    val dir = tmpDir("unicapenc")
+    Seq((1L, "ok " + "y" * 25)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = UnigramQueries.Model(Seq("k" -> 2L, "o" -> 2L, "y" -> 5L))
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Exception](
+      UnigramQueries.encodeDocs(spark, dir, m).collect())
+    assert(msgChain(e).contains("exceeds the oracle-gated cap"), msgChain(e))
+  }
+
   test("words above the gated cap are refused loudly") {
     import spark.implicits._
     val dir = tmpDir("unicap")
