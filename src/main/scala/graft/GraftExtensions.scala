@@ -141,6 +141,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.UnigramViterbi(children.head, children(1), children(2), children(3))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("unigram_nbest"),
+      new ExpressionInfo(classOf[graft.functions.UnigramNbest].getName, "unigram_nbest"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4, "unigram_nbest takes exactly 4 arguments")
+        graft.functions.UnigramNbest(children.head, children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("ac_matches"),
       new ExpressionInfo(classOf[graft.functions.AcMatches].getName, "ac_matches"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

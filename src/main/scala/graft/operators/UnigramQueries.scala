@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.UnigramNbest.unigram_nbest
 import graft.functions.UnigramViterbi.unigram_viterbi
 import graft.util.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -370,6 +371,34 @@ object UnigramQueries {
     dpBlocks("dpf_", "cdf", "wch", WordCap),
     bestSel("dpf_", "bestf", WordCap)).mkString(",\n")
 
+  /** K-best DP blocks — the beam at each position keeps `rn <= K` paths
+    * under the STRICT total order (s DESC, k ASC, pk ASC); `pk` is the
+    * reversed-piece-length key, `chr(123 − l)` PREPENDED per appended
+    * piece so the last piece compares first and longer pieces sort
+    * smaller (the same key [[graft.functions.UnigramNbest]] builds —
+    * rank 1 is exactly the Viterbi segmentation). The order is monotone
+    * under suffix-append, so the beam is exact, not heuristic. */
+  private def nbestBlocks(pfx: String, cand: String, wordsT: String,
+      maxPos: Int): String = {
+    val k = graft.functions.UnigramNbest.K
+    val zero = s"${pfx}0 AS MATERIALIZED (SELECT word, cnt, wl, 0::INT AS s, " +
+      s"0::INT AS k, '' AS pk, CAST([] AS VARCHAR[]) AS segs FROM $wordsT)"
+    val blocks = (1 to maxPos).map { j =>
+      val branches = (1 to math.min(MaxPieceLen, j)).map { l =>
+        s"""      SELECT d.word, d.cnt, d.wl, d.s + c.s AS s, d.k + 1 AS k,
+           |             chr(${123 - l}) || d.pk AS pk, list_append(d.segs, c.piece) AS segs
+           |      FROM $pfx${j - l} d JOIN $cand c
+           |        ON c.word = d.word AND c.i = ${j - l + 1} AND c.l = $l""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""$pfx$j AS MATERIALIZED (
+         |  SELECT word, cnt, wl, s, k, pk, segs FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word ORDER BY s DESC, k, pk) AS rn FROM (
+         |$branches
+         |    )) WHERE rn <= $k)""".stripMargin
+    }
+    (zero +: blocks).mkString(",\n")
+  }
+
   /** Holdout (word‖'~'‖word) segmentation under the final model — '~'
     * is outside the training alphabet, so this walks the fallback path
     * on both engines. */
@@ -488,6 +517,34 @@ object UnigramQueries {
     // both faces IS the stored≡live assertion.
     "unigram_encode_docs_stored" -> QueryDef.sql(encodeDocsSql()) { (s, d) =>
       encodeDocs(s, d, modelFromStore(SignatureStore.ensureUnigramModel(s, d)))
+    },
+
+    // ----- n-best segmentations (subword regularization, Kudo 2018 §4) ---
+    // The deterministic top-K list a sampler draws from; rank 1 IS the
+    // Viterbi segmentation (same total order restricted to the optimum).
+    // Spark: the native beam expression per distinct word. Oracle: the
+    // same beam as unrolled DP blocks keeping rn <= K rows per position.
+    "unigram_nbest_segments" -> QueryDef.sql(
+      s"""WITH ${modelChain()},
+         |${candBlock("cdf", "svf", "fbf", "wsubs")},
+         |${nbestBlocks("nb_", "cdf", "wch", WordCap)},
+         |paths AS (
+         |  ${(1 to WordCap).map(j => s"SELECT word, s, k, pk, segs FROM nb_$j WHERE wl = $j")
+             .mkString("\n  UNION ALL\n  ")}
+         |)
+         |SELECT word,
+         |       row_number() OVER (PARTITION BY word ORDER BY s DESC, k, pk)::BIGINT AS rnk,
+         |       array_to_string(segs, ' ') AS seg, len(segs)::BIGINT AS n_pieces
+         |FROM paths
+         |ORDER BY word, rnk""".stripMargin) { (s, d) =>
+      val (p, sc, fb) = modelLits(trained(s, d))
+      wordFreq(s, d)
+        .withColumn("cands", unigram_nbest(col("word"), p, sc, fb))
+        .select(col("word"), posexplode(col("cands")))
+        .select(col("word"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col").as("seg"),
+          size(split(col("col"), " ")).cast("long").as("n_pieces"))
+        .orderBy("word", "rnk")
     },
 
     // ----- long-word corpus: the deep-DP fixture --------------------------
