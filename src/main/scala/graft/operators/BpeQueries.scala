@@ -64,7 +64,7 @@ object BpeQueries {
   /** Merge count — deep enough that multi-character symbols merge with
     * each other (rank 6+ on the base corpus) while keeping the oracle's
     * chained-CTE mirror readable. */
-  private val K = 8
+  private[operators] val K = 8
 
   final case class Trained(merges: Seq[(String, String, Long)], vocab: DataFrame)
 
@@ -211,7 +211,7 @@ object BpeQueries {
        |  SELECT word, list(sym2 ORDER BY pos) AS syms FROM hr$k WHERE NOT consumed GROUP BY word)"""
       .stripMargin
 
-  private def trainChain: String =
+  private[operators] def trainChain: String =
     (seedSql +: (1 to K).map(iterBlock)).mkString(",\n")
 
   private def mergesLit(t: Trained) =

@@ -571,6 +571,82 @@ object UnigramQueries {
       encodeDocs(s, d, trained(s, d, longWords = true), longWords = true)
     },
 
+    // ----- tokenizer comparison: BPE vs unigram on the shared corpus -----
+    // The query a pipeline operator actually runs to PICK a tokenizer:
+    // vocab sizes + overlap, per-scheme token totals and chars/token
+    // (exact truncated-ppm convention), and how many words the two
+    // schemes segment differently (BPE's '</w>' marker normalized away
+    // before comparing). Spark reuses BOTH sealed artifact stores — no
+    // retraining; the oracle re-derives both full training chains (the
+    // two chains compose in one WITH because the unigram prelude is
+    // u-prefixed). Stored ≡ live is already pinned by the *_stored faces.
+    "tokenizer_compare" -> QueryDef.sql(
+      s"""WITH ${BpeQueries.trainChain},
+         |${modelChain()},
+         |$bestFChain,
+         |mrg AS (${(1 to BpeQueries.K)
+             .map(k => s"SELECT a, b FROM w$k").mkString(" UNION ALL ")}),
+         |bpv AS (SELECT DISTINCT replace(a || b, '</w>', '') AS piece FROM mrg
+         |        WHERE replace(a || b, '</w>', '') <> ''),
+         |unv AS (SELECT piece FROM svf WHERE plen > 1),
+         |bt AS (
+         |  SELECT f.word, f.cnt, f.wl, len(g.syms)::BIGINT AS bpe_n,
+         |         trim(replace(array_to_string(g.syms, ' '), '</w>', '')) AS bpe_seg
+         |  FROM wch f JOIN seg${BpeQueries.K} g USING (word)),
+         |un AS (
+         |  SELECT word, len(segs)::BIGINT AS uni_n,
+         |         array_to_string(segs, ' ') AS uni_seg
+         |  FROM bestf),
+         |j AS (SELECT b.*, u.uni_n, u.uni_seg FROM bt b JOIN un u USING (word))
+         |SELECT
+         |  count(*)::BIGINT AS n_words,
+         |  (SELECT count(*) FROM bpv)::BIGINT AS bpe_vocab_pieces,
+         |  (SELECT count(*) FROM unv)::BIGINT AS unigram_vocab_pieces,
+         |  (SELECT count(*) FROM bpv JOIN unv USING (piece))::BIGINT AS shared_pieces,
+         |  sum(cnt * bpe_n)::BIGINT AS bpe_tokens,
+         |  sum(cnt * uni_n)::BIGINT AS unigram_tokens,
+         |  CAST((CAST(1000000 AS HUGEINT) * sum(cnt * wl)) // sum(cnt * bpe_n) AS BIGINT)
+         |    AS bpe_cpt_ppm,
+         |  CAST((CAST(1000000 AS HUGEINT) * sum(cnt * wl)) // sum(cnt * uni_n) AS BIGINT)
+         |    AS unigram_cpt_ppm,
+         |  CAST(count(*) FILTER (WHERE bpe_seg <> uni_seg) AS BIGINT) AS n_disagree_words
+         |FROM j""".stripMargin) { (s, d) =>
+      val mergesDf = SignatureStore.ensureBpeMerges(s, d)
+      val merges = BpeQueries.mergesFromStore(mergesDf)
+      val (p, sc, fb) = modelLits(modelFromStore(SignatureStore.ensureUnigramModel(s, d)))
+      val marker = lit("</w>")
+      val bpePieces = mergesDf
+        .select(replace(concat(col("left_sym"), col("right_sym")), marker, lit("")).as("piece"))
+        .filter(col("piece") =!= "").distinct()
+      val uniPieces = SignatureStore.ensureUnigramModel(s, d)
+        .select("piece").filter(length(col("piece")) > 1)
+      val body = wordFreq(s, d)
+        .withColumn("syms", graft.functions.BpeMerge.bpe_apply_merges(
+          concat(expr("regexp_extract_all(word, '.', 0)"), array(marker)),
+          typedLit(merges)))
+        .withColumn("segs", unigram_viterbi(col("word"), p, sc, fb))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("cnt") * size(col("syms"))).as("bpe_tokens"),
+          sum(col("cnt") * size(col("segs"))).as("unigram_tokens"),
+          sum(col("cnt") * col("wl")).as("nchars"),
+          count(when(trim(replace(array_join(col("syms"), " "), marker, lit(""))) =!=
+            array_join(col("segs"), " "), 1)).as("n_disagree_words"))
+      body
+        .crossJoin(bpePieces.agg(count(lit(1)).as("bpe_vocab_pieces")))
+        .crossJoin(uniPieces.agg(count(lit(1)).as("unigram_vocab_pieces")))
+        .crossJoin(bpePieces.join(uniPieces, "piece")
+          .agg(count(lit(1)).as("shared_pieces")))
+        .select(col("n_words"), col("bpe_vocab_pieces"),
+          col("unigram_vocab_pieces"), col("shared_pieces"),
+          col("bpe_tokens"), col("unigram_tokens"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * nchars) div bpe_tokens AS BIGINT)")
+            .as("bpe_cpt_ppm"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * nchars) div unigram_tokens AS BIGINT)")
+            .as("unigram_cpt_ppm"),
+          col("n_disagree_words"))
+    },
+
     // ----- corpus totals + compression (exact ppm convention) ------------
     "unigram_corpus_token_count" -> QueryDef.sql(
       s"""WITH ${modelChain()},
