@@ -355,8 +355,14 @@ object Bench {
       import graft.tools.QuietBox
       var deciding = true
       while (deciding) {
+        // best-of-2 per canary, like the timed pass: the trailing
+        // medians are best-of-2 walls, so a single (first, cold-cache)
+        // probe run is biased high and can spuriously refuse a quiet
+        // box — one 30 s sleep + an extra probe for nothing (advisor
+        // r14; the second run also absorbs the same-SF warmup asymmetry
+        // the canaries used to carry into the timed pass).
         val walls = QuietBox.CanaryQueries.filter(names.contains)
-          .map(n => n -> run(n).wall).toMap
+          .map(n => n -> math.min(run(n).wall, run(n).wall)).toMap
         preflightFactors += QuietBox.factor(walls, history)
         QuietBox.decide(preflightFactors.toSeq) match {
           case QuietBox.Retry(sleepSec) =>
@@ -406,6 +412,48 @@ object Bench {
       }
       java.nio.file.Files.writeString(histPath, lines.mkString("", "\n", "\n"))
     }
+    // Task-cpu/GC plausibility (r14 verdict): the r13 close shipped a
+    // 259 cpu-s / 1.3 s-GC diag where every adjacent run read 675–945 /
+    // 8–17 s — an under-ticking per-task TIME meter that nothing
+    // cross-checked (bench_ab.sh adjudicates on task-cpu). Same
+    // trailing-median machinery as the wall band, pointed at the cpu
+    // column: per-query best-run cpu history in its own TSV (plus the
+    // run-total GC as a reserved pseudo-row), suite factor = median
+    // cur/median ratio over meaningful-cpu queries, flagged loudly
+    // outside [0.55, 1.8] (GC: order-of-magnitude only).
+    val cpuHistPath = java.nio.file.Paths.get(
+      "bench_cpu_history_" + java.nio.file.Paths.get(sfDir).getFileName + ".tsv")
+    val cpuHistory: Map[String, Seq[Double]] =
+      if (java.nio.file.Files.exists(cpuHistPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(cpuHistPath)).asScala
+          .map(_.split("\\s+").toSeq)
+          .collect { case name +: vals if vals.nonEmpty =>
+            name -> vals.flatMap(_.toDoubleOption)
+          }.toMap
+      else Map.empty
+    val gcTotalMs = results.map(_._2._1.gc).sum.toDouble
+    val cpuFactor = graft.tools.CpuBand.factor(
+      results.map { case (n, (v, _)) => n -> v.cpu }.toMap, cpuHistory)
+    val gcFactorV = graft.tools.CpuBand.gcFactor(gcTotalMs, cpuHistory)
+    val cpuSuspect = graft.tools.CpuBand.suspect(cpuFactor, gcFactorV)
+    if (cpuSuspect)
+      System.err.println(f"[bench] CPU METER SUSPECT: suite cpu factor " +
+        s"${cpuFactor.map(f => fmt(f)).getOrElse("n/a")} / gc factor " +
+        s"${gcFactorV.map(f => fmt(f)).getOrElse("n/a")} outside " +
+        s"[${graft.tools.CpuBand.LowThreshold},${graft.tools.CpuBand.HighThreshold}] " +
+        "(gc [0.2,5.0]) vs trailing medians — task-cpu columns in this " +
+        "artifact are NOT trustworthy for bench_ab.sh adjudication")
+    locally {
+      val byName = results.toMap
+      val lines = names.map { n =>
+        val cpus = (cpuHistory.getOrElse(n, Nil) :+ byName(n)._1.cpu).takeRight(9)
+        (n +: cpus.map(fmt2)).mkString(" ")
+      } :+ ((graft.tools.CpuBand.GcTotalRow +:
+        (cpuHistory.getOrElse(graft.tools.CpuBand.GcTotalRow, Nil) :+ gcTotalMs)
+          .takeRight(9).map(v => math.round(v).toString)).mkString(" "))
+      java.nio.file.Files.writeString(cpuHistPath, lines.mkString("", "\n", "\n"))
+    }
     // Millisecond precision keeps the line short: the driver captures a
     // bounded stdout tail, and 60+ full-precision doubles overflowed it
     // in round 3 (parsed=null). Queries + name-free aligned diag arrays
@@ -448,7 +496,7 @@ object Bench {
         s""""$n":[${fmt(v.wall)},${fmt2(v.cpu)},${math.round(v.mb)},${v.gc},${v.buildMs},${v.jitMs},${v.ccMb},${v.buildJobs},${fmt(otherWall)}]"""
       }.mkString("{", ",", "}")
       val diagJson =
-        s"""{"legend":"[wall_sec,task_cpu_sec,input_mb,gc_ms,build_ms,jit_ms,code_cache_used_mb,eager_build_jobs,wall_other_sec] per best run; build_ms = DataFrame construction (parse+analyze+store probes, driver-side); eager_build_jobs = Spark jobs submitted DURING construction (localCheckpoint pins, probe enumerations, fixpoint counts) — build_ms with eager_build_jobs>0 is executed work, build_ms with 0 is pure Catalyst/driver overhead; wall-build = optimize/plan/schedule/execute; wall_other_sec = the run best-of-2/3 DISCARDED (2nd-best wall) — [wall, wall_other] is this run's spread, the noise-vs-creep denominator graft.tools.BenchBand reads","sf":"$sfDir",${graft.tools.QuietBox.json(preflightFactors.toSeq, preflightQuiet)},"code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,"queries":$entries}"""
+        s"""{"legend":"[wall_sec,task_cpu_sec,input_mb,gc_ms,build_ms,jit_ms,code_cache_used_mb,eager_build_jobs,wall_other_sec] per best run; build_ms = DataFrame construction (parse+analyze+store probes, driver-side); eager_build_jobs = Spark jobs submitted DURING construction (localCheckpoint pins, probe enumerations, fixpoint counts) — build_ms with eager_build_jobs>0 is executed work, build_ms with 0 is pure Catalyst/driver overhead; wall-build = optimize/plan/schedule/execute; wall_other_sec = the run best-of-2/3 DISCARDED (2nd-best wall) — [wall, wall_other] is this run's spread, the noise-vs-creep denominator graft.tools.BenchBand reads","sf":"$sfDir",${graft.tools.QuietBox.json(preflightFactors.toSeq, preflightQuiet)},${graft.tools.CpuBand.json(cpuFactor, gcFactorV)},"code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,"queries":$entries}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_diag.json"), diagJson + "\n")
     }
@@ -458,6 +506,7 @@ object Bench {
       s""""code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,""" +
       s""""reruns":${rerunNames.size},"rerun_queries":$rerunsJson,""" +
       s""""preflight_factor":${fmt(preflightFactors.last)},"preflight_attempts":${preflightFactors.size},"preflight_quiet":$preflightQuiet,""" +
+      s"""${graft.tools.CpuBand.json(cpuFactor, gcFactorV)},""" +
       s""""sf":"$sfDir","method":"best-of-2 + third run when wall > 3x trailing median (bench_history_<sf>.tsv); per-query phase/JIT attribution in bench_diag.json"}"""
     // Belt and braces for the driver's parser: raw stdout (run /
     // outputStrategy = StdoutOutput strips sbt's [info] prefix) AND a

@@ -144,6 +144,72 @@ object QuietBox {
   }
 }
 
+/** Task-cpu/GC plausibility band (r14 verdict "what's missing #2"): the
+  * r13 COMMITTED close recorded 259 task-cpu-s / 1.3 s GC where every
+  * adjacent run of near-identical code read 675–945 cpu-s / 8–17 s GC.
+  * Post-hoc forensics (r15 NOTES): per-query walls in that artifact sum
+  * identically to the r14 close over the shared queries AND sit at the
+  * full-parallel compute floor (cpu_adjacent/32 threads), input-bytes
+  * match adjacent runs, yet the two TIME columns deflate ×0.02–×0.8,
+  * interleaved across the alphabetical run order and concentrated on
+  * single-wave scan→agg faces — the work demonstrably executed at full
+  * speed and only the per-task TIME meters under-read (under-ticked
+  * virtualized cputime accounting of short parallel bursts; NOT dropped
+  * listener events — bytes ride the same TaskEnd — and NOT cached
+  * recomputation — bytes were re-read and walls are AT the floor, not
+  * below it). Wall-side history is protected by [[QuietBox]]; this is
+  * the same trailing-median machinery pointed at the cpu column, so a
+  * meter failure ships visibly flagged instead of entering
+  * `tools/bench_ab.sh`'s task-cpu adjudication unmarked.
+  *
+  * Suite cpu factor = median over queries of `cur_cpu / trailing-median
+  * cpu`, restricted to queries whose trailing median is ≥
+  * [[MinMedianCpu]] (sub-half-second meters are scheduling noise).
+  * Flagged suspect OUTSIDE [[LowThreshold]], [[HighThreshold]]: normal
+  * adjacent-run ratios read 0.8–1.25, throttle-window cpu inflation
+  * reaches ~1.45 (r14 A-B-A brackets), the r13 failure read ~0.32. */
+object CpuBand {
+  val MinMedianCpu = 0.5
+  val MinComparable = 10
+  val LowThreshold = 0.55
+  val HighThreshold = 1.8
+  /** GC totals are far spikier than cpu (young-gen timing is bimodal);
+    * only an order-of-magnitude break flags. */
+  val GcLow = 0.2
+  val GcHigh = 5.0
+
+  /** Reserved pseudo-row in the cpu history TSV carrying the run-total
+    * GC milliseconds (per-query GC is mostly zero — only the total has
+    * a stable band). */
+  val GcTotalRow = "__gc_total_ms"
+
+  def factor(cur: Map[String, Double],
+      hist: Map[String, Seq[Double]]): Option[Double] = {
+    val ratios = cur.toSeq.flatMap { case (n, c) =>
+      if (n == GcTotalRow) None
+      else hist.get(n).filter(_.size >= 3).map(BenchBand.median)
+        .filter(_ >= MinMedianCpu).map(m => c / m)
+    }
+    if (ratios.size < MinComparable) None else Some(BenchBand.median(ratios))
+  }
+
+  def gcFactor(curGcMs: Double, hist: Map[String, Seq[Double]]): Option[Double] =
+    hist.get(GcTotalRow).filter(_.size >= 3).map(BenchBand.median)
+      .filter(_ > 1e-9).map(curGcMs / _)
+
+  def suspect(cpuF: Option[Double], gcF: Option[Double]): Boolean =
+    cpuF.exists(v => v < LowThreshold || v > HighThreshold) ||
+      gcF.exists(v => v < GcLow || v > GcHigh)
+
+  /** `"cpu_band":{...}` JSON fragment for the bench artifacts. */
+  def json(cpuF: Option[Double], gcF: Option[Double]): String = {
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def opt(o: Option[Double]) = o.map(f3).getOrElse("null")
+    s""""cpu_factor":${opt(cpuF)},"gc_factor":${opt(gcF)},""" +
+      s""""cpu_suspect":${suspect(cpuF, gcF)}"""
+  }
+}
+
 object BenchBand {
   final case class Row(name: String, band: Seq[Double], cur: Double,
       other: Option[Double]) {

@@ -112,6 +112,45 @@ class BenchBandSpec extends AnyFunSuite {
     assert(QuietBox.factor(thin, history) == 1.0)
   }
 
+  test("cpu-band flag: the r13 under-read meter signature flags, normal runs don't (r14 verdict #2)") {
+    // trailing cpu medians ~ 6s for 12 meaningful queries + noise rows
+    val hist = (1 to 12).map(i => f"cpu_q$i%02d" -> Seq(5.8, 6.0, 6.2)).toMap +
+      ("tiny_q" -> Seq(0.02, 0.03, 0.02)) + // below MinMedianCpu: excluded
+      (CpuBand.GcTotalRow -> Seq(9000.0, 12000.0, 15000.0))
+    // the r13 failure shape: suite cpu at ~0.3x of band, GC at ~0.1x
+    val bad = (1 to 12).map(i => f"cpu_q$i%02d" -> 1.9).toMap + ("tiny_q" -> 0.5)
+    val fBad = CpuBand.factor(bad, hist)
+    assert(fBad.exists(f => math.abs(f - 1.9 / 6.0) < 1e-9), fBad)
+    val gBad = CpuBand.gcFactor(1300.0, hist)
+    assert(gBad.exists(g => math.abs(g - 1300.0 / 12000.0) < 1e-9), gBad)
+    assert(CpuBand.suspect(fBad, gBad))
+    assert(CpuBand.suspect(fBad, None), "cpu factor alone must flag")
+    assert(CpuBand.suspect(None, gBad), "gc factor alone must flag")
+    // normal adjacent-run wobble (0.8-1.25) and even a throttle-window
+    // cpu inflation (~1.45, r14 A-B-A brackets) must NOT flag
+    for (r <- Seq(0.8, 1.0, 1.25, 1.45)) {
+      val cur = (1 to 12).map(i => f"cpu_q$i%02d" -> 6.0 * r).toMap
+      assert(!CpuBand.suspect(CpuBand.factor(cur, hist), CpuBand.gcFactor(12000.0 * r, hist)),
+        s"ratio $r flagged")
+    }
+    // an over-reading meter (>1.8x) flags too
+    val over = (1 to 12).map(i => f"cpu_q$i%02d" -> 12.0).toMap
+    assert(CpuBand.suspect(CpuBand.factor(over, hist), None))
+    // fewer than MinComparable meaningful queries -> no judgment
+    val thinHist = Map("a" -> Seq(5.0, 5.0, 5.0))
+    assert(CpuBand.factor(Map("a" -> 1.0), thinHist).isEmpty)
+    assert(!CpuBand.suspect(CpuBand.factor(Map("a" -> 1.0), thinHist), None))
+    // the GC pseudo-row never enters the cpu factor
+    assert(CpuBand.factor(
+      (1 to 9).map(i => f"cpu_q$i%02d" -> 6.0).toMap + (CpuBand.GcTotalRow -> 9000.0),
+      hist).isEmpty, "9 queries + the pseudo-row must stay below MinComparable")
+    // json fragment shape (artifact consumers parse it)
+    assert(CpuBand.json(fBad, gBad) ==
+      """"cpu_factor":0.317,"gc_factor":0.108,"cpu_suspect":true""")
+    assert(CpuBand.json(None, None) ==
+      """"cpu_factor":null,"gc_factor":null,"cpu_suspect":false""")
+  }
+
   test("preflight json roundtrips through parse and prints the header verdict") {
     val j = "{" + QuietBox.json(Seq(1.402, 1.061), quiet = true) + "}"
     assert(QuietBox.parse(j).contains((Seq(1.402, 1.061), 2, 1.061, true)))
