@@ -4454,6 +4454,38 @@ object RelationalQueries {
           |ORDER BY 1 , 3 DESC , 2""".stripMargin)
     },
 
+    // ----- O40: extensions inside SET-OPERATION arms (fuzz P7) -----
+    // The sharpest executable P7 shape: a PARENTHESIZED first arm whose
+    // DISTINCT ON owns its own ORDER BY (an unparenthesized arm is
+    // refused — its trailing ORDER BY would belong to the compound and
+    // the per-key pick would be arbitrary), UNION ALL, a last arm whose
+    // QUALIFY predicate span must stop at nothing (the compound ORDER
+    // BY stays OUTSIDE its wrap), a comment and a string literal both
+    // spelling 'UNION ALL SELECT', and ordinal compound sort keys.
+    // DuckDB runs the identical text natively; before the P7 fix a
+    // first-arm DISTINCT ON swallowed the whole compound into its
+    // subquery and a last-arm one consumed the compound ORDER BY.
+    "o40_setop_arm_extensions" -> QueryDef.sql(
+      """( SELECT DISTINCT ON (o_orderpriority) o_orderpriority , o_orderkey , o_totalprice
+        |FROM orders WHERE o_orderkey % 7 = 0 -- UNION ALL SELECT (trap)
+        |ORDER BY o_orderpriority , o_totalprice DESC , o_orderkey )
+        |UNION ALL
+        |SELECT 'Z-' || o_orderpriority , o_orderkey , o_totalprice
+        |FROM orders WHERE o_orderpriority <> ' UNION ALL SELECT '
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC , o_orderkey) <= 2
+        |ORDER BY 1 , 3 DESC , 2""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_o40_orders")
+      s.sql(
+        """( SELECT DISTINCT ON (o_orderpriority) o_orderpriority , o_orderkey , o_totalprice
+          |FROM graft_o40_orders WHERE o_orderkey % 7 = 0 -- UNION ALL SELECT (trap)
+          |ORDER BY o_orderpriority , o_totalprice DESC , o_orderkey )
+          |UNION ALL
+          |SELECT 'Z-' || o_orderpriority , o_orderkey , o_totalprice
+          |FROM graft_o40_orders WHERE o_orderpriority <> ' UNION ALL SELECT '
+          |QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC , o_orderkey) <= 2
+          |ORDER BY 1 , 3 DESC , 2""".stripMargin)
+    },
+
     // ----- O28: FROM-first under ADVERSARIAL text -----
     // The hostile-text gate for the seventh extension: FROM-first
     // NESTED inside a parenthesized FROM-first (both legal positions

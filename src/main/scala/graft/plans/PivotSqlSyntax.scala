@@ -336,7 +336,8 @@ object PivotSqlSyntax {
       val ki = evs.indices.find { k =>
         val e = evs(k)
         e.kind == 0 && e.up == "PIVOT" &&
-          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k))
+          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k) ||
+            QualifySqlSyntax.afterSetOp(evs, k))
       }
       ki match {
         case None => more = false
@@ -586,7 +587,8 @@ object UnpivotSqlSyntax {
       val ki = evs.indices.find { k =>
         val e = evs(k)
         e.kind == 0 && e.up == "UNPIVOT" &&
-          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k))
+          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k) ||
+            QualifySqlSyntax.afterSetOp(evs, k))
       }
       ki match {
         case None => more = false

@@ -306,6 +306,60 @@ object QualifySqlSyntax {
     }
   }
 
+  /** Is the word event at `k` a SET OPERATION? UNION / INTERSECT /
+    * MINUS always are; EXCEPT is ambiguous with Spark's select-list
+    * `* EXCEPT (cols)` — that form's paren holds a COLUMN LIST, never a
+    * query, so EXCEPT-before-`(` is a set operation only when the first
+    * word inside the paren opens a query (fuzz P7). */
+  private[plans] def isSetOp(evs: Vector[Ev], k: Int): Boolean = {
+    val e = evs(k)
+    e.kind == 0 && (e.up match {
+      case "UNION" | "INTERSECT" | "MINUS" => true
+      case "EXCEPT" =>
+        evs.lift(k + 1) match {
+          case Some(n) if n.kind == 0 => true // EXCEPT ALL|DISTINCT|SELECT|FROM …
+          case Some(n) if n.kind == 1 =>
+            val w = evs.indexWhere(x => x.kind == 0, k + 2)
+            w >= 0 && Set("SELECT", "FROM", "WITH", "VALUES", "TABLE",
+              "PIVOT", "UNPIVOT").contains(evs(w).up)
+          case _ => false
+        }
+      case _ => false
+    })
+  }
+
+  /** Is event `k` positioned directly after a set-operation marker
+    * (UNION / INTERSECT / EXCEPT / MINUS, optionally followed by
+    * ALL|DISTINCT) at its own depth — i.e. at the START of a compound's
+    * next arm? DuckDB admits its statement forms (FROM-first, PIVOT,
+    * UNPIVOT) there, a position the start-of-statement/after-paren/
+    * prelude-end triggers miss (fuzz P7). */
+  private[plans] def afterSetOp(evs: Vector[Ev], k: Int): Boolean = {
+    if (k == 0) return false
+    val p = evs(k - 1)
+    if (p.kind != 0 || p.depth != evs(k).depth) false
+    else if ((p.up == "ALL" || p.up == "DISTINCT") && k >= 2)
+      evs(k - 2).kind == 0 && evs(k - 2).depth == p.depth && isSetOp(evs, k - 2)
+    else isSetOp(evs, k - 1)
+  }
+
+  /** Is the block whose events sit at depth `depth` around index `at`
+    * an ARM of a set-operation compound? Scans only the block's own
+    * PAREN GROUP (same depth alone is not enough — a sibling subquery
+    * elsewhere in the statement can carry a UNION at the same depth):
+    * the group spans from the enclosing `(` to its `)`, or the whole
+    * statement at depth 0. A trailing ORDER BY after any such compound
+    * belongs to the COMPOUND, not to an arm — both engines (DuckDB
+    * probed: the arm's DISTINCT ON pick ignores it; `ORDER BY x UNION`
+    * is a parse error). */
+  private[plans] def inSetOpCompound(evs: Vector[Ev], at: Int, depth: Int): Boolean = {
+    var lo = at
+    while (lo > 0 && !(evs(lo - 1).kind == 1 && evs(lo - 1).depth == depth - 1)) lo -= 1
+    var hi = at
+    while (hi < evs.length && !(evs(hi).kind == 2 && evs(hi).depth == depth - 1)) hi += 1
+    (lo until hi).exists(k => evs(k).depth == depth && isSetOp(evs, k))
+  }
+
   /** Words that appear bare inside expressions without naming a column. */
   private val ExprKeywords = Set(
     "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT", "NULL",
@@ -470,8 +524,31 @@ object QualifySqlSyntax {
             if (ord.isEmpty) fail("empty ORDER BY list")
             Some((ordEnd, PivotSqlSyntax.splitTop(ord)))
           } else None
+        // SET-OPERATION ARM (fuzz P7): when this QUALIFY block is an
+        // unparenthesized arm of a compound, the trailing ORDER BY
+        // belongs to the WHOLE compound — materializing its qualified
+        // items as helper columns INSIDE this arm would emit an outer
+        // sort on a column the compound's output doesn't carry. Leave
+        // the tail untouched (the wrap itself is arm-local and
+        // correct); a qualified-ref compound sort is refused loudly —
+        // it can only resolve inside one arm.
+        val ordInfoFinal =
+          if (ordInfo.isEmpty || !inSetOpCompound(evs, qi, q.depth)) ordInfo
+          else {
+            ordInfo.get._2.foreach { item =>
+              val (expr, _) = splitOrderItem(item, fail)
+              if (hasQualifiedRef(expr))
+                fail(s"ORDER BY item '${item.trim}' references a table-" +
+                  "qualified column, but this QUALIFY block is an arm of a " +
+                  "set operation — the trailing ORDER BY sorts the whole " +
+                  "compound, where table qualifiers don't resolve; sort by " +
+                  "output columns, or parenthesize the arm with its own " +
+                  "ORDER BY")
+            }
+            None
+          }
         lazy val aliases = selectListAliases(sql.substring(sel.end, frm.pos))
-        val parts = ordInfo.map(_._2.zipWithIndex.map { case (item, i) =>
+        val parts = ordInfoFinal.map(_._2.zipWithIndex.map { case (item, i) =>
           val (expr, mods) = splitOrderItem(item, fail)
           if (hasQualifiedRef(expr)) {
             // MIXED REFERENCES (r12 advisor): materializing the item
@@ -510,7 +587,7 @@ object QualifySqlSyntax {
             helpers.map(_._1).mkString +
             sql.substring(frm.pos, q.pos).trim + s"\n) $alias WHERE $qcol " +
             s"ORDER BY ${parts.map(_._2).mkString("\n, ")}\n" +
-            sql.substring(ordInfo.get._1)
+            sql.substring(ordInfoFinal.get._1)
         idx += 1
       }
     }
@@ -593,6 +670,23 @@ object DistinctOnSqlSyntax {
           if (k == 0 || evs(k - 1).kind != 0 || evs(k - 1).up != "SELECT" ||
               evs(k - 1).depth != d.depth)
             fail("DISTINCT ON must directly follow SELECT")
+          // SET-OPERATION ARM (fuzz P7): an unparenthesized arm can
+          // never own the trailing ORDER BY — it sorts the WHOLE
+          // compound (DuckDB-probed; `ORDER BY x UNION` is a parse
+          // error in both engines), so the arm's DISTINCT ON would keep
+          // an arbitrary row per key, which this extension refuses by
+          // policy. Before this check, a FIRST-arm DISTINCT ON silently
+          // wrapped the entire compound inside its subquery (the
+          // injected window then filtered the union of all arms — wrong
+          // rows whenever the arms' arities happened to line up), and a
+          // LAST-arm one consumed the compound ORDER BY into helper
+          // columns the compound's output doesn't carry.
+          if (QualifySqlSyntax.inSetOpCompound(evs, k, d.depth))
+            fail("DISTINCT ON inside a set-operation arm needs its own " +
+              "ORDER BY, and a trailing ORDER BY belongs to the whole " +
+              "compound (the per-key pick would be arbitrary); " +
+              "parenthesize the arm: (SELECT DISTINCT ON (...) ... " +
+              "ORDER BY ...) UNION ...")
           val sel = evs(k - 1)
           // matching close paren of the key list
           val openDepth = evs(k + 2).depth

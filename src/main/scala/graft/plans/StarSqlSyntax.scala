@@ -289,7 +289,8 @@ object FromFirstSqlSyntax {
       val ki = evs.indices.find { k =>
         val e = evs(k)
         e.kind == 0 && e.up == "FROM" &&
-          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k))
+          (k == 0 || evs(k - 1).kind == 1 || prelude.contains(k) ||
+            QualifySqlSyntax.afterSetOp(evs, k))
       }
       ki match {
         case None => more = false

@@ -522,6 +522,141 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     assert(e3.getMessage.contains("star select item"), e3.getMessage)
   }
 
+  // ----- P7: set-operation compound bodies (r14 verdict #5) -----
+  // UNION / UNION ALL / EXCEPT / INTERSECT between a decorated extension
+  // statement and a plain select is DuckDB-legal and the one statement
+  // SHAPE the rewriters' span-scanners had never been fuzzed against —
+  // they assumed one SELECT spine, so a second top-level SELECT after
+  // UNION was exactly the o33/o39-class lexical hazard. Inspection
+  // found it before the fuzz did: a FIRST-arm DISTINCT ON wrapped the
+  // ENTIRE compound inside its subquery (silent wrong rows when arm
+  // arities line up), and a LAST-arm one consumed the compound-level
+  // ORDER BY into helper columns the compound's output doesn't carry.
+  // Both now refuse loudly (an unparenthesized arm can never own the
+  // trailing ORDER BY — DuckDB-probed); FROM-first and statement
+  // PIVOT/UNPIVOT gained the after-set-op trigger position; the
+  // select-list `* EXCEPT (cols)` form is disambiguated from the
+  // set-operation EXCEPT. Every core is DuckDB-legal (probed) and
+  // self-differential like P2/P3.
+  private val SetOpCores = Seq(
+    // QUALIFY in the FIRST arm: the predicate span must stop at UNION
+    "union_qualify_first" -> ("SELECT o_orderkey , o_totalprice , § AS tag FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
+      "UNION ALL SELECT o_orderkey , o_totalprice , 'u' FROM fuzz_t WHERE o_totalprice > 250 " +
+      "ORDER BY 1 , 2"),
+    // QUALIFY in the LAST arm: the compound ORDER BY stays OUTSIDE the wrap
+    "union_qualify_last" -> ("SELECT o_orderkey , o_totalprice , 'u' AS tag FROM fuzz_t " +
+      "WHERE o_totalprice > 250 " +
+      "UNION ALL SELECT o_orderkey , o_totalprice , § AS tag FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
+      "ORDER BY 1 , 2"),
+    // QUALIFY in the MIDDLE arm of three
+    "union_qualify_middle" -> ("SELECT o_orderkey , o_totalprice FROM fuzz_t WHERE o_totalprice > 250 " +
+      "UNION ALL SELECT o_orderkey , o_totalprice FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
+      "UNION ALL SELECT 0 , 0 ORDER BY 1 , 2"),
+    // DISTINCT ON arms must be PARENTHESIZED with their own ORDER BY
+    "union_don_paren_first" -> ("( SELECT DISTINCT ON (o_prio) o_orderkey , o_totalprice FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY o_prio , o_totalprice DESC , o_orderkey ) " +
+      "UNION ALL SELECT o_orderkey , o_totalprice FROM fuzz_t WHERE o_totalprice > 250 " +
+      "ORDER BY 1 , 2"),
+    "union_don_paren_last" -> ("SELECT o_orderkey , o_totalprice FROM fuzz_t WHERE o_totalprice > 250 " +
+      "UNION ALL ( SELECT DISTINCT ON (o_prio) o_orderkey , o_totalprice FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY o_prio , o_totalprice DESC , o_orderkey ) " +
+      "ORDER BY 1 , 2"),
+    // star EXCLUDE against the set-operation EXCEPT in one statement
+    "except_exclude" -> ("SELECT * EXCLUDE (o_totalprice) FROM fuzz_t " +
+      "EXCEPT SELECT o_orderkey , o_prio FROM fuzz_t WHERE o_prio = 'C' ORDER BY 1"),
+    // Spark's native select-list `* EXCEPT (cols)` + the set-op EXCEPT
+    // + a last-arm QUALIFY: the compound detector must read the first
+    // EXCEPT as a column list and the second as the set operation
+    "except_selectlist_vs_setop" -> ("SELECT * EXCEPT (o_prio) FROM fuzz_t " +
+      "EXCEPT SELECT o_orderkey , o_totalprice FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 1 " +
+      "ORDER BY 1"),
+    "intersect_qualify" -> ("SELECT o_orderkey FROM fuzz_t " +
+      "QUALIFY row_number() OVER (PARTITION BY o_prio ORDER BY o_totalprice DESC , o_orderkey) <= 2 " +
+      "INTERSECT SELECT o_orderkey FROM fuzz_t WHERE § <> 'zz' ORDER BY 1"),
+    // star REPLACE in the second arm (per-SELECT scanners, not triggers)
+    "union_replace_arm2" -> ("SELECT o_orderkey , o_totalprice , o_prio FROM fuzz_t " +
+      "WHERE o_totalprice > 250 " +
+      "UNION ALL SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) FROM fuzz_t " +
+      "WHERE § <> 'zz' ORDER BY 1 , 2"),
+    // EXCLUDE in BOTH arms under distinct UNION
+    "union_exclude_both" -> ("SELECT * EXCLUDE (o_totalprice) FROM fuzz_t " +
+      "UNION SELECT * EXCLUDE (o_totalprice) FROM fuzz_t WHERE § <> 'zz' ORDER BY 1"),
+    // FROM-first as the SECOND arm — the after-set-op trigger position
+    "union_from_first_arm2" -> ("SELECT o_orderkey , o_totalprice FROM fuzz_t WHERE o_totalprice > 250 " +
+      "UNION ALL FROM fuzz_t SELECT o_orderkey , o_totalprice WHERE o_totalprice > 150 " +
+      "ORDER BY 1 , 2"),
+    // FROM-first as the FIRST arm (start-of-statement trigger + UNION tail)
+    "union_from_first_arm1" -> ("FROM fuzz_t SELECT o_orderkey , o_totalprice WHERE o_totalprice > 150 " +
+      "UNION ALL SELECT o_orderkey , o_totalprice FROM fuzz_t WHERE o_totalprice > 250 " +
+      "ORDER BY 1 , 2"),
+    // statement PIVOT as the FIRST arm: its tail scan must stop at UNION
+    "union_pivot_arm1" -> ("PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY o_orderkey UNION ALL SELECT 99 , 1 , 2 ORDER BY 1"),
+    // statement PIVOT as the SECOND arm — the after-set-op trigger
+    "union_pivot_arm2" -> ("SELECT 99 AS o_orderkey , 1 AS a , 2 AS b " +
+      "UNION ALL PIVOT fuzz_t ON o_prio IN ('A', 'B') USING sum(o_totalprice) " +
+      "GROUP BY o_orderkey ORDER BY 1"),
+    // ASOF JOIN inside the second arm
+    "union_asof_arm2" -> ("SELECT 0 AS k , 0 AS t , 0 AS w " +
+      "UNION ALL SELECT fuzz_e1.k , fuzz_e1.t , w FROM fuzz_e1 " +
+      "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "ORDER BY 1 , 2"),
+    // parenthesized last arm: QUALIFY + its own ORDER BY + LIMIT inside
+    // the parens (the paren group must NOT read the outer UNION as its
+    // own compound — group-scoped detection)
+    "union_paren_qualify_limit" -> ("SELECT 0 AS k , 0 AS w " +
+      "UNION ALL ( SELECT fuzz_e1.k , w FROM fuzz_e1 " +
+      "ASOF JOIN fuzz_e2 ON fuzz_e1.k = fuzz_e2.k AND fuzz_e2.t2 <= fuzz_e1.t " +
+      "QUALIFY row_number() OVER (PARTITION BY fuzz_e1.k ORDER BY fuzz_e1.t DESC) <= 1 " +
+      "ORDER BY fuzz_e1.k DESC LIMIT 2 ) ORDER BY 1 , 2"))
+
+  test("P7: set-operation compound bodies compose with every extension (510 seeds)") {
+    views
+    SetOpCores.foreach { case (name, core) =>
+      val plain = spark.sql(core.replace("§", "'p'")).collect()
+        .map(_.toSeq.toList).toList
+      assert(plain.nonEmpty, s"$name: empty plain result\n$core")
+      samples(decorate(core, 0), 30, 0xF022AL + name.hashCode).zipWithIndex
+        .foreach { case (sql, i) =>
+          val got =
+            try spark.sql(sql).collect().map(_.toSeq.toList).toList
+            catch {
+              case e: Throwable =>
+                fail(s"$name seed $i failed to execute:\n$sql\n${e.getMessage}")
+            }
+          assert(got.length == plain.length,
+            s"$name seed $i row count ${got.length} != ${plain.length}:\n$sql")
+          got.zip(plain).foreach { case (g, p) =>
+            assert(mask(g) == mask(p), s"$name seed $i row mismatch:\n$sql\ngot  $g\nwant $p")
+          }
+        }
+    }
+    // the refusals stay loud under decoration: an unparenthesized
+    // DISTINCT ON arm (first and last), and a qualified-ref compound
+    // ORDER BY after a last-arm QUALIFY
+    val donFirst = "SELECT DISTINCT ON (o_prio) o_prio , o_orderkey FROM fuzz_t " +
+      "UNION ALL SELECT o_prio , o_orderkey FROM fuzz_t ORDER BY 1 , 2"
+    samples(decorate(donFirst, 0), 5, 0xF022BL).foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("set-operation arm"), sql)
+    }
+    val donLast = "SELECT o_prio , o_orderkey FROM fuzz_t " +
+      "UNION ALL SELECT DISTINCT ON (o_prio) o_prio , o_orderkey FROM fuzz_t ORDER BY 1 , 2"
+    samples(decorate(donLast, 0), 5, 0xF022CL).foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("set-operation arm"), sql)
+    }
+    val qualRef = "SELECT k , v FROM fuzz_e1_kv UNION ALL SELECT k , v FROM fuzz_e1_kv " +
+      "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) <= 1 ORDER BY fuzz_e1_kv.k"
+    Seq((1L, 2L)).toDF("k", "v").createOrReplaceTempView("fuzz_e1_kv")
+    val eq = intercept[Exception](spark.sql(qualRef).collect())
+    assert(eq.getMessage.contains("set operation"), eq.getMessage)
+  }
+
   test("SOAK: shifted-seed decoration sweep over every core family (env-gated)") {
     // not part of the CI suite: set GRAFT_FUZZ_SOAK=<seeds-per-core> to
     // run N fresh decorations per core from a DIFFERENT seed base than
@@ -532,7 +667,7 @@ class SqlRewriterFuzzSpec extends SparkFunSuite {
     assume(n.nonEmpty, "set GRAFT_FUZZ_SOAK=<seeds-per-core> to run the soak")
     views
     val families = Seq("P2" -> Cores, "P3" -> ComposedCores, "P5" -> AllCores,
-      "P6o" -> OrdinalCores,
+      "P6o" -> OrdinalCores, "P7" -> SetOpCores,
       "P6r" -> RecursiveBodies.map { case (nm, b) =>
         nm -> (if (nm == "rec_second_cte") RecursivePrelude.trim + b
                else RecursivePrelude + b)
