@@ -5338,11 +5338,41 @@ object RelationalQueries {
           .as("k"))
       .distinct()
       .localCheckpoint()
+    // banded verify: the 3-arg levenshtein computes only the |k|<=1
+    // diagonal band and early-exits (returns -1 above the threshold) —
+    // O(len) instead of the full O(len^2) DP, which at the ER-100x
+    // audit point (219M candidates) was ~10x of the join stage's cpu
+    // sort-merge DELIBERATELY (measured at the ER-100x audit point,
+    // 1.5M names / 25M keys / 16 GB / 32 threads): a SHUFFLE_HASH hint
+    // dies with cannotAcquireMemoryToBuildUnsafeHashedRelation — the
+    // hashed-relation build is NOT spillable, so at tight
+    // memory-per-core every concurrent task demands its full build map
+    // at once (the same failure class the pagerank shape audit hit at
+    // 1000x). SMJ's external sorts ARE spillable: at 0.5 GB/thread
+    // they degrade gracefully (13 GB spilled, job completes); at a
+    // real executor's 4-5 GB/core the per-task sort state
+    // (keyRows/partitions) fits outright and the spill is zero
+    // (measured: 48 GB heap -> zero spill, same plan).
     keys.select(col("name").as("na"), col("k"))
       .join(keys.select(col("name").as("nb"), col("k")), Seq("k"))
       .filter(col("na") < col("nb") &&
-        levenshtein(col("na"), col("nb")) <= 1) // verify before the distinct
-      .select("na", "nb").distinct()
+        levenshtein(col("na"), col("nb"), 1) >= 0)
+      .select("na", "nb")
+    // NO distinct — each verified pair appears EXACTLY once, because a
+    // lev<=1 pair shares exactly ONE key after the per-name key dedup
+    // above: a substitution pair's only shared key is the
+    // delete-the-differing-position string (deleting anywhere else
+    // keeps the mismatch; run structure collapses under the dedup),
+    // and an indel pair's only shared key is the shorter name itself
+    // (its identity key — unequal lengths keep every other cross pair
+    // apart). A second distinct shared key would force two differing
+    // positions, i.e. lev >= 2. Pinned by RobustOpsSpec's exactly-once
+    // multiplicity assertion and checked on the 39.75M-pair ER-100x
+    // audit corpus (occurrences == distinct pairs). Dropping the
+    // distinct removes BOTH spilling aggregate phases the r15 stage
+    // audit attributed (9.7 + 12.9 GB at 1.5M names): the pair-level
+    // hash state was the whole exchange cost, and it was deduping
+    // rows that were already unique.
   }
 
   /** Branch-ordered classification of interval (sa, ea) against

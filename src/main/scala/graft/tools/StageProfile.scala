@@ -24,7 +24,7 @@ object StageProfile {
 
     final case class Agg(var cpuNs: Long = 0, var runMs: Long = 0,
         var inMb: Double = 0, var shRdMb: Double = 0, var shWrMb: Double = 0,
-        var tasks: Int = 0, var name: String = "")
+        var spillMb: Double = 0, var tasks: Int = 0, var name: String = "")
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, Agg]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageSubmitted(
@@ -44,6 +44,7 @@ object StageProfile {
             a.shRdMb += (m.shuffleReadMetrics.localBytesRead +
               m.shuffleReadMetrics.remoteBytesRead) / 1e6
             a.shWrMb += m.shuffleWriteMetrics.bytesWritten / 1e6
+            a.spillMb += (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6
             a.tasks += 1
           }
         }
@@ -67,10 +68,10 @@ object StageProfile {
     import scala.jdk.CollectionConverters._
     val rows = stages.asScala.toSeq.sortBy(-_._2.cpuNs)
     println(f"STAGEPROFILE $name wall=$wall%.2f s, measured run (post-warm)")
-    println("stageId  cpu_s  run_s  tasks  in_mb  shRd_mb  shWr_mb  name")
+    println("stageId  cpu_s  run_s  tasks  in_mb  shRd_mb  shWr_mb  spill_mb  name")
     rows.foreach { case (id, a) =>
       println(f"$id%7d  ${a.cpuNs / 1e9}%5.2f  ${a.runMs / 1e3}%5.2f  ${a.tasks}%5d  " +
-        f"${a.inMb}%5.0f  ${a.shRdMb}%7.1f  ${a.shWrMb}%7.1f  ${a.name}")
+        f"${a.inMb}%5.0f  ${a.shRdMb}%7.1f  ${a.shWrMb}%7.1f  ${a.spillMb}%8.0f  ${a.name}")
     }
     println(f"TOTAL cpu=${rows.map(_._2.cpuNs).sum / 1e9}%.2f s over ${rows.size} stages")
     spark.stop()

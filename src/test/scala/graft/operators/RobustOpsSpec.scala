@@ -20,8 +20,15 @@ class RobustOpsSpec extends SparkFunSuite {
       (1 to len).map(_ => alpha((rng.nextLong().abs % alpha.length).toInt)).mkString
     }.distinct
     val names = words.toDF("name").localCheckpoint()
-    val got = RelationalQueries.symspellPairs(names)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val gotRows = RelationalQueries.symspellPairs(names)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // exactly-once multiplicity: symspellPairs emits each verified pair
+    // ONCE without a distinct (a lev<=1 pair shares exactly one deduped
+    // deletion key — the spill-audit fix relies on this)
+    assert(gotRows.size == gotRows.distinct.size,
+      s"duplicate pair emissions: ${gotRows.groupBy(identity).collect {
+        case (p, occ) if occ.size > 1 => p }.take(5)}")
+    val got = gotRows.toSet
     val brute = names.select(col("name").as("na"))
       .crossJoin(names.select(col("name").as("nb")))
       .filter(col("na") < col("nb") && levenshtein(col("na"), col("nb")) <= 1)
