@@ -477,7 +477,7 @@ object Bench {
       import org.apache.spark.sql.functions._
       val docs = graft.util.Tables.documents(spark, sfDir)
       val distinctTokens = docs
-        .select(explode_outer(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .select(explode_outer(graft.functions.WsTokens.ws_tokens(col("text"))).as("t"))
         .agg(countDistinct(col("t"))).first().getLong(0)
       val nDocs = docs.count()
       val maxBucket = operators.SignatureStore.ensureMinhashBands(spark, sfDir)

@@ -154,6 +154,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "ac_matches takes exactly 2 arguments")
         graft.functions.AcMatches(children.head, children(1))
       }))
+    // per-row code-point frequency map (text_char_entropy's aggregate-
+    // before-shuffle replacement for the per-character explode)
+    ext.injectFunction((
+      new FunctionIdentifier("char_counts"),
+      new ExpressionInfo(classOf[graft.functions.CharCounts].getName, "char_counts"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "char_counts takes exactly 1 argument")
+        graft.functions.CharCounts(children.head)
+      }))
+    // head-60-of-md5 hash bucket (the oracle's ('0x'||substr(md5,1,15))
+    // convention) without the builtin md5→substring→conv string chain
+    ext.injectFunction((
+      new FunctionIdentifier("md5_head60"),
+      new ExpressionInfo(classOf[graft.functions.Md5Head60].getName, "md5_head60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "md5_head60 takes exactly 1 argument")
+        graft.functions.Md5Head60(children.head)
+      }))
+    // corpus tokenizer: split(trim(lower(text)), '\s+') as one byte-scan
+    // expression (and its array-free size() twin) — see WsTokens scaladoc
+    ext.injectFunction((
+      new FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[graft.functions.WsTokens].getName, "ws_tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "ws_tokens takes exactly 1 argument")
+        graft.functions.WsTokens(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[graft.functions.WsTokenCount].getName, "ws_token_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "ws_token_count takes exactly 1 argument")
+        graft.functions.WsTokenCount(children.head)
+      }))
     // native count-min fold: one 4096-cell Long buffer per group,
     // element-wise ADD merge (exact — split-invariant bit-for-bit)
     ext.injectFunction((

@@ -47,8 +47,11 @@ case class CountMinAgg(
   private val Width = 1024
   private val N = Depth * Width
 
-  @transient private lazy val md5 =
-    java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val md5k = new Md5Kernel
+  // reusable "<digit>#<token-utf8>" scratch — the former per-token
+  // j.toString + "#" + tok String/byte[] allocations (×4 depths) were
+  // most of this aggregate's CPU; the bytes hashed are identical.
+  @transient private var scratch: Array[Byte] = _
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](N)
 
@@ -56,17 +59,20 @@ case class CountMinAgg(
     val t = left.eval(input)
     val w = right.eval(input)
     if (t != null && w != null) {
-      val tok = t.asInstanceOf[UTF8String].toString
+      val tok = t.asInstanceOf[UTF8String]
       val cnt = w.asInstanceOf[Long]
+      val tb = tok.numBytes
+      if (scratch == null || scratch.length < tb + 2)
+        scratch = new Array[Byte](math.max(tb + 2, 64))
+      tok.writeToMemory(scratch,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 2)
+      scratch(1) = '#'
       var j = 0
       while (j < Depth) {
-        md5.reset()
-        val d = md5.digest((j.toString + "#" + tok).getBytes("UTF-8"))
+        scratch(0) = ('0' + j).toByte
+        md5k.digest(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, tb + 2)
         // first 15 hex chars = the top 60 bits of the big-endian head
-        var h = 0L
-        var b = 0
-        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-        h = h >>> 4
+        val h = md5k.hi >>> 4
         buf(j * Width + (h % Width).toInt) += cnt
         j += 1
       }

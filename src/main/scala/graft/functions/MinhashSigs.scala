@@ -58,14 +58,24 @@ object MinhashSigs {
   }
 
   def compute(text: UTF8String): ArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val n = math.max(text.numChars() - 4, 1)
+    // Allocation-free per shingle: one Md5Kernel digest over the row's
+    // byte buffer (char offsets walked once) replaces the former
+    // MessageDigest + substringSQL + getBytes per-shingle allocations —
+    // same digests, same head-60 convention, ~5× less task CPU on the
+    // dedup family (OPTIMIZATION_r15.md).
+    val md = new Md5Kernel
+    val starts = Md5Kernel.charStarts(text)
+    val nc = starts.length - 1
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = math.max(nc - 4, 1)
     val mins = Array.fill(8)(Long.MaxValue)
-    var i = 1
-    while (i <= n) {
-      md.reset()
-      val h = head60(md.digest(text.substringSQL(i, 5).getBytes))
-      val hm = h % P
+    var i = 0
+    while (i < n) {
+      val s = starts(i)
+      val e = starts(math.min(i + 5, nc))
+      md.digest(base, off + s, e - s)
+      val hm = md.head60 % P
       var k = 0
       while (k < 8) {
         val v = (hm * (2 * k + 3) + 31 * k) % P
@@ -110,35 +120,37 @@ case class MinShingleMd5(child: Expression) extends UnaryExpression {
 object MinShingleMd5 {
   private val HexDigits = "0123456789abcdef".toCharArray
 
-  /** Unsigned byte-array compare (≡ lexicographic compare of the hex
-    * encodings — every digest is exactly 16 bytes / 32 hex chars). */
-  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < 16) {
-      val ai = a(i) & 0xFF
-      val bi = b(i) & 0xFF
-      if (ai != bi) return ai < bi
-      i += 1
-    }
-    false
-  }
-
   def compute(text: UTF8String): UTF8String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val n = math.max(text.numChars() - 4, 1)
-    var min: Array[Byte] = null
-    var i = 1
-    while (i <= n) {
-      md.reset()
-      val d = md.digest(text.substringSQL(i, 5).getBytes)
-      if (min == null || lessThan(d, min)) min = d
+    // Allocation-free Md5Kernel digests; the unsigned 128-bit minimum is
+    // tracked as two big-endian longs ((hi, lo) compare ≡ the former
+    // byte-array compare ≡ hex-string order).
+    val md = new Md5Kernel
+    val starts = Md5Kernel.charStarts(text)
+    val nc = starts.length - 1
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = math.max(nc - 4, 1)
+    var minHi = -1L // unsigned max
+    var minLo = -1L
+    var i = 0
+    while (i < n) {
+      val s = starts(i)
+      val e = starts(math.min(i + 5, nc))
+      md.digest(base, off + s, e - s)
+      val hi = md.hi
+      val lo = md.lo
+      val cmp = java.lang.Long.compareUnsigned(hi, minHi)
+      if (cmp < 0 || (cmp == 0 && java.lang.Long.compareUnsigned(lo, minLo) < 0)) {
+        minHi = hi; minLo = lo
+      }
       i += 1
     }
     val out = new Array[Char](32)
     var b = 0
     while (b < 16) {
-      out(2 * b) = HexDigits((min(b) & 0xFF) >>> 4)
-      out(2 * b + 1) = HexDigits(min(b) & 0x0F)
+      val v = (if (b < 8) minHi >>> ((7 - b) * 8) else minLo >>> ((15 - b) * 8)).toInt & 0xFF
+      out(2 * b) = HexDigits(v >>> 4)
+      out(2 * b + 1) = HexDigits(v & 0x0F)
       b += 1
     }
     UTF8String.fromString(new String(out))
@@ -181,7 +193,7 @@ case class SimhashSig(child: Expression) extends UnaryExpression {
 
 object SimhashSig {
   def compute(toks: ArrayData): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = new Md5Kernel
     val seen = new java.util.HashSet[UTF8String]()
     val ones = new Array[Int](60)
     var n = 0
@@ -192,12 +204,8 @@ object SimhashSig {
         val t = toks.getUTF8String(i)
         if (seen.add(t)) {
           n += 1
-          md.reset()
-          val d = md.digest(t.getBytes)
-          var h = 0L
-          var b = 0
-          while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
-          h = (h << 4) | ((d(7) & 0xFF) >>> 4)
+          md.digest(t) // zero-copy over the token's backing buffer
+          val h = md.head60
           var j = 0
           while (j < 60) { if (((h >>> j) & 1L) == 1L) ones(j) += 1; j += 1 }
         }
@@ -302,14 +310,19 @@ case class OphSlots(child: Expression) extends UnaryExpression {
 
 object OphSlots {
   def compute(text: UTF8String): ArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val n = math.max(text.numChars() - 4, 1)
+    val md = new Md5Kernel
+    val starts = Md5Kernel.charStarts(text)
+    val nc = starts.length - 1
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = math.max(nc - 4, 1)
     val mins = Array.fill(8)(Long.MaxValue)
-    var i = 1
-    while (i <= n) {
-      md.reset()
-      val h = MinhashSigs.head60(md.digest(text.substringSQL(i, 5).getBytes))
-      val v = h % MinhashSigs.P
+    var i = 0
+    while (i < n) {
+      val s = starts(i)
+      val e = starts(math.min(i + 5, nc))
+      md.digest(base, off + s, e - s)
+      val v = md.head60 % MinhashSigs.P
       val b = (v % 8).toInt
       if (v < mins(b)) mins(b) = v
       i += 1

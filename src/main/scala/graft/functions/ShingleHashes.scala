@@ -77,13 +77,22 @@ object ShingleHashes {
   }
 
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val count = math.max(text.numChars() - (n - 1), 1)
+    // Allocation-free Md5Kernel over the row's byte buffer (see
+    // Md5Kernel scaladoc) — same digests as the former MessageDigest +
+    // substringSQL + getBytes per-shingle path.
+    val md = new Md5Kernel
+    val starts = Md5Kernel.charStarts(text)
+    val nc = starts.length - 1
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val count = math.max(nc - (n - 1), 1)
     val hs = new Array[Long](count)
-    var i = 1
-    while (i <= count) {
-      md.reset()
-      hs(i - 1) = head60(md.digest(text.substringSQL(i, n).getBytes))
+    var i = 0
+    while (i < count) {
+      val s = starts(i)
+      val e = starts(math.min(i + n, nc))
+      md.digest(base, off + s, e - s)
+      hs(i) = md.head60
       i += 1
     }
     java.util.Arrays.sort(hs)

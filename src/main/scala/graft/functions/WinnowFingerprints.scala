@@ -84,13 +84,21 @@ object WinnowFingerprints {
 
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
     require(k >= 1 && w >= 1, s"winnow_fingerprints needs k ≥ 1, w ≥ 1 (got $k, $w)")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val g = math.max(text.numChars() - (k - 1), 1)
+    // Allocation-free Md5Kernel over the row's byte buffer (see
+    // Md5Kernel scaladoc) — same digests as the former MessageDigest path.
+    val md = new Md5Kernel
+    val starts = Md5Kernel.charStarts(text)
+    val nc = starts.length - 1
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val g = math.max(nc - (k - 1), 1)
     val hs = new Array[Long](g)
-    var i = 1
-    while (i <= g) {
-      md.reset()
-      hs(i - 1) = head60(md.digest(text.substringSQL(i, k).getBytes))
+    var i = 0
+    while (i < g) {
+      val s = starts(i)
+      val e = starts(math.min(i + k, nc))
+      md.digest(base, off + s, e - s)
+      hs(i) = md.head60
       i += 1
     }
     val nw = math.max(g - (w - 1), 1)

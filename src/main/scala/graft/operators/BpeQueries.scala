@@ -97,7 +97,7 @@ object BpeQueries {
   private def train(s: SparkSession, dir: String): Trained = {
     val words = documents(s, dir)
       .filter(col("text").isNotNull)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
     // ONE materialization of the word-frequency table (the corpus
     // scan); iterations stack bpe_merge_pair projections on top of it —
@@ -252,7 +252,7 @@ object BpeQueries {
       merges: org.apache.spark.sql.Column): DataFrame =
     TextQueries.spread(documents(s, d).filter(col("text").isNotNull))
       .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .withColumn("syms", bpe_apply_merges(
         concat(expr("regexp_extract_all(word, '.', 0)"), array(lit("</w>"))),

@@ -192,7 +192,7 @@ object CurationQueries {
       : org.apache.spark.sql.DataFrame = {
     val tok = TextQueries.spread(documents(s, d))
       .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(20)
       .select(col("token"), length(bin(col("n"))).cast("long").as("bucket"))
@@ -237,7 +237,7 @@ object CurationQueries {
   def bpeTrainMerges(s: org.apache.spark.sql.SparkSession, d: String, kMax: Int)
       : Seq[(Long, String, Long)] = {
     var vocab = documents(s, d)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("sw"))
+      .select(explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("sw"))
       .filter(length(col("sw")) >= 2)
       .groupBy("sw").agg(count(lit(1)).as("n"))
       .localCheckpoint()
@@ -743,7 +743,7 @@ object CurationQueries {
         |  ((tok_start + n_tokens - 1) // 512) - (tok_start // 512) + 1 AS n_seqs_spanned
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = documents(s, d).select(col("doc_id"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+        graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n_tokens"))
       TextQueries.cumulativeTokens(toks)
         .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
         .select(
@@ -903,7 +903,7 @@ object CurationQueries {
         |  least((seq_id + 1) * 512, tok_start + n_tokens) - greatest(seq_id * 512, tok_start) AS n_seg_tokens
         |FROM x ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
       val toks = documents(s, d).select(col("doc_id"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+        graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n_tokens"))
       val c = TextQueries.cumulativeTokens(toks)
         .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
       c.select(col("doc_id"), col("n_tokens"), col("tok_start"),
@@ -1043,7 +1043,7 @@ object CurationQueries {
           when(col("lang") === "en", 150).when(col("lang") === "de", 500)
             .when(col("lang") === "es", 800).when(col("lang") === "fr", 250)
             .when(col("lang") === "zh", 1000).otherwise(0))
-        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+        .withColumn("tk", graft.functions.WsTokens.ws_tokens(col("text")))
         .withColumn("n_tokens", size(col("tk")).cast("long"))
         .filter(col("n_tokens") >= 10)
         // pure-integer repetition gate (max/n ≤ 1/5 ⟺ 5·max ≤ n):
@@ -1101,7 +1101,7 @@ object CurationQueries {
         |FROM c QUALIFY token_id <= 1000 ORDER BY token_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val top = documents(s, d)
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .select(explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(1000)
       // Rank WITHOUT a window: limit(K) already lands the bounded result
@@ -1139,7 +1139,7 @@ object CurationQueries {
         |ORDER BY vocab_k""".stripMargin) { (s, d) =>
       import s.implicits._
       val c = documents(s, d)
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .select(explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
       // rank without a WindowExec: the vocab table is Heaps-bounded, so
       // the one-partition sort + row offset is the vocab_topk trick
@@ -1181,7 +1181,7 @@ object CurationQueries {
         |SELECT pair, n_pair FROM agg
         |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
       documents(s, d)
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .select(explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("word"))
         .filter(length(col("word")) >= 2)
         .groupBy("word").agg(count(lit(1)).as("n"))
         .select(
@@ -1227,7 +1227,7 @@ object CurationQueries {
         |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM ex GROUP BY pair
         |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
       val words = documents(s, d)
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .select(explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("word"))
         .filter(length(col("word")) >= 2)
         .groupBy("word").agg(count(lit(1)).as("n"))
       val top = words
@@ -1599,7 +1599,7 @@ object CurationQueries {
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"),
-          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+          graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n"))
         .withColumn("bucket",
           greatest(lit(64L), pow(lit(2.0), length(bin(col("n") - 1))).cast("long")))
         .groupBy("bucket")
@@ -1652,7 +1652,7 @@ object CurationQueries {
          |ORDER BY shard_id""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"), expr(s"$LcgSql % 16").as("shard_id"),
-          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+          graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n_tokens"))
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -1691,7 +1691,7 @@ object CurationQueries {
       val docs = documents(s, d)
       val bySource = docs.filter(col("source").isNotNull)
         .select(col("source"),
-          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+          graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n"))
         .groupBy("source").agg(sum("n").as("toks"))
       val mx = bySource.agg(max("toks").as("mx"))
       val rates = bySource.crossJoin(broadcast(mx))
@@ -1915,7 +1915,7 @@ object CurationQueries {
       val t = documents(s, d)
         .filter(col("source").isNotNull && col("text").isNotNull)
         .select(col("source"),
-          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+          graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n"))
         .groupBy("source").agg(sum("n").as("tokens"))
         .localCheckpoint() // two consumers: the total and the quota rows
       val tot = t.agg(sum("tokens").cast("long").as("tt"))
@@ -1970,7 +1970,7 @@ object CurationQueries {
       val docs = documents(s, d)
       val bySource = docs.filter(col("source").isNotNull)
         .select(col("source"),
-          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+          graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n"))
         .groupBy("source").agg(sum("n").as("toks"))
       val mx = bySource.agg(max("toks").as("mx"))
       val rates = bySource.crossJoin(broadcast(mx))
@@ -2010,7 +2010,7 @@ object CurationQueries {
         |  CAST(sum(n) AS BIGINT) AS n_tokens, min(n) AS min_doc, max(n) AS max_doc
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val t = documents(s, d).select(col("doc_id"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n"))
       val (ranked, _) = graft.util.Scale.globalRowNumber(
         t, Seq(col("n").desc, col("doc_id")), "rk")
       ranked.select(((col("rk") - 1) % 32).as("bin_id"), col("n"))
@@ -2045,7 +2045,7 @@ object CurationQueries {
           when(expr(s"$LcgSql % 100") < 98, "train")
             .when(expr(s"$LcgSql % 100") < 99, "val")
             .otherwise("test").as("split"),
-          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+          graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
@@ -2087,10 +2087,9 @@ object CurationQueries {
       // tables and the scoring join — materialize the explode+md5 once.
       val tb = TextQueries.spread(documents(s, d))
         .select(col("doc_id"), col("lang"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+          explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("token"))
         .select(col("doc_id"), col("lang"),
-          (conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
-            .cast("long") % 1024).as("b"))
+          (graft.functions.Md5Head60.md5_head60(col("token")) % 1024).as("b"))
         .localCheckpoint()
       val rc = tb.groupBy("b").agg(length(bin(count(lit(1)))).cast("long").as("b_raw"))
       val tc = tb.filter(col("lang") === "en")
@@ -2136,7 +2135,7 @@ object CurationQueries {
       val tok = documents(s, d).select(
         col("lang"), col("source"),
         md5(col("text").cast("binary")).as("fp"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n"))
       val tot = tok.agg(
         count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
         countDistinct(col("fp")).as("n_distinct"),
@@ -2193,10 +2192,10 @@ object CurationQueries {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val hit = documents(s, d).filter(col("doc_id") < 3000)
         .select(col("doc_id"),
-          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+          graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n"))
         .select(col("doc_id"), col("n"), explode(sequence(lit(0L), col("n") - 1)).as("p"))
-        .filter(pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
-          col("p").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long"),
+        .filter(pmod(graft.functions.Md5Head60.md5_head60(concat(col("doc_id").cast("string"), lit("#"),
+          col("p").cast("string"))),
           lit(1000L)) < 150)
       val spans = hit
         .withColumn("grp", col("p") - row_number().over(w))

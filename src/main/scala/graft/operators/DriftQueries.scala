@@ -3189,27 +3189,43 @@ object DriftQueries {
           count(lit(1)).as("f_lines"),
           sum(floor(col("l_quantity")).cast("long")).as("f_qty"))
         .localCheckpoint(true) // three feature legs share the one fact join
-      def leg(name: String, c: String): DataFrame = {
-        val g = lab.groupBy(col(c).as("score"))
-          .agg(sum("pos").as("pos_s"),
-            (count(lit(1)) - sum("pos")).as("neg_s"))
-        val (ranged, offsets, _) =
-          graft.util.Scale.rangedOffsets(g, Seq(col("score")), col("neg_s"))
-        val w = Window.partitionBy("_pid").orderBy("score")
-        ranged
-          .withColumn("cnb", sum("neg_s").over(w) - col("neg_s") +
-            coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
-          .agg(sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"),
-            sum(col("pos_s") * (lit(2L) * col("cnb") + col("neg_s"))).as("u2"))
-          .select(lit(name).as("feature"), col("n_pos"), col("n_neg"),
-            col("u2"),
-            expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * u2)
-                   |  div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
-                   |  AS BIGINT)""".stripMargin).as("auc_ppm"))
-      }
-      leg("price", "f_price")
-        .unionByName(leg("lines", "f_lines"))
-        .unionByName(leg("qty", "f_qty"))
+      // ONE ranged prefix-sum pass over the unioned (feature, score)
+      // frame instead of three independent rangedOffsets legs (r15
+      // optimization): the per-leg shape paid 3× (range-sample +
+      // checkpoint + offsets collect) driver rounds — 2.1 s of the
+      // query's 2.8 s wall was eager build. The per-feature running
+      // neg_s is the GLOBAL running sum over (feature, score) order
+      // minus the total neg_s of lexically earlier features (features
+      // are contiguous under the range partitioning), so one offsets
+      // collect serves all three features; the 3-row prior table rides
+      // a broadcast join. Identical u2/auc per feature (oracle-gated).
+      val f = Seq("price" -> "f_price", "lines" -> "f_lines", "qty" -> "f_qty")
+        .map { case (n, c) =>
+          lab.select(lit(n).as("feature"), col(c).as("score"), col("pos"))
+        }.reduce(_ unionByName _)
+      val g = f.groupBy("feature", "score")
+        .agg(sum("pos").as("pos_s"),
+          (count(lit(1)) - sum("pos")).as("neg_s"))
+      val (ranged, offsets, _) = graft.util.Scale.rangedOffsets(
+        g, Seq(col("feature"), col("score")), col("neg_s"))
+      val w = Window.partitionBy("_pid").orderBy("feature", "score")
+      val featTotals = ranged.groupBy("feature").agg(sum("neg_s").as("fneg"))
+      val prior = featTotals.as("a")
+        .join(featTotals.as("b"), col("b.feature") < col("a.feature"), "left")
+        .groupBy(col("a.feature").as("feature"))
+        .agg(coalesce(sum(col("b.fneg")), lit(0L)).as("prior"))
+      ranged
+        .withColumn("cum", sum("neg_s").over(w) - col("neg_s") +
+          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
+        .join(broadcast(prior), Seq("feature"))
+        .withColumn("cnb", col("cum") - col("prior"))
+        .groupBy("feature")
+        .agg(sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"),
+          sum(col("pos_s") * (lit(2L) * col("cnb") + col("neg_s"))).as("u2"))
+        .select(col("feature"), col("n_pos"), col("n_neg"), col("u2"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * u2)
+                 |  div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+                 |  AS BIGINT)""".stripMargin).as("auc_ppm"))
         .orderBy("feature")
     },
 
@@ -3998,8 +4014,7 @@ object DriftQueries {
         |FROM h GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       documents(s, d).filter(col("source").isNotNull)
         .select(col("source"),
-          expr("""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
-                 |  coalesce(text, ''))), 1, 15), 16, 10) AS BIGINT)""".stripMargin)
+          expr("md5_head60(concat(CAST(doc_id AS STRING), ':', coalesce(text, '')))")
             .as("h60"),
           expr("coalesce(length(text), 0L)").as("nb"))
         .groupBy("source")

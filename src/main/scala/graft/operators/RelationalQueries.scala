@@ -3369,8 +3369,8 @@ object RelationalQueries {
       val dim = ev.filter(col("event_type") === "signup")
         .select(col("user_id")).distinct().localCheckpoint()
       def posOf(j: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-        pmod(conv(substring(md5(concat(j.cast("string"), lit("#"),
-          c.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long"), lit(1024))
+        pmod(graft.functions.Md5Head60.md5_head60(concat(j.cast("string"), lit("#"),
+          c.cast("string"))), lit(1024))
       val words = dim
         .select(explode(array(lit(0), lit(1))).as("j"), col("user_id"))
         .select(posOf(col("j"), col("user_id")).as("p"))
@@ -4749,7 +4749,7 @@ object RelationalQueries {
         |FROM topk t CROSS JOIN am CROSS JOIN bm CROSS JOIN kth
         |ORDER BY rank""".stripMargin) { (s, d) =>
       val base = TextQueries.spread(documents(s, d))
-        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+        .select(col("doc_id"), graft.functions.WsTokens.ws_tokens(col("text")).as("tk"))
         .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
           size(array_distinct(col("tk"))).cast("long").as("dv"))
         .localCheckpoint() // two index heads + the random-access join

@@ -48,7 +48,7 @@ object SearchQueries {
     * cost; searches read the artifact. */
   def postingsOf(docs: DataFrame): DataFrame =
     TextQueries.spread(docs)
-      .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("tk", graft.functions.WsTokens.ws_tokens(col("text")))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("token"))
       .groupBy("doc_id", "token")
@@ -58,7 +58,7 @@ object SearchQueries {
     * the corpus stats (n, avgdl) source. */
   def doclensOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("dl"))
+      graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("dl"))
 
   /** Score + rank stage shared by the live and stored paths: `tf` is the
     * vocabulary-pruned postings sliver (doc_id, token, tf, dl), `stats`
@@ -132,7 +132,7 @@ object SearchQueries {
     * `phrase_search`. */
   def bigramsOf(docs: DataFrame): DataFrame =
     TextQueries.spread(docs)
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+      .select(col("doc_id"), graft.functions.WsTokens.ws_tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(tk)-1), " +
@@ -155,7 +155,7 @@ object SearchQueries {
     * two tokens. */
   private def queryPhrases(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
-      .select(col("doc_id").as("qid"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+      .select(col("doc_id").as("qid"), graft.functions.WsTokens.ws_tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("qid"),
         concat_ws(" ", element_at(col("tk"), 1), element_at(col("tk"), 2)).as("bigram"))
@@ -165,7 +165,7 @@ object SearchQueries {
   private def queryTerms(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
       .select(col("doc_id").as("qid"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("token"))
       .distinct()
 
   /** The BM25 CTE chain (through `score`), shared by the BM25 oracle
@@ -599,7 +599,7 @@ object SearchQueries {
     "bm25_search" -> QueryDef.sql(Bm25OracleSql) { (s, d) =>
       val docs = documents(s, d)
       val corpus = TextQueries.spread(docs.filter(col("doc_id") % 97 =!= 0))
-        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+        .withColumn("tk", graft.functions.WsTokens.ws_tokens(col("text")))
         .select("doc_id", "tk")
       val qt = queryTerms(docs)
       // Doc length rides WITH each token row into the tf aggregate
@@ -681,7 +681,7 @@ object SearchQueries {
         |FROM rk WHERE rn <= 5 ORDER BY qid, doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val docs = TextQueries.spread(documents(s, d))
-        .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+        .withColumn("tk", graft.functions.WsTokens.ws_tokens(col("text")))
         .select("doc_id", "tk")
       val x = docs.select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "token")))
         .select(col("doc_id"), col("token"),
@@ -1134,7 +1134,7 @@ object SearchQueries {
       val qt = queryTerms(docs)
       val ct = TextQueries.spread(docs.filter(col("doc_id") % 97 =!= 0))
         .select(col("doc_id"),
-          explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("token"))
+          explode(array_distinct(graft.functions.WsTokens.ws_tokens(col("text")))).as("token"))
       boolRank(ct, qt, k = 10)
     },
     "bool_search_and_stored" -> QueryDef.sql(BoolOracleSql) { (s, d) =>
@@ -1256,7 +1256,7 @@ object SearchQueries {
       val docs = documents(s, d)
       val (postings, doclens) = SignatureStore.ensureBm25(s, d)
       val qp0 = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000)
-        .select(col("doc_id").as("qid"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+        .select(col("doc_id").as("qid"), graft.functions.WsTokens.ws_tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 4)
         .select(col("qid"), posexplode(expr("slice(tk, 1, 4)")))
         .withColumnRenamed("col", "token")
@@ -1412,7 +1412,7 @@ object SearchQueries {
         .filter(col("rank") === 1).select("qid", "doc_id")
       // bounded: the top documents only — re-tokenize just those
       val docTk = docs.join(top.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("tk"))
+        .select(col("doc_id"), graft.functions.WsTokens.ws_tokens(col("text")).as("tk"))
         .localCheckpoint() // positions + the final snippet slice share it
       val posTok = docTk
         .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),

@@ -48,8 +48,7 @@ object SketchQueries {
   def dailyUserSketch(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dh = ev.select(
       expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"),
-      conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long").as("h"))
+      graft.functions.Md5Head60.md5_head60(col("user_id").cast("string")).as("h"))
       .distinct()
     val w = Window.partitionBy(col("day")).orderBy(col("h"))
     dh.withColumn("rk", row_number().over(w))
@@ -69,8 +68,7 @@ object SketchQueries {
     * whole sketch family uses, so DuckDB replays every cell exactly. */
   def cmSlotOf(j: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(concat(j.cast("string"), lit("#"), t).cast("binary")), 1, 15), 16, 10)
-      .cast("long"), lit(CmWidth))
+    pmod(graft.functions.Md5Head60.md5_head60(concat(j.cast("string"), lit("#"), t)), lit(CmWidth))
 
   /** Per-token-TYPE exact counts — the ONE corpus pass of the count-min
     * build. Vocabulary cardinality is Heaps-sublinear in corpus size, so
@@ -257,8 +255,7 @@ object SketchQueries {
       val h = documents(s, d)
         .select(col("source"), explode(array_distinct(expr(TextQueries.toksExpr))).as("t"))
         .select(col("source"),
-          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.functions.Md5Head60.md5_head60(col("t")).as("h"))
         .distinct()
       val rkW = Window.partitionBy(col("source")).orderBy(col("h"))
       val kth = h.withColumn("rk", row_number().over(rkW))
@@ -950,7 +947,7 @@ object SketchQueries {
       import s.implicits._
       val ev = events(s, d)
       def h60(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+        graft.functions.Md5Head60.md5_head60(c)
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("user_id").cast("string").as("u"),
           col("event_id").cast("string").as("eid"))
@@ -1042,8 +1039,7 @@ object SketchQueries {
       val h = documents(s, d).filter(col("source").isNotNull)
         .select(col("source"), explode(array_distinct(expr(TextQueries.toksExpr))).as("t"))
         .select(col("source"),
-          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.functions.Md5Head60.md5_head60(col("t")).as("h"))
         .distinct()
         .localCheckpoint(true)
       val skW = Window.partitionBy(col("source")).orderBy(col("h"))
@@ -1099,8 +1095,7 @@ object SketchQueries {
       val ev = events(s, d)
       val dh = ev.select(
         expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"),
-        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.Md5Head60.md5_head60(col("user_id").cast("string")).as("h"))
         .distinct()
       rollingEstimate(dailyUserSketch(ev), dh)
     },
@@ -1119,8 +1114,7 @@ object SketchQueries {
     "kmv_rolling_users_stored" -> QueryDef.sql(RollingKmvSql) { (s, d) =>
       val dh = events(s, d)
         .select(expr(s"(${graft.util.Tables.epochUsFloorSql}) div 86400000000").as("day"),
-          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.functions.Md5Head60.md5_head60(col("user_id").cast("string")).as("h"))
         .distinct()
       rollingEstimate(SignatureStore.ensureDailyKmv(s, d), dh)
     },
@@ -1210,8 +1204,7 @@ object SketchQueries {
           minNum.as("min_num"), maxNum.as("max_num"),
           minStr.as("min_str"), maxStr.as("max_str"))
         val h = ev.select(
-            conv(substring(md5(sv.cast("binary")), 1, 15), 16, 10)
-              .cast("long").as("h"))
+            graft.functions.Md5Head60.md5_head60(sv).as("h"))
           .where(sv.isNotNull).distinct()
         val kth = h.orderBy("h").limit(KmvK)
           .agg(max(col("h")).as("kth"), count(lit(1)).as("nk"))
@@ -1372,8 +1365,7 @@ object SketchQueries {
       val us = graft.util.Tables.epochUsFloorSql
       val h = events(s, d)
         .select(col("event_type"), expr(s"(($us) div 86400000000)").as("day"),
-          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.functions.Md5Head60.md5_head60(col("user_id").cast("string")).as("h"))
       val agg = h.groupBy("event_type", "day")
         .agg(call_function("hll_registers_agg", col("h")).as("hr"))
         .select(col("event_type"), col("day"),
@@ -1571,8 +1563,7 @@ object SketchQueries {
 
   def hllHashes(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     in.select(col("stratum"),
-        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.Md5Head60.md5_head60(col("user_id").cast("string")).as("h"))
       .distinct()
 
   def hllRegisters(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

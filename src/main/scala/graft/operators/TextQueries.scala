@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** Lower-cased whitespace tokens (Spark-side builder). */
-  private[operators] val toksExpr = "split(trim(lower(text)), '\\\\s+')"
+  /** Lower-cased whitespace tokens (Spark-side builder) — the native
+    * [[graft.functions.WsTokens]] byte-scan, exactly
+    * `split(trim(lower(text)), '\\s+')` (WsTokensSpec pins the
+    * equivalence; the DuckDB oracles keep their string_split_regex). */
+  private[operators] val toksExpr = "ws_tokens(text)"
 
   /** Spread a small-file scan across all cores BEFORE row-exploding
     * work: a few-MB documents table arrives as ONE input split, which
@@ -358,12 +361,19 @@ object TextQueries {
         .join(labels.select(col("doc_id").as("via"), col("cluster_id").as("cand")),
           Seq("via"))
         .select(col("doc_id"), col("cand"), lit(null).cast("long").as("prev"))
+      // LAZY checkpoint + count in ONE job (r15): the former eager
+      // checkpoint ran a materialization job and then a second job for
+      // the convergence count over the pinned blocks — 2 sequential
+      // driver rounds per fixpoint round. A lazy local checkpoint is
+      // materialized BY the count (computing a checkpoint-marked
+      // partition pins it), so the count is the barrier and the blocks
+      // are pinned for the next round exactly as before.
       val merged = labels
         .select(col("doc_id"), col("cluster_id").as("cand"), col("cluster_id").as("prev"))
         .unionByName(propagated)
         .unionByName(jumped)
         .groupBy("doc_id").agg(min("cand").as("cluster_id"), min("prev").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = merged.filter(col("cluster_id") < col("prev")).count()
       labels = merged.drop("prev")
     }
@@ -1613,7 +1623,7 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_actual"))
         .orderBy("doc_id")
     },
@@ -1638,7 +1648,7 @@ object TextQueries {
         col("doc_id"),
         regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"))
           .cast("long").as("n_bpe_tokens"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"))
+        graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("n_ws_tokens"))
         .orderBy("doc_id")
     },
 
@@ -1662,7 +1672,7 @@ object TextQueries {
       documents(s, d)
         .filter(col("lang").isNotNull)
         .select(col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+          graft.functions.WsTokenCount.ws_token_count(col("text")).cast("long").as("ws"),
           regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"))
             .cast("long").as("bpe"))
         .groupBy("lang")
@@ -2360,7 +2370,7 @@ object TextQueries {
         |FROM g ORDER BY dim""".stripMargin) { (s, d) =>
       import s.implicits._
       val v = spread(documents(s, d))
-        .select(split(trim(lower(col("text"))), "\\s+").as("tk"))
+        .select(graft.functions.WsTokens.ws_tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
@@ -2369,8 +2379,7 @@ object TextQueries {
       val ds = Seq(256L, 1024L, 4096L, 16384L).toDF("m")
       val h = v.crossJoin(broadcast(ds))
         .select(col("m"),
-          pmod(conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
-            .cast("long"), col("m")).as("b"),
+          pmod(graft.functions.Md5Head60.md5_head60(col("t")), col("m")).as("b"),
           col("cnt").as("freq"))
       val bk = h.groupBy("m", "b")
         .agg(count(lit(1)).as("k"), sum("freq").cast("long").as("f"))
@@ -2480,8 +2489,7 @@ object TextQueries {
       val toks = documents(s, d)
         .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos0", "tok")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
-          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.functions.Md5Head60.md5_head60(col("tok")).as("h"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val chunks = toks
@@ -2643,10 +2651,16 @@ object TextQueries {
         |  CAST((1000000 * (lnn - s_nlnc // nt)) // 693147 AS BIGINT)
         |    AS bits_per_char_micro
         |FROM hs ORDER BY source""".stripMargin) { (s, d) =>
+      // aggregate-before-shuffle (r15, guide §2.3): the former
+      // explode(split(text, '')) shape shuffled one row per corpus
+      // CHARACTER into the (source, c) aggregate; char_counts emits one
+      // (char, n) entry per DISTINCT char per document and the sum of
+      // those n's is exactly the per-char count(*) (CharCounts scaladoc
+      // has the split('') equivalence argument; oracle unchanged).
       val cc = spread(documents(s, d))
-        .select(col("source"), explode(split(col("text"), "")).as("c"))
-        .filter(col("c") =!= "")
-        .groupBy("source", "c").agg(count(lit(1)).as("n"))
+        .select(col("source"),
+          explode(graft.functions.CharCounts.char_counts(col("text"))))
+        .groupBy(col("source"), col("key").as("c")).agg(sum("value").as("n"))
         .localCheckpoint(true) // totals + log cells share the fold
       val ns = cc.groupBy("source").agg(sum("n").as("nt"))
       val lg = cc.select(col("source"), col("n"),

@@ -157,7 +157,7 @@ object UnigramQueries {
     val base = TextQueries.spread(
       documents(s, dir)
         .filter(col("text").isNotNull)
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .select(explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("word"))
         .filter(col("word") =!= ""))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val src = if (longWords)
@@ -428,7 +428,7 @@ object UnigramQueries {
     val (p, sc, fb) = modelLits(m)
     val words = TextQueries.spread(documents(s, d).filter(col("text").isNotNull))
       .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        explode(graft.functions.WsTokens.ws_tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
     val src = if (longWords)
       words.select(col("doc_id"),

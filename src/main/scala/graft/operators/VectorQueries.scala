@@ -2089,10 +2089,14 @@ object VectorQueries {
         .select(col("vec_id").as("xid"), col("embedding").as("xv"))
       val ys = e.filter(col("label") % 2 === 1)
         .select(col("vec_id").as("yid"), col("embedding").as("yv"))
-      val exact = bitextMarginPairs(xs, ys)
-        .select(col("xid").as("exid"), col("yid").as("eyid"))
-      val ann = bitextAnnMiner(e)
-        .select(col("xid").as("axid"), col("yid").as("ayid"))
+      // the two miners share NO state until the final audit join — build
+      // them concurrently so the ANN chain's jobs back-fill the exact
+      // chain's stage tails (Scale.inParallel; r15 optimization — the
+      // serial build was 3.7 s of this query's 4.3 s wall)
+      val (exact0, ann0) = graft.util.Scale.inParallel(
+        bitextMarginPairs(xs, ys), bitextAnnMiner(e))
+      val exact = exact0.select(col("xid").as("exid"), col("yid").as("eyid"))
+      val ann = ann0.select(col("xid").as("axid"), col("yid").as("ayid"))
       exact.join(ann,
           col("exid") === col("axid") && col("eyid") === col("ayid"), "full")
         .agg(count(col("exid")).as("n_exact"),
@@ -2218,10 +2222,13 @@ object VectorQueries {
         // (≈350M candidates) that filled an 80 GB spill volume; pruned,
         // everything past the two rank windows is shortlist-sized.
         val tk = math.max(t, k)
-        val rx = byKey(c, "xid").withColumn("rn", row_number().over(wx))
-          .filter(col("rn") <= tk).localCheckpoint()
-        val ry = byKey(c, "yid").withColumn("rn", row_number().over(wy))
-          .filter(col("rn") <= tk).localCheckpoint()
+        // independent rank-window passes over the same pinned score
+        // table — materialize both concurrently (Scale.inParallel)
+        val (rx, ry) = graft.util.Scale.inParallel(
+          byKey(c, "xid").withColumn("rn", row_number().over(wx))
+            .filter(col("rn") <= tk).localCheckpoint(),
+          byKey(c, "yid").withColumn("rn", row_number().over(wy))
+            .filter(col("rn") <= tk).localCheckpoint())
         (rx.filter(col("rn") <= k).groupBy("xid").agg(sum("c").as("sx")),
           ry.filter(col("rn") <= k).groupBy("yid").agg(sum("c").as("sy")),
           rx.filter(col("rn") <= t).select("xid", "yid", "c")

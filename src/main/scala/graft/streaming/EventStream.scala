@@ -948,7 +948,7 @@ object EventStream {
       (batch: DataFrame, batchId: Long) =>
         import graft.operators.{CurationQueries, SignatureStore, TextQueries}
         val gated = batch
-          .filter(size(split(trim(lower(col("text"))), "\\s+")) >= minTokens)
+          .filter(graft.functions.WsTokenCount.ws_token_count(col("text")) >= minTokens)
         val contaminated = CurationQueries
           .decontaminate(gated, evalDocs, minShared = 1)
           .select(col("train_doc").as("doc_id")).distinct()

@@ -85,6 +85,25 @@ object Scale {
     (ranked, total)
   }
 
+  /** Build two INDEPENDENT eagerly-materializing subplans concurrently
+    * (guide §2.6: actions are only sequential because the driver calls
+    * them sequentially). Several audit-shaped queries construct two
+    * `localCheckpoint` chains that share no state until a final join —
+    * built serially, the second chain's jobs wait for the first's even
+    * though the executors are mostly idle during each chain's tail.
+    * `fa` runs on a daemon thread, `fb` on the caller; Spark schedules
+    * both chains' jobs FIFO so the second back-fills the first's idle
+    * slots. Exceptions from `fa` rethrow on the caller unwrapped. */
+  def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync(() => fa)
+    val b = fb
+    val a = try fut.join()
+    catch { case e: java.util.concurrent.CompletionException =>
+      throw Option(e.getCause).getOrElse(e)
+    }
+    (a, b)
+  }
+
   /** Broadcast-salted join for a skewed fact⋈dim join where the dim side
     * is too big to broadcast whole but a FEW keys are hot: replicate the
     * dim rows for hot keys `salts` times, salt the fact side randomly —
