@@ -2898,11 +2898,21 @@ object TextQueries {
         .select(col("lang").as("hyp"),
           expr("""CAST(round(1000000 * round(ln(CAST(nd AS DOUBLE) / ndt), 6))
                  |  AS BIGINT)""".stripMargin).as("pw"))
-      val sc = te
+      // Aggregate-before-amplify (r15, guide §2.3): the scorer used to
+      // fan every test-token OCCURRENCE out ×n_langs before summing;
+      // per-document (t, count) collapses the repeats first — the
+      // synthetic corpus has ~31 distinct tokens, so the ×langs
+      // amplification now runs over ~token-type rows instead of every
+      // occurrence. tok_sum = Σ_occurrences w ≡ Σ_types c·w exactly
+      // (integer products of the same micro-log weights; oracle
+      // unchanged), and the (doc, lang, t) count partial-aggregates
+      // map-side before its tiny exchange.
+      val ted = te.groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("tc"))
+      val sc = ted
         .crossJoin(broadcast(dflt.toDF("hyp", "w0")))
         .join(broadcast(mll.toDF("hyp", "t", "w")), Seq("hyp", "t"), "left")
         .groupBy(col("doc_id"), col("lang").as("true_lang"), col("hyp"))
-        .agg(sum(coalesce(col("w"), col("w0"))).as("tok_sum"))
+        .agg(sum(col("tc") * coalesce(col("w"), col("w0"))).as("tok_sum"))
       sc.join(broadcast(prior), Seq("hyp"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id")
