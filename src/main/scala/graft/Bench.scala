@@ -362,7 +362,11 @@ object Bench {
         // r14; the second run also absorbs the same-SF warmup asymmetry
         // the canaries used to carry into the timed pass).
         val walls = QuietBox.CanaryQueries.filter(names.contains)
-          .map(n => n -> math.min(run(n).wall, run(n).wall)).toMap
+          .map { n =>
+            val first = run(n).wall
+            val second = run(n).wall
+            n -> math.min(first, second)
+          }.toMap
         preflightFactors += QuietBox.factor(walls, history)
         QuietBox.decide(preflightFactors.toSeq) match {
           case QuietBox.Retry(sleepSec) =>
@@ -456,14 +460,14 @@ object Bench {
     }
     // Millisecond precision keeps the line short: the driver captures a
     // bounded stdout tail, and 60+ full-precision doubles overflowed it
-    // in round 3 (parsed=null). Queries + name-free aligned diag arrays
-    // ≈ 3.3 KB — the diag repeats no query names precisely to stay
-    // inside that budget.
+    // in round 3 (parsed=null) — and the round-14 line, grown to 453
+    // queries PLUS a per-query aligned diag array, overflowed it again
+    // (BENCH_r14 parsed:null cost round 15 its entire PERF comparison).
+    // The line now carries ONLY what the driver parses — per-query walls
+    // and run totals; the full per-query 9-field attribution lives in
+    // bench_diag.json (committed beside the history), keyed by name.
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v.wall) }
       .mkString("{", ",", "}")
-    val diags = results.map { case (_, (v, _)) =>
-      s"[${fmt2(v.cpu)},${math.round(v.mb)},${v.gc}]"
-    }.mkString("[", ",", "]")
     val total = results.map(_._2._1.wall).sum
     val totalCpu = results.map(_._2._1.cpu).sum
     val totalMb = results.map(_._2._1.mb).sum
@@ -501,13 +505,12 @@ object Bench {
         java.nio.file.Paths.get("bench_diag.json"), diagJson + "\n")
     }
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""diag":$diags,"diag_legend":"[task_cpu_sec,input_mb,gc_ms] aligned with sorted queries keys","""" +
-      s"""task_cpu_sec":${fmt(totalCpu)},"input_mb":${math.round(totalMb)},"gc_ms":$totalGc,$fp,""" +
+      s""""task_cpu_sec":${fmt(totalCpu)},"input_mb":${math.round(totalMb)},"gc_ms":$totalGc,$fp,""" +
       s""""code_cache_peak_mb":$codeCachePeakMb,"jit_total_ms":$jitTotalMs,""" +
       s""""reruns":${rerunNames.size},"rerun_queries":$rerunsJson,""" +
       s""""preflight_factor":${fmt(preflightFactors.last)},"preflight_attempts":${preflightFactors.size},"preflight_quiet":$preflightQuiet,""" +
       s"""${graft.tools.CpuBand.json(cpuFactor, gcFactorV)},""" +
-      s""""sf":"$sfDir","method":"best-of-2 + third run when wall > 3x trailing median (bench_history_<sf>.tsv); per-query phase/JIT attribution in bench_diag.json"}"""
+      s""""sf":"$sfDir","method":"best-of-2 + third run when wall > 3x trailing median (bench_history_<sf>.tsv); per-query phase/JIT/cpu/gc attribution in bench_diag.json"}"""
     // Belt and braces for the driver's parser: raw stdout (run /
     // outputStrategy = StdoutOutput strips sbt's [info] prefix) AND a
     // known file in the repo root.

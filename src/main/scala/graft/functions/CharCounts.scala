@@ -50,7 +50,9 @@ object CharCounts {
   def compute(text: UTF8String): ArrayBasedMapData = {
     val bytes = text.getBytes // private copy: the map's key views outlive the row
     val nb = bytes.length
-    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    // boxed values: counts.get on an absent key must be a testable null,
+    // not an unboxed 0L accident (scala.Long would unbox null to 0)
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var i = 0
     while (i < nb) {
       val w = UTF8String.numBytesForFirstByte(bytes(i))

@@ -35,12 +35,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - multi-byte UTF-8 passes through untouched (every non-ASCII byte
   *     is ≥ 0x80 and never matches the whitespace set).
   * Null text → null (UnaryExpression default). Element type is
-  * `ArrayType(StringType, containsNull = true)` to match `split`'s
-  * declared type exactly (the elements themselves are never null).
+  * `ArrayType(StringType, containsNull = false)` to match Spark 4.1's
+  * `StringSplit` (elements are never null); declaring true injected a
+  * spurious `isnotnull(word)` filter after every downstream explode.
   */
 case class WsTokens(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -93,16 +93,41 @@ object Scale {
     * though the executors are mostly idle during each chain's tail.
     * `fa` runs on a daemon thread, `fb` on the caller; Spark schedules
     * both chains' jobs FIFO so the second back-fills the first's idle
-    * slots. Exceptions from `fa` rethrow on the caller unwrapped. */
+    * slots. Exceptions from `fa` rethrow on the caller unwrapped.
+    *
+    * Failure hygiene: `fa` runs under its own job group so that when
+    * `fb` throws, `fa`'s in-flight jobs are CANCELLED and the future is
+    * awaited before rethrowing — otherwise the abandoned chain's jobs
+    * keep running detached on the commonPool and interleave with the
+    * next query's timing. */
   def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
-    val fut = java.util.concurrent.CompletableFuture.supplyAsync(() => fa)
-    val b = fb
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext).orNull
+    val group = s"graft-inparallel-${inParallelSeq.incrementAndGet()}"
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      // job group / description are thread-local and the pool thread
+      // inherits neither from the caller — set (and clear: pool threads
+      // are reused) explicitly
+      if (sc != null) sc.setJobGroup(group, "Scale.inParallel background chain")
+      try fa
+      finally if (sc != null) sc.clearJobGroup()
+    }
+    val b = try fb
+    catch {
+      case t: Throwable =>
+        if (sc != null) sc.cancelJobGroup(group)
+        try fut.join()
+        catch { case _: Throwable => () } // fa's own failure is secondary
+        throw t
+    }
     val a = try fut.join()
     catch { case e: java.util.concurrent.CompletionException =>
       throw Option(e.getCause).getOrElse(e)
     }
     (a, b)
   }
+
+  private val inParallelSeq = new java.util.concurrent.atomic.AtomicLong
 
   /** Broadcast-salted join for a skewed fact⋈dim join where the dim side
     * is too big to broadcast whole but a FEW keys are hot: replicate the
