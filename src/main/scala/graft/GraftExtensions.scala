@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinShingleMd5(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("ngram_set_stats"),
+      new ExpressionInfo(classOf[graft.functions.NgramSetStats].getName, "ngram_set_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "ngram_set_stats takes exactly 1 argument")
+        graft.functions.NgramSetStats(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

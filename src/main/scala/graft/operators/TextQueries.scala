@@ -698,26 +698,25 @@ object TextQueries {
     // 12-gram shingles + a 2-hash band key: with a narrow synthetic
     // vocabulary, single 5-gram minhash buckets are enormous (1.3M
     // pairs at sf0.1); 12-gram × 2 hashes yields ~2k real candidates.
-    // ONE groupBy produces the per-doc shingle SET (sorted array), its
-    // size, and the 2-hash band key together — the exact |A∩B| then
-    // runs as array_intersect on candidate pairs only. This replaces
-    // the former (doc_b, shingle)-keyed join that re-shuffled every
-    // exploded shingle row (the benched 8 s hot spot): the only wide
-    // shuffle left is the compacted one-row-per-doc set table, and the
-    // candidate join is broadcast-sized. Set payloads are bounded by
-    // document size, so the shape holds at 100 TB.
-    val sh = spread(documents(s, d))
-      .select(col("doc_id"),
-        explode(expr("sequence(1, greatest(length(text)-11, 1))")).as("i"), col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 12)").as("shingle"))
+    // The per-doc shingle SET (sorted array) and the 2-hash band key
+    // are pure functions of `text`, so ONE per-row kernel pass
+    // ([[graft.functions.NgramSetStats]]) produces them with NO row
+    // amplification, NO exchange and NO aggregate — replacing the
+    // former explode(one row per corpus CHARACTER) → collect_set +
+    // min(md5 per OCCURRENCE) aggregation, whose allocation rate was
+    // the bench's dominant GC source at local[32] (task-cpu ×7 vs 8
+    // cores on this family). Exact |A∩B| then runs as array_intersect
+    // on candidate pairs only; the candidate join is broadcast-sized.
+    // Set payloads are bounded by document size, so the shape holds at
+    // 100 TB.
     // localCheckpoint: docSets feeds FOUR consumers (both candidate
     // join sides, both set-attach joins); without it the corpus-wide
-    // shingle explode + collect_set aggregation re-runs per consumer
-    // (measured: the two agg stages dominated the query at local[32]).
-    val docSets = sh.groupBy(col("doc_id")).agg(
-      sort_array(collect_set(col("shingle"))).as("shs"),
-      min(md5(col("shingle").cast("binary"))).as("s1"),
-      min(md5(concat(lit("x"), col("shingle")).cast("binary"))).as("s2"))
+    // kernel pass re-runs per consumer.
+    val docSets = spread(documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.NgramSetStats.ngram_set_stats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.shs").as("shs"),
+        col("st.s1").as("s1"), col("st.s2").as("s2"))
       .localCheckpoint()
     val cand = docSets.select(col("doc_id").as("doc_a"), col("s1"), col("s2"))
       .join(docSets.select(col("doc_id").as("doc_b"), col("s1"), col("s2")), Seq("s1", "s2"))
